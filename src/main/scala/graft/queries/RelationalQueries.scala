@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Relational operator inventory over the driver's TPC-H-ish testdata.
+  *
+  * Covers the classical surface that SURVEY.md §2.6/§2.7 notes "come free in
+  * Spark" plus the analytics layer SURVEY §7 schedules on top of the
+  * reference's data model (scan, filter+projection pushdown, hash/sort
+  * aggregate, broadcast/shuffle joins, semi/anti joins, window functions,
+  * rollup/cube, set ops, date bucketing).
+  *
+  * Numeric-parity rules (see SURVEY §7.5 "oracle expressibility"):
+  *   - Sums over money-like doubles go through DECIMAL(18,2) so Spark and the
+  *     DuckDB oracle aggregate exactly, then cast the final value to DOUBLE.
+  *   - Products that would overflow decimal precision are computed in IEEE
+  *     double (same operand order on both sides) and cast to DECIMAL(24,6)
+  *     pre-aggregation.
+  *   - Ratios are a double division of two exactly-agreed operands.
+  */
+object RelationalQueries {
+
+  /** Exact decimal sum of a 2-decimal double column, surfaced as double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full-scan aggregate: TPC-H Q1 pricing summary. Map-side partial
+    // aggregation + 2-key hash agg; no shuffle besides the final agg exchange.
+    "q01_pricing_summary" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(24,6)")).cast("double").as("sum_disc_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax"))).cast("decimal(24,6)"))
+            .cast("double").as("sum_charge"),
+          (sum(col("l_discount").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Selective filter + narrow projection; both should reach the parquet
+    // scan (PushedFilters + pruned ReadSchema).
+    "q02_filter_project" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01") &&
+          col("l_quantity") > 45 && col("l_discount") >= 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag")
+    }),
+
+    // 3-way join + agg + deterministic top-N (TPC-H Q3 shape). customer is
+    // broadcast (small dim); orders⋈lineitem shuffles on the order key.
+    "q03_revenue_topn" -> ((s, d) => {
+      val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = orders(s, d).filter(col("o_orderdate") < lit("1998-07-01"))
+      val l = lineitem(s, d).filter(col("l_shipdate") > lit("1998-07-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,6)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Broadcast star-join enrichment: fact ⋈ two tiny dims.
+    "q04_region_enrich" -> ((s, d) => {
+      customer(s, d)
+        .join(broadcast(nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          dsum(col("c_acctbal")).as("sum_acctbal"))
+    }),
+
+    // Left-semi join (EXISTS) — TPC-H Q4 shape.
+    "q05_priority_semi" -> ((s, d) => {
+      val l = lineitem(s, d).filter(col("l_discount") > 0.06)
+      orders(s, d)
+        .join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // Left-anti join (NOT EXISTS): customers with no big-ticket order.
+    "q06_customers_no_orders" -> ((s, d) => {
+      val bigOrders = orders(s, d).filter(col("o_totalprice") > 400000)
+      customer(s, d)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // Ranking window: top-3 orders per customer (deterministic tiebreak).
+    "q07_top_orders_per_cust" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    }),
+
+    // Running aggregate window (explicit ROWS frame on both sides).
+    "q08_running_totals" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d)
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double"))
+        .select("o_custkey", "o_orderkey", "running_spend")
+    }),
+
+    // ROLLUP grouping sets.
+    "q09_rollup" -> ((s, d) => {
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // CUBE grouping sets.
+    "q10_cube_status_priority" -> ((s, d) => {
+      orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+    }),
+
+    // Distinct aggregate.
+    "q11_distinct_customers" -> ((s, d) => {
+      orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // UNION ALL of two heterogeneous scans, normalized to one schema.
+    "q12_union_parties" -> ((s, d) => {
+      val c = customer(s, d).select(lit("customer").as("kind"),
+        col("c_acctbal").as("acctbal"))
+      val p = supplier(s, d).select(lit("supplier").as("kind"),
+        col("s_acctbal").as("acctbal"))
+      c.unionAll(p)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"), dsum(col("acctbal")).as("sum_bal"))
+    }),
+
+    // Conditional aggregation over a join (TPC-H Q12 shape).
+    "q13_priority_case" -> ((s, d) => {
+      lineitem(s, d).filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0)
+            .otherwise(1)).as("low_line_count"))
+    }),
+
+    // Date bucketing (month) — string-formatted for byte-parity.
+    "q14_monthly_orders" -> ((s, d) => {
+      orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+    }),
+
+    // String functions + LIKE / BETWEEN filters.
+    "q15_part_strings" -> ((s, d) => {
+      part(s, d)
+        .filter(col("p_size").between(10, 20) && col("p_name").like("%red%"))
+        .select(col("p_partkey"), upper(col("p_brand")).as("brand_u"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_type"), 1, 6).as("type_prefix"))
+    }),
+
+    // IN-list + numeric range predicate feeding an aggregate.
+    "q16_returned_mid_qty" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_quantity").between(10, 20))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+    }),
+
+    // Correlated-aggregate pattern (TPC-H Q17 shape): per-part average as a
+    // re-joined subquery; avg computed as exact-decimal-sum / count.
+    "q17_below_half_avg" -> ((s, d) => {
+      val l = lineitem(s, d)
+      val avgQ = l.groupBy(col("l_partkey").as("pk"))
+        .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_qty"))
+      l.join(avgQ, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(count(lit(1)).as("n_small"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+    }),
+
+    // Grouped min/max/first-style extremes per group.
+    "q18_extremes_per_nation" -> ((s, d) => {
+      customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"),
+          count(lit(1)).as("n"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_quantity > 45 AND l_discount >= 0.05""",
+    "q03_revenue_topn" ->
+      """SELECT o_orderkey,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-07-01'
+           AND l_shipdate > TIMESTAMP '1998-07-01'
+         GROUP BY o_orderkey
+         ORDER BY revenue DESC, o_orderkey ASC
+         LIMIT 10""",
+    "q04_region_enrich" ->
+      """SELECT r_name, COUNT(*) AS n_customers,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    "q05_priority_semi" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_discount > 0.06)
+         GROUP BY o_orderpriority""",
+    "q06_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 400000)""",
+    "q07_top_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) t WHERE rn <= 3""",
+    "q08_running_totals" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_spend
+         FROM orders""",
+    "q09_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS n_rows
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q10_cube_status_priority" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q11_distinct_customers" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
+         COUNT(*) AS n_orders FROM orders GROUP BY o_orderstatus""",
+    "q12_union_parties" ->
+      """SELECT kind, COUNT(*) AS n,
+         CAST(SUM(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM (SELECT 'customer' AS kind, c_acctbal AS acctbal FROM customer
+               UNION ALL
+               SELECT 'supplier' AS kind, s_acctbal AS acctbal FROM supplier) u
+         GROUP BY kind""",
+    "q13_priority_case" ->
+      """SELECT l_returnflag,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY l_returnflag""",
+    "q14_monthly_orders" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY 1""",
+    "q15_part_strings" ->
+      """SELECT p_partkey, UPPER(p_brand) AS brand_u, LENGTH(p_name) AS name_len,
+         SUBSTRING(p_type, 1, 6) AS type_prefix
+         FROM part WHERE p_size BETWEEN 10 AND 20 AND p_name LIKE '%red%'""",
+    "q16_returned_mid_qty" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM lineitem
+         WHERE l_returnflag IN ('A','R') AND l_quantity BETWEEN 10 AND 20
+         GROUP BY l_returnflag""",
+    "q17_below_half_avg" ->
+      """SELECT COUNT(*) AS n_small,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM lineitem l JOIN (
+           SELECT l_partkey AS pk,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+           FROM lineitem GROUP BY l_partkey) a ON l.l_partkey = a.pk
+         WHERE l.l_quantity < 0.5 * a.avg_qty""",
+    "q18_extremes_per_nation" ->
+      """SELECT c_nationkey, MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+         COUNT(*) AS n FROM customer GROUP BY c_nationkey"""
+  )
+}
