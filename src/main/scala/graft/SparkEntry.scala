@@ -14,10 +14,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.RelationalQueries.queries
+    graft.queries.RelationalQueries.queries ++
+      graft.queries.XmlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.RelationalQueries.oracleSql
+    graft.queries.RelationalQueries.oracleSql ++
+      graft.queries.XmlQueries.oracleSql
 }

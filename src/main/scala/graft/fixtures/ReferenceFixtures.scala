@@ -1,0 +1,114 @@
+package graft.fixtures
+
+/** XML fixtures modeled on the reference's test inputs (FIXTURES.md §A;
+  * reference `tests.py:19-20,59-60,70`). Shared by the ScalaTest suites and
+  * the embedded-fixture queries in graft.queries.XmlQueries, so the t2 gate
+  * exercises the real parse → project → explode pipeline.
+  */
+object ReferenceFixtures {
+
+  val NUL = "\u0000"
+
+  /** A.1: single-site detector-count document (subset of the 24-detector
+    * fixture, plus one attribute-less detector to exercise the T4 guard). */
+  val singleSiteDoc: String =
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      |<ns2:TransisResponse error="false" xmlns:ns2="http://model.transis.rta.nsw.gov.au/">
+      |  <DetectorCountMessages>
+      |    <ns2:DetectorCountMessage Sid="2087" date="2019-10-03T15:43:00+10:00" reg="ROZ">
+      |      <Detectors>
+      |        <Detector Did="21" count="5"/>
+      |        <Detector Did="20" count="6"/>
+      |        <Detector Did="18" count="12"/>
+      |        <Detector Did="6" count="1"/>
+      |        <Detector Did="99"/>
+      |      </Detectors>
+      |    </ns2:DetectorCountMessage>
+      |  </DetectorCountMessages>
+      |</ns2:TransisResponse>
+      |""".stripMargin
+
+  /** A.3: one document, two sites (Sid 2087 and 8), later period. */
+  val multiSiteDoc: String =
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      |<ns2:TransisResponse error="false" xmlns:ns2="http://model.transis.rta.nsw.gov.au/">
+      |  <DetectorCountMessages>
+      |    <ns2:DetectorCountMessage Sid="2087" date="2019-10-03T15:48:00+10:00" reg="ROZ">
+      |      <Detectors>
+      |        <Detector Did="1" count="0"/>
+      |        <Detector Did="2" count="3"/>
+      |      </Detectors>
+      |    </ns2:DetectorCountMessage>
+      |    <ns2:DetectorCountMessage Sid="8" date="2019-10-03T15:48:00+10:00" reg="SYD">
+      |      <Detectors>
+      |        <Detector Did="5" count="7"/>
+      |      </Detectors>
+      |    </ns2:DetectorCountMessage>
+      |  </DetectorCountMessages>
+      |</ns2:TransisResponse>
+      |""".stripMargin
+
+  /** A.4: error document — must be routed out, never projected
+    * (reference `transis_response_models.py:312-317`). */
+  val errorDoc: String =
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      |<ns2:TransisResponse error="true" xmlns:ns2="http://model.transis.rta.nsw.gov.au/">
+      |  <Errors><Error msg="Transis unavailable"/></Errors>
+      |</ns2:TransisResponse>
+      |""".stripMargin
+
+  /** Document whose DetectorCountMessages element is present but empty —
+    * ElementTree-falsy in the reference, so treated as absent
+    * (SURVEY §2.5 truthiness note). */
+  val emptyMessagesDoc: String =
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      |<ns2:TransisResponse error="false" xmlns:ns2="http://model.transis.rta.nsw.gov.au/">
+      |  <DetectorCountMessages></DetectorCountMessages>
+      |</ns2:TransisResponse>
+      |""".stripMargin
+
+  /** A.2-style concatenated push-stream payload: 4 documents, each
+    * NUL-terminated, with one stray empty fragment (doubled NUL). */
+  val streamPayload: String =
+    singleSiteDoc + NUL + multiSiteDoc + NUL + NUL + errorDoc + NUL +
+      emptyMessagesDoc + NUL
+
+  /** Epoch seconds of the two fixture periods (reference golden record,
+    * FIXTURES.md §A.1: 2019-10-03T15:43:00+10:00 → 1570081380). */
+  val epoch1543: Long = 1570081380L
+  val epoch1548: Long = 1570081680L
+
+  /** A.5: topology document covering empty-collection drop semantics and the
+    * phases double-unnest. Site 200 has an empty Arms collection and no
+    * Phases element. */
+  val topologyDoc: String =
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      |<ns2:TransisResponse error="false" xmlns:ns2="http://model.transis.rta.nsw.gov.au/">
+      |  <SiteLayouts>
+      |    <SiteLayout sId="100" region="R1">
+      |      <Arms>
+      |        <Arm aId="1" name="North"/>
+      |        <Arm aId="2" name="South"/>
+      |      </Arms>
+      |      <Detectors>
+      |        <Detector Did="11" count="0"/>
+      |      </Detectors>
+      |      <Streets>
+      |        <Street stId="7" name="Main St"/>
+      |      </Streets>
+      |      <SGs>
+      |        <SG sgId="1" type="vehicle"/>
+      |        <SG sgId="2" type="pedestrian"/>
+      |      </SGs>
+      |      <Phases>
+      |        <Phase name="A"><SGNos><SGNo>1</SGNo><SGNo>2</SGNo></SGNos></Phase>
+      |        <Phase name="B"><SGNos><SGNo>3</SGNo></SGNos></Phase>
+      |      </Phases>
+      |    </SiteLayout>
+      |    <SiteLayout sId="200" region="R2">
+      |      <Arms></Arms>
+      |    </SiteLayout>
+      |  </SiteLayouts>
+      |</ns2:TransisResponse>
+      |""".stripMargin
+}

@@ -1,0 +1,92 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** Explicit StructTypes for the Transis XML documents (SURVEY.md §1.2).
+  *
+  * Attribute fields carry the Spark XML attribute prefix `_`. Namespace
+  * prefixes (`ns2:`) are stripped textually before parsing
+  * (TransisXml.stripNamespaces) — a documented deviation from the reference,
+  * which keeps prefixes in its ElementTree tags (reference
+  * `transis_response_models.py:288-292`).
+  *
+  * Design note: schemas are explicit rather than inferred so that the parquet
+  * scan/from_xml path stays deterministic across batches; the reference's
+  * first-record CSV-header inference (`transis_response_models.py:200-209`)
+  * is deliberately replaced by full-schema declarations (SURVEY §7.5).
+  */
+object Schemas {
+
+  /** `Detector[@Did,@count]` — reference `transis_response_models.py:39-43`. */
+  val detector: StructType = StructType(Seq(
+    StructField("_Did", StringType),
+    StructField("_count", StringType)))
+
+  /** `DetectorCountMessage[@Sid,@date,@reg]/Detectors/Detector*` —
+    * reference `transis_response_models.py:15-50`. */
+  val detectorCountMessage: StructType = StructType(Seq(
+    StructField("_Sid", StringType),
+    StructField("_date", StringType),
+    StructField("_reg", StringType),
+    StructField("Detectors", StructType(Seq(
+      StructField("Detector", ArrayType(detector)))))))
+
+  /** Root `TransisResponse` for detector-count documents — reference
+    * `transis_response_models.py:281-317`. `_error` + `Errors/Error[@msg]`
+    * model the error-document branch (P4). */
+  val transisResponse: StructType = StructType(Seq(
+    StructField("_error", StringType),
+    StructField("DetectorCountMessages", StructType(Seq(
+      StructField("DetectorCountMessage", ArrayType(detectorCountMessage))))),
+    StructField("Errors", StructType(Seq(
+      StructField("Error", ArrayType(StructType(Seq(
+        StructField("_msg", StringType))))))))))
+
+  /** Canonical output record of the system (`to_dict`, reference
+    * `transis_response_models.py:27-44`): see SURVEY §1.2 field table. */
+  val outputRecord: StructType = StructType(Seq(
+    StructField("collectionIntervalSecs", IntegerType, nullable = false),
+    StructField("region", StringType),
+    StructField("siteId", StringType),
+    StructField("collectionendtimestamp_plus_3_mins", LongType),
+    StructField("detectorCounts", MapType(StringType, StringType))))
+
+  /** Topology: `SiteLayouts/SiteLayout` with nested child collections —
+    * reference `transis_response_models.py:129-209,213-268`. The attribute
+    * sets here cover the test fixtures; production documents with extra
+    * attributes parse via the same shapes extended per deployment (the
+    * reference infers them from the first record — SURVEY §1.2). */
+  val arm: StructType = StructType(Seq(
+    StructField("_aId", StringType), StructField("_name", StringType)))
+  val street: StructType = StructType(Seq(
+    StructField("_stId", StringType), StructField("_name", StringType)))
+  val sg: StructType = StructType(Seq(
+    StructField("_sgId", StringType), StructField("_type", StringType)))
+  /** `Phases/Phase[@name]/SGNos/SGNo(text)*` — the double-unnest source
+    * (reference `transis_response_models.py:194-197`). */
+  val phase: StructType = StructType(Seq(
+    StructField("_name", StringType),
+    StructField("SGNos", StructType(Seq(
+      StructField("SGNo", ArrayType(StringType)))))))
+
+  val siteLayout: StructType = StructType(Seq(
+    StructField("_sId", StringType),
+    StructField("_region", StringType),
+    StructField("Arms", StructType(Seq(
+      StructField("Arm", ArrayType(arm))))),
+    StructField("Detectors", StructType(Seq(
+      StructField("Detector", ArrayType(detector))))),
+    StructField("Streets", StructType(Seq(
+      StructField("Street", ArrayType(street))))),
+    StructField("SGs", StructType(Seq(
+      StructField("SG", ArrayType(sg))))),
+    StructField("Phases", StructType(Seq(
+      StructField("Phase", ArrayType(phase)))))))
+
+  /** Root `TransisResponse` for topology documents — reference
+    * `transis_response_models.py:303-310`. */
+  val topologyResponse: StructType = StructType(Seq(
+    StructField("_error", StringType),
+    StructField("SiteLayouts", StructType(Seq(
+      StructField("SiteLayout", ArrayType(siteLayout)))))))
+}

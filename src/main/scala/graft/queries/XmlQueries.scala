@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.fixtures.ReferenceFixtures._
+import graft.model.Schemas
+import graft.ops.{DetectorCounts, Topology}
+import graft.parse.TransisXml
+
+/** The reference-fidelity pipeline (frame → parse → gate → project →
+  * explode) exercised inside the t2 gate via embedded fixture documents.
+  * The fixtures are constants, so the oracle is a literal VALUES table —
+  * what the driver hash-compares is the output of the real Spark pipeline
+  * (SURVEY.md §2.2/§2.3/§2.5 operators P1–P4, T1–T4, F1–F5, X2, X6).
+  */
+object XmlQueries {
+
+  /** Raw push-stream payload as a 1-row DataFrame (stand-in for the S1/S2
+    * source in file mode). */
+  private def rawStream(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(streamPayload).toDF("value")
+  }
+
+  private def detectorRecords(s: SparkSession): DataFrame = {
+    val framed = TransisXml.frame(rawStream(s))
+    val parsed = TransisXml.parse(framed, Schemas.transisResponse)
+    DetectorCounts.toRecords(TransisXml.detectorCountDocs(parsed))
+  }
+
+  private def topologySites(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val parsed = TransisXml.parse(
+      Seq(topologyDoc).toDF("fragment"), Schemas.topologyResponse)
+    Topology.sites(parsed)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full flagship path (§3.1): stream framing on NUL, XML parse, error-doc
+    // gate, truthiness gate, T1-T4 projection, map explode to rows.
+    "x01_detector_counts" -> ((s, _) =>
+      DetectorCounts.explodedCounts(detectorRecords(s))),
+
+    // X2: arms unnest with parent key; empty Arms collection drops site 200.
+    "x02_topology_arms" -> ((s, _) => Topology.arms(topologySites(s))),
+
+    // X6: phases double-unnest (phase → SGNos).
+    "x03_topology_phases" -> ((s, _) => Topology.phases(topologySites(s))),
+
+    // P4 side-output: error documents routed, not raised (file mode).
+    "x04_error_docs" -> ((s, _) => {
+      val framed = TransisXml.frame(rawStream(s))
+      TransisXml.errorDocs(TransisXml.parse(framed, Schemas.transisResponse))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "x01_detector_counts" ->
+      """SELECT * FROM (VALUES
+           (300, 'ROZ', '2087', CAST(1570081380 AS BIGINT), '21', '5'),
+           (300, 'ROZ', '2087', CAST(1570081380 AS BIGINT), '20', '6'),
+           (300, 'ROZ', '2087', CAST(1570081380 AS BIGINT), '18', '12'),
+           (300, 'ROZ', '2087', CAST(1570081380 AS BIGINT), '6', '1'),
+           (300, 'ROZ', '2087', CAST(1570081680 AS BIGINT), '1', '0'),
+           (300, 'ROZ', '2087', CAST(1570081680 AS BIGINT), '2', '3'),
+           (300, 'SYD', '8',    CAST(1570081680 AS BIGINT), '5', '7')
+         ) AS t(collectionIntervalSecs, region, siteId,
+                collectionendtimestamp_plus_3_mins, did, cnt)""",
+    "x02_topology_arms" ->
+      """SELECT * FROM (VALUES
+           ('100', '1', 'North'),
+           ('100', '2', 'South')
+         ) AS t(sId, aId, name)""",
+    "x03_topology_phases" ->
+      """SELECT * FROM (VALUES
+           ('100', 'A', '1'),
+           ('100', 'A', '2'),
+           ('100', 'B', '3')
+         ) AS t(sId, name, sgNo)""",
+    "x04_error_docs" ->
+      """SELECT 'Transis unavailable' AS errorMsg"""
+  )
+}
