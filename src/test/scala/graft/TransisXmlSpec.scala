@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.fixtures.ReferenceFixtures._
+import graft.model.Schemas
+import graft.parse.TransisXml
+
+/** Framing + parse + gates (P1-P4, F1-F2) — ports the reference's
+  * `TransisConsumerTests` / error-polarity checks (`tests.py:17-54,57-76`). */
+class TransisXmlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("P1/F1: NUL framing splits payload into non-empty fragments") {
+    val framed = TransisXml.frame(Seq(streamPayload).toDF("value"))
+    assert(framed.count() === 4) // empty fragment from doubled NUL dropped
+  }
+
+  test("P1: multi-document byte string yields N responses (tests.py:39-44)") {
+    val two = singleSiteDoc + NUL + singleSiteDoc + NUL
+    assert(TransisXml.frame(Seq(two).toDF("value")).count() === 2)
+  }
+
+  test("P4: error detection both polarities (tests.py:62-76)") {
+    val parsed = TransisXml.parse(
+      Seq(singleSiteDoc, errorDoc).toDF("fragment"), Schemas.transisResponse)
+    val flags = parsed.select(TransisXml.isErrorDoc(col("doc")))
+      .as[Boolean].collect().toSeq
+    assert(flags === Seq(false, true))
+  }
+
+  test("P4: error docs route to side output with message") {
+    val parsed = TransisXml.parse(
+      Seq(errorDoc).toDF("fragment"), Schemas.transisResponse)
+    val msgs = TransisXml.errorDocs(parsed).as[String].collect().toSeq
+    assert(msgs === Seq("Transis unavailable"))
+  }
+
+  test("F2 + truthiness: empty DetectorCountMessages treated as absent") {
+    val parsed = TransisXml.parse(
+      Seq(singleSiteDoc, emptyMessagesDoc, errorDoc).toDF("fragment"),
+      Schemas.transisResponse)
+    assert(TransisXml.detectorCountDocs(parsed).count() === 1)
+  }
+
+  test("framing invariant: arbitrary doc concatenations frame correctly") {
+    // ScalaCheck-style property over a deterministic grid: any multiset of
+    // docs + stray empty fragments frames to exactly the doc count
+    // (invariant of transis_consumer.py:88-89,127-139).
+    val docs = Seq(singleSiteDoc, multiSiteDoc, errorDoc, emptyMessagesDoc)
+    for (n <- 1 to 4; extraNuls <- 0 to 2) {
+      val payload = docs.take(n).mkString(NUL) + NUL + (NUL * extraNuls)
+      val count = TransisXml.frame(Seq(payload).toDF("value")).count()
+      assert(count === n, s"n=$n extraNuls=$extraNuls")
+    }
+  }
+}
