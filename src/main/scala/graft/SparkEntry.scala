@@ -15,11 +15,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.queries ++
-      graft.queries.XmlQueries.queries
+      graft.queries.XmlQueries.queries ++
+      graft.queries.EventsQueries.queries ++
+      graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracleSql ++
-      graft.queries.XmlQueries.oracleSql
+      graft.queries.XmlQueries.oracleSql ++
+      graft.queries.EventsQueries.oracleSql ++
+      graft.queries.ExtQueries.oracleSql
 }

@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY.md §7.4): exact, MinHash+LSH, SimHash.
+  *
+  * 100 TB design notes:
+  *  - exact dedup is one hash-shuffle on a 32-byte key (md5 of content) —
+  *    the canonical groupBy; AQE handles skew.
+  *  - MinHash signatures are computed with per-doc partial aggregation
+  *    (map-side combine of `min`), so the shuffle carries one row per
+  *    (doc, signature), never per shingle.
+  *  - LSH banding turns near-dup search from O(n²) into a shuffle on band
+  *    keys + equi-join — the only scalable shape at 10⁹ docs. Band-key
+  *    hotspots (boilerplate docs) are bounded: a candidate-pair count per
+  *    key can be capped upstream by salting or by dropping mega-buckets.
+  *  - SimHash is a single explode + 16 conditional sums — one shuffle on
+  *    doc_id, then grouping by fingerprint is a second narrow shuffle.
+  */
+object Dedup {
+
+  /** Exact-dedup content key. */
+  def exactKey(text: Column): Column = md5(text)
+
+  /** Exact dedup: one row per distinct content, keeper = min id. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(exactKey(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** MinHash value for one seed: min over shingles of md5("<seed>|" + s).
+    * String-min over hex digests is a valid uniform hash order and is
+    * byte-identical in the DuckDB oracle. */
+  def minhashAgg(seed: Int): Column =
+    min(md5(concat(lit(s"$seed|"), col("shingle")))).as(s"mh$seed")
+
+  /** MinHash signatures: one row per doc with mh0..mh{k-1}.
+    * Input: docs exploded to (id, shingle). */
+  def minhashSignatures(shingled: DataFrame, idCol: String, k: Int): DataFrame =
+    shingled.groupBy(col(idCol))
+      .agg(minhashAgg(0), (1 until k).map(minhashAgg): _*)
+
+  /** Banded-LSH melt: (id, band, bkey) with r signature values per band. */
+  def lshBands(signatures: DataFrame, idCol: String, k: Int, r: Int): DataFrame = {
+    val bands = (0 until k / r).map { b =>
+      struct(lit(b).as("band"),
+        concat((b * r until (b + 1) * r).map(i => col(s"mh$i")): _*).as("bkey"))
+    }
+    signatures.select(col(idCol), explode(array(bands: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bkey"))
+  }
+
+  /** Candidate near-dup pairs: docs sharing ≥1 LSH band. The join shuffles
+    * on (band, bkey) — linear in corpus size, never pairwise. */
+  def lshCandidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col(idCol).as("a_id"), col("band"), col("bkey"))
+    val b = bands.select(col(idCol).as("b_id"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** 16-bit SimHash from md5 hex digits: bit p set iff the sum over words
+    * of ±1 (hex digit p of md5(word) ≥ '8') is positive. */
+  def simhash(words: DataFrame, idCol: String, wordCol: String): DataFrame = {
+    val sums = (0 until 16).map { p =>
+      sum(when(substring(md5(col(wordCol)), p + 1, 1) >= "8", 1)
+        .otherwise(-1)).as(s"s$p")
+    }
+    val bits = (0 until 16).map(p =>
+      when(col(s"s$p") > 0, "1").otherwise("0"))
+    words.groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol), concat(bits: _*).as("simhash"))
+  }
+}

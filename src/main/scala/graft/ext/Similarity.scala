@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Vector similarity search over `ArrayType(FloatType)` embedding columns
+  * (SURVEY.md §7.4): brute-force cosine top-k as the correctness baseline,
+  * sign-bit LSH bucketing as the scale path.
+  *
+  * 100 TB design notes:
+  *  - norms are precomputed once per vector BEFORE any join, so the
+  *    pairwise stage only evaluates the dot product;
+  *  - brute-force is query-side-broadcast (small query set × full corpus),
+  *    never corpus × corpus;
+  *  - the LSH/IVF variant shuffles both sides on a coarse bucket key and
+  *    joins within buckets — corpus × corpus work drops by the bucket
+  *    fan-out (here 2⁸); recall is tunable via bucket bits / multiprobe.
+  *  - arithmetic is double-cast and left-folded in index order, which the
+  *    DuckDB oracle replicates exactly (bitwise-stable cosine scores).
+  */
+object Similarity {
+
+  /** Elementwise double-cast dot product, folded left in index order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"),
+        (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity rounded to 6 dp (absorbs any last-ULP drift while
+    * keeping ordering deterministic). */
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    round(dot(a, b) / (normA * normB), 6)
+
+  /** Precompute the vector norm once per row (keeps all other columns). */
+  def withNorm(vecs: DataFrame, idCol: String, embCol: String): DataFrame =
+    vecs.withColumn("nrm", norm(col(embCol)))
+
+  /** Brute-force cosine top-k: each query row against the whole corpus.
+    * `queries` must be small (it is broadcast). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     embCol: String, k: Int): DataFrame = {
+    val c = withNorm(corpus, idCol, embCol)
+      .select(col(idCol).as("b_id"), col(embCol).as("b_emb"),
+        col("nrm").as("b_nrm"))
+    val q = withNorm(queries, idCol, embCol)
+      .select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("b_id"))
+      .select(col("query_id"), col("b_id"),
+        cosine(col("q_emb"), col("b_emb"), col("q_nrm"), col("b_nrm"))
+          .as("cos_r"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_r").desc, col("b_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "b_id", "rank", "cos_r")
+  }
+
+  /** Sign-bit LSH bucket over the first `bits` dimensions — the IVF-style
+    * coarse quantizer for the scale path. */
+  def signBucket(emb: Column, bits: Int): Column =
+    concat((1 to bits).map(i =>
+      when(element_at(emb, i) > 0f, "1").otherwise("0")): _*)
+
+  /** Bucketed ANN top-k: join query and corpus on the coarse bucket, rank
+    * within bucket. Trades recall for a 2^bits reduction in pair count. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, bits: Int, k: Int): DataFrame = {
+    val c = withNorm(corpus, idCol, embCol)
+      .select(col(idCol).as("b_id"), col(embCol).as("b_emb"),
+        col("nrm").as("b_nrm"), signBucket(col(embCol), bits).as("bucket"))
+    val q = withNorm(queries, idCol, embCol)
+      .select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+        col("nrm").as("q_nrm"), signBucket(col(embCol), bits).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("b_id"))
+      .select(col("query_id"), col("b_id"),
+        cosine(col("q_emb"), col("b_emb"), col("q_nrm"), col("b_nrm"))
+          .as("cos_r"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_r").desc, col("b_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "b_id", "rank", "cos_r")
+  }
+
+  /** Blocked near-dup pairs: pairwise only within a blocking key (here a
+    * label/cluster column), ranked globally. */
+  def blockedPairs(vecs: DataFrame, idCol: String, embCol: String,
+                   blockCol: String): DataFrame = {
+    val v = withNorm(vecs.select(col(idCol), col(embCol), col(blockCol)),
+      idCol, embCol)
+      .select(col(idCol), col(embCol), col("nrm"), col(blockCol))
+    val a = v.select(col(blockCol).as("blk"), col(idCol).as("a_id"),
+      col(embCol).as("a_emb"), col("nrm").as("a_nrm"))
+    val b = v.select(col(blockCol).as("blk"), col(idCol).as("b_id"),
+      col(embCol).as("b_emb"), col("nrm").as("b_nrm"))
+    a.join(b, Seq("blk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        cosine(col("a_emb"), col("b_emb"), col("a_nrm"), col("b_nrm"))
+          .as("cos_r"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-training-data pipelines (SURVEY.md §7.4):
+  * tokenization, quality scoring, language-ID heuristic, fingerprinting.
+  *
+  * Everything is a builtin codegen'd column expression — no UDFs — so the
+  * operators inline into whole-stage codegen and scale linearly with data
+  * (pure map-side, zero shuffle until the caller aggregates).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (exact split parity with the DuckDB oracle:
+    * consecutive separators produce empty tokens on both sides). */
+  def wsTokens(text: Column): Column = split(text, " ")
+
+  def wsTokenCount(text: Column): Column = size(wsTokens(text))
+
+  /** BPE-ish subword proxy: runs of letters, runs of digits, or single
+    * non-alphanumeric glyphs. */
+  val bpeTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+
+  /** Occurrences of a literal substring — (len - len(without)) / len(sub),
+    * expressible identically in Spark and DuckDB. */
+  def substrCount(text: Column, sub: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(sub), ""))) /
+      sub.length).cast("int")
+
+  /** Language-ID heuristic: argmax over per-language stopword-marker hit
+    * counts with a deterministic first-match tiebreak (en,de,es,fr,zh). */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> " the ", "de" -> " der ", "es" -> " el ", "fr" -> " le ",
+    "zh" -> "的")
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, m) => lang -> substrCount(text, m) }
+
+  def predictedLang(text: Column): Column = {
+    val scores = langScores(text)
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** Quality score ∈ [0,1]: stopword ratio + length credit + punctuation
+    * penalty (SURVEY §7.4 quality scoring). Formula is replicated verbatim
+    * in the oracle; all arithmetic is int-derived IEEE double. */
+  def qualityScore(text: Column): Column = {
+    val nTok = wsTokenCount(text).cast("double")
+    val stopHits = (substrCount(text, " the ") + substrCount(text, " a ") +
+      substrCount(text, " of ")).cast("double")
+    val punct = (substrCount(text, ".") + substrCount(text, ",")).cast("double")
+    round(
+      lit(0.4) * least(lit(1.0), stopHits / nTok * 10.0) +
+        lit(0.3) * least(lit(1.0), nTok / 100.0) +
+        lit(0.3) * (lit(1.0) - least(lit(1.0), punct / nTok * 5.0)),
+      4)
+  }
+
+  /** Word n-gram shingles (1-based element_at matches DuckDB list
+    * indexing); short texts fall back to the whole text as one shingle. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ws = wsTokens(text)
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*)))
+      .otherwise(array(text))
+  }
+
+  /** Document fingerprint: minimum md5 over word-5-gram shingles — the
+    * min-sampling ("winnowing"-flavored) rolling-hash fingerprint
+    * (SURVEY §7.4). Identical docs ⇒ identical fingerprints; near-identical
+    * docs usually share them. */
+  def fingerprint(text: Column): Column =
+    array_min(transform(wordShingles(text, 5), s => md5(s)))
+}

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Event-stream analytics over the `events` table — the batch image of the
+  * windowed/streaming layer SURVEY.md §2.9/§7 schedules on the 5-minute
+  * detector-count cadence. Window starts are epoch-second BIGINTs so the
+  * DuckDB oracle agrees byte-for-byte (no tz/format ambiguity).
+  */
+object EventsQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 5-minute event-time windows per type (A1-A4 analytics shape;
+    // streaming variant = groupBy(window($"ts","5 minutes")) + watermark).
+    "e01_window_5min" -> ((s, d) => {
+      events(s, d) // ts = epoch-nanos long (see Tables.events)
+        .groupBy(
+          expr("(ts div 1000000000 div 300) * 300").as("w_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    }),
+
+    // Sessionization: gaps-and-islands with a 30-minute inactivity timeout
+    // (the stateful flatMapGroupsWithState shape, expressed relationally).
+    "e02_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      events(s, d) // ts = epoch-nanos long (see Tables.events)
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev").isNull ||
+            expr("ts div 1000000000") - expr("prev div 1000000000") > 1800, 1)
+            .otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).cast("bigint").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // Semi-structured JSON extraction from the props payload.
+    "e03_json_extract" -> ((s, d) => {
+      events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"),
+          sum(when(col("k") > 50, 1).otherwise(0)).cast("bigint")
+            .as("n_high"),
+          max(col("k")).as("max_k"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "e01_window_5min" ->
+      """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS w_start,
+         event_type, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "e02_sessionize" ->
+      """WITH x AS (
+           SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC) AS prev
+           FROM events)
+         SELECT user_id,
+           CAST(SUM(CASE WHEN prev IS NULL
+             OR CAST(floor(epoch(ts)) AS BIGINT)
+              - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+         FROM x GROUP BY user_id""",
+    "e03_json_extract" ->
+      """SELECT event_type,
+         CAST(SUM(k) AS BIGINT) AS sum_k,
+         CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+         MAX(k) AS max_k
+         FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+               FROM events) t
+         GROUP BY event_type"""
+  )
+}

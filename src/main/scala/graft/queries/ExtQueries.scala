@@ -1,0 +1,315 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline operators (SURVEY.md §7.4) as gate queries:
+  * dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding
+  * cosine), similarity search (brute-force + LSH-bucketed ANN), text
+  * analysis (lang-ID, quality, tokens, fingerprint), multimodal columns.
+  */
+object ExtQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup over a corpus with duplicates (docs ∪ docs): one
+    // hash-shuffle on the 32-byte content key.
+    "d01_exact_dedup" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.exactGroups(docs.unionAll(docs), "doc_id", "text")
+    }),
+
+    // MinHash(8 seeds) + LSH(4 bands × 2 rows) candidate pairs over word
+    // 3-gram shingles — the linear-scalable near-dup shape.
+    "d02_minhash_lsh" -> ((s, d) => {
+      val shingled = documents(s, d).select(col("doc_id"),
+        explode(TextAnalysis.wordShingles(col("text"), 3)).as("shingle"))
+      val sigs = Dedup.minhashSignatures(shingled, "doc_id", 8)
+      Dedup.lshCandidatePairs(Dedup.lshBands(sigs, "doc_id", 8, 2), "doc_id")
+    }),
+
+    // 16-bit SimHash fingerprints + bucket occupancy.
+    "d03_simhash" -> ((s, d) => {
+      val words = documents(s, d).select(col("doc_id"),
+        explode(split(col("text"), " ")).as("word"))
+      val sh = Dedup.simhash(words, "doc_id", "word")
+      sh.withColumn("n_bucket",
+        count(lit(1)).over(Window.partitionBy(col("simhash"))))
+    }),
+
+    // Word-bigram Jaccard similarity across a bounded pair set.
+    "d04_ngram_jaccard" -> ((s, d) => {
+      val grams = documents(s, d).filter(col("doc_id") < 40)
+        .select(col("doc_id"),
+          explode(TextAnalysis.wordShingles(col("text"), 2)).as("g"))
+        .distinct()
+      val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = grams.select(col("doc_id").as("a_id"), col("g"))
+      val b = grams.select(col("doc_id").as("b_id"), col("g"))
+      val inter = a.join(b, Seq("g")).filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          round(col("inter") / (col("na") + col("nb") - col("inter")), 4)
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.1)
+    }),
+
+    // Embedding near-dup: label-blocked pairwise cosine, global top-20.
+    "d05_embedding_neardup" -> ((s, d) => {
+      Similarity.blockedPairs(embeddings(s, d), "vec_id", "embedding", "label")
+        .orderBy(col("cos_r").desc, col("a_id").asc, col("b_id").asc)
+        .limit(20)
+    }),
+
+    // Brute-force cosine top-5 for a sampled query set (ANN baseline).
+    "s01_cosine_topk" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 5)
+    }),
+
+    // Sign-bit LSH (8 bits) bucketed ANN top-3 — the scale path.
+    "s02_lsh_topk" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.lshTopK(emb,
+        emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 8, 3)
+    }),
+
+    // Language-ID heuristic confusion matrix.
+    "t01_lang_id" -> ((s, d) => {
+      documents(s, d)
+        .select(col("lang"),
+          TextAnalysis.predictedLang(col("text")).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // Quality scoring per document.
+    "t02_quality_score" -> ((s, d) => {
+      documents(s, d).select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("n_tok"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    }),
+
+    // Token counting: whitespace + BPE-ish regex.
+    "t03_token_counts" -> ((s, d) => {
+      documents(s, d).select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
+    }),
+
+    // Rolling-hash document fingerprint (min-sampled word-5-gram md5).
+    "t04_fingerprint" -> ((s, d) => {
+      documents(s, d).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
+    // Multimodal columns: binary payload + typed metadata, metadata-only
+    // projection (payload column pruned at the parquet scan in real use).
+    "m01_multimodal_meta" -> ((s, d) => {
+      val media = Multimodal.asMediaTable(documents(s, d), "doc_id", "text",
+        "source")
+      media.select(col("media_id"), col("meta.mime").as("mime"),
+        octet_length(col("payload")).as("byte_len"),
+        md5(col("payload")).as("checksum"))
+    }),
+
+    // mapPartitions decode/feature plumbing (deterministic stub codec).
+    // Not SQL-expressible (opaque per-partition decode) → rows-only check.
+    "m02_media_features" -> ((s, d) => {
+      val media = Multimodal.asMediaTable(documents(s, d), "doc_id", "text",
+        "source")
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("mime"), col("byte_len"),
+          col("checksum"), round(element_at(col("feature"), 1), 3)
+            .as("f0"))
+    })
+  )
+
+  private val dotExpr =
+    "list_sum(list_transform(range(1,65), i -> CAST(%s.embedding[i] AS DOUBLE) * CAST(%s.embedding[i] AS DOUBLE)))"
+
+  def oracleSql: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper,
+         COUNT(*) AS n_copies
+         FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents) u
+         GROUP BY 1""",
+    "d02_minhash_lsh" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         ), sh AS (
+           SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+             THEN list_transform(range(1, len(ws)-1),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+             ELSE [text] END) AS shingle
+           FROM w JOIN documents USING (doc_id)
+         ), mh AS (
+           SELECT doc_id, seed, min(md5(seed || '|' || shingle)) AS mh
+           FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
+           GROUP BY doc_id, seed
+         ), bands AS (
+           SELECT doc_id, seed // 2 AS band,
+             string_agg(mh, '' ORDER BY seed) AS bkey
+           FROM mh GROUP BY doc_id, seed // 2
+         )
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands
+         FROM bands a
+         JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+           AND a.doc_id < b.doc_id
+         GROUP BY 1, 2""",
+    "d03_simhash" -> {
+      val sums = (0 until 16).map(p =>
+        s"SUM(CASE WHEN substr(hx,${p + 1},1) >= '8' THEN 1 ELSE -1 END) AS s$p")
+        .mkString(", ")
+      val bits = (0 until 16).map(p =>
+        s"(CASE WHEN s$p > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+      s"""WITH w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+          ), h AS (SELECT doc_id, md5(word) AS hx FROM w),
+          s AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+          f AS (SELECT doc_id, $bits AS simhash FROM s)
+          SELECT doc_id, simhash,
+            COUNT(*) OVER (PARTITION BY simhash) AS n_bucket
+          FROM f"""
+    },
+    "d04_ngram_jaccard" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           WHERE doc_id < 40
+         ), g AS (
+           SELECT DISTINCT doc_id, unnest(CASE WHEN len(ws) >= 2
+             THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+             ELSE [text] END) AS g
+           FROM w JOIN documents USING (doc_id)
+         ), sizes AS (
+           SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
+         ), inter AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+           FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         )
+         SELECT a_id, b_id,
+           round(inter / (na.n + nb.n - inter), 4) AS jaccard
+         FROM inter
+         JOIN sizes na ON na.doc_id = a_id
+         JOIN sizes nb ON nb.doc_id = b_id
+         WHERE round(inter / (na.n + nb.n - inter), 4) >= 0.1""",
+    "d05_embedding_neardup" -> {
+      val dotAB = dotExpr.format("a", "b")
+      val dotAA = dotExpr.format("a", "a")
+      val dotBB = dotExpr.format("b", "b")
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+            round($dotAB / (sqrt($dotAA) * sqrt($dotBB)), 6) AS cos_r
+          FROM embeddings a
+          JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+          ORDER BY cos_r DESC, a_id ASC, b_id ASC LIMIT 20"""
+    },
+    "s01_cosine_topk" ->
+      """WITH n AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1,65),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+           FROM embeddings
+         ), q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+         s AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS b_id,
+             round(list_sum(list_transform(range(1,65),
+               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+               / (q.nrm * c.nrm), 6) AS cos_r
+           FROM q JOIN n c ON q.vec_id != c.vec_id
+         )
+         SELECT query_id, b_id, CAST(rank AS INTEGER) AS rank, cos_r
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_r DESC, b_id ASC) AS rank FROM s) t
+         WHERE rank <= 5""",
+    "s02_lsh_topk" -> {
+      val bucket = (1 to 8).map(i =>
+        s"(CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      s"""WITH n AS (
+            SELECT vec_id, embedding, $bucket AS bucket,
+              sqrt(list_sum(list_transform(range(1,65),
+                i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+            FROM embeddings
+          ), q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+          s AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS b_id,
+              round(list_sum(list_transform(range(1,65),
+                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                / (q.nrm * c.nrm), 6) AS cos_r
+            FROM q JOIN n c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+          )
+          SELECT query_id, b_id, CAST(rank AS INTEGER) AS rank, cos_r
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos_r DESC, b_id ASC) AS rank FROM s) t
+          WHERE rank <= 3"""
+    },
+    "t01_lang_id" -> {
+      val markers = TextAnalysis.langMarkers
+      val counts = markers.map { case (lang, m) =>
+        val esc = m.replace("'", "''")
+        s"CAST((length(text) - length(replace(text, '$esc', ''))) / ${m.length} AS INT) AS cnt_$lang"
+      }.mkString(", ")
+      val gr = "greatest(" + markers.map(m => s"cnt_${m._1}").mkString(", ") + ")"
+      val cases = markers.map { case (lang, _) =>
+        s"WHEN cnt_$lang = g AND g > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH c AS (SELECT doc_id, lang, $counts FROM documents),
+          p AS (SELECT doc_id, lang, $gr AS g, * FROM c),
+          r AS (SELECT lang, CASE $cases ELSE 'und' END AS pred_lang FROM p)
+          SELECT lang, pred_lang, COUNT(*) AS n_docs
+          FROM r GROUP BY 1, 2"""
+    },
+    "t02_quality_score" ->
+      """WITH c AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+             CAST(
+               CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS INT)
+               + CAST((length(text) - length(replace(text, ' a ', ''))) / 3 AS INT)
+               + CAST((length(text) - length(replace(text, ' of ', ''))) / 4 AS INT)
+               AS DOUBLE) AS stop_hits,
+             CAST(
+               CAST((length(text) - length(replace(text, '.', ''))) / 1 AS INT)
+               + CAST((length(text) - length(replace(text, ',', ''))) / 1 AS INT)
+               AS DOUBLE) AS punct
+           FROM documents)
+         SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+           round(
+             0.4 * least(1.0, stop_hits / n_tok * 10.0) +
+             0.3 * least(1.0, n_tok / 100.0) +
+             0.3 * (1.0 - least(1.0, punct / n_tok * 5.0)), 4) AS quality
+         FROM c""",
+    "t03_token_counts" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_tokens
+         FROM documents""",
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 5
+           THEN list_aggregate(list_transform(
+             range(1, len(string_split(text, ' ')) - 3),
+             i -> md5(string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2] || ' ' ||
+                      string_split(text, ' ')[i+3] || ' ' ||
+                      string_split(text, ' ')[i+4])), 'min')
+           ELSE md5(text) END AS fp
+         FROM documents""",
+    "m01_multimodal_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+         'text/plain;src=' || source AS mime,
+         CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+         md5(text) AS checksum
+         FROM documents"""
+    // m02_media_features: mapPartitions decode — intentionally no oracle
+  )
+}
