@@ -28,23 +28,35 @@ object Dedup {
     docs.groupBy(exactKey(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
-  /** MinHash value for one seed: min over shingles of md5("<seed>|" + s).
-    * String-min over hex digests is a valid uniform hash order and is
-    * byte-identical in the DuckDB oracle. */
-  def minhashAgg(seed: Int): Column =
-    min(md5(concat(lit(s"$seed|"), col("shingle")))).as(s"mh$seed")
+  /** MinHash base hash: first 8 hex digits of md5(shingle) as a 32-bit
+    * integer. The k hash functions are the affine family
+    * `(2i+1)·h + (12345i+7) mod p` (p prime < 2³²) over this base — ONE
+    * digest per shingle instead of k (8× cheaper), exact int64 arithmetic
+    * on both Spark and the DuckDB oracle. */
+  val minhashPrime = 4294967291L
+
+  def baseHash(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 8), 16, 10).cast("bigint")
 
   /** MinHash signatures: one row per doc with mh0..mh{k-1}.
-    * Input: docs exploded to (id, shingle). */
-  def minhashSignatures(shingled: DataFrame, idCol: String, k: Int): DataFrame =
-    shingled.groupBy(col(idCol))
-      .agg(minhashAgg(0), (1 until k).map(minhashAgg): _*)
+    * Input: docs exploded to (id, shingle). Partial (map-side) min
+    * aggregation means the shuffle carries k longs per doc. */
+  def minhashSignatures(shingled: DataFrame, idCol: String, k: Int): DataFrame = {
+    val hashed = shingled.select(col(idCol), baseHash(col("shingle")).as("h32"))
+    val aggs = (0 until k).map { i =>
+      min((col("h32") * lit(2L * i + 1) + lit(i * 12345L + 7)) % minhashPrime)
+        .as(s"mh$i")
+    }
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
 
-  /** Banded-LSH melt: (id, band, bkey) with r signature values per band. */
+  /** Banded-LSH melt: (id, band, bkey) with r signature values per band
+    * (fixed-width lpad keeps the concatenation unambiguous). */
   def lshBands(signatures: DataFrame, idCol: String, k: Int, r: Int): DataFrame = {
     val bands = (0 until k / r).map { b =>
       struct(lit(b).as("band"),
-        concat((b * r until (b + 1) * r).map(i => col(s"mh$i")): _*).as("bkey"))
+        concat((b * r until (b + 1) * r)
+          .map(i => lpad(col(s"mh$i").cast("string"), 10, "0")): _*).as("bkey"))
     }
     signatures.select(col(idCol), explode(array(bands: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bkey"))

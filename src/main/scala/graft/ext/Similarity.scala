@@ -21,12 +21,10 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Elementwise double-cast dot product, folded left in index order. */
+  /** Elementwise double-cast dot product, folded left in index order —
+    * native codegen expression (graft.functions.DotProduct). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"),
-        (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -24,7 +24,12 @@ object ExtQueries {
     // MinHash(8 seeds) + LSH(4 bands × 2 rows) candidate pairs over word
     // 3-gram shingles — the linear-scalable near-dup shape.
     "d02_minhash_lsh" -> ((s, d) => {
-      val shingled = documents(s, d).select(col("doc_id"),
+      // the doc table is a single small parquet split; spread the md5-heavy
+      // shingling across all cores (at 100 TB the scan itself provides the
+      // parallelism and this repartition disappears)
+      val docs = documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val shingled = docs.select(col("doc_id"),
         explode(TextAnalysis.wordShingles(col("text"), 3)).as("shingle"))
       val sigs = Dedup.minhashSignatures(shingled, "doc_id", 8)
       Dedup.lshCandidatePairs(Dedup.lshBands(sigs, "doc_id", 8, 2), "doc_id")
@@ -149,13 +154,18 @@ object ExtQueries {
                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
              ELSE [text] END) AS shingle
            FROM w JOIN documents USING (doc_id)
+         ), hh AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h32
+           FROM sh
          ), mh AS (
-           SELECT doc_id, seed, min(md5(seed || '|' || shingle)) AS mh
-           FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
+           SELECT doc_id, seed,
+             min(((2*seed+1) * h32 + (seed*12345+7)) % 4294967291) AS mh
+           FROM hh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
            GROUP BY doc_id, seed
          ), bands AS (
            SELECT doc_id, seed // 2 AS band,
-             string_agg(mh, '' ORDER BY seed) AS bkey
+             string_agg(lpad(CAST(mh AS VARCHAR), 10, '0'), '' ORDER BY seed) AS bkey
            FROM mh GROUP BY doc_id, seed // 2
          )
          SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands
