@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
+import graft.functions.DotProduct
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions for SQL use
+  * (`spark.sql("SELECT dot_product(a, b) …")`).
+  *
+  * Wire up with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[DotProduct].getName, "dot_product"),
+        (children: Seq[Expression]) =>
+          DotProduct(children(0), children(1))))
+  }
+}

@@ -108,6 +108,8 @@ object ReferenceFixtures {
       |    <SiteLayout sId="200" region="R2">
       |      <Arms></Arms>
       |    </SiteLayout>
+      |    <SiteLayout sId="2087" region="TR-A"></SiteLayout>
+      |    <SiteLayout sId="8" region="TR-B"></SiteLayout>
       |  </SiteLayouts>
       |</ns2:TransisResponse>
       |""".stripMargin

@@ -64,6 +64,23 @@ object DetectorCounts {
       col("collectionendtimestamp_plus_3_mins"),
       explode(col("detectorCounts")).as(Seq("did", "cnt")))
 
+  /** Per-site vehicle totals per period — the natural aggregate over the
+    * output records (SURVEY §2.6 note: per-site/region per-window sums). */
+  def siteTotals(records: DataFrame): DataFrame =
+    explodedCounts(records)
+      .groupBy(col("siteId"), col("collectionendtimestamp_plus_3_mins"))
+      .agg(sum(col("cnt").cast("int")).as("total_count"))
+
+  /** The implied-but-never-executed enrichment join of SURVEY §2.7:
+    * counts ⋈ topology on siteId = sId, LEFT, with the topology dimension
+    * broadcast (it is tiny relative to the count stream at any scale). */
+  def enrichWithTopology(totals: DataFrame, sites: DataFrame): DataFrame =
+    totals.join(
+      broadcast(sites.select(col("site._sId").as("sId"),
+        col("site._region").as("topo_region"))),
+      totals("siteId") === col("sId"), "left")
+      .drop("sId")
+
   /** T3: ingestion-time stamp, ISO-formatted in Australia/Sydney with a
     * colon offset (reference `utils.py:15-19`). Session tz is UTC
     * (build.sbt), so the conversion is explicit. */

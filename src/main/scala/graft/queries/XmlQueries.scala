@@ -51,7 +51,12 @@ object XmlQueries {
     "x04_error_docs" -> ((s, _) => {
       val framed = TransisXml.frame(rawStream(s))
       TransisXml.errorDocs(TransisXml.parse(framed, Schemas.transisResponse))
-    })
+    }),
+
+    // SURVEY §2.7 / §7.2-4: per-site totals ⋈ broadcast topology (LEFT).
+    "x05_enriched_counts" -> ((s, _) =>
+      DetectorCounts.enrichWithTopology(
+        DetectorCounts.siteTotals(detectorRecords(s)), topologySites(s)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -78,6 +83,13 @@ object XmlQueries {
            ('100', 'B', '3')
          ) AS t(sId, name, sgNo)""",
     "x04_error_docs" ->
-      """SELECT 'Transis unavailable' AS errorMsg"""
+      """SELECT 'Transis unavailable' AS errorMsg""",
+    "x05_enriched_counts" ->
+      """SELECT * FROM (VALUES
+           ('2087', CAST(1570081380 AS BIGINT), CAST(24 AS BIGINT), 'TR-A'),
+           ('2087', CAST(1570081680 AS BIGINT), CAST(3 AS BIGINT), 'TR-A'),
+           ('8',    CAST(1570081680 AS BIGINT), CAST(7 AS BIGINT), 'TR-B')
+         ) AS t(siteId, collectionendtimestamp_plus_3_mins, total_count,
+                topo_region)"""
   )
 }

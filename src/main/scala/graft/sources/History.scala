@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Date/type-parameterized history access (S4–S8 semantics, SURVEY.md §2.1):
+  * the reference pushes `startDate`/`types` filters into URL params
+  * (`transis_consumer.py:157-225`); at rest the same pushdown is achieved by
+  * partition layout + partition pruning and parquet predicate pushdown.
+  *
+  * 100 TB design: history is laid out `region=<r>/dt=<yyyy-MM-dd>/…`, so a
+  * date- or region-bounded read touches only matching directories (static
+  * partition pruning; dynamic pruning kicks in for join-driven predicates).
+  * Within files, min/max row-group stats serve the residual predicates.
+  */
+object History {
+
+  /** Land canonical records partitioned by region and collection date. */
+  def writePartitioned(records: DataFrame, path: String): Unit =
+    records
+      .withColumn("dt", date_format(
+        timestamp_seconds(col("collectionendtimestamp_plus_3_mins")),
+        "yyyy-MM-dd"))
+      .write.mode("overwrite")
+      .partitionBy("region", "dt")
+      .parquet(path)
+
+  /** S4: `get_data_from` — date-bounded scan; the `dt >= …` predicate is a
+    * partition filter (no data files outside the range are opened). */
+  def readFrom(spark: SparkSession, path: String, fromDate: String): DataFrame =
+    spark.read.parquet(path).filter(col("dt") >= fromDate)
+
+  /** S5-flavored: region + date bounded scan (both partition columns). */
+  def readRegionFrom(spark: SparkSession, path: String, region: String,
+                     fromDate: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("region") === region && col("dt") >= fromDate)
+}

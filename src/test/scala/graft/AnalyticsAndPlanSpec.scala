@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.fixtures.ReferenceFixtures._
+import graft.sources.History
+import graft.stream.{Pipeline, WindowedAnalytics}
+
+/** Streaming windowed analytics, partition pruning, SQL extension
+  * registration, and physical-plan quality checks (pushdown / broadcast). */
+class AnalyticsAndPlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("§2.9: watermarked 5-min region volumes over a record stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val agg = WindowedAnalytics.regionVolumes(
+      Pipeline.payloadToRecords(input.toDF()))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("region_volumes").start()
+    try {
+      input.addData(streamPayload)
+      q.processAllAvailable()
+      val rows = spark.table("region_volumes")
+        .orderBy("region", "w_start")
+        .collect().map(r => (r.getAs[String]("region"),
+          r.getAs[Long]("total_count"), r.getAs[Long]("n_detectors")))
+      // ROZ 15:40 window: 24 (doc1); ROZ 15:45: 3 (doc2); SYD 15:45: 7
+      assert(rows.toSeq === Seq(("ROZ", 24L, 4L), ("ROZ", 3L, 2L),
+        ("SYD", 7L, 1L)))
+    } finally q.stop()
+  }
+
+  test("event time = date - 180s (3-min delivery lag, SURVEY §1.2)") {
+    import spark.implicits._
+    val records = Pipeline.payloadToRecords(Seq(singleSiteDoc).toDF("value"))
+    val et = WindowedAnalytics.withEventTime(records)
+      .select(unix_timestamp(col("eventTime"))).as[Long].head()
+    assert(et === epoch1543 - 180)
+  }
+
+  test("S4-S8: partitioned history supports partition pruning") {
+    import spark.implicits._
+    val records = Pipeline.payloadToRecords(Seq(streamPayload).toDF("value"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-hist").toString
+    History.writePartitioned(records, dir)
+    val pruned = History.readRegionFrom(spark, dir, "ROZ", "2019-10-03")
+    assert(pruned.count() === 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    // region+dt are partition directories, not data columns to filter late
+    assert(!plan.contains("PushedFilters: [IsNotNull(region)"))
+  }
+
+  test("dot_product is SQL-callable once registered (GraftExtensions path)") {
+    // getOrCreate reuses the JVM-wide session, so exercise the same
+    // registration GraftExtensions injects, on a fresh child session.
+    val s2 = spark.newSession()
+    s2.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product",
+      exprs => graft.functions.DotProduct(exprs(0), exprs(1)),
+      "built-in")
+    val r = s2.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(r === 11.0)
+    // and the extensions class itself is constructible + applicable
+    assert(new GraftExtensions().isInstanceOf[
+      org.apache.spark.sql.SparkSessionExtensions => Unit])
+  }
+
+  test("plan quality: q02 filters + projection reach the parquet scan") {
+    val df = SparkEntry.queries("q02_filter_project")(spark,
+      "/root/testdata/sf0.001")
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    // predicates pushed to the parquet reader
+    assert(scan.metadata("PushedFilters").contains("IsNotNull(l_shipdate)"),
+      scan.metadata("PushedFilters"))
+    assert(scan.dataFilters.exists(_.toString.contains("l_quantity")))
+    // pruned read schema — no unused columns materialized
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(!readCols.contains("l_tax") && !readCols.contains("l_partkey"),
+      readCols.mkString(","))
+  }
+
+  test("plan quality: dimension joins broadcast (q04)") {
+    val df = SparkEntry.queries("q04_region_enrich")(spark,
+      "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("plan quality: s01 corpus side never shuffles (broadcast NLJ)") {
+    val df = SparkEntry.queries("s01_cosine_topk")(spark,
+      "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+}

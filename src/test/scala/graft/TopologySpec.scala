@@ -16,7 +16,7 @@ class TopologySpec extends AnyFunSuite {
     Seq(topologyDoc).toDF("fragment"), Schemas.topologyResponse))
 
   test("X1: one row per site") {
-    assert(sites.count() === 2)
+    assert(sites.count() === 4) // 100, 200, 2087, 8
   }
 
   test("X2: arms unnest prepends sId; empty Arms collection drops site 200") {
