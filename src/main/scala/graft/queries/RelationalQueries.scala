@@ -217,6 +217,55 @@ object RelationalQueries {
         .agg(min(col("c_acctbal")).as("min_bal"),
           max(col("c_acctbal")).as("max_bal"),
           count(lit(1)).as("n"))
+    }),
+
+    // PIVOT: order counts by status per priority.
+    "q19_pivot_status" -> ((s, d) => {
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+    }),
+
+    // max_by / min_by argmax aggregates (deterministic: unique ordering key).
+    "q20_arg_extremes" -> ((s, d) => {
+      orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max_by(col("o_totalprice"), col("o_orderkey")).as("latest_price"),
+          min_by(col("o_totalprice"), col("o_orderkey")).as("first_price"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Ordered distinct string aggregation per group.
+    "q21_nations_per_region" -> ((s, d) => {
+      nation(s, d)
+        .join(broadcast(region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(sort_array(collect_set(col("n_name"))), ",")
+          .as("nations"))
+    }),
+
+    // Interpolated percentiles (linear interpolation on both engines).
+    "q22_quantiles" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+    }),
+
+    // EXCEPT (distinct set difference): customers active in 1995 but
+    // not in 1996.
+    "q23_churned_1996" -> ((s, d) => {
+      val o = orders(s, d)
+      val in95 = o.filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1996-01-01")).select(col("o_custkey"))
+      val in96 = o.filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01")).select(col("o_custkey"))
+      in95.except(in96)
     })
   )
 
@@ -328,6 +377,34 @@ object RelationalQueries {
          WHERE l.l_quantity < 0.5 * a.avg_qty""",
     "q18_extremes_per_nation" ->
       """SELECT c_nationkey, MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
-         COUNT(*) AS n FROM customer GROUP BY c_nationkey"""
+         COUNT(*) AS n FROM customer GROUP BY c_nationkey""",
+    "q19_pivot_status" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+         CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+         CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+         FROM orders GROUP BY o_orderpriority""",
+    "q20_arg_extremes" ->
+      """SELECT o_custkey,
+         max_by(o_totalprice, o_orderkey) AS latest_price,
+         min_by(o_totalprice, o_orderkey) AS first_price,
+         COUNT(*) AS n
+         FROM orders GROUP BY o_custkey""",
+    "q21_nations_per_region" ->
+      """SELECT r_name,
+         string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    "q22_quantiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+         round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+         FROM lineitem GROUP BY l_returnflag""",
+    "q23_churned_1996" ->
+      """SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+         EXCEPT
+         SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'"""
   )
 }
