@@ -76,13 +76,16 @@ object Dedup {
   /** 16-bit SimHash from md5 hex digits: bit p set iff the sum over words
     * of ±1 (hex digit p of md5(word) ≥ '8') is positive. */
   def simhash(words: DataFrame, idCol: String, wordCol: String): DataFrame = {
+    // hash once per word; the 16 bit-position aggregates read substrings of
+    // the projected digest (not 16 re-evaluations of md5)
+    val hashed = words.select(col(idCol), md5(col(wordCol)).as("hx"))
     val sums = (0 until 16).map { p =>
-      sum(when(substring(md5(col(wordCol)), p + 1, 1) >= "8", 1)
+      sum(when(substring(col("hx"), p + 1, 1) >= "8", 1)
         .otherwise(-1)).as(s"s$p")
     }
     val bits = (0 until 16).map(p =>
       when(col(s"s$p") > 0, "1").otherwise("0"))
-    words.groupBy(col(idCol))
+    hashed.groupBy(col(idCol))
       .agg(sums.head, sums.tail: _*)
       .select(col(idCol), concat(bits: _*).as("simhash"))
   }
