@@ -73,6 +73,39 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Near-dup cluster resolution: connected components over the candidate
+    * pair graph by iterative min-label propagation (the standard
+    * large-graph CC shape on DataFrames: each round is one shuffle join;
+    * rounds ≈ graph diameter, which for near-dup clusters is tiny).
+    * Returns (id, cluster) where cluster = min doc id reachable. */
+  def resolveClusters(pairs: DataFrame, maxRounds: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a_id"), col("b_id"))
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .cache()
+    var labels = edges.select(col("a_id").as("id"))
+      .union(edges.select(col("b_id").as("id"))).distinct()
+      .withColumn("cluster", col("id"))
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val propagated = edges
+        .join(labels, edges("b_id") === labels("id"))
+        .groupBy(col("a_id").as("nid"))
+        .agg(min(col("cluster")).as("ncluster"))
+      val next = labels.join(propagated, labels("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("ncluster"), col("cluster")))
+            .as("cluster"))
+        .cache()
+      val changes = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      converged = changes == 0
+      round += 1
+    }
+    labels
+  }
+
   /** 16-bit SimHash from md5 hex digits: bit p set iff the sum over words
     * of ±1 (hex digit p of md5(word) ≥ '8') is positive. */
   def simhash(words: DataFrame, idCol: String, wordCol: String): DataFrame = {

@@ -64,6 +64,21 @@ object ExtQueries {
         .filter(col("jaccard") >= 0.1)
     }),
 
+    // Near-dup cluster resolution: connected components (iterative
+    // min-label propagation) over the MinHash-LSH candidate pairs.
+    "d06_neardup_clusters" -> ((s, d) => {
+      val docs = documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val shingled = docs.select(col("doc_id"),
+        explode(TextAnalysis.wordShingles(col("text"), 3)).as("shingle"))
+      val sigs = Dedup.minhashSignatures(shingled, "doc_id", 8)
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.lshBands(sigs, "doc_id", 8, 2), "doc_id")
+      Dedup.resolveClusters(pairs)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // Embedding near-dup: label-blocked pairwise cosine, global top-20.
     "d05_embedding_neardup" -> ((s, d) => {
       Similarity.blockedPairs(embeddings(s, d), "vec_id", "embedding", "label")
@@ -211,6 +226,46 @@ object ExtQueries {
          JOIN sizes na ON na.doc_id = a_id
          JOIN sizes nb ON nb.doc_id = b_id
          WHERE round(inter / (na.n + nb.n - inter), 4) >= 0.1""",
+    "d06_neardup_clusters" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         ), sh AS (
+           SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+             THEN list_transform(range(1, len(ws)-1),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+             ELSE [text] END) AS shingle
+           FROM w JOIN documents USING (doc_id)
+         ), hh AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h32
+           FROM sh
+         ), mh AS (
+           SELECT doc_id, seed,
+             min(((2*seed+1) * h32 + (seed*12345+7)) % 4294967291) AS mh
+           FROM hh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
+           GROUP BY doc_id, seed
+         ), bands AS (
+           SELECT doc_id, seed // 2 AS band,
+             string_agg(lpad(CAST(mh AS VARCHAR), 10, '0'), '' ORDER BY seed) AS bkey
+           FROM mh GROUP BY doc_id, seed // 2
+         ), cand AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM bands a
+           JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         ), edges AS (
+           SELECT a_id AS a, b_id AS b FROM cand
+           UNION ALL SELECT b_id, a_id FROM cand
+         ), nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach(id, lab) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id
+         )
+         SELECT cluster, COUNT(*) AS n_docs FROM (
+           SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id) t
+         GROUP BY cluster""",
     "d05_embedding_neardup" -> {
       val dotAB = dotExpr.format("a", "b")
       val dotAA = dotExpr.format("a", "a")
