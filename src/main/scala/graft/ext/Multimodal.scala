@@ -60,6 +60,55 @@ object Multimodal {
     f
   }
 
+  /** Deterministic fake "resize": in production the codec decodes, scales
+    * to w×h and re-encodes (??? boundary — codec not in this container);
+    * the stub emits a w·h-byte payload sampled stride-wise from the input
+    * so tests can assert shape + determinism. */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    if (payload.nonEmpty) {
+      var i = 0
+      while (i < out.length) {
+        out(i) = payload((i.toLong * payload.length / out.length).toInt)
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Deterministic fake "frame sampling": production decodes video and
+    * samples n frames; the stub cuts the payload into n equal byte spans.
+    * The Spark-side shape (one input row → n frame rows, partition
+    * preserved) is the real contract. */
+  case class Frame(media_id: Long, frame_no: Int, frame: Array[Byte])
+
+  def sampleFrames(media: DataFrame, n: Int): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val span = math.max(1, payload.length / n)
+          (0 until n).iterator.map { k =>
+            val from = math.min(k * span, payload.length)
+            val until = math.min((k + 1) * span, payload.length)
+            Frame(id, k, java.util.Arrays.copyOfRange(payload, from, until))
+          }
+        }
+      }
+  }
+
+  /** Resize as a partition-preserving Dataset op. */
+  def resizeAll(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, resizeStub(p, w, h)) })
+      .toDF("media_id", "payload_resized")
+  }
+
   /** mapPartitions decode: one "codec" per partition, streaming rows —
     * the real-shape plumbing for binary decode at scale. */
   def extractFeatures(media: DataFrame): Dataset[MediaFeature] = {
