@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ext.Skew
+
+/** Scale machinery: salted aggregation equivalence and bucketed
+  * (shuffle-free) co-located joins. */
+class ScaleMachinerySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("salted two-phase aggregate ≡ direct aggregate (incl. hot key)") {
+    import spark.implicits._
+    // 90% of rows on one hot key
+    val rows = (1 to 10000).map(i =>
+      (if (i % 10 == 0) s"key${i % 7}" else "HOT", i.toDouble))
+    val df = rows.toDF("k", "v")
+    val direct = df.groupBy($"k")
+      .agg(sum($"v").as("sum_v"), count(lit(1)).as("n_rows"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    val salted = Skew.saltedSumCount(df, "k", "v", salts = 16)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    assert(salted === direct)
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    val s = spark
+    import s.implicits._
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val o = Tables.orders(s, "/root/testdata/sf0.001")
+      val l = Tables.lineitem(s, "/root/testdata/sf0.001")
+      o.write.mode("overwrite")
+        .option("path", s"$wh/orders_b").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("orders_b")
+      l.write.mode("overwrite")
+        .option("path", s"$wh/lineitem_b").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("lineitem_b")
+      val joined = s.table("orders_b")
+        .join(s.table("lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located: the sort-merge join reads bucketed files directly —
+      // no ShuffleExchange on either side
+      assert(plan.contains("SortMergeJoin"), plan.take(600))
+      assert(!plan.contains("Exchange"), plan.take(1200))
+      assert(joined.count() > 0)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      s.sql("DROP TABLE IF EXISTS orders_b")
+      s.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}
