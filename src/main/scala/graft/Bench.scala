@@ -13,6 +13,11 @@ object Bench {
       .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // single-host bench: compression and locality wait are pure overhead
+      // for KB-scale shuffle blocks (leave ON for real clusters)
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.locality.wait", "0")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -83,15 +83,22 @@ object Dedup {
     // re-embeds the whole upstream pipeline per iteration (measured 631
     // exchanges for 5 rounds); on a cluster use checkpoint() to reliable
     // storage for fault tolerance instead.
-    val edges = pairs.select(col("a_id"), col("b_id"))
-      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    // checkpoint the (expensive) pair pipeline ONCE before fanning it out
+    // into the symmetric edge set — a union of two branches over the raw
+    // plan would materialize the upstream twice
+    val p = pairs.select(col("a_id"), col("b_id")).coalesce(8)
       .localCheckpoint(true)
-    var labels = edges.select(col("a_id").as("id"))
-      .union(edges.select(col("b_id").as("id"))).distinct()
+    val edges = p.union(p.select(col("b_id").as("a_id"),
+      col("a_id").as("b_id")))
+    var labels = edges.select(col("a_id").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
     var converged = false
     var round = 0
+    // labels only ever decrease, so an unchanged sum(cluster) is an exact
+    // fixpoint witness — one cheap agg per round (carried across rounds)
+    // instead of a change-count join
+    var prevSum = labels.agg(sum(col("cluster"))).head().getLong(0)
     while (!converged && round < maxRounds) {
       val propagated = edges
         .join(labels, edges("b_id") === labels("id"))
@@ -102,10 +109,10 @@ object Dedup {
           least(col("cluster"), coalesce(col("ncluster"), col("cluster")))
             .as("cluster"))
         .localCheckpoint(true)
-      val changes = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).count()
+      val newSum = next.agg(sum(col("cluster"))).head().getLong(0)
       labels = next
-      converged = changes == 0
+      converged = newSum == prevSum
+      prevSum = newSum
       round += 1
     }
     labels
