@@ -41,6 +41,20 @@ object EventsQueries {
           count(lit(1)).as("n_events"))
     }),
 
+    // Built-in session_window (30-min inactivity gap): the declarative
+    // form of e02's gaps-and-islands; streaming-ready with a watermark.
+    "e04_session_window" -> ((s, d) => {
+      events(s, d)
+        .withColumn("tsec", expr("timestamp_seconds(ts div 1000000000)"))
+        .groupBy(session_window(col("tsec"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .select(unix_timestamp(col("session_window.start"))
+          .as("session_start"), col("user_id"), col("n_events"),
+          col("sum_value"))
+    }),
+
     // Semi-structured JSON extraction from the props payload.
     "e03_json_extract" -> ((s, d) => {
       events(s, d)
@@ -73,6 +87,23 @@ object EventsQueries {
              THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
            COUNT(*) AS n_events
          FROM x GROUP BY user_id""",
+    "e04_session_window" ->
+      """WITH x AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+             event_id, value
+           FROM events
+         ), y AS (
+           SELECT *, CASE WHEN lag(tsec) OVER w IS NULL
+               OR tsec - lag(tsec) OVER w >= 1800 THEN 1 ELSE 0 END AS new_s
+           FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
+         ), z AS (
+           SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+             ORDER BY tsec, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM y
+         )
+         SELECT MIN(tsec) AS session_start, user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM z GROUP BY user_id, sid""",
     "e03_json_extract" ->
       """SELECT event_type,
          CAST(SUM(k) AS BIGINT) AS sum_k,

@@ -56,7 +56,21 @@ object XmlQueries {
     // SURVEY §2.7 / §7.2-4: per-site totals ⋈ broadcast topology (LEFT).
     "x05_enriched_counts" -> ((s, _) =>
       DetectorCounts.enrichWithTopology(
-        DetectorCounts.siteTotals(detectorRecords(s)), topologySites(s)))
+        DetectorCounts.siteTotals(detectorRecords(s)), topologySites(s))),
+
+    // S1/S2 in the gate: the same payload routed through the custom DSv2
+    // `transis` source (NUL framing at the source boundary) instead of the
+    // split/explode path — must produce identical records to x01.
+    "x06_source_roundtrip" -> ((s, _) => {
+      val f = java.nio.file.Files.createTempFile("graft-x06", ".payload")
+      java.nio.file.Files.write(f, streamPayload.getBytes("UTF-8"))
+      val raw = s.read.format("transis").option("path", f.toString).load()
+        .withColumnRenamed("value", "fragment")
+      val parsed = TransisXml.parse(
+        raw.select(col("fragment")), Schemas.transisResponse)
+      DetectorCounts.explodedCounts(
+        DetectorCounts.toRecords(TransisXml.detectorCountDocs(parsed)))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -90,6 +104,17 @@ object XmlQueries {
            ('2087', CAST(1570081680 AS BIGINT), CAST(3 AS BIGINT), 'TR-A'),
            ('8',    CAST(1570081680 AS BIGINT), CAST(7 AS BIGINT), 'TR-B')
          ) AS t(siteId, collectionendtimestamp_plus_3_mins, total_count,
-                topo_region)"""
+                topo_region)""",
+    "x06_source_roundtrip" ->
+      """SELECT * FROM (VALUES
+           (300, 'ROZ', '2087', CAST(1570081380 AS BIGINT), '21', '5'),
+           (300, 'ROZ', '2087', CAST(1570081380 AS BIGINT), '20', '6'),
+           (300, 'ROZ', '2087', CAST(1570081380 AS BIGINT), '18', '12'),
+           (300, 'ROZ', '2087', CAST(1570081380 AS BIGINT), '6', '1'),
+           (300, 'ROZ', '2087', CAST(1570081680 AS BIGINT), '1', '0'),
+           (300, 'ROZ', '2087', CAST(1570081680 AS BIGINT), '2', '3'),
+           (300, 'SYD', '8',    CAST(1570081680 AS BIGINT), '5', '7')
+         ) AS t(collectionIntervalSecs, region, siteId,
+                collectionendtimestamp_plus_3_mins, did, cnt)"""
   )
 }
