@@ -257,6 +257,35 @@ object RelationalQueries {
           round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
     }),
 
+    // HAVING: post-aggregation predicate.
+    "q24_having_hot_parts" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .filter(col("sum_qty") > 150.0)
+    }),
+
+    // NULL handling: nullif/coalesce round-trips and null-aware counts.
+    "q25_null_handling" -> ((s, d) => {
+      lineitem(s, d)
+        .select(col("l_returnflag"),
+          nullif(col("l_discount"), lit(0.0)).as("disc_n"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(col("disc_n")).as("n_discounted"),
+          count(lit(1)).as("n_total"),
+          dsum(coalesce(col("disc_n"), lit(-1.0))).as("sum_with_sentinel"))
+    }),
+
+    // Regex group extraction.
+    "q26_regexp_extract" -> ((s, d) => {
+      part(s, d)
+        .select(col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"))
+        .groupBy(col("last_word"))
+        .agg(count(lit(1)).as("n_parts"))
+    }),
+
     // EXCEPT (distinct set difference): customers active in 1995 but
     // not in 1996.
     "q23_churned_1996" -> ((s, d) => {
@@ -400,6 +429,22 @@ object RelationalQueries {
          round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
          round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
          FROM lineitem GROUP BY l_returnflag""",
+    "q24_having_hot_parts" ->
+      """SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS n
+         FROM lineitem GROUP BY l_partkey
+         HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150.0""",
+    "q25_null_handling" ->
+      """SELECT l_returnflag,
+         COUNT(nullif(l_discount, 0.0)) AS n_discounted,
+         COUNT(*) AS n_total,
+         CAST(SUM(CAST(coalesce(nullif(l_discount, 0.0), -1.0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_with_sentinel
+         FROM lineitem GROUP BY l_returnflag""",
+    "q26_regexp_extract" ->
+      """SELECT regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+         COUNT(*) AS n_parts
+         FROM part GROUP BY 1""",
     "q23_churned_1996" ->
       """SELECT o_custkey FROM orders
          WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
