@@ -20,5 +20,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[DotProduct].getName, "dot_product"),
         (children: Seq[Expression]) =>
           DotProduct(children(0), children(1))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("hll_distinct"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.HyperLogLogAgg].getName, "hll_distinct"),
+        (children: Seq[Expression]) =>
+          graft.functions.HyperLogLogAgg(children.head)
+            .toAggregateExpression()))
   }
 }

@@ -139,6 +139,19 @@ object ExtQueries {
         md5(col("payload")).as("checksum"))
     }),
 
+    // HLL sketch (custom TypedImperativeAggregate): the estimate itself is
+    // approximate, so the gate checks the exact count plus the in-query
+    // accuracy envelope (deterministic: fixed hash seed).
+    "a01_hll_sketch" -> ((s, d) => {
+      import graft.functions.HyperLogLog.hll_distinct
+      documents(s, d)
+        .agg(countDistinct(col("text")).as("exact"),
+          hll_distinct(col("text")).as("est"))
+        .select(col("exact"),
+          (abs(col("est") - col("exact")) / col("exact") < 0.05)
+            .as("within_5pct"))
+    }),
+
     // mapPartitions decode/feature plumbing (deterministic stub codec).
     // Not SQL-expressible (opaque per-partition decode) → rows-only check.
     "m02_media_features" -> ((s, d) => {
@@ -368,6 +381,9 @@ object ExtQueries {
                       string_split(text, ' ')[i+3] || ' ' ||
                       string_split(text, ' ')[i+4])), 'min')
            ELSE md5(text) END AS fp
+         FROM documents""",
+    "a01_hll_sketch" ->
+      """SELECT COUNT(DISTINCT text) AS exact, TRUE AS within_5pct
          FROM documents""",
     "m01_multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
