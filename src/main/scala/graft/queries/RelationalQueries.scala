@@ -286,6 +286,22 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_parts"))
     }),
 
+    // SQL entry path: temp views + spark.sql CTE (same Catalyst plans as
+    // the DataFrame API — this exercises the parser surface).
+    "q27_sql_surface" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders_v")
+      customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql(
+        """WITH big AS (
+             SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+             FROM orders_v GROUP BY o_custkey)
+           SELECT c_mktsegment, COUNT(*) AS n_big_spenders
+           FROM customer_v JOIN big ON c_custkey = o_custkey
+           WHERE spend > 3000000
+           GROUP BY c_mktsegment""")
+    }),
+
     // EXCEPT (distinct set difference): customers active in 1995 but
     // not in 1996.
     "q23_churned_1996" -> ((s, d) => {
@@ -445,6 +461,15 @@ object RelationalQueries {
       """SELECT regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
          COUNT(*) AS n_parts
          FROM part GROUP BY 1""",
+    "q27_sql_surface" ->
+      """WITH big AS (
+           SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+           FROM orders GROUP BY o_custkey)
+         SELECT c_mktsegment, COUNT(*) AS n_big_spenders
+         FROM customer JOIN big ON c_custkey = o_custkey
+         WHERE spend > 3000000
+         GROUP BY c_mktsegment""",
     "q23_churned_1996" ->
       """SELECT o_custkey FROM orders
          WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
