@@ -94,7 +94,7 @@ object EventsQueries {
            FROM events
          ), y AS (
            SELECT *, CASE WHEN lag(tsec) OVER w IS NULL
-               OR tsec - lag(tsec) OVER w >= 1800 THEN 1 ELSE 0 END AS new_s
+               OR tsec - lag(tsec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
            FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
          ), z AS (
            SELECT *, SUM(new_s) OVER (PARTITION BY user_id
