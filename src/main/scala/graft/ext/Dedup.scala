@@ -63,15 +63,39 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs: docs sharing ≥1 LSH band. The join shuffles
-    * on (band, bkey) — linear in corpus size, never pairwise. */
-  def lshCandidatePairs(bands: DataFrame, idCol: String): DataFrame = {
-    val a = bands.select(col(idCol).as("a_id"), col("band"), col("bkey"))
-    val b = bands.select(col(idCol).as("b_id"), col("band"), col("bkey"))
+    * on (band, bkey) — linear in corpus size, never pairwise.
+    *
+    * `maxBucket` caps bucket fan-out: a band key shared by B docs emits
+    * B·(B−1)/2 candidate rows, so one boilerplate mega-bucket (every
+    * page carrying the same legal footer) turns the linear shape
+    * quadratic. Buckets larger than the cap are dropped entirely —
+    * members that near-dup for a *content* reason still pair through
+    * their other, non-degenerate bands. The bucket count is one window
+    * over the same (band, bkey) hash partitioning the join needs, so
+    * the cap adds no extra shuffle. Use [[oversizedBuckets]] to monitor
+    * what a given cap drops. */
+  def lshCandidatePairs(bands: DataFrame, idCol: String,
+                        maxBucket: Int = 256): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bkey"))
+    val bounded = bands
+      .withColumn("_bn", count(lit(1)).over(w))
+      .filter(col("_bn") <= maxBucket)
+      .drop("_bn")
+    val a = bounded.select(col(idCol).as("a_id"), col("band"), col("bkey"))
+    val b = bounded.select(col(idCol).as("b_id"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_bands"))
   }
+
+  /** Monitoring companion to [[lshCandidatePairs]]: the (band, bkey)
+    * buckets a given cap would drop, with their sizes. */
+  def oversizedBuckets(bands: DataFrame, maxBucket: Int): DataFrame =
+    bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxBucket)
 
   /** Near-dup cluster resolution: connected components over the candidate
     * pair graph by iterative min-label propagation (the standard
@@ -85,9 +109,10 @@ object Dedup {
     // storage for fault tolerance instead.
     // checkpoint the (expensive) pair pipeline ONCE before fanning it out
     // into the symmetric edge set — a union of two branches over the raw
-    // plan would materialize the upstream twice
-    val p = pairs.select(col("a_id"), col("b_id")).coalesce(8)
-      .localCheckpoint(true)
+    // plan would materialize the upstream twice. Partitioning follows the
+    // input (AQE coalesces small shuffles); a fixed partition count here
+    // would serialize 10⁹-edge graphs onto a handful of tasks.
+    val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
     val edges = p.union(p.select(col("b_id").as("a_id"),
       col("a_id").as("b_id")))
     var labels = edges.select(col("a_id").as("id")).distinct()

@@ -20,8 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic salt ∈ [0, salts) derived from stable row content. */
-  def salt(c: Column, salts: Int): Column = pmod(hash(c), lit(salts))
+  /** Random salt ∈ [0, salts). Deliberately NOT derived from any data
+    * column: a hot key whose rows share one value (a million `count=0`
+    * rows on one region) would hash to a single bucket and the
+    * mitigation would silently do nothing. `rand(seed)` spreads every
+    * row regardless of content; the aggregate result is salt-invariant
+    * so reproducibility of the salt itself doesn't matter. */
+  def salt(salts: Int, seed: Long = 42L): Column =
+    floor(rand(seed) * salts).cast("int")
 
   /** Two-phase salted sum/count aggregate: returns
     * (key, sum_<valueCol>, n_rows) — exactly what the direct
@@ -29,7 +35,7 @@ object Skew {
   def saltedSumCount(df: DataFrame, keyCol: String, valueCol: String,
                      salts: Int = 16): DataFrame =
     df
-      .withColumn("_salt", salt(col(valueCol), salts))
+      .withColumn("_salt", salt(salts))
       .groupBy(col(keyCol), col("_salt"))
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pn"))
       .groupBy(col(keyCol))

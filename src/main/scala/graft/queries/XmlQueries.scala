@@ -62,7 +62,11 @@ object XmlQueries {
     // `transis` source (NUL framing at the source boundary) instead of the
     // split/explode path — must produce identical records to x01.
     "x06_source_roundtrip" -> ((s, _) => {
-      val f = java.nio.file.Files.createTempFile("graft-x06", ".payload")
+      // fixed name per JVM (not a fresh temp file per invocation — that
+      // leaked one file per gate run), cleaned up on exit
+      val f = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-x06.payload")
+      f.toFile.deleteOnExit()
       java.nio.file.Files.write(f, streamPayload.getBytes("UTF-8"))
       val raw = s.read.format("transis").option("path", f.toString).load()
         .withColumnRenamed("value", "fragment")

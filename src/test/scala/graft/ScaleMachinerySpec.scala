@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.ext.Skew
+import graft.ext.{Dedup, Skew}
 
 /** Scale machinery: salted aggregation equivalence and bucketed
   * (shuffle-free) co-located joins. */
@@ -23,6 +23,47 @@ class ScaleMachinerySpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
       .toSet
     assert(salted === direct)
+  }
+
+  test("salting spreads a hot key whose rows all share ONE value") {
+    import spark.implicits._
+    // round-1 regression: salt was derived from the value column, so a
+    // hot key with a constant value collapsed into a single salt bucket
+    val rows = (1 to 10000).map(i =>
+      if (i % 10 == 0) (s"key${i % 7}", i.toDouble) else ("HOT", 0.0))
+    val df = rows.toDF("k", "v")
+    // phase-1 groups actually formed for the hot key
+    val hotSaltGroups = df
+      .withColumn("_salt", Skew.salt(16))
+      .filter($"k" === "HOT")
+      .select($"_salt").distinct().count()
+    assert(hotSaltGroups > 1, s"hot key collapsed to $hotSaltGroups salt bucket(s)")
+    val direct = df.groupBy($"k")
+      .agg(sum($"v").as("sum_v"), count(lit(1)).as("n_rows"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    val salted = Skew.saltedSumCount(df, "k", "v", salts = 16)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    assert(salted === direct)
+  }
+
+  test("LSH mega-bucket cap bounds candidate pairs") {
+    import spark.implicits._
+    // one degenerate band key shared by 10k docs (the boilerplate-footer
+    // scenario) plus a small genuine bucket of 3 docs
+    val mega = (1L to 10000L).map(id => (id, 0, "BOILERPLATE"))
+    val small = Seq((20001L, 1, "REAL"), (20002L, 1, "REAL"), (20003L, 1, "REAL"))
+    val bands = (mega ++ small).toDF("doc_id", "band", "bkey")
+    val capped = Dedup.lshCandidatePairs(bands, "doc_id", maxBucket = 256)
+    // uncapped the mega bucket alone would emit ~50M pairs; capped, only
+    // the genuine bucket's 3 pairs survive
+    assert(capped.count() === 3L)
+    assert(Dedup.oversizedBuckets(bands, 256).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq === Seq(("BOILERPLATE", 10000L)))
+    // default cap passes small buckets through untouched
+    val justSmall = small.toDF("doc_id", "band", "bkey")
+    assert(Dedup.lshCandidatePairs(justSmall, "doc_id").count() === 3L)
   }
 
   test("bucketed tables join without an exchange (co-located join)") {
