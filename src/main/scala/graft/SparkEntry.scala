@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.RelationalQueries.queries ++
       graft.queries.XmlQueries.queries ++
       graft.queries.EventsQueries.queries ++
-      graft.queries.ExtQueries.queries
+      graft.queries.ExtQueries.queries ++
+      graft.queries.HistoryQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
     graft.queries.RelationalQueries.oracleSql ++
       graft.queries.XmlQueries.oracleSql ++
       graft.queries.EventsQueries.oracleSql ++
-      graft.queries.ExtQueries.oracleSql
+      graft.queries.ExtQueries.oracleSql ++
+      graft.queries.HistoryQueries.oracleSql
 }

@@ -89,4 +89,60 @@ object Schemas {
     StructField("_error", StringType),
     StructField("SiteLayouts", StructType(Seq(
       StructField("SiteLayout", ArrayType(siteLayout)))))))
+
+  /** S5 typed `getFromDate` message — StrategicMonitor / Motorway /
+    * SiteAlarm share one attribute shape; the element name is the type
+    * selector (reference `transis_consumer.py:175-201`; the reference
+    * models these as generic attribute bags, so this attribute set is
+    * the engine's canonical form). */
+  val monitorMessage: StructType = StructType(Seq(
+    StructField("_id", StringType),
+    StructField("_date", StringType),
+    StructField("_reg", StringType),
+    StructField("_value", StringType)))
+
+  /** Root response for a typed message collection, e.g.
+    * `monitorResponse("Motorway")` → `Motorways/Motorway`. */
+  def monitorResponse(elem: String): StructType = StructType(Seq(
+    StructField("_error", StringType),
+    StructField(elem + "s", StructType(Seq(
+      StructField(elem, ArrayType(monitorMessage)))))))
+
+  /** S6 TIRF incident — open records carry no closedDate (reference
+    * `transis_consumer.py:203-216`). */
+  val tirf: StructType = StructType(Seq(
+    StructField("_tirfId", StringType),
+    StructField("_status", StringType),
+    StructField("_siteId", StringType),
+    StructField("_openedDate", StringType),
+    StructField("_closedDate", StringType)))
+
+  val tirfResponse: StructType = StructType(Seq(
+    StructField("_error", StringType),
+    StructField("TIRFs", StructType(Seq(
+      StructField("TIRF", ArrayType(tirf)))))))
+
+  /** S7 VMS record (reference `transis_consumer.py:218-225`). */
+  val vms: StructType = StructType(Seq(
+    StructField("_vmsId", StringType),
+    StructField("_location", StringType),
+    StructField("_message", StringType),
+    StructField("_updatedDate", StringType)))
+
+  val vmsResponse: StructType = StructType(Seq(
+    StructField("_error", StringType),
+    StructField("VMSs", StructType(Seq(
+      StructField("VMS", ArrayType(vms)))))))
+
+  /** S8 topology-change delta (reference `transis_consumer.py:157-164`),
+    * the append-only CDC row. */
+  val topologyChange: StructType = StructType(Seq(
+    StructField("_sId", StringType),
+    StructField("_op", StringType),
+    StructField("_date", StringType)))
+
+  val topologyChangesResponse: StructType = StructType(Seq(
+    StructField("_error", StringType),
+    StructField("TopologyChanges", StructType(Seq(
+      StructField("TopologyChange", ArrayType(topologyChange)))))))
 }

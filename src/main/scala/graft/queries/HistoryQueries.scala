@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.fixtures.ReferenceFixtures._
+import graft.sources.TypedHistory
+
+/** S5–S8 typed history surface as gate queries: embedded typed fixture
+  * documents are parsed by the real XML pipeline, landed in the
+  * partitioned lake layout once per session, and read back through the
+  * named typed readers — so the gate exercises parse → layout →
+  * partition-pruned read end-to-end. Fixtures are constants, so the
+  * oracles are literal VALUES tables (same pattern as x01–x06).
+  */
+object HistoryQueries {
+
+  /** Build the typed lake once per session (parse + partitioned write),
+    * memoized so h01–h04 share it within a gate run. */
+  private val lakeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def lake(s: SparkSession): String =
+    lakeCache.computeIfAbsent(System.identityHashCode(s).toString, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-history").toString
+      val monitors = TypedHistory.monitorTypes.map {
+        case t @ "StrategicMonitor" =>
+          TypedHistory.monitorRecords(s, Seq(strategicMonitorDoc), t)
+        case t @ "Motorway" =>
+          TypedHistory.monitorRecords(s, Seq(motorwayDoc), t)
+        case t => TypedHistory.monitorRecords(s, Seq(siteAlarmDoc), t)
+      }.reduce(_.unionAll(_))
+      TypedHistory.writeMonitors(monitors, dir)
+      TypedHistory.writeTirf(TypedHistory.tirfRecords(s, Seq(tirfDoc)), dir)
+      TypedHistory.writeVms(TypedHistory.vmsRecords(s, Seq(vmsDoc)), dir)
+      TypedHistory.writeTopologyChanges(
+        TypedHistory.topologyChangeRecords(s, Seq(topologyChangesDoc)), dir)
+      dir
+    })
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S5: the three typed getFromDate shortcuts, date-bounded — each is a
+    // (doc_type, dt) partition-pruned read; union'd into one gated result.
+    "h01_monitor_from" -> ((s, _) => {
+      val d = lake(s)
+      TypedHistory.strategicMonitorFrom(s, d, "2019-10-20")
+        .unionAll(TypedHistory.motorwayFrom(s, d, "2019-10-20"))
+        .unionAll(TypedHistory.siteAlarmFrom(s, d, "2019-10-20"))
+    }),
+
+    // S6: open snapshot + closed-since-date, marked by query source.
+    "h02_tirf_open_closed" -> ((s, _) => {
+      val d = lake(s)
+      TypedHistory.openTirf(s, d).withColumn("qsrc", lit("open"))
+        .unionAll(TypedHistory.closedTirfFrom(s, d, "2019-10-20")
+          .withColumn("qsrc", lit("closed_since")))
+    }),
+
+    // S7: current VMS state — latest update per sign over landed snapshots.
+    "h03_vms_current" -> ((s, _) => TypedHistory.allVms(s, lake(s))),
+
+    // S8: append-only topology-change deltas since date.
+    "h04_topology_changes" -> ((s, _) =>
+      TypedHistory.topologyChangesFrom(s, lake(s), "2019-10-20"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "h01_monitor_from" ->
+      """SELECT * FROM (VALUES
+           ('StrategicMonitor', 'SM-2', '2019-10-21T09:30:00.000+11:00', 'SYD', '52'),
+           ('Motorway',         'MW-2', '2019-10-20T16:45:00.000+11:00', 'SYD', '95'),
+           ('SiteAlarm',        'SA-2', '2019-10-22T03:10:00.000+11:00', 'ROZ', 'HIGH')
+         ) AS t(doc_type, id, date, reg, value)""",
+    "h02_tirf_open_closed" ->
+      """SELECT * FROM (VALUES
+           ('T-1', 'OPEN',   '2087', '2019-10-18T07:00:00.000+11:00', CAST(NULL AS VARCHAR), 'open'),
+           ('T-2', 'OPEN',   '8',    '2019-10-21T10:00:00.000+11:00', CAST(NULL AS VARCHAR), 'open'),
+           ('T-4', 'CLOSED', '200',  '2019-10-16T07:00:00.000+11:00', '2019-10-21T11:00:00.000+11:00', 'closed_since')
+         ) AS t(tirfId, status, siteId, openedDate, closedDate, qsrc)""",
+    "h03_vms_current" ->
+      """SELECT * FROM (VALUES
+           ('V-1', 'M4 East',  'CRASH NEAR EXIT 5', '2019-10-21T07:15:00.000+11:00'),
+           ('V-2', 'M1 North', '40 KM ZONE',        '2019-10-20T05:00:00.000+11:00')
+         ) AS t(vmsId, location, message, updatedDate)""",
+    "h04_topology_changes" ->
+      """SELECT * FROM (VALUES
+           ('200', 'ADD',    '2019-10-20T09:00:00.000+11:00'),
+           ('8',   'REMOVE', '2019-10-21T14:00:00.000+11:00')
+         ) AS t(sId, op, date)"""
+  )
+}
