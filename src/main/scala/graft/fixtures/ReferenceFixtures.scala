@@ -78,6 +78,22 @@ object ReferenceFixtures {
   val epoch1543: Long = 1570081380L
   val epoch1548: Long = 1570081680L
 
+  /** A.10: detector-count document dated BEFORE the October fixtures —
+    * exists so a `dt >=` source pushdown visibly excludes a same-type
+    * document (x07). */
+  val oldDetectorDoc: String =
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      |<ns2:TransisResponse error="false" xmlns:ns2="http://model.transis.rta.nsw.gov.au/">
+      |  <DetectorCountMessages>
+      |    <ns2:DetectorCountMessage Sid="9999" date="2019-09-30T10:00:00+10:00" reg="OLD">
+      |      <Detectors>
+      |        <Detector Did="1" count="9"/>
+      |      </Detectors>
+      |    </ns2:DetectorCountMessage>
+      |  </DetectorCountMessages>
+      |</ns2:TransisResponse>
+      |""".stripMargin
+
   /** A.6: typed getFromDate documents (S5 — reference
     * `transis_consumer.py:175-201`). The reference carries these as generic
     * attribute bags (`transis_response_models.py:108-126`), so the attribute

@@ -74,6 +74,26 @@ object XmlQueries {
         raw.select(col("fragment")), Schemas.transisResponse)
       DetectorCounts.explodedCounts(
         DetectorCounts.toRecords(TransisXml.detectorCountDocs(parsed)))
+    }),
+
+    // S4 pushdown in the gate: type+date predicates on the DSv2 source
+    // columns are evaluated by the transport (types=/startDate= in live
+    // mode), so the September doc, the topology doc and the error doc
+    // never reach Spark — the surviving two docs must reproduce x01.
+    "x07_pushdown_read" -> ((s, _) => {
+      val f = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-x07.payload")
+      f.toFile.deleteOnExit()
+      java.nio.file.Files.write(f,
+        (streamPayload + oldDetectorDoc + NUL + topologyDoc + NUL)
+          .getBytes("UTF-8"))
+      val raw = s.read.format("transis").option("path", f.toString).load()
+        .filter(col("doc_type") === "DetectorCountMessages" &&
+          col("dt") >= "2019-10-01")
+        .select(col("value").as("fragment"))
+      val parsed = TransisXml.parse(raw, Schemas.transisResponse)
+      DetectorCounts.explodedCounts(
+        DetectorCounts.toRecords(TransisXml.detectorCountDocs(parsed)))
     })
   )
 
@@ -110,6 +130,17 @@ object XmlQueries {
          ) AS t(siteId, collectionendtimestamp_plus_3_mins, total_count,
                 topo_region)""",
     "x06_source_roundtrip" ->
+      """SELECT * FROM (VALUES
+           (300, 'ROZ', '2087', CAST(1570081380 AS BIGINT), '21', '5'),
+           (300, 'ROZ', '2087', CAST(1570081380 AS BIGINT), '20', '6'),
+           (300, 'ROZ', '2087', CAST(1570081380 AS BIGINT), '18', '12'),
+           (300, 'ROZ', '2087', CAST(1570081380 AS BIGINT), '6', '1'),
+           (300, 'ROZ', '2087', CAST(1570081680 AS BIGINT), '1', '0'),
+           (300, 'ROZ', '2087', CAST(1570081680 AS BIGINT), '2', '3'),
+           (300, 'SYD', '8',    CAST(1570081680 AS BIGINT), '5', '7')
+         ) AS t(collectionIntervalSecs, region, siteId,
+                collectionendtimestamp_plus_3_mins, did, cnt)""",
+    "x07_pushdown_read" ->
       """SELECT * FROM (VALUES
            (300, 'ROZ', '2087', CAST(1570081380 AS BIGINT), '21', '5'),
            (300, 'ROZ', '2087', CAST(1570081380 AS BIGINT), '20', '6'),

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.fixtures.ReferenceFixtures._
-import graft.sources.{PayloadTransport, ReconnectingReader}
+import graft.sources.{HttpPayloadTransport, PayloadTransport, ReconnectingReader}
 import graft.stream.Pipeline
 
 /** DSv2 `transis` source: framing at the source boundary, micro-batch
@@ -21,7 +21,7 @@ class TransisSourceSpec extends AnyFunSuite {
     writePayload(f, singleSiteDoc, multiSiteDoc, errorDoc)
     val df = spark.read.format("transis").option("path", f).load()
     assert(df.count() === 3)
-    assert(df.columns.toSeq === Seq("value"))
+    assert(df.columns.toSeq === Seq("value", "doc_type", "dt"))
   }
 
   test("micro-batch stream tracks document offsets incrementally") {
@@ -58,6 +58,132 @@ class TransisSourceSpec extends AnyFunSuite {
     val t = new FlakyTransport(Seq("a", "b", "c"), failEvery = 3)
     val got = new ReconnectingReader(t, maxReconnects = 3).read(0, 3).toList
     assert(got === List("a", "b", "c"))
+  }
+
+  /** Minimal in-process HTTP server: connection i is served by script(i)
+    * (the last behavior repeats). A behavior serves the payload bytes,
+    * optionally truncated, then closes — an EOF-terminated HTTP/1.0 body,
+    * which is how the live feed's dropped connections appear to clients.
+    * Records each request's Authorization header. */
+  class LoopbackServer(script: Seq[Array[Byte]]) {
+    private val server = new java.net.ServerSocket(0)
+    val authHeaders = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val requestLines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile private var running = true
+    def port: Int = server.getLocalPort
+    def url: String = s"http://127.0.0.1:$port/transis/pushservice"
+    private var served = 0
+    private val thread = new Thread(() => {
+      while (running) {
+        try {
+          val sock = server.accept()
+          val body = script(math.min(served, script.length - 1))
+          served += 1
+          val in = sock.getInputStream
+          // read request headers up to the blank line
+          val req = new StringBuilder
+          var prev = 0
+          var b = in.read()
+          while (b >= 0 && !req.endsWith("\r\n\r\n")) {
+            req.append(b.toChar); b = if (req.endsWith("\r\n\r\n")) -1 else in.read()
+          }
+          req.toString.linesIterator
+            .find(_.toLowerCase.startsWith("authorization:"))
+            .foreach(h => authHeaders.add(h.split(":", 2)(1).trim))
+          req.toString.linesIterator.take(1).foreach(requestLines.add)
+          val out = sock.getOutputStream
+          out.write("HTTP/1.0 200 OK\r\nContent-Type: text/xml\r\nConnection: close\r\n\r\n"
+            .getBytes("UTF-8"))
+          out.write(body)
+          out.flush()
+          sock.close()
+        } catch { case _: Throwable if !running => () case _: java.io.IOException => () }
+      }
+    })
+    thread.setDaemon(true)
+    thread.start()
+    def close(): Unit = { running = false; server.close() }
+  }
+
+  private def payloadBytes(docs: String*): Array[Byte] =
+    docs.map(_ + NUL).mkString.getBytes("UTF-8")
+
+  test("S1: HTTP transport reads the push stream over a real socket, with basic auth") {
+    val full = payloadBytes(singleSiteDoc, multiSiteDoc, errorDoc)
+    val srv = new LoopbackServer(Seq(full))
+    try {
+      val df = spark.read.format("transis")
+        .option("path", srv.url)
+        .option("username", "user").option("password", "pw")
+        .load()
+      assert(df.count() === 3)
+      // reference transis_consumer.py:49-68: authenticated GET
+      val expected = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("user:pw".getBytes("UTF-8"))
+      assert(srv.authHeaders.contains(expected), srv.authHeaders.toString)
+    } finally srv.close()
+  }
+
+  test("S2 over HTTP: connection cuts resume at the next offset; budget resets per document") {
+    val full = payloadBytes("doc-a", "doc-b", "doc-c")
+    // connection 1 dies mid-doc-b; connection 2 dies mid-doc-c;
+    // connection 3+ serves everything. With maxReconnects = 1 the stream
+    // only survives if the budget resets after each delivered document.
+    val srv = new LoopbackServer(Seq(
+      java.util.Arrays.copyOfRange(full, 0, 9),
+      java.util.Arrays.copyOfRange(full, 0, 16),
+      full))
+    try {
+      val t = new HttpPayloadTransport(srv.url, stallTimeoutMs = 5000)
+      val got = new ReconnectingReader(t, maxReconnects = 1).read(0, 3).toList
+      assert(got === List("doc-a", "doc-b", "doc-c"))
+    } finally srv.close()
+  }
+
+  test("S2 over HTTP: a permanently dead endpoint exhausts the budget") {
+    val srv = new LoopbackServer(Seq(payloadBytes("doc-a").take(2)))
+    try {
+      val t = new HttpPayloadTransport(srv.url, stallTimeoutMs = 5000)
+      val ex = intercept[java.io.IOException] {
+        new ReconnectingReader(t, maxReconnects = 2).read(0, 1).toList
+      }
+      assert(ex.getMessage.contains("after 2 reconnects"))
+    } finally srv.close()
+  }
+
+  test("S4 pushdown: doc_type/dt predicates vanish from the post-scan plan") {
+    import org.apache.spark.sql.functions.col
+    val f = Files.createTempFile("transis-pd", ".payload").toString
+    writePayload(f, singleSiteDoc, multiSiteDoc, topologyDoc, errorDoc)
+    val df = spark.read.format("transis").option("path", f).load()
+      .filter(col("doc_type") === "DetectorCountMessages" &&
+        col("dt") >= "2019-10-01")
+      .select("value")
+    // transport-evaluated: topology (wrong type) and error (no date) gone
+    assert(df.count() === 2)
+    val plan = df.queryExecution.executedPlan.toString
+    // no residual Filter NODE: both predicates were fully handled by the
+    // scan (the scan description itself advertises PushedDocFilters)
+    assert(!plan.contains("isnotnull"), plan.take(1000))
+    assert(!plan.matches("(?s).*\\bFilter \\(.*"), plan.take(1000))
+    assert(plan.contains("PushedDocFilters: DocFilters(Some(DetectorCountMessages),Some(2019-10-01))"),
+      plan.take(1000))
+  }
+
+  test("S4 pushdown over HTTP: predicates ride the URL as getFromDate params") {
+    import org.apache.spark.sql.functions.col
+    val full = payloadBytes(singleSiteDoc, topologyDoc)
+    val srv = new LoopbackServer(Seq(full))
+    try {
+      val n = spark.read.format("transis").option("path", srv.url).load()
+        .filter(col("doc_type") === "DetectorCountMessages" &&
+          col("dt") >= "2019-10-01")
+        .count()
+      assert(n === 1) // server ignores params; client-side recheck filters
+      val lines = srv.requestLines.toArray.mkString("\n")
+      assert(lines.contains("types=DetectorCountMessages"), lines)
+      assert(lines.contains("startDate=2019-10-01"), lines)
+    } finally srv.close()
   }
 
   test("S2: exceeding the reconnect budget fails the stream") {
