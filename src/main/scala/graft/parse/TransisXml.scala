@@ -49,6 +49,37 @@ object TransisXml {
       .select(element_at(col("doc.Errors.Error"), 1)
         .getField("_msg").as("errorMsg"))
 
+  /** P6 raw echo (reference `transis_response_models.py:327-328`
+    * `to_string`): the document exactly as framed off the wire. */
+  def rawEcho(framed: DataFrame, fragmentCol: String = "fragment"): DataFrame =
+    framed.select(col(fragmentCol).as("raw"))
+
+  /** P6 pretty-print (reference `transis_response_models.py:319-325`
+    * `to_file`: minidom `toprettyxml(indent="   ")`). Debug-only surface;
+    * the JAXP transformer is initialized once per partition (the same
+    * opaque-library boundary as the multimodal codecs), rows stream
+    * through it. Output is this engine's canonical indented form —
+    * deterministic, but not byte-identical to minidom's. */
+  def prettyPrint(framed: DataFrame, fragmentCol: String = "fragment",
+                  indent: Int = 3): DataFrame = {
+    val spark = framed.sparkSession
+    import spark.implicits._
+    framed.select(col(fragmentCol)).as[String].mapPartitions { docs =>
+      val t = javax.xml.transform.TransformerFactory.newInstance().newTransformer()
+      t.setOutputProperty(javax.xml.transform.OutputKeys.INDENT, "yes")
+      t.setOutputProperty("{http://xml.apache.org/xslt}indent-amount",
+        indent.toString)
+      docs.map { doc =>
+        val out = new java.io.StringWriter()
+        t.transform(
+          new javax.xml.transform.stream.StreamSource(
+            new java.io.StringReader(doc)),
+          new javax.xml.transform.stream.StreamResult(out))
+        out.toString
+      }
+    }.toDF("pretty")
+  }
+
   /** F2 + truthiness quirk: keep only documents that actually carry a
     * non-empty `DetectorCountMessages` collection. An empty-but-present
     * element is treated as absent, matching ElementTree falsiness

@@ -55,4 +55,25 @@ class TransisXmlSpec extends AnyFunSuite {
       assert(count === n, s"n=$n extraNuls=$extraNuls")
     }
   }
+
+  test("P6: raw echo is the identity on framed documents") {
+    import spark.implicits._
+    val framed = TransisXml.frame(Seq(streamPayload).toDF("value"))
+    val raw = TransisXml.rawEcho(framed).as[String].collect()
+    assert(raw.toSet === framed.as[String].collect().toSet)
+    assert(raw.exists(_.contains("DetectorCountMessage")))
+  }
+
+  test("P6: pretty-print is deterministic, indented, and content-preserving") {
+    import spark.implicits._
+    val framed = TransisXml.frame(Seq(singleSiteDoc + NUL).toDF("value"))
+    val p1 = TransisXml.prettyPrint(framed).as[String].collect().head
+    val p2 = TransisXml.prettyPrint(framed).as[String].collect().head
+    assert(p1 === p2) // deterministic
+    assert(p1.linesIterator.exists(_.startsWith("   <")), p1.take(300))
+    // content survives the round trip: same elements and attributes
+    for (tok <- Seq("DetectorCountMessage", "Sid=\"2087\"", "Did=\"21\"",
+      "count=\"5\"", "reg=\"ROZ\""))
+      assert(p1.contains(tok), s"missing $tok in:\n${p1.take(400)}")
+  }
 }
