@@ -143,6 +143,32 @@ object Dedup {
     labels
   }
 
+  /** Word n-gram Jaccard similarity pairs with a hot-gram guard: grams
+    * whose document frequency exceeds `maxDocFreq` are dropped BEFORE
+    * the pair join — a gram shared by F docs emits F² join rows, so
+    * ubiquitous boilerplate grams turn the linear shape quadratic while
+    * carrying ~zero similarity signal (the classic stop-gram cap).
+    * Jaccard is computed over the surviving gram sets on both sides.
+    * Input must be one row per distinct (id, gram). */
+  def ngramJaccardPairs(grams: DataFrame, idCol: String, gramCol: String,
+                        maxDocFreq: Int, minJaccard: Double): DataFrame = {
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col(gramCol))
+    val g = grams.withColumn("_df", count(lit(1)).over(wg))
+      .filter(col("_df") <= maxDocFreq).drop("_df")
+    val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = g.select(col(idCol).as("a_id"), col(gramCol).as("g"))
+    val b = g.select(col(idCol).as("b_id"), col(gramCol).as("g"))
+    val inter = a.join(b, Seq("g")).filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** 16-bit SimHash from md5 hex digits: bit p set iff the sum over words
     * of ±1 (hex digit p of md5(word) ≥ '8') is positive. */
   def simhash(words: DataFrame, idCol: String, wordCol: String): DataFrame = {

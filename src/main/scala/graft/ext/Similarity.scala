@@ -86,12 +86,68 @@ object Similarity {
       .select("query_id", "b_id", "rank", "cos_r")
   }
 
-  /** Blocked near-dup pairs: pairwise only within a blocking key (here a
-    * label/cluster column), ranked globally. */
-  def blockedPairs(vecs: DataFrame, idCol: String, embCol: String,
-                   blockCol: String): DataFrame = {
-    val v = withNorm(vecs.select(col(idCol), col(embCol), col(blockCol)),
+  /** IVF coarse quantization: assign every vector to its nearest centroid
+    * by inner-product argmax over a broadcast centroid set (deterministic
+    * tie-break on centroid id). Assignment is the standard O(N·K) IVF
+    * training-free pass: one broadcast-join + per-id reduction, no
+    * corpus×corpus work. */
+  def assignCells(vecs: DataFrame, idCol: String, embCol: String,
+                  centroids: DataFrame): DataFrame = {
+    val scored = vecs.select(col(idCol), col(embCol))
+      .crossJoin(broadcast(centroids))
+      .select(col(idCol), col(embCol), col("c_id"),
+        dot(col(embCol), col("c_emb")).as("c_score"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("c_score").desc, col("c_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col(embCol), col("c_id").as("cell"))
+  }
+
+  /** IVF-bucketed ANN top-k (nprobe = 1): corpus and queries are assigned
+    * to coarse cells, then each query searches only its own inverted
+    * list — an equi-join on the cell id, K× less pair work than brute
+    * force. Raise recall by enlarging the centroid set's spread or
+    * probing neighbor cells; `lshTopK` is the data-independent
+    * alternative when no centroid set exists. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              idCol: String, embCol: String, k: Int): DataFrame = {
+    val c = withNorm(assignCells(corpus, idCol, embCol, centroids),
       idCol, embCol)
+      .select(col(idCol).as("b_id"), col(embCol).as("b_emb"),
+        col("nrm").as("b_nrm"), col("cell"))
+    val q = withNorm(assignCells(queries, idCol, embCol, centroids),
+      idCol, embCol)
+      .select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("b_id"))
+      .select(col("query_id"), col("b_id"),
+        cosine(col("q_emb"), col("b_emb"), col("q_nrm"), col("b_nrm"))
+          .as("cos_r"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_r").desc, col("b_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "b_id", "rank", "cos_r")
+  }
+
+  /** Blocked near-dup pairs: pairwise only within a blocking key (here a
+    * label/cluster column), ranked globally.
+    *
+    * This is the SMALL-BLOCK tool: within-block work is O(block²), so one
+    * runaway block would dominate the job. `maxBlock` drops blocks above
+    * the cap (same guard as `Dedup.lshCandidatePairs`; the count rides
+    * the block-key partitioning the join needs anyway) — route corpora
+    * whose blocks can exceed it through `lshTopK`, the linear scale
+    * path. */
+  def blockedPairs(vecs: DataFrame, idCol: String, embCol: String,
+                   blockCol: String, maxBlock: Int = 1024): DataFrame = {
+    val wb = Window.partitionBy(col(blockCol))
+    val bounded = vecs.select(col(idCol), col(embCol), col(blockCol))
+      .withColumn("_bn", count(lit(1)).over(wb))
+      .filter(col("_bn") <= maxBlock)
+      .drop("_bn")
+    val v = withNorm(bounded, idCol, embCol)
       .select(col(idCol), col(embCol), col("nrm"), col(blockCol))
     val a = v.select(col(blockCol).as("blk"), col(idCol).as("a_id"),
       col(embCol).as("a_emb"), col("nrm").as("a_nrm"))

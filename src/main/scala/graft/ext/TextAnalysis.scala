@@ -82,6 +82,17 @@ object TextAnalysis {
       .otherwise(array(text))
   }
 
+  /** Within-document repetition: fraction of duplicated entries in a
+    * pre-projected gram array (Gopher-style repetitiveness signal: 0 =
+    * all grams distinct, → 1 as text degenerates into loops). Takes the
+    * ALREADY-projected gram column, not the text — expressions get no
+    * CSE, so referencing `wordShingles(text, n)` twice would rebuild
+    * the shingle array twice per row. */
+  def repetitionRatio(grams: Column): Column =
+    round(lit(1.0) -
+      size(array_distinct(grams)).cast("double") /
+        size(grams).cast("double"), 4)
+
   /** Document fingerprint: minimum md5 over word-5-gram shingles — the
     * min-sampling ("winnowing"-flavored) rolling-hash fingerprint
     * (SURVEY §7.4). Identical docs ⇒ identical fingerprints; near-identical

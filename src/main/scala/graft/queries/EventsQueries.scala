@@ -55,6 +55,21 @@ object EventsQueries {
           col("sum_value"))
     }),
 
+    // Streaming-dedup batch image: keep the FIRST event per
+    // (user_id, event_type) — the dropDuplicates-with-watermark shape
+    // (at-least-once delivery dedup), expressed as a deterministic
+    // arg-min so the oracle agrees exactly.
+    "e05_dedup_first" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      events(s, d) // ts = epoch-nanos long (see Tables.events)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("first_event"),
+          expr("ts div 1000000000").as("first_tsec"))
+    }),
+
     // Semi-structured JSON extraction from the props payload.
     "e03_json_extract" -> ((s, d) => {
       events(s, d)
@@ -104,6 +119,15 @@ object EventsQueries {
          SELECT MIN(tsec) AS session_start, user_id, COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM z GROUP BY user_id, sid""",
+    "e05_dedup_first" ->
+      """WITH r AS (
+           SELECT user_id, event_type, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+               ORDER BY ts ASC, event_id ASC) AS rn
+           FROM events)
+         SELECT user_id, event_type, event_id AS first_event,
+           CAST(floor(epoch(ts)) AS BIGINT) AS first_tsec
+         FROM r WHERE rn = 1""",
     "e03_json_extract" ->
       """SELECT event_type,
          CAST(SUM(k) AS BIGINT) AS sum_k,

@@ -58,24 +58,17 @@ object ExtQueries {
         count(lit(1)).over(Window.partitionBy(col("simhash"))))
     }),
 
-    // Word-bigram Jaccard similarity across a bounded pair set.
+    // Word-bigram Jaccard similarity across a bounded pair set, with the
+    // hot-gram guard (grams in >20 of the 40 docs are stop-grams and are
+    // dropped before the pair join — the same cap that keeps this linear
+    // at corpus scale).
     "d04_ngram_jaccard" -> ((s, d) => {
       val grams = documents(s, d).filter(col("doc_id") < 40)
         .select(col("doc_id"),
           explode(TextAnalysis.wordShingles(col("text"), 2)).as("g"))
         .distinct()
-      val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val a = grams.select(col("doc_id").as("a_id"), col("g"))
-      val b = grams.select(col("doc_id").as("b_id"), col("g"))
-      val inter = a.join(b, Seq("g")).filter(col("a_id") < col("b_id"))
-        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
-        .select(col("a_id"), col("b_id"),
-          round(col("inter") / (col("na") + col("nb") - col("inter")), 4)
-            .as("jaccard"))
-        .filter(col("jaccard") >= 0.1)
+      Dedup.ngramJaccardPairs(grams, "doc_id", "g",
+        maxDocFreq = 20, minJaccard = 0.1)
     }),
 
     // Near-dup cluster resolution: connected components (iterative
@@ -107,6 +100,16 @@ object ExtQueries {
         emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 8, 3)
     }),
 
+    // IVF-bucketed ANN top-3 (nprobe=1): deterministic centroid subset,
+    // inner-product coarse quantizer, per-cell inverted-list search.
+    "s03_ivf_topk" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") % 97 === 1)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+        centroids, "vec_id", "embedding", 3)
+    }),
+
     // Language-ID heuristic confusion matrix.
     "t01_lang_id" -> ((s, d) => {
       documents(s, d)
@@ -134,6 +137,38 @@ object ExtQueries {
     "t04_fingerprint" -> ((s, d) => {
       documents(s, d).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
+    // Within-document repetition ratio (duplicate word-bigram fraction) —
+    // gram array projected once, then measured (no expression-level CSE).
+    "t05_repetition" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.wordShingles(col("text"), 2).as("grams"))
+        .select(col("doc_id"),
+          TextAnalysis.repetitionRatio(col("grams")).as("rep_ratio"))
+    }),
+
+    // TF-IDF top-3 terms per document: term frequency × ln(N/df); df and
+    // N computed distributively (one shuffle on word, broadcast N).
+    "t06_tfidf_terms" -> ((s, d) => {
+      val docs = documents(s, d)
+      val words = docs.select(col("doc_id"),
+        explode(TextAnalysis.wsTokens(col("text"))).as("word"))
+      val tf = words.groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "word").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("word"),
+          round(col("tf") *
+            log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+            .as("tfidf"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("word").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("word"), col("rank"), col("tfidf"))
     }),
 
     // Multimodal columns: binary payload + typed metadata, metadata-only
@@ -239,11 +274,15 @@ object ExtQueries {
       """WITH w AS (
            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
            WHERE doc_id < 40
-         ), g AS (
+         ), g0 AS (
            SELECT DISTINCT doc_id, unnest(CASE WHEN len(ws) >= 2
              THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
              ELSE [text] END) AS g
            FROM w JOIN documents USING (doc_id)
+         ), g AS (
+           SELECT doc_id, g FROM (
+             SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM g0) t
+           WHERE df <= 20
          ), sizes AS (
            SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
          ), inter AS (
@@ -347,6 +386,36 @@ object ExtQueries {
                   ORDER BY cos_r DESC, b_id ASC) AS rank FROM s) t
           WHERE rank <= 3"""
     },
+    "s03_ivf_topk" -> {
+      val dotAC =
+        "list_sum(list_transform(range(1,65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(ct.c_emb[i] AS DOUBLE)))"
+      s"""WITH cent AS (
+            SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+            WHERE vec_id % 97 = 1
+          ), asn AS (
+            SELECT a.vec_id, ct.c_id,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY $dotAC DESC, ct.c_id ASC) AS rn
+            FROM embeddings a CROSS JOIN cent ct
+          ), cells AS (SELECT vec_id, c_id AS cell FROM asn WHERE rn = 1),
+          n AS (
+            SELECT e.vec_id, e.embedding, cl.cell,
+              sqrt(list_sum(list_transform(range(1,65),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS nrm
+            FROM embeddings e JOIN cells cl USING (vec_id)
+          ), q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+          s AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS b_id,
+              round(list_sum(list_transform(range(1,65),
+                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                / (q.nrm * c.nrm), 6) AS cos_r
+            FROM q JOIN n c ON q.cell = c.cell AND q.vec_id != c.vec_id
+          )
+          SELECT query_id, b_id, CAST(rank AS INTEGER) AS rank, cos_r
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos_r DESC, b_id ASC) AS rank FROM s) t
+          WHERE rank <= 3"""
+    },
     "t01_lang_id" -> {
       val markers = TextAnalysis.langMarkers
       val counts = markers.map { case (lang, m) =>
@@ -388,6 +457,40 @@ object ExtQueries {
          CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
          CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_tokens
          FROM documents""",
+    "t05_repetition" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         ), g AS (
+           SELECT doc_id, CASE WHEN len(ws) >= 2
+             THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+             ELSE [text] END AS grams
+           FROM w JOIN documents USING (doc_id)
+         )
+         SELECT doc_id,
+           round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+             / CAST(len(grams) AS DOUBLE), 4) AS rep_ratio
+         FROM g""",
+    "t06_tfidf_terms" ->
+      """WITH words AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents
+         ), tf AS (
+           SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2
+         ), dfreq AS (
+           SELECT word, COUNT(*) AS df FROM tf GROUP BY 1
+         ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT doc_id, word,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+               AS tfidf
+           FROM tf JOIN dfreq USING (word) CROSS JOIN n
+         ), r AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, word ASC) AS rank
+           FROM scored
+         )
+         SELECT doc_id, word, CAST(rank AS INTEGER) AS rank, tfidf
+         FROM r WHERE rank <= 3""",
     "t04_fingerprint" ->
       """SELECT doc_id,
          CASE WHEN len(string_split(text, ' ')) >= 5

@@ -66,6 +66,44 @@ class ScaleMachinerySpec extends AnyFunSuite {
     assert(Dedup.lshCandidatePairs(justSmall, "doc_id").count() === 3L)
   }
 
+  test("blockedPairs drops runaway blocks above the cap") {
+    import spark.implicits._
+    import graft.ext.Similarity
+    // one 100-member block (10k pairs uncapped) + one 3-member block
+    val rows = (1 to 100).map(i => (i.toLong, Array(1.0f, 0.0f), "BIG")) ++
+      Seq((201L, Array(1.0f, 0.0f), "ok"), (202L, Array(0.5f, 0.5f), "ok"),
+        (203L, Array(0.0f, 1.0f), "ok"))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val capped = Similarity.blockedPairs(df, "vec_id", "embedding", "label",
+      maxBlock = 50)
+    assert(capped.count() === 3) // only the ok-block's 3 pairs survive
+    // default cap leaves gate-scale blocks untouched
+    assert(Similarity.blockedPairs(df, "vec_id", "embedding", "label")
+      .count() === 100L * 99 / 2 + 3)
+  }
+
+  test("streaming dropDuplicates mirrors the e05 first-event dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    val deduped = input.toDF()
+      .toDF("event_id", "event_type", "user_id")
+      .dropDuplicates("user_id", "event_type")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("stream_dedup").start()
+    try {
+      input.addData((1L, "click", 7L), (2L, "click", 7L), (3L, "view", 7L))
+      q.processAllAvailable()
+      // redelivery of (7, click) in a later batch is dropped by state
+      input.addData((4L, "click", 7L), (5L, "click", 8L))
+      q.processAllAvailable()
+      val got = spark.table("stream_dedup")
+        .select("event_id").as[Long].collect().sorted.toSeq
+      assert(got === Seq(1L, 3L, 5L)) // first arrival per key only
+    } finally q.stop()
+  }
+
   test("bucketed tables join without an exchange (co-located join)") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
     val s = spark
