@@ -66,6 +66,9 @@ class TransisSourceSpec extends AnyFunSuite {
     * which is how the live feed's dropped connections appear to clients.
     * Records each request's Authorization header. */
   class LoopbackServer(script: Seq[Array[Byte]]) {
+    /** When set, every connection serves this body instead of the script —
+      * lets streaming tests grow the payload between micro-batches. */
+    @volatile var body: Array[Byte] = _
     private val server = new java.net.ServerSocket(0)
     val authHeaders = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val requestLines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -77,7 +80,9 @@ class TransisSourceSpec extends AnyFunSuite {
       while (running) {
         try {
           val sock = server.accept()
-          val body = script(math.min(served, script.length - 1))
+          val resp =
+            if (body != null) body
+            else script(math.min(served, script.length - 1))
           served += 1
           val in = sock.getInputStream
           // read request headers up to the blank line
@@ -94,7 +99,7 @@ class TransisSourceSpec extends AnyFunSuite {
           val out = sock.getOutputStream
           out.write("HTTP/1.0 200 OK\r\nContent-Type: text/xml\r\nConnection: close\r\n\r\n"
             .getBytes("UTF-8"))
-          out.write(body)
+          out.write(resp)
           out.flush()
           sock.close()
         } catch { case _: Throwable if !running => () case _: java.io.IOException => () }
@@ -148,6 +153,26 @@ class TransisSourceSpec extends AnyFunSuite {
         new ReconnectingReader(t, maxReconnects = 2).read(0, 1).toList
       }
       assert(ex.getMessage.contains("after 2 reconnects"))
+    } finally srv.close()
+  }
+
+  test("S1 streaming over HTTP: micro-batches advance with the live payload") {
+    val srv = new LoopbackServer(Seq.empty)
+    srv.body = payloadBytes(singleSiteDoc)
+    try {
+      val raw = spark.readStream.format("transis")
+        .option("path", srv.url).load()
+      val records = Pipeline.payloadToRecords(raw)
+      val q = records.writeStream.outputMode("append")
+        .format("memory").queryName("http_stream").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("http_stream").count() === 1)
+        // the feed grows by two documents — only the delta is read
+        srv.body = payloadBytes(singleSiteDoc, multiSiteDoc, emptyMessagesDoc)
+        q.processAllAvailable()
+        assert(spark.table("http_stream").count() === 3) // 1 + 2 sites
+      } finally q.stop()
     } finally srv.close()
   }
 
