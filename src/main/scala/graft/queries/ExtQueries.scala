@@ -214,6 +214,18 @@ object ExtQueries {
       Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"),
           round(element_at(col("feature"), 1), 3).as("f0"))
+    }),
+
+    // Frame-sampling plumbing (one input row → n frame rows inside
+    // mapPartitions): frame boundaries are pure arithmetic on the payload
+    // length, so the per-frame byte lengths ARE oracle-expressible —
+    // gating the row fan-out and span math end-to-end.
+    "m04_frame_sample" -> ((s, d) => {
+      val media = Multimodal.asMediaTable(documents(s, d), "doc_id", "text",
+        "source")
+      Multimodal.sampleFrames(media, 4).toDF()
+        .select(col("media_id"), col("frame_no"),
+          octet_length(col("frame")).as("frame_len"))
     })
   )
 
@@ -517,7 +529,18 @@ object ExtQueries {
          'text/plain;src=' || source AS mime,
          CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
          md5(text) AS checksum
-         FROM documents"""
+         FROM documents""",
+    "m04_frame_sample" ->
+      """WITH m AS (
+           SELECT CAST(doc_id AS BIGINT) AS media_id,
+             octet_length(encode(text)) AS len
+           FROM documents
+         ), k AS (SELECT unnest(range(4)) AS frame_no)
+         SELECT media_id, CAST(frame_no AS INTEGER) AS frame_no,
+           CAST(least((frame_no + 1) * greatest(1, len // 4), len)
+              - least(frame_no * greatest(1, len // 4), len) AS INTEGER)
+             AS frame_len
+         FROM m CROSS JOIN k"""
     // m03_media_feature_vec: float32 stub-codec output — intentionally no
     // oracle (rows-only check)
   )
