@@ -302,6 +302,39 @@ object RelationalQueries {
            GROUP BY c_mktsegment""")
     }),
 
+    // Value-RANGE window frame (vs q08's ROWS frame): per-customer
+    // trailing-90-day spend, frame bounded by the ORDER BY value.
+    "q28_range_frame" -> ((s, d) => {
+      val o = orders(s, d)
+        .withColumn("od", expr("unix_timestamp(o_orderdate) div 86400"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("od"))
+        .rangeBetween(-90, 0)
+      o.select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("spend_90d"))
+    }),
+
+    // posexplode: position-indexed unnest (LATERAL VIEW surface).
+    "q29_posexplode" -> ((s, d) => {
+      part(s, d)
+        .select(col("p_partkey"),
+          posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
+        .filter(col("pos") < 2)
+        .groupBy(col("pos"), col("word"))
+        .agg(count(lit(1)).as("n_parts"))
+    }),
+
+    // Distribution window functions: quartile bucket, percent_rank,
+    // cume_dist per nation (fully deterministic ordering incl. tiebreak).
+    "q30_distribution_windows" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      customer(s, d).select(col("c_nationkey"), col("c_custkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+    }),
+
     // EXCEPT (distinct set difference): customers active in 1995 but
     // not in 1996.
     "q23_churned_1996" -> ((s, d) => {
@@ -470,6 +503,32 @@ object RelationalQueries {
          FROM customer JOIN big ON c_custkey = o_custkey
          WHERE spend > 3000000
          GROUP BY c_mktsegment""",
+    "q28_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400
+           RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS spend_90d
+         FROM orders""",
+    "q29_posexplode" ->
+      """WITH w AS (
+           SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part
+         ), x AS (
+           SELECT p_partkey, CAST(i - 1 AS INTEGER) AS pos,
+             ws[CAST(i AS INTEGER)] AS word
+           FROM w, UNNEST(range(1, len(ws) + 1)) AS t(i)
+         )
+         SELECT pos, word, COUNT(*) AS n_parts
+         FROM x WHERE pos < 2 GROUP BY 1, 2""",
+    "q30_distribution_windows" ->
+      """SELECT c_nationkey, c_custkey,
+         CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+         round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+         round(CUME_DIST() OVER w, 6) AS cume
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey
+           ORDER BY c_acctbal ASC, c_custkey ASC)""",
     "q23_churned_1996" ->
       """SELECT o_custkey FROM orders
          WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
