@@ -104,6 +104,39 @@ class ScaleMachinerySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    val s = spark
+    // one key carries ~all left rows; thresholds lowered so the tiny
+    // test dataset still trips the skew detector
+    val conf = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.keys.map(k => k -> s.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val left = (1 to 40000)
+        .map(i => (if (i % 100 == 0) i.toLong % 7 else 0L, s"pad-$i"))
+        .toDF("k", "payload")
+      val right = (0L to 6L).map(k => (k, s"dim-$k")).toDF("k", "name")
+      val joined = left.join(right, "k")
+      // execute THIS query execution (count() would plan a separate one
+      // and the join's own AQE final plan would never materialize)
+      assert(joined.collect().length === 40000)
+      // AQE marks the rewritten sort-merge join as skew-handled
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(1500))
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without an exchange (co-located join)") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
     val s = spark
