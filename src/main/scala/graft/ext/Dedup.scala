@@ -75,13 +75,25 @@ object Dedup {
     * the cap adds no extra shuffle. Use [[oversizedBuckets]] to monitor
     * what a given cap drops. */
   def lshCandidatePairs(bands: DataFrame, idCol: String,
-                        maxBucket: Int = 256): DataFrame = {
+                        maxBucket: Int = 256,
+                        sampleOversized: Boolean = false): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bkey"))
-    val bounded = bands
-      .withColumn("_bn", count(lit(1)).over(w))
-      .filter(col("_bn") <= maxBucket)
-      .drop("_bn")
+    // sample mode: instead of dropping a mega-bucket outright, keep a
+    // deterministic hash-ordered sample of maxBucket members — bounded
+    // pair count (maxBucket²/2 worst case per bucket) with non-zero
+    // recall inside boilerplate clusters. Drop mode is the default
+    // because boilerplate-only matches are usually noise.
+    val bounded =
+      if (sampleOversized) {
+        val ws = w.orderBy(hash(col(idCol)).asc, col(idCol).asc)
+        bands.withColumn("_rn", row_number().over(ws))
+          .filter(col("_rn") <= maxBucket)
+          .drop("_rn")
+      } else bands
+        .withColumn("_bn", count(lit(1)).over(w))
+        .filter(col("_bn") <= maxBucket)
+        .drop("_bn")
     val a = bounded.select(col(idCol).as("a_id"), col("band"), col("bkey"))
     val b = bounded.select(col(idCol).as("b_id"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))
@@ -102,22 +114,28 @@ object Dedup {
     * large-graph CC shape on DataFrames: each round is one shuffle join;
     * rounds ≈ graph diameter, which for near-dup clusters is tiny).
     * Returns (id, cluster) where cluster = min doc id reachable. */
-  def resolveClusters(pairs: DataFrame, maxRounds: Int = 10): DataFrame = {
-    // localCheckpoint truncates lineage each round — without it the plan
+  /** @param reliable truncate iteration lineage with `checkpoint()` to
+    *   the session's checkpoint dir (survives executor loss — the right
+    *   mode on a real cluster; `SparkContext.setCheckpointDir` must be
+    *   set) instead of executor-memory `localCheckpoint` (faster, right
+    *   for local/bench runs). */
+  def resolveClusters(pairs: DataFrame, maxRounds: Int = 10,
+                      reliable: Boolean = false): DataFrame = {
+    // Checkpointing each round truncates lineage — without it the plan
     // re-embeds the whole upstream pipeline per iteration (measured 631
-    // exchanges for 5 rounds); on a cluster use checkpoint() to reliable
-    // storage for fault tolerance instead.
+    // exchanges for 5 rounds).
+    def checkpointed(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     // checkpoint the (expensive) pair pipeline ONCE before fanning it out
     // into the symmetric edge set — a union of two branches over the raw
     // plan would materialize the upstream twice. Partitioning follows the
     // input (AQE coalesces small shuffles); a fixed partition count here
     // would serialize 10⁹-edge graphs onto a handful of tasks.
-    val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    val p = checkpointed(pairs.select(col("a_id"), col("b_id")))
     val edges = p.union(p.select(col("b_id").as("a_id"),
       col("a_id").as("b_id")))
-    var labels = edges.select(col("a_id").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
+    var labels = checkpointed(edges.select(col("a_id").as("id")).distinct()
+      .withColumn("cluster", col("id")))
     var converged = false
     var round = 0
     // labels only ever decrease, so an unchanged sum(cluster) is an exact
@@ -129,11 +147,11 @@ object Dedup {
         .join(labels, edges("b_id") === labels("id"))
         .groupBy(col("a_id").as("nid"))
         .agg(min(col("cluster")).as("ncluster"))
-      val next = labels.join(propagated, labels("id") === col("nid"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("ncluster"), col("cluster")))
-            .as("cluster"))
-        .localCheckpoint(true)
+      val next = checkpointed(
+        labels.join(propagated, labels("id") === col("nid"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("ncluster"), col("cluster")))
+              .as("cluster")))
       val newSum = next.agg(sum(col("cluster"))).head().getLong(0)
       labels = next
       converged = newSum == prevSum

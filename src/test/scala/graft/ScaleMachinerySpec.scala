@@ -104,6 +104,32 @@ class ScaleMachinerySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("LSH sample mode keeps a bounded deterministic subset of mega-buckets") {
+    import spark.implicits._
+    val mega = (1L to 1000L).map(id => (id, 0, "BOILERPLATE"))
+    val bands = mega.toDF("doc_id", "band", "bkey")
+    val sampled = Dedup.lshCandidatePairs(bands, "doc_id",
+      maxBucket = 16, sampleOversized = true)
+    // 16-member sample → exactly C(16,2) pairs, same set on every run
+    assert(sampled.count() === 16L * 15 / 2)
+    assert(sampled.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Dedup.lshCandidatePairs(bands, "doc_id", 16, sampleOversized = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("resolveClusters reliable mode checkpoints to stable storage") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val clusters = Dedup.resolveClusters(pairs, reliable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // lineage actually went through the reliable checkpoint dir
+    assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     import spark.implicits._
     val s = spark

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.fixtures.ReferenceFixtures._
 import graft.sources.{HttpPayloadTransport, PayloadTransport, ReconnectingReader}
 import graft.stream.Pipeline
@@ -154,6 +155,33 @@ class TransisSourceSpec extends AnyFunSuite {
       }
       assert(ex.getMessage.contains("after 2 reconnects"))
     } finally srv.close()
+  }
+
+  test("checkpointed restart resumes at the committed document offset") {
+    val f = Files.createTempFile("transis-restart", ".payload").toString
+    val ckpt = Files.createTempDirectory("transis-ckpt").toString
+    val out = Files.createTempDirectory("transis-out").toString
+    def run(): Unit = {
+      val raw = spark.readStream.format("transis").option("path", f).load()
+      val q = Pipeline.payloadToRecords(raw).writeStream
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writePayload(f, singleSiteDoc)
+    run()
+    assert(spark.read.parquet(out).count() === 1)
+    // stream is DOWN while two documents arrive; the restarted query must
+    // read ONLY the delta past the committed offset (doc-index offsets +
+    // WAL): cumulative output = 1 + 2 site rows. A full re-read would
+    // duplicate the first-period record (4 rows, 2 copies of epoch1543).
+    writePayload(f, multiSiteDoc, emptyMessagesDoc)
+    run()
+    val rows = spark.read.parquet(out)
+    assert(rows.count() === 3)
+    assert(rows
+      .filter(col("collectionendtimestamp_plus_3_mins") === epoch1543)
+      .count() === 1) // committed doc exactly once — never replayed
   }
 
   test("S1 streaming over HTTP: micro-batches advance with the live payload") {
