@@ -93,6 +93,20 @@ object TextAnalysis {
       size(array_distinct(grams)).cast("double") /
         size(grams).cast("double"), 4)
 
+  /** Context-window chunking for training-data packing: overlapping
+    * token windows of `window` tokens stepping `window - overlap`, the
+    * standard fixed-size chunker. Pure array expressions (sequence +
+    * slice), zero shuffle — one input row explodes to ceil(n/step)
+    * chunk rows via the caller's posexplode. */
+  def tokenChunks(text: Column, window: Int, overlap: Int): Column = {
+    require(overlap < window, "overlap must be smaller than window")
+    val step = window - overlap
+    val toks = wsTokens(text)
+    transform(
+      sequence(lit(0), size(toks) - 1, lit(step)),
+      st => array_join(slice(toks, st + 1, lit(window)), " "))
+  }
+
   /** Document fingerprint: minimum md5 over word-5-gram shingles — the
     * min-sampling ("winnowing"-flavored) rolling-hash fingerprint
     * (SURVEY §7.4). Identical docs ⇒ identical fingerprints; near-identical

@@ -216,6 +216,31 @@ object ExtQueries {
           round(element_at(col("feature"), 1), 3).as("f0"))
     }),
 
+    // Context-window chunking: 8-token windows with 2-token overlap —
+    // the fixed-size chunker feeding a training pipeline. Zero shuffle;
+    // one row explodes to its chunk rows.
+    "t07_chunking" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokenChunks(col("text"), 8, 2))
+            .as(Seq("chunk_no", "chunk")))
+    }),
+
+    // Token-budget sharding: contiguous docs packed into ~2000-token
+    // shards per source (running pre-sum over a deterministic order —
+    // the sort-based packing shape; partition by source keeps the
+    // ordering window bounded at scale).
+    "t08_token_shards" -> ((s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      documents(s, d)
+        .select(col("source"), col("doc_id"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_tok"))
+        .withColumn("shard",
+          floor((sum(col("n_tok")).over(w) - col("n_tok"))
+            .cast("double") / 2000.0).cast("int"))
+    }),
+
     // Frame-sampling plumbing (one input row → n frame rows inside
     // mapPartitions): frame boundaries are pure arithmetic on the payload
     // length, so the per-frame byte lengths ARE oracle-expressible —
@@ -503,6 +528,29 @@ object ExtQueries {
          )
          SELECT doc_id, word, CAST(rank AS INTEGER) AS rank, tfidf
          FROM r WHERE rank <= 3""",
+    "t07_chunking" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         ), s AS (
+           SELECT doc_id, ws, unnest(range(0, len(ws), 6)) AS st FROM w
+         )
+         SELECT doc_id, CAST(st // 6 AS INTEGER) AS chunk_no,
+           array_to_string(
+             ws[CAST(st + 1 AS INTEGER) :
+                CAST(least(st + 8, len(ws)) AS INTEGER)], ' ') AS chunk
+         FROM s""",
+    "t08_token_shards" ->
+      """WITH t AS (
+           SELECT source, doc_id,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+               AS INTEGER) AS n_tok
+           FROM documents
+         )
+         SELECT source, doc_id, n_tok,
+           CAST(floor(CAST(SUM(n_tok) OVER (PARTITION BY source
+             ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok AS DOUBLE)
+             / 2000.0) AS INTEGER) AS shard
+         FROM t""",
     "t04_fingerprint" ->
       """SELECT doc_id,
          CASE WHEN len(string_split(text, ' ')) >= 5
