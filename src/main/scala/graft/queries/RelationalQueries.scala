@@ -335,6 +335,47 @@ object RelationalQueries {
         round(cume_dist().over(w), 6).as("cume"))
     }),
 
+    // TPC-H Q5 shape: local-supplier revenue per nation — the canonical
+    // 5-way join (two fact-fact shuffle joins + broadcast dims) with the
+    // customer-nation = supplier-nation co-location predicate.
+    "q31_local_supplier_volume" -> ((s, d) => {
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(24,6)")
+      lineitem(s, d)
+        .join(orders(s, d)
+          .filter(col("o_orderdate") >= lit("1995-01-01") &&
+            col("o_orderdate") < lit("1996-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(rev).cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    // quarter (fact joins + broadcast dim + deterministic top-n).
+    "q32_returned_item" -> ((s, d) => {
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(24,6)")
+      customer(s, d)
+        .join(orders(s, d)
+          .filter(col("o_orderdate") >= lit("1995-01-01") &&
+            col("o_orderdate") < lit("1995-04-01")),
+          col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(rev).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
     // EXCEPT (distinct set difference): customers active in 1995 but
     // not in 1996.
     "q23_churned_1996" -> ((s, d) => {
@@ -529,6 +570,31 @@ object RelationalQueries {
          FROM customer
          WINDOW w AS (PARTITION BY c_nationkey
            ORDER BY c_acctbal ASC, c_custkey ASC)""",
+    "q31_local_supplier_volume" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+           AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+           AND o_orderdate >= TIMESTAMP '1995-01-01'
+           AND o_orderdate < TIMESTAMP '1996-01-01'
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+           AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "q32_returned_item" ->
+      """SELECT c_custkey, c_name, n_name,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+           AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+           AND o_orderdate >= TIMESTAMP '1995-01-01'
+           AND o_orderdate < TIMESTAMP '1995-04-01'
+         JOIN lineitem ON o_orderkey = l_orderkey AND l_returnflag = 'R'
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
     "q23_churned_1996" ->
       """SELECT o_custkey FROM orders
          WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
