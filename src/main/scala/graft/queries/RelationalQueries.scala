@@ -325,14 +325,25 @@ object RelationalQueries {
     }),
 
     // Distribution window functions: quartile bucket, percent_rank,
-    // cume_dist per nation (fully deterministic ordering incl. tiebreak).
+    // cume_dist per nation. Ordering is fully tie-broken, so rank ==
+    // row_number and the ratios are derived from exact integers on both
+    // sides — builtin percent_rank/cume_dist drift by a last ULP from
+    // DuckDB's at larger partitions, which survives 6-dp rounding on
+    // boundary values.
     "q30_distribution_windows" -> ((s, d) => {
       val w = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      val wp = Window.partitionBy(col("c_nationkey"))
       customer(s, d).select(col("c_nationkey"), col("c_custkey"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"))
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(wp).as("n"))
+        // no rounding: IEEE division of identical integers is bitwise
+        // identical across engines, while rounding half-boundary ratios
+        // (41/640 → …625) is not
+        .select(col("c_nationkey"), col("c_custkey"), col("quartile"),
+          ((col("rn") - 1).cast("double") / (col("n") - 1)).as("pct_rank"),
+          (col("rn").cast("double") / col("n")).as("cume"))
     }),
 
     // TPC-H Q5 shape: local-supplier revenue per nation — the canonical
@@ -565,11 +576,14 @@ object RelationalQueries {
     "q30_distribution_windows" ->
       """SELECT c_nationkey, c_custkey,
          CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
-         round(PERCENT_RANK() OVER w, 6) AS pct_rank,
-         round(CUME_DIST() OVER w, 6) AS cume
+         CAST(ROW_NUMBER() OVER w - 1 AS DOUBLE)
+           / (COUNT(*) OVER wp - 1) AS pct_rank,
+         CAST(ROW_NUMBER() OVER w AS DOUBLE)
+           / COUNT(*) OVER wp AS cume
          FROM customer
          WINDOW w AS (PARTITION BY c_nationkey
-           ORDER BY c_acctbal ASC, c_custkey ASC)""",
+           ORDER BY c_acctbal ASC, c_custkey ASC),
+         wp AS (PARTITION BY c_nationkey)""",
     "q31_local_supplier_volume" ->
       """SELECT n_name,
          CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
