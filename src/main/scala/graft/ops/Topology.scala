@@ -35,8 +35,8 @@ object Topology {
     // promote child attrs (strip the `_` attribute prefix)
     val childFields = exploded.select(col("child.*")).columns
     exploded.select(
-      col("sId") +: childFields.map(f =>
-        col(s"child.$f").as(f.stripPrefix("_"))): _*)
+      (col("sId") +: childFields.toIndexedSeq.map(f =>
+        col(s"child.$f").as(f.stripPrefix("_")))): _*)
   }
 
   def arms(sitesDf: DataFrame): DataFrame = unnestChild(sitesDf, "Arms", "Arm")

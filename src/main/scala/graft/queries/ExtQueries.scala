@@ -23,7 +23,7 @@ object ExtQueries {
 
   private def candidatePairs(s: SparkSession, d: String): DataFrame =
     pairsCache.computeIfAbsent(
-      System.identityHashCode(s) + "|" + d,
+      s"${System.identityHashCode(s)}|$d",
       _ => {
         // the doc table is a single small parquet split; spread the
         // md5-heavy shingling across all cores (at 100 TB the scan itself

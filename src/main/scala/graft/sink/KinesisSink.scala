@@ -103,6 +103,6 @@ object KinesisSink {
   def toKinesisRecords(records: DataFrame): DataFrame =
     records.select(
       col("region").as("partitionKey"),
-      encode(to_json(struct(records.columns.map(col): _*)), "UTF-8")
+      encode(to_json(struct(records.columns.toIndexedSeq.map(col): _*)), "UTF-8")
         .as("data"))
 }
