@@ -79,6 +79,18 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // End-to-end dedup output: the keep-list. Non-keeper members of every
+    // near-dup cluster are anti-joined away — what a training pipeline
+    // actually feeds downstream.
+    "d07_dedup_keep" -> ((s, d) => {
+      val drop = Dedup.resolveClusters(candidatePairs(s, d))
+        .filter(col("cluster") =!= col("id"))
+        .select(col("id"))
+      val docs = documents(s, d)
+      docs.join(drop, docs("doc_id") === drop("id"), "left_anti")
+        .select(col("doc_id"))
+    }),
+
     // Embedding near-dup: label-blocked pairwise cosine, global top-20.
     "d05_embedding_neardup" -> ((s, d) => {
       Similarity.blockedPairs(embeddings(s, d), "vec_id", "embedding", "label")
@@ -214,6 +226,22 @@ object ExtQueries {
       Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"),
           round(element_at(col("feature"), 1), 3).as("f0"))
+    }),
+
+    // Composed corpus-cleaning gate: the t01/t02/t05 signals as one
+    // filter — language agreement, quality floor, repetition ceiling —
+    // summarized per language (the training-data cleaning pipeline).
+    "t09_clean_corpus" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.predictedLang(col("text")).as("pred_lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.wordShingles(col("text"), 2).as("grams"))
+        .withColumn("rep_ratio", TextAnalysis.repetitionRatio(col("grams")))
+        .filter(col("pred_lang") === col("lang") &&
+          col("quality") >= 0.65 && col("rep_ratio") <= 0.05)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"))
     }),
 
     // Context-window chunking: 8-token windows with 2-token overlap —
@@ -373,6 +401,48 @@ object ExtQueries {
          SELECT cluster, COUNT(*) AS n_docs FROM (
            SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id) t
          GROUP BY cluster""",
+    "d07_dedup_keep" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         ), sh AS (
+           SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+             THEN list_transform(range(1, len(ws)-1),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+             ELSE [text] END) AS shingle
+           FROM w JOIN documents USING (doc_id)
+         ), hh AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h32
+           FROM sh
+         ), mh AS (
+           SELECT doc_id, seed,
+             min(((2*seed+1) * h32 + (seed*12345+7)) % 4294967291) AS mh
+           FROM hh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
+           GROUP BY doc_id, seed
+         ), bands AS (
+           SELECT doc_id, seed // 2 AS band,
+             string_agg(lpad(CAST(mh AS VARCHAR), 10, '0'), '' ORDER BY seed) AS bkey
+           FROM mh GROUP BY doc_id, seed // 2
+         ), cand AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM bands a
+           JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         ), edges AS (
+           SELECT a_id AS a, b_id AS b FROM cand
+           UNION ALL SELECT b_id, a_id FROM cand
+         ), nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach(id, lab) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id
+         )
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (
+           SELECT id FROM (
+             SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id) t
+           WHERE cluster != id)""",
     "d05_embedding_neardup" -> {
       val dotAB = dotExpr.format("a", "b")
       val dotAA = dotExpr.format("a", "a")
@@ -528,6 +598,55 @@ object ExtQueries {
          )
          SELECT doc_id, word, CAST(rank AS INTEGER) AS rank, tfidf
          FROM r WHERE rank <= 3""",
+    "t09_clean_corpus" -> {
+      val markers = TextAnalysis.langMarkers
+      val counts = markers.map { case (lang, m) =>
+        val esc = m.replace("'", "''")
+        s"CAST((length(text) - length(replace(text, '$esc', ''))) / ${m.length} AS INT) AS cnt_$lang"
+      }.mkString(", ")
+      val gr = "greatest(" + markers.map(m => s"cnt_${m._1}").mkString(", ") + ")"
+      val cases = markers.map { case (lang, _) =>
+        s"WHEN cnt_$lang = g AND g > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH c AS (SELECT doc_id, lang, text, $counts FROM documents),
+          p AS (SELECT doc_id, lang, $gr AS g, * FROM c),
+          pl AS (SELECT doc_id, lang,
+            CASE $cases ELSE 'und' END AS pred_lang FROM p),
+          qc AS (
+            SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+              CAST(
+                CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS INT)
+                + CAST((length(text) - length(replace(text, ' a ', ''))) / 3 AS INT)
+                + CAST((length(text) - length(replace(text, ' of ', ''))) / 4 AS INT)
+                AS DOUBLE) AS stop_hits,
+              CAST(
+                CAST((length(text) - length(replace(text, '.', ''))) / 1 AS INT)
+                + CAST((length(text) - length(replace(text, ',', ''))) / 1 AS INT)
+                AS DOUBLE) AS punct
+            FROM documents),
+          qq AS (
+            SELECT doc_id, round(
+              0.4 * least(1.0, stop_hits / n_tok * 10.0) +
+              0.3 * least(1.0, n_tok / 100.0) +
+              0.3 * (1.0 - least(1.0, punct / n_tok * 5.0)), 4) AS quality
+            FROM qc),
+          gw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          gg AS (
+            SELECT doc_id, CASE WHEN len(ws) >= 2
+              THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+              ELSE [text] END AS grams
+            FROM gw JOIN documents USING (doc_id)),
+          rr AS (
+            SELECT doc_id,
+              round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                / CAST(len(grams) AS DOUBLE), 4) AS rep_ratio
+            FROM gg)
+          SELECT lang, COUNT(*) AS n_kept
+          FROM pl JOIN qq USING (doc_id) JOIN rr USING (doc_id)
+          WHERE pred_lang = lang AND quality >= 0.65 AND rep_ratio <= 0.05
+          GROUP BY lang"""
+    },
     "t07_chunking" ->
       """WITH w AS (
            SELECT doc_id, string_split(text, ' ') AS ws FROM documents

@@ -130,6 +130,38 @@ class ScaleMachinerySpec extends AnyFunSuite {
     assert(new java.io.File(dir).listFiles().nonEmpty)
   }
 
+  test("bucketed ANN recall vs brute-force ground truth is quantified") {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", 3))
+    def lshRecall(bits: Int): Double = {
+      val l = pairs(Similarity.lshTopK(emb, queries,
+        "vec_id", "embedding", bits, 3))
+      (l & truth).size.toDouble / truth.size
+    }
+    // the tuning knob the docstring promises, measured: bucket bits must
+    // scale with log2(corpus / target cell size). At 500 vectors, 2 bits
+    // (~125/bucket) recalls ~0.47 of the true top-3; 8 bits (~2/bucket)
+    // collapses to ~0.03. Everything is deterministic, so the curve is
+    // exactly reproducible.
+    val r2 = lshRecall(2)
+    val r8 = lshRecall(8)
+    assert(r2 > r8, s"recall must fall as buckets shrink: $r2 vs $r8")
+    assert(r2 >= 0.4, s"2-bit LSH recall $r2")
+    val centroids = emb.filter(col("vec_id") % 97 === 1)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val ivf = pairs(Similarity.ivfTopK(emb, queries, centroids,
+      "vec_id", "embedding", 3))
+    val ivfRecall = (ivf & truth).size.toDouble / truth.size
+    assert(ivfRecall >= 0.25, s"IVF recall $ivfRecall")
+    info(f"recall@3 — lsh(2b): $r2%.2f lsh(8b): $r8%.2f ivf: $ivfRecall%.2f")
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     import spark.implicits._
     val s = spark
