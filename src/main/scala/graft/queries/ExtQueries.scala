@@ -37,6 +37,18 @@ object ExtQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
 
+  /** d06/d07 both need the resolved clusters; the CC rounds are driver-
+    * synchronized (one fixpoint check per round), so run them once per
+    * (session, dir) and persist the tiny (id, cluster) result. */
+  private val clustersCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def neardupClusters(s: SparkSession, d: String): DataFrame =
+    clustersCache.computeIfAbsent(
+      s"${System.identityHashCode(s)}|$d",
+      _ => Dedup.resolveClusters(candidatePairs(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup over a corpus with duplicates (docs ∪ docs): one
     // hash-shuffle on the 32-byte content key.
@@ -74,7 +86,7 @@ object ExtQueries {
     // Near-dup cluster resolution: connected components (iterative
     // min-label propagation) over the shared MinHash-LSH candidate pairs.
     "d06_neardup_clusters" -> ((s, d) => {
-      Dedup.resolveClusters(candidatePairs(s, d))
+      neardupClusters(s, d)
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n_docs"))
     }),
@@ -83,7 +95,7 @@ object ExtQueries {
     // near-dup cluster are anti-joined away — what a training pipeline
     // actually feeds downstream.
     "d07_dedup_keep" -> ((s, d) => {
-      val drop = Dedup.resolveClusters(candidatePairs(s, d))
+      val drop = neardupClusters(s, d)
         .filter(col("cluster") =!= col("id"))
         .select(col("id"))
       val docs = documents(s, d)
