@@ -47,6 +47,12 @@ object XmlQueries {
     // X6: phases double-unnest (phase → SGNos).
     "x03_topology_phases" -> ((s, _) => Topology.phases(topologySites(s))),
 
+    // X3/X4/X5: the remaining child unnests, oracle-gated like X2/X6.
+    "x08_topology_detectors" -> ((s, _) =>
+      Topology.detectors(topologySites(s))),
+    "x09_topology_streets" -> ((s, _) => Topology.streets(topologySites(s))),
+    "x10_topology_sgs" -> ((s, _) => Topology.sgs(topologySites(s))),
+
     // P4 side-output: error documents routed, not raised (file mode).
     "x04_error_docs" -> ((s, _) => {
       val framed = TransisXml.frame(rawStream(s))
@@ -122,6 +128,15 @@ object XmlQueries {
          ) AS t(sId, name, sgNo)""",
     "x04_error_docs" ->
       """SELECT 'Transis unavailable' AS errorMsg""",
+    "x08_topology_detectors" ->
+      """SELECT '100' AS sId, '11' AS Did, '0' AS count""",
+    "x09_topology_streets" ->
+      """SELECT '100' AS sId, '7' AS stId, 'Main St' AS name""",
+    "x10_topology_sgs" ->
+      """SELECT * FROM (VALUES
+           ('100', '1', 'vehicle'),
+           ('100', '2', 'pedestrian')
+         ) AS t(sId, sgId, type)""",
     "x05_enriched_counts" ->
       """SELECT * FROM (VALUES
            ('2087', CAST(1570081380 AS BIGINT), CAST(24 AS BIGINT), 'TR-A'),
