@@ -86,6 +86,12 @@ final case class GraftConsumer(spark: SparkSession,
   def dataFrom(docType: String, fromDate: String): DataFrame =
     TypedHistory.monitorFrom(spark, historyPath, docType, fromDate)
 
+  /** The reference's declared-but-unwired `getWithinDates` endpoint
+    * (`transis_consumer.py:21`), completed here. */
+  def dataWithin(docType: String, fromDate: String,
+                 toDate: String): DataFrame =
+    TypedHistory.monitorWithin(spark, historyPath, docType, fromDate, toDate)
+
   def strategicMonitorFrom(fromDate: String): DataFrame =
     TypedHistory.strategicMonitorFrom(spark, historyPath, fromDate)
 

@@ -47,6 +47,15 @@ object HistoryQueries {
         .unionAll(TypedHistory.siteAlarmFrom(s, d, "2019-10-20"))
     }),
 
+    // getWithinDates: both bounds prune partitions — picks exactly the
+    // 2019-10-20..21 records across types.
+    "h05_monitor_within" -> ((s, _) => {
+      val d = lake(s)
+      TypedHistory.monitorWithin(s, d, "Motorway", "2019-10-20", "2019-10-21")
+        .unionAll(TypedHistory.monitorWithin(s, d, "StrategicMonitor",
+          "2019-10-20", "2019-10-21"))
+    }),
+
     // S6: open snapshot + closed-since-date, marked by query source.
     "h02_tirf_open_closed" -> ((s, _) => {
       val d = lake(s)
@@ -69,6 +78,11 @@ object HistoryQueries {
            ('StrategicMonitor', 'SM-2', '2019-10-21T09:30:00.000+11:00', 'SYD', '52'),
            ('Motorway',         'MW-2', '2019-10-20T16:45:00.000+11:00', 'SYD', '95'),
            ('SiteAlarm',        'SA-2', '2019-10-22T03:10:00.000+11:00', 'ROZ', 'HIGH')
+         ) AS t(doc_type, id, date, reg, value)""",
+    "h05_monitor_within" ->
+      """SELECT * FROM (VALUES
+           ('Motorway', 'MW-2', '2019-10-20T16:45:00.000+11:00', 'SYD', '95'),
+           ('StrategicMonitor', 'SM-2', '2019-10-21T09:30:00.000+11:00', 'SYD', '52')
          ) AS t(doc_type, id, date, reg, value)""",
     "h02_tirf_open_closed" ->
       """SELECT * FROM (VALUES

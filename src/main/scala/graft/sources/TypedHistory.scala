@@ -112,6 +112,16 @@ object TypedHistory {
       .filter(col("doc_type") === docType && col("dt") >= fromDate)
       .select("doc_type", "id", "date", "reg", "value")
 
+  /** The reference's `getWithinDates` endpoint (`transis_consumer.py:21`
+    * — declared but never wired to a consumer method): both bounds are
+    * dt partition filters. */
+  def monitorWithin(spark: SparkSession, path: String, docType: String,
+                    fromDate: String, toDate: String): DataFrame =
+    spark.read.parquet(s"$path/monitor")
+      .filter(col("doc_type") === docType &&
+        col("dt") >= fromDate && col("dt") <= toDate)
+      .select("doc_type", "id", "date", "reg", "value")
+
   def strategicMonitorFrom(spark: SparkSession, path: String,
                            fromDate: String): DataFrame =
     monitorFrom(spark, path, "StrategicMonitor", fromDate)
