@@ -31,6 +31,11 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (0 until runs).map { _ =>
+        // Evict the cross-query memos (shared LSH pairs / cluster results)
+        // before every measured iteration so min-of-N times the actual
+        // pipeline, not a MEMORY_AND_DISK cache read. Gate/correctness
+        // runs keep the memos (there each query runs once, sharing work).
+        graft.queries.Memos.evictQueryMemos(spark)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
@@ -40,13 +45,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // stdout (bare, via run/outputStrategy := StdoutOutput) AND a file —
-    // the file survives any log-capture mangling of the console stream.
-    println(json)
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Per-query detail goes to the file only — the full JSON line is
+    // ~2.5 KB and the driver's tail capture truncates its head (rounds
+    // 1-2 postmortem: BENCH_r0{1,2}.json both "parsed": null).
     java.nio.file.Files.write(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    // Compact total-only line as the VERY LAST stdout line (after
+    // spark.stop() so no shutdown logging can trail it).
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
   }
 }

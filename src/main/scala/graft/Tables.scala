@@ -10,8 +10,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `.explain("formatted")` → `PushedFilters` / `ReadSchema`).
   */
 object Tables {
+  /** Memoized analyzed DataFrames per (session, path). `spark.read.parquet`
+    * lists files and reads parquet footers on every call; a 70-query gate
+    * run re-pays that per query. The DataFrame (an immutable logical plan)
+    * is safely shareable across queries in one session, so cache it.
+    * Entries are evicted by [[graft.queries.Memos]] when the session stops.
+    */
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relationCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}|$dir/$name.parquet",
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Drop cached relations belonging to `spark` (session teardown). */
+  def evict(spark: SparkSession): Unit = {
+    val prefix = s"${System.identityHashCode(spark)}|"
+    relationCache.keySet.removeIf(_.startsWith(prefix))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

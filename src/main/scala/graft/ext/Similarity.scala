@@ -88,19 +88,25 @@ object Similarity {
 
   /** IVF coarse quantization: assign every vector to its nearest centroid
     * by inner-product argmax over a broadcast centroid set (deterministic
-    * tie-break on centroid id). Assignment is the standard O(N·K) IVF
-    * training-free pass: one broadcast-join + per-id reduction, no
-    * corpus×corpus work. */
+    * tie-break on smallest centroid id). The broadcast crossJoin scores
+    * N·K rows map-side, then the argmax is a hash aggregate with
+    * map-side partial `max_by` — the shuffle carries N rows (one partial
+    * per id per partition), never the N·K scored rows. (Round-2 version
+    * used row_number over Window.partitionBy(id): a full shuffle+sort of
+    * all N·K scored rows before discarding K−1 of K — at 10⁹×256 that
+    * shuffle IS the job.) */
   def assignCells(vecs: DataFrame, idCol: String, embCol: String,
                   centroids: DataFrame): DataFrame = {
     val scored = vecs.select(col(idCol), col(embCol))
       .crossJoin(broadcast(centroids))
       .select(col(idCol), col(embCol), col("c_id"),
         dot(col(embCol), col("c_emb")).as("c_score"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("c_score").desc, col("c_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col(idCol), col(embCol), col("c_id").as("cell"))
+    // ordering key (c_score, -c_id) is unique per (id, centroid), so the
+    // argmax is deterministic: best score, ties to the smallest c_id
+    scored.groupBy(col(idCol))
+      .agg(first(col(embCol)).as(embCol),
+        max_by(col("c_id"), struct(col("c_score"), -col("c_id"))).as("cell"))
+      .select(col(idCol), col(embCol), col("cell"))
   }
 
   /** IVF-bucketed ANN top-k (nprobe = 1): corpus and queries are assigned

@@ -20,14 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Random salt ∈ [0, salts). Deliberately NOT derived from any data
-    * column: a hot key whose rows share one value (a million `count=0`
-    * rows on one region) would hash to a single bucket and the
-    * mitigation would silently do nothing. `rand(seed)` spreads every
-    * row regardless of content; the aggregate result is salt-invariant
-    * so reproducibility of the salt itself doesn't matter. */
+  /** Salt ∈ [0, salts) from stable row identity, NOT from `rand`: a
+    * nondeterministic salt feeding a shuffle means a fetch-failure map
+    * retry can re-assign rows to different buckets than already-fetched
+    * reducer outputs saw — double/zero-counting (the SPARK-23207 class
+    * of bug), precisely at the cluster scale this targets. Also NOT
+    * from data columns alone: a hot key's million identical rows would
+    * collapse to one bucket. `monotonically_increasing_id()` (partition
+    * id + row index) is distinct per row and recomputes identically as
+    * long as the input's partition contents/order are deterministic —
+    * true for file scans; checkpoint first if the input is downstream
+    * of a nondeterministic shuffle. */
   def salt(salts: Int, seed: Long = 42L): Column =
-    floor(rand(seed) * salts).cast("int")
+    pmod(hash(monotonically_increasing_id(), lit(seed)), lit(salts))
 
   /** Two-phase salted sum/count aggregate: returns
     * (key, sum_<valueCol>, n_rows) — exactly what the direct

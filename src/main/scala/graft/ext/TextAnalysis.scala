@@ -102,9 +102,13 @@ object TextAnalysis {
     require(overlap < window, "overlap must be smaller than window")
     val step = window - overlap
     val toks = wsTokens(text)
-    transform(
-      sequence(lit(0), size(toks) - 1, lit(step)),
+    // guard the sequence upper bound: for null text size(toks) is
+    // null/-1 and sequence(0, -2, step) throws at runtime, failing the
+    // whole job on one null document — null docs chunk to empty
+    val chunks = transform(
+      sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(step)),
       st => array_join(slice(toks, st + 1, lit(window)), " "))
+    when(text.isNull, array().cast("array<string>")).otherwise(chunks)
   }
 
   /** Document fingerprint: minimum md5 over word-5-gram shingles — the

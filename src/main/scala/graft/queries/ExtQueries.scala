@@ -25,6 +25,7 @@ object ExtQueries {
     pairsCache.computeIfAbsent(
       s"${System.identityHashCode(s)}|$d",
       _ => {
+        Memos.install(s)
         // the doc table is a single small parquet split; spread the
         // md5-heavy shingling across all cores (at 100 TB the scan itself
         // provides the parallelism and this repartition disappears)
@@ -48,6 +49,25 @@ object ExtQueries {
       s"${System.identityHashCode(s)}|$d",
       _ => Dedup.resolveClusters(candidatePairs(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Unpersist + drop the pair/cluster memos keyed to `s`. Safe to call
+    * with jobs in flight only if nothing still references the evicted
+    * frames (Bench evicts between iterations; [[Memos.install]] evicts
+    * at application end). */
+  private[queries] def evict(s: SparkSession): Unit = {
+    val prefix = s"${System.identityHashCode(s)}|"
+    Seq(pairsCache, clustersCache).foreach { cache =>
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.startsWith(prefix)) {
+          try e.getValue.unpersist(blocking = false)
+          catch { case _: Throwable => () } // context may already be down
+          it.remove()
+        }
+      }
+    }
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup over a corpus with duplicates (docs ∪ docs): one

@@ -21,6 +21,7 @@ object HistoryQueries {
 
   private def lake(s: SparkSession): String =
     lakeCache.computeIfAbsent(System.identityHashCode(s).toString, _ => {
+      Memos.install(s)
       val dir = java.nio.file.Files.createTempDirectory("graft-history").toString
       val monitors = TypedHistory.monitorTypes.map {
         case t @ "StrategicMonitor" =>
@@ -36,6 +37,19 @@ object HistoryQueries {
         TypedHistory.topologyChangeRecords(s, Seq(topologyChangesDoc)), dir)
       dir
     })
+
+  /** Drop the fixture lake keyed to `s` and delete its temp directory. */
+  private[queries] def evict(s: SparkSession): Unit = {
+    val dir = lakeCache.remove(System.identityHashCode(s).toString)
+    if (dir != null) {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S5: the three typed getFromDate shortcuts, date-bounded — each is a

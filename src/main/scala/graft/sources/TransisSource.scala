@@ -193,9 +193,15 @@ case class DocFilters(docType: Option[String] = None,
       fromDate.forall { d =>
         val dd = TransisDocMeta.docDate(doc); dd != null && dd >= d
       }
-  def queryParams: Seq[String] =
-    docType.map(t => s"types=$t").toSeq ++
-      fromDate.map(d => s"startDate=$d").toSeq
+  def queryParams: Seq[String] = {
+    // URL-encode values: reference dates carry '+' timezone offsets and
+    // ':' which would decode as a space / confuse the query string (the
+    // reference encodes via requests' params=, transis_consumer.py:169).
+    def enc(v: String) = java.net.URLEncoder.encode(
+      v, java.nio.charset.StandardCharsets.UTF_8)
+    docType.map(t => s"types=${enc(t)}").toSeq ++
+      fromDate.map(d => s"startDate=${enc(d)}").toSeq
+  }
 }
 
 /** Serializable transport selector: http(s) paths get the live HTTP
@@ -299,15 +305,20 @@ class TransisScanBuilder(config: TransportConfig, maxReconnects: Int)
   private var required: StructType = TransisSourceProvider.schema
 
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
-    // which columns get a real predicate pushed (IsNotNull alone is not
-    // a transport filter, but it IS implied by an accompanying one)
-    val typeEq = fs.collectFirst { case EqualTo("doc_type", v: String) => v }
-    val dateGte = fs.collectFirst {
-      case GreaterThanOrEqual("dt", v: String) => v
-    }
+    // Multiple dt lower bounds conjoin to their max (ISO-8601 strings
+    // order lexicographically = chronologically), so pushing the max
+    // fully handles EVERY `dt >=` conjunct. Multiple doc_type equalities
+    // to distinct values can't all ride one `types=` param: push one and
+    // keep the rest as residual Spark filters — the transport returns a
+    // superset and Spark finishes the conjunction. (Claiming filters
+    // handled whose value was never pushed would silently drop them.)
+    val typeEqs = fs.collect { case EqualTo("doc_type", v: String) => v }.distinct
+    val dateGtes = fs.collect { case GreaterThanOrEqual("dt", v: String) => v }
+    val typeEq = typeEqs.headOption
+    val dateGte = if (dateGtes.nonEmpty) Some(dateGtes.max) else None
     docFilters = DocFilters(typeEq, dateGte)
     val handled: Filter => Boolean = {
-      case EqualTo("doc_type", _: String) => typeEq.isDefined
+      case EqualTo("doc_type", v: String) => typeEq.contains(v)
       case IsNotNull("doc_type") => typeEq.isDefined // implied by equality
       case GreaterThanOrEqual("dt", _: String) => dateGte.isDefined
       case IsNotNull("dt") => dateGte.isDefined // implied by >= bound
