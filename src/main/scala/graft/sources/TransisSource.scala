@@ -4,7 +4,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -38,6 +38,64 @@ trait PayloadTransport extends Serializable {
   def available(): Long
   /** Read documents [from, until). May throw transient IO errors. */
   def read(from: Long, until: Long): Iterator[String]
+  /** Release any long-lived resources (driver-side offset tracking). */
+  def close(): Unit = ()
+}
+
+/** Pull-based NUL framer over a byte stream: produces exactly one
+  * document per call and never reads past a document boundary — so a
+  * LIVE connection can be parked between micro-batches without blocking
+  * on bytes the server hasn't sent yet (an eagerly-prefetching iterator
+  * would hang the batch waiting for the next document's terminator). */
+private[sources] final class NulFramer(in: java.io.InputStream) {
+  private val buf = new java.io.ByteArrayOutputStream()
+  private var eof = false
+  /** Next complete non-empty document, or null at EOF (a trailing
+    * unterminated fragment is discarded — a connection cut mid-document
+    * must not surface a truncated doc). */
+  def nextDoc(): String = {
+    while (!eof) {
+      val b = in.read()
+      if (b < 0) { eof = true; buf.reset() }
+      else if (b == 0) {
+        val doc = buf.toString(java.nio.charset.StandardCharsets.UTF_8.name())
+        buf.reset()
+        if (doc.trim.nonEmpty) return doc
+      } else buf.write(b)
+    }
+    null
+  }
+  def close(): Unit = try in.close() catch { case _: java.io.IOException => () }
+}
+
+/** Executor-side connection parking lot (the CachedKafkaConsumer idea):
+  * a framer that finished batch [a,b) is parked at position b; the next
+  * batch asking for [b,c) on the same endpoint continues the SAME
+  * connection instead of re-opening and re-skipping b documents. A
+  * sequential replay therefore costs O(stream) bytes and O(1)
+  * connections total, not O(batches) connections / O(stream·batches)
+  * bytes. Misses (restart at an earlier offset, executor loss, broken
+  * connection) fall back to open-and-skip. One entry per endpoint;
+  * replacing a parked entry closes the old connection. */
+private[sources] object TransisConnCache {
+  private val entries =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, NulFramer)]()
+  /** Claim the parked framer for `key` if it sits exactly at `from`. */
+  def take(key: String, from: Long): Option[NulFramer] = {
+    val e = entries.remove(key)
+    if (e == null) None
+    else if (e._1 == from) Some(e._2)
+    else { e._2.close(); None }
+  }
+  def park(key: String, pos: Long, framer: NulFramer): Unit = {
+    val old = entries.put(key, (pos, framer))
+    if (old != null) old._2.close()
+  }
+  /** Close and drop every parked connection (tests / shutdown). */
+  def clear(): Unit = {
+    val it = entries.values().iterator()
+    while (it.hasNext) { it.next()._2.close(); it.remove() }
+  }
 }
 
 /** NUL-framed documents in a single growable file (empty fragments are
@@ -104,64 +162,150 @@ class HttpPayloadTransport(url: String,
     val code = conn.getResponseCode
     if (code >= 400) // raise_for_status
       throw new java.io.IOException(s"HTTP $code from $url")
-    conn.getInputStream
+    // the reference reads the socket one byte at a time
+    // (transis_consumer.py:127, iter_content(1)) — a pathology SURVEY
+    // §4.1 calls out, not something to reproduce: buffer the stream so
+    // per-byte framing reads hit memory, not the socket
+    new java.io.BufferedInputStream(conn.getInputStream, 64 << 10)
   }
 
-  /** Frame the byte stream into non-empty NUL-delimited documents. A
-    * trailing unterminated fragment is discarded (a connection cut
-    * mid-document must not surface a truncated doc). */
-  private def frames(in: java.io.InputStream): Iterator[String] =
-    new Iterator[String] {
-      private val buf = new java.io.ByteArrayOutputStream()
-      private var nextDoc: String = _
-      private var eof = false
-      private def advance(): Unit = {
-        nextDoc = null
-        while (nextDoc == null && !eof) {
-          val b = in.read()
-          if (b < 0) { eof = true; buf.reset() } // drop partial tail
-          else if (b == 0) {
-            val doc = buf.toString(
-              java.nio.charset.StandardCharsets.UTF_8.name())
-            buf.reset()
-            if (doc.trim.nonEmpty) nextDoc = doc
-          } else buf.write(b)
+  private def cacheKey: String = s"$effectiveUrl|$username"
+
+  // ---- driver-side incremental offset tracking -------------------------
+  // One persistent counting connection; newly-arrived frames are counted
+  // per trigger instead of re-reading the whole stream per latestOffset
+  // (round-2 available() re-opened and re-counted EVERYTHING each call —
+  // O(stream²) bytes over a session). Against a live push stream the
+  // connection lives for the whole query; against a bounded replayable
+  // endpoint EOF closes it and the NEXT call re-opens (a fresh GET is the
+  // only way plain HTTP exposes growth), counting the replay cheaply and
+  // taking the high-water mark.
+  @transient private var countIn: java.io.InputStream = _
+  @transient private var countBuf: java.io.ByteArrayOutputStream = _
+  private var connCount = 0L // matching docs framed on current connection
+  private var hwm = 0L       // high-water mark across connections
+  private var everRead = false
+
+  /** Feed `n` bytes into the counting framer. */
+  private def feed(chunk: Array[Byte], n: Int): Unit = {
+    var i = 0
+    while (i < n) {
+      val b = chunk(i)
+      if (b == 0) {
+        val doc = countBuf.toString(
+          java.nio.charset.StandardCharsets.UTF_8.name())
+        countBuf.reset()
+        if (doc.trim.nonEmpty && filters.matches(doc)) {
+          connCount += 1
+          if (connCount > hwm) hwm = connCount
+        }
+      } else countBuf.write(b.toInt)
+      i += 1
+    }
+  }
+
+  /** Documents currently observed on the endpoint. Against a LIVE push
+    * connection this drains whatever has already arrived (plus at most
+    * one blocking read — the push-stream "wait for the server to send",
+    * reference transis_consumer.py:115-126, bounded by the stall
+    * timeout) and counts incrementally: one connection for the query's
+    * whole life, each byte read once. A bounded endpoint signals EOF;
+    * growth there is only visible through a fresh GET, so EOF re-opens
+    * (at most once per call) and the replayed count folds into the
+    * high-water mark. */
+  override def available(): Long = synchronized {
+    val chunk = new Array[Byte](8192)
+    var reopens = 0
+    var go = true
+    try {
+      while (go) {
+        if (countIn == null) {
+          if (reopens >= 2) go = false
+          else {
+            countIn = open()
+            countBuf = new java.io.ByteArrayOutputStream()
+            connCount = 0
+            everRead = false
+          }
+        }
+        if (go) {
+          // one blocking read per call when nothing is buffered — the
+          // only way to tell "no data yet" from "connection ended"
+          var blockedOnce = false
+          var inner = true
+          while (inner) {
+            if (countIn.available() == 0 && everRead && blockedOnce) inner = false
+            else {
+              if (countIn.available() == 0) blockedOnce = true
+              val n = countIn.read(chunk, 0, chunk.length)
+              if (n < 0) { // EOF: bounded endpoint fully drained
+                countIn.close(); countIn = null; reopens += 1; inner = false
+              } else { everRead = true; feed(chunk, n) }
+            }
+          }
+          if (countIn != null) go = false // alive and drained: done
         }
       }
-      advance()
-      override def hasNext: Boolean = nextDoc != null
-      override def next(): String = {
-        val d = nextDoc; advance(); d
-      }
+    } catch {
+      case _: java.net.SocketTimeoutException =>
+        // idle longer than the stall budget: KEEP the connection (a live
+        // feed with no traffic is indistinguishable from a wedged server
+        // by any client; the reader path owns reconnect recovery, and a
+        // recovered server resumes on this same socket incrementally)
+        ()
+      case _: java.io.IOException => // broken connection: reconnect next
+        if (countIn != null) {
+          try countIn.close() catch { case _: java.io.IOException => () }
+        }
+        countIn = null
     }
-
-  /** Documents currently served by the endpoint (bounded/replayable
-    * endpoints only — a live push stream never ends; there the
-    * micro-batch driver should bound batches by wall clock instead). */
-  override def available(): Long = {
-    val in = open()
-    try frames(in).filter(filters.matches).size.toLong finally in.close()
+    hwm
   }
 
-  override def read(from: Long, until: Long): Iterator[String] =
+  override def close(): Unit = synchronized {
+    if (countIn != null) {
+      try countIn.close() catch { case _: java.io.IOException => () }
+      countIn = null
+    }
+  }
+
+  /** Read [from, until), continuing a parked connection when one sits at
+    * exactly `from` (sequential micro-batches never re-open or re-skip);
+    * otherwise open and skip. The connection is parked again — still
+    * open — once the batch is fully served. */
+  override def read(from: Long, until: Long): Iterator[String] = {
+    val framer = TransisConnCache.take(cacheKey, from).getOrElse {
+      val f = new NulFramer(open())
+      var skipped = 0L
+      while (skipped < from) {
+        val d = f.nextDoc()
+        if (d == null) {
+          f.close()
+          throw new java.io.IOException(
+            s"transis stream ended before resume offset $from")
+        }
+        if (filters.matches(d)) skipped += 1
+      }
+      f
+    }
     new Iterator[String] {
-      private val in = open()
-      private val it = frames(in).filter(filters.matches).drop(from.toInt)
       private var served = from
       override def hasNext: Boolean = served < until
       override def next(): String = {
         if (!hasNext) throw new NoSuchElementException
-        if (!it.hasNext) {
-          in.close()
+        var d = framer.nextDoc()
+        while (d != null && !filters.matches(d)) d = framer.nextDoc()
+        if (d == null) {
+          framer.close()
           throw new java.io.IOException(
             s"transis stream ended at doc $served before requested $until")
         }
         served += 1
-        val d = it.next()
-        if (served == until) in.close()
+        if (served == until) TransisConnCache.park(cacheKey, until, framer)
         d
       }
     }
+  }
 }
 
 /** Cheap per-document metadata probes (no XML parse): the root's first
@@ -267,7 +411,8 @@ class TransisSourceProvider extends TableProvider with DataSourceRegister {
           .getOrElse(20 * 60 * 1000),
         properties.get("username"),
         properties.get("password")),
-      Option(properties.get("maxreconnects")).map(_.toInt).getOrElse(3))
+      Option(properties.get("maxreconnects")).map(_.toInt).getOrElse(3),
+      Option(properties.get("maxdocsperbatch")).map(_.toLong))
 }
 
 object TransisSourceProvider {
@@ -280,14 +425,15 @@ object TransisSourceProvider {
     StructField("dt", StringType)))
 }
 
-class TransisTable(config: TransportConfig, maxReconnects: Int)
+class TransisTable(config: TransportConfig, maxReconnects: Int,
+                   maxDocsPerBatch: Option[Long] = None)
     extends Table with SupportsRead {
   override def name(): String = s"transis(${config.path})"
   override def schema(): StructType = TransisSourceProvider.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TransisScanBuilder(config, maxReconnects)
+    new TransisScanBuilder(config, maxReconnects, maxDocsPerBatch)
 }
 
 /** S4 pushdown (SURVEY §4.2 row 1): `doc_type = X` → `types=X`,
@@ -295,7 +441,8 @@ class TransisTable(config: TransportConfig, maxReconnects: Int)
   * transport, so they are removed from the post-scan plan (no residual
   * Filter node); everything else stays Spark-side. Column pruning drops
   * unprojected metadata columns from the rows the reader materializes. */
-class TransisScanBuilder(config: TransportConfig, maxReconnects: Int)
+class TransisScanBuilder(config: TransportConfig, maxReconnects: Int,
+                         maxDocsPerBatch: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.sources._
@@ -336,17 +483,19 @@ class TransisScanBuilder(config: TransportConfig, maxReconnects: Int)
   }
 
   override def build(): Scan =
-    new TransisScan(config.copy(filters = docFilters), required, maxReconnects)
+    new TransisScan(config.copy(filters = docFilters), required,
+      maxReconnects, maxDocsPerBatch)
 }
 
 class TransisScan(config: TransportConfig, schema: StructType,
-                  maxReconnects: Int) extends Scan {
+                  maxReconnects: Int,
+                  maxDocsPerBatch: Option[Long] = None) extends Scan {
   override def readSchema(): StructType = schema
   override def description(): String =
     s"transis(${config.path}) PushedDocFilters: ${config.filters}"
   override def toBatch: Batch = new TransisBatch(config, schema, maxReconnects)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new TransisMicroBatchStream(config, schema, maxReconnects)
+    new TransisMicroBatchStream(config, schema, maxReconnects, maxDocsPerBatch)
 }
 
 case class TransisInputPartition(config: TransportConfig, from: Long, until: Long)
@@ -388,12 +537,54 @@ class TransisBatch(config: TransportConfig, schema: StructType,
     new TransisPartitionReaderFactory(schema, maxReconnects)
 }
 
+/** Micro-batch driver with admission control: batches are bounded by
+  * `maxDocsPerBatch` (`ReadLimit.maxRows`) so a restart/backfill over a
+  * large replayable payload arrives as many bounded batches rather than
+  * ONE mega-batch — the reference's generator likewise delivers one
+  * document at a time (`transis_consumer.py:115-151`; set
+  * `maxDocsPerBatch=1` for exactly that cadence). `Trigger.AvailableNow`
+  * pins the target offset at query start, drains it in bounded batches,
+  * and stops. */
 class TransisMicroBatchStream(config: TransportConfig, schema: StructType,
-                              maxReconnects: Int)
-    extends MicroBatchStream {
+                              maxReconnects: Int,
+                              maxDocsPerBatch: Option[Long] = None)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   private val transport = config.newTransport()
+  private var availableNowTarget: Option[Long] = None
+  private var lastSeen = 0L
+
   override def initialOffset(): Offset = DocOffset(0L)
-  override def latestOffset(): Offset = DocOffset(transport.available())
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxDocsPerBatch.map(n => ReadLimit.maxRows(n.toInt))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    lastSeen = transport.available()
+    availableNowTarget = Some(lastSeen)
+  }
+
+  /** Admission-controlled end offset: everything available, capped to
+    * start + maxRows, and never past an AvailableNow pin. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val avail = availableNowTarget.getOrElse {
+      lastSeen = transport.available(); lastSeen
+    }
+    val s = start.asInstanceOf[DocOffset].n
+    val end = limit match {
+      case mr: ReadMaxRows => math.min(avail, s + mr.maxRows())
+      case _ => avail
+    }
+    DocOffset(math.max(end, s))
+  }
+
+  /** Spark calls the two-arg admission-controlled variant above. */
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this")
+
+  override def reportLatestOffset(): Offset = DocOffset(lastSeen)
+
   override def deserializeOffset(json: String): Offset =
     DocOffset(json.trim.toLong)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -405,5 +596,5 @@ class TransisMicroBatchStream(config: TransportConfig, schema: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new TransisPartitionReaderFactory(schema, maxReconnects)
   override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  override def stop(): Unit = transport.close()
 }

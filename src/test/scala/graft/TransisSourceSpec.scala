@@ -204,6 +204,89 @@ class TransisSourceSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("admission control: a backfill drains in bounded batches and AvailableNow stops") {
+    val f = Files.createTempFile("transis-admission", ".payload").toString
+    writePayload(f, (1 to 7).map(i => s"doc-$i"): _*)
+    // 7-doc payload, 3 docs/batch: without admission control a restart
+    // over a replayable payload arrives as ONE mega-batch; with it the
+    // backfill is 3 + 3 + 1, and AvailableNow drains then terminates
+    val raw = spark.readStream.format("transis")
+      .option("path", f).option("maxdocsperbatch", "3").load()
+    val q = raw.select(col("value")).writeStream.outputMode("append")
+      .format("memory").queryName("transis_admission")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not terminate")
+    assert(spark.table("transis_admission").count() === 7)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length === 3, batches.map(_.numInputRows).mkString(","))
+    assert(batches.forall(_.numInputRows <= 3),
+      batches.map(_.numInputRows).mkString(","))
+  }
+
+  /** Live push server: accepts connections, serves `initial` after the
+    * HTTP headers, and KEEPS the socket open (the reference's real
+    * ingress — one streaming GET that stays up). Counts accepts. */
+  class LiveServer(initial: Array[Byte]) {
+    private val server = new java.net.ServerSocket(0)
+    val accepted = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val socks =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.net.Socket]()
+    @volatile private var running = true
+    def url: String = s"http://127.0.0.1:${server.getLocalPort}/transis/pushservice"
+    private val thread = new Thread(() => {
+      while (running) {
+        try {
+          val sock = server.accept()
+          accepted.incrementAndGet()
+          socks.add(sock)
+          val in = sock.getInputStream
+          val req = new StringBuilder
+          var b = in.read()
+          while (b >= 0 && !req.endsWith("\r\n\r\n")) {
+            req.append(b.toChar)
+            b = if (req.endsWith("\r\n\r\n")) -1 else in.read()
+          }
+          val out = sock.getOutputStream
+          out.write("HTTP/1.0 200 OK\r\nContent-Type: text/xml\r\n\r\n"
+            .getBytes("UTF-8"))
+          out.write(initial)
+          out.flush() // socket intentionally left open
+        } catch {
+          case _: Throwable if !running => ()
+          case _: java.io.IOException => ()
+        }
+      }
+    })
+    thread.setDaemon(true)
+    thread.start()
+    def close(): Unit = {
+      running = false
+      server.close()
+      socks.forEach(s => try s.close() catch { case _: java.io.IOException => () })
+    }
+  }
+
+  test("HTTP offsets are incremental: O(1) connections across micro-batches") {
+    // Live connection, 2 docs, 1 doc/batch → 2 micro-batches. Round-2
+    // behavior opened a full-stream-re-reading connection per trigger
+    // PLUS one per batch (≥5 accepts here); incremental counting + the
+    // parked reader connection need exactly 2: one counting, one reading.
+    val srv = new LiveServer(payloadBytes("doc-a", "doc-b"))
+    try {
+      val raw = spark.readStream.format("transis")
+        .option("path", srv.url).option("stalltimeoutms", "2000")
+        .option("maxdocsperbatch", "1").load()
+      val q = raw.select(col("value")).writeStream.outputMode("append")
+        .format("memory").queryName("transis_live_conns").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("transis_live_conns").count() === 2)
+        assert(srv.accepted.get() === 2, s"accepted=${srv.accepted.get()}")
+      } finally q.stop()
+    } finally srv.close()
+  }
+
   test("S4 pushdown: doc_type/dt predicates vanish from the post-scan plan") {
     import org.apache.spark.sql.functions.col
     val f = Files.createTempFile("transis-pd", ".payload").toString
