@@ -121,21 +121,36 @@ object Dedup {
     *   for local/bench runs). */
   def resolveClusters(pairs: DataFrame, maxRounds: Int = 10,
                       reliable: Boolean = false): DataFrame = {
+    val spark = pairs.sparkSession
     // Checkpointing each round truncates lineage — without it the plan
     // re-embeds the whole upstream pipeline per iteration (measured 631
-    // exchanges for 5 rounds).
-    def checkpointed(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    // exchanges for 5 rounds). Checkpoints are taken at the RDD level
+    // (DatasetBridge) so each superseded round's storage is RELEASED as
+    // soon as its successor materializes — `Dataset.localCheckpoint`
+    // hides the persisted RDD and every round would stay pinned in
+    // executor memory for the session's life. The FINAL round backs the
+    // returned frame; its handle stays reachable via
+    // `DatasetBridge.backingRdds` for the caller/memo to evict.
+    def ckpt(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) =
+      if (reliable) (df.checkpoint(eager = true), null)
+      else {
+        val rdd = df.queryExecution.toRdd.map(_.copy()).localCheckpoint()
+        rdd.count(): Unit // eager
+        (org.apache.spark.sql.graftbridge.DatasetBridge
+          .internalDf(spark, rdd, df.schema), rdd)
+      }
+    def release(r: org.apache.spark.rdd.RDD[_]): Unit =
+      if (r != null) { r.unpersist(blocking = false); () }
     // checkpoint the (expensive) pair pipeline ONCE before fanning it out
     // into the symmetric edge set — a union of two branches over the raw
     // plan would materialize the upstream twice. Partitioning follows the
     // input (AQE coalesces small shuffles); a fixed partition count here
     // would serialize 10⁹-edge graphs onto a handful of tasks.
-    val p = checkpointed(pairs.select(col("a_id"), col("b_id")))
+    val (p, pRdd) = ckpt(pairs.select(col("a_id"), col("b_id")))
     val edges = p.union(p.select(col("b_id").as("a_id"),
       col("a_id").as("b_id")))
-    var labels = checkpointed(edges.select(col("a_id").as("id")).distinct()
-      .withColumn("cluster", col("id")))
+    var (labels, labelsRdd) = ckpt(edges.select(col("a_id").as("id"))
+      .distinct().withColumn("cluster", col("id")))
     var converged = false
     var round = 0
     // labels only ever decrease, so an unchanged sum(cluster) is an exact
@@ -147,17 +162,20 @@ object Dedup {
         .join(labels, edges("b_id") === labels("id"))
         .groupBy(col("a_id").as("nid"))
         .agg(min(col("cluster")).as("ncluster"))
-      val next = checkpointed(
+      val (next, nextRdd) = ckpt(
         labels.join(propagated, labels("id") === col("nid"), "left")
           .select(col("id"),
             least(col("cluster"), coalesce(col("ncluster"), col("cluster")))
               .as("cluster")))
       val newSum = next.agg(sum(col("cluster"))).head().getLong(0)
+      release(labelsRdd) // superseded round: free its executor storage
       labels = next
+      labelsRdd = nextRdd
       converged = newSum == prevSum
       prevSum = newSum
       round += 1
     }
+    release(pRdd) // the result depends only on the final labels checkpoint
     labels
   }
 

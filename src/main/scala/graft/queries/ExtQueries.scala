@@ -61,8 +61,14 @@ object ExtQueries {
       while (it.hasNext) {
         val e = it.next()
         if (e.getKey.startsWith(prefix)) {
-          try e.getValue.unpersist(blocking = false)
-          catch { case _: Throwable => () } // context may already be down
+          try {
+            e.getValue.unpersist(blocking = false)
+            // the clusters memo is rooted on a localCheckpoint RDD
+            // (resolveClusters) — release that storage too
+            org.apache.spark.sql.graftbridge.DatasetBridge
+              .backingRdds(e.getValue)
+              .foreach(_.unpersist(blocking = false))
+          } catch { case _: Throwable => () } // context may already be down
           it.remove()
         }
       }
@@ -152,6 +158,67 @@ object ExtQueries {
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0),
         centroids, "vec_id", "embedding", 3)
+    }),
+
+    // Per-query top-5 via the typed bounded TopK Aggregator — identical
+    // result to s01's Window form, but the shuffle carries k rows per
+    // group (bounded partial buffers) instead of sorting every scored
+    // pair per query: the heap path for per-group top-k at scale.
+    "s04_topk_agg" -> ((s, d) => {
+      import s.implicits._
+      val emb = embeddings(s, d)
+      val c = Similarity.withNorm(emb, "vec_id", "embedding")
+        .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+          col("nrm").as("b_nrm"))
+      val q = Similarity.withNorm(
+        emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding")
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val scored = c.join(broadcast(q), col("query_id") =!= col("b_id"))
+        .select(col("query_id"),
+          col("b_id"),
+          Similarity.cosine(col("q_emb"), col("b_emb"),
+            col("q_nrm"), col("b_nrm")).as("cos_r"))
+        .as[(Long, Long, Double)]
+      scored.groupByKey(_._1)
+        .mapValues(t => graft.ext.TopKAggregator.Scored(t._2, t._3))
+        .agg(new graft.ext.TopKAggregator.TopK(5).toColumn.name("top"))
+        .toDF("query_id", "top")
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"),
+          col("col.id").as("b_id"),
+          (col("pos") + 1).cast("int").as("rank"),
+          col("col.score").as("cos_r"))
+    }),
+
+    // ANN quality as a gated invariant: recall@3 of the two approximate
+    // paths (sign-bit LSH, IVF) against the brute-force ground truth,
+    // as one exact integer-ratio per method (total hits / total truth —
+    // a single IEEE division, bit-stable against the oracle).
+    "s05_ann_recall" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val truth = Similarity.bruteForceTopK(
+        emb, queries, "vec_id", "embedding", 3)
+        .select(col("query_id"), col("b_id"))
+      val lsh = Similarity.lshTopK(
+        emb, queries, "vec_id", "embedding", 8, 3)
+        .select(col("query_id"), col("b_id"))
+      val centroids = emb.filter(col("vec_id") % 97 === 1)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val ivf = Similarity.ivfTopK(
+        emb, queries, centroids, "vec_id", "embedding", 3)
+        .select(col("query_id"), col("b_id"))
+      def recallRow(method: String, got: DataFrame): DataFrame =
+        truth.join(got, Seq("query_id", "b_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(truth.agg(count(lit(1)).as("truth_n")))
+          .select(lit(method).as("method"),
+            col("hits").cast("bigint").as("hits"),
+            col("truth_n").cast("bigint").as("truth_n"),
+            (col("hits").cast("double") / col("truth_n").cast("double"))
+              .as("recall"))
+      recallRow("lsh", lsh).unionAll(recallRow("ivf", ivf))
     }),
 
     // Language-ID heuristic confusion matrix.
@@ -554,6 +621,88 @@ object ExtQueries {
           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                   ORDER BY cos_r DESC, b_id ASC) AS rank FROM s) t
           WHERE rank <= 3"""
+    },
+    // s04 computes exactly s01's result through the typed Aggregator, so
+    // its oracle is s01's SQL verbatim.
+    "s04_topk_agg" ->
+      """WITH n AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1,65),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+           FROM embeddings
+         ), q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+         s AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS b_id,
+             round(list_sum(list_transform(range(1,65),
+               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+               / (q.nrm * c.nrm), 6) AS cos_r
+           FROM q JOIN n c ON q.vec_id != c.vec_id
+         )
+         SELECT query_id, b_id, CAST(rank AS INTEGER) AS rank, cos_r
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_r DESC, b_id ASC) AS rank FROM s) t
+         WHERE rank <= 5""",
+    "s05_ann_recall" -> {
+      val bucket = (1 to 8).map(i =>
+        s"(CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      val dotAC =
+        "list_sum(list_transform(range(1,65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(ct.c_emb[i] AS DOUBLE)))"
+      s"""WITH n AS (
+            SELECT vec_id, embedding, $bucket AS bucket,
+              sqrt(list_sum(list_transform(range(1,65),
+                i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+            FROM embeddings
+          ), q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+          scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS b_id,
+              round(list_sum(list_transform(range(1,65),
+                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                / (q.nrm * c.nrm), 6) AS cos_r,
+              q.bucket AS q_bucket, c.bucket AS c_bucket
+            FROM q JOIN n c ON q.vec_id != c.vec_id
+          ),
+          truth AS (
+            SELECT query_id, b_id FROM (
+              SELECT query_id, b_id, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_r DESC, b_id ASC) AS rk FROM scored) t
+            WHERE rk <= 3),
+          lsh AS (
+            SELECT query_id, b_id FROM (
+              SELECT query_id, b_id, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_r DESC, b_id ASC) AS rk FROM scored
+              WHERE q_bucket = c_bucket) t
+            WHERE rk <= 3),
+          cent AS (
+            SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+            WHERE vec_id % 97 = 1),
+          asn AS (
+            SELECT a.vec_id, ct.c_id,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY $dotAC DESC, ct.c_id ASC) AS rn
+            FROM embeddings a CROSS JOIN cent ct),
+          cells AS (SELECT vec_id, c_id AS cell FROM asn WHERE rn = 1),
+          ivf AS (
+            SELECT query_id, b_id FROM (
+              SELECT sc.query_id, sc.b_id,
+                ROW_NUMBER() OVER (PARTITION BY sc.query_id
+                  ORDER BY sc.cos_r DESC, sc.b_id ASC) AS rk
+              FROM scored sc
+              JOIN cells cq ON cq.vec_id = sc.query_id
+              JOIN cells cb ON cb.vec_id = sc.b_id AND cq.cell = cb.cell) t
+            WHERE rk <= 3),
+          tn AS (SELECT CAST(count(*) AS BIGINT) AS truth_n FROM truth),
+          lh AS (SELECT CAST(count(*) AS BIGINT) AS hits
+                 FROM truth JOIN lsh USING (query_id, b_id)),
+          ih AS (SELECT CAST(count(*) AS BIGINT) AS hits
+                 FROM truth JOIN ivf USING (query_id, b_id))
+          SELECT 'lsh' AS method, lh.hits AS hits, tn.truth_n AS truth_n,
+            CAST(lh.hits AS DOUBLE) / CAST(tn.truth_n AS DOUBLE) AS recall
+          FROM lh, tn
+          UNION ALL
+          SELECT 'ivf' AS method, ih.hits AS hits, tn.truth_n AS truth_n,
+            CAST(ih.hits AS DOUBLE) / CAST(tn.truth_n AS DOUBLE) AS recall
+          FROM ih, tn"""
     },
     "t01_lang_id" -> {
       val markers = TextAnalysis.langMarkers

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{ExtQueries, Memos}
+
+/** Session lifecycle of the cross-query memo caches: building a memoized
+  * query persists DataFrames (and the typed-history lake pins a temp
+  * dir); `Memos.evictAll` — wired to application end by
+  * `Memos.install`, which every memo builder calls — must release all
+  * of it, so no persisted RDDs or temp dirs outlive the session. */
+class MemosSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("evictAll unpersists memoized frames and deletes the fixture lake") {
+    val sf = "/root/testdata/sf0.001"
+    // other suites may legitimately leave storage around — assert on the
+    // DELTA this test creates, not the global set
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // build the pair/cluster memos (d02 + d06 share them) and the lake
+    assert(ExtQueries.queries("d02_minhash_lsh")(spark, sf).count() >= 0)
+    assert(ExtQueries.queries("d06_neardup_clusters")(spark, sf).count() >= 0)
+    val lakeDir = {
+      val q = graft.queries.HistoryQueries.queries("h01_monitor_from")
+      assert(q(spark, sf).count() > 0)
+      // the lake writes monitor/tirf/vms/topology_changes under one tmp dir
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      tmp.listFiles().filter(_.getName.startsWith("graft-history"))
+        .maxBy(_.lastModified)
+    }
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.nonEmpty,
+      "memo build should have persisted the pair/cluster frames")
+    assert(lakeDir.exists)
+
+    Memos.evictAll(spark)
+
+    assert(leaked.isEmpty, s"persisted RDDs survived eviction: $leaked")
+    assert(!lakeDir.exists, s"lake dir survived eviction: $lakeDir")
+    // memoized queries rebuild cleanly after eviction
+    assert(ExtQueries.queries("d06_neardup_clusters")(spark, sf).count() >= 0)
+    Memos.evictAll(spark)
+    assert(leaked.isEmpty, s"persisted RDDs survived re-eviction: $leaked")
+  }
+}
