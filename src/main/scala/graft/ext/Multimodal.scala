@@ -52,11 +52,15 @@ object Multimodal {
 
   /** Deterministic fake "decode + feature-extract": in production this is
     * the codec call (??? boundary); here it derives a stable 8-dim feature
-    * from the payload bytes so tests can assert end-to-end. */
+    * from the payload bytes so tests can assert end-to-end. Lane values
+    * are integer byte sums (exact in float32 below 2²⁴, i.e. payloads to
+    * ~65 KB/lane), which keeps the fake's output bit-reproducible by the
+    * relational oracle — a float-normalized accumulation would be
+    * unverifiable float32 rounding. */
   def stubDecode(payload: Array[Byte]): Array[Float] = {
     val f = new Array[Float](8)
     var i = 0
-    while (i < payload.length) { f(i % 8) += (payload(i) & 0xff) / 255.0f; i += 1 }
+    while (i < payload.length) { f(i % 8) += (payload(i) & 0xff).toFloat; i += 1 }
     f
   }
 

@@ -317,14 +317,17 @@ object ExtQueries {
           col("checksum"))
     }),
 
-    // The feature vector itself (float32 accumulation inside the stub
-    // codec) is the one genuinely non-SQL-expressible output → rows-only.
+    // The feature vector itself, exploded to scalar lanes: the stub's
+    // per-lane byte sums are exact integers in float32, so the whole
+    // mapPartitions decode output is oracle-checkable (round 2 left this
+    // rows-only; an exactly-reproducible fake is strictly better).
     "m03_media_feature_vec" -> ((s, d) => {
       val media = Multimodal.asMediaTable(documents(s, d), "doc_id", "text",
         "source")
       Multimodal.extractFeatures(media).toDF()
-        .select(col("media_id"),
-          round(element_at(col("feature"), 1), 3).as("f0"))
+        .select(col("media_id"), posexplode(col("feature")))
+        .select(col("media_id"), col("pos").cast("int").as("lane"),
+          col("col").cast("bigint").as("lane_sum"))
     }),
 
     // Composed corpus-cleaning gate: the t01/t02/t05 signals as one
@@ -888,8 +891,20 @@ object ExtQueries {
            CAST(least((frame_no + 1) * greatest(1, len // 4), len)
               - least(frame_no * greatest(1, len // 4), len) AS INTEGER)
              AS frame_len
-         FROM m CROSS JOIN k"""
-    // m03_media_feature_vec: float32 stub-codec output — intentionally no
-    // oracle (rows-only check)
+         FROM m CROSS JOIN k""",
+    // per-lane byte sums of the UTF-8 payload: byte i (0-based) of the
+    // blob via its hex dump, summed over positions ≡ lane (mod 8)
+    "m03_media_feature_vec" ->
+      """WITH b AS (
+           SELECT CAST(doc_id AS BIGINT) AS media_id,
+             hex(encode(text)) AS h,
+             octet_length(encode(text)) AS len
+           FROM documents
+         )
+         SELECT media_id, CAST(lane AS INTEGER) AS lane,
+           CAST(coalesce(list_sum(list_transform(range(lane, len, 8),
+             i -> ('0x' || substr(h, 2*i + 1, 2))::BIGINT)), 0) AS BIGINT)
+             AS lane_sum
+         FROM b CROSS JOIN (SELECT unnest(range(8)) AS lane) l"""
   )
 }

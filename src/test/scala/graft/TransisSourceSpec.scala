@@ -287,6 +287,37 @@ class TransisSourceSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("AvailableNow over HTTP resumes from checkpoint, one doc per batch") {
+    // The reference's full consume loop: resume where the consumer left
+    // off, one document at a time (transis_consumer.py:115-151), but with
+    // checkpointed exactly-once offsets. Run 1 drains 2 docs and STOPS
+    // (AvailableNow); the feed grows; run 2 reads ONLY the delta.
+    val ckpt = Files.createTempDirectory("transis-an-ckpt").toString
+    val out = Files.createTempDirectory("transis-an-out").toString
+    val srv = new LoopbackServer(Seq.empty)
+    def run(): Unit = {
+      val raw = spark.readStream.format("transis")
+        .option("path", srv.url).option("stalltimeoutms", "5000")
+        .option("maxdocsperbatch", "1").load()
+      val q = raw.select(col("value")).writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow did not terminate")
+    }
+    try {
+      srv.body = payloadBytes("doc-a", "doc-b")
+      run()
+      assert(spark.read.parquet(out).count() === 2)
+      srv.body = payloadBytes("doc-a", "doc-b", "doc-c", "doc-d")
+      run()
+      val rows = spark.read.parquet(out)
+      assert(rows.count() === 4) // delta only: committed docs never replayed
+      assert(rows.filter(col("value") === "doc-a").count() === 1)
+    } finally srv.close()
+  }
+
   test("S4 pushdown: doc_type/dt predicates vanish from the post-scan plan") {
     import org.apache.spark.sql.functions.col
     val f = Files.createTempFile("transis-pd", ".payload").toString
