@@ -137,6 +137,61 @@ object Similarity {
       .select("query_id", "b_id", "rank", "cos_r")
   }
 
+  /** Multiprobe cell assignment: the top-`nprobe` centroids per vector.
+    * Uses the typed bounded [[TopKAggregator]] so the per-id reduction
+    * keeps at most `nprobe` candidates in every partial buffer — the
+    * shuffle carries nprobe rows per id, never the N·K scored rows (a
+    * `collect_list`-then-sort would drag all K scores per id through
+    * the shuffle, re-creating the window-argmax problem at scale). */
+  def assignCellsProbed(vecs: DataFrame, idCol: String, embCol: String,
+                        centroids: DataFrame, nprobe: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs.select(col(idCol), col(embCol))
+      .crossJoin(broadcast(centroids))
+      .select(col(idCol).cast("long"), col("c_id").cast("long"),
+        dot(col(embCol), col("c_emb")).as("c_score"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => TopKAggregator.Scored(t._2, t._3))
+      .agg(new TopKAggregator.TopK(nprobe).toColumn.name("cells"))
+      .toDF(idCol, "cells")
+      .select(col(idCol), explode(col("cells")).as("c"))
+      .select(col(idCol), col("c.id").as("cell"))
+  }
+
+  /** IVF ANN with multiprobe: the corpus keeps its single nearest cell
+    * (one inverted list per vector), each query searches its `nprobe`
+    * nearest cells — the standard recall-recovery lever when the coarse
+    * quantizer splits a query's true neighbors across cell boundaries.
+    * Pair work grows by ×nprobe, still K/nprobe× less than brute force.
+    * A corpus vector lives in exactly one cell, so the probed join
+    * produces no duplicate (query, candidate) pairs. */
+  def ivfTopKProbed(corpus: DataFrame, queries: DataFrame,
+                    centroids: DataFrame, idCol: String, embCol: String,
+                    k: Int, nprobe: Int): DataFrame = {
+    val c = withNorm(assignCells(corpus, idCol, embCol, centroids),
+      idCol, embCol)
+      .select(col(idCol).as("b_id"), col(embCol).as("b_emb"),
+        col("nrm").as("b_nrm"), col("cell"))
+    val qcells = assignCellsProbed(queries, idCol, embCol, centroids, nprobe)
+      .select(col(idCol).as("query_id"), col("cell"))
+    val q = withNorm(queries, idCol, embCol)
+      .select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+        col("nrm").as("q_nrm"))
+      .join(qcells, Seq("query_id"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("b_id"))
+      .select(col("query_id"), col("b_id"),
+        cosine(col("q_emb"), col("b_emb"), col("q_nrm"), col("b_nrm"))
+          .as("cos_r"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_r").desc, col("b_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "b_id", "rank", "cos_r")
+  }
+
   /** Blocked near-dup pairs: pairwise only within a blocking key (here a
     * label/cluster column), ranked globally.
     *

@@ -160,6 +160,19 @@ object ExtQueries {
         centroids, "vec_id", "embedding", 3)
     }),
 
+    // IVF with multiprobe (nprobe=2): queries search their two nearest
+    // cells — the recall-recovery lever when the coarse quantizer splits
+    // a query's true neighbors across a cell boundary. The probed cell
+    // assignment rides the bounded TopK Aggregator (shuffle carries
+    // nprobe rows per vector).
+    "s06_ivf_nprobe2" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") % 97 === 1)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      Similarity.ivfTopKProbed(emb, emb.filter(col("vec_id") % 50 === 0),
+        centroids, "vec_id", "embedding", 3, 2)
+    }),
+
     // Per-query top-5 via the typed bounded TopK Aggregator — identical
     // result to s01's Window form, but the shuffle carries k rows per
     // group (bounded partial buffers) instead of sorting every scored
@@ -619,6 +632,41 @@ object ExtQueries {
                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
                 / (q.nrm * c.nrm), 6) AS cos_r
             FROM q JOIN n c ON q.cell = c.cell AND q.vec_id != c.vec_id
+          )
+          SELECT query_id, b_id, CAST(rank AS INTEGER) AS rank, cos_r
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos_r DESC, b_id ASC) AS rank FROM s) t
+          WHERE rank <= 3"""
+    },
+    "s06_ivf_nprobe2" -> {
+      val dotAC =
+        "list_sum(list_transform(range(1,65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(ct.c_emb[i] AS DOUBLE)))"
+      s"""WITH cent AS (
+            SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+            WHERE vec_id % 97 = 1
+          ), asn AS (
+            SELECT a.vec_id, ct.c_id,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY $dotAC DESC, ct.c_id ASC) AS rn
+            FROM embeddings a CROSS JOIN cent ct
+          ), cells AS (SELECT vec_id, c_id AS cell FROM asn WHERE rn = 1),
+          qcells AS (SELECT vec_id, c_id AS cell FROM asn WHERE rn <= 2),
+          n AS (
+            SELECT e.vec_id, e.embedding,
+              sqrt(list_sum(list_transform(range(1,65),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS nrm
+            FROM embeddings e
+          ), q AS (
+            SELECT n.vec_id, n.embedding, n.nrm, qc.cell
+            FROM n JOIN qcells qc USING (vec_id) WHERE n.vec_id % 50 = 0
+          ), s AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS b_id,
+              round(list_sum(list_transform(range(1,65),
+                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                / (q.nrm * c.nrm), 6) AS cos_r
+            FROM q
+            JOIN cells cb ON cb.cell = q.cell
+            JOIN n c ON c.vec_id = cb.vec_id AND q.vec_id != c.vec_id
           )
           SELECT query_id, b_id, CAST(rank AS INTEGER) AS rank, cos_r
           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id

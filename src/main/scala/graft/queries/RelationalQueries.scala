@@ -387,6 +387,85 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // TPC-H Q12 shape: conditional CASE aggregation over a fact-fact
+    // join — high/low order-priority line counts per return flag.
+    "q33_priority_lines" -> ((s, d) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(high, 1L).otherwise(0L)).cast("bigint")
+            .as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).cast("bigint")
+            .as("low_line_count"))
+    }),
+
+    // TPC-H Q19 shape: disjunctive multi-range predicates across a
+    // lineitem ⋈ part join — the OR-of-ANDs pattern Catalyst must keep
+    // partially pushable (brand IN-list reaches the part scan).
+    "q34_disjunctive_ranges" -> ((s, d) => {
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(24,6)")
+      lineitem(s, d)
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" &&
+            col("l_quantity").between(1, 11) &&
+            col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#13" &&
+            col("l_quantity").between(10, 20) &&
+            col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#20" &&
+            col("l_quantity").between(20, 30) &&
+            col("p_size").between(1, 15)))
+        .agg(sum(rev).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q16 shape: distinct-supplier counts per part class, with a
+    // NOT-LIKE exclusion and an anti-join against a disqualified
+    // supplier set (negative balance stands in for the complaints list).
+    "q35_supplier_part_counts" -> ((s, d) => {
+      val bad = supplier(s, d).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      val li = lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+        .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      li.join(broadcast(part(s, d)
+          .filter(!col("p_type").startsWith("PROMO") &&
+            col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).cast("bigint")
+          .as("supplier_cnt"))
+    }),
+
+    // TPC-H Q22 shape: scalar-subquery threshold (positive-balance
+    // average) + anti-join (customers with no orders in the 1995 Q1
+    // window — the synthetic data gives every customer SOME order, so
+    // the window keeps the anti-join non-trivial), aggregated per
+    // nation. The average is computed through DECIMAL so the threshold
+    // is bit-identical across engines.
+    "q36_wealthy_inactive" -> ((s, d) => {
+      val cust = customer(s, d)
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(orders(s, d)
+          .filter(col("o_orderdate") >= lit("1995-01-01") &&
+            col("o_orderdate") < lit("1995-04-01"))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("totacctbal"))
+    }),
+
     // EXCEPT (distinct set difference): customers active in 1995 but
     // not in 1996.
     "q23_churned_1996" -> ((s, d) => {
@@ -609,6 +688,53 @@ object RelationalQueries {
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY c_custkey, c_name, n_name
          ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+    "q33_priority_lines" ->
+      """SELECT l_returnflag,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY l_returnflag""",
+    "q34_disjunctive_ranges" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+           AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11
+             AND p_size BETWEEN 1 AND 5)
+            OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 10 AND 20
+             AND p_size BETWEEN 1 AND 10)
+            OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 20 AND 30
+             AND p_size BETWEEN 1 AND 15)""",
+    "q35_supplier_part_counts" ->
+      """SELECT p_brand, p_type, p_size,
+         CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_type NOT LIKE 'PROMO%'
+           AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+           AND l_suppkey NOT IN (
+             SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size""",
+    "q36_wealthy_inactive" ->
+      """WITH ab AS (
+           SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS avg_bal
+           FROM customer WHERE c_acctbal > 0
+         )
+         SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
+         FROM customer, ab
+         WHERE c_acctbal > ab.avg_bal
+           AND c_custkey NOT IN (
+             SELECT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+               AND o_orderdate < TIMESTAMP '1995-04-01')
+         GROUP BY c_nationkey""",
     "q23_churned_1996" ->
       """SELECT o_custkey FROM orders
          WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'

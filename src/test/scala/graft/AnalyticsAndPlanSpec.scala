@@ -101,4 +101,23 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), plan.take(800))
   }
+
+  test("plan quality: IVF cell assignment is an aggregate, not a window sort") {
+    // assignCells must reduce the N·K scored rows with a partial-agg
+    // max_by (shuffle carries N rows); a Window.partitionBy(id) argmax
+    // would sort all N·K rows through one shuffle — at 10⁹×256 vectors
+    // that shuffle is the whole job.
+    import graft.ext.Similarity
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cells = Similarity.assignCells(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") % 97 === 1)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
+    val plan = cells.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(1200))
+    assert(plan.contains("max_by") || plan.contains("HashAggregate"),
+      plan.take(1200))
+    // and the aggregate runs with a partial (map-side) phase
+    assert(plan.contains("partial_"), plan.take(1200))
+  }
 }

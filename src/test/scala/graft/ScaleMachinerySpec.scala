@@ -159,7 +159,15 @@ class ScaleMachinerySpec extends AnyFunSuite {
       "vec_id", "embedding", 3))
     val ivfRecall = (ivf & truth).size.toDouble / truth.size
     assert(ivfRecall >= 0.25, s"IVF recall $ivfRecall")
-    info(f"recall@3 — lsh(2b): $r2%.2f lsh(8b): $r8%.2f ivf: $ivfRecall%.2f")
+    // multiprobe is a recall-RECOVERY lever: probing 2 cells must never
+    // lose pairs found at nprobe=1 (the nprobe=1 cell is always probed)
+    val ivf2 = pairs(Similarity.ivfTopKProbed(emb, queries, centroids,
+      "vec_id", "embedding", 3, 2))
+    val ivf2Recall = (ivf2 & truth).size.toDouble / truth.size
+    assert(ivf2Recall >= ivfRecall,
+      s"nprobe=2 recall $ivf2Recall < nprobe=1 recall $ivfRecall")
+    info(f"recall@3 — lsh(2b): $r2%.2f lsh(8b): $r8%.2f " +
+      f"ivf: $ivfRecall%.2f ivf(nprobe=2): $ivf2Recall%.2f")
   }
 
   test("AQE splits a skewed join partition at runtime") {
