@@ -47,25 +47,61 @@ object Pipeline {
     s"""{"records_in_xml_doc": $n, "collectionendtimestamp_plus_3_mins": $ts}"""
   }
 
+  /** Sink-side batch ledger: records the highest batchId whose push
+    * COMPLETED. After a crash between sink output and checkpoint commit,
+    * Structured Streaming re-runs the last batch — consulting the ledger
+    * turns that at-least-once replay into exactly-once OUTPUT (the
+    * standard foreachBatch idempotence pattern). An implementation must
+    * make `markCommitted` durable with the batch's output (same
+    * transaction, or written after the output is visible); the in-memory
+    * implementation is for tests and single-JVM runs. */
+  trait BatchLedger extends Serializable {
+    /** Highest committed batchId, -1 when none. */
+    def lastCommitted: Long
+    def markCommitted(batchId: Long): Unit
+  }
+
+  class InMemoryBatchLedger extends BatchLedger {
+    private val last = new java.util.concurrent.atomic.AtomicLong(-1L)
+    override def lastCommitted: Long = last.get()
+    override def markCommitted(batchId: Long): Unit =
+      last.updateAndGet(math.max(_, batchId)): Unit
+  }
+
+  /** One micro-batch through the job-bracketed Kinesis sink — the
+    * foreachBatch body, extracted so batch-replay semantics are directly
+    * testable. A batch at-or-below the ledger's committed mark is a
+    * restart replay: skipped entirely (no duplicate push, no duplicate
+    * DI job bracket). */
+  def pushBatch(batch: DataFrame, batchId: Long, sink: KinesisSink,
+                di: DiFramework, shards: Int,
+                ledger: Option[BatchLedger] = None): Unit = {
+    if (ledger.exists(_.lastCommitted >= batchId)) return // replayed batch
+    di.startJob() // D1
+    try {
+      val out = KinesisSink.toKinesisRecords(batch)
+        .repartition(shards, col("partitionKey"))
+      sink.push(out) // K1-K4 on executors
+      di.logJobStatus(batchMetricsJson(batch)) // D2 + K6/A3/A4
+      di.endJob() // D3
+      ledger.foreach(_.markCommitted(batchId))
+    } catch {
+      case e: Exception => di.errorJob(e.getMessage); throw e // D4
+    }
+  }
+
   /** Wire the record stream into the job-bracketed Kinesis sink.
     *
     * @param shards number of output partitions ≈ Kinesis shard fan-out
+    * @param ledger optional exactly-once output ledger (see BatchLedger)
     */
   def run(records: DataFrame, sink: KinesisSink, di: DiFramework,
-          checkpointDir: String, shards: Int = 1): StreamingQuery =
+          checkpointDir: String, shards: Int = 1,
+          ledger: Option[BatchLedger] = None): StreamingQuery =
     records.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        di.startJob() // D1
-        try {
-          val out = KinesisSink.toKinesisRecords(batch)
-            .repartition(shards, col("partitionKey"))
-          sink.push(out) // K1-K4 on executors
-          di.logJobStatus(batchMetricsJson(batch)) // D2 + K6/A3/A4
-          di.endJob() // D3
-        } catch {
-          case e: Exception => di.errorJob(e.getMessage); throw e // D4
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        pushBatch(batch, batchId, sink, di, shards, ledger)
       }
       .start()
 }

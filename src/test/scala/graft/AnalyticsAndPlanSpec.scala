@@ -33,6 +33,35 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("§2.9: watermarked stream-stream join pairs counts with recent alarms") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val counts = MemoryStream[String]
+    val alarms = MemoryStream[(String, String, String, String)]
+    val joined = graft.stream.StreamJoins.countsWithRecentAlarms(
+      Pipeline.payloadToRecords(counts.toDF()),
+      alarms.toDS().toDF("id", "date", "reg", "value"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("counts_alarms").start()
+    try {
+      val et = epoch1543 - 180 // the record's event time
+      def iso(epoch: Long): String =
+        java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME.format(
+          java.time.Instant.ofEpochSecond(epoch)
+            .atZone(java.time.ZoneOffset.ofHours(11)))
+      counts.addData(singleSiteDoc)
+      alarms.addData(
+        ("SA-in", iso(et - 300), "ROZ", "HIGH"), // 5 min before → joins
+        ("SA-old", iso(et - 7200), "ROZ", "LOW"), // 2 h before → outside horizon
+        ("SA-other", iso(et - 300), "SYD", "LOW")) // wrong region
+      q.processAllAvailable()
+      val rows = spark.table("counts_alarms").collect()
+      assert(rows.map(_.getAs[String]("alarm_id")).toSeq === Seq("SA-in"),
+        rows.mkString(";"))
+      assert(rows.head.getAs[String]("alarm_value") === "HIGH")
+    } finally q.stop()
+  }
+
   test("event time = date - 180s (3-min delivery lag, SURVEY §1.2)") {
     import spark.implicits._
     val records = Pipeline.payloadToRecords(Seq(singleSiteDoc).toDF("value"))

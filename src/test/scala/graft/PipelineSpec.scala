@@ -71,6 +71,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(calls(2).startsWith("disch.end_job(graft_job,42)"))
   }
 
+  test("BatchLedger makes a replayed foreachBatch exactly-once at the sink") {
+    import spark.implicits._
+    PipelineSpecState.reset()
+    val records = Pipeline.payloadToRecords(Seq(singleSiteDoc).toDF("value"))
+    val sink = new KinesisSink(() => new RecordingClient, "stream",
+      sleeper = _ => ())
+    val di = new DiFramework(new RecordingCaller, "disch", "graft_job")
+    val ledger = new Pipeline.InMemoryBatchLedger
+    // first delivery of batch 0: pushes + brackets + marks the ledger
+    Pipeline.pushBatch(records, 0L, sink, di, 1, Some(ledger))
+    assert(PipelineSpecState.pushed.size === 1)
+    assert(ledger.lastCommitted === 0L)
+    // crash-replay of batch 0 (Structured Streaming re-runs the last
+    // unacknowledged batch on restart): no duplicate push, no duplicate
+    // DI job bracket
+    val callsAfterFirst = PipelineSpecState.procCalls.size
+    Pipeline.pushBatch(records, 0L, sink, di, 1, Some(ledger))
+    assert(PipelineSpecState.pushed.size === 1)
+    assert(PipelineSpecState.procCalls.size === callsAfterFirst)
+    // the NEXT batch flows normally
+    Pipeline.pushBatch(records, 1L, sink, di, 1, Some(ledger))
+    assert(PipelineSpecState.pushed.size === 2)
+    assert(ledger.lastCommitted === 1L)
+  }
+
   test("D5: K/V extraction from proc response (di_framework.py:44-55)") {
     val di = new DiFramework(new RecordingCaller, "s", "j")
     assert(di.extractValue(
