@@ -41,7 +41,8 @@ final case class GraftConsumer(spark: SparkSession,
                                username: String = null,
                                password: String = null,
                                stallTimeoutMs: Int = 20 * 60 * 1000,
-                               maxReconnects: Int = 3) {
+                               maxReconnects: Int = 3,
+                               maxDocsPerBatch: Option[Long] = None) {
 
   private def transis(path: String) = {
     var r = spark.read.format("transis")
@@ -53,12 +54,18 @@ final case class GraftConsumer(spark: SparkSession,
     r.load()
   }
 
-  /** S1/S2 live stream of framed documents (one `value` row per doc). */
+  /** S1/S2 live stream of framed documents (one `value` row per doc).
+    * `maxDocsPerBatch` bounds each micro-batch (admission control) —
+    * `Some(1)` reproduces the reference generator's one-document-at-a-
+    * time cadence (`transis_consumer.py:115-151`); pair with
+    * `Trigger.AvailableNow()` to drain a backfill and stop. */
   def detectorCountStream(): DataFrame = {
     var r = spark.readStream.format("transis")
       .option("path", streamPath)
       .option("stalltimeoutms", stallTimeoutMs.toString)
       .option("maxreconnects", maxReconnects.toString)
+    maxDocsPerBatch.foreach(n =>
+      r = r.option("maxdocsperbatch", n.toString))
     if (username != null)
       r = r.option("username", username).option("password", password)
     r.load()

@@ -111,6 +111,20 @@ object TextAnalysis {
     when(text.isNull, array().cast("array<string>")).otherwise(chunks)
   }
 
+  /** PII patterns for corpus redaction. Kept RE2-compatible (no
+    * backrefs/lookaround) so the exact same patterns run in RE2-based
+    * engines — and in the DuckDB oracle. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val longNumPattern = "\\d{6,}"
+
+  /** Training-corpus PII redaction: emails, then long digit runs (ids,
+    * phone-ish numbers), replaced with typed placeholder tokens. Pure
+    * codegen'd regexp_replace — shuffle-free, scales with the scan. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      longNumPattern, "<NUM>")
+
   /** Document fingerprint: minimum md5 over word-5-gram shingles — the
     * min-sampling ("winnowing"-flavored) rolling-hash fingerprint
     * (SURVEY §7.4). Identical docs ⇒ identical fingerprints; near-identical

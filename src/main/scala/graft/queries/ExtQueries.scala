@@ -343,6 +343,44 @@ object ExtQueries {
           col("col").cast("bigint").as("lane_sum"))
     }),
 
+    // PII redaction. The synthetic corpus is PII-free, so deterministic
+    // PII is injected identically on both sides — the gate then verifies
+    // the redaction's regex-replacement semantics byte-for-byte (via
+    // md5 of the redacted text) across engines.
+    "t10_redact_pii" -> ((s, d) => {
+      val noisy = documents(s, d).select(col("doc_id"),
+        concat(lit("contact user"), col("doc_id"),
+          lit("@example.com ref 9"), col("doc_id"), lit("00123 "),
+          col("text")).as("text"))
+      noisy.select(col("doc_id"),
+        md5(TextAnalysis.redactPii(col("text"))).as("redacted_md5"),
+        size(regexp_extract_all(col("text"),
+          lit(TextAnalysis.emailPattern), lit(0))).cast("int")
+          .as("n_emails"),
+        size(regexp_extract_all(col("text"),
+          lit(TextAnalysis.longNumPattern), lit(0))).cast("int")
+          .as("n_nums"))
+    }),
+
+    // Benchmark decontamination: flag corpus documents sharing any word
+    // 3-gram with a held-out "benchmark" subset. The benchmark's
+    // distinct gram set is small → broadcast semi-join; the corpus side
+    // is one scan + narrow explode — the shape that survives a 100 TB
+    // corpus (never corpus×corpus, no shuffle of corpus grams).
+    "t11_decontaminate" -> ((s, d) => {
+      val docs = documents(s, d)
+      val bench = docs.filter(col("doc_id") % 100 === 7)
+        .select(explode(TextAnalysis.wordShingles(col("text"), 3)).as("g"))
+        .distinct()
+      docs.filter(col("doc_id") % 100 =!= 7)
+        .select(col("doc_id"),
+          explode(TextAnalysis.wordShingles(col("text"), 3)).as("g"))
+        .distinct()
+        .join(broadcast(bench), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("bigint").as("n_shared"))
+    }),
+
     // Composed corpus-cleaning gate: the t01/t02/t05 signals as one
     // filter — language agreement, quality floor, repetition ceiling —
     // summarized per language (the training-data cleaning pipeline).
@@ -914,6 +952,40 @@ object ExtQueries {
                       string_split(text, ' ')[i+4])), 'min')
            ELSE md5(text) END AS fp
          FROM documents""",
+    "t10_redact_pii" ->
+      """WITH noisy AS (
+           SELECT doc_id,
+             'contact user' || doc_id || '@example.com ref 9' || doc_id
+               || '00123 ' || text AS text
+           FROM documents
+         )
+         SELECT doc_id,
+           md5(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+             'g'), '\d{6,}', '<NUM>', 'g')) AS redacted_md5,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\d{6,}')) AS INTEGER)
+             AS n_nums
+         FROM noisy""",
+    "t11_decontaminate" ->
+      """WITH grams AS (
+           SELECT doc_id, unnest(
+             CASE WHEN len(string_split(text, ' ')) >= 3
+               THEN list_transform(
+                 range(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2])
+               ELSE [text] END) AS g
+           FROM documents
+         ), dg AS (SELECT DISTINCT doc_id, g FROM grams),
+         bench AS (SELECT DISTINCT g FROM dg WHERE doc_id % 100 = 7)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         FROM dg JOIN bench USING (g)
+         WHERE doc_id % 100 != 7
+         GROUP BY doc_id""",
     "a01_hll_sketch" ->
       """SELECT COUNT(DISTINCT text) AS exact, TRUE AS within_5pct
          FROM documents""",
