@@ -381,6 +381,21 @@ object ExtQueries {
         .agg(count(lit(1)).cast("bigint").as("n_shared"))
     }),
 
+    // Corpus profiling: per-source shape stats a pipeline reads before
+    // deciding how to process a new snapshot. One hash aggregate; the
+    // mean rides an integer sum so the division is bit-stable.
+    "t12_corpus_profile" -> ((s, d) => {
+      documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("text").isNull, 1L).otherwise(0L)).cast("bigint")
+            .as("n_null_text"),
+          countDistinct(col("lang")).cast("bigint").as("n_langs"),
+          (sum(TextAnalysis.wsTokenCount(col("text")).cast("bigint"))
+            .cast("double") / count(lit(1))).as("avg_tokens"),
+          min(length(col("text"))).cast("int").as("min_len"),
+          max(length(col("text"))).cast("int").as("max_len"))
+    }),
+
     // Composed corpus-cleaning gate: the t01/t02/t05 signals as one
     // filter — language agreement, quality floor, repetition ceiling —
     // summarized per language (the training-data cleaning pipeline).
@@ -986,6 +1001,16 @@ object ExtQueries {
          FROM dg JOIN bench USING (g)
          WHERE doc_id % 100 != 7
          GROUP BY doc_id""",
+    "t12_corpus_profile" ->
+      """SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_text,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) AS avg_tokens,
+         CAST(MIN(length(text)) AS INTEGER) AS min_len,
+         CAST(MAX(length(text)) AS INTEGER) AS max_len
+         FROM documents GROUP BY source""",
     "a01_hll_sketch" ->
       """SELECT COUNT(DISTINCT text) AS exact, TRUE AS within_5pct
          FROM documents""",
