@@ -146,28 +146,42 @@ object Dedup {
     // plan would materialize the upstream twice. Partitioning follows the
     // input (AQE coalesces small shuffles); a fixed partition count here
     // would serialize 10⁹-edge graphs onto a handful of tasks.
+    // Labels only ever decrease, so an unchanged sum(cluster) is an
+    // exact fixpoint witness. The sum is computed IN the pass that
+    // materializes the round's checkpoint (cluster is column 1 of the
+    // label rows) — one job per round, not checkpoint-then-aggregate.
+    def ckptWithSum(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_], Long) =
+      if (reliable) {
+        val out = df.checkpoint(eager = true)
+        (out, null, out.agg(sum(col("cluster"))).head().getLong(0))
+      } else {
+        val rdd = df.queryExecution.toRdd.map(_.copy()).localCheckpoint()
+        val s = rdd.mapPartitions { it =>
+          var acc = 0L
+          while (it.hasNext) acc += it.next().getLong(1)
+          Iterator.single(acc)
+        }.fold(0L)(_ + _)
+        (org.apache.spark.sql.graftbridge.DatasetBridge
+          .internalDf(spark, rdd, df.schema), rdd, s)
+      }
     val (p, pRdd) = ckpt(pairs.select(col("a_id"), col("b_id")))
     val edges = p.union(p.select(col("b_id").as("a_id"),
       col("a_id").as("b_id")))
-    var (labels, labelsRdd) = ckpt(edges.select(col("a_id").as("id"))
-      .distinct().withColumn("cluster", col("id")))
+    var (labels, labelsRdd, prevSum) = ckptWithSum(
+      edges.select(col("a_id").as("id"))
+        .distinct().withColumn("cluster", col("id")))
     var converged = false
     var round = 0
-    // labels only ever decrease, so an unchanged sum(cluster) is an exact
-    // fixpoint witness — one cheap agg per round (carried across rounds)
-    // instead of a change-count join
-    var prevSum = labels.agg(sum(col("cluster"))).head().getLong(0)
     while (!converged && round < maxRounds) {
       val propagated = edges
         .join(labels, edges("b_id") === labels("id"))
         .groupBy(col("a_id").as("nid"))
         .agg(min(col("cluster")).as("ncluster"))
-      val (next, nextRdd) = ckpt(
+      val (next, nextRdd, newSum) = ckptWithSum(
         labels.join(propagated, labels("id") === col("nid"), "left")
           .select(col("id"),
             least(col("cluster"), coalesce(col("ncluster"), col("cluster")))
               .as("cluster")))
-      val newSum = next.agg(sum(col("cluster"))).head().getLong(0)
       release(labelsRdd) // superseded round: free its executor storage
       labels = next
       labelsRdd = nextRdd
