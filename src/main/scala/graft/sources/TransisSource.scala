@@ -91,6 +91,12 @@ private[sources] object TransisConnCache {
     val old = entries.put(key, (pos, framer))
     if (old != null) old._2.close()
   }
+  /** Close and drop the parked connection for one endpoint. */
+  def drop(key: String): Unit = {
+    val e = entries.remove(key)
+    if (e != null) e._2.close()
+  }
+
   /** Close and drop every parked connection (tests / shutdown). */
   def clear(): Unit = {
     val it = entries.values().iterator()
@@ -267,6 +273,10 @@ class HttpPayloadTransport(url: String,
       try countIn.close() catch { case _: java.io.IOException => () }
       countIn = null
     }
+    // release any connection parked for this endpoint in THIS JVM (local
+    // mode / driver-side reads); executor-side entries age out through
+    // the server's own idle timeout and the IOException-miss fallback
+    TransisConnCache.drop(cacheKey)
   }
 
   /** Read [from, until), continuing a parked connection when one sits at

@@ -27,8 +27,16 @@ object StreamJoins {
     * @param alarms  monitor-record shape (id, date, reg, value) — the
     *                S5 SiteAlarm surface
     */
+  /** @param joinType "inner" (alarm-free records drop out) or
+    *   "left_outer" — every record survives, alarm columns null when no
+    *   alarm landed in the horizon. Outer rows can only emit once the
+    *   watermark passes the record's horizon (Spark must prove no
+    *   matching alarm can still arrive), so outer results trail the
+    *   stream by watermark + horizon — the unavoidable price of
+    *   correctness on unordered streams. */
   def countsWithRecentAlarms(records: DataFrame, alarms: DataFrame,
-                             horizonMinutes: Int = 30): DataFrame = {
+                             horizonMinutes: Int = 30,
+                             joinType: String = "inner"): DataFrame = {
     val c = WindowedAnalytics.withEventTime(records)
       .withWatermark("eventTime", "10 minutes")
     val a = alarms.select(
@@ -41,7 +49,8 @@ object StreamJoins {
       col("region") === col("alarm_reg") &&
         col("alarmTime") >= col("eventTime") -
           expr(s"INTERVAL $horizonMinutes MINUTES") &&
-        col("alarmTime") <= col("eventTime"))
+        col("alarmTime") <= col("eventTime"),
+      joinType)
       .select(col("region"), col("siteId"), col("eventTime"),
         col("alarm_id"), col("alarm_value"), col("alarmTime"))
   }

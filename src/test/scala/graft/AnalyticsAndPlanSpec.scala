@@ -62,6 +62,37 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("§2.9: left-outer stream-stream join emits alarm-free records after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val counts = MemoryStream[String]
+    val alarms = MemoryStream[(String, String, String, String)]
+    val joined = graft.stream.StreamJoins.countsWithRecentAlarms(
+      Pipeline.payloadToRecords(counts.toDF()),
+      alarms.toDS().toDF("id", "date", "reg", "value"),
+      joinType = "left_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("counts_alarms_outer").start()
+    try {
+      def docAt(date: String): String =
+        singleSiteDoc.replace("2019-10-03T15:43:00+10:00", date)
+      counts.addData(singleSiteDoc) // ROZ, no alarm anywhere
+      alarms.addData(("SA-x", "2019-10-01T00:00:00+10:00", "SYD", "LOW"))
+      q.processAllAvailable()
+      // outer row can't emit yet: a matching alarm could still arrive
+      assert(spark.table("counts_alarms_outer").count() === 0)
+      // a count two hours later pushes BOTH watermarks past the first
+      // record's horizon → the unmatched row emits with null alarm
+      counts.addData(docAt("2019-10-03T17:43:00+10:00"))
+      alarms.addData(("SA-y", "2019-10-03T17:40:00+10:00", "SYD", "LOW"))
+      q.processAllAvailable()
+      q.processAllAvailable() // one more cycle for the state-eviction batch
+      val rows = spark.table("counts_alarms_outer").collect()
+      assert(rows.exists(r => r.getAs[String]("alarm_id") == null &&
+        r.getAs[String]("region") == "ROZ"), rows.mkString(";"))
+    } finally q.stop()
+  }
+
   test("event time = date - 180s (3-min delivery lag, SURVEY §1.2)") {
     import spark.implicits._
     val records = Pipeline.payloadToRecords(Seq(singleSiteDoc).toDF("value"))
