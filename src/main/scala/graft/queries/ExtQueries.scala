@@ -318,6 +318,22 @@ object ExtQueries {
             .as("within_5pct"))
     }),
 
+    // Quantile sketch (the second sketch-family op beside a01's HLL):
+    // percentile_approx vs the exact interpolated percentile, gated as
+    // exact values + within-tolerance booleans (the a01 pattern — the
+    // sketch's guarantee, not its internals, is the oracle contract).
+    "a02_quantile_sketch" -> ((s, d) => {
+      lineitem(s, d)
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50_exact"),
+          expr("percentile(l_quantity, 0.9)").as("p90_exact"),
+          expr("percentile_approx(l_quantity, 0.5, 10000)").as("p50_est"),
+          expr("percentile_approx(l_quantity, 0.9, 10000)").as("p90_est"))
+        .select(col("p50_exact"), col("p90_exact"),
+          (abs(col("p50_est") - col("p50_exact")) <= 1.0).as("p50_ok"),
+          (abs(col("p90_est") - col("p90_exact")) <= 1.0).as("p90_ok"))
+    }),
+
     // mapPartitions decode plumbing (deterministic stub codec): the
     // decode-stage outputs that ARE SQL-expressible (mime/byte_len/
     // checksum) — oracle-gated, proving the mapPartitions path computes
@@ -447,6 +463,22 @@ object ExtQueries {
       Multimodal.sampleFrames(media, 4).toDF()
         .select(col("media_id"), col("frame_no"),
           octet_length(col("frame")).as("frame_len"))
+    }),
+
+    // Resize stub, oracle-gated byte-for-byte at probe positions: the
+    // stride-sampling arithmetic ((j·len)/out floor division) must agree
+    // with the relational formulation exactly; bytes are compared via
+    // hex-dump extraction, the same trick as m03.
+    "m05_resize" -> ((s, d) => {
+      val media = Multimodal.asMediaTable(documents(s, d), "doc_id", "text",
+        "source")
+      def byteAt(k: Int) =
+        conv(substring(hex(col("payload_resized")), 2 * k + 1, 2), 16, 10)
+          .cast("int").as(s"b$k")
+      Multimodal.resizeAll(media, 12, 12)
+        .select(col("media_id"),
+          octet_length(col("payload_resized")).as("r_len"),
+          byteAt(0), byteAt(71), byteAt(143))
     })
   )
 
@@ -1014,6 +1046,31 @@ object ExtQueries {
     "a01_hll_sketch" ->
       """SELECT COUNT(DISTINCT text) AS exact, TRUE AS within_5pct
          FROM documents""",
+    // exact interpolated percentiles (quantile_cont ≡ Spark percentile);
+    // the approx side is asserted via tolerance booleans, a01-style
+    "a02_quantile_sketch" ->
+      """SELECT quantile_cont(l_quantity, 0.5) AS p50_exact,
+         quantile_cont(l_quantity, 0.9) AS p90_exact,
+         TRUE AS p50_ok, TRUE AS p90_ok
+         FROM lineitem""",
+    "m05_resize" ->
+      """WITH b AS (
+           SELECT CAST(doc_id AS BIGINT) AS media_id,
+             hex(encode(text)) AS h,
+             octet_length(encode(text)) AS len
+           FROM documents
+         )
+         SELECT media_id, CAST(144 AS INTEGER) AS r_len,
+           CAST(CASE WHEN len = 0 THEN 0 ELSE
+             ('0x' || substr(h, 2 * ((0 * len) // 144) + 1, 2))::INT
+             END AS INTEGER) AS b0,
+           CAST(CASE WHEN len = 0 THEN 0 ELSE
+             ('0x' || substr(h, 2 * ((71 * len) // 144) + 1, 2))::INT
+             END AS INTEGER) AS b71,
+           CAST(CASE WHEN len = 0 THEN 0 ELSE
+             ('0x' || substr(h, 2 * ((143 * len) // 144) + 1, 2))::INT
+             END AS INTEGER) AS b143
+         FROM b""",
     "m01_multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
          'text/plain;src=' || source AS mime,
