@@ -11,6 +11,15 @@ import graft.queries.{ExtQueries, Memos}
 class MemosSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
 
+  test("every gate query has a DuckDB oracle (full rows+schema+hash gate)") {
+    // 100% oracle coverage is a round-3 invariant: a queries entry
+    // without oracleSql silently degrades to a rows-only check
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without query: ${(o -- q).toSeq.sorted}")
+  }
+
   test("evictAll unpersists memoized frames and deletes the fixture lake") {
     val sf = "/root/testdata/sf0.001"
     // other suites may legitimately leave storage around — assert on the
