@@ -70,6 +70,26 @@ object EventsQueries {
           expr("ts div 1000000000").as("first_tsec"))
     }),
 
+    // As-of join (ext/AsOf): each click attached to the user's most
+    // recent view at-or-before it — merge-pattern (one key shuffle +
+    // per-key sort), checked against DuckDB's native ASOF JOIN.
+    "e06_asof_join" -> ((s, d) => {
+      val ev = events(s, d) // ts = epoch-nanos long (see Tables.events)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.ext.AsOf.asofJoin(clicks, views, "user_id", "ts",
+        Seq("event_id", "ts"))
+        .filter(col("asof_event_id").isNotNull) // inner semantics
+        .select(col("user_id"), col("event_id").as("l_event_id"),
+          col("asof_event_id").as("r_event_id"),
+          // truncate EACH side to micros before subtracting (the data's
+          // nanos are not µs-aligned; flooring the ns difference instead
+          // drifts ±1 µs against per-timestamp truncation)
+          expr("(ts div 1000) - (asof_ts div 1000)").as("delta_us"))
+    }),
+
     // Semi-structured JSON extraction from the props payload.
     "e03_json_extract" -> ((s, d) => {
       events(s, d)
@@ -128,6 +148,15 @@ object EventsQueries {
          SELECT user_id, event_type, event_id AS first_event,
            CAST(floor(epoch(ts)) AS BIGINT) AS first_tsec
          FROM r WHERE rn = 1""",
+    "e06_asof_join" ->
+      """SELECT l.user_id, l.event_id AS l_event_id,
+         r.event_id AS r_event_id,
+         date_diff('microsecond', r.ts, l.ts) AS delta_us
+         FROM (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'click') l
+         ASOF JOIN (SELECT user_id, ts, event_id FROM events
+                    WHERE event_type = 'view') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts""",
     "e03_json_extract" ->
       """SELECT event_type,
          CAST(SUM(k) AS BIGINT) AS sum_k,

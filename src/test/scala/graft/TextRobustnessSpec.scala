@@ -46,6 +46,21 @@ class TextRobustnessSpec extends AnyFunSuite {
     assert(rep.length === 6)
   }
 
+  test("as-of join: at-or-before semantics, ties, and missing matches") {
+    import spark.implicits._
+    val clicks = Seq((1L, 100L, 10L), (1L, 50L, 11L), (2L, 10L, 12L))
+      .toDF("user_id", "ts", "event_id")
+    val views = Seq((1L, 100L, 20L), (1L, 40L, 21L), (1L, 90L, 22L))
+      .toDF("user_id", "ts", "event_id")
+    val out = graft.ext.AsOf.asofJoin(clicks, views, "user_id", "ts",
+      Seq("event_id")).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Any]("asof_event_id"))).toMap
+    assert(out(10L) === Some(20L)) // tie: view AT the click's ts is taken
+    assert(out(11L) === Some(21L)) // 40 <= 50 < 90: earlier view wins
+    assert(out(12L) === None)      // user 2 has no views at all
+  }
+
   test("dedup pipeline survives a corpus containing degenerate docs") {
     import graft.ext.Dedup
     val shingled = pathological.select(col("doc_id"),
