@@ -90,6 +90,24 @@ object EventsQueries {
           expr("(ts div 1000) - (asof_ts div 1000)").as("delta_us"))
     }),
 
+    // Keyless interval join (ext/RangeJoin): every non-error event
+    // falling inside the 10-minute window after each error, counted per
+    // window — bucket-equi-join + residual range filter, never a
+    // cartesian product.
+    "e07_incident_windows" -> ((s, d) => {
+      val ev = events(s, d) // ts = epoch-nanos long
+      val tenMinNs = 600L * 1000 * 1000 * 1000
+      val windows = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("ts").as("lo"),
+          (col("ts") + tenMinNs).as("hi"))
+      val pts = ev.filter(col("event_type") =!= "error")
+        .select(col("event_id"), col("ts"))
+      graft.ext.RangeJoin.intervalJoin(pts, "ts", windows, "lo", "hi",
+        bucketWidth = tenMinNs)
+        .groupBy(col("err_id"))
+        .agg(count(lit(1)).as("n_events"))
+    }),
+
     // Semi-structured JSON extraction from the props payload.
     "e03_json_extract" -> ((s, d) => {
       events(s, d)
@@ -157,6 +175,17 @@ object EventsQueries {
          ASOF JOIN (SELECT user_id, ts, event_id FROM events
                     WHERE event_type = 'view') r
            ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "e07_incident_windows" ->
+      """WITH w AS (
+           SELECT event_id AS err_id, ts AS lo,
+             ts + INTERVAL 600 SECOND AS hi
+           FROM events WHERE event_type = 'error'
+         ), p AS (
+           SELECT event_id, ts FROM events WHERE event_type != 'error'
+         )
+         SELECT err_id, COUNT(*) AS n_events
+         FROM p JOIN w ON p.ts >= w.lo AND p.ts <= w.hi
+         GROUP BY err_id""",
     "e03_json_extract" ->
       """SELECT event_type,
          CAST(SUM(k) AS BIGINT) AS sum_k,

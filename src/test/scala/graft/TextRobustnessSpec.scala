@@ -61,6 +61,26 @@ class TextRobustnessSpec extends AnyFunSuite {
     assert(out(12L) === None)      // user 2 has no views at all
   }
 
+  test("interval join: boundary inclusivity, bucket spans, and plan shape") {
+    import spark.implicits._
+    val pts = Seq((1L, 0L), (2L, 100L), (3L, 150L), (4L, 151L), (5L, 250L))
+      .toDF("pid", "ts")
+    // interval [100, 150] crosses the bucket-100 grid boundary
+    val ivs = Seq((10L, 100L, 150L), (11L, 240L, 260L))
+      .toDF("iid", "lo", "hi")
+    val out = graft.ext.RangeJoin.intervalJoin(pts, "ts", ivs, "lo", "hi",
+      bucketWidth = 100L)
+    val got = out.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 100 and 150 are both INSIDE (inclusive bounds); 151 is not; the
+    // cross-bucket point 150 is found because the interval exploded
+    // into both buckets; 250 lands in [240,260]
+    assert(got === Set((2L, 10L), (3L, 10L), (5L, 11L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
   test("dedup pipeline survives a corpus containing degenerate docs") {
     import graft.ext.Dedup
     val shingled = pathological.select(col("doc_id"),
