@@ -412,6 +412,25 @@ object ExtQueries {
           max(length(col("text"))).cast("int").as("max_len"))
     }),
 
+    // Deterministic train/val/test splitting: every document lands in
+    // the same split on every engine and every run — the split key is
+    // an md5 bucket of the doc id (NOT rand(): resampling on stage
+    // retry, and not Spark's hash(): engine-specific). Narrow, zero
+    // shuffle before the per-split rollup.
+    "t13_split" -> ((s, d) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("bigint") % 10
+      documents(s, d)
+        .withColumn("split",
+          when(bucket < 8, "train").when(bucket === 8, "val")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).cast("bigint").as("n_langs"),
+          sum(TextAnalysis.wsTokenCount(col("text")).cast("bigint"))
+            .cast("bigint").as("total_tokens"))
+    }),
+
     // Composed corpus-cleaning gate: the t01/t02/t05 signals as one
     // filter — language agreement, quality floor, repetition ceiling —
     // summarized per language (the training-data cleaning pipeline).
@@ -1033,6 +1052,21 @@ object ExtQueries {
          FROM dg JOIN bench USING (g)
          WHERE doc_id % 100 != 7
          GROUP BY doc_id""",
+    "t13_split" ->
+      """WITH s AS (
+           SELECT *,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 10 AS bucket
+           FROM documents
+         )
+         SELECT CASE WHEN bucket < 8 THEN 'train'
+                     WHEN bucket = 8 THEN 'val'
+                     ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+             AS BIGINT) AS total_tokens
+         FROM s GROUP BY 1""",
     "t12_corpus_profile" ->
       """SELECT source, COUNT(*) AS n_docs,
          CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
