@@ -466,6 +466,36 @@ object RelationalQueries {
             .as("totacctbal"))
     }),
 
+    // Correlated scalar subquery through the SQL surface — Catalyst's
+    // decorrelation rewrites the per-row aggregate into a join; parts
+    // priced 5% above their brand's mean (retail prices sit in a tight 900-1000 band). The mean rides a DECIMAL sum
+    // so the threshold is bit-identical across engines.
+    "q37_correlated_subquery" -> ((s, d) => {
+      part(s, d).createOrReplaceTempView("part_v")
+      s.sql(
+        """SELECT p.p_partkey, p.p_brand, p.p_retailprice
+           FROM part_v p
+           WHERE p.p_retailprice > (
+             SELECT 1.05 * CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,2)))
+               AS DOUBLE) / COUNT(*)
+             FROM part_v p2 WHERE p2.p_brand = p.p_brand)""")
+    }),
+
+    // LATERAL correlated subquery join: top-2 orders per customer via a
+    // per-row dependent subquery (Catalyst plans a LateralJoin) — the
+    // SQL-surface twin of q07's Window top-n.
+    "q38_lateral_topn" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders_v")
+      customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+           FROM customer_v c,
+           LATERAL (SELECT o_orderkey, o_totalprice FROM orders_v o
+                    WHERE o.o_custkey = c.c_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC
+                    LIMIT 2) o""")
+    }),
+
     // EXCEPT (distinct set difference): customers active in 1995 but
     // not in 1996.
     "q23_churned_1996" -> ((s, d) => {
@@ -735,6 +765,20 @@ object RelationalQueries {
              WHERE o_orderdate >= TIMESTAMP '1995-01-01'
                AND o_orderdate < TIMESTAMP '1995-04-01')
          GROUP BY c_nationkey""",
+    "q37_correlated_subquery" ->
+      """SELECT p.p_partkey, p.p_brand, p.p_retailprice
+         FROM part p
+         WHERE p.p_retailprice > (
+           SELECT 1.05 * CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,2)))
+             AS DOUBLE) / COUNT(*)
+           FROM part p2 WHERE p2.p_brand = p.p_brand)""",
+    "q38_lateral_topn" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+         FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey ASC
+                  LIMIT 2) o""",
     "q23_churned_1996" ->
       """SELECT o_custkey FROM orders
          WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
