@@ -81,6 +81,65 @@ class TextRobustnessSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("as-of join ≡ naive per-row argmax on seeded random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val lefts = (1 to 60).map(i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      val rights = (101 to 180).map(i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      val got = graft.ext.AsOf.asofJoin(
+        lefts.toDF("k", "ts", "lid"), rights.toDF("k", "ts", "rid"),
+        "k", "ts", Seq("rid")).collect()
+        .map(r => r.getAs[Long]("lid") -> Option(r.getAs[Any]("asof_rid")))
+        .toMap
+      // reference: latest right at-or-before, ties to the LAST in window
+      // order (ts asc, then rid via input order) — compute max (ts, rid)
+      val want = lefts.map { case (k, lts, lid) =>
+        val c = rights.filter(r => r._1 == k && r._2 <= lts)
+        lid -> (if (c.isEmpty) None
+                else Some(c.maxBy(r => (r._2, r._3))._3))
+      }.toMap
+      assert(got.keySet === want.keySet)
+      // where right (k, ts) is unique the match is exact; duplicated
+      // (k, ts) pairs are documented as order-resolved — skip those
+      val dupTs = rights.groupBy(r => (r._1, r._2))
+        .filter(_._2.size > 1).keySet
+      want.foreach { case (lid, w) =>
+        val lt = lefts.find(_._3 == lid).get
+        val ambiguous = w.exists(rid => {
+          val r = rights.find(_._3 == rid).get; dupTs.contains((r._1, r._2))
+        })
+        if (!ambiguous) assert(got(lid) === w, s"lid=$lid")
+      }
+    }
+  }
+
+  test("interval join ≡ naive cross filter on seeded random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val pts = (1 to 80).map(i => (i.toLong, rnd.nextInt(2000).toLong))
+      val ivs = (201 to 240).map { i =>
+        val lo = rnd.nextInt(2000).toLong
+        (i.toLong, lo, lo + rnd.nextInt(100).toLong) // len ≤ 100 = width
+      }
+      val got = graft.ext.RangeJoin.intervalJoin(
+        pts.toDF("pid", "ts"), "ts",
+        ivs.toDF("iid", "lo", "hi"), "lo", "hi", bucketWidth = 100L)
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (pid, ts) <- pts
+        (iid, lo, hi) <- ivs
+        if ts >= lo && ts <= hi
+      } yield (pid, iid)).toSet
+      assert(got === want,
+        s"missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("dedup pipeline survives a corpus containing degenerate docs") {
     import graft.ext.Dedup
     val shingled = pathological.select(col("doc_id"),
