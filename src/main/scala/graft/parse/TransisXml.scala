@@ -28,11 +28,23 @@ object TransisXml {
   def stripNamespaces(c: Column): Column =
     regexp_replace(c, "(</?)[A-Za-z0-9]+:", "$1")
 
-  /** P2: parse one XML document per row against an explicit schema. */
+  /** P2: parse one XML document per row against an explicit schema.
+    *
+    * The parse is wrapped in `explode(array(…))` — a one-element Generate
+    * that is semantically the identity but acts as an optimizer barrier:
+    * downstream filters/projections reference the generator's output
+    * attribute and therefore cannot be collapsed into (and so replicate)
+    * the `from_xml` call. Without it, `CollapseProject` + filter pushdown
+    * inline the parse into every Post-Scan Filter, evaluating the XML
+    * parse 2–4× per row — invisible at fixture scale, but at 100 TB the
+    * parse IS the scan cost. `AnalyticsAndPlanSpec` asserts exactly one
+    * `from_xml` occurrence in the executed topology plan.
+    */
   def parse(framed: DataFrame, schema: StructType,
             fragmentCol: String = "fragment"): DataFrame =
     framed.select(
-      from_xml(stripNamespaces(col(fragmentCol)), schema).as("doc"))
+      explode(array(
+        from_xml(stripNamespaces(col(fragmentCol)), schema))).as("doc"))
 
   /** P4 predicate: root `@error` in {"true","True"} — reference
     * `transis_response_models.py:312-317`. */

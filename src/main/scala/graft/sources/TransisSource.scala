@@ -218,17 +218,21 @@ class HttpPayloadTransport(url: String,
     * whole life, each byte read once. A bounded endpoint signals EOF;
     * growth there is only visible through a fresh GET, so EOF re-opens
     * (at most once per call) and the replayed count folds into the
-    * high-water mark. */
+    * high-water mark. A connection OPENED within this call that reaches
+    * EOF is already a complete current view — no second GET (round 3
+    * reopened unconditionally after any EOF, reading a bounded endpoint
+    * twice per trigger). */
   override def available(): Long = synchronized {
     val chunk = new Array[Byte](8192)
-    var reopens = 0
+    var openedThisCall = false
     var go = true
     try {
       while (go) {
         if (countIn == null) {
-          if (reopens >= 2) go = false
+          if (openedThisCall) go = false // this call's fresh GET already drained
           else {
             countIn = open()
+            openedThisCall = true
             countBuf = new java.io.ByteArrayOutputStream()
             connCount = 0
             everRead = false
@@ -245,7 +249,7 @@ class HttpPayloadTransport(url: String,
               if (countIn.available() == 0) blockedOnce = true
               val n = countIn.read(chunk, 0, chunk.length)
               if (n < 0) { // EOF: bounded endpoint fully drained
-                countIn.close(); countIn = null; reopens += 1; inner = false
+                countIn.close(); countIn = null; inner = false
               } else { everRead = true; feed(chunk, n) }
             }
           }

@@ -162,6 +162,26 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("plan quality: from_xml is evaluated exactly once per row (parse barrier)") {
+    // Without the Generate barrier in TransisXml.parse, CollapseProject +
+    // filter pushdown inline the parse into every Post-Scan Filter: the
+    // topology path evaluated from_xml 3-4x per row. At 100 TB the XML
+    // parse IS the scan cost, so count occurrences in the executed plan.
+    def countParses(df: org.apache.spark.sql.DataFrame): Int = {
+      val plan = df.queryExecution.executedPlan.toString
+      "from_xml".r.findAllMatchIn(plan).length
+    }
+    val arms = SparkEntry.queries("x02_topology_arms")(spark, "")
+    assert(countParses(arms) === 1,
+      arms.queryExecution.executedPlan.toString.take(2000))
+    val counts = SparkEntry.queries("x01_detector_counts")(spark, "")
+    assert(countParses(counts) === 1,
+      counts.queryExecution.executedPlan.toString.take(2000))
+    val phases = SparkEntry.queries("x03_topology_phases")(spark, "")
+    assert(countParses(phases) === 1,
+      phases.queryExecution.executedPlan.toString.take(2000))
+  }
+
   test("plan quality: IVF cell assignment is an aggregate, not a window sort") {
     // assignCells must reduce the N·K scored rows with a partial-agg
     // max_by (shuffle carries N rows); a Window.partitionBy(id) argmax

@@ -146,6 +146,22 @@ class TransisSourceSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("available() on a bounded endpoint issues ONE GET per call, not two") {
+    // Round-3 regression: a call that opened a fresh counting connection
+    // read it to EOF, then unconditionally re-opened and read to EOF
+    // again — doubling per-trigger network/CPU on bounded endpoints.
+    val srv = new LoopbackServer(Seq(payloadBytes("doc-a", "doc-b")))
+    try {
+      val t = new HttpPayloadTransport(srv.url, stallTimeoutMs = 5000)
+      assert(t.available() === 2L)
+      assert(srv.requestLines.size === 1, srv.requestLines.toString)
+      // next call: the EOF'd connection is gone, so exactly one fresh GET
+      assert(t.available() === 2L)
+      assert(srv.requestLines.size === 2, srv.requestLines.toString)
+      t.close()
+    } finally srv.close()
+  }
+
   test("S2 over HTTP: a permanently dead endpoint exhausts the budget") {
     val srv = new LoopbackServer(Seq(payloadBytes("doc-a").take(2)))
     try {
