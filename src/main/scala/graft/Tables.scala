@@ -15,18 +15,20 @@ object Tables {
     * run re-pays that per query. The DataFrame (an immutable logical plan)
     * is safely shareable across queries in one session, so cache it.
     * Entries are evicted by [[graft.queries.Memos]] when the session stops.
+    * The cached plan pins the file listing made at first read; callers
+    * that rewrite a data dir mid-session must `evict(spark)` first.
     */
   private val relationCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     relationCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}|$dir/$name.parquet",
+      s"${SessionKey(spark)}|$dir/$name.parquet",
       _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   /** Drop cached relations belonging to `spark` (session teardown). */
   def evict(spark: SparkSession): Unit = {
-    val prefix = s"${System.identityHashCode(spark)}|"
+    val prefix = s"${SessionKey(spark)}|"
     relationCache.keySet.removeIf(_.startsWith(prefix))
   }
 

@@ -114,33 +114,39 @@ object Dedup {
     * large-graph CC shape on DataFrames: each round is one shuffle join;
     * rounds ≈ graph diameter, which for near-dup clusters is tiny).
     * Returns (id, cluster) where cluster = min doc id reachable. */
-  /** @param reliable truncate iteration lineage with `checkpoint()` to
-    *   the session's checkpoint dir (survives executor loss — the right
-    *   mode on a real cluster; `SparkContext.setCheckpointDir` must be
-    *   set) instead of executor-memory `localCheckpoint` (faster, right
-    *   for local/bench runs). */
+  /** @param reliable truncate iteration lineage with a RELIABLE
+    *   checkpoint to the session's checkpoint dir (survives executor
+    *   loss — the right mode on a real cluster;
+    *   `SparkContext.setCheckpointDir` must be set) instead of
+    *   executor-memory `localCheckpoint` (faster, right for local/bench
+    *   runs). */
   def resolveClusters(pairs: DataFrame, maxRounds: Int = 10,
                       reliable: Boolean = false): DataFrame = {
     val spark = pairs.sparkSession
     // Checkpointing each round truncates lineage — without it the plan
     // re-embeds the whole upstream pipeline per iteration (measured 631
     // exchanges for 5 rounds). Checkpoints are taken at the RDD level
-    // (DatasetBridge) so each superseded round's storage is RELEASED as
-    // soon as its successor materializes — `Dataset.localCheckpoint`
-    // hides the persisted RDD and every round would stay pinned in
-    // executor memory for the session's life. The FINAL round backs the
-    // returned frame; its handle stays reachable via
-    // `DatasetBridge.backingRdds` for the caller/memo to evict.
-    def ckpt(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) =
-      if (reliable) (df.checkpoint(eager = true), null)
-      else {
-        val rdd = df.queryExecution.toRdd.map(_.copy()).localCheckpoint()
-        rdd.count(): Unit // eager
-        (org.apache.spark.sql.graftbridge.DatasetBridge
-          .internalDf(spark, rdd, df.schema), rdd)
-      }
+    // (DatasetBridge) in BOTH modes so each superseded round's storage —
+    // executor blocks and, in reliable mode, checkpoint FILES — is
+    // RELEASED as soon as its successor materializes. (Round 3 used
+    // `Dataset.checkpoint` for reliable mode, whose files accumulated
+    // for the JVM's life.) The FINAL round backs the returned frame; its
+    // handle stays reachable via `DatasetBridge.backingRdds` for the
+    // caller/memo to evict, checkpoint files included.
+    def ckptRdd(df: DataFrame): org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+      val rdd = df.queryExecution.toRdd.map(_.copy())
+      if (reliable) {
+        // persist before checkpoint: the checkpoint job re-reads the
+        // persisted blocks instead of recomputing the round's join
+        rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rdd.checkpoint()
+      } else rdd.localCheckpoint()
+      rdd
+    }
     def release(r: org.apache.spark.rdd.RDD[_]): Unit =
-      if (r != null) { r.unpersist(blocking = false); () }
+      if (r != null) org.apache.spark.sql.graftbridge.DatasetBridge
+        .releaseRdd(r)
     // checkpoint the (expensive) pair pipeline ONCE before fanning it out
     // into the symmetric edge set — a union of two branches over the raw
     // plan would materialize the upstream twice. Partitioning follows the
@@ -150,20 +156,22 @@ object Dedup {
     // exact fixpoint witness. The sum is computed IN the pass that
     // materializes the round's checkpoint (cluster is column 1 of the
     // label rows) — one job per round, not checkpoint-then-aggregate.
-    def ckptWithSum(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_], Long) =
-      if (reliable) {
-        val out = df.checkpoint(eager = true)
-        (out, null, out.agg(sum(col("cluster"))).head().getLong(0))
-      } else {
-        val rdd = df.queryExecution.toRdd.map(_.copy()).localCheckpoint()
-        val s = rdd.mapPartitions { it =>
-          var acc = 0L
-          while (it.hasNext) acc += it.next().getLong(1)
-          Iterator.single(acc)
-        }.fold(0L)(_ + _)
-        (org.apache.spark.sql.graftbridge.DatasetBridge
-          .internalDf(spark, rdd, df.schema), rdd, s)
-      }
+    def ckptWithSum(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_], Long) = {
+      val rdd = ckptRdd(df)
+      val s = rdd.mapPartitions { it =>
+        var acc = 0L
+        while (it.hasNext) acc += it.next().getLong(1)
+        Iterator.single(acc)
+      }.fold(0L)(_ + _) // materializing action: triggers the checkpoint
+      (org.apache.spark.sql.graftbridge.DatasetBridge
+        .internalDf(spark, rdd, df.schema), rdd, s)
+    }
+    def ckpt(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+      val rdd = ckptRdd(df)
+      rdd.count(): Unit // eager
+      (org.apache.spark.sql.graftbridge.DatasetBridge
+        .internalDf(spark, rdd, df.schema), rdd)
+    }
     val (p, pRdd) = ckpt(pairs.select(col("a_id"), col("b_id")))
     val edges = p.union(p.select(col("b_id").as("a_id"),
       col("a_id").as("b_id")))

@@ -21,17 +21,25 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** @param bucketWidth grid width in `ptCol`'s units; must be ≥ the
-    *   longest interval (hi − lo) or intervals would span >2 buckets
-    *   and miss matches. */
+  /** @param bucketWidth grid width in `ptCol`'s units. Any positive
+    *   width is CORRECT (the explode covers the full lo..hi bucket
+    *   sequence); width is purely a cost knob — ≥ the longest interval
+    *   keeps the explosion at ≤2 rows per interval, smaller widths
+    *   trade more interval replicas for fewer co-bucketed points.
+    *   Inverted intervals (hi < lo) fail loudly rather than silently
+    *   producing no rows (a descending `sequence` would be empty). */
   def intervalJoin(points: DataFrame, ptCol: String,
                    intervals: DataFrame, loCol: String, hiCol: String,
                    bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    val ib = intervals
+      .withColumn("_bkt",
+        explode(sequence(
+          expr(s"CASE WHEN $hiCol >= $loCol THEN $loCol div $bucketWidth " +
+            s"ELSE raise_error(concat('intervalJoin: inverted interval hi<lo: ', " +
+            s"$hiCol, ' < ', $loCol)) END"),
+          expr(s"$hiCol div $bucketWidth"))))
     val pb = points.withColumn("_bkt", expr(s"$ptCol div $bucketWidth"))
-    val ib = intervals.withColumn("_bkt",
-      explode(sequence(expr(s"$loCol div $bucketWidth"),
-        expr(s"$hiCol div $bucketWidth"))))
     pb.join(ib, Seq("_bkt"))
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("_bkt")

@@ -23,7 +23,7 @@ object ExtQueries {
 
   private def candidatePairs(s: SparkSession, d: String): DataFrame =
     pairsCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}|$d",
+      s"${graft.SessionKey(s)}|$d",
       _ => {
         Memos.install(s)
         // the doc table is a single small parquet split; spread the
@@ -46,7 +46,7 @@ object ExtQueries {
 
   private def neardupClusters(s: SparkSession, d: String): DataFrame =
     clustersCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}|$d",
+      s"${graft.SessionKey(s)}|$d",
       _ => Dedup.resolveClusters(candidatePairs(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -55,7 +55,7 @@ object ExtQueries {
     * frames (Bench evicts between iterations; [[Memos.install]] evicts
     * at application end). */
   private[queries] def evict(s: SparkSession): Unit = {
-    val prefix = s"${System.identityHashCode(s)}|"
+    val prefix = s"${graft.SessionKey(s)}|"
     Seq(pairsCache, clustersCache).foreach { cache =>
       val it = cache.entrySet().iterator()
       while (it.hasNext) {
@@ -63,11 +63,13 @@ object ExtQueries {
         if (e.getKey.startsWith(prefix)) {
           try {
             e.getValue.unpersist(blocking = false)
-            // the clusters memo is rooted on a localCheckpoint RDD
-            // (resolveClusters) — release that storage too
+            // the clusters memo is rooted on a checkpoint RDD
+            // (resolveClusters) — release its blocks AND any reliable
+            // checkpoint files
             org.apache.spark.sql.graftbridge.DatasetBridge
               .backingRdds(e.getValue)
-              .foreach(_.unpersist(blocking = false))
+              .foreach(org.apache.spark.sql.graftbridge.DatasetBridge
+                .releaseRdd(_))
           } catch { case _: Throwable => () } // context may already be down
           it.remove()
         }

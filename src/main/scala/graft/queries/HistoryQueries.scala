@@ -20,7 +20,7 @@ object HistoryQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def lake(s: SparkSession): String =
-    lakeCache.computeIfAbsent(System.identityHashCode(s).toString, _ => {
+    lakeCache.computeIfAbsent(graft.SessionKey(s), _ => {
       Memos.install(s)
       val dir = java.nio.file.Files.createTempDirectory("graft-history").toString
       val monitors = TypedHistory.monitorTypes.map {
@@ -40,7 +40,7 @@ object HistoryQueries {
 
   /** Drop the fixture lake keyed to `s` and delete its temp directory. */
   private[queries] def evict(s: SparkSession): Unit = {
-    val dir = lakeCache.remove(System.identityHashCode(s).toString)
+    val dir = lakeCache.remove(graft.SessionKey(s))
     if (dir != null) {
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles()

@@ -32,18 +32,20 @@ object Memos {
   }
 
   private val installed =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Idempotently register an application-end listener that evicts every
     * memo keyed to `spark`. Called by the memo builders themselves, so
     * any code path that creates a memo also arranges its cleanup. */
-  def install(spark: SparkSession): Unit =
-    if (installed.add(System.identityHashCode(spark))) {
+  def install(spark: SparkSession): Unit = {
+    val key = graft.SessionKey(spark)
+    if (installed.add(key)) {
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit = {
           evictAll(spark)
-          installed.remove(System.identityHashCode(spark))
+          installed.remove(key)
         }
       })
     }
+  }
 }

@@ -47,7 +47,7 @@ trait PayloadTransport extends Serializable {
   * LIVE connection can be parked between micro-batches without blocking
   * on bytes the server hasn't sent yet (an eagerly-prefetching iterator
   * would hang the batch waiting for the next document's terminator). */
-private[sources] final class NulFramer(in: java.io.InputStream) {
+private[graft] final class NulFramer(in: java.io.InputStream) {
   private val buf = new java.io.ByteArrayOutputStream()
   private var eof = false
   /** Next complete non-empty document, or null at EOF (a trailing
@@ -77,30 +77,50 @@ private[sources] final class NulFramer(in: java.io.InputStream) {
   * bytes. Misses (restart at an earlier offset, executor loss, broken
   * connection) fall back to open-and-skip. One entry per endpoint;
   * replacing a parked entry closes the old connection. */
-private[sources] object TransisConnCache {
+private[graft] object TransisConnCache {
+  private case class Parked(pos: Long, framer: NulFramer, parkedAtMs: Long)
   private val entries =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, NulFramer)]()
-  /** Claim the parked framer for `key` if it sits exactly at `from`. */
+    new java.util.concurrent.ConcurrentHashMap[String, Parked]()
+  /** Idle TTL: a parked connection not reclaimed within this window is
+    * closed on next access (abandoned queries would otherwise leak one
+    * socket per endpoint for the JVM's life; most servers would have
+    * dropped the idle socket anyway, so continuing it would just burn a
+    * reconnect attempt). Sequential micro-batches reclaim within
+    * seconds, far inside any sane TTL. */
+  private[graft] var maxIdleMs: Long = 10 * 60 * 1000L
+  private def expired(e: Parked, now: Long): Boolean =
+    now - e.parkedAtMs > maxIdleMs
+  /** Claim the parked framer for `key` if it sits exactly at `from`
+    * and hasn't idled past the TTL. */
   def take(key: String, from: Long): Option[NulFramer] = {
     val e = entries.remove(key)
     if (e == null) None
-    else if (e._1 == from) Some(e._2)
-    else { e._2.close(); None }
+    else if (e.pos == from && !expired(e, System.currentTimeMillis()))
+      Some(e.framer)
+    else { e.framer.close(); None }
   }
   def park(key: String, pos: Long, framer: NulFramer): Unit = {
-    val old = entries.put(key, (pos, framer))
-    if (old != null) old._2.close()
+    val now = System.currentTimeMillis()
+    val old = entries.put(key, Parked(pos, framer, now))
+    if (old != null) old.framer.close()
+    // opportunistic reap: parking is the only regular write, so sweep
+    // other endpoints' expired entries here (no background thread)
+    val it = entries.entrySet().iterator()
+    while (it.hasNext) {
+      val kv = it.next()
+      if (expired(kv.getValue, now)) { kv.getValue.framer.close(); it.remove() }
+    }
   }
   /** Close and drop the parked connection for one endpoint. */
   def drop(key: String): Unit = {
     val e = entries.remove(key)
-    if (e != null) e._2.close()
+    if (e != null) e.framer.close()
   }
 
   /** Close and drop every parked connection (tests / shutdown). */
   def clear(): Unit = {
     val it = entries.values().iterator()
-    while (it.hasNext) { it.next()._2.close(); it.remove() }
+    while (it.hasNext) { it.next().framer.close(); it.remove() }
   }
 }
 
@@ -302,7 +322,7 @@ class HttpPayloadTransport(url: String,
       }
       f
     }
-    new Iterator[String] {
+    new Iterator[String] with java.io.Closeable {
       private var served = from
       override def hasNext: Boolean = served < until
       override def next(): String = {
@@ -318,6 +338,11 @@ class HttpPayloadTransport(url: String,
         if (served == until) TransisConnCache.park(cacheKey, until, framer)
         d
       }
+      /** Abandoned mid-range (task kill/retry, query stopped): the framer
+        * sits at an offset no sequential successor will ask for, so close
+        * it rather than park it. Fully-served iterators already parked —
+        * close() is then a no-op (double-close of the stream is safe). */
+      override def close(): Unit = if (served < until) framer.close()
     }
   }
 }
@@ -380,11 +405,19 @@ case class TransportConfig(path: String,
   * budget resets after each successfully delivered document (reference
   * `transis_consumer.py:140`). */
 class ReconnectingReader(transport: PayloadTransport, maxReconnects: Int) {
-  def read(from: Long, until: Long): Iterator[String] = new Iterator[String] {
+  def read(from: Long, until: Long): Iterator[String] with java.io.Closeable =
+    new Iterator[String] with java.io.Closeable {
     private var pos = from
     private var attempts = 0
     private var inner: Iterator[String] = Iterator.empty
     private def reconnect(): Unit = { inner = transport.read(pos, until) }
+    /** Release the underlying transport iterator when the range was
+      * abandoned before `until` (task kill, query stop, reconnect give-up)
+      * — otherwise the HTTP framer it holds leaks its connection. */
+    override def close(): Unit = inner match {
+      case c: java.io.Closeable => c.close()
+      case _ => ()
+    }
     override def hasNext: Boolean = pos < until
     override def next(): String = {
       while (true) {
@@ -426,7 +459,14 @@ class TransisSourceProvider extends TableProvider with DataSourceRegister {
         properties.get("username"),
         properties.get("password")),
       Option(properties.get("maxreconnects")).map(_.toInt).getOrElse(3),
-      Option(properties.get("maxdocsperbatch")).map(_.toLong))
+      Option(properties.get("maxdocsperbatch")).map { v =>
+        val n = v.toLong
+        // ReadLimit.maxRows takes an Int: reject rather than let a
+        // too-large value overflow into a negative/garbage row limit
+        require(n > 0 && n <= Int.MaxValue,
+          s"maxdocsperbatch must be in (0, ${Int.MaxValue}], got $n")
+        n
+      })
 }
 
 object TransisSourceProvider {
@@ -535,7 +575,10 @@ class TransisPartitionReaderFactory(schema: StructType, maxReconnects: Int)
         if (docs.hasNext) { current = docs.next(); true } else false
       override def get(): InternalRow =
         InternalRow.fromSeq(fields.toIndexedSeq.map(_.apply(current)))
-      override def close(): Unit = ()
+      // park-or-close the underlying framer: a reader torn down
+      // mid-range (task kill/retry, query stop) must not leak its
+      // HTTP connection
+      override def close(): Unit = docs.close()
     }
   }
 }

@@ -19,9 +19,30 @@ object DatasetBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
 
+  /** Stable unique id of a classic session (`sessionUUID` is
+    * `private[sql]` in Spark 4) — cache keys collide/recycle with
+    * `System.identityHashCode`, a UUID never does. */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
   /** The checkpoint/scan RDDs a DataFrame's plan is rooted on (leaves
     * created via [[internalDf]]) — the handles to unpersist when the
     * frame is evicted. */
   def backingRdds(df: DataFrame): Seq[RDD[InternalRow]] =
     df.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd }
+
+  /** Release ALL storage behind an iteration-round RDD: executor blocks
+    * (unpersist) and, for reliably-checkpointed rounds, the checkpoint
+    * files on disk — without this, each superseded round's files
+    * accumulate in the checkpoint dir for the JVM's life. */
+  def releaseRdd(rdd: RDD[_]): Unit = {
+    rdd.unpersist(blocking = false)
+    rdd.getCheckpointFile.foreach { p =>
+      try {
+        val path = new org.apache.hadoop.fs.Path(p)
+        path.getFileSystem(rdd.context.hadoopConfiguration)
+          .delete(path, true): Unit
+      } catch { case _: java.io.IOException => () }
+    }
+  }
 }

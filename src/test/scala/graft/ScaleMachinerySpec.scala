@@ -117,17 +117,38 @@ class ScaleMachinerySpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
-  test("resolveClusters reliable mode checkpoints to stable storage") {
+  test("resolveClusters reliable mode checkpoints to stable storage, " +
+      "releases superseded rounds' files, and eviction empties the dir") {
     import spark.implicits._
+    def ckptFiles(dir: String): Set[String] = {
+      val b = Set.newBuilder[String]
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p)) { b += p.toString; () }
+      }
+      b.result()
+    }
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
       .toDF("a_id", "b_id")
-    val clusters = Dedup.resolveClusters(pairs, reliable = true)
+    val result = Dedup.resolveClusters(pairs, reliable = true)
+    val clusters = result
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
-    // lineage actually went through the reliable checkpoint dir
-    assert(new java.io.File(dir).listFiles().nonEmpty)
+    // lineage actually went through the reliable checkpoint dir, and
+    // only the LIVE checkpoints remain (pair seed released on return,
+    // superseded label rounds released as they were supplanted): the
+    // chain runs ≥3 label rounds but at most the final one keeps files
+    val live = ckptFiles(dir)
+    assert(live.nonEmpty)
+    val liveDirs = live.map(f =>
+      java.nio.file.Paths.get(f).getParent.toString)
+    assert(liveDirs.size <= 1, s"superseded rounds leaked: $liveDirs")
+    // releasing the backing RDD (what memo eviction does) deletes the rest
+    org.apache.spark.sql.graftbridge.DatasetBridge.backingRdds(result)
+      .foreach(org.apache.spark.sql.graftbridge.DatasetBridge.releaseRdd(_))
+    assert(ckptFiles(dir).isEmpty,
+      s"final checkpoint files leaked: ${ckptFiles(dir)}")
   }
 
   test("bucketed ANN recall vs brute-force ground truth is quantified") {

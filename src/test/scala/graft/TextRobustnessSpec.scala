@@ -81,6 +81,31 @@ class TextRobustnessSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("interval join: width smaller than the longest interval stays correct") {
+    import spark.implicits._
+    // a small width only costs more interval replicas — it must not
+    // drop matches (the explode covers the FULL lo..hi bucket range)
+    val pts = Seq((1L, 5L), (2L, 450L), (3L, 999L)).toDF("pid", "ts")
+    val ivs = Seq((10L, 0L, 1000L)).toDF("iid", "lo", "hi") // spans 101 buckets
+    val got = graft.ext.RangeJoin.intervalJoin(pts, "ts", ivs, "lo", "hi",
+      bucketWidth = 10L).select("pid").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L, 3L))
+  }
+
+  test("interval join: an inverted interval (hi < lo) fails loudly") {
+    import spark.implicits._
+    val pts = Seq((1L, 5L)).toDF("pid", "ts")
+    val ivs = Seq((10L, 100L, 50L)).toDF("iid", "lo", "hi")
+    val e = intercept[Exception] {
+      graft.ext.RangeJoin.intervalJoin(pts, "ts", ivs, "lo", "hi", 100L)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("inverted interval")), msgs(e).mkString)
+  }
+
   test("as-of join ≡ naive per-row argmax on seeded random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

@@ -162,6 +162,36 @@ class TransisSourceSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("parked connections expire after the idle TTL") {
+    import graft.sources.TransisConnCache
+    val srv = new LoopbackServer(Seq(payloadBytes("doc-a", "doc-b")))
+    val saved = TransisConnCache.maxIdleMs
+    try {
+      val t = new HttpPayloadTransport(srv.url, stallTimeoutMs = 5000)
+      // serve [0,1): the framer parks at position 1 for the next batch
+      assert(new ReconnectingReader(t, 1).read(0, 1).toList === List("doc-a"))
+      // fresh park is reclaimable…
+      assert(TransisConnCache.take(s"${srv.url}|null", 1L).isDefined)
+      // …but one older than the TTL is closed and dropped
+      assert(new ReconnectingReader(t, 1).read(0, 1).toList === List("doc-a"))
+      TransisConnCache.maxIdleMs = 0L
+      Thread.sleep(5)
+      assert(TransisConnCache.take(s"${srv.url}|null", 1L).isEmpty)
+    } finally { TransisConnCache.maxIdleMs = saved; srv.close() }
+  }
+
+  test("a partition reader abandoned mid-range closes its connection") {
+    val srv = new LoopbackServer(Seq(payloadBytes("doc-a", "doc-b", "doc-c")))
+    try {
+      val t = new HttpPayloadTransport(srv.url, stallTimeoutMs = 5000)
+      val it = new ReconnectingReader(t, 1).read(0, 3)
+      assert(it.next() === "doc-a")
+      it.close() // abandoned at doc 1 of [0,3): must close, not park
+      assert(graft.sources.TransisConnCache
+        .take(s"${srv.url}|null", 1L).isEmpty)
+    } finally srv.close()
+  }
+
   test("S2 over HTTP: a permanently dead endpoint exhausts the budget") {
     val srv = new LoopbackServer(Seq(payloadBytes("doc-a").take(2)))
     try {
