@@ -24,18 +24,29 @@ import org.apache.spark.sql.functions._
   * their sort order within the window; pre-dedup the right side when
   * that matters.
   *
-  * 100 TB note: one hot key serializes its sort; salt by a coarse time
-  * bucket (join bucket b and b-1) when a key's row count breaks the
-  * per-task budget.
+  * 100 TB note: one hot key serializes its sort through one task; pass
+  * `saltBucketWidth` to spread it — see [[asofJoin]]'s parameter doc.
   */
 object AsOf {
 
   /** @param payloadCols right-side columns attached to each left row as
     *   `<prefix><name>`; left rows with no earlier right row get nulls
-    *   (filter them out for inner semantics). */
+    *   (filter them out for inner semantics).
+    * @param saltBucketWidth hot-key salting, OFF by default. When set,
+    *   rows are sharded on `(key, time div width)` so a hot key's sort
+    *   spreads across its time buckets instead of serializing through
+    *   one task: the window pass runs within each bucket, a per-bucket
+    *   summary (one row per (key, bucket) — the bucket's last right
+    *   payload) is scanned key-wise to produce each bucket's carry-in,
+    *   and rows whose bucket holds no earlier right row fall back to
+    *   that carry-in. The summary window IS keyed per key, but over
+    *   #buckets rows, not #rows — pick a width giving each hot key
+    *   10²-10⁴ buckets. Results are identical to the unsalted path
+    *   (randomized spec asserts it). */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                timeCol: String, payloadCols: Seq[String],
-               prefix: String = "asof_"): DataFrame = {
+               prefix: String = "asof_",
+               saltBucketWidth: Option[Long] = None): DataFrame = {
     val payload = struct(payloadCols.map(col): _*)
     val r = right.select(col(keyCol), col(timeCol), payload.as("_asof"))
     val payloadType = r.schema("_asof").dataType
@@ -48,11 +59,42 @@ object AsOf {
       }
       .withColumn("_side", lit(0))
       .select(l2.columns.map(col).toIndexedSeq: _*)
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(timeCol).asc, col("_side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = l2.unionByName(r2)
-      .withColumn("_asof", last(col("_asof"), ignoreNulls = true).over(w))
+    val u = l2.unionByName(r2)
+    val carried = saltBucketWidth match {
+      case None =>
+        val w = Window.partitionBy(col(keyCol))
+          .orderBy(col(timeCol).asc, col("_side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u.withColumn("_asof", last(col("_asof"), ignoreNulls = true).over(w))
+      case Some(width) =>
+        require(width > 0, "saltBucketWidth must be positive")
+        val b = u.withColumn("_bkt", expr(s"$timeCol div $width"))
+        // pass 1: carry WITHIN each (key, bucket) shard — the hot key's
+        // |L|+|R| sort is now #buckets independent sorts
+        val wIn = Window.partitionBy(col(keyCol), col("_bkt"))
+          .orderBy(col(timeCol).asc, col("_side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val within = b.withColumn("_in",
+          last(col("_asof"), ignoreNulls = true).over(wIn))
+        // pass 2: per-bucket summaries (#(key,bucket) rows, not #rows).
+        // A bucket with right rows summarizes to its LAST right payload
+        // (same (time, side) order as the window); running last-ignoreNulls
+        // over STRICTLY EARLIER buckets is the bucket's carry-in — found
+        // even across right-free gap buckets.
+        val sums = b.filter(col("_side") === 0)
+          .groupBy(col(keyCol), col("_bkt"))
+          .agg(max_by(col("_asof"), struct(col(timeCol))).as("_blast"))
+        val wCarry = Window.partitionBy(col(keyCol)).orderBy(col("_bkt").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carryIn = b.select(col(keyCol), col("_bkt")).distinct()
+          .join(sums, Seq(keyCol, "_bkt"), "left")
+          .withColumn("_carry",
+            last(col("_blast"), ignoreNulls = true).over(wCarry))
+          .select(col(keyCol), col("_bkt"), col("_carry"))
+        within.join(carryIn, Seq(keyCol, "_bkt"))
+          .withColumn("_asof", coalesce(col("_in"), col("_carry")))
+          .select(u.columns.map(col).toIndexedSeq: _*) // original column order
+    }
     val out = payloadCols.foldLeft(carried.filter(col("_side") === 1)) {
       (df, c) => df.withColumn(prefix + c, col(s"_asof.$c"))
     }

@@ -90,6 +90,25 @@ object EventsQueries {
           expr("(ts div 1000) - (asof_ts div 1000)").as("delta_us"))
     }),
 
+    // The SALTED as-of path (hot-key sharding on coarse time buckets)
+    // must produce byte-identical results to e06's unsalted MERGE — the
+    // scale knob is gated against the same DuckDB native ASOF oracle,
+    // with a width small enough that carries cross many gap buckets.
+    "e08_asof_salted" -> ((s, d) => {
+      val ev = events(s, d) // ts = epoch-nanos long (see Tables.events)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.ext.AsOf.asofJoin(clicks, views, "user_id", "ts",
+        Seq("event_id", "ts"),
+        saltBucketWidth = Some(3600L * 1000 * 1000 * 1000)) // 1 h shards
+        .filter(col("asof_event_id").isNotNull) // inner semantics
+        .select(col("user_id"), col("event_id").as("l_event_id"),
+          col("asof_event_id").as("r_event_id"),
+          expr("(ts div 1000) - (asof_ts div 1000)").as("delta_us"))
+    }),
+
     // Keyless interval join (ext/RangeJoin): every non-error event
     // falling inside the 10-minute window after each error, counted per
     // window — bucket-equi-join + residual range filter, never a
@@ -167,6 +186,15 @@ object EventsQueries {
            CAST(floor(epoch(ts)) AS BIGINT) AS first_tsec
          FROM r WHERE rn = 1""",
     "e06_asof_join" ->
+      """SELECT l.user_id, l.event_id AS l_event_id,
+         r.event_id AS r_event_id,
+         date_diff('microsecond', r.ts, l.ts) AS delta_us
+         FROM (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'click') l
+         ASOF JOIN (SELECT user_id, ts, event_id FROM events
+                    WHERE event_type = 'view') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "e08_asof_salted" ->
       """SELECT l.user_id, l.event_id AS l_event_id,
          r.event_id AS r_event_id,
          date_diff('microsecond', r.ts, l.ts) AS delta_us

@@ -141,6 +141,38 @@ class TextRobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("salted as-of join ≡ unsalted on seeded random data with a hot key") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // key 0 is hot: ~10x the rows of other keys; right (k, ts) are made
+    // UNIQUE so both paths' tie resolution is immaterial
+    val lefts = (1 to 300).map { i =>
+      val k = if (i % 3 != 0) 0L else rnd.nextInt(4).toLong + 1
+      (k, rnd.nextInt(5000).toLong, i.toLong)
+    }
+    val rights = scala.util.Random.shuffle(
+      (0 to 4999).toList).take(400).zipWithIndex.map { case (ts, i) =>
+      val k = if (i % 3 != 0) 0L else rnd.nextInt(4).toLong + 1
+      (k, ts.toLong, (1000 + i).toLong)
+    }
+    def run(width: Option[Long]) = graft.ext.AsOf.asofJoin(
+      lefts.toDF("k", "ts", "lid"), rights.toDF("k", "ts", "rid"),
+      "k", "ts", Seq("rid"), saltBucketWidth = width).collect()
+      .map(r => r.getAs[Long]("lid") -> Option(r.getAs[Any]("asof_rid")))
+      .toMap
+    val unsalted = run(None)
+    // several widths, including one far smaller than the time span
+    // (forces carry across many right-free gap buckets)
+    for (w <- Seq(50L, 500L, 10000L))
+      assert(run(Some(w)) === unsalted, s"width=$w")
+    // and the heavy window really shards on (key, bucket)
+    val plan = graft.ext.AsOf.asofJoin(
+      lefts.toDF("k", "ts", "lid"), rights.toDF("k", "ts", "rid"),
+      "k", "ts", Seq("rid"), saltBucketWidth = Some(500L))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("_bkt"), plan.take(1500))
+  }
+
   test("interval join ≡ naive cross filter on seeded random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
