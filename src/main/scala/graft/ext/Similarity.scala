@@ -137,6 +137,53 @@ object Similarity {
       .select("query_id", "b_id", "rank", "cos_r")
   }
 
+  /** Deterministic k-means training for the IVF coarse quantizer — the
+    * stage that PRODUCES the centroid set `ivfTopK` consumes (a real
+    * 100 TB ANN pipeline can't assume centroids exist).
+    *
+    * Shape, per Lloyd iteration:
+    *  1. assign: [[assignCells]] — broadcast centroids, map-side scored,
+    *     shuffle carries N rows (the argmax partials), never N·K;
+    *  2. recompute: per-dimension means via `posexplode` + partial-agg
+    *     sum/count — the explode is pipelined (never materialized) and
+    *     map-side partial aggregation collapses each partition to at most
+    *     K·D partial rows, so the shuffle carries P·K·D rows, not N·D.
+    *     The K·D means re-assemble into centroid arrays per cell.
+    *
+    * Determinism (what makes this oracle-able): seeds are the `k` vectors
+    * first in md5(id) order (a fixed pseudo-random draw — the k-means‖
+    * sampling stand-in; no RNG state), assignment ties break to the
+    * smallest centroid id, and every recomputed coordinate is a
+    * sum/count rounded to 6 dp — so engines that sum in different orders
+    * (Spark partitions vs DuckDB's scan) land on identical centroids.
+    * A cell that captures no vectors drops out (standard k-means empty-
+    * cluster shrinkage; both engines drop it identically via GROUP BY).
+    *
+    * Returns `(c_id, c_emb: array<double>)` — exactly what
+    * [[ivfTopK]] / [[ivfTopKProbed]] take. */
+  def trainCentroids(vecs: DataFrame, idCol: String, embCol: String,
+                     k: Int, iters: Int): DataFrame = {
+    var cent = vecs
+      .select(col(idCol), col(embCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .limit(k)
+      .select(col(idCol).cast("long").as("c_id"),
+        transform(col(embCol), x => x.cast("double")).as("c_emb"))
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(vecs, idCol, embCol, cent)
+      val dimMeans = assigned
+        .select(col("cell"), posexplode(col(embCol)))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(sum(col("col").cast("double")) / count(lit(1)), 6).as("m"))
+      cent = dimMeans
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ds"))
+        .select(col("cell").as("c_id"),
+          transform(col("ds"), d => d.getField("m")).as("c_emb"))
+    }
+    cent
+  }
+
   /** Multiprobe cell assignment: the top-`nprobe` centroids per vector.
     * Uses the typed bounded [[TopKAggregator]] so the per-id reduction
     * keeps at most `nprobe` candidates in every partial buffer — the

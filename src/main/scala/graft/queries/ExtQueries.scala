@@ -175,6 +175,18 @@ object ExtQueries {
         centroids, "vec_id", "embedding", 3, 2)
     }),
 
+    // IVF with TRAINED centroids: the k-means training stage (md5-seeded,
+    // 2 Lloyd iterations, 6-dp-rounded recompute — fully deterministic)
+    // feeding the same inverted-list search as s03. Gates the one stage
+    // a real ANN pipeline must run before any IVF query can exist.
+    "s07_ivf_trained" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val centroids = Similarity.trainCentroids(
+        emb, "vec_id", "embedding", 8, 2)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+        centroids, "vec_id", "embedding", 3)
+    }),
+
     // Per-query top-5 via the typed bounded TopK Aggregator — identical
     // result to s01's Window form, but the shuffle carries k rows per
     // group (bounded partial buffers) instead of sorting every scored
@@ -506,6 +518,41 @@ object ExtQueries {
   private val dotExpr =
     "list_sum(list_transform(range(1,65), i -> CAST(%s.embedding[i] AS DOUBLE) * CAST(%s.embedding[i] AS DOUBLE)))"
 
+  /** Unrolled deterministic k-means (md5-ordered seed + `iters` Lloyd
+    * rounds) as a DuckDB WITH-chain mirroring
+    * [[graft.ext.Similarity.trainCentroids]] step for step. Returns the
+    * CTE text and the name of the final centroid CTE (`c_id, c_emb`
+    * with DOUBLE[] coordinates rounded to 6 dp). */
+  private def kmeansCtes(k: Int, iters: Int): (String, String) = {
+    val dotAC =
+      "list_sum(list_transform(range(1,65), i -> CAST(a.embedding[i] AS DOUBLE) * ct.c_emb[i]))"
+    val sb = new StringBuilder(
+      s"""c0 AS (
+         SELECT vec_id AS c_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
+         FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         LIMIT $k)""")
+    for (t <- 0 until iters) {
+      sb.append(s""",
+        asn$t AS (
+          SELECT a.vec_id, ct.c_id,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id
+              ORDER BY $dotAC DESC, ct.c_id ASC) AS rn
+          FROM embeddings a CROSS JOIN c$t ct),
+        mem$t AS (SELECT vec_id, c_id AS cell FROM asn$t WHERE rn = 1),
+        c${t + 1} AS (
+          SELECT cell AS c_id, list(m ORDER BY i) AS c_emb FROM (
+            SELECT mem.cell, dims.i,
+              round(SUM(CAST(e.embedding[dims.i] AS DOUBLE)) / COUNT(*), 6) AS m
+            FROM embeddings e
+            JOIN mem$t mem ON e.vec_id = mem.vec_id
+            CROSS JOIN (SELECT unnest(range(1,65)) AS i) dims
+            GROUP BY mem.cell, dims.i) x
+          GROUP BY cell)""")
+    }
+    (sb.toString, s"c$iters")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "d01_exact_dedup" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper,
@@ -743,6 +790,35 @@ object ExtQueries {
           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                   ORDER BY cos_r DESC, b_id ASC) AS rank FROM s) t
           WHERE rank <= 3"""
+    },
+    "s07_ivf_trained" -> {
+      val (ctes, cent) = kmeansCtes(8, 2)
+      val dotAC =
+        "list_sum(list_transform(range(1,65), i -> CAST(a.embedding[i] AS DOUBLE) * ct.c_emb[i]))"
+      s"""WITH $ctes,
+          asnF AS (
+            SELECT a.vec_id, ct.c_id,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY $dotAC DESC, ct.c_id ASC) AS rn
+            FROM embeddings a CROSS JOIN $cent ct
+          ), cells AS (SELECT vec_id, c_id AS cell FROM asnF WHERE rn = 1),
+          n AS (
+            SELECT e.vec_id, e.embedding, cl.cell,
+              sqrt(list_sum(list_transform(range(1,65),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS nrm
+            FROM embeddings e JOIN cells cl USING (vec_id)
+          ), q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+          s AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS b_id,
+              round(list_sum(list_transform(range(1,65),
+                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                / (q.nrm * c.nrm), 6) AS cos_r
+            FROM q JOIN n c ON q.cell = c.cell AND q.vec_id != c.vec_id
+          )
+          SELECT query_id, b_id, CAST(rank AS INTEGER) AS rank, cos_r
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos_r DESC, b_id ASC) AS rank FROM s) t
+          WHERE rank <= 3""".stripMargin
     },
     "s06_ivf_nprobe2" -> {
       val dotAC =

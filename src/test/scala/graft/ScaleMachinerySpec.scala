@@ -191,6 +191,40 @@ class ScaleMachinerySpec extends AnyFunSuite {
       f"ivf: $ivfRecall%.2f ivf(nprobe=2): $ivf2Recall%.2f")
   }
 
+  test("k-means centroid training is deterministic and lifts IVF recall " +
+      "over the arbitrary-subset quantizer") {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val t1 = Similarity.trainCentroids(emb, "vec_id", "embedding", 8, 2)
+    val t2 = Similarity.trainCentroids(emb, "vec_id", "embedding", 8, 2)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toVector)).toSet
+    val c1 = key(t1)
+    assert(c1 === key(t2)) // bit-identical across runs
+    assert(c1.size <= 8 && c1.forall(_._2.size === 64))
+    // recall@3 vs brute-force ground truth: trained centroids must beat
+    // (or match) the arbitrary mod-97 subset s03 uses
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val truth = Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", 3)
+      .select("query_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(cent: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.ivfTopK(emb, queries, broadcast(cent),
+        "vec_id", "embedding", 3)
+        .select("query_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val subset = emb.filter(col("vec_id") % 97 === 1)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val rTrained = recall(t1)
+    val rSubset = recall(subset)
+    assert(rTrained >= rSubset,
+      s"trained recall $rTrained < subset recall $rSubset")
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     import spark.implicits._
     val s = spark
