@@ -40,12 +40,22 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      val sorted = times.sorted
+      val median =
+        if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+      name -> (sorted.head, median)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val qsMed = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    // median-of-runs total alongside min: min estimates the plan's real
+    // cost on a quiet machine, median shows what this (noisy) VM actually
+    // delivered — a large gap flags contamination, not regression
+    val totalMed = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
+    val full = s"""{"metric":"total","value":$total,"median":$totalMed,"unit":"sec","queries":$qs,"queries_median":$qsMed,"sf":"$sfDir"}"""
     // Per-query detail goes to the file only — the full JSON line is
     // ~2.5 KB and the driver's tail capture truncates its head (rounds
     // 1-2 postmortem: BENCH_r0{1,2}.json both "parsed": null).
@@ -55,6 +65,6 @@ object Bench {
     spark.stop()
     // Compact total-only line as the VERY LAST stdout line (after
     // spark.stop() so no shutdown logging can trail it).
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"median":$totalMed%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
   }
 }
