@@ -127,6 +127,24 @@ object EventsQueries {
         .agg(count(lit(1)).as("n_events"))
     }),
 
+    // Session windows (batch image of the streaming operator): events
+    // within 6 h of the previous event extend the session, a gap ≥ 6 h
+    // starts a new one. Spark's native session_window aggregation —
+    // the same expression works under readStream with a watermark; the
+    // oracle replays the gaps-and-islands definition. Nanos truncate
+    // to micros (session_window takes TimestampType).
+    "e09_session_windows" -> ((s, d) => {
+      val ev = events(s, d) // ts = epoch-nanos long
+      ev.select(col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("t"))
+        .groupBy(col("user_id"), session_window(col("t"), "6 hours").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start_us"),
+          unix_micros(col("w.end")).as("session_end_us"),
+          col("n_events"))
+    }),
+
     // Semi-structured JSON extraction from the props payload.
     "e03_json_extract" -> ((s, d) => {
       events(s, d)
@@ -214,6 +232,26 @@ object EventsQueries {
          SELECT err_id, COUNT(*) AS n_events
          FROM p JOIN w ON p.ts >= w.lo AND p.ts <= w.hi
          GROUP BY err_id""",
+    "e09_session_windows" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+         ), b AS (
+           SELECT user_id, us,
+             CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                  OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                     >= 21600000000
+             THEN 1 ELSE 0 END AS brk
+           FROM e
+         ), g AS (
+           SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM b
+         )
+         SELECT user_id, MIN(us) AS session_start_us,
+           MAX(us) + 21600000000 AS session_end_us,
+           COUNT(*) AS n_events
+         FROM g GROUP BY user_id, sid""",
     "e03_json_extract" ->
       """SELECT event_type,
          CAST(SUM(k) AS BIGINT) AS sum_k,

@@ -498,6 +498,74 @@ object RelationalQueries {
 
     // EXCEPT (distinct set difference): customers active in 1995 but
     // not in 1996.
+    // TPC-H Q18 shape: large-volume orders — the HAVING aggregate runs
+    // FIRST (one shuffle on orderkey, map-side partials), and only the
+    // surviving ~10% of orderkeys join back to orders/customer. No
+    // broadcast hint: the filtered agg's size is data-dependent, so AQE
+    // picks broadcast-vs-shuffle from the runtime size.
+    "q39_large_volume_orders" -> ((s, d) => {
+      val big = lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("total_qty"))
+        .filter(col("total_qty") > 180)
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("total_qty"))
+    }),
+
+    // TPC-H Q8 shape: market share — one nation's fraction of a region's
+    // import revenue per year. The numerator is a conditional sum inside
+    // the SAME aggregate as the denominator (one pass, no self-join);
+    // both sums stay exact DECIMAL until the final double division, so
+    // the ratio needs no rounding for oracle parity.
+    "q40_market_share" -> ((s, d) => {
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(24,6)")
+      val custNation = nation(s, d).select(
+        col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+      val suppNation = nation(s, d).select(
+        col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custNation), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("c_rk") === col("r_regionkey"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_2", rev)
+            .otherwise(lit(0).cast("decimal(24,6)"))).cast("double") /
+          sum(rev).cast("double")).as("mkt_share"))
+    }),
+
+    // TPC-H Q7 shape: volume shipping between a nation PAIR, both
+    // directions, by year — the disjunctive two-nation filter lands on
+    // broadcast dims before the fact-fact join keys are touched.
+    "q41_volume_shipping" -> ((s, d) => {
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(24,6)")
+      val custNation = nation(s, d).select(
+        col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val suppNation = nation(s, d).select(
+        col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(custNation), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+        .filter((col("supp_nation") === "NATION_18" &&
+            col("cust_nation") === "NATION_19") ||
+          (col("supp_nation") === "NATION_19" &&
+            col("cust_nation") === "NATION_18"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(sum(rev).cast("double").as("revenue"))
+    }),
+
     "q23_churned_1996" -> ((s, d) => {
       val o = orders(s, d)
       val in95 = o.filter(col("o_orderdate") >= lit("1995-01-01") &&
@@ -779,6 +847,46 @@ object RelationalQueries {
                   WHERE o.o_custkey = c.c_custkey
                   ORDER BY o_totalprice DESC, o_orderkey ASC
                   LIMIT 2) o""",
+    "q39_large_volume_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 180
+         )
+         SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN big ON o_orderkey = l_orderkey""",
+    "q40_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(SUM(CAST(CASE WHEN ns.n_name = 'NATION_2'
+             THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END
+           AS DECIMAL(24,6))) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+           AS DECIMAL(24,6))) AS DOUBLE) AS mkt_share
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation nc ON c_nationkey = nc.n_nationkey
+         JOIN region ON nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ns ON s_nationkey = ns.n_nationkey
+         GROUP BY 1""",
+    "q41_volume_shipping" ->
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+           AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation nc ON c_nationkey = nc.n_nationkey
+         JOIN nation ns ON s_nationkey = ns.n_nationkey
+         WHERE (ns.n_name = 'NATION_18' AND nc.n_name = 'NATION_19')
+            OR (ns.n_name = 'NATION_19' AND nc.n_name = 'NATION_18')
+         GROUP BY 1, 2, 3""",
     "q23_churned_1996" ->
       """SELECT o_custkey FROM orders
          WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
