@@ -162,6 +162,29 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("plan quality: runtime bloom filter prunes the fact side of a selective join") {
+    // At 100 TB a selective dim/filter side should row-prune the fact
+    // scan BEFORE the shuffle — Spark's runtime bloom filter does this
+    // when the join shuffles (broadcast joins get it implicitly). Prove
+    // the engine config path injects it on our fact-fact shape.
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val d = "/root/testdata/sf0.001"
+    val o = s2.read.parquet(s"$d/orders.parquet")
+      .filter(col("o_totalprice") > 450000)
+    val l = s2.read.parquet(s"$d/lineitem.parquet")
+    val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_filter_agg") && plan.contains("partial_bloom_filter_agg"),
+      plan.take(1500))
+  }
+
   test("plan quality: from_xml is evaluated exactly once per row (parse barrier)") {
     // Without the Generate barrier in TransisXml.parse, CollapseProject +
     // filter pushdown inline the parse into every Post-Scan Filter: the

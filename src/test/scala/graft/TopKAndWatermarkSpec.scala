@@ -70,4 +70,33 @@ class TopKAndWatermarkSpec extends AnyFunSuite {
       assert(rows.toSeq === Seq(("ROZ", 9L))) // late site-2 doc never appears
     } finally q.stop()
   }
+
+  test("§2.9: e09's session_window expression runs under streaming with a watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (user_id, epoch-micros)
+    val sessions = input.toDS().toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("t"))
+      .withWatermark("t", "1 minute")
+      .groupBy(col("user_id"), session_window(col("t"), "6 hours").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        col("n_events"))
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("stream_sessions").start()
+    try {
+      val h = 3600L * 1000 * 1000 // 1h in micros
+      input.addData((1L, 10 * h), (1L, 10 * h + h / 2)) // one session, 2 events
+      q.processAllAvailable()
+      assert(spark.table("stream_sessions").count() === 0) // not finalized
+      input.addData((1L, 30 * h)) // >6h gap → new session; watermark jumps
+      q.processAllAvailable()
+      val rows = spark.table("stream_sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // the first session (2 merged events) finalized once the watermark
+      // passed its end; the 30h session is still open
+      assert(rows.toSeq === Seq((1L, 10 * h, 2L)), rows.mkString(";"))
+    } finally q.stop()
+  }
 }
