@@ -445,6 +445,23 @@ object ExtQueries {
             .cast("bigint").as("total_tokens"))
     }),
 
+    // Word-distribution entropy — the low-diversity/spam signal real
+    // cleaning pipelines threshold on (boilerplate and keyword-stuffed
+    // docs sit far below natural text). H = ln n − Σ c·ln c ⁄ n over the
+    // per-doc word counts: ONE shuffle on (doc_id, word) with map-side
+    // partials, then a per-doc agg; the identity avoids a counts⋈totals
+    // self-join. Rounded to 6 dp (float sum order differs per engine).
+    "t14_word_entropy" -> ((s, d) => {
+      documents(s, d)
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(round(log(sum(col("c"))) -
+          sum(col("c") * log(col("c"))) / sum(col("c")), 6).as("entropy"))
+    }),
+
     // Composed corpus-cleaning gate: the t01/t02/t05 signals as one
     // filter — language agreement, quality floor, repetition ceiling —
     // summarized per language (the training-data cleaning pipeline).
@@ -1145,6 +1162,18 @@ object ExtQueries {
            CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
              AS BIGINT) AS total_tokens
          FROM s GROUP BY 1""",
+    "t14_word_entropy" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents
+           WHERE text IS NOT NULL AND length(trim(text)) > 0
+         ), wc AS (
+           SELECT doc_id, w, COUNT(*) AS c FROM w
+           WHERE length(w) > 0 GROUP BY doc_id, w
+         )
+         SELECT doc_id,
+           round(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS entropy
+         FROM wc GROUP BY doc_id""",
     "t12_corpus_profile" ->
       """SELECT source, COUNT(*) AS n_docs,
          CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
