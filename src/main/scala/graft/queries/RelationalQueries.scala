@@ -566,6 +566,18 @@ object RelationalQueries {
         .agg(sum(rev).cast("double").as("revenue"))
     }),
 
+    // Explicit GROUPING SETS (neither rollup nor cube): the two 1-D
+    // marginals without the (a,b) cross or grand total — one pass, the
+    // planner expands rows per set (same machinery as q09/q10).
+    "q42_grouping_sets" -> ((s, d) => {
+      orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+    }),
+
     "q23_churned_1996" -> ((s, d) => {
       val o = orders(s, d)
       val in95 = o.filter(col("o_orderdate") >= lit("1995-01-01") &&
@@ -887,6 +899,12 @@ object RelationalQueries {
          WHERE (ns.n_name = 'NATION_18' AND nc.n_name = 'NATION_19')
             OR (ns.n_name = 'NATION_19' AND nc.n_name = 'NATION_18')
          GROUP BY 1, 2, 3""",
+    "q42_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
     "q23_churned_1996" ->
       """SELECT o_custkey FROM orders
          WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'

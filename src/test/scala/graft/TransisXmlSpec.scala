@@ -76,4 +76,28 @@ class TransisXmlSpec extends AnyFunSuite {
       "count=\"5\"", "reg=\"ROZ\""))
       assert(p1.contains(tok), s"missing $tok in:\n${p1.take(400)}")
   }
+
+  test("malformed XML fragments drop cleanly — the job never fails") {
+    // A corrupt frame (connection garbage, truncated tag soup) parses to
+    // a null doc under from_xml's permissive mode; every downstream gate
+    // (error route, truthiness gate, topology flatten) must DROP it —
+    // not crash the batch, not surface a phantom record. Valid docs in
+    // the same payload still come through intact.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val garbage = Seq("<not-closed", "%PDF-1.4 binary junk ",
+      "<TransisResponse><Broken></TransisResponse").mkString(NUL)
+    val payload = singleSiteDoc + NUL + garbage + NUL + errorDoc + NUL
+    val framed = TransisXml.frame(Seq(payload).toDF("value"))
+    assert(framed.count() === 5) // 3 garbage + 2 real frames
+    val parsed = TransisXml.parse(framed, graft.model.Schemas.transisResponse)
+    // truthiness gate: only the real detector-count doc survives
+    val records = graft.ops.DetectorCounts.toRecords(
+      TransisXml.detectorCountDocs(parsed))
+    assert(records.select(col("siteId")).as[String].collect().toSeq
+      === Seq("2087"))
+    // error route: exactly the real error doc, no garbage phantom
+    val errs = TransisXml.errorDocs(parsed).as[String].collect()
+    assert(errs.toSeq === Seq("Transis unavailable"))
+  }
 }
