@@ -15,13 +15,23 @@ import org.apache.spark.sql.functions._
   */
 object History {
 
-  /** Land canonical records partitioned by region and collection date. */
+  /** Land canonical records partitioned by region and collection date.
+    *
+    * The repartition on the partition columns is the small-files guard:
+    * without it every task holding rows of a (region, dt) writes its own
+    * file into that directory — tasks × live partitions files per batch,
+    * the classic lake-rot shape at scale. Hashing rows to their output
+    * directory first gives ~one file per directory; `maxRecordsPerFile`
+    * re-splits a pathologically hot partition so a single writer task
+    * can't produce one monster file either. */
   def writePartitioned(records: DataFrame, path: String): Unit =
     records
       .withColumn("dt", date_format(
         timestamp_seconds(col("collectionendtimestamp_plus_3_mins")),
         "yyyy-MM-dd"))
+      .repartition(col("region"), col("dt"))
       .write.mode("overwrite")
+      .option("maxRecordsPerFile", 5000000L)
       .partitionBy("region", "dt")
       .parquet(path)
 

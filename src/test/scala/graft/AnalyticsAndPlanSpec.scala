@@ -93,6 +93,34 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("§2.9: stream-static broadcast join enriches streaming counts with topology") {
+    // The reference decorates each record from the (static at job start)
+    // topology; under Structured Streaming that is a stream-static join —
+    // the static side is read once and broadcast per micro-batch, no
+    // state store involved. Same enrichWithTopology used by batch x05.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val sites = graft.ops.Topology.sites(graft.parse.TransisXml.parse(
+      Seq(topologyDoc).toDF("fragment"),
+      graft.model.Schemas.topologyResponse))
+    val totals = graft.ops.DetectorCounts.siteTotals(
+      Pipeline.payloadToRecords(input.toDF()))
+    val enriched = graft.ops.DetectorCounts.enrichWithTopology(totals, sites)
+    val q = enriched.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_enriched").start()
+    try {
+      input.addData(streamPayload)
+      q.processAllAvailable()
+      val rows = spark.table("stream_enriched")
+        .select("siteId", "total_count", "topo_region").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      // regions come from the broadcast static side (x05's oracle image)
+      assert(rows === Set(("2087", 24L, "TR-A"), ("2087", 3L, "TR-A"),
+        ("8", 7L, "TR-B")), rows.mkString(";"))
+    } finally q.stop()
+  }
+
   test("event time = date - 180s (3-min delivery lag, SURVEY §1.2)") {
     import spark.implicits._
     val records = Pipeline.payloadToRecords(Seq(singleSiteDoc).toDF("value"))
