@@ -187,6 +187,18 @@ object ExtQueries {
         centroids, "vec_id", "embedding", 3)
     }),
 
+    // Trained centroids COMPOSED with multiprobe: the full production
+    // ANN pipeline — train the quantizer, index the corpus into single
+    // cells, probe each query's top-2 trained cells. Same machinery as
+    // s06 with s07's centroids; oracle chains both unrolled stages.
+    "s08_ivf_trained_probed" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val centroids = Similarity.trainCentroids(
+        emb, "vec_id", "embedding", 8, 2)
+      Similarity.ivfTopKProbed(emb, emb.filter(col("vec_id") % 50 === 0),
+        centroids, "vec_id", "embedding", 3, 2)
+    }),
+
     // Per-query top-5 via the typed bounded TopK Aggregator — identical
     // result to s01's Window form, but the shuffle carries k rows per
     // group (bounded partial buffers) instead of sorting every scored
@@ -831,6 +843,40 @@ object ExtQueries {
                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
                 / (q.nrm * c.nrm), 6) AS cos_r
             FROM q JOIN n c ON q.cell = c.cell AND q.vec_id != c.vec_id
+          )
+          SELECT query_id, b_id, CAST(rank AS INTEGER) AS rank, cos_r
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos_r DESC, b_id ASC) AS rank FROM s) t
+          WHERE rank <= 3""".stripMargin
+    },
+    "s08_ivf_trained_probed" -> {
+      val (ctes, cent) = kmeansCtes(8, 2)
+      val dotAC =
+        "list_sum(list_transform(range(1,65), i -> CAST(a.embedding[i] AS DOUBLE) * ct.c_emb[i]))"
+      s"""WITH $ctes,
+          asnT AS (
+            SELECT a.vec_id, ct.c_id,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY $dotAC DESC, ct.c_id ASC) AS rn
+            FROM embeddings a CROSS JOIN $cent ct
+          ), cells AS (SELECT vec_id, c_id AS cell FROM asnT WHERE rn = 1),
+          qcells AS (SELECT vec_id, c_id AS cell FROM asnT WHERE rn <= 2),
+          n AS (
+            SELECT e.vec_id, e.embedding,
+              sqrt(list_sum(list_transform(range(1,65),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS nrm
+            FROM embeddings e
+          ), q AS (
+            SELECT n.vec_id, n.embedding, n.nrm, qc.cell
+            FROM n JOIN qcells qc USING (vec_id) WHERE n.vec_id % 50 = 0
+          ), s AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS b_id,
+              round(list_sum(list_transform(range(1,65),
+                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                / (q.nrm * c.nrm), 6) AS cos_r
+            FROM q
+            JOIN cells cb ON cb.cell = q.cell
+            JOIN n c ON c.vec_id = cb.vec_id AND q.vec_id != c.vec_id
           )
           SELECT query_id, b_id, CAST(rank AS INTEGER) AS rank, cos_r
           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
