@@ -50,13 +50,30 @@ object ExtQueries {
       _ => Dedup.resolveClusters(candidatePairs(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** Unpersist + drop the pair/cluster memos keyed to `s`. Safe to call
-    * with jobs in flight only if nothing still references the evicted
-    * frames (Bench evicts between iterations; [[Memos.install]] evicts
-    * at application end). */
+  /** s07/s08 share the trained quantizer (a deployment trains once and
+    * serves many searches); the Lloyd rounds are driver-synchronized
+    * like the CC rounds, so memoize the tiny (c_id, c_emb) result per
+    * (session, dir). */
+  private val centroidsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def trainedCentroids(s: SparkSession, d: String): DataFrame =
+    centroidsCache.computeIfAbsent(
+      s"${graft.SessionKey(s)}|$d",
+      _ => {
+        Memos.install(s)
+        Similarity.trainCentroids(embeddings(s, d),
+          "vec_id", "embedding", 8, 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+
+  /** Unpersist + drop the pair/cluster/centroid memos keyed to `s`. Safe
+    * to call with jobs in flight only if nothing still references the
+    * evicted frames (Bench evicts between iterations; [[Memos.install]]
+    * evicts at application end). */
   private[queries] def evict(s: SparkSession): Unit = {
     val prefix = s"${graft.SessionKey(s)}|"
-    Seq(pairsCache, clustersCache).foreach { cache =>
+    Seq(pairsCache, clustersCache, centroidsCache).foreach { cache =>
       val it = cache.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
@@ -181,10 +198,8 @@ object ExtQueries {
     // a real ANN pipeline must run before any IVF query can exist.
     "s07_ivf_trained" -> ((s, d) => {
       val emb = embeddings(s, d)
-      val centroids = Similarity.trainCentroids(
-        emb, "vec_id", "embedding", 8, 2)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0),
-        centroids, "vec_id", "embedding", 3)
+        trainedCentroids(s, d), "vec_id", "embedding", 3)
     }),
 
     // Trained centroids COMPOSED with multiprobe: the full production
@@ -193,10 +208,8 @@ object ExtQueries {
     // s06 with s07's centroids; oracle chains both unrolled stages.
     "s08_ivf_trained_probed" -> ((s, d) => {
       val emb = embeddings(s, d)
-      val centroids = Similarity.trainCentroids(
-        emb, "vec_id", "embedding", 8, 2)
       Similarity.ivfTopKProbed(emb, emb.filter(col("vec_id") % 50 === 0),
-        centroids, "vec_id", "embedding", 3, 2)
+        trainedCentroids(s, d), "vec_id", "embedding", 3, 2)
     }),
 
     // Per-query top-5 via the typed bounded TopK Aggregator — identical
