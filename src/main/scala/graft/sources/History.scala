@@ -35,6 +35,36 @@ object History {
       .partitionBy("region", "dt")
       .parquet(path)
 
+  /** Latest-wins compaction of a lake slice — the "current state"
+    * materialization (the same shape the VMS reader computes on read,
+    * done once at rest). Keeps the newest record per key within every
+    * partition the predicate touches and rewrites ONLY those partitions:
+    * `partitionOverwriteMode=dynamic` scopes the overwrite to the
+    * directories the job emits, so compacting one day of one region
+    * never rewrites (or even lists) the rest of a 100 TB lake. The
+    * window sort is per (partition, key) — bounded by a partition's
+    * update count, never global.
+    *
+    * @param keyCols identity columns within a partition (e.g. siteId)
+    * @param tsCol   recency column; ties keep the lexicographically
+    *                largest remaining row deterministically */
+  def compactLatest(spark: SparkSession, path: String,
+                    keyCols: Seq[String], tsCol: String,
+                    predicate: org.apache.spark.sql.Column): Unit = {
+    val slice = spark.read.parquet(path).filter(predicate)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((Seq("region", "dt") ++ keyCols).map(col): _*)
+      .orderBy(col(tsCol).desc)
+    slice.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .repartition(col("region"), col("dt"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", 5000000L)
+      .partitionBy("region", "dt")
+      .parquet(path)
+  }
+
   /** S4: `get_data_from` — date-bounded scan; the `dt >= …` predicate is a
     * partition filter (no data files outside the range are opened). */
   def readFrom(spark: SparkSession, path: String, fromDate: String): DataFrame =

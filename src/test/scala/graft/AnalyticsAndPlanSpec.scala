@@ -142,6 +142,35 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
     assert(!plan.contains("PushedFilters: [IsNotNull(region)"))
   }
 
+  test("compactLatest keeps the newest record per key and only rewrites touched partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // streamPayload: site 2087 at 15:40+15:45 (same region/dt) + site 8;
+    // a second doc a day later lands in its own dt partition
+    val laterDoc = singleSiteDoc.replace("2019-10-03T15:43:00+10:00",
+      "2019-10-04T15:43:00+10:00")
+    History.writePartitioned(
+      Pipeline.payloadToRecords(Seq(streamPayload + laterDoc + NUL)
+        .toDF("value")), dir)
+    def files(sub: String): Set[String] = {
+      val d = new java.io.File(s"$dir/$sub")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName + ":" + f.lastModified()).toSet
+    }
+    val day2Before = files("region=ROZ/dt=2019-10-04")
+    History.compactLatest(spark, dir, Seq("siteId"),
+      "collectionendtimestamp_plus_3_mins", col("dt") === "2019-10-03")
+    // latest-wins inside the compacted day: 2087 keeps ONLY the 15:45
+    // record; site 8 untouched in count
+    val day1 = spark.read.parquet(dir).filter(col("dt") === "2019-10-03")
+    val by = day1.select("siteId", "collectionendtimestamp_plus_3_mins")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(by === Set(("2087", epoch1548), ("8", epoch1548)),
+      by.mkString(";"))
+    // the untouched dt=2019-10-04 partition kept its exact files
+    assert(files("region=ROZ/dt=2019-10-04") === day2Before)
+  }
+
   test("dot_product is SQL-callable once registered (GraftExtensions path)") {
     // getOrCreate reuses the JVM-wide session, so exercise the same
     // registration GraftExtensions injects, on a fresh child session.
