@@ -357,6 +357,20 @@ object ExtQueries {
             .as("within_5pct"))
     }),
 
+    // Grouped HLL — the shape that matters at scale: per-group sketches
+    // built from map-side partials and MERGED across partitions (the
+    // TypedImperativeAggregate merge path), never a re-scan per group.
+    // Gated a01-style: exact cardinality + within-tolerance boolean.
+    "a03_hll_grouped" -> ((s, d) => {
+      import graft.functions.HyperLogLog.hll_distinct
+      events(s, d).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact"),
+          hll_distinct(col("user_id").cast("string")).as("est"))
+        .select(col("event_type"), col("exact"),
+          (abs(col("est") - col("exact")) / col("exact") < 0.05)
+            .as("within_5pct"))
+    }),
+
     // Quantile sketch (the second sketch-family op beside a01's HLL):
     // percentile_approx vs the exact interpolated percentile, gated as
     // exact values + within-tolerance booleans (the a01 pattern — the
@@ -1246,6 +1260,10 @@ object ExtQueries {
     "a01_hll_sketch" ->
       """SELECT COUNT(DISTINCT text) AS exact, TRUE AS within_5pct
          FROM documents""",
+    "a03_hll_grouped" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact,
+         TRUE AS within_5pct
+         FROM events GROUP BY event_type""",
     // exact interpolated percentiles (quantile_cont ≡ Spark percentile);
     // the approx side is asserted via tolerance booleans, a01-style
     "a02_quantile_sketch" ->
