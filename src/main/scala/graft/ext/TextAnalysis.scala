@@ -131,4 +131,22 @@ object TextAnalysis {
     * docs usually share them. */
   def fingerprint(text: Column): Column =
     array_min(transform(wordShingles(text, 5), s => md5(s)))
+
+  /** Deterministic stratified sampling predicate — the data-MIXING
+    * primitive (hold each stratum at a target keep rate when composing a
+    * training corpus). The keep decision is an md5 bucket of the row id
+    * against `rate · 2³²`, like the t13 split: engine-portable, stable
+    * under stage retry (a `rand()` sample resamples on retry — the
+    * SPARK-23207 class), and independent of partitioning. Strata absent
+    * from `rates` are dropped (rate 0). Shuffle-free: evaluates as a
+    * scan-side filter. */
+  def stratifiedKeep(idCol: Column, stratumCol: Column,
+                     rates: Map[String, Double]): Column = {
+    val bucket = conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+      .cast("bigint")
+    val rate = rates.foldLeft(lit(0.0)) { case (acc, (stratum, r)) =>
+      when(stratumCol === stratum, lit(r)).otherwise(acc)
+    }
+    bucket < rate * 4294967296.0
+  }
 }

@@ -501,6 +501,21 @@ object ExtQueries {
           sum(col("c") * log(col("c"))) / sum(col("c")), 6).as("entropy"))
     }),
 
+    // Deterministic stratified sampling — the data-mixing stage: hold
+    // each language at its target keep rate via the md5-bucket predicate
+    // (engine-portable, retry-stable, shuffle-free). Gated on the per-
+    // stratum kept counts and token mass.
+    "t15_stratified_sample" -> ((s, d) => {
+      val rates = Map("en" -> 1.0, "zh" -> 0.75, "de" -> 0.5,
+        "es" -> 0.5, "fr" -> 0.25)
+      documents(s, d)
+        .filter(TextAnalysis.stratifiedKeep(col("doc_id"), col("lang"), rates))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(TextAnalysis.wsTokenCount(col("text")).cast("bigint"))
+            .cast("bigint").as("kept_tokens"))
+    }),
+
     // Composed corpus-cleaning gate: the t01/t02/t05 signals as one
     // filter — language agreement, quality floor, repetition ceiling —
     // summarized per language (the training-data cleaning pipeline).
@@ -1235,6 +1250,21 @@ object ExtQueries {
            CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
              AS BIGINT) AS total_tokens
          FROM s GROUP BY 1""",
+    "t15_stratified_sample" ->
+      """WITH s AS (
+           SELECT *,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               AS bucket,
+             CASE lang WHEN 'en' THEN 1.0 WHEN 'zh' THEN 0.75
+               WHEN 'de' THEN 0.5 WHEN 'es' THEN 0.5 WHEN 'fr' THEN 0.25
+               ELSE 0.0 END AS rate
+           FROM documents
+         )
+         SELECT lang, COUNT(*) AS n_kept,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+             AS BIGINT) AS kept_tokens
+         FROM s WHERE bucket < rate * 4294967296.0
+         GROUP BY lang""",
     "t14_word_entropy" ->
       """WITH w AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS w

@@ -30,6 +30,11 @@ object History {
         timestamp_seconds(col("collectionendtimestamp_plus_3_mins")),
         "yyyy-MM-dd"))
       .repartition(col("region"), col("dt"))
+      // sorted within files → tight parquet row-group min/max stats on
+      // (siteId, ts), so site- or time-bounded residual predicates skip
+      // row groups inside the pruned partitions too
+      .sortWithinPartitions(col("siteId"),
+        col("collectionendtimestamp_plus_3_mins"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", 5000000L)
       .partitionBy("region", "dt")
