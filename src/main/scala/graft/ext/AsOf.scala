@@ -84,14 +84,21 @@ object AsOf {
         val sums = b.filter(col("_side") === 0)
           .groupBy(col(keyCol), col("_bkt"))
           .agg(max_by(col("_asof"), struct(col(timeCol))).as("_blast"))
-        val wCarry = Window.partitionBy(col(keyCol)).orderBy(col("_bkt").asc)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val carryIn = b.select(col(keyCol), col("_bkt")).distinct()
-          .join(sums, Seq(keyCol, "_bkt"), "left")
+        // joins below are NULL-SAFE: the unsalted window groups null keys
+        // (and null times → null buckets) into partitions like any other
+        // value, so the salted path must match them too — a plain equi-
+        // join would silently drop every null-key/null-time left row
+        val carryIn = b.select(col(keyCol).as("_ck"), col("_bkt").as("_cb"))
+          .distinct()
+          .join(sums, col("_ck") <=> sums(keyCol) && col("_cb") <=> sums("_bkt"),
+            "left")
           .withColumn("_carry",
-            last(col("_blast"), ignoreNulls = true).over(wCarry))
-          .select(col(keyCol), col("_bkt"), col("_carry"))
-        within.join(carryIn, Seq(keyCol, "_bkt"))
+            last(col("_blast"), ignoreNulls = true).over(
+              Window.partitionBy(col("_ck")).orderBy(col("_cb").asc)
+                .rowsBetween(Window.unboundedPreceding, -1)))
+          .select(col("_ck"), col("_cb"), col("_carry"))
+        within.join(carryIn,
+            col(keyCol) <=> col("_ck") && col("_bkt") <=> col("_cb"))
           .withColumn("_asof", coalesce(col("_in"), col("_carry")))
           .select(u.columns.map(col).toIndexedSeq: _*) // original column order
     }

@@ -140,13 +140,18 @@ object TextAnalysis {
     * SPARK-23207 class), and independent of partitioning. Strata absent
     * from `rates` are dropped (rate 0). Shuffle-free: evaluates as a
     * scan-side filter. */
+  /** Engine-portable uniform hash bucket of a row id: first 8 hex chars
+    * of md5 as a bigint in [0, 2³²). The ONE definition behind both the
+    * t13 deterministic split (`bucket % 10`) and [[stratifiedKeep]] —
+    * DuckDB mirror: `('0x' || substr(md5(CAST(id AS VARCHAR)),1,8))::BIGINT`. */
+  def md5Bucket(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("bigint")
+
   def stratifiedKeep(idCol: Column, stratumCol: Column,
                      rates: Map[String, Double]): Column = {
-    val bucket = conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
-      .cast("bigint")
     val rate = rates.foldLeft(lit(0.0)) { case (acc, (stratum, r)) =>
       when(stratumCol === stratum, lit(r)).otherwise(acc)
     }
-    bucket < rate * 4294967296.0
+    md5Bucket(idCol) < rate * 4294967296.0
   }
 }

@@ -471,8 +471,7 @@ object ExtQueries {
     // retry, and not Spark's hash(): engine-specific). Narrow, zero
     // shuffle before the per-split rollup.
     "t13_split" -> ((s, d) => {
-      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
-        16, 10).cast("bigint") % 10
+      val bucket = TextAnalysis.md5Bucket(col("doc_id")) % 10
       documents(s, d)
         .withColumn("split",
           when(bucket < 8, "train").when(bucket === 8, "val")

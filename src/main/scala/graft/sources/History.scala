@@ -50,6 +50,20 @@ object History {
     * window sort is per (partition, key) — bounded by a partition's
     * update count, never global.
     *
+    * The predicate may reference ONLY the partition columns (region, dt):
+    * a row-level predicate (say `siteId = 8`) would select a subset of a
+    * partition's rows and then dynamic-overwrite the whole partition
+    * with that subset — silently deleting every other row. Enforced, not
+    * just documented.
+    *
+    * Durability note: this is a read-rewrite of the same path. The
+    * compacted slice is eagerly materialized BEFORE the overwrite begins
+    * (so the job never reads directories it is deleting), but the
+    * directory swap itself is not transactional — a crash between delete
+    * and rename can lose the partition. On a production lake put a
+    * transactional table format in front of raw parquet for this
+    * operation.
+    *
     * @param keyCols identity columns within a partition (e.g. siteId)
     * @param tsCol   recency column; ties keep the lexicographically
     *                largest remaining row deterministically */
@@ -57,17 +71,30 @@ object History {
                     keyCols: Seq[String], tsCol: String,
                     predicate: org.apache.spark.sql.Column): Unit = {
     val slice = spark.read.parquet(path).filter(predicate)
+    val refs = slice.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.references.map(_.name).toSeq
+    }.flatten.toSet
+    require(refs.subsetOf(Set("region", "dt")),
+      s"compactLatest predicate may only reference partition columns " +
+        s"(region, dt); got ${refs.mkString(", ")} — a row-level " +
+        s"predicate would overwrite whole partitions with a row subset")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy((Seq("region", "dt") ++ keyCols).map(col): _*)
       .orderBy(col(tsCol).desc)
-    slice.withColumn("_rn", row_number().over(w))
+    val latest = slice.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
       .repartition(col("region"), col("dt"))
-      .write.mode("overwrite")
+      .sortWithinPartitions(col("siteId"), col(tsCol))
+      // materialize fully before the overwrite deletes its own input
+      .localCheckpoint(true)
+    latest.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .option("maxRecordsPerFile", 5000000L)
       .partitionBy("region", "dt")
       .parquet(path)
+    org.apache.spark.sql.graftbridge.DatasetBridge.backingRdds(latest)
+      .foreach(_.unpersist(blocking = false))
   }
 
   /** S4: `get_data_from` — date-bounded scan; the `dt >= …` predicate is a

@@ -430,6 +430,14 @@ class ReconnectingReader(transport: PayloadTransport, maxReconnects: Int) {
         } catch {
           case e: java.io.IOException =>
             attempts += 1
+            // close the broken transport iterator before discarding it —
+            // its framer still holds the dead HTTP connection (the
+            // "stream ended" path closes itself; double-close is safe)
+            inner match {
+              case c: java.io.Closeable =>
+                try c.close() catch { case _: java.io.IOException => () }
+              case _ => ()
+            }
             inner = Iterator.empty
             if (attempts > maxReconnects)
               throw new java.io.IOException(

@@ -169,6 +169,13 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
       by.mkString(";"))
     // the untouched dt=2019-10-04 partition kept its exact files
     assert(files("region=ROZ/dt=2019-10-04") === day2Before)
+    // a row-level predicate is REJECTED: it would overwrite whole
+    // partitions with a row subset (silent data loss)
+    val ex = intercept[IllegalArgumentException] {
+      History.compactLatest(spark, dir, Seq("siteId"),
+        "collectionendtimestamp_plus_3_mins", col("siteId") === "8")
+    }
+    assert(ex.getMessage.contains("partition columns"), ex.getMessage)
   }
 
   test("dot_product is SQL-callable once registered (GraftExtensions path)") {

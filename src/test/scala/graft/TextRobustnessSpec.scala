@@ -165,6 +165,22 @@ class TextRobustnessSpec extends AnyFunSuite {
     // (forces carry across many right-free gap buckets)
     for (w <- Seq(50L, 500L, 10000L))
       assert(run(Some(w)) === unsalted, s"width=$w")
+    // null keys and null times must survive salting identically too (the
+    // unsalted window groups them like any value; a plain equi-join in
+    // the salted path would silently drop those left rows)
+    val nl: Seq[(Option[Long], Option[Long], Long)] =
+      lefts.take(290).map(t => (Some(t._1), Some(t._2), t._3)) ++
+        Seq((None, Some(100L), 901L), (Some(0L), None, 902L))
+    val nr: Seq[(Option[Long], Option[Long], Long)] =
+      rights.take(390).map(t => (Some(t._1), Some(t._2), t._3)) :+
+        ((None: Option[Long], Some(50L), 1901L))
+    def runNull(width: Option[Long]) = graft.ext.AsOf.asofJoin(
+      nl.toDF("k", "ts", "lid"), nr.toDF("k", "ts", "rid"),
+      "k", "ts", Seq("rid"), saltBucketWidth = width).collect()
+      .map(r => r.getAs[Long]("lid") -> Option(r.getAs[Any]("asof_rid")))
+      .toMap
+    assert(runNull(Some(500L)) === runNull(None))
+    assert(runNull(None).size === nl.size) // no dropped left rows
     // and the heavy window really shards on (key, bucket)
     val plan = graft.ext.AsOf.asofJoin(
       lefts.toDF("k", "ts", "lid"), rights.toDF("k", "ts", "rid"),
