@@ -23,8 +23,14 @@ object History {
     * the classic lake-rot shape at scale. Hashing rows to their output
     * directory first gives ~one file per directory; `maxRecordsPerFile`
     * re-splits a pathologically hot partition so a single writer task
-    * can't produce one monster file either. */
-  def writePartitioned(records: DataFrame, path: String): Unit =
+    * can't produce one monster file either.
+    *
+    * @param mode "overwrite" for batch loads; "append" for the streaming
+    *   archive path (each foreachBatch lands its micro-batch into the
+    *   same layout — exactly-once when guarded by the Pipeline
+    *   BatchLedger). */
+  def writePartitioned(records: DataFrame, path: String,
+                       mode: String = "overwrite"): Unit =
     records
       .withColumn("dt", date_format(
         timestamp_seconds(col("collectionendtimestamp_plus_3_mins")),
@@ -35,7 +41,7 @@ object History {
       // row groups inside the pruned partitions too
       .sortWithinPartitions(col("siteId"),
         col("collectionendtimestamp_plus_3_mins"))
-      .write.mode("overwrite")
+      .write.mode(mode)
       .option("maxRecordsPerFile", 5000000L)
       .partitionBy("region", "dt")
       .parquet(path)

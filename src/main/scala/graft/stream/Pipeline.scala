@@ -104,4 +104,27 @@ object Pipeline {
         pushBatch(batch, batchId, sink, di, shards, ledger)
       }
       .start()
+
+  /** One archive micro-batch — extracted like [[pushBatch]] so the
+    * crash-replay no-op is directly testable. */
+  def archiveBatch(batch: DataFrame, batchId: Long, lakePath: String,
+                   ledger: Option[BatchLedger] = None): Unit =
+    if (!ledger.exists(_.lastCommitted >= batchId)) {
+      graft.sources.History.writePartitioned(batch, lakePath,
+        mode = "append")
+      ledger.foreach(_.markCommitted(batchId))
+    }
+
+  /** Streaming archive: each micro-batch of canonical records appends
+    * into the partitioned history lake (same layout and small-files
+    * guard as the batch loader), with the ledger turning crash-replayed
+    * batches into no-ops — exactly-once lake output. */
+  def archive(records: DataFrame, lakePath: String, checkpointDir: String,
+              ledger: Option[BatchLedger] = None): StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        archiveBatch(batch, batchId, lakePath, ledger)
+      }
+      .start()
 }

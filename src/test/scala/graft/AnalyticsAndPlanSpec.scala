@@ -178,6 +178,33 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("partition columns"), ex.getMessage)
   }
 
+  test("streaming archive appends micro-batches to the lake exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lake = java.nio.file.Files.createTempDirectory("graft-lake").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lake-ck").toString
+    val ledger = new Pipeline.InMemoryBatchLedger
+    val input = MemoryStream[String]
+    val q = Pipeline.archive(Pipeline.payloadToRecords(input.toDF()),
+      lake, ckpt, Some(ledger))
+    try {
+      input.addData(singleSiteDoc + NUL)
+      q.processAllAvailable()
+      input.addData(multiSiteDoc + NUL)
+      q.processAllAvailable()
+      // both micro-batches landed, partitioned by (region, dt)
+      val rows = spark.read.parquet(lake)
+      assert(rows.count() === 3) // 1 + 2 site records
+      assert(rows.select("region").distinct().count() === 2) // ROZ + SYD
+      // a crash-replay of batch 0 is a no-op: the ledger already has it
+      Pipeline.archiveBatch(
+        Pipeline.payloadToRecords(Seq(singleSiteDoc).toDF("value")),
+        0L, lake, Some(ledger))
+      assert(spark.read.parquet(lake).count() === 3) // nothing re-appended
+      assert(ledger.lastCommitted === 1L)
+    } finally q.stop()
+  }
+
   test("dot_product is SQL-callable once registered (GraftExtensions path)") {
     // getOrCreate reuses the JVM-wide session, so exercise the same
     // registration GraftExtensions injects, on a fresh child session.
