@@ -28,8 +28,21 @@ object Bench {
     // inflate one query 5-10x; the minimum over independent runs is a far
     // more stable estimate of the plan's real cost (round-1 postmortem:
     // recorded 293 s for a 40 s suite).
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Default 3: with VM noise ε per run, min-of-2 is contaminated with
+    // p=ε² while min-of-3 needs all three runs noisy (ε³) — and the
+    // median over 3 is a real median, so the min↔median gap cleanly
+    // flags a contended host (round-4: driver's official number was
+    // ~1.9× a clean re-run of identical code).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Optional focus list (comma-separated query names) for iterating on
+    // one query family without paying the whole suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val times = (0 until runs).map { _ =>
         // Evict the cross-query memos (shared LSH pairs / cluster results)
         // before every measured iteration so min-of-N times the actual

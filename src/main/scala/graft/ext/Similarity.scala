@@ -163,24 +163,50 @@ object Similarity {
     * [[ivfTopK]] / [[ivfTopKProbed]] take. */
   def trainCentroids(vecs: DataFrame, idCol: String, embCol: String,
                      k: Int, iters: Int): DataFrame = {
-    var cent = vecs
-      .select(col(idCol), col(embCol))
+    val spark = vecs.sparkSession
+    // Iterative-ML hygiene (same shape as Dedup.resolveClusters): the
+    // training loop reads its input 2·iters times (assign + recompute per
+    // round), so project the (id, emb) working set ONCE and persist it —
+    // without this every pass re-plans from the raw input, which at
+    // 100 TB is a full lake re-scan per Lloyd iteration. Each round's
+    // centroid set (K rows) is materialized through an RDD-level local
+    // checkpoint so iteration lineage never nests (round r's plan would
+    // otherwise embed rounds 1..r−1 and re-run them wherever the
+    // centroids fan out), with superseded rounds released immediately.
+    val work = vecs.select(col(idCol), col(embCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def ckpt(df: DataFrame): (DataFrame,
+        org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
+      val rdd = df.queryExecution.toRdd.map(_.copy())
+      rdd.localCheckpoint()
+      rdd.count(): Unit // eager: triggers the checkpoint
+      (org.apache.spark.sql.graftbridge.DatasetBridge
+        .internalDf(spark, rdd, df.schema), rdd)
+    }
+    var (cent, centRdd) = ckpt(work
       .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
       .limit(k)
       .select(col(idCol).cast("long").as("c_id"),
-        transform(col(embCol), x => x.cast("double")).as("c_emb"))
+        transform(col(embCol), x => x.cast("double")).as("c_emb")))
     for (_ <- 1 to iters) {
-      val assigned = assignCells(vecs, idCol, embCol, cent)
+      val assigned = assignCells(work, idCol, embCol, cent)
       val dimMeans = assigned
         .select(col("cell"), posexplode(col(embCol)))
         .groupBy(col("cell"), col("pos"))
         .agg(round(sum(col("col").cast("double")) / count(lit(1)), 6).as("m"))
-      cent = dimMeans
+      val (next, nextRdd) = ckpt(dimMeans
         .groupBy(col("cell"))
         .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ds"))
         .select(col("cell").as("c_id"),
-          transform(col("ds"), d => d.getField("m")).as("c_emb"))
+          transform(col("ds"), d => d.getField("m")).as("c_emb")))
+      org.apache.spark.sql.graftbridge.DatasetBridge.releaseRdd(centRdd)
+      cent = next
+      centRdd = nextRdd
     }
+    // the final round is materialized above, so the working set can go;
+    // the returned frame is rooted on the final checkpoint only (callers
+    // release it via DatasetBridge.backingRdds when evicting their memo)
+    work.unpersist(blocking = false)
     cent
   }
 
