@@ -49,26 +49,37 @@ object History {
   /** Latest-wins compaction of a lake slice — the "current state"
     * materialization (the same shape the VMS reader computes on read,
     * done once at rest). Keeps the newest record per key within every
-    * partition the predicate touches and rewrites ONLY those partitions:
-    * `partitionOverwriteMode=dynamic` scopes the overwrite to the
-    * directories the job emits, so compacting one day of one region
-    * never rewrites (or even lists) the rest of a 100 TB lake. The
-    * window sort is per (partition, key) — bounded by a partition's
-    * update count, never global.
+    * partition the predicate touches and rewrites ONLY those partitions,
+    * so compacting one day of one region never rewrites (or even lists)
+    * the rest of a 100 TB lake. The window sort is per (partition, key)
+    * — bounded by a partition's update count, never global.
     *
     * The predicate may reference ONLY the partition columns (region, dt):
     * a row-level predicate (say `siteId = 8`) would select a subset of a
-    * partition's rows and then dynamic-overwrite the whole partition
-    * with that subset — silently deleting every other row. Enforced, not
-    * just documented.
+    * partition's rows and then replace the whole partition with that
+    * subset — silently deleting every other row. Enforced, not just
+    * documented.
     *
-    * Durability note: this is a read-rewrite of the same path. The
-    * compacted slice is eagerly materialized BEFORE the overwrite begins
-    * (so the job never reads directories it is deleting), but the
-    * directory swap itself is not transactional — a crash between delete
-    * and rename can lose the partition. On a production lake put a
-    * transactional table format in front of raw parquet for this
-    * operation.
+    * Commit protocol (a crash leaves every partition OLD or NEW, never
+    * neither — the manifest-commit a table format would provide, done
+    * directly on the directory layout):
+    *
+    *  1. stage the compacted partitions under `_staging/compact` (reads
+    *     the live dirs, writes elsewhere — the job never deletes its own
+    *     input, so no eager materialization is needed);
+    *  2. atomically publish a manifest (write-then-rename) listing the
+    *     partitions to swap — the manifest IS the commit point: absent,
+    *     the lake is untouched and stale staging is garbage; present,
+    *     the swap is in flight and [[recoverCompaction]] can finish it
+    *     from any crash state;
+    *  3. per partition: rename live aside (`_old-dt=…`, hidden from
+    *     readers), promote staged, drop the aside — directory renames,
+    *     each atomic on HDFS/local;
+    *  4. drop the manifest, then the staging root.
+    *
+    * [[compactLatest]] auto-runs recovery first, so a re-run after any
+    * crash completes the interrupted compaction before starting the new
+    * one.
     *
     * @param keyCols identity columns within a partition (e.g. siteId)
     * @param tsCol   recency column; ties keep the lexicographically
@@ -76,6 +87,9 @@ object History {
   def compactLatest(spark: SparkSession, path: String,
                     keyCols: Seq[String], tsCol: String,
                     predicate: org.apache.spark.sql.Column): Unit = {
+    // finish any interrupted swap BEFORE the read below lists files —
+    // recovery renames directories out from under an already-planned scan
+    recoverCompaction(spark, path): Unit
     val slice = spark.read.parquet(path).filter(predicate)
     val refs = slice.queryExecution.analyzed.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
@@ -85,23 +99,89 @@ object History {
       s"compactLatest predicate may only reference partition columns " +
         s"(region, dt); got ${refs.mkString(", ")} — a row-level " +
         s"predicate would overwrite whole partitions with a row subset")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rawStage = new org.apache.hadoop.fs.Path(compactStagingDir(path))
+    val fs = rawStage.getFileSystem(conf)
+    val stage = fs.makeQualified(rawStage)
+    fs.delete(stage, true): Unit // pre-manifest leftovers are garbage
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy((Seq("region", "dt") ++ keyCols).map(col): _*)
       .orderBy(col(tsCol).desc)
-    val latest = slice.withColumn("_rn", row_number().over(w))
+    slice.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
       .repartition(col("region"), col("dt"))
       .sortWithinPartitions(col("siteId"), col(tsCol))
-      // materialize fully before the overwrite deletes its own input
-      .localCheckpoint(true)
-    latest.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
+      .write.mode("overwrite")
       .option("maxRecordsPerFile", 5000000L)
       .partitionBy("region", "dt")
-      .parquet(path)
-    org.apache.spark.sql.graftbridge.DatasetBridge.backingRdds(latest)
-      .foreach(_.unpersist(blocking = false))
+      .parquet(compactStagingDir(path))
+    // the staged partition set = the directories to swap
+    val parts = fs.globStatus(new org.apache.hadoop.fs.Path(stage, "*/*"))
+      .filter(_.isDirectory)
+      .map(s => stage.toUri.relativize(s.getPath.toUri).getPath)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      .sorted.toSeq
+    val manifest = new org.apache.hadoop.fs.Path(compactManifestPath(path))
+    val tmp = new org.apache.hadoop.fs.Path(manifest.getParent,
+      manifest.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(parts.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, manifest))
+      throw new java.io.IOException(s"manifest publish failed: $manifest")
+    swapStaged(fs, path, parts)
+    fs.delete(manifest, false): Unit
+    fs.delete(stage, true): Unit
   }
+
+  def compactStagingDir(path: String): String = s"$path/_staging/compact"
+  def compactManifestPath(path: String): String =
+    s"$path/_staging/compact.manifest"
+
+  /** Finish (roll FORWARD) an interrupted [[compactLatest]] swap. No-op
+    * without a manifest — pre-manifest crashes left the lake untouched.
+    * Returns true when a manifest was found and completed. Safe to run
+    * any number of times, from any crash point, including crashes of a
+    * previous recovery. */
+  def recoverCompaction(spark: SparkSession, path: String): Boolean = {
+    val manifest = new org.apache.hadoop.fs.Path(compactManifestPath(path))
+    val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(manifest)) return false
+    val in = fs.open(manifest)
+    val parts = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+    swapStaged(fs, path, parts)
+    fs.delete(manifest, false): Unit
+    fs.delete(new org.apache.hadoop.fs.Path(compactStagingDir(path)),
+      true): Unit
+    true
+  }
+
+  /** Idempotent per-partition directory swap. Reachable states for a
+    * partition (S=staged, L=live, A=aside) and the action taken:
+    * S∧L∧¬A → full swap; S∧¬L∧A → promote staged, drop aside;
+    * ¬S∧L∧A → drop aside; ¬S∧L∧¬A → done. The aside dir is
+    * underscore-prefixed, so a reader racing the swap never double-counts
+    * a partition; between the two renames the data lives in A and S. */
+  private def swapStaged(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                         parts: Seq[String]): Unit =
+    parts.foreach { rel =>
+      val live = new org.apache.hadoop.fs.Path(path, rel)
+      val staged = new org.apache.hadoop.fs.Path(compactStagingDir(path), rel)
+      val aside = new org.apache.hadoop.fs.Path(live.getParent,
+        "_old-" + live.getName)
+      if (fs.exists(staged)) {
+        if (fs.exists(live) && fs.exists(aside))
+          fs.delete(aside, true): Unit // stale aside from an older crash
+        if (fs.exists(live) && !fs.rename(live, aside))
+          throw new java.io.IOException(s"aside rename failed: $live")
+        if (!fs.rename(staged, live))
+          throw new java.io.IOException(s"promote failed: $staged -> $live")
+      }
+      if (fs.exists(aside)) fs.delete(aside, true): Unit
+    }
 
   /** S4: `get_data_from` — date-bounded scan; the `dt >= …` predicate is a
     * partition filter (no data files outside the range are opened). */

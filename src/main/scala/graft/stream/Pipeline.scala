@@ -53,8 +53,11 @@ object Pipeline {
     * turns that at-least-once replay into exactly-once OUTPUT (the
     * standard foreachBatch idempotence pattern). An implementation must
     * make `markCommitted` durable with the batch's output (same
-    * transaction, or written after the output is visible); the in-memory
-    * implementation is for tests and single-JVM runs. */
+    * transaction, or written after the output is visible):
+    * [[FileBatchLedger]] for the lake archive (markers in the lake
+    * itself), [[DiBatchLedger]] for the Kinesis push (a row beside the
+    * DI job bracket); the in-memory implementation is for tests and
+    * single-JVM runs only. */
   trait BatchLedger extends Serializable {
     /** Highest committed batchId, -1 when none. */
     def lastCommitted: Long
@@ -66,6 +69,59 @@ object Pipeline {
     override def lastCommitted: Long = last.get()
     override def markCommitted(batchId: Long): Unit =
       last.updateAndGet(math.max(_, batchId)): Unit
+  }
+
+  /** Durable ledger as marker files (`batch-<id>`) in a filesystem
+    * directory — put it INSIDE the output lake (`<lake>/_ledger`) so the
+    * commit record lives, and survives, with the batch output itself: a
+    * process restart constructs a fresh instance over the same dir and
+    * reads back exactly the committed set (the "new JVM" case the
+    * in-memory ledger cannot cover). Marker creation is a single file
+    * create on the lake's filesystem; `lastCommitted` is one dir listing
+    * of marker files (never data). Underscore-prefixed, so parquet
+    * readers skip the dir. */
+  class FileBatchLedger(dir: String) extends BatchLedger {
+    private def fs(p: org.apache.hadoop.fs.Path) =
+      p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    override def lastCommitted: Long = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val f = fs(p)
+      if (!f.exists(p)) -1L
+      else {
+        val st = f.listStatus(p)
+        val ids = st.iterator.map(_.getPath.getName)
+          .collect { case n if n.startsWith("batch-") =>
+            n.stripPrefix("batch-").toLong }
+        if (ids.isEmpty) -1L else ids.max
+      }
+    }
+    override def markCommitted(batchId: Long): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
+      val f = fs(p)
+      f.mkdirs(p.getParent): Unit
+      val out = f.create(p, true)
+      try out.write(Array.emptyByteArray) finally out.close()
+    }
+  }
+
+  /** Durable ledger as a row in the DI database, through the same
+    * bind-parameter [[graft.sink.ProcCaller]] seam the job bracket uses
+    * (reference analog `di_framework.py:35-42` — the DI store is where
+    * the reference records job lifecycle, so the batch high-water mark
+    * for the Kinesis push path lands beside it; with [[graft.sink.JdbcProcCaller]]
+    * both ride one autocommit connection). Proc contract:
+    * `<schema>.get_last_batch(job) -> bigint-as-text` (empty/non-numeric
+    * = none) and `<schema>.mark_batch(job, id)`. */
+  class DiBatchLedger(caller: graft.sink.ProcCaller, schemaName: String,
+                      jobName: String) extends BatchLedger {
+    override def lastCommitted: Long = {
+      val resp = caller.call(s"$schemaName.get_last_batch", Seq(jobName))
+      val trimmed = if (resp == null) "" else resp.trim
+      if (trimmed.matches("-?\\d+")) trimmed.toLong else -1L
+    }
+    override def markCommitted(batchId: Long): Unit =
+      caller.call(s"$schemaName.mark_batch",
+        Seq(jobName, java.lang.Long.valueOf(batchId))): Unit
   }
 
   /** One micro-batch through the job-bracketed Kinesis sink — the
@@ -106,12 +162,31 @@ object Pipeline {
       .start()
 
   /** One archive micro-batch — extracted like [[pushBatch]] so the
-    * crash-replay no-op is directly testable. */
+    * crash-replay no-op is directly testable.
+    *
+    * With a ledger the batch goes through [[graft.sources.LakeCommit]]
+    * stage-then-publish instead of a bare append: the ledger alone only
+    * covers the window between output-complete and checkpoint commit; a
+    * crash MID-append leaves partial task files that a replayed bare
+    * append would duplicate (fresh UUID names every attempt). Staged
+    * overwrite + batch-tagged publish is idempotent from every crash
+    * point, so replay always converges to exactly one copy of the batch.
+    * Ledger implementations that persist with the output
+    * ([[FileBatchLedger]] in the lake) make this exactly-once across
+    * JVM restarts, not just within one process. */
   def archiveBatch(batch: DataFrame, batchId: Long, lakePath: String,
                    ledger: Option[BatchLedger] = None): Unit =
     if (!ledger.exists(_.lastCommitted >= batchId)) {
-      graft.sources.History.writePartitioned(batch, lakePath,
-        mode = "append")
+      if (ledger.isDefined) {
+        val spark = batch.sparkSession
+        graft.sources.History.writePartitioned(batch,
+          graft.sources.LakeCommit.stagingDir(lakePath, batchId),
+          mode = "overwrite")
+        graft.sources.LakeCommit.publish(spark, lakePath, batchId)
+      } else {
+        graft.sources.History.writePartitioned(batch, lakePath,
+          mode = "append")
+      }
       ledger.foreach(_.markCommitted(batchId))
     }
 

@@ -1,0 +1,269 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.fixtures.ReferenceFixtures._
+import graft.sink._
+import graft.sources.{History, LakeCommit}
+import graft.stream.Pipeline
+
+/** Recording caller that ALSO persists the batch ledger marks, so a fresh
+  * DiBatchLedger over the same "database" simulates a new JVM reading
+  * durable DI-table state. */
+object ExactlyOnceSpecState {
+  val pushed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val marks = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  def reset(): Unit = { pushed.clear(); marks.clear() }
+}
+
+class LedgerProcCaller extends ProcCaller {
+  override def call(proc: String, args: Seq[Any]): String = proc match {
+    case p if p.endsWith(".mark_batch") =>
+      val job = args.head.toString
+      val id = args(1).toString.toLong
+      ExactlyOnceSpecState.marks.merge(job, id,
+        (a, b) => java.lang.Long.valueOf(math.max(a, b)))
+      "ok"
+    case p if p.endsWith(".get_last_batch") =>
+      Option(ExactlyOnceSpecState.marks.get(args.head.toString))
+        .map(_.toString).getOrElse("")
+    case _ =>
+      """[{"key": "job_id", "value": "7"}, {"key": "status", "value": "success"}]"""
+  }
+}
+
+class ExactlyOnceClient extends KinesisClient {
+  override def putRecords(records: Seq[KinesisRecord],
+                          streamName: String): PutRecordsResult = {
+    records.foreach(r => ExactlyOnceSpecState.pushed.add(r.partitionKey))
+    PutRecordsResult(0, records.map(_ => PutOutcome(None)))
+  }
+}
+
+/** Durable exactly-once machinery: the FileBatchLedger + staged lake
+  * publish (crash anywhere → replay converges to one copy, across JVM
+  * restarts), the DiBatchLedger for the Kinesis path, and the
+  * manifest-commit compaction swap (old-or-new, never neither). */
+class ExactlyOnceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def lakeRows(lake: String) = spark.read.parquet(lake)
+
+  test("FileBatchLedger survives a process restart (fresh instance, same dir)") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = tmp("graft-ledger")
+    val l1 = new Pipeline.FileBatchLedger(dir)
+    assert(l1.lastCommitted === -1L)
+    l1.markCommitted(0L)
+    l1.markCommitted(3L)
+    l1.markCommitted(1L) // late low mark never regresses the high-water
+    // a NEW instance (new JVM) reads the same committed set back
+    val l2 = new Pipeline.FileBatchLedger(dir)
+    assert(l2.lastCommitted === 3L)
+  }
+
+  test("archive replay after restart is a no-op with a durable ledger") {
+    import spark.implicits._
+    val lake = tmp("graft-eo-lake")
+    val batch0 = Pipeline.payloadToRecords(Seq(singleSiteDoc + NUL).toDF("value"))
+    val batch1 = Pipeline.payloadToRecords(Seq(multiSiteDoc + NUL).toDF("value"))
+    Pipeline.archiveBatch(batch0, 0L, lake,
+      Some(new Pipeline.FileBatchLedger(s"$lake/_ledger")))
+    Pipeline.archiveBatch(batch1, 1L, lake,
+      Some(new Pipeline.FileBatchLedger(s"$lake/_ledger")))
+    assert(lakeRows(lake).count() === 3) // 1 + 2 site records
+    def fileSet: Set[String] = {
+      val base = java.nio.file.Paths.get(lake)
+      val s = java.nio.file.Files.walk(base)
+      try s.filter(p => p.toString.endsWith(".parquet"))
+        .map[String](p => base.relativize(p).toString)
+        .toArray.map(_.toString).toSet
+      finally s.close()
+    }
+    val before = fileSet
+    // crash between output-complete and checkpoint commit, then a NEW JVM
+    // replays both batches: fresh ledger instances skip them entirely
+    Pipeline.archiveBatch(batch0, 0L, lake,
+      Some(new Pipeline.FileBatchLedger(s"$lake/_ledger")))
+    Pipeline.archiveBatch(batch1, 1L, lake,
+      Some(new Pipeline.FileBatchLedger(s"$lake/_ledger")))
+    assert(lakeRows(lake).count() === 3)
+    assert(fileSet === before) // not even a rewritten file
+  }
+
+  test("replay of a batch that crashed MID-publish converges to one copy") {
+    import spark.implicits._
+    val lake = tmp("graft-eo-partial")
+    val batch0 = Pipeline.payloadToRecords(Seq(singleSiteDoc + NUL).toDF("value"))
+    val batch1 = Pipeline.payloadToRecords(Seq(multiSiteDoc + NUL).toDF("value"))
+    Pipeline.archiveBatch(batch0, 0L, lake,
+      Some(new Pipeline.FileBatchLedger(s"$lake/_ledger")))
+    // simulate batch 1 dying mid-publish: stage it, move ONE file into
+    // the lake under its batch tag, leave staging + no ledger mark
+    History.writePartitioned(batch1, LakeCommit.stagingDir(lake, 1L),
+      mode = "overwrite")
+    val stage = java.nio.file.Paths.get(LakeCommit.stagingDir(lake, 1L))
+    val staged = {
+      val s = java.nio.file.Files.walk(stage)
+      try s.filter(p => p.toString.endsWith(".parquet"))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path]).sortBy(_.toString)
+      finally s.close()
+    }
+    assert(staged.nonEmpty)
+    val rel = stage.relativize(staged.head.getParent)
+    val destDir = java.nio.file.Paths.get(lake).resolve(rel)
+    java.nio.file.Files.createDirectories(destDir)
+    java.nio.file.Files.move(staged.head, destDir.resolve("b1-p0.parquet"))
+    // the replayed batch (fresh JVM: fresh ledger) sweeps the partial
+    // attempt and lands the batch exactly once
+    Pipeline.archiveBatch(batch1, 1L, lake,
+      Some(new Pipeline.FileBatchLedger(s"$lake/_ledger")))
+    val rows = lakeRows(lake)
+    assert(rows.count() === 3, rows.collect().mkString(";"))
+    // exactly one copy of every (site, ts) — no duplicated batch-1 rows
+    assert(rows.select("siteId", "collectionendtimestamp_plus_3_mins")
+      .distinct().count() === 3)
+    // staging fully cleaned up
+    assert(!java.nio.file.Files.exists(stage))
+  }
+
+  test("streaming archive + FileBatchLedger: restart replays are no-ops end-to-end") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lake = tmp("graft-eo-stream")
+    val ckpt = tmp("graft-eo-ck")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val q = Pipeline.archive(Pipeline.payloadToRecords(input.toDF()),
+      lake, ckpt, Some(new Pipeline.FileBatchLedger(s"$lake/_ledger")))
+    try {
+      input.addData(singleSiteDoc + NUL)
+      q.processAllAvailable()
+      input.addData(multiSiteDoc + NUL)
+      q.processAllAvailable()
+      assert(lakeRows(lake).count() === 3)
+      // replay batch 0 in a "new JVM" (fresh ledger over the lake's dir)
+      Pipeline.archiveBatch(
+        Pipeline.payloadToRecords(Seq(singleSiteDoc + NUL).toDF("value")),
+        0L, lake, Some(new Pipeline.FileBatchLedger(s"$lake/_ledger")))
+      assert(lakeRows(lake).count() === 3)
+    } finally q.stop()
+  }
+
+  test("DiBatchLedger: Kinesis push replay is skipped across JVM restarts") {
+    import spark.implicits._
+    ExactlyOnceSpecState.reset()
+    val records = Pipeline.payloadToRecords(Seq(singleSiteDoc).toDF("value"))
+    val sink = new KinesisSink(() => new ExactlyOnceClient, "stream",
+      sleeper = _ => ())
+    val di = new DiFramework(new LedgerProcCaller, "disch", "graft_job")
+    Pipeline.pushBatch(records, 0L, sink, di, 1,
+      Some(new Pipeline.DiBatchLedger(new LedgerProcCaller, "disch",
+        "graft_job")))
+    assert(ExactlyOnceSpecState.pushed.size === 1)
+    assert(ExactlyOnceSpecState.marks.get("graft_job") === 0L)
+    // new JVM: fresh ledger instance over the same DI store → skip
+    Pipeline.pushBatch(records, 0L, sink, di, 1,
+      Some(new Pipeline.DiBatchLedger(new LedgerProcCaller, "disch",
+        "graft_job")))
+    assert(ExactlyOnceSpecState.pushed.size === 1) // no duplicate push
+  }
+
+  // ---- transactional compaction ----
+
+  private def seedLake(): (String, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val lake = tmp("graft-eo-compact")
+    // two updates for site 2087 on day 1 (latest wins), one for site 8,
+    // plus an untouched day 2
+    val laterDoc = singleSiteDoc.replace("2019-10-03T15:43:00+10:00",
+      "2019-10-04T15:43:00+10:00")
+    History.writePartitioned(
+      Pipeline.payloadToRecords(Seq(streamPayload + laterDoc + NUL)
+        .toDF("value")), lake)
+    (lake, lakeRows(lake))
+  }
+
+  private def compactedDay1(lake: String): Set[(String, Long)] =
+    lakeRows(lake).filter(col("dt") === "2019-10-03")
+      .select("siteId", "collectionendtimestamp_plus_3_mins")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+  test("compaction crash AFTER manifest, BEFORE any swap: recovery completes it") {
+    val (lake, _) = seedLake()
+    // stage what a compaction of day 1 would stage, publish the manifest,
+    // then "crash" before swapping anything
+    stageCompaction(lake)
+    assert(new java.io.File(History.compactManifestPath(lake)).exists())
+    // live partition still fully intact (old state)
+    assert(compactedDay1(lake).size === 3)
+    assert(History.recoverCompaction(spark, lake))
+    // new state: latest-wins applied, staging + manifest gone
+    assert(compactedDay1(lake) === Set(("2087", epoch1548), ("8", epoch1548)))
+    assert(!new java.io.File(History.compactManifestPath(lake)).exists())
+    assert(!new java.io.File(History.compactStagingDir(lake)).exists())
+  }
+
+  test("compaction crash BETWEEN the two renames: partition lives in aside+staged") {
+    val (lake, _) = seedLake()
+    stageCompaction(lake)
+    // perform the first rename by hand: live → aside ("crash" right after)
+    val live = new java.io.File(s"$lake/region=ROZ/dt=2019-10-03")
+    val aside = new java.io.File(s"$lake/region=ROZ/_old-dt=2019-10-03")
+    assert(live.renameTo(aside))
+    // reader view mid-crash: partition absent, but nothing destroyed
+    assert(!live.exists() && aside.exists())
+    assert(History.recoverCompaction(spark, lake))
+    assert(compactedDay1(lake) === Set(("2087", epoch1548), ("8", epoch1548)))
+    assert(!aside.exists())
+  }
+
+  test("compaction crash AFTER promote, BEFORE aside cleanup: recovery drops aside") {
+    val (lake, _) = seedLake()
+    stageCompaction(lake)
+    val live = new java.io.File(s"$lake/region=ROZ/dt=2019-10-03")
+    val aside = new java.io.File(s"$lake/region=ROZ/_old-dt=2019-10-03")
+    val staged = new java.io.File(
+      s"${History.compactStagingDir(lake)}/region=ROZ/dt=2019-10-03")
+    assert(live.renameTo(aside))
+    assert(staged.renameTo(live)) // both renames done; "crash" before cleanup
+    assert(History.recoverCompaction(spark, lake))
+    assert(compactedDay1(lake) === Set(("2087", epoch1548), ("8", epoch1548)))
+    assert(!aside.exists())
+  }
+
+  test("compactLatest auto-recovers an interrupted predecessor, then runs") {
+    val (lake, _) = seedLake()
+    stageCompaction(lake) // predecessor crashed pre-swap
+    // a fresh compaction call first completes the old swap, then compacts
+    History.compactLatest(spark, lake, Seq("siteId"),
+      "collectionendtimestamp_plus_3_mins", col("dt") === "2019-10-03")
+    assert(compactedDay1(lake) === Set(("2087", epoch1548), ("8", epoch1548)))
+    // idempotent: day-2 partition untouched throughout
+    assert(lakeRows(lake).filter(col("dt") === "2019-10-04").count() === 1)
+    assert(!new java.io.File(History.compactManifestPath(lake)).exists())
+  }
+
+  /** Build exactly the staged state compactLatest produces for day 1 and
+    * publish its manifest — the commit point — without swapping. */
+  private def stageCompaction(lake: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val slice = lakeRows(lake).filter(col("dt") === "2019-10-03")
+    val w = Window.partitionBy(col("region"), col("dt"), col("siteId"))
+      .orderBy(col("collectionendtimestamp_plus_3_mins").desc)
+    slice.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .write.mode("overwrite").partitionBy("region", "dt")
+      .parquet(History.compactStagingDir(lake))
+    val parts = new java.io.File(History.compactStagingDir(lake))
+      .listFiles().filter(_.isDirectory).filterNot(_.getName.startsWith("_"))
+      .flatMap(r => r.listFiles().filter(_.isDirectory)
+        .map(d => s"${r.getName}/${d.getName}")).sorted
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(History.compactManifestPath(lake)),
+      parts.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+}
