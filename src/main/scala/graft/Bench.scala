@@ -39,7 +39,15 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case Some(names) =>
+        // fail fast on misspelled/stale names: silently selecting nothing
+        // would emit an empty (vacuously fast) results file that can
+        // masquerade as a clean run
+        val unknown = names -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names match no query: " +
+            s"${unknown.toSeq.sorted.mkString(", ")}")
+        SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
     val results = selected.map { case (name, fn) =>

@@ -29,6 +29,20 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  /** What the salted path actually produced, observed during the user's
+    * own action (a `CollectMetrics` node — zero extra jobs).
+    *
+    * @param nKeys      approx distinct keys in the union
+    * @param nBuckets   exact (key, bucket) shard count
+    * @param degenerate true when buckets-per-key exceeded the configured
+    *                   bound — the width is too narrow for the observed
+    *                   time range and the per-key summary window is
+    *                   re-serializing (see [[asofJoin]]'s width formula) */
+  case class SaltDiagnostic(nKeys: Long, nBuckets: Long, degenerate: Boolean)
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val saltObsCounter = new java.util.concurrent.atomic.AtomicLong()
+
   /** @param payloadCols right-side columns attached to each left row as
     *   `<prefix><name>`; left rows with no earlier right row get nulls
     *   (filter them out for inner semantics).
@@ -40,13 +54,29 @@ object AsOf {
     *   payload) is scanned key-wise to produce each bucket's carry-in,
     *   and rows whose bucket holds no earlier right row fall back to
     *   that carry-in. The summary window IS keyed per key, but over
-    *   #buckets rows, not #rows — pick a width giving each hot key
-    *   10²-10⁴ buckets. Results are identical to the unsalted path
-    *   (randomized spec asserts it). */
+    *   #buckets rows, not #rows — so the width must balance the two:
+    *
+    *     buckets per key ≈ (t_max − t_min) / width
+    *
+    *   Pick `width ≈ (t_max − t_min) / B` for B in 10²–10⁴. Too WIDE
+    *   (B→1) silently degrades to the unsalted hot-key sort; too NARROW
+    *   (B > ~10⁵) moves the serialization into the per-key carry-in
+    *   window over the buckets themselves. The shard count is observed
+    *   during the caller's action and reported through
+    *   `onSaltDiagnostic` (default: a WARN log when buckets-per-key
+    *   exceeds `degenerateBucketsPerKey`). Results are identical to the
+    *   unsalted path (randomized spec asserts it).
+    * @param degenerateBucketsPerKey buckets-per-key bound above which the
+    *   diagnostic flags the width as degenerate (default 10⁵)
+    * @param onSaltDiagnostic override the default WARN-log sink for the
+    *   salt diagnostic (invoked asynchronously after the first action on
+    *   the result; tests use it to assert the warning path) */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                timeCol: String, payloadCols: Seq[String],
                prefix: String = "asof_",
-               saltBucketWidth: Option[Long] = None): DataFrame = {
+               saltBucketWidth: Option[Long] = None,
+               degenerateBucketsPerKey: Long = 100000L,
+               onSaltDiagnostic: Option[SaltDiagnostic => Unit] = None): DataFrame = {
     val payload = struct(payloadCols.map(col): _*)
     val r = right.select(col(keyCol), col(timeCol), payload.as("_asof"))
     val payloadType = r.schema("_asof").dataType
@@ -88,8 +118,42 @@ object AsOf {
         // (and null times → null buckets) into partitions like any other
         // value, so the salted path must match them too — a plain equi-
         // join would silently drop every null-key/null-time left row
-        val carryIn = b.select(col(keyCol).as("_ck"), col("_bkt").as("_cb"))
+        val kb = b.select(col(keyCol).as("_ck"), col("_bkt").as("_cb"))
           .distinct()
+        // degenerate-width guard: observe the shard count during the
+        // caller's own action (CollectMetrics piggybacks on the distinct
+        // — no extra job, no extra shuffle) and report through a one-shot
+        // listener. See the saltBucketWidth doc for the width formula.
+        val obsName = s"graft.asof.salt.${saltObsCounter.incrementAndGet()}"
+        val kbObserved = kb.observe(obsName,
+          count(lit(1)).as("n_buckets"),
+          approx_count_distinct(col("_ck")).as("n_keys"))
+        val session = left.sparkSession
+        val bound = degenerateBucketsPerKey
+        val sink = onSaltDiagnostic.getOrElse { d: SaltDiagnostic =>
+          if (d.degenerate) log.warn(
+            s"asofJoin saltBucketWidth=$width produced ${d.nBuckets} " +
+              s"(key, bucket) shards over ~${d.nKeys} keys — " +
+              s">${bound}/key, the carry-in window is re-serializing; " +
+              "widen the bucket (width ~ time_range / 10^2..10^4)")
+        }
+        val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.get(obsName).foreach { row =>
+              val nBuckets = row.getLong(0)
+              val nKeys = math.max(row.getLong(1), 1L)
+              sink(SaltDiagnostic(nKeys, nBuckets,
+                nBuckets > bound * nKeys))
+              session.listenerManager.unregister(this)
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        }
+        session.listenerManager.register(listener)
+        val carryIn = kbObserved
           .join(sums, col("_ck") <=> sums(keyCol) && col("_cb") <=> sums("_bkt"),
             "left")
           .withColumn("_carry",

@@ -188,26 +188,37 @@ object Similarity {
       .limit(k)
       .select(col(idCol).cast("long").as("c_id"),
         transform(col(embCol), x => x.cast("double")).as("c_emb")))
-    for (_ <- 1 to iters) {
-      val assigned = assignCells(work, idCol, embCol, cent)
-      val dimMeans = assigned
-        .select(col("cell"), posexplode(col(embCol)))
-        .groupBy(col("cell"), col("pos"))
-        .agg(round(sum(col("col").cast("double")) / count(lit(1)), 6).as("m"))
-      val (next, nextRdd) = ckpt(dimMeans
-        .groupBy(col("cell"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ds"))
-        .select(col("cell").as("c_id"),
-          transform(col("ds"), d => d.getField("m")).as("c_emb")))
-      org.apache.spark.sql.graftbridge.DatasetBridge.releaseRdd(centRdd)
-      cent = next
-      centRdd = nextRdd
+    // try/finally: a failed assign/ckpt job mid-loop must still release
+    // the persisted working set and the CURRENT round's checkpoint —
+    // without it the handles leak executor/disk storage for the JVM's
+    // life (the memo eviction only ever sees the successfully returned
+    // final round). On success only `work` is released; the final
+    // round's checkpoint backs the returned frame (callers evict it via
+    // DatasetBridge.backingRdds).
+    var finished = false
+    try {
+      for (_ <- 1 to iters) {
+        val assigned = assignCells(work, idCol, embCol, cent)
+        val dimMeans = assigned
+          .select(col("cell"), posexplode(col(embCol)))
+          .groupBy(col("cell"), col("pos"))
+          .agg(round(sum(col("col").cast("double")) / count(lit(1)), 6).as("m"))
+        val (next, nextRdd) = ckpt(dimMeans
+          .groupBy(col("cell"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ds"))
+          .select(col("cell").as("c_id"),
+            transform(col("ds"), d => d.getField("m")).as("c_emb")))
+        org.apache.spark.sql.graftbridge.DatasetBridge.releaseRdd(centRdd)
+        cent = next
+        centRdd = nextRdd
+      }
+      finished = true
+      cent
+    } finally {
+      work.unpersist(blocking = false)
+      if (!finished)
+        org.apache.spark.sql.graftbridge.DatasetBridge.releaseRdd(centRdd)
     }
-    // the final round is materialized above, so the working set can go;
-    // the returned frame is rooted on the final checkpoint only (callers
-    // release it via DatasetBridge.backingRdds when evicting their memo)
-    work.unpersist(blocking = false)
-    cent
   }
 
   /** Multiprobe cell assignment: the top-`nprobe` centroids per vector.

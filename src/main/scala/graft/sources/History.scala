@@ -115,8 +115,13 @@ object History {
       .option("maxRecordsPerFile", 5000000L)
       .partitionBy("region", "dt")
       .parquet(compactStagingDir(path))
-    // the staged partition set = the directories to swap
-    val parts = fs.globStatus(new org.apache.hadoop.fs.Path(stage, "*/*"))
+    // the staged partition set = the directories to swap; globStatus
+    // returns null (not empty) for a nonexistent glob parent on some
+    // filesystems — e.g. a predicate matching zero partitions, where the
+    // empty write creates no directories
+    val parts = Option(
+        fs.globStatus(new org.apache.hadoop.fs.Path(stage, "*/*")))
+      .getOrElse(Array.empty)
       .filter(_.isDirectory)
       .map(s => stage.toUri.relativize(s.getPath.toUri).getPath)
       .filterNot(n => n.startsWith("_") || n.startsWith("."))

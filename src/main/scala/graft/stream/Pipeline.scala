@@ -83,24 +83,44 @@ object Pipeline {
   class FileBatchLedger(dir: String) extends BatchLedger {
     private def fs(p: org.apache.hadoop.fs.Path) =
       p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    /** Marker name → batchId; non-numeric `batch-*` names (editor swap
+      * files, copy-tool droppings) are ignored, not a stream-wedging
+      * NumberFormatException. */
+    private def markerId(name: String): Option[Long] =
+      if (name.startsWith("batch-"))
+        scala.util.Try(name.stripPrefix("batch-").toLong).toOption
+      else None
     override def lastCommitted: Long = {
       val p = new org.apache.hadoop.fs.Path(dir)
       val f = fs(p)
       if (!f.exists(p)) -1L
       else {
-        val st = f.listStatus(p)
-        val ids = st.iterator.map(_.getPath.getName)
-          .collect { case n if n.startsWith("batch-") =>
-            n.stripPrefix("batch-").toLong }
+        val ids = f.listStatus(p).iterator
+          .flatMap(s => markerId(s.getPath.getName))
         if (ids.isEmpty) -1L else ids.max
       }
     }
+    /** Creates the batch's marker, then prunes every marker below the
+      * directory's high-water mark: the contract only ever needs the
+      * maximum, so the ledger dir stays O(1) files instead of one marker
+      * per batch forever (a 5-min cadence is ~105k markers/year, and
+      * `lastCommitted` lists the dir once per micro-batch). Prune order
+      * is safe at every crash point — the high-water marker is written
+      * before anything is deleted, and deleting below-max markers can
+      * never regress `lastCommitted`. */
     override def markCommitted(batchId: Long): Unit = {
       val p = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
       val f = fs(p)
       f.mkdirs(p.getParent): Unit
       val out = f.create(p, true)
       try out.write(Array.emptyByteArray) finally out.close()
+      val entries = f.listStatus(p.getParent)
+        .flatMap(s => markerId(s.getPath.getName).map(_ -> s.getPath))
+      if (entries.nonEmpty) {
+        val highWater = entries.map(_._1).max
+        entries.filter(_._1 < highWater)
+          .foreach { case (_, stale) => f.delete(stale, false): Unit }
+      }
     }
   }
 

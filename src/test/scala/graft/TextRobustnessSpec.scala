@@ -189,6 +189,39 @@ class TextRobustnessSpec extends AnyFunSuite {
     assert(plan.contains("_bkt"), plan.take(1500))
   }
 
+  test("salted as-of degenerate-width diagnostic: flags too-narrow, passes sane") {
+    import spark.implicits._
+    // one key, times spread over [1000, 50000] → width 1 yields ~100
+    // (key, bucket) shards for that key; bound 10/key flags it
+    val lefts = (1 to 50).map(i => (1L, i * 1000L, i.toLong))
+      .toDF("k", "ts", "lid")
+    val rights = (1 to 50).map(i => (1L, i * 1000L - 5L, (100 + i).toLong))
+      .toDF("k", "ts", "rid")
+    def diag(width: Long, bound: Long): graft.ext.AsOf.SaltDiagnostic = {
+      val seen = new java.util.concurrent.LinkedBlockingQueue[
+        graft.ext.AsOf.SaltDiagnostic]()
+      graft.ext.AsOf.asofJoin(lefts, rights, "k", "ts", Seq("rid"),
+        saltBucketWidth = Some(width), degenerateBucketsPerKey = bound,
+        onSaltDiagnostic = Some(d => { seen.add(d); () })).collect(): Unit
+      val d = seen.poll(30, java.util.concurrent.TimeUnit.SECONDS)
+      assert(d != null, s"salt diagnostic never fired (width=$width)")
+      d
+    }
+    val bad = diag(width = 1L, bound = 10L)
+    assert(bad.degenerate, bad.toString)
+    assert(bad.nBuckets > 10L * bad.nKeys)
+    // a width sized by the doc formula (range / 10^2) stays healthy
+    val ok = diag(width = 500L, bound = 10000L)
+    assert(!ok.degenerate, ok.toString)
+    // and the guard did not perturb results: same as unsalted
+    val unsalted = graft.ext.AsOf.asofJoin(lefts, rights, "k", "ts",
+      Seq("rid")).collect().map(_.toSeq).toSet
+    val salted = graft.ext.AsOf.asofJoin(lefts, rights, "k", "ts",
+      Seq("rid"), saltBucketWidth = Some(1L),
+      degenerateBucketsPerKey = 10L).collect().map(_.toSeq).toSet
+    assert(salted === unsalted)
+  }
+
   test("interval join ≡ naive cross filter on seeded random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
