@@ -81,6 +81,19 @@ object History {
     * crash completes the interrupted compaction before starting the new
     * one.
     *
+    * '''Single writer per lake.''' Compaction assumes no OTHER writer
+    * mutates the lake between the staging read and the swap. The one
+    * sequenced-writer case is still protected: the manifest records, per
+    * partition, the exact data files the staging read consumed, and the
+    * swap merges any file that appeared afterwards (e.g. the streaming
+    * archive's batch-tagged publishes) into the promoted directory
+    * instead of deleting it with the aside — committed batch rows are
+    * never dropped even when a compaction manifest sat unrecovered
+    * across archive batches. What is NOT supported is a writer racing
+    * the swap's renames themselves (two processes mutating one partition
+    * dir concurrently): run compaction from the archive's driver between
+    * batches, or pause the archive — one writer at a time per lake.
+    *
     * @param keyCols identity columns within a partition (e.g. siteId)
     * @param tsCol   recency column; ties keep the lexicographically
     *                largest remaining row deterministically */
@@ -126,16 +139,34 @@ object History {
       .map(s => stage.toUri.relativize(s.getPath.toUri).getPath)
       .filterNot(n => n.startsWith("_") || n.startsWith("."))
       .sorted.toSeq
+    // staging-read snapshot, per partition: the data files `slice`'s file
+    // index actually consumed. At swap time, any data file in a live dir
+    // that is NOT in its snapshot arrived after the read (a sequenced
+    // archive batch) — its rows are absent from the staged output, so the
+    // swap must merge it into the promoted dir, not drop it with the aside.
+    val rootUri = fs.makeQualified(new org.apache.hadoop.fs.Path(path)).toUri
+    val snapshot: Map[String, Seq[String]] = slice.inputFiles.toSeq
+      .map { f =>
+        val rel = rootUri.relativize(
+          fs.makeQualified(new org.apache.hadoop.fs.Path(f)).toUri).getPath
+        val cut = rel.lastIndexOf('/')
+        (rel.take(math.max(cut, 0)), rel.drop(cut + 1))
+      }
+      .filterNot { case (dir, _) => dir.startsWith("/") } // outside root
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
     val manifest = new org.apache.hadoop.fs.Path(compactManifestPath(path))
     val tmp = new org.apache.hadoop.fs.Path(manifest.getParent,
       manifest.getName + ".tmp")
+    val lines = parts.map(rel =>
+      rel + "\t" + snapshot.getOrElse(rel, Seq.empty).mkString(","))
     val out = fs.create(tmp, true)
-    try out.write(parts.mkString("\n")
+    try out.write(lines.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!fs.rename(tmp, manifest))
       throw new java.io.IOException(s"manifest publish failed: $manifest")
-    swapStaged(fs, path, parts)
+    swapStaged(fs, path, parts.map(rel =>
+      rel -> snapshot.getOrElse(rel, Seq.empty).toSet))
     fs.delete(manifest, false): Unit
     fs.delete(stage, true): Unit
   }
@@ -143,6 +174,18 @@ object History {
   def compactStagingDir(path: String): String = s"$path/_staging/compact"
   def compactManifestPath(path: String): String =
     s"$path/_staging/compact.manifest"
+
+  /** Parse one manifest line: `rel[TAB]file1,file2,…` — the partition to
+    * swap plus the staging-read snapshot of its data files. Legacy lines
+    * without the snapshot field parse to an empty snapshot (no merge —
+    * the pre-round-6 wholesale-delete behavior). */
+  private def parseManifestLine(line: String): (String, Set[String]) =
+    line.split('\t') match {
+      case Array(rel) => (rel, Set.empty[String])
+      case Array(rel, files) =>
+        (rel, files.split(',').filter(_.nonEmpty).toSet)
+      case other => (other.head, Set.empty[String])
+    }
 
   /** Finish (roll FORWARD) an interrupted [[compactLatest]] swap. No-op
     * without a manifest — pre-manifest crashes left the lake untouched.
@@ -154,10 +197,10 @@ object History {
     val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(manifest)) return false
     val in = fs.open(manifest)
-    val parts = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().filter(_.nonEmpty).toList
+    val entries = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).map(parseManifestLine).toList
     finally in.close()
-    swapStaged(fs, path, parts)
+    swapStaged(fs, path, entries)
     fs.delete(manifest, false): Unit
     fs.delete(new org.apache.hadoop.fs.Path(compactStagingDir(path)),
       true): Unit
@@ -169,14 +212,31 @@ object History {
     * S∧L∧¬A → full swap; S∧¬L∧A → promote staged, drop aside;
     * ¬S∧L∧A → drop aside; ¬S∧L∧¬A → done. The aside dir is
     * underscore-prefixed, so a reader racing the swap never double-counts
-    * a partition; between the two renames the data lives in A and S. */
+    * a partition; between the two renames the data lives in A and S.
+    *
+    * Before an aside is dropped, data files NOT in the partition's
+    * staging-read snapshot are merged into the promoted dir: they were
+    * published after the compaction read (a sequenced archive batch), so
+    * their rows are absent from the staged output and deleting them
+    * would silently drop committed rows (see the single-writer note on
+    * [[compactLatest]]). A merge collision (same file name already
+    * promoted) means a replayed batch re-published it — the aside copy
+    * is the duplicate and is dropped. Partitions swap in parallel on a
+    * bounded pool: each is independent and every step idempotent, so
+    * parallelism changes neither the state machine nor recovery. */
   private def swapStaged(fs: org.apache.hadoop.fs.FileSystem, path: String,
-                         parts: Seq[String]): Unit =
-    parts.foreach { rel =>
+                         entries: Seq[(String, Set[String])]): Unit =
+    LakeCommit.foreachPar(entries) { case (rel, snapshot) =>
       val live = new org.apache.hadoop.fs.Path(path, rel)
       val staged = new org.apache.hadoop.fs.Path(compactStagingDir(path), rel)
+      // the aside name must carry NO '=': Spark's listing filter skips
+      // underscore-prefixed names ONLY when they contain no '=' (Hive
+      // allows `_col=v` partition dirs), so an aside named
+      // `_old-dt=2019-10-03` would surface in partition inference and
+      // fail every concurrent plain read with conflicting partition
+      // columns — found by the readSnapshot spec, fixed by `=` → `~`
       val aside = new org.apache.hadoop.fs.Path(live.getParent,
-        "_old-" + live.getName)
+        "_old-" + live.getName.replace('=', '~'))
       if (fs.exists(staged)) {
         if (fs.exists(live) && fs.exists(aside))
           fs.delete(aside, true): Unit // stale aside from an older crash
@@ -185,8 +245,75 @@ object History {
         if (!fs.rename(staged, live))
           throw new java.io.IOException(s"promote failed: $staged -> $live")
       }
-      if (fs.exists(aside)) fs.delete(aside, true): Unit
+      if (fs.exists(aside)) {
+        if (snapshot.nonEmpty) fs.listStatus(aside).foreach { st =>
+          val n = st.getPath.getName
+          if (!n.startsWith("_") && !n.startsWith(".") && !snapshot(n)) {
+            val dest = new org.apache.hadoop.fs.Path(live, n)
+            if (fs.exists(dest)) fs.delete(st.getPath, false): Unit
+            else if (!fs.rename(st.getPath, dest))
+              throw new java.io.IOException(
+                s"late-file merge failed: ${st.getPath} -> $dest")
+          }
+        }
+        fs.delete(aside, true): Unit
+      }
     }
+
+  /** Swap-tolerant lake read: resolves the partition listing against the
+    * compaction manifest so a read planned WHILE a compaction swap is in
+    * flight sees every partition in its committed state — never the
+    * absent-partition window between the swap's two renames that a plain
+    * `spark.read.parquet(path)` can hit.
+    *
+    * Resolution per partition: not in the manifest → live dir (the swap
+    * never touches it). In the manifest → the manifest is the commit
+    * point, so the NEW state is the truth: pin to the staged dir while it
+    * exists (pre-swap and mid-swap states), else the promoted live dir.
+    * Every reachable swap state (S∧L, S∧A, L∧A, L) resolves to exactly
+    * one complete copy.
+    *
+    * Isolation is at LISTING time: the returned frame pins concrete
+    * directories, so a swap that completes while a long scan is still
+    * running can move files under it (retry the read; full MVCC reads
+    * need a table format). Without a manifest this is exactly
+    * `spark.read.parquet(path)`. */
+  def readSnapshot(spark: SparkSession, path: String): DataFrame = {
+    val manifest = new org.apache.hadoop.fs.Path(compactManifestPath(path))
+    val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(manifest)) return spark.read.parquet(path)
+    val in = fs.open(manifest)
+    val swapped = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).map(parseManifestLine(_)._1).toSet
+    finally in.close()
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    val stageRoot = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(compactStagingDir(path)))
+    val liveParts = Option(
+        fs.globStatus(new org.apache.hadoop.fs.Path(root, "*/*")))
+      .getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .map(s => root.toUri.relativize(s.getPath.toUri).getPath)
+      .filterNot(_.split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith(".")))
+      .toSeq
+    val (stagedPins, promotedPins) = swapped.toSeq.sorted.partition(rel =>
+      fs.exists(new org.apache.hadoop.fs.Path(stageRoot, rel)))
+    val livePins = (liveParts.filterNot(swapped) ++
+        promotedPins.filter(rel =>
+          fs.exists(new org.apache.hadoop.fs.Path(root, rel))))
+      .sorted.map(rel => new org.apache.hadoop.fs.Path(root, rel).toString)
+    val sides = Seq(
+      Option.when(livePins.nonEmpty)(
+        spark.read.option("basePath", root.toString)
+          .parquet(livePins: _*)),
+      Option.when(stagedPins.nonEmpty)(
+        spark.read.option("basePath", stageRoot.toString)
+          .parquet(stagedPins.map(rel =>
+            new org.apache.hadoop.fs.Path(stageRoot, rel).toString): _*))
+    ).flatten
+    sides.reduceOption(_.unionByName(_)).getOrElse(spark.emptyDataFrame)
+  }
 
   /** S4: `get_data_from` — date-bounded scan; the `dt >= …` predicate is a
     * partition filter (no data files outside the range are opened). */

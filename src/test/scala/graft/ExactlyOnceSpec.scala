@@ -241,7 +241,7 @@ class ExactlyOnceSpec extends AnyFunSuite {
     stageCompaction(lake)
     // perform the first rename by hand: live → aside ("crash" right after)
     val live = new java.io.File(s"$lake/region=ROZ/dt=2019-10-03")
-    val aside = new java.io.File(s"$lake/region=ROZ/_old-dt=2019-10-03")
+    val aside = new java.io.File(s"$lake/region=ROZ/_old-dt~2019-10-03")
     assert(live.renameTo(aside))
     // reader view mid-crash: partition absent, but nothing destroyed
     assert(!live.exists() && aside.exists())
@@ -254,7 +254,7 @@ class ExactlyOnceSpec extends AnyFunSuite {
     val (lake, _) = seedLake()
     stageCompaction(lake)
     val live = new java.io.File(s"$lake/region=ROZ/dt=2019-10-03")
-    val aside = new java.io.File(s"$lake/region=ROZ/_old-dt=2019-10-03")
+    val aside = new java.io.File(s"$lake/region=ROZ/_old-dt~2019-10-03")
     val staged = new java.io.File(
       s"${History.compactStagingDir(lake)}/region=ROZ/dt=2019-10-03")
     assert(live.renameTo(aside))
@@ -277,7 +277,9 @@ class ExactlyOnceSpec extends AnyFunSuite {
   }
 
   /** Build exactly the staged state compactLatest produces for day 1 and
-    * publish its manifest — the commit point — without swapping. */
+    * publish its manifest — the commit point — without swapping. Records
+    * each partition's staging-read snapshot (its live data files) the
+    * same way compactLatest does. */
   private def stageCompaction(lake: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     val slice = lakeRows(lake).filter(col("dt") === "2019-10-03")
@@ -291,8 +293,70 @@ class ExactlyOnceSpec extends AnyFunSuite {
       .listFiles().filter(_.isDirectory).filterNot(_.getName.startsWith("_"))
       .flatMap(r => r.listFiles().filter(_.isDirectory)
         .map(d => s"${r.getName}/${d.getName}")).sorted
+    val lines = parts.map { rel =>
+      val files = Option(new java.io.File(s"$lake/$rel").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map(_.getName).sorted
+      rel + "\t" + files.mkString(",")
+    }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(History.compactManifestPath(lake)),
-      parts.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  test("swap merges batch files published after the staging snapshot (no lost rows)") {
+    import spark.implicits._
+    val (lake, _) = seedLake()
+    stageCompaction(lake) // manifest + snapshot of what the read consumed
+    // a sequenced archive batch lands AFTER the snapshot, BEFORE recovery
+    // — the exact committed-rows-dropped scenario the r5 advice flagged
+    val lateDoc = singleSiteDoc.replace("2019-10-03T15:43:00+10:00",
+      "2019-10-03T16:43:00+10:00")
+    val late = Pipeline.payloadToRecords(Seq(lateDoc + NUL).toDF("value"))
+    Pipeline.archiveBatch(late, 0L, lake,
+      Some(new Pipeline.FileBatchLedger(s"$lake/_ledger")))
+    val lateKey = late.select("siteId", "collectionendtimestamp_plus_3_mins")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(lateKey.nonEmpty)
+    assert(History.recoverCompaction(spark, lake))
+    // latest-wins applied AND the late batch's committed rows survive
+    assert(compactedDay1(lake) ===
+      Set(("2087", epoch1548), ("8", epoch1548)) ++ lateKey)
+    // the ledger's claim (batch 0 committed) is still the truth
+    assert(new Pipeline.FileBatchLedger(s"$lake/_ledger").lastCommitted === 0L)
+    assert(!new java.io.File(History.compactManifestPath(lake)).exists())
+  }
+
+  test("manifest-pinned readSnapshot: never an absent partition across swap states") {
+    val (lake, _) = seedLake()
+    // no manifest: identical to a plain read
+    assert(History.readSnapshot(spark, lake).count() === 4)
+    stageCompaction(lake)
+    def snapDay1: Set[(String, Long)] =
+      History.readSnapshot(spark, lake).filter(col("dt") === "2019-10-03")
+        .select("siteId", "collectionendtimestamp_plus_3_mins")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val newState = Set(("2087", epoch1548), ("8", epoch1548))
+    // S∧L (pre-swap): the manifest is the commit point — NEW is the truth
+    assert(snapDay1 === newState)
+    assert(History.readSnapshot(spark, lake).count() === 3)
+    // S∧A (mid-swap): the absent-partition window a plain read falls into
+    val live = new java.io.File(s"$lake/region=ROZ/dt=2019-10-03")
+    val aside = new java.io.File(s"$lake/region=ROZ/_old-dt~2019-10-03")
+    assert(live.renameTo(aside))
+    assert(spark.read.parquet(lake).filter(
+      col("dt") === "2019-10-03" && col("region") === "ROZ")
+      .count() === 0) // the gap, shown (only ROZ was renamed aside)
+    assert(snapDay1 === newState) // pinned read: still whole
+    // L∧A (post-promote, pre-cleanup)
+    val staged = new java.io.File(
+      s"${History.compactStagingDir(lake)}/region=ROZ/dt=2019-10-03")
+    assert(staged.renameTo(live))
+    assert(snapDay1 === newState)
+    // completed: recovery cleans up; plain semantics return
+    assert(History.recoverCompaction(spark, lake))
+    assert(History.readSnapshot(spark, lake).count() === 3)
   }
 }
