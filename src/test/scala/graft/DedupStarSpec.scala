@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import graft.ext.Dedup
+
+/** Large-star/small-star CC: identical labels to min-label propagation,
+  * exponentially fewer rounds on long-diameter (chain) graphs. */
+class DedupStarSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def labelSet(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** Reference CC by union-find on the driver. */
+  private def naive(edges: Seq[(Long, Long)]): Set[(Long, Long)] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => (k, find(k))).toSet
+  }
+
+  test("star CC ≡ propagation ≡ union-find on seeded random graphs") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 80 + trial * 20
+      val edges = (1 to n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val pairs = edges.toDF("a_id", "b_id")
+      val plain = labelSet(Dedup.resolveClusters(pairs, maxRounds = 50))
+      val star = labelSet(Dedup.resolveClustersStar(pairs))
+      assert(star === plain, s"trial $trial: star != propagation")
+      assert(star === naive(edges), s"trial $trial: star != union-find")
+    }
+  }
+
+  test("chain graph: star converges in a fraction of propagation's rounds") {
+    import spark.implicits._
+    // a 32-node path is the propagation worst case: the min label moves
+    // one hop per round (rounds ≈ diameter); star contracts toward the
+    // root exponentially
+    val n = 32
+    val pairs = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("a_id", "b_id")
+    var plainRounds = -1
+    var starRounds = -1
+    val plain = labelSet(Dedup.resolveClusters(pairs, maxRounds = 100,
+      onRounds = plainRounds = _))
+    val star = labelSet(Dedup.resolveClustersStar(pairs,
+      onRounds = starRounds = _))
+    // both fully resolve the chain to cluster 0
+    val want = (0L until n.toLong).map(i => (i, 0L)).toSet
+    assert(plain === want)
+    assert(star === want)
+    // the round-count separation the algorithm exists for
+    assert(plainRounds >= n / 2,
+      s"propagation rounds $plainRounds — chain no longer the worst case?")
+    assert(starRounds * 3 <= plainRounds,
+      s"star=$starRounds vs propagation=$plainRounds rounds")
+  }
+
+  test("star CC handles degenerate shapes: self-loops, duplicates, two-node, singleton-free") {
+    import spark.implicits._
+    val pairs = Seq(
+      (5L, 5L),           // self-loop: must not create a spurious edge
+      (1L, 2L), (2L, 1L), // duplicate + reversed duplicate
+      (7L, 9L)            // disjoint two-node component
+    ).toDF("a_id", "b_id")
+    val got = labelSet(Dedup.resolveClustersStar(pairs))
+    assert(got === Set((1L, 1L), (2L, 1L), (7L, 7L), (9L, 7L), (5L, 5L)))
+  }
+}
