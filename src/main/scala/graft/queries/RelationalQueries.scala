@@ -302,6 +302,25 @@ object RelationalQueries {
            GROUP BY c_mktsegment""")
     }),
 
+    // The SQL-FIRST surface end-to-end: graft.Views registers the whole
+    // engine as temp views + SQL functions, then the query is pure SQL
+    // text over the registered names — the path a DataFrame-free user
+    // takes (SqlSurfaceSpec proves per-family parity; this gates it
+    // against the DuckDB oracle).
+    "q43_sql_views" -> ((s, d) => {
+      graft.Views.register(s, d)
+      s.sql(
+        """SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+               AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_lines
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE l_shipdate >= '1997-01-01'
+           GROUP BY n_name""")
+    }),
+
     // Value-RANGE window frame (vs q08's ROWS frame): per-customer
     // trailing-90-day spend, frame bounded by the ORDER BY value.
     "q28_range_frame" -> ((s, d) => {
@@ -744,6 +763,16 @@ object RelationalQueries {
          FROM customer JOIN big ON c_custkey = o_custkey
          WHERE spend > 3000000
          GROUP BY c_mktsegment""",
+    "q43_sql_views" ->
+      """SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+             AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE l_shipdate >= '1997-01-01'
+         GROUP BY n_name""",
     "q28_range_frame" ->
       """SELECT o_custkey, o_orderkey,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
