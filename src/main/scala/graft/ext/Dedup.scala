@@ -342,6 +342,44 @@ object Dedup {
     labels
   }
 
+  /** SEMANTIC dedup candidate pairs (the SemDeDup recipe: cluster the
+    * embedding space with a trained coarse quantizer, then compare
+    * pairwise ONLY within each cluster): vectors are assigned to their
+    * nearest trained centroid ([[Similarity.assignCells]] — broadcast
+    * centroids, N-row shuffle), and cosine runs inside cells, never
+    * across the corpus. Returns (a_id, b_id, cos_r) with cos ≥ `minCos`.
+    *
+    * 100 TB shape: within-cell work is quadratic in CELL size, so the
+    * centroid count must grow with the corpus (k ∝ N/targetCellSize) —
+    * the trained quantizer ([[Similarity.trainCentroids]]) is the knob.
+    * `maxCell` is the same degenerate-key guard as LSH's `maxBucket`: a
+    * cell the quantizer failed to split (mass duplication, collapsed
+    * embeddings) would otherwise turn the bounded shape quadratic; cells
+    * above the cap are dropped (members still pair through no other path
+    * — monitor with a cell-size profile before raising k).
+    *
+    * Pipe the output through [[resolveClusters]] + a keep-list anti-join
+    * for end-to-end semantic dedup (gate d08). */
+  def semanticPairs(vecs: DataFrame, centroids: DataFrame, idCol: String,
+                    embCol: String, minCos: Double,
+                    maxCell: Int = 4096): DataFrame = {
+    val assigned = Similarity.assignCells(vecs, idCol, embCol, centroids)
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+    val bounded = assigned.withColumn("_cn", count(lit(1)).over(wc))
+      .filter(col("_cn") <= maxCell).drop("_cn")
+    val withN = Similarity.withNorm(bounded, idCol, embCol)
+    val a = withN.select(col(idCol).as("a_id"), col(embCol).as("a_emb"),
+      col("nrm").as("a_nrm"), col("cell"))
+    val b = withN.select(col(idCol).as("b_id"), col(embCol).as("b_emb"),
+      col("nrm").as("b_nrm"), col("cell"))
+    a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        Similarity.cosine(col("a_emb"), col("b_emb"),
+          col("a_nrm"), col("b_nrm")).as("cos_r"))
+      .filter(col("cos_r") >= minCos)
+  }
+
   /** Word n-gram Jaccard similarity pairs with a hot-gram guard: grams
     * whose document frequency exceeds `maxDocFreq` are dropped BEFORE
     * the pair join — a gram shared by F docs emits F² join rows, so

@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) bottom-k sketches: the mergeable distinct-count
+  * sketch that — unlike HLL (`graft/functions/HyperLogLog`) — also
+  * supports SET OPERATIONS: two sketches merge by keeping the k smallest
+  * of their union, and the Jaccard of the underlying sets is estimated
+  * from the merged sketch (Beyer et al., "On Synopses for Distinct-Value
+  * Estimation Under Multiset Operations", SIGMOD 2007). A training-data
+  * pipeline uses this to cheaply estimate cross-source vocabulary /
+  * document overlap before committing to a full dedup pass.
+  *
+  * Determinism: the "random" hash is the first 48 bits of md5 — 48 so the
+  * value is exact in an IEEE double (2⁴⁸ < 2⁵³) and every estimate is an
+  * integer-derived ratio that DuckDB reproduces bit-for-bit (the same
+  * rule the MinHash/cosine oracles follow).
+  *
+  * 100 TB shape: a sketch is one hash-shuffle on the group key with the
+  * per-group state bounded at k rows (window-ranked; a TopK-style typed
+  * aggregator drops the sort when k is large); pairwise stages operate on
+  * G·k sketch rows, never on corpus rows — G groups × k values is
+  * driver-safe for thousands of sources.
+  */
+object KMV {
+
+  /** 48-bit md5 prefix as a non-negative bigint — exact in a double. */
+  def hash48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("bigint")
+
+  val hashSpace: Double = 281474976710656.0 // 2^48
+
+  /** Bottom-k sketch per group: the k smallest distinct `hash48(value)`
+    * per `groupCol`, ranked ascending (`rn` 1..k). */
+  def sketch(df: DataFrame, groupCol: String, valueCol: String,
+             k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("h").asc)
+    df.select(col(groupCol), hash48(col(valueCol)).as("h")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** Distinct-count estimate per group: (k−1)·2⁴⁸/θ_k where θ_k is the
+    * k-th smallest hash; a group holding fewer than k distinct values
+    * reports its exact count (the sketch IS the set). */
+  def estimateDistinct(sk: DataFrame, groupCol: String, k: Int): DataFrame =
+    sk.groupBy(col(groupCol))
+      .agg(max(col("rn")).as("n"),
+        max(when(col("rn") === k, col("h"))).as("theta"))
+      .select(col(groupCol),
+        when(col("n") < k, col("n").cast("double"))
+          .otherwise(round(
+            lit((k - 1) * hashSpace) / col("theta").cast("double"), 6))
+          .as("est_distinct"))
+
+  /** Pairwise Jaccard estimate between every two groups: merge the two
+    * sketches (k smallest of the union), count merged values present in
+    * BOTH input sketches — J ≈ |both| / |merged|. Exact integer ratio →
+    * cross-engine-stable double. */
+  def pairwiseJaccard(sk: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val av = sk.select(col(groupCol).as("a_src"), col("h"))
+    val bv = sk.select(col(groupCol).as("b_src"), col("h"))
+    val groupPairs = av.select(col("a_src")).distinct()
+      .join(bv.select(col("b_src")).distinct(), col("a_src") < col("b_src"))
+    val unioned = groupPairs.join(av, Seq("a_src"))
+      .select(col("a_src"), col("b_src"), col("h"))
+      .union(groupPairs.join(bv, Seq("b_src"))
+        .select(col("a_src"), col("b_src"), col("h")))
+      .distinct()
+    val wp = Window.partitionBy(col("a_src"), col("b_src"))
+      .orderBy(col("h").asc)
+    val merged = unioned.withColumn("mrn", row_number().over(wp))
+      .filter(col("mrn") <= k)
+    val inBoth = merged
+      .join(av, Seq("a_src", "h"), "left_semi")
+      .join(bv, Seq("b_src", "h"), "left_semi")
+      .groupBy(col("a_src"), col("b_src"))
+      .agg(count(lit(1)).as("m"))
+    merged.groupBy(col("a_src"), col("b_src"))
+      .agg(count(lit(1)).as("mk"))
+      .join(inBoth, Seq("a_src", "b_src"), "left")
+      .select(col("a_src"), col("b_src"),
+        (coalesce(col("m"), lit(0L)).cast("double") /
+          col("mk").cast("double")).as("kmv_jaccard"))
+  }
+}

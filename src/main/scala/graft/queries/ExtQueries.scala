@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, KMV, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators (SURVEY.md §7.4) as gate queries:
   * dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding
@@ -126,6 +126,18 @@ object ExtQueries {
         .distinct()
       Dedup.ngramJaccardPairs(grams, "doc_id", "g",
         maxDocFreq = 20, minJaccard = 0.1)
+    }),
+
+    // SEMANTIC dedup (SemDeDup): trained k-means cells bound the pairwise
+    // cosine to within-cell work, pairs >= 0.2 resolve to clusters — the
+    // embedding-space analog of d06's lexical near-dup clusters. Shares
+    // the trained quantizer memo with s07/s08 (train once, serve many).
+    "d08_semantic_dedup" -> ((s, d) => {
+      val pairs = Dedup.semanticPairs(embeddings(s, d),
+        trainedCentroids(s, d), "vec_id", "embedding", minCos = 0.2)
+      Dedup.resolveClusters(pairs)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"))
     }),
 
     // Near-dup cluster resolution: connected components (iterative
@@ -369,6 +381,28 @@ object ExtQueries {
         .select(col("event_type"), col("exact"),
           (abs(col("est") - col("exact")) / col("exact") < 0.05)
             .as("within_5pct"))
+    }),
+
+    // KMV bottom-k sketches — the MERGEABLE set-operation sketch HLL
+    // can't provide: per-source vocabulary sketches merge pairwise and
+    // estimate cross-source Jaccard overlap (the cheap pre-pass before
+    // committing to a full cross-source dedup). Fully deterministic
+    // (48-bit md5 order), so the estimates are hash-gated EXACTLY, not
+    // within a tolerance.
+    "a04_kmv_jaccard" -> ((s, d) => {
+      val toks = documents(s, d).select(col("source"),
+        explode(split(col("text"), " ")).as("word"))
+      KMV.pairwiseJaccard(KMV.sketch(toks, "source", "word", 64),
+        "source", 64)
+    }),
+
+    // KMV distinct-count estimates per source from the same sketch shape
+    // ((k−1)·2^48/θ_k; exact count when the group holds < k values).
+    "a05_kmv_distinct" -> ((s, d) => {
+      val toks = documents(s, d).select(col("source"),
+        explode(split(col("text"), " ")).as("word"))
+      KMV.estimateDistinct(KMV.sketch(toks, "source", "word", 64),
+        "source", 64)
     }),
 
     // Quantile sketch (the second sketch-family op beside a01's HLL):
@@ -739,6 +773,41 @@ object ExtQueries {
          SELECT cluster, COUNT(*) AS n_docs FROM (
            SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id) t
          GROUP BY cluster""",
+    "d08_semantic_dedup" -> {
+      val (ctes, cent) = kmeansCtes(8, 2)
+      val dotAC =
+        "list_sum(list_transform(range(1,65), i -> CAST(a.embedding[i] AS DOUBLE) * ct.c_emb[i]))"
+      s"""WITH RECURSIVE $ctes,
+          asnF AS (
+            SELECT a.vec_id, ct.c_id,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY $dotAC DESC, ct.c_id ASC) AS rn
+            FROM embeddings a CROSS JOIN $cent ct
+          ), cells AS (SELECT vec_id, c_id AS cell FROM asnF WHERE rn = 1),
+          n AS (
+            SELECT e.vec_id, e.embedding, cl.cell,
+              sqrt(list_sum(list_transform(range(1,65),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS nrm
+            FROM embeddings e JOIN cells cl USING (vec_id)
+          ), cand AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE round(list_sum(list_transform(range(1,65),
+                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                / (a.nrm * b.nrm), 6) >= 0.2
+          ), edges AS (
+            SELECT a_id AS a, b_id AS b FROM cand
+            UNION ALL SELECT b_id, a_id FROM cand
+          ), nodes AS (SELECT DISTINCT a AS id FROM edges),
+          reach(id, lab) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id
+          )
+          SELECT cluster, COUNT(*) AS n_members FROM (
+            SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id) t
+          GROUP BY cluster"""
+    },
     "d07_dedup_keep" ->
       """WITH RECURSIVE w AS (
            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -1289,6 +1358,74 @@ object ExtQueries {
     "a01_hll_sketch" ->
       """SELECT COUNT(DISTINCT text) AS exact, TRUE AS within_5pct
          FROM documents""",
+    // KMV sketches are fully deterministic (48-bit md5 order), so unlike
+    // a01/a02 the ESTIMATES themselves are hash-gated exactly
+    "a04_kmv_jaccard" ->
+      """WITH w AS (
+           SELECT source, unnest(string_split(text, ' ')) AS word
+           FROM documents
+         ), toks AS (
+           SELECT DISTINCT source,
+             CAST(('0x' || substr(md5(word), 1, 12)) AS BIGINT) AS h
+           FROM w
+         ), sk AS (
+           SELECT source, h FROM (
+             SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+             FROM toks) r WHERE rn <= 64
+         ), gp AS (
+           SELECT a.source AS a_src, b.source AS b_src
+           FROM (SELECT DISTINCT source FROM sk) a
+           JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+         ), uni AS (
+           SELECT gp.a_src, gp.b_src, s.h
+           FROM gp JOIN sk s ON s.source = gp.a_src
+           UNION
+           SELECT gp.a_src, gp.b_src, s.h
+           FROM gp JOIN sk s ON s.source = gp.b_src
+         ), merged AS (
+           SELECT a_src, b_src, h FROM (
+             SELECT a_src, b_src, h,
+               ROW_NUMBER() OVER (PARTITION BY a_src, b_src ORDER BY h) AS mrn
+             FROM uni) r WHERE mrn <= 64
+         ), mk AS (
+           SELECT a_src, b_src, COUNT(*) AS mk FROM merged GROUP BY 1, 2
+         ), both_ AS (
+           SELECT m.a_src, m.b_src, COUNT(*) AS m
+           FROM merged m
+           WHERE EXISTS (SELECT 1 FROM sk s
+                         WHERE s.source = m.a_src AND s.h = m.h)
+             AND EXISTS (SELECT 1 FROM sk s
+                         WHERE s.source = m.b_src AND s.h = m.h)
+           GROUP BY 1, 2
+         )
+         SELECT mk.a_src, mk.b_src,
+           CAST(COALESCE(both_.m, 0) AS DOUBLE) / CAST(mk.mk AS DOUBLE)
+             AS kmv_jaccard
+         FROM mk LEFT JOIN both_ USING (a_src, b_src)""",
+    "a05_kmv_distinct" ->
+      """WITH w AS (
+           SELECT source, unnest(string_split(text, ' ')) AS word
+           FROM documents
+         ), toks AS (
+           SELECT DISTINCT source,
+             CAST(('0x' || substr(md5(word), 1, 12)) AS BIGINT) AS h
+           FROM w
+         ), sk AS (
+           SELECT source, h, rn FROM (
+             SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+             FROM toks) r WHERE rn <= 64
+         ), agg AS (
+           SELECT source, MAX(rn) AS n,
+             MAX(CASE WHEN rn = 64 THEN h END) AS theta
+           FROM sk GROUP BY source
+         )
+         SELECT source,
+           CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                ELSE round(63 * 281474976710656.0 / CAST(theta AS DOUBLE), 6)
+           END AS est_distinct
+         FROM agg""",
     "a03_hll_grouped" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact,
          TRUE AS within_5pct
