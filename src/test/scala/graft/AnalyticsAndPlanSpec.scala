@@ -253,6 +253,36 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("plan quality: d08 semantic pairs — broadcast centroids, no cartesian product") {
+    // the GATE's returned frame is rooted at the CC checkpoint (the join
+    // work already ran), so inspect the pair-stage plan itself
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, d)
+    val cents = emb.filter(col("vec_id") % 97 === 1)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val pairs = graft.ext.Dedup.semanticPairs(emb, cents,
+      "vec_id", "embedding", minCos = 0.2)
+    val plan = pairs.queryExecution.executedPlan.toString
+    // cell assignment scores against BROADCAST centroids; the pair stage
+    // is an equi-join on the cell key — a cartesian/BNLJ pair stage would
+    // be the quadratic shape the cells exist to prevent
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("plan quality: a04 KMV pipeline shuffles sketch rows, never a cartesian") {
+    val df = SparkEntry.queries("a04_kmv_jaccard")(spark,
+      "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    // the group-pair seed join is broadcast (G rows), the sketch joins are
+    // hash equi-joins on (source, h)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
   test("plan quality: runtime bloom filter prunes the fact side of a selective join") {
     // At 100 TB a selective dim/filter side should row-prune the fact
     // scan BEFORE the shuffle — Spark's runtime bloom filter does this
