@@ -213,13 +213,61 @@ object Pipeline {
   /** Streaming archive: each micro-batch of canonical records appends
     * into the partitioned history lake (same layout and small-files
     * guard as the batch loader), with the ledger turning crash-replayed
-    * batches into no-ops — exactly-once lake output. */
+    * batches into no-ops — exactly-once lake output.
+    *
+    * @param compactEvery in-line lake maintenance: every N batches the
+    *   archive compacts the partitions THAT batch touched (rewrite to
+    *   ~one file per partition, exact logical duplicates — same
+    *   (siteId, ts) — collapsed latest-wins). Running maintenance from
+    *   the archive's own foreachBatch sequences it BETWEEN appends,
+    *   which is precisely the single-writer-per-lake discipline
+    *   [[graft.sources.History.compactLatest]] requires — no second
+    *   process, no lock. Off by default. */
   def archive(records: DataFrame, lakePath: String, checkpointDir: String,
-              ledger: Option[BatchLedger] = None): StreamingQuery =
+              ledger: Option[BatchLedger] = None,
+              compactEvery: Option[Int] = None): StreamingQuery =
     records.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        compactEvery.foreach { _ =>
+          // roll a crashed maintenance swap forward BEFORE appending —
+          // otherwise a partition could sit in its mid-swap state (live
+          // absent) until the next maintenance tick. No-op without a
+          // pending manifest (one existence check).
+          graft.sources.History.recoverCompaction(
+            batch.sparkSession, lakePath): Unit
+        }
         archiveBatch(batch, batchId, lakePath, ledger)
+        compactEvery.foreach { n =>
+          if (batchId > 0 && batchId % n == 0)
+            compactTouched(batch, lakePath)
+        }
       }
       .start()
+
+  /** Compact the lake partitions a batch touched: the touched (region,
+    * dt) set is a tiny distinct over the batch (metadata-scale collect —
+    * partition VALUES, never rows), turned into the partition-only
+    * predicate compactLatest enforces. Keying on (siteId, ts) makes the
+    * rewrite a pure small-files compaction that also collapses exact
+    * logical duplicates, never dropping distinct periods. Idempotent and
+    * crash-recoverable like any compaction (manifest commit point;
+    * the next archiveBatch's replay guard is unaffected — the ledger
+    * high-water mark lives in `_ledger`, which compaction never touches). */
+  private[graft] def compactTouched(batch: DataFrame, lakePath: String): Unit = {
+    val touched = batch
+      .select(col("region"), date_format(
+        timestamp_seconds(col("collectionendtimestamp_plus_3_mins")),
+        "yyyy-MM-dd").as("dt"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    if (touched.nonEmpty) {
+      val pred = touched.map { case (r, d) =>
+        col("region") === r && col("dt") === d
+      }.reduce(_ || _)
+      graft.sources.History.compactLatest(batch.sparkSession, lakePath,
+        Seq("siteId", "collectionendtimestamp_plus_3_mins"),
+        "collectionendtimestamp_plus_3_mins", pred)
+    }
+  }
 }

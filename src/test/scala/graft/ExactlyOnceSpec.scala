@@ -306,6 +306,51 @@ class ExactlyOnceSpec extends AnyFunSuite {
       lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  test("in-line maintenance: the archive writer compacts the partitions it touches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lake = tmp("graft-eo-maint")
+    val ckpt = tmp("graft-eo-maint-ck")
+    def docAt(hhmm: String): String =
+      singleSiteDoc.replace("15:43:00", hhmm + ":00") + NUL
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val q = Pipeline.archive(Pipeline.payloadToRecords(input.toDF()),
+      lake, ckpt, Some(new Pipeline.FileBatchLedger(s"$lake/_ledger")),
+      compactEvery = Some(2))
+    try {
+      // four 1-doc batches into the SAME partition; batch 2 repeats
+      // batch 0's doc exactly (a logical duplicate)
+      Seq("15:43", "15:44", "15:43", "15:45").foreach { t =>
+        input.addData(docAt(t)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // duplicates collapsed by the maintenance pass, distinct periods kept
+    val rows = lakeRows(lake)
+      .select("siteId", "collectionendtimestamp_plus_3_mins")
+    assert(rows.count() === 3, rows.collect().mkString(";"))
+    assert(rows.distinct().count() === 3)
+    // the compaction at batch 2 rewrote batches 0-2 into one file; only
+    // batch 3 appended since → 2 data files, not 4
+    val part = java.nio.file.Paths.get(s"$lake/region=ROZ/dt=2019-10-03")
+    val files = {
+      val s = java.nio.file.Files.list(part)
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path]
+        .getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+      finally s.close()
+    }
+    assert(files.length === 2, files.mkString(","))
+    // exactly-once replay is unaffected by the rewrite: the ledger
+    // high-water survives compaction, so a "new JVM" replay is a no-op
+    Pipeline.archiveBatch(
+      Pipeline.payloadToRecords(Seq(docAt("15:43")).toDF("value")), 0L,
+      lake, Some(new Pipeline.FileBatchLedger(s"$lake/_ledger")))
+    assert(lakeRows(lake).count() === 3)
+    // no maintenance debris
+    assert(!new java.io.File(History.compactManifestPath(lake)).exists())
+  }
+
   test("swap merges batch files published after the staging snapshot (no lost rows)") {
     import spark.implicits._
     val (lake, _) = seedLake()
