@@ -74,7 +74,13 @@ object Views {
 
   /** Register the partitioned history lake as a view, read through the
     * manifest-pinned snapshot resolver (old-or-new during a compaction
-    * swap, never an absent partition). */
+    * swap, never an absent partition).
+    *
+    * The view pins the file listing made at registration time (temp
+    * views hold an analyzed plan): after a compaction rewrites
+    * partitions — including the archive's in-line maintenance — call
+    * `registerLake` again to re-pin, or queries against the stale view
+    * fail on the moved files. */
   def registerLake(spark: SparkSession, lakePath: String,
                    name: String = "history"): Unit =
     graft.sources.History.readSnapshot(spark, lakePath)

@@ -70,7 +70,11 @@ object AsOf {
     *   diagnostic flags the width as degenerate (default 10⁵)
     * @param onSaltDiagnostic override the default WARN-log sink for the
     *   salt diagnostic (invoked asynchronously after the first action on
-    *   the result; tests use it to assert the warning path) */
+    *   the result; tests use it to assert the warning path). The
+    *   listener unregisters itself after it fires; a salted frame that
+    *   is built but never acted on leaves one idle listener behind —
+    *   negligible unless thousands of result frames are discarded
+    *   unexecuted. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                timeCol: String, payloadCols: Seq[String],
                prefix: String = "asof_",
