@@ -68,6 +68,33 @@ class DedupStarSpec extends AnyFunSuite {
       s"star=$starRounds vs propagation=$plainRounds rounds")
   }
 
+  test("star CC reliable mode: superseded rounds' checkpoint files released, eviction empties") {
+    import spark.implicits._
+    def ckptFiles(dir: String): Set[String] = {
+      val b = Set.newBuilder[String]
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p)) { b += p.toString; () }
+      }
+      b.result()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-star-ckpt")
+      .toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = (0L until 15L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val result = Dedup.resolveClustersStar(pairs, reliable = true)
+    assert(labelSet(result) === (0L to 15L).map(i => (i, 0L)).toSet)
+    // only the final labels checkpoint holds files — every edge round and
+    // the pair seed were released as they were superseded
+    val liveDirs = ckptFiles(dir).map(f =>
+      java.nio.file.Paths.get(f).getParent.toString)
+    assert(liveDirs.nonEmpty && liveDirs.size <= 1,
+      s"superseded rounds leaked: $liveDirs")
+    org.apache.spark.sql.graftbridge.DatasetBridge.backingRdds(result)
+      .foreach(org.apache.spark.sql.graftbridge.DatasetBridge.releaseRdd(_))
+    assert(ckptFiles(dir).isEmpty,
+      s"final checkpoint files leaked: ${ckptFiles(dir)}")
+  }
+
   test("star CC handles degenerate shapes: self-loops, duplicates, two-node, singleton-free") {
     import spark.implicits._
     val pairs = Seq(
