@@ -342,6 +342,33 @@ object Dedup {
     labels
   }
 
+  /** INCREMENTAL near-dup admission — the shape a continuously-ingesting
+    * pipeline actually runs: each incoming batch is admitted against the
+    * EXISTING corpus's persisted LSH band table, then deduplicated within
+    * itself; the corpus is never re-shingled or re-scanned (per-batch
+    * cost ∝ batch size + one semi-join against the band table, which at
+    * rest is bucketed/partitioned on (band, bkey) so the probe shuffles
+    * only the incoming side). Admission policy: an incoming doc sharing
+    * ANY band with the corpus is a near-dup of something already kept →
+    * dropped; survivors then resolve intra-batch clusters and keep each
+    * cluster's min id. Returns the admitted id set (one column `idCol`).
+    *
+    * Inputs are band tables from [[lshBands]] — same signature family on
+    * both sides, or the band keys are meaningless. */
+  def incrementalKeep(incomingBands: DataFrame, corpusBands: DataFrame,
+                      idCol: String): DataFrame = {
+    val hit = incomingBands
+      .join(corpusBands.select(col("band"), col("bkey")),
+        Seq("band", "bkey"), "left_semi")
+      .select(col(idCol)).distinct()
+    val surviving = incomingBands.join(hit, Seq(idCol), "left_anti")
+    val drop = resolveClusters(lshCandidatePairs(surviving, idCol))
+      .filter(col("cluster") =!= col("id"))
+      .select(col("id").as(idCol))
+    surviving.select(col(idCol)).distinct()
+      .join(drop, Seq(idCol), "left_anti")
+  }
+
   /** SEMANTIC dedup candidate pairs (the SemDeDup recipe: cluster the
     * embedding space with a trained coarse quantizer, then compare
     * pairwise ONLY within each cluster): vectors are assigned to their

@@ -140,6 +140,25 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_members"))
     }),
 
+    // INCREMENTAL dedup admission: docs 450+ arrive as a new batch and
+    // are admitted against the existing corpus's (docs < 450) band table
+    // — any shared band drops the newcomer, survivors dedup among
+    // themselves. The corpus side is only its persisted band table; at
+    // scale that table is bucketed on (band, bkey) and the corpus text
+    // is never re-read.
+    "d09_incremental_dedup" -> ((s, d) => {
+      val docs = documents(s, d)
+      def bandsOf(df: DataFrame): DataFrame = {
+        val sh = df.select(col("doc_id"),
+          explode(TextAnalysis.wordShingles(col("text"), 3)).as("shingle"))
+        Dedup.lshBands(Dedup.minhashSignatures(sh, "doc_id", 8),
+          "doc_id", 8, 2)
+      }
+      Dedup.incrementalKeep(
+        bandsOf(docs.filter(col("doc_id") >= 450)),
+        bandsOf(docs.filter(col("doc_id") < 450)), "doc_id")
+    }),
+
     // Near-dup cluster resolution: connected components (iterative
     // min-label propagation) over the shared MinHash-LSH candidate pairs.
     "d06_neardup_clusters" -> ((s, d) => {
@@ -808,6 +827,58 @@ object ExtQueries {
             SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id) t
           GROUP BY cluster"""
     },
+    "d09_incremental_dedup" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         ), sh AS (
+           SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+             THEN list_transform(range(1, len(ws)-1),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+             ELSE [text] END) AS shingle
+           FROM w JOIN documents USING (doc_id)
+         ), hh AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h32
+           FROM sh
+         ), mh AS (
+           SELECT doc_id, seed,
+             min(((2*seed+1) * h32 + (seed*12345+7)) % 4294967291) AS mh
+           FROM hh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
+           GROUP BY doc_id, seed
+         ), bands AS (
+           SELECT doc_id, seed // 2 AS band,
+             string_agg(lpad(CAST(mh AS VARCHAR), 10, '0'), '' ORDER BY seed) AS bkey
+           FROM mh GROUP BY doc_id, seed // 2
+         ), inc AS (
+           SELECT * FROM bands WHERE doc_id >= 450
+         ), cor AS (
+           SELECT band, bkey FROM bands WHERE doc_id < 450
+         ), hit AS (
+           SELECT DISTINCT i.doc_id FROM inc i
+           JOIN cor c ON i.band = c.band AND i.bkey = c.bkey
+         ), surv AS (
+           SELECT * FROM inc
+           WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+         ), cand AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM surv a JOIN surv b ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         ), edges AS (
+           SELECT a_id AS a, b_id AS b FROM cand
+           UNION ALL SELECT b_id, a_id FROM cand
+         ), nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach(id, lab) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id
+         ), dropped AS (
+           SELECT id FROM (
+             SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id) t
+           WHERE cluster != id
+         )
+         SELECT DISTINCT doc_id FROM surv
+         WHERE doc_id NOT IN (SELECT id FROM dropped)""",
     "d07_dedup_keep" ->
       """WITH RECURSIVE w AS (
            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
