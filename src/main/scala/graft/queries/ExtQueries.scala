@@ -140,12 +140,12 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_members"))
     }),
 
-    // INCREMENTAL dedup admission: docs 450+ arrive as a new batch and
-    // are admitted against the existing corpus's (docs < 450) band table
-    // — any shared band drops the newcomer, survivors dedup among
-    // themselves. The corpus side is only its persisted band table; at
-    // scale that table is bucketed on (band, bkey) and the corpus text
-    // is never re-read.
+    // INCREMENTAL dedup admission: every 10th doc arrives as the new
+    // batch (scale-invariant batch ≪ corpus split) and is admitted
+    // against the existing corpus's band table — any shared band drops
+    // the newcomer, survivors dedup among themselves. The corpus side is
+    // only its persisted band table; at scale that table is bucketed on
+    // (band, bkey) and the corpus text is never re-read.
     "d09_incremental_dedup" -> ((s, d) => {
       val docs = documents(s, d)
       def bandsOf(df: DataFrame): DataFrame = {
@@ -155,8 +155,8 @@ object ExtQueries {
           "doc_id", 8, 2)
       }
       Dedup.incrementalKeep(
-        bandsOf(docs.filter(col("doc_id") >= 450)),
-        bandsOf(docs.filter(col("doc_id") < 450)), "doc_id")
+        bandsOf(docs.filter(col("doc_id") % 10 === 0)),
+        bandsOf(docs.filter(col("doc_id") % 10 =!= 0)), "doc_id")
     }),
 
     // Near-dup cluster resolution: connected components (iterative
@@ -850,9 +850,9 @@ object ExtQueries {
              string_agg(lpad(CAST(mh AS VARCHAR), 10, '0'), '' ORDER BY seed) AS bkey
            FROM mh GROUP BY doc_id, seed // 2
          ), inc AS (
-           SELECT * FROM bands WHERE doc_id >= 450
+           SELECT * FROM bands WHERE doc_id % 10 = 0
          ), cor AS (
-           SELECT band, bkey FROM bands WHERE doc_id < 450
+           SELECT band, bkey FROM bands WHERE doc_id % 10 != 0
          ), hit AS (
            SELECT DISTINCT i.doc_id FROM inc i
            JOIN cor c ON i.band = c.band AND i.bkey = c.bkey
