@@ -147,7 +147,10 @@ object ExtQueries {
     // only its persisted band table; at scale that table is bucketed on
     // (band, bkey) and the corpus text is never re-read.
     "d09_incremental_dedup" -> ((s, d) => {
+      // spread the md5-heavy shingling across all cores (same rationale
+      // as the d02 pair memo — the doc table is a single small split)
       val docs = documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       def bandsOf(df: DataFrame): DataFrame = {
         val sh = df.select(col("doc_id"),
           explode(TextAnalysis.wordShingles(col("text"), 3)).as("shingle"))
