@@ -18,11 +18,11 @@ import org.apache.spark.sql.functions._
   * integer-derived ratio that DuckDB reproduces bit-for-bit (the same
   * rule the MinHash/cosine oracles follow).
   *
-  * 100 TB shape: a sketch is one hash-shuffle on the group key with the
-  * per-group state bounded at k rows (window-ranked; a TopK-style typed
-  * aggregator drops the sort when k is large); pairwise stages operate on
-  * G·k sketch rows, never on corpus rows — G groups × k values is
-  * driver-safe for thousands of sources.
+  * 100 TB shape: a sketch is ONE hash-shuffle on the group key with
+  * every partial buffer bounded at k longs (typed bounded aggregator —
+  * no pre-distinct pass and no per-group window sort of the distinct
+  * stream); pairwise stages operate on G·k sketch rows, never on corpus
+  * rows — the per-pair merge windows see at most 2k rows each.
   */
 object KMV {
 
@@ -32,14 +32,50 @@ object KMV {
 
   val hashSpace: Double = 281474976710656.0 // 2^48
 
+  /** Bounded distinct-bottom-k of longs: the KMV reduction state. The
+    * buffer dedups on insert (KMV is over the distinct hash SET; two
+    * occupancy slots for one value would corrupt θ_k), so the input
+    * needs no pre-distinct — one shuffle, k longs per group in every
+    * partial buffer. */
+  private class BottomK(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Long, Seq[Long], Seq[Long]] {
+    private def best(xs: Seq[Long]): Seq[Long] = xs.distinct.sorted.take(k)
+    override def zero: Seq[Long] = Seq.empty
+    override def reduce(b: Seq[Long], h: Long): Seq[Long] =
+      // strict < also skips duplicates of the current k-th value
+      if (b.size < k || h < b.last) best(b :+ h) else b
+    override def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] = best(x ++ y)
+    override def finish(r: Seq[Long]): Seq[Long] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** Bottom-k sketch per group: the k smallest distinct `hash48(value)`
-    * per `groupCol`, ranked ascending (`rn` 1..k). */
+    * per `groupCol`, ranked ascending (`rn` 1..k).
+    *
+    * Built with the bounded typed aggregator, NOT a per-group window
+    * sort: a window would drag every group's full distinct-hash stream
+    * through one task (the window-argmax trap), while the aggregator's
+    * partial buffers carry at most k longs per group through the one
+    * shuffle. The group key is coerced to string in the output (typed
+    * grouping surface; the gates' keys are strings already). */
   def sketch(df: DataFrame, groupCol: String, valueCol: String,
              k: Int): DataFrame = {
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("h").asc)
-    df.select(col(groupCol), hash48(col(valueCol)).as("h")).distinct()
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("string").as("g"),
+      hash48(col(valueCol)).as("h"))
+      .filter(col("h").isNotNull)
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new BottomK(k).toColumn.name("hs"))
+      .toDF("g", "hs")
+      .select(col("g").as(groupCol), posexplode(col("hs")).as(Seq("p", "h")))
+      .select(col(groupCol), col("h"), (col("p") + 1).cast("int").as("rn"))
   }
 
   /** Distinct-count estimate per group: (k−1)·2⁴⁸/θ_k where θ_k is the
