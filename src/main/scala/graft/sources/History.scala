@@ -315,6 +315,49 @@ object History {
     sides.reduceOption(_.unionByName(_)).getOrElse(spark.emptyDataFrame)
   }
 
+  /** Lake file-layout stats: one row per partition directory with its
+    * data-file count, total bytes, and smallest/largest file — the
+    * small-files monitor that tells an operator when a partition needs
+    * compaction (pairs with `Pipeline.archive(compactEvery = …)`; a
+    * partition whose `n_files` grows with batch count while
+    * `max_bytes` stays small is accumulating micro-batch files).
+    *
+    * Pure driver-side metadata: partition dirs are listed on the bounded
+    * rename pool (one listing RTT per partition, ~ceil(P/16) rounds on an
+    * object store), no data file is opened, and the result is one row
+    * per PARTITION — thousands of rows for a 100 TB lake, never row- or
+    * file-proportional. */
+  def lakeStats(spark: SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qRoot = fs.makeQualified(root)
+    val parts = Option(
+        fs.globStatus(new org.apache.hadoop.fs.Path(qRoot, "*/*")))
+      .getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .map(s => qRoot.toUri.relativize(s.getPath.toUri).getPath)
+      .filterNot(_.split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith(".")))
+      .sorted.toSeq
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, Long, Long, Long, Long)]()
+    LakeCommit.foreachPar(parts) { rel =>
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(qRoot, rel))
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+      if (files.nonEmpty) {
+        val sizes = files.map(_.getLen)
+        rows.add((rel, files.length.toLong, sizes.sum,
+          sizes.min, sizes.max)): Unit
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val spark2 = spark
+    import spark2.implicits._
+    rows.asScala.toSeq.sortBy(_._1)
+      .toDF("partition", "n_files", "total_bytes", "min_bytes", "max_bytes")
+  }
+
   /** S4: `get_data_from` — date-bounded scan; the `dt >= …` predicate is a
     * partition filter (no data files outside the range are opened). */
   def readFrom(spark: SparkSession, path: String, fromDate: String): DataFrame =

@@ -351,6 +351,30 @@ class ExactlyOnceSpec extends AnyFunSuite {
     assert(!new java.io.File(History.compactManifestPath(lake)).exists())
   }
 
+  test("lakeStats reports per-partition file layout; compaction shrinks it") {
+    import spark.implicits._
+    val lake = tmp("graft-eo-stats")
+    // three separate appends into one partition → three data files there
+    (0L to 2L).foreach { i =>
+      val doc = singleSiteDoc.replace("15:43:00", s"15:4${3 + i}:00")
+      Pipeline.archiveBatch(Pipeline.payloadToRecords(
+        Seq(doc + NUL).toDF("value")), i, lake,
+        Some(new Pipeline.FileBatchLedger(s"$lake/_ledger")))
+    }
+    def stats: Map[String, Long] =
+      History.lakeStats(spark, lake).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val before = stats
+    assert(before("region=ROZ/dt=2019-10-03") === 3L)
+    // hidden dirs (_ledger, _staging) never appear as partitions
+    assert(before.keySet.forall(_.startsWith("region=")))
+    History.compactLatest(spark, lake,
+      Seq("siteId", "collectionendtimestamp_plus_3_mins"),
+      "collectionendtimestamp_plus_3_mins", col("dt") === "2019-10-03")
+    assert(stats("region=ROZ/dt=2019-10-03") === 1L) // rewritten to one file
+    assert(lakeRows(lake).count() === 3)             // all periods kept
+  }
+
   test("swap merges batch files published after the staging snapshot (no lost rows)") {
     import spark.implicits._
     val (lake, _) = seedLake()
