@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Frequent-items (heavy-hitter) detection at corpus scale: the two-pass
+  * sketch-candidates → exact-verify pattern.
+  *
+  * Pass 1 runs a Misra–Gries summary (Misra & Gries 1982; mergeability per
+  * Agarwal et al., "Mergeable Summaries", PODS 2012) as a typed
+  * `Aggregator`: every map-side partial buffer holds at most `k` counters,
+  * partials merge pairwise (combine counts, subtract the (k+1)-th largest,
+  * keep positives), and the merged summary is guaranteed to contain EVERY
+  * item whose true frequency exceeds N/k. Pass 2 broadcast-semi-joins the
+  * ≤ k candidates back onto the stream and counts them exactly, so the
+  * final answer `count(item) ≥ φ·N` is EXACT (hash-gated against a plain
+  * GROUP BY oracle) while no shuffle ever carries per-item rows for the
+  * full vocabulary — the classic candidate-generation/verification shape
+  * a 100 TB vocabulary scan needs (a plain groupBy over raw tokens
+  * shuffles the whole token stream; here the big shuffle carries only
+  * tokens matching ≤ k candidates).
+  *
+  * Correctness requirement (callers pick `k`): φ > 1/k, so no true heavy
+  * hitter can be evicted from the sketch (`FrequentItemsSpec` exercises
+  * the eviction path on seeded Zipf data with a tiny k).
+  */
+object FrequentItems {
+
+  /** Misra–Gries bounded-counter summary over a stream of items. The
+    * buffer is an immutable map capped at `k` entries; `reduce` runs the
+    * classic decrement-all step on overflow, `merge` the summary-merge
+    * (sum, subtract (k+1)-th largest, keep positives). Output: the
+    * surviving candidate items (counts are estimates and deliberately
+    * NOT exposed — the verify pass recounts exactly). */
+  class MisraGries(k: Int)
+      extends Aggregator[String, Map[String, Long], Seq[String]] {
+    require(k > 0, "Misra-Gries needs at least one counter slot")
+
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(b: Map[String, Long], item: String): Map[String, Long] =
+      b.get(item) match {
+        case Some(c) => b.updated(item, c + 1)
+        case None if b.size < k => b.updated(item, 1L)
+        case None =>
+          // full and item absent: decrement every counter, drop zeros
+          // (the new item's implicit +1 and −1 cancel)
+          b.collect { case (i, c) if c > 1 => i -> (c - 1) }
+      }
+
+    override def merge(x: Map[String, Long],
+                       y: Map[String, Long]): Map[String, Long] = {
+      val combined = y.foldLeft(x) { case (acc, (i, c)) =>
+        acc.updated(i, acc.getOrElse(i, 0L) + c)
+      }
+      if (combined.size <= k) combined
+      else {
+        // subtract the (k+1)-th largest count from all, keep positives:
+        // keeps ≤ k entries and preserves the ≤ N/k error bound
+        val cut = combined.valuesIterator.toArray.sorted(
+          Ordering[Long].reverse).apply(k)
+        combined.collect { case (i, c) if c > cut => i -> (c - cut) }
+      }
+    }
+
+    override def finish(b: Map[String, Long]): Seq[String] =
+      b.keys.toSeq.sorted
+
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Seq[String]] =
+      ExpressionEncoder[Seq[String]]()
+  }
+
+  /** All items whose exact count is ≥ `phi` · N, with their exact counts
+    * — computed without ever shuffling the full per-item count table.
+    *
+    * `items` must be a single string column. Requires φ > 1/k (else an
+    * eviction could lose a true heavy hitter and the exact contract
+    * breaks — enforced here). Plan shape: one scan building the ≤ k
+    * candidate summary and the exact total (two jobs over the same scan,
+    * both with bounded map-side state), then one scan counting ONLY rows
+    * matching a broadcast candidate set. */
+  def heavyHitters(items: DataFrame, k: Int, phi: Double): DataFrame = {
+    require(phi > 1.0 / k,
+      s"phi=$phi must exceed 1/k=${1.0 / k}: the Misra-Gries summary only " +
+        "guarantees items above N/k survive")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val colName = items.columns.head
+    val ds = items.select(col(colName).cast("string")).as[String]
+    val mg = new MisraGries(k)
+    // candidates: one row holding ≤ k survivors; exploded to a frame the
+    // optimizer broadcasts (k is a constant, never data-sized)
+    val candidates = ds.select(mg.toColumn) // typed select: global agg
+      .toDF("cands")
+      .select(explode(col("cands")).as(colName))
+    val total = items.agg(count(lit(1)).as("n_total"))
+    items.join(broadcast(candidates), Seq(colName), "left_semi")
+      .groupBy(col(colName))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total)) // single row by construction
+      .filter(col("cnt") >= lit(phi) * col("n_total"))
+      .select(col(colName), col("cnt"))
+  }
+}

@@ -145,6 +145,24 @@ object EventsQueries {
           col("n_events"))
     }),
 
+    // Time-series resample + forward fill (ext/GapFill): e01's 5-minute
+    // buckets densified onto the complete global grid per event_type —
+    // dropped periods surface as n_events=0 with the last observed
+    // sum_value carried forward (null before a series' first bucket).
+    // The regularization step before any windowed feature math on a
+    // gappy cadence (the reference's nominal-300 s stream, SURVEY §1.1).
+    "e10_gap_fill" -> ((s, d) => {
+      val buckets = events(s, d) // ts = epoch-nanos long (see Tables.events)
+        .groupBy(
+          expr("(ts div 1000000000 div 300) * 300").as("w_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+      graft.ext.GapFill.resampleFill(buckets, "event_type", "w_start",
+        "n_events", "sum_value", 300L)
+    }),
+
     // Semi-structured JSON extraction from the props payload.
     "e03_json_extract" -> ((s, d) => {
       events(s, d)
@@ -252,6 +270,27 @@ object EventsQueries {
            MAX(us) + 21600000000 AS session_end_us,
            COUNT(*) AS n_events
          FROM g GROUP BY user_id, sid""",
+    "e10_gap_fill" ->
+      """WITH b AS (
+           SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300
+               AS w_start,
+             event_type, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           FROM events GROUP BY 1, 2
+         ), bounds AS (
+           SELECT MIN(w_start) AS lo, MAX(w_start) AS hi FROM b
+         ), g AS (
+           SELECT t.event_type,
+             unnest(generate_series(bounds.lo, bounds.hi, 300)) AS w_start
+           FROM (SELECT DISTINCT event_type FROM b) t, bounds
+         )
+         SELECT g.event_type, g.w_start,
+           CAST(COALESCE(b.n_events, 0) AS BIGINT) AS n_events,
+           last_value(b.sum_value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.w_start
+             ROWS UNBOUNDED PRECEDING) AS filled_sum_value
+         FROM g LEFT JOIN b
+           ON b.event_type = g.event_type AND b.w_start = g.w_start""",
     "e03_json_extract" ->
       """SELECT event_type,
          CAST(SUM(k) AS BIGINT) AS sum_k,

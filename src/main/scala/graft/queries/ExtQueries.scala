@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
-import graft.ext.{Dedup, KMV, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, FrequentItems, KMV, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators (SURVEY.md §7.4) as gate queries:
   * dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding
@@ -427,6 +427,20 @@ object ExtQueries {
         "source", 64)
     }),
 
+    // Heavy hitters (Misra-Gries candidates → exact verify): all words
+    // with frequency ≥ 2% of the corpus, exact counts — without a full
+    // vocabulary shuffle. The sketch pass carries ≤ k counters per
+    // partial buffer; only candidate-matching rows reach the counting
+    // shuffle. Hash-gated EXACTLY against a plain GROUP BY oracle (the
+    // two-pass contract: sketch error never reaches the answer).
+    "a06_heavy_hitters" -> ((s, d) => {
+      val words = documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      FrequentItems.heavyHitters(words, k = 256, phi = 0.02)
+    }),
+
     // Quantile sketch (the second sketch-family op beside a01's HLL):
     // percentile_approx vs the exact interpolated percentile, gated as
     // exact values + within-tolerance booleans (the a01 pattern — the
@@ -569,6 +583,54 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_kept"),
           sum(TextAnalysis.wsTokenCount(col("text")).cast("bigint"))
             .cast("bigint").as("kept_tokens"))
+    }),
+
+    // Inverted index (posting lists): word → document frequency + the
+    // first 20 doc ids — the search-index build step over a corpus. The
+    // posting head is a BOUNDED typed aggregator (TopKAggregator over
+    // -doc_id), not a collect_list: a stop word's full posting list is
+    // corpus-sized at 100 TB, so partial buffers must cap at the head
+    // size. One distinct pass over (word, doc) pairs feeds both aggs;
+    // the final join is vocabulary-sized.
+    "t16_inverted_index" -> ((s, d) => {
+      import s.implicits._
+      val pairs = documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .select(col("word"), col("doc_id")).distinct()
+      val dfCounts = pairs.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val heads = pairs.as[(String, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => graft.ext.TopKAggregator.Scored(t._2, -t._2.toDouble))
+        .agg(new graft.ext.TopKAggregator.TopK(20).toColumn.name("top"))
+        .toDF("word", "top")
+        .select(col("word"),
+          array_join(expr("transform(top, x -> CAST(x.id AS STRING))"), ",")
+            .as("postings_head"))
+      dfCounts.join(heads, Seq("word"))
+        .select(col("word"), col("df"), col("postings_head"))
+    }),
+
+    // Temperature-based mixture weights — the data-mixing planner: each
+    // source's sampling weight ∝ (token mass)^(1/2) normalized over the
+    // corpus (the standard temperature re-weighting that up-samples
+    // small high-quality sources). Exact-decimal normalizer so the
+    // double ratios are bit-stable cross-engine. One tiny aggregation;
+    // the normalizer is a broadcast single row.
+    "t17_mixture_weights" -> ((s, d) => {
+      val stats = documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.wsTokenCount(col("text")).cast("bigint"))
+            .cast("bigint").as("n_tokens"))
+        .withColumn("w_raw",
+          round(sqrt(col("n_tokens").cast("double")), 6)
+            .cast("decimal(28,6)"))
+      val tot = stats.agg(sum(col("w_raw")).as("w_tot"))
+      stats.crossJoin(broadcast(tot)) // single row by construction
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("w_raw").cast("double") / col("w_tot").cast("double"), 6)
+            .as("weight"))
     }),
 
     // Composed corpus-cleaning gate: the t01/t02/t05 signals as one
@@ -1407,6 +1469,30 @@ object ExtQueries {
              AS BIGINT) AS kept_tokens
          FROM s WHERE bucket < rate * 4294967296.0
          GROUP BY lang""",
+    "t16_inverted_index" ->
+      """WITH p AS (
+           SELECT DISTINCT word, doc_id FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents WHERE text IS NOT NULL) x
+           WHERE length(word) > 0
+         )
+         SELECT word, COUNT(*) AS df,
+           array_to_string(list_sort(list(doc_id))[1:20], ',')
+             AS postings_head
+         FROM p GROUP BY word""",
+    "t17_mixture_weights" ->
+      """WITH s AS (
+           SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source
+         ), w AS (
+           SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6)
+             AS DECIMAL(28,6)) AS w_raw FROM s
+         ), t AS (SELECT SUM(w_raw) AS w_tot FROM w)
+         SELECT source, n_docs, n_tokens,
+           round(CAST(w_raw AS DOUBLE) / CAST(w_tot AS DOUBLE), 6)
+             AS weight
+         FROM w, t""",
     "t14_word_entropy" ->
       """WITH w AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS w
@@ -1504,6 +1590,17 @@ object ExtQueries {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact,
          TRUE AS within_5pct
          FROM events GROUP BY event_type""",
+    // two-pass heavy hitters return EXACT counts, so the oracle is the
+    // plain GROUP BY the sketch pass exists to avoid at scale
+    "a06_heavy_hitters" ->
+      """WITH w AS (
+           SELECT unnest(string_split(text, ' ')) AS word
+           FROM documents WHERE text IS NOT NULL
+         ), f AS (
+           SELECT word, COUNT(*) AS cnt FROM w
+           WHERE length(word) > 0 GROUP BY word
+         ), t AS (SELECT SUM(cnt) AS n_total FROM f)
+         SELECT word, cnt FROM f, t WHERE cnt >= 0.02 * n_total""",
     // exact interpolated percentiles (quantile_cont ≡ Spark percentile);
     // the approx side is asserted via tolerance booleans, a01-style
     "a02_quantile_sketch" ->
