@@ -32,51 +32,31 @@ object KMV {
 
   val hashSpace: Double = 281474976710656.0 // 2^48
 
-  /** Bounded distinct-bottom-k of longs: the KMV reduction state. The
-    * buffer dedups on insert (KMV is over the distinct hash SET; two
-    * occupancy slots for one value would corrupt θ_k), so the input
-    * needs no pre-distinct — one shuffle, k longs per group in every
-    * partial buffer. */
-  private class BottomK(k: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[
-        Long, Seq[Long], Seq[Long]] {
-    private def best(xs: Seq[Long]): Seq[Long] = xs.distinct.sorted.take(k)
-    override def zero: Seq[Long] = Seq.empty
-    override def reduce(b: Seq[Long], h: Long): Seq[Long] =
-      // strict < also skips duplicates of the current k-th value
-      if (b.size < k || h < b.last) best(b :+ h) else b
-    override def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] = best(x ++ y)
-    override def finish(r: Seq[Long]): Seq[Long] = r
-    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
-    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
-  }
-
   /** Bottom-k sketch per group: the k smallest distinct `hash48(value)`
     * per `groupCol`, ranked ascending (`rn` 1..k).
     *
-    * Built with the bounded typed aggregator, NOT a per-group window
-    * sort: a window would drag every group's full distinct-hash stream
-    * through one task (the window-argmax trap), while the aggregator's
-    * partial buffers carry at most k longs per group through the one
-    * shuffle. The group key is coerced to string in the output (typed
-    * grouping surface; the gates' keys are strings already). */
+    * Built with the bounded NATIVE aggregate
+    * [[graft.functions.BottomKAgg]] (`TypedImperativeAggregate`), NOT a
+    * per-group window sort: a window would drag every group's full
+    * distinct-hash stream through one task (the window-argmax trap),
+    * while the aggregate's partial buffers carry at most k longs per
+    * group through the one shuffle. The buffer dedups on insert (KMV is
+    * over the distinct hash SET; two occupancy slots for one value
+    * would corrupt θ_k), so the input needs no pre-distinct pass. The
+    * native form evaluates its child directly on `InternalRow`s — the
+    * earlier typed-`Aggregator` formulation paid an encoder round-trip
+    * per input row (~4× the whole-gate time at sf0.1). The group key is
+    * coerced to string in the output (the gates' keys are strings
+    * already). */
   def sketch(df: DataFrame, groupCol: String, valueCol: String,
-             k: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(groupCol).cast("string").as("g"),
+             k: Int): DataFrame =
+    df.select(col(groupCol).cast("string").as(groupCol),
       hash48(col(valueCol)).as("h"))
       .filter(col("h").isNotNull)
-      .as[(String, Long)]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(new BottomK(k).toColumn.name("hs"))
-      .toDF("g", "hs")
-      .select(col("g").as(groupCol), posexplode(col("hs")).as(Seq("p", "h")))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.BottomK.bottom_k(col("h"), k).as("hs"))
+      .select(col(groupCol), posexplode(col("hs")).as(Seq("p", "h")))
       .select(col(groupCol), col("h"), (col("p") + 1).cast("int").as("rn"))
-  }
 
   /** Distinct-count estimate per group: (k−1)·2⁴⁸/θ_k where θ_k is the
     * k-th smallest hash; a group holding fewer than k distinct values
