@@ -356,13 +356,32 @@ object Dedup {
     * Inputs are band tables from [[lshBands]] — same signature family on
     * both sides, or the band keys are meaningless. */
   def incrementalKeep(incomingBands: DataFrame, corpusBands: DataFrame,
-                      idCol: String): DataFrame = {
+                      idCol: String, reliable: Boolean = false): DataFrame = {
+    val spark = incomingBands.sparkSession
     val hit = incomingBands
       .join(corpusBands.select(col("band"), col("bkey")),
         Seq("band", "bkey"), "left_semi")
       .select(col(idCol)).distinct()
-    val surviving = incomingBands.join(hit, Seq(idCol), "left_anti")
-    val drop = resolveClusters(lshCandidatePairs(surviving, idCol))
+    val survivingPlan = incomingBands.join(hit, Seq(idCol), "left_anti")
+    // Materialize the surviving band table ONCE (RDD-level checkpoint,
+    // resolveClusters-style): it is consumed by two separate actions —
+    // the CC's own pair checkpoint and the caller's final keep-list —
+    // each of which would otherwise re-derive BOTH sides' full
+    // shingle→minhash→band pipelines from text (measured ~2× the whole
+    // gate). The table is batch-sized (bands of the admitted batch), so
+    // the checkpoint is small by construction; its blocks back the
+    // returned frame and are reclaimed via DatasetBridge.backingRdds or
+    // the driver's ContextCleaner once the result is dropped.
+    val survRdd = survivingPlan.queryExecution.toRdd.map(_.copy())
+    if (reliable) {
+      survRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      survRdd.checkpoint()
+    } else survRdd.localCheckpoint()
+    survRdd.count(): Unit // eager
+    val surviving = org.apache.spark.sql.graftbridge.DatasetBridge
+      .internalDf(spark, survRdd, survivingPlan.schema)
+    val drop = resolveClusters(lshCandidatePairs(surviving, idCol),
+      reliable = reliable)
       .filter(col("cluster") =!= col("id"))
       .select(col("id").as(idCol))
     surviving.select(col(idCol)).distinct()
