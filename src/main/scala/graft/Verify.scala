@@ -9,7 +9,8 @@ object Verify {
     // filter re-dumps a subset while iterating (driver passes two args)
     val (sfDir, outDir) = (args(0), args(1))
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet)
+      if (args.length > 2)
+        Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet)
       else None
     only.foreach { names =>
       val unknown = names -- SparkEntry.queries.keySet

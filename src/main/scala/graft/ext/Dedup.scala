@@ -109,6 +109,50 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") > maxBucket)
 
+  // ---- RDD-level checkpoint plumbing shared by the iterative CC
+  // algorithms and incrementalKeep. Checkpointing each round truncates
+  // lineage — without it the plan re-embeds the whole upstream pipeline
+  // per iteration (measured 631 exchanges for 5 rounds). Checkpoints are
+  // taken at the RDD level (DatasetBridge) in BOTH modes so each
+  // superseded round's storage — executor blocks and, in reliable mode,
+  // checkpoint FILES — is releasable as soon as its successor
+  // materializes. (Round 3 used `Dataset.checkpoint` for reliable mode,
+  // whose files accumulated for the JVM's life.) The final checkpoint
+  // backs the returned frame; its handle stays reachable via
+  // `DatasetBridge.backingRdds` for the caller/memo to evict. ----
+
+  /** Checkpoint a frame's rows at the RDD level. `reliable` writes to
+    * the session checkpoint dir (survives executor loss — the cluster
+    * mode); otherwise executor-memory `localCheckpoint` (faster, right
+    * for local/bench runs). NOT yet materialized — run an action (the
+    * callers fold their convergence stats into that action). */
+  private def ckptRdd(df: DataFrame, reliable: Boolean)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = {
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    if (reliable) {
+      // persist before checkpoint: the checkpoint job re-reads the
+      // persisted blocks instead of recomputing the upstream plan
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.checkpoint()
+    } else rdd.localCheckpoint()
+    rdd
+  }
+
+  private def releaseRdd(r: org.apache.spark.rdd.RDD[_]): Unit =
+    if (r != null) org.apache.spark.sql.graftbridge.DatasetBridge
+      .releaseRdd(r)
+
+  /** Checkpoint + materialize eagerly (count), returning the wrapped
+    * frame and the releasable RDD handle. */
+  private def ckptEager(df: DataFrame, reliable: Boolean)
+      : (DataFrame, org.apache.spark.rdd.RDD[
+          org.apache.spark.sql.catalyst.InternalRow]) = {
+    val rdd = ckptRdd(df, reliable)
+    rdd.count(): Unit
+    (org.apache.spark.sql.graftbridge.DatasetBridge
+      .internalDf(df.sparkSession, rdd, df.schema), rdd)
+  }
+
   /** Near-dup cluster resolution: connected components over the candidate
     * pair graph by iterative min-label propagation (the standard
     * large-graph CC shape on DataFrames: each round is one shuffle join;
@@ -126,30 +170,6 @@ object Dedup {
                       reliable: Boolean = false,
                       onRounds: Int => Unit = _ => ()): DataFrame = {
     val spark = pairs.sparkSession
-    // Checkpointing each round truncates lineage — without it the plan
-    // re-embeds the whole upstream pipeline per iteration (measured 631
-    // exchanges for 5 rounds). Checkpoints are taken at the RDD level
-    // (DatasetBridge) in BOTH modes so each superseded round's storage —
-    // executor blocks and, in reliable mode, checkpoint FILES — is
-    // RELEASED as soon as its successor materializes. (Round 3 used
-    // `Dataset.checkpoint` for reliable mode, whose files accumulated
-    // for the JVM's life.) The FINAL round backs the returned frame; its
-    // handle stays reachable via `DatasetBridge.backingRdds` for the
-    // caller/memo to evict, checkpoint files included.
-    def ckptRdd(df: DataFrame): org.apache.spark.rdd.RDD[
-        org.apache.spark.sql.catalyst.InternalRow] = {
-      val rdd = df.queryExecution.toRdd.map(_.copy())
-      if (reliable) {
-        // persist before checkpoint: the checkpoint job re-reads the
-        // persisted blocks instead of recomputing the round's join
-        rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        rdd.checkpoint()
-      } else rdd.localCheckpoint()
-      rdd
-    }
-    def release(r: org.apache.spark.rdd.RDD[_]): Unit =
-      if (r != null) org.apache.spark.sql.graftbridge.DatasetBridge
-        .releaseRdd(r)
     // checkpoint the (expensive) pair pipeline ONCE before fanning it out
     // into the symmetric edge set — a union of two branches over the raw
     // plan would materialize the upstream twice. Partitioning follows the
@@ -160,7 +180,7 @@ object Dedup {
     // materializes the round's checkpoint (cluster is column 1 of the
     // label rows) — one job per round, not checkpoint-then-aggregate.
     def ckptWithSum(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_], Long) = {
-      val rdd = ckptRdd(df)
+      val rdd = ckptRdd(df, reliable)
       val s = rdd.mapPartitions { it =>
         var acc = 0L
         while (it.hasNext) acc += it.next().getLong(1)
@@ -169,13 +189,9 @@ object Dedup {
       (org.apache.spark.sql.graftbridge.DatasetBridge
         .internalDf(spark, rdd, df.schema), rdd, s)
     }
-    def ckpt(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
-      val rdd = ckptRdd(df)
-      rdd.count(): Unit // eager
-      (org.apache.spark.sql.graftbridge.DatasetBridge
-        .internalDf(spark, rdd, df.schema), rdd)
-    }
-    val (p, pRdd) = ckpt(pairs.select(col("a_id"), col("b_id")))
+    def release(r: org.apache.spark.rdd.RDD[_]): Unit = releaseRdd(r)
+    val (p, pRdd) = ckptEager(
+      pairs.select(col("a_id"), col("b_id")), reliable)
     val edges = p.union(p.select(col("b_id").as("a_id"),
       col("a_id").as("b_id")))
     var (labels, labelsRdd, prevSum) = ckptWithSum(
@@ -240,29 +256,12 @@ object Dedup {
                           reliable: Boolean = false,
                           onRounds: Int => Unit = _ => ()): DataFrame = {
     val spark = pairs.sparkSession
-    def ckptRdd(df: DataFrame): org.apache.spark.rdd.RDD[
-        org.apache.spark.sql.catalyst.InternalRow] = {
-      val rdd = df.queryExecution.toRdd.map(_.copy())
-      if (reliable) {
-        rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        rdd.checkpoint()
-      } else rdd.localCheckpoint()
-      rdd
-    }
-    def release(r: org.apache.spark.rdd.RDD[_]): Unit =
-      if (r != null) org.apache.spark.sql.graftbridge.DatasetBridge
-        .releaseRdd(r)
-    def internalDf(rdd: org.apache.spark.rdd.RDD[
-        org.apache.spark.sql.catalyst.InternalRow],
-        schema: org.apache.spark.sql.types.StructType): DataFrame =
-      org.apache.spark.sql.graftbridge.DatasetBridge
-        .internalDf(spark, rdd, schema)
     // count + per-column sums in the SAME pass that materializes the
     // round's checkpoint — one job per round, and enough signal to gate
     // the exact convergence check
     def ckptWithTriple(df: DataFrame): (DataFrame,
         org.apache.spark.rdd.RDD[_], (Long, Long, Long)) = {
-      val rdd = ckptRdd(df)
+      val rdd = ckptRdd(df, reliable)
       val t = rdd.mapPartitions { it =>
         var n = 0L; var sa = 0L; var sb = 0L
         while (it.hasNext) {
@@ -270,13 +269,12 @@ object Dedup {
         }
         Iterator.single((n, sa, sb))
       }.fold((0L, 0L, 0L))((x, y) => (x._1 + y._1, x._2 + y._2, x._3 + y._3))
-      (internalDf(rdd, df.schema), rdd, t)
+      (org.apache.spark.sql.graftbridge.DatasetBridge
+        .internalDf(spark, rdd, df.schema), rdd, t)
     }
-    def ckpt(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
-      val rdd = ckptRdd(df)
-      rdd.count(): Unit
-      (internalDf(rdd, df.schema), rdd)
-    }
+    def release(r: org.apache.spark.rdd.RDD[_]): Unit = releaseRdd(r)
+    def ckpt(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) =
+      ckptEager(df, reliable)
     // materialize the (expensive) pair pipeline once; everything below —
     // node universe included — derives from this checkpoint, never from a
     // re-scan of the upstream pipeline
@@ -357,7 +355,6 @@ object Dedup {
     * both sides, or the band keys are meaningless. */
   def incrementalKeep(incomingBands: DataFrame, corpusBands: DataFrame,
                       idCol: String, reliable: Boolean = false): DataFrame = {
-    val spark = incomingBands.sparkSession
     val hit = incomingBands
       .join(corpusBands.select(col("band"), col("bkey")),
         Seq("band", "bkey"), "left_semi")
@@ -372,14 +369,7 @@ object Dedup {
     // the checkpoint is small by construction; its blocks back the
     // returned frame and are reclaimed via DatasetBridge.backingRdds or
     // the driver's ContextCleaner once the result is dropped.
-    val survRdd = survivingPlan.queryExecution.toRdd.map(_.copy())
-    if (reliable) {
-      survRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      survRdd.checkpoint()
-    } else survRdd.localCheckpoint()
-    survRdd.count(): Unit // eager
-    val surviving = org.apache.spark.sql.graftbridge.DatasetBridge
-      .internalDf(spark, survRdd, survivingPlan.schema)
+    val (surviving, _) = ckptEager(survivingPlan, reliable)
     val drop = resolveClusters(lshCandidatePairs(surviving, idCol),
       reliable = reliable)
       .filter(col("cluster") =!= col("id"))

@@ -74,31 +74,36 @@ object KMV {
   /** Pairwise Jaccard estimate between every two groups: merge the two
     * sketches (k smallest of the union), count merged values present in
     * BOTH input sketches — J ≈ |both| / |merged|. Exact integer ratio →
-    * cross-engine-stable double. */
+    * cross-engine-stable double.
+    *
+    * Single-pass shape: each union row carries in_a/in_b origin flags
+    * folded by one (a,b,h) aggregation (which IS the distinct), then the
+    * per-pair bottom-k window and ONE final groupBy compute |merged| and
+    * |both| together. The earlier formulation materialized `merged`
+    * into two branches and re-joined the sketch twice for the
+    * both-membership test — three extra shuffles of the same G·k rows. */
   def pairwiseJaccard(sk: DataFrame, groupCol: String, k: Int): DataFrame = {
     val av = sk.select(col(groupCol).as("a_src"), col("h"))
     val bv = sk.select(col(groupCol).as("b_src"), col("h"))
     val groupPairs = av.select(col("a_src")).distinct()
       .join(bv.select(col("b_src")).distinct(), col("a_src") < col("b_src"))
-    val unioned = groupPairs.join(av, Seq("a_src"))
-      .select(col("a_src"), col("b_src"), col("h"))
+    val tagged = groupPairs.join(av, Seq("a_src"))
+      .select(col("a_src"), col("b_src"), col("h"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
       .union(groupPairs.join(bv, Seq("b_src"))
-        .select(col("a_src"), col("b_src"), col("h")))
-      .distinct()
+        .select(col("a_src"), col("b_src"), col("h"),
+          lit(0).as("in_a"), lit(1).as("in_b")))
+      .groupBy(col("a_src"), col("b_src"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
     val wp = Window.partitionBy(col("a_src"), col("b_src"))
       .orderBy(col("h").asc)
-    val merged = unioned.withColumn("mrn", row_number().over(wp))
+    tagged.withColumn("mrn", row_number().over(wp))
       .filter(col("mrn") <= k)
-    val inBoth = merged
-      .join(av, Seq("a_src", "h"), "left_semi")
-      .join(bv, Seq("b_src", "h"), "left_semi")
       .groupBy(col("a_src"), col("b_src"))
-      .agg(count(lit(1)).as("m"))
-    merged.groupBy(col("a_src"), col("b_src"))
-      .agg(count(lit(1)).as("mk"))
-      .join(inBoth, Seq("a_src", "b_src"), "left")
+      .agg(count(lit(1)).as("mk"),
+        sum((col("in_a") === 1 && col("in_b") === 1).cast("long")).as("m"))
       .select(col("a_src"), col("b_src"),
-        (coalesce(col("m"), lit(0L)).cast("double") /
-          col("mk").cast("double")).as("kmv_jaccard"))
+        (col("m").cast("double") / col("mk").cast("double"))
+          .as("kmv_jaccard"))
   }
 }

@@ -132,6 +132,9 @@ object ExtQueries {
     // cosine to within-cell work, pairs >= 0.2 resolve to clusters — the
     // embedding-space analog of d06's lexical near-dup clusters. Shares
     // the trained quantizer memo with s07/s08 (train once, serve many).
+    // The oracle replicates semanticPairs' maxCell=4096 degenerate-cell
+    // drop, so parity holds by construction even on data where a cell
+    // overflows the cap (not just at gate scale where none does).
     "d08_semantic_dedup" -> ((s, d) => {
       val pairs = Dedup.semanticPairs(embeddings(s, d),
         trainedCentroids(s, d), "vec_id", "embedding", minCos = 0.2)
@@ -868,11 +871,13 @@ object ExtQueries {
                 ORDER BY $dotAC DESC, ct.c_id ASC) AS rn
             FROM embeddings a CROSS JOIN $cent ct
           ), cells AS (SELECT vec_id, c_id AS cell FROM asnF WHERE rn = 1),
+          csz AS (SELECT cell, COUNT(*) AS cn FROM cells GROUP BY cell),
           n AS (
             SELECT e.vec_id, e.embedding, cl.cell,
               sqrt(list_sum(list_transform(range(1,65),
                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS nrm
             FROM embeddings e JOIN cells cl USING (vec_id)
+            JOIN csz ON csz.cell = cl.cell AND csz.cn <= 4096
           ), cand AS (
             SELECT a.vec_id AS a_id, b.vec_id AS b_id
             FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id

@@ -225,7 +225,11 @@ object Pipeline {
     *   process, no lock. Off by default. */
   def archive(records: DataFrame, lakePath: String, checkpointDir: String,
               ledger: Option[BatchLedger] = None,
-              compactEvery: Option[Int] = None): StreamingQuery =
+              compactEvery: Option[Int] = None): StreamingQuery = {
+    // fail at wiring time, not inside foreachBatch: Some(0) would hit
+    // `batchId % 0` at batch 1 and kill the running query after appends
+    compactEvery.foreach(n => require(n > 0,
+      s"compactEvery must be >= 1 (got $n); use None to disable"))
     records.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -244,6 +248,7 @@ object Pipeline {
         }
       }
       .start()
+  }
 
   /** Compact the lake partitions a batch touched: the touched (region,
     * dt) set is a tiny distinct over the batch (metadata-scale collect —

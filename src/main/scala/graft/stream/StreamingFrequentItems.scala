@@ -20,9 +20,10 @@ import graft.ext.FrequentItems.MisraGries
   */
 object StreamingFrequentItems {
 
-  /** Per-key snapshot after each micro-batch touching the key:
-    * candidate items currently ≥ the sketch floor, worst-case count
-    * error so far (= processed/k), and total items processed. */
+  /** Per-key snapshot after each micro-batch touching the key: the
+    * surviving candidate items and total items processed so far (the
+    * worst-case count error of the summary is derivable as
+    * processed / k). */
   case class HotItems(key: String, candidates: Seq[String],
                       processed: Long)
 
