@@ -604,6 +604,37 @@ object RelationalQueries {
       val in96 = o.filter(col("o_orderdate") >= lit("1996-01-01") &&
         col("o_orderdate") < lit("1997-01-01")).select(col("o_custkey"))
       in95.except(in96)
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    // this schema: a line is "late" when it ships > 60 days after its
+    // order date; count each late line whose supplier was the ONLY late
+    // supplier on a multi-supplier finalized order. The oracle states it
+    // as correlated EXISTS / NOT EXISTS; the Spark plan is the canonical
+    // aggregation-based decorrelation — ONE pass over lineitem⋈orders
+    // derives per-order supplier/late-supplier cardinalities, and the
+    // double-exists collapses to (n_supp > 1 AND n_late_supp = 1): no
+    // correlated re-scans of lineitem, two shuffles total (orderkey,
+    // then s_name), supplier dim broadcast by AQE.
+    "q44_waiting_suppliers" -> ((s, d) => {
+      val lo = lineitem(s, d)
+        .join(orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > date_add(col("o_orderdate"), 60))
+      val perOrder = lo.groupBy(col("l_orderkey").as("ok"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey")))
+            .as("n_late_supp"))
+        .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+      lo.filter(col("late"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(perOrder, col("l_orderkey") === col("ok"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(10)
     })
   )
 
@@ -939,6 +970,23 @@ object RelationalQueries {
          WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
          EXCEPT
          SELECT o_custkey FROM orders
-         WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'"""
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'""",
+    // stated as the correlated double-EXISTS Q21 form — DuckDB
+    // decorrelates it its own way; the Spark gate's aggregation-based
+    // decorrelation must agree row-for-row
+    "q44_waiting_suppliers" ->
+      """SELECT s_name, COUNT(*) AS numwait
+         FROM supplier, lineitem l1, orders
+         WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+           AND o_orderstatus = 'F'
+           AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10"""
   )
 }

@@ -103,7 +103,14 @@ object History {
     // finish any interrupted swap BEFORE the read below lists files —
     // recovery renames directories out from under an already-planned scan
     recoverCompaction(spark, path): Unit
-    val slice = spark.read.parquet(path).filter(predicate)
+    // mergeSchema: a compaction REWRITES data, so it must see the union
+    // of every file's columns — the default single-footer inference
+    // would silently drop a column added to the record schema mid-life
+    // from every rewritten row (reads merely miss it; a rewrite loses
+    // it). Footer-merge cost is per-file metadata on the slice being
+    // compacted, negligible next to the rewrite itself.
+    val slice = spark.read.option("mergeSchema", "true")
+      .parquet(path).filter(predicate)
     val refs = slice.queryExecution.analyzed.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         f.condition.references.map(_.name).toSeq
@@ -357,6 +364,15 @@ object History {
     rows.asScala.toSeq.sortBy(_._1)
       .toDF("partition", "n_files", "total_bytes", "min_bytes", "max_bytes")
   }
+
+  /** Schema-evolution read: merge parquet footers across the whole lake
+    * so columns added to the record schema mid-life appear in the scan
+    * (null-filled for partitions written before the change). The default
+    * `spark.read.parquet` infers from one footer and would silently omit
+    * late columns; compaction gradually converges old partitions onto
+    * the unioned schema (compactLatest rewrites with mergeSchema). */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 
   /** S4: `get_data_from` — date-bounded scan; the `dt >= …` predicate is a
     * partition filter (no data files outside the range are opened). */
