@@ -27,5 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) =>
           graft.functions.HyperLogLogAgg(children.head)
             .toAggregateExpression()))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("bottom_k"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.BottomKAgg].getName, "bottom_k"),
+        (children: Seq[Expression]) =>
+          graft.functions.BottomKAgg(children(0),
+            children(1).eval().asInstanceOf[Number].intValue())
+            .toAggregateExpression()))
   }
 }

@@ -100,5 +100,11 @@ object Views {
       exprs => graft.functions.HyperLogLogAgg(exprs.head)
         .toAggregateExpression(),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bottom_k",
+      exprs => graft.functions.BottomKAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression(),
+      "built-in")
   }
 }

@@ -139,6 +139,25 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("bottom_k is SQL-callable and matches the KMV sketch operator") {
+    Views.register(spark, dir)
+    // per-source bottom-4 of the 48-bit word hashes, via pure SQL
+    val viaSql = spark.sql(
+      """SELECT source,
+        |  bottom_k(CAST(conv(substring(md5(word), 1, 12), 16, 10) AS BIGINT), 4) AS hs
+        |FROM (SELECT source, explode(split(text, ' ')) AS word FROM documents)
+        |GROUP BY source""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val viaOp = graft.ext.KMV.sketch(
+      spark.table("documents")
+        .selectExpr("source", "explode(split(text, ' ')) AS word"),
+      "source", "word", 4)
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq).toMap
+    assert(viaSql === viaOp)
+    assert(viaSql.values.forall(_.length == 4))
+  }
+
   test("registerLake exposes the history lake to pure SQL (snapshot read)") {
     import spark.implicits._
     val lake = java.nio.file.Files.createTempDirectory("graft-sql-lake")
