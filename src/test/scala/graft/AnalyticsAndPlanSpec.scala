@@ -283,6 +283,32 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("plan quality: a06 verify pass broadcasts the candidate set") {
+    val df = SparkEntry.queries("a06_heavy_hitters")(spark,
+      "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the exact recount must probe a BROADCAST candidate/total set —
+    // a shuffled semi-join here would re-shuffle the full token stream
+    // on the item key, the exact thing the sketch pass exists to avoid
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"), plan.take(1200))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(800)) // total row
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("plan quality: e10 grid generation never shuffles event rows twice") {
+    val df = SparkEntry.queries("e10_gap_fill")(spark,
+      "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the bounds row is broadcast into the series×sequence explode; the
+    // fill is ONE window over the series key
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(plan.contains("Window"), plan.take(800))
+  }
+
   test("plan quality: runtime bloom filter prunes the fact side of a selective join") {
     // At 100 TB a selective dim/filter side should row-prune the fact
     // scan BEFORE the shuffle — Spark's runtime bloom filter does this
