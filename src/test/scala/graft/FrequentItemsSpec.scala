@@ -44,6 +44,13 @@ class FrequentItemsSpec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  test("empty input yields an empty result, not a failure") {
+    import spark.implicits._
+    val got = FrequentItems.heavyHitters(
+      Seq.empty[String].toDF("word"), k = 16, phi = 0.1).collect()
+    assert(got.isEmpty)
+  }
+
   test("phi <= 1/k is rejected (the guarantee would not hold)") {
     import spark.implicits._
     val df = Seq("a", "b").toDF("word")

@@ -44,4 +44,8 @@ class GapFillSpec extends AnyFunSuite {
     val got = fill(Seq(("x", 50L, 7L, Double.box(2.0))))
     assert(got === Map(("x" -> 50L) -> ((7L, Some(2.0)))))
   }
+
+  test("empty input yields an empty grid, not a failure") {
+    assert(fill(Seq.empty).isEmpty)
+  }
 }
