@@ -460,6 +460,29 @@ object ExtQueries {
           (abs(col("p90_est") - col("p90_exact")) <= 1.0).as("p90_ok"))
     }),
 
+    // Grouped quantile sketches — a02's sketch with per-group partials
+    // MERGED across partitions (the a03 pattern for quantiles): exact
+    // interpolated percentiles per group + the sketch's within-tolerance
+    // booleans. At scale each partial buffer is one bounded sketch per
+    // group; the shuffle never carries value rows.
+    "a07_quantile_grouped" -> ((s, d) => {
+      events(s, d).groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90_exact"),
+          expr("percentile_approx(value, 0.5, 10000)").as("p50_est"),
+          expr("percentile_approx(value, 0.9, 10000)").as("p90_est"))
+        .select(col("event_type"), col("p50_exact"), col("p90_exact"),
+          // approx returns a DATA value (no interpolation): on a small
+          // group the nearest value sits a local-gap away from the
+          // interpolated exact, so the tolerance scales with the value
+          // (2%) with an absolute floor for near-zero percentiles
+          (abs(col("p50_est") - col("p50_exact")) <=
+            greatest(lit(1.0), col("p50_exact") * 0.02)).as("p50_ok"),
+          (abs(col("p90_est") - col("p90_exact")) <=
+            greatest(lit(1.0), col("p90_exact") * 0.02)).as("p90_ok"))
+    }),
+
     // mapPartitions decode plumbing (deterministic stub codec): the
     // decode-stage outputs that ARE SQL-expressible (mime/byte_len/
     // checksum) — oracle-gated, proving the mapPartitions path computes
@@ -1613,6 +1636,12 @@ object ExtQueries {
          quantile_cont(l_quantity, 0.9) AS p90_exact,
          TRUE AS p50_ok, TRUE AS p90_ok
          FROM lineitem""",
+    "a07_quantile_grouped" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.5), 6) AS p50_exact,
+         round(quantile_cont(value, 0.9), 6) AS p90_exact,
+         TRUE AS p50_ok, TRUE AS p90_ok
+         FROM events GROUP BY event_type""",
     "m05_resize" ->
       """WITH b AS (
            SELECT CAST(doc_id AS BIGINT) AS media_id,
