@@ -221,6 +221,34 @@ object Similarity {
     }
   }
 
+  /** Persist a trained quantizer (the tiny `(c_id, c_emb)` frame) into
+    * the lake/warehouse so "train once, serve many" survives the
+    * session: an ANN deployment trains on a schedule and every search
+    * job loads the published index instead of re-running Lloyd rounds.
+    * One parquet file (K rows · D doubles — KB-scale); write is
+    * stage-then-rename atomic via a fresh temp dir so a reader never
+    * sees a partial index. */
+  def saveCentroids(centroids: DataFrame, path: String): Unit = {
+    val spark = centroids.sparkSession
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.staging")
+    fs.delete(tmp, true): Unit
+    centroids.select(col("c_id").cast("long"),
+        col("c_emb").cast("array<double>"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(target, true): Unit
+    require(fs.rename(tmp, target),
+      s"publishing centroids to $path failed (rename $tmp -> $target)")
+  }
+
+  /** Load a quantizer published by [[saveCentroids]] — ready for
+    * [[assignCells]] / [[ivfTopK]] / [[ivfTopKProbed]]. */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    spark.read.parquet(path).select(col("c_id"), col("c_emb"))
+
   /** Multiprobe cell assignment: the top-`nprobe` centroids per vector.
     * Uses the typed bounded [[TopKAggregator]] so the per-id reduction
     * keeps at most `nprobe` candidates in every partial buffer — the

@@ -225,6 +225,28 @@ class ScaleMachinerySpec extends AnyFunSuite {
       s"trained recall $rTrained < subset recall $rSubset")
   }
 
+  test("trained quantizer round-trips through save/load (train once, serve many)") {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val trained = Similarity.trainCentroids(emb, "vec_id", "embedding", 8, 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val path = s"$dir/quantizer.parquet"
+    Similarity.saveCentroids(trained, path)
+    val loaded = Similarity.loadCentroids(spark, path)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toVector)).toSet
+    assert(key(loaded) === key(trained)) // bit-identical index
+    // a republish (retrain cadence) atomically replaces the index
+    Similarity.saveCentroids(trained.filter(col("c_id") =!= key(trained)
+      .head._1), path)
+    assert(key(Similarity.loadCentroids(spark, path)).size ===
+      key(trained).size - 1)
+    // no staging leftovers after publish
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.contains("staging")))
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     import spark.implicits._
     val s = spark
