@@ -221,33 +221,73 @@ object Similarity {
     }
   }
 
-  /** Persist a trained quantizer (the tiny `(c_id, c_emb)` frame) into
-    * the lake/warehouse so "train once, serve many" survives the
-    * session: an ANN deployment trains on a schedule and every search
-    * job loads the published index instead of re-running Lloyd rounds.
-    * One parquet file (K rows · D doubles — KB-scale); write is
-    * stage-then-rename atomic via a fresh temp dir so a reader never
-    * sees a partial index. */
+  /** Persist a trained quantizer (the tiny `(c_id, c_emb)` frame) so
+    * "train once, serve many" survives the session: an ANN deployment
+    * trains on a schedule and every search job loads the published
+    * index instead of re-running Lloyd rounds.
+    *
+    * `path` is an index ROOT directory: each publish writes a
+    * uniquely-named version dir, then atomically flips a `current`
+    * pointer file onto it (`FileContext.rename` with OVERWRITE — the
+    * one genuinely atomic single-file swap the Hadoop FS API offers).
+    * A reader therefore always resolves a COMPLETE index — old or new,
+    * never absent, never partial — and a trainer crash at any point
+    * leaves the previous publish intact (the pointer still names it).
+    * Concurrent trainers write distinct versions; last pointer flip
+    * wins. Superseded versions other than the immediately-previous one
+    * are pruned best-effort (the previous survives one cycle so a
+    * reader that resolved the pointer just before a flip can still open
+    * its files). */
   def saveCentroids(centroids: DataFrame, path: String): Unit = {
     val spark = centroids.sparkSession
-    val target = new org.apache.hadoop.fs.Path(path)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(
-      target.getParent, s".${target.getName}.staging")
-    fs.delete(tmp, true): Unit
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val version = s"quantizer-${java.util.UUID.randomUUID().toString}"
+    val prev = currentVersion(fs, root)
     centroids.select(col("c_id").cast("long"),
         col("c_emb").cast("array<double>"))
-      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(target, true): Unit
-    require(fs.rename(tmp, target),
-      s"publishing centroids to $path failed (rename $tmp -> $target)")
+      .coalesce(1).write.mode("errorifexists")
+      .parquet(new org.apache.hadoop.fs.Path(root, version).toString)
+    // flip the pointer: write-tmp-then-rename(OVERWRITE) is atomic
+    val tmp = new org.apache.hadoop.fs.Path(root, s".current.$version.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+      .rename(tmp, new org.apache.hadoop.fs.Path(root, "current"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // prune superseded versions, keeping the new one and its predecessor
+    val keep = Set(Some(version), prev).flatten
+    Option(fs.listStatus(root)).getOrElse(Array.empty)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("quantizer-"))
+      .filterNot(s => keep(s.getPath.getName))
+      .foreach(s => fs.delete(s.getPath, true): Unit)
   }
 
-  /** Load a quantizer published by [[saveCentroids]] — ready for
+  private def currentVersion(fs: org.apache.hadoop.fs.FileSystem,
+                             root: org.apache.hadoop.fs.Path): Option[String] = {
+    val ptr = new org.apache.hadoop.fs.Path(root, "current")
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  /** Load the quantizer the `current` pointer names — ready for
     * [[assignCells]] / [[ivfTopK]] / [[ivfTopKProbed]]. */
   def loadCentroids(spark: org.apache.spark.sql.SparkSession,
-                    path: String): DataFrame =
-    spark.read.parquet(path).select(col("c_id"), col("c_emb"))
+                    path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val version = currentVersion(fs, root).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no published quantizer under $path (missing `current` pointer)"))
+    spark.read.parquet(new org.apache.hadoop.fs.Path(root, version).toString)
+      .select(col("c_id"), col("c_emb"))
+  }
 
   /** Multiprobe cell assignment: the top-`nprobe` centroids per vector.
     * Uses the typed bounded [[TopKAggregator]] so the per-id reduction

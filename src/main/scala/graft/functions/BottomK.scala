@@ -35,6 +35,18 @@ case class BottomKAgg(
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // analysis-time contract (SQL surface): reject non-integral children
+  // with a clear error instead of a per-row ClassCastException mid-job;
+  // narrower integrals widen in update
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bottom_k needs an integral column, got ${other.catalogString}")
+    }
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
@@ -43,7 +55,7 @@ case class BottomKAgg(
                       input: InternalRow): java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = v.asInstanceOf[Long]
+      val h = v.asInstanceOf[Number].longValue()
       // skip values already ≥ the current k-th smallest (strict <: a
       // duplicate of the boundary value must not occupy a second slot)
       if (buf.size < k) buf.add(h)

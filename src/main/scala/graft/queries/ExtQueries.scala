@@ -478,9 +478,9 @@ object ExtQueries {
           // interpolated exact, so the tolerance scales with the value
           // (2%) with an absolute floor for near-zero percentiles
           (abs(col("p50_est") - col("p50_exact")) <=
-            greatest(lit(1.0), col("p50_exact") * 0.02)).as("p50_ok"),
+            greatest(lit(1.0), abs(col("p50_exact")) * 0.02)).as("p50_ok"),
           (abs(col("p90_est") - col("p90_exact")) <=
-            greatest(lit(1.0), col("p90_exact") * 0.02)).as("p90_ok"))
+            greatest(lit(1.0), abs(col("p90_exact")) * 0.02)).as("p90_ok"))
     }),
 
     // mapPartitions decode plumbing (deterministic stub codec): the

@@ -103,15 +103,10 @@ object History {
     // finish any interrupted swap BEFORE the read below lists files —
     // recovery renames directories out from under an already-planned scan
     recoverCompaction(spark, path): Unit
-    // mergeSchema: a compaction REWRITES data, so it must see the union
-    // of every file's columns — the default single-footer inference
-    // would silently drop a column added to the record schema mid-life
-    // from every rewritten row (reads merely miss it; a rewrite loses
-    // it). Footer-merge cost is per-file metadata on the slice being
-    // compacted, negligible next to the rewrite itself.
-    val slice = spark.read.option("mergeSchema", "true")
-      .parquet(path).filter(predicate)
-    val refs = slice.queryExecution.analyzed.collect {
+    // validate the predicate's column references on a cheap probe frame
+    // (single-footer schema) before any real listing work
+    val probe = spark.read.parquet(path).filter(predicate)
+    val refs = probe.queryExecution.analyzed.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         f.condition.references.map(_.name).toSeq
     }.flatten.toSet
@@ -124,6 +119,41 @@ object History {
     val fs = rawStage.getFileSystem(conf)
     val stage = fs.makeQualified(rawStage)
     fs.delete(stage, true): Unit // pre-manifest leftovers are garbage
+    // Resolve the predicate to its partition DIRECTORIES first (evaluate
+    // it against the region=/dt= directory values on the driver), and
+    // build the slice read from ONLY those dirs: schema inference —
+    // including the mergeSchema pass below — runs at read construction,
+    // BEFORE Catalyst partition pruning, so a root-anchored read would
+    // merge every footer in the lake to compact one partition. Values
+    // are taken raw from the dir names (region codes and ISO dates are
+    // never path-escaped).
+    val qRoot = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    val partVals = Option(
+        fs.globStatus(new org.apache.hadoop.fs.Path(qRoot, "*/*")))
+      .getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .map(s => qRoot.toUri.relativize(s.getPath.toUri).getPath)
+      .flatMap(_.split('/') match {
+        case Array(r, d) if r.startsWith("region=") && d.startsWith("dt=") =>
+          Some((r.stripPrefix("region="), d.stripPrefix("dt="), s"$r/$d"))
+        case _ => None
+      }).toSeq
+    val matching = {
+      import spark.implicits._
+      partVals.toDF("region", "dt", "_rel")
+        .filter(predicate).select(col("_rel"))
+        .collect().map(_.getString(0)).sorted // partition-count-sized
+    }
+    if (matching.isEmpty) return // zero partitions match: nothing to do
+    // mergeSchema: a compaction REWRITES data, so it must see the union
+    // of every file's columns in the slice — the default single-footer
+    // inference would silently drop a record column added to the lake
+    // mid-life from every rewritten row (reads merely miss it; a
+    // rewrite loses it). The merge pass is bounded to the matched dirs.
+    val slice = spark.read.option("mergeSchema", "true")
+      .option("basePath", qRoot.toString)
+      .parquet(matching.map(rel =>
+        new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy((Seq("region", "dt") ++ keyCols).map(col): _*)
       .orderBy(col(tsCol).desc)

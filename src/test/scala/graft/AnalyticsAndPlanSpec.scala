@@ -292,8 +292,9 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
     // on the item key, the exact thing the sketch pass exists to avoid
     assert(plan.contains("BroadcastHashJoin") &&
       plan.contains("LeftSemi"), plan.take(1200))
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastHashJoin"), plan.take(800)) // total row
+    // the single total row joins in via broadcast NLJ specifically (the
+    // semi-join's BroadcastHashJoin must not satisfy this assertion)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 

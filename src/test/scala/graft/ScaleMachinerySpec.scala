@@ -230,21 +230,28 @@ class ScaleMachinerySpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val trained = Similarity.trainCentroids(emb, "vec_id", "embedding", 8, 2)
-    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
-    val path = s"$dir/quantizer.parquet"
-    Similarity.saveCentroids(trained, path)
-    val loaded = Similarity.loadCentroids(spark, path)
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.saveCentroids(trained, root)
+    val loaded = Similarity.loadCentroids(spark, root)
     def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
       (r.getLong(0), r.getSeq[Double](1).toVector)).toSet
     assert(key(loaded) === key(trained)) // bit-identical index
-    // a republish (retrain cadence) atomically replaces the index
+    // an OLD resolved index stays readable across a republish (the
+    // pointer flips; the predecessor version survives one prune cycle)
+    val pinnedOld = loaded.collect().length
+    // republish (retrain cadence): pointer flip is old-or-new atomic
     Similarity.saveCentroids(trained.filter(col("c_id") =!= key(trained)
-      .head._1), path)
-    assert(key(Similarity.loadCentroids(spark, path)).size ===
+      .head._1), root)
+    assert(key(Similarity.loadCentroids(spark, root)).size ===
       key(trained).size - 1)
-    // no staging leftovers after publish
-    assert(!new java.io.File(dir).listFiles()
-      .exists(_.getName.contains("staging")))
+    assert(pinnedOld === key(trained).size)
+    // a THIRD publish prunes the first version; only two remain + pointer
+    Similarity.saveCentroids(trained, root)
+    val dirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("quantizer-"))
+    assert(dirs.length === 2, dirs.map(_.getName).mkString(","))
+    assert(!new java.io.File(root).listFiles()
+      .exists(_.getName.endsWith(".tmp"))) // no pointer staging leftovers
   }
 
   test("AQE splits a skewed join partition at runtime") {
