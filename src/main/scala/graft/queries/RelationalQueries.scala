@@ -597,6 +597,23 @@ object RelationalQueries {
           dsum(col("o_totalprice")).as("sum_price"))
     }),
 
+    // TPC-H Q13 shape (customer order-count distribution): LEFT join
+    // with a join-side filter (the filter must live IN the join
+    // condition — a WHERE would turn the outer join inner and drop
+    // zero-order customers), then a double aggregation: per-customer
+    // count, then the histogram over counts. Two shuffles; the second
+    // is count-domain-sized (tiny).
+    "q45_custdist" -> ((s, d) => {
+      val c = customer(s, d)
+      val o = orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey") &&
+          o("o_orderpriority") =!= "1-URGENT", "left")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
     "q23_churned_1996" -> ((s, d) => {
       val o = orders(s, d)
       val in95 = o.filter(col("o_orderdate") >= lit("1995-01-01") &&
@@ -971,6 +988,13 @@ object RelationalQueries {
          EXCEPT
          SELECT o_custkey FROM orders
          WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'""",
+    "q45_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+           SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+           FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+           GROUP BY c.c_custkey) t
+         GROUP BY c_count""",
     // stated as the correlated double-EXISTS Q21 form — DuckDB
     // decorrelates it its own way; the Spark gate's aggregation-based
     // decorrelation must agree row-for-row
