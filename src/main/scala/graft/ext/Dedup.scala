@@ -216,6 +216,19 @@ object Dedup {
       prevSum = newSum
       round += 1
     }
+    if (!converged) {
+      // The graph's diameter exceeded the round budget: the labels are
+      // only PARTIALLY propagated, and returning them would be silently
+      // wrong clusters (the long-chain case — transitive similarity
+      // over sliding shingle overlaps). Fail over to the O(log n)
+      // star algorithm on the already-materialized pair checkpoint;
+      // total executed rounds reported as propagation + star.
+      val out = resolveClustersStar(p, reliable = reliable,
+        onRounds = sr => onRounds(round + sr))
+      release(labelsRdd)
+      release(pRdd)
+      return out
+    }
     release(pRdd) // the result depends only on the final labels checkpoint
     onRounds(round)
     labels
@@ -324,6 +337,16 @@ object Dedup {
       curRdd = nextRdd
       prevTriple = triple
       round += 1
+    }
+    if (!converged && !cur.isEmpty) {
+      // star halves component height per double-round, so maxRounds=30
+      // covers any graph that fits on hardware; non-convergence means a
+      // pathological input (or a caller-shrunk budget) — failing loudly
+      // beats returning star edges that are not yet one-per-component
+      release(curRdd); release(pRdd)
+      throw new IllegalStateException(
+        s"star CC did not converge in $maxRounds rounds — " +
+          "raise maxRounds; labels would be incorrect")
     }
     // fixpoint edges are (child, root); roots carry no child edge, so
     // label them with themselves over the node universe

@@ -68,6 +68,21 @@ class DedupStarSpec extends AnyFunSuite {
       s"star=$starRounds vs propagation=$plainRounds rounds")
   }
 
+  test("propagation budget exhausted: fails over to star, labels stay CORRECT") {
+    import spark.implicits._
+    // diameter 31 ≫ the default 10-round budget: pre-failover this
+    // returned PARTIALLY-propagated labels — silently wrong clusters
+    val n = 32
+    val pairs = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("a_id", "b_id")
+    var rounds = -1
+    val labels = labelSet(Dedup.resolveClusters(pairs,
+      onRounds = rounds = _)) // default maxRounds = 10
+    assert(labels === (0L until n.toLong).map(i => (i, 0L)).toSet)
+    // reported rounds include the exhausted propagation budget + star's
+    assert(rounds > 10, s"expected propagation budget + star rounds, got $rounds")
+  }
+
   test("star CC reliable mode: superseded rounds' checkpoint files released, eviction empties") {
     import spark.implicits._
     def ckptFiles(dir: String): Set[String] = {
