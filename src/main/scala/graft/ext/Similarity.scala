@@ -289,28 +289,201 @@ object Similarity {
       .select(col("c_id"), col("c_emb"))
   }
 
+  // ---- Product quantization (PQ): the memory-compression rung of the
+  // ANN ladder (Jégou et al., "Product Quantization for Nearest
+  // Neighbor Search", TPAMI 2011). The D-dim space splits into `m`
+  // subspaces trained independently; a vector's code is its m nearest
+  // sub-centroid ids (m smallints instead of D floats — the 100 TB
+  // point: the scored scan reads the CODES table, D/m-fold smaller,
+  // and asymmetric-distance (ADC) scoring is m table lookups per
+  // vector against a per-query lookup table). All arithmetic follows
+  // the s07 determinism rules (md5 seed draw, 6-dp rounds, exact
+  // decimal sums), so PQ codes and ADC scores are oracle-exact. ----
+
+  /** Train the product quantizer: an independent deterministic k-means
+    * per `dim/m`-wide subspace, FUSED so all m subspaces train in the
+    * same jobs — the working set is one row per (vector, subspace) and
+    * a Lloyd round is ONE assignment shuffle + ONE recompute shuffle
+    * for the whole quantizer (a per-subspace [[trainCentroids]] loop
+    * pays m× the driver-synced job count and, at 100 TB, m full corpus
+    * scans per round; measured 3× the whole gate locally). Semantics
+    * are exactly trainCentroids-per-slice: same md5-order seed ids for
+    * every subspace, argmax ties to the smallest c_id, 6-dp recomputed
+    * coordinates — so the per-subspace oracle chains match hash-exactly.
+    * Returns `(sub, c_id, c_emb)`. */
+  def trainProductQuantizer(vecs: DataFrame, idCol: String, embCol: String,
+                            dim: Int, m: Int, kSub: Int,
+                            iters: Int): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val spark = vecs.sparkSession
+    val subDim = dim / m
+    val work = vecs.select(col(idCol),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("sub"),
+            slice(col(embCol), s * subDim + 1, subDim).as("emb"))): _*))
+          .as("se"))
+      .select(col(idCol), col("se.sub").as("sub"), col("se.emb").as(embCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def ckpt(df: DataFrame): (DataFrame,
+        org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
+      val rdd = df.queryExecution.toRdd.map(_.copy())
+      rdd.localCheckpoint()
+      rdd.count(): Unit // eager: triggers the checkpoint
+      (org.apache.spark.sql.graftbridge.DatasetBridge
+        .internalDf(spark, rdd, df.schema), rdd)
+    }
+    val seedIds = vecs
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .limit(kSub).select(col(idCol))
+    var (cent, centRdd) = ckpt(
+      work.join(broadcast(seedIds), Seq(idCol))
+        .select(col("sub"), col(idCol).cast("long").as("c_id"),
+          transform(col(embCol), x => x.cast("double")).as("c_emb")))
+    var finished = false
+    try {
+      for (_ <- 1 to iters) {
+        val assigned = work.join(broadcast(cent), Seq("sub"))
+          .select(col(idCol), col("sub"), col(embCol),
+            col("c_id"), dot(col(embCol), col("c_emb")).as("c_score"))
+          .groupBy(col(idCol), col("sub"))
+          .agg(first(col(embCol)).as(embCol),
+            max_by(col("c_id"), struct(col("c_score"), -col("c_id")))
+              .as("cell"))
+        val dimMeans = assigned
+          .select(col("sub"), col("cell"), posexplode(col(embCol)))
+          .groupBy(col("sub"), col("cell"), col("pos"))
+          .agg(round(sum(col("col").cast("double")) / count(lit(1)), 6)
+            .as("m"))
+        val (next, nextRdd) = ckpt(dimMeans
+          .groupBy(col("sub"), col("cell"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("m"))))
+            .as("ds"))
+          .select(col("sub"), col("cell").as("c_id"),
+            transform(col("ds"), d => d.getField("m")).as("c_emb")))
+        org.apache.spark.sql.graftbridge.DatasetBridge.releaseRdd(centRdd)
+        cent = next
+        centRdd = nextRdd
+      }
+      finished = true
+      cent
+    } finally {
+      work.unpersist(blocking = false)
+      if (!finished)
+        org.apache.spark.sql.graftbridge.DatasetBridge.releaseRdd(centRdd)
+    }
+  }
+
+  /** Per-subspace cell assignment — the PQ encoding step, one row per
+    * (vector, subspace): nearest sub-centroid by inner-product argmax
+    * (ties to the smallest c_id, the [[assignCells]] rule). ONE pass:
+    * the broadcast sub-centroid table scores N·(m·kSub) rows map-side
+    * against the matching slice, and the argmax is a partial-agg
+    * `max_by` — the shuffle carries N·m rows, never the scored rows. */
+  def pqAssignments(vecs: DataFrame, idCol: String, embCol: String,
+                    pq: DataFrame, dim: Int, m: Int): DataFrame = {
+    val subDim = dim / m
+    vecs.select(col(idCol), col(embCol))
+      .crossJoin(broadcast(pq))
+      .select(col(idCol), col("sub"), col("c_id"),
+        dot(slice(col(embCol), col("sub") * subDim + 1, lit(subDim)),
+          col("c_emb")).as("score"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(max_by(col("c_id"), struct(col("score"), -col("c_id")))
+        .as("cell"))
+  }
+
+  /** Assemble assignments into one compact code row per vector:
+    * `(id, code: array[m])` ordered by subspace. */
+  def pqEncode(vecs: DataFrame, idCol: String, embCol: String,
+               pq: DataFrame, dim: Int, m: Int): DataFrame =
+    pqAssignments(vecs, idCol, embCol, pq, dim, m)
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("cell")))),
+        x => x.getField("cell")).as("code"))
+
+  /** Asymmetric-distance (ADC) top-k: per query, a lookup table of
+    * rounded per-subspace inner products against every sub-centroid
+    * (m·kSub decimals — KB-scale, broadcast), then each corpus CODE row
+    * scores as the EXACT decimal sum of its m lookups; top-k per query
+    * by (score desc, id asc) through the bounded [[TopKAggregator]].
+    * The corpus side touches only (id, sub, cell) rows — never the
+    * original vectors; at 100 TB that is the whole point. Scores are
+    * deterministic cross-engine: each lookup is rounded to 6 dp and
+    * cast to DECIMAL(18,6) BEFORE the sum, so addition order cannot
+    * drift the total. */
+  def adcTopK(codes: DataFrame, queries: DataFrame, pq: DataFrame,
+              idCol: String, embCol: String, dim: Int, m: Int,
+              k: Int): DataFrame = {
+    val subDim = dim / m
+    val lut = queries.select(col(idCol).as("query_id"), col(embCol))
+      .crossJoin(broadcast(pq))
+      .select(col("query_id"), col("sub"), col("c_id").as("cell"),
+        round(dot(slice(col(embCol), col("sub") * subDim + 1, lit(subDim)),
+          col("c_emb")), 6).cast("decimal(18,6)").as("part"))
+    codes // (id, sub, cell) assignment rows
+      .join(broadcast(lut), Seq("sub", "cell"))
+      .filter(col("query_id") =!= col(idCol))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("part")).as("adc")) // exact decimal sum of m parts
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKScored.top_k_scored(
+        col(idCol).cast("long"), col("adc").cast("double"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("b_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("col.score"), 6).as("adc_score"))
+  }
+
+  /** Complete PQ search: ADC over the code table produces a `shortlist`
+    * of candidates per query (compressed-domain scan — the cheap pass),
+    * then ONLY those candidates' full vectors are fetched and re-ranked
+    * by exact inner product (the standard two-stage PQ pipeline; the
+    * approximation error of ADC confines itself to shortlist membership,
+    * not final ordering). At corpus scale the re-rank join touches
+    * Q·shortlist rows against the id-keyed corpus — bucket the corpus
+    * by id at rest and the fetch is shuffle-free. */
+  def pqSearch(codes: DataFrame, queries: DataFrame, pq: DataFrame,
+               corpus: DataFrame, idCol: String, embCol: String,
+               dim: Int, m: Int, k: Int, shortlist: Int): DataFrame = {
+    val cand = adcTopK(codes, queries, pq, idCol, embCol, dim, m, shortlist)
+      .select(col("query_id"), col("b_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(embCol).as("q_emb"))
+    cand.join(corpus.select(col(idCol).as("b_id"), col(embCol).as("b_emb")),
+        Seq("b_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("b_id"),
+        round(dot(col("q_emb"), col("b_emb")), 6).as("score"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKScored.top_k_scored(
+        col("b_id").cast("long"), col("score").cast("double"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("b_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.score").as("score"))
+  }
+
   /** Multiprobe cell assignment: the top-`nprobe` centroids per vector.
-    * Uses the typed bounded [[TopKAggregator]] so the per-id reduction
-    * keeps at most `nprobe` candidates in every partial buffer — the
-    * shuffle carries nprobe rows per id, never the N·K scored rows (a
+    * Uses the bounded NATIVE [[graft.functions.TopKScoredAgg]] (same
+    * ranking contract as the typed [[TopKAggregator]], minus the
+    * encoder round-trip per scored row) so the per-id reduction keeps
+    * at most `nprobe` candidates in every partial buffer — the shuffle
+    * carries nprobe rows per id, never the N·K scored rows (a
     * `collect_list`-then-sort would drag all K scores per id through
     * the shuffle, re-creating the window-argmax problem at scale). */
   def assignCellsProbed(vecs: DataFrame, idCol: String, embCol: String,
-                        centroids: DataFrame, nprobe: Int): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
+                        centroids: DataFrame, nprobe: Int): DataFrame =
     vecs.select(col(idCol), col(embCol))
       .crossJoin(broadcast(centroids))
-      .select(col(idCol).cast("long"), col("c_id").cast("long"),
+      .select(col(idCol), col("c_id"),
         dot(col(embCol), col("c_emb")).as("c_score"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(t => TopKAggregator.Scored(t._2, t._3))
-      .agg(new TopKAggregator.TopK(nprobe).toColumn.name("cells"))
-      .toDF(idCol, "cells")
+      .groupBy(col(idCol))
+      .agg(graft.functions.TopKScored.top_k_scored(
+        col("c_id").cast("long"), col("c_score").cast("double"), nprobe)
+        .as("cells"))
       .select(col(idCol), explode(col("cells")).as("c"))
       .select(col(idCol), col("c.id").as("cell"))
-  }
 
   /** IVF ANN with multiprobe: the corpus keeps its single nearest cell
     * (one inverted list per vector), each query searches its `nprobe`

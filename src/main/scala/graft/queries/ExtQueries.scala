@@ -67,6 +67,27 @@ object ExtQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
 
+  /** s09/s10 share the trained product quantizer and the corpus code
+    * assignments (a deployment encodes the corpus once and serves many
+    * ADC searches); both frames are tiny (m·kSub centroids; N·m
+    * assignment rows). */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
+  private def pqModel(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    pqCache.computeIfAbsent(
+      s"${graft.SessionKey(s)}|$d",
+      _ => {
+        Memos.install(s)
+        val pq = Similarity.trainProductQuantizer(embeddings(s, d),
+          "vec_id", "embedding", dim = 64, m = 4, kSub = 8, iters = 1)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val asn = Similarity.pqAssignments(embeddings(s, d),
+          "vec_id", "embedding", pq, dim = 64, m = 4)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (pq, asn)
+      })
+
   /** Unpersist + drop the pair/cluster/centroid memos keyed to `s`. Safe
     * to call with jobs in flight only if nothing still references the
     * evicted frames (Bench evicts between iterations; [[Memos.install]]
@@ -90,6 +111,19 @@ object ExtQueries {
           } catch { case _: Throwable => () } // context may already be down
           it.remove()
         }
+      }
+    }
+    val pit = pqCache.entrySet().iterator()
+    while (pit.hasNext) {
+      val e = pit.next()
+      if (e.getKey.startsWith(prefix)) {
+        try Seq(e.getValue._1, e.getValue._2).foreach { df =>
+          df.unpersist(blocking = false)
+          org.apache.spark.sql.graftbridge.DatasetBridge.backingRdds(df)
+            .foreach(org.apache.spark.sql.graftbridge.DatasetBridge
+              .releaseRdd(_))
+        } catch { case _: Throwable => () }
+        pit.remove()
       }
     }
   }
@@ -460,6 +494,30 @@ object ExtQueries {
           (abs(col("p90_est") - col("p90_exact")) <= 1.0).as("p90_ok"))
     }),
 
+    // Product quantization, encoding stage: per-subspace cell occupancy
+    // of the corpus codes (m=4 subspaces × kSub=8, one deterministic
+    // Lloyd round each — the s07 rules per subspace, so the code table
+    // is hash-exact against 4 unrolled k-means chains in SQL). The gate
+    // pins the entire train+encode pipeline: seed draw, per-subspace
+    // assignment argmax, and code assembly.
+    "s09_pq_codes" -> ((s, d) => {
+      val (_, asn) = pqModel(s, d)
+      asn.groupBy(col("sub"), col("cell"))
+        .agg(count(lit(1)).as("n_vecs"))
+    }),
+
+    // PQ asymmetric-distance search (ADC): every 50th vector queries the
+    // CODE table — scoring touches only (id, sub, cell) rows plus a
+    // broadcast per-query lookup table, never the original vectors (the
+    // memory-compression point of PQ at corpus scale). Exact-decimal
+    // lookup sums make the approximate scores themselves hash-exact.
+    "s10_pq_adc" -> ((s, d) => {
+      val (pq, asn) = pqModel(s, d)
+      val emb = embeddings(s, d)
+      Similarity.adcTopK(asn, emb.filter(col("vec_id") % 50 === 0),
+        pq, "vec_id", "embedding", dim = 64, m = 4, k = 5)
+    }),
+
     // Grouped quantile sketches — a02's sketch with per-group partials
     // MERGED across partitions (the a03 pattern for quantiles): exact
     // interpolated percentiles per group + the sketch's within-tolerance
@@ -737,34 +795,69 @@ object ExtQueries {
     * [[graft.ext.Similarity.trainCentroids]] step for step. Returns the
     * CTE text and the name of the final centroid CTE (`c_id, c_emb`
     * with DOUBLE[] coordinates rounded to 6 dp). */
-  private def kmeansCtes(k: Int, iters: Int): (String, String) = {
+  /** @param dim embedding width the chain operates on
+    * @param src  relation holding (vec_id, embedding[dim]) — a CTE name
+    *             for subspace slices, `embeddings` for the full space
+    * @param sfx  CTE-name suffix so several chains coexist in one WITH
+    *             (the PQ oracle runs one chain per subspace) */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int = 64,
+                         src: String = "embeddings",
+                         sfx: String = ""): (String, String) = {
     val dotAC =
-      "list_sum(list_transform(range(1,65), i -> CAST(a.embedding[i] AS DOUBLE) * ct.c_emb[i]))"
+      s"list_sum(list_transform(range(1,${dim + 1}), i -> CAST(a.embedding[i] AS DOUBLE) * ct.c_emb[i]))"
     val sb = new StringBuilder(
-      s"""c0 AS (
+      s"""c${sfx}0 AS (
          SELECT vec_id AS c_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
-         FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         FROM $src ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
          LIMIT $k)""")
     for (t <- 0 until iters) {
       sb.append(s""",
-        asn$t AS (
+        asn$sfx$t AS (
           SELECT a.vec_id, ct.c_id,
             ROW_NUMBER() OVER (PARTITION BY a.vec_id
               ORDER BY $dotAC DESC, ct.c_id ASC) AS rn
-          FROM embeddings a CROSS JOIN c$t ct),
-        mem$t AS (SELECT vec_id, c_id AS cell FROM asn$t WHERE rn = 1),
-        c${t + 1} AS (
+          FROM $src a CROSS JOIN c$sfx$t ct),
+        mem$sfx$t AS (SELECT vec_id, c_id AS cell FROM asn$sfx$t WHERE rn = 1),
+        c$sfx${t + 1} AS (
           SELECT cell AS c_id, list(m ORDER BY i) AS c_emb FROM (
             SELECT mem.cell, dims.i,
               round(SUM(CAST(e.embedding[dims.i] AS DOUBLE)) / COUNT(*), 6) AS m
-            FROM embeddings e
-            JOIN mem$t mem ON e.vec_id = mem.vec_id
-            CROSS JOIN (SELECT unnest(range(1,65)) AS i) dims
+            FROM $src e
+            JOIN mem$sfx$t mem ON e.vec_id = mem.vec_id
+            CROSS JOIN (SELECT unnest(range(1,${dim + 1})) AS i) dims
             GROUP BY mem.cell, dims.i) x
           GROUP BY cell)""")
     }
-    (sb.toString, s"c$iters")
+    (sb.toString, s"c$sfx$iters")
+  }
+
+  /** PQ oracle plumbing: per-subspace slice CTE + k-means chain + final
+    * assignment, for m subspaces of `dim/m` dims. Returns the combined
+    * CTE text plus the per-subspace final-assignment (`cells`) and
+    * final-centroid CTE names. */
+  private def pqCtes(m: Int, kSub: Int, iters: Int,
+                     dim: Int): (String, Seq[String], Seq[String]) = {
+    val subDim = dim / m
+    val parts = (0 until m).map { s =>
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      val slice =
+        s"""sub$s AS (
+           SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings)"""
+      val (chain, cent) = kmeansCtes(kSub, iters, subDim, s"sub$s", s"p$s")
+      val dotAC =
+        s"list_sum(list_transform(range(1,${subDim + 1}), i -> CAST(a.embedding[i] AS DOUBLE) * ct.c_emb[i]))"
+      val asnF =
+        s"""asnFp$s AS (
+           SELECT a.vec_id, ct.c_id,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+               ORDER BY $dotAC DESC, ct.c_id ASC) AS rn
+           FROM sub$s a CROSS JOIN $cent ct),
+           cellsp$s AS (SELECT vec_id, c_id AS cell FROM asnFp$s WHERE rn = 1)"""
+      (s"$slice, $chain, $asnF", s"cellsp$s", cent)
+    }
+    (parts.map(_._1).mkString(",\n"), parts.map(_._2), parts.map(_._3))
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1636,6 +1729,47 @@ object ExtQueries {
          quantile_cont(l_quantity, 0.9) AS p90_exact,
          TRUE AS p50_ok, TRUE AS p90_ok
          FROM lineitem""",
+    "s09_pq_codes" -> {
+      val (ctes, cells, _) = pqCtes(m = 4, kSub = 8, iters = 1, dim = 64)
+      val unions = cells.zipWithIndex.map { case (c, s) =>
+        s"""SELECT CAST($s AS INTEGER) AS sub, cell, COUNT(*) AS n_vecs
+            FROM $c GROUP BY cell"""
+      }.mkString("\nUNION ALL\n")
+      s"WITH RECURSIVE $ctes\n$unions"
+    },
+    "s10_pq_adc" -> {
+      val (ctes, cells, cents) = pqCtes(m = 4, kSub = 8, iters = 1, dim = 64)
+      val subDim = 16
+      val luts = cents.zipWithIndex.map { case (cent, s) =>
+        val lo = s * subDim + 1
+        val dotQC =
+          s"list_sum(list_transform(range(1,${subDim + 1}), i -> CAST(q.embedding[$lo - 1 + i] AS DOUBLE) * ct.c_emb[i]))"
+        s"""SELECT q.vec_id AS query_id, $s AS sub, ct.c_id AS cell,
+            CAST(round($dotQC, 6) AS DECIMAL(18,6)) AS part
+            FROM (SELECT * FROM embeddings WHERE vec_id % 50 = 0) q
+            CROSS JOIN $cent ct"""
+      }.mkString("\nUNION ALL\n")
+      val codes = cells.zipWithIndex.map { case (c, s) =>
+        s"SELECT vec_id, $s AS sub, cell FROM $c"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE $ctes,
+          lut AS ($luts),
+          codes AS ($codes),
+          scored AS (
+            SELECT l.query_id, c.vec_id AS b_id,
+              CAST(SUM(l.part) AS DOUBLE) AS adc
+            FROM codes c JOIN lut l ON l.sub = c.sub AND l.cell = c.cell
+            WHERE l.query_id != c.vec_id
+            GROUP BY l.query_id, c.vec_id),
+          ranked AS (
+            SELECT query_id, b_id, adc,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adc DESC, b_id ASC) AS rn
+            FROM scored)
+          SELECT query_id, b_id, CAST(rn AS INTEGER) AS rank,
+            round(adc, 6) AS adc_score
+          FROM ranked WHERE rn <= 5"""
+    },
     "a07_quantile_grouped" ->
       """SELECT event_type,
          round(quantile_cont(value, 0.5), 6) AS p50_exact,

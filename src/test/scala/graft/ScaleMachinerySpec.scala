@@ -254,6 +254,66 @@ class ScaleMachinerySpec extends AnyFunSuite {
       .exists(_.getName.endsWith(".tmp"))) // no pointer staging leftovers
   }
 
+  test("fused PQ training ≡ independent per-subspace k-means; ADC recall sane") {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val (dim, m, kSub) = (64, 4, 8)
+    val pq = Similarity.trainProductQuantizer(emb, "vec_id", "embedding",
+      dim, m, kSub, iters = 1)
+    def cents(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(r.fieldIndex("c_id")),
+        r.getSeq[Double](r.fieldIndex("c_emb")).toVector)).toSet
+    // the fused single-pipeline trainer must reproduce what m separate
+    // trainCentroids runs on the slices produce — that equivalence is
+    // what makes the one-scan-per-round optimization safe
+    for (s <- 0 until m) {
+      val sliced = emb.select(col("vec_id"),
+        slice(col("embedding"), s * (dim / m) + 1, dim / m).as("embedding"))
+      val solo = Similarity.trainCentroids(sliced, "vec_id", "embedding",
+        kSub, 1)
+      assert(cents(pq.filter(col("sub") === s)) === cents(solo),
+        s"subspace $s diverged from the per-slice trainer")
+    }
+    // codes: every vector gets exactly m cells, all from the trained set
+    val asn = Similarity.pqAssignments(emb, "vec_id", "embedding", pq, dim, m)
+    assert(asn.groupBy(col("vec_id")).count()
+      .filter(col("count") =!= m).count() === 0)
+    // ADC approximate top-5 vs exact inner-product top-5: far above
+    // chance (|corpus| = 500, so random recall ~1%)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val adc = Similarity.adcTopK(asn, queries, pq, "vec_id", "embedding",
+      dim, m, k = 5).select("query_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = {
+      val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))
+      val scored = emb.join(broadcast(q), col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("b_id"),
+          Similarity.dot(col("q_emb"), col("embedding")).as("s"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("s").desc, col("b_id").asc)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select("query_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val recall = adc.intersect(exact).size.toDouble / exact.size
+    // compressed-domain ADC alone: coarse (8 cells/subspace) but far
+    // above the ~1% chance floor
+    assert(recall >= 0.05, s"ADC recall@5 $recall — PQ degenerated?")
+    // the full two-stage pipeline (ADC shortlist@50 → exact re-rank)
+    // must recover most of the exact top-5: the ADC error confines
+    // itself to shortlist membership, not final ordering
+    val reranked = Similarity.pqSearch(asn, queries, pq, emb,
+      "vec_id", "embedding", dim, m, k = 5, shortlist = 100)
+      .select("query_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rerankRecall = reranked.intersect(exact).size.toDouble / exact.size
+    assert(rerankRecall >= 0.5,
+      s"re-ranked recall@5 $rerankRecall (raw ADC $recall)")
+    assert(rerankRecall > recall) // the re-rank stage must add recall
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     import spark.implicits._
     val s = spark
