@@ -31,17 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("bottom_k"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[graft.functions.BottomKAgg].getName, "bottom_k"),
-        (children: Seq[Expression]) => {
-          require(children.length == 2,
-            s"bottom_k(col, k) takes 2 arguments, got ${children.length}")
-          require(children(1).foldable,
-            "bottom_k's k must be a literal")
-          children(1).eval() match {
-            case n: Number => graft.functions.BottomKAgg(children(0),
-              n.intValue()).toAggregateExpression()
-            case other => throw new IllegalArgumentException(
-              s"bottom_k's k must be an integer literal, got $other")
-          }
-        }))
+        (children: Seq[Expression]) =>
+          graft.functions.BottomK.sqlBuilder(children)))
   }
 }

@@ -101,18 +101,6 @@ object Views {
         .toAggregateExpression(),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bottom_k",
-      exprs => {
-        require(exprs.length == 2,
-          s"bottom_k(col, k) takes 2 arguments, got ${exprs.length}")
-        require(exprs(1).foldable, "bottom_k's k must be a literal")
-        exprs(1).eval() match {
-          case n: Number => graft.functions.BottomKAgg(exprs(0),
-            n.intValue()).toAggregateExpression()
-          case other => throw new IllegalArgumentException(
-            s"bottom_k's k must be an integer literal, got $other")
-        }
-      },
-      "built-in")
+      "bottom_k", graft.functions.BottomK.sqlBuilder, "built-in")
   }
 }

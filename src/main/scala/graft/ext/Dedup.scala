@@ -222,12 +222,12 @@ object Dedup {
       // wrong clusters (the long-chain case — transitive similarity
       // over sliding shingle overlaps). Fail over to the O(log n)
       // star algorithm on the already-materialized pair checkpoint;
-      // total executed rounds reported as propagation + star.
-      val out = resolveClustersStar(p, reliable = reliable,
+      // total executed rounds reported as propagation + star. The
+      // finally releases this loop's checkpoints even if star itself
+      // fails (p is re-checkpointed inside star before it iterates).
+      try return resolveClustersStar(p, reliable = reliable,
         onRounds = sr => onRounds(round + sr))
-      release(labelsRdd)
-      release(pRdd)
-      return out
+      finally { release(labelsRdd); release(pRdd) }
     }
     release(pRdd) // the result depends only on the final labels checkpoint
     onRounds(round)

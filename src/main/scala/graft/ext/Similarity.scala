@@ -257,12 +257,29 @@ object Similarity {
     org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
       .rename(tmp, new org.apache.hadoop.fs.Path(root, "current"),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // prune superseded versions, keeping the new one and its predecessor
-    val keep = Set(Some(version), prev).flatten
-    Option(fs.listStatus(root)).getOrElse(Array.empty)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("quantizer-"))
-      .filterNot(s => keep(s.getPath.getName))
-      .foreach(s => fs.delete(s.getPath, true): Unit)
+    // Prune superseded versions and orphaned pointer tmps (crashed
+    // publishes), keeping the new version, its predecessor, and —
+    // crucially — anything NEWER than the predecessor: a concurrent
+    // trainer's freshly-written dir that hasn't flipped the pointer yet
+    // is newer, so age-gating on the predecessor's mtime means a racing
+    // publish is never deleted out from under its flip (it then wins
+    // last-pointer-wins and survives its own cycle).
+    prev.foreach { prevName =>
+      val prevStat = try Some(
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(root, prevName)))
+      catch { case _: java.io.FileNotFoundException => None }
+      prevStat.foreach { ps =>
+        val keep = Set(version, prevName)
+        Option(fs.listStatus(root)).getOrElse(Array.empty)
+          .filter { s =>
+            val n = s.getPath.getName
+            ((s.isDirectory && n.startsWith("quantizer-") && !keep(n)) ||
+              (s.isFile && n.startsWith(".current.") && n.endsWith(".tmp"))) &&
+              s.getModificationTime < ps.getModificationTime
+          }
+          .foreach(s => fs.delete(s.getPath, true): Unit)
+      }
+    }
   }
 
   private def currentVersion(fs: org.apache.hadoop.fs.FileSystem,
@@ -332,7 +349,10 @@ object Similarity {
       (org.apache.spark.sql.graftbridge.DatasetBridge
         .internalDf(spark, rdd, df.schema), rdd)
     }
-    val seedIds = vecs
+    // seeds drawn from the PERSISTED working set (sub-0 rows carry every
+    // id once) — drawing from raw `vecs` would re-plan and re-scan the
+    // full input, the exact extra pass the fused design avoids
+    val seedIds = work.filter(col("sub") === 0)
       .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
       .limit(kSub).select(col(idCol))
     var (cent, centRdd) = ckpt(

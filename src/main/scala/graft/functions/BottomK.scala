@@ -118,4 +118,19 @@ object BottomK {
   def bottom_k(c: Column, k: Int): Column =
     ColumnBridge.column(
       BottomKAgg(ColumnBridge.expression(c), k).toAggregateExpression())
+
+  /** SQL-registry builder shared by [[graft.GraftExtensions]] and
+    * `Views.registerSqlFunctions` — one place for the arity/literal
+    * validation so the two registrations can't diverge. */
+  def sqlBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"bottom_k(col, k) takes 2 arguments, got ${exprs.length}")
+    require(exprs(1).foldable, "bottom_k's k must be a literal")
+    exprs(1).eval() match {
+      case n: Number => BottomKAgg(exprs(0), n.intValue())
+        .toAggregateExpression()
+      case other => throw new IllegalArgumentException(
+        s"bottom_k's k must be an integer literal, got $other")
+    }
+  }
 }

@@ -103,17 +103,6 @@ object History {
     // finish any interrupted swap BEFORE the read below lists files —
     // recovery renames directories out from under an already-planned scan
     recoverCompaction(spark, path): Unit
-    // validate the predicate's column references on a cheap probe frame
-    // (single-footer schema) before any real listing work
-    val probe = spark.read.parquet(path).filter(predicate)
-    val refs = probe.queryExecution.analyzed.collect {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-        f.condition.references.map(_.name).toSeq
-    }.flatten.toSet
-    require(refs.subsetOf(Set("region", "dt")),
-      s"compactLatest predicate may only reference partition columns " +
-        s"(region, dt); got ${refs.mkString(", ")} — a row-level " +
-        s"predicate would overwrite whole partitions with a row subset")
     val conf = spark.sparkContext.hadoopConfiguration
     val rawStage = new org.apache.hadoop.fs.Path(compactStagingDir(path))
     val fs = rawStage.getFileSystem(conf)
@@ -124,9 +113,12 @@ object History {
     // build the slice read from ONLY those dirs: schema inference —
     // including the mergeSchema pass below — runs at read construction,
     // BEFORE Catalyst partition pruning, so a root-anchored read would
-    // merge every footer in the lake to compact one partition. Values
-    // are taken raw from the dir names (region codes and ISO dates are
-    // never path-escaped).
+    // list the whole lake and merge every footer in it to compact one
+    // partition. Values are taken raw from the dir names (region codes
+    // and ISO dates are never path-escaped); `dt` is typed DATE exactly
+    // as Spark's partition inference types it, so date predicates with
+    // non-canonical literals (e.g. dt > '2019-6-15') keep their typed
+    // semantics instead of silently degrading to string comparison.
     val qRoot = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
     val partVals = Option(
         fs.globStatus(new org.apache.hadoop.fs.Path(qRoot, "*/*")))
@@ -140,8 +132,21 @@ object History {
       }).toSeq
     val matching = {
       import spark.implicits._
-      partVals.toDF("region", "dt", "_rel")
-        .filter(predicate).select(col("_rel"))
+      val vals = partVals.toDF("region", "_dtRaw", "_rel")
+        .withColumn("dt", to_date(col("_dtRaw"))).drop("_dtRaw")
+      // the predicate analyzing against this 2-partition-column frame IS
+      // the "partition columns only" validation: a row-level reference
+      // (siteId, ts, …) fails analysis here, before anything is listed
+      // or staged
+      val filtered = try vals.filter(predicate)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            "compactLatest predicate may only reference partition " +
+              s"columns (region, dt) — a row-level predicate would " +
+              s"overwrite whole partitions with a row subset: ${e.getMessage}")
+      }
+      filtered.select(col("_rel"))
         .collect().map(_.getString(0)).sorted // partition-count-sized
     }
     if (matching.isEmpty) return // zero partitions match: nothing to do

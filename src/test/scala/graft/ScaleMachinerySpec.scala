@@ -236,15 +236,17 @@ class ScaleMachinerySpec extends AnyFunSuite {
     def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
       (r.getLong(0), r.getSeq[Double](1).toVector)).toSet
     assert(key(loaded) === key(trained)) // bit-identical index
-    // an OLD resolved index stays readable across a republish (the
-    // pointer flips; the predecessor version survives one prune cycle)
-    val pinnedOld = loaded.collect().length
+    // an index RESOLVED BEFORE a republish stays readable after it (the
+    // pointer flips; the predecessor version survives one prune cycle) —
+    // the frame is resolved now, collected only after the republish
+    val pinned = Similarity.loadCentroids(spark, root)
     // republish (retrain cadence): pointer flip is old-or-new atomic
     Similarity.saveCentroids(trained.filter(col("c_id") =!= key(trained)
       .head._1), root)
     assert(key(Similarity.loadCentroids(spark, root)).size ===
       key(trained).size - 1)
-    assert(pinnedOld === key(trained).size)
+    assert(pinned.collect().length === key(trained).size,
+      "predecessor version unreadable after the republish")
     // a THIRD publish prunes the first version; only two remain + pointer
     Similarity.saveCentroids(trained, root)
     val dirs = new java.io.File(root).listFiles()
