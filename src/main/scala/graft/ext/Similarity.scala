@@ -245,8 +245,12 @@ object Similarity {
     val fs = root.getFileSystem(conf)
     val version = s"quantizer-${java.util.UUID.randomUUID().toString}"
     val prev = currentVersion(fs, root)
-    centroids.select(col("c_id").cast("long"),
-        col("c_emb").cast("array<double>"))
+    // a product quantizer carries its subspace tag; a coarse quantizer
+    // is just (c_id, c_emb) — persist whichever shape arrived
+    val cols = (if (centroids.columns.contains("sub"))
+        Seq(col("sub").cast("int")) else Seq.empty) ++
+      Seq(col("c_id").cast("long"), col("c_emb").cast("array<double>"))
+    centroids.select(cols: _*)
       .coalesce(1).write.mode("errorifexists")
       .parquet(new org.apache.hadoop.fs.Path(root, version).toString)
     // flip the pointer: write-tmp-then-rename(OVERWRITE) is atomic
@@ -293,8 +297,10 @@ object Similarity {
     }
   }
 
-  /** Load the quantizer the `current` pointer names — ready for
-    * [[assignCells]] / [[ivfTopK]] / [[ivfTopKProbed]]. */
+  /** Load the quantizer the `current` pointer names — coarse
+    * `(c_id, c_emb)` for [[assignCells]] / [[ivfTopK]] /
+    * [[ivfTopKProbed]], or `(sub, c_id, c_emb)` for the PQ operators
+    * when the published index was a product quantizer. */
   def loadCentroids(spark: org.apache.spark.sql.SparkSession,
                     path: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(path)
@@ -302,8 +308,11 @@ object Similarity {
     val version = currentVersion(fs, root).getOrElse(
       throw new java.io.FileNotFoundException(
         s"no published quantizer under $path (missing `current` pointer)"))
-    spark.read.parquet(new org.apache.hadoop.fs.Path(root, version).toString)
-      .select(col("c_id"), col("c_emb"))
+    val df = spark.read
+      .parquet(new org.apache.hadoop.fs.Path(root, version).toString)
+    val cols = (if (df.columns.contains("sub")) Seq(col("sub"))
+      else Seq.empty) ++ Seq(col("c_id"), col("c_emb"))
+    df.select(cols: _*)
   }
 
   // ---- Product quantization (PQ): the memory-compression rung of the

@@ -254,6 +254,17 @@ class ScaleMachinerySpec extends AnyFunSuite {
     assert(dirs.length === 2, dirs.map(_.getName).mkString(","))
     assert(!new java.io.File(root).listFiles()
       .exists(_.getName.endsWith(".tmp"))) // no pointer staging leftovers
+    // a PRODUCT quantizer round-trips with its subspace tags intact
+    val pq = Similarity.trainProductQuantizer(emb, "vec_id", "embedding",
+      dim = 64, m = 4, kSub = 4, iters = 1)
+    val pqRoot = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    Similarity.saveCentroids(pq, pqRoot)
+    val pqLoaded = Similarity.loadCentroids(spark, pqRoot)
+    assert(pqLoaded.columns.toSeq === Seq("sub", "c_id", "c_emb"))
+    def pqKey(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toVector)).toSet
+    assert(pqKey(pqLoaded) === pqKey(
+      pq.select(col("sub").cast("int"), col("c_id"), col("c_emb"))))
   }
 
   test("fused PQ training ≡ independent per-subspace k-means; ADC recall sane") {
