@@ -310,6 +310,31 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
     assert(plan.contains("Window"), plan.take(800))
   }
 
+  test("plan quality: PQ assignment scores against broadcast sub-centroids") {
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, d)
+    val pq = graft.ext.Similarity.trainProductQuantizer(emb,
+      "vec_id", "embedding", dim = 64, m = 4, kSub = 4, iters = 1)
+    val asn = graft.ext.Similarity.pqAssignments(emb,
+      "vec_id", "embedding", pq, dim = 64, m = 4)
+    val plan = asn.queryExecution.executedPlan.toString
+    // the sub-centroid table joins in via broadcast (m·kSub rows); the
+    // argmax must be a hash aggregate (partial max_by), never a window
+    // sort of the N·(m·kSub) scored rows
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+    // ADC search: LUT broadcast onto the code table, no cartesian
+    val adc = graft.ext.Similarity.adcTopK(asn,
+      emb.filter(col("vec_id") % 50 === 0), pq,
+      "vec_id", "embedding", dim = 64, m = 4, k = 5)
+    val adcPlan = adc.queryExecution.executedPlan.toString
+    assert(adcPlan.contains("BroadcastHashJoin"), adcPlan.take(1200))
+    assert(!adcPlan.contains("CartesianProduct"), adcPlan.take(1500))
+  }
+
   test("plan quality: runtime bloom filter prunes the fact side of a selective join") {
     // At 100 TB a selective dim/filter side should row-prune the fact
     // scan BEFORE the shuffle — Spark's runtime bloom filter does this
