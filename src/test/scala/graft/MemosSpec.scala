@@ -50,4 +50,14 @@ class MemosSpec extends AnyFunSuite {
     Memos.evictAll(spark)
     assert(leaked.isEmpty, s"persisted RDDs survived re-eviction: $leaked")
   }
+
+  test("pq memo (quantizer + assignments) is released by eviction") {
+    val sf = "/root/testdata/sf0.001"
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    assert(ExtQueries.queries("s09_pq_codes")(spark, sf).count() > 0)
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.nonEmpty, "pq memo build should persist its frames")
+    Memos.evictAll(spark)
+    assert(leaked.isEmpty, s"pq memo survived eviction: $leaked")
+  }
 }
