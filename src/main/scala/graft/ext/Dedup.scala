@@ -199,22 +199,36 @@ object Dedup {
         .distinct().withColumn("cluster", col("id")))
     var converged = false
     var round = 0
-    while (!converged && round < maxRounds) {
+    // one propagation HOP: label(v) := min(label(v), min of neighbors')
+    def hop(ls: DataFrame): DataFrame = {
       val propagated = edges
-        .join(labels, edges("b_id") === labels("id"))
+        .join(ls, edges("b_id") === ls("id"))
         .groupBy(col("a_id").as("nid"))
         .agg(min(col("cluster")).as("ncluster"))
-      val (next, nextRdd, newSum) = ckptWithSum(
-        labels.join(propagated, labels("id") === col("nid"), "left")
-          .select(col("id"),
-            least(col("cluster"), coalesce(col("ncluster"), col("cluster")))
-              .as("cluster")))
+      ls.join(propagated, ls("id") === col("nid"), "left")
+        .select(ls("id"),
+          least(col("cluster"), coalesce(col("ncluster"), col("cluster")))
+            .as("cluster"))
+    }
+    while (!converged && round < maxRounds) {
+      // TWO hops per materialization: the per-round fixed cost (driver
+      // sync + checkpoint job) dominates at both ends of the scale —
+      // locally it IS the round cost, on a cluster it is a full-stage
+      // barrier — while the second hop rides the same job (its plan
+      // nests the first hop's joins; exchanges are reused within the
+      // one action). Convergence detection at 2-hop granularity costs
+      // at most one surplus hop past the fixpoint, which is a no-op on
+      // already-minimal labels. `maxRounds`/`onRounds` keep counting
+      // HOPS, so budget and diagnostics semantics are unchanged.
+      val hops = math.min(2, maxRounds - round)
+      val stepped = (1 to hops).foldLeft(labels)((ls, _) => hop(ls))
+      val (next, nextRdd, newSum) = ckptWithSum(stepped)
       release(labelsRdd) // superseded round: free its executor storage
       labels = next
       labelsRdd = nextRdd
       converged = newSum == prevSum
       prevSum = newSum
-      round += 1
+      round += hops
     }
     if (!converged) {
       // The graph's diameter exceeded the round budget: the labels are
