@@ -216,7 +216,7 @@ object Similarity {
       cent
     } finally {
       work.unpersist(blocking = false)
-      if (!finished)
+      if (!finished && centRdd != null)
         org.apache.spark.sql.graftbridge.DatasetBridge.releaseRdd(centRdd)
     }
   }
@@ -268,21 +268,39 @@ object Similarity {
     // is newer, so age-gating on the predecessor's mtime means a racing
     // publish is never deleted out from under its flip (it then wins
     // last-pointer-wins and survives its own cycle).
-    prev.foreach { prevName =>
-      val prevStat = try Some(
-        fs.getFileStatus(new org.apache.hadoop.fs.Path(root, prevName)))
-      catch { case _: java.io.FileNotFoundException => None }
-      prevStat.foreach { ps =>
-        val keep = Set(version, prevName)
-        Option(fs.listStatus(root)).getOrElse(Array.empty)
-          .filter { s =>
-            val n = s.getPath.getName
-            ((s.isDirectory && n.startsWith("quantizer-") && !keep(n)) ||
-              (s.isFile && n.startsWith(".current.") && n.endsWith(".tmp"))) &&
-              s.getModificationTime < ps.getModificationTime
-          }
-          .foreach(s => fs.delete(s.getPath, true): Unit)
-      }
+    val ageGate: Option[Long] = prev match {
+      case Some(prevName) =>
+        // age-gate superseded dirs AND orphaned pointer tmps on the
+        // predecessor's mtime: a racing trainer's unflipped dir/tmp is
+        // newer and survives until it either wins the pointer or is
+        // superseded itself
+        try Some(fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(root, prevName)).getModificationTime)
+        catch { case _: java.io.FileNotFoundException => None }
+      case None =>
+        // first publish: version DIRS older than ours may belong to a
+        // concurrent first trainer that hasn't flipped yet, so they are
+        // left alone (the second publish cleans them) — but pointer TMP
+        // files are sub-second transients, so one older than our whole
+        // parquet write is a crash leftover; deleting a live racer's tmp
+        // in the worst case fails THAT publish loudly (retryable), never
+        // a dangling pointer
+        Some(try fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(root, version)).getModificationTime
+        catch { case _: java.io.FileNotFoundException => return })
+    }
+    ageGate.foreach { gate =>
+      val keep = Set(Some(version), prev).flatten
+      Option(fs.listStatus(root)).getOrElse(Array.empty)
+        .filter { s =>
+          val n = s.getPath.getName
+          val dirPrunable = prev.isDefined && s.isDirectory &&
+            n.startsWith("quantizer-") && !keep(n)
+          val tmpPrunable = s.isFile &&
+            n.startsWith(".current.") && n.endsWith(".tmp")
+          (dirPrunable || tmpPrunable) && s.getModificationTime < gate
+        }
+        .foreach(s => fs.delete(s.getPath, true): Unit)
     }
   }
 
@@ -364,12 +382,20 @@ object Similarity {
     val seedIds = work.filter(col("sub") === 0)
       .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
       .limit(kSub).select(col(idCol))
-    var (cent, centRdd) = ckpt(
-      work.join(broadcast(seedIds), Seq(idCol))
-        .select(col("sub"), col(idCol).cast("long").as("c_id"),
-          transform(col(embCol), x => x.cast("double")).as("c_emb")))
+    // the seed/initial-centroid jobs run INSIDE the guard: a failure
+    // there must still release the persisted working set (the largest
+    // frame in the function)
+    var cent: DataFrame = null
+    var centRdd: org.apache.spark.rdd.RDD[
+      org.apache.spark.sql.catalyst.InternalRow] = null
     var finished = false
     try {
+      val seeded = ckpt(
+        work.join(broadcast(seedIds), Seq(idCol))
+          .select(col("sub"), col(idCol).cast("long").as("c_id"),
+            transform(col(embCol), x => x.cast("double")).as("c_emb")))
+      cent = seeded._1
+      centRdd = seeded._2
       for (_ <- 1 to iters) {
         val assigned = work.join(broadcast(cent), Seq("sub"))
           .select(col(idCol), col("sub"), col(embCol),

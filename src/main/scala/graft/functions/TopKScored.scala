@@ -11,12 +11,19 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
 /** Bounded top-k of (id, score) pairs as a native
-  * `TypedImperativeAggregate` — the same ranking contract as
+  * `TypedImperativeAggregate` — the same RANKING contract as
   * [[graft.ext.TopKAggregator]] (score desc, ties to the smallest id)
   * without the typed-Dataset encoder round-trip per input row (the
   * KMV/BottomK lesson: the encoder path costs ~4× at gate scale).
   * Partial buffers are bounded at k entries, so the shuffle carries k
   * rows per group — the heap path for per-group top-k at scale.
+  *
+  * ONE deliberate divergence from the Seq-buffered TopKAggregator: the
+  * buffer is a SET over (score, id), so exact duplicate input pairs
+  * collapse into one slot (TopKAggregator would emit both). All engine
+  * call sites aggregate one row per candidate id before ranking, where
+  * the two are identical; feed pre-aggregated rows, not raw multi-row
+  * candidates.
   *
   * Output: `array<struct<id: bigint, score: double>>` ranked best-first.
   */

@@ -132,22 +132,34 @@ object History {
       }).toSeq
     val matching = {
       import spark.implicits._
-      val vals = partVals.toDF("region", "_dtRaw", "_rel")
-        .withColumn("dt", to_date(col("_dtRaw"))).drop("_dtRaw")
-      // the predicate analyzing against this 2-partition-column frame IS
-      // the "partition columns only" validation: a row-level reference
-      // (siteId, ts, …) fails analysis here, before anything is listed
-      // or staged
+      // dt is typed DATE only when EVERY value is canonical ISO (the
+      // consensus rule partition inference applies); otherwise it stays
+      // a raw string, so non-ISO layouts keep exact string matching and
+      // nothing ever nulls out silently (or throws under ANSI to_date).
+      // The evaluation frame carries ONLY the two partition columns —
+      // analyzing the predicate against it IS the "partition columns
+      // only" validation (a row-level or internal-column reference
+      // fails right here, before anything is staged), and the matched
+      // (region, dt) values map back to their directories on the driver.
+      val allIso = partVals.forall(_._2.matches("\\d{4}-\\d{2}-\\d{2}"))
+      val vals =
+        if (allIso)
+          partVals.map(v => (v._1, java.sql.Date.valueOf(v._2)))
+            .toDF("region", "dt")
+        else partVals.map(v => (v._1, v._2)).toDF("region", "dt")
       val filtered = try vals.filter(predicate)
+        .select(col("region"), col("dt").cast("string")).collect()
       catch {
         case e: org.apache.spark.sql.AnalysisException =>
           throw new IllegalArgumentException(
             "compactLatest predicate may only reference partition " +
-              s"columns (region, dt) — a row-level predicate would " +
-              s"overwrite whole partitions with a row subset: ${e.getMessage}")
+              "columns (region, dt) — a row-level predicate would " +
+              s"overwrite whole partitions with a row subset " +
+              s"(analysis said: ${e.getMessage})")
       }
-      filtered.select(col("_rel"))
-        .collect().map(_.getString(0)).sorted // partition-count-sized
+      val byVals = partVals.map(v => (v._1, v._2) -> v._3).toMap
+      filtered.map(r => byVals((r.getString(0), r.getString(1))))
+        .sorted.toSeq // partition-count-sized
     }
     if (matching.isEmpty) return // zero partitions match: nothing to do
     // mergeSchema: a compaction REWRITES data, so it must see the union

@@ -292,6 +292,15 @@ class ScaleMachinerySpec extends AnyFunSuite {
     val asn = Similarity.pqAssignments(emb, "vec_id", "embedding", pq, dim, m)
     assert(asn.groupBy(col("vec_id")).count()
       .filter(col("count") =!= m).count() === 0)
+    // compact code rows assemble the same assignments in subspace order
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", pq, dim, m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val bySub = asn.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(codes === bySub)
+    assert(codes.values.forall(_.length == m))
     // ADC approximate top-5 vs exact inner-product top-5: far above
     // chance (|corpus| = 500, so random recall ~1%)
     val queries = emb.filter(col("vec_id") % 50 === 0)
