@@ -671,29 +671,26 @@ object ExtQueries {
 
     // Inverted index (posting lists): word → document frequency + the
     // first 20 doc ids — the search-index build step over a corpus. The
-    // posting head is a BOUNDED typed aggregator (TopKAggregator over
-    // -doc_id), not a collect_list: a stop word's full posting list is
-    // corpus-sized at 100 TB, so partial buffers must cap at the head
-    // size. One distinct pass over (word, doc) pairs feeds both aggs;
-    // the final join is vocabulary-sized.
+    // posting head is the BOUNDED native top-k aggregate (score =
+    // -doc_id, so best-first = smallest ids), not a collect_list: a
+    // stop word's full posting list is corpus-sized at 100 TB, so
+    // partial buffers must cap at the head size. The distinct pass
+    // guarantees one row per (word, doc) pair, so the aggregate's
+    // set-dedup semantics are exact here. ONE aggregation computes both
+    // df and the head — no vocabulary-sized join.
     "t16_inverted_index" -> ((s, d) => {
-      import s.implicits._
       val pairs = documents(s, d)
         .filter(col("text").isNotNull)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .filter(length(col("word")) > 0)
         .select(col("word"), col("doc_id")).distinct()
-      val dfCounts = pairs.groupBy(col("word")).agg(count(lit(1)).as("df"))
-      val heads = pairs.as[(String, Long)]
-        .groupByKey(_._1)
-        .mapValues(t => graft.ext.TopKAggregator.Scored(t._2, -t._2.toDouble))
-        .agg(new graft.ext.TopKAggregator.TopK(20).toColumn.name("top"))
-        .toDF("word", "top")
-        .select(col("word"),
+      pairs.groupBy(col("word"))
+        .agg(count(lit(1)).as("df"),
+          graft.functions.TopKScored.top_k_scored(
+            col("doc_id"), -col("doc_id").cast("double"), 20).as("top"))
+        .select(col("word"), col("df"),
           array_join(expr("transform(top, x -> CAST(x.id AS STRING))"), ",")
             .as("postings_head"))
-      dfCounts.join(heads, Seq("word"))
-        .select(col("word"), col("df"), col("postings_head"))
     }),
 
     // Temperature-based mixture weights — the data-mixing planner: each

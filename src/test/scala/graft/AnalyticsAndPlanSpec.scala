@@ -378,6 +378,22 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
       phases.queryExecution.executedPlan.toString.take(2000))
   }
 
+  test("plan quality: t16 posting heads ride the native aggregate (no encoder round-trip)") {
+    // The typed TopKAggregator path plans SerializeFromObject /
+    // DeserializeToObject around a groupByKey — the encoder round-trip
+    // the builder measured at ~4x the native TypedImperativeAggregate.
+    // t16 must aggregate df + head in ONE HashAggregate pass.
+    val df = SparkEntry.queries("t16_inverted_index")(spark,
+      "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject"), plan.take(1500))
+    assert(!plan.contains("DeserializeToObject"), plan.take(1500))
+    assert(plan.contains("partial_topkscoredagg"), plan.take(1500))
+    // df and the posting head come from the same aggregation — no
+    // vocabulary-sized self-join of two separate agg passes
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
   test("plan quality: IVF cell assignment is an aggregate, not a window sort") {
     // assignCells must reduce the N·K scored rows with a partial-agg
     // max_by (shuffle carries N rows); a Window.partitionBy(id) argmax
