@@ -33,5 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[graft.functions.BottomKAgg].getName, "bottom_k"),
         (children: Seq[Expression]) =>
           graft.functions.BottomK.sqlBuilder(children)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("misra_gries"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.MisraGriesAgg].getName, "misra_gries"),
+        (children: Seq[Expression]) =>
+          graft.functions.MisraGriesFn.sqlBuilder(children)))
   }
 }

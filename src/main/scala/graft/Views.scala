@@ -102,5 +102,7 @@ object Views {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bottom_k", graft.functions.BottomK.sqlBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "misra_gries", graft.functions.MisraGriesFn.sqlBuilder, "built-in")
   }
 }

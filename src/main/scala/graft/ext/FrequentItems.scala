@@ -9,18 +9,20 @@ import org.apache.spark.sql.functions._
   * sketch-candidates → exact-verify pattern.
   *
   * Pass 1 runs a Misra–Gries summary (Misra & Gries 1982; mergeability per
-  * Agarwal et al., "Mergeable Summaries", PODS 2012) as a typed
-  * `Aggregator`: every map-side partial buffer holds at most `k` counters,
-  * partials merge pairwise (combine counts, subtract the (k+1)-th largest,
-  * keep positives), and the merged summary is guaranteed to contain EVERY
-  * item whose true frequency exceeds N/k. Pass 2 broadcast-semi-joins the
-  * ≤ k candidates back onto the stream and counts them exactly, so the
-  * final answer `count(item) ≥ φ·N` is EXACT (hash-gated against a plain
-  * GROUP BY oracle) while no shuffle ever carries per-item rows for the
-  * full vocabulary — the classic candidate-generation/verification shape
-  * a 100 TB vocabulary scan needs (a plain groupBy over raw tokens
-  * shuffles the whole token stream; here the big shuffle carries only
-  * tokens matching ≤ k candidates).
+  * Agarwal et al., "Mergeable Summaries", PODS 2012) as the NATIVE
+  * aggregate [[graft.functions.MisraGriesAgg]] (mutable bounded buffer,
+  * no per-row encoder round-trip): every map-side partial buffer holds at
+  * most `k` counters, partials merge pairwise (combine counts, subtract
+  * the (k+1)-th largest, keep positives), and the merged summary is
+  * guaranteed to contain EVERY item whose true frequency exceeds N/k.
+  * Pass 2 broadcast-semi-joins the ≤ k candidates back onto the stream
+  * and counts them exactly, so the final answer `count(item) ≥ φ·N` is
+  * EXACT (hash-gated against a plain GROUP BY oracle) while no shuffle
+  * ever carries per-item rows for the full vocabulary — the classic
+  * candidate-generation/verification shape a 100 TB vocabulary scan
+  * needs (a plain groupBy over raw tokens shuffles the whole token
+  * stream; here the big shuffle carries only tokens matching ≤ k
+  * candidates).
   *
   * Correctness requirement (callers pick `k`): φ > 1/k, so no true heavy
   * hitter can be evicted from the sketch (`FrequentItemsSpec` exercises
@@ -28,12 +30,17 @@ import org.apache.spark.sql.functions._
   */
 object FrequentItems {
 
-  /** Misra–Gries bounded-counter summary over a stream of items. The
-    * buffer is an immutable map capped at `k` entries; `reduce` runs the
-    * classic decrement-all step on overflow, `merge` the summary-merge
-    * (sum, subtract (k+1)-th largest, keep positives). Output: the
-    * surviving candidate items (counts are estimates and deliberately
-    * NOT exposed — the verify pass recounts exactly). */
+  /** Misra–Gries bounded-counter summary as a typed `Aggregator` — kept
+    * for the PER-KEY STREAMING STATE path
+    * ([[graft.stream.StreamingFrequentItems]]), where the summary lives
+    * in a `ValueState` slot and per-batch volume is bounded by the key;
+    * the batch hot path uses the native
+    * [[graft.functions.MisraGriesAgg]] instead. The buffer is an
+    * immutable map capped at `k` entries; `reduce` runs the classic
+    * decrement-all step on overflow, `merge` the summary-merge (sum,
+    * subtract (k+1)-th largest, keep positives). Output: the surviving
+    * candidate items (counts are estimates and deliberately NOT exposed
+    * — the verify pass recounts exactly). */
   class MisraGries(k: Int)
       extends Aggregator[String, Map[String, Long], Seq[String]] {
     require(k > 0, "Misra-Gries needs at least one counter slot")
@@ -77,28 +84,31 @@ object FrequentItems {
   /** All items whose exact count is ≥ `phi` · N, with their exact counts
     * — computed without ever shuffling the full per-item count table.
     *
-    * `items` must be a single string column. Requires φ > 1/k (else an
-    * eviction could lose a true heavy hitter and the exact contract
-    * breaks — enforced here). Plan shape: one scan building the ≤ k
-    * candidate summary and the exact total (two jobs over the same scan,
-    * both with bounded map-side state), then one scan counting ONLY rows
-    * matching a broadcast candidate set. */
+    * The items column is normalized ONCE — cast to string, nulls dropped
+    * — and that same frame feeds the sketch, the exact total, and the
+    * verify join, so N counts exactly the emittable population (a null
+    * can never be a candidate, and a non-string column gets string
+    * equality semantics everywhere, not an implicit-coercion join).
+    * Requires φ > 1/k (else an eviction could lose a true heavy hitter
+    * and the exact contract breaks — enforced here). Plan shape: one
+    * scan building the ≤ k candidate summary and the exact total (two
+    * jobs over the same scan, both with bounded map-side state), then
+    * one scan counting ONLY rows matching a broadcast candidate set. */
   def heavyHitters(items: DataFrame, k: Int, phi: Double): DataFrame = {
     require(phi > 1.0 / k,
       s"phi=$phi must exceed 1/k=${1.0 / k}: the Misra-Gries summary only " +
         "guarantees items above N/k survive")
-    val spark = items.sparkSession
-    import spark.implicits._
     val colName = items.columns.head
-    val ds = items.select(col(colName).cast("string")).as[String]
-    val mg = new MisraGries(k)
+    val norm = items.select(col(colName).cast("string").as(colName))
+      .filter(col(colName).isNotNull)
     // candidates: one row holding ≤ k survivors; exploded to a frame the
     // optimizer broadcasts (k is a constant, never data-sized)
-    val candidates = ds.select(mg.toColumn) // typed select: global agg
-      .toDF("cands")
+    val candidates = norm
+      .agg(graft.functions.MisraGriesFn.misra_gries(col(colName), k)
+        .as("cands"))
       .select(explode(col("cands")).as(colName))
-    val total = items.agg(count(lit(1)).as("n_total"))
-    items.join(broadcast(candidates), Seq(colName), "left_semi")
+    val total = norm.agg(count(lit(1)).as("n_total"))
+    norm.join(broadcast(candidates), Seq(colName), "left_semi")
       .groupBy(col(colName))
       .agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(total)) // single row by construction

@@ -45,7 +45,12 @@ object StreamingFrequentItems {
                                  timers: TimerValues): Iterator[HotItems] = {
       var st = if (summary.exists()) summary.get() else Map.empty[String, Long]
       var n = if (processed.exists()) processed.get() else 0L
-      rows.foreach { r => st = mg.reduce(st, r._2); n += 1 }
+      // null items are never emittable candidates: skip them entirely
+      // (counter slots and the processed total track the same
+      // population, matching the batch operator's normalization)
+      rows.foreach { r =>
+        if (r._2 != null) { st = mg.reduce(st, r._2); n += 1 }
+      }
       summary.update(st)
       processed.update(n)
       Iterator.single(HotItems(key, mg.finish(st), n))

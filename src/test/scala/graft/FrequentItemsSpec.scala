@@ -59,6 +59,52 @@ class FrequentItemsSpec extends AnyFunSuite {
     }
   }
 
+  test("non-string items get exact string-equality semantics end to end") {
+    // the normalization contract: an int column is cast to string ONCE,
+    // and the sketch, total, and verify join all see the same frame —
+    // no implicit-coercion join between int rows and string candidates
+    import spark.implicits._
+    val data = Seq.fill(40)(7) ++ (0 until 60).map(i => 100 + i)
+    val df = new scala.util.Random(3).shuffle(data).toDF("num")
+      .repartition(5)
+    val got = FrequentItems.heavyHitters(df, k = 16, phi = 0.2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("7" -> 40L), got)
+  }
+
+  test("null items count toward neither the total nor the candidates") {
+    // 2 "a" + 1 "b" + 3 nulls: over the non-null population N=3 the item
+    // "a" clears phi=0.5 (2 >= 1.5); if nulls inflated N to 6 the
+    // threshold would be 3 and nothing would emit
+    import spark.implicits._
+    val df = Seq(Some("a"), Some("a"), Some("b"), None, None, None)
+      .toDF("word")
+    val got = FrequentItems.heavyHitters(df, k = 4, phi = 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 2L), got)
+  }
+
+  test("native sketch plans one bounded aggregate — no encoder round-trip") {
+    import spark.implicits._
+    val df = zipfStream(50, 100).toDF("word")
+    val hh = FrequentItems.heavyHitters(df, k = 24, phi = 0.05)
+    val plan = hh.queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject"), plan.take(1500))
+    assert(!plan.contains("DeserializeToObject"), plan.take(1500))
+    assert(plan.contains("partial_misragriesagg"), plan.take(1500))
+  }
+
+  test("misra_gries is SQL-callable and keeps the candidate guarantee") {
+    import spark.implicits._
+    Views.registerSqlFunctions(spark) // idempotent temp-function scope
+    zipfStream(100, 150).toDF("word").createOrReplaceTempView("mg_words")
+    val cands = spark.sql(
+      "SELECT explode(misra_gries(word, 12)) AS w FROM mg_words")
+      .collect().map(_.getString(0)).toSet
+    assert(cands.size <= 12)
+    assert(cands.contains("item0")) // ~75/~550 rows ≫ N/k
+  }
+
   test("MisraGries summary never exceeds k counters and keeps true HHs") {
     val mg = new FrequentItems.MisraGries(8)
     // one item at 40%, the rest spread across 100 cold items

@@ -55,4 +55,35 @@ class StreamingFrequentItemsSpec extends AnyFunSuite {
         .unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("null items occupy no counter slot and don't inflate processed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, Option[String])]
+      val hot = StreamingFrequentItems.run(
+        input.toDF().toDF("series", "item"), "series", "item", k = 4)
+      val q = hot.toDF().writeStream.outputMode("update")
+        .format("memory").queryName("hot_items_nulls").start()
+      try {
+        input.addData(("A", Some("x")), ("A", None), ("A", Some("x")),
+          ("A", None), ("A", Some("y")))
+        q.processAllAvailable()
+        val r = spark.table("hot_items_nulls").collect()
+          .map(row => (row.getString(0), row.getSeq[String](1),
+            row.getLong(2))).head
+        assert(!r._2.contains(null), r._2.mkString(","))
+        assert(r._2.toSet === Set("x", "y"))
+        assert(r._3 === 3L) // nulls excluded from the processed total
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf
+        .set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf
+        .unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
