@@ -73,17 +73,19 @@ object Views {
   }
 
   /** Register the partitioned history lake as a view, read through the
-    * manifest-pinned snapshot resolver (old-or-new during a compaction
-    * swap, never an absent partition).
-    *
-    * The view pins the file listing made at registration time (temp
-    * views hold an analyzed plan): after a compaction rewrites
-    * partitions — including the archive's in-line maintenance — call
-    * `registerLake` again to re-pin, or queries against the stale view
-    * fail on the moved files. */
+    * pinned-snapshot resolvers: on a manifest-mode lake
+    * ([[graft.sources.History.enableManifests]]) the view plans the
+    * manifest's exact file set, which stays physically intact across
+    * later compaction/expiry commits until a vacuum grace passes — so a
+    * stale view keeps answering correctly (re-register to see newer
+    * data). On a legacy lake this is the directory-pinned
+    * [[graft.sources.History.readSnapshot]] (old-or-new during a
+    * compaction swap, never an absent partition) — there, re-register
+    * after a compaction or queries against the stale view fail on the
+    * moved files. */
   def registerLake(spark: SparkSession, lakePath: String,
                    name: String = "history"): Unit =
-    graft.sources.History.readSnapshot(spark, lakePath)
+    graft.sources.History.readPinned(spark, lakePath)
       .createOrReplaceTempView(name)
 
   /** Make the engine's custom Catalyst expressions SQL-callable on an

@@ -1,0 +1,155 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Versioned per-file manifests for the history lake — the minimal slice
+  * of a table format that closes the last reader race
+  * ([[History.readSnapshot]] pins directories at LISTING time, so a
+  * compaction swap completing under a long scan still moves files out
+  * from under it).
+  *
+  * Invariants (manifest mode, opt-in via [[History.enableManifests]]):
+  *
+  *  - '''Data files are immutable and immobile.''' A writer only ever
+  *    ADDS files (unique names) and a vacuum only ever DELETES files
+  *    past their grace window; nothing is renamed once published. A
+  *    reader that planned from manifest vN can finish its scan after
+  *    any number of later commits, because every file vN references is
+  *    still at its path until a vacuum's grace period says otherwise.
+  *  - '''The manifest is the commit point and the source of truth.'''
+  *    `v<version>.manifest` lists the CURRENT file set and the RETIRED
+  *    set (superseded files awaiting vacuum, with their retirement
+  *    timestamp). Publishing is write-tmp-then-rename — atomic on
+  *    HDFS/local — and readers resolve the highest version, so a crash
+  *    between data-file writes and the manifest publish leaves only
+  *    invisible orphans (vacuumed later), never a partial commit.
+  *  - '''Single writer per lake''' (same discipline as
+  *    [[History.compactLatest]]): versions advance by one per commit;
+  *    concurrent committers would race the version file and fail loudly
+  *    on the rename, not corrupt state.
+  *
+  * File format (one line per entry, tab-separated):
+  * {{{
+  *   cur\t<region=R/dt=D/file.parquet>
+  *   ret\t<retiredAtEpochMs>\t<region=R/dt=D/file.parquet>
+  * }}}
+  *
+  * Scale note: one manifest line per live data file — a 100 TB lake at
+  * healthy file sizes is ~10⁵–10⁶ lines, one driver-side read per plan.
+  * A full table format shards manifests per partition and caches them;
+  * this deliberately stays one flat file per version (the lake's
+  * partition count already bounds it) and keeps only unvacuumed
+  * versions on disk.
+  */
+object FileManifest {
+
+  def manifestDir(lakePath: String): String = s"$lakePath/_manifests"
+
+  case class Manifest(version: Long, cur: Seq[String],
+                      retired: Seq[(Long, String)]) {
+    def curSet: Set[String] = cur.toSet
+    def retiredSet: Set[String] = retired.map(_._2).toSet
+  }
+
+  private def versionPath(lakePath: String, v: Long): Path =
+    new Path(manifestDir(lakePath), f"v$v%012d.manifest")
+
+  private def parseVersion(name: String): Option[Long] =
+    if (name.startsWith("v") && name.endsWith(".manifest"))
+      scala.util.Try(
+        name.stripPrefix("v").stripSuffix(".manifest").toLong).toOption
+    else None
+
+  /** Manifest mode is on iff at least one version file exists. */
+  def enabled(fs: FileSystem, lakePath: String): Boolean =
+    latestVersion(fs, lakePath).isDefined
+
+  def latestVersion(fs: FileSystem, lakePath: String): Option[Long] = {
+    val dir = new Path(manifestDir(lakePath))
+    if (!fs.exists(dir)) None
+    else {
+      val vs = fs.listStatus(dir).iterator
+        .flatMap(s => parseVersion(s.getPath.getName))
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  /** Read the highest-version manifest, or None when manifest mode is
+    * off for this lake. */
+  def latest(fs: FileSystem, lakePath: String): Option[Manifest] =
+    latestVersion(fs, lakePath).map { v =>
+      val in = fs.open(versionPath(lakePath, v))
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+      val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      val ret = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      lines.foreach { l =>
+        l.split('\t') match {
+          case Array("cur", rel) => cur += rel
+          case Array("ret", ts, rel) => ret += ((ts.toLong, rel))
+          case other => throw new java.io.IOException(
+            s"bad manifest line in v$v: ${other.mkString("\\t")}")
+        }
+      }
+      Manifest(v, cur.toSeq, ret.toSeq)
+    }
+
+  /** Atomically publish `m` as the next version. Fails loudly (never
+    * corrupts) if the version already exists — two writers raced, which
+    * the single-writer contract forbids. */
+  def publish(fs: FileSystem, lakePath: String, m: Manifest): Unit = {
+    val dest = versionPath(lakePath, m.version)
+    if (fs.exists(dest))
+      throw new java.io.IOException(
+        s"manifest version collision at $dest: two writers raced " +
+          "(single writer per lake)")
+    val tmp = new Path(dest.getParent, dest.getName + s".tmp")
+    fs.mkdirs(dest.getParent): Unit
+    val out = fs.create(tmp, true)
+    try {
+      val sb = new StringBuilder
+      m.cur.sorted.foreach(rel => sb.append("cur\t").append(rel).append('\n'))
+      m.retired.sortBy(_._2).foreach { case (ts, rel) =>
+        sb.append("ret\t").append(ts).append('\t').append(rel).append('\n')
+      }
+      out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"manifest publish failed: $dest")
+  }
+
+  /** Commit `added` (lake-relative file paths) as new current files —
+    * the archive's per-batch manifest add. Idempotent for a replayed
+    * batch: already-current paths dedupe away and no new version is
+    * published when nothing changes. */
+  def addFiles(fs: FileSystem, lakePath: String,
+               added: Seq[String]): Unit = {
+    val m = latest(fs, lakePath).getOrElse(
+      throw new IllegalStateException(
+        s"addFiles on a lake without manifests: $lakePath"))
+    val fresh = added.filterNot(m.curSet)
+    if (fresh.nonEmpty)
+      publish(fs, lakePath,
+        Manifest(m.version + 1, m.cur ++ fresh, m.retired))
+  }
+
+  /** List every live (non-hidden) data file under the lake's
+    * `region=…/dt=…` partition dirs, as lake-relative paths. */
+  def listLiveFiles(fs: FileSystem, lakePath: String): Seq[String] = {
+    val qRoot = fs.makeQualified(new Path(lakePath))
+    Option(fs.globStatus(new Path(qRoot, "*/*")))
+      .getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .map(s => qRoot.toUri.relativize(s.getPath.toUri).getPath)
+      .filterNot(_.split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith(".")))
+      .sorted.toSeq
+      .flatMap { rel =>
+        fs.listStatus(new Path(qRoot, rel))
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .map(s => s"$rel/${s.getPath.getName}")
+      }
+  }
+}

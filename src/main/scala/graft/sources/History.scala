@@ -106,61 +106,16 @@ object History {
     val conf = spark.sparkContext.hadoopConfiguration
     val rawStage = new org.apache.hadoop.fs.Path(compactStagingDir(path))
     val fs = rawStage.getFileSystem(conf)
+    val qRoot = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    // manifest-mode lake (enableManifests): file-granular commit — data
+    // files never move, the manifest version flip is the whole swap
+    if (FileManifest.enabled(fs, path)) {
+      compactPinned(spark, fs, qRoot, path, keyCols, tsCol, predicate)
+      return
+    }
     val stage = fs.makeQualified(rawStage)
     fs.delete(stage, true): Unit // pre-manifest leftovers are garbage
-    // Resolve the predicate to its partition DIRECTORIES first (evaluate
-    // it against the region=/dt= directory values on the driver), and
-    // build the slice read from ONLY those dirs: schema inference —
-    // including the mergeSchema pass below — runs at read construction,
-    // BEFORE Catalyst partition pruning, so a root-anchored read would
-    // list the whole lake and merge every footer in it to compact one
-    // partition. Values are taken raw from the dir names (region codes
-    // and ISO dates are never path-escaped); `dt` is typed DATE exactly
-    // as Spark's partition inference types it, so date predicates with
-    // non-canonical literals (e.g. dt > '2019-6-15') keep their typed
-    // semantics instead of silently degrading to string comparison.
-    val qRoot = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
-    val partVals = Option(
-        fs.globStatus(new org.apache.hadoop.fs.Path(qRoot, "*/*")))
-      .getOrElse(Array.empty)
-      .filter(_.isDirectory)
-      .map(s => qRoot.toUri.relativize(s.getPath.toUri).getPath)
-      .flatMap(_.split('/') match {
-        case Array(r, d) if r.startsWith("region=") && d.startsWith("dt=") =>
-          Some((r.stripPrefix("region="), d.stripPrefix("dt="), s"$r/$d"))
-        case _ => None
-      }).toSeq
-    val matching = {
-      import spark.implicits._
-      // dt is typed DATE only when EVERY value is canonical ISO (the
-      // consensus rule partition inference applies); otherwise it stays
-      // a raw string, so non-ISO layouts keep exact string matching and
-      // nothing ever nulls out silently (or throws under ANSI to_date).
-      // The evaluation frame carries ONLY the two partition columns —
-      // analyzing the predicate against it IS the "partition columns
-      // only" validation (a row-level or internal-column reference
-      // fails right here, before anything is staged), and the matched
-      // (region, dt) values map back to their directories on the driver.
-      val allIso = partVals.forall(_._2.matches("\\d{4}-\\d{2}-\\d{2}"))
-      val vals =
-        if (allIso)
-          partVals.map(v => (v._1, java.sql.Date.valueOf(v._2)))
-            .toDF("region", "dt")
-        else partVals.map(v => (v._1, v._2)).toDF("region", "dt")
-      val filtered = try vals.filter(predicate)
-        .select(col("region"), col("dt").cast("string")).collect()
-      catch {
-        case e: org.apache.spark.sql.AnalysisException =>
-          throw new IllegalArgumentException(
-            "compactLatest predicate may only reference partition " +
-              "columns (region, dt) — a row-level predicate would " +
-              s"overwrite whole partitions with a row subset " +
-              s"(analysis said: ${e.getMessage})")
-      }
-      val byVals = partVals.map(v => (v._1, v._2) -> v._3).toMap
-      filtered.map(r => byVals((r.getString(0), r.getString(1))))
-        .sorted.toSeq // partition-count-sized
-    }
+    val matching = matchPartitions(spark, fs, qRoot, predicate)
     if (matching.isEmpty) return // zero partitions match: nothing to do
     // mergeSchema: a compaction REWRITES data, so it must see the union
     // of every file's columns in the slice — the default single-footer
@@ -171,17 +126,7 @@ object History {
       .option("basePath", qRoot.toString)
       .parquet(matching.map(rel =>
         new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy((Seq("region", "dt") ++ keyCols).map(col): _*)
-      .orderBy(col(tsCol).desc)
-    slice.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
-      .repartition(col("region"), col("dt"))
-      .sortWithinPartitions(col("siteId"), col(tsCol))
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", 5000000L)
-      .partitionBy("region", "dt")
-      .parquet(compactStagingDir(path))
+    writeCompacted(slice, keyCols, tsCol, compactStagingDir(path))
     // the staged partition set = the directories to swap; globStatus
     // returns null (not empty) for a nonexistent glob parent on some
     // filesystems — e.g. a predicate matching zero partitions, where the
@@ -223,6 +168,89 @@ object History {
       rel -> snapshot.getOrElse(rel, Seq.empty).toSet))
     fs.delete(manifest, false): Unit
     fs.delete(stage, true): Unit
+  }
+
+  /** Resolve a partition-column predicate to the matching
+    * `region=…/dt=…` directory rel-paths — evaluated against the
+    * directory VALUES on the driver (partition-count-sized, never a data
+    * read): schema inference — including a mergeSchema pass — runs at
+    * read construction, BEFORE Catalyst partition pruning, so a
+    * root-anchored read would list the whole lake to compact one
+    * partition. Values are taken raw from the dir names (region codes
+    * and ISO dates are never path-escaped); `dt` is typed DATE whenever
+    * EVERY value parses as a date — including non-canonical layouts like
+    * `dt=2019-6-15`, exactly the values Spark's own partition inference
+    * would type — so a date predicate selects the same partition set
+    * here as on a normal read of the lake; only a genuinely non-date
+    * layout keeps string-compare semantics. The evaluation frame carries
+    * ONLY the two partition columns — analyzing the predicate against it
+    * IS the "partition columns only" validation (a row-level or
+    * internal-column reference fails right here, before anything is
+    * staged). */
+  private def matchPartitions(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, qRoot: org.apache.hadoop.fs.Path,
+      predicate: org.apache.spark.sql.Column): Seq[String] = {
+    import spark.implicits._
+    val partVals = Option(
+        fs.globStatus(new org.apache.hadoop.fs.Path(qRoot, "*/*")))
+      .getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .map(s => qRoot.toUri.relativize(s.getPath.toUri).getPath)
+      .flatMap(_.split('/') match {
+        case Array(r, d) if r.startsWith("region=") && d.startsWith("dt=") =>
+          Some((r.stripPrefix("region="), d.stripPrefix("dt="), s"$r/$d"))
+        case _ => None
+      }).toSeq
+    // Date.valueOf accepts yyyy-[m]m-[d]d — the same lenient shapes
+    // partition inference types as DATE; all-or-nothing so mixed layouts
+    // never silently compare a date against a string
+    val asDates = partVals.map(v =>
+      scala.util.Try(java.sql.Date.valueOf(v._2)).toOption)
+    val allDates = partVals.nonEmpty && asDates.forall(_.isDefined)
+    // map matched values back to dirs by the CANONICAL value (a date
+    // cast to string canonicalizes, e.g. 2019-6-15 → 2019-06-15)
+    val byVals =
+      if (allDates)
+        partVals.zip(asDates).map { case (v, d) =>
+          (v._1, d.get.toString) -> v._3
+        }.toMap
+      else partVals.map(v => (v._1, v._2) -> v._3).toMap
+    val vals =
+      if (allDates)
+        partVals.zip(asDates).map { case (v, d) => (v._1, d.get) }
+          .toDF("region", "dt")
+      else partVals.map(v => (v._1, v._2)).toDF("region", "dt")
+    val filtered = try vals.filter(predicate)
+      .select(col("region"), col("dt").cast("string")).collect()
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          "predicate may only reference partition " +
+            "columns (region, dt) — a row-level predicate would " +
+            s"select whole partitions by a row subset " +
+            s"(analysis said: ${e.getMessage})")
+    }
+    filtered.map(r => byVals((r.getString(0), r.getString(1))))
+      .sorted.toSeq // partition-count-sized
+  }
+
+  /** Latest-wins rewrite of `slice` into `dest` — the compaction writer
+    * shared by the legacy dir-swap and the manifest-mode commit. The
+    * window sort is per (partition, key), bounded by a partition's
+    * update count, never global. */
+  private def writeCompacted(slice: DataFrame, keyCols: Seq[String],
+                             tsCol: String, dest: String): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((Seq("region", "dt") ++ keyCols).map(col): _*)
+      .orderBy(col(tsCol).desc)
+    slice.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .repartition(col("region"), col("dt"))
+      .sortWithinPartitions(col("siteId"), col(tsCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 5000000L)
+      .partitionBy("region", "dt")
+      .parquet(dest)
   }
 
   def compactStagingDir(path: String): String = s"$path/_staging/compact"
@@ -329,17 +357,35 @@ object History {
     *
     * Isolation is at LISTING time: the returned frame pins concrete
     * directories, so a swap that completes while a long scan is still
-    * running can move files under it (retry the read; full MVCC reads
-    * need a table format). Without a manifest this is exactly
+    * running can move files under it (retry the read). For FILE-granular
+    * isolation — a scan planned before a compaction completes correctly
+    * after it — switch the lake to manifest mode ([[enableManifests]])
+    * and read through [[readPinned]]. Without a manifest this is exactly
     * `spark.read.parquet(path)`. */
   def readSnapshot(spark: SparkSession, path: String): DataFrame = {
     val manifest = new org.apache.hadoop.fs.Path(compactManifestPath(path))
     val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(manifest)) return spark.read.parquet(path)
-    val in = fs.open(manifest)
-    val swapped = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().filter(_.nonEmpty).map(parseManifestLine(_)._1).toSet
-    finally in.close()
+    // a pending expire manifest is a COMMITTED delete (the dirs drop
+    // next): exclude its partitions so no reader sees a partial delete
+    val expireManifest = new org.apache.hadoop.fs.Path(expireManifestPath(path))
+    val expirePending: Set[String] =
+      if (!fs.exists(expireManifest)) Set.empty
+      else {
+        val ein = fs.open(expireManifest)
+        try scala.io.Source.fromInputStream(ein, "UTF-8")
+          .getLines().filter(_.nonEmpty).toSet
+        finally ein.close()
+      }
+    if (!fs.exists(manifest) && expirePending.isEmpty)
+      return spark.read.parquet(path)
+    val swapped =
+      if (!fs.exists(manifest)) Set.empty[String]
+      else {
+        val in = fs.open(manifest)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).map(parseManifestLine(_)._1).toSet
+        finally in.close()
+      }
     val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
     val stageRoot = fs.makeQualified(
       new org.apache.hadoop.fs.Path(compactStagingDir(path)))
@@ -351,11 +397,14 @@ object History {
       .filterNot(_.split('/')
         .exists(seg => seg.startsWith("_") || seg.startsWith(".")))
       .toSeq
-    val (stagedPins, promotedPins) = swapped.toSeq.sorted.partition(rel =>
-      fs.exists(new org.apache.hadoop.fs.Path(stageRoot, rel)))
+    val (stagedPins, promotedPins) = swapped.toSeq.sorted
+      .filterNot(expirePending)
+      .partition(rel =>
+        fs.exists(new org.apache.hadoop.fs.Path(stageRoot, rel)))
     val livePins = (liveParts.filterNot(swapped) ++
         promotedPins.filter(rel =>
           fs.exists(new org.apache.hadoop.fs.Path(root, rel))))
+      .filterNot(expirePending)
       .sorted.map(rel => new org.apache.hadoop.fs.Path(root, rel).toString)
     val sides = Seq(
       Option.when(livePins.nonEmpty)(
@@ -410,6 +459,302 @@ object History {
     import spark2.implicits._
     rows.asScala.toSeq.sortBy(_._1)
       .toDF("partition", "n_files", "total_bytes", "min_bytes", "max_bytes")
+  }
+
+  // ----- manifest-mode lake (file-granular snapshot isolation) -----
+
+  /** Switch a lake to manifest mode: bootstrap `v1` from the current
+    * live listing. From here on, [[readPinned]] plans from the manifest,
+    * [[compactLatest]] commits by manifest version flip (data files
+    * never move — old files are RETIRED in the manifest and physically
+    * deleted only by [[vacuum]] after a grace period), and the streaming
+    * archive adds each batch's files to the manifest. This closes the
+    * long-scan race [[readSnapshot]] documents: a read planned from
+    * manifest vN still finds every vN file on disk after any number of
+    * later commits, until a vacuum's grace window expires.
+    *
+    * The manifest is the source of truth: writers that bypass it (a bare
+    * `df.write.mode("append")` outside [[graft.stream.Pipeline]]) leave
+    * files invisible to [[readPinned]] and eligible for orphan vacuum —
+    * route appends through the archive or [[FileManifest.addFiles]].
+    * Idempotent: an already-enabled lake returns its current version. */
+  def enableManifests(spark: SparkSession, path: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    FileManifest.latestVersion(fs, path).getOrElse {
+      // finish any in-flight legacy commit first: the bootstrap listing
+      // must see a settled directory layout
+      recoverCompaction(spark, path): Unit
+      recoverExpire(spark, path): Unit
+      FileManifest.publish(fs, path,
+        FileManifest.Manifest(1L, FileManifest.listLiveFiles(fs, path), Nil))
+      1L
+    }
+  }
+
+  /** File-granular pinned read: plan EXACTLY the latest manifest's
+    * current files. Unlike [[readSnapshot]] (directory pins), the
+    * planned file set stays physically intact across any later
+    * compaction/expiry commit until [[vacuum]]'s grace period passes —
+    * a long scan survives a complete swap under it. Files a writer
+    * landed but has not yet committed to the manifest are invisible
+    * (no torn reads of an in-flight batch). Falls back to
+    * [[readSnapshot]] on a lake without manifests. */
+  def readPinned(spark: SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    FileManifest.latest(fs, path) match {
+      case None => readSnapshot(spark, path)
+      case Some(m) if m.cur.isEmpty => spark.emptyDataFrame
+      case Some(m) =>
+        val qRoot = fs.makeQualified(root)
+        spark.read.option("basePath", qRoot.toString)
+          .parquet(m.cur.sorted.map(rel =>
+            new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*)
+    }
+  }
+
+  /** Manifest-mode compaction: ADD the compacted files, RETIRE the old
+    * ones, flip the manifest version — no live file ever moves, so
+    * in-flight pinned scans are undisturbed. Crash-safe without an
+    * intent file: until the single atomic manifest publish, the moved
+    * staged files are unreferenced orphans (invisible to [[readPinned]],
+    * reclaimed by [[vacuum]]), and a re-run sweeps same-version leftovers
+    * before renaming, so the converged state is exactly one copy. */
+  private def compactPinned(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, qRoot: org.apache.hadoop.fs.Path,
+      path: String, keyCols: Seq[String], tsCol: String,
+      predicate: org.apache.spark.sql.Column): Unit = {
+    val matching = matchPartitions(spark, fs, qRoot, predicate)
+    if (matching.isEmpty) return
+    val matchedSet = matching.toSet
+    def dirOf(rel: String): String =
+      rel.take(math.max(rel.lastIndexOf('/'), 0))
+    val m = FileManifest.latest(fs, path).get
+    val oldMatched = m.cur.filter(rel => matchedSet(dirOf(rel)))
+    if (oldMatched.isEmpty) return
+    val stage = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(compactStagingDir(path)))
+    fs.delete(stage, true): Unit
+    // the slice is exactly the manifest's current files — an uncommitted
+    // batch racing this compaction is neither read nor retired
+    val slice = spark.read.option("mergeSchema", "true")
+      .option("basePath", qRoot.toString)
+      .parquet(oldMatched.map(rel =>
+        new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*)
+    writeCompacted(slice, keyCols, tsCol, compactStagingDir(path))
+    // move staged output into the live dirs under version-tagged unique
+    // names (deterministic per attempt, so a crashed attempt's leftovers
+    // sweep cleanly on re-run)
+    val tag = s"c${m.version + 1}-"
+    val stagedDirs = Option(
+        fs.globStatus(new org.apache.hadoop.fs.Path(stage, "*/*")))
+      .getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .map(s => stage.toUri.relativize(s.getPath.toUri).getPath)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      .sorted.toSeq
+    val moves: Seq[(String, Seq[(org.apache.hadoop.fs.Path, String)])] =
+      stagedDirs.map { rel =>
+        val files = fs.listStatus(
+            new org.apache.hadoop.fs.Path(stage, rel))
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .map(_.getPath).sortBy(_.toString).toSeq
+        rel -> files.zipWithIndex.map { case (src, i) =>
+          src -> s"${tag}p$i.parquet"
+        }
+      }
+    LakeCommit.foreachPar(moves) { case (rel, files) =>
+      val destDir = new org.apache.hadoop.fs.Path(qRoot, rel)
+      fs.mkdirs(destDir): Unit
+      val leftovers = fs.globStatus(
+        new org.apache.hadoop.fs.Path(destDir, tag + "*"))
+      if (leftovers != null)
+        leftovers.foreach(s => fs.delete(s.getPath, false))
+      files.foreach { case (src, name) =>
+        val dest = new org.apache.hadoop.fs.Path(destDir, name)
+        if (!fs.rename(src, dest))
+          throw new java.io.IOException(s"promote failed: $src -> $dest")
+      }
+    }
+    val movedRels = moves.flatMap { case (rel, files) =>
+      files.map { case (_, name) => s"$rel/$name" } }
+    // re-read before publishing: in-line maintenance sequences archive
+    // batches between the slice read and here — their files are in the
+    // newer cur and NOT in oldMatched, so they are retained (the
+    // manifest-mode analog of the legacy swap's late-file merge)
+    val m2 = FileManifest.latest(fs, path).get
+    val now = System.currentTimeMillis()
+    val oldSet = oldMatched.toSet
+    FileManifest.publish(fs, path, FileManifest.Manifest(
+      m2.version + 1,
+      m2.cur.filterNot(oldSet) ++ movedRels,
+      m2.retired ++ oldMatched.map(now -> _)))
+    fs.delete(stage, true): Unit
+  }
+
+  /** Physically reclaim manifest-mode garbage past `graceMs`: RETIRED
+    * files (superseded by compaction/expiry — a grace period long enough
+    * for any in-flight scan keeps pinned reads valid), ORPHAN files
+    * (landed but never committed — crashed writers), stale manifest
+    * versions, and now-empty partition dirs. Returns
+    * (retired deleted, orphans deleted). Run it like any writer: from
+    * the lake's single writer sequence. */
+  def vacuum(spark: SparkSession, path: String, graceMs: Long): (Int, Int) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qRoot = fs.makeQualified(root)
+    val m = FileManifest.latest(fs, path).getOrElse(
+      throw new IllegalStateException(
+        s"vacuum needs a manifest-mode lake (enableManifests): $path"))
+    val now = System.currentTimeMillis()
+    val cutoff = now - graceMs
+    val (expired, kept) = m.retired.partition(_._1 <= cutoff)
+    LakeCommit.foreachPar(expired.map(_._2)) { rel =>
+      fs.delete(new org.apache.hadoop.fs.Path(qRoot, rel), false): Unit
+    }
+    val known = m.curSet ++ m.retiredSet
+    val orphans = FileManifest.listLiveFiles(fs, path)
+      .filterNot(known)
+      .filter { rel =>
+        val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(qRoot, rel))
+        st.getModificationTime <= cutoff
+      }
+    LakeCommit.foreachPar(orphans) { rel =>
+      fs.delete(new org.apache.hadoop.fs.Path(qRoot, rel), false): Unit
+    }
+    if (expired.nonEmpty)
+      FileManifest.publish(fs, path,
+        FileManifest.Manifest(m.version + 1, m.cur, kept))
+    // stale manifest versions past grace (a reader pinned to an old
+    // version within grace still resolves it)
+    val latestNow = FileManifest.latestVersion(fs, path).getOrElse(m.version)
+    fs.listStatus(new org.apache.hadoop.fs.Path(
+        FileManifest.manifestDir(path)))
+      .foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("v") && n.endsWith(".manifest") &&
+            scala.util.Try(n.stripPrefix("v").stripSuffix(".manifest")
+              .toLong).toOption.exists(_ < latestNow) &&
+            s.getModificationTime <= cutoff)
+          fs.delete(s.getPath, false): Unit
+      }
+    // drop emptied partition dirs (an expired partition after its files
+    // are reclaimed), then emptied region parents
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(qRoot, "*/*")))
+      .getOrElse(Array.empty)
+      .filter(s => s.isDirectory &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".") &&
+        fs.listStatus(s.getPath).isEmpty)
+      .foreach(s => fs.delete(s.getPath, false): Unit)
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(qRoot, "*")))
+      .getOrElse(Array.empty)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("region=") &&
+        fs.listStatus(s.getPath).isEmpty)
+      .foreach(s => fs.delete(s.getPath, false): Unit)
+    (expired.size, orphans.size)
+  }
+
+  // ----- retention (partition expiry) -----
+
+  def expireManifestPath(path: String): String =
+    s"$path/_staging/expire.manifest"
+
+  /** Delete (expire) whole partitions by a partition-column predicate —
+    * the retention half of the lake lifecycle (compaction rewrites hot
+    * partitions; expiry retires aged-out ones). Returns the expired
+    * partition rel-paths.
+    *
+    * Manifest mode: a pure manifest commit — the partitions' files move
+    * to the RETIRED set (readers planned before the commit keep
+    * scanning them; new [[readPinned]] plans exclude them) and
+    * [[vacuum]] reclaims them after grace.
+    *
+    * Legacy mode: same discipline as the compaction swap — an atomic
+    * expire manifest is the commit point ([[readSnapshot]] excludes its
+    * partitions, so no reader ever sees a partial delete), the dirs are
+    * dropped, the manifest removed; [[recoverExpire]] rolls an
+    * interrupted delete forward. The `_ledger` dir is never touched —
+    * the archive's replay guard outlives retention. */
+  def expirePartitions(spark: SparkSession, path: String,
+                       predicate: org.apache.spark.sql.Column): Seq[String] = {
+    recoverExpire(spark, path): Unit
+    recoverCompaction(spark, path): Unit
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qRoot = fs.makeQualified(root)
+    val matching = matchPartitions(spark, fs, qRoot, predicate)
+    if (matching.isEmpty) return Nil
+    if (FileManifest.enabled(fs, path)) {
+      val matchedSet = matching.toSet
+      def dirOf(rel: String): String =
+        rel.take(math.max(rel.lastIndexOf('/'), 0))
+      val m = FileManifest.latest(fs, path).get
+      val expired = m.cur.filter(rel => matchedSet(dirOf(rel)))
+      if (expired.nonEmpty) {
+        val now = System.currentTimeMillis()
+        FileManifest.publish(fs, path, FileManifest.Manifest(
+          m.version + 1,
+          m.cur.filterNot(expired.toSet),
+          m.retired ++ expired.map(now -> _)))
+      }
+      matching
+    } else {
+      val manifest = new org.apache.hadoop.fs.Path(expireManifestPath(path))
+      val tmp = new org.apache.hadoop.fs.Path(manifest.getParent,
+        manifest.getName + ".tmp")
+      fs.mkdirs(manifest.getParent): Unit
+      val out = fs.create(tmp, true)
+      try out.write(matching.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, manifest))
+        throw new java.io.IOException(s"expire manifest publish failed: $manifest")
+      dropExpired(fs, qRoot, matching)
+      fs.delete(manifest, false): Unit
+      matching
+    }
+  }
+
+  /** Retention convenience: expire partitions with `dt` strictly older
+    * than `retainDays` days before `asOf` (exclusive — the boundary day
+    * is retained). */
+  def expireOlderThan(spark: SparkSession, path: String, retainDays: Int,
+                      asOf: java.time.LocalDate): Seq[String] =
+    expirePartitions(spark, path,
+      col("dt") < lit(asOf.minusDays(retainDays.toLong).toString).cast("date"))
+
+  /** Roll an interrupted legacy-mode [[expirePartitions]] forward. No-op
+    * without a pending expire manifest. */
+  def recoverExpire(spark: SparkSession, path: String): Boolean = {
+    val manifest = new org.apache.hadoop.fs.Path(expireManifestPath(path))
+    val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(manifest)) return false
+    val in = fs.open(manifest)
+    val dirs = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+    val qRoot = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    dropExpired(fs, qRoot, dirs)
+    fs.delete(manifest, false): Unit
+    true
+  }
+
+  private def dropExpired(fs: org.apache.hadoop.fs.FileSystem,
+                          qRoot: org.apache.hadoop.fs.Path,
+                          dirs: Seq[String]): Unit = {
+    LakeCommit.foreachPar(dirs) { rel =>
+      fs.delete(new org.apache.hadoop.fs.Path(qRoot, rel), true): Unit
+    }
+    // drop emptied region parents
+    dirs.map(_.split('/').head).distinct.foreach { parent =>
+      val p = new org.apache.hadoop.fs.Path(qRoot, parent)
+      if (fs.exists(p) && fs.listStatus(p).isEmpty)
+        fs.delete(p, false): Unit
+    }
   }
 
   /** Schema-evolution read: merge parquet footers across the whole lake

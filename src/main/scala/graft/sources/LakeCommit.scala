@@ -72,14 +72,29 @@ object LakeCommit {
   /** Move every staged data file of `batchId` into the lake, preserving
     * partition directories, under deterministic-enough batch-tagged names;
     * sweep prior partial attempts of the same batch first; drop the
-    * staging dir last. Safe to re-run from any crash point. */
-  def publish(spark: SparkSession, lakePath: String, batchId: Long): Unit = {
+    * staging dir last. Safe to re-run from any crash point. Returns the
+    * published files as lake-relative paths (for the manifest add on
+    * manifest-mode lakes); the no-staging re-run path recovers them by
+    * globbing the batch tag. */
+  def publish(spark: SparkSession, lakePath: String,
+              batchId: Long): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val rawStage = new Path(stagingDir(lakePath, batchId))
     val fs = rawStage.getFileSystem(conf)
     val stage = fs.makeQualified(rawStage) // scheme-qualified, so URI
     // relativization against the (qualified) listing results works
-    if (!fs.exists(stage)) return // nothing staged (e.g. re-run after publish)
+    if (!fs.exists(stage)) {
+      // nothing staged (re-run after a completed publish): recover the
+      // batch's published rels by tag — one glob, partition-dir scoped
+      val qLake = fs.makeQualified(new Path(lakePath))
+      return Option(fs.globStatus(
+          new Path(qLake, s"*/*/${fileTag(batchId)}*")))
+        .getOrElse(Array.empty)
+        .map(s => qLake.toUri.relativize(s.getPath.toUri).getPath)
+        .filterNot(_.split('/').init
+          .exists(seg => seg.startsWith("_") || seg.startsWith(".")))
+        .sorted.toSeq
+    }
     val stageUri = stage.toUri
     val files = {
       val it = fs.listFiles(stage, true)
@@ -114,6 +129,11 @@ object LakeCommit {
       }
     }
     fs.delete(stage, true): Unit
+    byDir.toSeq.sortBy(_._1).flatMap { case (rel, staged) =>
+      staged.indices.map(i =>
+        if (rel.isEmpty) s"${tag}p$i.parquet"
+        else s"$rel/${tag}p$i.parquet")
+    }
   }
 
   /** Remove the whole `_staging` area (e.g. before a fresh batch load of

@@ -197,12 +197,23 @@ object Pipeline {
   def archiveBatch(batch: DataFrame, batchId: Long, lakePath: String,
                    ledger: Option[BatchLedger] = None): Unit =
     if (!ledger.exists(_.lastCommitted >= batchId)) {
-      if (ledger.isDefined) {
-        val spark = batch.sparkSession
+      val spark = batch.sparkSession
+      val fs = new org.apache.hadoop.fs.Path(lakePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val manifests = graft.sources.FileManifest.enabled(fs, lakePath)
+      if (ledger.isDefined || manifests) {
+        // manifest-mode lakes ALWAYS stage-then-publish, ledgered or
+        // not: the publish names the batch's files, and the manifest
+        // add makes them visible to readPinned. A crash between publish
+        // and the manifest add replays into the same batch-tagged names
+        // and the (idempotent) add — readers never see a torn batch.
         graft.sources.History.writePartitioned(batch,
           graft.sources.LakeCommit.stagingDir(lakePath, batchId),
           mode = "overwrite")
-        graft.sources.LakeCommit.publish(spark, lakePath, batchId)
+        val published =
+          graft.sources.LakeCommit.publish(spark, lakePath, batchId)
+        if (manifests)
+          graft.sources.FileManifest.addFiles(fs, lakePath, published)
       } else {
         graft.sources.History.writePartitioned(batch, lakePath,
           mode = "append")

@@ -1,0 +1,196 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.fixtures.ReferenceFixtures._
+import graft.sources.{FileManifest, History}
+import graft.stream.Pipeline
+
+/** Manifest-mode lake: file-granular snapshot isolation (a scan planned
+  * BEFORE a compaction completes correctly AFTER it — the race
+  * readSnapshot's directory pins could not close), vacuum/grace
+  * reclamation, archive integration, and partition retention in both
+  * manifest and legacy modes. */
+class PinnedLakeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private val ts = "collectionendtimestamp_plus_3_mins"
+
+  private def freshLake(): String =
+    java.nio.file.Files.createTempDirectory("graft-pinned").toString
+
+  private def records(payload: String) = {
+    import spark.implicits._
+    Pipeline.payloadToRecords(Seq(payload).toDF("value"))
+  }
+
+  private def hadoopFs(path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+    df.select(col("siteId"), col(ts)).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+
+  test("a scan planned before a compaction completes correctly after it") {
+    val lake = freshLake()
+    History.writePartitioned(records(streamPayload), lake)
+    // second file in the same partition: the 15:43 doc again with a
+    // bumped site so compaction has multiple files AND keys to fold
+    History.writePartitioned(records(singleSiteDoc), lake, mode = "append")
+    assert(History.enableManifests(spark, lake) === 1L)
+    assert(History.enableManifests(spark, lake) === 1L) // idempotent
+
+    val expected = rows(spark.read.parquet(lake)) // pre-compaction truth
+    val pinned = History.readPinned(spark, lake)  // PLANNED NOW
+
+    History.compactLatest(spark, lake, Seq("siteId"), ts,
+      col("dt") === "2019-10-03")
+
+    // the pre-planned scan completes and sees its full snapshot — the
+    // old files were retired in the manifest, not moved or deleted
+    assert(rows(pinned) === expected)
+
+    // a fresh pinned read sees the compacted latest-wins state: site
+    // 2087 keeps only its newest period per file set
+    val fresh = rows(History.readPinned(spark, lake))
+    assert(fresh.distinct === fresh, s"duplicates survive compaction: $fresh")
+    assert(fresh.toSet ===
+      expected.groupBy(_._1).map(_._2.maxBy(_._2)).toSet)
+
+    // inside the grace window nothing is reclaimed; the pin still scans
+    assert(History.vacuum(spark, lake, graceMs = 3600L * 1000) === ((0, 0)))
+    assert(rows(pinned) === expected)
+
+    // grace over: retired files physically reclaimed, and from here the
+    // plain directory read agrees with the manifest exactly
+    val (retired, orphans) = History.vacuum(spark, lake, graceMs = 0)
+    assert(retired >= 2, s"expected both pre-compaction files retired: $retired")
+    assert(orphans === 0)
+    assert(rows(spark.read.parquet(lake)) ===
+      rows(History.readPinned(spark, lake)))
+  }
+
+  test("uncommitted files are invisible to readPinned and vacuumed as orphans") {
+    val lake = freshLake()
+    History.writePartitioned(records(singleSiteDoc), lake)
+    History.enableManifests(spark, lake): Unit
+    val before = rows(History.readPinned(spark, lake))
+    // a writer crashed after landing a file but before its manifest add
+    val dir = new java.io.File(lake)
+      .listFiles().filter(_.getName.startsWith("region=")).head
+      .listFiles().filter(_.getName.startsWith("dt=")).head
+    java.nio.file.Files.write(
+      dir.toPath.resolve("orphan-crashed.parquet"),
+      Array[Byte](1, 2, 3)): Unit
+    assert(rows(History.readPinned(spark, lake)) === before)
+    val (retired, orphans) = History.vacuum(spark, lake, graceMs = 0)
+    assert((retired, orphans) === ((0, 1)))
+    assert(!new java.io.File(dir, "orphan-crashed.parquet").exists())
+  }
+
+  test("archive batches commit to the manifest; replay publishes nothing") {
+    import spark.implicits._
+    val lake = freshLake()
+    History.enableManifests(spark, lake): Unit
+    assert(History.readPinned(spark, lake).isEmpty)
+    val ledger = new Pipeline.InMemoryBatchLedger
+    Pipeline.archiveBatch(records(singleSiteDoc + NUL), 0L, lake, Some(ledger))
+    val fs = hadoopFs(lake)
+    val v1 = FileManifest.latest(fs, lake).get
+    assert(rows(History.readPinned(spark, lake)).nonEmpty)
+    assert(v1.cur.nonEmpty && v1.cur.forall(_.contains("b0-")))
+    // crash-replay of batch 0: ledger high-water says done — no new
+    // files, no new manifest version
+    Pipeline.archiveBatch(records(singleSiteDoc + NUL), 0L, lake, Some(ledger))
+    assert(FileManifest.latest(fs, lake).get.version === v1.version)
+    // an UNledgered archive batch on a manifest lake still commits
+    // through the manifest (stage-then-publish, never a bare append)
+    Pipeline.archiveBatch(records(multiSiteDoc + NUL), 1L, lake, None)
+    val v2 = FileManifest.latest(fs, lake).get
+    assert(v2.version === v1.version + 1)
+    assert(rows(History.readPinned(spark, lake)).size ===
+      rows(History.readPinned(spark, lake)).distinct.size)
+    assert(History.readPinned(spark, lake).count() === 3) // 1 + 2 sites
+  }
+
+  test("manifest-mode retention: expiry is a manifest flip, vacuum reclaims") {
+    import spark.implicits._
+    val lake = freshLake()
+    val laterDoc = singleSiteDoc.replace("2019-10-03T15:43:00+10:00",
+      "2019-10-04T15:43:00+10:00")
+    History.writePartitioned(
+      records(streamPayload + laterDoc + NUL), lake)
+    History.enableManifests(spark, lake): Unit
+    // the archive's replay guard must outlive retention
+    val ledger = new Pipeline.FileBatchLedger(s"$lake/_ledger")
+    ledger.markCommitted(7L)
+    val expectedAll = rows(spark.read.parquet(lake))
+    val pinned = History.readPinned(spark, lake) // planned pre-expiry
+
+    val gone = History.expireOlderThan(spark, lake, retainDays = 1,
+      asOf = java.time.LocalDate.parse("2019-10-05"))
+    assert(gone.exists(_.contains("dt=2019-10-03")), gone.mkString(","))
+    assert(!gone.exists(_.contains("dt=2019-10-04")), gone.mkString(","))
+
+    // pre-planned scan still sees the full snapshot; fresh reads don't
+    assert(rows(pinned) === expectedAll)
+    val kept = History.readPinned(spark, lake)
+    assert(kept.select("dt").distinct().collect()
+      .map(_.get(0).toString).toSeq === Seq("2019-10-04"))
+
+    val (retired, _) = History.vacuum(spark, lake, graceMs = 0)
+    assert(retired >= 1)
+    // expired partition dirs are gone; the kept one and the ledger stay
+    val dirs = new java.io.File(lake).listFiles()
+      .filter(_.getName.startsWith("region=")).flatMap(_.listFiles())
+      .map(_.getName).toSet
+    assert(!dirs.contains("dt=2019-10-03"), dirs.mkString(","))
+    assert(ledger.lastCommitted === 7L)
+  }
+
+  test("legacy retention: expire manifest is the commit point readers honor") {
+    import spark.implicits._
+    val lake = freshLake()
+    val laterDoc = singleSiteDoc.replace("2019-10-03T15:43:00+10:00",
+      "2019-10-04T15:43:00+10:00")
+    History.writePartitioned(
+      records(streamPayload + laterDoc + NUL), lake)
+    val ledger = new Pipeline.FileBatchLedger(s"$lake/_ledger")
+    ledger.markCommitted(3L)
+    val fs = hadoopFs(lake)
+
+    // simulate a crash mid-delete: the expire manifest is published but
+    // the dirs still exist — a reader must already exclude them (no
+    // partial-delete window), and recovery rolls the delete forward
+    val pending = new org.apache.hadoop.fs.Path(
+      History.expireManifestPath(lake))
+    fs.mkdirs(pending.getParent): Unit
+    val out = fs.create(pending, true)
+    val doomed = new java.io.File(lake).listFiles()
+      .filter(_.getName.startsWith("region=")).flatMap(_.listFiles())
+      .filter(_.getName == "dt=2019-10-03")
+      .map(d => d.getParentFile.getName + "/" + d.getName)
+    try out.write(doomed.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val seen = History.readSnapshot(spark, lake)
+      .select("dt").distinct().collect().map(_.get(0).toString).toSet
+    assert(seen === Set("2019-10-04"), seen.mkString(","))
+    assert(History.recoverExpire(spark, lake))
+    assert(!fs.exists(pending))
+
+    // and the normal path end-to-end on what remains: a no-match expire
+    // is a no-op; expiring the rest leaves an empty (but readable) lake
+    assert(History.expirePartitions(spark, lake,
+      col("dt") === "1999-01-01").isEmpty)
+    val gone = History.expirePartitions(spark, lake,
+      col("dt") === "2019-10-04")
+    assert(gone.nonEmpty)
+    // every partition dir (and emptied region parent) is gone; the
+    // ledger survives retention
+    val remaining = new java.io.File(lake).listFiles()
+      .map(_.getName).filter(_.startsWith("region=")).toSeq
+    assert(remaining.isEmpty, remaining.mkString(","))
+    assert(ledger.lastCommitted === 3L)
+  }
+}
