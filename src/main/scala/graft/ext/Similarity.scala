@@ -490,14 +490,56 @@ object Similarity {
         round(col("col.score"), 6).as("adc_score"))
   }
 
+  /** Write `corpus` bucketed by `idCol` (sorted within buckets) into the
+    * session catalog — the at-rest layout that makes [[pqSearch]]'s
+    * candidate fetch shuffle-free on the corpus side: the bucketed scan
+    * reports `HashPartitioning(idCol, buckets)`, so the re-rank join
+    * shuffles only the Q·shortlist candidate rows to the corpus's
+    * buckets, never the corpus itself (at 10⁹+ vectors the corpus-side
+    * shuffle would BE the job — `AnalyticsAndPlanSpec` asserts the plan
+    * has no Exchange above the bucketed scan). `saveAsTable` because
+    * Spark persists the bucket spec only through the catalog; pass
+    * `path` to pin the table to an external location. */
+  def writeBucketedCorpus(corpus: DataFrame, idCol: String, table: String,
+                          buckets: Int, path: Option[String] = None): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = corpus.sparkSession
+    // idempotent across JVMs: an in-memory catalog forgets the table at
+    // restart while its warehouse dir persists, and saveAsTable refuses
+    // a location it does not know about — drop both the entry and any
+    // stale location before (re)writing
+    spark.sql(s"DROP TABLE IF EXISTS `$table`"): Unit
+    val loc = path.map(p => new org.apache.hadoop.fs.Path(p)).getOrElse(
+      new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(loc, true): Unit
+    val w = corpus.write.mode("overwrite")
+      .bucketBy(buckets, idCol).sortBy(idCol).format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** Candidate fetch for the re-rank stage: shortlist (query_id, b_id)
+    * pairs joined to the id-keyed corpus for their full vectors. Reads
+    * the corpus through whatever partitioning it has at rest — on a
+    * [[writeBucketedCorpus]] table the join plans no Exchange on the
+    * corpus side. */
+  def fetchCorpus(cand: DataFrame, corpus: DataFrame, idCol: String,
+                  embCol: String): DataFrame =
+    cand.join(corpus.select(col(idCol).as("b_id"), col(embCol).as("b_emb")),
+      Seq("b_id"))
+
   /** Complete PQ search: ADC over the code table produces a `shortlist`
     * of candidates per query (compressed-domain scan — the cheap pass),
     * then ONLY those candidates' full vectors are fetched and re-ranked
     * by exact inner product (the standard two-stage PQ pipeline; the
     * approximation error of ADC confines itself to shortlist membership,
     * not final ordering). At corpus scale the re-rank join touches
-    * Q·shortlist rows against the id-keyed corpus — bucket the corpus
-    * by id at rest and the fetch is shuffle-free. */
+    * Q·shortlist rows against the id-keyed corpus — pass a
+    * [[writeBucketedCorpus]] table as `corpus` and the fetch is
+    * shuffle-free on the corpus side (s11 gates the bucketed pipeline;
+    * the plan property is spec-asserted). */
   def pqSearch(codes: DataFrame, queries: DataFrame, pq: DataFrame,
                corpus: DataFrame, idCol: String, embCol: String,
                dim: Int, m: Int, k: Int, shortlist: Int): DataFrame = {
@@ -505,8 +547,7 @@ object Similarity {
       .select(col("query_id"), col("b_id"))
     val q = queries.select(col(idCol).as("query_id"),
       col(embCol).as("q_emb"))
-    cand.join(corpus.select(col(idCol).as("b_id"), col(embCol).as("b_emb")),
-        Seq("b_id"))
+    fetchCorpus(cand, corpus, idCol, embCol)
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("b_id"),
         round(dot(col("q_emb"), col("b_emb")), 6).as("score"))

@@ -335,6 +335,56 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
     assert(!adcPlan.contains("CartesianProduct"), adcPlan.take(1500))
   }
 
+  test("plan quality: PQ re-rank fetch plans no Exchange above the bucketed corpus") {
+    // pqSearch's scale claim: with the corpus id-bucketed at rest
+    // (writeBucketedCorpus), the candidate fetch shuffles only the
+    // Q·shortlist rows to the corpus's buckets — the corpus side of the
+    // join must plan NO Exchange. Broadcast and AQE are disabled so the
+    // static shuffle-join shape is what gets asserted.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val savedB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      spark.sql("DROP TABLE IF EXISTS plan_corpus_bucketed")
+      graft.ext.Similarity.writeBucketedCorpus(emb, "vec_id",
+        "plan_corpus_bucketed", buckets = 8)
+      val corpus = spark.table("plan_corpus_bucketed")
+      val ids = emb.select("vec_id").limit(3).collect().map(_.getLong(0))
+      val cand = ids.toSeq.map(i => (0L, i)).toDF("query_id", "b_id")
+      val fetched = graft.ext.Similarity.fetchCorpus(cand, corpus,
+        "vec_id", "embedding")
+      val plan = fetched.queryExecution.executedPlan
+      def bucketScans(p: SparkPlan) = p.collect {
+        case s: FileSourceScanExec if s.relation.bucketSpec.nonEmpty => s
+      }
+      assert(bucketScans(plan).nonEmpty, plan.toString.take(1500))
+      val join = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }.head
+      val corpusSide =
+        if (bucketScans(join.right).nonEmpty) join.right else join.left
+      assert(bucketScans(corpusSide).nonEmpty)
+      assert(corpusSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        corpusSide.toString.take(1500))
+      // the candidate side is the one that adapts: it shuffles to the
+      // corpus's bucket partitioning
+      val candSide =
+        if (corpusSide eq join.right) join.left else join.right
+      assert(candSide.collect { case e: ShuffleExchangeExec => e }.nonEmpty,
+        candSide.toString.take(1500))
+      assert(fetched.count() === 3)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedB)
+      spark.conf.set("spark.sql.adaptive.enabled", savedA)
+    }
+  }
+
   test("plan quality: runtime bloom filter prunes the fact side of a selective join") {
     // At 100 TB a selective dim/filter side should row-prune the fact
     // scan BEFORE the shuffle — Spark's runtime bloom filter does this
