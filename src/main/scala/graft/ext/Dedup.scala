@@ -142,6 +142,19 @@ object Dedup {
     if (r != null) org.apache.spark.sql.graftbridge.DatasetBridge
       .releaseRdd(r)
 
+  /** Release every checkpoint backing a frame returned by
+    * [[resolveClusters]] / [[resolveClustersStar]] / [[incrementalKeep]]
+    * — executor blocks AND reliable checkpoint files. The explicit
+    * release path for `reliable = true` callers: the ContextCleaner
+    * reclaims local-checkpoint blocks under GC pressure, but RELIABLE
+    * checkpoint files outlive the JVM unless
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is set — call
+    * this once the result (and anything derived from it) is no longer
+    * needed. Idempotent. */
+  def releaseBacking(df: DataFrame): Unit =
+    org.apache.spark.sql.graftbridge.DatasetBridge.backingRdds(df)
+      .foreach(releaseRdd)
+
   /** Checkpoint + materialize eagerly (count), returning the wrapped
     * frame and the releasable RDD handle. */
   private def ckptEager(df: DataFrame, reliable: Boolean)
@@ -403,9 +416,11 @@ object Dedup {
     // each of which would otherwise re-derive BOTH sides' full
     // shingle→minhash→band pipelines from text (measured ~2× the whole
     // gate). The table is batch-sized (bands of the admitted batch), so
-    // the checkpoint is small by construction; its blocks back the
-    // returned frame and are reclaimed via DatasetBridge.backingRdds or
-    // the driver's ContextCleaner once the result is dropped.
+    // the checkpoint is small by construction; its handle (and the CC's
+    // final label checkpoint) root the returned frame's plan, so
+    // reliable-mode callers release BOTH via releaseBacking(result) —
+    // without it, reliable checkpoint FILES live for the JVM's life
+    // (local-mode blocks are also GC-reclaimed by the ContextCleaner).
     val (surviving, _) = ckptEager(survivingPlan, reliable)
     val drop = resolveClusters(lshCandidatePairs(surviving, idCol),
       reliable = reliable)

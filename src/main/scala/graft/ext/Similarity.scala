@@ -280,11 +280,11 @@ object Similarity {
       case None =>
         // first publish: version DIRS older than ours may belong to a
         // concurrent first trainer that hasn't flipped yet, so they are
-        // left alone (the second publish cleans them) — but pointer TMP
-        // files are sub-second transients, so one older than our whole
-        // parquet write is a crash leftover; deleting a live racer's tmp
-        // in the worst case fails THAT publish loudly (retryable), never
-        // a dangling pointer
+        // left alone (the second publish cleans them); pointer TMPs are
+        // additionally guarded below by their embedded version dir —
+        // only a tmp whose dir is already gone (a true crash leftover)
+        // is ever prunable, so a live racer's just-written tmp survives
+        // even on filesystems with 1 s mtime granularity
         Some(try fs.getFileStatus(
           new org.apache.hadoop.fs.Path(root, version)).getModificationTime
         catch { case _: java.io.FileNotFoundException => return })
@@ -296,8 +296,15 @@ object Similarity {
           val n = s.getPath.getName
           val dirPrunable = prev.isDefined && s.isDirectory &&
             n.startsWith("quantizer-") && !keep(n)
+          // a pointer tmp embeds its version name: while that version
+          // dir still exists the tmp may be a LIVE racer mid-flip
+          // (mtime granularity is 1 s on some filesystems, so an
+          // age-gate alone can tie with a just-written tmp) — leave it;
+          // once its dir is pruned the orphan tmp goes on the next pass
           val tmpPrunable = s.isFile &&
-            n.startsWith(".current.") && n.endsWith(".tmp")
+            n.startsWith(".current.") && n.endsWith(".tmp") &&
+            !fs.exists(new org.apache.hadoop.fs.Path(root,
+              n.stripPrefix(".current.").stripSuffix(".tmp")))
           (dirPrunable || tmpPrunable) && s.getModificationTime < gate
         }
         .foreach(s => fs.delete(s.getPath, true): Unit)

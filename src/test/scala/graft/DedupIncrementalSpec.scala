@@ -52,6 +52,43 @@ class DedupIncrementalSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 11L, 21L))
   }
 
+  test("releaseBacking reclaims reliable checkpoint files after admission") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val savedCkpt = sc.getCheckpointDir
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft-reliable-ckpt").toString
+    sc.setCheckpointDir(ckptDir)
+    try {
+      val incoming = bandsOf(Seq(
+        (1L, "the quick brown fox jumps over the lazy dog tonight"),
+        (2L, "another document with sufficiently different token content"))
+        .toDF("doc_id", "text"))
+      val corpus = Seq.empty[(Long, Int, String)]
+        .toDF("doc_id", "band", "bkey")
+      val kept = Dedup.incrementalKeep(incoming, corpus, "doc_id",
+        reliable = true)
+      assert(kept.collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+      def ckptFiles(): Seq[java.nio.file.Path] = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+            .toList
+        } finally s.close()
+      }
+      // the surviving-band + final-label checkpoints live on disk and
+      // would outlive the JVM without the explicit release path
+      assert(ckptFiles().nonEmpty)
+      Dedup.releaseBacking(kept)
+      assert(ckptFiles().isEmpty,
+        ckptFiles().map(_.toString).mkString(","))
+    } finally savedCkpt match {
+      case Some(d) => sc.setCheckpointDir(d)
+      case None => () // leave the temp dir set; no API to unset
+    }
+  }
+
   test("incremental admission survives degenerate docs (null/empty/one-word)") {
     import spark.implicits._
     val incoming = Seq(
