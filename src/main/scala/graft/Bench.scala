@@ -53,12 +53,18 @@ object Bench {
     // Local-floor probe: the per-action cost of this host/session —
     // scheduler round-trips, AQE re-planning, codegen-cache lookups, task
     // launch — measured on a minimal scan→shuffle→agg query of the same
-    // shape the cheap gates plan. 56 of the 104 oracles cost DuckDB
+    // shape the cheap gates plan. Over half the oracles cost DuckDB
     // <50 ms while ANY Spark action pays this floor, so the floor × count
     // is the structural part of the suite total that amortizes to zero on
     // a real cluster (per-query overhead is constant while per-query work
     // grows with data). Reported per query and per family so the
-    // suite-vs-oracle ratio can be read net of it.
+    // suite-vs-oracle ratio can be read net of it. What IS shared across
+    // gates (and across iterations): INPUT relations only — the x-family's
+    // parsed fixture frames (XmlQueries.memoInput), the h-family's
+    // one-time lake BUILD (its per-query partition-pruned READS are the
+    // gated behavior and stay uncached), and s11's at-rest bucketed
+    // corpus table. Query work (LSH pairs, CC, k-means training) is
+    // evicted below so min-of-N times the real pipeline.
     val floor = {
       val probe = spark.read.parquet(s"$sfDir/region.parquet")
       val ts = (0 until 11).map { _ =>

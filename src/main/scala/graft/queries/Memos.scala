@@ -23,10 +23,11 @@ object Memos {
   def evictQueryMemos(spark: SparkSession): Unit =
     ExtQueries.evict(spark)
 
-  /** Full session teardown: query memos, the typed-history temp lake,
-    * and the cached parquet relations. */
+  /** Full session teardown: query memos, the x-family input relations,
+    * the typed-history temp lake, and the cached parquet relations. */
   def evictAll(spark: SparkSession): Unit = {
     ExtQueries.evict(spark)
+    XmlQueries.evict(spark)
     HistoryQueries.evict(spark)
     graft.Tables.evict(spark)
   }

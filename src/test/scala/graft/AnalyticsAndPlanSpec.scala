@@ -413,17 +413,28 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
     // filter pushdown inline the parse into every Post-Scan Filter: the
     // topology path evaluated from_xml 3-4x per row. At 100 TB the XML
     // parse IS the scan cost, so count occurrences in the executed plan.
+    // Built directly from the fixtures (the same construction the
+    // x-family's shared-input memo runs once per session — the gates
+    // themselves now serve the downstream plans from that cached input).
+    import spark.implicits._
     def countParses(df: org.apache.spark.sql.DataFrame): Int = {
       val plan = df.queryExecution.executedPlan.toString
       "from_xml".r.findAllMatchIn(plan).length
     }
-    val arms = SparkEntry.queries("x02_topology_arms")(spark, "")
+    val sites = graft.ops.Topology.sites(graft.parse.TransisXml.parse(
+      Seq(topologyDoc).toDF("fragment"),
+      graft.model.Schemas.topologyResponse))
+    val arms = graft.ops.Topology.arms(sites)
     assert(countParses(arms) === 1,
       arms.queryExecution.executedPlan.toString.take(2000))
-    val counts = SparkEntry.queries("x01_detector_counts")(spark, "")
+    val records = graft.ops.DetectorCounts.toRecords(
+      graft.parse.TransisXml.detectorCountDocs(graft.parse.TransisXml.parse(
+        graft.parse.TransisXml.frame(Seq(streamPayload).toDF("value")),
+        graft.model.Schemas.transisResponse)))
+    val counts = graft.ops.DetectorCounts.explodedCounts(records)
     assert(countParses(counts) === 1,
       counts.queryExecution.executedPlan.toString.take(2000))
-    val phases = SparkEntry.queries("x03_topology_phases")(spark, "")
+    val phases = graft.ops.Topology.phases(sites)
     assert(countParses(phases) === 1,
       phases.queryExecution.executedPlan.toString.take(2000))
   }
