@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM-training-data pipelines (SURVEY.md §7.4):
@@ -154,4 +155,53 @@ object TextAnalysis {
     }
     md5Bucket(idCol) < rate * 4294967296.0
   }
+
+  /** Token-budget shard assignment (t08): docs ordered by `ordCol`
+    * within each `keyCol` are packed into shards of `budget` tokens by
+    * the exclusive running prefix sum of `tokCol` — the "cut a source
+    * into ~2000-token training shards" step.
+    *
+    * Default plan: one ordered window per key — right when keys are
+    * many (the window partition bounds state and keys parallelize).
+    * `blockOrds` is the FEW-KEYS scale escape: a single giant key would
+    * serialize its whole running sum through one task, so the prefix
+    * sum goes two-level — docs window over (key, block) partitions
+    * (block = ordCol / blockOrds, bounded state), block TOTALS window
+    * over the #key·#block summary rows (tiny), and the exclusive
+    * running sum is within-block + carried block offset. Exact prefix
+    * sums either way: chunked ≡ unchunked on any input
+    * (`TextRobustnessSpec` proves it on randomized data).
+    *
+    * Output: input columns + `shard` (int, 0-based per key). */
+  def tokenShards(docs: DataFrame, keyCol: String, ordCol: String,
+                  tokCol: String, budget: Double,
+                  blockOrds: Option[Long] = None): DataFrame =
+    blockOrds match {
+      case None =>
+        val w = Window.partitionBy(col(keyCol)).orderBy(col(ordCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs.withColumn("shard",
+          floor((sum(col(tokCol)).over(w) - col(tokCol))
+            .cast("double") / budget).cast("int"))
+      case Some(n) =>
+        require(n > 0, s"blockOrds must be positive, got $n")
+        val blocked = docs.withColumn("_block", floor(col(ordCol) / lit(n)))
+        val wIn = Window.partitionBy(col(keyCol), col("_block"))
+          .orderBy(col(ordCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wOff = Window.partitionBy(col(keyCol)).orderBy(col("_block"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = blocked.groupBy(col(keyCol), col("_block"))
+          .agg(sum(col(tokCol)).as("_blockTotal"))
+          .select(col(keyCol), col("_block"),
+            coalesce(sum(col("_blockTotal")).over(wOff), lit(0L))
+              .as("_offset"))
+        blocked
+          .withColumn("_within", sum(col(tokCol)).over(wIn))
+          .join(offsets, Seq(keyCol, "_block"))
+          .withColumn("shard",
+            floor((col("_within") + col("_offset") - col(tokCol))
+              .cast("double") / budget).cast("int"))
+          .drop("_block", "_within", "_offset")
+    }
 }

@@ -777,14 +777,10 @@ object ExtQueries {
     // the sort-based packing shape; partition by source keeps the
     // ordering window bounded at scale).
     "t08_token_shards" -> ((s, d) => {
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      documents(s, d)
-        .select(col("source"), col("doc_id"),
-          TextAnalysis.bpeTokenCount(col("text")).as("n_tok"))
-        .withColumn("shard",
-          floor((sum(col("n_tok")).over(w) - col("n_tok"))
-            .cast("double") / 2000.0).cast("int"))
+      TextAnalysis.tokenShards(
+        documents(s, d).select(col("source"), col("doc_id"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_tok")),
+        "source", "doc_id", "n_tok", budget = 2000.0)
     }),
 
     // Frame-sampling plumbing (one input row → n frame rows inside

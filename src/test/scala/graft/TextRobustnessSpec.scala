@@ -46,6 +46,34 @@ class TextRobustnessSpec extends AnyFunSuite {
     assert(rep.length === 6)
   }
 
+  test("two-level token sharding ≡ single-window on seeded random data") {
+    import spark.implicits._
+    // one giant key + two small ones — the few-keys shape where a
+    // single running-sum window would serialize; block sizes chosen to
+    // exercise mid-block cuts, block-boundary cuts, and empty blocks
+    // (sparse ord ids)
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 500).filter(_ => rnd.nextDouble() < 0.7).map { i =>
+      val key = if (i % 10 == 0) "small" + (i % 3) else "giant"
+      (key, i.toLong, rnd.nextInt(900).toLong + 100L)
+    }
+    val df = rows.toDF("source", "doc_id", "n_tok").repartition(7)
+    def canon(out: org.apache.spark.sql.DataFrame) = out
+      .select("source", "doc_id", "n_tok", "shard").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    val plain = canon(graft.ext.TextAnalysis.tokenShards(
+      df, "source", "doc_id", "n_tok", budget = 2000.0))
+    // shards are contiguous and budget-packed on the plain path
+    assert(plain.map(_._4).max >= 2) // the giant key spans several shards
+    for (block <- Seq(1L, 16L, 128L, 1000000L)) {
+      val chunked = canon(graft.ext.TextAnalysis.tokenShards(
+        df, "source", "doc_id", "n_tok", budget = 2000.0,
+        blockOrds = Some(block)))
+      assert(chunked === plain, s"blockOrds=$block diverged")
+    }
+  }
+
   test("as-of join: at-or-before semantics, ties, and missing matches") {
     import spark.implicits._
     val clicks = Seq((1L, 100L, 10L), (1L, 50L, 11L), (2L, 10L, 12L))
