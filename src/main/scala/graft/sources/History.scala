@@ -103,6 +103,10 @@ object History {
     // finish any interrupted swap BEFORE the read below lists files —
     // recovery renames directories out from under an already-planned scan
     recoverCompaction(spark, path): Unit
+    // a crashed expiry left its manifest with dirs possibly undeleted:
+    // roll it forward FIRST, or the partition matching below would
+    // resurrect committed-deleted partitions into the compaction
+    recoverExpire(spark, path): Unit
     val conf = spark.sparkContext.hadoopConfiguration
     val rawStage = new org.apache.hadoop.fs.Path(compactStagingDir(path))
     val fs = rawStage.getFileSystem(conf)
@@ -762,18 +766,35 @@ object History {
     * (null-filled for partitions written before the change). The default
     * `spark.read.parquet` infers from one footer and would silently omit
     * late columns; compaction gradually converges old partitions onto
-    * the unioned schema (compactLatest rewrites with mergeSchema). */
-  def readEvolved(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(path)
+    * the unioned schema (compactLatest rewrites with mergeSchema).
+    * Manifest-mode lakes read the manifest's current files (a plain
+    * directory read would double-count retired files inside a vacuum
+    * grace window). */
+  def readEvolved(spark: SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    FileManifest.latest(fs, path) match {
+      case None => spark.read.option("mergeSchema", "true").parquet(path)
+      case Some(m) if m.cur.isEmpty => spark.emptyDataFrame
+      case Some(m) =>
+        val qRoot = fs.makeQualified(root)
+        spark.read.option("mergeSchema", "true")
+          .option("basePath", qRoot.toString)
+          .parquet(m.cur.sorted.map(rel =>
+            new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*)
+    }
+  }
 
-  /** S4: `get_data_from` — date-bounded scan; the `dt >= …` predicate is a
-    * partition filter (no data files outside the range are opened). */
+  /** S4: `get_data_from` — date-bounded scan; the `dt >= …` predicate is
+    * a partition filter (no data files outside the range are opened —
+    * explicit file paths carry their partition dirs, so pruning holds on
+    * manifest-pinned reads too). */
   def readFrom(spark: SparkSession, path: String, fromDate: String): DataFrame =
-    spark.read.parquet(path).filter(col("dt") >= fromDate)
+    readPinned(spark, path).filter(col("dt") >= fromDate)
 
   /** S5-flavored: region + date bounded scan (both partition columns). */
   def readRegionFrom(spark: SparkSession, path: String, region: String,
                      fromDate: String): DataFrame =
-    spark.read.parquet(path)
+    readPinned(spark, path)
       .filter(col("region") === region && col("dt") >= fromDate)
 }

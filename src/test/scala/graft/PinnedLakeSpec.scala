@@ -149,6 +149,28 @@ class PinnedLakeSpec extends AnyFunSuite {
     assert(ledger.lastCommitted === 7L)
   }
 
+  test("bounded reads prune partitions and skip retired files on a manifest lake") {
+    import spark.implicits._
+    val lake = freshLake()
+    val laterDoc = singleSiteDoc.replace("2019-10-03T15:43:00+10:00",
+      "2019-10-04T15:43:00+10:00")
+    History.writePartitioned(records(streamPayload + laterDoc + NUL), lake)
+    History.enableManifests(spark, lake): Unit
+    // compact one day: its old files are retired but physically present
+    History.compactLatest(spark, lake, Seq("siteId"), ts,
+      col("dt") === "2019-10-03")
+    // a plain directory read would now double-count dt=2019-10-03; the
+    // typed readers ride the manifest and must not
+    val day1 = History.readFrom(spark, lake, "2019-10-03")
+      .filter(col("dt") === "2019-10-03")
+    assert(day1.select("siteId").distinct().count() ===
+      day1.select("siteId").count()) // latest-wins, no double rows
+    val pruned = History.readRegionFrom(spark, lake, "ROZ", "2019-10-04")
+    assert(pruned.count() === 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+  }
+
   test("legacy retention: expire manifest is the commit point readers honor") {
     import spark.implicits._
     val lake = freshLake()
