@@ -114,6 +114,48 @@ class PinnedLakeSpec extends AnyFunSuite {
     assert(History.readPinned(spark, lake).count() === 3) // 1 + 2 sites
   }
 
+  test("in-line maintenance on a manifest lake keeps every committed row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lake = freshLake()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-pinned-ck").toString
+    History.enableManifests(spark, lake): Unit
+    val ledger = new Pipeline.FileBatchLedger(s"$lake/_ledger")
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = Pipeline.archive(Pipeline.payloadToRecords(input.toDF()),
+      lake, ckpt, Some(ledger), compactEvery = Some(2))
+    try {
+      // 4 micro-batches; maintenance compacts touched partitions on the
+      // even ones — every append and every compaction is a manifest flip
+      input.addData(singleSiteDoc + NUL)
+      q.processAllAvailable()
+      input.addData(multiSiteDoc + NUL)
+      q.processAllAvailable()
+      input.addData(singleSiteDoc + NUL) // exact logical duplicate
+      q.processAllAvailable()
+      input.addData(multiSiteDoc + NUL)
+      q.processAllAvailable()
+      val fs = hadoopFs(lake)
+      val m = FileManifest.latest(fs, lake).get
+      assert(m.version > 4, s"expected append+compact flips, got v${m.version}")
+      // latest-wins on (siteId, ts): duplicates collapsed where
+      // maintenance ran, and NO committed (siteId, ts) pair lost
+      val got = History.readPinned(spark, lake)
+        .select(col("siteId"), col(ts)).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got.toSet === Set(("2087", epoch1543), ("2087", epoch1548),
+        ("8", epoch1548)), got.mkString(";"))
+      // after grace-0 vacuum the directory layout agrees with the
+      // manifest exactly (retired + orphan files reclaimed)
+      History.vacuum(spark, lake, graceMs = 0): Unit
+      assert(rows(spark.read.parquet(lake)).sorted ===
+        rows(History.readPinned(spark, lake)).sorted)
+      assert(ledger.lastCommitted === 3L)
+    } finally q.stop()
+  }
+
   test("manifest-mode retention: expiry is a manifest flip, vacuum reclaims") {
     import spark.implicits._
     val lake = freshLake()
