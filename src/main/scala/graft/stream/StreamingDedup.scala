@@ -1,0 +1,75 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.ext.{Dedup, TextAnalysis}
+import graft.sources.LakeCommit
+
+/** Streaming dedup admission (§2.9 × d09): each micro-batch of documents
+  * is admitted against the ACCUMULATED MinHash/LSH band table, and only
+  * the admitted docs' bands append to it — near-dup filtering at ingest,
+  * the stage a continuously-fed training-data pipeline runs so the
+  * corpus never has to be re-deduplicated from text.
+  *
+  * Per batch (all bounded by the BATCH, never the corpus):
+  * shingle→minhash→band the incoming docs once; [[Dedup.incrementalKeep]]
+  * probes the corpus band table with a semi-join (corpus text is never
+  * read); admitted bands append via the same stage-then-publish commit
+  * as the lake archive, so a crash-replayed batch converges to exactly
+  * one copy of its bands — the band table stays a faithful index of
+  * exactly the admitted corpus. The per-batch checkpoint inside the
+  * admission is released after the batch completes (a week-long stream
+  * must not accumulate per-batch checkpoint blocks).
+  */
+object StreamingDedup {
+
+  /** Start the admission stream. `onAdmitted` receives the admitted
+    * subset of each micro-batch (original columns) — route it to the
+    * corpus sink; rejected near-dups simply don't appear.
+    *
+    * @param bandTable directory of the accumulated band table (put the
+    *   ledger at `<bandTable>/_ledger` to make replays exactly-once
+    *   across restarts)
+    */
+  def admitStream(docs: DataFrame, idCol: String, textCol: String,
+                  bandTable: String, checkpointDir: String,
+                  ledger: Option[Pipeline.BatchLedger] = None,
+                  shingleN: Int = 3, sigK: Int = 8, bandRows: Int = 2)
+                 (onAdmitted: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!ledger.exists(_.lastCommitted >= batchId)) {
+          val spark = batch.sparkSession
+          val sh = batch.select(col(idCol),
+            explode(TextAnalysis.wordShingles(col(textCol), shingleN))
+              .as("shingle"))
+          val bands = Dedup.lshBands(
+            Dedup.minhashSignatures(sh, idCol, sigK), idCol, sigK, bandRows)
+          val fs = new org.apache.hadoop.fs.Path(bandTable)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val hasCorpus = {
+            val p = new org.apache.hadoop.fs.Path(bandTable)
+            fs.exists(p) && fs.listStatus(p).exists(s =>
+              s.isFile && !s.getPath.getName.startsWith("_") &&
+                !s.getPath.getName.startsWith("."))
+          }
+          val corpus =
+            if (hasCorpus) spark.read.parquet(bandTable)
+            else bands.limit(0)
+          val kept = Dedup.incrementalKeep(bands, corpus, idCol)
+          try {
+            // exactly-once band append: batch-tagged stage-then-publish
+            // (replay sweeps a prior partial attempt's files first)
+            bands.join(kept, Seq(idCol), "left_semi")
+              .write.mode("overwrite")
+              .parquet(LakeCommit.stagingDir(bandTable, batchId))
+            LakeCommit.publish(spark, bandTable, batchId): Unit
+            onAdmitted(batch.join(kept, Seq(idCol), "left_semi"), batchId)
+            ledger.foreach(_.markCommitted(batchId))
+          } finally Dedup.releaseBacking(kept)
+        }
+      }
+      .start()
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.stream.{Pipeline, StreamingDedup}
+
+/** Dedup at ingest: the streaming admission must reject near-dups of
+  * everything previously ADMITTED (not merely seen), keep exactly one
+  * of an intra-batch duplicate pair, accumulate only admitted bands,
+  * and make crash-replayed batches no-ops. */
+class StreamingDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("admission stream rejects corpus and intra-batch near-dups exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.sparkContext.setLogLevel("WARN")
+    val bandTable = java.nio.file.Files
+      .createTempDirectory("graft-stream-bands").toString + "/bands"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-dedup-ck").toString
+    val ledger = new Pipeline.FileBatchLedger(s"$bandTable/_ledger")
+    val admitted = new java.util.concurrent.ConcurrentHashMap[
+      Long, Set[Long]]()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.admitStream(
+      input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", bandTable, ckpt, Some(ledger)) { (df, id) =>
+      admitted.put(id,
+        df.select("doc_id").collect().map(_.getLong(0)).toSet): Unit
+    }
+    val tA = "the quick brown fox jumps over the lazy dog near the river bank"
+    val tB = "completely different content about distributed query engines and shuffles"
+    val tC = "a third unrelated document discussing parquet row group statistics"
+    val tD = "yet another one on watermark semantics in structured streaming jobs"
+    try {
+      // batch 0: two distinct docs → both admitted
+      input.addData((1L, tA), (2L, tB))
+      q.processAllAvailable()
+      assert(admitted.get(0L) === Set(1L, 2L))
+      // batch 1: near-dup of ADMITTED doc 1 rejected; new doc admitted
+      input.addData((10L, tA), (11L, tC))
+      q.processAllAvailable()
+      assert(admitted.get(1L) === Set(11L))
+      // batch 2: dup-of-corpus rejected; intra-batch dup keeps min id
+      input.addData((20L, tC), (21L, tD), (22L, tD))
+      q.processAllAvailable()
+      assert(admitted.get(2L) === Set(21L))
+      // the band table indexes exactly the admitted corpus
+      assert(spark.read.parquet(bandTable).select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 11L, 21L))
+      assert(ledger.lastCommitted === 2L)
+    } finally q.stop()
+
+    // crash-replay: a restarted query re-delivers early batches (fresh
+    // checkpoint → batchIds restart at 0); the durable ledger turns them
+    // into no-ops — no duplicate bands, no callback re-fire
+    val bandsBefore = spark.read.parquet(bandTable).count()
+    val replayAdmitted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val input2 = MemoryStream[(Long, String)]
+    val ckpt2 = java.nio.file.Files
+      .createTempDirectory("graft-stream-dedup-ck2").toString
+    val q2 = StreamingDedup.admitStream(
+      input2.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", bandTable, ckpt2, Some(ledger)) { (_, _) =>
+      replayAdmitted.incrementAndGet(): Unit
+    }
+    try {
+      input2.addData((1L, tA), (2L, tB)) // batch 0 again
+      q2.processAllAvailable()
+      assert(replayAdmitted.get() === 0)
+      assert(spark.read.parquet(bandTable).count() === bandsBefore)
+    } finally q2.stop()
+  }
+}
