@@ -39,5 +39,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[graft.functions.MisraGriesAgg].getName, "misra_gries"),
         (children: Seq[Expression]) =>
           graft.functions.MisraGriesFn.sqlBuilder(children)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_build"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.BloomBuildAgg].getName, "bloom_build"),
+        (children: Seq[Expression]) =>
+          graft.functions.Bloom.buildSqlBuilder(children)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_might_contain"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.BloomMightContain].getName,
+          "bloom_might_contain"),
+        (children: Seq[Expression]) =>
+          graft.functions.Bloom.probeSqlBuilder(children)))
   }
 }

@@ -106,5 +106,10 @@ object Views {
       "bottom_k", graft.functions.BottomK.sqlBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "misra_gries", graft.functions.MisraGriesFn.sqlBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_build", graft.functions.Bloom.buildSqlBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain", graft.functions.Bloom.probeSqlBuilder,
+      "built-in")
   }
 }

@@ -1,0 +1,262 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Bloom-filter surface for join pruning at corpus scale:
+  * `bloom_build` (an aggregate producing a serialized filter over a
+  * 64-bit hash column) + `bloom_might_contain` (a codegen probe that
+  * reads bits straight off the serialized bytes, no per-row
+  * deserialization).
+  *
+  * The target pattern is the 100 TB membership pre-filter: build the
+  * filter over the SMALL side's keys (one bounded-buffer aggregation —
+  * partials are fixed-size bit arrays, the shuffle carries one word
+  * array per partition), broadcast the single-row result, and probe the
+  * BIG side BEFORE its expensive shuffle (distinct / join) so rows that
+  * cannot match never leave their input partition. False positives are
+  * removed by the exact join that follows, so the composed operator
+  * stays exact — the filter only prunes, never decides
+  * (gate `t18_bloom_decontaminate`; reference analog: the corpus
+  * decontamination scan of `t11`, same contract, scale-safe plan).
+  *
+  * Hashing: callers feed an already-mixed 64-bit hash
+  * (`xxhash64(col)`); bit positions derive Guava-style by double
+  * hashing the two 32-bit halves — k probes cost two int ops each, no
+  * re-hash of the value.
+  *
+  * Serialized layout (BinaryType): `[int32 numHashes][int64 × words]`,
+  * big-endian; numBits = 64 × words. Sizing via [[Bloom.optimalNumBits]]
+  * / [[Bloom.optimalNumHashes]] (the standard  m = −n·lnp ⁄ ln²2,
+  * k = m⁄n·ln2 ).
+  */
+object Bloom {
+
+  /** m = ceil(−n ln p ⁄ ln²2), clamped to [64, 2³¹⁻¹] and rounded up to
+    * a whole 64-bit word. */
+  def optimalNumBits(expectedItems: Long, fpp: Double): Int = {
+    require(expectedItems > 0, s"bloom expectedItems must be > 0: $expectedItems")
+    require(fpp > 0.0 && fpp < 1.0, s"bloom fpp must be in (0,1): $fpp")
+    val raw = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2)))
+    val capped = math.min(raw, (Int.MaxValue - 63).toDouble).toLong
+    val bits = math.max(64L, capped)
+    (((bits + 63L) / 64L) * 64L).toInt
+  }
+
+  /** k = round(m⁄n · ln2), at least 1. */
+  def optimalNumHashes(expectedItems: Long, numBits: Long): Int =
+    math.max(1, math.round(numBits.toDouble / expectedItems * math.log(2)).toInt)
+
+  // ----- bit probing shared by eval, codegen, and the aggregate -----
+
+  private def readInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def readLong(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 56) | ((b(off + 1) & 0xffL) << 48) |
+      ((b(off + 2) & 0xffL) << 40) | ((b(off + 3) & 0xffL) << 32) |
+      ((b(off + 4) & 0xffL) << 24) | ((b(off + 5) & 0xffL) << 16) |
+      ((b(off + 6) & 0xffL) << 8) | (b(off + 7) & 0xffL)
+
+  /** Probe a serialized filter. Static so generated code can call it —
+    * the probe stays inside whole-stage codegen as one invoke. */
+  def mightContain(filter: Array[Byte], hash: Long): Boolean = {
+    val k = readInt(filter, 0)
+    val numBits = ((filter.length - 4) >> 3) << 6
+    if (numBits <= 0) return false
+    val h1 = hash.toInt
+    val h2 = (hash >>> 32).toInt
+    var i = 0
+    var combined = h1
+    while (i < k) {
+      var pos = combined % numBits
+      if (pos < 0) pos = ~pos % numBits // fold negatives back into range
+      val word = readLong(filter, 4 + ((pos >>> 6) << 3))
+      if ((word & (1L << (pos & 63))) == 0L) return false
+      combined += h2
+      i += 1
+    }
+    true
+  }
+
+  /** Set the k bit positions of `hash` in a word buffer (aggregate
+    * update path). Must mirror [[mightContain]]'s position sequence. */
+  private[functions] def setBits(words: Array[Long], numHashes: Int,
+                                 hash: Long): Unit = {
+    val numBits = words.length << 6
+    val h1 = hash.toInt
+    val h2 = (hash >>> 32).toInt
+    var i = 0
+    var combined = h1
+    while (i < numHashes) {
+      var pos = combined % numBits
+      if (pos < 0) pos = ~pos % numBits
+      words(pos >>> 6) |= 1L << (pos & 63)
+      combined += h2
+      i += 1
+    }
+  }
+
+  // ----- Column API -----
+
+  /** `bloom_build(hashCol, expectedItems, fpp)` → one BinaryType filter
+    * over the group's non-null 64-bit hashes. Feed `xxhash64(col)`. */
+  def bloom_build(hash: Column, expectedItems: Long, fpp: Double): Column = {
+    val bits = optimalNumBits(expectedItems, fpp)
+    ColumnBridge.column(
+      BloomBuildAgg(ColumnBridge.expression(hash), bits,
+        optimalNumHashes(expectedItems, bits))
+        .toAggregateExpression())
+  }
+
+  /** `bloom_might_contain(filter, hashCol)` — true iff the hash MIGHT be
+    * in the set the filter was built over (false → definitely absent). */
+  def bloom_might_contain(filter: Column, hash: Column): Column =
+    ColumnBridge.column(BloomMightContain(
+      ColumnBridge.expression(filter), ColumnBridge.expression(hash)))
+
+  // ----- SQL registry builders (shared by GraftExtensions / Views) -----
+
+  def buildSqlBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"bloom_build(hash, expectedItems, fpp) takes 3 arguments, got ${exprs.length}")
+    require(exprs(1).foldable && exprs(2).foldable,
+      "bloom_build's expectedItems and fpp must be literals")
+    val n = exprs(1).eval() match {
+      case x: Number => x.longValue()
+      case other => throw new IllegalArgumentException(
+        s"bloom_build expectedItems must be numeric, got $other")
+    }
+    val p = exprs(2).eval() match {
+      case x: Number => x.doubleValue()
+      case x: Decimal => x.toDouble
+      case other => throw new IllegalArgumentException(
+        s"bloom_build fpp must be numeric, got $other")
+    }
+    val bits = optimalNumBits(n, p)
+    BloomBuildAgg(exprs.head, bits, optimalNumHashes(n, bits))
+      .toAggregateExpression()
+  }
+
+  def probeSqlBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"bloom_might_contain(filter, hash) takes 2 arguments, got ${exprs.length}")
+    BloomMightContain(exprs(0), exprs(1))
+  }
+}
+
+/** The build side: a `TypedImperativeAggregate` whose buffer is the bit
+  * array itself — fixed size regardless of input rows, so partials are
+  * O(numBits) and merge is a word-wise OR. Output layout documented on
+  * [[Bloom]]. */
+case class BloomBuildAgg(
+    child: Expression,
+    numBits: Int,
+    numHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(numBits > 0 && numBits % 64 == 0,
+    s"bloom numBits must be a positive multiple of 64: $numBits")
+  require(numHashes > 0, s"bloom numHashes must be > 0: $numHashes")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bloom_build needs a 64-bit hash column (use xxhash64), got " +
+          other.catalogString)
+    }
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](numBits >>> 6)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) Bloom.setBits(buf, numHashes, v.asInstanceOf[Number].longValue())
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) |= b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.length)
+    bb.putInt(numHashes)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length >>> 3)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong; i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BloomBuildAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomBuildAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BloomBuildAgg =
+    copy(child = newChildren.head)
+}
+
+/** The probe side: codegen-friendly membership test over the serialized
+  * filter bytes. One static call inside whole-stage codegen; bits are
+  * read directly off the byte array (no allocation, no deserialize). */
+case class BloomMightContain(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType | IntegerType | ShortType | ByteType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain expects (binary, integral-hash), got " +
+          s"${l.catalogString} / ${r.catalogString}")
+    }
+
+  override def nullSafeEval(f: Any, h: Any): Any =
+    Bloom.mightContain(f.asInstanceOf[Array[Byte]],
+      h.asInstanceOf[Number].longValue())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (f, h) =>
+      s"graft.functions.Bloom.mightContain($f, (long) $h)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomMightContain =
+    copy(left = newLeft, right = newRight)
+}

@@ -636,6 +636,35 @@ object ExtQueries {
         .agg(count(lit(1)).cast("bigint").as("n_shared"))
     }),
 
+    // Bloom-pruned decontamination — t11's contract behind the native
+    // bloom_build / bloom_might_contain surface: the benchmark grams
+    // build ONE fixed-size filter (bounded partials, word-wise-OR
+    // merge), broadcast as a single row; the corpus side probes BEFORE
+    // its distinct shuffle, so grams that cannot be in the benchmark
+    // never leave their input partition — at 100 TB that prunes the
+    // dominant shuffle to the benchmark-overlap slice. The exact
+    // broadcast verify join after the probe removes bloom false
+    // positives, so the composed result is EXACT (oracle needs no bloom).
+    "t18_bloom_decontaminate" -> ((s, d) => {
+      val docs = documents(s, d)
+      val bench = docs.filter(col("doc_id") % 100 === 13)
+        .select(explode(TextAnalysis.wordShingles(col("text"), 3)).as("g"))
+        .distinct()
+      val filter = bench.agg(graft.functions.Bloom.bloom_build(
+        xxhash64(col("g")), 20000L, 0.01).as("bf"))
+      docs.filter(col("doc_id") % 100 =!= 13)
+        .select(col("doc_id"),
+          explode(TextAnalysis.wordShingles(col("text"), 3)).as("g"))
+        .crossJoin(broadcast(filter)) // single row by construction
+        .filter(graft.functions.Bloom.bloom_might_contain(
+          col("bf"), xxhash64(col("g"))))
+        .select(col("doc_id"), col("g"))
+        .distinct()
+        .join(broadcast(bench), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("bigint").as("n_shared"))
+    }),
+
     // Corpus profiling: per-source shape stats a pipeline reads before
     // deciding how to process a new snapshot. One hash aggregate; the
     // mean rides an integer sum so the division is bit-stable.
@@ -1584,6 +1613,26 @@ object ExtQueries {
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
          FROM dg JOIN bench USING (g)
          WHERE doc_id % 100 != 7
+         GROUP BY doc_id""",
+    // exact by construction: the bloom stage only PRUNES candidates and
+    // the verify join removes false positives, so the oracle is the
+    // same exact overlap count (benchmark slice 13)
+    "t18_bloom_decontaminate" ->
+      """WITH grams AS (
+           SELECT doc_id, unnest(
+             CASE WHEN len(string_split(text, ' ')) >= 3
+               THEN list_transform(
+                 range(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2])
+               ELSE [text] END) AS g
+           FROM documents
+         ), dg AS (SELECT DISTINCT doc_id, g FROM grams),
+         bench AS (SELECT DISTINCT g FROM dg WHERE doc_id % 100 = 13)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         FROM dg JOIN bench USING (g)
+         WHERE doc_id % 100 != 13
          GROUP BY doc_id""",
     "t13_split" ->
       """WITH s AS (
