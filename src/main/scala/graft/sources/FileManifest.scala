@@ -74,10 +74,30 @@ object FileManifest {
     }
   }
 
+  /** Every manifest version still on disk (ascending) — the time-travel
+    * horizon: versions vanish only when [[History.vacuum]]'s grace
+    * window retires them. */
+  def versions(fs: FileSystem, lakePath: String): Seq[Long] = {
+    val dir = new Path(manifestDir(lakePath))
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).iterator
+      .flatMap(s => parseVersion(s.getPath.getName)).toSeq.sorted
+  }
+
+  /** Read one specific retained version (time travel), or None if that
+    * version never existed or was vacuumed. */
+  def at(fs: FileSystem, lakePath: String, version: Long): Option[Manifest] =
+    if (fs.exists(versionPath(lakePath, version)))
+      Some(readVersion(fs, lakePath, version))
+    else None
+
   /** Read the highest-version manifest, or None when manifest mode is
     * off for this lake. */
   def latest(fs: FileSystem, lakePath: String): Option[Manifest] =
-    latestVersion(fs, lakePath).map { v =>
+    latestVersion(fs, lakePath).map(v => readVersion(fs, lakePath, v))
+
+  private def readVersion(fs: FileSystem, lakePath: String,
+                          v: Long): Manifest = {
       val in = fs.open(versionPath(lakePath, v))
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().filter(_.nonEmpty).toList

@@ -509,14 +509,48 @@ object History {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     FileManifest.latest(fs, path) match {
       case None => readSnapshot(spark, path)
-      case Some(m) if m.cur.isEmpty => spark.emptyDataFrame
-      case Some(m) =>
-        val qRoot = fs.makeQualified(root)
-        spark.read.option("basePath", qRoot.toString)
-          .parquet(m.cur.sorted.map(rel =>
-            new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*)
+      case Some(m) => planManifest(spark, fs, root, m)
     }
   }
+
+  /** Time travel: read the lake AS OF a retained manifest version — the
+    * table state some earlier commit published. Works because data files
+    * are immutable/immobile in manifest mode: every file vN references
+    * is still at its path until [[vacuum]]'s grace window retires both
+    * the superseded files and the stale version file (so the travel
+    * horizon IS the vacuum grace — size it to the audit window). Fails
+    * loudly on a vacuumed/unknown version (a silent fallback to latest
+    * would be a wrong-answer bug for an audit reader); [[versions]]
+    * lists what is still reachable. */
+  def readPinned(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    FileManifest.at(fs, path, version) match {
+      case Some(m) => planManifest(spark, fs, root, m)
+      case None => throw new IllegalArgumentException(
+        s"manifest version $version not retained at $path " +
+          s"(vacuumed or never published); retained: " +
+          s"${FileManifest.versions(fs, path).mkString(", ")}")
+    }
+  }
+
+  /** Manifest versions still reachable for [[readPinned]] time travel. */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    FileManifest.versions(fs, path)
+  }
+
+  private def planManifest(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      m: FileManifest.Manifest): DataFrame =
+    if (m.cur.isEmpty) spark.emptyDataFrame
+    else {
+      val qRoot = fs.makeQualified(root)
+      spark.read.option("basePath", qRoot.toString)
+        .parquet(m.cur.sorted.map(rel =>
+          new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*)
+    }
 
   /** Manifest-mode compaction: ADD the compacted files, RETIRE the old
     * ones, flip the manifest version — no live file ever moves, so

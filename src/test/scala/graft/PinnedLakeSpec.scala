@@ -213,6 +213,43 @@ class PinnedLakeSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters"), plan.take(500))
   }
 
+  test("time travel: readPinned at a retained version replays history") {
+    import spark.implicits._
+    val lake = freshLake()
+    History.writePartitioned(records(singleSiteDoc), lake)
+    History.enableManifests(spark, lake): Unit // v1
+    val v1State = rows(History.readPinned(spark, lake))
+
+    // a second committed batch advances the manifest
+    History.writePartitioned(records(multiSiteDoc), lake, mode = "append")
+    val fs = hadoopFs(lake)
+    FileManifest.addFiles(fs, lake,
+      FileManifest.listLiveFiles(fs, lake)) // v2 (idempotent dedupe adds only new)
+    // compaction flips to v3: v2's files retired but still on disk
+    History.compactLatest(spark, lake, Seq("siteId"), ts,
+      col("dt") === "2019-10-03")
+    assert(History.versions(spark, lake) === Seq(1L, 2L, 3L))
+
+    // each retained version answers with ITS committed state
+    assert(rows(History.readPinned(spark, lake, 1L)) === v1State)
+    val v2 = rows(History.readPinned(spark, lake, 2L))
+    assert(v2.size > v1State.size, s"v2 should see the appended batch: $v2")
+    assert(rows(History.readPinned(spark, lake, 3L)) ===
+      rows(History.readPinned(spark, lake)))
+
+    // vacuum past grace collapses the travel horizon: it publishes its
+    // own cleaned version (v4) and deletes the stale ones, so exactly
+    // one version survives, and a vacuumed version fails loudly,
+    // listing what's left
+    History.vacuum(spark, lake, graceMs = 0): Unit
+    val left = History.versions(spark, lake)
+    assert(left.size === 1 && left.head >= 3L, left.mkString(","))
+    val e = intercept[IllegalArgumentException] {
+      History.readPinned(spark, lake, 1L)
+    }
+    assert(e.getMessage.contains(s"retained: ${left.head}"), e.getMessage)
+  }
+
   test("legacy retention: expire manifest is the commit point readers honor") {
     import spark.implicits._
     val lake = freshLake()
