@@ -652,6 +652,68 @@ object RelationalQueries {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name").asc)
         .limit(10)
+    }),
+
+    // TPC-H Q2 shape (min-cost supplier), adapted: no partsupp table in
+    // this schema, so supply cost is the min observed line price per
+    // (part, supplier) pair. The oracle states the classic correlated
+    // "= (SELECT MIN ...)" form; the Spark plan is the aggregation-based
+    // decorrelation — derive per-part min cost once, join back on
+    // (partkey, cost): two shuffles on l_partkey, dims broadcast, no
+    // per-row re-scan. min() is order-free so DECIMAL(18,2) per-row
+    // casts keep both engines bit-identical.
+    "q46_min_cost_supplier" -> ((s, d) => {
+      val euSupp = supplier(s, d)
+        .join(broadcast(nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      val cost = lineitem(s, d)
+        .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"), col("s_suppkey"), col("s_name"),
+          col("n_name"))
+        .agg(min(col("l_extendedprice").cast("decimal(18,2)"))
+          .as("supply_cost"))
+      val minCost = cost.groupBy(col("l_partkey"))
+        .agg(min(col("supply_cost")).as("min_cost"))
+      cost.join(minCost, Seq("l_partkey"))
+        .filter(col("supply_cost") === col("min_cost"))
+        .join(broadcast(part(s, d).filter(col("p_brand") === "Brand#1")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"),
+          col("n_name"), col("supply_cost").cast("double").as("supply_cost"))
+    }),
+
+    // TPC-H Q22 shape (global sales opportunity), adapted: the nation
+    // name's numeric suffix stands in for the phone country code, and
+    // "no orders" means lapsed — none since 2000-06-01 (the synthetic
+    // data gives every customer SOME order, as sf-small TPC-H does
+    // not). The above-average-balance threshold is stated WITHOUT a
+    // division: bal * n_pos > sum_bal in exact DECIMAL arithmetic, so
+    // the borderline row can't flip between engines on a last-ULP
+    // average. The scalar aggregate is a broadcast single row; the
+    // lapsed test is a left-anti join (one shuffle, no correlated
+    // re-scan).
+    "q47_global_sales_opportunity" -> ((s, d) => {
+      val cust = customer(s, d)
+        .join(broadcast(nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .filter(substring(col("n_name"), 8, 10)
+          .isin("1", "5", "9", "13", "17", "21"))
+        .select(col("c_custkey"), col("n_name"),
+          col("c_acctbal").cast("decimal(18,2)").as("bal"))
+      val stats = cust.filter(col("bal") > 0)
+        .agg(sum(col("bal")).as("sum_bal"), count(lit(1)).as("n_pos"))
+      cust.crossJoin(broadcast(stats)) // single row by construction
+        .filter(col("bal") * col("n_pos") > col("sum_bal"))
+        .join(orders(s, d)
+            .filter(col("o_orderdate") >= lit("2000-06-01"))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("bal")).cast("double").as("totacctbal"))
     })
   )
 
@@ -1011,6 +1073,45 @@ object RelationalQueries {
                            WHERE l3.l_orderkey = l1.l_orderkey
                              AND l3.l_suppkey <> l1.l_suppkey
                              AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
-         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10"""
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""",
+    // stated as the classic correlated "= (SELECT MIN …)" Q2 form;
+    // DuckDB decorrelates it its own way and must agree with the Spark
+    // gate's aggregation-based decorrelation row-for-row
+    "q46_min_cost_supplier" ->
+      """WITH eu AS (
+           SELECT s_suppkey, s_name, n_name
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE'
+         ), cost AS (
+           SELECT l_partkey, s_suppkey, s_name, n_name,
+                  MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS supply_cost
+           FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+           GROUP BY 1, 2, 3, 4
+         )
+         SELECT p_partkey, p_name, s_name, n_name,
+                CAST(supply_cost AS DOUBLE) AS supply_cost
+         FROM cost JOIN part ON l_partkey = p_partkey
+         WHERE p_brand = 'Brand#1'
+           AND supply_cost = (SELECT MIN(c2.supply_cost) FROM cost c2
+                              WHERE c2.l_partkey = cost.l_partkey)""",
+    "q47_global_sales_opportunity" ->
+      """WITH cust AS (
+           SELECT c_custkey, n_name,
+                  CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           WHERE substr(n_name, 8) IN ('1', '5', '9', '13', '17', '21')
+         ), stats AS (
+           SELECT SUM(bal) AS sum_bal, COUNT(*) AS n_pos
+           FROM cust WHERE bal > 0
+         )
+         SELECT n_name, COUNT(*) AS numcust,
+                CAST(SUM(bal) AS DOUBLE) AS totacctbal
+         FROM cust, stats
+         WHERE bal * n_pos > sum_bal
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= '2000-06-01')
+         GROUP BY n_name"""
   )
 }
