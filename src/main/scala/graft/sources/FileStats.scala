@@ -1,0 +1,128 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import scala.jdk.CollectionConverters._
+
+/** Per-file column statistics for the manifest-mode lake — the second
+  * half of table-format scan planning: partition dirs prune by
+  * (region, dt); these stats prune WITHIN partitions by the min/max of
+  * a sort-ish column (the event-time epoch), read straight from
+  * parquet FOOTERS (no data pages touched).
+  *
+  * Design constraints that keep this safe:
+  *  - '''Stats are an optimization, never a correctness input.''' A
+  *    file with no stats entry is always planned; a stale sidecar can
+  *    only fail to prune, never wrongly prune (data files are
+  *    immutable, so a file's recorded [min,max] can never go stale).
+  *  - '''Sidecar, not manifest.''' Stats live in
+  *    `_manifests/stats.tsv`, rewritten whole and published by
+  *    write-tmp-then-rename, decoupled from the manifest commit — a
+  *    crash between data commit and stats refresh leaves correct reads
+  *    with weaker pruning, and the next [[refresh]] catches up.
+  *  - '''Refresh is incremental.''' Only files missing from the sidecar
+  *    get their footer read, so steady-state maintenance cost is
+  *    O(new files since last refresh) driver-side footer reads — the
+  *    same cost class as the manifest append itself. At 100 TB the
+  *    footer reads parallelize trivially if needed; they are metadata
+  *    (KBs per file), not data.
+  *
+  * Format: one `rel\tmin\tmax` line per file (epoch-long column).
+  */
+object FileStats {
+
+  def statsPath(lakePath: String): String =
+    s"${FileManifest.manifestDir(lakePath)}/stats.tsv"
+
+  /** Load the sidecar: rel path → (min, max). Empty when absent. */
+  def read(fs: FileSystem, lakePath: String): Map[String, (Long, Long)] = {
+    val p = new Path(statsPath(lakePath))
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+      lines.map { l =>
+        l.split('\t') match {
+          case Array(rel, mn, mx) => rel -> (mn.toLong, mx.toLong)
+          case other => throw new java.io.IOException(
+            s"bad stats line: ${other.mkString("\\t")}")
+        }
+      }.toMap
+    }
+  }
+
+  private def publish(fs: FileSystem, lakePath: String,
+                      stats: Map[String, (Long, Long)]): Unit = {
+    val dest = new Path(statsPath(lakePath))
+    val tmp = new Path(dest.getParent, dest.getName + ".tmp")
+    fs.mkdirs(dest.getParent): Unit
+    val out = fs.create(tmp, true)
+    try {
+      val sb = new StringBuilder
+      stats.toSeq.sortBy(_._1).foreach { case (rel, (mn, mx)) =>
+        sb.append(rel).append('\t').append(mn).append('\t').append(mx)
+          .append('\n')
+      }
+      out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+    fs.delete(dest, false): Unit
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"stats publish failed: $dest")
+  }
+
+  /** Footer min/max of a top-level INT64 column, or None when the file
+    * has no such column, no stats, or an unreadable footer (never
+    * throws — a file we can't stat just stays unpruned). Multi-rowgroup
+    * files fold across blocks. */
+  def minMaxFromFooter(conf: Configuration, file: Path,
+                       colName: String): Option[(Long, Long)] =
+    try {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        val ranges = blocks.flatMap { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == colName)
+            .flatMap { c =>
+              val st = c.getStatistics
+              if (st == null || st.isEmpty || !st.hasNonNullValue) None
+              else (st.genericGetMin, st.genericGetMax) match {
+                case (mn: java.lang.Long, mx: java.lang.Long) =>
+                  Some((mn.longValue(), mx.longValue()))
+                case _ => None
+              }
+            }
+        }
+        // every row group must report stats, or rows outside the folded
+        // range could exist in an unstatted block
+        if (ranges.isEmpty || ranges.size != blocks.size) None
+        else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+      } finally reader.close()
+    } catch { case _: Throwable => None }
+
+  /** Bring the sidecar up to date with the latest manifest: footer-read
+    * only the current files missing an entry, drop entries for files no
+    * longer current or retired (vacuum fodder), publish atomically.
+    * Returns the number of newly statted files. Run from the lake's
+    * writer sequence like any maintenance op. */
+  def refresh(fs: FileSystem, conf: Configuration, lakePath: String,
+              colName: String): Int = {
+    val m = FileManifest.latest(fs, lakePath).getOrElse(
+      throw new IllegalStateException(
+        s"stats refresh needs a manifest-mode lake: $lakePath"))
+    val have = read(fs, lakePath)
+    val qRoot = fs.makeQualified(new Path(lakePath))
+    val missing = m.cur.filterNot(have.contains)
+    val fresh = missing.flatMap { rel =>
+      minMaxFromFooter(conf, new Path(qRoot, rel), colName).map(rel -> _)
+    }
+    val keep = m.curSet ++ m.retiredSet // retired may still serve pins
+    val next = have.view.filterKeys(keep).toMap ++ fresh
+    if (next != have) publish(fs, lakePath, next)
+    fresh.size
+  }
+}

@@ -541,6 +541,45 @@ object History {
     FileManifest.versions(fs, path)
   }
 
+  /** Bring the per-file stats sidecar up to date (footer-reads only
+    * files added since the last refresh). Maintenance op — run it from
+    * the writer sequence, e.g. after compaction or N archive batches.
+    * Returns the number of newly statted files. */
+  def refreshStats(spark: SparkSession, path: String,
+                   tsCol: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    FileStats.refresh(fs, spark.sparkContext.hadoopConfiguration, path, tsCol)
+  }
+
+  /** Stats-pruned pinned read: plan only the manifest files whose
+    * footer [min,max] of `tsCol` can overlap [lo, hi] — the
+    * within-partition half of scan planning (partition pruning handles
+    * (region, dt); this skips cold files inside hot partitions, which
+    * is where a 100 TB lake's file count actually lives). Files without
+    * a stats entry are always planned, so pruning can only save work,
+    * never drop rows; the exact row-level filter is applied on top. */
+  def readPinnedRange(spark: SparkSession, path: String, tsCol: String,
+                      lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"empty range: [$lo, $hi]")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = FileManifest.latest(fs, path).getOrElse(
+      throw new IllegalStateException(
+        s"readPinnedRange needs a manifest-mode lake: $path"))
+    val stats = FileStats.read(fs, path)
+    val kept = m.cur.filter(rel =>
+      stats.get(rel).forall { case (mn, mx) => mx >= lo && mn <= hi })
+    if (m.cur.isEmpty) return spark.emptyDataFrame
+    // everything pruned: keep one file so the frame has the lake schema
+    // (the row filter below still excludes its rows — its stats said no
+    // overlap, so only footer metadata is read)
+    val planned = if (kept.nonEmpty) kept else m.cur.take(1)
+    import org.apache.spark.sql.functions.col
+    planManifest(spark, fs, root, m.copy(cur = planned))
+      .filter(col(tsCol) >= lo && col(tsCol) <= hi)
+  }
+
   private def planManifest(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
       m: FileManifest.Manifest): DataFrame =

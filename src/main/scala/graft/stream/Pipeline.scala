@@ -254,8 +254,18 @@ object Pipeline {
         }
         archiveBatch(batch, batchId, lakePath, ledger)
         compactEvery.foreach { n =>
-          if (batchId > 0 && batchId % n == 0)
+          if (batchId > 0 && batchId % n == 0) {
             compactTouched(batch, lakePath)
+            // manifest-mode lakes also keep the per-file stats sidecar
+            // warm (incremental: footers only for files this window's
+            // appends/compaction added), so readPinnedRange pruning
+            // never lags more than one maintenance tick
+            val fs = new org.apache.hadoop.fs.Path(lakePath).getFileSystem(
+              batch.sparkSession.sparkContext.hadoopConfiguration)
+            if (graft.sources.FileManifest.enabled(fs, lakePath))
+              graft.sources.History.refreshStats(batch.sparkSession,
+                lakePath, "collectionendtimestamp_plus_3_mins"): Unit
+          }
         }
       }
       .start()

@@ -147,6 +147,13 @@ class PinnedLakeSpec extends AnyFunSuite {
         .map(r => (r.getString(0), r.getLong(1))).toSeq
       assert(got.toSet === Set(("2087", epoch1543), ("2087", epoch1548),
         ("8", epoch1548)), got.mkString(";"))
+      // the maintenance tick also kept the stats sidecar warm: the
+      // range read prunes against it and agrees with the full read
+      assert(graft.sources.FileStats.read(fs, lake).nonEmpty)
+      assert(rows(History.readPinnedRange(spark, lake, ts,
+          epoch1548, epoch1548)).toSet ===
+        rows(History.readPinned(spark, lake)
+          .filter(col(ts) === epoch1548)).toSet)
       // after grace-0 vacuum the directory layout agrees with the
       // manifest exactly (retired + orphan files reclaimed)
       History.vacuum(spark, lake, graceMs = 0): Unit
@@ -248,6 +255,60 @@ class PinnedLakeSpec extends AnyFunSuite {
       History.readPinned(spark, lake, 1L)
     }
     assert(e.getMessage.contains(s"retained: ${left.head}"), e.getMessage)
+  }
+
+  test("file stats prune within partitions; statless files stay planned") {
+    import spark.implicits._
+    val lake = freshLake()
+    // two docs, 24h apart, SAME dt layout trick not needed — distinct
+    // dt partitions each get a file, and within the manifest the stats
+    // must let a narrow time range plan only the overlapping file
+    val laterDoc = singleSiteDoc.replace("2019-10-03T15:43:00+10:00",
+      "2019-10-04T15:43:00+10:00")
+    History.writePartitioned(records(singleSiteDoc), lake)
+    History.writePartitioned(records(laterDoc), lake, mode = "append")
+    History.enableManifests(spark, lake): Unit
+    val fs = hadoopFs(lake)
+    val nFiles = FileManifest.latest(fs, lake).get.cur.size
+    assert(nFiles >= 2)
+    assert(History.refreshStats(spark, lake, ts) === nFiles)
+    assert(History.refreshStats(spark, lake, ts) === 0) // incremental
+
+    val all = History.readPinned(spark, lake)
+    val Seq(t1, t2) = all.select(ts).distinct().collect()
+      .map(_.getLong(0)).toSeq.sorted.toList match {
+        case a :: b :: Nil => Seq(a, b)
+        case other => fail(s"expected two distinct ts: $other")
+      }
+    // narrow range around t1: only t1's file is planned, result exact
+    val narrow = History.readPinnedRange(spark, lake, ts, t1, t1)
+    assert(narrow.inputFiles.length < nFiles,
+      s"${narrow.inputFiles.length} vs $nFiles planned")
+    assert(rows(narrow) === rows(all.filter(col(ts) === t1)))
+    // full range plans everything and agrees with the plain pinned read
+    assert(rows(History.readPinnedRange(spark, lake, ts, t1, t2)) ===
+      rows(all))
+    // a no-overlap range answers empty (schema intact, one file planned)
+    assert(History.readPinnedRange(spark, lake, ts, t2 + 1, t2 + 2)
+      .count() === 0L)
+
+    // a file committed AFTER the refresh has no stats and must still be
+    // planned by any range (correctness over pruning)
+    val thirdDoc = singleSiteDoc.replace("2019-10-03T15:43:00+10:00",
+      "2019-10-05T15:43:00+10:00")
+    History.writePartitioned(records(thirdDoc), lake, mode = "append")
+    FileManifest.addFiles(fs, lake, FileManifest.listLiveFiles(fs, lake))
+    val t3 = History.readPinned(spark, lake).select(ts).agg(max(col(ts)))
+      .collect()(0).getLong(0)
+    assert(t3 > t2)
+    val narrowAgain = History.readPinnedRange(spark, lake, ts, t1, t1)
+    assert(rows(narrowAgain) === rows(all.filter(col(ts) === t1)))
+    assert(narrowAgain.inputFiles.length === 2, // t1's file + statless file
+      narrowAgain.inputFiles.mkString(","))
+    // next refresh stats exactly the one new file, restoring the prune
+    assert(History.refreshStats(spark, lake, ts) === 1)
+    assert(History.readPinnedRange(spark, lake, ts, t1, t1)
+      .inputFiles.length === 1)
   }
 
   test("legacy retention: expire manifest is the commit point readers honor") {
