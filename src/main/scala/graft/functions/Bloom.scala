@@ -69,11 +69,20 @@ object Bloom {
       ((b(off + 6) & 0xffL) << 8) | (b(off + 7) & 0xffL)
 
   /** Probe a serialized filter. Static so generated code can call it —
-    * the probe stays inside whole-stage codegen as one invoke. */
+    * the probe stays inside whole-stage codegen as one invoke.
+    *
+    * Malformed input (not produced by [[bloom_build]] — too short, bad
+    * header) answers TRUE, not false: in the prune-then-verify pattern
+    * a spurious "absent" silently drops matching rows (the one
+    * corrupting failure mode), while a spurious "might contain" just
+    * forwards the row to the exact verify join. A VALID empty filter
+    * (built over zero rows) still answers false everywhere — its bits
+    * are simply all unset. */
   def mightContain(filter: Array[Byte], hash: Long): Boolean = {
+    if (filter.length < 12) return true // header + >=1 word, else malformed
     val k = readInt(filter, 0)
+    if (k <= 0) return true
     val numBits = ((filter.length - 4) >> 3) << 6
-    if (numBits <= 0) return false
     val h1 = hash.toInt
     val h2 = (hash >>> 32).toInt
     var i = 0

@@ -73,6 +73,15 @@ class BloomSpec extends AnyFunSuite {
     assert(probed.count() === 0L)
   }
 
+  test("malformed filter bytes answer might-contain, never false-negative") {
+    // in prune-then-verify, a spurious absent on garbage input silently
+    // drops rows; a spurious might-contain only costs a verify lookup
+    assert(Bloom.mightContain(Array.emptyByteArray, 42L))
+    assert(Bloom.mightContain(Array[Byte](0, 0, 0, 7), 42L)) // header, no words
+    assert(Bloom.mightContain( // negative hash count in the header
+      Array[Byte](-1, -1, -1, -1, 0, 0, 0, 0, 0, 0, 0, 0), 42L))
+  }
+
   test("SQL surface: bloom_build + bloom_might_contain registered") {
     Views.registerSqlFunctions(spark)
     import spark.implicits._
