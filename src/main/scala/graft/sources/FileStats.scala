@@ -117,9 +117,16 @@ object FileStats {
     val have = read(fs, lakePath)
     val qRoot = fs.makeQualified(new Path(lakePath))
     val missing = m.cur.filterNot(have.contains)
-    val fresh = missing.flatMap { rel =>
-      minMaxFromFooter(conf, new Path(qRoot, rel), colName).map(rel -> _)
+    // footer reads are independent KB-scale metadata fetches — run them
+    // on the same bounded pool as commit renames (matters on object
+    // stores where each footer is a round-trip)
+    val freshMap = new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Long)]()
+    LakeCommit.foreachPar(missing) { rel =>
+      minMaxFromFooter(conf, new Path(qRoot, rel), colName)
+        .foreach(freshMap.put(rel, _))
     }
+    val fresh = missing.flatMap(rel => Option(freshMap.get(rel)).map(rel -> _))
     val keep = m.curSet ++ m.retiredSet // retired may still serve pins
     val next = have.view.filterKeys(keep).toMap ++ fresh
     if (next != have) publish(fs, lakePath, next)
