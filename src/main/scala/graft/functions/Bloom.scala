@@ -100,8 +100,8 @@ object Bloom {
 
   /** Set the k bit positions of `hash` in a word buffer (aggregate
     * update path). Must mirror [[mightContain]]'s position sequence. */
-  private[functions] def setBits(words: Array[Long], numHashes: Int,
-                                 hash: Long): Unit = {
+  private[graft] def setBits(words: Array[Long], numHashes: Int,
+                             hash: Long): Unit = {
     val numBits = words.length << 6
     val h1 = hash.toInt
     val h2 = (hash >>> 32).toInt

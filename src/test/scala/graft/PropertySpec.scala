@@ -94,4 +94,52 @@ class PropertySpec extends AnyFunSuite {
       got == docs.toList
     })
   }
+
+  // ----- Bloom pure-core laws (graft.functions.Bloom) -----
+
+  private def bloomBytes(words: Array[Long], k: Int): Array[Byte] = {
+    // the BloomBuildAgg.eval layout: [int32 numHashes][int64 × words]
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * words.length)
+    bb.putInt(k)
+    words.foreach(bb.putLong)
+    bb.array()
+  }
+
+  private val genBloomCase: Gen[(List[Long], Int, Int)] = for {
+    vals <- Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue))
+    nWords <- Gen.choose(1, 16)
+    k <- Gen.choose(1, 9)
+  } yield (vals, nWords, k)
+
+  test("Bloom: no false negatives for ANY buffer size / hash count / input") {
+    check(Prop.forAll(genBloomCase) { case (vals, nWords, k) =>
+      val words = new Array[Long](nWords)
+      vals.foreach(v => graft.functions.Bloom.setBits(words, k, v))
+      val bytes = bloomBytes(words, k)
+      vals.forall(v => graft.functions.Bloom.mightContain(bytes, v))
+    })
+  }
+
+  test("Bloom: split-build + word-OR merge ≡ whole build, bit for bit") {
+    check(Prop.forAll(genBloomCase, Gen.choose(0, 100)) {
+      case ((vals, nWords, k), cut) =>
+        val (a, b) = vals.splitAt(cut % (vals.size + 1))
+        val wa = new Array[Long](nWords)
+        val wb = new Array[Long](nWords)
+        a.foreach(v => graft.functions.Bloom.setBits(wa, k, v))
+        b.foreach(v => graft.functions.Bloom.setBits(wb, k, v))
+        val merged = wa.zip(wb).map { case (x, y) => x | y }
+        val whole = new Array[Long](nWords)
+        vals.foreach(v => graft.functions.Bloom.setBits(whole, k, v))
+        java.util.Arrays.equals(merged, whole)
+    })
+  }
+
+  test("Bloom: an unset buffer answers definitely-absent for everything") {
+    check(Prop.forAll(Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue)),
+        Gen.choose(1, 16), Gen.choose(1, 9)) { (probes, nWords, k) =>
+      val bytes = bloomBytes(new Array[Long](nWords), k)
+      probes.forall(v => !graft.functions.Bloom.mightContain(bytes, v))
+    })
+  }
 }
