@@ -397,17 +397,35 @@ object Dedup {
     * cost ∝ batch size + one semi-join against the band table, which at
     * rest is bucketed/partitioned on (band, bkey) so the probe shuffles
     * only the incoming side). Admission policy: an incoming doc sharing
-    * ANY band with the corpus is a near-dup of something already kept →
-    * dropped; survivors then resolve intra-batch clusters and keep each
-    * cluster's min id. Returns the admitted id set (one column `idCol`).
+    * ANY band with ANOTHER doc's corpus bands is a near-dup of something
+    * already kept → dropped; survivors then resolve intra-batch clusters
+    * and keep each cluster's min id. Returns the admitted id set (one
+    * column `idCol`).
+    *
+    * A doc is never a near-dup of ITSELF: corpus rows carrying the
+    * incoming doc's own id are excluded from the probe. This is what
+    * makes a crash-replayed streaming admission converge instead of
+    * losing the batch — if the bands were already published but the
+    * admitted docs not yet delivered downstream, the replay would
+    * otherwise collide every admitted doc with its own just-published
+    * bands and admit nothing. Self-exclusion is exactly sufficient:
+    * one batch's admitted docs are pairwise band-disjoint (LSH
+    * candidates share a band → same cluster → only the min id kept),
+    * so the replayed probe reproduces the original admitted set.
     *
     * Inputs are band tables from [[lshBands]] — same signature family on
     * both sides, or the band keys are meaningless. */
   def incrementalKeep(incomingBands: DataFrame, corpusBands: DataFrame,
                       idCol: String, reliable: Boolean = false): DataFrame = {
-    val hit = incomingBands
-      .join(corpusBands.select(col("band"), col("bkey")),
-        Seq("band", "bkey"), "left_semi")
+    val in = incomingBands.alias("in")
+    val cb = corpusBands.select(col(idCol).as("_corpus_id"), col("band"),
+      col("bkey")).alias("cb")
+    val hit = in
+      .join(cb,
+        col("in.band") === col("cb.band") &&
+          col("in.bkey") === col("cb.bkey") &&
+          col(s"in.$idCol") =!= col("_corpus_id"),
+        "left_semi")
       .select(col(idCol)).distinct()
     val survivingPlan = incomingBands.join(hit, Seq(idCol), "left_anti")
     // Materialize the surviving band table ONCE (RDD-level checkpoint,

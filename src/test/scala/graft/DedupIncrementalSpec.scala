@@ -52,6 +52,28 @@ class DedupIncrementalSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 11L, 21L))
   }
 
+  test("replay against a corpus already holding the batch's own bands converges") {
+    import spark.implicits._
+    // the streaming crash window: bands of batch N were published, the
+    // admitted docs were NOT yet delivered, and the batch replays — the
+    // probe must not collide admitted docs with their OWN bands (that
+    // would admit nothing and lose the batch), while a true near-dup of
+    // ANOTHER corpus doc must still be dropped
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tB = "one two three four five six seven eight nine ten eleven"
+    val batch = Seq((10L, tA), (20L, tB)).toDF("doc_id", "text")
+    val bands = bandsOf(batch)
+    // corpus = exactly this batch's published bands (the replay state)
+    val keptReplay = Dedup.incrementalKeep(bands, bands, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptReplay === Set(10L, 20L), s"replay lost docs: $keptReplay")
+    // same text under a DIFFERENT id is still a near-dup → dropped
+    val imposter = Seq((99L, tA)).toDF("doc_id", "text")
+    val keptImposter = Dedup.incrementalKeep(bandsOf(imposter), bands,
+      "doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptImposter === Set.empty, s"imposter admitted: $keptImposter")
+  }
+
   test("releaseBacking reclaims reliable checkpoint files after admission") {
     import spark.implicits._
     val sc = spark.sparkContext
