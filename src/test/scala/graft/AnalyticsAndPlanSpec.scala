@@ -335,6 +335,44 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
     assert(!adcPlan.contains("CartesianProduct"), adcPlan.take(1500))
   }
 
+  test("plan quality: t18's bloom probe runs BELOW the distinct exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.FilterExec
+    val df = SparkEntry.queries("t18_bloom_decontaminate")(spark,
+      "/root/testdata/sf0.001")
+    df.count(): Unit // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan
+    // the whole point of t18: corpus grams that cannot be in the
+    // benchmark are dropped BEFORE the distinct's shuffle — so the
+    // bloom probe Filter must appear somewhere strictly below every
+    // ShuffleExchange on its path (i.e. at least one probe filter has
+    // no exchange beneath it)
+    def adaptive(p: org.apache.spark.sql.execution.SparkPlan) = p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+    }
+    val roots = plan +: adaptive(plan)
+    // the probe lands either as a Filter or fused into the broadcast
+    // join's condition; either way its CORPUS-SIDE input subtree (the
+    // streamed left child) must be shuffle-free — scan → explode →
+    // probe, nothing exchanged before the prune
+    val probeInputs = roots.flatMap(_.collect {
+      case f: FilterExec
+          if f.condition.find(
+            _.isInstanceOf[graft.functions.BloomMightContain]).nonEmpty =>
+        f.child
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+          if j.condition.exists(_.find(
+            _.isInstanceOf[graft.functions.BloomMightContain]).nonEmpty) =>
+        j.left
+    })
+    assert(probeInputs.nonEmpty, s"no bloom probe in:\n$plan")
+    assert(probeInputs.exists(c =>
+      c.collect { case e: ShuffleExchangeExec => e }.isEmpty),
+      s"the bloom probe's corpus input is already shuffled — pruning " +
+        s"happens too late:\n$plan")
+  }
+
   test("plan quality: PQ re-rank fetch plans no Exchange above the bucketed corpus") {
     // pqSearch's scale claim: with the corpus id-bucketed at rest
     // (writeBucketedCorpus), the candidate fetch shuffles only the
