@@ -145,6 +145,29 @@ object ExtQueries {
     }
   }
 
+  /** Drop the session's at-rest artifacts (the s11 bucketed-corpus
+    * catalog table + its warehouse dir). SEPARATE from [[evict]]: Bench
+    * evicts query memos between iterations but a deployment buckets its
+    * corpus once and serves many searches — re-bucketing per iteration
+    * would misstate what s11 measures. Called from [[Memos.evictAll]]
+    * at session teardown, where the leak would otherwise outlive the
+    * session (the one memo map the teardown pass previously skipped). */
+  private[queries] def evictArtifacts(s: SparkSession): Unit = {
+    val prefix = s"${graft.SessionKey(s)}|"
+    val bit = bucketedCache.entrySet().iterator()
+    while (bit.hasNext) {
+      val e = bit.next()
+      if (e.getKey.startsWith(prefix)) {
+        try {
+          val table = "s11_corpus_b" + math.abs(
+            e.getKey.substring(prefix.length).hashCode).toString
+          s.sql(s"DROP TABLE IF EXISTS `$table`"): Unit
+        } catch { case _: Throwable => () } // context may already be down
+        bit.remove()
+      }
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup over a corpus with duplicates (docs ∪ docs): one
     // hash-shuffle on the 32-byte content key.

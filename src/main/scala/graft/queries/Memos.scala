@@ -27,6 +27,7 @@ object Memos {
     * the typed-history temp lake, and the cached parquet relations. */
   def evictAll(spark: SparkSession): Unit = {
     ExtQueries.evict(spark)
+    ExtQueries.evictArtifacts(spark)
     XmlQueries.evict(spark)
     HistoryQueries.evict(spark)
     graft.Tables.evict(spark)

@@ -135,8 +135,30 @@ object FileManifest {
       }
       out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally out.close()
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"manifest publish failed: $dest")
+    // commit via FileContext.rename (default Rename.NONE): it FAILS if
+    // the destination exists, atomically — the exists() check above is
+    // only a fast path, because FileSystem.rename on local/POSIX
+    // silently REPLACES an existing destination, so two racing writers
+    // (a zombie driver + its restarted replacement) passing the check
+    // together would otherwise let the second silently overwrite the
+    // first's commit and orphan its data files for the next vacuum.
+    try {
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(fs.makeQualified(dest).toUri, fs.getConf)
+        .rename(fs.makeQualified(tmp), fs.makeQualified(dest))
+    } catch {
+      case e: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // no FileContext binding for this scheme: fall back to the
+        // plain rename (best effort — the exists check above still
+        // guards the common case)
+        if (!fs.rename(tmp, dest))
+          throw new java.io.IOException(
+            s"manifest publish failed: $dest", e)
+      case e: java.io.IOException =>
+        throw new java.io.IOException(
+          s"manifest version collision or publish failure at $dest: " +
+            "two writers raced (single writer per lake)", e)
+    }
   }
 
   /** Commit `added` (lake-relative file paths) as new current files —
@@ -154,10 +176,13 @@ object FileManifest {
         Manifest(m.version + 1, m.cur ++ fresh, m.retired))
   }
 
-  /** List every live (non-hidden) data file under the lake's
-    * `region=…/dt=…` partition dirs, as lake-relative paths. */
-  def listLiveFiles(fs: FileSystem, lakePath: String): Seq[String] = {
-    val qRoot = fs.makeQualified(new Path(lakePath))
+  /** List the two-level (`region=…/dt=…`-shaped) partition dirs under
+    * `qRoot` as relative paths — hidden (`_`/`.`) segments excluded at
+    * EVERY level, sorted. The one shared listing primitive for every
+    * lake walker (snapshot reads, stats, vacuum, compaction staging,
+    * manifest bootstrap) so hidden-file and depth handling can never
+    * drift between them again. */
+  def listPartitionDirs(fs: FileSystem, qRoot: Path): Seq[String] =
     Option(fs.globStatus(new Path(qRoot, "*/*")))
       .getOrElse(Array.empty)
       .filter(_.isDirectory)
@@ -165,11 +190,20 @@ object FileManifest {
       .filterNot(_.split('/')
         .exists(seg => seg.startsWith("_") || seg.startsWith(".")))
       .sorted.toSeq
-      .flatMap { rel =>
-        fs.listStatus(new Path(qRoot, rel))
-          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-            !s.getPath.getName.startsWith("."))
-          .map(s => s"$rel/${s.getPath.getName}")
-      }
+
+  /** List the non-hidden data files of one partition dir, as names. */
+  def listDataFiles(fs: FileSystem, dir: Path): Seq[String] =
+    fs.listStatus(dir)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).sorted.toSeq
+
+  /** List every live (non-hidden) data file under the lake's
+    * `region=…/dt=…` partition dirs, as lake-relative paths. */
+  def listLiveFiles(fs: FileSystem, lakePath: String): Seq[String] = {
+    val qRoot = fs.makeQualified(new Path(lakePath))
+    listPartitionDirs(fs, qRoot).flatMap { rel =>
+      listDataFiles(fs, new Path(qRoot, rel)).map(n => s"$rel/$n")
+    }
   }
 }

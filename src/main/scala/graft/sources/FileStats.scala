@@ -28,15 +28,20 @@ import scala.jdk.CollectionConverters._
   *    footer reads parallelize trivially if needed; they are metadata
   *    (KBs per file), not data.
   *
-  * Format: one `rel\tmin\tmax` line per file (epoch-long column).
+  * Format: one `rel\tcol\tmin\tmax` line per (file, column) — the
+  * column name is part of the key, so stats refreshed for one column
+  * can never be consulted for another (a mixed-up lookup would
+  * wrong-prune, the one failure mode the design forbids).
   */
 object FileStats {
 
   def statsPath(lakePath: String): String =
     s"${FileManifest.manifestDir(lakePath)}/stats.tsv"
 
-  /** Load the sidecar: rel path → (min, max). Empty when absent. */
-  def read(fs: FileSystem, lakePath: String): Map[String, (Long, Long)] = {
+  /** Load the sidecar: (rel path, column) → (min, max). Empty when
+    * absent. */
+  def read(fs: FileSystem,
+           lakePath: String): Map[(String, String), (Long, Long)] = {
     val p = new Path(statsPath(lakePath))
     if (!fs.exists(p)) Map.empty
     else {
@@ -46,7 +51,7 @@ object FileStats {
       finally in.close()
       lines.map { l =>
         l.split('\t') match {
-          case Array(rel, mn, mx) => rel -> (mn.toLong, mx.toLong)
+          case Array(rel, c, mn, mx) => (rel, c) -> (mn.toLong, mx.toLong)
           case other => throw new java.io.IOException(
             s"bad stats line: ${other.mkString("\\t")}")
         }
@@ -55,16 +60,16 @@ object FileStats {
   }
 
   private def publish(fs: FileSystem, lakePath: String,
-                      stats: Map[String, (Long, Long)]): Unit = {
+                      stats: Map[(String, String), (Long, Long)]): Unit = {
     val dest = new Path(statsPath(lakePath))
     val tmp = new Path(dest.getParent, dest.getName + ".tmp")
     fs.mkdirs(dest.getParent): Unit
     val out = fs.create(tmp, true)
     try {
       val sb = new StringBuilder
-      stats.toSeq.sortBy(_._1).foreach { case (rel, (mn, mx)) =>
-        sb.append(rel).append('\t').append(mn).append('\t').append(mx)
-          .append('\n')
+      stats.toSeq.sortBy(_._1).foreach { case ((rel, c), (mn, mx)) =>
+        sb.append(rel).append('\t').append(c).append('\t')
+          .append(mn).append('\t').append(mx).append('\n')
       }
       out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally out.close()
@@ -104,11 +109,13 @@ object FileStats {
       } finally reader.close()
     } catch { case _: Throwable => None }
 
-  /** Bring the sidecar up to date with the latest manifest: footer-read
-    * only the current files missing an entry, drop entries for files no
-    * longer current or retired (vacuum fodder), publish atomically.
-    * Returns the number of newly statted files. Run from the lake's
-    * writer sequence like any maintenance op. */
+  /** Bring the sidecar up to date with the latest manifest for
+    * `colName`: footer-read only the current files missing an entry FOR
+    * THAT COLUMN, drop entries for files no longer current or retired
+    * (vacuum fodder), publish atomically. Entries for other columns are
+    * retained untouched — per-column refresh cadences compose. Returns
+    * the number of newly statted files. Run from the lake's writer
+    * sequence like any maintenance op. */
   def refresh(fs: FileSystem, conf: Configuration, lakePath: String,
               colName: String): Int = {
     val m = FileManifest.latest(fs, lakePath).getOrElse(
@@ -116,7 +123,7 @@ object FileStats {
         s"stats refresh needs a manifest-mode lake: $lakePath"))
     val have = read(fs, lakePath)
     val qRoot = fs.makeQualified(new Path(lakePath))
-    val missing = m.cur.filterNot(have.contains)
+    val missing = m.cur.filterNot(rel => have.contains((rel, colName)))
     // footer reads are independent KB-scale metadata fetches — run them
     // on the same bounded pool as commit renames (matters on object
     // stores where each footer is a round-trip)
@@ -126,9 +133,10 @@ object FileStats {
       minMaxFromFooter(conf, new Path(qRoot, rel), colName)
         .foreach(freshMap.put(rel, _))
     }
-    val fresh = missing.flatMap(rel => Option(freshMap.get(rel)).map(rel -> _))
+    val fresh = missing.flatMap(rel =>
+      Option(freshMap.get(rel)).map(v => (rel, colName) -> v))
     val keep = m.curSet ++ m.retiredSet // retired may still serve pins
-    val next = have.view.filterKeys(keep).toMap ++ fresh
+    val next = have.view.filterKeys(k => keep(k._1)).toMap ++ fresh
     if (next != have) publish(fs, lakePath, next)
     fresh.size
   }

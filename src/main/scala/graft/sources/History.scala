@@ -131,17 +131,11 @@ object History {
       .parquet(matching.map(rel =>
         new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*)
     writeCompacted(slice, keyCols, tsCol, compactStagingDir(path))
-    // the staged partition set = the directories to swap; globStatus
-    // returns null (not empty) for a nonexistent glob parent on some
-    // filesystems — e.g. a predicate matching zero partitions, where the
-    // empty write creates no directories
-    val parts = Option(
-        fs.globStatus(new org.apache.hadoop.fs.Path(stage, "*/*")))
-      .getOrElse(Array.empty)
-      .filter(_.isDirectory)
-      .map(s => stage.toUri.relativize(s.getPath.toUri).getPath)
-      .filterNot(n => n.startsWith("_") || n.startsWith("."))
-      .sorted.toSeq
+    // the staged partition set = the directories to swap (the shared
+    // helper handles globStatus returning null for a nonexistent glob
+    // parent — e.g. a predicate matching zero partitions, where the
+    // empty write creates no directories)
+    val parts = FileManifest.listPartitionDirs(fs, stage)
     // staging-read snapshot, per partition: the data files `slice`'s file
     // index actually consumed. At swap time, any data file in a live dir
     // that is NOT in its snapshot arrived after the read (a sequenced
@@ -195,11 +189,7 @@ object History {
       fs: org.apache.hadoop.fs.FileSystem, qRoot: org.apache.hadoop.fs.Path,
       predicate: org.apache.spark.sql.Column): Seq[String] = {
     import spark.implicits._
-    val partVals = Option(
-        fs.globStatus(new org.apache.hadoop.fs.Path(qRoot, "*/*")))
-      .getOrElse(Array.empty)
-      .filter(_.isDirectory)
-      .map(s => qRoot.toUri.relativize(s.getPath.toUri).getPath)
+    val partVals = FileManifest.listPartitionDirs(fs, qRoot)
       .flatMap(_.split('/') match {
         case Array(r, d) if r.startsWith("region=") && d.startsWith("dt=") =>
           Some((r.stripPrefix("region="), d.stripPrefix("dt="), s"$r/$d"))
@@ -366,7 +356,16 @@ object History {
     * after it — switch the lake to manifest mode ([[enableManifests]])
     * and read through [[readPinned]]. Without a manifest this is exactly
     * `spark.read.parquet(path)`. */
-  def readSnapshot(spark: SparkSession, path: String): DataFrame = {
+  def readSnapshot(spark: SparkSession, path: String): DataFrame =
+    readSnapshotWith(spark, path, mergeSchema = false)
+
+  /** [[readSnapshot]] with the footer-merge knob — the shared resolution
+    * path, so [[readEvolved]]'s legacy branch sees the SAME committed
+    * state (pending compaction swaps honored, expire-pending partitions
+    * excluded) as every other reader, just with merged schemas. */
+  private def readSnapshotWith(spark: SparkSession, path: String,
+                               mergeSchema: Boolean): DataFrame = {
+    def reader = spark.read.option("mergeSchema", mergeSchema.toString)
     val manifest = new org.apache.hadoop.fs.Path(compactManifestPath(path))
     val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a pending expire manifest is a COMMITTED delete (the dirs drop
@@ -381,7 +380,7 @@ object History {
         finally ein.close()
       }
     if (!fs.exists(manifest) && expirePending.isEmpty)
-      return spark.read.parquet(path)
+      return reader.parquet(path)
     val swapped =
       if (!fs.exists(manifest)) Set.empty[String]
       else {
@@ -393,14 +392,7 @@ object History {
     val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
     val stageRoot = fs.makeQualified(
       new org.apache.hadoop.fs.Path(compactStagingDir(path)))
-    val liveParts = Option(
-        fs.globStatus(new org.apache.hadoop.fs.Path(root, "*/*")))
-      .getOrElse(Array.empty)
-      .filter(_.isDirectory)
-      .map(s => root.toUri.relativize(s.getPath.toUri).getPath)
-      .filterNot(_.split('/')
-        .exists(seg => seg.startsWith("_") || seg.startsWith(".")))
-      .toSeq
+    val liveParts = FileManifest.listPartitionDirs(fs, root)
     val (stagedPins, promotedPins) = swapped.toSeq.sorted
       .filterNot(expirePending)
       .partition(rel =>
@@ -412,14 +404,16 @@ object History {
       .sorted.map(rel => new org.apache.hadoop.fs.Path(root, rel).toString)
     val sides = Seq(
       Option.when(livePins.nonEmpty)(
-        spark.read.option("basePath", root.toString)
+        reader.option("basePath", root.toString)
           .parquet(livePins: _*)),
       Option.when(stagedPins.nonEmpty)(
-        spark.read.option("basePath", stageRoot.toString)
+        reader.option("basePath", stageRoot.toString)
           .parquet(stagedPins.map(rel =>
             new org.apache.hadoop.fs.Path(stageRoot, rel).toString): _*))
     ).flatten
-    sides.reduceOption(_.unionByName(_)).getOrElse(spark.emptyDataFrame)
+    sides.reduceOption(
+        _.unionByName(_, allowMissingColumns = mergeSchema))
+      .getOrElse(spark.emptyDataFrame)
   }
 
   /** Lake file-layout stats: one row per partition directory with its
@@ -438,14 +432,7 @@ object History {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val qRoot = fs.makeQualified(root)
-    val parts = Option(
-        fs.globStatus(new org.apache.hadoop.fs.Path(qRoot, "*/*")))
-      .getOrElse(Array.empty)
-      .filter(_.isDirectory)
-      .map(s => qRoot.toUri.relativize(s.getPath.toUri).getPath)
-      .filterNot(_.split('/')
-        .exists(seg => seg.startsWith("_") || seg.startsWith(".")))
-      .sorted.toSeq
+    val parts = FileManifest.listPartitionDirs(fs, qRoot)
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[
       (String, Long, Long, Long, Long)]()
     LakeCommit.foreachPar(parts) { rel =>
@@ -569,7 +556,8 @@ object History {
         s"readPinnedRange needs a manifest-mode lake: $path"))
     val stats = FileStats.read(fs, path)
     val kept = m.cur.filter(rel =>
-      stats.get(rel).forall { case (mn, mx) => mx >= lo && mn <= hi })
+      stats.get((rel, tsCol)).forall { case (mn, mx) =>
+        mx >= lo && mn <= hi })
     if (m.cur.isEmpty) return spark.emptyDataFrame
     // everything pruned: keep one file so the frame has the lake schema
     // (the row filter below still excludes its rows — its stats said no
@@ -582,14 +570,29 @@ object History {
 
   private def planManifest(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
-      m: FileManifest.Manifest): DataFrame =
-    if (m.cur.isEmpty) spark.emptyDataFrame
-    else {
-      val qRoot = fs.makeQualified(root)
+      m: FileManifest.Manifest): DataFrame = {
+    val qRoot = fs.makeQualified(root)
+    if (m.cur.nonEmpty)
       spark.read.option("basePath", qRoot.toString)
         .parquet(m.cur.sorted.map(rel =>
           new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*)
+    else {
+      // empty CURRENT set (fully-expired lake, or fresh manifest before
+      // the first batch): keep the lake SCHEMA when any retired file is
+      // still on disk — downstream readers filter on dt/ts columns and a
+      // zero-column emptyDataFrame would fail their analysis. Zero rows
+      // by construction (filter false); only footer metadata is read.
+      val schemaDonor = m.retired.map(_._2).sorted.iterator
+        .map(rel => new org.apache.hadoop.fs.Path(qRoot, rel))
+        .find(p => scala.util.Try(fs.exists(p)).getOrElse(false))
+      schemaDonor match {
+        case Some(p) =>
+          spark.read.option("basePath", qRoot.toString).parquet(p.toString)
+            .filter(org.apache.spark.sql.functions.lit(false))
+        case None => spark.emptyDataFrame // nothing at all to infer from
+      }
     }
+  }
 
   /** Manifest-mode compaction: ADD the compacted files, RETIRE the old
     * ones, flip the manifest version — no live file ever moves, so
@@ -624,13 +627,7 @@ object History {
     // names (deterministic per attempt, so a crashed attempt's leftovers
     // sweep cleanly on re-run)
     val tag = s"c${m.version + 1}-"
-    val stagedDirs = Option(
-        fs.globStatus(new org.apache.hadoop.fs.Path(stage, "*/*")))
-      .getOrElse(Array.empty)
-      .filter(_.isDirectory)
-      .map(s => stage.toUri.relativize(s.getPath.toUri).getPath)
-      .filterNot(n => n.startsWith("_") || n.startsWith("."))
-      .sorted.toSeq
+    val stagedDirs = FileManifest.listPartitionDirs(fs, stage)
     val moves: Seq[(String, Seq[(org.apache.hadoop.fs.Path, String)])] =
       stagedDirs.map { rel =>
         val files = fs.listStatus(
@@ -719,13 +716,10 @@ object History {
       }
     // drop emptied partition dirs (an expired partition after its files
     // are reclaimed), then emptied region parents
-    Option(fs.globStatus(new org.apache.hadoop.fs.Path(qRoot, "*/*")))
-      .getOrElse(Array.empty)
-      .filter(s => s.isDirectory &&
-        !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith(".") &&
-        fs.listStatus(s.getPath).isEmpty)
-      .foreach(s => fs.delete(s.getPath, false): Unit)
+    FileManifest.listPartitionDirs(fs, qRoot)
+      .map(rel => new org.apache.hadoop.fs.Path(qRoot, rel))
+      .filter(p => fs.listStatus(p).isEmpty)
+      .foreach(p => fs.delete(p, false): Unit)
     Option(fs.globStatus(new org.apache.hadoop.fs.Path(qRoot, "*")))
       .getOrElse(Array.empty)
       .filter(s => s.isDirectory &&
@@ -842,13 +836,17 @@ object History {
     * the unioned schema (compactLatest rewrites with mergeSchema).
     * Manifest-mode lakes read the manifest's current files (a plain
     * directory read would double-count retired files inside a vacuum
-    * grace window). */
+    * grace window); legacy lakes go through the SAME snapshot
+    * resolution as [[readSnapshot]] — pending compaction swaps honored
+    * and expire-pending partitions excluded, so an evolved read never
+    * sees a partial delete either. */
   def readEvolved(spark: SparkSession, path: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     FileManifest.latest(fs, path) match {
-      case None => spark.read.option("mergeSchema", "true").parquet(path)
-      case Some(m) if m.cur.isEmpty => spark.emptyDataFrame
+      case None => readSnapshotWith(spark, path, mergeSchema = true)
+      case Some(m) if m.cur.isEmpty =>
+        planManifest(spark, fs, root, m) // schema-preserving empty
       case Some(m) =>
         val qRoot = fs.makeQualified(root)
         spark.read.option("mergeSchema", "true")

@@ -85,15 +85,22 @@ object LakeCommit {
     // relativization against the (qualified) listing results works
     if (!fs.exists(stage)) {
       // nothing staged (re-run after a completed publish): recover the
-      // batch's published rels by tag — one glob, partition-dir scoped
+      // batch's published rels by tag. Publish preserves the staged
+      // layout at whatever depth it had — two partition levels for the
+      // (region, dt) lake, flat for unpartitioned tables (the band
+      // table) — so the recovery glob must cover every depth publish
+      // can produce, or a flat table's re-run would report no files
+      // and a manifest add would silently commit nothing.
       val qLake = fs.makeQualified(new Path(lakePath))
-      return Option(fs.globStatus(
-          new Path(qLake, s"*/*/${fileTag(batchId)}*")))
-        .getOrElse(Array.empty)
+      return Seq(s"${fileTag(batchId)}*", s"*/${fileTag(batchId)}*",
+          s"*/*/${fileTag(batchId)}*")
+        .flatMap(pat => Option(fs.globStatus(new Path(qLake, pat)))
+          .getOrElse(Array.empty).toSeq)
+        .filter(_.isFile)
         .map(s => qLake.toUri.relativize(s.getPath.toUri).getPath)
         .filterNot(_.split('/').init
           .exists(seg => seg.startsWith("_") || seg.startsWith(".")))
-        .sorted.toSeq
+        .sorted
     }
     val stageUri = stage.toUri
     val files = {

@@ -201,7 +201,28 @@ object Pipeline {
       val fs = new org.apache.hadoop.fs.Path(lakePath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val manifests = graft.sources.FileManifest.enabled(fs, lakePath)
-      if (ledger.isDefined || manifests) {
+      // A batch whose tagged files the manifest already references (as
+      // CURRENT, or RETIRED by a later in-line compaction) is already
+      // committed — the crash happened after the manifest add but
+      // before the ledger mark / checkpoint commit. The replay must
+      // NOT re-publish: publish's bN-* sweep would delete files a
+      // pinned reader planned from the manifest (immutability
+      // violation), a replay with different task parallelism would
+      // leave dangling cur entries, and re-adding files a compaction
+      // already retired would duplicate the batch's rows. (Vacuum only
+      // reaps retired entries past grace — size the grace window to
+      // cover the longest possible replay delay, as for scans.)
+      val alreadyCommitted = manifests && {
+        val tag = s"b$batchId-"
+        graft.sources.FileManifest.latest(fs, lakePath).exists { m =>
+          (m.cur.iterator ++ m.retired.iterator.map(_._2)).exists { rel =>
+            rel.substring(rel.lastIndexOf('/') + 1).startsWith(tag)
+          }
+        }
+      }
+      if (alreadyCommitted) {
+        // fall through to the ledger mark only
+      } else if (ledger.isDefined || manifests) {
         // manifest-mode lakes ALWAYS stage-then-publish, ledgered or
         // not: the publish names the batch's files, and the manifest
         // add makes them visible to readPinned. A crash between publish

@@ -220,6 +220,38 @@ class PinnedLakeSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters"), plan.take(500))
   }
 
+  test("replayed archive batch never re-publishes a manifest-committed batch") {
+    val lake = freshLake()
+    History.enableManifests(spark, lake): Unit
+    val recs = records(singleSiteDoc)
+    // first commit: batch 5 lands and is added to the manifest
+    Pipeline.archiveBatch(recs, 5L, lake, ledger = None)
+    val fs = hadoopFs(lake)
+    val m1 = FileManifest.latest(fs, lake).get
+    assert(m1.cur.exists(_.contains("b5-")), m1.cur.mkString(","))
+    val pinned = History.readPinned(spark, lake) // planned from m1
+    val expected = rows(pinned)
+
+    // crash-replay of the SAME batch (no ledger: the manifest is the
+    // only committed-state signal). It must be a complete no-op — no
+    // sweep of the committed bN files, no manifest flip
+    Pipeline.archiveBatch(recs, 5L, lake, ledger = None)
+    assert(FileManifest.latest(fs, lake).get.version === m1.version)
+    assert(rows(pinned) === expected) // the pre-planned scan still reads
+    assert(rows(History.readPinned(spark, lake)) === expected)
+
+    // in-line compaction retires the b5 files; a late replay after THAT
+    // must also skip (retired counts as committed) — re-adding would
+    // duplicate the batch's rows next to the compacted copy
+    History.compactLatest(spark, lake, Seq("siteId"), ts,
+      col("dt") === "2019-10-03")
+    val m2 = FileManifest.latest(fs, lake).get
+    assert(m2.retired.exists(_._2.contains("b5-")))
+    Pipeline.archiveBatch(recs, 5L, lake, ledger = None)
+    assert(FileManifest.latest(fs, lake).get.version === m2.version)
+    assert(rows(History.readPinned(spark, lake)).sorted === expected.sorted)
+  }
+
   test("time travel: readPinned at a retained version replays history") {
     import spark.implicits._
     val lake = freshLake()
