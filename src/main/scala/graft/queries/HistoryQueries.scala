@@ -38,16 +38,47 @@ object HistoryQueries {
       dir
     })
 
-  /** Drop the fixture lake keyed to `s` and delete its temp directory. */
+  private val TS = "collectionendtimestamp_plus_3_mins"
+
+  /** A manifest-mode detector lake for h06: two committed batches land
+    * as separate files with disjoint [min,max] of the event-time column
+    * (15:43 vs 15:48), manifests enabled, stats refreshed — so the
+    * range read exercises enableManifests → publish → refreshStats →
+    * footer-pruned planning end-to-end, and the VALUES oracle pins the
+    * exact rows a correct prune must still return. */
+  private val manifestLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def manifestLake(s: SparkSession): String =
+    manifestLakeCache.computeIfAbsent(graft.SessionKey(s), _ => {
+      Memos.install(s)
+      import s.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-manifest-lake").toString + "/lake"
+      def recordsOf(payload: String) =
+        graft.stream.Pipeline.payloadToRecords(Seq(payload).toDF("value"))
+      graft.sources.History.writePartitioned(
+        recordsOf(singleSiteDoc), dir)
+      graft.sources.History.writePartitioned(
+        recordsOf(multiSiteDoc), dir, mode = "append")
+      graft.sources.History.enableManifests(s, dir): Unit
+      graft.sources.History.refreshStats(s, dir, TS): Unit
+      dir
+    })
+
+  /** Drop the fixture lakes keyed to `s` and delete their temp dirs. */
   private[queries] def evict(s: SparkSession): Unit = {
-    val dir = lakeCache.remove(graft.SessionKey(s))
-    if (dir != null) {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles()
-        if (kids != null) kids.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(dir))
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    Seq(lakeCache, manifestLakeCache).foreach { cache =>
+      val dir = cache.remove(graft.SessionKey(s))
+      if (dir != null) rm(new java.io.File(dir).getParentFile match {
+        case p if p != null && p.getName.startsWith("graft-") => p
+        case _ => new java.io.File(dir)
+      })
     }
   }
 
@@ -84,6 +115,19 @@ object HistoryQueries {
     // S8: append-only topology-change deltas since date.
     "h04_topology_changes" -> ((s, _) =>
       TypedHistory.topologyChangesFrom(s, lake(s), "2019-10-20"))
+        ,
+
+    // Manifest lake + per-file stats, end-to-end: the 15:48 window must
+    // plan only the second batch's files (the 15:43 file's footer range
+    // excludes it) and still return exactly the committed 15:48 rows —
+    // a wrong prune loses a row and fails the hash; a missing prune
+    // still passes (stats are an optimization), so the plan property is
+    // additionally asserted in PinnedLakeSpec.
+    "h06_pinned_range" -> ((s, _) => {
+      val d = manifestLake(s)
+      graft.sources.History.readPinnedRange(s, d, TS, epoch1548, epoch1548)
+        .select(col("region"), col("siteId"), col(TS).as("ts"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -113,6 +157,11 @@ object HistoryQueries {
       """SELECT * FROM (VALUES
            ('200', 'ADD',    '2019-10-20T09:00:00.000+11:00'),
            ('8',   'REMOVE', '2019-10-21T14:00:00.000+11:00')
-         ) AS t(sId, op, date)"""
+         ) AS t(sId, op, date)""",
+    "h06_pinned_range" ->
+      """SELECT * FROM (VALUES
+           ('ROZ', '2087', CAST(1570081680 AS BIGINT)),
+           ('SYD', '8',    CAST(1570081680 AS BIGINT))
+         ) AS t(region, siteId, ts)"""
   )
 }
