@@ -402,31 +402,43 @@ object Dedup {
     * and keep each cluster's min id. Returns the admitted id set (one
     * column `idCol`).
     *
-    * A doc is never a near-dup of ITSELF: corpus rows carrying the
-    * incoming doc's own id are excluded from the probe. This is what
-    * makes a crash-replayed streaming admission converge instead of
-    * losing the batch — if the bands were already published but the
-    * admitted docs not yet delivered downstream, the replay would
-    * otherwise collide every admitted doc with its own just-published
-    * bands and admit nothing. Self-exclusion is exactly sufficient:
-    * one batch's admitted docs are pairwise band-disjoint (LSH
-    * candidates share a band → same cluster → only the min id kept),
-    * so the replayed probe reproduces the original admitted set.
+    * `excludeSelf` (REPLAY mode — set it only when this exact batch's
+    * bands are already published): corpus rows carrying the incoming
+    * doc's own id are excluded from the probe, which is what makes a
+    * crash-replayed streaming admission converge instead of losing the
+    * batch — the bands were published but the admitted docs not yet
+    * delivered, and the replay would otherwise collide every admitted
+    * doc with its own just-published bands and admit nothing.
+    * Self-exclusion is exactly sufficient there: one batch's admitted
+    * docs are pairwise band-disjoint (LSH candidates share a band →
+    * same cluster → only the min id kept), so the replayed probe
+    * reproduces the original admitted set. It must stay OFF for normal
+    * admission ([[graft.stream.StreamingDedup]] detects the replay
+    * state per batch): an at-least-once upstream re-delivering a doc id
+    * in a LATER batch is a duplicate that must drop, not an admission.
     *
     * Inputs are band tables from [[lshBands]] — same signature family on
     * both sides, or the band keys are meaningless. */
   def incrementalKeep(incomingBands: DataFrame, corpusBands: DataFrame,
-                      idCol: String, reliable: Boolean = false): DataFrame = {
-    val in = incomingBands.alias("in")
-    val cb = corpusBands.select(col(idCol).as("_corpus_id"), col("band"),
-      col("bkey")).alias("cb")
-    val hit = in
-      .join(cb,
-        col("in.band") === col("cb.band") &&
-          col("in.bkey") === col("cb.bkey") &&
-          col(s"in.$idCol") =!= col("_corpus_id"),
-        "left_semi")
-      .select(col(idCol)).distinct()
+                      idCol: String, reliable: Boolean = false,
+                      excludeSelf: Boolean = false): DataFrame = {
+    val hit =
+      if (!excludeSelf)
+        incomingBands
+          .join(corpusBands.select(col("band"), col("bkey")),
+            Seq("band", "bkey"), "left_semi")
+          .select(col(idCol)).distinct()
+      else {
+        val in = incomingBands.alias("in")
+        val cb = corpusBands.select(col(idCol).as("_corpus_id"),
+          col("band"), col("bkey")).alias("cb")
+        in.join(cb,
+            col("in.band") === col("cb.band") &&
+              col("in.bkey") === col("cb.bkey") &&
+              col(s"in.$idCol") =!= col("_corpus_id"),
+            "left_semi")
+          .select(col(idCol)).distinct()
+      }
     val survivingPlan = incomingBands.join(hit, Seq(idCol), "left_anti")
     // Materialize the surviving band table ONCE (RDD-level checkpoint,
     // resolveClusters-style): it is consumed by two separate actions —

@@ -31,17 +31,22 @@ import scala.jdk.CollectionConverters._
   * Format: one `rel\tcol\tmin\tmax` line per (file, column) — the
   * column name is part of the key, so stats refreshed for one column
   * can never be consulted for another (a mixed-up lookup would
-  * wrong-prune, the one failure mode the design forbids).
+  * wrong-prune, the one failure mode the design forbids). A file whose
+  * footer yields NO usable stats (column absent, not INT64, unstatted
+  * row group) gets a `-\t-` sentinel line: "known unstattable, always
+  * plan, don't re-read the footer every refresh". Lines that don't
+  * parse are SKIPPED, not fatal — a corrupt sidecar degrades to
+  * weaker pruning, never to a failed read.
   */
 object FileStats {
 
   def statsPath(lakePath: String): String =
     s"${FileManifest.manifestDir(lakePath)}/stats.tsv"
 
-  /** Load the sidecar: (rel path, column) → (min, max). Empty when
-    * absent. */
-  def read(fs: FileSystem,
-           lakePath: String): Map[(String, String), (Long, Long)] = {
+  /** Load the sidecar: (rel path, column) → Some(min, max), or None for
+    * the known-unstattable sentinel. Empty when absent. */
+  def read(fs: FileSystem, lakePath: String)
+      : Map[(String, String), Option[(Long, Long)]] = {
     val p = new Path(statsPath(lakePath))
     if (!fs.exists(p)) Map.empty
     else {
@@ -49,33 +54,49 @@ object FileStats {
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().filter(_.nonEmpty).toList
       finally in.close()
-      lines.map { l =>
+      lines.flatMap { l =>
         l.split('\t') match {
-          case Array(rel, c, mn, mx) => (rel, c) -> (mn.toLong, mx.toLong)
-          case other => throw new java.io.IOException(
-            s"bad stats line: ${other.mkString("\\t")}")
+          case Array(rel, c, "-", "-") => Some((rel, c) -> None)
+          case Array(rel, c, mn, mx) =>
+            scala.util.Try((rel, c) -> Some((mn.toLong, mx.toLong))).toOption
+          case _ => None // unparsable line: plan the file, don't fail reads
         }
       }.toMap
     }
   }
 
   private def publish(fs: FileSystem, lakePath: String,
-                      stats: Map[(String, String), (Long, Long)]): Unit = {
+      stats: Map[(String, String), Option[(Long, Long)]]): Unit = {
     val dest = new Path(statsPath(lakePath))
     val tmp = new Path(dest.getParent, dest.getName + ".tmp")
     fs.mkdirs(dest.getParent): Unit
     val out = fs.create(tmp, true)
     try {
       val sb = new StringBuilder
-      stats.toSeq.sortBy(_._1).foreach { case ((rel, c), (mn, mx)) =>
+      stats.toSeq.sortBy(_._1).foreach { case ((rel, c), v) =>
         sb.append(rel).append('\t').append(c).append('\t')
-          .append(mn).append('\t').append(mx).append('\n')
+        v match {
+          case Some((mn, mx)) => sb.append(mn).append('\t').append(mx)
+          case None => sb.append("-\t-")
+        }
+        sb.append('\n')
       }
       out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally out.close()
-    fs.delete(dest, false): Unit
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"stats publish failed: $dest")
+    // atomic replace (no delete-then-rename window that could lose the
+    // whole sidecar to a crash); fall back to the two-step where no
+    // FileContext binding exists — there the loss window is only a
+    // pruning regression, healed by the next refresh
+    try org.apache.hadoop.fs.FileContext
+      .getFileContext(fs.makeQualified(dest).toUri, fs.getConf)
+      .rename(fs.makeQualified(tmp), fs.makeQualified(dest),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        fs.delete(dest, false): Unit
+        if (!fs.rename(tmp, dest))
+          throw new java.io.IOException(s"stats publish failed: $dest")
+    }
   }
 
   /** Footer min/max of a top-level INT64 column, or None when the file
@@ -128,16 +149,18 @@ object FileStats {
     // on the same bounded pool as commit renames (matters on object
     // stores where each footer is a round-trip)
     val freshMap = new java.util.concurrent.ConcurrentHashMap[
-      String, (Long, Long)]()
+      String, Option[(Long, Long)]]()
     LakeCommit.foreachPar(missing) { rel =>
-      minMaxFromFooter(conf, new Path(qRoot, rel), colName)
-        .foreach(freshMap.put(rel, _))
+      // record unstattable files as a sentinel so they're footer-read
+      // ONCE, not on every refresh (keeps the steady state O(new files))
+      freshMap.put(rel, minMaxFromFooter(conf, new Path(qRoot, rel), colName))
+        : Unit
     }
     val fresh = missing.flatMap(rel =>
       Option(freshMap.get(rel)).map(v => (rel, colName) -> v))
     val keep = m.curSet ++ m.retiredSet // retired may still serve pins
     val next = have.view.filterKeys(k => keep(k._1)).toMap ++ fresh
     if (next != have) publish(fs, lakePath, next)
-    fresh.size
+    fresh.count(_._2.isDefined)
   }
 }

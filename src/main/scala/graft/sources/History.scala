@@ -556,16 +556,19 @@ object History {
         s"readPinnedRange needs a manifest-mode lake: $path"))
     val stats = FileStats.read(fs, path)
     val kept = m.cur.filter(rel =>
-      stats.get((rel, tsCol)).forall { case (mn, mx) =>
-        mx >= lo && mn <= hi })
-    if (m.cur.isEmpty) return spark.emptyDataFrame
-    // everything pruned: keep one file so the frame has the lake schema
-    // (the row filter below still excludes its rows — its stats said no
-    // overlap, so only footer metadata is read)
+      stats.get((rel, tsCol)) match {
+        case Some(Some((mn, mx))) => mx >= lo && mn <= hi
+        case _ => true // no entry / unstattable sentinel: always plan
+      })
+    // everything pruned (or cur empty): planManifest's schema-donor
+    // path keeps the lake schema from one still-on-disk file, so the
+    // row filter below can resolve its column; truly-empty lakes yield
+    // a zero-column frame that must skip the filter
     val planned = if (kept.nonEmpty) kept else m.cur.take(1)
+    val base = planManifest(spark, fs, root, m.copy(cur = planned))
     import org.apache.spark.sql.functions.col
-    planManifest(spark, fs, root, m.copy(cur = planned))
-      .filter(col(tsCol) >= lo && col(tsCol) <= hi)
+    if (base.columns.isEmpty) base
+    else base.filter(col(tsCol) >= lo && col(tsCol) <= hi)
   }
 
   private def planManifest(spark: SparkSession,

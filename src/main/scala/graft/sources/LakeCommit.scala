@@ -33,7 +33,13 @@ object LakeCommit {
   /** Batch-scoped staging dir, under the lake root so stage and publish
     * stay on one filesystem (renames are atomic moves, not copies). */
   def stagingDir(lakePath: String, batchId: Long): String =
-    s"$lakePath/_staging/batch-$batchId"
+    stagingDir(lakePath, batchId.toString)
+
+  /** Key-scoped variant: `key` is usually `<streamTag>-<batchId>` so
+    * two stream incarnations (fresh checkpoint dir, batch ids restart
+    * at 0) can never stage into — or sweep — each other's names. */
+  def stagingDir(lakePath: String, key: String): String =
+    s"$lakePath/_staging/batch-$key"
 
   /** Run independent per-partition metadata ops through a small fixed
     * pool. Driver-side renames are pure round-trips — on an object-store
@@ -67,7 +73,10 @@ object LakeCommit {
       } finally pool.shutdown(): Unit
     }
 
-  private def fileTag(batchId: Long): String = s"b$batchId-"
+  /** The published-filename prefix for a batch key — the ONE source of
+    * the tag format; `Pipeline.archiveBatch`'s replay guard matches on
+    * it, so a format change there and here must stay in lockstep. */
+  private[graft] def fileTag(key: String): String = s"b$key-"
 
   /** Move every staged data file of `batchId` into the lake, preserving
     * partition directories, under deterministic-enough batch-tagged names;
@@ -77,9 +86,13 @@ object LakeCommit {
     * manifest-mode lakes); the no-staging re-run path recovers them by
     * globbing the batch tag. */
   def publish(spark: SparkSession, lakePath: String,
-              batchId: Long): Seq[String] = {
+              batchId: Long): Seq[String] =
+    publish(spark, lakePath, batchId.toString)
+
+  def publish(spark: SparkSession, lakePath: String,
+              key: String): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val rawStage = new Path(stagingDir(lakePath, batchId))
+    val rawStage = new Path(stagingDir(lakePath, key))
     val fs = rawStage.getFileSystem(conf)
     val stage = fs.makeQualified(rawStage) // scheme-qualified, so URI
     // relativization against the (qualified) listing results works
@@ -92,8 +105,8 @@ object LakeCommit {
       // can produce, or a flat table's re-run would report no files
       // and a manifest add would silently commit nothing.
       val qLake = fs.makeQualified(new Path(lakePath))
-      return Seq(s"${fileTag(batchId)}*", s"*/${fileTag(batchId)}*",
-          s"*/*/${fileTag(batchId)}*")
+      return Seq(s"${fileTag(key)}*", s"*/${fileTag(key)}*",
+          s"*/*/${fileTag(key)}*")
         .flatMap(pat => Option(fs.globStatus(new Path(qLake, pat)))
           .getOrElse(Array.empty).toSeq)
         .filter(_.isFile)
@@ -113,7 +126,7 @@ object LakeCommit {
       }
       buf.sortBy(_.toString)
     }
-    val tag = fileTag(batchId)
+    val tag = fileTag(key)
     // group by partition-relative dir; sweep each dir's leftovers once
     val byDir = files.groupBy { p =>
       val rel = stageUri.relativize(p.getParent.toUri).getPath

@@ -181,6 +181,16 @@ object Pipeline {
       }
       .start()
 
+  /** Stable per-stream-incarnation tag: the batch-id namespace IS the
+    * streaming checkpoint (ids restart at 0 with a fresh checkpoint
+    * dir), so the published-file namespace must be too. md5 of the
+    * checkpoint path — stable across restarts of the same query,
+    * distinct across incarnations. */
+  private[graft] def streamTagOf(checkpointDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+
   /** One archive micro-batch — extracted like [[pushBatch]] so the
     * crash-replay no-op is directly testable.
     *
@@ -195,11 +205,22 @@ object Pipeline {
     * ([[FileBatchLedger]] in the lake) make this exactly-once across
     * JVM restarts, not just within one process. */
   def archiveBatch(batch: DataFrame, batchId: Long, lakePath: String,
-                   ledger: Option[BatchLedger] = None): Unit =
+                   ledger: Option[BatchLedger] = None,
+                   streamTag: Option[String] = None): Unit =
     if (!ledger.exists(_.lastCommitted >= batchId)) {
       val spark = batch.sparkSession
       val fs = new org.apache.hadoop.fs.Path(lakePath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // stream-scoped batch key: a stream restarted with a FRESH
+      // checkpoint dir restarts batch ids at 0, so bare ids collide
+      // with a previous incarnation's published names — the replay
+      // guard below would silently drop the new batches as "already
+      // committed", and publish's tag sweep could delete the old
+      // incarnation's committed files. The checkpoint-derived tag makes
+      // keys unique per incarnation while staying stable across the
+      // restarts OF one incarnation (same checkpoint → same tag), which
+      // is exactly the replay-detection contract.
+      val key = streamTag.fold(batchId.toString)(t => s"$t-$batchId")
       val manifests = graft.sources.FileManifest.enabled(fs, lakePath)
       // A batch whose tagged files the manifest already references (as
       // CURRENT, or RETIRED by a later in-line compaction) is already
@@ -213,7 +234,7 @@ object Pipeline {
       // reaps retired entries past grace — size the grace window to
       // cover the longest possible replay delay, as for scans.)
       val alreadyCommitted = manifests && {
-        val tag = s"b$batchId-"
+        val tag = graft.sources.LakeCommit.fileTag(key)
         graft.sources.FileManifest.latest(fs, lakePath).exists { m =>
           (m.cur.iterator ++ m.retired.iterator.map(_._2)).exists { rel =>
             rel.substring(rel.lastIndexOf('/') + 1).startsWith(tag)
@@ -229,10 +250,10 @@ object Pipeline {
         // and the manifest add replays into the same batch-tagged names
         // and the (idempotent) add — readers never see a torn batch.
         graft.sources.History.writePartitioned(batch,
-          graft.sources.LakeCommit.stagingDir(lakePath, batchId),
+          graft.sources.LakeCommit.stagingDir(lakePath, key),
           mode = "overwrite")
         val published =
-          graft.sources.LakeCommit.publish(spark, lakePath, batchId)
+          graft.sources.LakeCommit.publish(spark, lakePath, key)
         if (manifests)
           graft.sources.FileManifest.addFiles(fs, lakePath, published)
       } else {
@@ -254,7 +275,14 @@ object Pipeline {
     *   the archive's own foreachBatch sequences it BETWEEN appends,
     *   which is precisely the single-writer-per-lake discipline
     *   [[graft.sources.History.compactLatest]] requires — no second
-    *   process, no lock. Off by default. */
+    *   process, no lock. Off by default.
+    *
+    * Batch ids are namespaced per stream incarnation (checkpoint-derived
+    * tag), so starting over with a fresh checkpoint dir cannot collide
+    * with a previous incarnation's published files. The LEDGER is the
+    * caller's to scope the same way: it is keyed by bare batch id, so a
+    * fresh checkpoint needs a fresh ledger dir (or the old high-water
+    * mark silently skips the new incarnation's early batches). */
   def archive(records: DataFrame, lakePath: String, checkpointDir: String,
               ledger: Option[BatchLedger] = None,
               compactEvery: Option[Int] = None): StreamingQuery = {
@@ -262,6 +290,7 @@ object Pipeline {
     // `batchId % 0` at batch 1 and kill the running query after appends
     compactEvery.foreach(n => require(n > 0,
       s"compactEvery must be >= 1 (got $n); use None to disable"))
+    val tag = streamTagOf(checkpointDir)
     records.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -273,7 +302,7 @@ object Pipeline {
           graft.sources.History.recoverCompaction(
             batch.sparkSession, lakePath): Unit
         }
-        archiveBatch(batch, batchId, lakePath, ledger)
+        archiveBatch(batch, batchId, lakePath, ledger, Some(tag))
         compactEvery.foreach { n =>
           if (batchId > 0 && batchId % n == 0) {
             compactTouched(batch, lakePath)

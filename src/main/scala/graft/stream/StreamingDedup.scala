@@ -36,12 +36,17 @@ object StreamingDedup {
                   bandTable: String, checkpointDir: String,
                   ledger: Option[Pipeline.BatchLedger] = None,
                   shingleN: Int = 3, sigK: Int = 8, bandRows: Int = 2)
-                 (onAdmitted: (DataFrame, Long) => Unit): StreamingQuery =
+                 (onAdmitted: (DataFrame, Long) => Unit): StreamingQuery = {
+    // stream-scoped batch keys (see Pipeline.streamTagOf): a fresh
+    // checkpoint restarts batch ids, and bare ids would collide with a
+    // previous incarnation's published band files
+    val tag = Pipeline.streamTagOf(checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!ledger.exists(_.lastCommitted >= batchId)) {
           val spark = batch.sparkSession
+          val key = s"$tag-$batchId"
           val sh = batch.select(col(idCol),
             explode(TextAnalysis.wordShingles(col(textCol), shingleN))
               .as("shingle"))
@@ -58,18 +63,30 @@ object StreamingDedup {
           val corpus =
             if (hasCorpus) spark.read.parquet(bandTable)
             else bands.limit(0)
-          val kept = Dedup.incrementalKeep(bands, corpus, idCol)
+          // REPLAY detection: this batch's bands already published →
+          // the corpus contains the admitted docs' own bands, and the
+          // probe must exclude self-id collisions to converge on the
+          // same admitted set. On a normal first run self-exclusion
+          // stays OFF so a re-delivered doc id in a later batch is
+          // still dropped as the duplicate it is.
+          val replayed = hasCorpus && Option(fs.globStatus(
+              new org.apache.hadoop.fs.Path(bandTable,
+                LakeCommit.fileTag(key) + "*")))
+            .exists(_.nonEmpty)
+          val kept = Dedup.incrementalKeep(bands, corpus, idCol,
+            excludeSelf = replayed)
           try {
             // exactly-once band append: batch-tagged stage-then-publish
             // (replay sweeps a prior partial attempt's files first)
             bands.join(kept, Seq(idCol), "left_semi")
               .write.mode("overwrite")
-              .parquet(LakeCommit.stagingDir(bandTable, batchId))
-            LakeCommit.publish(spark, bandTable, batchId): Unit
+              .parquet(LakeCommit.stagingDir(bandTable, key))
+            LakeCommit.publish(spark, bandTable, key): Unit
             onAdmitted(batch.join(kept, Seq(idCol), "left_semi"), batchId)
             ledger.foreach(_.markCommitted(batchId))
           } finally Dedup.releaseBacking(kept)
         }
       }
       .start()
+  }
 }

@@ -63,15 +63,24 @@ class DedupIncrementalSpec extends AnyFunSuite {
     val tB = "one two three four five six seven eight nine ten eleven"
     val batch = Seq((10L, tA), (20L, tB)).toDF("doc_id", "text")
     val bands = bandsOf(batch)
-    // corpus = exactly this batch's published bands (the replay state)
-    val keptReplay = Dedup.incrementalKeep(bands, bands, "doc_id")
+    // corpus = exactly this batch's published bands (the replay state);
+    // excludeSelf is the REPLAY-mode switch StreamingDedup flips when
+    // it detects the batch's bands already published
+    val keptReplay = Dedup.incrementalKeep(bands, bands, "doc_id",
+        excludeSelf = true)
       .collect().map(_.getLong(0)).toSet
     assert(keptReplay === Set(10L, 20L), s"replay lost docs: $keptReplay")
-    // same text under a DIFFERENT id is still a near-dup → dropped
+    // same text under a DIFFERENT id is still a near-dup → dropped,
+    // even in replay mode
     val imposter = Seq((99L, tA)).toDF("doc_id", "text")
     val keptImposter = Dedup.incrementalKeep(bandsOf(imposter), bands,
-      "doc_id").collect().map(_.getLong(0)).toSet
+      "doc_id", excludeSelf = true).collect().map(_.getLong(0)).toSet
     assert(keptImposter === Set.empty, s"imposter admitted: $keptImposter")
+    // and OUTSIDE replay mode (the default), an at-least-once upstream
+    // re-delivering the SAME id in a later batch is a duplicate → drop
+    val redelivered = Dedup.incrementalKeep(bandsOf(batch), bands,
+      "doc_id").collect().map(_.getLong(0)).toSet
+    assert(redelivered === Set.empty, s"redelivery admitted: $redelivered")
   }
 
   test("releaseBacking reclaims reliable checkpoint files after admission") {

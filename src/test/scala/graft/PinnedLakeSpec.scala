@@ -250,6 +250,15 @@ class PinnedLakeSpec extends AnyFunSuite {
     Pipeline.archiveBatch(recs, 5L, lake, ledger = None)
     assert(FileManifest.latest(fs, lake).get.version === m2.version)
     assert(rows(History.readPinned(spark, lake)).sorted === expected.sorted)
+
+    // a DIFFERENT stream incarnation (fresh checkpoint → new stream
+    // tag) reusing batch id 5 is NOT a replay: its batch must land,
+    // not be silently dropped by the other incarnation's b5- files
+    val before = History.readPinned(spark, lake).count()
+    Pipeline.archiveBatch(records(multiSiteDoc), 5L, lake,
+      ledger = None, streamTag = Some(Pipeline.streamTagOf("/ck/other")))
+    assert(History.readPinned(spark, lake).count() > before,
+      "second incarnation's batch was dropped as already-committed")
   }
 
   test("time travel: readPinned at a retained version replays history") {
