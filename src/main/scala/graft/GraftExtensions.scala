@@ -40,6 +40,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) =>
           graft.functions.MisraGriesFn.sqlBuilder(children)))
     e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("top_k_scored"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.TopKScoredAgg].getName, "top_k_scored"),
+        (children: Seq[Expression]) =>
+          graft.functions.TopKScored.sqlBuilder(children)))
+    e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_build"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[graft.functions.BloomBuildAgg].getName, "bloom_build"),

@@ -117,6 +117,8 @@ object Views {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "misra_gries", graft.functions.MisraGriesFn.sqlBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "top_k_scored", graft.functions.TopKScored.sqlBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_build", graft.functions.Bloom.buildSqlBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_might_contain", graft.functions.Bloom.probeSqlBuilder,

@@ -147,4 +147,19 @@ object TopKScored {
     ColumnBridge.column(TopKScoredAgg(
       ColumnBridge.expression(id), ColumnBridge.expression(score), k)
       .toAggregateExpression())
+
+  /** SQL-registry builder shared by [[graft.GraftExtensions]] and
+    * `Views.registerSqlFunctions` — one place for the arity/literal
+    * validation so the two registrations can't diverge. */
+  def sqlBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"top_k_scored(id, score, k) takes 3 arguments, got ${exprs.length}")
+    require(exprs(2).foldable, "top_k_scored's k must be a literal")
+    exprs(2).eval() match {
+      case n: Number =>
+        TopKScoredAgg(exprs(0), exprs(1), n.intValue()).toAggregateExpression()
+      case other => throw new IllegalArgumentException(
+        s"top_k_scored's k must be an integer literal, got $other")
+    }
+  }
 }

@@ -158,6 +158,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(viaSql.values.forall(_.length == 4))
   }
 
+  test("top_k_scored is SQL-callable and matches the Column surface") {
+    Views.register(spark, dir)
+    // per-source top-3 docs by doc_id score, via pure SQL
+    val viaSql = spark.sql(
+      """SELECT source,
+        |  transform(top_k_scored(doc_id, CAST(doc_id AS DOUBLE), 3),
+        |            x -> x.id) AS ids
+        |FROM documents GROUP BY source""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val viaOp = spark.table("documents")
+      .groupBy(org.apache.spark.sql.functions.col("source"))
+      .agg(graft.functions.TopKScored.top_k_scored(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("doc_id").cast("double"), 3)
+        .as("top"))
+      .selectExpr("source", "transform(top, x -> x.id) AS ids")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql === viaOp)
+    assert(viaSql.values.forall(_.length == 3))
+  }
+
   test("registerLake exposes the history lake to pure SQL (snapshot read)") {
     import spark.implicits._
     val lake = java.nio.file.Files.createTempDirectory("graft-sql-lake")
