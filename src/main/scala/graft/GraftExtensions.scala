@@ -58,5 +58,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "bloom_might_contain"),
         (children: Seq[Expression]) =>
           graft.functions.Bloom.probeSqlBuilder(children)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("cms_build"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.CountMinAgg].getName, "cms_build"),
+        (children: Seq[Expression]) =>
+          graft.functions.CountMin.buildSqlBuilder(children)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("cms_estimate"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.CmsEstimate].getName, "cms_estimate"),
+        (children: Seq[Expression]) =>
+          graft.functions.CountMin.estimateSqlBuilder(children)))
   }
 }

@@ -123,5 +123,10 @@ object Views {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_might_contain", graft.functions.Bloom.probeSqlBuilder,
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cms_build", graft.functions.CountMin.buildSqlBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cms_estimate", graft.functions.CountMin.estimateSqlBuilder,
+      "built-in")
   }
 }

@@ -1,0 +1,230 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Count-Min sketch (Cormode & Muthukrishnan 2005) as a native
+  * aggregate + point-estimate expression — the per-item FREQUENCY
+  * companion to the suite's membership (Bloom), distinct-count (HLL /
+  * KMV), and candidate (Misra–Gries) sketches: `cms_build` aggregates a
+  * 64-bit hash column into a depth×width counter matrix (fixed-size
+  * partials, element-wise-sum merge — the shuffle carries d·w longs per
+  * group no matter the input), and `cms_estimate` answers "how many
+  * times did this key appear" from the serialized bytes with one-sided
+  * error: NEVER an underestimate, overestimate ≤ N·e/width with
+  * probability 1 − e^−depth. The 100 TB use: per-key frequency lookups
+  * over a vocabulary-sized stream without the vocabulary-sized shuffle
+  * an exact GROUP BY would pay — when EXACT answers for frequent items
+  * are needed, [[graft.ext.FrequentItems.heavyHitters]] is the
+  * two-pass operator; the sketch serves the long tail.
+  *
+  * Hashing mirrors [[Bloom]]: feed `xxhash64(col)`, rows derive per-row
+  * positions Guava-style from the two 32-bit halves (h1 + d·h2, folded
+  * non-negative, mod width) — build and probe share [[CountMin.pos]]
+  * so the sequences can never drift.
+  *
+  * Serialized layout (BinaryType): `[int32 depth][int32 width]
+  * [int64 × depth·width]`, big-endian.
+  */
+object CountMin {
+
+  /** Row-d position of `hash` in a width-`w` row. Shared by build and
+    * probe — the single source of the position sequence. */
+  def pos(hash: Long, d: Int, w: Int): Int = {
+    val h1 = hash.toInt
+    val h2 = (hash >>> 32).toInt
+    var p = (h1 + d * h2) % w
+    if (p < 0) p = ~p % w
+    p
+  }
+
+  private def readInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def readLong(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 56) | ((b(off + 1) & 0xffL) << 48) |
+      ((b(off + 2) & 0xffL) << 40) | ((b(off + 3) & 0xffL) << 32) |
+      ((b(off + 4) & 0xffL) << 24) | ((b(off + 5) & 0xffL) << 16) |
+      ((b(off + 6) & 0xffL) << 8) | (b(off + 7) & 0xffL)
+
+  /** Point estimate from a serialized sketch. Static so generated code
+    * calls it as one invoke inside whole-stage codegen.
+    *
+    * Malformed input (not produced by [[cms_build]]) answers
+    * `Long.MaxValue` — the conservative direction for every caller
+    * shape (a threshold filter keeps the row and an exact pass decides;
+    * an underestimate would silently drop it), and loud enough to spot
+    * in output. */
+  def estimate(sketch: Array[Byte], hash: Long): Long = {
+    if (sketch.length < 8) return Long.MaxValue
+    val depth = readInt(sketch, 0)
+    val width = readInt(sketch, 4)
+    if (depth <= 0 || width <= 0 ||
+        sketch.length < 8 + 8 * depth.toLong * width) return Long.MaxValue
+    var best = Long.MaxValue
+    var d = 0
+    while (d < depth) {
+      val c = readLong(sketch, 8 + ((d.toLong * width + pos(hash, d, width)) << 3).toInt)
+      if (c < best) best = c
+      d += 1
+    }
+    best
+  }
+
+  // ----- Column API -----
+
+  /** `cms_build(hashCol, depth, width)` → one BinaryType sketch over
+    * the group's non-null 64-bit hashes. Feed `xxhash64(col)`. */
+  def cms_build(hash: Column, depth: Int, width: Int): Column =
+    ColumnBridge.column(
+      CountMinAgg(ColumnBridge.expression(hash), depth, width)
+        .toAggregateExpression())
+
+  /** `cms_estimate(sketch, hashCol)` → the key's estimated frequency
+    * (never an underestimate). */
+  def cms_estimate(sketch: Column, hash: Column): Column =
+    ColumnBridge.column(CmsEstimate(
+      ColumnBridge.expression(sketch), ColumnBridge.expression(hash)))
+
+  // ----- SQL registry builders -----
+
+  def buildSqlBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"cms_build(hash, depth, width) takes 3 arguments, got ${exprs.length}")
+    require(exprs(1).foldable && exprs(2).foldable,
+      "cms_build's depth and width must be literals")
+    (exprs(1).eval(), exprs(2).eval()) match {
+      case (d: Number, w: Number) =>
+        CountMinAgg(exprs.head, d.intValue(), w.intValue())
+          .toAggregateExpression()
+      case other => throw new IllegalArgumentException(
+        s"cms_build's depth/width must be integer literals, got $other")
+    }
+  }
+
+  def estimateSqlBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"cms_estimate(sketch, hash) takes 2 arguments, got ${exprs.length}")
+    CmsEstimate(exprs(0), exprs(1))
+  }
+}
+
+/** Build side: buffer IS the depth×width counter matrix — fixed size
+  * regardless of input rows, merge = element-wise sum (exactly the
+  * linear-sketch property that makes CMS mergeable). */
+case class CountMinAgg(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(depth > 0 && depth <= 16, s"cms depth must be in [1,16]: $depth")
+  require(width > 0, s"cms width must be positive: $width")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"cms_build needs a 64-bit hash column (use xxhash64), got " +
+          other.catalogString)
+    }
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Number].longValue()
+      var d = 0
+      while (d < depth) {
+        buf(d * width + CountMin.pos(h, d, width)) += 1
+        d += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val bb = ByteBuffer.allocate(8 + 8 * buf.length)
+    bb.putInt(depth)
+    bb.putInt(width)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length >>> 3)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong; i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMinAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CountMinAgg =
+    copy(child = newChildren.head)
+}
+
+/** Probe side: min over the key's depth counters, read straight off the
+  * serialized bytes inside whole-stage codegen. */
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType | IntegerType | ShortType | ByteType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cms_estimate expects (binary, integral-hash), got " +
+          s"${l.catalogString} / ${r.catalogString}")
+    }
+
+  override def nullSafeEval(s: Any, h: Any): Any =
+    CountMin.estimate(s.asInstanceOf[Array[Byte]],
+      h.asInstanceOf[Number].longValue())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, h) =>
+      s"graft.functions.CountMin.estimate($s, (long) $h)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstimate =
+    copy(left = newLeft, right = newRight)
+}

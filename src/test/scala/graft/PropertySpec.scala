@@ -142,4 +142,52 @@ class PropertySpec extends AnyFunSuite {
       probes.forall(v => !graft.functions.Bloom.mightContain(bytes, v))
     })
   }
+
+  // ----- Count-Min pure-core laws (graft.functions.CountMin) -----
+
+  private def cmsBytes(counters: Array[Long], depth: Int,
+                       width: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 8 * counters.length)
+    bb.putInt(depth); bb.putInt(width)
+    counters.foreach(bb.putLong)
+    bb.array()
+  }
+
+  private def cmsInsert(counters: Array[Long], depth: Int, width: Int,
+                        h: Long): Unit = {
+    var d = 0
+    while (d < depth) {
+      counters(d * width + graft.functions.CountMin.pos(h, d, width)) += 1
+      d += 1
+    }
+  }
+
+  test("CMS: never an underestimate, for ANY depth/width/input") {
+    check(Prop.forAll(Gen.listOf(Gen.choose(-50L, 50L)),
+        Gen.choose(1, 6), Gen.choose(1, 64)) { (vals, depth, width) =>
+      val c = new Array[Long](depth * width)
+      vals.foreach(cmsInsert(c, depth, width, _))
+      val bytes = cmsBytes(c, depth, width)
+      val truth = vals.groupBy(identity).view.mapValues(_.size.toLong)
+      truth.forall { case (v, n) =>
+        graft.functions.CountMin.estimate(bytes, v) >= n
+      }
+    })
+  }
+
+  test("CMS: split-build + element-wise-sum merge ≡ whole build") {
+    check(Prop.forAll(Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue)),
+        Gen.choose(1, 6), Gen.choose(1, 64), Gen.choose(0, 100)) {
+      (vals, depth, width, cut) =>
+        val (a, b) = vals.splitAt(cut % (vals.size + 1))
+        val ca = new Array[Long](depth * width)
+        val cb = new Array[Long](depth * width)
+        a.foreach(cmsInsert(ca, depth, width, _))
+        b.foreach(cmsInsert(cb, depth, width, _))
+        val merged = ca.zip(cb).map { case (x, y) => x + y }
+        val whole = new Array[Long](depth * width)
+        vals.foreach(cmsInsert(whole, depth, width, _))
+        java.util.Arrays.equals(merged, whole)
+    })
+  }
 }
