@@ -58,15 +58,7 @@ object Bloom {
 
   // ----- bit probing shared by eval, codegen, and the aggregate -----
 
-  private def readInt(b: Array[Byte], off: Int): Int =
-    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
-      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
-
-  private def readLong(b: Array[Byte], off: Int): Long =
-    ((b(off) & 0xffL) << 56) | ((b(off + 1) & 0xffL) << 48) |
-      ((b(off + 2) & 0xffL) << 40) | ((b(off + 3) & 0xffL) << 32) |
-      ((b(off + 4) & 0xffL) << 24) | ((b(off + 5) & 0xffL) << 16) |
-      ((b(off + 6) & 0xffL) << 8) | (b(off + 7) & 0xffL)
+  import SketchBytes.{readInt, readLong}
 
   /** Probe a serialized filter. Static so generated code can call it —
     * the probe stays inside whole-stage codegen as one invoke.
@@ -83,8 +75,12 @@ object Bloom {
     val k = readInt(filter, 0)
     if (k <= 0) return true
     val numBits = ((filter.length - 4) >> 3) << 6
-    val h1 = hash.toInt
-    val h2 = (hash >>> 32).toInt
+    // re-mix: a raw id or narrow int has a zero upper half, which would
+    // make h2 = 0 and collapse all k probes onto one bit (k-fold worse
+    // fpp). Must mirror setBits exactly.
+    val m = SketchBytes.fmix64(hash)
+    val h1 = m.toInt
+    val h2 = (m >>> 32).toInt
     var i = 0
     var combined = h1
     while (i < k) {
@@ -103,8 +99,9 @@ object Bloom {
   private[graft] def setBits(words: Array[Long], numHashes: Int,
                              hash: Long): Unit = {
     val numBits = words.length << 6
-    val h1 = hash.toInt
-    val h2 = (hash >>> 32).toInt
+    val m = SketchBytes.fmix64(hash)
+    val h1 = m.toInt
+    val h2 = (m >>> 32).toInt
     var i = 0
     var combined = h1
     while (i < numHashes) {
@@ -238,6 +235,37 @@ case class BloomBuildAgg(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): BloomBuildAgg =
     copy(child = newChildren.head)
+}
+
+/** Byte/hash primitives shared by the serialized-sketch family
+  * ([[Bloom]], [[CountMin]]) — ONE copy of the big-endian readers and
+  * the input re-mix, so the mirrored designs can't drift. */
+private[functions] object SketchBytes {
+
+  def readInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  def readLong(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 56) | ((b(off + 1) & 0xffL) << 48) |
+      ((b(off + 2) & 0xffL) << 40) | ((b(off + 3) & 0xffL) << 32) |
+      ((b(off + 4) & 0xffL) << 24) | ((b(off + 5) & 0xffL) << 16) |
+      ((b(off + 6) & 0xffL) << 8) | (b(off + 7) & 0xffL)
+
+  /** MurmurHash3 fmix64 finalizer: re-mix the caller-supplied 64-bit
+    * value so inputs that are NOT already well mixed — raw ids, widened
+    * narrow ints, whose upper half is all zeros — still spread their
+    * entropy across both 32-bit halves the double-hashing schemes
+    * split. Idempotent on already-mixed xxhash64 quality. */
+  def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33
+    x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33
+    x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
 }
 
 /** The probe side: codegen-friendly membership test over the serialized

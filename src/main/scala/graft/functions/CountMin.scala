@@ -36,25 +36,21 @@ import org.apache.spark.sql.types._
   */
 object CountMin {
 
+  import SketchBytes.{readInt, readLong}
+
   /** Row-d position of `hash` in a width-`w` row. Shared by build and
-    * probe — the single source of the position sequence. */
+    * probe — the single source of the position sequence. The input is
+    * re-mixed ([[SketchBytes.fmix64]]) so raw ids / widened ints, whose
+    * upper half is zero, don't collapse every depth row onto the same
+    * position (which would silently void the 1 − e^−depth bound). */
   def pos(hash: Long, d: Int, w: Int): Int = {
-    val h1 = hash.toInt
-    val h2 = (hash >>> 32).toInt
+    val m = SketchBytes.fmix64(hash)
+    val h1 = m.toInt
+    val h2 = (m >>> 32).toInt
     var p = (h1 + d * h2) % w
     if (p < 0) p = ~p % w
     p
   }
-
-  private def readInt(b: Array[Byte], off: Int): Int =
-    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
-      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
-
-  private def readLong(b: Array[Byte], off: Int): Long =
-    ((b(off) & 0xffL) << 56) | ((b(off + 1) & 0xffL) << 48) |
-      ((b(off + 2) & 0xffL) << 40) | ((b(off + 3) & 0xffL) << 32) |
-      ((b(off + 4) & 0xffL) << 24) | ((b(off + 5) & 0xffL) << 16) |
-      ((b(off + 6) & 0xffL) << 8) | (b(off + 7) & 0xffL)
 
   /** Point estimate from a serialized sketch. Static so generated code
     * calls it as one invoke inside whole-stage codegen.
@@ -68,12 +64,18 @@ object CountMin {
     if (sketch.length < 8) return Long.MaxValue
     val depth = readInt(sketch, 0)
     val width = readInt(sketch, 4)
-    if (depth <= 0 || width <= 0 ||
-        sketch.length < 8 + 8 * depth.toLong * width) return Long.MaxValue
+    // overflow-proof capacity check: compare counter COUNTS (array
+    // bytes bound the right side), never 8·depth·width which a crafted
+    // header can wrap past Long range via huge ints
+    if (depth <= 0 || depth > 16 || width <= 0 ||
+        depth.toLong * width > ((sketch.length - 8) >> 3).toLong)
+      return Long.MaxValue
     var best = Long.MaxValue
     var d = 0
     while (d < depth) {
-      val c = readLong(sketch, 8 + ((d.toLong * width + pos(hash, d, width)) << 3).toInt)
+      // offset fits Int: depth·width ≤ (length−8)/8 < 2³¹ was just checked
+      val c = readLong(sketch,
+        8 + ((d.toLong * width + pos(hash, d, width)) << 3).toInt)
       if (c < best) best = c
       d += 1
     }
@@ -131,6 +133,11 @@ case class CountMinAgg(
 
   require(depth > 0 && depth <= 16, s"cms depth must be in [1,16]: $depth")
   require(width > 0, s"cms width must be positive: $width")
+  // guard the PRODUCT too: depth*width can wrap Int and allocate a
+  // wrongly-sized buffer that crashes mid-aggregation; 2²⁷ counters
+  // (1 GiB) is far past any sane sketch
+  require(depth.toLong * width <= (1L << 27),
+    s"cms sketch too large: $depth x $width counters (max ${1L << 27})")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

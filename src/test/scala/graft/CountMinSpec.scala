@@ -59,6 +59,21 @@ class CountMinSpec extends AnyFunSuite {
     assert(CountMin.estimate(Array.emptyByteArray, 1L) === Long.MaxValue)
     assert(CountMin.estimate(Array[Byte](0, 0, 0, 2, 0, 0, 0, 8), 1L) ===
       Long.MaxValue) // header claims counters it doesn't carry
+    // crafted header whose 8*depth*width wraps past Long range must not
+    // slip past validation into an out-of-bounds read
+    val wrap = java.nio.ByteBuffer.allocate(16)
+      .putInt(0x40000000).putInt(0x7fffffff).putLong(7L).array()
+    assert(CountMin.estimate(wrap, 1L) === Long.MaxValue)
+  }
+
+  test("oversized depth x width is rejected at construction, not mid-job") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      Seq(1L).toDF("v")
+        .agg(CountMin.cms_build(col("v"), 16, 268435457).as("sk"))
+        .collect()
+    }
+    assert(e.getMessage.contains("too large"), e.getMessage)
   }
 
   test("SQL surface: cms_build + cms_estimate registered") {
