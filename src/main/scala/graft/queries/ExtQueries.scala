@@ -596,6 +596,37 @@ object ExtQueries {
             greatest(lit(1.0), abs(col("p90_exact")) * 0.02)).as("p90_ok"))
     }),
 
+    // Count-Min-pruned exact frequency (the t18 recipe on the FREQUENCY
+    // axis): one fixed-size CMS (depth×width counter matrix, linear-
+    // sketch merge) built over the token stream broadcasts as a single
+    // row; the probe filters BEFORE the counting shuffle, so only
+    // tokens the sketch estimates at ≥ the threshold ever reach the
+    // GROUP BY — and the estimate NEVER underestimates, so no truly-
+    // frequent token is pruned. The exact recount after the prune
+    // decides, removing the sketch's overestimates — composed result is
+    // EXACT (oracle needs no sketch). vs a06: Misra–Gries carries a
+    // k-bounded candidate BUFFER through the aggregation; CMS carries a
+    // frequency MATRIX probe-able per row before any shuffle — at
+    // 100 TB the prune confines the vocabulary shuffle to the frequent
+    // slice (~1/threshold keys) plus the sketch's N·e/width noise tail.
+    "a08_cms_frequency" -> ((s, d) => {
+      val words = documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val sketch = words.agg(
+        graft.functions.CountMin.cms_build(xxhash64(col("word")), 5, 8192)
+          .as("cms"),
+        count(lit(1)).as("n_total"))
+      words.crossJoin(broadcast(sketch)) // single row by construction
+        .filter(graft.functions.CountMin.cms_estimate(col("cms"),
+          xxhash64(col("word"))) >= col("n_total") * 0.01)
+        .groupBy(col("word"), col("n_total"))
+        .agg(count(lit(1)).cast("bigint").as("cnt"))
+        .filter(col("cnt") >= col("n_total") * 0.01)
+        .select(col("word"), col("cnt"))
+    }),
+
     // mapPartitions decode plumbing (deterministic stub codec): the
     // decode-stage outputs that ARE SQL-expressible (mime/byte_len/
     // checksum) — oracle-gated, proving the mapPartitions path computes
@@ -1819,6 +1850,20 @@ object ExtQueries {
            WHERE length(word) > 0 GROUP BY word
          ), t AS (SELECT SUM(cnt) AS n_total FROM f)
          SELECT word, cnt FROM f, t WHERE cnt >= 0.02 * n_total""",
+    // exact by construction: the CMS stage only PRUNES candidates (the
+    // estimate never underestimates, so every token at/above the
+    // threshold survives the prune) and the exact recount decides —
+    // the oracle is the plain frequency GROUP BY the sketch pass
+    // exists to confine at scale
+    "a08_cms_frequency" ->
+      """WITH w AS (
+           SELECT unnest(string_split(text, ' ')) AS word
+           FROM documents WHERE text IS NOT NULL
+         ), f AS (
+           SELECT word, COUNT(*) AS cnt FROM w
+           WHERE length(word) > 0 GROUP BY word
+         ), t AS (SELECT SUM(cnt) AS n_total FROM f)
+         SELECT word, cnt FROM f, t WHERE cnt >= 0.01 * n_total""",
     // exact interpolated percentiles (quantile_cont ≡ Spark percentile);
     // the approx side is asserted via tolerance booleans, a01-style
     "a02_quantile_sketch" ->
