@@ -99,34 +99,14 @@ object Views {
       .createOrReplaceTempView(name)
 
   /** Make the engine's custom Catalyst expressions SQL-callable on an
-    * existing session — the same registrations [[GraftExtensions]]
-    * injects at builder time, for sessions not built with
-    * `withExtensions` (idempotent; temp-function scope). */
-  def registerSqlFunctions(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product",
-      exprs => graft.functions.DotProduct(exprs(0), exprs(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hll_distinct",
-      exprs => graft.functions.HyperLogLogAgg(exprs.head)
-        .toAggregateExpression(),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bottom_k", graft.functions.BottomK.sqlBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "misra_gries", graft.functions.MisraGriesFn.sqlBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "top_k_scored", graft.functions.TopKScored.sqlBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_build", graft.functions.Bloom.buildSqlBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_might_contain", graft.functions.Bloom.probeSqlBuilder,
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cms_build", graft.functions.CountMin.buildSqlBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cms_estimate", graft.functions.CountMin.estimateSqlBuilder,
-      "built-in")
-  }
+    * existing session — the same function set [[GraftExtensions]]
+    * injects at builder time (both iterate
+    * [[graft.functions.GraftFunctions.all]]), for sessions not built
+    * with `withExtensions` (idempotent; temp-function scope). */
+  def registerSqlFunctions(spark: SparkSession): Unit =
+    graft.functions.GraftFunctions.all.foreach {
+      case (name, _, builder) =>
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          name, builder, "built-in")
+    }
 }

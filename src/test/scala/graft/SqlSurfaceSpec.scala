@@ -179,6 +179,40 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(viaSql.values.forall(_.length == 3))
   }
 
+  test("both SQL registration surfaces expose the same function set") {
+    // Surface 1: the builder-time extensions path, driven through the
+    // exact injection mechanism `spark.sql.extensions` runs (applied to
+    // a fresh child session's registry via the bridge — getOrCreate
+    // reuses the JVM-wide session, so a real builder install can't be
+    // exercised in-process).
+    val viaExtensions = spark.newSession()
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(exts)
+    org.apache.spark.sql.graftbridge.ExtensionsBridge.applyFunctions(
+      exts, viaExtensions.sessionState.functionRegistry)
+    // Surface 2: the existing-session path.
+    val viaRegister = spark.newSession()
+    Views.registerSqlFunctions(viaRegister)
+    val names = graft.functions.GraftFunctions.names
+    assert(names.distinct === names) // no duplicate registrations
+    for (n <- names; s <- Seq(viaExtensions, viaRegister))
+      assert(s.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(n)),
+        s"function $n missing from a registration surface")
+    // and both actually evaluate the same expression tree: one smoke
+    // query per session through a function from each family
+    for (s <- Seq(viaExtensions, viaRegister)) {
+      val r = s.sql(
+        """SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+          |  cms_estimate(cms, xxhash64('a')) AS est
+          |FROM (SELECT cms_build(xxhash64(c), 3, 64) AS cms
+          |      FROM VALUES ('a'), ('a'), ('b') AS t(c))""".stripMargin)
+        .collect().head
+      assert(r.getDouble(0) === 11.0)
+      assert(r.getLong(1) === 2L)
+    }
+  }
+
   test("registerLake exposes the history lake to pure SQL (snapshot read)") {
     import spark.implicits._
     val lake = java.nio.file.Files.createTempDirectory("graft-sql-lake")
