@@ -394,9 +394,10 @@ object Dedup {
     * pipeline actually runs: each incoming batch is admitted against the
     * EXISTING corpus's persisted LSH band table, then deduplicated within
     * itself; the corpus is never re-shingled or re-scanned (per-batch
-    * cost ∝ batch size + one semi-join against the band table, which at
-    * rest is bucketed/partitioned on (band, bkey) so the probe shuffles
-    * only the incoming side). Admission policy: an incoming doc sharing
+    * cost ∝ batch size + one semi-join against the band table — pass a
+    * corpus read from the [[ensureBandTable]]/[[writeBucketedBands]]
+    * bucketed-at-rest layout and the probe shuffles only the incoming
+    * side; `AnalyticsAndPlanSpec` asserts the no-corpus-Exchange plan). Admission policy: an incoming doc sharing
     * ANY band with ANOTHER doc's corpus bands is a near-dup of something
     * already kept → dropped; survivors then resolve intra-batch clusters
     * and keep each cluster's min id. Returns the admitted id set (one
@@ -419,26 +420,37 @@ object Dedup {
     *
     * Inputs are band tables from [[lshBands]] — same signature family on
     * both sides, or the band keys are meaningless. */
+  /** The admission PROBE — incoming docs sharing ≥1 band with the
+    * corpus ([[incrementalKeep]]'s first stage, exposed so the plan
+    * spec can assert its shuffle shape: against an [[ensureBandTable]]
+    * corpus the semi-join plans no Exchange on the corpus side). The
+    * probe is LEFT-side incoming by design — at steady state the
+    * incoming batch is the small side, and its shuffle to the corpus's
+    * (band, bkey) buckets is the only data movement the probe pays. */
+  private[graft] def admissionHits(incomingBands: DataFrame,
+                                   corpusBands: DataFrame, idCol: String,
+                                   excludeSelf: Boolean): DataFrame =
+    if (!excludeSelf)
+      incomingBands
+        .join(corpusBands.select(col("band"), col("bkey")),
+          Seq("band", "bkey"), "left_semi")
+        .select(col(idCol)).distinct()
+    else {
+      val in = incomingBands.alias("in")
+      val cb = corpusBands.select(col(idCol).as("_corpus_id"),
+        col("band"), col("bkey")).alias("cb")
+      in.join(cb,
+          col("in.band") === col("cb.band") &&
+            col("in.bkey") === col("cb.bkey") &&
+            col(s"in.$idCol") =!= col("_corpus_id"),
+          "left_semi")
+        .select(col(idCol)).distinct()
+    }
+
   def incrementalKeep(incomingBands: DataFrame, corpusBands: DataFrame,
                       idCol: String, reliable: Boolean = false,
                       excludeSelf: Boolean = false): DataFrame = {
-    val hit =
-      if (!excludeSelf)
-        incomingBands
-          .join(corpusBands.select(col("band"), col("bkey")),
-            Seq("band", "bkey"), "left_semi")
-          .select(col(idCol)).distinct()
-      else {
-        val in = incomingBands.alias("in")
-        val cb = corpusBands.select(col(idCol).as("_corpus_id"),
-          col("band"), col("bkey")).alias("cb")
-        in.join(cb,
-            col("in.band") === col("cb.band") &&
-              col("in.bkey") === col("cb.bkey") &&
-              col(s"in.$idCol") =!= col("_corpus_id"),
-            "left_semi")
-          .select(col(idCol)).distinct()
-      }
+    val hit = admissionHits(incomingBands, corpusBands, idCol, excludeSelf)
     val survivingPlan = incomingBands.join(hit, Seq(idCol), "left_anti")
     // Materialize the surviving band table ONCE (RDD-level checkpoint,
     // resolveClusters-style): it is consumed by two separate actions —
@@ -458,6 +470,79 @@ object Dedup {
       .select(col("id").as(idCol))
     surviving.select(col(idCol)).distinct()
       .join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Stable session-catalog name for the band table rooted at `path`
+    * (path-derived so every session lands on the same entry). */
+  def bandTableName(path: String): String =
+    "graft_bands_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+
+  /** Register (idempotently) the band table at `path` as an EXTERNAL
+    * bucketed catalog table CLUSTERED BY (band, bkey) — the at-rest
+    * layout [[incrementalKeep]]'s probe needs to be shuffle-free on the
+    * corpus side. Unlike [[graft.ext.Similarity.writeBucketedCorpus]]
+    * (one-shot `bucketBy.saveAsTable`), the band table GROWS by
+    * exactly-once micro-batch appends, so files are produced by
+    * `repartition(buckets, band, bkey)` + [[graft.sources.LakeCommit
+    * .publishBucketed]] (task index == bucket id — same murmur3-pmod —
+    * published under the `_NNNNN` bucket suffix Spark's scan parses);
+    * the catalog entry here only DESCRIBES that layout. The bucket
+    * count is fixed at table creation: callers must pass the same
+    * `buckets` for the table's whole life (enforced against the catalog
+    * entry — a mismatched write would silently mis-bucket every later
+    * probe). */
+  def ensureBandTable(spark: org.apache.spark.sql.SparkSession,
+                      path: String, schema: org.apache.spark.sql.types.StructType,
+                      buckets: Int): String = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(schema.fieldNames.contains("band") &&
+      schema.fieldNames.contains("bkey"),
+      s"band table schema must carry (band, bkey): ${schema.toDDL}")
+    val name = bandTableName(path)
+    if (!spark.catalog.tableExists(name)) {
+      val loc = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(new org.apache.hadoop.fs.Path(path))
+      spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS `$name` (${schema.toDDL})
+           |USING PARQUET
+           |CLUSTERED BY (band, bkey) INTO $buckets BUCKETS
+           |LOCATION '$loc'""".stripMargin): Unit
+    }
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+      .bucketSpec
+      .getOrElse(throw new IllegalStateException(
+        s"$name exists without a bucket spec — drop it or use a fresh path"))
+    require(spec.numBuckets == buckets &&
+      spec.bucketColumnNames == Seq("band", "bkey"),
+      s"$name is bucketed ${spec.numBuckets}×${spec.bucketColumnNames}; " +
+        s"caller asked $buckets×(band, bkey) — bucket count is fixed at " +
+        "table creation")
+    name
+  }
+
+  /** One-shot bucketed load of a FULL band table (the batch-side
+    * companion to the streaming append path): stages `bands` bucketed on
+    * (band, bkey) and publishes under key `init`, then registers the
+    * catalog entry. `path` should start empty — re-running replaces the
+    * `init` files (same sweep idempotence as any batch key) but leaves
+    * other batches' files in place. Returns the catalog table name;
+    * probe with `spark.table(name)`. */
+  def writeBucketedBands(bands: DataFrame, path: String,
+                         buckets: Int): String = {
+    val spark = bands.sparkSession
+    bands.repartition(buckets, col("band"), col("bkey"))
+      .write.mode("overwrite")
+      .parquet(graft.sources.LakeCommit.stagingDir(path, "init"))
+    graft.sources.LakeCommit.publishBucketed(spark, path, "init"): Unit
+    val name = ensureBandTable(spark, path, bands.schema, buckets)
+    // a pre-existing catalog entry caches its file listing — make the
+    // just-published init files visible to this session's readers
+    spark.catalog.refreshTable(name)
+    name
   }
 
   /** SEMANTIC dedup candidate pairs (the SemDeDup recipe: cluster the

@@ -90,7 +90,27 @@ object LakeCommit {
     publish(spark, lakePath, batchId.toString)
 
   def publish(spark: SparkSession, lakePath: String,
-              key: String): Seq[String] = {
+              key: String): Seq[String] =
+    publishImpl(spark, lakePath, key, bucketed = false)
+
+  /** [[publish]] for a BUCKETED destination table: the staged files were
+    * written through `repartition(n, bucketCols…)` (whose
+    * `HashPartitioning.partitionIdExpression` is the SAME
+    * murmur3-pmod Spark's native bucketing uses, so task index ==
+    * bucket id), and the published names carry that id as the trailing
+    * `_NNNNN` Spark's `BucketingUtils` parses — a bucketed-table scan
+    * over the destination then groups every batch's files into the
+    * right buckets and reports `HashPartitioning(bucketCols, n)`, which
+    * is what makes the streaming-admission probe shuffle-free on the
+    * corpus side. Same sweep/rename idempotence as [[publish]]. */
+  def publishBucketed(spark: SparkSession, lakePath: String,
+                      key: String): Seq[String] =
+    publishImpl(spark, lakePath, key, bucketed = true)
+
+  private val stagedTaskIndex = raw"part-(\d+)".r
+
+  private def publishImpl(spark: SparkSession, lakePath: String,
+                          key: String, bucketed: Boolean): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val rawStage = new Path(stagingDir(lakePath, key))
     val fs = rawStage.getFileSystem(conf)
@@ -133,26 +153,45 @@ object LakeCommit {
       require(!rel.startsWith("/"), s"unrelativizable staged path: $p")
       rel
     }
+    // deterministic dest names, computed up front so the rename loop and
+    // the returned rel list can never disagree: plain mode numbers the
+    // dir's files; bucketed mode additionally carries the staged task
+    // index (== bucket id by construction) as the `_NNNNN` suffix
+    def destName(src: Path, i: Int): String =
+      if (!bucketed) s"${tag}p$i.parquet"
+      else {
+        val bucket = stagedTaskIndex.findFirstMatchIn(src.getName)
+          .getOrElse(throw new java.io.IOException(
+            s"staged file has no task index to derive a bucket id: $src"))
+          .group(1).toInt
+        f"${tag}p$i%d_$bucket%05d.parquet"
+      }
+    val plans: Seq[(String, Seq[(Path, String)])] =
+      byDir.toSeq.sortBy(_._1).map { case (rel, staged) =>
+        (rel, staged.zipWithIndex.map { case (src, i) =>
+          (src, destName(src, i))
+        }.toSeq)
+      }
     // partitions are independent: fan the per-dir sweeps/renames out on a
     // bounded pool (sequential per dir, parallel across dirs) — the cost
     // is per-file metadata RTTs, proportional to the batch, never the lake
-    foreachPar(byDir.toSeq.sortBy(_._1)) { case (rel, staged) =>
+    foreachPar(plans) { case (rel, staged) =>
       val destDir = if (rel.isEmpty) new Path(lakePath)
         else new Path(lakePath, rel)
       fs.mkdirs(destDir): Unit
       val leftovers = fs.globStatus(new Path(destDir, tag + "*"))
       if (leftovers != null) leftovers.foreach(s => fs.delete(s.getPath, false))
-      staged.zipWithIndex.foreach { case (src, i) =>
-        val dest = new Path(destDir, s"${tag}p$i.parquet")
+      staged.foreach { case (src, name) =>
+        val dest = new Path(destDir, name)
         if (!fs.rename(src, dest))
           throw new java.io.IOException(s"rename $src -> $dest failed")
       }
     }
     fs.delete(stage, true): Unit
-    byDir.toSeq.sortBy(_._1).flatMap { case (rel, staged) =>
-      staged.indices.map(i =>
-        if (rel.isEmpty) s"${tag}p$i.parquet"
-        else s"$rel/${tag}p$i.parquet")
+    plans.flatMap { case (rel, staged) =>
+      staged.map { case (_, name) =>
+        if (rel.isEmpty) name else s"$rel/$name"
+      }
     }
   }
 

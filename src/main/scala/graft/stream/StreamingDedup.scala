@@ -31,11 +31,23 @@ object StreamingDedup {
     * @param bandTable directory of the accumulated band table (put the
     *   ledger at `<bandTable>/_ledger` to make replays exactly-once
     *   across restarts)
+    * @param buckets >0 keeps the band table BUCKETED at rest on
+    *   (band, bkey) — [[graft.ext.Dedup.ensureBandTable]] registers the
+    *   layout, each batch's admitted bands publish as bucket-tagged
+    *   files, and the admission probe reads the catalog table so its
+    *   semi-join shuffles ONLY the incoming batch (at streaming steady
+    *   state the accumulated corpus bands dwarf any batch; a flat
+    *   layout re-shuffles them EVERY batch — per-batch cost growing
+    *   with corpus size). 0 = legacy flat parquet (probe shuffles both
+    *   sides). The count is fixed at the table's creation — size it for
+    *   the CORPUS's target scale up front (buckets ≈ corpus band rows ·
+    *   row width / target partition size).
     */
   def admitStream(docs: DataFrame, idCol: String, textCol: String,
                   bandTable: String, checkpointDir: String,
                   ledger: Option[Pipeline.BatchLedger] = None,
-                  shingleN: Int = 3, sigK: Int = 8, bandRows: Int = 2)
+                  shingleN: Int = 3, sigK: Int = 8, bandRows: Int = 2,
+                  buckets: Int = 0)
                  (onAdmitted: (DataFrame, Long) => Unit): StreamingQuery = {
     // stream-scoped batch keys (see Pipeline.streamTagOf): a fresh
     // checkpoint restarts batch ids, and bare ids would collide with a
@@ -61,7 +73,19 @@ object StreamingDedup {
                 !s.getPath.getName.startsWith("."))
           }
           val corpus =
-            if (hasCorpus) spark.read.parquet(bandTable)
+            if (buckets > 0) {
+              // catalog-described bucketed layout: the scan reports
+              // HashPartitioning(band, bkey, buckets), so the probe's
+              // semi-join plans no Exchange on this (corpus) side. The
+              // session caches a datasource table's file listing at
+              // first resolution — refresh so this batch sees every
+              // band published before it (prior batches, prior
+              // incarnations, concurrent admitters).
+              val tbl = graft.ext.Dedup.ensureBandTable(
+                spark, bandTable, bands.schema, buckets)
+              spark.catalog.refreshTable(tbl)
+              spark.table(tbl)
+            } else if (hasCorpus) spark.read.parquet(bandTable)
             else bands.limit(0)
           // REPLAY detection: this batch's bands already published →
           // the corpus contains the admitted docs' own bands, and the
@@ -77,11 +101,21 @@ object StreamingDedup {
             excludeSelf = replayed)
           try {
             // exactly-once band append: batch-tagged stage-then-publish
-            // (replay sweeps a prior partial attempt's files first)
-            bands.join(kept, Seq(idCol), "left_semi")
-              .write.mode("overwrite")
-              .parquet(LakeCommit.stagingDir(bandTable, key))
-            LakeCommit.publish(spark, bandTable, key): Unit
+            // (replay sweeps a prior partial attempt's files first); in
+            // bucketed mode the stage is repartitioned on the bucket
+            // columns so each staged task IS one bucket, and the
+            // publish carries the bucket id into the published names
+            val admittedBands = bands.join(kept, Seq(idCol), "left_semi")
+            if (buckets > 0) {
+              admittedBands.repartition(buckets, col("band"), col("bkey"))
+                .write.mode("overwrite")
+                .parquet(LakeCommit.stagingDir(bandTable, key))
+              LakeCommit.publishBucketed(spark, bandTable, key): Unit
+            } else {
+              admittedBands.write.mode("overwrite")
+                .parquet(LakeCommit.stagingDir(bandTable, key))
+              LakeCommit.publish(spark, bandTable, key): Unit
+            }
             onAdmitted(batch.join(kept, Seq(idCol), "left_semi"), batchId)
             ledger.foreach(_.markCommitted(batchId))
           } finally Dedup.releaseBacking(kept)

@@ -373,6 +373,74 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
         s"happens too late:\n$plan")
   }
 
+  test("plan quality: admission probe plans no Exchange above the bucketed band table") {
+    // incrementalKeep's scale claim: with the corpus band table bucketed
+    // at rest on (band, bkey) (ensureBandTable/writeBucketedBands +
+    // bucket-tagged publishes), the admission semi-join shuffles ONLY
+    // the incoming batch — the corpus side plans no Exchange. Broadcast
+    // and AQE are disabled so the static shuffle-join shape is asserted.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.ext.{Dedup, TextAnalysis}
+    import org.apache.spark.sql.functions.{col, explode}
+    val savedB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bands-plan").toString + "/bands"
+    def bandsOf(docs: org.apache.spark.sql.DataFrame) =
+      Dedup.lshBands(Dedup.minhashSignatures(
+        docs.select(col("doc_id"),
+          explode(TextAnalysis.wordShingles(col("text"), 3)).as("shingle")),
+        "doc_id", 8), "doc_id", 8, 2)
+    try {
+      val corpusDocs = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog near the river"),
+        (2L, "completely different content about distributed query engines"))
+        .toDF("doc_id", "text")
+      val table = Dedup.writeBucketedBands(bandsOf(corpusDocs), dir, 4)
+      val corpus = spark.table(table)
+      val incoming = bandsOf(Seq(
+        (10L, "the quick brown fox jumps over the lazy dog near the river"),
+        (11L, "a fresh document on parquet row group statistics"))
+        .toDF("doc_id", "text"))
+      def bucketScans(p: SparkPlan) = p.collect {
+        case s: FileSourceScanExec if s.relation.bucketSpec.nonEmpty => s
+      }
+      for (excludeSelf <- Seq(false, true)) {
+        val hits = Dedup.admissionHits(incoming, corpus, "doc_id",
+          excludeSelf)
+        val plan = hits.queryExecution.executedPlan
+        assert(bucketScans(plan).nonEmpty, plan.toString.take(1500))
+        // the corpus SIDE of the probe join is Exchange-free (the
+        // post-join distinct still shuffles doc_ids — that's above the
+        // join and batch-sized, not a corpus shuffle)
+        val join = plan.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+          case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+        }.head
+        val corpusSide =
+          if (bucketScans(join.right).nonEmpty) join.right else join.left
+        assert(bucketScans(corpusSide).nonEmpty)
+        assert(corpusSide.collect {
+          case e: ShuffleExchangeExec => e }.isEmpty,
+          s"excludeSelf=$excludeSelf:\n" + corpusSide.toString.take(2000))
+        // ... while the incoming side DOES shuffle (to the corpus's
+        // bucket partitioning), so the join really is the shuffled kind
+        val inSide = if (corpusSide eq join.right) join.left else join.right
+        assert(inSide.collect { case e: ShuffleExchangeExec => e }.nonEmpty)
+        // and the probe is semantically right: 10 collides, 11 doesn't
+        assert(hits.collect().map(_.getLong(0)).toSet === Set(10L))
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedB)
+      spark.conf.set("spark.sql.adaptive.enabled", savedA)
+      spark.sql(s"DROP TABLE IF EXISTS `${Dedup.bandTableName(dir)}`"): Unit
+    }
+  }
+
   test("plan quality: PQ re-rank fetch plans no Exchange above the bucketed corpus") {
     // pqSearch's scale claim: with the corpus id-bucketed at rest
     // (writeBucketedCorpus), the candidate fetch shuffles only the

@@ -72,4 +72,92 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(spark.read.parquet(bandTable).count() === bandsBefore)
     } finally q2.stop()
   }
+
+  test("bucketed band table: identical admissions, bucket-consistent files") {
+    // buckets > 0 changes the band table's at-rest LAYOUT (catalog-
+    // described bucketing + bucket-tagged published files), never the
+    // admission semantics: same inputs as the flat test, same admitted
+    // sets; and every published file's _NNNNN bucket id must agree with
+    // the murmur3-pmod of the rows inside it (the invariant the
+    // shuffle-free probe rests on).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bandTable = java.nio.file.Files
+      .createTempDirectory("graft-stream-bands-b").toString + "/bands"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-dedup-bck").toString
+    val ledger = new Pipeline.FileBatchLedger(s"$bandTable/_ledger")
+    val admitted = new java.util.concurrent.ConcurrentHashMap[
+      Long, Set[Long]]()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.admitStream(
+      input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", bandTable, ckpt, Some(ledger), buckets = 4) {
+      (df, id) =>
+        admitted.put(id,
+          df.select("doc_id").collect().map(_.getLong(0)).toSet): Unit
+    }
+    val tA = "the quick brown fox jumps over the lazy dog near the river bank"
+    val tB = "completely different content about distributed query engines and shuffles"
+    val tC = "a third unrelated document discussing parquet row group statistics"
+    try {
+      input.addData((1L, tA), (2L, tB))
+      q.processAllAvailable()
+      assert(admitted.get(0L) === Set(1L, 2L))
+      // near-dup of admitted doc 1 rejected against the BUCKETED corpus
+      input.addData((10L, tA), (11L, tC))
+      q.processAllAvailable()
+      assert(admitted.get(1L) === Set(11L))
+      // the catalog table and a flat read see the same rows
+      val tbl = graft.ext.Dedup.bandTableName(bandTable)
+      val viaTable = spark.table(tbl)
+        .select("doc_id", "band", "bkey").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val viaFlat = spark.read.parquet(bandTable)
+        .select("doc_id", "band", "bkey").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(viaTable === viaFlat)
+      assert(viaTable.map(_._1) === Set(1L, 2L, 11L))
+      // layout invariant: each file's parsed bucket id matches the
+      // bucket hash of every row in it
+      val withFile = spark.read.parquet(bandTable)
+        .withColumn("f", org.apache.spark.sql.functions
+          .input_file_name())
+        .withColumn("b", org.apache.spark.sql.functions
+          .pmod(org.apache.spark.sql.functions
+            .hash(org.apache.spark.sql.functions.col("band"),
+              org.apache.spark.sql.functions.col("bkey")),
+            org.apache.spark.sql.functions.lit(4)))
+        .select("f", "b").collect()
+      val fileBucket = raw"_(\d+)\.parquet$$".r
+      withFile.foreach { r =>
+        val parsed = fileBucket.findFirstMatchIn(r.getString(0))
+        assert(parsed.nonEmpty, s"unbucketed file name: ${r.getString(0)}")
+        assert(parsed.get.group(1).toInt === r.getInt(1),
+          s"row bucket ${r.getInt(1)} in file ${r.getString(0)}")
+      }
+    } finally q.stop()
+
+    // replay with the durable ledger: still a no-op in bucketed mode
+    val bandsBefore = spark.read.parquet(bandTable).count()
+    val input2 = MemoryStream[(Long, String)]
+    val ckpt2 = java.nio.file.Files
+      .createTempDirectory("graft-stream-dedup-bck2").toString
+    val replays = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q2 = StreamingDedup.admitStream(
+      input2.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", bandTable, ckpt2, Some(ledger), buckets = 4) {
+      (_, _) => replays.incrementAndGet(): Unit
+    }
+    try {
+      input2.addData((1L, tA), (2L, tB))
+      q2.processAllAvailable()
+      assert(replays.get() === 0)
+      assert(spark.read.parquet(bandTable).count() === bandsBefore)
+    } finally {
+      q2.stop()
+      spark.sql(s"DROP TABLE IF EXISTS " +
+        s"`${graft.ext.Dedup.bandTableName(bandTable)}`"): Unit
+    }
+  }
 }
