@@ -160,4 +160,73 @@ class StreamingDedupSpec extends AnyFunSuite {
         s"`${graft.ext.Dedup.bandTableName(bandTable)}`"): Unit
     }
   }
+
+  test("crash between band publish and corpus commit converges to one corpus copy") {
+    // The onAdmitted contract is at-least-once: a crash after the band
+    // publish but before the ledger mark replays the batch and
+    // re-delivers the same admitted set. corpusSink (batch-keyed
+    // stage-then-publish, same key family as the bands) turns that into
+    // end-to-end exactly-once — kill the batch at BOTH crash points and
+    // the replay must converge to one copy of every admitted doc.
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-eo").toString
+    val bandTable = s"$root/bands"
+    val corpusDir = s"$root/corpus"
+    val ckpt = s"$root/ck"
+    val ledger = new Pipeline.FileBatchLedger(s"$bandTable/_ledger")
+    val sink = StreamingDedup.corpusSink(corpusDir, ckpt)
+    val key = Pipeline.streamTagOf(ckpt) + "-0"
+    val tA = "the quick brown fox jumps over the lazy dog near the river bank"
+    val tB = "completely different content about distributed query engines and shuffles"
+    val docs = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+    def corpusIds: Set[Long] =
+      try spark.read.parquet(corpusDir).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      catch { case _: org.apache.spark.sql.AnalysisException => Set.empty }
+    def corpusRows: Long =
+      spark.read.parquet(corpusDir).count()
+
+    // crash point 1: bands published, sink never ran
+    intercept[RuntimeException] {
+      StreamingDedup.admitBatch(docs, 0L, "doc_id", "text", bandTable,
+        key, Some(ledger)) { (_, _) =>
+        throw new RuntimeException("crash before corpus sink")
+      }
+    }
+    assert(ledger.lastCommitted === -1L)
+    val bandsAfter1 = spark.read.parquet(bandTable).count()
+    assert(bandsAfter1 > 0)
+    assert(corpusIds === Set.empty)
+
+    // crash point 2 (replay of the same key): corpus published, ledger
+    // mark never reached — the admitted set must be REPRODUCED (band
+    // self-exclusion), not lost
+    intercept[RuntimeException] {
+      StreamingDedup.admitBatch(docs, 0L, "doc_id", "text", bandTable,
+        key, Some(ledger)) { (df, id) =>
+        sink(df, id)
+        throw new RuntimeException("crash before ledger mark")
+      }
+    }
+    assert(ledger.lastCommitted === -1L)
+    assert(spark.read.parquet(bandTable).count() === bandsAfter1)
+    assert(corpusIds === Set(1L, 2L))
+    assert(corpusRows === 2L)
+
+    // final replay completes: still exactly one copy everywhere
+    StreamingDedup.admitBatch(docs, 0L, "doc_id", "text", bandTable,
+      key, Some(ledger))(sink)
+    assert(ledger.lastCommitted === 0L)
+    assert(spark.read.parquet(bandTable).count() === bandsAfter1)
+    assert(corpusIds === Set(1L, 2L))
+    assert(corpusRows === 2L)
+
+    // and a post-commit replay (restart re-delivery) is a full no-op
+    StreamingDedup.admitBatch(docs, 0L, "doc_id", "text", bandTable,
+      key, Some(ledger)) { (_, _) =>
+      fail("ledger-committed batch must not re-run")
+    }
+    assert(corpusRows === 2L)
+  }
 }
