@@ -35,11 +35,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * }}}
   *
   * Scale note: one manifest line per live data file — a 100 TB lake at
-  * healthy file sizes is ~10⁵–10⁶ lines, one driver-side read per plan.
-  * A full table format shards manifests per partition and caches them;
-  * this deliberately stays one flat file per version (the lake's
-  * partition count already bounds it) and keeps only unvacuumed
-  * versions on disk.
+  * healthy file sizes is ~10⁵–10⁶ lines. Published versions are
+  * immutable, so parses are cached per (lake, version): a session pays
+  * the driver-side read once per version it touches, not once per plan
+  * (bounded LRU; see `parsedCache`). A full table format additionally
+  * shards manifests per partition; this deliberately stays one flat
+  * file per version (the lake's partition count already bounds it) and
+  * keeps only unvacuumed versions on disk.
   */
 object FileManifest {
 
@@ -96,8 +98,33 @@ object FileManifest {
   def latest(fs: FileSystem, lakePath: String): Option[Manifest] =
     latestVersion(fs, lakePath).map(v => readVersion(fs, lakePath, v))
 
+  /** Parsed-manifest cache, keyed by (qualified lake root, version).
+    * Safe because a published `v<N>.manifest` is IMMUTABLE — versions
+    * only ever appear (publish) or disappear (vacuum), never change —
+    * so a cached parse can never go stale; it only saves the per-plan
+    * driver-side read+parse of a file that is ~10⁵–10⁶ lines at 100 TB
+    * (every pinned read, stats-pruned read, expiry and vacuum resolves
+    * the manifest; before this cache each PAID that read). Bounded LRU:
+    * a long-lived session touching many lakes/versions caps at
+    * `cacheCap` parsed manifests, evicting least-recently-used. */
+  private val cacheCap = 64
+  private val parsedCache =
+    new java.util.LinkedHashMap[(String, Long), Manifest](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Manifest]): Boolean =
+        size() > cacheCap
+    }
+  /** Physical manifest-file reads (cache misses) — exposed so the scale
+    * spec can assert the second read of a version is served from cache. */
+  private[graft] val manifestFileReads =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   private def readVersion(fs: FileSystem, lakePath: String,
                           v: Long): Manifest = {
+    val key = (fs.makeQualified(new Path(lakePath)).toString, v)
+    val cached = parsedCache.synchronized(Option(parsedCache.get(key)))
+    cached.getOrElse {
+      manifestFileReads.incrementAndGet(): Unit
       val in = fs.open(versionPath(lakePath, v))
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().filter(_.nonEmpty).toList
@@ -112,8 +139,11 @@ object FileManifest {
             s"bad manifest line in v$v: ${other.mkString("\\t")}")
         }
       }
-      Manifest(v, cur.toSeq, ret.toSeq)
+      val m = Manifest(v, cur.toSeq, ret.toSeq)
+      parsedCache.synchronized(parsedCache.put(key, m)): Unit
+      m
     }
+  }
 
   /** Atomically publish `m` as the next version. Fails loudly (never
     * corrupts) if the version already exists — two writers raced, which

@@ -71,6 +71,35 @@ class PinnedLakeSpec extends AnyFunSuite {
       rows(History.readPinned(spark, lake)))
   }
 
+  test("parsed manifests are cached: repeat pinned reads re-read no manifest file") {
+    // a published v<N>.manifest is immutable, so the session parses each
+    // version once; every later plan against that version (pinned reads,
+    // time travel, stats pruning) serves from the cache — at 100 TB the
+    // manifest is ~10⁵–10⁶ lines and a per-plan driver read would tax
+    // every query in the session
+    val lake = freshLake()
+    History.writePartitioned(records(streamPayload), lake)
+    History.enableManifests(spark, lake): Unit
+    val first = rows(History.readPinned(spark, lake))
+    val baseline = FileManifest.manifestFileReads.get()
+    val second = rows(History.readPinned(spark, lake))
+    val third = rows(History.readPinned(spark, lake, version = 1L))
+    assert(second === first)
+    assert(third === first)
+    assert(FileManifest.manifestFileReads.get() === baseline,
+      "repeat reads of an already-parsed manifest version hit the file")
+    // a NEW version is a new file: exactly one more physical read (the
+    // manifest ADD itself reads the latest — from cache — then the next
+    // pinned read parses only the freshly published version), and the
+    // new plan sees the appended rows
+    History.writePartitioned(records(singleSiteDoc), lake, mode = "append")
+    val fs = hadoopFs(lake)
+    FileManifest.addFiles(fs, lake, FileManifest.listLiveFiles(fs, lake))
+    val after = rows(History.readPinned(spark, lake))
+    assert(after.size > first.size)
+    assert(FileManifest.manifestFileReads.get() === baseline + 1)
+  }
+
   test("uncommitted files are invisible to readPinned and vacuumed as orphans") {
     val lake = freshLake()
     History.writePartitioned(records(singleSiteDoc), lake)
