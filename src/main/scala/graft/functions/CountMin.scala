@@ -82,6 +82,31 @@ object CountMin {
     best
   }
 
+  /** Element-wise sum of two serialized sketches — the linear-sketch
+    * merge, off the bytes: `estimate(merge(a,b), k) ≥ estimate(a,k)`
+    * and counts add exactly, so a stream can fold per-batch sketches
+    * into a persisted one ([[graft.stream.StreamingCountMin]]) and land
+    * on the SAME bytes a single batch build over all rows produces.
+    * Shapes must match — a (depth, width) mismatch is a caller bug
+    * (sketches from different configurations are not mergeable) and
+    * fails loudly rather than answering garbage. */
+  def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    require(a.length == b.length && a.length >= 8 &&
+      readInt(a, 0) == readInt(b, 0) && readInt(a, 4) == readInt(b, 4),
+      s"unmergeable sketches: ${a.length}B d=${if (a.length >= 8) readInt(a, 0) else -1} " +
+        s"w=${if (a.length >= 8) readInt(a, 4) else -1} vs ${b.length}B " +
+        s"d=${if (b.length >= 8) readInt(b, 0) else -1} w=${if (b.length >= 8) readInt(b, 4) else -1}")
+    val out = new Array[Byte](a.length)
+    System.arraycopy(a, 0, out, 0, 8)
+    val bb = ByteBuffer.wrap(out)
+    var off = 8
+    while (off < a.length) {
+      bb.putLong(off, readLong(a, off) + readLong(b, off))
+      off += 8
+    }
+    out
+  }
+
   // ----- Column API -----
 
   /** `cms_build(hashCol, depth, width)` → one BinaryType sketch over
