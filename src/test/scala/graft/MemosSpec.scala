@@ -51,13 +51,30 @@ class MemosSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"persisted RDDs survived re-eviction: $leaked")
   }
 
-  test("pq memo (quantizer + assignments) is released by eviction") {
+  test("pq training releases its storage on publish; artifacts die at teardown") {
+    // the PQ model is an at-rest ARTIFACT now: training publishes the
+    // codebook/codes and releases its own checkpoints immediately, so
+    // nothing persisted survives the build; the artifact dirs live for
+    // the session (serve-path reads) and evictAll removes them
     val sf = "/root/testdata/sf0.001"
     val before = spark.sparkContext.getPersistentRDDs.keySet
     assert(ExtQueries.queries("s09_pq_codes")(spark, sf).count() > 0)
     def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
-    assert(leaked.nonEmpty, "pq memo build should persist its frames")
+    assert(leaked.isEmpty,
+      s"training storage must be released once the artifact is published: $leaked")
+    def annDirs: Seq[java.io.File] = {
+      val wh = new java.io.File(new org.apache.hadoop.fs.Path(
+        spark.sessionState.conf.warehousePath).toUri.getPath)
+      Option(wh.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_ann_")).toSeq
+    }
+    assert(annDirs.nonEmpty, "publish should land index artifacts at rest")
     Memos.evictAll(spark)
-    assert(leaked.isEmpty, s"pq memo survived eviction: $leaked")
+    assert(annDirs.isEmpty, s"artifact dirs survived teardown: $annDirs")
+    // and the model rebuilds + republishes cleanly after teardown
+    assert(ExtQueries.queries("s09_pq_codes")(spark, sf).count() > 0)
+    assert(annDirs.nonEmpty)
+    Memos.evictAll(spark)
+    assert(annDirs.isEmpty)
   }
 }
