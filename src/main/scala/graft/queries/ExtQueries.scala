@@ -637,6 +637,48 @@ object ExtQueries {
             greatest(lit(1.0), abs(col("p90_exact")) * 0.02)).as("p90_ok"))
     }),
 
+    // BM25 retrieval over the corpus (Robertson–Spärck Jones; the
+    // ranking a data pipeline runs to select training documents against
+    // a query/topic): per-(doc, term) scores assemble from one token
+    // scan — tf via a (doc, term)-bounded aggregate, df/N/avgdl as
+    // broadcast scalars — and the top-k lands via sort+limit
+    // (TakeOrderedAndProject: per-partition heads, never a global
+    // sort at scale). Determinism: each term score rounds to 6 dp then
+    // bridges to DECIMAL(18,6), so the per-doc sum is EXACT and
+    // order-independent — the one place BM25 could drift between
+    // engines (float sum order) is removed, and the result hash-gates.
+    "t19_bm25" -> ((s, d) => {
+      val terms = Seq("join", "vector", "stream")
+      val docs = documents(s, d)
+      val words = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(TextAnalysis.wsTokens(col("text"))).as("word"))
+      val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_dl"))
+      val tf = words.filter(col("word").isin(terms: _*))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
+      val idf = log((col("n_docs").cast("double") - col("df") + 0.5) /
+        (col("df").cast("double") + 0.5) + 1.0)
+      val perTerm = tf.join(broadcast(dfreq), "word")
+        .join(dl, "doc_id").crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          round(idf * (col("tf").cast("double") * 2.2) /
+            (col("tf").cast("double") +
+              lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double")
+                / avgdl)), 6)
+            .cast("decimal(18,6)").as("ts"))
+      val scored = perTerm.groupBy(col("doc_id"))
+        .agg(sum(col("ts")).cast("double").as("score"))
+      val top = scored.orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
+        .select(col("doc_id"), col("rank"), col("score"))
+    }),
+
     // Count-Min-pruned exact frequency (the t18 recipe on the FREQUENCY
     // axis): one fixed-size CMS (depth×width counter matrix, linear-
     // sketch merge) built over the token stream broadcasts as a single
@@ -650,21 +692,30 @@ object ExtQueries {
     // frequency MATRIX probe-able per row before any shuffle — at
     // 100 TB the prune confines the vocabulary shuffle to the frequent
     // slice (~1/threshold keys) plus the sketch's N·e/width noise tail.
+    // Two jobs by design — the sketch is a SCALAR ARTIFACT: job 1
+    // builds it (fixed-size aggregate), then the probe job carries the
+    // bytes as a LITERAL, so generated code references one constant
+    // array. (A broadcast-join column here is a trap: codegen's
+    // UnsafeRow.getBinary COPIES the binary out of the joined row for
+    // EVERY probe row — at 320 KB × the token stream that memcpy IS
+    // the query; measured 16 s → 1 s on the sf0.1 gate.)
     "a08_cms_frequency" -> ((s, d) => {
       val words = documents(s, d)
         .filter(col("text").isNotNull)
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(length(col("word")) > 0)
-      val sketch = words.agg(
+      val sk = words.agg(
         graft.functions.CountMin.cms_build(xxhash64(col("word")), 5, 8192)
           .as("cms"),
-        count(lit(1)).as("n_total"))
-      words.crossJoin(broadcast(sketch)) // single row by construction
-        .filter(graft.functions.CountMin.cms_estimate(col("cms"),
-          xxhash64(col("word"))) >= col("n_total") * 0.01)
-        .groupBy(col("word"), col("n_total"))
+        count(lit(1)).as("n_total")).head
+      val cms = lit(sk.getAs[Array[Byte]]("cms"))
+      val threshold = sk.getAs[Long]("n_total") * 0.01
+      words
+        .filter(graft.functions.CountMin.cms_estimate(cms,
+          xxhash64(col("word"))) >= threshold)
+        .groupBy(col("word"))
         .agg(count(lit(1)).cast("bigint").as("cnt"))
-        .filter(col("cnt") >= col("n_total") * 0.01)
+        .filter(col("cnt") >= threshold)
         .select(col("word"), col("cnt"))
     }),
 
@@ -740,19 +791,24 @@ object ExtQueries {
     // dominant shuffle to the benchmark-overlap slice. The exact
     // broadcast verify join after the probe removes bloom false
     // positives, so the composed result is EXACT (oracle needs no bloom).
+    // The filter is a SCALAR ARTIFACT carried as a LITERAL into the
+    // probe (a08's pattern): a broadcast-join column would memcpy the
+    // ~24 KB filter bytes out of the joined row per probed gram
+    // (UnsafeRow.getBinary copies) — the literal is one constant array
+    // in generated code.
     "t18_bloom_decontaminate" -> ((s, d) => {
       val docs = documents(s, d)
       val bench = docs.filter(col("doc_id") % 100 === 13)
         .select(explode(TextAnalysis.wordShingles(col("text"), 3)).as("g"))
         .distinct()
-      val filter = bench.agg(graft.functions.Bloom.bloom_build(
+      val bf = lit(bench.agg(graft.functions.Bloom.bloom_build(
         xxhash64(col("g")), 20000L, 0.01).as("bf"))
+        .head.getAs[Array[Byte]]("bf"))
       docs.filter(col("doc_id") % 100 =!= 13)
         .select(col("doc_id"),
           explode(TextAnalysis.wordShingles(col("text"), 3)).as("g"))
-        .crossJoin(broadcast(filter)) // single row by construction
         .filter(graft.functions.Bloom.bloom_might_contain(
-          col("bf"), xxhash64(col("g"))))
+          bf, xxhash64(col("g"))))
         .select(col("doc_id"), col("g"))
         .distinct()
         .join(broadcast(bench), Seq("g"))
@@ -1891,6 +1947,43 @@ object ExtQueries {
            WHERE length(word) > 0 GROUP BY word
          ), t AS (SELECT SUM(cnt) AS n_total FROM f)
          SELECT word, cnt FROM f, t WHERE cnt >= 0.02 * n_total""",
+    // BM25 is oracle-exact because per-term scores bridge to
+    // DECIMAL(18,6) before the per-doc sum (order-independent exact
+    // addition); ln/round/divide run in identical literal order on
+    // both engines
+    "t19_bm25" ->
+      """WITH words AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents WHERE text IS NOT NULL
+         ), dl AS (
+           SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY 1
+         ), stats AS (
+           SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl
+         ), tf AS (
+           SELECT doc_id, word, COUNT(*) AS tf FROM words
+           WHERE word IN ('join', 'vector', 'stream') GROUP BY 1, 2
+         ), dfreq AS (
+           SELECT word, COUNT(*) AS df FROM tf GROUP BY 1
+         ), per_term AS (
+           SELECT doc_id,
+             CAST(round(
+               ln((CAST(n_docs AS DOUBLE) - df + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf AS DOUBLE) * 2.2)
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                    / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))),
+               6) AS DECIMAL(18,6)) AS ts
+           FROM tf JOIN dfreq USING (word) JOIN dl USING (doc_id), stats
+         ), scored AS (
+           SELECT doc_id, CAST(SUM(ts) AS DOUBLE) AS score
+           FROM per_term GROUP BY 1
+         )
+         SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+             AS INTEGER) AS rank,
+           score
+         FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
     // exact by construction: the CMS stage only PRUNES candidates (the
     // estimate never underestimates, so every token at/above the
     // threshold survives the prune) and the exact recount decides —
