@@ -1,0 +1,75 @@
+package graft.fakesdk
+
+/** Offline stand-ins with the EXACT method shapes `SdkKinesisClient`
+  * reflects over (builder chains, `create()` statics, response
+  * accessors) — the spec points the adapter's class-name knobs here and
+  * drives the same reflective path a deployment runs against the real
+  * SDK. Records whose partition key starts with `fail-` come back with
+  * the throttle error code, so the K3 retry-subset contract is
+  * exercisable end-to-end. */
+object FakeSdkState {
+  val requests =
+    new java.util.concurrent.ConcurrentLinkedQueue[PutRecordsRequest]()
+  def reset(): Unit = requests.clear()
+}
+
+class SdkBytes private (val bytes: Array[Byte])
+object SdkBytes {
+  def fromByteArray(b: Array[Byte]): SdkBytes = new SdkBytes(b)
+}
+
+class PutRecordsRequestEntry private[fakesdk] (val data: SdkBytes,
+                                               val partitionKey: String)
+object PutRecordsRequestEntry {
+  def builder(): Builder = new Builder(null, null)
+  class Builder private[fakesdk] (d: SdkBytes, pk: String) {
+    def data(b: SdkBytes): Builder = new Builder(b, pk)
+    def partitionKey(k: String): Builder = new Builder(d, k)
+    def build(): PutRecordsRequestEntry = new PutRecordsRequestEntry(d, pk)
+  }
+}
+
+class PutRecordsRequest private[fakesdk] (
+    val streamName: String, val entries: java.util.List[PutRecordsRequestEntry])
+object PutRecordsRequest {
+  def builder(): Builder = new Builder(null, null)
+  class Builder private[fakesdk] (
+      name: String, es: java.util.List[PutRecordsRequestEntry]) {
+    def streamName(s: String): Builder = new Builder(s, es)
+    def records(c: java.util.Collection[_]): Builder = {
+      val l = new java.util.ArrayList[PutRecordsRequestEntry]()
+      c.forEach(e => l.add(e.asInstanceOf[PutRecordsRequestEntry]): Unit)
+      new Builder(name, l)
+    }
+    def build(): PutRecordsRequest = new PutRecordsRequest(name, es)
+  }
+}
+
+class PutRecordsResultEntry private[fakesdk] (code: String) {
+  def errorCode(): String = code
+}
+
+class PutRecordsResponse private[fakesdk] (
+    failed: Int, outcomes: java.util.List[PutRecordsResultEntry]) {
+  def failedRecordCount(): java.lang.Integer = Integer.valueOf(failed)
+  def records(): java.util.List[PutRecordsResultEntry] = outcomes
+}
+
+class KinesisClient {
+  def putRecords(req: PutRecordsRequest): PutRecordsResponse = {
+    FakeSdkState.requests.add(req): Unit
+    val outcomes = new java.util.ArrayList[PutRecordsResultEntry]()
+    var failed = 0
+    req.entries.forEach { e =>
+      if (e.partitionKey.startsWith("fail-")) {
+        failed += 1
+        outcomes.add(new PutRecordsResultEntry(
+          "ProvisionedThroughputExceededException")): Unit
+      } else outcomes.add(new PutRecordsResultEntry(null)): Unit
+    }
+    new PutRecordsResponse(failed, outcomes)
+  }
+}
+object KinesisClient {
+  def create(): KinesisClient = new KinesisClient
+}
