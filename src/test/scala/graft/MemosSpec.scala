@@ -66,7 +66,7 @@ class MemosSpec extends AnyFunSuite {
       val wh = new java.io.File(new org.apache.hadoop.fs.Path(
         spark.sessionState.conf.warehousePath).toUri.getPath)
       Option(wh.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith("graft_ann_")).toSeq
+        .filter(_.getName.startsWith("graft_artifacts_")).toSeq
     }
     assert(annDirs.nonEmpty, "publish should land index artifacts at rest")
     Memos.evictAll(spark)
