@@ -545,6 +545,54 @@ object Dedup {
     name
   }
 
+  /** Compact the bucketed band table at `path`: a long-running admission
+    * stream appends ~`buckets` files per micro-batch, so a week of
+    * batches leaves thousands of small files per bucket — this rewrites
+    * the table to one file per bucket and sweeps the superseded files.
+    *
+    * Crash-safe WITHOUT a manifest because the band table is a SET
+    * index probed by semi-join: duplicate rows change no answer. The
+    * compacted copy publishes FIRST (generation-keyed, same
+    * stage-then-publish as any batch), the superseded files are swept
+    * AFTER — a crash between the two leaves duplicates that the next
+    * compaction removes, never a missing band. Single maintenance
+    * writer, admission paused or quiescent (the same discipline as
+    * `History.compactLatest`): the sweep set is listed BEFORE the
+    * publish, so a file a racing admitter landed mid-compaction would
+    * survive the sweep — but its batch's replay detection would then
+    * see a partially-swept world; don't race it. Returns (files before,
+    * files after). */
+  def compactBandTable(spark: org.apache.spark.sql.SparkSession,
+                       path: String, buckets: Int): (Int, Int) = {
+    val name = ensureBandTable(spark, path,
+      spark.table(bandTableName(path)).schema, buckets)
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles: Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(fsPath)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map(_.getPath).toSeq
+    val before = dataFiles
+    val gen = before.flatMap { p =>
+      "^bcompact-(\\d+)-".r.findFirstMatchIn(p.getName).map(_.group(1).toLong)
+    }.foldLeft(0L)(math.max) + 1
+    val key = s"compact-$gen"
+    spark.catalog.refreshTable(name)
+    // one file per bucket: coalesce within buckets happens naturally —
+    // repartition(buckets) produces exactly `buckets` tasks
+    spark.table(name)
+      .repartition(buckets, col("band"), col("bkey"))
+      .write.mode("overwrite")
+      .parquet(graft.sources.LakeCommit.stagingDir(path, key))
+    graft.sources.LakeCommit.publishBucketed(spark, path, key): Unit
+    val tag = graft.sources.LakeCommit.fileTag(key)
+    before.filterNot(_.getName.startsWith(tag))
+      .foreach(p => fs.delete(p, false): Unit)
+    spark.catalog.refreshTable(name)
+    (before.size, dataFiles.size)
+  }
+
   /** SEMANTIC dedup candidate pairs (the SemDeDup recipe: cluster the
     * embedding space with a trained coarse quantizer, then compare
     * pairwise ONLY within each cluster): vectors are assigned to their

@@ -161,6 +161,76 @@ class StreamingDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("band table compaction: one file per bucket, probe unchanged, dupe-tolerant") {
+    import spark.implicits._
+    import graft.ext.{Dedup, TextAnalysis}
+    import org.apache.spark.sql.functions.{col, explode}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-band-compact").toString
+    val bandTable = s"$root/bands"
+    def bandsOf(docs: org.apache.spark.sql.DataFrame) =
+      Dedup.lshBands(Dedup.minhashSignatures(
+        docs.select(col("doc_id"),
+          explode(TextAnalysis.wordShingles(col("text"), 3)).as("shingle")),
+        "doc_id", 8), "doc_id", 8, 2)
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog near the river",
+      2L -> "completely different content about distributed query engines",
+      3L -> "a third unrelated document discussing parquet row group stats")
+    // three bucketed "batches" → ~3 files per touched bucket (the same
+    // repartition+publishBucketed path admitBatch runs)
+    texts.zipWithIndex.foreach { case ((id, t), i) =>
+      val bands = bandsOf(Seq((id, t)).toDF("doc_id", "text"))
+      Dedup.ensureBandTable(spark, bandTable, bands.schema, 4): Unit
+      bands.repartition(4, col("band"), col("bkey"))
+        .write.mode("overwrite")
+        .parquet(graft.sources.LakeCommit.stagingDir(bandTable, s"k$i"))
+      graft.sources.LakeCommit.publishBucketed(spark, bandTable, s"k$i"): Unit
+    }
+    def files: Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(bandTable)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(s => s.isFile &&
+          !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map(_.getPath.getName).toSeq
+    }
+    val tbl = Dedup.bandTableName(bandTable)
+    val probe = bandsOf(Seq(
+      10L -> "the quick brown fox jumps over the lazy dog near the river",
+      11L -> "fresh text on watermark semantics in structured streams")
+      .toDF("doc_id", "text"))
+    def hits: Set[Long] = {
+      spark.catalog.refreshTable(tbl)
+      Dedup.admissionHits(probe, spark.table(tbl), "doc_id",
+        excludeSelf = false).collect().map(_.getLong(0)).toSet
+    }
+    val beforeFiles = files.size
+    assert(beforeFiles > 4, s"expected multiple per-batch files: $files")
+    assert(hits === Set(10L))
+    val (b1, a1) = Dedup.compactBandTable(spark, bandTable, 4)
+    assert(b1 === beforeFiles)
+    assert(a1 <= 4)
+    assert(files.forall(_.startsWith("bcompact-1-")), files)
+    assert(hits === Set(10L))
+    // crash window: a compacted copy published but old files not swept →
+    // duplicate rows; the SET probe is unchanged, and the next
+    // compaction converges back to one file per bucket
+    spark.table(tbl)
+      .repartition(4, col("band"), col("bkey"))
+      .write.mode("overwrite")
+      .parquet(graft.sources.LakeCommit.stagingDir(bandTable, "crashdup"))
+    graft.sources.LakeCommit.publishBucketed(spark, bandTable, "crashdup"): Unit
+    spark.catalog.refreshTable(tbl)
+    assert(files.size > a1) // duplicates present
+    assert(hits === Set(10L)) // answers unchanged
+    val (_, a2) = Dedup.compactBandTable(spark, bandTable, 4)
+    assert(a2 <= 4)
+    assert(files.forall(_.startsWith("bcompact-2-")), files)
+    assert(hits === Set(10L))
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`"): Unit
+  }
+
   test("crash between band publish and corpus commit converges to one corpus copy") {
     // The onAdmitted contract is at-least-once: a crash after the band
     // publish but before the ledger mark replays the batch and
