@@ -574,14 +574,17 @@ object Dedup {
           !s.getPath.getName.startsWith("."))
         .map(_.getPath).toSeq
     val before = dataFiles
+    if (before.isEmpty) return (0, 0)
     val gen = before.flatMap { p =>
       "^bcompact-(\\d+)-".r.findFirstMatchIn(p.getName).map(_.group(1).toLong)
     }.foldLeft(0L)(math.max) + 1
     val key = s"compact-$gen"
-    spark.catalog.refreshTable(name)
-    // one file per bucket: coalesce within buckets happens naturally —
-    // repartition(buckets) produces exactly `buckets` tasks
-    spark.table(name)
+    // read the files FLAT (not through the bucketed table): against the
+    // bucketed scan the planner may elide the repartition shuffle as
+    // already-partitioned, and then staged task indices are scan-order,
+    // not bucket ids — the flat read forces the real shuffle whose
+    // partition index IS the bucket id publishBucketed encodes
+    spark.read.parquet(path)
       .repartition(buckets, col("band"), col("bkey"))
       .write.mode("overwrite")
       .parquet(graft.sources.LakeCommit.stagingDir(path, key))

@@ -52,13 +52,25 @@ object StreamingDedup {
     *   sides). The count is fixed at the table's creation — size it for
     *   the CORPUS's target scale up front (buckets ≈ corpus band rows ·
     *   row width / target partition size).
+    * @param compactEvery >0 runs [[graft.ext.Dedup.compactBandTable]]
+    *   in-line every N committed batches (the lake's maintenance-tick
+    *   discipline: the foreachBatch body is the single writer, so no
+    *   admitter can race the sweep) — without it a week-long stream
+    *   accumulates ~buckets small files per batch. Requires `buckets`>0
+    *   and a ledger: compaction sweeps old batch-tagged files, so the
+    *   glob-based replay detection no longer covers ledger-committed
+    *   batches — the ledger does (and compaction only ever runs after
+    *   the current batch's mark).
     */
   def admitStream(docs: DataFrame, idCol: String, textCol: String,
                   bandTable: String, checkpointDir: String,
                   ledger: Option[Pipeline.BatchLedger] = None,
                   shingleN: Int = 3, sigK: Int = 8, bandRows: Int = 2,
-                  buckets: Int = 0)
+                  buckets: Int = 0, compactEvery: Int = 0)
                  (onAdmitted: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(compactEvery == 0 || (buckets > 0 && ledger.nonEmpty),
+      "compactEvery needs a bucketed band table AND a durable ledger " +
+        "(compaction sweeps the batch-tagged files glob-replay relies on)")
     // stream-scoped batch keys (see Pipeline.streamTagOf): a fresh
     // checkpoint restarts batch ids, and bare ids would collide with a
     // previous incarnation's published band files
@@ -69,6 +81,13 @@ object StreamingDedup {
         admitBatch(batch, batchId, idCol, textCol, bandTable,
           s"$tag-$batchId", ledger, shingleN, sigK, bandRows,
           buckets)(onAdmitted)
+        // (guard: a restart replaying only ledger-skipped batches may
+        // reach a tick before any batch registered the table)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
+            batch.sparkSession.catalog.tableExists(
+              Dedup.bandTableName(bandTable)))
+          Dedup.compactBandTable(batch.sparkSession, bandTable,
+            buckets): Unit
       }
       .start()
   }

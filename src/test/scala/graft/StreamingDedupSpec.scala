@@ -92,8 +92,8 @@ class StreamingDedupSpec extends AnyFunSuite {
     val input = MemoryStream[(Long, String)]
     val q = StreamingDedup.admitStream(
       input.toDF().toDF("doc_id", "text"),
-      "doc_id", "text", bandTable, ckpt, Some(ledger), buckets = 4) {
-      (df, id) =>
+      "doc_id", "text", bandTable, ckpt, Some(ledger), buckets = 4,
+      compactEvery = 2) { (df, id) =>
         admitted.put(id,
           df.select("doc_id").collect().map(_.getLong(0)).toSet): Unit
     }
@@ -118,6 +118,18 @@ class StreamingDedupSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
       assert(viaTable === viaFlat)
       assert(viaTable.map(_._1) === Set(1L, 2L, 11L))
+      // in-line maintenance fired after batch 1 (compactEvery = 2):
+      // the two batches' per-bucket files folded to ≤ one per bucket
+      val fileNames = {
+        val p = new org.apache.hadoop.fs.Path(bandTable)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).filter(s => s.isFile &&
+            !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .map(_.getPath.getName).toSeq
+      }
+      assert(fileNames.size <= 4, fileNames)
+      assert(fileNames.forall(_.startsWith("bcompact-")), fileNames)
       // layout invariant: each file's parsed bucket id matches the
       // bucket hash of every row in it
       val withFile = spark.read.parquet(bandTable)
