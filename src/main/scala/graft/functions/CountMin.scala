@@ -122,6 +122,16 @@ object CountMin {
     ColumnBridge.column(CmsEstimate(
       ColumnBridge.expression(sketch), ColumnBridge.expression(hash)))
 
+  /** `cms_merge(sketchCol)` → ONE sketch = the element-wise sum of the
+    * group's sketches ([[mergeBytes]] as an aggregate) — the linearity
+    * surface for pre-sketched shards: per-partition/per-source/per-day
+    * sketches roll up without touching rows, and the merged estimate
+    * equals the estimate of one global build over all the shards'
+    * inputs. */
+  def cms_merge(sketch: Column): Column =
+    ColumnBridge.column(
+      CmsMergeAgg(ColumnBridge.expression(sketch)).toAggregateExpression())
+
   // ----- SQL registry builders -----
 
   def buildSqlBuilder(exprs: Seq[Expression]): Expression = {
@@ -143,6 +153,63 @@ object CountMin {
       s"cms_estimate(sketch, hash) takes 2 arguments, got ${exprs.length}")
     CmsEstimate(exprs(0), exprs(1))
   }
+
+  def mergeSqlBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1,
+      s"cms_merge(sketch) takes 1 argument, got ${exprs.length}")
+    CmsMergeAgg(exprs.head).toAggregateExpression()
+  }
+}
+
+/** Aggregate form of [[CountMin.mergeBytes]]: the buffer is the running
+  * element-wise sum (empty until the first non-null sketch arrives);
+  * inputs must share one (depth, width) shape — a mismatch fails loudly
+  * mid-aggregation rather than answering garbage. Null when the group
+  * held no sketches. */
+case class CmsMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"cms_merge expects a serialized cms sketch (binary), got " +
+          other.catalogString)
+    }
+
+  override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+
+  private def fold(buf: Array[Byte], next: Array[Byte]): Array[Byte] =
+    if (next == null || next.isEmpty) buf
+    else if (buf.isEmpty) next.clone()
+    else CountMin.mergeBytes(buf, next)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] =
+    fold(buf, child.eval(input).asInstanceOf[Array[Byte]])
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    fold(b1, b2)
+
+  override def eval(buf: Array[Byte]): Any =
+    if (buf.isEmpty) null else buf
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(o: Int): CmsMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CmsMergeAgg =
+    copy(child = newChildren.head)
 }
 
 /** Build side: buffer IS the depth×width counter matrix — fixed size

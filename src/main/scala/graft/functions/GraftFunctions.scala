@@ -26,7 +26,8 @@ object GraftFunctions {
       Bloom.probeSqlBuilder),
     ("cms_build", classOf[CountMinAgg].getName, CountMin.buildSqlBuilder),
     ("cms_estimate", classOf[CmsEstimate].getName,
-      CountMin.estimateSqlBuilder))
+      CountMin.estimateSqlBuilder),
+    ("cms_merge", classOf[CmsMergeAgg].getName, CountMin.mergeSqlBuilder))
 
   /** SQL names only — what the parity test asserts against both
     * surfaces' function registries. */

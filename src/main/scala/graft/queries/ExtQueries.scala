@@ -751,6 +751,37 @@ object ExtQueries {
         .select(col("word"), col("cnt"))
     }),
 
+    // CMS LINEARITY through the merge surface: per-source shard
+    // sketches (the map-side pre-sketch a 100 TB pipeline materializes
+    // per partition/day/source) roll up via cms_merge into ONE sketch
+    // whose estimates equal a global build's — then a08's prune +
+    // exact-recount recipe runs off the MERGED sketch, so the gate is
+    // composed-exact: a merge that lost counts would underestimate,
+    // drop a frequent token, and hash-fail against the plain GROUP BY
+    // oracle.
+    "a09_cms_merge_prune" -> ((s, d) => {
+      val words = documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val shards = words.groupBy(col("source"))
+        .agg(graft.functions.CountMin.cms_build(
+          xxhash64(col("word")), 5, 8192).as("cms"),
+          count(lit(1)).as("n"))
+      val sk = shards.agg(
+        graft.functions.CountMin.cms_merge(col("cms")).as("cms"),
+        sum(col("n")).as("n_total")).head
+      val cms = lit(sk.getAs[Array[Byte]]("cms"))
+      val threshold = sk.getAs[Long]("n_total") * 0.015
+      words
+        .filter(graft.functions.CountMin.cms_estimate(cms,
+          xxhash64(col("word"))) >= threshold)
+        .groupBy(col("word"))
+        .agg(count(lit(1)).cast("bigint").as("cnt"))
+        .filter(col("cnt") >= threshold)
+        .select(col("word"), col("cnt"))
+    }),
+
     // mapPartitions decode plumbing (deterministic stub codec): the
     // decode-stage outputs that ARE SQL-expressible (mime/byte_len/
     // checksum) — oracle-gated, proving the mapPartitions path computes
@@ -2030,6 +2061,18 @@ object ExtQueries {
            WHERE length(word) > 0 GROUP BY word
          ), t AS (SELECT SUM(cnt) AS n_total FROM f)
          SELECT word, cnt FROM f, t WHERE cnt >= 0.01 * n_total""",
+    // merged-shard sketches only PRUNE (linearity: merged ≡ global
+    // build, never an underestimate); the exact recount decides, so
+    // the oracle is sketch-free
+    "a09_cms_merge_prune" ->
+      """WITH w AS (
+           SELECT unnest(string_split(text, ' ')) AS word
+           FROM documents WHERE text IS NOT NULL
+         ), f AS (
+           SELECT word, COUNT(*) AS cnt FROM w
+           WHERE length(word) > 0 GROUP BY word
+         ), t AS (SELECT SUM(cnt) AS n_total FROM f)
+         SELECT word, cnt FROM f, t WHERE cnt >= 0.015 * n_total""",
     // exact interpolated percentiles (quantile_cont ≡ Spark percentile);
     // the approx side is asserted via tolerance booleans, a01-style
     "a02_quantile_sketch" ->
