@@ -113,6 +113,29 @@ object Bloom {
     }
   }
 
+  /** Word-wise OR of two serialized filters — the union surface: shard
+    * filters built with the SAME (expectedItems, fpp) — hence the same
+    * bit width and k — merge into the filter of the union set. Shape
+    * mismatch (different k or byte length) fails loudly: filters from
+    * different configurations probe different position sequences and a
+    * silent OR would answer garbage. */
+  def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    require(a.length == b.length && a.length >= 12 &&
+      readInt(a, 0) == readInt(b, 0),
+      s"unmergeable bloom filters: ${a.length}B " +
+        s"k=${if (a.length >= 4) readInt(a, 0) else -1} vs ${b.length}B " +
+        s"k=${if (b.length >= 4) readInt(b, 0) else -1}")
+    val out = new Array[Byte](a.length)
+    System.arraycopy(a, 0, out, 0, 4)
+    val bb = java.nio.ByteBuffer.wrap(out)
+    var off = 4
+    while (off < a.length) {
+      bb.putLong(off, readLong(a, off) | readLong(b, off))
+      off += 8
+    }
+    out
+  }
+
   // ----- Column API -----
 
   /** `bloom_build(hashCol, expectedItems, fpp)` → one BinaryType filter
@@ -130,6 +153,14 @@ object Bloom {
   def bloom_might_contain(filter: Column, hash: Column): Column =
     ColumnBridge.column(BloomMightContain(
       ColumnBridge.expression(filter), ColumnBridge.expression(hash)))
+
+  /** `bloom_merge(filterCol)` → ONE filter = the word-wise OR of the
+    * group's filters ([[mergeBytes]] as an aggregate) — shard filters
+    * (same build parameters) roll up into the union-set filter without
+    * touching rows. */
+  def bloom_merge(filter: Column): Column =
+    ColumnBridge.column(
+      BloomMergeAgg(ColumnBridge.expression(filter)).toAggregateExpression())
 
   // ----- SQL registry builders (shared by GraftExtensions / Views) -----
 
@@ -159,6 +190,61 @@ object Bloom {
       s"bloom_might_contain(filter, hash) takes 2 arguments, got ${exprs.length}")
     BloomMightContain(exprs(0), exprs(1))
   }
+
+  def mergeSqlBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1,
+      s"bloom_merge(filter) takes 1 argument, got ${exprs.length}")
+    BloomMergeAgg(exprs.head).toAggregateExpression()
+  }
+}
+
+/** Aggregate form of [[Bloom.mergeBytes]] — the buffer is the running
+  * word-wise OR (empty until the first non-null filter); inputs must
+  * share one build shape. Null when the group held no filters. */
+case class BloomMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bloom_merge expects a serialized bloom filter (binary), got " +
+          other.catalogString)
+    }
+
+  override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+
+  private def fold(buf: Array[Byte], next: Array[Byte]): Array[Byte] =
+    if (next == null || next.isEmpty) buf
+    else if (buf.isEmpty) next.clone()
+    else Bloom.mergeBytes(buf, next)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] =
+    fold(buf, child.eval(input).asInstanceOf[Array[Byte]])
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    fold(b1, b2)
+
+  override def eval(buf: Array[Byte]): Any =
+    if (buf.isEmpty) null else buf
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(o: Int): BloomMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BloomMergeAgg =
+    copy(child = newChildren.head)
 }
 
 /** The build side: a `TypedImperativeAggregate` whose buffer is the bit

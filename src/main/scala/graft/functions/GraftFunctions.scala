@@ -24,6 +24,7 @@ object GraftFunctions {
     ("bloom_build", classOf[BloomBuildAgg].getName, Bloom.buildSqlBuilder),
     ("bloom_might_contain", classOf[BloomMightContain].getName,
       Bloom.probeSqlBuilder),
+    ("bloom_merge", classOf[BloomMergeAgg].getName, Bloom.mergeSqlBuilder),
     ("cms_build", classOf[CountMinAgg].getName, CountMin.buildSqlBuilder),
     ("cms_estimate", classOf[CmsEstimate].getName,
       CountMin.estimateSqlBuilder),

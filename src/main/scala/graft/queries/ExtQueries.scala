@@ -879,6 +879,40 @@ object ExtQueries {
         .agg(count(lit(1)).cast("bigint").as("n_shared"))
     }),
 
+    // Bloom LINEARITY through the merge surface (t18's recipe over
+    // SHARD filters): the benchmark slice builds one filter PER SOURCE
+    // SHARD — the shape a 100 TB pipeline materializes, since each
+    // ingest partition can sketch its own slice without coordination —
+    // and bloom_merge ORs them into the union filter (same build
+    // params → same bit geometry). Probe + exact verify as t18, so a
+    // merge that dropped bits would prune a TRUE overlap and hash-fail
+    // the sketch-free oracle. Slice 17 keeps the output disjoint from
+    // t11/t18.
+    "t20_bloom_shard_merge" -> ((s, d) => {
+      val docs = documents(s, d)
+      val bench = docs.filter(col("doc_id") % 100 === 17)
+        .select(col("source"),
+          explode(TextAnalysis.wordShingles(col("text"), 3)).as("g"))
+        .distinct()
+      val shardFilters = bench.groupBy(col("source"))
+        .agg(graft.functions.Bloom.bloom_build(
+          xxhash64(col("g")), 20000L, 0.01).as("bf"))
+      val bf = lit(shardFilters
+        .agg(graft.functions.Bloom.bloom_merge(col("bf")).as("bf"))
+        .head.getAs[Array[Byte]]("bf"))
+      val benchGrams = bench.select(col("g")).distinct()
+      docs.filter(col("doc_id") % 100 =!= 17)
+        .select(col("doc_id"),
+          explode(TextAnalysis.wordShingles(col("text"), 3)).as("g"))
+        .filter(graft.functions.Bloom.bloom_might_contain(
+          bf, xxhash64(col("g"))))
+        .select(col("doc_id"), col("g"))
+        .distinct()
+        .join(broadcast(benchGrams), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("bigint").as("n_shared"))
+    }),
+
     // Corpus profiling: per-source shape stats a pipeline reads before
     // deciding how to process a new snapshot. One hash aggregate; the
     // mean rides an integer sum so the division is bit-stable.
@@ -1847,6 +1881,26 @@ object ExtQueries {
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
          FROM dg JOIN bench USING (g)
          WHERE doc_id % 100 != 13
+         GROUP BY doc_id""",
+    // shard filters merge into the union filter (same build geometry);
+    // the probe only prunes and the verify join removes false
+    // positives, so the oracle is the same exact overlap (slice 17)
+    "t20_bloom_shard_merge" ->
+      """WITH grams AS (
+           SELECT doc_id, unnest(
+             CASE WHEN len(string_split(text, ' ')) >= 3
+               THEN list_transform(
+                 range(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2])
+               ELSE [text] END) AS g
+           FROM documents
+         ), dg AS (SELECT DISTINCT doc_id, g FROM grams),
+         bench AS (SELECT DISTINCT g FROM dg WHERE doc_id % 100 = 17)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         FROM dg JOIN bench USING (g)
+         WHERE doc_id % 100 != 17
          GROUP BY doc_id""",
     "t13_split" ->
       """WITH s AS (
