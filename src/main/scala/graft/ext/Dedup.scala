@@ -475,9 +475,7 @@ object Dedup {
   /** Stable session-catalog name for the band table rooted at `path`
     * (path-derived so every session lands on the same entry). */
   def bandTableName(path: String): String =
-    "graft_bands_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.take(12)
+    "graft_bands_" + graft.Hashes.md5Hex(path, 12)
 
   /** Register (idempotently) the band table at `path` as an EXTERNAL
     * bucketed catalog table CLUSTERED BY (band, bkey) — the at-rest
@@ -534,11 +532,15 @@ object Dedup {
   def writeBucketedBands(bands: DataFrame, path: String,
                          buckets: Int): String = {
     val spark = bands.sparkSession
+    // validate the bucket count against any existing catalog entry
+    // BEFORE touching files: staging/publishing first would sweep the
+    // old init files and land mis-bucketed ones, and only then throw —
+    // leaving probes reading wrong buckets
+    val name = ensureBandTable(spark, path, bands.schema, buckets)
     bands.repartition(buckets, col("band"), col("bkey"))
       .write.mode("overwrite")
       .parquet(graft.sources.LakeCommit.stagingDir(path, "init"))
     graft.sources.LakeCommit.publishBucketed(spark, path, "init"): Unit
-    val name = ensureBandTable(spark, path, bands.schema, buckets)
     // a pre-existing catalog entry caches its file listing — make the
     // just-published init files visible to this session's readers
     spark.catalog.refreshTable(name)
@@ -583,8 +585,13 @@ object Dedup {
     // bucketed scan the planner may elide the repartition shuffle as
     // already-partitioned, and then staged task indices are scan-order,
     // not bucket ids — the flat read forces the real shuffle whose
-    // partition index IS the bucket id publishBucketed encodes
+    // partition index IS the bucket id publishBucketed encodes.
+    // distinct(): the band table is a SET, and a crash between a prior
+    // compaction's publish and its sweep leaves every row twice —
+    // without folding them here each crash would compound the
+    // duplicates into every later generation instead of converging
     spark.read.parquet(path)
+      .distinct()
       .repartition(buckets, col("band"), col("bkey"))
       .write.mode("overwrite")
       .parquet(graft.sources.LakeCommit.stagingDir(path, key))

@@ -59,12 +59,9 @@ object ExtQueries {
     * iteration. Index-build correctness stays gated: the artifacts are
     * written by the same deterministic pipelines the oracles
     * re-derive, once per (session, dir). */
-  private def artifactRoot(s: SparkSession, d: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.take(12)
-    s"${s.sessionState.conf.warehousePath}/graft_artifacts_$h"
-  }
+  private def artifactRoot(s: SparkSession, d: String): String =
+    s"${s.sessionState.conf.warehousePath}/graft_artifacts_" +
+      graft.Hashes.md5Hex(d, 12)
 
   /** Release a training pipeline's cached/checkpointed backing once its
     * result has been published at rest (the artifact supersedes it —

@@ -37,7 +37,13 @@ class SdkKinesisClient(
     Class.forName(kinesisClientClass).getMethod("create").invoke(null)
 
   /** Invoke the single `name` method of `target` accepting `arg`
-    * (builder setters and the final call all have arity 1 or 0). */
+    * (builder setters and the final call all have arity 1 or 0).
+    *
+    * The real SDK's concrete classes (DefaultKinesisClient, the model
+    * `BuilderImpl`s) are PACKAGE-PRIVATE — a public Method resolved on
+    * a non-public declaring class throws IllegalAccessException on
+    * invoke. setAccessible(true) clears that check (classpath code in
+    * the unnamed module; no module barrier applies). */
   private def call(target: AnyRef, name: String,
                    arg: AnyRef = null): AnyRef = {
     val ms = target.getClass.getMethods.filter(_.getName == name)
@@ -45,9 +51,12 @@ class SdkKinesisClient(
       if (arg == null) ms.find(_.getParameterCount == 0)
       else ms.find(m => m.getParameterCount == 1 &&
         m.getParameterTypes()(0).isAssignableFrom(arg.getClass))
-    m.getOrElse(throw new NoSuchMethodException(
-        s"${target.getClass.getName}.$name(${Option(arg).map(_.getClass.getName).getOrElse("")})"))
-      .invoke(target, Option(arg).toSeq: _*)
+    val resolved = m.getOrElse(throw new NoSuchMethodException(
+      s"${target.getClass.getName}.$name(" +
+        s"${Option(arg).map(_.getClass.getName).getOrElse("")})"))
+    try resolved.setAccessible(true)
+    catch { case _: Exception => () } // fall through: invoke may still work
+    resolved.invoke(target, Option(arg).toSeq: _*)
   }
 
   override def putRecords(records: Seq[KinesisRecord],

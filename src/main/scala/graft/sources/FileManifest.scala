@@ -98,22 +98,24 @@ object FileManifest {
   def latest(fs: FileSystem, lakePath: String): Option[Manifest] =
     latestVersion(fs, lakePath).map(v => readVersion(fs, lakePath, v))
 
-  /** Parsed-manifest cache, keyed by (qualified lake root, version).
-    * Safe because a published `v<N>.manifest` is IMMUTABLE — versions
-    * only ever appear (publish) or disappear (vacuum), never change —
-    * so a cached parse can never go stale; it only saves the per-plan
-    * driver-side read+parse of a file that is ~10⁵–10⁶ lines at 100 TB
-    * (every pinned read, stats-pruned read, expiry and vacuum resolves
-    * the manifest; before this cache each PAID that read). Bounded LRU:
-    * a long-lived session touching many lakes/versions caps at
-    * `cacheCap` parsed manifests, evicting least-recently-used. */
+  /** Parsed-manifest cache. A published `v<N>.manifest` never changes
+    * in place, but the LAKE can be wiped and rebuilt at the same path
+    * (version numbering restarts) — so the key carries the manifest
+    * file's (mtime, length) alongside (qualified root, version): a
+    * rebuilt lake's v1 is a different file and misses the dead lake's
+    * entry. The status probe is one metadata RTT per plan; the win is
+    * skipping the ~10⁵–10⁶-line read+parse (every pinned read,
+    * stats-pruned read, expiry and vacuum resolves the manifest).
+    * Bounds: entry-count LRU AND a total parsed-line budget — at 100 TB
+    * one manifest is tens of MB of path strings, so a count-only cap
+    * could pin GBs of driver heap. */
   private val cacheCap = 64
+  private val cacheMaxLines = 1000000L
+  private type CacheKey = (String, Long, Long, Long)
   private val parsedCache =
-    new java.util.LinkedHashMap[(String, Long), Manifest](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), Manifest]): Boolean =
-        size() > cacheCap
-    }
+    new java.util.LinkedHashMap[CacheKey, Manifest](16, 0.75f, true)
+  private var cachedLines = 0L
+  private def weight(m: Manifest): Long = (m.cur.size + m.retired.size + 1).toLong
   /** Physical manifest-file reads (cache misses) — exposed so the scale
     * spec can assert the second read of a version is served from cache. */
   private[graft] val manifestFileReads =
@@ -121,11 +123,14 @@ object FileManifest {
 
   private def readVersion(fs: FileSystem, lakePath: String,
                           v: Long): Manifest = {
-    val key = (fs.makeQualified(new Path(lakePath)).toString, v)
+    val vp = versionPath(lakePath, v)
+    val st = fs.getFileStatus(vp) // FileNotFoundException like open would
+    val key = (fs.makeQualified(new Path(lakePath)).toString, v,
+      st.getModificationTime, st.getLen)
     val cached = parsedCache.synchronized(Option(parsedCache.get(key)))
     cached.getOrElse {
       manifestFileReads.incrementAndGet(): Unit
-      val in = fs.open(versionPath(lakePath, v))
+      val in = fs.open(vp)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().filter(_.nonEmpty).toList
       finally in.close()
@@ -140,7 +145,18 @@ object FileManifest {
         }
       }
       val m = Manifest(v, cur.toSeq, ret.toSeq)
-      parsedCache.synchronized(parsedCache.put(key, m)): Unit
+      parsedCache.synchronized {
+        val prev = parsedCache.put(key, m)
+        if (prev != null) cachedLines -= weight(prev) // racing re-parse
+        cachedLines += weight(m)
+        // evict least-recently-used until within BOTH bounds
+        val it = parsedCache.entrySet().iterator()
+        while ((parsedCache.size() > cacheCap ||
+            cachedLines > cacheMaxLines) && it.hasNext) {
+          cachedLines -= weight(it.next().getValue)
+          it.remove()
+        }
+      }
       m
     }
   }

@@ -187,9 +187,7 @@ object Pipeline {
     * checkpoint path — stable across restarts of the same query,
     * distinct across incarnations. */
   private[graft] def streamTagOf(checkpointDir: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    graft.Hashes.md5Hex(checkpointDir, 8)
 
   /** One archive micro-batch — extracted like [[pushBatch]] so the
     * crash-replay no-op is directly testable.

@@ -78,12 +78,14 @@ object StreamingDedup {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitBatch(batch, batchId, idCol, textCol, bandTable,
-          s"$tag-$batchId", ledger, shingleN, sigK, bandRows,
+        val committed = admitBatch(batch, batchId, idCol, textCol,
+          bandTable, s"$tag-$batchId", ledger, shingleN, sigK, bandRows,
           buckets)(onAdmitted)
-        // (guard: a restart replaying only ledger-skipped batches may
-        // reach a tick before any batch registered the table)
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
+        // tick only after a batch that actually committed work — a
+        // ledger-skipped replay must not pay a full table rewrite on
+        // restart (and may run before any batch registered the table)
+        if (committed && compactEvery > 0 &&
+            (batchId + 1) % compactEvery == 0 &&
             batch.sparkSession.catalog.tableExists(
               Dedup.bandTableName(bandTable)))
           Dedup.compactBandTable(batch.sparkSession, bandTable,
@@ -95,15 +97,16 @@ object StreamingDedup {
   /** One admission batch — [[admitStream]]'s `foreachBatch` body,
     * callable directly so crash-replay behavior is testable the way
     * `Pipeline.archiveBatch`'s is: invoking it again with the same
-    * `key` IS the replay a restarted stream performs. */
+    * `key` IS the replay a restarted stream performs. Returns true iff
+    * the batch committed work (false = ledger-skipped replay no-op). */
   private[graft] def admitBatch(batch: DataFrame, batchId: Long,
                                 idCol: String, textCol: String,
                                 bandTable: String, key: String,
                                 ledger: Option[Pipeline.BatchLedger],
                                 shingleN: Int = 3, sigK: Int = 8,
                                 bandRows: Int = 2, buckets: Int = 0)
-                               (onAdmitted: (DataFrame, Long) => Unit): Unit = {
-    if (ledger.exists(_.lastCommitted >= batchId)) return
+                               (onAdmitted: (DataFrame, Long) => Unit): Boolean = {
+    if (ledger.exists(_.lastCommitted >= batchId)) return false
     val spark = batch.sparkSession
     val sh = batch.select(col(idCol),
       explode(TextAnalysis.wordShingles(col(textCol), shingleN))
@@ -165,6 +168,7 @@ object StreamingDedup {
       onAdmitted(batch.join(kept, Seq(idCol), "left_semi"), batchId)
       ledger.foreach(_.markCommitted(batchId))
     } finally Dedup.releaseBacking(kept)
+    true
   }
 
   /** Exactly-once corpus sink for [[admitStream]]'s `onAdmitted`: each

@@ -227,7 +227,10 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(hits === Set(10L))
     // crash window: a compacted copy published but old files not swept →
     // duplicate rows; the SET probe is unchanged, and the next
-    // compaction converges back to one file per bucket
+    // compaction converges back to one file per bucket AND to the
+    // original ROW set (its distinct folds the duplicates — without it
+    // every crash would compound them into all later generations)
+    val rowsClean = spark.read.parquet(bandTable).count()
     spark.table(tbl)
       .repartition(4, col("band"), col("bkey"))
       .write.mode("overwrite")
@@ -235,10 +238,12 @@ class StreamingDedupSpec extends AnyFunSuite {
     graft.sources.LakeCommit.publishBucketed(spark, bandTable, "crashdup"): Unit
     spark.catalog.refreshTable(tbl)
     assert(files.size > a1) // duplicates present
+    assert(spark.read.parquet(bandTable).count() === 2 * rowsClean)
     assert(hits === Set(10L)) // answers unchanged
     val (_, a2) = Dedup.compactBandTable(spark, bandTable, 4)
     assert(a2 <= 4)
     assert(files.forall(_.startsWith("bcompact-2-")), files)
+    assert(spark.read.parquet(bandTable).count() === rowsClean)
     assert(hits === Set(10L))
     spark.sql(s"DROP TABLE IF EXISTS `$tbl`"): Unit
   }
