@@ -129,4 +129,36 @@ class BloomSpec extends AnyFunSuite {
       s"expected the probe Filter inside a codegen span in:\n" +
         df.queryExecution.executedPlan)
   }
+
+  test("bloom_merge of shard filters ≡ one whole build, bit for bit") {
+    import spark.implicits._
+    val vals = (0 until 3000).map(_.toLong)
+    // build per-shard filters (same parameters), then roll them up
+    // through the distributed aggregate path — the result must be THE
+    // union-set filter, not merely contain it
+    val merged = vals.toDF("v")
+      .withColumn("shard", pmod(col("v"), lit(7)))
+      .groupBy("shard")
+      .agg(Bloom.bloom_build(col("v"), 3000L, 0.02).as("bf"))
+      .repartition(5) // exercise BloomMergeAgg.merge across partials
+      .agg(Bloom.bloom_merge(col("bf")).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val whole = vals.toDF("v")
+      .agg(Bloom.bloom_build(col("v"), 3000L, 0.02).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, whole))
+  }
+
+  test("bloom_merge skips nulls; an all-null group answers null") {
+    import spark.implicits._
+    val bf = Seq(1L, 2L).toDF("v")
+      .agg(Bloom.bloom_build(col("v"), 10L, 0.01).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val rows = Seq(("a", Some(bf)), ("a", None), ("b", None))
+      .toDF("g", "bf")
+    val got = rows.groupBy("g").agg(Bloom.bloom_merge(col("bf")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(java.util.Arrays.equals(got("a"), bf))
+    assert(got("b") === null)
+  }
 }

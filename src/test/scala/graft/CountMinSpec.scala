@@ -88,4 +88,37 @@ class CountMinSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got("hot") === 7L && got("cold") === 1L, got.toString)
   }
+
+  test("cms_merge of shard sketches ≡ one whole build, bit for bit") {
+    import spark.implicits._
+    val vals = (0 until 4000).map(i => (i % 61).toLong)
+    // per-shard sketches (same depth×width), rolled up through the
+    // distributed CmsMergeAgg path — linearity means the merged bytes
+    // ARE the single-build bytes, so downstream estimates can't tell
+    // how many shards the corpus arrived in
+    val merged = vals.toDF("v")
+      .withColumn("shard", pmod(col("v"), lit(9)))
+      .groupBy("shard")
+      .agg(CountMin.cms_build(col("v"), 4, 256).as("sk"))
+      .repartition(5) // exercise CmsMergeAgg.merge across partials
+      .agg(CountMin.cms_merge(col("sk")).as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val whole = vals.toDF("v")
+      .agg(CountMin.cms_build(col("v"), 4, 256).as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, whole))
+  }
+
+  test("cms_merge skips nulls; an all-null group answers null") {
+    import spark.implicits._
+    val sk = Seq(5L, 5L, 6L).toDF("v")
+      .agg(CountMin.cms_build(col("v"), 3, 64).as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val rows = Seq(("a", Some(sk)), ("a", None), ("b", None))
+      .toDF("g", "sk")
+    val got = rows.groupBy("g").agg(CountMin.cms_merge(col("sk")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(java.util.Arrays.equals(got("a"), sk))
+    assert(got("b") === null)
+  }
 }

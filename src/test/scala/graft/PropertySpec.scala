@@ -190,4 +190,112 @@ class PropertySpec extends AnyFunSuite {
         java.util.Arrays.equals(merged, whole)
     })
   }
+
+  // ----- mergeBytes algebra (the cms_merge / bloom_merge cores) -----
+  // A shard roll-up folds sketches in whatever order and grouping the
+  // shuffle delivers — the result is only well-defined if the fold is
+  // a commutative monoid. These laws pin that algebra on the exact
+  // serialized-bytes functions the aggregates call.
+
+  private def cmsOf(vals: List[Long], depth: Int, width: Int): Array[Byte] = {
+    val c = new Array[Long](depth * width)
+    vals.foreach(cmsInsert(c, depth, width, _))
+    cmsBytes(c, depth, width)
+  }
+
+  private val genCmsTriple: Gen[(List[Long], List[Long], List[Long], Int, Int)] =
+    for {
+      a <- Gen.listOf(Gen.choose(-40L, 40L))
+      b <- Gen.listOf(Gen.choose(-40L, 40L))
+      c <- Gen.listOf(Gen.choose(-40L, 40L))
+      depth <- Gen.choose(1, 6)
+      width <- Gen.choose(1, 64)
+    } yield (a, b, c, depth, width)
+
+  test("CMS mergeBytes: commutative + associative + zero-sketch identity") {
+    check(Prop.forAll(genCmsTriple) { case (va, vb, vc, d, w) =>
+      val M = graft.functions.CountMin.mergeBytes _
+      val (a, b, c) = (cmsOf(va, d, w), cmsOf(vb, d, w), cmsOf(vc, d, w))
+      val zero = cmsOf(Nil, d, w)
+      java.util.Arrays.equals(M(a, b), M(b, a)) &&
+        java.util.Arrays.equals(M(M(a, b), c), M(a, M(b, c))) &&
+        java.util.Arrays.equals(M(a, zero), a)
+    })
+  }
+
+  test("CMS mergeBytes: merged estimate dominates the shard estimates") {
+    // counts add element-wise, so min-over-rows of the sums is at least
+    // the sum of the per-shard minima — the merged sketch can only grow
+    // estimates, and the one-sided (never-under) contract survives the
+    // merge for the COMBINED true counts
+    check(Prop.forAll(genCmsTriple) { case (va, vb, _, d, w) =>
+      val merged = graft.functions.CountMin.mergeBytes(
+        cmsOf(va, d, w), cmsOf(vb, d, w))
+      val (ba, bb) = (cmsOf(va, d, w), cmsOf(vb, d, w))
+      val truth = (va ++ vb).groupBy(identity).view.mapValues(_.size.toLong)
+      (va ++ vb).distinct.forall { v =>
+        val em = graft.functions.CountMin.estimate(merged, v)
+        val ea = graft.functions.CountMin.estimate(ba, v)
+        val eb = graft.functions.CountMin.estimate(bb, v)
+        em >= ea + eb && em >= truth(v)
+      }
+    })
+  }
+
+  test("CMS mergeBytes: shape mismatch fails loudly, never answers") {
+    check(Prop.forAll(Gen.choose(1, 6), Gen.choose(1, 6),
+        Gen.choose(1, 32), Gen.choose(1, 32)) { (d1, d2, w1, w2) =>
+      (d1 == d2 && w1 == w2) || {
+        val thrown = try {
+          graft.functions.CountMin.mergeBytes(
+            cmsOf(List(1L), d1, w1), cmsOf(List(1L), d2, w2))
+          false
+        } catch { case _: IllegalArgumentException => true }
+        thrown
+      }
+    })
+  }
+
+  private def bloomOf(vals: List[Long], nWords: Int, k: Int): Array[Byte] = {
+    val words = new Array[Long](nWords)
+    vals.foreach(v => graft.functions.Bloom.setBits(words, k, v))
+    bloomBytes(words, k)
+  }
+
+  test("Bloom mergeBytes: commutative + associative + idempotent + " +
+       "empty-filter identity") {
+    check(Prop.forAll(genBloomCase, Gen.listOf(Gen.choose(-99L, 99L)),
+        Gen.listOf(Gen.choose(-99L, 99L))) {
+      case ((va, nWords, k), vb, vc) =>
+        val M = graft.functions.Bloom.mergeBytes _
+        val (a, b, c) =
+          (bloomOf(va, nWords, k), bloomOf(vb, nWords, k), bloomOf(vc, nWords, k))
+        java.util.Arrays.equals(M(a, b), M(b, a)) &&
+          java.util.Arrays.equals(M(M(a, b), c), M(a, M(b, c))) &&
+          java.util.Arrays.equals(M(a, a), a) &&
+          java.util.Arrays.equals(M(a, bloomOf(Nil, nWords, k)), a)
+    })
+  }
+
+  test("Bloom mergeBytes: the union filter holds every shard's members") {
+    check(Prop.forAll(genBloomCase, Gen.listOf(Gen.choose(Long.MinValue,
+        Long.MaxValue))) { case ((va, nWords, k), vb) =>
+      val merged = graft.functions.Bloom.mergeBytes(
+        bloomOf(va, nWords, k), bloomOf(vb, nWords, k))
+      (va ++ vb).forall(graft.functions.Bloom.mightContain(merged, _))
+    })
+  }
+
+  test("Bloom mergeBytes: k or width mismatch fails loudly") {
+    check(Prop.forAll(Gen.choose(1, 9), Gen.choose(1, 9),
+        Gen.choose(1, 8), Gen.choose(1, 8)) { (k1, k2, n1, n2) =>
+      (k1 == k2 && n1 == n2) || {
+        try {
+          graft.functions.Bloom.mergeBytes(
+            bloomOf(List(1L), n1, k1), bloomOf(List(1L), n2, k2))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      }
+    })
+  }
 }
