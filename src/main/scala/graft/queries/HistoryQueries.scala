@@ -66,6 +66,30 @@ object HistoryQueries {
       dir
     })
 
+  /** A single-level (lang-partitioned) manifest lake of the documents
+    * table with a keyed copy-on-write delete already applied: h07 reads
+    * the post-delete pinned state, so the gate exercises bootstrap
+    * (enableManifests over an arbitrary partition layout) → match scan
+    * → file-granular rewrite → atomic manifest flip end-to-end, against
+    * a DuckDB anti-predicate oracle on the same parquet. Keyed by
+    * (session, sfDir): the corpus differs per scale factor. */
+  private val deleteLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def deleteLake(s: SparkSession, sfDir: String): String =
+    deleteLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-cow-delete").toString + "/lake"
+      graft.Tables.documents(s, sfDir)
+        .repartition(col("lang"))
+        .write.partitionBy("lang").parquet(dir)
+      graft.sources.History.enableManifests(s, dir): Unit
+      graft.sources.History.deleteWhere(s, dir,
+        col("source") === "src3" || col("doc_id") % 11 === 0): Unit
+      dir
+    })
+
   /** Drop the fixture lakes keyed to `s` and delete their temp dirs. */
   private[queries] def evict(s: SparkSession): Unit = {
     def rm(f: java.io.File): Unit = {
@@ -73,12 +97,17 @@ object HistoryQueries {
       if (kids != null) kids.foreach(rm)
       f.delete(): Unit
     }
-    Seq(lakeCache, manifestLakeCache).foreach { cache =>
-      val dir = cache.remove(graft.SessionKey(s))
+    def rmLake(dir: String): Unit =
       if (dir != null) rm(new java.io.File(dir).getParentFile match {
         case p if p != null && p.getName.startsWith("graft-") => p
         case _ => new java.io.File(dir)
       })
+    Seq(lakeCache, manifestLakeCache).foreach { cache =>
+      rmLake(cache.remove(graft.SessionKey(s)))
+    }
+    val sk = graft.SessionKey(s)
+    deleteLakeCache.keySet.forEach { k =>
+      if (k._1 == sk) rmLake(deleteLakeCache.remove(k))
     }
   }
 
@@ -127,7 +156,16 @@ object HistoryQueries {
       val d = manifestLake(s)
       graft.sources.History.readPinnedRange(s, d, TS, epoch1548, epoch1548)
         .select(col("region"), col("siteId"), col(TS).as("ts"))
-    })
+    }),
+
+    // Copy-on-write delete (takedown / right-to-be-forgotten): the lake
+    // holds the documents corpus; a keyed predicate delete rewrites only
+    // the files holding matches, and the pinned read must return exactly
+    // the anti-predicate rows — a lost survivor or surviving victim
+    // fails the hash.
+    "h07_cow_delete" -> ((s, d) =>
+      graft.sources.History.readPinned(s, deleteLake(s, d))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -162,6 +200,9 @@ object HistoryQueries {
       """SELECT * FROM (VALUES
            ('ROZ', '2087', CAST(1570081680 AS BIGINT)),
            ('SYD', '8',    CAST(1570081680 AS BIGINT))
-         ) AS t(region, siteId, ts)"""
+         ) AS t(region, siteId, ts)""",
+    "h07_cow_delete" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE NOT (source = 'src3' OR doc_id % 11 = 0)"""
   )
 }

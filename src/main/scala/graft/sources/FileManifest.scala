@@ -244,12 +244,24 @@ object FileManifest {
         !s.getPath.getName.startsWith("."))
       .map(_.getPath.getName).sorted.toSeq
 
-  /** List every live (non-hidden) data file under the lake's
-    * `region=…/dt=…` partition dirs, as lake-relative paths. */
-  def listLiveFiles(fs: FileSystem, lakePath: String): Seq[String] = {
-    val qRoot = fs.makeQualified(new Path(lakePath))
-    listPartitionDirs(fs, qRoot).flatMap { rel =>
-      listDataFiles(fs, new Path(qRoot, rel)).map(n => s"$rel/$n")
-    }
+  /** Recursively list every non-hidden data file under `qRoot` — ANY
+    * partition depth including none — as qRoot-relative paths. Hidden
+    * segments (`_staging`, `_manifests`, `_ledger`, `.…`) prune whole
+    * subtrees. */
+  def walkDataFiles(fs: FileSystem, qRoot: Path): Seq[String] = {
+    def walk(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (s.isDirectory) walk(s.getPath)
+        else Seq(s.getPath)
+      }
+    walk(qRoot).map(p => qRoot.toUri.relativize(p.toUri).getPath).sorted
   }
+
+  /** List every live (non-hidden) data file under the lake, as
+    * lake-relative paths — any partition layout (the `region=…/dt=…`
+    * two-level lake, single-level, or unpartitioned). */
+  def listLiveFiles(fs: FileSystem, lakePath: String): Seq[String] =
+    walkDataFiles(fs, fs.makeQualified(new Path(lakePath)))
 }

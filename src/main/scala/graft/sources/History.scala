@@ -732,6 +732,124 @@ object History {
     (expired.size, orphans.size)
   }
 
+  def deleteStagingDir(path: String): String = s"$path/_staging/delete"
+
+  /** Copy-on-write ROW delete: remove the rows matching `predicate`
+    * from a manifest-mode lake by rewriting ONLY the files that hold
+    * them — the takedown/right-to-be-forgotten half of the lifecycle
+    * that [[expirePartitions]] (whole partitions) and compaction
+    * (layout) don't cover. SQL DELETE semantics: a row is deleted iff
+    * the predicate is TRUE — NULL keeps the row.
+    *
+    * Two passes, both file-granular: (1) one column-pruned scan of the
+    * manifest's current files finds which files contain matches (the
+    * collect is bounded by the AFFECTED FILE count, never row data);
+    * (2) one job rewrites just those files minus the matching rows into
+    * staging, preserving the partition-directory layout. The commit is
+    * the usual single atomic manifest flip: rewritten files enter CUR,
+    * originals move to RETIRED — so in-flight pinned scans are
+    * undisturbed, [[readPinned]] time travel to the pre-delete version
+    * still answers (until [[vacuum]]'s grace passes — the compliance
+    * clock starts at vacuum, not at delete), and a crash before publish
+    * leaves only unreferenced staged orphans; a re-run sweeps its own
+    * version-tagged leftovers, so the converged state is one copy.
+    *
+    * At 100 TB the cost is proportional to the files the predicate
+    * touches, not the lake: a keyed delete against an id-clustered
+    * layout rewrites a handful of files. Run from the lake's single
+    * writer sequence (same discipline as every maintenance op).
+    *
+    * @return (files rewritten-or-retired, rows deleted) */
+  def deleteWhere(spark: SparkSession, path: String,
+                  predicate: org.apache.spark.sql.Column): (Int, Long) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qRoot = fs.makeQualified(root)
+    val m = FileManifest.latest(fs, path).getOrElse(
+      throw new IllegalStateException(
+        s"deleteWhere needs a manifest-mode lake (enableManifests): $path"))
+    if (m.cur.isEmpty) return (0, 0L)
+    val matchPred = coalesce(predicate, lit(false))
+    // pass 1: which current files hold matching rows, and how many
+    val relByAbs: Map[String, String] = m.cur.map(rel =>
+      new org.apache.hadoop.fs.Path(qRoot, rel).toString -> rel).toMap
+    val hits = planManifest(spark, fs, root, m)
+      .filter(matchPred)
+      .groupBy(col("_metadata.file_path").as("fp"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (hits.isEmpty) return (0, 0L)
+    val rowsDeleted = hits.map(_._2).sum
+    val affected: Seq[String] = hits.map { case (fp, _) =>
+      relByAbs.getOrElse(new org.apache.hadoop.fs.Path(fp).toString,
+        throw new IllegalStateException(
+          s"matched file not in the planned manifest: $fp"))
+    }.toSeq.sorted
+    def dirOf(rel: String): String =
+      rel.take(math.max(rel.lastIndexOf('/'), 0))
+    // partition columns are directory-encoded; every affected file must
+    // agree on the scheme or the staged layout would be ambiguous
+    def partColsOf(rel: String): Seq[String] =
+      dirOf(rel).split('/').filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
+    val partCols = partColsOf(affected.head)
+    require(affected.forall(partColsOf(_) == partCols),
+      s"mixed partition schemes under $path: " +
+        affected.map(dirOf).distinct.take(4).mkString(", "))
+    // pass 2: rewrite the affected files minus the matching rows
+    val stage = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(deleteStagingDir(path)))
+    fs.delete(stage, true): Unit
+    val keep = spark.read.option("mergeSchema", "true")
+      .option("basePath", qRoot.toString)
+      .parquet(affected.map(rel =>
+        new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*)
+      .filter(!matchPred)
+    val writer = keep.write.mode("overwrite")
+      .option("maxRecordsPerFile", 5000000L)
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(stage.toString)
+    // promote staged output under version-tagged unique names
+    // (deterministic per attempt: a crashed attempt's leftovers sweep
+    // cleanly on re-run), then flip the manifest once
+    val tag = s"d${m.version + 1}-"
+    val moves: Seq[(String, Seq[(org.apache.hadoop.fs.Path, String)])] =
+      FileManifest.walkDataFiles(fs, stage)
+        .groupBy(dirOf).toSeq.sortBy(_._1)
+        .map { case (rel, rels) =>
+          rel -> rels.sorted.zipWithIndex.map { case (r, i) =>
+            new org.apache.hadoop.fs.Path(stage, r) -> s"${tag}p$i.parquet"
+          }
+        }
+    LakeCommit.foreachPar(moves) { case (rel, files) =>
+      val destDir = if (rel.isEmpty) qRoot
+                    else new org.apache.hadoop.fs.Path(qRoot, rel)
+      fs.mkdirs(destDir): Unit
+      val leftovers = fs.globStatus(
+        new org.apache.hadoop.fs.Path(destDir, tag + "*"))
+      if (leftovers != null)
+        leftovers.foreach(s => fs.delete(s.getPath, false))
+      files.foreach { case (src, name) =>
+        val dest = new org.apache.hadoop.fs.Path(destDir, name)
+        if (!fs.rename(src, dest))
+          throw new java.io.IOException(s"promote failed: $src -> $dest")
+      }
+    }
+    val movedRels = moves.flatMap { case (rel, files) =>
+      files.map { case (_, name) =>
+        if (rel.isEmpty) name else s"$rel/$name" } }
+    // re-read before publishing: batches committed since the match scan
+    // live in the newer cur and are not in `affected`, so they survive
+    val m2 = FileManifest.latest(fs, path).get
+    val now = System.currentTimeMillis()
+    val affectedSet = affected.toSet
+    FileManifest.publish(fs, path, FileManifest.Manifest(
+      m2.version + 1,
+      m2.cur.filterNot(affectedSet) ++ movedRels,
+      m2.retired ++ affected.map(now -> _)))
+    fs.delete(stage, true): Unit
+    (affected.size, rowsDeleted)
+  }
+
   // ----- retention (partition expiry) -----
 
   def expireManifestPath(path: String): String =

@@ -327,6 +327,72 @@ class PinnedLakeSpec extends AnyFunSuite {
     assert(e.getMessage.contains(s"retained: ${left.head}"), e.getMessage)
   }
 
+  test("copy-on-write delete: matching rows gone, snapshot + travel intact") {
+    val lake = freshLake()
+    History.writePartitioned(records(streamPayload), lake)
+    History.writePartitioned(records(singleSiteDoc), lake, mode = "append")
+    History.enableManifests(spark, lake): Unit
+    val fs = hadoopFs(lake)
+    val before = rows(History.readPinned(spark, lake))
+    val m0 = FileManifest.latest(fs, lake).get
+    val pinned = History.readPinned(spark, lake) // PLANNED pre-delete
+
+    val victim = before.head._1
+    val (nFiles, nRows) =
+      History.deleteWhere(spark, lake, col("siteId") === victim)
+    assert(nRows === before.count(_._1 == victim).toLong)
+    assert(nFiles >= 1)
+
+    // fresh reads exclude exactly the victim's rows
+    assert(rows(History.readPinned(spark, lake)) ===
+      before.filterNot(_._1 == victim))
+    // the scan planned before the delete still sees its full snapshot,
+    // and time travel to the pre-delete version replays it — the
+    // compliance clock starts at vacuum, which reclaims both
+    assert(rows(pinned) === before)
+    assert(rows(History.readPinned(spark, lake, m0.version)) === before)
+    History.vacuum(spark, lake, graceMs = 0): Unit
+    intercept[IllegalArgumentException] {
+      History.readPinned(spark, lake, m0.version)
+    }
+    assert(rows(spark.read.parquet(lake)) ===
+      before.filterNot(_._1 == victim))
+  }
+
+  test("copy-on-write delete: NULL keeps the row; untouched files untouched") {
+    import spark.implicits._
+    val lake = freshLake() + "/lake"
+    Seq((1L, "a", Some("x")), (2L, "a", None), (3L, "b", Some("y")))
+      .toDF("id", "part", "v")
+      .coalesce(1) // exactly one file per partition dir
+      .write.partitionBy("part").parquet(lake)
+    History.enableManifests(spark, lake): Unit
+    val fs = hadoopFs(lake)
+    val m0 = FileManifest.latest(fs, lake).get
+
+    // DELETE WHERE v = 'x': true only for id 1 — id 2's NULL predicate
+    // keeps it (SQL delete semantics), id 3's file holds no match
+    assert(History.deleteWhere(spark, lake, col("v") === "x") === ((1, 1L)))
+    val m1 = FileManifest.latest(fs, lake).get
+    // part=b had no matches: its physical file stays current, unmoved
+    assert(m0.cur.filter(_.startsWith("part=b")).forall(m1.curSet))
+    // part=a was rewritten under this delete's version tag
+    assert(m1.cur.exists(_.startsWith(s"part=a/d${m0.version + 1}-")),
+      m1.cur.mkString(","))
+    assert(History.readPinned(spark, lake)
+      .select("id").as[Long].collect().sorted === Array(2L, 3L))
+
+    // deleting a partition's last rows retires its file, no replacement
+    assert(History.deleteWhere(spark, lake, col("part") === "b") === ((1, 1L)))
+    assert(History.readPinned(spark, lake)
+      .select("id").as[Long].collect() === Array(2L))
+
+    // a no-match delete publishes nothing
+    val vPre = FileManifest.latest(fs, lake).get.version
+    assert(History.deleteWhere(spark, lake, col("v") === "zzz") === ((0, 0L)))
+    assert(FileManifest.latest(fs, lake).get.version === vPre)
+  }
+
   test("file stats prune within partitions; statless files stay planned") {
     import spark.implicits._
     val lake = freshLake()
