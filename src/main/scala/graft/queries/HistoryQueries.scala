@@ -90,6 +90,33 @@ object HistoryQueries {
       dir
     })
 
+  /** A lang-partitioned manifest lake of the documents table with a
+    * keyed copy-on-write MERGE already applied: every src1 doc's
+    * n_chars is corrected (+1000) in place and every src2 doc is
+    * re-keyed (+10_000_000) and inserted — so h08 exercises the
+    * key-semi-join match scan → file-granular rewrite-with-upsert →
+    * atomic flip end-to-end against a CASE/UNION oracle on the same
+    * parquet. Keyed by (session, sfDir). */
+  private val mergeLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def mergeLake(s: SparkSession, sfDir: String): String =
+    mergeLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-cow-merge").toString + "/lake"
+      val docs = graft.Tables.documents(s, sfDir)
+      docs.repartition(col("lang")).write.partitionBy("lang").parquet(dir)
+      graft.sources.History.enableManifests(s, dir): Unit
+      val corrections = docs.filter(col("source") === "src1")
+        .withColumn("n_chars", col("n_chars") + 1000L)
+      val inserts = docs.filter(col("source") === "src2")
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+      graft.sources.History.mergeInto(
+        s, dir, corrections.unionByName(inserts), Seq("doc_id")): Unit
+      dir
+    })
+
   /** Drop the fixture lakes keyed to `s` and delete their temp dirs. */
   private[queries] def evict(s: SparkSession): Unit = {
     def rm(f: java.io.File): Unit = {
@@ -106,8 +133,10 @@ object HistoryQueries {
       rmLake(cache.remove(graft.SessionKey(s)))
     }
     val sk = graft.SessionKey(s)
-    deleteLakeCache.keySet.forEach { k =>
-      if (k._1 == sk) rmLake(deleteLakeCache.remove(k))
+    Seq(deleteLakeCache, mergeLakeCache).foreach { cache =>
+      cache.keySet.forEach { k =>
+        if (k._1 == sk) rmLake(cache.remove(k))
+      }
     }
   }
 
@@ -165,6 +194,16 @@ object HistoryQueries {
     // fails the hash.
     "h07_cow_delete" -> ((s, d) =>
       graft.sources.History.readPinned(s, deleteLake(s, d))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+
+    // Copy-on-write keyed merge (correction/late-data upsert): the lake
+    // holds the documents corpus; a key-matched batch replaces the src1
+    // rows with corrected ones and inserts re-keyed src2 rows. The
+    // pinned read must return exactly the CASE/UNION image — a
+    // double-applied update, lost survivor, or dropped insert fails
+    // the hash.
+    "h08_merge_upsert" -> ((s, d) =>
+      graft.sources.History.readPinned(s, mergeLake(s, d))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
   )
 
@@ -203,6 +242,14 @@ object HistoryQueries {
          ) AS t(region, siteId, ts)""",
     "h07_cow_delete" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
-         WHERE NOT (source = 'src3' OR doc_id % 11 = 0)"""
+         WHERE NOT (source = 'src3' OR doc_id % 11 = 0)""",
+    "h08_merge_upsert" ->
+      """SELECT doc_id, lang, source,
+                CASE WHEN source = 'src1' THEN n_chars + 1000
+                     ELSE n_chars END AS n_chars
+         FROM documents
+         UNION ALL
+         SELECT doc_id + 10000000, lang, source, n_chars
+         FROM documents WHERE source = 'src2'"""
   )
 }

@@ -808,10 +808,24 @@ object History {
       .option("maxRecordsPerFile", 5000000L)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(stage.toString)
-    // promote staged output under version-tagged unique names
-    // (deterministic per attempt: a crashed attempt's leftovers sweep
-    // cleanly on re-run), then flip the manifest once
-    val tag = s"d${m.version + 1}-"
+    promoteAndFlip(fs, qRoot, path, stage, s"d${m.version + 1}-", affected)
+    (affected.size, rowsDeleted)
+  }
+
+  /** Shared copy-on-write commit tail: promote every staged data file
+    * into the live tree under `tag`-prefixed unique names (deterministic
+    * per attempt — a crashed attempt's same-tag leftovers are swept
+    * before renaming, so the converged state is one copy), then flip the
+    * manifest ONCE: promoted files enter CUR, `affected` move to
+    * RETIRED. The manifest is re-read just before publishing so batches
+    * committed since the caller's match scan — which are in the newer
+    * cur and never in `affected` — survive the flip. */
+  private def promoteAndFlip(fs: org.apache.hadoop.fs.FileSystem,
+      qRoot: org.apache.hadoop.fs.Path, path: String,
+      stage: org.apache.hadoop.fs.Path, tag: String,
+      affected: Seq[String]): Unit = {
+    def dirOf(rel: String): String =
+      rel.take(math.max(rel.lastIndexOf('/'), 0))
     val moves: Seq[(String, Seq[(org.apache.hadoop.fs.Path, String)])] =
       FileManifest.walkDataFiles(fs, stage)
         .groupBy(dirOf).toSeq.sortBy(_._1)
@@ -837,8 +851,10 @@ object History {
     val movedRels = moves.flatMap { case (rel, files) =>
       files.map { case (_, name) =>
         if (rel.isEmpty) name else s"$rel/$name" } }
-    // re-read before publishing: batches committed since the match scan
-    // live in the newer cur and are not in `affected`, so they survive
+    if (movedRels.isEmpty && affected.isEmpty) {
+      fs.delete(stage, true): Unit // nothing changed: no version bump
+      return
+    }
     val m2 = FileManifest.latest(fs, path).get
     val now = System.currentTimeMillis()
     val affectedSet = affected.toSet
@@ -847,7 +863,113 @@ object History {
       m2.cur.filterNot(affectedSet) ++ movedRels,
       m2.retired ++ affected.map(now -> _)))
     fs.delete(stage, true): Unit
-    (affected.size, rowsDeleted)
+  }
+
+  def mergeStagingDir(path: String): String = s"$path/_staging/merge"
+
+  /** Copy-on-write keyed MERGE (upsert): every lake row whose
+    * `keyCols` value appears in `updates` is REPLACED by the matching
+    * update row; update rows with no lake match are INSERTED — the
+    * correction/late-data half of the lifecycle next to [[deleteWhere]]
+    * (takedown). Upsert-by-key semantics: ALL lake rows sharing a
+    * matched key are superseded by the single update row for that key,
+    * so `updates` must be key-distinct (checked — replacing one row
+    * with two is ambiguous); NULL keys never match and always insert.
+    *
+    * File-granular like [[deleteWhere]]: a key-semi-join over the
+    * manifest's current files finds which files hold matches (the
+    * collect is bounded by the AFFECTED FILE count); one job rewrites
+    * just those files minus the matched keys, unioned with the aligned
+    * update rows, partition-laid-out by the lake's directory scheme —
+    * an update that moves a row across partition values lands in its
+    * new directory naturally. Commit is the shared single atomic
+    * manifest flip: in-flight pinned scans undisturbed, pre-merge time
+    * travel intact until [[vacuum]], crash before publish leaves only
+    * unreferenced staged orphans.
+    *
+    * At 100 TB the rewrite cost is proportional to the files the keys
+    * touch — against a key-clustered layout a keyed correction batch
+    * rewrites a handful of files. `updates` is evaluated several times
+    * (dup check, semi-join, anti-join, staged write): cache or
+    * checkpoint a non-trivial updates plan before calling. Run from
+    * the lake's single writer sequence.
+    *
+    * @return (files rewritten-or-retired, lake rows replaced) */
+  def mergeInto(spark: SparkSession, path: String, updates: DataFrame,
+                keyCols: Seq[String]): (Int, Long) = {
+    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    require(keyCols.forall(updates.columns.contains),
+      s"updates missing key columns: ${keyCols.mkString(",")}")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qRoot = fs.makeQualified(root)
+    val m = FileManifest.latest(fs, path).getOrElse(
+      throw new IllegalStateException(
+        s"mergeInto needs a manifest-mode lake (enableManifests): $path"))
+    val dupes = updates.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
+    require(dupes.isEmpty,
+      s"mergeInto updates have duplicate keys, e.g. ${dupes.head}")
+    val base = planManifest(spark, fs, root, m)
+    val lakeCols: Seq[String] =
+      if (base.columns.nonEmpty) base.columns.toSeq else updates.columns.toSeq
+    require(updates.columns.toSet == lakeCols.toSet,
+      s"updates schema ${updates.columns.sorted.mkString(",")} != " +
+        s"lake schema ${lakeCols.sorted.mkString(",")}")
+    val updAligned = updates.select(lakeCols.map(col): _*)
+    val updKeys = updates.select(keyCols.map(col): _*).distinct()
+    // pass 1: which current files hold matched keys, and how many rows
+    val relByAbs: Map[String, String] = m.cur.map(rel =>
+      new org.apache.hadoop.fs.Path(qRoot, rel).toString -> rel).toMap
+    // the _metadata pseudo-column resolves only on the scan itself, so
+    // materialize file_path (plus just the keys — maximal pruning)
+    // before the semi-join
+    val hits =
+      if (base.columns.isEmpty) Array.empty[(String, Long)]
+      else base.select(
+          col("_metadata.file_path").as("__graft_fp") +: keyCols.map(col): _*)
+        .join(updKeys, keyCols, "left_semi")
+        .groupBy(col("__graft_fp"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    val rowsReplaced = hits.map(_._2).sum
+    val affected: Seq[String] = hits.map { case (fp, _) =>
+      relByAbs.getOrElse(new org.apache.hadoop.fs.Path(fp).toString,
+        throw new IllegalStateException(
+          s"matched file not in the planned manifest: $fp"))
+    }.toSeq.sorted
+    def dirOf(rel: String): String =
+      rel.take(math.max(rel.lastIndexOf('/'), 0))
+    def partColsOf(rel: String): Seq[String] =
+      dirOf(rel).split('/').filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
+    // the lake's directory scheme governs where inserts land too, so
+    // derive it from ALL current files, not just the affected ones
+    val schemeDonors = if (m.cur.nonEmpty) m.cur else affected
+    val partCols =
+      if (schemeDonors.isEmpty) Seq.empty[String]
+      else partColsOf(schemeDonors.head)
+    require(schemeDonors.forall(partColsOf(_) == partCols),
+      s"mixed partition schemes under $path: " +
+        schemeDonors.map(dirOf).distinct.take(4).mkString(", "))
+    // pass 2: survivors of the affected files + all update rows
+    val stage = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(mergeStagingDir(path)))
+    fs.delete(stage, true): Unit
+    val staged =
+      if (affected.isEmpty) updAligned
+      else spark.read.option("mergeSchema", "true")
+        .option("basePath", qRoot.toString)
+        .parquet(affected.map(rel =>
+          new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*)
+        .join(updKeys, keyCols, "left_anti")
+        .select(lakeCols.map(col): _*)
+        .unionByName(updAligned)
+    val writer = staged.write.mode("overwrite")
+      .option("maxRecordsPerFile", 5000000L)
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(stage.toString)
+    promoteAndFlip(fs, qRoot, path, stage, s"u${m.version + 1}-", affected)
+    (affected.size, rowsReplaced)
   }
 
   // ----- retention (partition expiry) -----

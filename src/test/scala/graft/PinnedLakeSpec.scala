@@ -393,6 +393,71 @@ class PinnedLakeSpec extends AnyFunSuite {
     assert(FileManifest.latest(fs, lake).get.version === vPre)
   }
 
+  test("copy-on-write merge: matched keys replaced, inserts land, travel intact") {
+    import spark.implicits._
+    val lake = freshLake() + "/lake"
+    Seq((1L, "a", "v1"), (2L, "a", "v2"), (3L, "b", "v3"))
+      .toDF("id", "part", "v")
+      .coalesce(1).write.partitionBy("part").parquet(lake)
+    History.enableManifests(spark, lake): Unit
+    val fs = hadoopFs(lake)
+    val m0 = FileManifest.latest(fs, lake).get
+    val pinned = History.readPinned(spark, lake) // PLANNED pre-merge
+    def img(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "part", "v").as[(Long, String, String)]
+        .collect().sortBy(_._1)
+
+    // one update (id 2 in part=a) + one insert (id 9, NEW part=c)
+    val updates = Seq((2L, "a", "v2x"), (9L, "c", "v9")).toDF("id", "part", "v")
+    assert(History.mergeInto(spark, lake, updates, Seq("id")) === ((1, 1L)))
+
+    assert(img(History.readPinned(spark, lake)) === Array(
+      (1L, "a", "v1"), (2L, "a", "v2x"), (3L, "b", "v3"), (9L, "c", "v9")))
+    val m1 = FileManifest.latest(fs, lake).get
+    // part=b held no matched key: its physical file stays current, unmoved
+    assert(m0.cur.filter(_.startsWith("part=b")).forall(m1.curSet))
+    // part=a rewritten and the insert's part=c created, both merge-tagged
+    assert(m1.cur.exists(_.startsWith(s"part=a/u${m0.version + 1}-")))
+    assert(m1.cur.exists(_.startsWith(s"part=c/u${m0.version + 1}-")))
+    // the scan planned before the merge still sees its full snapshot,
+    // and time travel to the pre-merge version replays it
+    val before =
+      Array((1L, "a", "v1"), (2L, "a", "v2"), (3L, "b", "v3"))
+    assert(img(pinned) === before)
+    assert(img(History.readPinned(spark, lake, m0.version)) === before)
+  }
+
+  test("copy-on-write merge: partition-moving update, pure insert, dup keys rejected") {
+    import spark.implicits._
+    val lake = freshLake() + "/lake"
+    Seq((1L, "a", "v1"), (2L, "b", "v2")).toDF("id", "part", "v")
+      .coalesce(1).write.partitionBy("part").parquet(lake)
+    History.enableManifests(spark, lake): Unit
+    def img() = History.readPinned(spark, lake)
+      .select("id", "part", "v").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+
+    // an update that CHANGES the partition value: id 1 moves a → d;
+    // the old part=a file retires with no replacement rows there
+    assert(History.mergeInto(spark, lake,
+      Seq((1L, "d", "v1d")).toDF("id", "part", "v"), Seq("id")) === ((1, 1L)))
+    assert(img() === Array((1L, "d", "v1d"), (2L, "b", "v2")))
+
+    // pure insert (no key matches): zero files rewritten, rows land
+    assert(History.mergeInto(spark, lake,
+      Seq((7L, "b", "v7")).toDF("id", "part", "v"), Seq("id")) === ((0, 0L)))
+    assert(img() === Array((1L, "d", "v1d"), (2L, "b", "v2"), (7L, "b", "v7")))
+
+    // key-duplicate updates are ambiguous and rejected up front
+    val e = intercept[IllegalArgumentException] {
+      History.mergeInto(spark, lake,
+        Seq((5L, "a", "x"), (5L, "a", "y")).toDF("id", "part", "v"),
+        Seq("id"))
+    }
+    assert(e.getMessage.contains("duplicate keys"), e.getMessage)
+    assert(img() === Array((1L, "d", "v1d"), (2L, "b", "v2"), (7L, "b", "v7")))
+  }
+
   test("file stats prune within partitions; statless files stay planned") {
     import spark.implicits._
     val lake = freshLake()
