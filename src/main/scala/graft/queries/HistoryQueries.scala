@@ -117,6 +117,28 @@ object HistoryQueries {
       dir
     })
 
+  /** An unpartitioned manifest lake of the documents table, landed as
+    * key-scattered files then cluster-rewritten on doc_id: h09 range-
+    * reads the clustered lake through the stats-pruned planner, so the
+    * gate exercises scatter → clusterBy (range repartition + in-file
+    * sort + flip + stats refresh) → footer-pruned range read end-to-end
+    * against a BETWEEN oracle. Keyed by (session, sfDir). */
+  private val clusterLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def clusterLake(s: SparkSession, sfDir: String): String =
+    clusterLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-clustered").toString + "/lake"
+      graft.Tables.documents(s, sfDir)
+        .repartition(8) // round-robin: every file spans the id range
+        .write.parquet(dir)
+      graft.sources.History.enableManifests(s, dir): Unit
+      graft.sources.History.clusterBy(s, dir, "doc_id", 8): Unit
+      dir
+    })
+
   /** Drop the fixture lakes keyed to `s` and delete their temp dirs. */
   private[queries] def evict(s: SparkSession): Unit = {
     def rm(f: java.io.File): Unit = {
@@ -133,7 +155,7 @@ object HistoryQueries {
       rmLake(cache.remove(graft.SessionKey(s)))
     }
     val sk = graft.SessionKey(s)
-    Seq(deleteLakeCache, mergeLakeCache).foreach { cache =>
+    Seq(deleteLakeCache, mergeLakeCache, clusterLakeCache).foreach { cache =>
       cache.keySet.forEach { k =>
         if (k._1 == sk) rmLake(cache.remove(k))
       }
@@ -204,6 +226,15 @@ object HistoryQueries {
     // the hash.
     "h08_merge_upsert" -> ((s, d) =>
       graft.sources.History.readPinned(s, mergeLake(s, d))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+
+    // Clustered range read: after clusterBy(doc_id) each file holds a
+    // tight id range, so the stats-pruned planner reads a file subset —
+    // and must still return exactly the BETWEEN image (pruning may only
+    // save work, never drop rows).
+    "h09_clustered_range" -> ((s, d) =>
+      graft.sources.History
+        .readPinnedRange(s, clusterLake(s, d), "doc_id", 100L, 299L)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
   )
 
@@ -250,6 +281,9 @@ object HistoryQueries {
          FROM documents
          UNION ALL
          SELECT doc_id + 10000000, lang, source, n_chars
-         FROM documents WHERE source = 'src2'"""
+         FROM documents WHERE source = 'src2'""",
+    "h09_clustered_range" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id BETWEEN 100 AND 299"""
   )
 }

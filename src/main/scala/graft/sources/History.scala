@@ -972,6 +972,67 @@ object History {
     (affected.size, rowsReplaced)
   }
 
+  def clusterStagingDir(path: String): String = s"$path/_staging/cluster"
+
+  /** Cluster-rewrite the lake's CURRENT files on `sortCol` and refresh
+    * the footer-stats sidecar, so each data file afterwards holds a
+    * tight, pairwise-disjoint range of the column — the layout
+    * maintenance that turns [[readPinnedRange]]'s stats prune and the
+    * keyed ops' file-granularity ([[deleteWhere]], [[mergeInto]]) from
+    * best-effort into actually-few-files: against a freshly clustered
+    * 100 TB lake a key-range scan or a keyed correction batch plans
+    * O(range/file-span) files instead of all of them.
+    *
+    * One job: a range repartition on (partition cols, sortCol) — range
+    * boundaries come from Spark's reservoir sample of the data, so
+    * output files are balanced under any skew — sorted within
+    * partitions (tight parquet row-group/page stats for the scan-side
+    * min/max), written through the shared stage → version-tagged
+    * promote → single manifest flip. Rows are moved, never folded:
+    * contents are bit-identical to the pre-cluster lake, in-flight
+    * pinned scans are undisturbed, and batches committed mid-cluster
+    * survive the flip un-clustered (the next run picks them up).
+    *
+    * @param numFiles target output file count; <= 0 keeps the current
+    *                 file count
+    * @return (files retired, files newly statted) */
+  def clusterBy(spark: SparkSession, path: String, sortCol: String,
+                numFiles: Int = 0): (Int, Int) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qRoot = fs.makeQualified(root)
+    val m = FileManifest.latest(fs, path).getOrElse(
+      throw new IllegalStateException(
+        s"clusterBy needs a manifest-mode lake (enableManifests): $path"))
+    if (m.cur.isEmpty) return (0, 0)
+    def dirOf(rel: String): String =
+      rel.take(math.max(rel.lastIndexOf('/'), 0))
+    def partColsOf(rel: String): Seq[String] =
+      dirOf(rel).split('/').filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
+    val partCols = partColsOf(m.cur.head)
+    require(m.cur.forall(partColsOf(_) == partCols),
+      s"mixed partition schemes under $path: " +
+        m.cur.map(dirOf).distinct.take(4).mkString(", "))
+    val base = planManifest(spark, fs, root, m)
+    require(base.columns.contains(sortCol),
+      s"cluster column $sortCol not in lake schema " +
+        base.columns.mkString(","))
+    val n = math.max(1, if (numFiles > 0) numFiles else m.cur.size)
+    val exprs = (partCols :+ sortCol).map(col)
+    val stage = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(clusterStagingDir(path)))
+    fs.delete(stage, true): Unit
+    val staged = base.repartitionByRange(n, exprs: _*)
+      .sortWithinPartitions(exprs: _*)
+    val writer = staged.write.mode("overwrite")
+      .option("maxRecordsPerFile", 5000000L)
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(stage.toString)
+    promoteAndFlip(fs, qRoot, path, stage, s"z${m.version + 1}-", m.cur)
+    val statted = refreshStats(spark, path, sortCol)
+    (m.cur.size, statted)
+  }
+
   // ----- retention (partition expiry) -----
 
   def expireManifestPath(path: String): String =

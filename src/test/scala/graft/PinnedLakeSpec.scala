@@ -458,6 +458,40 @@ class PinnedLakeSpec extends AnyFunSuite {
     assert(img() === Array((1L, "d", "v1d"), (2L, "b", "v2"), (7L, "b", "v7")))
   }
 
+  test("clusterBy: contents identical, range reads plan a file subset") {
+    import spark.implicits._
+    val lake = freshLake() + "/lake"
+    // ids 0..99 scattered round-robin across 5 files: every file spans
+    // the whole id range, so a range read pre-cluster must plan all 5
+    (0L until 100L).toDF("id").withColumn("v", col("id") * 7)
+      .repartition(5).write.parquet(lake)
+    History.enableManifests(spark, lake): Unit
+    val fs = hadoopFs(lake)
+    val m0 = FileManifest.latest(fs, lake).get
+    assert(m0.cur.size === 5)
+    val pinned = History.readPinned(spark, lake) // PLANNED pre-cluster
+    def img(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "v").as[(Long, Long)].collect().sortBy(_._1)
+    val before = img(History.readPinned(spark, lake))
+
+    val (retired, statted) = History.clusterBy(spark, lake, "id", 5)
+    assert(retired === 5)
+    assert(statted === 5)
+
+    // rows moved, never folded: the clustered lake is bit-identical
+    assert(img(History.readPinned(spark, lake)) === before)
+    // each file now holds a tight range: a 20-id window plans 1-2 files
+    val narrow = History.readPinnedRange(spark, lake, "id", 40L, 59L)
+    assert(narrow.inputFiles.length <= 2,
+      s"${narrow.inputFiles.length} files planned post-cluster")
+    assert(img(narrow) === before.filter(r => r._1 >= 40 && r._1 <= 59))
+    // keyed delete against the clustered layout touches one file
+    val (nf, nr) = History.deleteWhere(spark, lake, col("id") === 42L)
+    assert(nf === 1 && nr === 1L)
+    // the scan planned before the cluster still sees its full snapshot
+    assert(img(pinned) === before)
+  }
+
   test("file stats prune within partitions; statless files stay planned") {
     import spark.implicits._
     val lake = freshLake()
