@@ -674,7 +674,8 @@ object History {
   /** Physically reclaim manifest-mode garbage past `graceMs`: RETIRED
     * files (superseded by compaction/expiry — a grace period long enough
     * for any in-flight scan keeps pinned reads valid), ORPHAN files
-    * (landed but never committed — crashed writers), stale manifest
+    * (landed but never committed — crashed writers), STAGED leftovers of
+    * crashed copy-on-write attempts under `_staging`, stale manifest
     * versions, and now-empty partition dirs. Returns
     * (retired deleted, orphans deleted). Run it like any writer: from
     * the lake's single writer sequence. */
@@ -701,6 +702,23 @@ object History {
     LakeCommit.foreachPar(orphans) { rel =>
       fs.delete(new org.apache.hadoop.fs.Path(qRoot, rel), false): Unit
     }
+    // crashed copy-on-write attempts (delete/merge/cluster/compact)
+    // leave staged files under _staging — hidden from the data listing
+    // above, swept by the NEXT same-op run, but an op that never runs
+    // again would leak them forever; reclaim past grace like any orphan
+    val stagingRoot = new org.apache.hadoop.fs.Path(qRoot, "_staging")
+    val staleStaged: Seq[org.apache.hadoop.fs.Path] =
+      if (!fs.exists(stagingRoot)) Nil
+      else {
+        def walk(p: org.apache.hadoop.fs.Path)
+            : Seq[org.apache.hadoop.fs.FileStatus] =
+          fs.listStatus(p).toSeq.flatMap { s =>
+            if (s.isDirectory) walk(s.getPath) else Seq(s)
+          }
+        walk(stagingRoot).filter(_.getModificationTime <= cutoff)
+          .map(_.getPath)
+      }
+    LakeCommit.foreachPar(staleStaged) { p => fs.delete(p, false): Unit }
     if (expired.nonEmpty)
       FileManifest.publish(fs, path,
         FileManifest.Manifest(m.version + 1, m.cur, kept))
@@ -729,7 +747,12 @@ object History {
         s.getPath.getName.startsWith("region=") &&
         fs.listStatus(s.getPath).isEmpty)
       .foreach(s => fs.delete(s.getPath, false): Unit)
-    (expired.size, orphans.size)
+    // emptied staging subdirs (their stale files reclaimed above)
+    if (fs.exists(stagingRoot))
+      fs.listStatus(stagingRoot)
+        .filter(s => s.isDirectory && fs.listStatus(s.getPath).isEmpty)
+        .foreach(s => fs.delete(s.getPath, false): Unit)
+    (expired.size, orphans.size + staleStaged.size)
   }
 
   def deleteStagingDir(path: String): String = s"$path/_staging/delete"

@@ -492,6 +492,30 @@ class PinnedLakeSpec extends AnyFunSuite {
     assert(img(pinned) === before)
   }
 
+  test("vacuum reclaims crashed copy-on-write staging leftovers past grace") {
+    import spark.implicits._
+    val lake = freshLake() + "/lake"
+    Seq((1L, "x")).toDF("id", "v").write.parquet(lake)
+    History.enableManifests(spark, lake): Unit
+    val fs = hadoopFs(lake)
+    def plant(dir: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(dir, "part-00000.parquet")
+      fs.mkdirs(p.getParent): Unit
+      val out = fs.create(p); out.write(1); out.close()
+      p
+    }
+    val staleDel = plant(History.deleteStagingDir(lake))
+    val staleMrg = plant(History.mergeStagingDir(lake))
+    // within grace: a possibly-in-flight attempt's staging survives
+    assert(History.vacuum(spark, lake, graceMs = 3600000L) === ((0, 0)))
+    assert(fs.exists(staleDel) && fs.exists(staleMrg))
+    // past grace: both reclaimed, emptied staging dirs dropped
+    assert(History.vacuum(spark, lake, graceMs = 0L) === ((0, 2)))
+    assert(!fs.exists(staleDel) && !fs.exists(staleMrg))
+    assert(!fs.exists(staleDel.getParent) && !fs.exists(staleMrg.getParent))
+    assert(History.readPinned(spark, lake).count() === 1L)
+  }
+
   test("file stats prune within partitions; statless files stay planned") {
     import spark.implicits._
     val lake = freshLake()
