@@ -792,12 +792,18 @@ object History {
       throw new IllegalStateException(
         s"deleteWhere needs a manifest-mode lake (enableManifests): $path"))
     if (m.cur.isEmpty) return (0, 0L)
+    // pass 1: which current files hold matching rows, and how many.
+    // Filter on the BARE predicate: `filter` keeps only TRUE rows (the
+    // delete set) and, unwrapped, it pushes down to the parquet scan —
+    // PushedFilters + row-group stats skipping, which at 100 TB is the
+    // difference between reading the lake and reading its footers. The
+    // coalesce wrapper is only needed where NULL must become false
+    // explicitly: pass 2's negation below.
     val matchPred = coalesce(predicate, lit(false))
-    // pass 1: which current files hold matching rows, and how many
     val relByAbs: Map[String, String] = m.cur.map(rel =>
       new org.apache.hadoop.fs.Path(qRoot, rel).toString -> rel).toMap
     val hits = planManifest(spark, fs, root, m)
-      .filter(matchPred)
+      .filter(predicate)
       .groupBy(col("_metadata.file_path").as("fp"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))

@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.{FileManifest, History}
+
+/** Model-based fuzz of the manifest lake's row lifecycle: a seeded
+  * random sequence of append / deleteWhere / mergeInto / clusterBy /
+  * vacuum ops runs against both the real lake and an in-memory model,
+  * and the pinned image must equal the model after EVERY op — the
+  * composition coverage (delete after cluster after merge after
+  * append …) that targeted specs can't enumerate. */
+class LakeLifecycleFuzzSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private type Model = scala.collection.mutable.Map[Long, (String, Long)]
+
+  private def fs(lake: String) =
+    new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def toDF(rows: Seq[(Long, String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("id", "part", "v")
+  }
+
+  /** Append + manifest-commit exactly the files this write landed —
+    * retired files still on disk must not be re-added. */
+  private def appendCommit(lake: String, rows: Seq[(Long, String, Long)]): Unit = {
+    val f = fs(lake)
+    val m = FileManifest.latest(f, lake).get
+    val known = m.curSet ++ m.retiredSet
+    toDF(rows).coalesce(1).write.mode("append")
+      .partitionBy("part").parquet(lake)
+    FileManifest.addFiles(f, lake,
+      FileManifest.listLiveFiles(f, lake).filterNot(known))
+  }
+
+  private def img(lake: String): Map[Long, (String, Long)] = {
+    import spark.implicits._
+    History.readPinned(spark, lake).select("id", "part", "v")
+      .as[(Long, String, Long)].collect()
+      .map { case (id, p, v) => id -> (p, v) }.toMap
+  }
+
+  private def runSequence(seed: Long, nOps: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val lake = java.nio.file.Files
+      .createTempDirectory(s"graft-fuzz-$seed").toString + "/lake"
+    val model: Model = scala.collection.mutable.Map.empty
+    var nextId = 0L
+    def freshRows(n: Int): Seq[(Long, String, Long)] =
+      (0 until n).map { _ =>
+        val r = (nextId, s"p${rnd.nextInt(3)}", rnd.nextLong(1000L))
+        nextId += 1
+        r
+      }
+
+    val init = freshRows(30)
+    toDF(init).coalesce(2).write.partitionBy("part").parquet(lake)
+    History.enableManifests(spark, lake): Unit
+    init.foreach { case (id, p, v) => model(id) = (p, v) }
+    assert(img(lake) === model.toMap, s"seed=$seed init")
+
+    for (op <- 0 until nOps) {
+      val pick = rnd.nextInt(10)
+      val desc: String = pick match {
+        case 0 | 1 => // append a fresh batch
+          val rows = freshRows(1 + rnd.nextInt(8))
+          appendCommit(lake, rows)
+          rows.foreach { case (id, p, v) => model(id) = (p, v) }
+          s"append ${rows.size}"
+        case 2 | 3 => // predicate delete (sometimes matching nothing)
+          rnd.nextInt(3) match {
+            case 0 =>
+              val k = 2 + rnd.nextInt(4); val r = rnd.nextInt(k)
+              History.deleteWhere(spark, lake, col("id") % k === r): Unit
+              model.filterInPlace { case (id, _) => id % k != r }
+              s"delete id%$k==$r"
+            case 1 =>
+              val p = s"p${rnd.nextInt(4)}" // p3 never exists: no-op path
+              History.deleteWhere(spark, lake, col("part") === p): Unit
+              model.filterInPlace { case (_, (mp, _)) => mp != p }
+              s"delete part==$p"
+            case _ =>
+              val x = rnd.nextLong(1000L)
+              History.deleteWhere(spark, lake, col("v") < x): Unit
+              model.filterInPlace { case (_, (_, mv)) => mv >= x }
+              s"delete v<$x"
+          }
+        case 4 | 5 | 6 => // keyed merge: updates on live ids + inserts
+          val live = model.keys.toSeq.sorted
+          val upd = rnd.shuffle(live).take(rnd.nextInt(5))
+            .map { id =>
+              // sometimes move the row to another partition
+              val p = if (rnd.nextBoolean()) model(id)._1
+                      else s"p${rnd.nextInt(3)}"
+              (id, p, rnd.nextLong(1000L))
+            }
+          val ins = freshRows(rnd.nextInt(4))
+          val batch = upd ++ ins
+          if (batch.nonEmpty) {
+            History.mergeInto(spark, lake, toDF(batch), Seq("id")): Unit
+            batch.foreach { case (id, p, v) => model(id) = (p, v) }
+          }
+          s"merge ${upd.size}u+${ins.size}i"
+        case 7 | 8 => // cluster rewrite: contents must not change
+          History.clusterBy(spark, lake, "id", 1 + rnd.nextInt(4)): Unit
+          "cluster"
+        case _ => // reclaim everything reclaimable
+          History.vacuum(spark, lake, graceMs = 0L): Unit
+          "vacuum"
+      }
+      assert(img(lake) === model.toMap, s"seed=$seed op#$op [$desc]")
+    }
+    // after a final vacuum the plain directory read agrees too (no
+    // retired/orphan files left to double-count)
+    History.vacuum(spark, lake, graceMs = 0L): Unit
+    val plain =
+      if (model.isEmpty) Map.empty[Long, (String, Long)]
+      else {
+        import spark.implicits._
+        spark.read.parquet(lake).select("id", "part", "v")
+          .as[(Long, String, Long)].collect()
+          .map { case (id, p, v) => id -> (p, v) }.toMap
+      }
+    assert(plain === model.toMap, s"seed=$seed final plain read")
+  }
+
+  test("random lifecycle sequences agree with the model (seed 1)") {
+    runSequence(seed = 1L, nOps = 10)
+  }
+
+  test("random lifecycle sequences agree with the model (seed 42)") {
+    runSequence(seed = 42L, nOps = 10)
+  }
+
+  test("random lifecycle sequences agree with the model (seed 1337)") {
+    runSequence(seed = 1337L, nOps = 10)
+  }
+}
