@@ -139,6 +139,29 @@ object HistoryQueries {
       dir
     })
 
+  /** An unpartitioned manifest lake of the documents table,
+    * Z-order-clustered on (doc_id, n_chars): h10 box-reads it through
+    * the multi-dimension stats-pruned planner, so the gate exercises
+    * scatter → clusterByZ (bit-interleaved key + range repartition +
+    * stats refresh on BOTH columns) → per-dimension-intersected
+    * footer-pruned read end-to-end against a two-predicate BETWEEN
+    * oracle. Keyed by (session, sfDir). */
+  private val zLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def zLake(s: SparkSession, sfDir: String): String =
+    zLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-zorder").toString + "/lake"
+      graft.Tables.documents(s, sfDir)
+        .repartition(8).write.parquet(dir)
+      graft.sources.History.enableManifests(s, dir): Unit
+      graft.sources.History.clusterByZ(
+        s, dir, Seq("doc_id", "n_chars"), 8): Unit
+      dir
+    })
+
   /** Drop the fixture lakes keyed to `s` and delete their temp dirs. */
   private[queries] def evict(s: SparkSession): Unit = {
     def rm(f: java.io.File): Unit = {
@@ -155,7 +178,8 @@ object HistoryQueries {
       rmLake(cache.remove(graft.SessionKey(s)))
     }
     val sk = graft.SessionKey(s)
-    Seq(deleteLakeCache, mergeLakeCache, clusterLakeCache).foreach { cache =>
+    Seq(deleteLakeCache, mergeLakeCache, clusterLakeCache, zLakeCache)
+      .foreach { cache =>
       cache.keySet.forEach { k =>
         if (k._1 == sk) rmLake(cache.remove(k))
       }
@@ -235,6 +259,15 @@ object HistoryQueries {
     "h09_clustered_range" -> ((s, d) =>
       graft.sources.History
         .readPinnedRange(s, clusterLake(s, d), "doc_id", 100L, 299L)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+
+    // Z-order box read: after clusterByZ(doc_id, n_chars) BOTH columns'
+    // per-file spans are tight, so a two-predicate box plans a file
+    // subset via intersected footer prunes — and must return exactly
+    // the conjunctive BETWEEN image.
+    "h10_zorder_box" -> ((s, d) =>
+      graft.sources.History.readPinnedBox(s, zLake(s, d),
+          Seq(("doc_id", 100L, 299L), ("n_chars", 100L, 400L)))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
   )
 
@@ -284,6 +317,10 @@ object HistoryQueries {
          FROM documents WHERE source = 'src2'""",
     "h09_clustered_range" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
-         WHERE doc_id BETWEEN 100 AND 299"""
+         WHERE doc_id BETWEEN 100 AND 299""",
+    "h10_zorder_box" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id BETWEEN 100 AND 299
+           AND n_chars BETWEEN 100 AND 400"""
   )
 }

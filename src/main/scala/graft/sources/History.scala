@@ -547,28 +547,45 @@ object History {
     * a stats entry are always planned, so pruning can only save work,
     * never drop rows; the exact row-level filter is applied on top. */
   def readPinnedRange(spark: SparkSession, path: String, tsCol: String,
-                      lo: Long, hi: Long): DataFrame = {
-    require(lo <= hi, s"empty range: [$lo, $hi]")
+                      lo: Long, hi: Long): DataFrame =
+    readPinnedBox(spark, path, Seq((tsCol, lo, hi)))
+
+  /** Multi-dimension stats-pruned pinned read: plan only the files
+    * whose footer [min,max] can overlap EVERY (col, lo, hi) bound —
+    * the box query a Z-ordered layout ([[clusterByZ]]) answers with
+    * few files, because interleaved ordering keeps every clustered
+    * column's per-file span tight simultaneously. Prunes intersect
+    * (a file must survive every bound to be planned); a missing or
+    * sentinel stats entry plans the file — pruning only ever saves
+    * work. Row-exact filtering on every bound is applied on top. */
+  def readPinnedBox(spark: SparkSession, path: String,
+                    bounds: Seq[(String, Long, Long)]): DataFrame = {
+    require(bounds.nonEmpty, "readPinnedBox needs at least one bound")
+    bounds.foreach { case (c, lo, hi) =>
+      require(lo <= hi, s"empty range on $c: [$lo, $hi]") }
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val m = FileManifest.latest(fs, path).getOrElse(
       throw new IllegalStateException(
-        s"readPinnedRange needs a manifest-mode lake: $path"))
+        s"readPinnedBox needs a manifest-mode lake: $path"))
     val stats = FileStats.read(fs, path)
     val kept = m.cur.filter(rel =>
-      stats.get((rel, tsCol)) match {
-        case Some(Some((mn, mx))) => mx >= lo && mn <= hi
-        case _ => true // no entry / unstattable sentinel: always plan
+      bounds.forall { case (c, lo, hi) =>
+        stats.get((rel, c)) match {
+          case Some(Some((mn, mx))) => mx >= lo && mn <= hi
+          case _ => true // no entry / unstattable sentinel: always plan
+        }
       })
     // everything pruned (or cur empty): planManifest's schema-donor
     // path keeps the lake schema from one still-on-disk file, so the
-    // row filter below can resolve its column; truly-empty lakes yield
+    // row filter below can resolve its columns; truly-empty lakes yield
     // a zero-column frame that must skip the filter
     val planned = if (kept.nonEmpty) kept else m.cur.take(1)
     val base = planManifest(spark, fs, root, m.copy(cur = planned))
     import org.apache.spark.sql.functions.col
     if (base.columns.isEmpty) base
-    else base.filter(col(tsCol) >= lo && col(tsCol) <= hi)
+    else base.filter(bounds.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi }.reduce(_ && _))
   }
 
   private def planManifest(spark: SparkSession,
@@ -1026,7 +1043,31 @@ object History {
     *                 file count
     * @return (files retired, files newly statted) */
   def clusterBy(spark: SparkSession, path: String, sortCol: String,
-                numFiles: Int = 0): (Int, Int) = {
+                numFiles: Int = 0): (Int, Int) =
+    clusterRewrite(spark, path, Seq(sortCol), numFiles, zOrder = false)
+
+  /** Z-ORDER cluster-rewrite: like [[clusterBy]] but on the
+    * bit-interleaved key of SEVERAL columns, so every clustered
+    * column's per-file [min,max] stays tight SIMULTANEOUSLY — the
+    * layout [[readPinnedBox]] multi-dimension queries prune against.
+    * A single-column cluster makes its own column's spans tight and
+    * every other column's spans full-range; interleaving trades a
+    * little per-column tightness for tightness on all of them, the
+    * standard multi-dim data-skipping layout.
+    *
+    * The Z key is pure Column arithmetic (normalize each column to 16
+    * bits against its global [min,max] — one agg job — then interleave
+    * the bits), so the rewrite stays inside whole-stage codegen; NULLs
+    * normalize to 0 and cluster together at the origin. Columns must be
+    * integral (the footer-stats sidecar prunes INT64 only). */
+  def clusterByZ(spark: SparkSession, path: String, cols: Seq[String],
+                 numFiles: Int = 0): (Int, Int) = {
+    require(cols.size >= 2, s"clusterByZ needs >=2 columns, got $cols")
+    clusterRewrite(spark, path, cols, numFiles, zOrder = true)
+  }
+
+  private def clusterRewrite(spark: SparkSession, path: String,
+      cols: Seq[String], numFiles: Int, zOrder: Boolean): (Int, Int) = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val qRoot = fs.makeQualified(root)
@@ -1043,11 +1084,25 @@ object History {
       s"mixed partition schemes under $path: " +
         m.cur.map(dirOf).distinct.take(4).mkString(", "))
     val base = planManifest(spark, fs, root, m)
-    require(base.columns.contains(sortCol),
-      s"cluster column $sortCol not in lake schema " +
-        base.columns.mkString(","))
+    cols.foreach(c => require(base.columns.contains(c),
+      s"cluster column $c not in lake schema ${base.columns.mkString(",")}"))
     val n = math.max(1, if (numFiles > 0) numFiles else m.cur.size)
-    val exprs = (partCols :+ sortCol).map(col)
+    val sortKeys: Seq[org.apache.spark.sql.Column] =
+      if (!zOrder) cols.map(col)
+      else {
+        // one pass for the global [min,max] of every clustered column
+        val mmExprs = cols.flatMap(c =>
+          Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+        val mm = base.agg(mmExprs.head, mmExprs.tail: _*).collect()(0)
+        Seq(zKey(cols.zipWithIndex.map { case (c, i) =>
+          val (mn, mx) = (if (mm.isNullAt(2 * i)) 0L
+                          else mm.getLong(2 * i),
+                          if (mm.isNullAt(2 * i + 1)) 0L
+                          else mm.getLong(2 * i + 1))
+          (col(c), mn, mx)
+        }))
+      }
+    val exprs = partCols.map(col) ++ sortKeys
     val stage = fs.makeQualified(
       new org.apache.hadoop.fs.Path(clusterStagingDir(path)))
     fs.delete(stage, true): Unit
@@ -1058,8 +1113,37 @@ object History {
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(stage.toString)
     promoteAndFlip(fs, qRoot, path, stage, s"z${m.version + 1}-", m.cur)
-    val statted = refreshStats(spark, path, sortCol)
+    val statted = cols.map(refreshStats(spark, path, _)).max
     (m.cur.size, statted)
+  }
+
+  /** Bit-interleaved Z key over (column, global min, global max)
+    * triples: each value normalizes to 16 bits of its global range,
+    * then bit i of column j lands at position i*k + j. Plain Column
+    * arithmetic — folds into whole-stage codegen, no UDF. */
+  private[sources] def zKey(
+      colsMm: Seq[(org.apache.spark.sql.Column, Long, Long)])
+      : org.apache.spark.sql.Column = {
+    val k = colsMm.size
+    val norms = colsMm.map { case (c, mn, mx) =>
+      if (mx <= mn) lit(0L)
+      else {
+        // (clamped(v) - mn) / (mx - mn) * 65535, NULL → 0; double
+        // arithmetic so a full-Long-range column can't overflow (the
+        // 53-bit mantissa is ample for a 16-bit target)
+        val clamped = least(greatest(coalesce(c.cast("long"), lit(mn)),
+          lit(mn)), lit(mx)).cast("double")
+        ((clamped - lit(mn.toDouble)) / lit(mx.toDouble - mn.toDouble)
+          * lit(65535.0)).cast("long")
+      }
+    }
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      norms.zipWithIndex.foldLeft(acc) { case (a, (v, j)) =>
+        a.bitwiseOR(shiftleft(
+          shiftrightunsigned(v, i).bitwiseAND(lit(1L)),
+          i * k + j).cast("long"))
+      }
+    }
   }
 
   // ----- retention (partition expiry) -----

@@ -492,6 +492,44 @@ class PinnedLakeSpec extends AnyFunSuite {
     assert(img(pinned) === before)
   }
 
+  test("clusterByZ: box reads prune on every dimension; contents identical") {
+    import spark.implicits._
+    val lake = freshLake() + "/lake"
+    // 64x64 grid scattered round-robin: pre-cluster every file spans
+    // both full ranges, so NO box is prunable
+    val grid = for (x <- 0L until 64L; y <- 0L until 64L)
+      yield (x, y, x * 64 + y)
+    grid.toDF("x", "y", "payload").repartition(16).write.parquet(lake)
+    History.enableManifests(spark, lake): Unit
+    def img(df: org.apache.spark.sql.DataFrame) =
+      df.select("x", "y", "payload").as[(Long, Long, Long)]
+        .collect().sortBy(r => (r._1, r._2))
+    val before = img(History.readPinned(spark, lake))
+
+    val (retired, statted) = History.clusterByZ(spark, lake,
+      Seq("x", "y"), 16)
+    assert(retired === 16 && statted === 16)
+
+    // rows moved, never folded
+    assert(img(History.readPinned(spark, lake)) === before)
+    // a 16x16 box (1/16 of the area) plans a strict file subset — the
+    // point of interleaving: BOTH dimensions prune, not just one
+    val box = History.readPinnedBox(spark, lake,
+      Seq(("x", 8L, 23L), ("y", 40L, 55L)))
+    assert(box.inputFiles.length <= 8,
+      s"${box.inputFiles.length} of 16 planned for a 1/16 box")
+    assert(img(box) === before.filter(r =>
+      r._1 >= 8 && r._1 <= 23 && r._2 >= 40 && r._2 <= 55))
+    // each single dimension prunes too (Z keeps both spans tight)
+    assert(History.readPinnedBox(spark, lake, Seq(("x", 0L, 15L)))
+      .inputFiles.length < 16)
+    assert(History.readPinnedBox(spark, lake, Seq(("y", 0L, 15L)))
+      .inputFiles.length < 16)
+    // a no-overlap box answers empty with schema intact
+    assert(History.readPinnedBox(spark, lake,
+      Seq(("x", 100L, 200L), ("y", 0L, 63L))).count() === 0L)
+  }
+
   test("vacuum reclaims crashed copy-on-write staging leftovers past grace") {
     import spark.implicits._
     val lake = freshLake() + "/lake"
