@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 /** Parquet table readers over the driver testdata layout
   * (`/root/testdata/sf0.01/<name>.parquet` etc., see TESTDATA.md).
@@ -39,12 +40,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as a nanosecond LongType via the documented
-    * legacy flag (SPARK-40819). Query code treats `ts` as epoch-nanos. */
+  /** Query code treats `events.ts` as an epoch-NANOS long — normalize
+    * whatever physical type the driver generated to that contract here,
+    * at the read edge, so every downstream operator and oracle stays
+    * schema-stable across testdata regenerations:
+    *   - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it;
+    *     the documented legacy flag (SPARK-40819) reads it as a
+    *     nanosecond LongType directly.
+    *   - parquet TIMESTAMP(MICROS) without tz (reads as TIMESTAMP_NTZ)
+    *     or adjusted-to-UTC (reads as TIMESTAMP): interpret the wall
+    *     clock as UTC — exactly what DuckDB's `epoch(ts)` does on the
+    *     same file — and scale micros to nanos. `to_utc_timestamp(ts,
+    *     'UTC')` makes the conversion session-timezone-independent. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          expr("unix_micros(to_utc_timestamp(ts, 'UTC')) * 1000L"))
+      case org.apache.spark.sql.types.TimestampType =>
+        df.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      case other =>
+        throw new IllegalStateException(
+          s"unsupported events.ts physical type: $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
