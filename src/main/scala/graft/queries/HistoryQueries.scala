@@ -162,6 +162,31 @@ object HistoryQueries {
       dir
     })
 
+  /** A lang-partitioned documents lake on SHARDED manifests with a
+    * one-partition copy-on-write delete already applied: h11 reads two
+    * of the five partitions back through [[History.readPinnedPartitions]],
+    * so the gate exercises flat bootstrap → sharded conversion →
+    * shard-reusing commit (only lang=en's shard is rewritten) →
+    * shard-pruned driver-side planning end-to-end against a DuckDB
+    * lang-subset anti-predicate oracle. Keyed by (session, sfDir). */
+  private val shardedLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def shardedLake(s: SparkSession, sfDir: String): String =
+    shardedLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sharded-lake").toString + "/lake"
+      graft.Tables.documents(s, sfDir)
+        .repartition(col("lang"))
+        .write.partitionBy("lang").parquet(dir)
+      graft.sources.History.enableManifests(s, dir): Unit
+      graft.sources.History.enableShardedManifests(s, dir): Unit
+      graft.sources.History.deleteWhere(s, dir,
+        col("lang") === "en" && col("doc_id") % 7 === 0): Unit
+      dir
+    })
+
   /** Drop the fixture lakes keyed to `s` and delete their temp dirs. */
   private[queries] def evict(s: SparkSession): Unit = {
     def rm(f: java.io.File): Unit = {
@@ -178,7 +203,8 @@ object HistoryQueries {
       rmLake(cache.remove(graft.SessionKey(s)))
     }
     val sk = graft.SessionKey(s)
-    Seq(deleteLakeCache, mergeLakeCache, clusterLakeCache, zLakeCache)
+    Seq(deleteLakeCache, mergeLakeCache, clusterLakeCache, zLakeCache,
+        shardedLakeCache)
       .foreach { cache =>
       cache.keySet.forEach { k =>
         if (k._1 == sk) rmLake(cache.remove(k))
@@ -268,7 +294,33 @@ object HistoryQueries {
     "h10_zorder_box" -> ((s, d) =>
       graft.sources.History.readPinnedBox(s, zLake(s, d),
           Seq(("doc_id", 100L, 299L), ("n_chars", 100L, 400L)))
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+
+    // Sharded-manifest pruned read: the driver plans two of five lang
+    // partitions by parsing only their shards (O(touched partitions)
+    // manifest I/O), after a shard-reusing copy-on-write delete on one
+    // of them — and must return exactly the lang-subset anti-predicate
+    // image (a lost survivor, surviving victim, or leaked third
+    // partition fails the hash).
+    "h11_sharded_pruned" -> ((s, d) =>
+      graft.sources.History.readPinnedPartitions(s, shardedLake(s, d),
+          dir => dir == "lang=en" || dir == "lang=de")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+
+    // Change feed across the merge commit: the row-level diff between
+    // the pre-merge and post-merge manifest versions, computed from
+    // ONLY the files the merge rewrote (survivor copies cancel in the
+    // multiset difference). Every src1 row appears twice — old image
+    // deleted, corrected image inserted — and every re-keyed src2 row
+    // once as an insert; a survivor leaking into the feed or a lost
+    // image fails the hash.
+    "h12_change_feed" -> ((s, d) => {
+      val lakeDir = mergeLake(s, d)
+      val vs = graft.sources.History.versions(s, lakeDir)
+      graft.sources.History.changesBetween(s, lakeDir, vs.head, vs.last)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("_change"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -321,6 +373,20 @@ object HistoryQueries {
     "h10_zorder_box" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE doc_id BETWEEN 100 AND 299
-           AND n_chars BETWEEN 100 AND 400"""
+           AND n_chars BETWEEN 100 AND 400""",
+    "h11_sharded_pruned" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE lang IN ('en', 'de')
+           AND NOT (lang = 'en' AND doc_id % 7 = 0)""",
+    "h12_change_feed" ->
+      """SELECT doc_id, lang, source, n_chars + 1000 AS n_chars,
+                'insert' AS _change
+         FROM documents WHERE source = 'src1'
+         UNION ALL
+         SELECT doc_id + 10000000, lang, source, n_chars, 'insert'
+         FROM documents WHERE source = 'src2'
+         UNION ALL
+         SELECT doc_id, lang, source, n_chars, 'delete'
+         FROM documents WHERE source = 'src1'"""
   )
 }

@@ -38,19 +38,51 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * healthy file sizes is ~10⁵–10⁶ lines. Published versions are
   * immutable, so parses are cached per (lake, version): a session pays
   * the driver-side read once per version it touches, not once per plan
-  * (bounded LRU; see `parsedCache`). A full table format additionally
-  * shards manifests per partition; this deliberately stays one flat
-  * file per version (the lake's partition count already bounds it) and
-  * keeps only unvacuumed versions on disk.
+  * (bounded LRU; see `parsedCache`).
+  *
+  * '''Sharded mode''' (opt-in via [[History.enableShardedManifests]])
+  * removes the one-flat-file bound for good: the version file becomes
+  * a small MANIFEST LIST — one `shard\t<file>\t<partitionDir>` line
+  * per partition directory — and the per-file entries live in
+  * immutable shard files under `_manifests/shards/`. Two scale wins:
+  *
+  *  - '''Commits write proportional to what changed.''' A commit that
+  *    touches k of N partitions writes k new shard files + one small
+  *    root; the other N−k shards are referenced by name, unchanged.
+  *    At 10⁶ files over 10⁴ partitions that turns a tens-of-MB rewrite
+  *    per commit into ~100 entries of actual change.
+  *  - '''Partition-pruned plans parse proportional to what they scan.'''
+  *    [[atPruned]] reads only the shards whose partition dir passes the
+  *    caller's predicate — a one-partition read of a 10⁴-partition lake
+  *    parses one shard, not 10⁶ lines ([[History.readPinnedPartitions]]
+  *    is the reader surface; `shardFileReads` makes it spec-assertable).
+  *
+  * The commit point is unchanged: the root's atomic no-overwrite
+  * rename. Shard files are written BEFORE the root lands and are
+  * immutable + uniquely named (md5(dir)-v<version>), so a crash mid-
+  * publish leaves only unreferenced shard orphans (vacuumed past
+  * grace), never a torn manifest; readers of version N always resolve
+  * the exact shard set N's root names. Flat and sharded versions can
+  * coexist in one lake's history — each root self-describes — and
+  * every publish after the conversion stays sharded automatically.
   */
 object FileManifest {
 
   def manifestDir(lakePath: String): String = s"$lakePath/_manifests"
 
+  def shardsDir(lakePath: String): String = s"${manifestDir(lakePath)}/shards"
+
   case class Manifest(version: Long, cur: Seq[String],
                       retired: Seq[(Long, String)]) {
     def curSet: Set[String] = cur.toSet
     def retiredSet: Set[String] = retired.map(_._2).toSet
+  }
+
+  /** Partition directory of a lake-relative entry path — the shard key.
+    * Root-level files (unpartitioned lakes) shard under ".". */
+  private[sources] def entryDir(rel: String): String = {
+    val i = rel.lastIndexOf('/')
+    if (i < 0) "." else rel.substring(0, i)
   }
 
   private def versionPath(lakePath: String, v: Long): Path =
@@ -116,78 +148,209 @@ object FileManifest {
     new java.util.LinkedHashMap[CacheKey, Manifest](16, 0.75f, true)
   private var cachedLines = 0L
   private def weight(m: Manifest): Long = (m.cur.size + m.retired.size + 1).toLong
-  /** Physical manifest-file reads (cache misses) — exposed so the scale
+  /** Physical manifest ROOT reads (cache misses) — exposed so the scale
     * spec can assert the second read of a version is served from cache. */
   private[graft] val manifestFileReads =
     new java.util.concurrent.atomic.AtomicLong(0)
+  /** Physical shard-file reads — exposed so the scale spec can assert a
+    * partition-pruned plan parses only the shards it scans. */
+  private[graft] val shardFileReads =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Parsed shard files, keyed (qualified lake root, shard file name).
+    * Shard files are immutable AND uniquely named (the name embeds the
+    * publishing version), so no mtime/length in the key; same dual
+    * count + total-line budget as `parsedCache`. */
+  private val shardCache = new java.util.LinkedHashMap[
+    (String, String), (Seq[String], Seq[(Long, String)])](16, 0.75f, true)
+  private var shardCachedLines = 0L
+  private def shardWeight(e: (Seq[String], Seq[(Long, String)])): Long =
+    (e._1.size + e._2.size + 1).toLong
+
+  /** One parsed root: either the flat entry list itself, or the shard
+    * index (shardFileName, partitionDir). */
+  private type Root = Either[(Seq[String], Seq[(Long, String)]),
+                             Seq[(String, String)]]
+
+  private def parseRoot(lines: List[String], v: Long): Root = {
+    val shards = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ret = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    lines.foreach { l =>
+      l.split('\t') match {
+        case Array("cur", rel) => cur += rel
+        case Array("ret", ts, rel) => ret += ((ts.toLong, rel))
+        case Array("shard", name, dir) => shards += ((name, dir))
+        case other => throw new java.io.IOException(
+          s"bad manifest line in v$v: ${other.mkString("\\t")}")
+      }
+    }
+    if (shards.nonEmpty && (cur.nonEmpty || ret.nonEmpty))
+      throw new java.io.IOException(
+        s"manifest v$v mixes flat and shard lines")
+    if (shards.nonEmpty) Right(shards.toSeq) else Left((cur.toSeq, ret.toSeq))
+  }
+
+  private def readLines(fs: FileSystem, p: Path): List[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Root-kind index: Some(shard index) for sharded roots, None for
+    * flat — tiny entries, count-bounded with the same LRU policy. A
+    * flat root's ENTRIES live in `parsedCache` (populated on the same
+    * read), so no root is ever parsed twice while cached. */
+  private val rootIndexCache = new java.util.LinkedHashMap[
+    CacheKey, Option[Seq[(String, String)]]](16, 0.75f, true)
+
+  private def cacheKey(fs: FileSystem, lakePath: String, v: Long,
+                       st: org.apache.hadoop.fs.FileStatus): CacheKey =
+    (fs.makeQualified(new Path(lakePath)).toString, v,
+      st.getModificationTime, st.getLen)
+
+  private def putParsed(key: CacheKey, m: Manifest): Unit =
+    parsedCache.synchronized {
+      val prev = parsedCache.put(key, m)
+      if (prev != null) cachedLines -= weight(prev) // racing re-parse
+      cachedLines += weight(m)
+      // evict least-recently-used until within BOTH bounds
+      val it = parsedCache.entrySet().iterator()
+      while ((parsedCache.size() > cacheCap ||
+          cachedLines > cacheMaxLines) && it.hasNext) {
+        cachedLines -= weight(it.next().getValue)
+        it.remove()
+      }
+    }
+
+  /** Ensure version `v`'s root is classified (and, for flat roots,
+    * fully parsed into `parsedCache`); returns its shard index, or
+    * None for a flat root. ONE physical root read per cached lifetime. */
+  private def rootIndex(fs: FileSystem, lakePath: String,
+                        v: Long): Option[Seq[(String, String)]] = {
+    val st = fs.getFileStatus(versionPath(lakePath, v))
+    val key = cacheKey(fs, lakePath, v, st)
+    val hit = rootIndexCache.synchronized(Option(rootIndexCache.get(key)))
+    hit.getOrElse {
+      manifestFileReads.incrementAndGet(): Unit
+      val idx = parseRoot(readLines(fs, versionPath(lakePath, v)), v) match {
+        case Left((cur, ret)) =>
+          putParsed(key, Manifest(v, cur, ret))
+          None
+        case Right(shards) => Some(shards)
+      }
+      rootIndexCache.synchronized {
+        rootIndexCache.put(key, idx): Unit
+        val it = rootIndexCache.entrySet().iterator()
+        while (rootIndexCache.size() > cacheCap && it.hasNext) {
+          it.next(); it.remove()
+        }
+      }
+      idx
+    }
+  }
+
+  /** Parse one shard file (cached; immutable + uniquely named). */
+  private def readShard(fs: FileSystem, lakePath: String,
+                        name: String): (Seq[String], Seq[(Long, String)]) = {
+    val key = (fs.makeQualified(new Path(lakePath)).toString, name)
+    val cached = shardCache.synchronized(Option(shardCache.get(key)))
+    cached.getOrElse {
+      shardFileReads.incrementAndGet(): Unit
+      val entry = parseRoot(
+        readLines(fs, new Path(shardsDir(lakePath), name)), -1L) match {
+        case Left(e) => e
+        case Right(_) => throw new java.io.IOException(
+          s"shard file $name contains shard lines (nested sharding)")
+      }
+      shardCache.synchronized {
+        val prev = shardCache.put(key, entry)
+        if (prev != null) shardCachedLines -= shardWeight(prev)
+        shardCachedLines += shardWeight(entry)
+        val it = shardCache.entrySet().iterator()
+        while ((shardCache.size() > cacheCap ||
+            shardCachedLines > cacheMaxLines) && it.hasNext) {
+          shardCachedLines -= shardWeight(it.next().getValue)
+          it.remove()
+        }
+      }
+      entry
+    }
+  }
 
   private def readVersion(fs: FileSystem, lakePath: String,
                           v: Long): Manifest = {
     val vp = versionPath(lakePath, v)
     val st = fs.getFileStatus(vp) // FileNotFoundException like open would
-    val key = (fs.makeQualified(new Path(lakePath)).toString, v,
-      st.getModificationTime, st.getLen)
+    val key = cacheKey(fs, lakePath, v, st)
     val cached = parsedCache.synchronized(Option(parsedCache.get(key)))
     cached.getOrElse {
-      manifestFileReads.incrementAndGet(): Unit
-      val in = fs.open(vp)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().filter(_.nonEmpty).toList
-      finally in.close()
-      val cur = scala.collection.mutable.ArrayBuffer.empty[String]
-      val ret = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-      lines.foreach { l =>
-        l.split('\t') match {
-          case Array("cur", rel) => cur += rel
-          case Array("ret", ts, rel) => ret += ((ts.toLong, rel))
-          case other => throw new java.io.IOException(
-            s"bad manifest line in v$v: ${other.mkString("\\t")}")
-        }
+      rootIndex(fs, lakePath, v) match {
+        case None =>
+          // flat root: rootIndex parsed it into parsedCache. A manifest
+          // larger than the whole cache line budget evicts ITSELF on
+          // insert — re-parse uncached rather than loop.
+          Option(parsedCache.synchronized(parsedCache.get(key))).getOrElse {
+            manifestFileReads.incrementAndGet(): Unit
+            parseRoot(readLines(fs, vp), v) match {
+              case Left((cur, ret)) => Manifest(v, cur, ret)
+              case Right(_) => throw new IllegalStateException(
+                s"root of v$v changed kind under a reader: $vp")
+            }
+          }
+        case Some(shards) =>
+          val parts = shards.sortBy(_._2)
+            .map { case (name, _) => readShard(fs, lakePath, name) }
+          val m = Manifest(v, parts.flatMap(_._1), parts.flatMap(_._2))
+          putParsed(key, m)
+          m
       }
-      val m = Manifest(v, cur.toSeq, ret.toSeq)
-      parsedCache.synchronized {
-        val prev = parsedCache.put(key, m)
-        if (prev != null) cachedLines -= weight(prev) // racing re-parse
-        cachedLines += weight(m)
-        // evict least-recently-used until within BOTH bounds
-        val it = parsedCache.entrySet().iterator()
-        while ((parsedCache.size() > cacheCap ||
-            cachedLines > cacheMaxLines) && it.hasNext) {
-          cachedLines -= weight(it.next().getValue)
-          it.remove()
-        }
-      }
-      m
     }
   }
 
-  /** Atomically publish `m` as the next version. Fails loudly (never
-    * corrupts) if the version already exists — two writers raced, which
-    * the single-writer contract forbids. */
-  def publish(fs: FileSystem, lakePath: String, m: Manifest): Unit = {
-    val dest = versionPath(lakePath, m.version)
-    if (fs.exists(dest))
-      throw new java.io.IOException(
-        s"manifest version collision at $dest: two writers raced " +
-          "(single writer per lake)")
+  /** Is version `v`'s root a shard index? */
+  def isSharded(fs: FileSystem, lakePath: String, v: Long): Boolean =
+    rootIndex(fs, lakePath, v).isDefined
+
+  /** PARTITION-PRUNED read of version `v`: only entries whose partition
+    * dir passes `dirPred`. On a sharded root this parses only the
+    * matching shards — the driver-side analogue of partition pruning,
+    * O(touched partitions) not O(lake files). On a flat root it filters
+    * the (cached) full parse — same result, no parse win. None when the
+    * version doesn't exist. */
+  def atPruned(fs: FileSystem, lakePath: String, version: Long,
+               dirPred: String => Boolean): Option[Manifest] = {
+    if (!fs.exists(versionPath(lakePath, version))) return None
+    val m = rootIndex(fs, lakePath, version) match {
+      case None =>
+        val full = readVersion(fs, lakePath, version) // parsedCache hit
+        Manifest(version, full.cur.filter(r => dirPred(entryDir(r))),
+          full.retired.filter(r => dirPred(entryDir(r._2))))
+      case Some(shards) =>
+        val parts = shards.sortBy(_._2)
+          .collect { case (name, dir) if dirPred(dir) =>
+            readShard(fs, lakePath, name) }
+        Manifest(version, parts.flatMap(_._1), parts.flatMap(_._2))
+    }
+    Some(m)
+  }
+
+  /** Write `content` to a tmp sibling of `dest` and commit it by
+    * atomic NO-OVERWRITE rename. FileContext.rename (default
+    * Rename.NONE) FAILS if the destination exists, atomically — an
+    * exists() fast path alone is insufficient because
+    * FileSystem.rename on local/POSIX silently REPLACES an existing
+    * destination, so two racing writers (a zombie driver + its
+    * restarted replacement) passing the check together would otherwise
+    * let the second silently overwrite the first's commit. */
+  private def atomicWrite(fs: FileSystem, dest: Path,
+                          content: String): Unit = {
     val tmp = new Path(dest.getParent, dest.getName + s".tmp")
     fs.mkdirs(dest.getParent): Unit
     val out = fs.create(tmp, true)
-    try {
-      val sb = new StringBuilder
-      m.cur.sorted.foreach(rel => sb.append("cur\t").append(rel).append('\n'))
-      m.retired.sortBy(_._2).foreach { case (ts, rel) =>
-        sb.append("ret\t").append(ts).append('\t').append(rel).append('\n')
-      }
-      out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } finally out.close()
-    // commit via FileContext.rename (default Rename.NONE): it FAILS if
-    // the destination exists, atomically — the exists() check above is
-    // only a fast path, because FileSystem.rename on local/POSIX
-    // silently REPLACES an existing destination, so two racing writers
-    // (a zombie driver + its restarted replacement) passing the check
-    // together would otherwise let the second silently overwrite the
-    // first's commit and orphan its data files for the next vacuum.
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     try {
       org.apache.hadoop.fs.FileContext
         .getFileContext(fs.makeQualified(dest).toUri, fs.getConf)
@@ -195,17 +358,112 @@ object FileManifest {
     } catch {
       case e: org.apache.hadoop.fs.UnsupportedFileSystemException =>
         // no FileContext binding for this scheme: fall back to the
-        // plain rename (best effort — the exists check above still
-        // guards the common case)
+        // plain rename (best effort — callers' exists checks still
+        // guard the common case)
         if (!fs.rename(tmp, dest))
-          throw new java.io.IOException(
-            s"manifest publish failed: $dest", e)
+          throw new java.io.IOException(s"publish failed: $dest", e)
       case e: java.io.IOException =>
         throw new java.io.IOException(
-          s"manifest version collision or publish failure at $dest: " +
+          s"version collision or publish failure at $dest: " +
             "two writers raced (single writer per lake)", e)
     }
   }
+
+  private def flatContent(m: Manifest): String = {
+    val sb = new StringBuilder
+    m.cur.sorted.foreach(rel => sb.append("cur\t").append(rel).append('\n'))
+    m.retired.sortBy(_._2).foreach { case (ts, rel) =>
+      sb.append("ret\t").append(ts).append('\t').append(rel).append('\n')
+    }
+    sb.toString
+  }
+
+  /** Atomically publish `m` as the next version. Fails loudly (never
+    * corrupts) if the version already exists — two writers raced, which
+    * the single-writer contract forbids. Once a lake's latest root is
+    * SHARDED ([[convertToSharded]]), every subsequent publish stays
+    * sharded automatically — all writers (archive appends, compaction,
+    * delete/merge/cluster, expiry, vacuum) funnel through here. */
+  def publish(fs: FileSystem, lakePath: String, m: Manifest): Unit = {
+    val dest = versionPath(lakePath, m.version)
+    if (fs.exists(dest))
+      throw new java.io.IOException(
+        s"manifest version collision at $dest: two writers raced " +
+          "(single writer per lake)")
+    val shardedMode =
+      latestVersion(fs, lakePath).exists(v => isSharded(fs, lakePath, v))
+    if (shardedMode) publishSharded(fs, lakePath, m)
+    else atomicWrite(fs, dest, flatContent(m))
+  }
+
+  /** Publish `m` as a SHARDED version: entries grouped by partition
+    * dir into immutable shard files; dirs whose entry set is unchanged
+    * from the previous sharded version REUSE its shard file by name
+    * (zero bytes rewritten); the root lists (shard, dir) pairs and
+    * commits by the same atomic rename. Crash before the root rename
+    * leaves only unreferenced shard files — vacuumed past grace. */
+  private def publishSharded(fs: FileSystem, lakePath: String,
+                             m: Manifest): Unit = {
+    val dest = versionPath(lakePath, m.version)
+    val prevIdx: Map[String, String] =
+      latestVersion(fs, lakePath) match {
+        case Some(v) => rootIndex(fs, lakePath, v)
+          .map(_.map { case (name, dir) => dir -> name }.toMap)
+          .getOrElse(Map.empty)
+        case None => Map.empty
+      }
+    val curByDir = m.cur.groupBy(entryDir)
+    val retByDir = m.retired.groupBy(e => entryDir(e._2))
+    val dirs = (curByDir.keySet ++ retByDir.keySet).toSeq.sorted
+    val shardLines = dirs.map { dir =>
+      val entry = (curByDir.getOrElse(dir, Nil).sorted,
+        retByDir.getOrElse(dir, Nil).sortBy(_._2))
+      val reuse = prevIdx.get(dir)
+        .filter(name => readShard(fs, lakePath, name) == entry)
+      val name = reuse.getOrElse {
+        val n = f"${graft.Hashes.md5Hex(dir, 32)}%s-v${m.version}%012d.shard"
+        atomicWrite(fs, new Path(shardsDir(lakePath), n),
+          flatContent(Manifest(m.version, entry._1, entry._2)))
+        n
+      }
+      s"shard\t$name\t$dir"
+    }
+    atomicWrite(fs, dest, shardLines.mkString("", "\n", "\n"))
+  }
+
+  /** Convert a manifest-mode lake to SHARDED manifests: republish the
+    * latest version's content as version+1 in sharded form. Every
+    * later publish stays sharded. Returns the new version. Idempotent:
+    * converting an already-sharded lake is a no-op returning the
+    * current version. */
+  def convertToSharded(fs: FileSystem, lakePath: String): Long = {
+    val v = latestVersion(fs, lakePath).getOrElse(
+      throw new IllegalStateException(
+        s"convertToSharded needs a manifest-mode lake: $lakePath"))
+    if (isSharded(fs, lakePath, v)) v
+    else {
+      val m = readVersion(fs, lakePath, v)
+      publishSharded(fs, lakePath, Manifest(v + 1, m.cur, m.retired))
+      v + 1
+    }
+  }
+
+  /** Shard files present on disk, with modification times (vacuum's
+    * candidate list). */
+  def listShardFiles(fs: FileSystem, lakePath: String): Seq[(String, Long)] = {
+    val dir = new Path(shardsDir(lakePath))
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).iterator
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".shard"))
+      .map(s => (s.getPath.getName, s.getModificationTime)).toSeq
+  }
+
+  /** Shard files referenced by ANY retained version root — everything
+    * else under `shards/` is garbage (crashed publishes, vacuumed
+    * versions) once past grace. */
+  def referencedShards(fs: FileSystem, lakePath: String): Set[String] =
+    versions(fs, lakePath).flatMap(v =>
+      rootIndex(fs, lakePath, v).getOrElse(Nil).map(_._1)).toSet
 
   /** Commit `added` (lake-relative file paths) as new current files —
     * the archive's per-batch manifest add. Idempotent for a replayed

@@ -483,6 +483,50 @@ object History {
     }
   }
 
+  /** Upgrade a manifest-mode lake to SHARDED manifests: the version
+    * root becomes a small per-partition shard index, so commits write
+    * only the shards they touch and partition-pruned plans
+    * ([[readPinnedPartitions]]) parse only the shards they scan —
+    * removing the one-flat-file-per-version driver-side bound
+    * documented in [[FileManifest]] (~10⁵–10⁶ lines at 100 TB). Every
+    * writer that funnels through `FileManifest.publish` (archive
+    * appends, compaction, delete/merge/cluster, expiry, vacuum) stays
+    * sharded automatically from here on; flat and sharded versions
+    * coexist in history, and [[readPinned]] time travel spans both.
+    * Idempotent. Returns the latest (possibly new) version. */
+  def enableShardedManifests(spark: SparkSession, path: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    FileManifest.convertToSharded(fs, path)
+  }
+
+  /** Partition-pruned pinned read: plan only the latest manifest's
+    * files whose partition DIRECTORY (lake-relative, e.g.
+    * `lang=en` or `region=SYD/dt=2019-10-20`; `.` for root-level
+    * files) passes `dirPred`. On a sharded lake the driver parses only
+    * the matching shards — manifest I/O proportional to the partitions
+    * scanned, not the lake's file count. The caller owns the
+    * dir-predicate ↔ row-predicate correspondence (exactly like
+    * partition pruning); rows outside the surviving dirs are absent by
+    * construction. */
+  def readPinnedPartitions(spark: SparkSession, path: String,
+                           dirPred: String => Boolean): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = FileManifest.latestVersion(fs, path).getOrElse(
+      throw new IllegalStateException(
+        s"readPinnedPartitions needs a manifest-mode lake: $path"))
+    val pruned = FileManifest.atPruned(fs, path, v, dirPred).get
+    if (pruned.cur.nonEmpty) planManifest(spark, fs, root, pruned)
+    else {
+      // nothing survives the prune: keep the lake schema via the full
+      // manifest's donor path, zero rows by construction
+      val full = FileManifest.at(fs, path, v).get
+      planManifest(spark, fs, root, full.copy(cur = full.cur.take(1)))
+        .filter(org.apache.spark.sql.functions.lit(false))
+    }
+  }
+
   /** File-granular pinned read: plan EXACTLY the latest manifest's
     * current files. Unlike [[readSnapshot]] (directory pins), the
     * planned file set stays physically intact across any later
@@ -526,6 +570,55 @@ object History {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     FileManifest.versions(fs, path)
+  }
+
+  /** Row-level CHANGE FEED between two retained manifest versions: the
+    * rows inserted and deleted by the commits in (fromVersion,
+    * toVersion], each tagged `_change` = 'insert' | 'delete'. An
+    * updated row appears as its old image deleted + its new image
+    * inserted (copy-on-write has no in-place update).
+    *
+    * File-granular and therefore scale-correct: only the files that
+    * DIFFER between the two manifests are planned — files present in
+    * both versions (untouched by every commit in the window) are never
+    * read, so a keyed [[mergeInto]] on a 100 TB lake diffs in
+    * O(rewritten files), not O(lake). Within the differing file sets
+    * the row delta is an exact multiset difference (`exceptAll` both
+    * ways): survivor rows copied by a rewrite into a new file cancel
+    * out, duplicates count per-occurrence. Compaction/cluster commits
+    * (pure rewrites) therefore produce an EMPTY feed — the table
+    * content didn't change. Both versions must still be retained
+    * (within the vacuum grace); fails loudly otherwise, like time
+    * travel. */
+  def changesBetween(spark: SparkSession, path: String,
+                     fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changesBetween: fromVersion $fromVersion > toVersion $toVersion")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def resolve(v: Long) = FileManifest.at(fs, path, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"manifest version $v not retained at $path (vacuumed or never " +
+          s"published); retained: " +
+          s"${FileManifest.versions(fs, path).mkString(", ")}"))
+    val a = resolve(fromVersion)
+    val b = resolve(toVersion)
+    val removed = (a.curSet -- b.curSet).toSeq.sorted
+    val added = (b.curSet -- a.curSet).toSeq.sorted
+    import org.apache.spark.sql.functions.lit
+    // empty side: keep the lake schema (donor file + filter false) so
+    // exceptAll resolves; a fully-unchanged window yields zero rows
+    def planSide(files: Seq[String], donorOf: FileManifest.Manifest) =
+      if (files.nonEmpty) planManifest(spark, fs, root,
+        FileManifest.Manifest(toVersion, files, Nil))
+      else planManifest(spark, fs, root,
+        FileManifest.Manifest(toVersion, donorOf.cur.take(1), Nil))
+        .filter(lit(false))
+    val addedDf = planSide(added, if (b.cur.nonEmpty) b else a)
+    val removedDf = planSide(removed, if (a.cur.nonEmpty) a else b)
+    addedDf.exceptAll(removedDf).withColumn("_change", lit("insert"))
+      .unionByName(
+        removedDf.exceptAll(addedDf).withColumn("_change", lit("delete")))
   }
 
   /** Bring the per-file stats sidecar up to date (footer-reads only
@@ -751,6 +844,16 @@ object History {
               .toLong).toOption.exists(_ < latestNow) &&
             s.getModificationTime <= cutoff)
           fs.delete(s.getPath, false): Unit
+      }
+    // shard files no RETAINED version references (left by vacuumed
+    // versions whose shards nothing else reuses, or by crashed sharded
+    // publishes) past grace — same orphan discipline as data files
+    val refShards = FileManifest.referencedShards(fs, path)
+    FileManifest.listShardFiles(fs, path)
+      .filter { case (name, mtime) => !refShards(name) && mtime <= cutoff }
+      .foreach { case (name, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          FileManifest.shardsDir(path), name), false): Unit
       }
     // drop emptied partition dirs (an expired partition after its files
     // are reclaimed), then emptied region parents

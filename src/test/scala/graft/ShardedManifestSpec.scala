@@ -1,0 +1,196 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.{FileManifest, History}
+
+/** Sharded manifests: the version root becomes a per-partition shard
+  * index, so (1) commits write only the shards they touch, (2)
+  * partition-pruned plans parse only the shards they scan, (3) time
+  * travel spans flat and sharded versions, and (4) vacuum reclaims
+  * unreferenced shard files. Content equivalence is asserted against
+  * the same lake read flat. */
+class ShardedManifestSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def freshLake(): String =
+    java.nio.file.Files.createTempDirectory("graft-sharded").toString + "/lake"
+
+  private def hadoopFs(path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** A lang-partitioned documents-shaped lake: 3 partitions, 1+ file each. */
+  private def docsLake(): String = {
+    import spark.implicits._
+    val dir = freshLake()
+    Seq(
+      (1L, "en", 10L), (2L, "en", 20L), (3L, "en", 30L),
+      (4L, "de", 40L), (5L, "de", 50L),
+      (6L, "fr", 60L))
+      .toDF("doc_id", "lang", "n_chars")
+      .repartition(col("lang"))
+      .write.partitionBy("lang").parquet(dir)
+    dir
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+
+  private def shardNames(lake: String): Set[String] =
+    FileManifest.listShardFiles(hadoopFs(lake), lake).map(_._1).toSet
+
+  test("conversion preserves content; one shard per partition dir") {
+    val lake = docsLake()
+    History.enableManifests(spark, lake): Unit
+    val flatImage = ids(History.readPinned(spark, lake))
+
+    val v = History.enableShardedManifests(spark, lake)
+    assert(v === 2L)
+    assert(History.enableShardedManifests(spark, lake) === 2L) // idempotent
+
+    val fs = hadoopFs(lake)
+    assert(FileManifest.isSharded(fs, lake, 2L))
+    assert(!FileManifest.isSharded(fs, lake, 1L))
+    assert(shardNames(lake).size === 3) // lang=de, lang=en, lang=fr
+
+    // assembled sharded read == flat image; v1 time travel still flat
+    assert(ids(History.readPinned(spark, lake)) === flatImage)
+    assert(ids(History.readPinned(spark, lake, 1L)) === flatImage)
+    assert(ids(History.readPinned(spark, lake, 2L)) === flatImage)
+  }
+
+  test("a commit touching one partition rewrites exactly one shard") {
+    val lake = docsLake()
+    History.enableManifests(spark, lake): Unit
+    History.enableShardedManifests(spark, lake): Unit
+    val before = shardNames(lake)
+    val fs = hadoopFs(lake)
+
+    // land one more file in lang=en only, manifest-committed
+    import spark.implicits._
+    val extra = java.nio.file.Files
+      .createTempDirectory("graft-sharded-extra").toString + "/out"
+    Seq((7L, 70L)).toDF("doc_id", "n_chars")
+      .coalesce(1).write.parquet(extra)
+    val newName = "part-extra-en.parquet"
+    val src = new java.io.File(extra).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    val dst = new org.apache.hadoop.fs.Path(s"$lake/lang=en/$newName")
+    fs.copyFromLocalFile(new org.apache.hadoop.fs.Path(src.toString), dst)
+    FileManifest.addFiles(fs, lake, Seq(s"lang=en/$newName"))
+
+    val after = shardNames(lake)
+    val added = after -- before
+    assert(added.size === 1, s"expected 1 new shard, got $added")
+    assert(added.head.endsWith("-v000000000003.shard"))
+    // the untouched partitions' shards are REUSED by the new root —
+    // their files are referenced by both v2 and v3
+    val refs = FileManifest.referencedShards(fs, lake)
+    assert((before -- refs).isEmpty, "v2 shards must stay referenced")
+    assert(ids(History.readPinned(spark, lake)) ===
+      Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("partition-pruned read parses only the matching shards") {
+    val lake = docsLake()
+    History.enableManifests(spark, lake): Unit
+    History.enableShardedManifests(spark, lake): Unit
+    val fs = hadoopFs(lake)
+
+    // warm the root index, then count shard reads for a one-dir prune
+    FileManifest.isSharded(fs, lake,
+      FileManifest.latestVersion(fs, lake).get): Unit
+    val before = FileManifest.shardFileReads.get()
+    val en = History.readPinnedPartitions(spark, lake, _ == "lang=en")
+    assert(ids(en) === Seq(1L, 2L, 3L))
+    val delta = FileManifest.shardFileReads.get() - before
+    assert(delta <= 1L,
+      s"one-partition prune should read at most 1 uncached shard, read $delta")
+
+    // full read equivalence and empty-prune schema retention
+    assert(ids(History.readPinnedPartitions(spark, lake, _ => true)) ===
+      Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val none = History.readPinnedPartitions(spark, lake, _ => false)
+    assert(none.columns.contains("doc_id") && none.count() === 0L)
+  }
+
+  test("copy-on-write ops stay sharded; vacuum reclaims orphan shards") {
+    val lake = docsLake()
+    History.enableManifests(spark, lake): Unit
+    History.enableShardedManifests(spark, lake): Unit
+    val fs = hadoopFs(lake)
+
+    // deleteWhere funnels through publish → must stay sharded
+    History.deleteWhere(spark, lake, col("doc_id") === 2L): Unit
+    val v = FileManifest.latestVersion(fs, lake).get
+    assert(FileManifest.isSharded(fs, lake, v))
+    assert(ids(History.readPinned(spark, lake)) === Seq(1L, 3L, 4L, 5L, 6L))
+
+    // drop an orphan shard (crashed publish image) + vacuum grace 0:
+    // the orphan goes, every referenced shard stays, reads still work
+    val orphan = new org.apache.hadoop.fs.Path(
+      FileManifest.shardsDir(lake), "deadbeef-v000000000099.shard")
+    val out = fs.create(orphan, true)
+    out.write("cur\tlang=en/ghost.parquet\n".getBytes("UTF-8"))
+    out.close()
+    History.vacuum(spark, lake, graceMs = 0L): Unit
+    assert(!fs.exists(orphan), "unreferenced shard must be vacuumed")
+    val refs = FileManifest.referencedShards(fs, lake)
+    assert(shardNames(lake) === refs,
+      "every surviving shard file must be referenced by a retained root")
+    assert(ids(History.readPinned(spark, lake)) === Seq(1L, 3L, 4L, 5L, 6L))
+  }
+
+  test("change feed diffs only the files the commit touched") {
+    import spark.implicits._
+    val lake = docsLake()
+    History.enableManifests(spark, lake): Unit
+    val v0 = FileManifest.latestVersion(hadoopFs(lake), lake).get
+
+    // delete one row: rewrites ONLY the lang=en files holding it
+    History.deleteWhere(spark, lake, col("doc_id") === 2L): Unit
+    val v1 = FileManifest.latestVersion(hadoopFs(lake), lake).get
+
+    val feed = History.changesBetween(spark, lake, v0, v1)
+    val got = feed.select("doc_id", "_change").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((2L, "delete")),
+      s"survivors must cancel in the multiset diff, got $got")
+
+    // file-granularity: the feed's scan plans only files that DIFFER
+    // between the versions — never the untouched lang=de / lang=fr ones
+    val fs = hadoopFs(lake)
+    val a = FileManifest.at(fs, lake, v0).get.curSet
+    val b = FileManifest.at(fs, lake, v1).get.curSet
+    val changed = (a -- b) ++ (b -- a)
+    val planned = feed.inputFiles.toSet
+    assert(planned.nonEmpty)
+    planned.foreach { f =>
+      assert(changed.exists(rel => f.endsWith(rel)),
+        s"unchanged file planned by the change feed: $f")
+    }
+
+    // a pure rewrite (clusterBy) produces an EMPTY feed
+    History.clusterBy(spark, lake, "doc_id", 2): Unit
+    val v2 = FileManifest.latestVersion(fs, lake).get
+    assert(History.changesBetween(spark, lake, v1, v2).count() === 0L)
+
+    // identical versions: empty feed, schema intact
+    val same = History.changesBetween(spark, lake, v1, v1)
+    assert(same.count() === 0L && same.columns.contains("_change"))
+  }
+
+  test("unpartitioned lakes shard under the root dir key") {
+    import spark.implicits._
+    val lake = freshLake()
+    Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "n_chars")
+      .coalesce(1).write.parquet(lake)
+    History.enableManifests(spark, lake): Unit
+    History.enableShardedManifests(spark, lake): Unit
+    assert(shardNames(lake).size === 1)
+    assert(ids(History.readPinned(spark, lake)) === Seq(1L, 2L))
+    assert(ids(History.readPinnedPartitions(spark, lake, _ == ".")) ===
+      Seq(1L, 2L))
+  }
+}
