@@ -187,6 +187,30 @@ object HistoryQueries {
       dir
     })
 
+  /** An UNCLUSTERED (round-robin-scattered) documents lake with the
+    * per-file bloom key index built on doc_id: h13 point-looks-up a
+    * fixed key list through [[History.readPinnedKeyed]], so the gate
+    * exercises scatter → enableManifests → refreshKeyIndex (native
+    * bloom_build per file, one distributed job) → content-pruned
+    * planning end-to-end against a DuckDB IN-list oracle — the layout
+    * where range stats CANNOT prune (every file spans the whole id
+    * range) and only content pruning helps. Keyed by (session, sfDir). */
+  private val bloomLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def bloomLake(s: SparkSession, sfDir: String): String =
+    bloomLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-bloom-lake").toString + "/lake"
+      graft.Tables.documents(s, sfDir)
+        .repartition(8) // round-robin: every file spans the id range
+        .write.parquet(dir)
+      graft.sources.History.enableManifests(s, dir): Unit
+      graft.sources.History.refreshKeyIndex(s, dir, "doc_id"): Unit
+      dir
+    })
+
   /** Drop the fixture lakes keyed to `s` and delete their temp dirs. */
   private[queries] def evict(s: SparkSession): Unit = {
     def rm(f: java.io.File): Unit = {
@@ -204,7 +228,7 @@ object HistoryQueries {
     }
     val sk = graft.SessionKey(s)
     Seq(deleteLakeCache, mergeLakeCache, clusterLakeCache, zLakeCache,
-        shardedLakeCache)
+        shardedLakeCache, bloomLakeCache)
       .foreach { cache =>
       cache.keySet.forEach { k =>
         if (k._1 == sk) rmLake(cache.remove(k))
@@ -320,7 +344,19 @@ object HistoryQueries {
       graft.sources.History.changesBetween(s, lakeDir, vs.head, vs.last)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           col("_change"))
-    })
+    }),
+
+    // Bloom-key-index point lookup on an UNCLUSTERED lake: the planner
+    // keeps only the files whose per-file filter might hold one of the
+    // five keys (content pruning — range stats are useless here, every
+    // scattered file spans the whole id range), and the exact IN
+    // filter on top must return precisely the oracle's rows. A filter
+    // that dropped a real key's file loses rows and fails the hash;
+    // false positives only cost planned files, never rows.
+    "h13_keyed_lookup" -> ((s, d) =>
+      graft.sources.History.readPinnedKeyed(s, bloomLake(s, d), "doc_id",
+          Seq(3L, 17L, 29L, 41L, 404L))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -387,6 +423,9 @@ object HistoryQueries {
          FROM documents WHERE source = 'src2'
          UNION ALL
          SELECT doc_id, lang, source, n_chars, 'delete'
-         FROM documents WHERE source = 'src1'"""
+         FROM documents WHERE source = 'src1'""",
+    "h13_keyed_lookup" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id IN (3, 17, 29, 41, 404)"""
   )
 }

@@ -572,6 +572,47 @@ object History {
     FileManifest.versions(fs, path)
   }
 
+  /** Bring the per-file BLOOM key index up to date — the point-lookup
+    * companion to [[refreshStats]]: range stats only prune after a
+    * [[clusterBy]]; the bloom index prunes by CONTENT on any layout.
+    * O(new files); see [[FileBloomIndex]]. */
+  def refreshKeyIndex(spark: SparkSession, path: String,
+                      keyCol: String): Int =
+    FileBloomIndex.refresh(spark, path, keyCol)
+
+  /** Bloom-pruned POINT-LOOKUP read: plan only the manifest files
+    * whose per-file key filter might contain one of `values` — the
+    * takedown / audit shape ("fetch these k doc_ids from a 100 TB
+    * lake") at O(files actually holding them) + the false-positive
+    * rate, on ANY layout (no clustering required). Files without an
+    * index entry are always planned, so the index only ever saves
+    * work; the exact IN filter on top keeps the result oracle-exact.
+    * `values` is a caller-supplied key list (an input, never collected
+    * row data). */
+  def readPinnedKeyed(spark: SparkSession, path: String, keyCol: String,
+                      values: Seq[Long]): DataFrame = {
+    require(values.nonEmpty, "readPinnedKeyed needs at least one key")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = FileManifest.latest(fs, path).getOrElse(
+      throw new IllegalStateException(
+        s"readPinnedKeyed needs a manifest-mode lake: $path"))
+    val idx = FileBloomIndex.read(fs, path, keyCol)
+    val hashes = values.map(FileBloomIndex.probeHash)
+    val kept = m.cur.filter(rel => idx.get(rel) match {
+      case Some(bf) =>
+        hashes.exists(h => graft.functions.Bloom.mightContain(bf, h))
+      case None => true // unindexed: always plan — prune only saves work
+    })
+    val planned = if (kept.nonEmpty) kept else m.cur.take(1)
+    val base = planManifest(spark, fs, root, m.copy(cur = planned))
+    import org.apache.spark.sql.functions.col
+    if (base.columns.isEmpty) base
+    else if (kept.isEmpty)
+      base.filter(org.apache.spark.sql.functions.lit(false))
+    else base.filter(col(keyCol).isin(values: _*))
+  }
+
   /** Row-level CHANGE FEED between two retained manifest versions: the
     * rows inserted and deleted by the commits in (fromVersion,
     * toVersion], each tagged `_change` = 'insert' | 'delete'. An
