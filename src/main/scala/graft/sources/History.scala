@@ -945,7 +945,43 @@ object History {
     *
     * @return (files rewritten-or-retired, rows deleted) */
   def deleteWhere(spark: SparkSession, path: String,
-                  predicate: org.apache.spark.sql.Column): (Int, Long) = {
+                  predicate: org.apache.spark.sql.Column): (Int, Long) =
+    deleteImpl(spark, path, predicate, None)
+
+  /** KEYED takedown: [[deleteWhere]] for an explicit key list, with the
+    * pass-1 match scan bloom-pruned through the per-file key index
+    * ([[refreshKeyIndex]]) when one exists — on an unclustered 100 TB
+    * lake that turns "scan the lake to find the victims' files" into
+    * "scan the files whose filter might hold a victim" (+ the
+    * false-positive rate). Correctness is layout- and index-
+    * independent: a filter has no false negatives, unindexed files are
+    * always scanned, and the rewrite itself applies the exact IN
+    * predicate — so a stale or absent index only costs scan width.
+    * `values` is a caller-supplied takedown list (an input, never
+    * collected row data). */
+  def deleteKeys(spark: SparkSession, path: String, keyCol: String,
+                 values: Seq[Long]): (Int, Long) = {
+    require(values.nonEmpty, "deleteKeys needs at least one key")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = FileManifest.latest(fs, path).getOrElse(
+      throw new IllegalStateException(
+        s"deleteKeys needs a manifest-mode lake (enableManifests): $path"))
+    val idx = FileBloomIndex.read(fs, path, keyCol)
+    val hashes = values.map(FileBloomIndex.probeHash)
+    val candidates = m.cur.filter(rel => idx.get(rel) match {
+      case Some(bf) =>
+        hashes.exists(h => graft.functions.Bloom.mightContain(bf, h))
+      case None => true
+    })
+    if (candidates.isEmpty) return (0, 0L)
+    deleteImpl(spark, path, col(keyCol).isin(values: _*),
+      Some(candidates))
+  }
+
+  private def deleteImpl(spark: SparkSession, path: String,
+                         predicate: org.apache.spark.sql.Column,
+                         candidates: Option[Seq[String]]): (Int, Long) = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val qRoot = fs.makeQualified(root)
@@ -961,9 +997,12 @@ object History {
     // coalesce wrapper is only needed where NULL must become false
     // explicitly: pass 2's negation below.
     val matchPred = coalesce(predicate, lit(false))
-    val relByAbs: Map[String, String] = m.cur.map(rel =>
+    // a candidate subset (bloom-pruned keyed delete) narrows the match
+    // SCAN only; the rewrite below still applies the exact predicate
+    val scanCur = candidates.getOrElse(m.cur)
+    val relByAbs: Map[String, String] = scanCur.map(rel =>
       new org.apache.hadoop.fs.Path(qRoot, rel).toString -> rel).toMap
-    val hits = planManifest(spark, fs, root, m)
+    val hits = planManifest(spark, fs, root, m.copy(cur = scanCur))
       .filter(predicate)
       .groupBy(col("_metadata.file_path").as("fp"))
       .agg(count(lit(1)).as("n"))

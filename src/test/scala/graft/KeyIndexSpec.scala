@@ -91,6 +91,31 @@ class KeyIndexSpec extends AnyFunSuite {
     assert(pruned.collect().map(_.getLong(0)).toSeq === Seq(9999L))
   }
 
+  test("deleteKeys: bloom-pruned takedown removes exactly the victims") {
+    val lake = scatteredLake()
+    History.refreshKeyIndex(spark, lake, "doc_id"): Unit
+
+    val (files, rows) = History.deleteKeys(spark, lake, "doc_id",
+      Seq(42L, 250L, 100000L)) // one absent key: must change nothing
+    assert(rows === 2L)
+    assert(files <= 2, s"two victims live in at most 2 files, got $files")
+
+    val left = History.readPinned(spark, lake)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!left(42L) && !left(250L))
+    assert(left.size === 398)
+
+    // absent keys only: no-op commit, version unchanged
+    val fs = hadoopFs(lake)
+    val v = FileManifest.latestVersion(fs, lake).get
+    assert(History.deleteKeys(spark, lake, "doc_id",
+      Seq(70000L, 80000L)) === ((0, 0L)))
+    assert(FileManifest.latestVersion(fs, lake).get === v)
+
+    // time travel to the pre-delete version still answers
+    assert(History.readPinned(spark, lake, 1L).count() === 400L)
+  }
+
   test("a corrupted index line weakens pruning, never drops rows") {
     val lake = scatteredLake()
     History.refreshKeyIndex(spark, lake, "doc_id"): Unit
