@@ -1,0 +1,109 @@
+package graft.stream
+
+import org.apache.spark.sql.SparkSession
+import graft.sources.{FileManifest, History}
+
+/** Change-feed DELIVERY for the manifest lake: each tick publishes the
+  * net row-level diff since the last delivered version
+  * ([[History.changesBetween]] — insert/delete images from only the
+  * files the commits rewrote) into `outDir/changes-v<from>-v<to>/`,
+  * exactly once.
+  *
+  * Progress state is the OUTPUT ITSELF: the high-water version is the
+  * max `<to>` among published range directories, so there is no
+  * separate ledger to drift from the data. Publication is
+  * stage-then-rename (the same discipline as every lake commit):
+  *
+  *  - a crash BEFORE the rename leaves only `_staging` leftovers — the
+  *    next tick overwrites them; nothing was delivered, the high water
+  *    never moved;
+  *  - a crash AFTER the rename delivered the range and moved the high
+  *    water atomically with it — a replayed tick sees the range dir
+  *    and skips; the converged state is exactly one copy per range.
+  *
+  * An empty diff (compaction / clusterBy — pure rewrites) still
+  * publishes its range dir, so the high water advances past
+  * content-neutral commits instead of re-diffing them forever.
+  *
+  * Downstream is plain Structured Streaming: range dirs appear
+  * atomically, so a vanilla file-source stream over
+  * `outDir/changes-*` tails the feed with ordinary checkpointing —
+  * no custom source needed. Ranges COLLAPSE intermediate versions
+  * (net-effect semantics: a row inserted and deleted within one
+  * window cancels), matching the multiset diff contract.
+  *
+  * The window's `from` version must still be retained: size the
+  * lake's vacuum grace to at least the delivery cadence, or the tick
+  * fails loudly (never silently re-baselines — that would replay the
+  * whole lake as inserts). Bootstrap baselines at the latest version
+  * (deliver changes from NOW on); pass `fromVersion` to baseline
+  * elsewhere, e.g. the oldest retained version for
+  * initial-snapshot-then-follow. */
+object LakeChangeFeed {
+
+  private val RangeDir = "changes-v(\\d+)-v(\\d+)".r
+
+  /** Highest delivered `to` version under `outDir`, if any. */
+  def highWater(spark: SparkSession, outDir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val tos = fs.listStatus(p).iterator.flatMap(s =>
+        s.getPath.getName match {
+          case RangeDir(_, to) => Some(to.toLong)
+          case _ => None
+        }).toSeq
+      if (tos.isEmpty) None else Some(tos.max)
+    }
+  }
+
+  /** Deliver the (highWater, latest] diff, if any. Returns the range
+    * published (also for an already-delivered replayed range), or None
+    * when the lake has no new version. Run from one delivery agent at
+    * a time (single-writer, like every lake maintenance op). */
+  def tick(spark: SparkSession, lakePath: String, outDir: String,
+           fromVersion: Option[Long] = None): Option[(Long, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(lakePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = FileManifest.latestVersion(fs, lakePath).getOrElse(
+      throw new IllegalStateException(
+        s"change feed needs a manifest-mode lake: $lakePath"))
+    val hw = highWater(spark, outDir)
+    val from = hw.orElse(fromVersion).getOrElse(latest)
+    if (from >= latest) {
+      // bootstrap with nothing to deliver: PERSIST the baseline as an
+      // empty changes-vN-vN marker dir (no files — invisible to file-
+      // source consumers), else every tick would re-baseline at the
+      // then-current latest and never deliver anything
+      if (hw.isEmpty) {
+        val out = new org.apache.hadoop.fs.Path(outDir)
+        val outFs = out.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        outFs.mkdirs(new org.apache.hadoop.fs.Path(
+          out, s"changes-v$from-v$from")): Unit
+      }
+      return None
+    }
+    val retained = FileManifest.versions(fs, lakePath)
+    require(retained.contains(from),
+      s"change-feed baseline v$from is no longer retained at $lakePath " +
+        s"(vacuumed; retained: ${retained.mkString(", ")}) — " +
+        "re-bootstrap explicitly rather than silently re-baselining")
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val outFs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val name = s"changes-v$from-v$latest"
+    val dest = new org.apache.hadoop.fs.Path(out, name)
+    if (outFs.exists(dest)) return Some((from, latest)) // replayed tick
+    val stage = new org.apache.hadoop.fs.Path(out, s"_staging/$name")
+    outFs.delete(stage, true): Unit // crashed prior attempt
+    History.changesBetween(spark, lakePath, from, latest)
+      .write.mode("overwrite").parquet(stage.toString)
+    outFs.mkdirs(dest.getParent): Unit
+    if (outFs.exists(dest)) { // racing replay finished first: converge
+      outFs.delete(stage, true): Unit
+    } else if (!outFs.rename(stage, dest))
+      throw new java.io.IOException(s"change-feed publish failed: $dest")
+    Some((from, latest))
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.{FileManifest, History}
+import graft.stream.LakeChangeFeed
+
+/** Change-feed delivery ticks: exactly-once net-diff publication whose
+  * progress state IS the output (no ledger), crash-safe at both sides
+  * of the rename, streamable by a vanilla file source. */
+class LakeChangeFeedSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def fresh(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/x"
+
+  private def docsLake(): String = {
+    import spark.implicits._
+    val lake = fresh("graft-cdf-lake")
+    Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("doc_id", "n_chars")
+      .coalesce(2).write.parquet(lake)
+    History.enableManifests(spark, lake): Unit
+    lake
+  }
+
+  private def fs(path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def feedRows(outDir: String): Seq[(Long, String)] = {
+    val dirs = fs(outDir).listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .filter(_.getPath.getName.startsWith("changes-"))
+      .map(_.getPath.toString)
+    if (dirs.isEmpty) Seq.empty
+    else spark.read.parquet(dirs.toIndexedSeq: _*)
+      .select("doc_id", "_change").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+  }
+
+  test("ticks deliver net diffs exactly once; empty diffs advance") {
+    val lake = docsLake()
+    val out = fresh("graft-cdf-out")
+
+    // bootstrap at latest: nothing to deliver yet
+    assert(LakeChangeFeed.tick(spark, lake, out) === None)
+
+    History.deleteWhere(spark, lake, col("doc_id") === 2L): Unit
+    val r1 = LakeChangeFeed.tick(spark, lake, out)
+    assert(r1 === Some((1L, 2L)))
+    assert(feedRows(out) === Seq((2L, "delete")))
+    // nothing new: no second delivery
+    assert(LakeChangeFeed.tick(spark, lake, out) === None)
+
+    // content-neutral commit (pure rewrite): range advances, no rows
+    History.clusterBy(spark, lake, "doc_id", 1): Unit
+    val r2 = LakeChangeFeed.tick(spark, lake, out)
+    assert(r2.isDefined && r2.get._1 === 2L)
+    assert(feedRows(out) === Seq((2L, "delete")))
+    assert(LakeChangeFeed.highWater(spark, out) === Some(r2.get._2))
+
+    // next real change baselines at the advanced high water
+    History.deleteWhere(spark, lake, col("doc_id") === 4L): Unit
+    LakeChangeFeed.tick(spark, lake, out): Unit
+    assert(feedRows(out) === Seq((2L, "delete"), (4L, "delete")))
+  }
+
+  test("crash windows: staged leftovers overwritten, replays converge") {
+    val lake = docsLake()
+    val out = fresh("graft-cdf-out2")
+    History.deleteWhere(spark, lake, col("doc_id") === 1L): Unit
+
+    // crash BEFORE rename: staged garbage only — nothing delivered
+    val stage = new org.apache.hadoop.fs.Path(out, "_staging/changes-v1-v2")
+    val f = fs(out)
+    f.mkdirs(stage): Unit
+    val o = f.create(new org.apache.hadoop.fs.Path(stage, "junk"), true)
+    o.write("junk".getBytes("UTF-8")); o.close()
+    assert(LakeChangeFeed.highWater(spark, out) === None)
+
+    // the next tick overwrites the crashed attempt and delivers
+    assert(LakeChangeFeed.tick(spark, lake, out, fromVersion = Some(1L))
+      === Some((1L, 2L)))
+    assert(feedRows(out) === Seq((1L, "delete")))
+
+    // crash AFTER rename = delivered; a replayed tick skips re-writing
+    assert(LakeChangeFeed.tick(spark, lake, out) === None)
+    History.deleteWhere(spark, lake, col("doc_id") === 3L): Unit
+    assert(LakeChangeFeed.tick(spark, lake, out) === Some((2L, 3L)))
+    // replay of the same range: returns the range, writes nothing new
+    val before = feedRows(out)
+    assert(LakeChangeFeed.tick(spark, lake, out) === None)
+    assert(feedRows(out) === before)
+  }
+
+  test("a vacuumed baseline fails loudly instead of re-baselining") {
+    val lake = docsLake()
+    val out = fresh("graft-cdf-out3")
+    History.deleteWhere(spark, lake, col("doc_id") === 1L): Unit
+    assert(LakeChangeFeed.tick(spark, lake, out, fromVersion = Some(1L))
+      === Some((1L, 2L)))
+    History.deleteWhere(spark, lake, col("doc_id") === 2L): Unit
+    History.vacuum(spark, lake, graceMs = 0L): Unit // v2 gone
+    val e = intercept[IllegalArgumentException] {
+      LakeChangeFeed.tick(spark, lake, out)
+    }
+    assert(e.getMessage.contains("re-bootstrap"))
+  }
+
+  test("explicit fromVersion baselines an initial-snapshot follow") {
+    val lake = docsLake()
+    val out = fresh("graft-cdf-out4")
+    History.deleteWhere(spark, lake, col("doc_id") === 4L): Unit
+    // baseline at v1 (oldest retained): the delete since then delivers
+    assert(LakeChangeFeed.tick(spark, lake, out, fromVersion = Some(1L))
+      === Some((1L, 2L)))
+    assert(feedRows(out) === Seq((4L, "delete")))
+  }
+}
