@@ -274,6 +274,11 @@ object Pipeline {
     *   which is precisely the single-writer-per-lake discipline
     *   [[graft.sources.History.compactLatest]] requires — no second
     *   process, no lock. Off by default.
+    * @param keyIndexCol when set (manifest-mode lakes, with
+    *   compactEvery): the per-file bloom key index on this column
+    *   refreshes on the same maintenance tick, so content-pruned
+    *   lookups/takedowns ([[graft.sources.History.readPinnedKeyed]],
+    *   `deleteKeys`) never lag more than one window.
     *
     * Batch ids are namespaced per stream incarnation (checkpoint-derived
     * tag), so starting over with a fresh checkpoint dir cannot collide
@@ -283,7 +288,8 @@ object Pipeline {
     * mark silently skips the new incarnation's early batches). */
   def archive(records: DataFrame, lakePath: String, checkpointDir: String,
               ledger: Option[BatchLedger] = None,
-              compactEvery: Option[Int] = None): StreamingQuery = {
+              compactEvery: Option[Int] = None,
+              keyIndexCol: Option[String] = None): StreamingQuery = {
     // fail at wiring time, not inside foreachBatch: Some(0) would hit
     // `batchId % 0` at batch 1 and kill the running query after appends
     compactEvery.foreach(n => require(n > 0,
@@ -310,9 +316,16 @@ object Pipeline {
             // never lags more than one maintenance tick
             val fs = new org.apache.hadoop.fs.Path(lakePath).getFileSystem(
               batch.sparkSession.sparkContext.hadoopConfiguration)
-            if (graft.sources.FileManifest.enabled(fs, lakePath))
+            if (graft.sources.FileManifest.enabled(fs, lakePath)) {
               graft.sources.History.refreshStats(batch.sparkSession,
                 lakePath, "collectionendtimestamp_plus_3_mins"): Unit
+              // the bloom key index rides the same tick (O(new files)):
+              // content-pruned takedowns/point lookups never lag more
+              // than one maintenance window either
+              keyIndexCol.foreach(c =>
+                graft.sources.History.refreshKeyIndex(
+                  batch.sparkSession, lakePath, c): Unit)
+            }
           }
         }
       }

@@ -107,6 +107,32 @@ class LakeChangeFeedSpec extends AnyFunSuite {
     assert(e.getMessage.contains("re-bootstrap"))
   }
 
+  test("a vanilla file-source stream tails the delivered feed") {
+    val lake = docsLake()
+    val out = fresh("graft-cdf-out5")
+    LakeChangeFeed.tick(spark, lake, out): Unit // baseline marker
+    History.deleteWhere(spark, lake, col("doc_id") === 2L): Unit
+    LakeChangeFeed.tick(spark, lake, out): Unit
+    History.deleteWhere(spark, lake, col("doc_id") === 4L): Unit
+    LakeChangeFeed.tick(spark, lake, out): Unit
+
+    val ckpt = fresh("graft-cdf-ckpt")
+    val sinkTable = "cdf_tail_" + System.nanoTime()
+    val schema = spark.read.parquet(s"$out/changes-*").schema
+    val q = spark.readStream.schema(schema)
+      .parquet(s"$out/changes-*")
+      .writeStream
+      .format("memory").queryName(sinkTable)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000L): Unit
+    val got = spark.table(sinkTable)
+      .select("doc_id", "_change").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(got === Seq((2L, "delete"), (4L, "delete")))
+  }
+
   test("explicit fromVersion baselines an initial-snapshot follow") {
     val lake = docsLake()
     val out = fresh("graft-cdf-out4")

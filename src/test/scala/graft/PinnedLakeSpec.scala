@@ -154,7 +154,8 @@ class PinnedLakeSpec extends AnyFunSuite {
     val input =
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
     val q = Pipeline.archive(Pipeline.payloadToRecords(input.toDF()),
-      lake, ckpt, Some(ledger), compactEvery = Some(2))
+      lake, ckpt, Some(ledger), compactEvery = Some(2),
+      keyIndexCol = Some(ts))
     try {
       // 4 micro-batches; maintenance compacts touched partitions on the
       // even ones — every append and every compaction is a manifest flip
@@ -181,6 +182,13 @@ class PinnedLakeSpec extends AnyFunSuite {
       assert(graft.sources.FileStats.read(fs, lake).nonEmpty)
       assert(rows(History.readPinnedRange(spark, lake, ts,
           epoch1548, epoch1548)).toSet ===
+        rows(History.readPinned(spark, lake)
+          .filter(col(ts) === epoch1548)).toSet)
+      // ...and the bloom key index rode the same tick: content-pruned
+      // point lookup agrees with the full read
+      assert(graft.sources.FileBloomIndex.read(fs, lake, ts).nonEmpty)
+      assert(rows(History.readPinnedKeyed(spark, lake, ts,
+          Seq(epoch1548))).toSet ===
         rows(History.readPinned(spark, lake)
           .filter(col(ts) === epoch1548)).toSet)
       // after grace-0 vacuum the directory layout agrees with the
