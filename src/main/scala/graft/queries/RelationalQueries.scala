@@ -714,6 +714,55 @@ object RelationalQueries {
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("numcust"),
           sum(col("bal")).cast("double").as("totacctbal"))
+    }),
+
+    // TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    // per-part AVG decorrelates into one per-part aggregate joined
+    // back to the same pre-filtered fact slice. Division-free exact
+    // threshold: qty < avg/5  ⇔  5·qty·cnt < sum (all DECIMAL), so row
+    // membership can't drift a ULP between engines; the single final
+    // division happens once on an exact DECIMAL total in both.
+    "q48_small_quantity_revenue" -> ((s, d) => {
+      val p = part(s, d)
+        .filter(col("p_brand") === "Brand#1" && col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))
+      val cand = lineitem(s, d)
+        .select(col("l_partkey"),
+          col("l_quantity").cast("decimal(18,2)").as("q"),
+          col("l_extendedprice"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val perPart = cand.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("q")).as("sumq"), count(lit(1)).as("cnt"))
+      cand.join(perPart, col("l_partkey") === col("pk"))
+        .filter(col("q") * 5 * col("cnt") < col("sumq"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double") / 7.0).as("avg_yearly"))
+    }),
+
+    // TPC-H Q20 shape (concentration screen): suppliers who shipped
+    // >10% of some PROMO part's total. Two-level aggregation where the
+    // second level REAGGREGATES the first's output — the per-part
+    // total is a rollup of the (supp, part) partials, not a second
+    // fact scan — then an exact-DECIMAL share threshold (10·sq > tq)
+    // and a broadcast name join.
+    "q49_excess_share_suppliers" -> ((s, d) => {
+      val promo = part(s, d).filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val sp = lineitem(s, d)
+        .select(col("l_suppkey"), col("l_partkey"),
+          col("l_quantity").cast("decimal(18,2)").as("q"))
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("q")).as("sq"))
+      val tot = sp.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("sq")).as("tq"))
+      sp.join(tot, col("l_partkey") === col("pk"))
+        .filter(col("sq") * 10 > col("tq"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_parts"))
+        .join(broadcast(supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("n_parts"))
     })
   )
 
@@ -1112,6 +1161,35 @@ object RelationalQueries {
            AND NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c_custkey
                              AND o_orderdate >= '2000-06-01')
-         GROUP BY n_name"""
+         GROUP BY n_name""",
+    "q48_small_quantity_revenue" ->
+      """WITH cand AS (
+           SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,2)) AS q,
+                  l_extendedprice
+           FROM lineitem JOIN part ON p_partkey = l_partkey
+           WHERE p_brand = 'Brand#1' AND p_type = 'ECONOMY'
+         ), per_part AS (
+           SELECT l_partkey AS pk, SUM(q) AS sumq, COUNT(*) AS cnt
+           FROM cand GROUP BY 1
+         )
+         SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DOUBLE) / 7.0 AS avg_yearly
+         FROM cand JOIN per_part ON l_partkey = pk
+         WHERE q * 5 * cnt < sumq""",
+    "q49_excess_share_suppliers" ->
+      """WITH sp AS (
+           SELECT l_suppkey, l_partkey,
+                  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+           FROM lineitem JOIN part ON p_partkey = l_partkey
+           WHERE p_type = 'PROMO'
+           GROUP BY 1, 2
+         ), tot AS (
+           SELECT l_partkey AS pk, SUM(sq) AS tq FROM sp GROUP BY 1
+         )
+         SELECT s_name, COUNT(*) AS n_parts
+         FROM sp JOIN tot ON l_partkey = pk
+         JOIN supplier ON s_suppkey = l_suppkey
+         WHERE sq * 10 > tq
+         GROUP BY s_name"""
   )
 }
