@@ -43,7 +43,8 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
       .map { case (id, p, v) => id -> (p, v) }.toMap
   }
 
-  private def runSequence(seed: Long, nOps: Int): Unit = {
+  private def runSequence(seed: Long, nOps: Int,
+                          sharded: Boolean = false): Unit = {
     val rnd = new scala.util.Random(seed)
     val lake = java.nio.file.Files
       .createTempDirectory(s"graft-fuzz-$seed").toString + "/lake"
@@ -59,6 +60,7 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
     val init = freshRows(30)
     toDF(init).coalesce(2).write.partitionBy("part").parquet(lake)
     History.enableManifests(spark, lake): Unit
+    if (sharded) History.enableShardedManifests(spark, lake): Unit
     init.foreach { case (id, p, v) => model(id) = (p, v) }
     assert(img(lake) === model.toMap, s"seed=$seed init")
 
@@ -125,6 +127,21 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
           .map { case (id, p, v) => id -> (p, v) }.toMap
       }
     assert(plain === model.toMap, s"seed=$seed final plain read")
+    if (sharded) {
+      // partition-pruned reads reassemble the model slice by slice
+      import spark.implicits._
+      for (p <- Seq("p0", "p1", "p2") if model.exists(_._2._1 == p)) {
+        val got = History.readPinnedPartitions(spark, lake, _ == s"part=$p")
+          .select("id", "part", "v").as[(Long, String, Long)].collect()
+          .map { case (id, pp, v) => id -> (pp, v) }.toMap
+        assert(got === model.filter(_._2._1 == p).toMap,
+          s"seed=$seed sharded pruned read part=$p")
+      }
+      // after the final grace-0 vacuum, disk shards == referenced shards
+      val f = fs(lake)
+      assert(FileManifest.listShardFiles(f, lake).map(_._1).toSet ===
+        FileManifest.referencedShards(f, lake), s"seed=$seed shard GC")
+    }
   }
 
   test("random lifecycle sequences agree with the model (seed 1)") {
@@ -137,5 +154,13 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
 
   test("random lifecycle sequences agree with the model (seed 1337)") {
     runSequence(seed = 1337L, nOps = 10)
+  }
+
+  test("sharded manifests: lifecycle sequences agree (seed 7)") {
+    runSequence(seed = 7L, nOps = 10, sharded = true)
+  }
+
+  test("sharded manifests: lifecycle sequences agree (seed 99)") {
+    runSequence(seed = 99L, nOps = 10, sharded = true)
   }
 }
