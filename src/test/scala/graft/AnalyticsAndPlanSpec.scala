@@ -579,4 +579,31 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
     // and the aggregate runs with a partial (map-side) phase
     assert(plan.contains("partial_"), plan.take(1200))
   }
+
+  test("plan quality: q49's per-part total reaggregates partials, not the fact") {
+    // the per-part total derives from the (supp, part) partial
+    // aggregate, so its shuffle input is the PARTIALS' exchange reused
+    // — one fact scan feeding one shuffle; a second lineitem scan (or
+    // a second full-width exchange of fact rows) would double the I/O
+    // of the dominant stage at 100 TB.
+    val df = SparkEntry.queries("q49_excess_share_suppliers")(spark,
+      "/root/testdata/sf0.001")
+    df.collect(): Unit // finalize THIS df's adaptive plan (count() would
+                       // finalize a derived one, leaving this one initial)
+    val plan = df.queryExecution.executedPlan
+    def finalized(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+      }
+    val roots = plan +: finalized(plan)
+    val lineitemScans = roots.map(_.toString)
+      .map(s => "lineitem".r.findAllIn(s).length).max
+    val reused = roots.exists(_.toString.contains("ReusedExchange")) ||
+      roots.exists(_.toString.contains("TableCacheQueryStage")) ||
+      roots.exists(_.toString.contains("ReusedQueryStage"))
+    assert(reused || lineitemScans <= 1,
+      s"q49 re-scans the fact instead of reusing the partials' " +
+        s"exchange:\n${plan.toString.take(1500)}")
+  }
 }
