@@ -181,6 +181,76 @@ class ShardedManifestSpec extends AnyFunSuite {
     assert(same.count() === 0L && same.columns.contains("_change"))
   }
 
+  test("takedown audit: deleteKeys victims appear in the delivered feed") {
+    // the composite a compliance pipeline runs: bloom-pruned keyed
+    // takedown → exactly-once change-feed delivery; the delivered
+    // delete-images ARE the audit record of what was removed
+    val lake = docsLake()
+    History.enableManifests(spark, lake): Unit
+    History.enableShardedManifests(spark, lake): Unit
+    History.refreshKeyIndex(spark, lake, "doc_id"): Unit
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-sharded-audit").toString + "/feed"
+    graft.stream.LakeChangeFeed.tick(spark, lake, out): Unit // baseline
+
+    History.deleteKeys(spark, lake, "doc_id", Seq(2L, 5L)): Unit
+    graft.stream.LakeChangeFeed.tick(spark, lake, out): Unit
+
+    val f = hadoopFs(lake)
+    val dirs = f.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filter(_.getPath.getName.startsWith("changes-"))
+      .map(_.getPath.toString)
+    val audit = spark.read.parquet(dirs.toIndexedSeq: _*)
+      .select("doc_id", "_change").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(audit === Seq((2L, "delete"), (5L, "delete")))
+    assert(ids(History.readPinned(spark, lake)) === Seq(1L, 3L, 4L, 6L))
+  }
+
+  test("racing sharded publishes: second committer fails, state intact") {
+    val lake = docsLake()
+    History.enableManifests(spark, lake): Unit
+    History.enableShardedManifests(spark, lake): Unit
+    val fs = hadoopFs(lake)
+    val m = FileManifest.latest(fs, lake).get
+    // two writers build the same next version; the first wins, the
+    // second must fail loudly on the root rename — never corrupt
+    FileManifest.publish(fs, lake, m.copy(version = m.version + 1))
+    val e = intercept[java.io.IOException] {
+      FileManifest.publish(fs, lake, m.copy(version = m.version + 1))
+    }
+    assert(e.getMessage.contains("two writers raced"))
+    assert(ids(History.readPinned(spark, lake)) ===
+      Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(FileManifest.isSharded(fs, lake,
+      FileManifest.latestVersion(fs, lake).get))
+  }
+
+  test("schema evolution: readEvolved merges late columns on a sharded lake") {
+    import spark.implicits._
+    val lake = docsLake()
+    History.enableManifests(spark, lake): Unit
+    History.enableShardedManifests(spark, lake): Unit
+    val fs = hadoopFs(lake)
+    // land a file with an extra column into a NEW partition, committed
+    val extra = java.nio.file.Files
+      .createTempDirectory("graft-sharded-evo").toString + "/out"
+    Seq((7L, 70L, "late")).toDF("doc_id", "n_chars", "note")
+      .coalesce(1).write.parquet(extra)
+    val src = new java.io.File(extra).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$lake/lang=it")): Unit
+    fs.copyFromLocalFile(new org.apache.hadoop.fs.Path(src.toString),
+      new org.apache.hadoop.fs.Path(s"$lake/lang=it/part-evo.parquet"))
+    FileManifest.addFiles(fs, lake, Seq("lang=it/part-evo.parquet"))
+
+    val evolved = History.readEvolved(spark, lake)
+    assert(evolved.columns.contains("note"))
+    assert(evolved.filter(col("doc_id") === 7L)
+      .select("note").head.getString(0) === "late")
+    assert(evolved.count() === 7L)
+  }
+
   test("unpartitioned lakes shard under the root dir key") {
     import spark.implicits._
     val lake = freshLake()
