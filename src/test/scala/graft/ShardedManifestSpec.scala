@@ -251,6 +251,27 @@ class ShardedManifestSpec extends AnyFunSuite {
     assert(evolved.count() === 7L)
   }
 
+  test("a scan planned before a sharded commit completes correctly after it") {
+    // the PinnedLakeSpec race, through the sharded planner: pinned
+    // reads pin FILES, and copy-on-write never moves live files, so a
+    // plan made from sharded vN still answers vN after any number of
+    // later sharded commits (until vacuum grace)
+    val lake = docsLake()
+    History.enableManifests(spark, lake): Unit
+    History.enableShardedManifests(spark, lake): Unit
+
+    val pinned = History.readPinned(spark, lake) // PLANNED NOW
+    val expected = ids(pinned)
+
+    History.deleteWhere(spark, lake, col("doc_id") % 2 === 0): Unit
+    History.clusterBy(spark, lake, "doc_id", 2): Unit
+
+    // the pre-planned scan still sees its full snapshot
+    assert(ids(pinned) === expected)
+    // a fresh read sees the post-delete image
+    assert(ids(History.readPinned(spark, lake)) === Seq(1L, 3L, 5L))
+  }
+
   test("unpartitioned lakes shard under the root dir key") {
     import spark.implicits._
     val lake = freshLake()
