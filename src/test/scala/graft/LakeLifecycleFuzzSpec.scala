@@ -163,4 +163,13 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
   test("sharded manifests: lifecycle sequences agree (seed 99)") {
     runSequence(seed = 99L, nOps = 10, sharded = true)
   }
+
+  // Deep sweep for bug hunts — opt-in (SPARK_GRAFT_DEEP_FUZZ=1) so the
+  // default suite stays fast; longer sequences and more seeds over
+  // both manifest modes.
+  test("deep fuzz: long sequences across both manifest modes (opt-in)") {
+    assume(sys.env.get("SPARK_GRAFT_DEEP_FUZZ").contains("1"))
+    for (seed <- Seq(5L, 11L, 23L, 47L, 101L, 211L))
+      runSequence(seed, nOps = 25, sharded = seed % 2 == 1)
+  }
 }
