@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // oracle comparisons assume UTC timestamp semantics; Verify and the
+      // test base pin it, so the bench must too or any session-tz-
+      // sensitive expression would time a different computation
+      .config("spark.sql.session.timeZone", "UTC")
       // bench parquet files are far below the default 128 MB split size;
       // shrink the split so scans parallelize across all cores
       .config("spark.sql.files.maxPartitionBytes", "4m")

@@ -50,8 +50,12 @@ object Tables {
     *   - parquet TIMESTAMP(MICROS) without tz (reads as TIMESTAMP_NTZ)
     *     or adjusted-to-UTC (reads as TIMESTAMP): interpret the wall
     *     clock as UTC — exactly what DuckDB's `epoch(ts)` does on the
-    *     same file — and scale micros to nanos. `to_utc_timestamp(ts,
-    *     'UTC')` makes the conversion session-timezone-independent. */
+    *     same file — and scale micros to nanos. The NTZ branch diffs
+    *     against an NTZ epoch literal (`timestampdiff` over two NTZ
+    *     values never consults the session timezone), so the value is
+    *     identical in ANY session tz — `to_utc_timestamp(ntz, 'UTC')`
+    *     would not be: its implicit NTZ→TIMESTAMP cast applies the
+    *     SESSION zone first. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, d, "events")
@@ -59,7 +63,8 @@ object Tables {
       case org.apache.spark.sql.types.LongType => df
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts",
-          expr("unix_micros(to_utc_timestamp(ts, 'UTC')) * 1000L"))
+          expr("timestampdiff(MICROSECOND, " +
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000L"))
       case org.apache.spark.sql.types.TimestampType =>
         df.withColumn("ts", expr("unix_micros(ts) * 1000L"))
       case other =>

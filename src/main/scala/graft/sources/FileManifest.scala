@@ -288,13 +288,19 @@ object FileManifest {
     cached.getOrElse {
       rootIndex(fs, lakePath, v) match {
         case None =>
-          // flat root: rootIndex parsed it into parsedCache. A manifest
-          // larger than the whole cache line budget evicts ITSELF on
-          // insert — re-parse uncached rather than loop.
+          // flat root: rootIndex parsed it into parsedCache — but the
+          // entry may ALSO have been LRU-evicted since (the root-kind
+          // cache outlives the parsed cache), so repopulate after an
+          // uncached re-parse and return the parse DIRECTLY: no
+          // re-lookup, so a manifest larger than the whole cache line
+          // budget (which evicts itself on insert) still can't loop.
           Option(parsedCache.synchronized(parsedCache.get(key))).getOrElse {
             manifestFileReads.incrementAndGet(): Unit
             parseRoot(readLines(fs, vp), v) match {
-              case Left((cur, ret)) => Manifest(v, cur, ret)
+              case Left((cur, ret)) =>
+                val m = Manifest(v, cur, ret)
+                putParsed(key, m)
+                m
               case Right(_) => throw new IllegalStateException(
                 s"root of v$v changed kind under a reader: $vp")
             }
@@ -414,7 +420,15 @@ object FileManifest {
       }
     val curByDir = m.cur.groupBy(entryDir)
     val retByDir = m.retired.groupBy(e => entryDir(e._2))
-    val dirs = (curByDir.keySet ++ retByDir.keySet).toSeq.sorted
+    // an EMPTY manifest (fully-deleted lake after vacuum drained the
+    // retired set) still emits one zero-entry "." shard: a root with
+    // zero shard lines would classify as FLAT and silently drop the
+    // lake out of sharded mode
+    val dirs = (curByDir.keySet ++ retByDir.keySet).toSeq.sorted match {
+      case Seq() => Seq(".")
+      case ds => ds
+    }
+    val qLake = fs.makeQualified(new Path(lakePath)).toString
     val shardLines = dirs.map { dir =>
       val entry = (curByDir.getOrElse(dir, Nil).sorted,
         retByDir.getOrElse(dir, Nil).sortBy(_._2))
@@ -422,7 +436,24 @@ object FileManifest {
         .filter(name => readShard(fs, lakePath, name) == entry)
       val name = reuse.getOrElse {
         val n = f"${graft.Hashes.md5Hex(dir, 32)}%s-v${m.version}%012d.shard"
-        atomicWrite(fs, new Path(shardsDir(lakePath), n),
+        val shardDest = new Path(shardsDir(lakePath), n)
+        // shard names are DETERMINISTIC (md5(dir)-v<version>), so a
+        // publish of this version that crashed after writing shards but
+        // before the root rename left an orphan under this exact name —
+        // and no-overwrite atomicWrite would wedge the retry with a
+        // misleading "version collision". Under the single-writer
+        // contract no committed root can reference an uncommitted
+        // version's shard name, so replacing the crashed attempt's file
+        // is safe; drop any cached parse of the name too (the retry's
+        // content can differ, e.g. fresher retirement timestamps).
+        if (fs.exists(shardDest)) {
+          fs.delete(shardDest, false): Unit
+          shardCache.synchronized {
+            val prev = shardCache.remove((qLake, n))
+            if (prev != null) shardCachedLines -= shardWeight(prev)
+          }
+        }
+        atomicWrite(fs, shardDest,
           flatContent(Manifest(m.version, entry._1, entry._2)))
         n
       }

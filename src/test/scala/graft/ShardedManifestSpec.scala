@@ -272,6 +272,67 @@ class ShardedManifestSpec extends AnyFunSuite {
     assert(ids(History.readPinned(spark, lake)) === Seq(1L, 3L, 5L))
   }
 
+  test("a retried publish replaces a crashed attempt's orphan shard") {
+    // shard names are deterministic (md5(dir)-v<version>): a publish
+    // that crashed after writing shards but before the root rename
+    // leaves orphans under the EXACT names the retry regenerates. The
+    // retry must replace them (single-writer: no committed root can
+    // reference an uncommitted version's shard) — not fail with a
+    // misleading version-collision error that wedges the writer.
+    val lake = docsLake()
+    History.enableManifests(spark, lake): Unit
+    History.enableShardedManifests(spark, lake): Unit
+    val fs = hadoopFs(lake)
+    val m = FileManifest.latest(fs, lake).get
+    val next = m.version + 1
+    // the crashed attempt's orphan: the deterministic name the retry
+    // will regenerate for the one dir the commit touches, stale content
+    val orphan = new org.apache.hadoop.fs.Path(
+      FileManifest.shardsDir(lake),
+      f"${Hashes.md5Hex("lang=en", 32)}%s-v$next%012d.shard")
+    val out = fs.create(orphan, true)
+    out.write("cur\tlang=en/stale-from-crashed-attempt.parquet\n"
+      .getBytes("UTF-8"))
+    out.close()
+    // the retry: drop one lang=en entry → rewrites exactly that shard
+    val enVictim = m.cur.filter(_.startsWith("lang=en/")).head
+    FileManifest.publish(fs, lake,
+      FileManifest.Manifest(next, m.cur.filterNot(_ == enVictim),
+        m.retired :+ (1L, enVictim)))
+    // the committed root serves the RETRY's content, not the orphan's
+    val after = FileManifest.latest(fs, lake).get
+    assert(after.version === next)
+    assert(!after.curSet.contains(enVictim))
+    assert(!after.curSet.exists(_.contains("stale-from-crashed-attempt")),
+      "retry must replace the crashed attempt's shard content")
+    // the victim was lang=en's only file (1,2,3 live there) → de+fr remain
+    assert(ids(History.readPinned(spark, lake)) === Seq(4L, 5L, 6L))
+  }
+
+  test("an empty manifest publish stays sharded") {
+    // a fully-drained lake (all files deleted, retired set vacuumed)
+    // publishes a manifest with zero entries; the root must still
+    // classify as SHARDED or the lake silently drops to flat mode and
+    // the next commit rewrites one monolithic manifest
+    val lake = docsLake()
+    History.enableManifests(spark, lake): Unit
+    History.enableShardedManifests(spark, lake): Unit
+    val fs = hadoopFs(lake)
+    val m = FileManifest.latest(fs, lake).get
+    FileManifest.publish(fs, lake,
+      FileManifest.Manifest(m.version + 1, Nil, Nil))
+    assert(FileManifest.isSharded(fs, lake, m.version + 1),
+      "empty sharded root must round-trip as sharded")
+    val empty = FileManifest.latest(fs, lake).get
+    assert(empty.cur.isEmpty && empty.retired.isEmpty)
+    // and the NEXT publish (files return) is automatically sharded too
+    FileManifest.publish(fs, lake,
+      FileManifest.Manifest(m.version + 2, m.cur, Nil))
+    assert(FileManifest.isSharded(fs, lake, m.version + 2))
+    assert(ids(History.readPinned(spark, lake)) ===
+      Seq(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
   test("unpartitioned lakes shard under the root dir key") {
     import spark.implicits._
     val lake = freshLake()
