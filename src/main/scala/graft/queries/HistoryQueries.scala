@@ -204,10 +204,14 @@ object HistoryQueries {
       val dir = java.nio.file.Files
         .createTempDirectory("graft-bloom-lake").toString + "/lake"
       graft.Tables.documents(s, sfDir)
+        // a derived STRING business key alongside the numeric id: h14's
+        // takedown-list shape (URL/UUID-like), indexed independently
+        .withColumn("doc_key", concat(lit("doc-"), col("doc_id")))
         .repartition(8) // round-robin: every file spans the id range
         .write.parquet(dir)
       graft.sources.History.enableManifests(s, dir): Unit
       graft.sources.History.refreshKeyIndex(s, dir, "doc_id"): Unit
+      graft.sources.History.refreshKeyIndex(s, dir, "doc_key"): Unit
       dir
     })
 
@@ -356,6 +360,17 @@ object HistoryQueries {
     "h13_keyed_lookup" -> ((s, d) =>
       graft.sources.History.readPinnedKeyed(s, bloomLake(s, d), "doc_id",
           Seq(3L, 17L, 29L, 41L, 404L))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+
+    // STRING-keyed point lookup through the same bloom machinery: real
+    // takedown lists are URLs/UUIDs/content hashes, so the index and
+    // probe must agree on StringType hashing (a probe hashed as the
+    // wrong type is a bloom false negative — silently dropped rows,
+    // which the oracle hash would catch here).
+    "h14_keyed_lookup_str" -> ((s, d) =>
+      graft.sources.History.readPinnedKeyed(s, bloomLake(s, d), "doc_key",
+          Seq("doc-3", "doc-17", "doc-29", "doc-41", "doc-404",
+            "doc-no-such-key"))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
   )
 
@@ -426,6 +441,11 @@ object HistoryQueries {
          FROM documents WHERE source = 'src1'""",
     "h13_keyed_lookup" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
-         WHERE doc_id IN (3, 17, 29, 41, 404)"""
+         WHERE doc_id IN (3, 17, 29, 41, 404)""",
+    "h14_keyed_lookup_str" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE 'doc-' || CAST(doc_id AS VARCHAR)
+           IN ('doc-3', 'doc-17', 'doc-29', 'doc-41', 'doc-404',
+               'doc-no-such-key')"""
   )
 }

@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, count, lit, xxhash64}
+import org.apache.spark.sql.types.DataType
 
 /** Per-file BLOOM key index for the manifest lake — the point-lookup
   * companion to [[FileStats]]' min/max ranges. Range stats prune files
@@ -15,99 +16,242 @@ import org.apache.spark.sql.functions.{col, count, lit, xxhash64}
   * holding the keys) + the filter's false-positive rate, regardless of
   * layout.
   *
+  * '''Sharded sidecar.''' Entries are ~24 KB each (20k keys @ 1% fpp),
+  * three orders of magnitude heavier than a manifest line — a flat
+  * one-file sidecar would be read whole on every keyed plan and
+  * rewritten whole on every refresh, the exact O(lake) bound sharded
+  * manifests just removed, reborn 1000× heavier. So the index shards
+  * by PARTITION DIR, content-addressed: the entries for dir `d` live
+  * at `_stats/bloom-<col>/<md5(d)>.shard` — no root file, readers
+  * derive shard paths from the dirs they probe. Consequences:
+  *
+  *  - a keyed read loads only the shards of the partitions its
+  *    (possibly dir-pruned) plan touches, each parse LRU-cached by
+  *    (path, mtime, length) so repeated plans pay one metadata RTT;
+  *  - a refresh after k new files rewrites only the shards of the
+  *    dirs those files landed in — O(changed partitions), never the
+  *    index ([[shardWrites]]/[[shardReads]] make both spec-assertable);
+  *  - shard rewrites prune entries for files no longer live in THEIR
+  *    dir; a dir whose files all vanish keeps a stale shard until its
+  *    next rewrite — stale entries are never probed (probes iterate
+  *    the manifest's current set), they only cost disk.
+  *
   * Built with the engine's own native `bloom_build` aggregate in ONE
   * distributed job over the not-yet-indexed files (grouped by
   * `_metadata.file_path`), so refresh cost is O(new files), exactly
   * like [[FileStats.refresh]]. The driver-side collect is one
   * (path, filter-bytes) pair per NEW file — bounded by touched-file
-  * count, never row data (~24 KB per file at the 20k/1% default).
+  * count, never row data.
   *
-  * Sidecar format (`_stats/bloom-<col>.index`, atomic rename publish,
-  * one line per file): {{{ <rel>\t<base64(filterBytes)> }}}
-  * A corrupted line weakens pruning (file always planned), never
-  * fails a read — same contract as the stats sidecar. Files without
-  * an entry are ALWAYS planned, so the index can only save work,
-  * never drop rows; [[History.readPinnedKeyed]] applies the exact
-  * `IN` filter on top.
-  *
-  * The filter hashes `xxhash64(keyCol)` — the probe side MUST hash
-  * identically, which [[probeHash]] guarantees by evaluating the same
-  * Catalyst expression on the driver. */
+  * Shard line format: {{{ <rel>\t<base64(filterBytes)>\t<base64(keyTypeJson)> }}}
+  * Each entry records the Catalyst type the build hashed
+  * (`xxhash64` hashes IntegerType and LongType differently!), so
+  * [[probeHash]] can cast the probe literal to the BUILT type —
+  * a probe that hashed a different type would produce bloom FALSE
+  * NEGATIVES: silently dropped rows on read, silently skipped victim
+  * files on takedown. A corrupted line or shard weakens pruning (file
+  * always planned), never fails a read — same contract as the stats
+  * sidecar. Files without an entry are ALWAYS planned, so the index
+  * can only save work, never drop rows; [[History.readPinnedKeyed]]
+  * applies the exact `IN` filter on top. */
 object FileBloomIndex {
 
-  def indexPath(lakePath: String, colName: String): String =
-    s"$lakePath/_stats/bloom-$colName.index"
+  /** One indexed file: its serialized filter + the Catalyst type the
+    * build job hashed (the probe must hash the same type). */
+  case class Entry(filter: Array[Byte], keyType: DataType)
 
-  /** Parse the sidecar: rel → serialized filter. Missing file → empty
-    * (everything planned). Corrupted lines are skipped. */
-  def read(fs: FileSystem, lakePath: String,
-           colName: String): Map[String, Array[Byte]] = {
-    val p = new Path(indexPath(lakePath, colName))
-    if (!fs.exists(p)) Map.empty
-    else {
-      val in = fs.open(p)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().filter(_.nonEmpty).toList
-      finally in.close()
-      lines.flatMap { l =>
-        l.split('\t') match {
-          case Array(rel, b64) =>
-            scala.util.Try(
-              rel -> java.util.Base64.getDecoder.decode(b64)).toOption
-          case _ => None // corrupted line: weakens pruning, never fails
-        }
-      }.toMap
-    }
+  def indexDir(lakePath: String, colName: String): String =
+    s"$lakePath/_stats/bloom-$colName"
+
+  private[graft] def shardFileName(dir: String): String =
+    graft.Hashes.md5Hex(dir, 32) + ".shard"
+
+  private def shardPath(lakePath: String, colName: String,
+                        dir: String): Path =
+    new Path(indexDir(lakePath, colName), shardFileName(dir))
+
+  /** Physical shard-file reads (cache misses) — the scale spec asserts
+    * a dir-pruned keyed read loads O(pruned partitions) shards and a
+    * repeated read loads zero. */
+  private[graft] val shardReads =
+    new java.util.concurrent.atomic.AtomicLong(0)
+  /** Shard files written by refresh — the scale spec asserts a
+    * one-new-file refresh rewrites exactly one shard. */
+  private[graft] val shardWrites =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Parsed-shard LRU, keyed (qualified shard path, mtime, length) —
+    * shards are REWRITTEN in place by refresh (unlike manifest shards),
+    * so the status pair invalidates naturally. Bounded by shard count
+    * AND total filter bytes: at ~24 KB/entry an unbounded cache would
+    * pin GBs of driver heap on a large lake. */
+  private val cacheCap = 512
+  private val cacheMaxBytes = 128L * 1024 * 1024
+  private type CacheKey = (String, Long, Long)
+  private val shardCache =
+    new java.util.LinkedHashMap[CacheKey, Map[String, Entry]](16, 0.75f, true)
+  private var cachedBytes = 0L
+  private def weight(m: Map[String, Entry]): Long =
+    m.valuesIterator.map(_.filter.length.toLong + 64L).sum + 64L
+
+  private def parseShard(fs: FileSystem, p: Path): Map[String, Entry] = {
+    val in = fs.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+    lines.flatMap { l =>
+      l.split('\t') match {
+        case Array(rel, b64, tb64) =>
+          scala.util.Try {
+            val bytes = java.util.Base64.getDecoder.decode(b64)
+            val tJson = new String(
+              java.util.Base64.getDecoder.decode(tb64), "UTF-8")
+            rel -> Entry(bytes, DataType.fromJson(tJson))
+          }.toOption
+        case _ => None // corrupted line: weakens pruning, never fails
+      }
+    }.toMap
   }
 
-  private def publish(fs: FileSystem, lakePath: String, colName: String,
-                      entries: Map[String, Array[Byte]]): Unit = {
-    val dest = new Path(indexPath(lakePath, colName))
+  /** Entries for every file under the partition dirs in `dirs` —
+    * reads (and caches) only those dirs' shards. Missing shard → no
+    * entries for that dir (its files are always planned). */
+  def readDirs(fs: FileSystem, lakePath: String, colName: String,
+               dirs: Set[String]): Map[String, Entry] =
+    dirs.iterator.flatMap { dir =>
+      val p = shardPath(lakePath, colName, dir)
+      val st = try Some(fs.getFileStatus(p)) catch {
+        case _: java.io.FileNotFoundException => None
+      }
+      st match {
+        case None => Iterator.empty
+        case Some(s) =>
+          val key: CacheKey = (fs.makeQualified(p).toString,
+            s.getModificationTime, s.getLen)
+          val hit = shardCache.synchronized(Option(shardCache.get(key)))
+          hit.getOrElse {
+            shardReads.incrementAndGet(): Unit
+            val parsed =
+              try parseShard(fs, p)
+              catch { case _: java.io.IOException => Map.empty[String, Entry] }
+            shardCache.synchronized {
+              val prev = shardCache.put(key, parsed)
+              if (prev != null) cachedBytes -= weight(prev)
+              cachedBytes += weight(parsed)
+              val it = shardCache.entrySet().iterator()
+              while ((shardCache.size() > cacheCap ||
+                  cachedBytes > cacheMaxBytes) && it.hasNext) {
+                cachedBytes -= weight(it.next().getValue)
+                it.remove()
+              }
+            }
+            parsed
+          }
+      }
+    }.toMap
+
+  /** Entries for the given lake-relative files (their dirs' shards). */
+  def readFor(fs: FileSystem, lakePath: String, colName: String,
+              files: Seq[String]): Map[String, Entry] =
+    readDirs(fs, lakePath, colName,
+      files.iterator.map(FileManifest.entryDir).toSet)
+
+  /** Every entry in the index (lists the shard dir) — maintenance /
+    * inspection surface, not a planning path. */
+  def readAll(fs: FileSystem, lakePath: String,
+              colName: String): Map[String, Entry] = {
+    val dir = new Path(indexDir(lakePath, colName))
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).iterator
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".shard"))
+      .flatMap(s => try parseShard(fs, s.getPath)
+        catch { case _: java.io.IOException => Map.empty[String, Entry] })
+      .toMap
+  }
+
+  private def writeShard(fs: FileSystem, lakePath: String, colName: String,
+                         dir: String, entries: Map[String, Entry]): Unit = {
+    val dest = shardPath(lakePath, colName, dir)
     val tmp = new Path(dest.getParent, dest.getName + ".tmp")
     fs.mkdirs(dest.getParent): Unit
     val out = fs.create(tmp, true)
     try {
       val sb = new StringBuilder
-      entries.toSeq.sortBy(_._1).foreach { case (rel, bytes) =>
+      entries.toSeq.sortBy(_._1).foreach { case (rel, e) =>
         sb.append(rel).append('\t')
-          .append(java.util.Base64.getEncoder.encodeToString(bytes))
+          .append(java.util.Base64.getEncoder.encodeToString(e.filter))
+          .append('\t')
+          .append(java.util.Base64.getEncoder.encodeToString(
+            e.keyType.json.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
           .append('\n')
       }
       out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally out.close()
+    // refresh runs from the single maintenance writer: overwrite is the
+    // contract (this shard is REPLACED with the merged entry set)
     if (fs.exists(dest)) fs.delete(dest, false): Unit
     if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"bloom index publish failed: $dest")
+      throw new java.io.IOException(s"bloom shard publish failed: $dest")
+    shardWrites.incrementAndGet(): Unit
+    // invalidate any cached parse of the replaced shard (its key pair
+    // is stale, but removing frees the byte budget immediately)
+    val q = fs.makeQualified(dest).toString
+    shardCache.synchronized {
+      val it = shardCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 == q) { cachedBytes -= weight(e.getValue); it.remove() }
+      }
+    }
   }
 
   /** The exact hash the index probes with: the same Catalyst
     * `xxhash64` the build job applied to the key column, evaluated on
-    * the driver for one literal value. */
-  def probeHash(value: Long): Long =
-    org.apache.spark.sql.catalyst.expressions.XxHash64(
-      Seq(org.apache.spark.sql.catalyst.expressions.Literal(value)), 42L)
-      .eval(null).asInstanceOf[Long]
+    * the driver for one literal value — CAST to the recorded build
+    * type first, because `xxhash64` hashes each type differently and
+    * a mismatched probe (Int vs Long, String vs numeric) would be a
+    * bloom false negative: silently dropped rows. */
+  def probeHash(value: Any, keyType: DataType): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    val raw = Literal(value)
+    val typed: org.apache.spark.sql.catalyst.expressions.Expression =
+      if (raw.dataType == keyType) raw
+      else Cast(raw, keyType, Some("UTC"))
+    XxHash64(Seq(typed), 42L).eval(null).asInstanceOf[Long]
+  }
 
-  /** Index every manifest-current file lacking an entry: one
-    * distributed `bloom_build`-per-file job over just those files.
-    * Returns the number of files newly indexed. Maintenance op — run
-    * from the writer sequence like [[FileStats.refresh]]. */
+  /** Index every manifest-current file lacking an entry (or, with
+    * `onlyFiles`, just those of them — the change-feed-driven
+    * maintenance path: the caller already knows which files a commit
+    * range added, so nothing else is even STATTED). One distributed
+    * `bloom_build`-per-file job over the missing files; rewrites only
+    * the shards of the dirs they landed in. Returns the number of
+    * files newly indexed. Maintenance op — run from the writer
+    * sequence like [[FileStats.refresh]]. */
   def refresh(spark: SparkSession, lakePath: String, colName: String,
-              expectedPerFile: Long = 20000L, fpp: Double = 0.01): Int = {
+              expectedPerFile: Long = 20000L, fpp: Double = 0.01,
+              onlyFiles: Option[Seq[String]] = None): Int = {
     val root = new Path(lakePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val m = FileManifest.latest(fs, lakePath).getOrElse(
       throw new IllegalStateException(
         s"bloom index refresh needs a manifest-mode lake: $lakePath"))
-    val have = read(fs, lakePath, colName)
-    val qRoot = fs.makeQualified(root)
-    val missing = m.cur.filterNot(have.contains)
+    val scope = onlyFiles match {
+      case Some(fl) => val cs = m.curSet; fl.filter(cs)
+      case None => m.cur
+    }
+    if (scope.isEmpty) return 0
+    val have = readFor(fs, lakePath, colName, scope)
+    val missing = scope.filterNot(have.contains)
     if (missing.isEmpty) return 0
+    val qRoot = fs.makeQualified(root)
     val relByAbs: Map[String, String] = missing.map(rel =>
       new Path(qRoot, rel).toString -> rel).toMap
-    val fresh = spark.read
+    val scan = spark.read
       .option("basePath", qRoot.toString)
       .parquet(missing.map(rel => new Path(qRoot, rel).toString): _*)
+    val keyType = scan.schema(colName).dataType // what the build hashes
+    val fresh: Map[String, Entry] = scan
       .select(col("_metadata.file_path").as("__graft_fp"),
         xxhash64(col(colName)).as("__graft_h"))
       .groupBy(col("__graft_fp"))
@@ -119,13 +263,18 @@ object FileBloomIndex {
         val rel = relByAbs.getOrElse(new Path(r.getString(0)).toString,
           throw new IllegalStateException(
             s"indexed file not in the planned set: ${r.getString(0)}"))
-        rel -> r.getAs[Array[Byte]]("bf")
+        rel -> Entry(r.getAs[Array[Byte]]("bf"), keyType)
       }.toMap
-    // drop entries for files no longer live (cur or retired-awaiting-
-    // vacuum may still serve pins — keep both, like the stats sidecar)
+    // rewrite ONLY the touched dirs' shards; within each, drop entries
+    // for files no longer live (cur or retired-awaiting-vacuum may
+    // still serve pins — keep both, like the stats sidecar)
     val keep = m.curSet ++ m.retiredSet
-    publish(fs, lakePath, colName,
-      have.view.filterKeys(keep).toMap ++ fresh)
+    fresh.groupBy { case (rel, _) => FileManifest.entryDir(rel) }
+      .foreach { case (dir, entries) =>
+        val prior = have.filter { case (rel, _) =>
+          FileManifest.entryDir(rel) == dir && keep(rel) }
+        writeShard(fs, lakePath, colName, dir, prior ++ entries)
+      }
     fresh.size
   }
 }

@@ -580,30 +580,59 @@ object History {
                       keyCol: String): Int =
     FileBloomIndex.refresh(spark, path, keyCol)
 
+  /** The bloom-prune planning step shared by [[readPinnedKeyed]] and
+    * [[deleteKeys]]: resolve the (optionally dir-pruned) manifest, load
+    * ONLY the touched partitions' index shards, and keep the files
+    * whose filter might hold one of `values` — hashing each probe with
+    * the TYPE its file's entry was built with (a mismatched hash type
+    * would be a bloom false negative: silently dropped rows). */
+  private def bloomPrune(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      keyCol: String, values: Seq[Any],
+      dirPred: Option[String => Boolean]): (FileManifest.Manifest, Seq[String]) = {
+    val m = dirPred match {
+      case Some(p) =>
+        val v = FileManifest.latestVersion(fs, path).get
+        FileManifest.atPruned(fs, path, v, p).get
+      case None => FileManifest.latest(fs, path).get
+    }
+    val idx = FileBloomIndex.readFor(fs, path, keyCol, m.cur)
+    val hashCache = scala.collection.mutable.HashMap
+      .empty[org.apache.spark.sql.types.DataType, Seq[Long]]
+    def hashes(dt: org.apache.spark.sql.types.DataType): Seq[Long] =
+      hashCache.getOrElseUpdate(dt,
+        values.map(FileBloomIndex.probeHash(_, dt)))
+    val kept = m.cur.filter(rel => idx.get(rel) match {
+      case Some(e) => hashes(e.keyType).exists(h =>
+        graft.functions.Bloom.mightContain(e.filter, h))
+      case None => true // unindexed: always plan — prune only saves work
+    })
+    (m, kept)
+  }
+
   /** Bloom-pruned POINT-LOOKUP read: plan only the manifest files
     * whose per-file key filter might contain one of `values` — the
     * takedown / audit shape ("fetch these k doc_ids from a 100 TB
     * lake") at O(files actually holding them) + the false-positive
-    * rate, on ANY layout (no clustering required). Files without an
-    * index entry are always planned, so the index only ever saves
-    * work; the exact IN filter on top keeps the result oracle-exact.
-    * `values` is a caller-supplied key list (an input, never collected
-    * row data). */
+    * rate, on ANY layout (no clustering required). Keys may be of any
+    * literal type (Long ids, String URLs/UUIDs/content hashes — real
+    * takedown lists are rarely numeric); each probe is hashed with the
+    * type its file's index entry recorded, so probing never silently
+    * misses on a type mismatch. Files without an index entry are
+    * always planned, so the index only ever saves work; the exact IN
+    * filter on top keeps the result oracle-exact. `values` is a
+    * caller-supplied key list (an input, never collected row data).
+    * `dirPred` optionally partition-prunes FIRST — then only the
+    * surviving partitions' manifest shards AND index shards are even
+    * loaded (both driver-side costs scale with the pruned set). */
   def readPinnedKeyed(spark: SparkSession, path: String, keyCol: String,
-                      values: Seq[Long]): DataFrame = {
+                      values: Seq[Any],
+                      dirPred: Option[String => Boolean] = None): DataFrame = {
     require(values.nonEmpty, "readPinnedKeyed needs at least one key")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val m = FileManifest.latest(fs, path).getOrElse(
-      throw new IllegalStateException(
-        s"readPinnedKeyed needs a manifest-mode lake: $path"))
-    val idx = FileBloomIndex.read(fs, path, keyCol)
-    val hashes = values.map(FileBloomIndex.probeHash)
-    val kept = m.cur.filter(rel => idx.get(rel) match {
-      case Some(bf) =>
-        hashes.exists(h => graft.functions.Bloom.mightContain(bf, h))
-      case None => true // unindexed: always plan — prune only saves work
-    })
+    require(FileManifest.enabled(fs, path),
+      s"readPinnedKeyed needs a manifest-mode lake: $path")
+    val (m, kept) = bloomPrune(fs, path, keyCol, values, dirPred)
     val planned = if (kept.nonEmpty) kept else m.cur.take(1)
     val base = planManifest(spark, fs, root, m.copy(cur = planned))
     import org.apache.spark.sql.functions.col
@@ -957,23 +986,19 @@ object History {
     * independent: a filter has no false negatives, unindexed files are
     * always scanned, and the rewrite itself applies the exact IN
     * predicate — so a stale or absent index only costs scan width.
-    * `values` is a caller-supplied takedown list (an input, never
-    * collected row data). */
+    * Keys may be of any literal type (takedown lists are usually
+    * URLs / UUIDs / content-hash strings, not numeric ids); probes
+    * hash with each entry's recorded build type. `values` is a
+    * caller-supplied takedown list (an input, never collected row
+    * data). */
   def deleteKeys(spark: SparkSession, path: String, keyCol: String,
-                 values: Seq[Long]): (Int, Long) = {
+                 values: Seq[Any]): (Int, Long) = {
     require(values.nonEmpty, "deleteKeys needs at least one key")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val m = FileManifest.latest(fs, path).getOrElse(
-      throw new IllegalStateException(
-        s"deleteKeys needs a manifest-mode lake (enableManifests): $path"))
-    val idx = FileBloomIndex.read(fs, path, keyCol)
-    val hashes = values.map(FileBloomIndex.probeHash)
-    val candidates = m.cur.filter(rel => idx.get(rel) match {
-      case Some(bf) =>
-        hashes.exists(h => graft.functions.Bloom.mightContain(bf, h))
-      case None => true
-    })
+    require(FileManifest.enabled(fs, path),
+      s"deleteKeys needs a manifest-mode lake (enableManifests): $path")
+    val (_, candidates) = bloomPrune(fs, path, keyCol, values, None)
     if (candidates.isEmpty) return (0, 0L)
     deleteImpl(spark, path, col(keyCol).isin(values: _*),
       Some(candidates))

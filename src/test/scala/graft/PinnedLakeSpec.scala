@@ -186,7 +186,7 @@ class PinnedLakeSpec extends AnyFunSuite {
           .filter(col(ts) === epoch1548)).toSet)
       // ...and the bloom key index rode the same tick: content-pruned
       // point lookup agrees with the full read
-      assert(graft.sources.FileBloomIndex.read(fs, lake, ts).nonEmpty)
+      assert(graft.sources.FileBloomIndex.readAll(fs, lake, ts).nonEmpty)
       assert(rows(History.readPinnedKeyed(spark, lake, ts,
           Seq(epoch1548))).toSet ===
         rows(History.readPinned(spark, lake)
