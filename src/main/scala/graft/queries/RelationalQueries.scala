@@ -627,27 +627,34 @@ object RelationalQueries {
     // this schema: a line is "late" when it ships > 60 days after its
     // order date; count each late line whose supplier was the ONLY late
     // supplier on a multi-supplier finalized order. The oracle states it
-    // as correlated EXISTS / NOT EXISTS; the Spark plan is the canonical
-    // aggregation-based decorrelation — ONE pass over lineitem⋈orders
-    // derives per-order supplier/late-supplier cardinalities, and the
-    // double-exists collapses to (n_supp > 1 AND n_late_supp = 1): no
-    // correlated re-scans of lineitem, two shuffles total (orderkey,
-    // then s_name), supplier dim broadcast by AQE.
+    // as correlated EXISTS / NOT EXISTS; the Spark plan decorrelates
+    // with WINDOW aggregates over the join output — the double-exists
+    // collapses to per-l_orderkey MIN/MAX: "another supplier exists" ⟺
+    // min(suppkey)≠max(suppkey), "no OTHER late supplier" ⟺ min(late
+    // suppkey)=max(late suppkey) given the current row is late. So
+    // lineitem is scanned ONCE, all four aggregates run in a single
+    // window pass (plain min/max — constant state per order, no set
+    // buffering), and the only full-width exchange is the narrow
+    // (orderkey, suppkey, late) projection (the previous
+    // two-aggregation + self-join shape scanned and shuffled
+    // lineitem⋈orders twice). Holds at any scale.
     "q44_waiting_suppliers" -> ((s, d) => {
-      val lo = lineitem(s, d)
+      val w = Window.partitionBy(col("l_orderkey"))
+      val lateSk = when(col("late"), col("l_suppkey"))
+      lineitem(s, d)
         .join(orders(s, d).filter(col("o_orderstatus") === "F"),
           col("l_orderkey") === col("o_orderkey"))
         .withColumn("late",
           col("l_shipdate") > date_add(col("o_orderdate"), 60))
-      val perOrder = lo.groupBy(col("l_orderkey").as("ok"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("late"), col("l_suppkey")))
-            .as("n_late_supp"))
-        .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
-      lo.filter(col("late"))
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .join(perOrder, col("l_orderkey") === col("ok"))
-        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_suppkey"), col("late"),
+          min(col("l_suppkey")).over(w).as("sk_min"),
+          max(col("l_suppkey")).over(w).as("sk_max"),
+          min(lateSk).over(w).as("late_min"),
+          max(lateSk).over(w).as("late_max"))
+        .filter(col("late") && col("sk_min") =!= col("sk_max") &&
+          col("late_min") === col("late_max"))
+        .join(broadcast(supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name").asc)

@@ -606,4 +606,36 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
       s"q49 re-scans the fact instead of reusing the partials' " +
         s"exchange:\n${plan.toString.take(1500)}")
   }
+
+  test("plan quality: q44 scans lineitem once; window rides the join shuffle") {
+    // the double-EXISTS decorrelation computes per-order cardinalities
+    // as WINDOW aggregates over the join output instead of a second
+    // aggregation joined back — so the fact is scanned once and the
+    // only hash exchanges are the join's own (+ the final small s_name
+    // aggregation). The previous shape paid two full lineitem⋈orders
+    // scans and two extra orderkey shuffles — 2× the dominant-stage
+    // I/O at 100 TB.
+    val df = SparkEntry.queries("q44_waiting_suppliers")(spark,
+      "/root/testdata/sf0.001")
+    df.collect(): Unit // finalize THIS df's adaptive plan
+    val plan = df.queryExecution.executedPlan
+    def finalized(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+      }
+    // an AQE plan's toString appends "== Initial Plan ==" — count only
+    // the FINAL section or every node double-counts
+    val roots = (plan +: finalized(plan)).map(
+      _.toString.split("== Initial Plan ==").head)
+    val lineitemScans = roots
+      .map(s => "lineitem".r.findAllIn(s).length).max
+    assert(lineitemScans <= 1,
+      s"q44 must scan lineitem once:\n${plan.toString.take(1500)}")
+    val hashExchanges = roots
+      .map(s => "Exchange hashpartitioning".r.findAllIn(s).length).max
+    assert(hashExchanges <= 3,
+      s"q44 window must ride the join's orderkey shuffle " +
+        s"($hashExchanges hash exchanges):\n${plan.toString.take(1500)}")
+  }
 }
