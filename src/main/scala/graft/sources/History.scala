@@ -653,9 +653,11 @@ object History {
     * both versions (untouched by every commit in the window) are never
     * read, so a keyed [[mergeInto]] on a 100 TB lake diffs in
     * O(rewritten files), not O(lake). Within the differing file sets
-    * the row delta is an exact multiset difference (`exceptAll` both
-    * ways): survivor rows copied by a rewrite into a new file cancel
-    * out, duplicates count per-occurrence. Compaction/cluster commits
+    * the row delta is an exact multiset difference computed on
+    * xxhash64(row) counts — each side shuffles a few bytes per row,
+    * never full-width rows; only genuinely-changed rows are carried to
+    * the output: survivor rows copied by a rewrite into a new file
+    * cancel out, duplicates count per-occurrence. Compaction/cluster commits
     * (pure rewrites) therefore produce an EMPTY feed — the table
     * content didn't change. Both versions must still be retained
     * (within the vacuum grace); fails loudly otherwise, like time
@@ -675,9 +677,10 @@ object History {
     val b = resolve(toVersion)
     val removed = (a.curSet -- b.curSet).toSeq.sorted
     val added = (b.curSet -- a.curSet).toSeq.sorted
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{abs, coalesce, lit, row_number,
+      struct, xxhash64}
     // empty side: keep the lake schema (donor file + filter false) so
-    // exceptAll resolves; a fully-unchanged window yields zero rows
+    // the diff resolves; a fully-unchanged window yields zero rows
     def planSide(files: Seq[String], donorOf: FileManifest.Manifest) =
       if (files.nonEmpty) planManifest(spark, fs, root,
         FileManifest.Manifest(toVersion, files, Nil))
@@ -686,9 +689,43 @@ object History {
         .filter(lit(false))
     val addedDf = planSide(added, if (b.cur.nonEmpty) b else a)
     val removedDf = planSide(removed, if (a.cur.nonEmpty) a else b)
-    addedDf.exceptAll(removedDf).withColumn("_change", lit("insert"))
-      .unionByName(
-        removedDf.exceptAll(addedDf).withColumn("_change", lit("delete")))
+    // HASH-PROJECTED multiset diff, not exceptAll: exceptAll both ways
+    // scans each side twice and shuffles FULL-WIDTH rows four times —
+    // on a wide table the diff shuffle is 2× the rewritten bytes. Here
+    // each side shuffles once as (xxhash64(row), count) — a few bytes
+    // per row regardless of width — the per-hash count delta says how
+    // many copies changed, and only the rows whose hash actually has a
+    // nonzero delta (the real changes, not the survivor copies a
+    // rewrite carried over) are shuffled full-width to pick their
+    // images: row_number within the hash keeps exactly |delta| of the
+    // identical copies. (64-bit row-hash collisions could in principle
+    // cross two distinct images; at O(rewritten-file) row counts the
+    // probability is ~n²/2⁶⁴ — negligible against the cost of carrying
+    // full rows through every shuffle.)
+    val cols = addedDf.columns
+    def rowHash(df: DataFrame) =
+      df.withColumn("__graft_h", xxhash64(struct(cols.map(col): _*)))
+    def counted(df: DataFrame, n: String) =
+      rowHash(df).groupBy(col("__graft_h")).agg(count(lit(1)).as(n))
+    val delta = counted(addedDf, "__na")
+      .join(counted(removedDf, "__nr"), Seq("__graft_h"), "full_outer")
+      .select(col("__graft_h"),
+        (coalesce(col("__na"), lit(0L)) - coalesce(col("__nr"), lit(0L)))
+          .as("__d"))
+      .filter(col("__d") =!= 0L)
+    def images(df: DataFrame, insertSide: Boolean, tag: String) = {
+      val mine = if (insertSide) delta.filter(col("__d") > 0L)
+        else delta.filter(col("__d") < 0L)
+      rowHash(df).join(mine, Seq("__graft_h"))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__graft_h")).orderBy(col("__graft_h"))))
+        .filter(col("__rn") <= abs(col("__d")))
+        .select(cols.map(col): _*)
+        .withColumn("_change", lit(tag))
+    }
+    images(addedDf, insertSide = true, "insert")
+      .unionByName(images(removedDf, insertSide = false, "delete"))
   }
 
   /** Bring the per-file stats sidecar up to date (footer-reads only

@@ -38,6 +38,26 @@ class LakeChangeFeedSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
   }
 
+  test("the diff shuffles hashes, not full-width rows") {
+    // changesBetween's multiset diff projects each side to
+    // (xxhash64(row), count) before shuffling; only rows whose hash
+    // delta is nonzero carry their full image to the output. The plan
+    // must show the hash aggregation and NO exceptAll machinery
+    // (ReplicateRows / sum-of-flags), whose four full-width shuffles
+    // would be 2x the rewritten bytes on a wide table.
+    val lake = docsLake()
+    History.deleteWhere(spark, lake, col("doc_id") === 2L): Unit
+    val f = fs(lake)
+    val vs = FileManifest.versions(f, lake)
+    val feed = History.changesBetween(spark, lake, vs.head, vs.last)
+    val plan = feed.queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64"), plan.take(1200))
+    assert(!plan.contains("ReplicateRows"), plan.take(1200))
+    // and the answer is still the exact multiset delta
+    assert(feed.select("doc_id", "_change").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((2L, "delete")))
+  }
+
   test("ticks deliver net diffs exactly once; empty diffs advance") {
     val lake = docsLake()
     val out = fresh("graft-cdf-out")
