@@ -80,7 +80,7 @@ object FileManifest {
 
   /** Partition directory of a lake-relative entry path — the shard key.
     * Root-level files (unpartitioned lakes) shard under ".". */
-  private[sources] def entryDir(rel: String): String = {
+  private[graft] def entryDir(rel: String): String = {
     val i = rel.lastIndexOf('/')
     if (i < 0) "." else rel.substring(0, i)
   }

@@ -134,17 +134,25 @@ object FileStats {
     * `colName`: footer-read only the current files missing an entry FOR
     * THAT COLUMN, drop entries for files no longer current or retired
     * (vacuum fodder), publish atomically. Entries for other columns are
-    * retained untouched — per-column refresh cadences compose. Returns
-    * the number of newly statted files. Run from the lake's writer
-    * sequence like any maintenance op. */
+    * retained untouched — per-column refresh cadences compose. With
+    * `onlyFiles` the candidate set is restricted to those files (the
+    * change-feed-driven maintenance path: the caller already knows
+    * which files a commit range added, so nothing else is considered).
+    * Returns the number of newly statted files. Run from the lake's
+    * writer sequence like any maintenance op. */
   def refresh(fs: FileSystem, conf: Configuration, lakePath: String,
-              colName: String): Int = {
+              colName: String,
+              onlyFiles: Option[Seq[String]] = None): Int = {
     val m = FileManifest.latest(fs, lakePath).getOrElse(
       throw new IllegalStateException(
         s"stats refresh needs a manifest-mode lake: $lakePath"))
     val have = read(fs, lakePath)
     val qRoot = fs.makeQualified(new Path(lakePath))
-    val missing = m.cur.filterNot(rel => have.contains((rel, colName)))
+    val scope = onlyFiles match {
+      case Some(fl) => val cs = m.curSet; fl.filter(cs)
+      case None => m.cur
+    }
+    val missing = scope.filterNot(rel => have.contains((rel, colName)))
     // footer reads are independent KB-scale metadata fetches — run them
     // on the same bounded pool as commit renames (matters on object
     // stores where each footer is a round-trip)

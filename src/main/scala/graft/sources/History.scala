@@ -739,6 +739,49 @@ object History {
     FileStats.refresh(fs, spark.sparkContext.hadoopConfiguration, path, tsCol)
   }
 
+  /** The files ADDED by the commits in (fromVersion, toVersion] — the
+    * exact scope a change-feed-driven maintenance agent must index.
+    * Both versions must still be retained (like time travel). */
+  def filesAddedBetween(spark: SparkSession, path: String,
+                        fromVersion: Long, toVersion: Long): Seq[String] = {
+    require(fromVersion <= toVersion,
+      s"filesAddedBetween: fromVersion $fromVersion > toVersion $toVersion")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def resolve(v: Long) = FileManifest.at(fs, path, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"manifest version $v not retained at $path"))
+    (resolve(toVersion).curSet -- resolve(fromVersion).curSet).toSeq.sorted
+  }
+
+  /** CHANGE-FEED-DRIVEN index maintenance: bring the stats / key-index
+    * entries up to date for exactly the files the commits in
+    * (fromVersion, toVersion] added — the shard index already knows
+    * them, so the maintenance agent that tails delivered `changes-*`
+    * ranges never lists the lake or diffs the full sidecar ("files
+    * lacking an entry") to find its work. Idempotent per range: a
+    * replayed window finds every file already indexed and does
+    * nothing. Returns the number of files newly statted / indexed. */
+  def refreshStatsForRange(spark: SparkSession, path: String,
+      tsCol: String, fromVersion: Long, toVersion: Long): Int = {
+    val added = filesAddedBetween(spark, path, fromVersion, toVersion)
+    if (added.isEmpty) return 0
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    FileStats.refresh(fs, spark.sparkContext.hadoopConfiguration, path,
+      tsCol, onlyFiles = Some(added))
+  }
+
+  /** [[refreshStatsForRange]] for the bloom key index: builds filters
+    * for exactly the range's added files, rewriting only their dirs'
+    * shards. */
+  def refreshKeyIndexForRange(spark: SparkSession, path: String,
+      keyCol: String, fromVersion: Long, toVersion: Long): Int = {
+    val added = filesAddedBetween(spark, path, fromVersion, toVersion)
+    if (added.isEmpty) return 0
+    FileBloomIndex.refresh(spark, path, keyCol, onlyFiles = Some(added))
+  }
+
   /** Stats-pruned pinned read: plan only the manifest files whose
     * footer [min,max] of `tsCol` can overlap [lo, hi] — the
     * within-partition half of scan planning (partition pruning handles

@@ -106,4 +106,27 @@ object LakeChangeFeed {
       throw new java.io.IOException(s"change-feed publish failed: $dest")
     Some((from, latest))
   }
+
+  /** [[tick]] + CHANGE-FEED-DRIVEN index maintenance in one delivery
+    * agent: after a range (from, to] is delivered (or found already
+    * delivered — replays must converge the indexes too), bring the
+    * stats sidecar / bloom key index up to date for EXACTLY the files
+    * that range's commits added ([[History.refreshStatsForRange]] /
+    * [[History.refreshKeyIndexForRange]]) — the agent never lists the
+    * lake or diffs a full sidecar to find its work, so maintenance
+    * cost follows the change rate, not the lake size. Idempotent per
+    * range, like the delivery itself. */
+  def tickWithMaintenance(spark: SparkSession, lakePath: String,
+      outDir: String, statsCols: Seq[String] = Nil,
+      keyCols: Seq[String] = Nil,
+      fromVersion: Option[Long] = None): Option[(Long, Long)] = {
+    val range = tick(spark, lakePath, outDir, fromVersion)
+    range.foreach { case (from, to) =>
+      statsCols.foreach(c =>
+        History.refreshStatsForRange(spark, lakePath, c, from, to): Unit)
+      keyCols.foreach(c =>
+        History.refreshKeyIndexForRange(spark, lakePath, c, from, to): Unit)
+    }
+    range
+  }
 }

@@ -58,6 +58,51 @@ class LakeChangeFeedSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((2L, "delete")))
   }
 
+  test("a maintenance tick refreshes exactly the delivered range's files") {
+    import graft.sources.FileBloomIndex
+    val lake = docsLake()
+    History.refreshKeyIndex(spark, lake, "doc_id"): Unit
+    History.refreshStats(spark, lake, "n_chars"): Unit
+    val out = fresh("graft-cdf-maint")
+    LakeChangeFeed.tickWithMaintenance(spark, lake, out,
+      statsCols = Seq("n_chars"), keyCols = Seq("doc_id")): Unit // baseline
+
+    // a takedown rewrites one file; the next tick delivers the range
+    // AND indexes exactly the rewritten file — derived from the
+    // version diff, never from listing the lake
+    val f = fs(lake)
+    val v0 = FileManifest.latestVersion(f, lake).get
+    History.deleteKeys(spark, lake, "doc_id", Seq(2L)): Unit
+    val v1 = FileManifest.latestVersion(f, lake).get
+    val added = History.filesAddedBetween(spark, lake, v0, v1)
+    assert(added.nonEmpty)
+
+    val wBefore = FileBloomIndex.shardWrites.get()
+    val range = LakeChangeFeed.tickWithMaintenance(spark, lake, out,
+      statsCols = Seq("n_chars"), keyCols = Seq("doc_id"))
+    assert(range === Some((v0, v1)))
+    // the key-index refresh touched only the added files' dirs' shards
+    assert(FileBloomIndex.shardWrites.get() - wBefore ===
+      added.map(FileManifest.entryDir).distinct.size.toLong)
+    // every added file is now indexed and statted
+    val idx = FileBloomIndex.readFor(f, lake, "doc_id", added)
+    assert(added.forall(idx.contains))
+    val stats = graft.sources.FileStats.read(f, lake)
+    assert(added.forall(rel => stats.contains((rel, "n_chars"))))
+
+    // a follow-up tick with no new commits: nothing delivered, and the
+    // maintenance half does zero index work
+    val wReplay = FileBloomIndex.shardWrites.get()
+    assert(LakeChangeFeed.tickWithMaintenance(spark, lake, out,
+      statsCols = Seq("n_chars"), keyCols = Seq("doc_id")) === None)
+    assert(FileBloomIndex.shardWrites.get() === wReplay,
+      "an idle maintenance tick must touch no shards")
+    // pruned keyed lookups still answer exactly post-maintenance
+    val got = History.readPinnedKeyed(spark, lake, "doc_id", Seq(1L, 2L, 3L))
+    assert(got.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      === Seq(1L, 3L))
+  }
+
   test("ticks deliver net diffs exactly once; empty diffs advance") {
     val lake = docsLake()
     val out = fresh("graft-cdf-out")
