@@ -251,6 +251,20 @@ object FileManifest {
     }
   }
 
+  private def putShardCache(key: (String, String),
+      entry: (Seq[String], Seq[(Long, String)])): Unit =
+    shardCache.synchronized {
+      val prev = shardCache.put(key, entry)
+      if (prev != null) shardCachedLines -= shardWeight(prev)
+      shardCachedLines += shardWeight(entry)
+      val it = shardCache.entrySet().iterator()
+      while ((shardCache.size() > cacheCap ||
+          shardCachedLines > cacheMaxLines) && it.hasNext) {
+        shardCachedLines -= shardWeight(it.next().getValue)
+        it.remove()
+      }
+    }
+
   /** Parse one shard file (cached; immutable + uniquely named). */
   private def readShard(fs: FileSystem, lakePath: String,
                         name: String): (Seq[String], Seq[(Long, String)]) = {
@@ -264,17 +278,7 @@ object FileManifest {
         case Right(_) => throw new java.io.IOException(
           s"shard file $name contains shard lines (nested sharding)")
       }
-      shardCache.synchronized {
-        val prev = shardCache.put(key, entry)
-        if (prev != null) shardCachedLines -= shardWeight(prev)
-        shardCachedLines += shardWeight(entry)
-        val it = shardCache.entrySet().iterator()
-        while ((shardCache.size() > cacheCap ||
-            shardCachedLines > cacheMaxLines) && it.hasNext) {
-          shardCachedLines -= shardWeight(it.next().getValue)
-          it.remove()
-        }
-      }
+      putShardCache(key, entry)
       entry
     }
   }
@@ -407,7 +411,17 @@ object FileManifest {
     * from the previous sharded version REUSE its shard file by name
     * (zero bytes rewritten); the root lists (shard, dir) pairs and
     * commits by the same atomic rename. Crash before the root rename
-    * leaves only unreferenced shard files — vacuumed past grace. */
+    * leaves only unreferenced shard files — vacuumed past grace.
+    *
+    * '''Cold-writer bootstrap cost''' (companion to the single-writer
+    * contract): the reuse check compares each dir's entries against
+    * the previous version's shard, so the FIRST sharded commit of a
+    * new writer process reads every prior shard once — O(dirs), the
+    * same as one full manifest read. Every shard it reads OR writes is
+    * cached (immutable + uniquely named, no invalidation), so from the
+    * second commit on, a warm writer reads zero prior shard files and
+    * pays only O(touched dirs) in writes — spec-asserted via
+    * [[shardFileReads]] in `ShardedManifestSpec`. */
   private def publishSharded(fs: FileSystem, lakePath: String,
                              m: Manifest): Unit = {
     val dest = versionPath(lakePath, m.version)
@@ -455,6 +469,11 @@ object FileManifest {
         }
         atomicWrite(fs, shardDest,
           flatContent(Manifest(m.version, entry._1, entry._2)))
+        // cache what was just written: the writer's NEXT publish
+        // reuse-checks this name and its next readVersion reassembles
+        // it — neither should pay a physical re-read of bytes this
+        // process just produced
+        putShardCache((qLake, n), entry)
         n
       }
       s"shard\t$name\t$dir"

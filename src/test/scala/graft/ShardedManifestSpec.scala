@@ -333,6 +333,34 @@ class ShardedManifestSpec extends AnyFunSuite {
       Seq(1L, 2L, 3L, 4L, 5L, 6L))
   }
 
+  test("a warm writer's next commit reads zero prior shard files") {
+    // the cold-writer bootstrap reads every prior shard once (the
+    // reuse check needs the previous entries); after that, everything
+    // the writer read or WROTE is cached — so the steady-state commit
+    // cost is O(touched dirs) of writes with no physical re-reads
+    val lake = docsLake()
+    History.enableManifests(spark, lake): Unit
+    History.enableShardedManifests(spark, lake): Unit
+    val fs = hadoopFs(lake)
+    // first post-conversion commit: may read prior shards (bootstrap)
+    val m1 = FileManifest.latest(fs, lake).get
+    FileManifest.publish(fs, lake, FileManifest.Manifest(
+      m1.version + 1, m1.cur.filterNot(_.startsWith("lang=fr/")),
+      m1.retired ++ m1.cur.filter(_.startsWith("lang=fr/")).map((1L, _))))
+    // second commit from the same process: zero physical shard reads —
+    // resolve latest (reassembles all shards) + publish (reuse-checks
+    // every dir) must both be served from the cache
+    val before = FileManifest.shardFileReads.get()
+    val m2 = FileManifest.latest(fs, lake).get
+    FileManifest.publish(fs, lake, FileManifest.Manifest(
+      m2.version + 1, m2.cur.filterNot(_.startsWith("lang=de/")),
+      m2.retired ++ m2.cur.filter(_.startsWith("lang=de/")).map((2L, _))))
+    val delta = FileManifest.shardFileReads.get() - before
+    assert(delta === 0L,
+      s"warm-writer commit must be read-free, paid $delta shard reads")
+    assert(ids(History.readPinned(spark, lake)) === Seq(1L, 2L, 3L))
+  }
+
   test("unpartitioned lakes shard under the root dir key") {
     import spark.implicits._
     val lake = freshLake()
