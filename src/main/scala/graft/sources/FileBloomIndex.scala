@@ -32,9 +32,10 @@ import org.apache.spark.sql.types.DataType
   *    dirs those files landed in — O(changed partitions), never the
   *    index ([[shardWrites]]/[[shardReads]] make both spec-assertable);
   *  - shard rewrites prune entries for files no longer live in THEIR
-  *    dir; a dir whose files all vanish keeps a stale shard until its
-  *    next rewrite — stale entries are never probed (probes iterate
-  *    the manifest's current set), they only cost disk.
+  *    dir; stale entries are never probed (probes iterate the
+  *    manifest's current set) and the shard of a VANISHED dir is
+  *    reclaimed by [[History.vacuum]] past grace ([[vacuumShards]],
+  *    via each shard's `#dir` header line).
   *
   * Built with the engine's own native `bloom_build` aggregate in ONE
   * distributed job over the not-yet-indexed files (grouped by
@@ -177,6 +178,10 @@ object FileBloomIndex {
     val out = fs.create(tmp, true)
     try {
       val sb = new StringBuilder
+      // header records the (un-hashable-from-md5) partition dir so
+      // vacuum can reclaim shards of vanished partitions; parseShard
+      // skips it like any non-entry line
+      sb.append("#dir\t").append(dir).append('\n')
       entries.toSeq.sortBy(_._1).foreach { case (rel, e) =>
         sb.append(rel).append('\t')
           .append(java.util.Base64.getEncoder.encodeToString(e.filter))
@@ -203,6 +208,65 @@ object FileBloomIndex {
         if (e.getKey._1 == q) { cachedBytes -= weight(e.getValue); it.remove() }
       }
     }
+  }
+
+  /** Key columns with an index under this lake (the `bloom-<col>`
+    * sidecar dirs present on disk). */
+  def indexedColumns(fs: FileSystem, lakePath: String): Seq[String] = {
+    val statsDir = new Path(s"$lakePath/_stats")
+    if (!fs.exists(statsDir)) Nil
+    else fs.listStatus(statsDir).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bloom-"))
+      .map(_.getPath.getName.stripPrefix("bloom-")).toSeq.sorted
+  }
+
+  /** Reclaim shards of VANISHED partitions: a dir whose files were all
+    * expired/deleted keeps its (heavy, ~24 KB/entry) shard forever —
+    * refresh only rewrites dirs that gain files. Called from
+    * [[History.vacuum]] with the live dir set and the grace cutoff;
+    * reads one header line per candidate shard, never the filters.
+    * Headerless (pre-header or corrupted) shards are left alone —
+    * reclaiming them would need the full parse this path avoids.
+    * Returns the number of shards deleted. */
+  def vacuumShards(fs: FileSystem, lakePath: String,
+                   liveDirs: Set[String], cutoffMtime: Long): Int = {
+    var deleted = 0
+    indexedColumns(fs, lakePath).foreach { colName =>
+      val dir = new Path(indexDir(lakePath, colName))
+      fs.listStatus(dir)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".shard") &&
+          s.getModificationTime <= cutoffMtime)
+        .foreach { s =>
+          val header = scala.util.Try {
+            val in = fs.open(s.getPath)
+            try {
+              val r = new java.io.BufferedReader(
+                new java.io.InputStreamReader(in, "UTF-8"))
+              Option(r.readLine())
+            } finally in.close()
+          }.toOption.flatten
+          header match {
+            case Some(l) if l.startsWith("#dir\t") =>
+              val d = l.stripPrefix("#dir\t")
+              if (!liveDirs(d)) {
+                fs.delete(s.getPath, false): Unit
+                deleted += 1
+                val q = fs.makeQualified(s.getPath).toString
+                shardCache.synchronized {
+                  val it = shardCache.entrySet().iterator()
+                  while (it.hasNext) {
+                    val e = it.next()
+                    if (e.getKey._1 == q) {
+                      cachedBytes -= weight(e.getValue); it.remove()
+                    }
+                  }
+                }
+              }
+            case _ => () // headerless/corrupt: keep (only costs disk)
+          }
+        }
+    }
+    deleted
   }
 
   /** The exact hash the index probes with: the same Catalyst

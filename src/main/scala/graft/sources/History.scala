@@ -1005,6 +1005,13 @@ object History {
         fs.delete(new org.apache.hadoop.fs.Path(
           FileManifest.shardsDir(path), name), false): Unit
       }
+    // bloom-index shards of VANISHED partitions (no live or retired
+    // file left under their dir — e.g. after expirePartitions): refresh
+    // never rewrites a dir that gains no files, so without this the
+    // ~24 KB/entry shards of dead partitions would accrete forever
+    val liveDirs = (m.cur ++ kept.map(_._2))
+      .map(FileManifest.entryDir).toSet
+    FileBloomIndex.vacuumShards(fs, path, liveDirs, cutoff): Unit
     // drop emptied partition dirs (an expired partition after its files
     // are reclaimed), then emptied region parents
     FileManifest.listPartitionDirs(fs, qRoot)

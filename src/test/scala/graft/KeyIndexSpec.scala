@@ -212,6 +212,34 @@ class KeyIndexSpec extends AnyFunSuite {
       "repeated keyed read must hit the shard cache")
   }
 
+  test("vacuum reclaims the index shard of a vanished partition") {
+    val lake = stringKeyLake()
+    val fs = hadoopFs(lake)
+    val deShard = new org.apache.hadoop.fs.Path(
+      FileBloomIndex.indexDir(lake, "url"),
+      FileBloomIndex.shardFileName("lang=de"))
+    val enShard = new org.apache.hadoop.fs.Path(
+      FileBloomIndex.indexDir(lake, "url"),
+      FileBloomIndex.shardFileName("lang=en"))
+    assert(fs.exists(deShard) && fs.exists(enShard))
+
+    // delete every lang=de row: its files retire, the dir empties —
+    // refresh would never touch it again, so only vacuum can reclaim
+    // its (heavy) shard
+    import org.apache.spark.sql.functions.col
+    History.deleteWhere(spark, lake, col("lang") === "de"): Unit
+    History.vacuum(spark, lake, graceMs = 0L): Unit
+    assert(!fs.exists(deShard),
+      "vanished partition's bloom shard must be vacuumed")
+    assert(fs.exists(enShard),
+      "live partition's bloom shard must survive vacuum")
+    // the surviving index still prunes and answers exactly
+    val got = History.readPinnedKeyed(spark, lake, "url",
+      Seq("url://host/42", "url://host/43"))
+    assert(got.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      === Seq(42L), "43 was lang=de and is deleted")
+  }
+
   test("refresh after files land in one partition rewrites one shard") {
     import spark.implicits._
     val lake = stringKeyLake()
