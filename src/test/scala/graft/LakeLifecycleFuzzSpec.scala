@@ -9,7 +9,14 @@ import graft.sources.{FileManifest, History}
   * vacuum ops runs against both the real lake and an in-memory model,
   * and the pinned image must equal the model after EVERY op — the
   * composition coverage (delete after cluster after merge after
-  * append …) that targeted specs can't enumerate. */
+  * append …) that targeted specs can't enumerate.
+  *
+  * Keyed mode adds the bloom-key-index lifecycle to the mix
+  * (deleteKeys takedowns, index refreshes at random times) and
+  * cross-checks a keyed point-lookup against the model after EVERY op
+  * — the index is deliberately allowed to go stale between refreshes,
+  * so this continuously exercises the "stale or absent index only
+  * costs scan width, never rows" contract under composition. */
 class LakeLifecycleFuzzSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
 
@@ -44,7 +51,8 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
   }
 
   private def runSequence(seed: Long, nOps: Int,
-                          sharded: Boolean = false): Unit = {
+                          sharded: Boolean = false,
+                          keyed: Boolean = false): Unit = {
     val rnd = new scala.util.Random(seed)
     val lake = java.nio.file.Files
       .createTempDirectory(s"graft-fuzz-$seed").toString + "/lake"
@@ -61,11 +69,12 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
     toDF(init).coalesce(2).write.partitionBy("part").parquet(lake)
     History.enableManifests(spark, lake): Unit
     if (sharded) History.enableShardedManifests(spark, lake): Unit
+    if (keyed) History.refreshKeyIndex(spark, lake, "id"): Unit
     init.foreach { case (id, p, v) => model(id) = (p, v) }
     assert(img(lake) === model.toMap, s"seed=$seed init")
 
     for (op <- 0 until nOps) {
-      val pick = rnd.nextInt(10)
+      val pick = rnd.nextInt(if (keyed) 12 else 10)
       val desc: String = pick match {
         case 0 | 1 => // append a fresh batch
           val rows = freshRows(1 + rnd.nextInt(8))
@@ -109,11 +118,34 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
         case 7 | 8 => // cluster rewrite: contents must not change
           History.clusterBy(spark, lake, "id", 1 + rnd.nextInt(4)): Unit
           "cluster"
-        case _ => // reclaim everything reclaimable
+        case 9 => // reclaim everything reclaimable
           History.vacuum(spark, lake, graceMs = 0L): Unit
           "vacuum"
+        case 10 => // keyed takedown: live victims + one absent key
+          val live = rnd.shuffle(model.keys.toSeq.sorted)
+            .take(rnd.nextInt(4))
+          val victims = live :+ (nextId + 555L)
+          History.deleteKeys(spark, lake, "id", victims): Unit
+          victims.foreach(model.remove)
+          s"deleteKeys ${live.size}"
+        case _ => // bring the key index up to date (case 11)
+          val n = History.refreshKeyIndex(spark, lake, "id")
+          s"refreshIndex $n"
       }
       assert(img(lake) === model.toMap, s"seed=$seed op#$op [$desc]")
+      if (keyed) {
+        // point-lookup cross-check on a live sample + two absent keys;
+        // the index may be arbitrarily stale here — staleness must
+        // only cost planned files, never rows
+        import spark.implicits._
+        val probes = model.keys.toSeq.sorted.take(5) ++
+          Seq(nextId + 1000L, nextId + 2000L)
+        val got = History.readPinnedKeyed(spark, lake, "id", probes)
+          .select("id", "part", "v").as[(Long, String, Long)].collect()
+          .map { case (id, p, v) => id -> (p, v) }.toMap
+        val want = probes.flatMap(id => model.get(id).map(id -> _)).toMap
+        assert(got === want, s"seed=$seed op#$op [$desc] keyed lookup")
+      }
     }
     // after a final vacuum the plain directory read agrees too (no
     // retired/orphan files left to double-count)
@@ -164,12 +196,21 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
     runSequence(seed = 99L, nOps = 10, sharded = true)
   }
 
+  test("keyed mode: takedowns + stale-index lookups agree (seed 3)") {
+    runSequence(seed = 3L, nOps = 10, keyed = true)
+  }
+
+  test("keyed + sharded: the full metadata stack agrees (seed 13)") {
+    runSequence(seed = 13L, nOps = 10, sharded = true, keyed = true)
+  }
+
   // Deep sweep for bug hunts — opt-in (SPARK_GRAFT_DEEP_FUZZ=1) so the
   // default suite stays fast; longer sequences and more seeds over
-  // both manifest modes.
+  // both manifest modes, half with the keyed-index lifecycle mixed in.
   test("deep fuzz: long sequences across both manifest modes (opt-in)") {
     assume(sys.env.get("SPARK_GRAFT_DEEP_FUZZ").contains("1"))
     for (seed <- Seq(5L, 11L, 23L, 47L, 101L, 211L))
-      runSequence(seed, nOps = 25, sharded = seed % 2 == 1)
+      runSequence(seed, nOps = 25, sharded = seed % 2 == 1,
+        keyed = Seq(23L, 101L, 211L).contains(seed))
   }
 }
