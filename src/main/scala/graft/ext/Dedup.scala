@@ -36,7 +36,7 @@ object Dedup {
   val minhashPrime = 4294967291L
 
   def baseHash(shingle: Column): Column =
-    conv(substring(md5(shingle), 1, 8), 16, 10).cast("bigint")
+    graft.functions.Md5Prefix.md5_prefix(shingle, 8)
 
   /** MinHash signatures: one row per doc with mh0..mh{k-1}.
     * Input: docs exploded to (id, shingle). Partial (map-side) min

@@ -26,9 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object KMV {
 
-  /** 48-bit md5 prefix as a non-negative bigint — exact in a double. */
+  /** 48-bit md5 prefix as a non-negative bigint — exact in a double.
+    * Native [[graft.functions.Md5Prefix]]: value-identical to
+    * `conv(substring(md5(c),1,12),16,10)` (what the oracle computes)
+    * without the per-word hex-string/substring/radix-parse
+    * allocations. */
   def hash48(c: Column): Column =
-    conv(substring(md5(c), 1, 12), 16, 10).cast("bigint")
+    graft.functions.Md5Prefix.md5_prefix(c, 12)
 
   val hashSpace: Double = 281474976710656.0 // 2^48
 

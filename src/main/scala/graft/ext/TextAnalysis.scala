@@ -146,7 +146,7 @@ object TextAnalysis {
     * t13 deterministic split (`bucket % 10`) and [[stratifiedKeep]] —
     * DuckDB mirror: `('0x' || substr(md5(CAST(id AS VARCHAR)),1,8))::BIGINT`. */
   def md5Bucket(idCol: Column): Column =
-    conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("bigint")
+    graft.functions.Md5Prefix.md5_prefix(idCol.cast("string"), 8)
 
   def stratifiedKeep(idCol: Column, stratumCol: Column,
                      rates: Map[String, Double]): Column = {

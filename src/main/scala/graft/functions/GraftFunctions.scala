@@ -28,7 +28,8 @@ object GraftFunctions {
     ("cms_build", classOf[CountMinAgg].getName, CountMin.buildSqlBuilder),
     ("cms_estimate", classOf[CmsEstimate].getName,
       CountMin.estimateSqlBuilder),
-    ("cms_merge", classOf[CmsMergeAgg].getName, CountMin.mergeSqlBuilder))
+    ("cms_merge", classOf[CmsMergeAgg].getName, CountMin.mergeSqlBuilder),
+    ("md5_prefix", classOf[Md5Prefix].getName, Md5Prefix.sqlBuilder))
 
   /** SQL names only — what the parity test asserts against both
     * surfaces' function registries. */

@@ -18,6 +18,23 @@ class PropertySpec extends AnyFunSuite {
     Gen.zip(Gen.choose(0L, 30L), Gen.choose(-100, 100))
       .map { case (id, s) => Scored(id, s.toDouble) })
 
+  test("Md5Prefix.hash ≡ numeric value of the md5 hex prefix") {
+    // the native expression must stay bit-identical to the composed
+    // conv(substring(md5(x),1,n),16,10) form every DuckDB oracle
+    // computes — any drift silently breaks the KMV/MinHash/bucket gates
+    val genBytes = Gen.oneOf(
+      Gen.alphaNumStr.map(_.getBytes("UTF-8")),
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+        .map(_.toArray))
+    check(Prop.forAll(genBytes, Gen.oneOf(2, 4, 6, 8, 10, 12, 14)) {
+      (bytes, n) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(bytes).map("%02x".format(_)).mkString
+        val expected = java.lang.Long.parseLong(hex.take(n), 16)
+        graft.functions.Md5Prefix.hash(bytes, n) == expected
+    })
+  }
+
   test("TopK.reduce fold ≡ global sort.take(k)") {
     check(Prop.forAll(genScored, Gen.choose(1, 8)) { (xs, k) =>
       val agg = new TopK(k)
