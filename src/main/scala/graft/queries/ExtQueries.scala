@@ -501,9 +501,14 @@ object ExtQueries {
         explode(TextAnalysis.wsTokens(col("text"))).as("word"))
       val tf = words.groupBy(col("doc_id"), col("word"))
         .agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(dfreq, "word").crossJoin(broadcast(n))
+      // document frequency as a WINDOW over the tf rows (each (doc,
+      // word) row is one containing doc) — rides one hash(word)
+      // shuffle instead of a second aggregation joined back, which
+      // re-shuffled the same rows twice
+      val scored = tf
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("word"))))
+        .crossJoin(broadcast(n))
         .select(col("doc_id"), col("word"),
           round(col("tf") *
             log(col("n_docs").cast("double") / col("df").cast("double")), 6)
