@@ -50,7 +50,9 @@ object LiveMain {
       .option("maxreconnects", cfg.transis.maxReconnects.toString)
       .load()
     val records = Pipeline.payloadToRecords(raw)
-    val factory = clientFactory.getOrElse(() => new SdkKinesisClient())
+    val region = Option(cfg.kinesis.regionName).filter(_.nonEmpty)
+    val factory = clientFactory.getOrElse(
+      () => new SdkKinesisClient(region = region))
     val sink = new KinesisSink(factory, cfg.kinesis.streamName,
       cfg.kinesis.batchSize)
     val caller = procCaller.getOrElse {
@@ -60,9 +62,14 @@ object LiveMain {
       new JdbcProcCaller(cfg.di.jdbcUrl, props)
     }
     val di = new DiFramework(caller, cfg.di.schemaName, cfg.di.jobName)
+    // fail fast rather than default to a temp dir: a fresh checkpoint
+    // per launch silently discards stream progress on restart AND
+    // resets the batch-id/publish namespace (Pipeline.streamTagOf keys
+    // off this path), replaying already-delivered pushes
     val checkpoint = spark.conf.getOption("spark.graft.checkpointDir")
-      .getOrElse(java.nio.file.Files
-        .createTempDirectory("graft-live-ckpt").toString)
+      .getOrElse(throw new IllegalArgumentException(
+        "spark.graft.checkpointDir must be set: the streaming " +
+          "checkpoint is the source's exactly-once progress state"))
     val shards = spark.conf.getOption("spark.graft.kinesis.shards")
       .map(_.toInt).getOrElse(1)
     Wired(Pipeline.run(records, sink, di, checkpoint, shards), di, caller)

@@ -28,13 +28,28 @@ class SdkKinesisClient(
       "software.amazon.awssdk.services.kinesis.KinesisClient",
     modelPackage: String =
       "software.amazon.awssdk.services.kinesis.model",
-    sdkBytesClass: String = "software.amazon.awssdk.core.SdkBytes")
+    sdkBytesClass: String = "software.amazon.awssdk.core.SdkBytes",
+    region: Option[String] = None,
+    regionClass: String = "software.amazon.awssdk.regions.Region")
     extends KinesisClient {
 
   // one client per JVM-side instance, built on first put (serializable
-  // shell — executors re-bind lazily after deserialization)
-  @transient private lazy val client: AnyRef =
-    Class.forName(kinesisClientClass).getMethod("create").invoke(null)
+  // shell — executors re-bind lazily after deserialization). With a
+  // `region`, the builder path pins it EXPLICITLY — `create()` resolves
+  // from the host's default provider chain, which silently ignores the
+  // configured region (the reference passes region_name to boto3,
+  // `main.py:26`; a host defaulted to another region would put to the
+  // wrong stream with no warning).
+  @transient private lazy val client: AnyRef = region match {
+    case None =>
+      Class.forName(kinesisClientClass).getMethod("create").invoke(null)
+    case Some(r) =>
+      val regionObj = Class.forName(regionClass)
+        .getMethod("of", classOf[String]).invoke(null, r)
+      val builder =
+        Class.forName(kinesisClientClass).getMethod("builder").invoke(null)
+      call(call(builder, "region", regionObj), "build")
+  }
 
   /** Invoke the single `name` method of `target` accepting `arg`
     * (builder setters and the final call all have arity 1 or 0).

@@ -64,6 +64,15 @@ object FileBloomIndex {
   def indexDir(lakePath: String, colName: String): String =
     s"$lakePath/_stats/bloom-$colName"
 
+  /** The pre-sharding flat sidecar's path — never read anymore (its
+    * entries recorded no hash type, so probing them safely is
+    * impossible); [[refresh]] deletes it once the sharded index exists
+    * so an upgraded lake doesn't strand a heavy dead file. Until that
+    * first refresh the lake simply plans every file (prune-only-saves-
+    * work), it never loses rows. */
+  def legacyIndexPath(lakePath: String, colName: String): String =
+    s"$lakePath/_stats/bloom-$colName.index"
+
   private[graft] def shardFileName(dir: String): String =
     graft.Hashes.md5Hex(dir, 32) + ".shard"
 
@@ -200,7 +209,12 @@ object FileBloomIndex {
     shardWrites.incrementAndGet(): Unit
     // invalidate any cached parse of the replaced shard (its key pair
     // is stale, but removing frees the byte budget immediately)
-    val q = fs.makeQualified(dest).toString
+    invalidatePath(fs.makeQualified(dest).toString)
+  }
+
+  /** Drop every cached parse of one qualified shard path, releasing
+    * its byte budget — shared by shard rewrite and shard vacuum. */
+  private def invalidatePath(q: String): Unit =
     shardCache.synchronized {
       val it = shardCache.entrySet().iterator()
       while (it.hasNext) {
@@ -208,7 +222,6 @@ object FileBloomIndex {
         if (e.getKey._1 == q) { cachedBytes -= weight(e.getValue); it.remove() }
       }
     }
-  }
 
   /** Key columns with an index under this lake (the `bloom-<col>`
     * sidecar dirs present on disk). */
@@ -251,16 +264,7 @@ object FileBloomIndex {
               if (!liveDirs(d)) {
                 fs.delete(s.getPath, false): Unit
                 deleted += 1
-                val q = fs.makeQualified(s.getPath).toString
-                shardCache.synchronized {
-                  val it = shardCache.entrySet().iterator()
-                  while (it.hasNext) {
-                    val e = it.next()
-                    if (e.getKey._1 == q) {
-                      cachedBytes -= weight(e.getValue); it.remove()
-                    }
-                  }
-                }
+                invalidatePath(fs.makeQualified(s.getPath).toString)
               }
             case _ => () // headerless/corrupt: keep (only costs disk)
           }
@@ -269,19 +273,45 @@ object FileBloomIndex {
     deleted
   }
 
+  /** TRY-cast `value` to `dt` as a typed Catalyst literal. None when
+    * the value cannot be represented in `dt` (e.g. a URL string probed
+    * against a Long-built index) — such a key can't exist in the
+    * column, so "matches nothing" is the correct answer, NOT an error:
+    * a takedown list routinely mixes key shapes, and under this
+    * build's ANSI default a plain Cast would throw mid-prune. Also
+    * None for runtime types `Literal` doesn't support. */
+  def tryCastLiteral(value: Any, dt: DataType)
+      : Option[org.apache.spark.sql.catalyst.expressions.Literal] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+    scala.util.Try {
+      val raw = Literal(value)
+      if (raw.dataType == dt) Some(raw)
+      else {
+        val v = Cast(raw, dt, Some("UTC"), EvalMode.TRY).eval(null)
+        if (v == null) None else Some(Literal(v, dt))
+      }
+    }.toOption.flatten
+  }
+
   /** The exact hash the index probes with: the same Catalyst
     * `xxhash64` the build job applied to the key column, evaluated on
     * the driver for one literal value — CAST to the recorded build
     * type first, because `xxhash64` hashes each type differently and
     * a mismatched probe (Int vs Long, String vs numeric) would be a
-    * bloom false negative: silently dropped rows. */
-  def probeHash(value: Any, keyType: DataType): Long = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
-    val raw = Literal(value)
-    val typed: org.apache.spark.sql.catalyst.expressions.Expression =
-      if (raw.dataType == keyType) raw
-      else Cast(raw, keyType, Some("UTC"))
-    XxHash64(Seq(typed), 42L).eval(null).asInstanceOf[Long]
+    * bloom false negative: silently dropped rows. Throws on an
+    * uncastable value; planners use [[tryProbeHash]]. */
+  def probeHash(value: Any, keyType: DataType): Long =
+    tryProbeHash(value, keyType).getOrElse(
+      throw new IllegalArgumentException(
+        s"$value is not representable as ${keyType.simpleString}"))
+
+  /** [[probeHash]] with try-cast semantics: None when the value can't
+    * exist in a column of `keyType` (the filter then simply can't
+    * match it — never an error, never a false negative). */
+  def tryProbeHash(value: Any, keyType: DataType): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64
+    tryCastLiteral(value, keyType).map(l =>
+      XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long])
   }
 
   /** Index every manifest-current file lacking an entry (or, with
@@ -339,6 +369,10 @@ object FileBloomIndex {
           FileManifest.entryDir(rel) == dir && keep(rel) }
         writeShard(fs, lakePath, colName, dir, prior ++ entries)
       }
+    // upgraded lake: the pre-sharding flat sidecar is dead weight the
+    // sharded reader never parses — reclaim it now that shards exist
+    val legacy = new Path(legacyIndexPath(lakePath, colName))
+    if (fs.exists(legacy)) fs.delete(legacy, false): Unit
     fresh.size
   }
 }

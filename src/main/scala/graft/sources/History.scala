@@ -598,9 +598,12 @@ object History {
     val idx = FileBloomIndex.readFor(fs, path, keyCol, m.cur)
     val hashCache = scala.collection.mutable.HashMap
       .empty[org.apache.spark.sql.types.DataType, Seq[Long]]
+    // try-semantics: a value not representable in an entry's build type
+    // can't exist in that file's column — it probes nothing there (and
+    // if NO value is representable, the file is prunable outright)
     def hashes(dt: org.apache.spark.sql.types.DataType): Seq[Long] =
       hashCache.getOrElseUpdate(dt,
-        values.map(FileBloomIndex.probeHash(_, dt)))
+        values.flatMap(FileBloomIndex.tryProbeHash(_, dt)))
     val kept = m.cur.filter(rel => idx.get(rel) match {
       case Some(e) => hashes(e.keyType).exists(h =>
         graft.functions.Bloom.mightContain(e.filter, h))
@@ -633,13 +636,42 @@ object History {
     require(FileManifest.enabled(fs, path),
       s"readPinnedKeyed needs a manifest-mode lake: $path")
     val (m, kept) = bloomPrune(fs, path, keyCol, values, dirPred)
-    val planned = if (kept.nonEmpty) kept else m.cur.take(1)
-    val base = planManifest(spark, fs, root, m.copy(cur = planned))
-    import org.apache.spark.sql.functions.col
+    // schema donor chain: a fully-pruned dirPred (or a drained pruned
+    // slice) must still answer with the LAKE schema, so fall back to
+    // the full manifest's files for the zero-row donor plan
+    val full =
+      if (kept.nonEmpty || m.cur.nonEmpty) m
+      else FileManifest.latest(fs, path).get
+    val planned = if (kept.nonEmpty) kept else full.cur.take(1)
+    val base = planManifest(spark, fs, root,
+      full.copy(cur = planned))
     if (base.columns.isEmpty) base
     else if (kept.isEmpty)
       base.filter(org.apache.spark.sql.functions.lit(false))
-    else base.filter(col(keyCol).isin(values: _*))
+    else keyInFilter(base.schema(keyCol).dataType, keyCol, values) match {
+      case Some(pred) => base.filter(pred)
+      case None => base.filter(org.apache.spark.sql.functions.lit(false))
+    }
+  }
+
+  /** Exact `keyCol IN values` with every value TRY-cast to the
+    * column's actual type DRIVER-SIDE: typed literals mean the planned
+    * In needs no runtime coercion cast — under this build's ANSI
+    * default, a plan-inserted Cast of an unrepresentable key (a URL in
+    * a numeric takedown list) would THROW on the executors instead of
+    * not matching. Unrepresentable values can't equal any column value,
+    * so they drop out; None when none survive (nothing can match).
+    * Built over the unresolved column so the same predicate applies to
+    * any plan over the lake schema. */
+  private def keyInFilter(dt: org.apache.spark.sql.types.DataType,
+      keyCol: String,
+      values: Seq[Any]): Option[org.apache.spark.sql.Column] = {
+    val typed = values.flatMap(FileBloomIndex.tryCastLiteral(_, dt))
+    if (typed.isEmpty) None
+    else Some(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.In(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(keyCol)),
+        typed)))
   }
 
   /** Row-level CHANGE FEED between two retained manifest versions: the
@@ -701,10 +733,18 @@ object History {
     // identical copies. (64-bit row-hash collisions could in principle
     // cross two distinct images; at O(rewritten-file) row counts the
     // probability is ~n²/2⁶⁴ — negligible against the cost of carrying
-    // full rows through every shuffle.)
+    // full rows through every shuffle.) Spark's hash expressions SKIP
+    // null fields (the running hash passes through unchanged), so
+    // hashing the bare values would collide (a=null, b="x") with
+    // (a="x", b=null) DETERMINISTICALLY — an update swapping which
+    // nullable column holds a value would cancel out of the feed.
+    // Interleaving each column's isNull flag (never null itself) hashes
+    // the full null mask alongside the values, so two rows collide only
+    // on a genuine 64-bit accident.
     val cols = addedDf.columns
     def rowHash(df: DataFrame) =
-      df.withColumn("__graft_h", xxhash64(struct(cols.map(col): _*)))
+      df.withColumn("__graft_h", xxhash64(struct(
+        cols.flatMap(c => Seq(col(c).isNull, col(c))): _*)))
     def counted(df: DataFrame, n: String) =
       rowHash(df).groupBy(col("__graft_h")).agg(count(lit(1)).as(n))
     val delta = counted(addedDf, "__na")
@@ -1085,10 +1125,17 @@ object History {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(FileManifest.enabled(fs, path),
       s"deleteKeys needs a manifest-mode lake (enableManifests): $path")
-    val (_, candidates) = bloomPrune(fs, path, keyCol, values, None)
+    val (m, candidates) = bloomPrune(fs, path, keyCol, values, None)
     if (candidates.isEmpty) return (0, 0L)
-    deleteImpl(spark, path, col(keyCol).isin(values: _*),
-      Some(candidates))
+    // type the IN list against the actual column (schema from one
+    // footer) so an unrepresentable key matches nothing instead of
+    // throwing an ANSI cast error mid-takedown
+    val probe = planManifest(spark, fs, root, m.copy(cur = m.cur.take(1)))
+    if (probe.columns.isEmpty) return (0, 0L)
+    keyInFilter(probe.schema(keyCol).dataType, keyCol, values) match {
+      case Some(pred) => deleteImpl(spark, path, pred, Some(candidates))
+      case None => (0, 0L)
+    }
   }
 
   private def deleteImpl(spark: SparkSession, path: String,

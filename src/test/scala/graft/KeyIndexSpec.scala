@@ -212,6 +212,42 @@ class KeyIndexSpec extends AnyFunSuite {
       "repeated keyed read must hit the shard cache")
   }
 
+  test("unrepresentable keys match nothing — never throw (ANSI default)") {
+    // takedown lists mix key shapes; a URL probed against a Long-built
+    // index cannot exist in the column, so the correct answer is "no
+    // rows" — but a plain Cast under this build's ANSI default would
+    // throw mid-prune (driver) or mid-filter (executors)
+    val lake = scatteredLake()
+    History.refreshKeyIndex(spark, lake, "doc_id"): Unit
+    val got = History.readPinnedKeyed(spark, lake, "doc_id",
+      Seq(42L, "url://host/not-a-number"))
+    assert(got.collect().map(_.getLong(0)).toSeq === Seq(42L))
+    // all-unrepresentable: zero rows, schema intact
+    val none = History.readPinnedKeyed(spark, lake, "doc_id",
+      Seq("nope", "also-nope"))
+    assert(none.count() === 0L && none.columns.contains("text"))
+    // mixed takedown deletes exactly the representable victims
+    val (_, rows) = History.deleteKeys(spark, lake, "doc_id",
+      Seq(7L, "url://host/x"))
+    assert(rows === 1L)
+    val left = History.readPinned(spark, lake)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!left(7L) && left.size === 399)
+    // all-unrepresentable takedown: clean no-op
+    assert(History.deleteKeys(spark, lake, "doc_id",
+      Seq("url://a", "url://b")) === ((0, 0L)))
+  }
+
+  test("a fully-pruned dirPred keeps the lake schema") {
+    val lake = stringKeyLake()
+    val none = History.readPinnedKeyed(spark, lake, "url",
+      Seq("url://host/42"), dirPred = Some(_ == "lang=zz"))
+    assert(none.columns.contains("doc_id") && none.columns.contains("url"),
+      s"fully-pruned keyed read must keep the schema, got " +
+        s"${none.columns.mkString(",")}")
+    assert(none.count() === 0L)
+  }
+
   test("vacuum reclaims the index shard of a vanished partition") {
     val lake = stringKeyLake()
     val fs = hadoopFs(lake)

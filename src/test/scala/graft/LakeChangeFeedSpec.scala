@@ -58,6 +58,35 @@ class LakeChangeFeedSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((2L, "delete")))
   }
 
+  test("null-swapped rows do not cancel out of the diff") {
+    // Spark hash expressions skip null fields, so a naive row hash
+    // folds (a=null, b="x") and (a="x", b=null) to the same value —
+    // an update that swaps which nullable column holds the value would
+    // cancel out of the feed. The hash must include the null mask.
+    import spark.implicits._
+    val lake = fresh("graft-cdf-nullswap")
+    Seq((1L, Option.empty[String], Option("x")),
+        (2L, Option("keep"), Option("keep2")))
+      .toDF("doc_id", "a", "b")
+      .coalesce(1).write.parquet(lake)
+    History.enableManifests(spark, lake): Unit
+    val f = fs(lake)
+    val v0 = FileManifest.latestVersion(f, lake).get
+    // swap row 1's null pattern via a keyed merge
+    History.mergeInto(spark, lake,
+      Seq((1L, Option("x"), Option.empty[String])).toDF("doc_id", "a", "b"),
+      Seq("doc_id")): Unit
+    val v1 = FileManifest.latestVersion(f, lake).get
+    val feed = History.changesBetween(spark, lake, v0, v1)
+      .select("doc_id", "a", "b", "_change").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.getString(2)), r.getString(3))).toSeq.sortBy(_._4)
+    assert(feed === Seq(
+      (1L, None, Some("x"), "delete"),
+      (1L, Some("x"), None, "insert")).sortBy(_._4),
+      s"null-swapped update must appear as delete+insert, got $feed")
+  }
+
   test("a maintenance tick refreshes exactly the delivered range's files") {
     import graft.sources.FileBloomIndex
     val lake = docsLake()

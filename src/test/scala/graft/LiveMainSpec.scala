@@ -78,4 +78,24 @@ class LiveMainSpec extends AnyFunSuite {
       confKeys.keys.foreach(spark.conf.unset)
     }
   }
+
+  test("a missing checkpoint location fails fast, never defaults to temp") {
+    // a per-launch temp checkpoint would silently discard stream
+    // progress on restart and reset the publish namespace — replaying
+    // delivered pushes; the deployable entry point must refuse
+    val payload = java.nio.file.Files
+      .createTempFile("graft-live-nockpt", ".payload").toString
+    spark.conf.set("spark.graft.transis.path", payload)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        LiveMain.wire(spark,
+          clientFactory = Some(() => new SdkKinesisClient(
+            kinesisClientClass = "graft.fakesdk.KinesisClient",
+            modelPackage = "graft.fakesdk",
+            sdkBytesClass = "graft.fakesdk.SdkBytes")),
+          procCaller = Some(new RecordingCaller))
+      }
+      assert(e.getMessage.contains("checkpointDir"))
+    } finally spark.conf.unset("spark.graft.transis.path")
+  }
 }

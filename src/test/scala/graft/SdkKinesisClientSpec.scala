@@ -36,6 +36,22 @@ class SdkKinesisClientSpec extends AnyFunSuite {
       Some("ProvisionedThroughputExceededException"), None))
   }
 
+  test("a configured region is pinned through the builder path") {
+    FakeSdkState.reset()
+    val client = new SdkKinesisClient(
+      kinesisClientClass = "graft.fakesdk.KinesisClient",
+      modelPackage = "graft.fakesdk",
+      sdkBytesClass = "graft.fakesdk.SdkBytes",
+      region = Some("ap-southeast-2"),
+      regionClass = "graft.fakesdk.Region")
+    client.putRecords(
+      Seq(KinesisRecord("pk", "x".getBytes("UTF-8"))), "streamR"): Unit
+    assert(FakeSdkState.regions.size === 1 &&
+      FakeSdkState.regions.peek() === "ap-southeast-2",
+      "region must reach the client builder, not the provider chain")
+    assert(FakeSdkState.requests.size === 1)
+  }
+
   test("missing SDK fails loudly at first put, never silently drops") {
     val client = new SdkKinesisClient() // real SDK class names — absent here
     val e = intercept[ClassNotFoundException] {

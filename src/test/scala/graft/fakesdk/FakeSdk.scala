@@ -10,7 +10,17 @@ package graft.fakesdk
 object FakeSdkState {
   val requests =
     new java.util.concurrent.ConcurrentLinkedQueue[PutRecordsRequest]()
-  def reset(): Unit = requests.clear()
+  /** Regions pinned through the builder path (create() records none —
+    * it resolves from the provider chain, which is the bug the builder
+    * path exists to avoid). */
+  val regions = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def reset(): Unit = { requests.clear(); regions.clear() }
+}
+
+/** `software.amazon.awssdk.regions.Region` shape. */
+class Region private (val id: String)
+object Region {
+  def of(id: String): Region = new Region(id)
 }
 
 class SdkBytes private (val bytes: Array[Byte])
@@ -72,4 +82,13 @@ class KinesisClient {
 }
 object KinesisClient {
   def create(): KinesisClient = new KinesisClient
+  def builder(): Builder = new Builder
+  class Builder private[fakesdk] () {
+    private var r: Region = null
+    def region(x: Region): Builder = { r = x; this }
+    def build(): KinesisClient = {
+      if (r != null) FakeSdkState.regions.add(r.id): Unit
+      new KinesisClient
+    }
+  }
 }
