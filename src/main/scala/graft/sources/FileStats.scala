@@ -43,25 +43,68 @@ object FileStats {
   def statsPath(lakePath: String): String =
     s"${FileManifest.manifestDir(lakePath)}/stats.tsv"
 
+  /** Parsed-sidecar LRU keyed (qualified path, mtime, length) — the
+    * sidecar is rewritten whole by refresh, so the status pair
+    * invalidates naturally. Every stats-pruned plan consults the full
+    * map; without the cache each PLAN re-read and re-parsed O(lake
+    * files × cols) lines (lightweight entries, but the same per-plan
+    * O(lake) driver cost class the manifest and bloom caches already
+    * eliminated). Entry-count + total-line budget like the manifest
+    * cache. */
+  private val cacheCap = 64
+  private val cacheMaxLines = 2000000L
+  private val parsedCache = new java.util.LinkedHashMap[
+    (String, Long, Long), Map[(String, String), Option[(Long, Long)]]](
+    16, 0.75f, true)
+  private var cachedLines = 0L
+  /** Physical sidecar reads — spec-assertable: a repeated stats-pruned
+    * plan must be served from cache. */
+  private[graft] val statsFileReads =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Load the sidecar: (rel path, column) → Some(min, max), or None for
-    * the known-unstattable sentinel. Empty when absent. */
+    * the known-unstattable sentinel. Empty when absent. Cached per
+    * (path, mtime, length); one metadata RTT per call thereafter. */
   def read(fs: FileSystem, lakePath: String)
       : Map[(String, String), Option[(Long, Long)]] = {
     val p = new Path(statsPath(lakePath))
-    if (!fs.exists(p)) Map.empty
-    else {
-      val in = fs.open(p)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().filter(_.nonEmpty).toList
-      finally in.close()
-      lines.flatMap { l =>
-        l.split('\t') match {
-          case Array(rel, c, "-", "-") => Some((rel, c) -> None)
-          case Array(rel, c, mn, mx) =>
-            scala.util.Try((rel, c) -> Some((mn.toLong, mx.toLong))).toOption
-          case _ => None // unparsable line: plan the file, don't fail reads
+    val st = try Some(fs.getFileStatus(p)) catch {
+      case _: java.io.FileNotFoundException => None
+    }
+    st match {
+      case None => Map.empty
+      case Some(s) =>
+        val key = (fs.makeQualified(p).toString,
+          s.getModificationTime, s.getLen)
+        val hit = parsedCache.synchronized(Option(parsedCache.get(key)))
+        hit.getOrElse {
+          statsFileReads.incrementAndGet(): Unit
+          val in = fs.open(p)
+          val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().filter(_.nonEmpty).toList
+          finally in.close()
+          val parsed = lines.flatMap { l =>
+            l.split('\t') match {
+              case Array(rel, c, "-", "-") => Some((rel, c) -> None)
+              case Array(rel, c, mn, mx) =>
+                scala.util.Try(
+                  (rel, c) -> Some((mn.toLong, mx.toLong))).toOption
+              case _ => None // unparsable: plan the file, don't fail reads
+            }
+          }.toMap
+          parsedCache.synchronized {
+            val prev = parsedCache.put(key, parsed)
+            if (prev != null) cachedLines -= prev.size + 1
+            cachedLines += parsed.size + 1
+            val it = parsedCache.entrySet().iterator()
+            while ((parsedCache.size() > cacheCap ||
+                cachedLines > cacheMaxLines) && it.hasNext) {
+              cachedLines -= it.next().getValue.size + 1
+              it.remove()
+            }
+          }
+          parsed
         }
-      }.toMap
     }
   }
 

@@ -493,6 +493,12 @@ class PinnedLakeSpec extends AnyFunSuite {
     assert(narrow.inputFiles.length <= 2,
       s"${narrow.inputFiles.length} files planned post-cluster")
     assert(img(narrow) === before.filter(r => r._1 >= 40 && r._1 <= 59))
+    // a repeated stats-pruned plan parses the sidecar from CACHE — the
+    // per-plan cost is one metadata RTT, not an O(lake-entries) re-read
+    val statsBefore = graft.sources.FileStats.statsFileReads.get()
+    History.readPinnedRange(spark, lake, "id", 40L, 59L).count(): Unit
+    assert(graft.sources.FileStats.statsFileReads.get() === statsBefore,
+      "repeated stats-pruned read must hit the parsed-sidecar cache")
     // keyed delete against the clustered layout touches one file
     val (nf, nr) = History.deleteWhere(spark, lake, col("id") === 42L)
     assert(nf === 1 && nr === 1L)
