@@ -442,16 +442,33 @@ object ExtQueries {
       val ivf = Similarity.ivfTopK(
         emb, queries, centroids, "vec_id", "embedding", 3)
         .select(col("query_id"), col("b_id"))
-      def recallRow(method: String, got: DataFrame): DataFrame =
-        truth.join(got, Seq("query_id", "b_id"), "left_semi")
-          .agg(count(lit(1)).as("hits"))
-          .crossJoin(truth.agg(count(lit(1)).as("truth_n")))
-          .select(lit(method).as("method"),
-            col("hits").cast("bigint").as("hits"),
-            col("truth_n").cast("bigint").as("truth_n"),
-            (col("hits").cast("double") / col("truth_n").cast("double"))
-              .as("recall"))
-      recallRow("lsh", lsh).unionAll(recallRow("ivf", ivf))
+      // ONE pass over every pipeline: the old per-method shape
+      // (semi-join + separate denominator crossJoin) embedded the
+      // brute-force truth subtree FOUR times in the plan — membership
+      // flags folded in a single aggregate + explode compute truth,
+      // lsh, and ivf exactly once each. distinct() guards the flag
+      // join against hypothetical duplicate (query, candidate) pairs
+      // (a semi-join was naturally immune); it folds rows the top-k
+      // contract says don't exist, so the recall values are unchanged.
+      val flagged = truth
+        .join(lsh.distinct().withColumn("in_lsh", lit(1)),
+          Seq("query_id", "b_id"), "left")
+        .join(ivf.distinct().withColumn("in_ivf", lit(1)),
+          Seq("query_id", "b_id"), "left")
+        .agg(count(lit(1)).as("truth_n"),
+          sum(coalesce(col("in_lsh"), lit(0))).as("lsh_hits"),
+          sum(coalesce(col("in_ivf"), lit(0))).as("ivf_hits"))
+      def methodStruct(method: String, hits: org.apache.spark.sql.Column) =
+        struct(lit(method).as("method"),
+          hits.cast("bigint").as("hits"),
+          col("truth_n").cast("bigint").as("truth_n"),
+          (hits.cast("double") / col("truth_n").cast("double"))
+            .as("recall"))
+      flagged.select(explode(array(
+          methodStruct("lsh", col("lsh_hits")),
+          methodStruct("ivf", col("ivf_hits")))).as("r"))
+        .select(col("r.method"), col("r.hits"), col("r.truth_n"),
+          col("r.recall"))
     }),
 
     // Language-ID heuristic confusion matrix.
