@@ -215,6 +215,109 @@ object HistoryQueries {
       dir
     })
 
+  /** A lang-partitioned manifest lake of the documents table built in
+    * two schema ERAS: era 1 (even doc_ids) lands with n_chars as INT32
+    * and no quality column; the schema is then DECLARED and EVOLVED
+    * (n_chars widened to LONG, nullable quality DOUBLE added —
+    * [[graft.sources.SchemaLog]]); era 2 (odd doc_ids) appends through
+    * the validated exactly-once path with quality populated. h15 reads
+    * the whole lake back through the declared schema — era-1 files
+    * reader-promoted and null-backfilled, era-2 files verbatim — so the
+    * gate exercises declare → evolve → validated append → projected
+    * pinned read end-to-end against a DuckDB UNION oracle. Footer-merge
+    * inference would FAIL this lake outright (INT32 vs INT64 footers).
+    * Keyed by (session, sfDir). */
+  private val evolvedLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def evolvedLake(s: SparkSession, sfDir: String): String =
+    evolvedLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      import org.apache.spark.sql.types._
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-evolved-lake").toString + "/lake"
+      val docs = graft.Tables.documents(s, sfDir)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("int").as("n_chars"), col("lang"))
+        .repartition(col("lang")).write.partitionBy("lang").parquet(dir)
+      graft.sources.History.enableManifests(s, dir): Unit
+      graft.sources.History.enableShardedManifests(s, dir): Unit
+      graft.sources.History.declareSchema(s, dir): Unit
+      val declared = graft.sources.History.declaredSchema(s, dir).get
+      val evolved = StructType(declared.fields.map {
+        case f if f.name == "n_chars" => f.copy(dataType = LongType)
+        case f => f
+      } :+ StructField("quality", DoubleType))
+      graft.sources.History.evolveSchema(s, dir, evolved): Unit
+      graft.sources.History.append(s, dir,
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("lang"),
+            (col("n_chars").cast("double") / 100.0).as("quality")),
+        key = "era2", partitionCols = Seq("lang")): Unit
+      dir
+    })
+
+  /** A manifest lake of the documents table with a SNAPSHOT TAG pinned
+    * before a delete, then aggressively vacuumed (grace 0): every
+    * untagged superseded file and version is reclaimed on the spot, so
+    * ONLY the tag's retention pin keeps the pre-delete snapshot
+    * readable. h16 reads the tag back — the exact full-corpus multiset
+    * against the plain documents oracle — so the gate exercises
+    * tag → copy-on-write delete → vacuum-respects-pin → read-by-name
+    * end-to-end. The training-provenance contract: the corpus snapshot
+    * a model trained on stays reproducible for the model's lifetime,
+    * while untagged history ages out. Keyed by (session, sfDir). */
+  private val taggedLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def taggedLake(s: SparkSession, sfDir: String): String =
+    taggedLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-tagged-lake").toString + "/lake"
+      graft.Tables.documents(s, sfDir)
+        .repartition(col("lang"))
+        .write.partitionBy("lang").parquet(dir)
+      graft.sources.History.enableManifests(s, dir): Unit
+      graft.sources.History.tag(s, dir, "training-v1"): Unit
+      graft.sources.History.deleteWhere(s, dir,
+        col("source") === "src2" || col("doc_id") % 5 === 0): Unit
+      graft.sources.History.vacuum(s, dir, graceMs = 0L): Unit
+      dir
+    })
+
+  /** A manifest lake of the documents table that took a WRONG delete
+    * (all of src1), was ROLLED BACK metadata-only
+    * ([[graft.sources.History.restore]] — the bad commit's files
+    * retire, the original files resurrect, nothing is rewritten), and
+    * then took the INTENDED delete. h17 reads the latest image: every
+    * src1 row must be back (a restore that lost a resurrected file
+    * loses rows) and only the second delete's victims gone (a restore
+    * that leaked the undone delete's effect keeps too few rows) — the
+    * undo/redo lifecycle end-to-end against an anti-predicate oracle.
+    * Keyed by (session, sfDir). */
+  private val restoredLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def restoredLake(s: SparkSession, sfDir: String): String =
+    restoredLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-restored-lake").toString + "/lake"
+      graft.Tables.documents(s, sfDir)
+        .repartition(col("lang"))
+        .write.partitionBy("lang").parquet(dir)
+      val v1 = graft.sources.History.enableManifests(s, dir)
+      graft.sources.History.deleteWhere(s, dir,
+        col("source") === "src1"): Unit // the wrong delete
+      graft.sources.History.restore(s, dir, v1): Unit // the undo
+      graft.sources.History.deleteWhere(s, dir,
+        col("doc_id") % 13 === 3): Unit // the intended delete
+      dir
+    })
+
   /** Drop the fixture lakes keyed to `s` and delete their temp dirs. */
   private[queries] def evict(s: SparkSession): Unit = {
     def rm(f: java.io.File): Unit = {
@@ -232,7 +335,8 @@ object HistoryQueries {
     }
     val sk = graft.SessionKey(s)
     Seq(deleteLakeCache, mergeLakeCache, clusterLakeCache, zLakeCache,
-        shardedLakeCache, bloomLakeCache)
+        shardedLakeCache, bloomLakeCache, evolvedLakeCache,
+        taggedLakeCache, restoredLakeCache)
       .foreach { cache =>
       cache.keySet.forEach { k =>
         if (k._1 == sk) rmLake(cache.remove(k))
@@ -371,6 +475,41 @@ object HistoryQueries {
       graft.sources.History.readPinnedKeyed(s, bloomLake(s, d), "doc_key",
           Seq("doc-3", "doc-17", "doc-29", "doc-41", "doc-404",
             "doc-no-such-key"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+
+    // Declared-schema evolution: the lake holds two file eras — era 1
+    // written with n_chars as INT32 and no quality column, era 2
+    // appended post-evolution with n_chars LONG and quality populated.
+    // The pinned read plans EVERY file against the committed table
+    // schema (era-1 values reader-promoted to LONG, quality
+    // null-backfilled), so a projection bug in either direction —
+    // dropped column, unwidened type, missed null backfill — fails the
+    // hash. Footer-merge inference cannot express this lake at all
+    // (INT32 vs INT64 footers refuse to merge).
+    "h15_schema_evolution" -> ((s, d) =>
+      graft.sources.History.readPinned(s, evolvedLake(s, d))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("quality"))),
+
+    // Snapshot-tag retention pin: the lake was tagged, then a keyed
+    // delete rewrote files and a grace-0 vacuum reclaimed every
+    // untagged superseded file and version — only the tag's pin keeps
+    // the pre-delete snapshot whole. Reading the tag must return the
+    // EXACT original corpus multiset; a vacuum that clipped one pinned
+    // file loses rows and fails the hash (and the post-delete latest
+    // image is separately covered by h07's anti-predicate shape).
+    "h16_tagged_snapshot" -> ((s, d) =>
+      graft.sources.History.readTag(s, taggedLake(s, d), "training-v1")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+
+    // Metadata-only rollback: a wrong delete (all of src1) was undone
+    // by restore — resurrecting its files in the manifest, rewriting
+    // nothing — and the intended delete then applied. The latest image
+    // must hold every src1 row and lack exactly the second delete's
+    // victims: a restore that dropped a resurrected file, leaked the
+    // undone delete, or double-applied anything fails the hash.
+    "h17_restored_lake" -> ((s, d) =>
+      graft.sources.History.readPinned(s, restoredLake(s, d))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
   )
 
@@ -446,6 +585,19 @@ object HistoryQueries {
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE 'doc-' || CAST(doc_id AS VARCHAR)
            IN ('doc-3', 'doc-17', 'doc-29', 'doc-41', 'doc-404',
-               'doc-no-such-key')"""
+               'doc-no-such-key')""",
+    "h15_schema_evolution" ->
+      """SELECT doc_id, lang, source, n_chars,
+                CAST(NULL AS DOUBLE) AS quality
+         FROM documents WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id, lang, source, n_chars,
+                CAST(n_chars AS DOUBLE) / 100.0 AS quality
+         FROM documents WHERE doc_id % 2 = 1""",
+    "h16_tagged_snapshot" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents""",
+    "h17_restored_lake" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE NOT (doc_id % 13 = 3)"""
   )
 }

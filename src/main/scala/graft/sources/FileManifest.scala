@@ -2,6 +2,13 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 
+/** Two commits raced for the same manifest version number. Retryable:
+  * the loser's state is untouched (the atomic no-overwrite rename is
+  * the commit point) — re-read the new latest version and rebase, which
+  * is exactly what [[FileManifest.commitDelta]] does. */
+class VersionCollisionException(msg: String, cause: Throwable = null)
+  extends java.io.IOException(msg, cause)
+
 /** Versioned per-file manifests for the history lake — the minimal slice
   * of a table format that closes the last reader race
   * ([[History.readSnapshot]] pins directories at LISTING time, so a
@@ -23,10 +30,16 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    HDFS/local — and readers resolve the highest version, so a crash
   *    between data-file writes and the manifest publish leaves only
   *    invisible orphans (vacuumed later), never a partial commit.
-  *  - '''Single writer per lake''' (same discipline as
-  *    [[History.compactLatest]]): versions advance by one per commit;
-  *    concurrent committers would race the version file and fail loudly
-  *    on the rename, not corrupt state.
+  *  - '''Optimistic concurrency for data-path writers.''' Versions
+  *    advance by one per commit and the atomic no-overwrite root
+  *    rename arbitrates races: the loser never corrupts the winner.
+  *    Commits expressed as DELTAS ([[commitDelta]] — appends and the
+  *    copy-on-write rewrites) re-base onto the new latest and retry;
+  *    a true write-write conflict (two commits retiring the same file)
+  *    fails loudly with `ConcurrentModificationException`. Metadata-
+  *    SHRINKING maintenance (vacuum, retention expiry of the retired
+  *    set) still assumes one maintenance agent per lake; direct
+  *    [[publish]] callers keep the legacy fail-loudly behavior.
   *
   * File format (one line per entry, tab-separated):
   * {{{
@@ -354,9 +367,13 @@ object FileManifest {
     * destination, so two racing writers (a zombie driver + its
     * restarted replacement) passing the check together would otherwise
     * let the second silently overwrite the first's commit. */
-  private def atomicWrite(fs: FileSystem, dest: Path,
-                          content: String): Unit = {
-    val tmp = new Path(dest.getParent, dest.getName + s".tmp")
+  private[sources] def atomicWrite(fs: FileSystem, dest: Path,
+                                   content: String): Unit = {
+    // tmp name unique per ATTEMPT: two optimistic committers racing the
+    // same destination version must not share a tmp path (one's rename
+    // would steal the other's half-written bytes)
+    val tmp = new Path(dest.getParent, dest.getName +
+      s".${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     fs.mkdirs(dest.getParent): Unit
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -373,9 +390,16 @@ object FileManifest {
         if (!fs.rename(tmp, dest))
           throw new java.io.IOException(s"publish failed: $dest", e)
       case e: java.io.IOException =>
-        throw new java.io.IOException(
-          s"version collision or publish failure at $dest: " +
-            "two writers raced (single writer per lake)", e)
+        // the loser's tmp is garbage — reclaim it now rather than
+        // letting unique-named tmps accumulate under _manifests
+        scala.util.Try(fs.delete(tmp, false)): Unit
+        // distinguish the retryable case: if the destination exists,
+        // another writer won the rename race — a rebase-and-retry is
+        // safe ([[commitDelta]]); anything else is a real I/O failure
+        if (scala.util.Try(fs.exists(dest)).getOrElse(false))
+          throw new VersionCollisionException(
+            s"manifest version collision at $dest: two writers raced", e)
+        else throw new java.io.IOException(s"publish failure at $dest", e)
     }
   }
 
@@ -397,9 +421,8 @@ object FileManifest {
   def publish(fs: FileSystem, lakePath: String, m: Manifest): Unit = {
     val dest = versionPath(lakePath, m.version)
     if (fs.exists(dest))
-      throw new java.io.IOException(
-        s"manifest version collision at $dest: two writers raced " +
-          "(single writer per lake)")
+      throw new VersionCollisionException(
+        s"manifest version collision at $dest: two writers raced")
     val shardedMode =
       latestVersion(fs, lakePath).exists(v => isSharded(fs, lakePath, v))
     if (shardedMode) publishSharded(fs, lakePath, m)
@@ -434,6 +457,14 @@ object FileManifest {
       }
     val curByDir = m.cur.groupBy(entryDir)
     val retByDir = m.retired.groupBy(e => entryDir(e._2))
+    // one nonce per publish ATTEMPT: two writers optimistically racing
+    // the same version number ([[commitDelta]]) must never write the
+    // same shard path — with deterministic names the loser's shard
+    // write could replace the winner's bytes BEFORE the root rename
+    // decides the race, splicing one writer's root onto the other's
+    // shard content. Unique names reduce every race to orphan garbage
+    // (vacuumed past grace), never a torn commit.
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
     // an EMPTY manifest (fully-deleted lake after vacuum drained the
     // retired set) still emits one zero-entry "." shard: a root with
     // zero shard lines would classify as FLAT and silently drop the
@@ -449,17 +480,14 @@ object FileManifest {
       val reuse = prevIdx.get(dir)
         .filter(name => readShard(fs, lakePath, name) == entry)
       val name = reuse.getOrElse {
-        val n = f"${graft.Hashes.md5Hex(dir, 32)}%s-v${m.version}%012d.shard"
+        val n =
+          f"${graft.Hashes.md5Hex(dir, 32)}%s-v${m.version}%012d-$nonce%s.shard"
         val shardDest = new Path(shardsDir(lakePath), n)
-        // shard names are DETERMINISTIC (md5(dir)-v<version>), so a
-        // publish of this version that crashed after writing shards but
-        // before the root rename left an orphan under this exact name —
-        // and no-overwrite atomicWrite would wedge the retry with a
-        // misleading "version collision". Under the single-writer
-        // contract no committed root can reference an uncommitted
-        // version's shard name, so replacing the crashed attempt's file
-        // is safe; drop any cached parse of the name too (the retry's
-        // content can differ, e.g. fresher retirement timestamps).
+        // names are unique per attempt (the nonce), so a crashed or
+        // raced attempt's leftovers sit under OTHER names — plain
+        // orphans vacuumed past grace, never a collision with this
+        // write and never a torn root/shard splice under optimistic
+        // concurrency. The exists-guard below is defense in depth.
         if (fs.exists(shardDest)) {
           fs.delete(shardDest, false): Unit
           shardCache.synchronized {
@@ -498,6 +526,88 @@ object FileManifest {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Snapshot TAGS — named retention pins.
+  //
+  // A tag is a tiny file (`_manifests/tags/<name>.tag`) holding a
+  // version number. Its one semantic: [[History.vacuum]] never reclaims
+  // a tagged version — not its root, not the data files it references —
+  // however far past the grace window they age. That turns time travel
+  // from "whatever the vacuum grace happens to retain" into a durable
+  // contract: tag the corpus snapshot a model trained on and the exact
+  // multiset of rows stays reproducible for the model's lifetime, while
+  // everything untagged ages out normally. Deleting the tag releases
+  // the pin; the next vacuum past grace reclaims as usual.
+  //
+  // Scale: resolving pins costs one listing of the tags dir plus one
+  // (cached) manifest read per tagged version — proportional to the
+  // number of tags, never to the lake.
+  // ------------------------------------------------------------------
+
+  def tagsDir(lakePath: String): String = s"${manifestDir(lakePath)}/tags"
+
+  private val tagNameRe = "^[A-Za-z0-9][A-Za-z0-9._-]*$".r
+
+  private def tagPath(lakePath: String, name: String): Path = {
+    require(tagNameRe.matches(name),
+      s"illegal tag name '$name' (want [A-Za-z0-9][A-Za-z0-9._-]*)")
+    new Path(tagsDir(lakePath), s"$name.tag")
+  }
+
+  /** Pin `version` under `name`. Fails loudly on a duplicate name (the
+    * no-overwrite rename arbitrates even a race) or an unreachable
+    * (never-published or already-vacuumed) version. */
+  def createTag(fs: FileSystem, lakePath: String, name: String,
+                version: Long): Unit = {
+    val dest = tagPath(lakePath, name)
+    if (fs.exists(dest))
+      throw new IllegalArgumentException(
+        s"tag '$name' already exists at $lakePath (delete it first)")
+    if (!fs.exists(versionPath(lakePath, version)))
+      throw new IllegalArgumentException(
+        s"cannot tag unreachable version $version at $lakePath; " +
+          s"retained: ${versions(fs, lakePath).mkString(", ")}")
+    atomicWrite(fs, dest, s"$version\n")
+  }
+
+  /** All tags as (name, version), sorted by name. */
+  def tags(fs: FileSystem, lakePath: String): Seq[(String, Long)] = {
+    val dir = new Path(tagsDir(lakePath))
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).iterator
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".tag"))
+      .map { s =>
+        val in = fs.open(s.getPath)
+        val v = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.toLong
+        finally in.close()
+        (s.getPath.getName.stripSuffix(".tag"), v)
+      }.toSeq.sortBy(_._1)
+  }
+
+  /** The version `name` pins, or None for an unknown tag. */
+  def tagVersion(fs: FileSystem, lakePath: String,
+                 name: String): Option[Long] = {
+    val p = tagPath(lakePath, name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Release the pin. Returns false for an unknown tag. The pinned
+    * version's files become ordinary vacuum candidates again (their
+    * retirement timestamps kept aging, so the next vacuum past grace
+    * reclaims them). */
+  def deleteTag(fs: FileSystem, lakePath: String, name: String): Boolean =
+    fs.delete(tagPath(lakePath, name), false)
+
+  /** Every version some tag pins (vacuum's keep-set). */
+  def taggedVersions(fs: FileSystem, lakePath: String): Set[Long] =
+    tags(fs, lakePath).map(_._2).toSet
+
   /** Shard files present on disk, with modification times (vacuum's
     * candidate list). */
   def listShardFiles(fs: FileSystem, lakePath: String): Seq[(String, Long)] = {
@@ -515,20 +625,84 @@ object FileManifest {
     versions(fs, lakePath).flatMap(v =>
       rootIndex(fs, lakePath, v).getOrElse(Nil).map(_._1)).toSet
 
+  /** Test-only deterministic race injection: consumed (run once) by the
+    * next [[commitDelta]] attempt, between its latest-read and its
+    * publish — the window where a competing commit forces a rebase. */
+  private[graft] var testRaceHook: Option[() => Unit] = None
+
+  /** OPTIMISTIC-CONCURRENCY commit: apply a DELTA — `adds` become
+    * current, `retire` move current→retired — on top of WHATEVER the
+    * latest version is when the commit lands. On a version collision
+    * (another writer published first) the delta is re-based onto the
+    * new latest and retried; the atomic no-overwrite root rename is the
+    * arbiter, so the loser never corrupts the winner.
+    *
+    * Conflict rule (write-write detection): every file in `retire` must
+    * still be CURRENT at commit time. Adds always commute (unique file
+    * names, immutable files); two writers retiring disjoint file sets
+    * commute (compactions/deletes of different partitions, a delete
+    * racing an append); but if a file this commit retires was already
+    * retired or removed by a concurrent commit, the data it derived its
+    * rewrite from has changed — retrying would double-apply or lose
+    * rows, so the commit fails loudly with
+    * `ConcurrentModificationException` and the caller re-runs its scan
+    * against the new snapshot. This is the same commit model as the
+    * log-structured table formats' optimistic transactions: snapshot
+    * isolation for readers, first-writer-wins per file for writers.
+    *
+    * Idempotence: already-current `adds` dedupe away; if the filtered
+    * delta is empty, no version is published. Returns the version the
+    * delta landed as (or the current version for an empty delta).
+    *
+    * What still needs a single agent: maintenance that SHRINKS metadata
+    * (vacuum dropping retired entries / old versions, retention expiry
+    * of whole partitions) — those operate on the retired set, not cur,
+    * and run from one maintenance agent per lake. Data-path writers
+    * (appends, compaction, delete/merge/cluster rewrites) all commit
+    * through this delta and may run concurrently. */
+  def commitDelta(fs: FileSystem, lakePath: String, adds: Seq[String],
+                  retire: Seq[String], maxAttempts: Int = 10): Long = {
+    val retireSet = retire.toSet
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val m = latest(fs, lakePath).getOrElse(
+        throw new IllegalStateException(
+          s"commitDelta on a lake without manifests: $lakePath"))
+      val gone = retireSet -- m.curSet
+      if (gone.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"commit conflict at $lakePath: files to retire are no longer " +
+            s"current (a concurrent commit rewrote or removed them): " +
+            gone.toSeq.sorted.take(4).mkString(", "))
+      val freshAdds = adds.filterNot(m.curSet)
+      if (freshAdds.isEmpty && retireSet.isEmpty) return m.version
+      val now = System.currentTimeMillis()
+      val next = Manifest(m.version + 1,
+        m.cur.filterNot(retireSet) ++ freshAdds,
+        m.retired ++ retire.sorted.map(now -> _))
+      // fire (and consume) the injected race exactly once
+      testRaceHook.foreach { h => testRaceHook = None; h() }
+      try {
+        publish(fs, lakePath, next)
+        return next.version
+      } catch {
+        case e: VersionCollisionException =>
+          if (attempt >= maxAttempts) throw e // pathological contention
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Commit `added` (lake-relative file paths) as new current files —
     * the archive's per-batch manifest add. Idempotent for a replayed
     * batch: already-current paths dedupe away and no new version is
-    * published when nothing changes. */
+    * published when nothing changes. Optimistically concurrent: an
+    * append commutes with ANY other commit, so a version collision
+    * re-bases and retries ([[commitDelta]]). */
   def addFiles(fs: FileSystem, lakePath: String,
-               added: Seq[String]): Unit = {
-    val m = latest(fs, lakePath).getOrElse(
-      throw new IllegalStateException(
-        s"addFiles on a lake without manifests: $lakePath"))
-    val fresh = added.filterNot(m.curSet)
-    if (fresh.nonEmpty)
-      publish(fs, lakePath,
-        Manifest(m.version + 1, m.cur ++ fresh, m.retired))
-  }
+               added: Seq[String]): Unit =
+    commitDelta(fs, lakePath, added, Nil): Unit
 
   /** List the two-level (`region=…/dt=…`-shaped) partition dirs under
     * `qRoot` as relative paths — hidden (`_`/`.`) segments excluded at

@@ -30,11 +30,18 @@ object History {
     *   same layout — exactly-once when guarded by the Pipeline
     *   BatchLedger). */
   def writePartitioned(records: DataFrame, path: String,
-                       mode: String = "overwrite"): Unit =
-    records
+                       mode: String = "overwrite"): Unit = {
+    val shaped = records
       .withColumn("dt", date_format(
         timestamp_seconds(col("collectionendtimestamp_plus_3_mins")),
         "yyyy-MM-dd"))
+    // declared-schema lakes validate the batch shape before any file
+    // lands (see SchemaLog.validateWrite)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      records.sparkSession.sparkContext.hadoopConfiguration)
+    SchemaLog.latest(fs, path)
+      .foreach(d => SchemaLog.validateWrite(d, shaped.schema))
+    shaped
       .repartition(col("region"), col("dt"))
       // sorted within files → tight parquet row-group min/max stats on
       // (siteId, ts), so site- or time-bounded residual predicates skip
@@ -45,6 +52,7 @@ object History {
       .option("maxRecordsPerFile", 5000000L)
       .partitionBy("region", "dt")
       .parquet(path)
+  }
 
   /** Latest-wins compaction of a lake slice — the "current state"
     * materialization (the same shape the VMS reader computes on read,
@@ -121,12 +129,13 @@ object History {
     fs.delete(stage, true): Unit // pre-manifest leftovers are garbage
     val matching = matchPartitions(spark, fs, qRoot, predicate)
     if (matching.isEmpty) return // zero partitions match: nothing to do
-    // mergeSchema: a compaction REWRITES data, so it must see the union
-    // of every file's columns in the slice — the default single-footer
-    // inference would silently drop a record column added to the lake
-    // mid-life from every rewritten row (reads merely miss it; a
-    // rewrite loses it). The merge pass is bounded to the matched dirs.
-    val slice = spark.read.option("mergeSchema", "true")
+    // a compaction REWRITES data, so it must see the union of every
+    // file's columns in the slice — the default single-footer inference
+    // would silently drop a record column added to the lake mid-life
+    // from every rewritten row (reads merely miss it; a rewrite loses
+    // it). Declared-schema lakes project to the committed schema; the
+    // legacy footer-merge pass is bounded to the matched dirs.
+    val slice = rewriteReader(spark, fs, path)
       .option("basePath", qRoot.toString)
       .parquet(matching.map(rel =>
         new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*)
@@ -875,11 +884,26 @@ object History {
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
       m: FileManifest.Manifest): DataFrame = {
     val qRoot = fs.makeQualified(root)
-    if (m.cur.nonEmpty)
-      spark.read.option("basePath", qRoot.toString)
+    // declared-schema lakes plan every file against the committed table
+    // schema: columns added by evolution backfill null in pre-evolution
+    // files, widened columns are promoted by the parquet reader itself
+    // (INT32 file → LONG schema), and no footer-merge job runs — one
+    // shape for every file regardless of age (see [[SchemaLog]])
+    val declared = SchemaLog.latest(fs, root.toString)
+    if (m.cur.nonEmpty) {
+      val base = declared match {
+        case Some(s) => spark.read.schema(s)
+        case None => spark.read
+      }
+      base.option("basePath", qRoot.toString)
         .parquet(m.cur.sorted.map(rel =>
           new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*)
-    else {
+    } else if (declared.isDefined) {
+      // empty CURRENT set: the declared schema IS the lake schema — no
+      // donor file needed, zero rows by construction
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), declared.get)
+    } else {
       // empty CURRENT set (fully-expired lake, or fresh manifest before
       // the first batch): keep the lake SCHEMA when any retired file is
       // still on disk — downstream readers filter on dt/ts columns and a
@@ -896,6 +920,21 @@ object History {
       }
     }
   }
+
+  /** The parquet reader for REWRITE passes over lake files: the
+    * declared table schema when the lake has one (projection + reader
+    * widening + null backfill — so every rewritten file converges to
+    * the declared shape as a side effect of normal maintenance), else
+    * a footer-merge bounded to the slice being rewritten (the union of
+    * its columns; single-footer inference would silently drop a
+    * mid-life column from every rewritten row). */
+  private def rewriteReader(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String): org.apache.spark.sql.DataFrameReader =
+    SchemaLog.latest(fs, path) match {
+      case Some(s) => spark.read.schema(s)
+      case None => spark.read.option("mergeSchema", "true")
+    }
 
   /** Manifest-mode compaction: ADD the compacted files, RETIRE the old
     * ones, flip the manifest version — no live file ever moves, so
@@ -921,7 +960,7 @@ object History {
     fs.delete(stage, true): Unit
     // the slice is exactly the manifest's current files — an uncommitted
     // batch racing this compaction is neither read nor retired
-    val slice = spark.read.option("mergeSchema", "true")
+    val slice = rewriteReader(spark, fs, path)
       .option("basePath", qRoot.toString)
       .parquet(oldMatched.map(rel =>
         new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*)
@@ -959,15 +998,11 @@ object History {
       files.map { case (_, name) => s"$rel/$name" } }
     // re-read before publishing: in-line maintenance sequences archive
     // batches between the slice read and here — their files are in the
-    // newer cur and NOT in oldMatched, so they are retained (the
-    // manifest-mode analog of the legacy swap's late-file merge)
-    val m2 = FileManifest.latest(fs, path).get
-    val now = System.currentTimeMillis()
-    val oldSet = oldMatched.toSet
-    FileManifest.publish(fs, path, FileManifest.Manifest(
-      m2.version + 1,
-      m2.cur.filterNot(oldSet) ++ movedRels,
-      m2.retired ++ oldMatched.map(now -> _)))
+    // newer cur and NOT in oldMatched, so they are retained; the
+    // optimistic delta commit re-bases over any commit that landed
+    // since the slice read and detects true write-write conflicts
+    // (a concurrent rewrite of one of oldMatched) loudly
+    FileManifest.commitDelta(fs, path, movedRels, oldMatched): Unit
     fs.delete(stage, true): Unit
   }
 
@@ -988,7 +1023,17 @@ object History {
         s"vacuum needs a manifest-mode lake (enableManifests): $path"))
     val now = System.currentTimeMillis()
     val cutoff = now - graceMs
-    val (expired, kept) = m.retired.partition(_._1 <= cutoff)
+    // tagged versions are PINNED: every data file a tagged manifest
+    // still references survives vacuum regardless of age, and the
+    // tagged version file itself is kept below — so a tag makes a
+    // snapshot durably reproducible (training-corpus provenance) while
+    // untagged history ages out normally. Cost: one tags-dir listing +
+    // one cached manifest read per tag — O(tags), never O(lake).
+    val taggedVs = FileManifest.taggedVersions(fs, path)
+    val tagPinned: Set[String] = taggedVs.flatMap(v =>
+      FileManifest.at(fs, path, v).map(_.curSet).getOrElse(Set.empty))
+    val (expired, kept) = m.retired.partition { case (ts, rel) =>
+      ts <= cutoff && !tagPinned(rel) }
     LakeCommit.foreachPar(expired.map(_._2)) { rel =>
       fs.delete(new org.apache.hadoop.fs.Path(qRoot, rel), false): Unit
     }
@@ -1031,7 +1076,8 @@ object History {
         val n = s.getPath.getName
         if (n.startsWith("v") && n.endsWith(".manifest") &&
             scala.util.Try(n.stripPrefix("v").stripSuffix(".manifest")
-              .toLong).toOption.exists(_ < latestNow) &&
+              .toLong).toOption
+              .exists(v => v < latestNow && !taggedVs(v)) &&
             s.getModificationTime <= cutoff)
           fs.delete(s.getPath, false): Unit
       }
@@ -1187,7 +1233,7 @@ object History {
     val stage = fs.makeQualified(
       new org.apache.hadoop.fs.Path(deleteStagingDir(path)))
     fs.delete(stage, true): Unit
-    val keep = spark.read.option("mergeSchema", "true")
+    val keep = rewriteReader(spark, fs, path)
       .option("basePath", qRoot.toString)
       .parquet(affected.map(rel =>
         new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*)
@@ -1205,9 +1251,10 @@ object History {
     * per attempt — a crashed attempt's same-tag leftovers are swept
     * before renaming, so the converged state is one copy), then flip the
     * manifest ONCE: promoted files enter CUR, `affected` move to
-    * RETIRED. The manifest is re-read just before publishing so batches
-    * committed since the caller's match scan — which are in the newer
-    * cur and never in `affected` — survive the flip. */
+    * RETIRED — an optimistic delta commit
+    * ([[FileManifest.commitDelta]]), so batches committed since the
+    * caller's match scan survive the flip (re-based, never read) and a
+    * concurrent rewrite of the same files is detected loudly. */
   private def promoteAndFlip(fs: org.apache.hadoop.fs.FileSystem,
       qRoot: org.apache.hadoop.fs.Path, path: String,
       stage: org.apache.hadoop.fs.Path, tag: String,
@@ -1243,13 +1290,11 @@ object History {
       fs.delete(stage, true): Unit // nothing changed: no version bump
       return
     }
-    val m2 = FileManifest.latest(fs, path).get
-    val now = System.currentTimeMillis()
-    val affectedSet = affected.toSet
-    FileManifest.publish(fs, path, FileManifest.Manifest(
-      m2.version + 1,
-      m2.cur.filterNot(affectedSet) ++ movedRels,
-      m2.retired ++ affected.map(now -> _)))
+    // optimistic delta commit: re-bases over commits that landed since
+    // the caller's match scan (their files are never in `affected`);
+    // a TRUE conflict — a concurrent rewrite already retired one of
+    // `affected` — fails loudly instead of double-applying
+    FileManifest.commitDelta(fs, path, movedRels, affected): Unit
     fs.delete(stage, true): Unit
   }
 
@@ -1345,7 +1390,7 @@ object History {
     fs.delete(stage, true): Unit
     val staged =
       if (affected.isEmpty) updAligned
-      else spark.read.option("mergeSchema", "true")
+      else rewriteReader(spark, fs, path)
         .option("basePath", qRoot.toString)
         .parquet(affected.map(rel =>
           new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*)
@@ -1524,13 +1569,8 @@ object History {
         rel.take(math.max(rel.lastIndexOf('/'), 0))
       val m = FileManifest.latest(fs, path).get
       val expired = m.cur.filter(rel => matchedSet(dirOf(rel)))
-      if (expired.nonEmpty) {
-        val now = System.currentTimeMillis()
-        FileManifest.publish(fs, path, FileManifest.Manifest(
-          m.version + 1,
-          m.cur.filterNot(expired.toSet),
-          m.retired ++ expired.map(now -> _)))
-      }
+      if (expired.nonEmpty)
+        FileManifest.commitDelta(fs, path, Nil, expired): Unit
       matching
     } else {
       val manifest = new org.apache.hadoop.fs.Path(expireManifestPath(path))
@@ -1603,6 +1643,12 @@ object History {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     FileManifest.latest(fs, path) match {
+      case Some(m) if SchemaLog.latest(fs, path).isDefined =>
+        // declared-schema lake: the committed schema already IS the
+        // evolved shape (added columns null-backfilled, widened columns
+        // reader-promoted) — no footer merge needed, same plan as
+        // readPinned
+        planManifest(spark, fs, root, m)
       case None => readSnapshotWith(spark, path, mergeSchema = true)
       case Some(m) if m.cur.isEmpty =>
         planManifest(spark, fs, root, m) // schema-preserving empty
@@ -1613,6 +1659,140 @@ object History {
           .parquet(m.cur.sorted.map(rel =>
             new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*)
     }
+  }
+
+  /** Roll the lake BACK (or forward) to a retained version's content,
+    * as a NEW commit — the metadata-only undo for a bad delete, merge,
+    * or ingest: no data file moves or is rewritten at any scale; the
+    * target version's file set simply becomes current again
+    * (resurrected files leave the retired set; the undone commit's
+    * files retire with a fresh timestamp, so the REDO window is a full
+    * vacuum grace too). History is preserved: the undone versions stay
+    * time-travelable until vacuum. Fails loudly if any of the target's
+    * files was already vacuumed (pure metadata check against the
+    * latest cur+retired sets — a vacuum deletes a file and its retired
+    * entry together, so membership is proof of existence). Returns the
+    * new version. */
+  def restore(spark: SparkSession, path: String, version: Long): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = FileManifest.at(fs, path, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot restore to version $version at $path (vacuumed or never " +
+          s"published); retained: " +
+          FileManifest.versions(fs, path).mkString(", ")))
+    val m = FileManifest.latest(fs, path).get
+    if (m.version == version) return m.version
+    val known = m.curSet ++ m.retiredSet
+    val gone = target.cur.filterNot(known)
+    if (gone.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot restore to version $version at $path: ${gone.size} of its " +
+          s"files were already vacuumed, e.g. ${gone.take(3).mkString(", ")}")
+    val targetSet = target.curSet
+    val now = System.currentTimeMillis()
+    FileManifest.publish(fs, path, FileManifest.Manifest(
+      m.version + 1,
+      target.cur,
+      m.retired.filterNot(e => targetSet(e._2)) ++
+        m.cur.filterNot(targetSet).sorted.map(now -> _)))
+    m.version + 1
+  }
+
+  /** Pin a manifest version under a named TAG: [[vacuum]] will never
+    * reclaim the tagged version's root or the data files it references,
+    * however far past grace they age — the durable-reproducibility
+    * primitive (tag the exact corpus snapshot a model trained on; an
+    * audit hold on a takedown's pre-image). Defaults to the latest
+    * version. Fails loudly on a duplicate name or an unreachable
+    * version. NOTE: tag a version while it is still retained (within
+    * grace, or latest) — a tag cannot resurrect files an earlier
+    * vacuum already reclaimed. */
+  def tag(spark: SparkSession, path: String, name: String,
+          version: Option[Long] = None): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.orElse(FileManifest.latestVersion(fs, path)).getOrElse(
+      throw new IllegalStateException(
+        s"tag needs a manifest-mode lake (enableManifests): $path"))
+    FileManifest.createTag(fs, path, name, v)
+    v
+  }
+
+  /** Read the snapshot a tag pins — time travel by name. */
+  def readTag(spark: SparkSession, path: String, name: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = FileManifest.tagVersion(fs, path, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown tag '$name' at $path; have: " +
+          FileManifest.tags(fs, path).map(_._1).mkString(", ")))
+    readPinned(spark, path, v)
+  }
+
+  /** All tags as (name, pinned version). */
+  def tags(spark: SparkSession, path: String): Seq[(String, Long)] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    FileManifest.tags(fs, path)
+  }
+
+  /** Release a tag's pin; the next [[vacuum]] past grace reclaims its
+    * version and files like any other history. False if unknown. */
+  def deleteTag(spark: SparkSession, path: String, name: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    FileManifest.deleteTag(fs, path, name)
+  }
+
+  /** Declare the lake's current read schema as the committed TABLE
+    * schema (schema version 1) — see [[SchemaLog]]. From this point
+    * every pinned read plans with the declared schema and every
+    * [[append]] validates against it. Idempotent. */
+  def declareSchema(spark: SparkSession, path: String): Long =
+    SchemaLog.declare(spark, path)
+
+  /** Commit a schema EVOLUTION: add nullable columns, widen
+    * byte/short/int→long or float→double, relax nullability — validated
+    * against the current declared schema, rejected otherwise
+    * ([[SchemaLog.validateEvolution]]). Metadata-only: no data file is
+    * rewritten; old files read back with nulls in the added columns and
+    * reader-promoted values in the widened ones. Returns the new schema
+    * version. */
+  def evolveSchema(spark: SparkSession, path: String,
+                   next: org.apache.spark.sql.types.StructType): Long =
+    SchemaLog.evolve(spark, path, next)
+
+  /** The committed table schema, or None for a lake that never
+    * declared one (footer-inference reads apply). */
+  def declaredSchema(spark: SparkSession, path: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SchemaLog.latest(fs, path)
+  }
+
+  /** Validated exactly-once APPEND to a manifest lake: the batch is
+    * checked against the declared schema (unknown or wider-than-
+    * declared columns fail loudly BEFORE any file lands; narrower
+    * batches — old writers mid-evolution — stay legal), staged under
+    * the batch key, published via [[LakeCommit.publish]]'s
+    * sweep-then-rename idempotent protocol, and committed to the
+    * manifest in one version flip. Re-running a crashed append with the
+    * same key converges to exactly one copy. */
+  def append(spark: SparkSession, path: String, batch: DataFrame,
+             key: String, partitionCols: Seq[String] = Nil): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SchemaLog.latest(fs, path)
+      .foreach(d => SchemaLog.validateWrite(d, batch.schema))
+    val writer = batch.write.mode("overwrite")
+      .option("maxRecordsPerFile", 5000000L)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(LakeCommit.stagingDir(path, key))
+    val rels = LakeCommit.publish(spark, path, key)
+    FileManifest.addFiles(fs, path, rels)
+    rels
   }
 
   /** S4: `get_data_from` — date-bounded scan; the `dt >= …` predicate is

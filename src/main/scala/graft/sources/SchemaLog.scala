@@ -1,0 +1,244 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** Committed, versioned TABLE SCHEMA for a manifest lake — the metadata
+  * half of schema evolution.
+  *
+  * Why a declared schema instead of parquet footer merging: a 100 TB
+  * lake accretes files over years, and the record shape drifts — new
+  * columns appear, counters outgrow INT32. Footer-merge
+  * (`mergeSchema=true`) handles the ADD case but (a) pays a
+  * footer-read per file per plan, (b) FAILS outright on a widened
+  * type (`Failed to merge fields: IntegerType and LongType`), and
+  * (c) gives writers nothing to validate against, so one misshapen
+  * batch poisons every later read. Committing the schema as lake
+  * metadata fixes all three:
+  *
+  *  - '''Reads are projection, not inference.''' Every pinned read
+  *    plans with the declared schema (`spark.read.schema(...)`):
+  *    files written before an added column return null for it, and
+  *    files written before a widening are promoted by the vectorized
+  *    parquet reader (Spark 4 reads INT32 file columns as LONG, FLOAT
+  *    as DOUBLE — no per-row cast node in the plan, no footer-merge
+  *    job, one schema for every file regardless of age.
+  *  - '''Evolution is validated, atomic, and versioned.''' [[evolve]]
+  *    admits exactly the changes old files can satisfy: ADD a nullable
+  *    column, WIDEN byte→short→int→long / float→double, RELAX
+  *    nullability. Drops, renames, narrowings, and required adds are
+  *    rejected — each would make some existing file unreadable or
+  *    silently lossy. The new schema commits by the same
+  *    write-tmp-then-atomic-rename as a manifest version.
+  *  - '''Writes are validated against the contract.''' A batch whose
+  *    columns are unknown, or wider than declared, fails loudly at
+  *    submit time ([[validateWrite]]) instead of corrupting the lake;
+  *    batches narrower than declared (old writers not yet updated to
+  *    a widened/added column) stay legal — the read edge reconciles.
+  *
+  * Versioning is intentionally INDEPENDENT of manifest versions: a
+  * schema change is a metadata-only commit (no data rewrite), and a
+  * time-travel read of any retained manifest version projects to the
+  * CURRENT declared schema — consumers see one shape for a table no
+  * matter which snapshot they pin (old snapshots gain nulls for young
+  * columns, exactly like old files do).
+  *
+  * Scale: the log is one tiny JSON file per schema version; reads are
+  * one `listStatus` + an LRU-cached parse per plan — never
+  * file-count- or row-proportional. Copy-on-write rewrites
+  * (delete/merge/cluster) read through the declared schema, so every
+  * rewritten file converges to the widest shape as a side effect of
+  * normal maintenance.
+  */
+object SchemaLog {
+
+  def schemaDir(lakePath: String): String = s"$lakePath/_schema"
+
+  private def versionPath(lakePath: String, v: Long): Path =
+    new Path(schemaDir(lakePath), f"v$v%06d.schema.json")
+
+  private def parseVersion(name: String): Option[Long] =
+    if (name.startsWith("v") && name.endsWith(".schema.json"))
+      scala.util.Try(
+        name.stripPrefix("v").stripSuffix(".schema.json").toLong).toOption
+    else None
+
+  def latestVersion(fs: FileSystem, lakePath: String): Option[Long] = {
+    val dir = new Path(schemaDir(lakePath))
+    if (!fs.exists(dir)) None
+    else {
+      val vs = fs.listStatus(dir).iterator
+        .flatMap(s => parseVersion(s.getPath.getName))
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  /** Parsed-schema cache. Published schema files never change in place,
+    * but a lake can be wiped and rebuilt at the same path, so the key
+    * carries (mtime, length) like the manifest cache. Schemas are tiny;
+    * a count cap suffices. */
+  private val cacheCap = 64
+  private val cache = new java.util.LinkedHashMap[
+    (String, Long, Long, Long), StructType](16, 0.75f, true)
+  /** Physical schema-file reads — spec hook (cache behavior). */
+  private[graft] val schemaFileReads =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Read one committed schema version. */
+  def at(fs: FileSystem, lakePath: String, v: Long): StructType = {
+    val p = versionPath(lakePath, v)
+    val st = fs.getFileStatus(p)
+    val key = (fs.makeQualified(new Path(lakePath)).toString, v,
+      st.getModificationTime, st.getLen)
+    cache.synchronized(Option(cache.get(key))).getOrElse {
+      schemaFileReads.incrementAndGet(): Unit
+      val in = fs.open(p)
+      val json =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val s = DataType.fromJson(json).asInstanceOf[StructType]
+      cache.synchronized {
+        cache.put(key, s): Unit
+        val it = cache.entrySet().iterator()
+        while (cache.size() > cacheCap && it.hasNext) {
+          it.next(); it.remove()
+        }
+      }
+      s
+    }
+  }
+
+  /** The current declared table schema, or None when this lake has
+    * never declared one (footer-inference reads apply). */
+  def latest(fs: FileSystem, lakePath: String): Option[StructType] =
+    latestVersion(fs, lakePath).map(v => at(fs, lakePath, v))
+
+  /** Every committed schema version (ascending) — the evolution
+    * history. */
+  def versions(fs: FileSystem, lakePath: String): Seq[Long] = {
+    val dir = new Path(schemaDir(lakePath))
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).iterator
+      .flatMap(s => parseVersion(s.getPath.getName)).toSeq.sorted
+  }
+
+  /** Declare the lake's CURRENT read schema as schema version 1 — the
+    * entry point into declared-schema mode. Idempotent: a lake that
+    * already declared keeps its log (returns the current version).
+    * All fields are declared nullable: parquet files written by Spark
+    * are nullable throughout, and a required column would reject every
+    * historical file. */
+  def declare(spark: SparkSession, lakePath: String): Long = {
+    val fs = new Path(lakePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestVersion(fs, lakePath) match {
+      case Some(v) => v
+      case None =>
+        val snapshot = StructType(
+          History.readPinned(spark, lakePath).schema
+            .fields.map(_.copy(nullable = true)))
+        publish(fs, lakePath, 1L, snapshot)
+        1L
+    }
+  }
+
+  /** Commit `next` as the new declared schema after validating it is a
+    * legal evolution of the current one (see [[validateEvolution]]).
+    * Metadata-only: no data file is touched; every reader of every
+    * retained snapshot sees `next` from this commit on. Returns the
+    * new schema version. */
+  def evolve(spark: SparkSession, lakePath: String,
+             next: StructType): Long = {
+    val fs = new Path(lakePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, lakePath).getOrElse(
+      throw new IllegalStateException(
+        s"evolve needs a declared schema — call declare first: $lakePath"))
+    val old = at(fs, lakePath, v)
+    validateEvolution(old, next)
+    publish(fs, lakePath, v + 1, next)
+    v + 1
+  }
+
+  private def publish(fs: FileSystem, lakePath: String, v: Long,
+                      schema: StructType): Unit =
+    FileManifest.atomicWrite(fs, versionPath(lakePath, v),
+      schema.json)
+
+  /** Does the parquet read edge promote `from`-typed file columns into
+    * a `to`-typed schema slot? Exactly Spark 4's vectorized-reader
+    * widening set (integral up-casts and float→double) plus identity
+    * (nullability-insensitive). Everything else — narrowing, string
+    * re-typing, decimal changes, nested edits — is rejected: it would
+    * need a per-row cast that can fail, which a declared schema must
+    * never smuggle into a scan. */
+  private[graft] def widensTo(from: DataType, to: DataType): Boolean =
+    if (from.sql == to.sql) true // nullability-insensitive equality
+    else (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+
+  /** A legal evolution keeps every existing column readable from every
+    * existing file: no drop, no rename, no narrowing, no tightened
+    * nullability, and added columns must be nullable (old files have
+    * no value to supply). Throws with the first violation. */
+  def validateEvolution(old: StructType, next: StructType): Unit = {
+    val nextByName = next.fields.map(f => f.name -> f).toMap
+    old.fields.foreach { of =>
+      val nf = nextByName.getOrElse(of.name,
+        throw new IllegalArgumentException(
+          s"schema evolution cannot drop or rename column '${of.name}' " +
+            "(old files would become unreadable); add columns instead"))
+      if (!widensTo(of.dataType, nf.dataType))
+        throw new IllegalArgumentException(
+          s"illegal type change for column '${of.name}': " +
+            s"${of.dataType.simpleString} -> ${nf.dataType.simpleString} " +
+            "(only byte/short/int->long and float->double widen losslessly)")
+      if (of.nullable && !nf.nullable)
+        throw new IllegalArgumentException(
+          s"cannot tighten column '${of.name}' from nullable to required " +
+            "(existing files may hold nulls)")
+    }
+    val oldNames = old.fieldNames.toSet
+    next.fields.filterNot(f => oldNames(f.name)).foreach { f =>
+      if (!f.nullable)
+        throw new IllegalArgumentException(
+          s"added column '${f.name}' must be nullable " +
+            "(files written before the evolution have no value for it)")
+    }
+  }
+
+  /** Validate a batch about to be written against the declared schema:
+    * every written column must exist in the declaration with an equal
+    * or NARROWER type (the read edge widens; nothing narrows), and no
+    * declared non-nullable column may be missing. Batches narrower
+    * than declared are legal — old writers keep working across an
+    * evolution, and reads backfill nulls. Throws with the first
+    * violation. */
+  def validateWrite(declared: StructType, writing: StructType): Unit = {
+    val declByName = declared.fields.map(f => f.name -> f).toMap
+    writing.fields.foreach { wf =>
+      val df = declByName.getOrElse(wf.name,
+        throw new IllegalArgumentException(
+          s"write column '${wf.name}' is not in the declared table " +
+            "schema — evolve the schema before writing it"))
+      if (!widensTo(wf.dataType, df.dataType))
+        throw new IllegalArgumentException(
+          s"write column '${wf.name}' has type " +
+            s"${wf.dataType.simpleString}, incompatible with declared " +
+            s"${df.dataType.simpleString} (writes may be equal or narrower)")
+    }
+    val writingNames = writing.fieldNames.toSet
+    declared.fields
+      .filterNot(f => f.nullable || writingNames(f.name))
+      .foreach { f =>
+        throw new IllegalArgumentException(
+          s"write is missing declared non-nullable column '${f.name}'")
+      }
+  }
+}

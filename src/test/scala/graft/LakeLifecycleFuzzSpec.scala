@@ -16,7 +16,12 @@ import graft.sources.{FileManifest, History}
   * cross-checks a keyed point-lookup against the model after EVERY op
   * — the index is deliberately allowed to go stale between refreshes,
   * so this continuously exercises the "stale or absent index only
-  * costs scan width, never rows" contract under composition. */
+  * costs scan width, never rows" contract under composition.
+  *
+  * Tagged mode mixes snapshot-tag creates/releases into the sequence
+  * and re-reads EVERY live pin after every op — a pinned image must
+  * survive any composition of deletes, merges, clusters, and grace-0
+  * vacuums bit-for-bit until its tag is released. */
 class LakeLifecycleFuzzSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
 
@@ -52,11 +57,18 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
 
   private def runSequence(seed: Long, nOps: Int,
                           sharded: Boolean = false,
-                          keyed: Boolean = false): Unit = {
+                          keyed: Boolean = false,
+                          tagged: Boolean = false): Unit = {
     val rnd = new scala.util.Random(seed)
     val lake = java.nio.file.Files
       .createTempDirectory(s"graft-fuzz-$seed").toString + "/lake"
     val model: Model = scala.collection.mutable.Map.empty
+    // tag name -> the exact image pinned at tag time; every live tag is
+    // re-read after EVERY op (deletes, merges, clusters, grace-0
+    // vacuums) and must still equal its pin
+    val tagModel = scala.collection.mutable.LinkedHashMap
+      .empty[String, Map[Long, (String, Long)]]
+    var tagSeq = 0
     var nextId = 0L
     def freshRows(n: Int): Seq[(Long, String, Long)] =
       (0 until n).map { _ =>
@@ -73,8 +85,13 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
     init.foreach { case (id, p, v) => model(id) = (p, v) }
     assert(img(lake) === model.toMap, s"seed=$seed init")
 
+    // extra ops extend the base pick range; order keeps the keyed
+    // tests' historical random streams intact (10=deleteKeys,
+    // 11=refreshIndex as before)
+    val extraOps = (if (keyed) Seq("deleteKeys", "refreshIndex") else Nil) ++
+      (if (tagged) Seq("mkTag", "rmTag") else Nil)
     for (op <- 0 until nOps) {
-      val pick = rnd.nextInt(if (keyed) 12 else 10)
+      val pick = rnd.nextInt(10 + extraOps.size)
       val desc: String = pick match {
         case 0 | 1 => // append a fresh batch
           val rows = freshRows(1 + rnd.nextInt(8))
@@ -121,16 +138,36 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
         case 9 => // reclaim everything reclaimable
           History.vacuum(spark, lake, graceMs = 0L): Unit
           "vacuum"
-        case 10 => // keyed takedown: live victims + one absent key
-          val live = rnd.shuffle(model.keys.toSeq.sorted)
-            .take(rnd.nextInt(4))
-          val victims = live :+ (nextId + 555L)
-          History.deleteKeys(spark, lake, "id", victims): Unit
-          victims.foreach(model.remove)
-          s"deleteKeys ${live.size}"
-        case _ => // bring the key index up to date (case 11)
-          val n = History.refreshKeyIndex(spark, lake, "id")
-          s"refreshIndex $n"
+        case n => extraOps(n - 10) match {
+          case "deleteKeys" => // keyed takedown: live victims + one absent
+            val live = rnd.shuffle(model.keys.toSeq.sorted)
+              .take(rnd.nextInt(4))
+            val victims = live :+ (nextId + 555L)
+            History.deleteKeys(spark, lake, "id", victims): Unit
+            victims.foreach(model.remove)
+            s"deleteKeys ${live.size}"
+          case "refreshIndex" => // bring the key index up to date
+            val c = History.refreshKeyIndex(spark, lake, "id")
+            s"refreshIndex $c"
+          case "mkTag" => // pin the current image (≤3 live pins)
+            if (tagModel.size >= 3) {
+              val oldest = tagModel.head._1
+              History.deleteTag(spark, lake, oldest): Unit
+              tagModel.remove(oldest): Unit
+            }
+            val name = s"t$tagSeq"; tagSeq += 1
+            History.tag(spark, lake, name): Unit
+            tagModel(name) = model.toMap
+            s"tag $name"
+          case _ => // release the oldest pin ("rmTag")
+            tagModel.headOption match {
+              case Some((name, _)) =>
+                History.deleteTag(spark, lake, name): Unit
+                tagModel.remove(name): Unit
+                s"rmTag $name"
+              case None => "rmTag noop"
+            }
+        }
       }
       assert(img(lake) === model.toMap, s"seed=$seed op#$op [$desc]")
       if (keyed) {
@@ -146,6 +183,24 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
         val want = probes.flatMap(id => model.get(id).map(id -> _)).toMap
         assert(got === want, s"seed=$seed op#$op [$desc] keyed lookup")
       }
+      if (tagged) {
+        // every live pin must read back EXACTLY the image it pinned,
+        // whatever deletes/merges/clusters/grace-0 vacuums ran since
+        import spark.implicits._
+        for ((name, snap) <- tagModel) {
+          val got = History.readTag(spark, lake, name)
+            .select("id", "part", "v").as[(Long, String, Long)].collect()
+            .map { case (id, p, v) => id -> (p, v) }.toMap
+          assert(got === snap, s"seed=$seed op#$op [$desc] tag $name")
+        }
+      }
+    }
+    // release every remaining pin first: pinned files are retired-but-
+    // kept on disk, which the plain directory read below would
+    // double-count (by design — that's what the pin preserves)
+    if (tagged) {
+      tagModel.keys.toSeq.foreach(n => History.deleteTag(spark, lake, n): Unit)
+      tagModel.clear()
     }
     // after a final vacuum the plain directory read agrees too (no
     // retired/orphan files left to double-count)
@@ -204,6 +259,10 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
     runSequence(seed = 13L, nOps = 10, sharded = true, keyed = true)
   }
 
+  test("tagged mode: pins survive arbitrary lifecycles (seed 17)") {
+    runSequence(seed = 17L, nOps = 12, sharded = true, tagged = true)
+  }
+
   // Deep sweep for bug hunts — opt-in (SPARK_GRAFT_DEEP_FUZZ=1) so the
   // default suite stays fast; longer sequences and more seeds over
   // both manifest modes, half with the keyed-index lifecycle mixed in.
@@ -211,6 +270,7 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
     assume(sys.env.get("SPARK_GRAFT_DEEP_FUZZ").contains("1"))
     for (seed <- Seq(5L, 11L, 23L, 47L, 101L, 211L))
       runSequence(seed, nOps = 25, sharded = seed % 2 == 1,
-        keyed = Seq(23L, 101L, 211L).contains(seed))
+        keyed = Seq(23L, 101L, 211L).contains(seed),
+        tagged = Seq(5L, 47L, 211L).contains(seed))
   }
 }

@@ -1,0 +1,152 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.{FileManifest, History, VersionCollisionException}
+
+/** Optimistic-concurrency manifest commits ([[FileManifest.commitDelta]]):
+  * disjoint commits re-base and land, true write-write conflicts fail
+  * loudly, and the COW writers inherit both behaviors through their
+  * shared flip. The deterministic race cases use the one-shot
+  * `testRaceHook`, fired inside commitDelta's read→publish window — the
+  * exact interleaving a wall-clock race would produce. */
+class OccCommitSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def fsOf(dir: String) =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  /** Unpartitioned manifest lake with `n` one-row files. */
+  private def lake(n: Int): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-occ").toString + "/lake"
+    (0 until n).foreach { i =>
+      Seq((i.toLong, s"row$i")).toDF("id", "tag")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    History.enableManifests(spark, dir): Unit
+    dir
+  }
+
+  /** Land an (uncommitted) orphan parquet file and return its rel. */
+  private def orphanFile(dir: String, id: Long): String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-occ-orphan").toString + "/out"
+    Seq((id, s"row$id")).toDF("id", "tag").coalesce(1).write.parquet(tmp)
+    val src = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val name = s"orphan-$id.parquet"
+    val fs = fsOf(dir)
+    fs.copyFromLocalFile(new org.apache.hadoop.fs.Path(src.toString),
+      new org.apache.hadoop.fs.Path(s"$dir/$name"))
+    name
+  }
+
+  test("a version collision re-bases the delta and retries") {
+    val dir = lake(3)
+    val fs = fsOf(dir)
+    val m0 = FileManifest.latest(fs, dir).get
+    val victim = m0.cur.head
+    val mine = orphanFile(dir, 100L)
+    val theirs = orphanFile(dir, 200L)
+    // competitor commits an APPEND in our read→publish window
+    FileManifest.testRaceHook =
+      Some(() => FileManifest.commitDelta(fs, dir, Seq(theirs), Nil): Unit)
+    val landed = FileManifest.commitDelta(fs, dir, Seq(mine), Seq(victim))
+    // both commits present: ours re-based on top of theirs
+    assert(landed === m0.version + 2)
+    val after = FileManifest.latest(fs, dir).get
+    assert(after.curSet.contains(mine))
+    assert(after.curSet.contains(theirs))
+    assert(!after.curSet.contains(victim))
+    assert(after.retiredSet.contains(victim))
+    assert(FileManifest.testRaceHook.isEmpty, "hook must be consumed")
+  }
+
+  test("retiring a file a concurrent commit already retired conflicts") {
+    val dir = lake(3)
+    val fs = fsOf(dir)
+    val victim = FileManifest.latest(fs, dir).get.cur.head
+    FileManifest.commitDelta(fs, dir, Nil, Seq(victim)): Unit
+    // a second writer whose scan predates that commit tries to retire
+    // the same file — its rewrite derived from data that changed
+    val e = intercept[java.util.ConcurrentModificationException] {
+      FileManifest.commitDelta(fs, dir, Nil, Seq(victim))
+    }
+    assert(e.getMessage.contains(victim))
+    // same conflict when the race happens INSIDE the commit window
+    val dir2 = lake(3)
+    val fs2 = fsOf(dir2)
+    val v2 = FileManifest.latest(fs2, dir2).get.cur.head
+    FileManifest.testRaceHook =
+      Some(() => FileManifest.commitDelta(fs2, dir2, Nil, Seq(v2)): Unit)
+    intercept[java.util.ConcurrentModificationException] {
+      FileManifest.commitDelta(fs2, dir2, Nil, Seq(v2))
+    }
+  }
+
+  test("direct same-version publishes still fail loudly, typed") {
+    val dir = lake(2)
+    val fs = fsOf(dir)
+    val m = FileManifest.latest(fs, dir).get
+    intercept[VersionCollisionException] {
+      FileManifest.publish(fs, dir,
+        FileManifest.Manifest(m.version, m.cur, m.retired))
+    }
+  }
+
+  test("concurrent appenders all land without loss (threaded)") {
+    val dir = lake(1)
+    val fs = fsOf(dir)
+    val v0 = FileManifest.latest(fs, dir).get.version
+    val perThread = 12
+    val rels = (0 until 2 * perThread).map(i => orphanFile(dir, 1000L + i))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { t =>
+      new Thread(() =>
+        try (0 until perThread).foreach { i =>
+          FileManifest.addFiles(fs, dir, Seq(rels(t * perThread + i)))
+        } catch { case e: Throwable => errs.add(e): Unit })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"concurrent appends failed: ${errs.peek()}")
+    val m = FileManifest.latest(fs, dir).get
+    assert(rels.forall(m.curSet), "every appended file must be current")
+    // one version per commit, no burned numbers
+    assert(m.version === v0 + 2 * perThread)
+  }
+
+  test("a COW delete re-bases over a concurrent append (sharded lake)") {
+    import spark.implicits._
+    val dir = lake(3)
+    History.enableShardedManifests(spark, dir): Unit
+    val fs = fsOf(dir)
+    val late = orphanFile(dir, 300L)
+    // the append lands while deleteWhere is between its match scan and
+    // its manifest flip — the classic streaming-archive vs takedown race
+    FileManifest.testRaceHook =
+      Some(() => FileManifest.commitDelta(fs, dir, Seq(late), Nil): Unit)
+    val (files, rows) = History.deleteWhere(spark, dir, col("id") === 1L)
+    assert(files === 1 && rows === 1L)
+    val ids = History.readPinned(spark, dir)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // victim row gone, late-arriving append SURVIVED the flip
+    assert(ids === Seq(0L, 2L, 300L))
+  }
+
+  test("two deletes of disjoint files commute through the flip") {
+    val dir = lake(4)
+    val fs = fsOf(dir)
+    // delete id=2's file concurrently with the id=1 delete's flip
+    FileManifest.testRaceHook = Some { () =>
+      History.deleteWhere(spark, dir, col("id") === 2L): Unit
+    }
+    History.deleteWhere(spark, dir, col("id") === 1L): Unit
+    val ids = History.readPinned(spark, dir)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(0L, 3L))
+  }
+}

@@ -66,4 +66,162 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     val plain = spark.read.parquet(s"$dir/region=ROZ/dt=2019-10-03")
     assert(plain.columns.toSet === Set("siteId", "ts", "quality"))
   }
+
+  // ---------------------------------------------------------------
+  // Declared-schema mode (SchemaLog): committed table schema, type
+  // WIDENING (which footer-merge cannot do), write validation.
+  // ---------------------------------------------------------------
+
+  import org.apache.spark.sql.types._
+  import graft.sources.SchemaLog
+
+  /** Manifest lake seeded with a narrow era-1 batch (id INT, v FLOAT),
+    * schema declared, then evolved to (id LONG, v DOUBLE, + score
+    * DOUBLE) with an era-2 batch appended through the validated path. */
+  private def declaredLake(): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-declared").toString + "/lake"
+    Seq((1, 1.5f, "a"), (2, 2.5f, "b"))
+      .toDF("id", "v", "tag").write.parquet(dir)
+    History.enableManifests(spark, dir): Unit
+    assert(History.declareSchema(spark, dir) === 1L)
+    val next = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType),
+      StructField("tag", StringType), StructField("score", DoubleType)))
+    assert(History.evolveSchema(spark, dir, next) === 2L)
+    History.append(spark, dir,
+      Seq((3L, 3.5d, "c", 0.9), (4L, 4.5d, "d", 0.7))
+        .toDF("id", "v", "tag", "score"),
+      key = "era2"): Unit
+    dir
+  }
+
+  test("declared schema: widening + added column across file eras") {
+    val dir = declaredLake()
+    val df = History.readPinned(spark, dir)
+    // every file — INT32/FLOAT era-1, LONG/DOUBLE era-2 — reads back as
+    // the ONE declared shape: ids promoted, score null-backfilled.
+    // footer-merge would have FAILED here (IntegerType vs LongType).
+    assert(df.schema.fields.map(f => (f.name, f.dataType)).toSeq === Seq(
+      ("id", LongType), ("v", DoubleType),
+      ("tag", StringType), ("score", DoubleType)))
+    val rows = df.collect().map(r => (r.getLong(0), r.getDouble(1),
+      r.getString(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    assert(rows === Set(
+      (1L, 1.5d, "a", None), (2L, 2.5d, "b", None),
+      (3L, 3.5d, "c", Some(0.9)), (4L, 4.5d, "d", Some(0.7))))
+    // readEvolved resolves to the same declared-schema plan
+    assert(History.readEvolved(spark, dir).collect().length === 4)
+  }
+
+  test("declared schema: time travel projects old snapshots to it") {
+    val dir = declaredLake()
+    val vs = History.versions(spark, dir)
+    val v1 = History.readPinned(spark, dir, vs.head)
+    // the pre-evolution snapshot reads with the CURRENT declared shape:
+    // one schema for the table no matter which version a reader pins
+    assert(v1.schema.fieldNames.toSeq === Seq("id", "v", "tag", "score"))
+    val rows = v1.collect().map(r => (r.getLong(0),
+      Option(r.get(3)))).toSet
+    assert(rows === Set((1L, None), (2L, None)))
+  }
+
+  test("illegal evolutions are rejected") {
+    val dir = declaredLake()
+    val declared = History.declaredSchema(spark, dir).get
+    def evolved(f: Seq[StructField] => Seq[StructField]) =
+      StructType(f(declared.fields.toSeq))
+    // drop a column
+    intercept[IllegalArgumentException] {
+      History.evolveSchema(spark, dir, evolved(_.filterNot(_.name == "v")))
+    }
+    // rename (drop + add reads as a drop of the old name)
+    intercept[IllegalArgumentException] {
+      History.evolveSchema(spark, dir,
+        evolved(_.map(f => if (f.name == "v") f.copy(name = "value") else f)))
+    }
+    // narrow long -> int
+    intercept[IllegalArgumentException] {
+      History.evolveSchema(spark, dir,
+        evolved(_.map(f =>
+          if (f.name == "id") f.copy(dataType = IntegerType) else f)))
+    }
+    // add a REQUIRED column (old files cannot supply it)
+    intercept[IllegalArgumentException] {
+      History.evolveSchema(spark, dir,
+        evolved(_ :+ StructField("req", StringType, nullable = false)))
+    }
+    // tighten nullability on an existing column
+    intercept[IllegalArgumentException] {
+      History.evolveSchema(spark, dir,
+        evolved(_.map(f =>
+          if (f.name == "tag") f.copy(nullable = false) else f)))
+    }
+    // string re-typing is not a widening
+    assert(!SchemaLog.widensTo(StringType, LongType))
+    assert(!SchemaLog.widensTo(DoubleType, FloatType))
+    assert(SchemaLog.widensTo(ByteType, LongType))
+  }
+
+  test("writes are validated against the declared schema") {
+    import spark.implicits._
+    val dir = declaredLake()
+    // unknown column: evolve first
+    val extra = intercept[IllegalArgumentException] {
+      History.append(spark, dir,
+        Seq((9L, 9.5d, "x", 0.1, "oops"))
+          .toDF("id", "v", "tag", "score", "extra"), key = "bad1")
+    }
+    assert(extra.getMessage.contains("extra"))
+    // wider than declared (declared tag STRING, write... declared id is
+    // LONG — a DECIMAL id is not narrower, must be rejected)
+    val wide = intercept[IllegalArgumentException] {
+      History.append(spark, dir,
+        Seq(("9", 9.5d, "x")).toDF("id", "v", "tag"), key = "bad2")
+    }
+    assert(wide.getMessage.contains("id"))
+    // NARROWER batch stays legal (an old writer mid-evolution): id INT,
+    // v FLOAT, no score — reads backfill and widen
+    import org.apache.spark.sql.functions.{col => c}
+    History.append(spark, dir,
+      Seq((5, 5.5f, "e")).toDF("id", "v", "tag"), key = "era1-late"): Unit
+    val row = History.readPinned(spark, dir).where(c("id") === 5L).collect()
+    assert(row.map(r => (r.getLong(0), r.getDouble(1),
+      Option(r.get(3)))).toSeq === Seq((5L, 5.5d, None)))
+    // a failed append stages nothing into the manifest
+    assert(History.readPinned(spark, dir).count() === 5)
+  }
+
+  test("copy-on-write rewrites converge files onto the declared schema") {
+    import org.apache.spark.sql.functions.{col => c, lit => l}
+    val dir = declaredLake()
+    // delete one era-1 row: the rewrite reads era-1 files through the
+    // declared schema, so the survivor file comes back LONG/DOUBLE with
+    // a physical score column
+    History.deleteWhere(spark, dir, c("id") === l(1L)): Unit
+    val rows = History.readPinned(spark, dir).collect()
+      .map(r => (r.getLong(0), Option(r.get(3)))).toSet
+    assert(rows === Set((2L, None), (3L, Some(0.9)), (4L, Some(0.7))))
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val rewritten = graft.sources.FileManifest.latest(fs, dir).get
+      .cur.filter(_.startsWith("d")) // delete-tagged rewrite output
+    assert(rewritten.nonEmpty)
+    val plain = spark.read.parquet(
+      rewritten.map(rel => s"$dir/$rel"): _*)
+    assert(plain.schema.fields.map(f => (f.name, f.dataType)).toSeq === Seq(
+      ("id", LongType), ("v", DoubleType),
+      ("tag", StringType), ("score", DoubleType)),
+      "rewrite did not converge the file onto the declared schema")
+  }
+
+  test("a fully-deleted declared lake keeps its schema") {
+    import org.apache.spark.sql.functions.{lit => l}
+    val dir = declaredLake()
+    History.deleteWhere(spark, dir, l(true)): Unit
+    val df = History.readPinned(spark, dir)
+    assert(df.schema.fieldNames.toSeq === Seq("id", "v", "tag", "score"))
+    assert(df.count() === 0)
+  }
 }

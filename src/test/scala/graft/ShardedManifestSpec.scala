@@ -83,7 +83,8 @@ class ShardedManifestSpec extends AnyFunSuite {
     val after = shardNames(lake)
     val added = after -- before
     assert(added.size === 1, s"expected 1 new shard, got $added")
-    assert(added.head.endsWith("-v000000000003.shard"))
+    assert(added.head.contains("-v000000000003-"),
+      s"shard name should embed the publishing version: ${added.head}")
     // the untouched partitions' shards are REUSED by the new root —
     // their files are referenced by both v2 and v3
     val refs = FileManifest.referencedShards(fs, lake)
