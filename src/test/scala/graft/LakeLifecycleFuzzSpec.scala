@@ -69,6 +69,11 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
     val tagModel = scala.collection.mutable.LinkedHashMap
       .empty[String, Map[Long, (String, Long)]]
     var tagSeq = 0
+    // manifest version -> the model image it published (tagged mode):
+    // the restore op rolls the lake back to any RETAINED version and
+    // the model must follow
+    val history = scala.collection.mutable.Map
+      .empty[Long, Map[Long, (String, Long)]]
     var nextId = 0L
     def freshRows(n: Int): Seq[(Long, String, Long)] =
       (0 until n).map { _ =>
@@ -84,12 +89,14 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
     if (keyed) History.refreshKeyIndex(spark, lake, "id"): Unit
     init.foreach { case (id, p, v) => model(id) = (p, v) }
     assert(img(lake) === model.toMap, s"seed=$seed init")
+    if (tagged)
+      history(FileManifest.latestVersion(fs(lake), lake).get) = model.toMap
 
     // extra ops extend the base pick range; order keeps the keyed
     // tests' historical random streams intact (10=deleteKeys,
     // 11=refreshIndex as before)
     val extraOps = (if (keyed) Seq("deleteKeys", "refreshIndex") else Nil) ++
-      (if (tagged) Seq("mkTag", "rmTag") else Nil)
+      (if (tagged) Seq("mkTag", "rmTag", "restore") else Nil)
     for (op <- 0 until nOps) {
       val pick = rnd.nextInt(10 + extraOps.size)
       val desc: String = pick match {
@@ -159,13 +166,25 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
             History.tag(spark, lake, name): Unit
             tagModel(name) = model.toMap
             s"tag $name"
-          case _ => // release the oldest pin ("rmTag")
+          case "rmTag" => // release the oldest pin
             tagModel.headOption match {
               case Some((name, _)) =>
                 History.deleteTag(spark, lake, name): Unit
                 tagModel.remove(name): Unit
                 s"rmTag $name"
               case None => "rmTag noop"
+            }
+          case _ => // roll back to any retained snapshot ("restore")
+            val f = fs(lake)
+            val candidates = FileManifest.versions(f, lake)
+              .filter(history.contains)
+            if (candidates.isEmpty) "restore noop"
+            else {
+              val v = candidates(rnd.nextInt(candidates.size))
+              History.restore(spark, lake, v): Unit
+              model.clear()
+              model ++= history(v)
+              s"restore v$v"
             }
         }
       }
@@ -193,6 +212,8 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
             .map { case (id, p, v) => id -> (p, v) }.toMap
           assert(got === snap, s"seed=$seed op#$op [$desc] tag $name")
         }
+        // record this op's committed image for future restore ops
+        history(FileManifest.latestVersion(fs(lake), lake).get) = model.toMap
       }
     }
     // release every remaining pin first: pinned files are retired-but-
