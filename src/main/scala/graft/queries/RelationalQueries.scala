@@ -770,6 +770,76 @@ object RelationalQueries {
         .join(broadcast(supplier(s, d)),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_name"), col("n_parts"))
+    }),
+
+    // TPC-H Q9 shape (product-type profit): per-(nation, order-year)
+    // profit over the full 6-table star. The schema has no partsupp, so
+    // supply cost is the Q9-spirit proxy 80% of p_retailprice — the
+    // SHAPE is the point: name-filtered part dim broadcast into
+    // lineitem, supplier→nation broadcast chain, the one genuine
+    // fact-fact shuffle (lineitem ⋈ orders on orderkey), per-row money
+    // math bridged through DECIMAL before the sum.
+    "q50_profit_by_nation" -> ((s, d) => {
+      val amount = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        - col("p_retailprice") * lit(0.8) * col("l_quantity"))
+        .cast("decimal(24,6)")
+      lineitem(s, d)
+        .join(broadcast(part(s, d).filter(col("p_name").contains("bolt"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(amount).cast("double").as("profit"))
+    }),
+
+    // TPC-H Q14 shape (promo revenue share): one ship-month of
+    // lineitem against the broadcast part dim, conditional vs total
+    // revenue in ONE aggregate pass — the ratio computed from
+    // exact-DECIMAL sums cast to double on both sides (identical IEEE
+    // division), never from accumulated float state.
+    "q51_promo_revenue" -> ((s, d) => {
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(24,6)")
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-03-01") &&
+          col("l_shipdate") < lit("1997-04-01"))
+        .join(broadcast(part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(24,6)"))).as("promo"),
+          sum(rev).as("total"))
+        .select(
+          (col("promo").cast("double") / col("total").cast("double")
+            * 100.0).as("promo_share"),
+          col("promo").cast("double").as("promo_revenue"),
+          col("total").cast("double").as("total_revenue"))
+    }),
+
+    // TPC-H Q15 shape (top supplier): quarterly per-supplier revenue,
+    // the global max as a broadcast single row joined back (ties kept
+    // — exact-DECIMAL equality is well-defined where float equality
+    // would be a bug), then the broadcast name join. No global-window
+    // single-partition shuffle anywhere.
+    "q52_top_supplier" -> ((s, d) => {
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(24,6)")
+      val byStripe = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(rev).as("total_revenue"))
+      val top = byStripe.agg(max(col("total_revenue")).as("max_revenue"))
+      byStripe
+        .join(broadcast(top),
+          col("total_revenue") === col("max_revenue"))
+        .join(broadcast(supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_revenue").cast("double").as("total_revenue"))
     })
   )
 
@@ -1197,6 +1267,48 @@ object RelationalQueries {
          FROM sp JOIN tot ON l_partkey = pk
          JOIN supplier ON s_suppkey = l_suppkey
          WHERE sq * 10 > tq
-         GROUP BY s_name"""
+         GROUP BY s_name""",
+    "q50_profit_by_nation" ->
+      """SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+           - p_retailprice * 0.8 * l_quantity AS DECIMAL(24,6)))
+           AS DOUBLE) AS profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY n_name, o_year""",
+    "q51_promo_revenue" ->
+      """WITH agg AS (
+           SELECT
+             SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1.0 - l_discount)
+                      AS DECIMAL(24,6))
+                 ELSE CAST(0 AS DECIMAL(24,6)) END) AS promo,
+             SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                 AS DECIMAL(24,6))) AS total
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+             AND l_shipdate < TIMESTAMP '1997-04-01'
+         )
+         SELECT CAST(promo AS DOUBLE) / CAST(total AS DOUBLE) * 100.0
+                  AS promo_share,
+                CAST(promo AS DOUBLE) AS promo_revenue,
+                CAST(total AS DOUBLE) AS total_revenue
+         FROM agg""",
+    "q52_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                    AS DECIMAL(24,6))) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey
+         )
+         SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+         FROM rev JOIN supplier ON s_suppkey = l_suppkey
+         WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)"""
   )
 }

@@ -245,6 +245,28 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("plan quality: q50 broadcasts every dim; one fact-fact shuffle join") {
+    val df = SparkEntry.queries("q50_profit_by_nation")(spark,
+      "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // part/supplier/nation ride broadcast; only lineitem ⋈ orders may
+    // shuffle (a cartesian or a 4-way shuffle chain would be a
+    // scale-killer at 100 TB)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("plan quality: q52's global max joins back as a broadcast row") {
+    val df = SparkEntry.queries("q52_top_supplier")(spark,
+      "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // no single-partition global window; the max is a broadcast single
+    // row and the supplier name join is a broadcast too
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1 ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("Window"), plan.take(800))
+  }
+
   test("plan quality: s01 corpus side never shuffles (broadcast NLJ)") {
     val df = SparkEntry.queries("s01_cosine_topk")(spark,
       "/root/testdata/sf0.001")

@@ -35,6 +35,113 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  // ----- SchemaLog laws: the evolution relation is a partial order and
+  // writers survive evolutions (pure logic, no Spark session) -----
+
+  private val genPrim: Gen[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Gen.oneOf(ByteType, ShortType, IntegerType, LongType, FloatType,
+      DoubleType, StringType, BooleanType, DateType)
+  }
+
+  private def genStruct(names: Seq[String])
+      : Gen[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    Gen.sequence[Seq[StructField], StructField](names.map(n =>
+      genPrim.map(t => StructField(n, t, nullable = true))))
+      .map(fs => StructType(fs))
+  }
+
+  /** Constructive enumerations of the widening lattice (a `suchThat`
+    * over random picks exhausts — e.g. only StringType widens to
+    * StringType). */
+  private def narrowersOf(t: org.apache.spark.sql.types.DataType) = {
+    import org.apache.spark.sql.types._
+    t match {
+      case ShortType => Seq(ByteType, ShortType)
+      case IntegerType => Seq(ByteType, ShortType, IntegerType)
+      case LongType => Seq(ByteType, ShortType, IntegerType, LongType)
+      case DoubleType => Seq(FloatType, DoubleType)
+      case other => Seq(other)
+    }
+  }
+
+  private def widersOf(t: org.apache.spark.sql.types.DataType) = {
+    import org.apache.spark.sql.types._
+    t match {
+      case ByteType => Seq(ByteType, ShortType, IntegerType, LongType)
+      case ShortType => Seq(ShortType, IntegerType, LongType)
+      case IntegerType => Seq(IntegerType, LongType)
+      case FloatType => Seq(FloatType, DoubleType)
+      case other => Seq(other)
+    }
+  }
+
+  test("widensTo is a partial order on the primitive lattice") {
+    import graft.sources.SchemaLog.widensTo
+    check(Prop.forAll(genPrim, genPrim, genPrim) { (a, b, c) =>
+      val refl = widensTo(a, a)
+      val trans = !(widensTo(a, b) && widensTo(b, c)) || widensTo(a, c)
+      val antisym = !(widensTo(a, b) && widensTo(b, a)) || a.sql == b.sql
+      refl && trans && antisym
+    })
+  }
+
+  test("any batch legal before an evolution stays legal after it") {
+    // THE compatibility law: evolving the table never breaks a
+    // deployed writer. A batch is a sub-struct with equal-or-narrower
+    // types; an evolution widens types and adds nullable columns —
+    // validateWrite must still accept the old batch against the new
+    // declaration.
+    import org.apache.spark.sql.types._
+    import graft.sources.SchemaLog
+    val names = Seq("a", "b", "c", "d")
+    val genCase = for {
+      declared <- genStruct(names)
+      // a legal batch: subset of columns, equal-or-narrower types
+      keep <- Gen.someOf(declared.fields.toSeq)
+      batch <- Gen.sequence[Seq[StructField], StructField](keep.map { f =>
+        Gen.oneOf(narrowersOf(f.dataType)).map(t => f.copy(dataType = t))
+      })
+      // a legal evolution: widen some fields, add a nullable column
+      evolved <- Gen.sequence[Seq[StructField], StructField](
+        declared.fields.toSeq.map { f =>
+          Gen.oneOf(widersOf(f.dataType)).map(t => f.copy(dataType = t))
+        })
+      extra <- genPrim.map(t => StructField("e", t, nullable = true))
+    } yield (declared, StructType(batch), StructType(evolved :+ extra))
+    check(Prop.forAll(genCase) { case (declared, batch, evolved) =>
+      SchemaLog.validateEvolution(declared, evolved) // legal by construction
+      SchemaLog.validateWrite(declared, batch) // legal by construction
+      SchemaLog.validateWrite(evolved, batch) // MUST remain legal
+      true
+    })
+  }
+
+  test("evolutions compose: old -> a legal and a -> b legal => old -> b legal") {
+    import org.apache.spark.sql.types._
+    import graft.sources.SchemaLog
+    val genChain = for {
+      old <- genStruct(Seq("a", "b", "c"))
+      a <- Gen.sequence[Seq[StructField], StructField](
+        old.fields.toSeq.map { f =>
+          Gen.oneOf(widersOf(f.dataType)).map(t => f.copy(dataType = t))
+        })
+      b <- Gen.sequence[Seq[StructField], StructField](
+        a.map { f =>
+          Gen.oneOf(widersOf(f.dataType)).map(t => f.copy(dataType = t))
+        })
+      extraA <- Gen.option(genPrim.map(t => StructField("d", t)))
+    } yield (old, StructType(a ++ extraA.toSeq),
+      StructType(b ++ extraA.toSeq))
+    check(Prop.forAll(genChain) { case (old, a, b) =>
+      SchemaLog.validateEvolution(old, a)
+      SchemaLog.validateEvolution(a, b)
+      SchemaLog.validateEvolution(old, b) // transitivity
+      true
+    })
+  }
+
   test("TopK.reduce fold ≡ global sort.take(k)") {
     check(Prop.forAll(genScored, Gen.choose(1, 8)) { (xs, k) =>
       val agg = new TopK(k)
