@@ -510,7 +510,23 @@ object HistoryQueries {
     // undone delete, or double-applied anything fails the hash.
     "h17_restored_lake" -> ((s, d) =>
       graft.sources.History.readPinned(s, restoredLake(s, d))
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+
+    // SQL catalog surface: the post-delete lake queried through
+    // `lake.`<path>`` — the DSv2 TableCatalog resolves the pinned
+    // manifest, partition-prunes on lang, pushes the aggregate's scan
+    // through the stock parquet stack, and must aggregate exactly the
+    // anti-predicate rows (h07's lake). A catalog that planned stale,
+    // retired, or uncommitted files shifts a count and fails the hash.
+    "h18_sql_catalog" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.lake",
+        classOf[graft.sources.LakeCatalog].getName)
+      val dir = deleteLake(s, d)
+      s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+                       SUM(n_chars) AS total_chars
+                FROM lake.`$dir`
+                WHERE lang IN ('en', 'de') GROUP BY lang""")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -598,6 +614,13 @@ object HistoryQueries {
       """SELECT doc_id, lang, source, n_chars FROM documents""",
     "h17_restored_lake" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
-         WHERE NOT (doc_id % 13 = 3)"""
+         WHERE NOT (doc_id % 13 = 3)""",
+    "h18_sql_catalog" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         FROM documents
+         WHERE lang IN ('en', 'de')
+           AND NOT (source = 'src3' OR doc_id % 11 = 0)
+         GROUP BY lang"""
   )
 }

@@ -131,6 +131,16 @@ object FileManifest {
       .flatMap(s => parseVersion(s.getPath.getName)).toSeq.sorted
   }
 
+  /** Commit time of a retained version (its root's mtime — the atomic
+    * rename instant), or None if vacuumed/unknown. `TIMESTAMP AS OF`
+    * resolution for the SQL catalog. */
+  def versionMtime(fs: FileSystem, lakePath: String,
+                   v: Long): Option[Long] = {
+    val p = versionPath(lakePath, v)
+    if (fs.exists(p)) Some(fs.getFileStatus(p).getModificationTime)
+    else None
+  }
+
   /** Read one specific retained version (time travel), or None if that
     * version never existed or was vacuumed. */
   def at(fs: FileSystem, lakePath: String, version: Long): Option[Manifest] =

@@ -1,0 +1,153 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL surface for manifest lakes: a DSv2 `TableCatalog` whose table
+  * identifiers ARE lake paths, with time travel by version, by tag
+  * name, and by timestamp.
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.lake", classOf[LakeCatalog].getName)
+  *   spark.sql("SELECT * FROM lake.`/data/corpus`")                    // pinned latest
+  *   spark.sql("SELECT * FROM lake.`/data/corpus` VERSION AS OF 7")    // time travel
+  *   spark.sql("SELECT * FROM lake.`/data/corpus` VERSION AS OF 'training-v1'") // by tag
+  *   spark.sql("SELECT * FROM lake.`/data/corpus` TIMESTAMP AS OF '2026-08-01 00:00:00'")
+  * }}}
+  *
+  * Every load resolves the manifest exactly like [[History.readPinned]]
+  * — the planned file set is the committed version's CURRENT files, so
+  * a SQL scan survives concurrent compaction/delete commits for the
+  * whole vacuum grace, and a declared table schema ([[SchemaLog]])
+  * projects every file era to one shape. The returned table IS the
+  * stock DSv2 parquet table over that file list
+  * (`ParquetTableBridge`), so SQL reads inherit the production scan
+  * stack wholesale: vectorized reader, filter pushdown, column
+  * pruning, partition-directory pruning against the lake root.
+  *
+  * Read-only by design: writes go through the engine's committed
+  * writers ([[History.append]], [[History.deleteWhere]],
+  * [[History.mergeInto]], the streaming archive) — a bare SQL INSERT
+  * could not participate in the manifest/OCC commit protocol, so
+  * `createTable`/`alterTable`/`dropTable` fail loudly instead of
+  * silently bypassing it.
+  *
+  * Scale: a load costs one (cached) manifest resolution — O(lake
+  * metadata), never a data-file listing; `listTables` is empty because
+  * lake paths are not enumerable from nothing.
+  */
+class LakeCatalog extends TableCatalog {
+
+  private var catalogName: String = "lake"
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** The identifier is the lake path: `lake.`/abs/path`` parses to
+    * name="/abs/path" (namespace empty); a namespaced spelling joins
+    * the parts back with '/'. */
+  private def pathOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString("/")
+
+  private def fsOf(path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tableAt(ident: Identifier,
+                      version: Option[Long]): Table = {
+    val path = pathOf(ident)
+    val fs = fsOf(path)
+    val m = version match {
+      case Some(v) => FileManifest.at(fs, path, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"version $v not retained at $path (vacuumed or never " +
+            s"published); retained: " +
+            FileManifest.versions(fs, path).mkString(", ")))
+      case None => FileManifest.latest(fs, path).getOrElse(
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchTableException(ident))
+    }
+    val qRoot = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    val files = m.cur.sorted.map(rel =>
+      new org.apache.hadoop.fs.Path(qRoot, rel).toString)
+    // the declared schema when committed (projection + widening —
+    // exactly readPinned's contract); otherwise the pinned read's
+    // inferred schema so an EMPTY version still presents the lake shape
+    val schema: StructType = SchemaLog.latest(fs, path).getOrElse {
+      version.map(History.readPinned(spark, path, _))
+        .getOrElse(History.readPinned(spark, path)).schema
+    }
+    org.apache.spark.sql.graftbridge.ParquetTableBridge.table(
+      s"$catalogName.$path${version.fold("")(v => s"@v$v")}",
+      spark, files, qRoot.toString, Some(schema))
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    tableAt(ident, None)
+
+  /** `VERSION AS OF x`: a numeric literal is a manifest version; a
+    * string literal is a TAG name ([[FileManifest.tagVersion]]). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = pathOf(ident)
+    val v = version.toLongOption.getOrElse {
+      FileManifest.tagVersion(fsOf(path), path, version).getOrElse(
+        throw new IllegalArgumentException(
+          s"unknown tag '$version' at $path; have: " +
+            FileManifest.tags(fsOf(path), path).map(_._1).mkString(", ")))
+    }
+    tableAt(ident, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF t` (micros since epoch): the newest version
+    * whose root was committed at or before `t`. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = pathOf(ident)
+    val fs = fsOf(path)
+    val tsMs = timestamp / 1000L
+    val candidates = FileManifest.versions(fs, path).filter { v =>
+      FileManifest.versionMtime(fs, path, v).exists(_ <= tsMs)
+    }
+    if (candidates.isEmpty)
+      throw new IllegalArgumentException(
+        s"no version of $path existed at timestamp $timestamp " +
+          "(or older versions were vacuumed)")
+    tableAt(ident, Some(candidates.max))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    FileManifest.enabled(fsOf(pathOf(ident)), pathOf(ident))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty // lake paths are not enumerable from nothing
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$catalogName is a read-only SQL surface over manifest lakes; " +
+        s"$op must go through the engine's committed writers " +
+        "(History.append / deleteWhere / mergeInto / the streaming archive)")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    readOnly("createTable")
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    readOnly("alterTable")
+
+  override def dropTable(ident: Identifier): Boolean =
+    readOnly("dropTable")
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit =
+    readOnly("renameTable")
+}

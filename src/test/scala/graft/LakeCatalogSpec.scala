@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.{FileManifest, History, LakeCatalog}
+
+/** SQL surface over manifest lakes ([[LakeCatalog]]): plain SELECTs
+  * resolve the pinned manifest, time travel works by version, tag
+  * name, and timestamp, pushdown reaches the parquet scan, and the
+  * surface is read-only. */
+class LakeCatalogSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = SparkTestBase.spark
+    s.conf.set("spark.sql.catalog.lake", classOf[LakeCatalog].getName)
+    s
+  }
+
+  private def fsOf(dir: String) =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  /** lang-partitioned manifest lake over a tiny documents-like frame. */
+  private def lake(): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sqlcat").toString + "/lake"
+    Seq((1L, "en", 10L), (2L, "en", 20L), (3L, "de", 30L),
+        (4L, "de", 40L), (5L, "fr", 50L))
+      .toDF("doc_id", "lang", "n_chars")
+      .repartition(col("lang"))
+      .write.partitionBy("lang").parquet(dir)
+    History.enableManifests(spark, dir): Unit
+    dir
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("SELECT over a lake path equals the pinned read") {
+    val dir = lake()
+    val viaSql = spark.sql(s"SELECT doc_id, lang, n_chars FROM lake.`$dir`")
+    assert(ids(viaSql) === Seq(1L, 2L, 3L, 4L, 5L))
+    // the SQL scan plans the MANIFEST's files: a delete commit flips
+    // what SQL sees, exactly like readPinned
+    History.deleteWhere(spark, dir, col("doc_id") === 2L): Unit
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) ===
+      Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("VERSION AS OF n, tag names, and TIMESTAMP AS OF all resolve") {
+    val dir = lake()
+    val fs = fsOf(dir)
+    val v1 = FileManifest.latest(fs, dir).get.version
+    val t1 = FileManifest.versionMtime(fs, dir, v1).get
+    History.tag(spark, dir, "pre-delete"): Unit
+    Thread.sleep(5) // ensure the delete's commit mtime is after t1
+    History.deleteWhere(spark, dir, col("doc_id") <= 2L): Unit
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) ===
+      Seq(3L, 4L, 5L))
+    // numeric version
+    assert(ids(spark.sql(
+      s"SELECT * FROM lake.`$dir` VERSION AS OF $v1")) ===
+      Seq(1L, 2L, 3L, 4L, 5L))
+    // tag name
+    assert(ids(spark.sql(
+      s"SELECT * FROM lake.`$dir` VERSION AS OF 'pre-delete'")) ===
+      Seq(1L, 2L, 3L, 4L, 5L))
+    // timestamp: the instant v1 committed resolves to v1
+    val asOf = new java.sql.Timestamp(t1).toString
+    assert(ids(spark.sql(
+      s"SELECT * FROM lake.`$dir` TIMESTAMP AS OF '$asOf'")) ===
+      Seq(1L, 2L, 3L, 4L, 5L))
+    // unknown tag and vacuumed version fail loudly
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM lake.`$dir` VERSION AS OF 'nope'").collect()
+    }
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM lake.`$dir` VERSION AS OF 999").collect()
+    }
+  }
+
+  test("partition and filter pushdown reach the SQL scan") {
+    val dir = lake()
+    val df = spark.sql(
+      s"SELECT doc_id FROM lake.`$dir` WHERE lang = 'de' AND n_chars > 30")
+    assert(ids(df) === Seq(4L))
+    val plan = df.queryExecution.executedPlan.toString
+    // the lang predicate prunes partitions; the n_chars predicate is
+    // pushed into the parquet scan
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), " +
+      "GreaterThan(n_chars,30)]") || plan.contains("GreaterThan(n_chars"),
+      plan.take(1200))
+    val scanned = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(!scanned.contains("lang=en") || scanned.contains("PartitionFilters"),
+      scanned.take(800))
+  }
+
+  test("a declared-schema lake projects every file era through SQL") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sqlcat-ev").toString + "/lake"
+    Seq((1, "a")).toDF("id", "tag").write.parquet(dir) // id INT32
+    History.enableManifests(spark, dir): Unit
+    History.declareSchema(spark, dir): Unit
+    History.evolveSchema(spark, dir, StructType(Seq(
+      StructField("id", LongType), StructField("tag", StringType),
+      StructField("score", DoubleType)))): Unit
+    History.append(spark, dir,
+      Seq((2L, "b", 0.5)).toDF("id", "tag", "score"), key = "e2"): Unit
+    val rows = spark.sql(s"SELECT id, tag, score FROM lake.`$dir`")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)))).toSet
+    assert(rows === Set((1L, "a", None), (2L, "b", Some(0.5))))
+  }
+
+  test("the SQL surface is read-only; writers go through the engine") {
+    val dir = lake()
+    // the table schema orders partition cols last: (doc_id, n_chars,
+    // lang) — well-typed values, so analysis reaches the capability
+    // check and the missing write capability rejects the INSERT
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO lake.`$dir` VALUES (9, 90, 'en')")
+    }
+    def messageChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.toString).mkString(" | ")
+    assert(messageChain(e).toLowerCase.contains("read-only") ||
+      messageChain(e).toLowerCase.contains("does not support"),
+      messageChain(e))
+  }
+}
