@@ -42,21 +42,32 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class LakeCatalog extends TableCatalog {
 
   private var catalogName: String = "lake"
+  /** Friendly-name aliases from catalog options:
+    * `spark.sql.catalog.<cat>.<alias> = <lake path>` lets users write
+    * `SELECT … FROM <cat>.<alias>` and makes the aliases enumerable
+    * via `SHOW TABLES IN <cat>`. */
+  private var aliases: Map[String, String] = Map.empty
 
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    import scala.jdk.CollectionConverters._
+    aliases = options.asCaseSensitiveMap().asScala.toMap
+      .filter { case (_, v) => v.contains("/") } // path-shaped values only
+      .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
   }
 
   override def name(): String = catalogName
 
   private def spark: SparkSession = SparkSession.active
 
-  /** The identifier is the lake path: `lake.`/abs/path`` parses to
-    * name="/abs/path" (namespace empty); a namespaced spelling joins
-    * the parts back with '/'. */
-  private def pathOf(ident: Identifier): String =
-    (ident.namespace() :+ ident.name()).mkString("/")
+  /** The identifier is the lake path (`lake.`/abs/path``: name is the
+    * whole backticked path, namespace empty; a namespaced spelling
+    * joins back with '/') — unless it matches a configured alias. */
+  private def pathOf(ident: Identifier): String = {
+    val raw = (ident.namespace() :+ ident.name()).mkString("/")
+    aliases.getOrElse(raw.toLowerCase(java.util.Locale.ROOT), raw)
+  }
 
   private def fsOf(path: String) =
     new org.apache.hadoop.fs.Path(path)
@@ -127,7 +138,10 @@ class LakeCatalog extends TableCatalog {
     FileManifest.enabled(fsOf(pathOf(ident)), pathOf(ident))
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    Array.empty // lake paths are not enumerable from nothing
+    if (namespace.nonEmpty) Array.empty
+    else aliases.keys.toArray.sorted
+      .map(a => Identifier.of(Array.empty, a)) // configured aliases only —
+      // bare lake paths are not enumerable from nothing
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(

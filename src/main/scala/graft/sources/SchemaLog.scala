@@ -132,6 +132,12 @@ object SchemaLog {
   def declare(spark: SparkSession, lakePath: String): Long = {
     val fs = new Path(lakePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // declared-schema reads are wired through the MANIFEST planner
+    // (planManifest); on a legacy directory-mode lake the declaration
+    // would commit but never apply — fail loudly instead of confusing
+    require(FileManifest.enabled(fs, lakePath),
+      s"declare needs a manifest-mode lake (History.enableManifests): " +
+        lakePath)
     latestVersion(fs, lakePath) match {
       case Some(v) => v
       case None =>

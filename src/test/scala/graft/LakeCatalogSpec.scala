@@ -115,6 +115,28 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(rows === Set((1L, "a", None), (2L, "b", Some(0.5))))
   }
 
+  test("configured aliases name lakes and enumerate via SHOW TABLES") {
+    val dir = lake()
+    // a second catalog instance with an alias option (catalog configs
+    // are read at first reference, so use a fresh catalog name)
+    spark.conf.set("spark.sql.catalog.corpuscat",
+      classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.corpuscat.docs", dir)
+    assert(ids(spark.sql("SELECT * FROM corpuscat.docs")) ===
+      Seq(1L, 2L, 3L, 4L, 5L))
+    val shown = spark.sql("SHOW TABLES IN corpuscat")
+      .select("tableName").collect().map(_.getString(0)).toSeq
+    assert(shown === Seq("docs"))
+    // time travel works through the alias too
+    History.tag(spark, dir, "alias-pin"): Unit
+    History.deleteWhere(spark, dir, col("doc_id") === 5L): Unit
+    assert(ids(spark.sql(
+      "SELECT * FROM corpuscat.docs VERSION AS OF 'alias-pin'")) ===
+      Seq(1L, 2L, 3L, 4L, 5L))
+    assert(ids(spark.sql("SELECT * FROM corpuscat.docs")) ===
+      Seq(1L, 2L, 3L, 4L))
+  }
+
   test("the SQL surface is read-only; writers go through the engine") {
     val dir = lake()
     // the table schema orders partition cols last: (doc_id, n_chars,

@@ -216,6 +216,41 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       "rewrite did not converge the file onto the declared schema")
   }
 
+  test("an evolution is metadata-only: the change feed stays empty") {
+    val dir = declaredLake()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val before = graft.sources.FileManifest.latest(fs, dir).get.version
+    import org.apache.spark.sql.types._
+    val declared = History.declaredSchema(spark, dir).get
+    History.evolveSchema(spark, dir, StructType(
+      declared.fields :+ StructField("extra2", StringType))): Unit
+    // no data file changed and no manifest version was even published —
+    // the schema log versions independently
+    assert(graft.sources.FileManifest.latest(fs, dir).get.version === before)
+    // and a feed across any same-files span diffs to empty
+    val vs = History.versions(spark, dir)
+    if (vs.size >= 2) {
+      val feed = History.changesBetween(spark, dir, vs.last, vs.last)
+      assert(feed.count() === 0)
+    }
+    // reads now surface the second added column, null everywhere
+    val df = History.readPinned(spark, dir)
+    assert(df.schema.fieldNames.last === "extra2")
+    assert(df.filter(org.apache.spark.sql.functions.col("extra2")
+      .isNotNull).count() === 0)
+  }
+
+  test("declare on a legacy (non-manifest) lake fails loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-legacy-declare").toString + "/lake"
+    Seq((1L, "a")).toDF("id", "tag").write.parquet(dir)
+    intercept[IllegalArgumentException] {
+      History.declareSchema(spark, dir)
+    }
+  }
+
   test("a fully-deleted declared lake keeps its schema") {
     import org.apache.spark.sql.functions.{lit => l}
     val dir = declaredLake()
