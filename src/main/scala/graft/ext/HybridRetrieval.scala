@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid (lexical + dense) retrieval with reciprocal-rank fusion — the
+  * standard first-stage stack of a RAG / retrieval pipeline: a BM25
+  * ranking and an embedding ranking are produced independently and
+  * fused by RRF (Cormack et al., SIGIR 2009: score = Σ 1/(k₀+rank)),
+  * which needs no score calibration between the two arms.
+  *
+  * Scale shape (100 TB corpus):
+  *  - the query set is bounded and BROADCAST everywhere it meets a
+  *    corpus-sized side — no corpus×corpus pair ever exists;
+  *  - the lexical arm is a posting-list join: the corpus tf table
+  *    (one shuffle on (doc, word), map-side partials) joins the
+  *    broadcast (query, term, df) set on `word`, so candidate fan-out
+  *    is the union of the query terms' posting lists — and the
+  *    DF CAP (terms kept only when df·dfCapInv ≤ N) bounds every
+  *    posting list touched: a stopword that would match the whole
+  *    corpus is excluded up front (its idf ≈ 0 contributes nothing to
+  *    the ranking anyway). This is the blunt engine-side analogue of
+  *    impact-ordered/WAND pruning in dedicated IR engines.
+  *  - per-query ranking is a window over a bounded partition (≤ the
+  *    candidate set of one query), never a global sort;
+  *  - fusion joins two (query, doc, rank) lists of ≤ k rows per query.
+  *
+  * Determinism: per-term BM25 contributions are rounded to 6 dp and
+  * summed as DECIMAL(18,6) (the t19 recipe — float sum order can
+  * differ per engine, decimal addition is exact); every rank breaks
+  * ties on ascending doc id; RRF scores are sums of ≤ 2 exact rational
+  * doubles rounded to 6 dp.
+  */
+object HybridRetrieval {
+
+  /** Doc-as-query BM25 top-k ("more like this"): each query DOCUMENT's
+    * rare-term set retrieves and ranks the rest of the corpus. Returns
+    * (query_id, b_id, rank, score) with rank ∈ [1, k] per query.
+    *
+    * @param docs     corpus (docIdCol, textCol)
+    * @param isQuery  predicate on docs selecting the bounded query set
+    * @param k        list depth per query
+    * @param dfCapInv keep terms with df · dfCapInv ≤ n_docs (4 → terms
+    *                 matching ≤ a quarter of the corpus)
+    */
+  def docQueryBm25TopK(docs: DataFrame, isQuery: Column, k: Int,
+                       docIdCol: String = "doc_id", textCol: String = "text",
+                       dfCapInv: Int = 4): DataFrame = {
+    val words = docs.filter(col(textCol).isNotNull)
+      .select(col(docIdCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("word"))
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    // rare-term vocabulary: the df cap that bounds posting-list fan-out
+    val vocab = dfreq.crossJoin(broadcast(stats.select(col("n_docs"))))
+      .filter(col("df") * dfCapInv <= col("n_docs") && length(col("word")) > 0)
+      .select(col("word"), col("df"))
+    // bounded query-term set: distinct rare terms of each query doc
+    val qTerms = docs.filter(isQuery).filter(col(textCol).isNotNull)
+      .select(col(docIdCol).as("query_id"),
+        explode(array_distinct(split(col(textCol), " "))).as("word"))
+      .join(vocab, "word")
+    val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log((col("n_docs").cast("double") - col("df") + 0.5) /
+      (col("df").cast("double") + 0.5) + 1.0)
+    val perTerm = tf.join(broadcast(qTerms), "word")
+      .filter(col("query_id") =!= col("doc_id"))
+      .join(dl, "doc_id").crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id").as("b_id"),
+        round(idf * (col("tf").cast("double") * 2.2) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double")
+              / avgdl)), 6)
+          .cast("decimal(18,6)").as("ts"))
+    val scored = perTerm.groupBy(col("query_id"), col("b_id"))
+      .agg(sum(col("ts")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("b_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "b_id", "rank", "score")
+  }
+
+  /** Reciprocal-rank fusion of two (query_id, b_id, rank) lists:
+    * rrf = Σ over the lists containing the doc of 1/(k₀+rank), top-k
+    * per query by (rrf desc, b_id asc). A doc missing from one list
+    * contributes nothing for that arm (the standard convention). */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, k0: Int = 60): DataFrame = {
+    val left = a.select(col("query_id"), col("b_id"), col("rank").as("rank_a"))
+    val right = b.select(col("query_id"), col("b_id"), col("rank").as("rank_b"))
+    val fused = left.join(right, Seq("query_id", "b_id"), "full_outer")
+      .select(col("query_id"), col("b_id"),
+        round(
+          coalesce(lit(1.0) / (lit(k0) + col("rank_a")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(k0) + col("rank_b")), lit(0.0)),
+          6).as("rrf"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("b_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "b_id", "rank", "rrf")
+  }
+}

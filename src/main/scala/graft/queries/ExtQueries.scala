@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
-import graft.ext.{Dedup, FrequentItems, KMV, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, FrequentItems, HybridRetrieval, KMV, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators (SURVEY.md §7.4) as gate queries:
   * dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding
@@ -663,6 +663,24 @@ object ExtQueries {
         embeddings(s, d).filter(col("vec_id") % 50 === 0),
         pq, bucketedCorpus(s, d), "vec_id", "embedding",
         dim = 64, m = 4, k = 5, shortlist = 20)
+    }),
+
+    // Hybrid retrieval (the RAG first stage): a doc-as-query BM25 arm
+    // over the documents table and a brute-force cosine arm over the
+    // aligned embeddings table, each ranked top-20 per query, fused by
+    // reciprocal-rank fusion (1/(60+rank), no score calibration), final
+    // top-10. Both arms broadcast the bounded query set against the
+    // corpus; the lexical candidates come from a df-capped posting-list
+    // join (stopword lists never join); fusion touches ≤ 40 rows per
+    // query. Exercises the two retrieval subsystems COMPOSED the way a
+    // retrieval stack actually runs them.
+    "s12_hybrid_rrf" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val lex = HybridRetrieval.docQueryBm25TopK(
+        documents(s, d), col("doc_id") % 50 === 0, 20)
+      val dense = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 20)
+      HybridRetrieval.rrfFuse(lex, dense, 10)
     }),
 
     // Grouped quantile sketches — a02's sketch with per-group partials
@@ -2236,6 +2254,74 @@ object ExtQueries {
                   ORDER BY score DESC, b_id ASC) AS rn FROM rerank) f
           WHERE rn <= 5"""
     },
+    "s12_hybrid_rrf" ->
+      """WITH words AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents WHERE text IS NOT NULL
+         ), dl AS (
+           SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY 1
+         ), stats AS (
+           SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl
+         ), tf AS (
+           SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2
+         ), dfreq AS (
+           SELECT word, COUNT(*) AS df FROM tf GROUP BY 1
+         ), vocab AS (
+           SELECT word, df FROM dfreq, stats
+           WHERE df * 4 <= n_docs AND length(word) > 0
+         ), qterms AS (
+           SELECT DISTINCT w.doc_id AS query_id, w.word, v.df
+           FROM words w JOIN vocab v USING (word)
+           WHERE w.doc_id % 50 = 0
+         ), per_term AS (
+           SELECT qt.query_id, tf.doc_id AS b_id,
+             CAST(round(
+               ln((CAST(n_docs AS DOUBLE) - qt.df + 0.5)
+                  / (CAST(qt.df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf AS DOUBLE) * 2.2)
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                    / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))),
+               6) AS DECIMAL(18,6)) AS ts
+           FROM tf JOIN qterms qt USING (word) JOIN dl USING (doc_id), stats
+           WHERE tf.doc_id != qt.query_id
+         ), lex_scored AS (
+           SELECT query_id, b_id, SUM(ts) AS score
+           FROM per_term GROUP BY 1, 2
+         ), lex AS (
+           SELECT query_id, b_id, r FROM (
+             SELECT query_id, b_id, ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, b_id ASC) AS r
+             FROM lex_scored) t WHERE r <= 20
+         ), n AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1,65),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+           FROM embeddings
+         ), q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+         ds AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS b_id,
+             round(list_sum(list_transform(range(1,65),
+               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+               / (q.nrm * c.nrm), 6) AS cos_r
+           FROM q JOIN n c ON q.vec_id != c.vec_id
+         ), dense AS (
+           SELECT query_id, b_id, r FROM (
+             SELECT query_id, b_id, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos_r DESC, b_id ASC) AS r FROM ds) t
+           WHERE r <= 20
+         ), fused AS (
+           SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+             COALESCE(l.b_id, d.b_id) AS b_id,
+             round(COALESCE(1.0 / (60 + l.r), 0)
+                 + COALESCE(1.0 / (60 + d.r), 0), 6) AS rrf
+           FROM lex l FULL OUTER JOIN dense d
+             ON l.query_id = d.query_id AND l.b_id = d.b_id
+         )
+         SELECT query_id, b_id, CAST(rank AS INTEGER) AS rank, rrf
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY rrf DESC, b_id ASC) AS rank FROM fused) t
+         WHERE rank <= 10""",
     "a07_quantile_grouped" ->
       """SELECT event_type,
          round(quantile_cont(value, 0.5), 6) AS p50_exact,

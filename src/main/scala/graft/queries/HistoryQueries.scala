@@ -526,8 +526,35 @@ object HistoryQueries {
                        SUM(n_chars) AS total_chars
                 FROM lake.`$dir`
                 WHERE lang IN ('en', 'de') GROUP BY lang""")
+    }),
+
+    // Incrementally-maintained materialized rollup: bootstrap a per-lang
+    // (count, sum) table at the merge lake's FIRST version (full scan
+    // happens once, against the pre-merge corpus), then tick it to the
+    // latest version by applying only the merge commit's row-level
+    // change feed — the O(rewritten-files) path; the oracle aggregates
+    // the post-merge corpus directly, so a delta mis-applied in either
+    // direction (missed retraction, double-counted insert) fails the
+    // hash. This is the capability that keeps 100 TB dashboards at
+    // change-rate cost instead of rescan cost.
+    "h19_incremental_rollup" -> ((s, d) => {
+      val lakeDir = mergeLake(s, d)
+      val rollupDir = rollupCache.computeIfAbsent(
+        (graft.SessionKey(s), lakeDir), _ => java.nio.file.Files
+          .createTempDirectory("graft-rollup").toString + "/rollup")
+      val vs = graft.sources.History.versions(s, lakeDir)
+      graft.sources.IncrementalRollup.bootstrap(s, lakeDir, rollupDir,
+        Seq("lang"), "n_chars", atVersion = Some(vs.head)): Unit
+      graft.sources.IncrementalRollup.tick(s, lakeDir, rollupDir,
+        Seq("lang"), "n_chars"): Unit
+      graft.sources.IncrementalRollup.read(s, rollupDir)
+        .select(col("lang"), col("n_rows").as("n_docs"),
+          col("sum_n_chars").as("total_chars"))
     })
   )
+
+  private val rollupCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   def oracleSql: Map[String, String] = Map(
     "h01_monitor_from" ->
@@ -621,6 +648,20 @@ object HistoryQueries {
          FROM documents
          WHERE lang IN ('en', 'de')
            AND NOT (source = 'src3' OR doc_id % 11 = 0)
-         GROUP BY lang"""
+         GROUP BY lang""",
+    "h19_incremental_rollup" ->
+      """WITH fin AS (
+           SELECT doc_id, lang, n_chars FROM documents
+           WHERE source != 'src1'
+           UNION ALL
+           SELECT doc_id, lang, n_chars + 1000 FROM documents
+           WHERE source = 'src1'
+           UNION ALL
+           SELECT doc_id + 10000000, lang, n_chars FROM documents
+           WHERE source = 'src2'
+         )
+         SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         FROM fin GROUP BY lang"""
   )
 }

@@ -1,0 +1,149 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained materialized rollup over a manifest lake —
+  * the "don't rescan 100 TB to refresh a dashboard aggregate" piece.
+  *
+  * State is a per-key (count, sum) table materialized at a lake version:
+  * `rollupDir/state-v<version>/` (parquet). [[bootstrap]] computes it
+  * once with a full pinned scan; every subsequent [[tick]] advances it
+  * to the lake's latest version by applying ONLY the row-level change
+  * feed of the commits in between ([[History.changesBetween]] — which
+  * diffs just the files those commits touched, O(rewritten bytes),
+  * never O(lake)): inserts add (+1, +value), deletes subtract, and a
+  * copy-on-write rewrite is a delete+insert pair whose untouched rows
+  * cancel. So maintenance cost follows the CHANGE RATE — an appended
+  * batch costs one scan of the batch, a takedown costs the rewritten
+  * files — while readers always get a tiny pre-aggregated table.
+  *
+  * Only group-invertible aggregates qualify: count and sum form an
+  * abelian group under row insert/delete, so the delta applies without
+  * revisiting old data. min/max do NOT (retracting the current min
+  * needs the group's full multiset) — maintaining those incrementally
+  * requires per-group recompute of affected groups, which is a
+  * different machine (and at 100 TB usually a stats-sidecar question,
+  * see [[FileStats]]). Averages derive as sum/count at read time.
+  *
+  * Publish protocol (same recipe as [[graft.stream.LakeChangeFeed]]):
+  * stage under a nonce'd temp dir, rename to the versioned final name;
+  * a replayed tick that finds the final dir already present discards
+  * its stage and converges — safe under crash-replay at any point.
+  * Keys whose count reaches zero are dropped from the state (a key's
+  * absence and a zero count are indistinguishable to readers, and the
+  * state table never accretes dead keys). Old state dirs beyond
+  * [[keepStates]] are pruned on publish — each is a complete rollup,
+  * so only the latest matters for liveness; the tail exists to let a
+  * concurrent reader finish on the version it already resolved.
+  */
+object IncrementalRollup {
+
+  private val StateDir = "state-v(\\d+)".r
+  private[graft] val keepStates = 3
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def stateVersions(fs: FileSystem, rollupDir: String): Seq[Long] = {
+    val root = new Path(rollupDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.collect {
+      case st if st.isDirectory => st.getPath.getName match {
+        case StateDir(v) => Some(v.toLong)
+        case _ => None
+      }
+      case _ => None
+    }.flatten.sorted
+  }
+
+  /** The lake version the rollup currently reflects (None before
+    * [[bootstrap]]). */
+  def currentVersion(spark: SparkSession, rollupDir: String): Option[Long] =
+    stateVersions(fsOf(spark, rollupDir), rollupDir).lastOption
+
+  private def statePath(rollupDir: String, v: Long): Path =
+    new Path(rollupDir, s"state-v$v")
+
+  private def aggregate(rows: DataFrame, keyCols: Seq[String],
+                        sumCol: String): DataFrame =
+    rows.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(sumCol).cast("long")).as("sum_" + sumCol))
+
+  /** Publish `state` as the rollup at lake version `v` (idempotent:
+    * loses gracefully to an already-published identical version). */
+  private def publish(spark: SparkSession, rollupDir: String, v: Long,
+                      state: DataFrame): Unit = {
+    val fs = fsOf(spark, rollupDir)
+    val dest = statePath(rollupDir, v)
+    val stage = new Path(rollupDir,
+      s".stage-v$v-${java.util.UUID.randomUUID().toString.take(8)}")
+    state.write.mode("overwrite").parquet(stage.toString)
+    fs.mkdirs(dest.getParent): Unit
+    if (fs.exists(dest)) { // replayed tick: the other attempt won — converge
+      fs.delete(stage, true): Unit
+    } else if (!fs.rename(stage, dest))
+      throw new java.io.IOException(s"rollup publish failed: $dest")
+    // prune states beyond the retention tail (each state is complete)
+    stateVersions(fs, rollupDir).dropRight(keepStates)
+      .foreach(old => fs.delete(statePath(rollupDir, old), true): Unit)
+  }
+
+  /** One full pinned scan at `atVersion` (default: the lake's latest) —
+    * the only O(lake) step in the rollup's lifetime. Idempotent: a
+    * rollup that already has any state is left untouched. */
+  def bootstrap(spark: SparkSession, lakePath: String, rollupDir: String,
+                keyCols: Seq[String], sumCol: String,
+                atVersion: Option[Long] = None): Long = {
+    val existing = currentVersion(spark, rollupDir)
+    existing.getOrElse {
+      val v = atVersion.getOrElse(History.versions(spark, lakePath).last)
+      publish(spark, rollupDir, v,
+        aggregate(History.readPinned(spark, lakePath, v), keyCols, sumCol))
+      v
+    }
+  }
+
+  /** Advance the rollup to the lake's latest version by applying the
+    * change feed of (current, latest]. No-op (None) when already
+    * current; otherwise returns the (from, to] range applied. The
+    * keyCols/sumCol MUST match the bootstrap's (the state schema is
+    * the contract; a mismatch fails loudly on the join). */
+  def tick(spark: SparkSession, lakePath: String, rollupDir: String,
+           keyCols: Seq[String], sumCol: String): Option[(Long, Long)] = {
+    val from = currentVersion(spark, rollupDir).getOrElse(
+      throw new IllegalStateException(
+        s"rollup at $rollupDir has no state — run bootstrap first"))
+    val latest = History.versions(spark, lakePath).last
+    if (latest <= from) None
+    else {
+      val sumName = "sum_" + sumCol
+      val changes = History.changesBetween(spark, lakePath, from, latest)
+      val sign = when(col("_change") === "insert", 1L).otherwise(-1L)
+      val delta = changes
+        .groupBy(keyCols.map(col): _*)
+        .agg(sum(sign).as("d_rows"),
+          sum(sign * col(sumCol).cast("long")).as("d_sum"))
+      val prev = read(spark, rollupDir)
+      val merged = prev.join(delta, keyCols, "full_outer")
+        .select(keyCols.map(col) ++ Seq(
+          (coalesce(col("n_rows"), lit(0L)) +
+            coalesce(col("d_rows"), lit(0L))).as("n_rows"),
+          (coalesce(col(sumName), lit(0L)) +
+            coalesce(col("d_sum"), lit(0L))).as(sumName)): _*)
+        .filter(col("n_rows") > 0)
+      publish(spark, rollupDir, latest, merged)
+      Some((from, latest))
+    }
+  }
+
+  /** The rollup at its current version (keyCols..., n_rows, sum_<col>). */
+  def read(spark: SparkSession, rollupDir: String): DataFrame = {
+    val v = currentVersion(spark, rollupDir).getOrElse(
+      throw new IllegalStateException(
+        s"rollup at $rollupDir has no state — run bootstrap first"))
+    spark.read.parquet(statePath(rollupDir, v).toString)
+  }
+}

@@ -660,4 +660,28 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
       s"q44 window must ride the join's orderkey shuffle " +
         s"($hashExchanges hash exchanges):\n${plan.toString.take(1500)}")
   }
+
+  test("plan quality: s12 hybrid fusion never forms a corpus-sized pair join") {
+    // both retrieval arms meet the corpus through a BROADCAST of the
+    // bounded query set (the dense arm's theta-join and the lexical
+    // arm's posting-list term join); an un-broadcast join on either
+    // side would shuffle the corpus per query — the shape that dies at
+    // 100 TB. CartesianProduct must not appear at all: the only
+    // cross-shaped join (dense query×corpus) is broadcast-nested-loop
+    // by construction.
+    val df = SparkEntry.queries("s12_hybrid_rrf")(spark,
+      "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(1500))
+    // and the fused result is exactly k rows per query with ranks 1..k
+    val rows = df.collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq === (1 to rs.length))
+      assert(rs.length <= 10)
+    }
+  }
 }

@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.{History, IncrementalRollup}
+
+/** Incrementally-maintained materialized rollup: bootstrap once, then
+  * every tick applies only the change feed of the commits since the
+  * state's version — and at every step the state must equal the full
+  * recompute over the lake's current contents. */
+class IncrementalRollupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def fresh(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/x"
+
+  private def docsLake(): String = {
+    import spark.implicits._
+    val lake = fresh("graft-rollup-lake")
+    Seq((1L, "en", 10L), (2L, "en", 20L), (3L, "de", 30L), (4L, "fr", 40L))
+      .toDF("doc_id", "lang", "n_chars")
+      .coalesce(2).write.parquet(lake)
+    History.enableManifests(spark, lake): Unit
+    lake
+  }
+
+  private def stateOf(rollupDir: String): Set[(String, Long, Long)] =
+    IncrementalRollup.read(spark, rollupDir).collect()
+      .map(r => (r.getString(r.fieldIndex("lang")),
+        r.getLong(r.fieldIndex("n_rows")),
+        r.getLong(r.fieldIndex("sum_n_chars")))).toSet
+
+  private def recompute(lake: String): Set[(String, Long, Long)] =
+    History.readPinned(spark, lake).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("bootstrap + ticks track append, delete, and merge exactly") {
+    import spark.implicits._
+    val lake = docsLake()
+    val rollup = fresh("graft-rollup-state")
+    val v0 = IncrementalRollup.bootstrap(spark, lake, rollup,
+      Seq("lang"), "n_chars")
+    assert(IncrementalRollup.currentVersion(spark, rollup) === Some(v0))
+    assert(stateOf(rollup) === recompute(lake))
+
+    // append a batch (new lang + growth of an existing one)
+    History.append(spark, lake,
+      Seq((5L, "en", 50L), (6L, "zh", 60L)).toDF("doc_id", "lang", "n_chars"),
+      key = "b1"): Unit
+    assert(IncrementalRollup.tick(spark, lake, rollup,
+      Seq("lang"), "n_chars").isDefined)
+    assert(stateOf(rollup) === recompute(lake))
+    assert(stateOf(rollup).exists(_._1 == "zh"))
+
+    // copy-on-write delete: retraction must subtract, not rescan
+    History.deleteWhere(spark, lake, col("doc_id") === 2L): Unit
+    assert(IncrementalRollup.tick(spark, lake, rollup,
+      Seq("lang"), "n_chars").isDefined)
+    assert(stateOf(rollup) === recompute(lake))
+
+    // merge: corrections (same key, new value) + inserts in one commit
+    History.mergeInto(spark, lake,
+      Seq((3L, "de", 300L), (7L, "de", 70L)).toDF("doc_id", "lang", "n_chars"),
+      Seq("doc_id")): Unit
+    assert(IncrementalRollup.tick(spark, lake, rollup,
+      Seq("lang"), "n_chars").isDefined)
+    assert(stateOf(rollup) === recompute(lake))
+  }
+
+  test("tick is a no-op when current; bootstrap is idempotent") {
+    val lake = docsLake()
+    val rollup = fresh("graft-rollup-state")
+    val v0 = IncrementalRollup.bootstrap(spark, lake, rollup,
+      Seq("lang"), "n_chars")
+    // second bootstrap must NOT rescan or move the version
+    assert(IncrementalRollup.bootstrap(spark, lake, rollup,
+      Seq("lang"), "n_chars") === v0)
+    assert(IncrementalRollup.tick(spark, lake, rollup,
+      Seq("lang"), "n_chars").isEmpty)
+    // a replayed tick after catching up converges to the same state
+    import spark.implicits._
+    History.append(spark, lake, Seq((9L, "en", 90L))
+      .toDF("doc_id", "lang", "n_chars"), key = "b2"): Unit
+    val r1 = IncrementalRollup.tick(spark, lake, rollup, Seq("lang"), "n_chars")
+    assert(r1.isDefined)
+    val s1 = stateOf(rollup)
+    assert(IncrementalRollup.tick(spark, lake, rollup,
+      Seq("lang"), "n_chars").isEmpty)
+    assert(stateOf(rollup) === s1)
+  }
+
+  test("a key retracted to zero leaves the state; old states are pruned") {
+    val lake = docsLake()
+    val rollup = fresh("graft-rollup-state")
+    IncrementalRollup.bootstrap(spark, lake, rollup,
+      Seq("lang"), "n_chars"): Unit
+    // fr has exactly one row — deleting it must remove the key entirely
+    History.deleteWhere(spark, lake, col("lang") === "fr"): Unit
+    IncrementalRollup.tick(spark, lake, rollup, Seq("lang"), "n_chars"): Unit
+    assert(!stateOf(rollup).exists(_._1 == "fr"))
+    assert(stateOf(rollup) === recompute(lake))
+    // drive more commits than the retention tail and count state dirs
+    import spark.implicits._
+    (0 until IncrementalRollup.keepStates + 2).foreach { i =>
+      History.append(spark, lake, Seq((100L + i, "en", 1L))
+        .toDF("doc_id", "lang", "n_chars"), key = s"b$i"): Unit
+      IncrementalRollup.tick(spark, lake, rollup, Seq("lang"), "n_chars"): Unit
+    }
+    val fs = new org.apache.hadoop.fs.Path(rollup)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val states = fs.listStatus(new org.apache.hadoop.fs.Path(rollup))
+      .map(_.getPath.getName).filter(_.startsWith("state-v"))
+    assert(states.length <= IncrementalRollup.keepStates,
+      states.mkString(", "))
+    assert(stateOf(rollup) === recompute(lake))
+  }
+}
