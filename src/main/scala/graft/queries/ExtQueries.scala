@@ -925,6 +925,31 @@ object ExtQueries {
     // merge that dropped bits would prune a TRUE overlap and hash-fail
     // the sketch-free oracle. Slice 17 keeps the output disjoint from
     // t11/t18.
+    // Fixed-size deterministic per-stratum sample: each lang keeps its
+    // 20 docs with the smallest 48-bit md5 rank — a uniform sample
+    // without replacement that is retry-stable and engine-portable
+    // (t15's rate-based keep can't hit an exact size; eval sets and
+    // human-review draws need exactly-n). The per-stratum head rides
+    // the native bounded top-k aggregate (partial buffers cap at n, the
+    // shuffle carries ≤ n ids per stratum per partition — never a sort
+    // of the corpus), then the bounded winner set broadcast-joins back
+    // for payload columns.
+    "t21_fixed_sample" -> ((s, d) => {
+      val docs = documents(s, d)
+      val n = 20
+      val h = graft.functions.Md5Prefix
+        .md5_prefix(col("doc_id").cast("string"), 12).cast("double")
+      val winners = docs
+        .select(col("lang"), col("doc_id"), h.as("h"))
+        .groupBy(col("lang"))
+        .agg(graft.functions.TopKScored.top_k_scored(
+          col("doc_id"), -col("h"), n).as("top"))
+        .select(col("lang"), explode(expr("transform(top, x -> x.id)"))
+          .as("doc_id"))
+      docs.join(broadcast(winners), Seq("lang", "doc_id"))
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+    }),
+
     "t20_bloom_shard_merge" -> ((s, d) => {
       val docs = documents(s, d)
       val bench = docs.filter(col("doc_id") % 100 === 17)
@@ -1922,6 +1947,17 @@ object ExtQueries {
     // shard filters merge into the union filter (same build geometry);
     // the probe only prunes and the verify join removes false
     // positives, so the oracle is the same exact overlap (slice 17)
+    "t21_fixed_sample" ->
+      """WITH h AS (
+           SELECT lang, doc_id, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS hv
+           FROM documents
+         ), r AS (
+           SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER (
+             PARTITION BY lang ORDER BY hv ASC, doc_id ASC) AS rn
+           FROM h
+         )
+         SELECT lang, doc_id, n_chars FROM r WHERE rn <= 20""",
     "t20_bloom_shard_merge" ->
       """WITH grams AS (
            SELECT doc_id, unnest(

@@ -119,7 +119,8 @@ object LakeChangeFeed {
   def tickWithMaintenance(spark: SparkSession, lakePath: String,
       outDir: String, statsCols: Seq[String] = Nil,
       keyCols: Seq[String] = Nil,
-      fromVersion: Option[Long] = None): Option[(Long, Long)] = {
+      fromVersion: Option[Long] = None,
+      rollups: Seq[RollupSpec] = Nil): Option[(Long, Long)] = {
     val range = tick(spark, lakePath, outDir, fromVersion)
     range.foreach { case (from, to) =>
       statsCols.foreach(c =>
@@ -127,6 +128,19 @@ object LakeChangeFeed {
       keyCols.foreach(c =>
         History.refreshKeyIndexForRange(spark, lakePath, c, from, to): Unit)
     }
+    // materialized rollups advance on EVERY maintenance pass, not just
+    // when this agent delivered a new range: a rollup bootstrapped (or
+    // replayed) behind the feed's high water still needs its own
+    // catch-up, and IncrementalRollup.tick is a no-op when current —
+    // so the compose stays idempotent per (rollup, lake-version) pair.
+    rollups.foreach(r =>
+      graft.sources.IncrementalRollup.tick(spark, lakePath, r.rollupDir,
+        r.keyCols, r.sumCol): Unit)
     range
   }
+
+  /** One incrementally-maintained rollup for [[tickWithMaintenance]] to
+    * advance alongside the stats/key-index refreshes. */
+  final case class RollupSpec(rollupDir: String, keyCols: Seq[String],
+                              sumCol: String)
 }

@@ -132,6 +132,35 @@ class LakeChangeFeedSpec extends AnyFunSuite {
       === Seq(1L, 3L))
   }
 
+  test("maintenance tick advances a materialized rollup alongside the feed") {
+    import spark.implicits._
+    import graft.sources.IncrementalRollup
+    val lake = docsLake()
+    val out = fresh("graft-cdf-out")
+    val rollup = fresh("graft-cdf-rollup")
+    IncrementalRollup.bootstrap(spark, lake, rollup,
+      Seq("doc_id"), "n_chars"): Unit
+    LakeChangeFeed.tickWithMaintenance(spark, lake, out,
+      rollups = Seq(LakeChangeFeed.RollupSpec(rollup, Seq("doc_id"),
+        "n_chars"))): Unit // baseline: feed high water = rollup version
+    History.deleteWhere(spark, lake, col("doc_id") === 2L): Unit
+    History.append(spark, lake, Seq((9L, 90L)).toDF("doc_id", "n_chars"),
+      key = "rb1"): Unit
+    LakeChangeFeed.tickWithMaintenance(spark, lake, out,
+      rollups = Seq(LakeChangeFeed.RollupSpec(rollup, Seq("doc_id"),
+        "n_chars"))): Unit
+    val state = IncrementalRollup.read(spark, rollup)
+      .select("doc_id", "sum_n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(state === Set((1L, 10L), (3L, 30L), (4L, 40L), (9L, 90L)))
+    // idle maintenance tick: rollup version stays put
+    val v = IncrementalRollup.currentVersion(spark, rollup)
+    LakeChangeFeed.tickWithMaintenance(spark, lake, out,
+      rollups = Seq(LakeChangeFeed.RollupSpec(rollup, Seq("doc_id"),
+        "n_chars"))): Unit
+    assert(IncrementalRollup.currentVersion(spark, rollup) === v)
+  }
+
   test("ticks deliver net diffs exactly once; empty diffs advance") {
     val lake = docsLake()
     val out = fresh("graft-cdf-out")
