@@ -47,21 +47,28 @@ object HybridRetrieval {
   def docQueryBm25TopK(docs: DataFrame, isQuery: Column, k: Int,
                        docIdCol: String = "doc_id", textCol: String = "text",
                        dfCapInv: Int = 4): DataFrame = {
+    // ONE explode feeds one (doc, word) aggregate; dl, df, and the
+    // query-term set all REAGGREGATE tf, so every branch reads the tf
+    // exchange (reused stage) instead of re-exploding the corpus —
+    // at 100 TB the explode+first-shuffle is the dominant cost and it
+    // runs exactly once.
     val words = docs.filter(col(textCol).isNotNull)
       .select(col(docIdCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("word"))
-    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
     val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     // rare-term vocabulary: the df cap that bounds posting-list fan-out
     val vocab = dfreq.crossJoin(broadcast(stats.select(col("n_docs"))))
       .filter(col("df") * dfCapInv <= col("n_docs") && length(col("word")) > 0)
       .select(col("word"), col("df"))
-    // bounded query-term set: distinct rare terms of each query doc
-    val qTerms = docs.filter(isQuery).filter(col(textCol).isNotNull)
-      .select(col(docIdCol).as("query_id"),
-        explode(array_distinct(split(col(textCol), " "))).as("word"))
+    // bounded query-term set: the query docs' tf rows are already one
+    // row per (doc, word) — no re-tokenize, no distinct
+    val qIds = docs.filter(isQuery)
+      .select(col(docIdCol).as("query_id"))
+    val qTerms = tf.join(broadcast(qIds), col("doc_id") === col("query_id"))
+      .select(col("query_id"), col("word"))
       .join(vocab, "word")
     val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
     val idf = log((col("n_docs").cast("double") - col("df") + 0.5) /

@@ -2349,8 +2349,8 @@ object ExtQueries {
          ), fused AS (
            SELECT COALESCE(l.query_id, d.query_id) AS query_id,
              COALESCE(l.b_id, d.b_id) AS b_id,
-             round(COALESCE(1.0 / (60 + l.r), 0)
-                 + COALESCE(1.0 / (60 + d.r), 0), 6) AS rrf
+             round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.r), 0)
+                 + COALESCE(CAST(1.0 AS DOUBLE) / (60 + d.r), 0), 6) AS rrf
            FROM lex l FULL OUTER JOIN dense d
              ON l.query_id = d.query_id AND l.b_id = d.b_id
          )

@@ -67,10 +67,10 @@ object IncrementalRollup {
     new Path(rollupDir, s"state-v$v")
 
   private def aggregate(rows: DataFrame, keyCols: Seq[String],
-                        sumCol: String): DataFrame =
+                        sumCols: Seq[String]): DataFrame =
     rows.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-        sum(col(sumCol).cast("long")).as("sum_" + sumCol))
+        sumCols.map(c => sum(col(c).cast("long")).as("sum_" + c)): _*)
 
   /** Publish `state` as the rollup at lake version `v` (idempotent:
     * loses gracefully to an already-published identical version). */
@@ -95,44 +95,65 @@ object IncrementalRollup {
     * the only O(lake) step in the rollup's lifetime. Idempotent: a
     * rollup that already has any state is left untouched. */
   def bootstrap(spark: SparkSession, lakePath: String, rollupDir: String,
-                keyCols: Seq[String], sumCol: String,
+                keyCols: Seq[String], sumCols: Seq[String],
                 atVersion: Option[Long] = None): Long = {
     val existing = currentVersion(spark, rollupDir)
     existing.getOrElse {
       val v = atVersion.getOrElse(History.versions(spark, lakePath).last)
       publish(spark, rollupDir, v,
-        aggregate(History.readPinned(spark, lakePath, v), keyCols, sumCol))
+        aggregate(History.readPinned(spark, lakePath, v), keyCols, sumCols))
       v
     }
   }
 
+  def bootstrap(spark: SparkSession, lakePath: String, rollupDir: String,
+                keyCols: Seq[String], sumCol: String): Long =
+    bootstrap(spark, lakePath, rollupDir, keyCols, Seq(sumCol), None)
+
+  def bootstrap(spark: SparkSession, lakePath: String, rollupDir: String,
+                keyCols: Seq[String], sumCol: String,
+                atVersion: Option[Long]): Long =
+    bootstrap(spark, lakePath, rollupDir, keyCols, Seq(sumCol), atVersion)
+
   /** Advance the rollup to the lake's latest version by applying the
     * change feed of (current, latest]. No-op (None) when already
     * current; otherwise returns the (from, to] range applied. The
-    * keyCols/sumCol MUST match the bootstrap's (the state schema is
+    * keyCols/sumCols MUST match the bootstrap's (the state schema is
     * the contract; a mismatch fails loudly on the join). */
   def tick(spark: SparkSession, lakePath: String, rollupDir: String,
-           keyCols: Seq[String], sumCol: String): Option[(Long, Long)] = {
+           keyCols: Seq[String], sumCol: String): Option[(Long, Long)] =
+    tick(spark, lakePath, rollupDir, keyCols, Seq(sumCol))
+
+  def tick(spark: SparkSession, lakePath: String, rollupDir: String,
+           keyCols: Seq[String],
+           sumCols: Seq[String]): Option[(Long, Long)] = {
     val from = currentVersion(spark, rollupDir).getOrElse(
       throw new IllegalStateException(
         s"rollup at $rollupDir has no state — run bootstrap first"))
     val latest = History.versions(spark, lakePath).last
     if (latest <= from) None
     else {
-      val sumName = "sum_" + sumCol
+      val sumNames = sumCols.map("sum_" + _)
       val changes = History.changesBetween(spark, lakePath, from, latest)
       val sign = when(col("_change") === "insert", 1L).otherwise(-1L)
       val delta = changes
         .groupBy(keyCols.map(col): _*)
         .agg(sum(sign).as("d_rows"),
-          sum(sign * col(sumCol).cast("long")).as("d_sum"))
+          sumCols.map(c =>
+            sum(sign * col(c).cast("long")).as("d_" + c)): _*)
       val prev = read(spark, rollupDir)
-      val merged = prev.join(delta, keyCols, "full_outer")
-        .select(keyCols.map(col) ++ Seq(
-          (coalesce(col("n_rows"), lit(0L)) +
-            coalesce(col("d_rows"), lit(0L))).as("n_rows"),
-          (coalesce(col(sumName), lit(0L)) +
-            coalesce(col("d_sum"), lit(0L))).as(sumName)): _*)
+      // null-SAFE key join: a null group key is a legal groupBy output
+      // on both sides, and an equi-join would never match it — the one
+      // group would fork into two state rows (one never retractable)
+      val joinCond = keyCols.map(k => prev(k) <=> delta(k)).reduce(_ && _)
+      val merged = prev.join(delta, joinCond, "full_outer")
+        .select(keyCols.map(k => coalesce(prev(k), delta(k)).as(k)) ++
+          Seq((coalesce(col("n_rows"), lit(0L)) +
+            coalesce(col("d_rows"), lit(0L))).as("n_rows")) ++
+          sumCols.zip(sumNames).map { case (c, sn) =>
+            (coalesce(col(sn), lit(0L)) +
+              coalesce(col("d_" + c), lit(0L))).as(sn)
+          }: _*)
         .filter(col("n_rows") > 0)
       publish(spark, rollupDir, latest, merged)
       Some((from, latest))

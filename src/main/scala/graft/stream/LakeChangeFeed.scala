@@ -135,12 +135,17 @@ object LakeChangeFeed {
     // so the compose stays idempotent per (rollup, lake-version) pair.
     rollups.foreach(r =>
       graft.sources.IncrementalRollup.tick(spark, lakePath, r.rollupDir,
-        r.keyCols, r.sumCol): Unit)
+        r.keyCols, r.sumCols): Unit)
     range
   }
 
   /** One incrementally-maintained rollup for [[tickWithMaintenance]] to
     * advance alongside the stats/key-index refreshes. */
   final case class RollupSpec(rollupDir: String, keyCols: Seq[String],
-                              sumCol: String)
+                              sumCols: Seq[String])
+  object RollupSpec {
+    def apply(rollupDir: String, keyCols: Seq[String],
+              sumCol: String): RollupSpec =
+      RollupSpec(rollupDir, keyCols, Seq(sumCol))
+  }
 }

@@ -90,6 +90,49 @@ class IncrementalRollupSpec extends AnyFunSuite {
     assert(stateOf(rollup) === s1)
   }
 
+  test("multiple sum columns maintain in one state table / one delta scan") {
+    import spark.implicits._
+    val lake = fresh("graft-rollup-multi")
+    Seq((1L, "en", 10L, 2L), (2L, "en", 20L, 3L), (3L, "de", 30L, 5L))
+      .toDF("doc_id", "lang", "n_chars", "n_tokens")
+      .coalesce(1).write.parquet(lake)
+    History.enableManifests(spark, lake): Unit
+    val rollup = fresh("graft-rollup-state")
+    IncrementalRollup.bootstrap(spark, lake, rollup,
+      Seq("lang"), Seq("n_chars", "n_tokens")): Unit
+    History.deleteWhere(spark, lake, col("doc_id") === 2L): Unit
+    IncrementalRollup.tick(spark, lake, rollup,
+      Seq("lang"), Seq("n_chars", "n_tokens")): Unit
+    val state = IncrementalRollup.read(spark, rollup)
+      .select("lang", "n_rows", "sum_n_chars", "sum_n_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(state === Set(("en", 1L, 10L, 2L), ("de", 1L, 30L, 5L)))
+  }
+
+  test("a NULL group key merges null-safely instead of forking the group") {
+    import spark.implicits._
+    val lake = fresh("graft-rollup-nullkey")
+    Seq((1L, Some("en"), 10L), (2L, None, 20L), (3L, None, 30L))
+      .toDF("doc_id", "lang", "n_chars")
+      .coalesce(1).write.parquet(lake)
+    History.enableManifests(spark, lake): Unit
+    val rollup = fresh("graft-rollup-state")
+    IncrementalRollup.bootstrap(spark, lake, rollup,
+      Seq("lang"), "n_chars"): Unit
+    // retract one of the null-key rows: the delta's null key must find
+    // the state's null-key row (equi-join semantics would miss it and
+    // leave a phantom (null, 2, 50) beside a new (null, 1, 30))
+    History.deleteWhere(spark, lake, col("doc_id") === 2L): Unit
+    IncrementalRollup.tick(spark, lake, rollup, Seq("lang"), "n_chars"): Unit
+    val nullRows = IncrementalRollup.read(spark, rollup)
+      .filter(col("lang").isNull).collect()
+    assert(nullRows.length === 1, nullRows.mkString(", "))
+    assert(nullRows.head.getLong(1) === 1L)
+    assert(nullRows.head.getLong(2) === 30L)
+    assert(stateOf(rollup).filter(_._1 != null) === Set(("en", 1L, 10L)))
+  }
+
   test("a key retracted to zero leaves the state; old states are pruned") {
     val lake = docsLake()
     val rollup = fresh("graft-rollup-state")
