@@ -916,15 +916,6 @@ object ExtQueries {
         .agg(count(lit(1)).cast("bigint").as("n_shared"))
     }),
 
-    // Bloom LINEARITY through the merge surface (t18's recipe over
-    // SHARD filters): the benchmark slice builds one filter PER SOURCE
-    // SHARD — the shape a 100 TB pipeline materializes, since each
-    // ingest partition can sketch its own slice without coordination —
-    // and bloom_merge ORs them into the union filter (same build
-    // params → same bit geometry). Probe + exact verify as t18, so a
-    // merge that dropped bits would prune a TRUE overlap and hash-fail
-    // the sketch-free oracle. Slice 17 keeps the output disjoint from
-    // t11/t18.
     // Fixed-size deterministic per-stratum sample: each lang keeps its
     // 20 docs with the smallest 48-bit md5 rank — a uniform sample
     // without replacement that is retry-stable and engine-portable
@@ -944,12 +935,25 @@ object ExtQueries {
         .groupBy(col("lang"))
         .agg(graft.functions.TopKScored.top_k_scored(
           col("doc_id"), -col("h"), n).as("top"))
-        .select(col("lang"), explode(expr("transform(top, x -> x.id)"))
-          .as("doc_id"))
-      docs.join(broadcast(winners), Seq("lang", "doc_id"))
+        .select(col("lang").as("w_lang"),
+          explode(expr("transform(top, x -> x.id)")).as("w_doc_id"))
+      // null-SAFE stratum match: a NULL lang is a legal stratum the
+      // grouping (and the oracle's PARTITION BY) keeps — an equi-join
+      // would silently drop its winners
+      docs.join(broadcast(winners),
+          col("lang") <=> col("w_lang") && col("doc_id") === col("w_doc_id"))
         .select(col("lang"), col("doc_id"), col("n_chars"))
     }),
 
+    // Bloom LINEARITY through the merge surface (t18's recipe over
+    // SHARD filters): the benchmark slice builds one filter PER SOURCE
+    // SHARD — the shape a 100 TB pipeline materializes, since each
+    // ingest partition can sketch its own slice without coordination —
+    // and bloom_merge ORs them into the union filter (same build
+    // params → same bit geometry). Probe + exact verify as t18, so a
+    // merge that dropped bits would prune a TRUE overlap and hash-fail
+    // the sketch-free oracle. Slice 17 keeps the output disjoint from
+    // t11/t18.
     "t20_bloom_shard_merge" -> ((s, d) => {
       val docs = documents(s, d)
       val bench = docs.filter(col("doc_id") % 100 === 17)
@@ -1944,9 +1948,6 @@ object ExtQueries {
          FROM dg JOIN bench USING (g)
          WHERE doc_id % 100 != 13
          GROUP BY doc_id""",
-    // shard filters merge into the union filter (same build geometry);
-    // the probe only prunes and the verify join removes false
-    // positives, so the oracle is the same exact overlap (slice 17)
     "t21_fixed_sample" ->
       """WITH h AS (
            SELECT lang, doc_id, n_chars,
@@ -1958,6 +1959,9 @@ object ExtQueries {
            FROM h
          )
          SELECT lang, doc_id, n_chars FROM r WHERE rn <= 20""",
+    // shard filters merge into the union filter (same build geometry);
+    // the probe only prunes and the verify join removes false
+    // positives, so the oracle is the same exact overlap (slice 17)
     "t20_bloom_shard_merge" ->
       """WITH grams AS (
            SELECT doc_id, unnest(

@@ -336,7 +336,7 @@ object HistoryQueries {
     val sk = graft.SessionKey(s)
     Seq(deleteLakeCache, mergeLakeCache, clusterLakeCache, zLakeCache,
         shardedLakeCache, bloomLakeCache, evolvedLakeCache,
-        taggedLakeCache, restoredLakeCache)
+        taggedLakeCache, restoredLakeCache, rollupCache)
       .foreach { cache =>
       cache.keySet.forEach { k =>
         if (k._1 == sk) rmLake(cache.remove(k))

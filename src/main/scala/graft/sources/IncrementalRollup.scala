@@ -66,6 +66,21 @@ object IncrementalRollup {
   private def statePath(rollupDir: String, v: Long): Path =
     new Path(rollupDir, s"state-v$v")
 
+  /** The state/delta schemas derive names from the user's columns
+    * (n_rows, sum_<c>, d_rows, d_<c>) — a colliding user name would
+    * make the merge's column references ambiguous, so fail loudly. */
+  private def validateCols(keyCols: Seq[String], sumCols: Seq[String]): Unit = {
+    val all = keyCols ++ sumCols
+    require(all.distinct.size == all.size,
+      s"rollup columns must be distinct: ${all.mkString(", ")}")
+    val reserved = Set("n_rows", "d_rows") ++
+      sumCols.flatMap(c => Seq("sum_" + c, "d_" + c))
+    val clash = all.filter(reserved)
+    require(clash.isEmpty,
+      s"rollup column name(s) collide with derived state columns: " +
+        s"${clash.mkString(", ")} (reserved: n_rows, d_rows, sum_<c>, d_<c>)")
+  }
+
   private def aggregate(rows: DataFrame, keyCols: Seq[String],
                         sumCols: Seq[String]): DataFrame =
     rows.groupBy(keyCols.map(col): _*)
@@ -78,8 +93,11 @@ object IncrementalRollup {
                       state: DataFrame): Unit = {
     val fs = fsOf(spark, rollupDir)
     val dest = statePath(rollupDir, v)
-    val stage = new Path(rollupDir,
-      s".stage-v$v-${java.util.UUID.randomUUID().toString.take(8)}")
+    // deterministic stage name (the LakeChangeFeed recipe): a crashed
+    // prior attempt's leftover is overwritten by the retry instead of
+    // leaking one orphaned full state copy per crash
+    val stage = new Path(rollupDir, s"_staging/state-v$v")
+    fs.delete(stage, true): Unit
     state.write.mode("overwrite").parquet(stage.toString)
     fs.mkdirs(dest.getParent): Unit
     if (fs.exists(dest)) { // replayed tick: the other attempt won — converge
@@ -97,6 +115,7 @@ object IncrementalRollup {
   def bootstrap(spark: SparkSession, lakePath: String, rollupDir: String,
                 keyCols: Seq[String], sumCols: Seq[String],
                 atVersion: Option[Long] = None): Long = {
+    validateCols(keyCols, sumCols)
     val existing = currentVersion(spark, rollupDir)
     existing.getOrElse {
       val v = atVersion.getOrElse(History.versions(spark, lakePath).last)
@@ -127,6 +146,7 @@ object IncrementalRollup {
   def tick(spark: SparkSession, lakePath: String, rollupDir: String,
            keyCols: Seq[String],
            sumCols: Seq[String]): Option[(Long, Long)] = {
+    validateCols(keyCols, sumCols)
     val from = currentVersion(spark, rollupDir).getOrElse(
       throw new IllegalStateException(
         s"rollup at $rollupDir has no state — run bootstrap first"))
@@ -141,7 +161,11 @@ object IncrementalRollup {
         .agg(sum(sign).as("d_rows"),
           sumCols.map(c =>
             sum(sign * col(c).cast("long")).as("d_" + c)): _*)
-      val prev = read(spark, rollupDir)
+      // the merge base is pinned to the state AT `from` — re-resolving
+      // currentVersion here would race a concurrent/replayed tick that
+      // published a newer state between our two reads and double-apply
+      // the overlap (permanently, since later ticks build on the result)
+      val prev = spark.read.parquet(statePath(rollupDir, from).toString)
       // null-SAFE key join: a null group key is a legal groupBy output
       // on both sides, and an equi-join would never match it — the one
       // group would fork into two state rows (one never retractable)

@@ -90,6 +90,45 @@ class IncrementalRollupSpec extends AnyFunSuite {
     assert(stateOf(rollup) === s1)
   }
 
+  test("crashed stage leftovers are overwritten, never accumulated") {
+    import spark.implicits._
+    val lake = docsLake()
+    val rollup = fresh("graft-rollup-state")
+    IncrementalRollup.bootstrap(spark, lake, rollup,
+      Seq("lang"), "n_chars"): Unit
+    History.append(spark, lake, Seq((9L, "en", 90L))
+      .toDF("doc_id", "lang", "n_chars"), key = "cb1"): Unit
+    // simulate a crash: a stale stage dir for the version the next
+    // tick will publish (deterministic name — the retry must replace
+    // it, not leak a parallel copy)
+    val v = graft.sources.History.versions(spark, lake).last
+    val fs = new org.apache.hadoop.fs.Path(rollup)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = new org.apache.hadoop.fs.Path(rollup, s"_staging/state-v$v")
+    fs.mkdirs(stale): Unit
+    IncrementalRollup.tick(spark, lake, rollup, Seq("lang"), "n_chars"): Unit
+    assert(stateOf(rollup) === recompute(lake))
+    val staging = new org.apache.hadoop.fs.Path(rollup, "_staging")
+    val leftovers =
+      if (!fs.exists(staging)) Array.empty[String]
+      else fs.listStatus(staging).map(_.getPath.getName)
+    assert(leftovers.isEmpty || leftovers.forall(_ == s"state-v$v"),
+      leftovers.mkString(", "))
+  }
+
+  test("column names colliding with derived state columns fail loudly") {
+    val lake = docsLake()
+    val rollup = fresh("graft-rollup-state")
+    intercept[IllegalArgumentException] {
+      IncrementalRollup.bootstrap(spark, lake, rollup,
+        Seq("lang"), Seq("n_rows"))
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalRollup.bootstrap(spark, lake, rollup,
+        Seq("lang"), Seq("n_chars", "n_chars"))
+    }
+  }
+
   test("multiple sum columns maintain in one state table / one delta scan") {
     import spark.implicits._
     val lake = fresh("graft-rollup-multi")
