@@ -139,6 +139,30 @@ object LakeChangeFeed {
     range
   }
 
+  /** Retire delivered range dirs beyond the newest `keepRanges` — the
+    * feed's outDir otherwise grows one dir per delivery forever (the
+    * same unbounded-metadata shape retention/vacuum close everywhere
+    * else in the lake). The newest range always survives: its `to`
+    * version IS the high water, and deleting it would re-baseline the
+    * next tick at the then-current latest and replay history. Size
+    * `keepRanges` to the slowest consumer's checkpoint lag — a file-
+    * source stream that has already checkpointed past a range never
+    * reads it again, so expiry behind every consumer is invisible.
+    * Returns the number of range dirs deleted. */
+  def expire(spark: SparkSession, outDir: String, keepRanges: Int): Int = {
+    require(keepRanges >= 1, s"keepRanges must be >= 1, got $keepRanges")
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(out)) return 0
+    val ranges = fs.listStatus(out).flatMap(s => s.getPath.getName match {
+      case RangeDir(from, to) => Some((from.toLong, to.toLong, s.getPath))
+      case _ => None
+    }).sortBy(r => (r._2, r._1)) // oldest first; high water last
+    ranges.dropRight(keepRanges).count { case (_, _, p) =>
+      fs.delete(p, true)
+    }
+  }
+
   /** One incrementally-maintained rollup for [[tickWithMaintenance]] to
     * advance alongside the stats/key-index refreshes. */
   final case class RollupSpec(rollupDir: String, keyCols: Seq[String],

@@ -90,6 +90,49 @@ class IncrementalRollupSpec extends AnyFunSuite {
     assert(stateOf(rollup) === s1)
   }
 
+  test("randomized op sequences: ticked state always equals full recompute") {
+    import spark.implicits._
+    for (seed <- Seq(11L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      val lake = docsLake()
+      val rollup = fresh("graft-rollup-state")
+      IncrementalRollup.bootstrap(spark, lake, rollup,
+        Seq("lang"), "n_chars"): Unit
+      var nextId = 1000L
+      (0 until 8).foreach { i =>
+        rnd.nextInt(3) match {
+          case 0 => // append 1-3 rows across random langs
+            val rows = (0 to rnd.nextInt(2)).map { _ =>
+              nextId += 1
+              (nextId, Seq("en", "de", "fr", "zh")(rnd.nextInt(4)),
+                rnd.nextInt(100).toLong)
+            }
+            History.append(spark, lake,
+              rows.toDF("doc_id", "lang", "n_chars"),
+              key = s"fz$seed-$i"): Unit
+          case 1 => // delete a random id slice (possibly matching nothing)
+            History.deleteWhere(spark, lake,
+              col("doc_id") % 7 === rnd.nextInt(7).toLong): Unit
+          case 2 => // upsert: correct one id, insert one new
+            nextId += 1
+            History.mergeInto(spark, lake,
+              Seq((1L + rnd.nextInt(4).toLong, "en", 500L),
+                (nextId, "de", 7L)).toDF("doc_id", "lang", "n_chars"),
+              Seq("doc_id")): Unit
+        }
+        // tick only sometimes, so some ticks span multiple commits
+        if (rnd.nextBoolean() || i == 7) {
+          IncrementalRollup.tick(spark, lake, rollup,
+            Seq("lang"), "n_chars"): Unit
+          assert(IncrementalRollup.currentVersion(spark, rollup) ===
+            Some(graft.sources.History.versions(spark, lake).last))
+          assert(stateOf(rollup) === recompute(lake),
+            s"seed=$seed op=$i state diverged from recompute")
+        }
+      }
+    }
+  }
+
   test("crashed stage leftovers are overwritten, never accumulated") {
     import spark.implicits._
     val lake = docsLake()

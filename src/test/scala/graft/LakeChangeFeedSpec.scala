@@ -161,6 +161,31 @@ class LakeChangeFeedSpec extends AnyFunSuite {
     assert(IncrementalRollup.currentVersion(spark, rollup) === v)
   }
 
+  test("expire retires old ranges but never the high water") {
+    import spark.implicits._
+    val lake = docsLake()
+    val out = fresh("graft-cdf-out")
+    LakeChangeFeed.tick(spark, lake, out): Unit // baseline marker
+    (0 until 4).foreach { i =>
+      History.append(spark, lake, Seq((100L + i, 1L))
+        .toDF("doc_id", "n_chars"), key = s"e$i"): Unit
+      LakeChangeFeed.tick(spark, lake, out): Unit
+    }
+    val hwBefore = LakeChangeFeed.highWater(spark, out)
+    val deleted = LakeChangeFeed.expire(spark, out, keepRanges = 2)
+    assert(deleted >= 2)
+    assert(LakeChangeFeed.highWater(spark, out) === hwBefore)
+    val f = fs(out)
+    val remaining = f.listStatus(new org.apache.hadoop.fs.Path(out))
+      .map(_.getPath.getName).filter(_.startsWith("changes-"))
+    assert(remaining.length === 2, remaining.mkString(", "))
+    // delivery continues seamlessly from the surviving high water
+    History.append(spark, lake, Seq((999L, 9L))
+      .toDF("doc_id", "n_chars"), key = "e-post"): Unit
+    val r = LakeChangeFeed.tick(spark, lake, out)
+    assert(r.isDefined && r.get._1 === hwBefore.get)
+  }
+
   test("ticks deliver net diffs exactly once; empty diffs advance") {
     val lake = docsLake()
     val out = fresh("graft-cdf-out")
