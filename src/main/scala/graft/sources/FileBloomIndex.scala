@@ -105,10 +105,7 @@ object FileBloomIndex {
     m.valuesIterator.map(_.filter.length.toLong + 64L).sum + 64L
 
   private def parseShard(fs: FileSystem, p: Path): Map[String, Entry] = {
-    val in = fs.open(p)
-    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().filter(_.nonEmpty).toList
-    finally in.close()
+    val lines = SidecarIO.readLines(fs, p)
     lines.flatMap { l =>
       l.split('\t') match {
         case Array(rel, b64, tb64) =>
@@ -250,14 +247,8 @@ object FileBloomIndex {
         .filter(s => s.isFile && s.getPath.getName.endsWith(".shard") &&
           s.getModificationTime <= cutoffMtime)
         .foreach { s =>
-          val header = scala.util.Try {
-            val in = fs.open(s.getPath)
-            try {
-              val r = new java.io.BufferedReader(
-                new java.io.InputStreamReader(in, "UTF-8"))
-              Option(r.readLine())
-            } finally in.close()
-          }.toOption.flatten
+          val header = scala.util.Try(
+            SidecarIO.readFirstLine(fs, s.getPath)).toOption.flatten
           header match {
             case Some(l) if l.startsWith("#dir\t") =>
               val d = l.stripPrefix("#dir\t")

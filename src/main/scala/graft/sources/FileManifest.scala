@@ -214,12 +214,9 @@ object FileManifest {
     if (shards.nonEmpty) Right(shards.toSeq) else Left((cur.toSeq, ret.toSeq))
   }
 
-  private def readLines(fs: FileSystem, p: Path): List[String] = {
-    val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().filter(_.nonEmpty).toList
-    finally in.close()
-  }
+  // retries the local-FS mid-rename checksum window — see SidecarIO
+  private def readLines(fs: FileSystem, p: Path): List[String] =
+    SidecarIO.readLines(fs, p)
 
   /** Root-kind index: Some(shard index) for sharded roots, None for
     * flat — tiny entries, count-bounded with the same LRU policy. A
@@ -379,12 +376,44 @@ object FileManifest {
     * let the second silently overwrite the first's commit. */
   private[sources] def atomicWrite(fs: FileSystem, dest: Path,
                                    content: String): Unit = {
+    fs.mkdirs(dest.getParent): Unit
+    if ("file" == fs.getUri.getScheme) {
+      // LOCAL commit primitive: hard-link, not rename. Hadoop's local
+      // FileContext rename is NOT atomic-no-overwrite for checksummed
+      // files — the dest-exists check, the .crc rename, and the data
+      // rename are three separate ops, so a losing racer can replace
+      // the winner's .crc sidecar and leave a PERSISTENT checksum
+      // mismatch on an otherwise-correct manifest (observed under the
+      // threaded OCC spec). link(2) refuses atomically when dest
+      // exists, and writing the tmp through java.nio creates no .crc
+      // at all, so there is no sidecar to tear. HDFS/S3A keep the
+      // FileContext path below (their renames are single-object).
+      val destFile = java.nio.file.Paths.get(fs.makeQualified(dest).toUri)
+      val tmpFile = destFile.resolveSibling(dest.getName +
+        s".${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      java.nio.file.Files.write(tmpFile,
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      try {
+        java.nio.file.Files.createLink(destFile, tmpFile): Unit
+        // we own dest now; a stale same-name checksum sidecar (e.g. a
+        // rebuilt lake at the same path) would fail verified reads of
+        // the crc-less new content
+        scala.util.Try(java.nio.file.Files.deleteIfExists(
+          destFile.resolveSibling("." + dest.getName + ".crc"))): Unit
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          throw new VersionCollisionException(
+            s"manifest version collision at $dest: two writers raced", e)
+      } finally {
+        scala.util.Try(java.nio.file.Files.deleteIfExists(tmpFile)): Unit
+      }
+      return
+    }
     // tmp name unique per ATTEMPT: two optimistic committers racing the
     // same destination version must not share a tmp path (one's rename
     // would steal the other's half-written bytes)
     val tmp = new Path(dest.getParent, dest.getName +
       s".${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    fs.mkdirs(dest.getParent): Unit
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -673,12 +702,21 @@ object FileManifest {
   def commitDelta(fs: FileSystem, lakePath: String, adds: Seq[String],
                   retire: Seq[String], maxAttempts: Int = 10): Long = {
     val retireSet = retire.toSet
+    // `maxAttempts` bounds NO-PROGRESS retries, not losses: under real
+    // contention a committer can lose the next-version race once per
+    // competing commit (N queued appends elsewhere = N legitimate
+    // losses), and every loss re-bases onto an ADVANCED version — the
+    // system is making progress and aborting would be spurious. Only
+    // a collision with no version advance (rename layer stuck) counts
+    // toward the bound.
     var attempt = 0
+    var lastSeen = -1L
     while (true) {
-      attempt += 1
       val m = latest(fs, lakePath).getOrElse(
         throw new IllegalStateException(
           s"commitDelta on a lake without manifests: $lakePath"))
+      attempt = if (m.version > lastSeen) 1 else attempt + 1
+      lastSeen = m.version
       val gone = retireSet -- m.curSet
       if (gone.nonEmpty)
         throw new java.util.ConcurrentModificationException(

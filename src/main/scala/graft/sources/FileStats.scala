@@ -79,10 +79,7 @@ object FileStats {
         val hit = parsedCache.synchronized(Option(parsedCache.get(key)))
         hit.getOrElse {
           statsFileReads.incrementAndGet(): Unit
-          val in = fs.open(p)
-          val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-            .getLines().filter(_.nonEmpty).toList
-          finally in.close()
+          val lines = SidecarIO.readLines(fs, p)
           val parsed = lines.flatMap { l =>
             l.split('\t') match {
               case Array(rel, c, "-", "-") => Some((rel, c) -> None)

@@ -93,10 +93,7 @@ object SchemaLog {
       st.getModificationTime, st.getLen)
     cache.synchronized(Option(cache.get(key))).getOrElse {
       schemaFileReads.incrementAndGet(): Unit
-      val in = fs.open(p)
-      val json =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
+      val json = SidecarIO.readString(fs, p)
       val s = DataType.fromJson(json).asInstanceOf[StructType]
       cache.synchronized {
         cache.put(key, s): Unit
