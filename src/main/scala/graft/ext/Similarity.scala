@@ -315,11 +315,7 @@ object Similarity {
                              root: org.apache.hadoop.fs.Path): Option[String] = {
     val ptr = new org.apache.hadoop.fs.Path(root, "current")
     if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-      finally in.close()
-    }
+    else Some(graft.sources.SidecarIO.readString(fs, ptr).trim)
   }
 
   /** Load the quantizer the `current` pointer names — coarse

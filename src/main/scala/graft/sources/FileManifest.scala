@@ -377,7 +377,18 @@ object FileManifest {
   private[sources] def atomicWrite(fs: FileSystem, dest: Path,
                                    content: String): Unit = {
     fs.mkdirs(dest.getParent): Unit
-    if ("file" == fs.getUri.getScheme) {
+    if ("file" == fs.getUri.getScheme && tryLinkCommit(fs, dest, content))
+      return
+    renameCommit(fs, dest, content)
+  }
+
+  /** Local-FS commit via hard link; true on success (incl. detected
+    * collision — thrown), false when the volume cannot hard-link
+    * (VFAT/exFAT, some FUSE/SMB mounts) so the caller falls back to
+    * the rename path that works everywhere. */
+  private def tryLinkCommit(fs: FileSystem, dest: Path,
+                            content: String): Boolean = {
+    if (true) {
       // LOCAL commit primitive: hard-link, not rename. Hadoop's local
       // FileContext rename is NOT atomic-no-overwrite for checksummed
       // files — the dest-exists check, the .crc rename, and the data
@@ -402,13 +413,23 @@ object FileManifest {
           destFile.resolveSibling("." + dest.getName + ".crc"))): Unit
       } catch {
         case e: java.nio.file.FileAlreadyExistsException =>
+          scala.util.Try(java.nio.file.Files.deleteIfExists(tmpFile)): Unit
           throw new VersionCollisionException(
             s"manifest version collision at $dest: two writers raced", e)
-      } finally {
-        scala.util.Try(java.nio.file.Files.deleteIfExists(tmpFile)): Unit
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          // the volume cannot hard-link — clean up and report "not
+          // handled" so the portable rename path takes over
+          scala.util.Try(java.nio.file.Files.deleteIfExists(tmpFile)): Unit
+          return false
       }
-      return
+      scala.util.Try(java.nio.file.Files.deleteIfExists(tmpFile)): Unit
+      return true
     }
+    false
+  }
+
+  private def renameCommit(fs: FileSystem, dest: Path,
+                           content: String): Unit = {
     // tmp name unique per ATTEMPT: two optimistic committers racing the
     // same destination version must not share a tmp path (one's rename
     // would steal the other's half-written bytes)
@@ -616,10 +637,7 @@ object FileManifest {
     else fs.listStatus(dir).iterator
       .filter(s => s.isFile && s.getPath.getName.endsWith(".tag"))
       .map { s =>
-        val in = fs.open(s.getPath)
-        val v = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .mkString.trim.toLong
-        finally in.close()
+        val v = SidecarIO.readString(fs, s.getPath).trim.toLong
         (s.getPath.getName.stripSuffix(".tag"), v)
       }.toSeq.sortBy(_._1)
   }
@@ -629,11 +647,7 @@ object FileManifest {
                  name: String): Option[Long] = {
     val p = tagPath(lakePath, name)
     if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
-      finally in.close()
-    }
+    else Some(SidecarIO.readString(fs, p).trim.toLong)
   }
 
   /** Release the pin. Returns false for an unknown tag. The pinned
@@ -709,13 +723,19 @@ object FileManifest {
     // system is making progress and aborting would be spurious. Only
     // a collision with no version advance (rename layer stuck) counts
     // toward the bound.
+    // Losses still cost work (re-list, re-read, re-publish), so total
+    // attempts are hard-capped at 20× the no-progress bound and every
+    // retry backs off with jitter — bounded latency for callers, no
+    // thundering-herd rebase storm among many writers.
     var attempt = 0
+    var totalAttempts = 0
     var lastSeen = -1L
     while (true) {
       val m = latest(fs, lakePath).getOrElse(
         throw new IllegalStateException(
           s"commitDelta on a lake without manifests: $lakePath"))
       attempt = if (m.version > lastSeen) 1 else attempt + 1
+      totalAttempts += 1
       lastSeen = m.version
       val gone = retireSet -- m.curSet
       if (gone.nonEmpty)
@@ -736,7 +756,11 @@ object FileManifest {
         return next.version
       } catch {
         case e: VersionCollisionException =>
-          if (attempt >= maxAttempts) throw e // pathological contention
+          if (attempt >= maxAttempts || totalAttempts >= maxAttempts * 20)
+            throw e // rename layer stuck, or pathological contention
+          Thread.sleep( // jittered backoff before the rebase
+            1L + java.util.concurrent.ThreadLocalRandom.current()
+              .nextLong(4L * attempt))
       }
     }
     -1L // unreachable

@@ -281,10 +281,7 @@ object History {
     val manifest = new org.apache.hadoop.fs.Path(compactManifestPath(path))
     val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(manifest)) return false
-    val in = fs.open(manifest)
-    val entries = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().filter(_.nonEmpty).map(parseManifestLine).toList
-    finally in.close()
+    val entries = SidecarIO.readLines(fs, manifest).map(parseManifestLine)
     swapStaged(fs, path, entries)
     fs.delete(manifest, false): Unit
     fs.delete(new org.apache.hadoop.fs.Path(compactStagingDir(path)),
@@ -382,22 +379,12 @@ object History {
     val expireManifest = new org.apache.hadoop.fs.Path(expireManifestPath(path))
     val expirePending: Set[String] =
       if (!fs.exists(expireManifest)) Set.empty
-      else {
-        val ein = fs.open(expireManifest)
-        try scala.io.Source.fromInputStream(ein, "UTF-8")
-          .getLines().filter(_.nonEmpty).toSet
-        finally ein.close()
-      }
+      else SidecarIO.readLines(fs, expireManifest).toSet
     if (!fs.exists(manifest) && expirePending.isEmpty)
       return reader.parquet(path)
     val swapped =
       if (!fs.exists(manifest)) Set.empty[String]
-      else {
-        val in = fs.open(manifest)
-        try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().filter(_.nonEmpty).map(parseManifestLine(_)._1).toSet
-        finally in.close()
-      }
+      else SidecarIO.readLines(fs, manifest).map(parseManifestLine(_)._1).toSet
     val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
     val stageRoot = fs.makeQualified(
       new org.apache.hadoop.fs.Path(compactStagingDir(path)))
@@ -1603,10 +1590,7 @@ object History {
     val manifest = new org.apache.hadoop.fs.Path(expireManifestPath(path))
     val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(manifest)) return false
-    val in = fs.open(manifest)
-    val dirs = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().filter(_.nonEmpty).toList
-    finally in.close()
+    val dirs = SidecarIO.readLines(fs, manifest)
     val qRoot = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
     dropExpired(fs, qRoot, dirs)
     fs.delete(manifest, false): Unit

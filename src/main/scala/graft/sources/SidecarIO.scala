@@ -16,7 +16,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * and never enter this path. Re-reading converges once the pair
   * lands; a PERSISTENT mismatch is real corruption and is rethrown
   * after the bounded retries. */
-private[sources] object SidecarIO {
+private[graft] object SidecarIO {
 
   private def retrying[A](body: => A): A = {
     var attempt = 0
