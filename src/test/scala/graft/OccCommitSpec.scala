@@ -98,6 +98,26 @@ class OccCommitSpec extends AnyFunSuite {
     }
   }
 
+  test("a stale same-name .crc from a rebuilt lake cannot poison reads") {
+    // wipe-and-rebuild at the same path restarts version numbering; a
+    // leftover checksum sidecar for a version name about to be reused
+    // must not make the fresh manifest fail verified reads (the link
+    // commit writes crc-less and deletes any stale sidecar it finds)
+    val dir = lake(1)
+    val fs = fsOf(dir)
+    val v1 = FileManifest.latest(fs, dir).get.version + 1
+    val mdir = new java.io.File(s"$dir/_manifests")
+    val crc = new java.io.File(mdir, f".v$v1%012d.manifest.crc")
+    java.nio.file.Files.write(crc.toPath,
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)): Unit
+    FileManifest.addFiles(fs, dir, Seq(orphanFile(dir, 77L)))
+    val m = FileManifest.latest(fs, dir).get
+    assert(m.version === v1)
+    assert(m.curSet.exists(_.contains("part-")))
+    // and a pinned read through the reader stack still answers
+    assert(History.readPinned(spark, dir).count() === 2L)
+  }
+
   test("concurrent appenders all land without loss (threaded)") {
     val dir = lake(1)
     val fs = fsOf(dir)
