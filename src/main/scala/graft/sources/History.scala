@@ -778,6 +778,38 @@ object History {
   /** The files ADDED by the commits in (fromVersion, toVersion] — the
     * exact scope a change-feed-driven maintenance agent must index.
     * Both versions must still be retained (like time travel). */
+  /** DESCRIBE HISTORY for a manifest lake: one row per RETAINED
+    * version — commit time (the root's atomic-rename instant), live /
+    * retired file counts, and the file-level delta vs the previous
+    * retained version (added = new in cur; removed = left cur). Pure
+    * metadata: O(retained versions) cached manifest reads, zero data
+    * files touched — the operator surface for "what changed, when,
+    * and how big is the lake" that every audit/debug session starts
+    * with. Tags resolve alongside so a pinned snapshot is visible in
+    * the history it pins. */
+  def describeHistory(spark: SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = FileManifest.versions(fs, path)
+    require(vs.nonEmpty, s"describeHistory needs a manifest-mode lake: $path")
+    val tagsByV = FileManifest.tags(fs, path)
+      .groupBy(_._2).view.mapValues(_.map(_._1).sorted.mkString(",")).toMap
+    val ms = vs.map(v => FileManifest.at(fs, path, v).get)
+    val rows = ms.zip(None +: ms.map(Some(_))).map { case (m, prev) =>
+      val prevCur = prev.map(_.curSet).getOrElse(Set.empty[String])
+      (m.version,
+        FileManifest.versionMtime(fs, path, m.version).getOrElse(0L),
+        m.cur.size.toLong, m.retired.size.toLong,
+        prev.map(_ => (m.curSet -- prevCur).size.toLong).getOrElse(
+          m.cur.size.toLong),
+        prev.map(_ => (prevCur -- m.curSet).size.toLong).getOrElse(0L),
+        tagsByV.getOrElse(m.version, ""))
+    }
+    import spark.implicits._
+    rows.toDF("version", "committed_at", "n_files", "n_retired",
+      "n_added", "n_removed", "tags")
+  }
+
   def filesAddedBetween(spark: SparkSession, path: String,
                         fromVersion: Long, toVersion: Long): Seq[String] = {
     require(fromVersion <= toVersion,

@@ -125,4 +125,28 @@ class SnapshotTagSpec extends AnyFunSuite {
     assert(ids(dir, tag = Some("sharded-pin")) === Seq(0L, 1L, 2L))
     assert(ids(dir) === Seq(1L, 2L))
   }
+
+  test("describeHistory: one metadata row per retained version, exact deltas") {
+    import spark.implicits._
+    val dir = lake() // 3 files at v1
+    val v1 = FileManifest.latestVersion(fsOf(dir), dir).get
+    History.tag(spark, dir, "pinned"): Unit
+    History.append(spark, dir, Seq((7L, "row7")).toDF("id", "tag"),
+      key = "dh1"): Unit
+    History.deleteWhere(spark, dir, col("id") === 1L): Unit
+    val h = History.describeHistory(spark, dir)
+      .orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(v1, v1 + 1, v1 + 2))
+    // v1: 3 files, all "added" relative to nothing, tagged
+    assert(h(0).getLong(2) === 3L && h(0).getLong(4) === 3L)
+    assert(h(0).getString(6) === "pinned")
+    // append: +1 file, nothing removed, nothing retired yet
+    assert(h(1).getLong(4) === 1L && h(1).getLong(5) === 0L)
+    // COW delete: the rewritten file replaces the matched one
+    assert(h(2).getLong(5) >= 1L && h(2).getLong(3) >= 1L)
+    // commit times are real and monotone (rename instants)
+    assert(h.map(_.getLong(1)).toSeq ===
+      h.map(_.getLong(1)).toSeq.sorted)
+    assert(h.forall(_.getLong(1) > 0L))
+  }
 }
