@@ -794,7 +794,9 @@ object History {
     require(vs.nonEmpty, s"describeHistory needs a manifest-mode lake: $path")
     val tagsByV = FileManifest.tags(fs, path)
       .groupBy(_._2).view.mapValues(_.map(_._1).sorted.mkString(",")).toMap
-    val ms = vs.map(v => FileManifest.at(fs, path, v).get)
+    // flatMap, not .get: a maintenance vacuum between the listing and
+    // the read may retire a version — skip it rather than crash
+    val ms = vs.flatMap(v => FileManifest.at(fs, path, v))
     val rows = ms.zip(None +: ms.map(Some(_))).map { case (m, prev) =>
       val prevCur = prev.map(_.curSet).getOrElse(Set.empty[String])
       (m.version,
