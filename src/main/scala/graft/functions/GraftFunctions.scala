@@ -18,6 +18,12 @@ object GraftFunctions {
       exprs => DotProduct(exprs(0), exprs(1))),
     ("hll_distinct", classOf[HyperLogLogAgg].getName,
       exprs => HyperLogLogAgg(exprs.head).toAggregateExpression()),
+    ("hll_sketch", classOf[HyperLogLogSketchAgg].getName,
+      exprs => HyperLogLogSketchAgg(exprs.head).toAggregateExpression()),
+    ("hll_union", classOf[HllUnion].getName,
+      exprs => HllUnion(exprs(0), exprs(1))),
+    ("hll_estimate", classOf[HllEstimate].getName,
+      exprs => HllEstimate(exprs.head)),
     ("bottom_k", classOf[BottomKAgg].getName, BottomK.sqlBuilder),
     ("misra_gries", classOf[MisraGriesAgg].getName, MisraGriesFn.sqlBuilder),
     ("top_k_scored", classOf[TopKScoredAgg].getName, TopKScored.sqlBuilder),

@@ -67,25 +67,32 @@ object IncrementalRollup {
     new Path(rollupDir, s"state-v$v")
 
   /** The state/delta schemas derive names from the user's columns
-    * (n_rows, sum_<c>, d_rows, d_<c>) — a colliding user name would
-    * make the merge's column references ambiguous, so fail loudly. */
-  private def validateCols(keyCols: Seq[String], sumCols: Seq[String]): Unit = {
-    val all = keyCols ++ sumCols
+    * (n_rows, sum_<c>, hll_<c>, d_rows, d_<c>, dh_<c>) — a colliding
+    * user name would make the merge's column references ambiguous, so
+    * fail loudly. */
+  private def validateCols(keyCols: Seq[String], sumCols: Seq[String],
+                           distinctCols: Seq[String]): Unit = {
+    val all = keyCols ++ sumCols ++ distinctCols
     require(all.distinct.size == all.size,
       s"rollup columns must be distinct: ${all.mkString(", ")}")
     val reserved = Set("n_rows", "d_rows") ++
-      sumCols.flatMap(c => Seq("sum_" + c, "d_" + c))
+      sumCols.flatMap(c => Seq("sum_" + c, "d_" + c)) ++
+      distinctCols.flatMap(c => Seq("hll_" + c, "dh_" + c))
     val clash = all.filter(reserved)
     require(clash.isEmpty,
       s"rollup column name(s) collide with derived state columns: " +
-        s"${clash.mkString(", ")} (reserved: n_rows, d_rows, sum_<c>, d_<c>)")
+        s"${clash.mkString(", ")} (reserved: n_rows, d_rows, sum_<c>, " +
+        "d_<c>, hll_<c>, dh_<c>)")
   }
 
   private def aggregate(rows: DataFrame, keyCols: Seq[String],
-                        sumCols: Seq[String]): DataFrame =
+                        sumCols: Seq[String],
+                        distinctCols: Seq[String]): DataFrame =
     rows.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-        sumCols.map(c => sum(col(c).cast("long")).as("sum_" + c)): _*)
+        sumCols.map(c => sum(col(c).cast("long")).as("sum_" + c)) ++
+          distinctCols.map(c => graft.functions.HyperLogLog
+            .hll_sketch(col(c)).as("hll_" + c)): _*)
 
   /** Publish `state` as the rollup at lake version `v` (idempotent:
     * loses gracefully to an already-published identical version). */
@@ -114,13 +121,15 @@ object IncrementalRollup {
     * rollup that already has any state is left untouched. */
   def bootstrap(spark: SparkSession, lakePath: String, rollupDir: String,
                 keyCols: Seq[String], sumCols: Seq[String],
-                atVersion: Option[Long] = None): Long = {
-    validateCols(keyCols, sumCols)
+                atVersion: Option[Long] = None,
+                distinctCols: Seq[String] = Nil): Long = {
+    validateCols(keyCols, sumCols, distinctCols)
     val existing = currentVersion(spark, rollupDir)
     existing.getOrElse {
       val v = atVersion.getOrElse(History.versions(spark, lakePath).last)
       publish(spark, rollupDir, v,
-        aggregate(History.readPinned(spark, lakePath, v), keyCols, sumCols))
+        aggregate(History.readPinned(spark, lakePath, v), keyCols, sumCols,
+          distinctCols))
       v
     }
   }
@@ -145,8 +154,9 @@ object IncrementalRollup {
 
   def tick(spark: SparkSession, lakePath: String, rollupDir: String,
            keyCols: Seq[String],
-           sumCols: Seq[String]): Option[(Long, Long)] = {
-    validateCols(keyCols, sumCols)
+           sumCols: Seq[String],
+           distinctCols: Seq[String] = Nil): Option[(Long, Long)] = {
+    validateCols(keyCols, sumCols, distinctCols)
     val from = currentVersion(spark, rollupDir).getOrElse(
       throw new IllegalStateException(
         s"rollup at $rollupDir has no state — run bootstrap first"))
@@ -155,12 +165,26 @@ object IncrementalRollup {
     else {
       val sumNames = sumCols.map("sum_" + _)
       val changes = History.changesBetween(spark, lakePath, from, latest)
+      // HLL measures are union-only: a sketch cannot retract a member,
+      // so a range containing ANY delete/rewrite would silently
+      // overcount forever. Fail loudly; recovery is a re-bootstrap
+      // (one full scan) — the honest contract for approx-distinct on
+      // anything but an append-only lake.
+      if (distinctCols.nonEmpty &&
+          changes.filter(col("_change") === "delete").limit(1).count() > 0)
+        throw new IllegalStateException(
+          s"rollup at $rollupDir maintains hll measures " +
+            s"(${distinctCols.mkString(", ")}) but commits " +
+            s"($from, $latest] contain deletes — HLL cannot retract; " +
+            "re-bootstrap the rollup at the current version")
       val sign = when(col("_change") === "insert", 1L).otherwise(-1L)
       val delta = changes
         .groupBy(keyCols.map(col): _*)
         .agg(sum(sign).as("d_rows"),
-          sumCols.map(c =>
-            sum(sign * col(c).cast("long")).as("d_" + c)): _*)
+          (sumCols.map(c =>
+            sum(sign * col(c).cast("long")).as("d_" + c)) ++
+            distinctCols.map(c => graft.functions.HyperLogLog
+              .hll_sketch(col(c)).as("dh_" + c))): _*)
       // the merge base is pinned to the state AT `from` — re-resolving
       // currentVersion here would race a concurrent/replayed tick that
       // published a newer state between our two reads and double-apply
@@ -177,6 +201,13 @@ object IncrementalRollup {
           sumCols.zip(sumNames).map { case (c, sn) =>
             (coalesce(col(sn), lit(0L)) +
               coalesce(col("d_" + c), lit(0L))).as(sn)
+          } ++
+          distinctCols.map { c =>
+            val sn = "hll_" + c
+            // union when both sides exist, else whichever is present
+            coalesce(graft.functions.HyperLogLog
+              .hll_union(col(sn), col("dh_" + c)),
+              col(sn), col("dh_" + c)).as(sn)
           }: _*)
         .filter(col("n_rows") > 0)
       publish(spark, rollupDir, latest, merged)

@@ -90,6 +90,57 @@ class IncrementalRollupSpec extends AnyFunSuite {
     assert(stateOf(rollup) === s1)
   }
 
+  test("hll measures: append-only ticks converge on the full-scan sketch") {
+    import spark.implicits._
+    import graft.functions.HyperLogLog
+    val lake = docsLake()
+    val rollup = fresh("graft-rollup-hll")
+    IncrementalRollup.bootstrap(spark, lake, rollup, Seq("lang"),
+      Seq("n_chars"), distinctCols = Seq("doc_id")): Unit
+    History.append(spark, lake,
+      Seq((5L, "en", 50L), (1L, "en", 10L), (6L, "zh", 60L))
+        .toDF("doc_id", "lang", "n_chars"), key = "hb1"): Unit
+    History.append(spark, lake, Seq((7L, "en", 70L))
+      .toDF("doc_id", "lang", "n_chars"), key = "hb2"): Unit
+    IncrementalRollup.tick(spark, lake, rollup, Seq("lang"),
+      Seq("n_chars"), distinctCols = Seq("doc_id")): Unit
+    // sketch BYTES equal the full recompute's (register max is
+    // order-independent), so estimates can never drift either
+    val got = IncrementalRollup.read(spark, rollup)
+      .select(col("lang"), col("hll_doc_id")).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val want = History.readPinned(spark, lake).groupBy(col("lang"))
+      .agg(HyperLogLog.hll_sketch(col("doc_id")).as("s")).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, b) =>
+      assert(java.util.Arrays.equals(b, want(k)), s"sketch drift for $k") }
+    // and the read-side estimate matches the exact distinct count here
+    val est = IncrementalRollup.read(spark, rollup)
+      .select(col("lang"),
+        HyperLogLog.hll_estimate(col("hll_doc_id")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = History.readPinned(spark, lake).groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === exact)
+  }
+
+  test("hll measures: a range containing deletes fails loudly") {
+    val lake = docsLake()
+    val rollup = fresh("graft-rollup-hll")
+    IncrementalRollup.bootstrap(spark, lake, rollup, Seq("lang"),
+      Seq("n_chars"), distinctCols = Seq("doc_id")): Unit
+    val v = IncrementalRollup.currentVersion(spark, rollup)
+    History.deleteWhere(spark, lake, col("doc_id") === 2L): Unit
+    intercept[IllegalStateException] {
+      IncrementalRollup.tick(spark, lake, rollup, Seq("lang"),
+        Seq("n_chars"), distinctCols = Seq("doc_id"))
+    }
+    // nothing was published — the rollup still reflects its last version
+    assert(IncrementalRollup.currentVersion(spark, rollup) === v)
+  }
+
   test("randomized op sequences: ticked state always equals full recompute") {
     import spark.implicits._
     for (seed <- Seq(11L, 42L)) {
