@@ -135,7 +135,7 @@ object LakeChangeFeed {
     // so the compose stays idempotent per (rollup, lake-version) pair.
     rollups.foreach(r =>
       graft.sources.IncrementalRollup.tick(spark, lakePath, r.rollupDir,
-        r.keyCols, r.sumCols): Unit)
+        r.keyCols, r.sumCols, r.distinctCols): Unit)
     range
   }
 
@@ -166,7 +166,8 @@ object LakeChangeFeed {
   /** One incrementally-maintained rollup for [[tickWithMaintenance]] to
     * advance alongside the stats/key-index refreshes. */
   final case class RollupSpec(rollupDir: String, keyCols: Seq[String],
-                              sumCols: Seq[String])
+                              sumCols: Seq[String],
+                              distinctCols: Seq[String] = Nil)
   object RollupSpec {
     def apply(rollupDir: String, keyCols: Seq[String],
               sumCol: String): RollupSpec =
