@@ -682,9 +682,13 @@ object RelationalQueries {
           col("n_name"))
         .agg(min(col("l_extendedprice").cast("decimal(18,2)"))
           .as("supply_cost"))
-      val minCost = cost.groupBy(col("l_partkey"))
-        .agg(min(col("supply_cost")).as("min_cost"))
-      cost.join(minCost, Seq("l_partkey"))
+      // the per-part minimum rides a WINDOW over the cost rows (the
+      // q44 decorrelation pattern): one partkey shuffle instead of a
+      // second aggregation joined back — at 100 TB that join's two
+      // extra exchanges of the (part, supplier) cost table ARE the
+      // dominant stage after the fact scan
+      val w = Window.partitionBy(col("l_partkey"))
+      cost.withColumn("min_cost", min(col("supply_cost")).over(w))
         .filter(col("supply_cost") === col("min_cost"))
         .join(broadcast(part(s, d).filter(col("p_brand") === "Brand#1")),
           col("l_partkey") === col("p_partkey"))

@@ -661,6 +661,31 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
         s"($hashExchanges hash exchanges):\n${plan.toString.take(1500)}")
   }
 
+  test("plan quality: q46 min-cost rides a window, not a self-join") {
+    // the per-part minimum is a window over the cost rows (q44's
+    // decorrelation pattern): one fact scan, and only the cost
+    // aggregation's exchange + the window's partkey exchange — the
+    // previous min-aggregate-joined-back shape paid two more
+    // exchanges of the cost table
+    val df = SparkEntry.queries("q46_min_cost_supplier")(spark,
+      "/root/testdata/sf0.001")
+    df.collect(): Unit
+    val plan = df.queryExecution.executedPlan
+    def finalized(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+      }
+    val roots = (plan +: finalized(plan)).map(
+      _.toString.split("== Initial Plan ==").head)
+    assert(roots.map(s => "lineitem".r.findAllIn(s).length).max <= 1,
+      s"q46 must scan lineitem once:\n${plan.toString.take(1500)}")
+    assert(roots.map(s =>
+      "Exchange hashpartitioning".r.findAllIn(s).length).max <= 2,
+      s"q46 must not re-shuffle the cost table for a min join:\n" +
+        plan.toString.take(1500))
+  }
+
   test("plan quality: s12 hybrid fusion never forms a corpus-sized pair join") {
     // both retrieval arms meet the corpus through a BROADCAST of the
     // bounded query set (the dense arm's theta-join and the lexical
