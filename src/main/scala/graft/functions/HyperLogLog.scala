@@ -44,23 +44,13 @@ case class HyperLogLogAgg(
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
-    if (v != null) {
-      val h = XxHash64Function.hash(v, child.dataType, 42L)
-      val idx = (h >>> (64 - p)).toInt
-      val rest = h << p
-      // rank = leading zeros of the remaining bits + 1 (capped)
-      val rank = (if (rest == 0) 64 - p
-        else java.lang.Long.numberOfLeadingZeros(rest)) + 1
-      if (rank > buf(idx)) buf(idx) = rank.toByte
-    }
+    if (v != null)
+      HyperLogLog.add(buf, XxHash64Function.hash(v, child.dataType, 42L), p)
     buf
   }
 
-  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
-    var i = 0
-    while (i < m) { if (b2(i) > b1(i)) b1(i) = b2(i); i += 1 }
-    b1
-  }
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    HyperLogLog.unionInto(b1, b2)
 
   override def eval(buf: Array[Byte]): Any = HyperLogLog.estimate(buf)
 
@@ -98,14 +88,8 @@ case class HyperLogLogSketchAgg(
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
-    if (v != null) {
-      val h = XxHash64Function.hash(v, child.dataType, 42L)
-      val idx = (h >>> (64 - p)).toInt
-      val rest = h << p
-      val rank = (if (rest == 0) 64 - p
-        else java.lang.Long.numberOfLeadingZeros(rest)) + 1
-      if (rank > buf(idx)) buf(idx) = rank.toByte
-    }
+    if (v != null)
+      HyperLogLog.add(buf, XxHash64Function.hash(v, child.dataType, 42L), p)
     buf
   }
 
@@ -198,6 +182,18 @@ object HyperLogLog {
 
   def hll_estimate(c: Column): Column =
     ColumnBridge.column(HllEstimate(ColumnBridge.expression(c)))
+
+  /** One hashed member into the register file (mutating) — the ONE
+    * update body both aggregates share, so the rank math can never
+    * drift between the estimate- and sketch-returning surfaces. */
+  def add(buf: Array[Byte], h: Long, p: Int): Unit = {
+    val idx = (h >>> (64 - p)).toInt
+    val rest = h << p
+    // rank = leading zeros of the remaining bits + 1 (capped)
+    val rank = (if (rest == 0) 64 - p
+      else java.lang.Long.numberOfLeadingZeros(rest)) + 1
+    if (rank > buf(idx)) buf(idx) = rank.toByte
+  }
 
   /** Register-wise max into b1 (mutating) — the aggregate's merge. */
   def unionInto(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {

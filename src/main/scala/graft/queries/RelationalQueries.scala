@@ -664,10 +664,10 @@ object RelationalQueries {
     // TPC-H Q2 shape (min-cost supplier), adapted: no partsupp table in
     // this schema, so supply cost is the min observed line price per
     // (part, supplier) pair. The oracle states the classic correlated
-    // "= (SELECT MIN ...)" form; the Spark plan is the aggregation-based
-    // decorrelation — derive per-part min cost once, join back on
-    // (partkey, cost): two shuffles on l_partkey, dims broadcast, no
-    // per-row re-scan. min() is order-free so DECIMAL(18,2) per-row
+    // "= (SELECT MIN ...)" form; the Spark plan decorrelates it as a
+    // WINDOW minimum over the cost rows (one partkey shuffle, dims
+    // broadcast, no per-row re-scan, no aggregate joined back —
+    // plan-spec-locked). min() is order-free so DECIMAL(18,2) per-row
     // casts keep both engines bit-identical.
     "q46_min_cost_supplier" -> ((s, d) => {
       val euSupp = supplier(s, d)

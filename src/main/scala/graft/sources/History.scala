@@ -775,9 +775,6 @@ object History {
     FileStats.refresh(fs, spark.sparkContext.hadoopConfiguration, path, tsCol)
   }
 
-  /** The files ADDED by the commits in (fromVersion, toVersion] — the
-    * exact scope a change-feed-driven maintenance agent must index.
-    * Both versions must still be retained (like time travel). */
   /** DESCRIBE HISTORY for a manifest lake: one row per RETAINED
     * version — commit time (the root's atomic-rename instant), live /
     * retired file counts, and the file-level delta vs the previous
@@ -794,24 +791,30 @@ object History {
     require(vs.nonEmpty, s"describeHistory needs a manifest-mode lake: $path")
     val tagsByV = FileManifest.tags(fs, path)
       .groupBy(_._2).view.mapValues(_.map(_._1).sorted.mkString(",")).toMap
-    // flatMap, not .get: a maintenance vacuum between the listing and
-    // the read may retire a version — skip it rather than crash
-    val ms = vs.flatMap(v => FileManifest.at(fs, path, v))
-    val rows = ms.zip(None +: ms.map(Some(_))).map { case (m, prev) =>
+    // tolerate a maintenance vacuum racing this read: a version that
+    // vanishes between the listing and either metadata read (manifest
+    // or root mtime) is SKIPPED, never crashed on and never emitted
+    // with a sentinel commit time
+    val ms = vs.flatMap(v => scala.util.Try(
+      FileManifest.at(fs, path, v)).toOption.flatten)
+    val rows = ms.zip(None +: ms.map(Some(_))).flatMap { case (m, prev) =>
       val prevCur = prev.map(_.curSet).getOrElse(Set.empty[String])
-      (m.version,
-        FileManifest.versionMtime(fs, path, m.version).getOrElse(0L),
-        m.cur.size.toLong, m.retired.size.toLong,
-        prev.map(_ => (m.curSet -- prevCur).size.toLong).getOrElse(
-          m.cur.size.toLong),
-        prev.map(_ => (prevCur -- m.curSet).size.toLong).getOrElse(0L),
-        tagsByV.getOrElse(m.version, ""))
+      FileManifest.versionMtime(fs, path, m.version).map(mtime =>
+        (m.version, mtime,
+          m.cur.size.toLong, m.retired.size.toLong,
+          prev.map(_ => (m.curSet -- prevCur).size.toLong).getOrElse(
+            m.cur.size.toLong),
+          prev.map(_ => (prevCur -- m.curSet).size.toLong).getOrElse(0L),
+          tagsByV.getOrElse(m.version, "")))
     }
     import spark.implicits._
     rows.toDF("version", "committed_at", "n_files", "n_retired",
       "n_added", "n_removed", "tags")
   }
 
+  /** The files ADDED by the commits in (fromVersion, toVersion] — the
+    * exact scope a change-feed-driven maintenance agent must index.
+    * Both versions must still be retained (like time travel). */
   def filesAddedBetween(spark: SparkSession, path: String,
                         fromVersion: Long, toVersion: Long): Seq[String] = {
     require(fromVersion <= toVersion,

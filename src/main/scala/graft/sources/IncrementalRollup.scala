@@ -164,7 +164,13 @@ object IncrementalRollup {
     if (latest <= from) None
     else {
       val sumNames = sumCols.map("sum_" + _)
-      val changes = History.changesBetween(spark, lakePath, from, latest)
+      val changesRaw = History.changesBetween(spark, lakePath, from, latest)
+      // the diff is the tick's dominant cost — when the HLL delete
+      // probe needs a second look at it, persist ONE materialization
+      // across probe + delta instead of recomputing the row-hash diff
+      val changes =
+        if (distinctCols.nonEmpty) changesRaw.persist() else changesRaw
+      try {
       // HLL measures are union-only: a sketch cannot retract a member,
       // so a range containing ANY delete/rewrite would silently
       // overcount forever. Fail loudly; recovery is a re-bootstrap
@@ -212,10 +218,15 @@ object IncrementalRollup {
         .filter(col("n_rows") > 0)
       publish(spark, rollupDir, latest, merged)
       Some((from, latest))
+      } finally {
+        if (distinctCols.nonEmpty) changes.unpersist(): Unit
+      }
     }
   }
 
-  /** The rollup at its current version (keyCols..., n_rows, sum_<col>). */
+  /** The rollup at its current version: (keyCols..., n_rows, sum_<col>
+    * per sum column, hll_<col> sketch bytes per distinct column —
+    * estimate with [[graft.functions.HyperLogLog.hll_estimate]]). */
   def read(spark: SparkSession, rollupDir: String): DataFrame = {
     val v = currentVersion(spark, rollupDir).getOrElse(
       throw new IllegalStateException(

@@ -133,9 +133,24 @@ object LakeChangeFeed {
     // replayed) behind the feed's high water still needs its own
     // catch-up, and IncrementalRollup.tick is a no-op when current —
     // so the compose stays idempotent per (rollup, lake-version) pair.
-    rollups.foreach(r =>
-      graft.sources.IncrementalRollup.tick(spark, lakePath, r.rollupDir,
-        r.keyCols, r.sumCols, r.distinctCols): Unit)
+    // Failures are isolated PER ROLLUP: one poisoned rollup (e.g. an
+    // HLL spec hitting a delete range) must not starve the others —
+    // every spec gets its tick, then the failures surface together.
+    val failed = rollups.flatMap { r =>
+      try {
+        graft.sources.IncrementalRollup.tick(spark, lakePath, r.rollupDir,
+          r.keyCols, r.sumCols, r.distinctCols): Unit
+        None
+      } catch { case e: Exception => Some((r.rollupDir, e)) }
+    }
+    if (failed.nonEmpty) {
+      val ex = new IllegalStateException(
+        s"${failed.size}/${rollups.size} rollup tick(s) failed " +
+          s"(the rest advanced): ${failed.map(_._1).mkString(", ")}",
+        failed.head._2)
+      failed.drop(1).foreach(f => ex.addSuppressed(f._2))
+      throw ex
+    }
     range
   }
 

@@ -161,6 +161,37 @@ class LakeChangeFeedSpec extends AnyFunSuite {
     assert(IncrementalRollup.currentVersion(spark, rollup) === v)
   }
 
+  test("a poisoned rollup fails loudly but never starves its siblings") {
+    import spark.implicits._
+    import graft.sources.IncrementalRollup
+    val lake = fresh("graft-cdf-lake3")
+    Seq((1L, "en", 10L), (2L, "en", 20L), (3L, "de", 30L))
+      .toDF("doc_id", "lang", "n_chars")
+      .coalesce(1).write.parquet(lake)
+    History.enableManifests(spark, lake): Unit
+    val out = fresh("graft-cdf-out")
+    val hllRollup = fresh("graft-cdf-hll")
+    val plainRollup = fresh("graft-cdf-plain")
+    IncrementalRollup.bootstrap(spark, lake, hllRollup, Seq("lang"),
+      Seq("n_chars"), distinctCols = Seq("doc_id")): Unit
+    IncrementalRollup.bootstrap(spark, lake, plainRollup, Seq("lang"),
+      Seq("n_chars")): Unit
+    // a delete poisons the HLL rollup (sketches cannot retract) …
+    History.deleteWhere(spark, lake, col("doc_id") === 2L): Unit
+    val specs = Seq(
+      LakeChangeFeed.RollupSpec(hllRollup, Seq("lang"), Seq("n_chars"),
+        distinctCols = Seq("doc_id")),
+      LakeChangeFeed.RollupSpec(plainRollup, Seq("lang"), Seq("n_chars")))
+    val e = intercept[IllegalStateException] {
+      LakeChangeFeed.tickWithMaintenance(spark, lake, out, rollups = specs)
+    }
+    assert(e.getMessage.contains(hllRollup))
+    // … but the plain rollup still advanced to the lake's latest
+    val latest = graft.sources.History.versions(spark, lake).last
+    assert(IncrementalRollup.currentVersion(spark, plainRollup) ===
+      Some(latest))
+  }
+
   test("expire retires old ranges but never the high water") {
     import spark.implicits._
     val lake = docsLake()
