@@ -916,6 +916,31 @@ object ExtQueries {
         .agg(count(lit(1)).cast("bigint").as("n_shared"))
     }),
 
+    // Cross-document boilerplate removal (the C4/RefinedWeb line-dedup
+    // step, over fixed 3-word spans since the synthetic corpus has no
+    // newlines): a span occurring in ≥ 5 DISTINCT documents is
+    // boilerplate (headers, footers, nav chrome in real crawls) and is
+    // dropped corpus-wide; the gate scores each doc's span/keep
+    // accounting. Distinct-per-span rides ONE (span, doc) shuffle with
+    // map-side partials; the df table joins back on span — at 100 TB a
+    // df cap per shard plus the broadcast of the (tiny) boilerplate
+    // set is the production shape, and t05 covers the WITHIN-doc
+    // repetition axis this deliberately does not.
+    "t22_boilerplate_spans" -> ((s, d) => {
+      val spans = documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokenChunks(col("text"), 3, 0)).as("span"))
+        .withColumn("span_len", size(split(col("span"), " ")).cast("long"))
+      val dfreq = spans.select(col("doc_id"), col("span")).distinct()
+        .groupBy(col("span")).agg(count(lit(1)).as("ndocs"))
+      spans.join(dfreq, "span")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("ndocs") >= 5, 1L).otherwise(0L)).as("n_boiler"),
+          sum(when(col("ndocs") >= 5, 0L).otherwise(col("span_len")))
+            .as("kept_words"))
+    }),
+
     // Fixed-size deterministic per-stratum sample: each lang keeps its
     // 20 docs with the smallest 48-bit md5 rank — a uniform sample
     // without replacement that is retry-stable and engine-portable
@@ -1947,6 +1972,28 @@ object ExtQueries {
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
          FROM dg JOIN bench USING (g)
          WHERE doc_id % 100 != 13
+         GROUP BY doc_id""",
+    "t22_boilerplate_spans" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS ws
+           FROM documents WHERE text IS NOT NULL
+         ), st AS (
+           SELECT doc_id, ws, unnest(range(0, len(ws), 3)) AS st FROM w
+         ), sp AS (
+           SELECT doc_id,
+             array_to_string(ws[CAST(st + 1 AS INTEGER) :
+               CAST(least(st + 3, len(ws)) AS INTEGER)], ' ') AS span,
+             CAST(least(st + 3, len(ws)) - st AS BIGINT) AS span_len
+           FROM st
+         ), df AS (
+           SELECT span, COUNT(DISTINCT doc_id) AS ndocs FROM sp GROUP BY 1
+         )
+         SELECT doc_id, COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN ndocs >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler,
+           CAST(SUM(CASE WHEN ndocs >= 5 THEN 0 ELSE span_len END) AS BIGINT)
+             AS kept_words
+         FROM sp JOIN df USING (span)
          GROUP BY doc_id""",
     "t21_fixed_sample" ->
       """WITH h AS (
