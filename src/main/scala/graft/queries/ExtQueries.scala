@@ -931,13 +931,26 @@ object ExtQueries {
         .select(col("doc_id"),
           explode(TextAnalysis.tokenChunks(col("text"), 3, 0)).as("span"))
         .withColumn("span_len", size(split(col("span"), " ")).cast("long"))
-      val dfreq = spans.select(col("doc_id"), col("span")).distinct()
-        .groupBy(col("span")).agg(count(lit(1)).as("ndocs"))
-      spans.join(dfreq, "span")
+      // ONE evaluation of the chunk+explode subtree: reduce to
+      // (doc, span) occurrence stats first, then BOTH the df table and
+      // the probe side derive from that aggregate (its exchange is
+      // reused) — the naive distinct-then-join-back shape explodes the
+      // corpus twice and shuffles raw span strings twice
+      // spans shuffle as 64-bit hashes, never strings (C4 hashes its
+      // lines the same way; collision odds are ~n²/2⁶⁴ — vanishing at
+      // gate scale, and at 100 TB a collision merely merges two spans'
+      // df, the standard accepted trade of hashed line-dedup)
+      val perDocSpan = spans
+        .groupBy(col("doc_id"), xxhash64(col("span")).as("h"))
+        .agg(count(lit(1)).as("cnt"), sum(col("span_len")).as("len_sum"))
+      val dfreq = perDocSpan.groupBy(col("h"))
+        .agg(count(lit(1)).as("ndocs"))
+      perDocSpan.join(dfreq, "h")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_spans"),
-          sum(when(col("ndocs") >= 5, 1L).otherwise(0L)).as("n_boiler"),
-          sum(when(col("ndocs") >= 5, 0L).otherwise(col("span_len")))
+        .agg(sum(col("cnt")).as("n_spans"),
+          sum(when(col("ndocs") >= 5, col("cnt")).otherwise(0L))
+            .as("n_boiler"),
+          sum(when(col("ndocs") >= 5, 0L).otherwise(col("len_sum")))
             .as("kept_words"))
     }),
 
