@@ -927,10 +927,14 @@ object ExtQueries {
     // set is the production shape, and t05 covers the WITHIN-doc
     // repetition axis this deliberately does not.
     "t22_boilerplate_spans" -> ((s, d) => {
-      val spans = documents(s, d).filter(col("text").isNotNull)
+      // doc_id null-guard keeps df semantics identical to the oracle's
+      // COUNT(DISTINCT doc_id), which ignores NULLs
+      val spans = documents(s, d)
+        .filter(col("text").isNotNull && col("doc_id").isNotNull)
         .select(col("doc_id"),
           explode(TextAnalysis.tokenChunks(col("text"), 3, 0)).as("span"))
-        .withColumn("span_len", size(split(col("span"), " ")).cast("long"))
+        .withColumn("span_len",
+          TextAnalysis.wsTokenCount(col("span")).cast("long"))
       // ONE evaluation of the chunk+explode subtree: reduce to
       // (doc, span) occurrence stats first, then BOTH the df table and
       // the probe side derive from that aggregate (its exchange is
@@ -1989,7 +1993,8 @@ object ExtQueries {
     "t22_boilerplate_spans" ->
       """WITH w AS (
            SELECT doc_id, string_split(text, ' ') AS ws
-           FROM documents WHERE text IS NOT NULL
+           FROM documents
+           WHERE text IS NOT NULL AND doc_id IS NOT NULL
          ), st AS (
            SELECT doc_id, ws, unnest(range(0, len(ws), 3)) AS st FROM w
          ), sp AS (
