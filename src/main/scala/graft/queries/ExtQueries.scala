@@ -665,6 +665,18 @@ object ExtQueries {
         dim = 64, m = 4, k = 5, shortlist = 20)
     }),
 
+    // FILTERED vector search (the "where lang = 'en'" of retrieval):
+    // the metadata predicate restricts the CORPUS side before any
+    // scoring — pre-filtering, the exact-recall strategy — so the
+    // filter reaches the parquet scan and the pair count shrinks by
+    // the filter's selectivity instead of post-filtering a top-k that
+    // may then run dry. Same bounded-broadcast shape as s01.
+    "s13_filtered_ann" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.bruteForceTopK(emb.filter(col("label").isin(1, 2)),
+        emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 5)
+    }),
+
     // Hybrid retrieval (the RAG first stage): a doc-as-query BM25 arm
     // over the documents table and a brute-force cosine arm over the
     // aligned embeddings table, each ranked top-20 per query, fused by
@@ -2359,6 +2371,25 @@ object ExtQueries {
                   ORDER BY score DESC, b_id ASC) AS rn FROM rerank) f
           WHERE rn <= 5"""
     },
+    "s13_filtered_ann" ->
+      """WITH n AS (
+           SELECT vec_id, embedding, label,
+             sqrt(list_sum(list_transform(range(1,65),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+           FROM embeddings
+         ), q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+         c AS (SELECT * FROM n WHERE label IN (1, 2)),
+         s AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS b_id,
+             round(list_sum(list_transform(range(1,65),
+               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+               / (q.nrm * c.nrm), 6) AS cos_r
+           FROM q JOIN c ON q.vec_id != c.vec_id
+         )
+         SELECT query_id, b_id, CAST(rank AS INTEGER) AS rank, cos_r
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_r DESC, b_id ASC) AS rank FROM s) t
+         WHERE rank <= 5""",
     "s12_hybrid_rrf" ->
       """WITH words AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS word
