@@ -215,6 +215,38 @@ object HistoryQueries {
       dir
     })
 
+  /** An unclustered manifest lake that took two MERGE-ON-READ deletes
+    * ([[graft.sources.History.deleteKeysDV]] — bloom-pruned keyed
+    * takedown — then [[graft.sources.History.deleteWhereDV]] — a
+    * predicate sweep): both land as per-file deletion-vector sidecars
+    * + one manifest commit each, ZERO data files rewritten
+    * (`DeletionVectorSpec` asserts the no-rewrite property; these
+    * gates assert the ROW SET at SF scale). h20 reads the latest
+    * pinned image — every reader applies the vectors inline; h21 reads
+    * the row-level change feed across the takedown window — the
+    * positional O(changed-vectors) delta path. Keyed by (session,
+    * sfDir). */
+  private val dvLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def dvLake(s: SparkSession, sfDir: String): String =
+    dvLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-dv-lake").toString + "/lake"
+      graft.Tables.documents(s, sfDir)
+        .repartition(8) // round-robin: every file spans the id range
+        .write.parquet(dir)
+      graft.sources.History.enableManifests(s, dir): Unit
+      graft.sources.History.enableShardedManifests(s, dir): Unit
+      graft.sources.History.refreshKeyIndex(s, dir, "doc_id"): Unit
+      graft.sources.History.deleteKeysDV(s, dir, "doc_id",
+        Seq(3L, 41L, 404L)): Unit
+      graft.sources.History.deleteWhereDV(s, dir,
+        col("doc_id") % 17 === 5): Unit
+      dir
+    })
+
   /** A lang-partitioned manifest lake of the documents table built in
     * two schema ERAS: era 1 (even doc_ids) lands with n_chars as INT32
     * and no quality column; the schema is then DECLARED and EVOLVED
@@ -336,7 +368,7 @@ object HistoryQueries {
     val sk = graft.SessionKey(s)
     Seq(deleteLakeCache, mergeLakeCache, clusterLakeCache, zLakeCache,
         shardedLakeCache, bloomLakeCache, evolvedLakeCache,
-        taggedLakeCache, restoredLakeCache, rollupCache)
+        taggedLakeCache, restoredLakeCache, rollupCache, dvLakeCache)
       .foreach { cache =>
       cache.keySet.forEach { k =>
         if (k._1 == sk) rmLake(cache.remove(k))
@@ -550,6 +582,31 @@ object HistoryQueries {
       graft.sources.IncrementalRollup.read(s, rollupDir)
         .select(col("lang"), col("n_rows").as("n_docs"),
           col("sum_n_chars").as("total_chars"))
+    }),
+
+    // Merge-on-read takedown: two DV deletes (keyed + predicate) landed
+    // as position sidecars — no data file rewritten — and the pinned
+    // read must answer the exact post-delete multiset by filtering each
+    // file's vector inline. A reader that missed a vector resurrects
+    // rows; one that over-applied positions loses rows; either fails
+    // the hash. This is the 100 TB takedown shape: k victim rows cost
+    // k positions + one commit, not a rewrite job.
+    "h20_dv_takedown" -> ((s, d) =>
+      graft.sources.History.readPinned(s, dvLake(s, d))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+
+    // Change feed across the DV window: no file membership changed, so
+    // the whole delta is POSITIONAL — each changed vector's file is
+    // read once, selecting exactly the newly-deleted positions. The
+    // feed must emit precisely the takedown victims as deletes (what
+    // downstream rollups/indexes retract); a feed keyed on file
+    // membership alone would emit NOTHING here and fail on row count.
+    "h21_dv_change_feed" -> ((s, d) => {
+      val dir = dvLake(s, d)
+      val vs = graft.sources.History.versions(s, dir)
+      graft.sources.History.changesBetween(s, dir, vs.head, vs.last)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("_change"))
     })
   )
 
@@ -662,6 +719,13 @@ object HistoryQueries {
          )
          SELECT lang, COUNT(*) AS n_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS total_chars
-         FROM fin GROUP BY lang"""
+         FROM fin GROUP BY lang""",
+    "h20_dv_takedown" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE NOT (doc_id IN (3, 41, 404) OR doc_id % 17 = 5)""",
+    "h21_dv_change_feed" ->
+      """SELECT doc_id, lang, source, n_chars, 'delete' AS _change
+         FROM documents
+         WHERE doc_id IN (3, 41, 404) OR doc_id % 17 = 5"""
   )
 }

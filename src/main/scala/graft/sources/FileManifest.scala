@@ -45,7 +45,16 @@ class VersionCollisionException(msg: String, cause: Throwable = null)
   * {{{
   *   cur\t<region=R/dt=D/file.parquet>
   *   ret\t<retiredAtEpochMs>\t<region=R/dt=D/file.parquet>
+  *   dv\t<region=R/dt=D/file.parquet>\t<dv-sidecar-name>
   * }}}
+  *
+  * A `dv` line attaches a DELETION VECTOR ([[DeletionVector]]) to a
+  * CURRENT file: the sidecar lists the row positions deleted from that
+  * file, applied at read time — merge-on-read row deletes that never
+  * rewrite data. The pointer is part of the committed snapshot, so
+  * time travel / tags / restore see each version's exact row set, and
+  * retiring a file drops its pointer (a rewrite materializes the
+  * deletes it read through).
   *
   * Scale note: one manifest line per live data file — a 100 TB lake at
   * healthy file sizes is ~10⁵–10⁶ lines. Published versions are
@@ -86,7 +95,8 @@ object FileManifest {
   def shardsDir(lakePath: String): String = s"${manifestDir(lakePath)}/shards"
 
   case class Manifest(version: Long, cur: Seq[String],
-                      retired: Seq[(Long, String)]) {
+                      retired: Seq[(Long, String)],
+                      dvs: Map[String, String] = Map.empty) {
     def curSet: Set[String] = cur.toSet
     def retiredSet: Set[String] = retired.map(_._2).toSet
   }
@@ -180,38 +190,44 @@ object FileManifest {
   private[graft] val shardFileReads =
     new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** One manifest's (or shard's) parsed entry lines. */
+  private case class Entries(cur: Seq[String], ret: Seq[(Long, String)],
+                             dvs: Map[String, String])
+
   /** Parsed shard files, keyed (qualified lake root, shard file name).
     * Shard files are immutable AND uniquely named (the name embeds the
     * publishing version), so no mtime/length in the key; same dual
     * count + total-line budget as `parsedCache`. */
   private val shardCache = new java.util.LinkedHashMap[
-    (String, String), (Seq[String], Seq[(Long, String)])](16, 0.75f, true)
+    (String, String), Entries](16, 0.75f, true)
   private var shardCachedLines = 0L
-  private def shardWeight(e: (Seq[String], Seq[(Long, String)])): Long =
-    (e._1.size + e._2.size + 1).toLong
+  private def shardWeight(e: Entries): Long =
+    (e.cur.size + e.ret.size + e.dvs.size + 1).toLong
 
   /** One parsed root: either the flat entry list itself, or the shard
     * index (shardFileName, partitionDir). */
-  private type Root = Either[(Seq[String], Seq[(Long, String)]),
-                             Seq[(String, String)]]
+  private type Root = Either[Entries, Seq[(String, String)]]
 
   private def parseRoot(lines: List[String], v: Long): Root = {
     val shards = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val cur = scala.collection.mutable.ArrayBuffer.empty[String]
     val ret = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val dvs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     lines.foreach { l =>
       l.split('\t') match {
         case Array("cur", rel) => cur += rel
         case Array("ret", ts, rel) => ret += ((ts.toLong, rel))
+        case Array("dv", rel, name) => dvs += ((rel, name))
         case Array("shard", name, dir) => shards += ((name, dir))
         case other => throw new java.io.IOException(
           s"bad manifest line in v$v: ${other.mkString("\\t")}")
       }
     }
-    if (shards.nonEmpty && (cur.nonEmpty || ret.nonEmpty))
+    if (shards.nonEmpty && (cur.nonEmpty || ret.nonEmpty || dvs.nonEmpty))
       throw new java.io.IOException(
         s"manifest v$v mixes flat and shard lines")
-    if (shards.nonEmpty) Right(shards.toSeq) else Left((cur.toSeq, ret.toSeq))
+    if (shards.nonEmpty) Right(shards.toSeq)
+    else Left(Entries(cur.toSeq, ret.toSeq, dvs.toMap))
   }
 
   // retries the local-FS mid-rename checksum window — see SidecarIO
@@ -255,8 +271,8 @@ object FileManifest {
     hit.getOrElse {
       manifestFileReads.incrementAndGet(): Unit
       val idx = parseRoot(readLines(fs, versionPath(lakePath, v)), v) match {
-        case Left((cur, ret)) =>
-          putParsed(key, Manifest(v, cur, ret))
+        case Left(e) =>
+          putParsed(key, Manifest(v, e.cur, e.ret, e.dvs))
           None
         case Right(shards) => Some(shards)
       }
@@ -272,7 +288,7 @@ object FileManifest {
   }
 
   private def putShardCache(key: (String, String),
-      entry: (Seq[String], Seq[(Long, String)])): Unit =
+      entry: Entries): Unit =
     shardCache.synchronized {
       val prev = shardCache.put(key, entry)
       if (prev != null) shardCachedLines -= shardWeight(prev)
@@ -287,7 +303,7 @@ object FileManifest {
 
   /** Parse one shard file (cached; immutable + uniquely named). */
   private def readShard(fs: FileSystem, lakePath: String,
-                        name: String): (Seq[String], Seq[(Long, String)]) = {
+                        name: String): Entries = {
     val key = (fs.makeQualified(new Path(lakePath)).toString, name)
     val cached = shardCache.synchronized(Option(shardCache.get(key)))
     cached.getOrElse {
@@ -321,8 +337,8 @@ object FileManifest {
           Option(parsedCache.synchronized(parsedCache.get(key))).getOrElse {
             manifestFileReads.incrementAndGet(): Unit
             parseRoot(readLines(fs, vp), v) match {
-              case Left((cur, ret)) =>
-                val m = Manifest(v, cur, ret)
+              case Left(e) =>
+                val m = Manifest(v, e.cur, e.ret, e.dvs)
                 putParsed(key, m)
                 m
               case Right(_) => throw new IllegalStateException(
@@ -332,7 +348,8 @@ object FileManifest {
         case Some(shards) =>
           val parts = shards.sortBy(_._2)
             .map { case (name, _) => readShard(fs, lakePath, name) }
-          val m = Manifest(v, parts.flatMap(_._1), parts.flatMap(_._2))
+          val m = Manifest(v, parts.flatMap(_.cur), parts.flatMap(_.ret),
+            parts.flatMap(_.dvs).toMap)
           putParsed(key, m)
           m
       }
@@ -356,12 +373,14 @@ object FileManifest {
       case None =>
         val full = readVersion(fs, lakePath, version) // parsedCache hit
         Manifest(version, full.cur.filter(r => dirPred(entryDir(r))),
-          full.retired.filter(r => dirPred(entryDir(r._2))))
+          full.retired.filter(r => dirPred(entryDir(r._2))),
+          full.dvs.filter { case (r, _) => dirPred(entryDir(r)) })
       case Some(shards) =>
         val parts = shards.sortBy(_._2)
           .collect { case (name, dir) if dirPred(dir) =>
             readShard(fs, lakePath, name) }
-        Manifest(version, parts.flatMap(_._1), parts.flatMap(_._2))
+        Manifest(version, parts.flatMap(_.cur), parts.flatMap(_.ret),
+          parts.flatMap(_.dvs).toMap)
     }
     Some(m)
   }
@@ -469,6 +488,9 @@ object FileManifest {
     m.retired.sortBy(_._2).foreach { case (ts, rel) =>
       sb.append("ret\t").append(ts).append('\t').append(rel).append('\n')
     }
+    m.dvs.toSeq.sortBy(_._1).foreach { case (rel, name) =>
+      sb.append("dv\t").append(rel).append('\t').append(name).append('\n')
+    }
     sb.toString
   }
 
@@ -517,6 +539,7 @@ object FileManifest {
       }
     val curByDir = m.cur.groupBy(entryDir)
     val retByDir = m.retired.groupBy(e => entryDir(e._2))
+    val dvByDir = m.dvs.groupBy(e => entryDir(e._1))
     // one nonce per publish ATTEMPT: two writers optimistically racing
     // the same version number ([[commitDelta]]) must never write the
     // same shard path — with deterministic names the loser's shard
@@ -535,8 +558,9 @@ object FileManifest {
     }
     val qLake = fs.makeQualified(new Path(lakePath)).toString
     val shardLines = dirs.map { dir =>
-      val entry = (curByDir.getOrElse(dir, Nil).sorted,
-        retByDir.getOrElse(dir, Nil).sortBy(_._2))
+      val entry = Entries(curByDir.getOrElse(dir, Nil).sorted,
+        retByDir.getOrElse(dir, Nil).sortBy(_._2),
+        dvByDir.getOrElse(dir, Map.empty))
       val reuse = prevIdx.get(dir)
         .filter(name => readShard(fs, lakePath, name) == entry)
       val name = reuse.getOrElse {
@@ -556,7 +580,7 @@ object FileManifest {
           }
         }
         atomicWrite(fs, shardDest,
-          flatContent(Manifest(m.version, entry._1, entry._2)))
+          flatContent(Manifest(m.version, entry.cur, entry.ret, entry.dvs)))
         // cache what was just written: the writer's NEXT publish
         // reuse-checks this name and its next readVersion reassembles
         // it — neither should pay a physical re-read of bytes this
@@ -581,7 +605,7 @@ object FileManifest {
     if (isSharded(fs, lakePath, v)) v
     else {
       val m = readVersion(fs, lakePath, v)
-      publishSharded(fs, lakePath, Manifest(v + 1, m.cur, m.retired))
+      publishSharded(fs, lakePath, Manifest(v + 1, m.cur, m.retired, m.dvs))
       v + 1
     }
   }
@@ -712,9 +736,34 @@ object FileManifest {
     * of whole partitions) — those operate on the retired set, not cur,
     * and run from one maintenance agent per lake. Data-path writers
     * (appends, compaction, delete/merge/cluster rewrites) all commit
-    * through this delta and may run concurrently. */
+    * through this delta and may run concurrently.
+    *
+    * Deletion-vector arguments:
+    *
+    *  - `setDvs` maps a CURRENT file to (expected existing DV pointer,
+    *    new DV sidecar name): a merge-on-read delete replacing the
+    *    file's vector. The expectation guards the lost-update race —
+    *    two concurrent DV writers both read vector X and each write
+    *    X ∪ theirs; the second to land would silently drop the first's
+    *    deletes, so a pointer that moved since the caller read it fails
+    *    loudly (`ConcurrentModificationException` — recompute from the
+    *    new snapshot and retry). A version collision alone (some OTHER
+    *    file advanced the lake) re-bases and retries as usual.
+    *  - `dvSeen` states, for files in `retire`, the DV pointer the
+    *    caller's rewrite scan APPLIED (None = no vector). A rewrite
+    *    materializes the deletes it read through — if a new vector
+    *    landed on the file after the scan, committing the rewrite would
+    *    resurrect those deleted rows, so a moved pointer is a conflict.
+    *    Files retired without a `dvSeen` entry keep the legacy rule
+    *    (membership-only conflict detection).
+    *
+    * Retiring a file always DROPS its DV pointer from the next version
+    * (the invariant `dvs.keySet ⊆ curSet` holds for every published
+    * manifest). */
   def commitDelta(fs: FileSystem, lakePath: String, adds: Seq[String],
-                  retire: Seq[String], maxAttempts: Int = 10): Long = {
+                  retire: Seq[String], maxAttempts: Int = 10,
+                  setDvs: Map[String, (Option[String], String)] = Map.empty,
+                  dvSeen: Map[String, Option[String]] = Map.empty): Long = {
     val retireSet = retire.toSet
     // `maxAttempts` bounds NO-PROGRESS retries, not losses: under real
     // contention a committer can lose the next-version race once per
@@ -743,12 +792,36 @@ object FileManifest {
           s"commit conflict at $lakePath: files to retire are no longer " +
             s"current (a concurrent commit rewrote or removed them): " +
             gone.toSeq.sorted.take(4).mkString(", "))
+      // a retired file whose DV pointer moved since the caller's scan:
+      // the rewrite was computed against a stale row set — committing it
+      // would resurrect the newer vector's deleted rows
+      val dvMoved = dvSeen.collect {
+        case (rel, seen) if retireSet(rel) && m.dvs.get(rel) != seen => rel
+      }
+      if (dvMoved.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"commit conflict at $lakePath: deletion vectors changed under " +
+            s"the rewrite scan for: ${dvMoved.toSeq.sorted.take(4).mkString(", ")}")
+      setDvs.foreach { case (rel, (expected, _)) =>
+        if (!m.curSet(rel))
+          throw new java.util.ConcurrentModificationException(
+            s"commit conflict at $lakePath: DV target $rel is no longer " +
+              "current (a concurrent commit rewrote or removed it)")
+        if (m.dvs.get(rel) != expected)
+          throw new java.util.ConcurrentModificationException(
+            s"commit conflict at $lakePath: DV pointer for $rel moved " +
+              s"(expected ${expected.getOrElse("none")}, " +
+              s"found ${m.dvs.get(rel).getOrElse("none")}) — " +
+              "a concurrent merge-on-read delete landed; recompute and retry")
+      }
       val freshAdds = adds.filterNot(m.curSet)
-      if (freshAdds.isEmpty && retireSet.isEmpty) return m.version
+      if (freshAdds.isEmpty && retireSet.isEmpty && setDvs.isEmpty)
+        return m.version
       val now = System.currentTimeMillis()
       val next = Manifest(m.version + 1,
         m.cur.filterNot(retireSet) ++ freshAdds,
-        m.retired ++ retire.sorted.map(now -> _))
+        m.retired ++ retire.sorted.map(now -> _),
+        (m.dvs -- retireSet) ++ setDvs.map { case (rel, (_, n)) => rel -> n })
       // fire (and consume) the injected race exactly once
       testRaceHook.foreach { h => testRaceHook = None; h() }
       try {

@@ -709,14 +709,17 @@ object History {
       struct, xxhash64}
     // empty side: keep the lake schema (donor file + filter false) so
     // the diff resolves; a fully-unchanged window yields zero rows
-    def planSide(files: Seq[String], donorOf: FileManifest.Manifest) =
+    def planSide(files: Seq[String], dvsOf: FileManifest.Manifest,
+                 donorOf: FileManifest.Manifest) =
       if (files.nonEmpty) planManifest(spark, fs, root,
-        FileManifest.Manifest(toVersion, files, Nil))
+        FileManifest.Manifest(toVersion, files, Nil, dvsOf.dvs))
       else planManifest(spark, fs, root,
         FileManifest.Manifest(toVersion, donorOf.cur.take(1), Nil))
         .filter(lit(false))
-    val addedDf = planSide(added, if (b.cur.nonEmpty) b else a)
-    val removedDf = planSide(removed, if (a.cur.nonEmpty) a else b)
+    // each side's files carry THAT version's deletion vectors: the
+    // diff compares the row sets the two snapshots actually answer
+    val addedDf = planSide(added, b, if (b.cur.nonEmpty) b else a)
+    val removedDf = planSide(removed, a, if (a.cur.nonEmpty) a else b)
     // HASH-PROJECTED multiset diff, not exceptAll: exceptAll both ways
     // scans each side twice and shuffles FULL-WIDTH rows four times —
     // on a wide table the diff shuffle is 2× the rewritten bytes. Here
@@ -760,8 +763,57 @@ object History {
         .select(cols.map(col): _*)
         .withColumn("_change", lit(tag))
     }
-    images(addedDf, insertSide = true, "insert")
+    val fileDiff = images(addedDf, insertSide = true, "insert")
       .unionByName(images(removedDf, insertSide = false, "delete"))
+    // MERGE-ON-READ delta: files present in BOTH versions whose DV
+    // pointer moved — no file membership changed, but rows did. The
+    // exact changed rows are POSITIONAL (new vector ∖ old = deleted in
+    // the window; old ∖ new = un-deleted, i.e. restored → inserts), so
+    // each such file is read ONCE per direction with a positive
+    // dv_deleted(delta) filter selecting just those rows — O(changed
+    // vectors' files), never a diff job. Disjoint from the membership
+    // diff above by construction.
+    val commonDvChanged = (a.curSet & b.curSet).toSeq.sorted
+      .filter(rel => a.dvs.get(rel) != b.dvs.get(rel))
+    if (commonDvChanged.isEmpty) fileDiff
+    else {
+      def positions(side: FileManifest.Manifest, rel: String): Set[Long] =
+        side.dvs.get(rel)
+          .map(DeletionVector.read(fs, path, _).toSet)
+          .getOrElse(Set.empty)
+      def positional(delta: Map[String, Array[Long]], tag: String) =
+        if (delta.isEmpty) None
+        else {
+          val qRoot = fs.makeQualified(root)
+          val t = new java.util.concurrent.ConcurrentHashMap[
+            String, Array[Long]]()
+          delta.foreach { case (rel, pos) =>
+            t.put(new org.apache.hadoop.fs.Path(qRoot, rel).toString,
+              pos.sorted): Unit
+          }
+          import org.apache.spark.sql.graftbridge.ColumnBridge
+          val hit = ColumnBridge.column(DvDeleted(
+            ColumnBridge.expression(col("_metadata.file_path")),
+            ColumnBridge.expression(col("_metadata.row_index")),
+            new DvLookup(t)))
+          Some(planManifest(spark, fs, root, // RAW rows: no dvs applied
+              FileManifest.Manifest(toVersion, delta.keys.toSeq.sorted, Nil))
+            .filter(hit)
+            .select(cols.map(col): _*)
+            .withColumn("_change", lit(tag)))
+        }
+      def delta(of: String => Set[Long], minus: String => Set[Long]) =
+        commonDvChanged.flatMap { rel =>
+          val d = of(rel) -- minus(rel)
+          if (d.isEmpty) None else Some(rel -> d.toArray)
+        }.toMap
+      val dvDeletes = positional(
+        delta(positions(b, _), positions(a, _)), "delete")
+      val dvInserts = positional(
+        delta(positions(a, _), positions(b, _)), "insert")
+      (Seq(fileDiff) ++ dvDeletes ++ dvInserts)
+        .reduce(_ unionByName _)
+    }
   }
 
   /** Bring the per-file stats sidecar up to date (footer-reads only
@@ -919,9 +971,15 @@ object History {
         case Some(s) => spark.read.schema(s)
         case None => spark.read
       }
-      base.option("basePath", qRoot.toString)
+      val scan = base.option("basePath", qRoot.toString)
         .parquet(m.cur.sorted.map(rel =>
           new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*)
+      // merge-on-read deletes: filter each file's deletion-vector
+      // positions out of the scan (pointers for files outside this
+      // plan's cur are irrelevant — planners routinely plan subsets)
+      val curSet = m.curSet
+      applyDvs(scan, fs, qRoot, root.toString,
+        m.dvs.filter { case (rel, _) => curSet(rel) })
     } else if (declared.isDefined) {
       // empty CURRENT set: the declared schema IS the lake schema — no
       // donor file needed, zero rows by construction
@@ -944,6 +1002,26 @@ object History {
       }
     }
   }
+
+  /** Filter `dvs`' deletion-vector positions out of a parquet scan:
+    * `!dv_deleted(_metadata.file_path, _metadata.row_index)` — a
+    * codegen predicate over a broadcast-small position table
+    * ([[DvLookup]]). No-op (and no metadata column) when no file in
+    * the plan carries a vector, so DV-free lakes plan exactly as
+    * before. */
+  private def applyDvs(df: DataFrame,
+      fs: org.apache.hadoop.fs.FileSystem, qRoot: org.apache.hadoop.fs.Path,
+      path: String, dvs: Map[String, String]): DataFrame =
+    if (dvs.isEmpty) df
+    else {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val lookup = DvLookup.forFiles(fs, qRoot, path, dvs)
+      val deleted = ColumnBridge.column(DvDeleted(
+        ColumnBridge.expression(col("_metadata.file_path")),
+        ColumnBridge.expression(col("_metadata.row_index")),
+        lookup))
+      df.filter(!deleted)
+    }
 
   /** The parquet reader for REWRITE passes over lake files: the
     * declared table schema when the lake has one (projection + reader
@@ -984,10 +1062,13 @@ object History {
     fs.delete(stage, true): Unit
     // the slice is exactly the manifest's current files — an uncommitted
     // batch racing this compaction is neither read nor retired
-    val slice = rewriteReader(spark, fs, path)
-      .option("basePath", qRoot.toString)
-      .parquet(oldMatched.map(rel =>
-        new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*)
+    val oldMatchedSet = oldMatched.toSet
+    val slice = applyDvs(rewriteReader(spark, fs, path)
+        .option("basePath", qRoot.toString)
+        .parquet(oldMatched.map(rel =>
+          new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*),
+      fs, qRoot, path,
+      m.dvs.filter { case (rel, _) => oldMatchedSet(rel) })
     writeCompacted(slice, keyCols, tsCol, compactStagingDir(path))
     // move staged output into the live dirs under version-tagged unique
     // names (deterministic per attempt, so a crashed attempt's leftovers
@@ -1026,7 +1107,8 @@ object History {
     // optimistic delta commit re-bases over any commit that landed
     // since the slice read and detects true write-write conflicts
     // (a concurrent rewrite of one of oldMatched) loudly
-    FileManifest.commitDelta(fs, path, movedRels, oldMatched): Unit
+    FileManifest.commitDelta(fs, path, movedRels, oldMatched,
+      dvSeen = oldMatched.map(rel => rel -> m.dvs.get(rel)).toMap): Unit
     fs.delete(stage, true): Unit
   }
 
@@ -1090,7 +1172,7 @@ object History {
     LakeCommit.foreachPar(staleStaged) { p => fs.delete(p, false): Unit }
     if (expired.nonEmpty)
       FileManifest.publish(fs, path,
-        FileManifest.Manifest(m.version + 1, m.cur, kept))
+        FileManifest.Manifest(m.version + 1, m.cur, kept, m.dvs))
     // stale manifest versions past grace (a reader pinned to an old
     // version within grace still resolves it)
     val latestNow = FileManifest.latestVersion(fs, path).getOrElse(m.version)
@@ -1114,6 +1196,17 @@ object History {
       .foreach { case (name, _) =>
         fs.delete(new org.apache.hadoop.fs.Path(
           FileManifest.shardsDir(path), name), false): Unit
+      }
+    // deletion-vector sidecars no RETAINED version references
+    // (superseded vectors, vectors of rewritten/vacuumed files, crashed
+    // DV-commit attempts) past grace — tagged versions are retained, so
+    // their vectors stay pinned alongside their data files
+    val refDvs = DeletionVector.referencedDvs(fs, path)
+    DeletionVector.listDvFiles(fs, path)
+      .filter { case (name, mtime) => !refDvs(name) && mtime <= cutoff }
+      .foreach { case (name, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          DeletionVector.dvsDir(path), name), false): Unit
       }
     // bloom-index shards of VANISHED partitions (no live or retired
     // file left under their dir — e.g. after expirePartitions): refresh
@@ -1208,6 +1301,164 @@ object History {
     }
   }
 
+  /** MERGE-ON-READ row delete: remove the rows matching `predicate`
+    * by writing per-file DELETION VECTORS ([[DeletionVector]]) instead
+    * of rewriting data — one column-pruned scan collects the victims'
+    * (file, row position) pairs, one sidecar lands per affected file
+    * (the union of its existing vector and the new positions), and one
+    * optimistic commit swaps the pointers. ZERO data bytes move: a
+    * takedown of k rows spread over j multi-GB files costs j few-KB
+    * sidecars and a manifest flip, where [[deleteWhere]] rewrites all
+    * j files — at 100 TB the difference between seconds and a rewrite
+    * job. Readers apply vectors inline (every pinned/keyed/time-travel
+    * read, rewrite, and the change feed); [[materializeDeletes]]
+    * folds vectors back into data when a file's dead fraction warrants.
+    *
+    * The deleted POSITIONS pass through the driver (they parameterize
+    * the sidecars), so this path is for SPARSE deletes: `maxPositions`
+    * (default 10M ≈ 80 MB of longs) fails loudly past the cap with
+    * the honest advice — a delete big enough to blow it is rewriting
+    * most rows anyway, which is exactly [[deleteWhere]]'s copy-on-write
+    * shape. NULL predicate keeps the row (SQL DELETE semantics).
+    *
+    * Concurrency: commits via [[FileManifest.commitDelta]]`(setDvs)` —
+    * re-bases over unrelated commits; fails loudly if a concurrent
+    * rewrite retired an affected file or another DV landed on it first
+    * (recompute from the new snapshot and retry).
+    *
+    * @return (files vectored, rows deleted) */
+  def deleteWhereDV(spark: SparkSession, path: String,
+                    predicate: org.apache.spark.sql.Column,
+                    maxPositions: Long = 10000000L): (Int, Long) =
+    deleteDvImpl(spark, path, predicate, None, maxPositions)
+
+  /** KEYED merge-on-read takedown: [[deleteWhereDV]] for an explicit
+    * key list, with the victim scan bloom-pruned through the per-file
+    * key index like [[deleteKeys]]. The canonical "take these 10k
+    * doc_ids out of the corpus tonight, rewrite nothing" operation. */
+  def deleteKeysDV(spark: SparkSession, path: String, keyCol: String,
+                   values: Seq[Any],
+                   maxPositions: Long = 10000000L): (Int, Long) = {
+    require(values.nonEmpty, "deleteKeysDV needs at least one key")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(FileManifest.enabled(fs, path),
+      s"deleteKeysDV needs a manifest-mode lake (enableManifests): $path")
+    val (m, candidates) = bloomPrune(fs, path, keyCol, values, None)
+    if (candidates.isEmpty) return (0, 0L)
+    val probe = planManifest(spark, fs, root, m.copy(cur = m.cur.take(1)))
+    if (probe.columns.isEmpty) return (0, 0L)
+    keyInFilter(probe.schema(keyCol).dataType, keyCol, values) match {
+      case Some(pred) =>
+        deleteDvImpl(spark, path, pred, Some(candidates), maxPositions)
+      case None => (0, 0L)
+    }
+  }
+
+  private def deleteDvImpl(spark: SparkSession, path: String,
+                           predicate: org.apache.spark.sql.Column,
+                           candidates: Option[Seq[String]],
+                           maxPositions: Long): (Int, Long) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qRoot = fs.makeQualified(root)
+    val m = FileManifest.latest(fs, path).getOrElse(
+      throw new IllegalStateException(
+        s"deleteWhereDV needs a manifest-mode lake (enableManifests): $path"))
+    if (m.cur.isEmpty) return (0, 0L)
+    val scanCur = candidates.getOrElse(m.cur)
+    val relByAbs: Map[String, String] = scanCur.map(rel =>
+      new org.apache.hadoop.fs.Path(qRoot, rel).toString -> rel).toMap
+    // the scan applies EXISTING vectors (planManifest), so an
+    // already-deleted row neither recounts nor re-collects; the new
+    // vector is old ∪ new positions per file
+    val victims = planManifest(spark, fs, root, m.copy(cur = scanCur))
+      .filter(predicate)
+      .select(col("_metadata.file_path").as("fp"),
+        col("_metadata.row_index").as("ri"))
+    // cheap count first: fail the cap BEFORE materializing positions on
+    // the driver (the count scan is column-pruned to metadata + the
+    // predicate's columns)
+    val nDel = victims.count()
+    if (nDel == 0L) return (0, 0L)
+    require(nDel <= maxPositions,
+      s"deleteWhereDV matched $nDel rows > maxPositions $maxPositions — " +
+        "a delete this dense is rewriting most of its files anyway; use " +
+        "the copy-on-write path (deleteWhere/deleteKeys) or raise the cap")
+    val byFile: Map[String, Array[Long]] = victims.collect()
+      .groupBy(r => r.getString(0)).map { case (fp, rows) =>
+        relByAbs.getOrElse(new org.apache.hadoop.fs.Path(fp).toString,
+          throw new IllegalStateException(
+            s"matched file not in the planned manifest: $fp")) ->
+          rows.map(_.getLong(1))
+      }
+    val setDvs: Map[String, (Option[String], String)] =
+      byFile.map { case (rel, fresh) =>
+        val old = m.dvs.get(rel)
+          .map(DeletionVector.read(fs, path, _))
+          .getOrElse(Array.empty[Long])
+        val name = DeletionVector.write(fs, path, rel, old ++ fresh,
+          m.version + 1)
+        rel -> (m.dvs.get(rel), name)
+      }
+    FileManifest.commitDelta(fs, path, Nil, Nil, setDvs = setDvs): Unit
+    (byFile.size, nDel)
+  }
+
+  def dvMaterializeStagingDir(path: String): String =
+    s"$path/_staging/dvmat"
+
+  /** Fold deletion vectors back into data: copy-on-write rewrite of
+    * every current file whose vector deletes ≥ `minDeletedRows` rows
+    * (default 1 — all vectored files), dropping the pointers in the
+    * same commit. The DV lifecycle's compaction half: merge-on-read
+    * keeps takedowns cheap; this bounds read-side vector debt when a
+    * file's dead fraction grows. Run like any maintenance rewrite.
+    * @return (files rewritten, rows materialized away) */
+  def materializeDeletes(spark: SparkSession, path: String,
+                         minDeletedRows: Long = 1L): (Int, Long) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qRoot = fs.makeQualified(root)
+    val m = FileManifest.latest(fs, path).getOrElse(
+      throw new IllegalStateException(
+        s"materializeDeletes needs a manifest-mode lake: $path"))
+    val affected = m.dvs.toSeq.collect {
+      case (rel, name)
+          if DeletionVector.read(fs, path, name).length >= minDeletedRows =>
+        rel
+    }.sorted
+    if (affected.isEmpty) return (0, 0L)
+    val affectedSet = affected.toSet
+    val dvSub = m.dvs.filter { case (rel, _) => affectedSet(rel) }
+    val rows = dvSub.valuesIterator
+      .map(DeletionVector.read(fs, path, _).length.toLong).sum
+    def dirOf(rel: String): String =
+      rel.take(math.max(rel.lastIndexOf('/'), 0))
+    def partColsOf(rel: String): Seq[String] =
+      dirOf(rel).split('/').filter(_.contains('='))
+        .map(_.takeWhile(_ != '=')).toSeq
+    val partCols = partColsOf(affected.head)
+    require(affected.forall(partColsOf(_) == partCols),
+      s"mixed partition schemes under $path: " +
+        affected.map(dirOf).distinct.take(4).mkString(", "))
+    val stage = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(dvMaterializeStagingDir(path)))
+    fs.delete(stage, true): Unit
+    val keep = applyDvs(rewriteReader(spark, fs, path)
+        .option("basePath", qRoot.toString)
+        .parquet(affected.map(rel =>
+          new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*),
+      fs, qRoot, path, dvSub)
+    val writer = keep.write.mode("overwrite")
+      .option("maxRecordsPerFile", 5000000L)
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(stage.toString)
+    promoteAndFlip(fs, qRoot, path, stage, s"v${m.version + 1}-", affected,
+      affected.map(rel => rel -> m.dvs.get(rel)).toMap)
+    (affected.size, rows)
+  }
+
   private def deleteImpl(spark: SparkSession, path: String,
                          predicate: org.apache.spark.sql.Column,
                          candidates: Option[Seq[String]]): (Int, Long) = {
@@ -1257,16 +1508,20 @@ object History {
     val stage = fs.makeQualified(
       new org.apache.hadoop.fs.Path(deleteStagingDir(path)))
     fs.delete(stage, true): Unit
-    val keep = rewriteReader(spark, fs, path)
-      .option("basePath", qRoot.toString)
-      .parquet(affected.map(rel =>
-        new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*)
+    val affectedSet = affected.toSet
+    val keep = applyDvs(rewriteReader(spark, fs, path)
+        .option("basePath", qRoot.toString)
+        .parquet(affected.map(rel =>
+          new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*),
+        fs, qRoot, path,
+        m.dvs.filter { case (rel, _) => affectedSet(rel) })
       .filter(!matchPred)
     val writer = keep.write.mode("overwrite")
       .option("maxRecordsPerFile", 5000000L)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(stage.toString)
-    promoteAndFlip(fs, qRoot, path, stage, s"d${m.version + 1}-", affected)
+    promoteAndFlip(fs, qRoot, path, stage, s"d${m.version + 1}-", affected,
+      affected.map(rel => rel -> m.dvs.get(rel)).toMap)
     (affected.size, rowsDeleted)
   }
 
@@ -1282,7 +1537,8 @@ object History {
   private def promoteAndFlip(fs: org.apache.hadoop.fs.FileSystem,
       qRoot: org.apache.hadoop.fs.Path, path: String,
       stage: org.apache.hadoop.fs.Path, tag: String,
-      affected: Seq[String]): Unit = {
+      affected: Seq[String],
+      dvSeen: Map[String, Option[String]] = Map.empty): Unit = {
     def dirOf(rel: String): String =
       rel.take(math.max(rel.lastIndexOf('/'), 0))
     val moves: Seq[(String, Seq[(org.apache.hadoop.fs.Path, String)])] =
@@ -1317,8 +1573,10 @@ object History {
     // optimistic delta commit: re-bases over commits that landed since
     // the caller's match scan (their files are never in `affected`);
     // a TRUE conflict — a concurrent rewrite already retired one of
-    // `affected` — fails loudly instead of double-applying
-    FileManifest.commitDelta(fs, path, movedRels, affected): Unit
+    // `affected`, or a merge-on-read delete moved a DV pointer the
+    // rewrite scan applied — fails loudly instead of double-applying
+    FileManifest.commitDelta(fs, path, movedRels, affected,
+      dvSeen = dvSeen): Unit
     fs.delete(stage, true): Unit
   }
 
@@ -1412,12 +1670,15 @@ object History {
     val stage = fs.makeQualified(
       new org.apache.hadoop.fs.Path(mergeStagingDir(path)))
     fs.delete(stage, true): Unit
+    val affectedSet = affected.toSet
     val staged =
       if (affected.isEmpty) updAligned
-      else rewriteReader(spark, fs, path)
-        .option("basePath", qRoot.toString)
-        .parquet(affected.map(rel =>
-          new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*)
+      else applyDvs(rewriteReader(spark, fs, path)
+          .option("basePath", qRoot.toString)
+          .parquet(affected.map(rel =>
+            new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*),
+          fs, qRoot, path,
+          m.dvs.filter { case (rel, _) => affectedSet(rel) })
         .join(updKeys, keyCols, "left_anti")
         .select(lakeCols.map(col): _*)
         .unionByName(updAligned)
@@ -1425,7 +1686,8 @@ object History {
       .option("maxRecordsPerFile", 5000000L)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(stage.toString)
-    promoteAndFlip(fs, qRoot, path, stage, s"u${m.version + 1}-", affected)
+    promoteAndFlip(fs, qRoot, path, stage, s"u${m.version + 1}-", affected,
+      affected.map(rel => rel -> m.dvs.get(rel)).toMap)
     (affected.size, rowsReplaced)
   }
 
@@ -1523,7 +1785,8 @@ object History {
       .option("maxRecordsPerFile", 5000000L)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(stage.toString)
-    promoteAndFlip(fs, qRoot, path, stage, s"z${m.version + 1}-", m.cur)
+    promoteAndFlip(fs, qRoot, path, stage, s"z${m.version + 1}-", m.cur,
+      m.cur.map(rel => rel -> m.dvs.get(rel)).toMap)
     val statted = cols.map(refreshStats(spark, path, _)).max
     (m.cur.size, statted)
   }
@@ -1716,7 +1979,13 @@ object History {
       m.version + 1,
       target.cur,
       m.retired.filterNot(e => targetSet(e._2)) ++
-        m.cur.filterNot(targetSet).sorted.map(now -> _)))
+        m.cur.filterNot(targetSet).sorted.map(now -> _),
+      // the restored snapshot's row set includes its deletion vectors:
+      // restoring past a DV takedown re-deletes exactly what that
+      // version's pointers said (and restoring BEFORE one un-deletes —
+      // the pointers simply aren't there); sidecars of a retained
+      // version are vacuum-pinned, so they still exist
+      target.dvs))
     m.version + 1
   }
 

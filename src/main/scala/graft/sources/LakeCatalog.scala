@@ -87,6 +87,15 @@ class LakeCatalog extends TableCatalog {
         throw new org.apache.spark.sql.catalyst.analysis
           .NoSuchTableException(ident))
     }
+    // the stock DSv2 parquet table cannot apply merge-on-read deletion
+    // vectors — serving it would RESURRECT deleted rows in SQL results,
+    // so a DV-bearing snapshot fails loudly with the two honest outs
+    if (m.dvs.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"snapshot v${m.version} of $path carries deletion vectors " +
+          s"(${m.dvs.size} files); the SQL catalog serves raw parquet " +
+          "scans only — read it via History.readPinned, or fold the " +
+          "vectors with History.materializeDeletes and retry")
     val qRoot = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
     val files = m.cur.sorted.map(rel =>
       new org.apache.hadoop.fs.Path(qRoot, rel).toString)
