@@ -312,6 +312,39 @@ class DeletionVectorSpec extends AnyFunSuite {
       (0L until 20L).filterNot(Set(2L, 7L)))
   }
 
+  test("incremental rollup retracts DV deletes from the change feed") {
+    import graft.sources.IncrementalRollup
+    val dir = lake()
+    val rollupDir = java.nio.file.Files
+      .createTempDirectory("graft-dv-rollup").toString + "/rollup"
+    IncrementalRollup.bootstrap(spark, dir, rollupDir,
+      Seq("batch"), "id"): Unit
+    History.deleteKeysDV(spark, dir, "id", Seq(3L, 14L, 15L)): Unit
+    IncrementalRollup.tick(spark, dir, rollupDir, Seq("batch"), "id"): Unit
+    val got = IncrementalRollup.read(spark, rollupDir)
+      .select("batch", "n_rows", "sum_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val want = History.readPinned(spark, dir)
+      .groupBy(col("batch")).agg(count(lit(1)), sum("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got === want,
+      "a rollup tick over a DV-only window must retract exactly the " +
+        "vectored rows")
+  }
+
+  test("user predicates still push to the parquet scan under a DV filter") {
+    val dir = lake()
+    History.deleteKeysDV(spark, dir, "id", Seq(1L)): Unit
+    val plan = History.readPinned(spark, dir)
+      .filter(col("id") > 10L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,10)]"),
+      s"the id predicate must reach the scan despite the DV filter:\n$plan")
+    assert(plan.contains("dvdeleted"),
+      s"the DV predicate must be present in the plan:\n$plan")
+  }
+
   test("sidecar cache serves repeat reads; corrupt sidecars fail loudly") {
     val dir = lake()
     val fs = fsOf(dir)

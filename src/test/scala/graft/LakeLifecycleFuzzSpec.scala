@@ -58,7 +58,8 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
   private def runSequence(seed: Long, nOps: Int,
                           sharded: Boolean = false,
                           keyed: Boolean = false,
-                          tagged: Boolean = false): Unit = {
+                          tagged: Boolean = false,
+                          dv: Boolean = false): Unit = {
     val rnd = new scala.util.Random(seed)
     val lake = java.nio.file.Files
       .createTempDirectory(s"graft-fuzz-$seed").toString + "/lake"
@@ -96,7 +97,8 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
     // tests' historical random streams intact (10=deleteKeys,
     // 11=refreshIndex as before)
     val extraOps = (if (keyed) Seq("deleteKeys", "refreshIndex") else Nil) ++
-      (if (tagged) Seq("mkTag", "rmTag", "restore") else Nil)
+      (if (tagged) Seq("mkTag", "rmTag", "restore") else Nil) ++
+      (if (dv) Seq("deleteKeysDV", "materializeDV") else Nil)
     for (op <- 0 until nOps) {
       val pick = rnd.nextInt(10 + extraOps.size)
       val desc: String = pick match {
@@ -174,6 +176,16 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
                 s"rmTag $name"
               case None => "rmTag noop"
             }
+          case "deleteKeysDV" => // merge-on-read takedown: zero rewrites
+            val live = rnd.shuffle(model.keys.toSeq.sorted)
+              .take(rnd.nextInt(4))
+            val victims = live :+ (nextId + 777L)
+            History.deleteKeysDV(spark, lake, "id", victims): Unit
+            victims.foreach(model.remove)
+            s"deleteKeysDV ${live.size}"
+          case "materializeDV" => // fold vectors back into data
+            val (files, rows) = History.materializeDeletes(spark, lake)
+            s"materializeDV ${files}f/${rows}r"
           case _ => // roll back to any retained snapshot ("restore")
             val f = fs(lake)
             val candidates = FileManifest.versions(f, lake)
@@ -223,6 +235,10 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
       tagModel.keys.toSeq.foreach(n => History.deleteTag(spark, lake, n): Unit)
       tagModel.clear()
     }
+    // fold any outstanding deletion vectors first: the plain directory
+    // read below sees raw parquet bytes, which by design include
+    // DV-deleted rows until a rewrite materializes them
+    if (dv) History.materializeDeletes(spark, lake): Unit
     // after a final vacuum the plain directory read agrees too (no
     // retired/orphan files left to double-count)
     History.vacuum(spark, lake, graceMs = 0L): Unit
@@ -284,6 +300,15 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
     runSequence(seed = 17L, nOps = 12, sharded = true, tagged = true)
   }
 
+  test("DV mode: merge-on-read deletes compose with COW ops (seed 29)") {
+    runSequence(seed = 29L, nOps = 12, dv = true)
+  }
+
+  test("DV + keyed + sharded + tagged: the whole stack agrees (seed 31)") {
+    runSequence(seed = 31L, nOps = 12, sharded = true, keyed = true,
+      tagged = true, dv = true)
+  }
+
   // Deep sweep for bug hunts — opt-in (SPARK_GRAFT_DEEP_FUZZ=1) so the
   // default suite stays fast; longer sequences and more seeds over
   // both manifest modes, half with the keyed-index lifecycle mixed in.
@@ -292,6 +317,7 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
     for (seed <- Seq(5L, 11L, 23L, 47L, 101L, 211L))
       runSequence(seed, nOps = 25, sharded = seed % 2 == 1,
         keyed = Seq(23L, 101L, 211L).contains(seed),
-        tagged = Seq(5L, 47L, 211L).contains(seed))
+        tagged = Seq(5L, 47L, 211L).contains(seed),
+        dv = Seq(11L, 47L, 101L).contains(seed))
   }
 }
