@@ -95,6 +95,51 @@ object ExtQueries {
         Similarity.loadCentroids(s, root)
       })
 
+  /** s14's MAINTAINED IVF index ([[graft.ext.VectorIndex]]): an
+    * embeddings manifest lake bootstrapped into cell-partitioned
+    * inverted lists, then EVOLVED — a merge-on-read takedown
+    * (vec_id % 13 = 7) and an appended copy batch (vec_id % 41 = 0,
+    * re-keyed +1,000,000) land as corpus commits, and one tick mirrors
+    * them into the postings from the row-level change feed (feed
+    * deletes → postings deletion vectors, feed inserts → one
+    * exactly-once cell-assigned append). The centroid set is the same
+    * deterministic subset as s03, frozen at bootstrap. Built once per
+    * (session, dir) under the artifact root; the gate then SEARCHES
+    * the maintained lists. */
+  private val vecIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def maintainedIndex(s: SparkSession, d: String): (String, String) =
+    vecIndexCache.computeIfAbsent(
+      s"${graft.SessionKey(s)}|$d",
+      _ => {
+        Memos.install(s)
+        val base = s"${artifactRoot(s, d)}/vecindex"
+        val corpus = s"$base/corpus"
+        val index = s"$base/index"
+        val emb = embeddings(s, d)
+        emb.repartition(8).write.mode("overwrite").parquet(corpus)
+        graft.sources.History.enableManifests(s, corpus): Unit
+        graft.sources.History.enableShardedManifests(s, corpus): Unit
+        val cent = s14Centroids(s, d)
+        graft.ext.VectorIndex.bootstrap(s, corpus, index,
+          "vec_id", "embedding", cent): Unit
+        graft.sources.History.deleteWhereDV(s, corpus,
+          col("vec_id") % 13 === 7): Unit
+        graft.sources.History.append(s, corpus,
+          emb.filter(col("vec_id") % 41 === 0)
+            .select((col("vec_id") + 1000000L).as("vec_id"),
+              col("embedding")),
+          key = "s14-copies"): Unit
+        graft.ext.VectorIndex.tick(s, corpus, index,
+          "vec_id", "embedding", cent): Unit
+        (corpus, index)
+      })
+
+  private def s14Centroids(s: SparkSession, d: String) =
+    embeddings(s, d).filter(col("vec_id") % 97 === 1)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+
   /** s09/s10/s11 share the trained product quantizer and the corpus
     * code assignments — published like the coarse quantizer: codebook
     * through the versioned index root, codes as a small at-rest parquet
@@ -222,7 +267,8 @@ object ExtQueries {
     // the at-rest artifacts (quantizer/pq/codes/bands dirs under the
     // warehouse): drop cache entries, the band table's catalog entry,
     // and the dirs themselves
-    Seq(centroidsCache, pqCache, bandArtifactCache).foreach { cache =>
+    Seq(centroidsCache, pqCache, bandArtifactCache, vecIndexCache)
+      .foreach { cache =>
       val it = cache.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
@@ -675,6 +721,23 @@ object ExtQueries {
       val emb = embeddings(s, d)
       Similarity.bruteForceTopK(emb.filter(col("label").isin(1, 2)),
         emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 5)
+    }),
+
+    // MAINTAINED IVF index serving a LIVE corpus: the inverted lists
+    // were bootstrapped once, then a merge-on-read takedown and an
+    // append evolved the corpus and ONE change-feed tick mirrored them
+    // into the postings (deletes as postings deletion vectors, inserts
+    // as one cell-assigned exactly-once append) — the search here reads
+    // only the probed cells' partitions of the maintained artifact,
+    // never the corpus. The oracle recomputes one-shot IVF over the
+    // corpus' final image, so a tick that missed a retraction, double-
+    // applied an insert, or mis-assigned a cell fails the hash.
+    "s14_maintained_ivf" -> ((s, d) => {
+      val (corpus, index) = maintainedIndex(s, d)
+      val queries = graft.sources.History.readPinned(s, corpus)
+        .filter(col("vec_id") % 50 === 0)
+      graft.ext.VectorIndex.searchTopK(s, index, queries,
+        "vec_id", "embedding", s14Centroids(s, d), k = 3)
     }),
 
     // Hybrid retrieval (the RAG first stage): a doc-as-query BM25 arm
@@ -2390,6 +2453,41 @@ object ExtQueries {
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                  ORDER BY cos_r DESC, b_id ASC) AS rank FROM s) t
          WHERE rank <= 5""",
+    "s14_maintained_ivf" -> {
+      val dotAC =
+        "list_sum(list_transform(range(1,65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(ct.c_emb[i] AS DOUBLE)))"
+      s"""WITH corpus2 AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id % 13 != 7
+            UNION ALL
+            SELECT vec_id + 1000000, embedding FROM embeddings
+            WHERE vec_id % 41 = 0
+          ), cent AS (
+            SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+            WHERE vec_id % 97 = 1
+          ), asn AS (
+            SELECT a.vec_id, ct.c_id,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY $dotAC DESC, ct.c_id ASC) AS rn
+            FROM corpus2 a CROSS JOIN cent ct
+          ), cells AS (SELECT vec_id, c_id AS cell FROM asn WHERE rn = 1),
+          n AS (
+            SELECT e.vec_id, e.embedding, cl.cell,
+              sqrt(list_sum(list_transform(range(1,65),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS nrm
+            FROM corpus2 e JOIN cells cl USING (vec_id)
+          ), q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+          s AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS b_id,
+              round(list_sum(list_transform(range(1,65),
+                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                / (q.nrm * c.nrm), 6) AS cos_r
+            FROM q JOIN n c ON q.cell = c.cell AND q.vec_id != c.vec_id
+          )
+          SELECT query_id, b_id, CAST(rank AS INTEGER) AS rank, cos_r
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos_r DESC, b_id ASC) AS rank FROM s) t
+          WHERE rank <= 3"""
+    },
     "s12_hybrid_rrf" ->
       """WITH words AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS word

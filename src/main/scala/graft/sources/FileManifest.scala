@@ -393,8 +393,8 @@ object FileManifest {
     * destination, so two racing writers (a zombie driver + its
     * restarted replacement) passing the check together would otherwise
     * let the second silently overwrite the first's commit. */
-  private[sources] def atomicWrite(fs: FileSystem, dest: Path,
-                                   content: String): Unit = {
+  private[graft] def atomicWrite(fs: FileSystem, dest: Path,
+                                 content: String): Unit = {
     fs.mkdirs(dest.getParent): Unit
     if ("file" == fs.getUri.getScheme && tryLinkCommit(fs, dest, content))
       return

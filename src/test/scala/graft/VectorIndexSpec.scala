@@ -1,0 +1,163 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ext.{Similarity, VectorIndex}
+import graft.sources.{FileManifest, History}
+
+/** Incrementally-maintained IVF index: bootstrap once, advance per
+  * corpus commit from the change feed (merge-on-read takedowns on the
+  * postings, exactly-once cell-assigned appends), and every search
+  * over the maintained lists must equal the one-shot IVF pipeline run
+  * fresh over the corpus' current image. */
+class VectorIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private val dim = 4
+
+  private def vec(id: Long): Array[Float] = {
+    // deterministic, well-spread unit-ish vectors
+    val r = new scala.util.Random(id * 7919L + 13L)
+    Array.fill(dim)(r.nextFloat() * 2f - 1f)
+  }
+
+  private def corpusDf(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.map(id => (id, vec(id))).toDF("vec_id", "embedding")
+  }
+
+  private def mkLakes(): (String, String) = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-vecidx").toString
+    val corpus = s"$base/corpus"
+    corpusDf(0L until 60L).repartition(3).write.parquet(corpus)
+    History.enableManifests(spark, corpus): Unit
+    History.enableShardedManifests(spark, corpus): Unit
+    (corpus, s"$base/index")
+  }
+
+  private def centroidsOf(corpus: String) =
+    History.readPinned(spark, corpus).filter(col("vec_id") % 11 === 1)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      .persist()
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "b_id", "rank", "cos_r").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+
+  test("bootstrap + search equals the one-shot IVF pipeline") {
+    val (corpus, index) = mkLakes()
+    val cent = centroidsOf(corpus)
+    VectorIndex.bootstrap(spark, corpus, index, "vec_id", "embedding",
+      cent): Unit
+    val queries = History.readPinned(spark, corpus)
+      .filter(col("vec_id") % 10 === 0)
+    val got = rows(VectorIndex.searchTopK(spark, index, queries,
+      "vec_id", "embedding", cent, k = 3))
+    val want = rows(Similarity.ivfTopK(History.readPinned(spark, corpus),
+      queries, cent, "vec_id", "embedding", 3))
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("ticks mirror corpus deletes and appends; search stays exact") {
+    val (corpus, index) = mkLakes()
+    val cent = centroidsOf(corpus)
+    VectorIndex.bootstrap(spark, corpus, index, "vec_id", "embedding",
+      cent): Unit
+    // corpus evolves: a DV takedown + a fresh append land as commits
+    History.deleteKeysDV(spark, corpus, "vec_id",
+      Seq(3L, 17L, 30L)): Unit
+    History.append(spark, corpus, corpusDf(100L until 112L),
+      key = "b2"): Unit
+    val pdirBefore = FileManifest.latest(
+      fsOf(VectorIndex.postingsDir(index)),
+      VectorIndex.postingsDir(index)).get
+    val (v, nDel, nIns) = VectorIndex.tick(spark, corpus, index,
+      "vec_id", "embedding", cent)
+    assert(nDel === 3L && nIns === 12L)
+    // the takedown side rewrote NO postings file (merge-on-read)
+    val pdirAfter = FileManifest.latest(
+      fsOf(VectorIndex.postingsDir(index)),
+      VectorIndex.postingsDir(index)).get
+    assert(pdirBefore.curSet.subsetOf(pdirAfter.curSet),
+      "feed deletes must land as deletion vectors, not postings rewrites")
+    assert(pdirAfter.dvs.nonEmpty)
+    // search over the maintained lists == one-shot over the new corpus
+    val queries = History.readPinned(spark, corpus)
+      .filter(col("vec_id") % 10 === 0)
+    val got = rows(VectorIndex.searchTopK(spark, index, queries,
+      "vec_id", "embedding", cent, k = 3))
+    val want = rows(Similarity.ivfTopK(History.readPinned(spark, corpus),
+      queries, cent, "vec_id", "embedding", 3))
+    assert(got === want)
+    assert(got.exists(_._2 >= 100L),
+      "appended vectors must be searchable after the tick")
+    assert(!got.exists(t => Set(3L, 17L, 30L)(t._2)),
+      "taken-down vectors must not surface from stale lists")
+    // a second tick with no corpus change is a no-op
+    assert(VectorIndex.tick(spark, corpus, index, "vec_id", "embedding",
+      cent) === ((v, 0L, 0L)))
+    // multiprobe parity too
+    val got2 = rows(VectorIndex.searchTopK(spark, index, queries,
+      "vec_id", "embedding", cent, k = 3, nprobe = 2))
+    val want2 = rows(Similarity.ivfTopKProbed(
+      History.readPinned(spark, corpus), queries, cent,
+      "vec_id", "embedding", 3, 2))
+    assert(got2 === want2)
+  }
+
+  test("a crashed tick replays idempotently") {
+    val (corpus, index) = mkLakes()
+    val cent = centroidsOf(corpus)
+    VectorIndex.bootstrap(spark, corpus, index, "vec_id", "embedding",
+      cent): Unit
+    History.deleteKeysDV(spark, corpus, "vec_id", Seq(5L)): Unit
+    History.append(spark, corpus, corpusDf(200L until 204L),
+      key = "b3"): Unit
+    VectorIndex.tick(spark, corpus, index, "vec_id", "embedding",
+      cent): Unit
+    // simulate a crash AFTER the postings commits but BEFORE the state
+    // marker: delete the marker and re-tick — the takedown matches
+    // nothing, the append dedupes on its batch key
+    val fs = fsOf(index)
+    fs.listStatus(new org.apache.hadoop.fs.Path(
+        VectorIndex.stateDir(index)))
+      .filter(_.getPath.getName.endsWith(".done"))
+      .sortBy(_.getPath.getName).lastOption
+      .foreach(s => fs.delete(s.getPath, false): Unit)
+    val (_, nDel2, _) = VectorIndex.tick(spark, corpus, index,
+      "vec_id", "embedding", cent)
+    assert(nDel2 === 0L, "replayed takedown must match nothing")
+    val queries = History.readPinned(spark, corpus)
+      .filter(col("vec_id") % 10 === 0)
+    val got = rows(VectorIndex.searchTopK(spark, index, queries,
+      "vec_id", "embedding", cent, k = 3))
+    val want = rows(Similarity.ivfTopK(History.readPinned(spark, corpus),
+      queries, cent, "vec_id", "embedding", 3))
+    assert(got === want, "a replayed tick must not double-insert")
+  }
+
+  test("search reads only the probed cells' metadata and partitions") {
+    val (corpus, index) = mkLakes()
+    val cent = centroidsOf(corpus)
+    VectorIndex.bootstrap(spark, corpus, index, "vec_id", "embedding",
+      cent): Unit
+    val one = History.readPinned(spark, corpus)
+      .filter(col("vec_id") === 0L)
+    // warm the root index, then count shard reads for a 1-query search
+    VectorIndex.searchTopK(spark, index, one, "vec_id", "embedding",
+      cent, k = 3).collect(): Unit
+    val before = FileManifest.shardFileReads.get()
+    val plan = VectorIndex.searchTopK(spark, index, one,
+      "vec_id", "embedding", cent, k = 3)
+    plan.collect(): Unit
+    assert(FileManifest.shardFileReads.get() - before <= 1,
+      "a 1-cell probe must parse at most that cell's manifest shard")
+  }
+
+  private def fsOf(path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+}
