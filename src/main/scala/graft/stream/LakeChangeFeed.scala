@@ -154,6 +154,36 @@ object LakeChangeFeed {
     range
   }
 
+  /** STREAM the lake: a Structured Streaming DataFrame tailing this
+    * feed's delivered ranges — `readStream` over `outDir/changes-*`
+    * with the lake's schema plus the `_change` tag ('insert' |
+    * 'delete'). The pieces compose into end-to-end exactly-once with
+    * no custom source: [[tick]] publishes each range atomically
+    * (stage-then-rename, so the file source never lists a partial
+    * range), the vanilla file source checkpoints which files it has
+    * processed, and any idempotent/transactional sink downstream
+    * completes the chain — watermarks, windowed aggregations,
+    * `foreachBatch` into ANOTHER manifest lake (a derived table that
+    * follows the source lake at change-rate cost), all ordinary
+    * Structured Streaming on top.
+    *
+    * Schema comes from the LAKE (declared schema when committed, else
+    * the pinned read's shape), so the stream resolves even before the
+    * first non-empty range lands. Expire ranges only behind every
+    * consumer's checkpoint ([[expire]]'s contract). Deletes arrive as
+    * full row images tagged 'delete' — consumers maintaining state
+    * retract on them (the same contract [[graft.sources
+    * .IncrementalRollup]] consumes in batch). */
+  def stream(spark: SparkSession, lakePath: String,
+             outDir: String): org.apache.spark.sql.DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      History.readPinned(spark, lakePath).schema.fields :+
+        org.apache.spark.sql.types.StructField("_change",
+          org.apache.spark.sql.types.StringType, nullable = false))
+    spark.readStream.schema(schema)
+      .parquet(s"$outDir/changes-*")
+  }
+
   /** Retire delivered range dirs beyond the newest `keepRanges` — the
     * feed's outDir otherwise grows one dir per delivery forever (the
     * same unbounded-metadata shape retention/vacuum close everywhere

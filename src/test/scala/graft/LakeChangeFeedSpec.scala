@@ -312,6 +312,46 @@ class LakeChangeFeedSpec extends AnyFunSuite {
     assert(got === Seq((2L, "delete"), (4L, "delete")))
   }
 
+  test("stream() resolves from the lake schema and resumes exactly once") {
+    val lake = docsLake()
+    val out = fresh("graft-cdf-out6")
+    val ckpt = fresh("graft-cdf-ckpt6")
+    // schema comes from the LAKE: the stream resolves before any range
+    // files exist (plain file inference would have nothing to read)
+    LakeChangeFeed.tick(spark, lake, out): Unit // baseline marker only
+    val df0 = LakeChangeFeed.stream(spark, lake, out)
+    assert(df0.isStreaming)
+    assert(df0.columns.toSeq === Seq("doc_id", "n_chars", "_change"))
+    History.deleteWhere(spark, lake, col("doc_id") === 1L): Unit
+    LakeChangeFeed.tick(spark, lake, out): Unit
+    // foreachBatch sink: supports checkpoint RECOVERY (memory does not),
+    // which is the property under test — a resumed run with the same
+    // checkpoint must process only ranges it has not seen
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    def runOnce(): Unit =
+      LakeChangeFeed.stream(spark, lake, out).writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.select("doc_id", "_change").collect()
+              .foreach(r => seen.add((r.getLong(0), r.getString(1))): Unit)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(60000L): Unit
+    runOnce()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSeq.sorted === Seq((1L, "delete")))
+    // evolve the lake with a MERGE-ON-READ takedown; the feed delivers
+    // it positionally and a RESUMED stream (same checkpoint) must see
+    // only the new range — never replay the old one
+    History.deleteKeysDV(spark, lake, "doc_id", Seq(3L)): Unit
+    LakeChangeFeed.tick(spark, lake, out): Unit
+    runOnce()
+    assert(seen.asScala.toSeq.sorted ===
+      Seq((1L, "delete"), (3L, "delete")),
+      "the resumed stream must deliver the new range exactly once")
+  }
+
   test("explicit fromVersion baselines an initial-snapshot follow") {
     val lake = docsLake()
     val out = fresh("graft-cdf-out4")
