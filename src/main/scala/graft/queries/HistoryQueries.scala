@@ -247,6 +247,32 @@ object HistoryQueries {
       dir
     })
 
+  /** A lang-partitioned lake landed as MANY SMALL FILES per partition
+    * (the streaming-archive debt shape), with one merge-on-read delete
+    * applied, then bin-packed: [[graft.sources.History.binPack]]
+    * rewrites only the small-file dirs, folding the deletion vector
+    * through. h22 reads the packed image — a pack that lost, doubled,
+    * or resurrected a row fails the hash. Keyed by (session, sfDir). */
+  private val binPackLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def binPackLake(s: SparkSession, sfDir: String): String =
+    binPackLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-binpack-lake").toString + "/lake"
+      graft.Tables.documents(s, sfDir)
+        .repartition(12) // 12 small files per lang dir
+        .write.partitionBy("lang").parquet(dir)
+      graft.sources.History.enableManifests(s, dir): Unit
+      graft.sources.History.enableShardedManifests(s, dir): Unit
+      graft.sources.History.deleteWhereDV(s, dir,
+        col("doc_id") % 19 === 11): Unit
+      graft.sources.History.binPack(s, dir,
+        targetBytes = 256L * 1024 * 1024, minFiles = 2): Unit
+      dir
+    })
+
   /** A lang-partitioned manifest lake of the documents table built in
     * two schema ERAS: era 1 (even doc_ids) lands with n_chars as INT32
     * and no quality column; the schema is then DECLARED and EVOLVED
@@ -368,7 +394,8 @@ object HistoryQueries {
     val sk = graft.SessionKey(s)
     Seq(deleteLakeCache, mergeLakeCache, clusterLakeCache, zLakeCache,
         shardedLakeCache, bloomLakeCache, evolvedLakeCache,
-        taggedLakeCache, restoredLakeCache, rollupCache, dvLakeCache)
+        taggedLakeCache, restoredLakeCache, rollupCache, dvLakeCache,
+        binPackLakeCache)
       .foreach { cache =>
       cache.keySet.forEach { k =>
         if (k._1 == sk) rmLake(cache.remove(k))
@@ -607,7 +634,18 @@ object HistoryQueries {
       graft.sources.History.changesBetween(s, dir, vs.head, vs.last)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           col("_change"))
-    })
+    }),
+
+    // Small-file compaction (OPTIMIZE) composed with merge-on-read:
+    // twelve tiny files per lang dir were bin-packed into ~one, with a
+    // deletion vector folded through the rewrite. The packed image
+    // must be exactly the corpus minus the takedown — a pack that
+    // dropped a survivor, double-wrote a file's rows, or resurrected a
+    // vectored row fails the hash; the layout win itself is
+    // spec-asserted (BinPackSpec counts files and identities).
+    "h22_binpacked" -> ((s, d) =>
+      graft.sources.History.readPinned(s, binPackLake(s, d))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
   )
 
   private val rollupCache =
@@ -726,6 +764,9 @@ object HistoryQueries {
     "h21_dv_change_feed" ->
       """SELECT doc_id, lang, source, n_chars, 'delete' AS _change
          FROM documents
-         WHERE doc_id IN (3, 41, 404) OR doc_id % 17 = 5"""
+         WHERE doc_id IN (3, 41, 404) OR doc_id % 17 = 5""",
+    "h22_binpacked" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id % 19 != 11"""
   )
 }

@@ -857,11 +857,12 @@ object History {
           prev.map(_ => (m.curSet -- prevCur).size.toLong).getOrElse(
             m.cur.size.toLong),
           prev.map(_ => (prevCur -- m.curSet).size.toLong).getOrElse(0L),
-          tagsByV.getOrElse(m.version, "")))
+          tagsByV.getOrElse(m.version, ""),
+          m.dvs.size.toLong))
     }
     import spark.implicits._
     rows.toDF("version", "committed_at", "n_files", "n_retired",
-      "n_added", "n_removed", "tags")
+      "n_added", "n_removed", "tags", "n_dv_files")
   }
 
   /** The files ADDED by the commits in (fromVersion, toVersion] — the
@@ -1403,6 +1404,94 @@ object History {
       }
     FileManifest.commitDelta(fs, path, Nil, Nil, setDvs = setDvs): Unit
     (byFile.size, nDel)
+  }
+
+  def binPackStagingDir(path: String): String = s"$path/_staging/binpack"
+
+  /** Generic SMALL-FILE COMPACTION (the lakehouse OPTIMIZE): rewrite
+    * only the partitions whose small-file debt crosses the threshold —
+    * per partition dir, the current files under `targetBytes` when
+    * there are at least `minFiles` of them — bin-packing each dir's
+    * victims into ~`targetBytes` outputs. Layout-only: the row
+    * multiset is unchanged (deletion vectors on rewritten files are
+    * MATERIALIZED through — the rewrite reads through them and the
+    * commit drops the pointers), large files and healthy dirs are
+    * never touched, and the commit is one optimistic manifest flip
+    * (in-flight pinned scans undisturbed; a racing commit on other
+    * files re-bases; a racing rewrite of a victim conflicts loudly).
+    *
+    * Why per-dir and thresholded: streaming archives land one file per
+    * batch per partition — at 100 TB the scan-planning cost and
+    * per-file open overhead of millions of tiny files IS the regression,
+    * but rewriting healthy data to fix it would be its own regression.
+    * Cost here is O(small files), the debt actually being retired.
+    * Run from the maintenance sequence like any rewrite.
+    *
+    * @return (small files retired, packed files written) */
+  def binPack(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024,
+              minFiles: Int = 2): (Int, Int) = {
+    require(targetBytes > 0 && minFiles >= 2,
+      s"binPack needs targetBytes > 0 and minFiles >= 2")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qRoot = fs.makeQualified(root)
+    val m = FileManifest.latest(fs, path).getOrElse(
+      throw new IllegalStateException(
+        s"binPack needs a manifest-mode lake (enableManifests): $path"))
+    if (m.cur.isEmpty) return (0, 0)
+    def dirOf(rel: String): String =
+      rel.take(math.max(rel.lastIndexOf('/'), 0))
+    // one metadata probe per current file — the candidate set
+    val sized = m.cur.map { rel =>
+      (rel, fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(qRoot, rel)).getLen)
+    }
+    val byDir = sized.groupBy { case (rel, _) => dirOf(rel) }
+    val victims: Seq[(String, Long)] = byDir.toSeq.sortBy(_._1)
+      .flatMap { case (_, files) =>
+        val small = files.filter(_._2 < targetBytes)
+        if (small.size >= minFiles) small else Nil
+      }
+    if (victims.isEmpty) return (0, 0)
+    val affected = victims.map(_._1).sorted
+    val affectedSet = affected.toSet
+    def partColsOf(rel: String): Seq[String] =
+      dirOf(rel).split('/').filter(_.contains('='))
+        .map(_.takeWhile(_ != '=')).toSeq
+    val partCols = partColsOf(affected.head)
+    require(affected.forall(partColsOf(_) == partCols),
+      s"mixed partition schemes under $path: " +
+        affected.map(dirOf).distinct.take(4).mkString(", "))
+    val stage = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(binPackStagingDir(path)))
+    fs.delete(stage, true): Unit
+    val slice = applyDvs(rewriteReader(spark, fs, path)
+        .option("basePath", qRoot.toString)
+        .parquet(affected.map(rel =>
+          new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*),
+      fs, qRoot, path,
+      m.dvs.filter { case (rel, _) => affectedSet(rel) })
+    // pack by directory: hashing on the partition columns sends each
+    // dir's rows to one writer task → ~one output per dir, split at a
+    // row count approximating targetBytes from the slice's own
+    // bytes-per-row (clamped so a degenerate estimate can't explode)
+    val sliceBytes = victims.map(_._2).sum
+    val sliceRows = math.max(1L, slice.count())
+    val rowsPerFile = math.min(5000000L, math.max(1000L,
+      targetBytes / math.max(1L, sliceBytes / sliceRows)))
+    val packed =
+      if (partCols.nonEmpty) slice.repartition(partCols.map(col): _*)
+      else slice.coalesce(math.max(1,
+        math.ceil(sliceBytes.toDouble / targetBytes).toInt))
+    val writer = packed.write.mode("overwrite")
+      .option("maxRecordsPerFile", rowsPerFile)
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(stage.toString)
+    val written = FileManifest.walkDataFiles(fs, stage).size
+    promoteAndFlip(fs, qRoot, path, stage, s"o${m.version + 1}-", affected,
+      affected.map(rel => rel -> m.dvs.get(rel)).toMap)
+    (affected.size, written)
   }
 
   def dvMaterializeStagingDir(path: String): String =

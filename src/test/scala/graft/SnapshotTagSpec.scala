@@ -148,5 +148,12 @@ class SnapshotTagSpec extends AnyFunSuite {
     assert(h.map(_.getLong(1)).toSeq ===
       h.map(_.getLong(1)).toSeq.sorted)
     assert(h.forall(_.getLong(1) > 0L))
+    // no merge-on-read deletes here: every version reports zero vectors
+    assert(h.forall(_.getLong(7) === 0L))
+    // a DV takedown surfaces in the version's n_dv_files
+    History.deleteWhereDV(spark, dir, col("id") === 2L): Unit
+    val h2 = History.describeHistory(spark, dir)
+      .orderBy("version").collect()
+    assert(h2.last.getLong(7) === 1L)
   }
 }
