@@ -72,15 +72,27 @@ object VectorIndex {
   }
 
   private def markIndexed(spark: SparkSession, indexDir: String,
-                          corpusVersion: Long): Unit = {
+                          corpusVersion: Long,
+                          reset: Boolean = false): Unit = {
     val fs = fsOf(spark, indexDir)
-    val dest = new org.apache.hadoop.fs.Path(stateDir(indexDir),
+    val dir = new org.apache.hadoop.fs.Path(stateDir(indexDir))
+    if (reset && fs.exists(dir))
+      // a (re-)bootstrap INVALIDATES every prior marker: the postings
+      // now reflect exactly `corpusVersion`, and a stale higher marker
+      // (a previous incarnation of the index at this path — e.g. a
+      // warehouse-persistent dir surviving a JVM restart while the
+      // corpus lake was rebuilt and its version numbering restarted)
+      // would make the next tick silently no-op on an unapplied window
+      fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.endsWith(".done"))
+        .foreach(p => fs.delete(p, false): Unit)
+    val dest = new org.apache.hadoop.fs.Path(dir,
       f"v$corpusVersion%012d.done")
     if (!fs.exists(dest)) // replayed tick: marker already present
       FileManifest.atomicWrite(fs, dest, s"$corpusVersion\n")
     // keep a bounded tail of markers (they are bytes, but why accrete)
     val keep = 20
-    val all = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir(indexDir)))
+    val all = fs.listStatus(dir)
       .map(_.getPath).filter(_.getName.endsWith(".done"))
       .sortBy(_.getName)
     all.dropRight(keep).foreach(p => fs.delete(p, false): Unit)
@@ -104,7 +116,7 @@ object VectorIndex {
     History.enableManifests(spark, pdir): Unit
     History.enableShardedManifests(spark, pdir): Unit
     History.refreshKeyIndex(spark, pdir, idCol): Unit
-    markIndexed(spark, indexDir, v)
+    markIndexed(spark, indexDir, v, reset = true)
     v
   }
 
@@ -126,29 +138,67 @@ object VectorIndex {
       throw new IllegalStateException(
         s"VectorIndex.tick before bootstrap at $indexDir"))
     if (from == to) return (to, 0L, 0L)
+    val pdir = postingsDir(indexDir)
+    // UNDO-THEN-APPLY, the shape that makes replay convergent in every
+    // crash/advance interleaving. A crashed tick can leave its append
+    // CURRENT in the postings lake with the state marker unwritten; a
+    // naive replay then either loses updated ids (its takedown removes
+    // the crashed append's posting and a same-key re-append sweeps and
+    // REPLACES the batch files in place — mutating bytes under any DV
+    // pointers the reset attached: silent corruption) or doubles pure
+    // inserts (an advanced `to` changes the append key, so nothing
+    // dedupes), and an id inserted-then-deleted INSIDE the replay
+    // window escapes the net feed entirely, leaving its crashed
+    // posting live forever. So:
+    //  (1) retire, wholesale, every current postings file a prior
+    //      attempt from this SAME baseline landed — batch-tagged names
+    //      (`b ivf-<from>-…`) make them exactly enumerable, and only
+    //      unmarked (crashed) attempts can still carry this baseline's
+    //      prefix. This erases every partial-apply ambiguity at once.
+    //  (2) take down the net feed's touched ids from the PRE-window
+    //      postings (merge-on-read; re-deletes match nothing).
+    //  (3) append the feed's insert images under an ATTEMPT-UNIQUE
+    //      key — files are never name-reused, so postings stay
+    //      immutable under their deletion vectors.
+    // Run from one maintenance agent per index, like every lake
+    // maintenance sequence.
+    val pfs = fsOf(spark, pdir)
+    val pm = FileManifest.latest(pfs, pdir).getOrElse(
+      throw new IllegalStateException(
+        s"VectorIndex.tick before bootstrap at $indexDir"))
+    // fileTag appends the trailing '-' itself: fileTag("ivf-<from>")
+    // == "bivf-<from>-", the shared prefix of every attempt key
+    // "ivf-<from>-<to>-<nonce>" from this baseline
+    val crashTag = graft.sources.LakeCommit.fileTag(s"ivf-$from")
+    val priorRels = pm.cur.filter(rel =>
+      rel.substring(rel.lastIndexOf('/') + 1).startsWith(crashTag))
+    if (priorRels.nonEmpty)
+      FileManifest.commitDelta(pfs, pdir, Nil, priorRels,
+        dvSeen = priorRels.map(r => r -> pm.dvs.get(r)).toMap): Unit
     val feed = History.changesBetween(spark, corpusLake, from, to)
       .select(col(idCol), col(embCol), col("_change"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val pdir = postingsDir(indexDir)
-      // a feed window nets out per id (an update = delete+insert): apply
-      // deletes FIRST so the surviving posting is the inserted image
-      val delIds = feed.filter(col("_change") === "delete")
-        .select(col(idCol)).limit((maxDeletes + 1).toInt)
-        .collect().map(_.get(0)).toSeq
-      require(delIds.length <= maxDeletes,
-        s"tick window deletes exceed maxDeletes=$maxDeletes — " +
-          "re-bootstrap the index instead of replaying a mass purge")
-      val nDel =
-        if (delIds.isEmpty) 0L
-        else History.deleteKeysDV(spark, pdir, idCol, delIds)._2
+      val lim =
+        if (maxDeletes >= Int.MaxValue.toLong) Int.MaxValue
+        else (maxDeletes + 1).toInt
+      val touchedIds = feed.select(col(idCol)).distinct()
+        .limit(lim).collect().map(_.get(0)).toSeq
+      require(touchedIds.length < lim || lim == Int.MaxValue,
+        s"tick window touches > maxDeletes=$maxDeletes ids — " +
+          "re-bootstrap the index instead of replaying a mass change")
+      val nDel = feed.filter(col("_change") === "delete").count()
+      if (touchedIds.nonEmpty)
+        History.deleteKeysDV(spark, pdir, idCol, touchedIds): Unit
       val inserts = feed.filter(col("_change") === "insert")
         .select(col(idCol), col(embCol))
       val nIns = inserts.count()
       if (nIns > 0L)
         History.append(spark, pdir,
           Similarity.assignCells(inserts, idCol, embCol, centroids),
-          key = s"ivf-$from-$to", partitionCols = Seq("cell")): Unit
+          key = s"ivf-$from-$to-" +
+            java.util.UUID.randomUUID().toString.take(8),
+          partitionCols = Seq("cell")): Unit
       History.refreshKeyIndex(spark, pdir, idCol): Unit
       markIndexed(spark, indexDir, to)
       (to, nDel, nIns)

@@ -1024,6 +1024,49 @@ object History {
       df.filter(!deleted)
     }
 
+  /** Directory-encoded partition columns of `affected`'s layout,
+    * validated uniform — every copy-on-write rewrite stages through
+    * `partitionBy(these)`, so a mixed scheme would write an ambiguous
+    * layout and must fail loudly up front. */
+  private def uniformPartCols(path: String,
+                              affected: Seq[String]): Seq[String] = {
+    def dirOf(rel: String): String =
+      rel.take(math.max(rel.lastIndexOf('/'), 0))
+    def partColsOf(rel: String): Seq[String] =
+      dirOf(rel).split('/').filter(_.contains('='))
+        .map(_.takeWhile(_ != '=')).toSeq
+    val partCols = partColsOf(affected.head)
+    require(affected.forall(partColsOf(_) == partCols),
+      s"mixed partition schemes under $path: " +
+        affected.map(dirOf).distinct.take(4).mkString(", "))
+    partCols
+  }
+
+  /** The one way every rewrite pass reads an explicit subset of a
+    * manifest's current files: schema-governed reader + the subset's
+    * deletion vectors applied — a rewrite that scanned around either
+    * would resurrect rows or drop columns. Pair with [[dvSeenOf]] at
+    * commit time. */
+  private def rewriteScan(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, qRoot: org.apache.hadoop.fs.Path,
+      path: String, m: FileManifest.Manifest,
+      affected: Seq[String]): DataFrame = {
+    val affectedSet = affected.toSet
+    applyDvs(rewriteReader(spark, fs, path)
+        .option("basePath", qRoot.toString)
+        .parquet(affected.map(rel =>
+          new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*),
+      fs, qRoot, path,
+      m.dvs.filter { case (rel, _) => affectedSet(rel) })
+  }
+
+  /** The DV pointers a rewrite's scan applied, declared at commit so a
+    * vector landing mid-rewrite conflicts loudly
+    * ([[FileManifest.commitDelta]]'s `dvSeen`). */
+  private def dvSeenOf(m: FileManifest.Manifest,
+      affected: Seq[String]): Map[String, Option[String]] =
+    affected.map(rel => rel -> m.dvs.get(rel)).toMap
+
   /** The parquet reader for REWRITE passes over lake files: the
     * declared table schema when the lake has one (projection + reader
     * widening + null backfill — so every rewritten file converges to
@@ -1063,13 +1106,7 @@ object History {
     fs.delete(stage, true): Unit
     // the slice is exactly the manifest's current files — an uncommitted
     // batch racing this compaction is neither read nor retired
-    val oldMatchedSet = oldMatched.toSet
-    val slice = applyDvs(rewriteReader(spark, fs, path)
-        .option("basePath", qRoot.toString)
-        .parquet(oldMatched.map(rel =>
-          new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*),
-      fs, qRoot, path,
-      m.dvs.filter { case (rel, _) => oldMatchedSet(rel) })
+    val slice = rewriteScan(spark, fs, qRoot, path, m, oldMatched)
     writeCompacted(slice, keyCols, tsCol, compactStagingDir(path))
     // move staged output into the live dirs under version-tagged unique
     // names (deterministic per attempt, so a crashed attempt's leftovers
@@ -1109,7 +1146,7 @@ object History {
     // since the slice read and detects true write-write conflicts
     // (a concurrent rewrite of one of oldMatched) loudly
     FileManifest.commitDelta(fs, path, movedRels, oldMatched,
-      dvSeen = oldMatched.map(rel => rel -> m.dvs.get(rel)).toMap): Unit
+      dvSeen = dvSeenOf(m, oldMatched)): Unit
     fs.delete(stage, true): Unit
   }
 
@@ -1442,36 +1479,36 @@ object History {
     if (m.cur.isEmpty) return (0, 0)
     def dirOf(rel: String): String =
       rel.take(math.max(rel.lastIndexOf('/'), 0))
-    // one metadata probe per current file — the candidate set
-    val sized = m.cur.map { rel =>
-      (rel, fs.getFileStatus(
-        new org.apache.hadoop.fs.Path(qRoot, rel)).getLen)
+    // size probe: ONE listStatus per partition dir, fanned out on the
+    // bounded pool — at 10⁵–10⁶ files a sequential per-file
+    // getFileStatus would serialize that many driver RPCs before any
+    // packing starts; per-dir listings cost O(dirs) round trips
+    val curByDir = m.cur.groupBy(dirOf)
+    val sizesByDir = new java.util.concurrent.ConcurrentHashMap[
+      String, Map[String, Long]]()
+    LakeCommit.foreachPar(curByDir.keys.toSeq.sorted) { dir =>
+      val p = if (dir.isEmpty) qRoot
+              else new org.apache.hadoop.fs.Path(qRoot, dir)
+      sizesByDir.put(dir,
+        fs.listStatus(p).iterator.filter(_.isFile)
+          .map(s => (s.getPath.getName, s.getLen)).toMap): Unit
     }
-    val byDir = sized.groupBy { case (rel, _) => dirOf(rel) }
-    val victims: Seq[(String, Long)] = byDir.toSeq.sortBy(_._1)
-      .flatMap { case (_, files) =>
-        val small = files.filter(_._2 < targetBytes)
+    val victims: Seq[(String, Long)] = curByDir.toSeq.sortBy(_._1)
+      .flatMap { case (dir, rels) =>
+        val names = sizesByDir.get(dir)
+        val small = rels.flatMap { rel =>
+          val name = rel.substring(rel.lastIndexOf('/') + 1)
+          names.get(name).filter(_ < targetBytes).map(rel -> _)
+        }
         if (small.size >= minFiles) small else Nil
       }
     if (victims.isEmpty) return (0, 0)
     val affected = victims.map(_._1).sorted
-    val affectedSet = affected.toSet
-    def partColsOf(rel: String): Seq[String] =
-      dirOf(rel).split('/').filter(_.contains('='))
-        .map(_.takeWhile(_ != '=')).toSeq
-    val partCols = partColsOf(affected.head)
-    require(affected.forall(partColsOf(_) == partCols),
-      s"mixed partition schemes under $path: " +
-        affected.map(dirOf).distinct.take(4).mkString(", "))
+    val partCols = uniformPartCols(path, affected)
     val stage = fs.makeQualified(
       new org.apache.hadoop.fs.Path(binPackStagingDir(path)))
     fs.delete(stage, true): Unit
-    val slice = applyDvs(rewriteReader(spark, fs, path)
-        .option("basePath", qRoot.toString)
-        .parquet(affected.map(rel =>
-          new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*),
-      fs, qRoot, path,
-      m.dvs.filter { case (rel, _) => affectedSet(rel) })
+    val slice = rewriteScan(spark, fs, qRoot, path, m, affected)
     // pack by directory: hashing on the partition columns sends each
     // dir's rows to one writer task → ~one output per dir, split at a
     // row count approximating targetBytes from the slice's own
@@ -1490,7 +1527,7 @@ object History {
       .parquet(stage.toString)
     val written = FileManifest.walkDataFiles(fs, stage).size
     promoteAndFlip(fs, qRoot, path, stage, s"o${m.version + 1}-", affected,
-      affected.map(rel => rel -> m.dvs.get(rel)).toMap)
+      dvSeenOf(m, affected))
     (affected.size, written)
   }
 
@@ -1519,32 +1556,19 @@ object History {
     }.sorted
     if (affected.isEmpty) return (0, 0L)
     val affectedSet = affected.toSet
-    val dvSub = m.dvs.filter { case (rel, _) => affectedSet(rel) }
-    val rows = dvSub.valuesIterator
-      .map(DeletionVector.read(fs, path, _).length.toLong).sum
-    def dirOf(rel: String): String =
-      rel.take(math.max(rel.lastIndexOf('/'), 0))
-    def partColsOf(rel: String): Seq[String] =
-      dirOf(rel).split('/').filter(_.contains('='))
-        .map(_.takeWhile(_ != '=')).toSeq
-    val partCols = partColsOf(affected.head)
-    require(affected.forall(partColsOf(_) == partCols),
-      s"mixed partition schemes under $path: " +
-        affected.map(dirOf).distinct.take(4).mkString(", "))
+    val rows = m.dvs.collect { case (rel, name) if affectedSet(rel) =>
+      DeletionVector.read(fs, path, name).length.toLong }.sum
+    val partCols = uniformPartCols(path, affected)
     val stage = fs.makeQualified(
       new org.apache.hadoop.fs.Path(dvMaterializeStagingDir(path)))
     fs.delete(stage, true): Unit
-    val keep = applyDvs(rewriteReader(spark, fs, path)
-        .option("basePath", qRoot.toString)
-        .parquet(affected.map(rel =>
-          new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*),
-      fs, qRoot, path, dvSub)
+    val keep = rewriteScan(spark, fs, qRoot, path, m, affected)
     val writer = keep.write.mode("overwrite")
       .option("maxRecordsPerFile", 5000000L)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(stage.toString)
     promoteAndFlip(fs, qRoot, path, stage, s"v${m.version + 1}-", affected,
-      affected.map(rel => rel -> m.dvs.get(rel)).toMap)
+      dvSeenOf(m, affected))
     (affected.size, rows)
   }
 
@@ -1583,34 +1607,19 @@ object History {
         throw new IllegalStateException(
           s"matched file not in the planned manifest: $fp"))
     }.toSeq.sorted
-    def dirOf(rel: String): String =
-      rel.take(math.max(rel.lastIndexOf('/'), 0))
-    // partition columns are directory-encoded; every affected file must
-    // agree on the scheme or the staged layout would be ambiguous
-    def partColsOf(rel: String): Seq[String] =
-      dirOf(rel).split('/').filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
-    val partCols = partColsOf(affected.head)
-    require(affected.forall(partColsOf(_) == partCols),
-      s"mixed partition schemes under $path: " +
-        affected.map(dirOf).distinct.take(4).mkString(", "))
+    val partCols = uniformPartCols(path, affected)
     // pass 2: rewrite the affected files minus the matching rows
     val stage = fs.makeQualified(
       new org.apache.hadoop.fs.Path(deleteStagingDir(path)))
     fs.delete(stage, true): Unit
-    val affectedSet = affected.toSet
-    val keep = applyDvs(rewriteReader(spark, fs, path)
-        .option("basePath", qRoot.toString)
-        .parquet(affected.map(rel =>
-          new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*),
-        fs, qRoot, path,
-        m.dvs.filter { case (rel, _) => affectedSet(rel) })
+    val keep = rewriteScan(spark, fs, qRoot, path, m, affected)
       .filter(!matchPred)
     val writer = keep.write.mode("overwrite")
       .option("maxRecordsPerFile", 5000000L)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(stage.toString)
     promoteAndFlip(fs, qRoot, path, stage, s"d${m.version + 1}-", affected,
-      affected.map(rel => rel -> m.dvs.get(rel)).toMap)
+      dvSeenOf(m, affected))
     (affected.size, rowsDeleted)
   }
 
@@ -1742,32 +1751,19 @@ object History {
         throw new IllegalStateException(
           s"matched file not in the planned manifest: $fp"))
     }.toSeq.sorted
-    def dirOf(rel: String): String =
-      rel.take(math.max(rel.lastIndexOf('/'), 0))
-    def partColsOf(rel: String): Seq[String] =
-      dirOf(rel).split('/').filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
     // the lake's directory scheme governs where inserts land too, so
     // derive it from ALL current files, not just the affected ones
     val schemeDonors = if (m.cur.nonEmpty) m.cur else affected
     val partCols =
       if (schemeDonors.isEmpty) Seq.empty[String]
-      else partColsOf(schemeDonors.head)
-    require(schemeDonors.forall(partColsOf(_) == partCols),
-      s"mixed partition schemes under $path: " +
-        schemeDonors.map(dirOf).distinct.take(4).mkString(", "))
+      else uniformPartCols(path, schemeDonors)
     // pass 2: survivors of the affected files + all update rows
     val stage = fs.makeQualified(
       new org.apache.hadoop.fs.Path(mergeStagingDir(path)))
     fs.delete(stage, true): Unit
-    val affectedSet = affected.toSet
     val staged =
       if (affected.isEmpty) updAligned
-      else applyDvs(rewriteReader(spark, fs, path)
-          .option("basePath", qRoot.toString)
-          .parquet(affected.map(rel =>
-            new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*),
-          fs, qRoot, path,
-          m.dvs.filter { case (rel, _) => affectedSet(rel) })
+      else rewriteScan(spark, fs, qRoot, path, m, affected)
         .join(updKeys, keyCols, "left_anti")
         .select(lakeCols.map(col): _*)
         .unionByName(updAligned)
@@ -1776,7 +1772,7 @@ object History {
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(stage.toString)
     promoteAndFlip(fs, qRoot, path, stage, s"u${m.version + 1}-", affected,
-      affected.map(rel => rel -> m.dvs.get(rel)).toMap)
+      dvSeenOf(m, affected))
     (affected.size, rowsReplaced)
   }
 
@@ -1837,14 +1833,7 @@ object History {
       throw new IllegalStateException(
         s"clusterBy needs a manifest-mode lake (enableManifests): $path"))
     if (m.cur.isEmpty) return (0, 0)
-    def dirOf(rel: String): String =
-      rel.take(math.max(rel.lastIndexOf('/'), 0))
-    def partColsOf(rel: String): Seq[String] =
-      dirOf(rel).split('/').filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
-    val partCols = partColsOf(m.cur.head)
-    require(m.cur.forall(partColsOf(_) == partCols),
-      s"mixed partition schemes under $path: " +
-        m.cur.map(dirOf).distinct.take(4).mkString(", "))
+    val partCols = uniformPartCols(path, m.cur)
     val base = planManifest(spark, fs, root, m)
     cols.foreach(c => require(base.columns.contains(c),
       s"cluster column $c not in lake schema ${base.columns.mkString(",")}"))
@@ -1875,7 +1864,7 @@ object History {
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(stage.toString)
     promoteAndFlip(fs, qRoot, path, stage, s"z${m.version + 1}-", m.cur,
-      m.cur.map(rel => rel -> m.dvs.get(rel)).toMap)
+      dvSeenOf(m, m.cur))
     val statted = cols.map(refreshStats(spark, path, _)).max
     (m.cur.size, statted)
   }

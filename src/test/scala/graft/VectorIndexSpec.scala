@@ -108,6 +108,28 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(got2 === want2)
   }
 
+  /** Crash the last tick: drop its state marker, leaving its postings
+    * commits (if any) current and unmarked. */
+  private def dropLastMarker(index: String): Unit = {
+    val fs = fsOf(index)
+    fs.listStatus(new org.apache.hadoop.fs.Path(
+        VectorIndex.stateDir(index)))
+      .filter(_.getPath.getName.endsWith(".done"))
+      .sortBy(_.getPath.getName).lastOption
+      .foreach(s => fs.delete(s.getPath, false): Unit)
+  }
+
+  private def assertExact(corpus: String, index: String,
+      cent: org.apache.spark.sql.DataFrame, clue: String): Unit = {
+    val queries = History.readPinned(spark, corpus)
+      .filter(col("vec_id") % 10 === 0)
+    val got = rows(VectorIndex.searchTopK(spark, index, queries,
+      "vec_id", "embedding", cent, k = 3))
+    val want = rows(Similarity.ivfTopK(History.readPinned(spark, corpus),
+      queries, cent, "vec_id", "embedding", 3))
+    assert(got === want, clue)
+  }
+
   test("a crashed tick replays idempotently") {
     val (corpus, index) = mkLakes()
     val cent = centroidsOf(corpus)
@@ -118,25 +140,77 @@ class VectorIndexSpec extends AnyFunSuite {
       key = "b3"): Unit
     VectorIndex.tick(spark, corpus, index, "vec_id", "embedding",
       cent): Unit
-    // simulate a crash AFTER the postings commits but BEFORE the state
-    // marker: delete the marker and re-tick — the takedown matches
-    // nothing, the append dedupes on its batch key
-    val fs = fsOf(index)
-    fs.listStatus(new org.apache.hadoop.fs.Path(
-        VectorIndex.stateDir(index)))
-      .filter(_.getPath.getName.endsWith(".done"))
-      .sortBy(_.getPath.getName).lastOption
-      .foreach(s => fs.delete(s.getPath, false): Unit)
-    val (_, nDel2, _) = VectorIndex.tick(spark, corpus, index,
+    // crash AFTER the postings commits but BEFORE the state marker: the
+    // replay retires the unmarked attempt's batch files wholesale and
+    // re-applies — never losing an id, never doubling one
+    dropLastMarker(index)
+    VectorIndex.tick(spark, corpus, index, "vec_id", "embedding",
+      cent): Unit
+    assertExact(corpus, index, cent,
+      "a replayed tick must not double-insert")
+  }
+
+  test("crashed-tick replay survives UPDATES in the window") {
+    import spark.implicits._
+    val (corpus, index) = mkLakes()
+    val cent = centroidsOf(corpus)
+    VectorIndex.bootstrap(spark, corpus, index, "vec_id", "embedding",
+      cent): Unit
+    // an UPDATE: the feed shows delete(old image) + insert(new image)
+    // for the SAME id — the naive replay's poison case (its takedown
+    // removes the crashed append's fresh posting, and a same-key
+    // re-append converges to the same content instead of restoring it)
+    val moved = Seq(7L, 20L).map(id => (id, vec(id + 5000L)))
+    History.mergeInto(spark, corpus, moved.toDF("vec_id", "embedding"),
+      Seq("vec_id")): Unit
+    VectorIndex.tick(spark, corpus, index, "vec_id", "embedding",
+      cent): Unit
+    dropLastMarker(index)
+    VectorIndex.tick(spark, corpus, index, "vec_id", "embedding",
+      cent): Unit
+    assertExact(corpus, index, cent,
+      "updated ids must survive a crashed-tick replay")
+    // the updated vectors specifically must be present exactly once
+    val post = History.readPinnedKeyed(spark,
+      VectorIndex.postingsDir(index), "vec_id", Seq(7L, 20L))
+    assert(post.count() === 2L)
+  }
+
+  test("crashed-tick replay with an ADVANCED corpus neither doubles nor leaks") {
+    val (corpus, index) = mkLakes()
+    val cent = centroidsOf(corpus)
+    VectorIndex.bootstrap(spark, corpus, index, "vec_id", "embedding",
+      cent): Unit
+    // window A: inserts 300..303 (plus 400, deleted again in window B —
+    // its crashed posting must NOT survive the replay even though the
+    // net feed across both windows never mentions it)
+    History.append(spark, corpus, corpusDf(Seq(300L, 301L, 302L, 303L, 400L)),
+      key = "bA"): Unit
+    VectorIndex.tick(spark, corpus, index, "vec_id", "embedding",
+      cent): Unit
+    dropLastMarker(index) // crash: window A applied but unmarked
+    // corpus advances BEFORE the retry: 400 taken down again
+    History.deleteKeysDV(spark, corpus, "vec_id", Seq(400L)): Unit
+    val (_, _, _) = VectorIndex.tick(spark, corpus, index,
       "vec_id", "embedding", cent)
-    assert(nDel2 === 0L, "replayed takedown must match nothing")
-    val queries = History.readPinned(spark, corpus)
-      .filter(col("vec_id") % 10 === 0)
-    val got = rows(VectorIndex.searchTopK(spark, index, queries,
-      "vec_id", "embedding", cent, k = 3))
-    val want = rows(Similarity.ivfTopK(History.readPinned(spark, corpus),
-      queries, cent, "vec_id", "embedding", 3))
-    assert(got === want, "a replayed tick must not double-insert")
+    assertExact(corpus, index, cent,
+      "an advanced-window replay must not double pure inserts")
+    assert(History.readPinnedKeyed(spark,
+        VectorIndex.postingsDir(index), "vec_id",
+        Seq(300L, 301L, 302L, 303L)).count() === 4L,
+      "window A's inserts must appear exactly once")
+    assert(History.readPinnedKeyed(spark,
+        VectorIndex.postingsDir(index), "vec_id", Seq(400L)).count() === 0L,
+      "an id inserted-then-deleted across the crash must not leak")
+    // and exactly ONE attempt's batch files survive in cur (the
+    // replay's); the crashed attempt's were retired wholesale
+    val pdir = VectorIndex.postingsDir(index)
+    val pm = graft.sources.FileManifest.latest(fsOf(pdir), pdir).get
+    val tags = pm.cur.map(r => r.substring(r.lastIndexOf('/') + 1))
+      .filter(_.startsWith("bivf-"))
+      .map(_.split("-p").head).distinct
+    assert(tags.size === 1,
+      s"exactly one tick attempt's files may be current, got: $tags")
   }
 
   test("search reads only the probed cells' metadata and partitions") {
