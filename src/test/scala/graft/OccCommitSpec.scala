@@ -169,4 +169,46 @@ class OccCommitSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids === Seq(0L, 3L))
   }
+
+  test("racing merge-on-read deletes never lose each other's rows (threaded)") {
+    import spark.implicits._
+    // one multi-row file so every DV write targets the SAME rel: the
+    // expected-pointer guard must serialize the writers — each loser
+    // recomputes from the new snapshot (fresh positions unioned with
+    // the winner's vector) and retries; a lost update would leave one
+    // thread's victim row alive
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-occ-dv").toString + "/lake"
+    (0L until 24L).map(i => (i, s"row$i")).toDF("id", "tag")
+      .coalesce(1).write.parquet(dir)
+    History.enableManifests(spark, dir): Unit
+    val nThreads = 3
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() =>
+        try {
+          // each thread deletes its own residue class; retry on the
+          // documented conflict (recompute-from-new-snapshot contract)
+          var attempts = 0
+          var done = false
+          while (!done) {
+            try {
+              History.deleteWhereDV(spark, dir,
+                col("id") % nThreads === t): Unit
+              done = true
+            } catch {
+              case _: java.util.ConcurrentModificationException
+                  if attempts < 20 => attempts += 1
+            }
+          }
+        } catch { case e: Throwable => failures.add(e): Unit })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.isEmpty, s"unexpected: ${failures.peek()}")
+    assert(History.readPinned(spark, dir).count() === 0L,
+      "every thread's deletes must survive the race")
+    // and the surviving vector is ONE pointer holding the union
+    val m = FileManifest.latest(fsOf(dir), dir).get
+    assert(m.dvs.size === 1)
+  }
 }
