@@ -131,26 +131,35 @@ object DeletionVector {
       dvFileReads.incrementAndGet(): Unit
       val lines = SidecarIO.readLines(fs, new Path(dvsDir(lakePath), name))
       var declared = -1L
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      // primitive growth buffer: an ArrayBuffer[Long] boxes every
+      // position — at the 10M-position cap that is >100 MB of Long
+      // objects for 80 MB of payload
+      var arr = new Array[Long](1024)
+      var n = 0
+      def add(v: Long): Unit = {
+        if (n == arr.length)
+          arr = java.util.Arrays.copyOf(arr, arr.length << 1)
+        arr(n) = v; n += 1
+      }
       lines.foreach { l =>
         l.split('\t') match {
           case Array("file", _) => ()
-          case Array("n", n) => declared = n.toLong
+          case Array("n", d) => declared = d.toLong
           case Array("r", start, len) =>
             val s = start.toLong; val k = len.toLong
             var j = 0L
-            while (j < k) { buf += s + j; j += 1 }
+            while (j < k) { add(s + j); j += 1 }
           case other => throw new java.io.IOException(
             s"bad deletion-vector line in $name: ${other.mkString("\\t")}")
         }
       }
-      if (declared != buf.length)
+      if (declared != n)
         throw new java.io.IOException(
           s"deletion vector $name corrupt: declares $declared positions, " +
-            s"carries ${buf.length}")
-      val arr = buf.toArray
-      putCache(key, arr)
-      arr
+            s"carries $n")
+      val out = java.util.Arrays.copyOf(arr, n)
+      putCache(key, out)
+      out
     }
   }
 

@@ -120,13 +120,21 @@ object LakeChangeFeed {
       outDir: String, statsCols: Seq[String] = Nil,
       keyCols: Seq[String] = Nil,
       fromVersion: Option[Long] = None,
-      rollups: Seq[RollupSpec] = Nil): Option[(Long, Long)] = {
+      rollups: Seq[RollupSpec] = Nil,
+      binPackTargetBytes: Option[Long] = None): Option[(Long, Long)] = {
     val range = tick(spark, lakePath, outDir, fromVersion)
     range.foreach { case (from, to) =>
       statsCols.foreach(c =>
         History.refreshStatsForRange(spark, lakePath, c, from, to): Unit)
       keyCols.foreach(c =>
         History.refreshKeyIndexForRange(spark, lakePath, c, from, to): Unit)
+      // small-file debt retires in the same agent pass: a converged
+      // lake no-ops, a packing commit is pure layout (the NEXT tick's
+      // feed diffs it to empty), and running after delivery means the
+      // packed-away files were already diffed — the loop never races
+      // its own rewrites. Cost follows the debt, not the lake.
+      binPackTargetBytes.foreach(t =>
+        History.binPack(spark, lakePath, targetBytes = t): Unit)
     }
     // materialized rollups advance on EVERY maintenance pass, not just
     // when this agent delivered a new range: a rollup bootstrapped (or

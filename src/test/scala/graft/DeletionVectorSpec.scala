@@ -343,6 +343,14 @@ class DeletionVectorSpec extends AnyFunSuite {
       s"the id predicate must reach the scan despite the DV filter:\n$plan")
     assert(plan.contains("dvdeleted"),
       s"the DV predicate must be present in the plan:\n$plan")
+    // the DV predicate is codegen-native: the Filter carrying it must
+    // sit INSIDE a WholeStageCodegen span, not fall back to interpreted
+    // eval on the scan's hot path
+    val codegenFilter = raw"\*\(\d+\) Filter".r
+    val filterLine = plan.linesIterator
+      .find(l => l.contains("Filter") && l.contains("dvdeleted"))
+    assert(filterLine.exists(l => codegenFilter.findFirstIn(l).isDefined),
+      s"dv_deleted filter must be whole-stage-codegen'd:\n$plan")
   }
 
   test("sidecar cache serves repeat reads; corrupt sidecars fail loudly") {

@@ -312,6 +312,37 @@ class LakeChangeFeedSpec extends AnyFunSuite {
     assert(got === Seq((2L, "delete"), (4L, "delete")))
   }
 
+  test("maintenance tick retires small-file debt in the same agent pass") {
+    import spark.implicits._
+    val lake = fresh("graft-cdf-bp-lake")
+    // five one-row files land as five commits (the archive debt shape)
+    Seq((1L, 10L)).toDF("doc_id", "n_chars")
+      .coalesce(1).write.parquet(lake)
+    History.enableManifests(spark, lake): Unit
+    (2 to 5).foreach { i =>
+      History.append(spark, lake,
+        Seq((i.toLong, i * 10L)).toDF("doc_id", "n_chars"),
+        key = s"b$i"): Unit
+    }
+    val out = fresh("graft-cdf-bp-out")
+    LakeChangeFeed.tick(spark, lake, out,
+      fromVersion = Some(1L)): Unit // deliver the appends first
+    History.append(spark, lake,
+      Seq((6L, 60L)).toDF("doc_id", "n_chars"), key = "b6"): Unit
+    LakeChangeFeed.tickWithMaintenance(spark, lake, out,
+      binPackTargetBytes = Some(1024L * 1024)): Unit
+    val fs1 = fs(lake)
+    assert(FileManifest.latest(fs1, lake).get.cur.size === 1,
+      "the maintenance pass must bin-pack the accumulated small files")
+    assert(History.readPinned(spark, lake).count() === 6L)
+    // the NEXT delivered range diffs the pure-layout commit to empty
+    // rows (plus nothing else), so downstream consumers see no churn;
+    // the baseline v1 already held doc 1, so the feed carries 2..6
+    LakeChangeFeed.tick(spark, lake, out): Unit
+    assert(feedRows(out).sorted ===
+      (2L to 6L).map(i => (i, "insert")).sorted)
+  }
+
   test("stream() resolves from the lake schema and resumes exactly once") {
     val lake = docsLake()
     val out = fresh("graft-cdf-out6")
