@@ -395,7 +395,7 @@ object HistoryQueries {
     Seq(deleteLakeCache, mergeLakeCache, clusterLakeCache, zLakeCache,
         shardedLakeCache, bloomLakeCache, evolvedLakeCache,
         taggedLakeCache, restoredLakeCache, rollupCache, dvLakeCache,
-        binPackLakeCache)
+        binPackLakeCache, exportCache)
       .foreach { cache =>
       cache.keySet.forEach { k =>
         if (k._1 == sk) rmLake(cache.remove(k))
@@ -636,6 +636,25 @@ object HistoryQueries {
           col("_change"))
     }),
 
+    // Snapshot EXPORT: the DV-bearing lake cloned (distributed copy of
+    // files + vector sidecars + a fresh v1 manifest) into an
+    // independent location; reading the clone must answer exactly the
+    // source's pinned image — a copy that dropped a file, a sidecar,
+    // or the schema declaration shifts rows and fails the hash. The
+    // ship-this-exact-training-corpus operation, gated at SF scale.
+    "h23_exported_snapshot" -> ((s, d) => {
+      val src = dvLake(s, d)
+      val dst = exportCache.computeIfAbsent(
+        (graft.SessionKey(s), src), _ => {
+          val out = java.nio.file.Files
+            .createTempDirectory("graft-export-lake").toString + "/lake"
+          graft.sources.History.exportSnapshot(s, src, out): Unit
+          out
+        })
+      graft.sources.History.readPinned(s, dst)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
     // Small-file compaction (OPTIMIZE) composed with merge-on-read:
     // twelve tiny files per lang dir were bin-packed into ~one, with a
     // deletion vector folded through the rewrite. The packed image
@@ -649,6 +668,9 @@ object HistoryQueries {
   )
 
   private val rollupCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private val exportCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   def oracleSql: Map[String, String] = Map(
@@ -767,6 +789,9 @@ object HistoryQueries {
          WHERE doc_id IN (3, 41, 404) OR doc_id % 17 = 5""",
     "h22_binpacked" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
-         WHERE doc_id % 19 != 11"""
+         WHERE doc_id % 19 != 11""",
+    "h23_exported_snapshot" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE NOT (doc_id IN (3, 41, 404) OR doc_id % 17 = 5)"""
   )
 }

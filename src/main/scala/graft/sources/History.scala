@@ -2067,6 +2067,96 @@ object History {
     m.version + 1
   }
 
+  /** EXPORT a snapshot as an independent lake: copy the resolved
+    * version's current files (and the deletion-vector sidecars its
+    * manifest references) to `destDir`, re-declare the source's table
+    * schema there, and publish a fresh v1 manifest — a self-contained
+    * clone that reads identically to `readPinned(src, version)` and
+    * shares NO storage or metadata with the source: vacuum the source
+    * to nothing and the export still answers. The
+    * ship-this-exact-training-corpus operation — a tag makes a
+    * snapshot durable in place, an export makes it portable.
+    *
+    * The copy is a DISTRIBUTED job: the file list parallelizes across
+    * the cluster and each task streams its files through the Hadoop
+    * FS API — at 100 TB the copy bandwidth is the cluster's aggregate,
+    * never one driver's. Layout (lake-relative paths) is preserved, so
+    * partition pruning at the destination matches the source.
+    *
+    * Resolution: explicit `version`, else `tag`, else latest. The
+    * destination must not already hold a lake. Returns the
+    * destination's manifest version (1). Deletion vectors are carried
+    * as metadata, not materialized — the clone's row set is exact and
+    * a later `materializeDeletes(dest)` folds them independently. */
+  def exportSnapshot(spark: SparkSession, path: String, destDir: String,
+                     version: Option[Long] = None,
+                     tag: Option[String] = None): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qRoot = fs.makeQualified(root)
+    val v = version.orElse(tag.map(t =>
+      FileManifest.tagVersion(fs, path, t).getOrElse(
+        throw new IllegalArgumentException(
+          s"unknown tag '$t' at $path; have: " +
+            FileManifest.tags(fs, path).map(_._1).mkString(", ")))))
+      .orElse(FileManifest.latestVersion(fs, path))
+      .getOrElse(throw new IllegalStateException(
+        s"exportSnapshot needs a manifest-mode lake: $path"))
+    val m = FileManifest.at(fs, path, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $v not retained at $path (vacuumed or never " +
+          s"published); retained: " +
+          FileManifest.versions(fs, path).mkString(", ")))
+    val destRoot = new org.apache.hadoop.fs.Path(destDir)
+    val destFs = destRoot.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val qDest = destFs.makeQualified(destRoot)
+    require(!FileManifest.enabled(destFs, destDir),
+      s"exportSnapshot destination already holds a lake: $destDir")
+    // (source-relative, dest-relative) copy pairs: data files keep
+    // their layout; referenced DV sidecars keep their names under the
+    // destination's own _manifests/dvs
+    val dvRel = "_manifests/dvs"
+    val copies: Seq[(String, String)] =
+      m.cur.map(rel => rel -> rel) ++
+        m.dvs.values.toSeq.sorted.map(n => s"$dvRel/$n" -> s"$dvRel/$n")
+    val srcStr = qRoot.toString
+    val destStr = qDest.toString
+    // Hadoop Configuration is not serializable; ship its explicit
+    // entries as a plain map and rebuild per task (credentials and
+    // fs.* settings included — an executor-default Configuration would
+    // silently drop object-store auth)
+    val confEntries: Seq[(String, String)] = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toSeq
+    }
+    val confBc = spark.sparkContext.broadcast(confEntries)
+    val slices = math.max(1, math.min(copies.size,
+      spark.sparkContext.defaultParallelism * 2))
+    spark.sparkContext.parallelize(copies, slices).foreachPartition { it =>
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      confBc.value.foreach { case (k, vv) => conf.set(k, vv) }
+      val sfs = new org.apache.hadoop.fs.Path(srcStr).getFileSystem(conf)
+      val dfs = new org.apache.hadoop.fs.Path(destStr).getFileSystem(conf)
+      it.foreach { case (srel, drel) =>
+        val dst = new org.apache.hadoop.fs.Path(s"$destStr/$drel")
+        dfs.mkdirs(dst.getParent): Unit
+        org.apache.hadoop.fs.FileUtil.copy(
+          sfs, new org.apache.hadoop.fs.Path(s"$srcStr/$srel"),
+          dfs, dst, false, true, conf): Unit
+      }
+    }
+    // carry the declared schema (re-inference at the destination would
+    // lose the projection a mixed-era source depends on)
+    SchemaLog.latest(fs, path).foreach(s =>
+      SchemaLog.declareAs(destFs, destDir, s): Unit)
+    FileManifest.publish(destFs, destDir,
+      FileManifest.Manifest(1L, m.cur, Nil, m.dvs))
+    1L
+  }
+
   /** Pin a manifest version under a named TAG: [[vacuum]] will never
     * reclaim the tagged version's root or the data files it references,
     * however far past grace they age — the durable-reproducibility

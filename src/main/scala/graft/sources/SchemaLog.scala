@@ -169,6 +169,19 @@ object SchemaLog {
     FileManifest.atomicWrite(fs, versionPath(lakePath, v),
       schema.json)
 
+  /** Declare an EXPLICIT schema as a fresh lake's v1 — the snapshot-
+    * export path carrying the source lake's declaration to the copy
+    * (re-inferring at the destination would lose the projection a
+    * mixed-era source relies on). Fails if the destination already
+    * declared one. */
+  private[sources] def declareAs(fs: FileSystem, lakePath: String,
+                                 schema: StructType): Long = {
+    require(latestVersion(fs, lakePath).isEmpty,
+      s"declareAs on a lake with an existing declared schema: $lakePath")
+    publish(fs, lakePath, 1L, schema)
+    1L
+  }
+
   /** Does the parquet read edge promote `from`-typed file columns into
     * a `to`-typed schema slot? Exactly Spark 4's vectorized-reader
     * widening set (integral up-casts and float→double) plus identity
