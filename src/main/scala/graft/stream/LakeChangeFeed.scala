@@ -121,7 +121,8 @@ object LakeChangeFeed {
       keyCols: Seq[String] = Nil,
       fromVersion: Option[Long] = None,
       rollups: Seq[RollupSpec] = Nil,
-      binPackTargetBytes: Option[Long] = None): Option[(Long, Long)] = {
+      binPackTargetBytes: Option[Long] = None,
+      vectorIndexes: Seq[IndexSpec] = Nil): Option[(Long, Long)] = {
     val range = tick(spark, lakePath, outDir, fromVersion)
     range.foreach { case (from, to) =>
       statsCols.foreach(c =>
@@ -150,10 +151,21 @@ object LakeChangeFeed {
           r.keyCols, r.sumCols, r.distinctCols): Unit
         None
       } catch { case e: Exception => Some((r.rollupDir, e)) }
+    } ++ vectorIndexes.flatMap { ix =>
+      // maintained ANN indexes advance on the same idempotent terms as
+      // rollups: a current index no-ops, a crashed prior tick replays
+      // to convergence, and one poisoned index never starves the rest
+      try {
+        graft.ext.VectorIndex.tick(spark, lakePath, ix.indexDir,
+          ix.idCol, ix.embCol,
+          graft.ext.Similarity.loadCentroids(spark, ix.centroidsDir)): Unit
+        None
+      } catch { case e: Exception => Some((ix.indexDir, e)) }
     }
     if (failed.nonEmpty) {
+      val total = rollups.size + vectorIndexes.size
       val ex = new IllegalStateException(
-        s"${failed.size}/${rollups.size} rollup tick(s) failed " +
+        s"${failed.size}/$total maintenance tick(s) failed " +
           s"(the rest advanced): ${failed.map(_._1).mkString(", ")}",
         failed.head._2)
       failed.drop(1).foreach(f => ex.addSuppressed(f._2))
@@ -226,4 +238,11 @@ object LakeChangeFeed {
               sumCol: String): RollupSpec =
       RollupSpec(rollupDir, keyCols, Seq(sumCol))
   }
+
+  /** One maintained ANN index ([[graft.ext.VectorIndex]]) for
+    * [[tickWithMaintenance]] to advance alongside the rollups — the
+    * quantizer is resolved from its versioned published root
+    * ([[graft.ext.Similarity.loadCentroids]]). */
+  final case class IndexSpec(indexDir: String, idCol: String,
+                             embCol: String, centroidsDir: String)
 }

@@ -213,6 +213,35 @@ class VectorIndexSpec extends AnyFunSuite {
       s"exactly one tick attempt's files may be current, got: $tags")
   }
 
+  test("the one-agent maintenance loop advances the index with the feed") {
+    import graft.stream.LakeChangeFeed
+    val (corpus, index) = mkLakes()
+    val centRoot = java.nio.file.Files
+      .createTempDirectory("graft-vecidx-cent").toString + "/ivf"
+    Similarity.saveCentroids(centroidsOf(corpus), centRoot)
+    val cent = Similarity.loadCentroids(spark, centRoot)
+    VectorIndex.bootstrap(spark, corpus, index, "vec_id", "embedding",
+      cent): Unit
+    val feedDir = java.nio.file.Files
+      .createTempDirectory("graft-vecidx-feed").toString + "/feed"
+    LakeChangeFeed.tick(spark, corpus, feedDir): Unit // baseline
+    History.deleteKeysDV(spark, corpus, "vec_id", Seq(9L)): Unit
+    History.append(spark, corpus, corpusDf(500L until 505L),
+      key = "bM"): Unit
+    // ONE maintenance pass: deliver the range AND advance the index
+    // from the published quantizer — no bespoke index agent
+    LakeChangeFeed.tickWithMaintenance(spark, corpus, feedDir,
+      vectorIndexes = Seq(LakeChangeFeed.IndexSpec(
+        index, "vec_id", "embedding", centRoot))): Unit
+    assertExact(corpus, index, cent,
+      "the maintenance loop must mirror the window into the index")
+    // a second pass with no corpus change is a no-op for the index too
+    LakeChangeFeed.tickWithMaintenance(spark, corpus, feedDir,
+      vectorIndexes = Seq(LakeChangeFeed.IndexSpec(
+        index, "vec_id", "embedding", centRoot))): Unit
+    assertExact(corpus, index, cent, "idempotent per delivered state")
+  }
+
   test("search reads only the probed cells' metadata and partitions") {
     val (corpus, index) = mkLakes()
     val cent = centroidsOf(corpus)
