@@ -273,6 +273,33 @@ object HistoryQueries {
       dir
     })
 
+  /** A lang-partitioned manifest lake with ONE partition restated by
+    * [[graft.sources.History.overwritePartitions]] — the backfill
+    * shape: every 'de' row replaced by a corrected image (n_chars +
+    * 5000) in one atomic dynamic-partition-overwrite commit, the other
+    * partitions untouched. h24 reads the post-backfill image. Keyed by
+    * (session, sfDir). */
+  private val backfillLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def backfillLake(s: SparkSession, sfDir: String): String =
+    backfillLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-backfill-lake").toString + "/lake"
+      val docs = graft.Tables.documents(s, sfDir)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      docs.repartition(col("lang"))
+        .write.partitionBy("lang").parquet(dir)
+      graft.sources.History.enableManifests(s, dir): Unit
+      graft.sources.History.enableShardedManifests(s, dir): Unit
+      graft.sources.History.overwritePartitions(s, dir,
+        docs.filter(col("lang") === "de")
+          .withColumn("n_chars", col("n_chars") + 5000L),
+        Seq("lang")): Unit
+      dir
+    })
+
   /** A lang-partitioned manifest lake of the documents table built in
     * two schema ERAS: era 1 (even doc_ids) lands with n_chars as INT32
     * and no quality column; the schema is then DECLARED and EVOLVED
@@ -395,7 +422,7 @@ object HistoryQueries {
     Seq(deleteLakeCache, mergeLakeCache, clusterLakeCache, zLakeCache,
         shardedLakeCache, bloomLakeCache, evolvedLakeCache,
         taggedLakeCache, restoredLakeCache, rollupCache, dvLakeCache,
-        binPackLakeCache, exportCache)
+        binPackLakeCache, exportCache, backfillLakeCache)
       .foreach { cache =>
       cache.keySet.forEach { k =>
         if (k._1 == sk) rmLake(cache.remove(k))
@@ -655,6 +682,15 @@ object HistoryQueries {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 
+    // Dynamic partition overwrite (the backfill): one lang partition
+    // atomically restated with corrected rows, the rest untouched. A
+    // restatement that leaked an old 'de' file, dropped another
+    // partition's rows, or tore mid-replace fails the hash.
+    "h24_partition_backfill" -> ((s, d) =>
+      graft.sources.History.readPinned(s, backfillLake(s, d))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"))),
+
     // Small-file compaction (OPTIMIZE) composed with merge-on-read:
     // twelve tiny files per lang dir were bin-packed into ~one, with a
     // deletion vector folded through the rewrite. The packed image
@@ -792,6 +828,12 @@ object HistoryQueries {
          WHERE doc_id % 19 != 11""",
     "h23_exported_snapshot" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
-         WHERE NOT (doc_id IN (3, 41, 404) OR doc_id % 17 = 5)"""
+         WHERE NOT (doc_id IN (3, 41, 404) OR doc_id % 17 = 5)""",
+    "h24_partition_backfill" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE lang != 'de'
+         UNION ALL
+         SELECT doc_id, lang, source, n_chars + 5000 AS n_chars
+         FROM documents WHERE lang = 'de'"""
   )
 }

@@ -1443,6 +1443,63 @@ object History {
     (byFile.size, nDel)
   }
 
+  def overwriteStagingDir(path: String): String =
+    s"$path/_staging/overwrite"
+
+  /** DYNAMIC PARTITION OVERWRITE — the backfill/restatement primitive:
+    * replace, atomically, exactly the partitions `batch` holds rows
+    * for. The batch stages partitioned by the lake's own directory
+    * scheme; every staged dir's existing current files retire and the
+    * staged files enter cur in ONE optimistic manifest flip — a reader
+    * never sees a half-replaced partition, time travel to the
+    * pre-backfill version still answers, and partitions the batch
+    * doesn't touch are untouched (including their deletion vectors).
+    * Partitions new to the lake append cleanly.
+    *
+    * At 100 TB this is how a bad day of ingest gets restated: cost is
+    * O(replaced partitions), the commit is metadata, and a concurrent
+    * rewrite of a replaced file conflicts loudly through the usual
+    * retire-set detection. Validates against the declared schema like
+    * every committed write.
+    *
+    * @return (partitions replaced-or-created, old files retired) */
+  def overwritePartitions(spark: SparkSession, path: String,
+                          batch: DataFrame,
+                          partitionCols: Seq[String]): (Int, Int) = {
+    require(partitionCols.nonEmpty,
+      "overwritePartitions needs partition columns; for a full-table " +
+        "replace, restate through expirePartitions + append")
+    require(partitionCols.forall(batch.columns.contains),
+      s"batch missing partition columns: ${partitionCols.mkString(",")}")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qRoot = fs.makeQualified(root)
+    val m = FileManifest.latest(fs, path).getOrElse(
+      throw new IllegalStateException(
+        s"overwritePartitions needs a manifest-mode lake: $path"))
+    if (m.cur.nonEmpty)
+      require(uniformPartCols(path, m.cur) == partitionCols,
+        s"lake is partitioned by ${uniformPartCols(path, m.cur)
+          .mkString("/")}, not ${partitionCols.mkString("/")}")
+    SchemaLog.latest(fs, path)
+      .foreach(d => SchemaLog.validateWrite(d, batch.schema))
+    val stage = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(overwriteStagingDir(path)))
+    fs.delete(stage, true): Unit
+    batch.write.mode("overwrite")
+      .option("maxRecordsPerFile", 5000000L)
+      .partitionBy(partitionCols: _*)
+      .parquet(stage.toString)
+    def dirOf(rel: String): String =
+      rel.take(math.max(rel.lastIndexOf('/'), 0))
+    val stagedDirs = FileManifest.walkDataFiles(fs, stage)
+      .map(dirOf).distinct.toSet
+    val affected = m.cur.filter(rel => stagedDirs(dirOf(rel)))
+    promoteAndFlip(fs, qRoot, path, stage, s"w${m.version + 1}-", affected,
+      dvSeenOf(m, affected))
+    (stagedDirs.size, affected.size)
+  }
+
   def binPackStagingDir(path: String): String = s"$path/_staging/binpack"
 
   /** Generic SMALL-FILE COMPACTION (the lakehouse OPTIMIZE): rewrite

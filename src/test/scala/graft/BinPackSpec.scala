@@ -67,6 +67,36 @@ class BinPackSpec extends AnyFunSuite {
     assert(image(dir).map(_._1) === Seq(0L, 1L, 2L, 100L, 102L))
   }
 
+  test("overwritePartitions restates exactly the batch's partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ow").toString + "/lake"
+    Seq((1L, "p0"), (2L, "p0"), (10L, "p1"), (20L, "p2"))
+      .toDF("id", "part")
+      .repartition(2).write.partitionBy("part").parquet(dir)
+    History.enableManifests(spark, dir): Unit
+    // a DV on an UNTOUCHED partition must survive the restatement
+    History.deleteWhereDV(spark, dir, col("id") === 20L): Unit
+    val fs = fsOf(dir)
+    val v0 = FileManifest.latest(fs, dir).get.version
+    // restate p0 (new rows) and create p3; p1/p2 untouched
+    val (parts, retired) = History.overwritePartitions(spark, dir,
+      Seq((100L, "p0"), (101L, "p0"), (300L, "p3")).toDF("id", "part"),
+      Seq("part"))
+    assert(parts === 2 && retired >= 1)
+    assert(image(dir) === Seq((10L, "p1"), (100L, "p0"), (101L, "p0"),
+      (300L, "p3")).sorted)
+    // pre-backfill image still answers via time travel (incl. its DV)
+    assert(History.readPinned(spark, dir, v0)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 10L))
+    // wrong scheme fails loudly
+    intercept[IllegalArgumentException] {
+      History.overwritePartitions(spark, dir,
+        Seq((1L, "x")).toDF("id", "other"), Seq("other")): Unit
+    }
+  }
+
   test("binPack packs an unpartitioned lake by byte target") {
     import spark.implicits._
     val dir = java.nio.file.Files
