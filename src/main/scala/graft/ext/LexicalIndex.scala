@@ -1,0 +1,266 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Md5Prefix
+import graft.sources.{FileManifest, History, IncrementalRollup}
+
+/** INCREMENTALLY-MAINTAINED LEXICAL (BM25) INDEX — the retrieval
+  * stack's other arm made a persisted artifact that follows a live
+  * corpus, the way [[VectorIndex]] does for the dense arm. The one-shot
+  * pipeline ([[HybridRetrieval.docQueryBm25TopK]]) re-tokenizes the
+  * whole corpus per query batch; here the tokenization is paid once
+  * and then at change rate:
+  *
+  *  - '''postings lake''': one row per (doc, word) — (doc_id, word,
+  *    tf, dl), PARTITIONED BY WORD BUCKET (`wb = md5_prefix(word) mod
+  *    B`) so a query's candidate read prunes to its terms' buckets;
+  *    bloom key index on doc_id so query-doc term lookup and takedowns
+  *    content-prune. dl rides denormalized on every row — the scoring
+  *    join to a doc-length table disappears.
+  *  - '''doclens lake''': one row per doc — (doc_id, dl, grp=0).
+  *  - '''df rollup''' over the postings lake keyed by word (n_rows per
+  *    word IS the document frequency — exact, count-invertible) and a
+  *    '''stats rollup''' over doclens (n_docs, total_dl). Both advance
+  *    from their lake's OWN change feed, so a takedown that lands as
+  *    postings deletion vectors retracts df exactly.
+  *
+  * [[tick]] mirrors a corpus window with the same undo-then-apply
+  * replay discipline as [[VectorIndex.tick]] (crashed batch-tagged
+  * appends retired wholesale, feed deletes as merge-on-read takedowns,
+  * attempt-unique append keys), then advances both rollups — which
+  * CONVERGES even across an undo, because the rollups consume the
+  * postings/doclens lakes' own feeds and see the undo as retractions.
+  *
+  * [[searchTopK]] reproduces the one-shot pipeline's exact output
+  * (same tokenization, df cap, 6-dp DECIMAL(18,6) per-term bridge,
+  * (score desc, id asc) tie-break) while reading O(query terms'
+  * buckets) postings + two rollup tables instead of the corpus.
+  */
+object LexicalIndex {
+
+  val BUCKETS = 64
+
+  def postingsDir(indexDir: String): String = s"$indexDir/postings"
+  def doclensDir(indexDir: String): String = s"$indexDir/doclens"
+  def dfRollupDir(indexDir: String): String = s"$indexDir/df"
+  def statsRollupDir(indexDir: String): String = s"$indexDir/stats"
+  def stateDir(indexDir: String): String = s"$indexDir/_state"
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def bucket(word: org.apache.spark.sql.Column) =
+    pmod(Md5Prefix.md5_prefix(word, 8), lit(BUCKETS.toLong))
+
+  /** Tokenize `docs` (docIdCol, textCol) into postings + doclens rows —
+    * EXACTLY [[HybridRetrieval.docQueryBm25TopK]]'s tokenization
+    * (plain single-space split, null text dropped, empty words kept in
+    * tf/dl and excluded later by the vocab length guard). */
+  private def tokenize(docs: DataFrame, docIdCol: String,
+                       textCol: String): (DataFrame, DataFrame) = {
+    val words = docs.filter(col(textCol).isNotNull)
+      .select(col(docIdCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val postings = tf.join(dl, "doc_id")
+      .select(col("doc_id"), col("word"), col("tf"), col("dl"),
+        bucket(col("word")).as("wb"))
+    val doclens = dl.select(col("doc_id"), col("dl"), lit(0L).as("grp"))
+    (postings, doclens)
+  }
+
+  def indexedVersion(spark: SparkSession, indexDir: String): Option[Long] = {
+    val fs = fsOf(spark, indexDir)
+    val dir = new org.apache.hadoop.fs.Path(stateDir(indexDir))
+    if (!fs.exists(dir)) None
+    else {
+      val vs = fs.listStatus(dir).iterator.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("v") && n.endsWith(".done"))
+          n.stripPrefix("v").stripSuffix(".done").toLongOption
+        else None
+      }.toSeq
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  private def markIndexed(spark: SparkSession, indexDir: String,
+                          corpusVersion: Long,
+                          reset: Boolean = false): Unit = {
+    val fs = fsOf(spark, indexDir)
+    val dir = new org.apache.hadoop.fs.Path(stateDir(indexDir))
+    if (reset && fs.exists(dir))
+      fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.endsWith(".done"))
+        .foreach(p => fs.delete(p, false): Unit)
+    val dest = new org.apache.hadoop.fs.Path(dir,
+      f"v$corpusVersion%012d.done")
+    if (!fs.exists(dest))
+      FileManifest.atomicWrite(fs, dest, s"$corpusVersion\n")
+    val all = fs.listStatus(dir)
+      .map(_.getPath).filter(_.getName.endsWith(".done")).sortBy(_.getName)
+    all.dropRight(20).foreach(p => fs.delete(p, false): Unit)
+  }
+
+  /** Build both lakes and both rollups from the corpus lake's current
+    * pinned image. Returns the corpus version indexed. */
+  def bootstrap(spark: SparkSession, corpusLake: String, indexDir: String,
+                docIdCol: String = "doc_id",
+                textCol: String = "text"): Long = {
+    val cfs = fsOf(spark, corpusLake)
+    val v = FileManifest.latestVersion(cfs, corpusLake).getOrElse(
+      throw new IllegalStateException(
+        s"LexicalIndex needs a manifest-mode corpus lake: $corpusLake"))
+    val corpus = History.readPinned(spark, corpusLake, v)
+    val (postings, doclens) = tokenize(corpus, docIdCol, textCol)
+    val pdir = postingsDir(indexDir)
+    postings.repartition(col("wb"))
+      .write.mode("overwrite").partitionBy("wb").parquet(pdir)
+    History.enableManifests(spark, pdir): Unit
+    History.enableShardedManifests(spark, pdir): Unit
+    History.refreshKeyIndex(spark, pdir, "doc_id"): Unit
+    val ddir = doclensDir(indexDir)
+    doclens.coalesce(4).write.mode("overwrite").parquet(ddir)
+    History.enableManifests(spark, ddir): Unit
+    IncrementalRollup.bootstrap(spark, pdir, dfRollupDir(indexDir),
+      Seq("word"), "tf"): Unit
+    IncrementalRollup.bootstrap(spark, ddir, statsRollupDir(indexDir),
+      Seq("grp"), "dl"): Unit
+    markIndexed(spark, indexDir, v, reset = true)
+    v
+  }
+
+  /** Advance both lakes + both rollups to the corpus lake's latest
+    * version from the change feed. Undo-then-apply replay discipline —
+    * see [[VectorIndex.tick]]'s contract; run from one maintenance
+    * agent per index. Returns (corpus version indexed, docs deleted,
+    * docs inserted). */
+  def tick(spark: SparkSession, corpusLake: String, indexDir: String,
+           docIdCol: String = "doc_id", textCol: String = "text",
+           maxDeletes: Long = 10000000L): (Long, Long, Long) = {
+    val cfs = fsOf(spark, corpusLake)
+    val to = FileManifest.latestVersion(cfs, corpusLake).getOrElse(
+      throw new IllegalStateException(
+        s"LexicalIndex needs a manifest-mode corpus lake: $corpusLake"))
+    val from = indexedVersion(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"LexicalIndex.tick before bootstrap at $indexDir"))
+    val pdir = postingsDir(indexDir)
+    val ddir = doclensDir(indexDir)
+    def undoCrashed(lake: String): Unit = {
+      val fs = fsOf(spark, lake)
+      val m = FileManifest.latest(fs, lake).getOrElse(
+        throw new IllegalStateException(
+          s"LexicalIndex.tick before bootstrap at $indexDir"))
+      val tag = graft.sources.LakeCommit.fileTag(s"lex-$from")
+      val prior = m.cur.filter(rel =>
+        rel.substring(rel.lastIndexOf('/') + 1).startsWith(tag))
+      if (prior.nonEmpty)
+        FileManifest.commitDelta(fs, lake, Nil, prior,
+          dvSeen = prior.map(r => r -> m.dvs.get(r)).toMap): Unit
+    }
+    if (from == to) return (to, 0L, 0L)
+    undoCrashed(pdir)
+    undoCrashed(ddir)
+    val feed = History.changesBetween(spark, corpusLake, from, to)
+      .select(col(docIdCol), col(textCol), col("_change"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val lim =
+        if (maxDeletes >= Int.MaxValue.toLong) Int.MaxValue
+        else (maxDeletes + 1).toInt
+      val touched = feed.select(col(docIdCol)).distinct()
+        .limit(lim).collect().map(_.get(0)).toSeq
+      require(touched.length < lim || lim == Int.MaxValue,
+        s"tick window touches > maxDeletes=$maxDeletes docs — " +
+          "re-bootstrap the index instead of replaying a mass change")
+      val nDel = feed.filter(col("_change") === "delete")
+        .select(col(docIdCol)).distinct().count()
+      if (touched.nonEmpty) {
+        History.deleteKeysDV(spark, pdir, "doc_id", touched): Unit
+        History.deleteKeysDV(spark, ddir, "doc_id", touched): Unit
+      }
+      val inserts = feed.filter(col("_change") === "insert")
+        .select(col(docIdCol), col(textCol))
+      val nIns = inserts.select(col(docIdCol)).distinct().count()
+      if (nIns > 0L) {
+        val (p2, d2) = tokenize(inserts, docIdCol, textCol)
+        val nonce = java.util.UUID.randomUUID().toString.take(8)
+        History.append(spark, pdir, p2,
+          key = s"lex-$from-$to-$nonce", partitionCols = Seq("wb")): Unit
+        History.append(spark, ddir, d2,
+          key = s"lex-$from-$to-$nonce"): Unit
+      }
+      History.refreshKeyIndex(spark, pdir, "doc_id"): Unit
+      History.refreshKeyIndex(spark, ddir, "doc_id"): Unit
+      IncrementalRollup.tick(spark, pdir, dfRollupDir(indexDir),
+        Seq("word"), "tf"): Unit
+      IncrementalRollup.tick(spark, ddir, statsRollupDir(indexDir),
+        Seq("grp"), "dl"): Unit
+      markIndexed(spark, indexDir, to)
+      (to, nDel, nIns)
+    } finally feed.unpersist(): Unit
+  }
+
+  /** Doc-as-query BM25 top-k from the MAINTAINED index: identical
+    * output contract to [[HybridRetrieval.docQueryBm25TopK]] over the
+    * corpus' current image, reading the query docs' postings
+    * (bloom-pruned), the df/stats rollups, and only the query terms'
+    * bucket partitions of the postings lake. */
+  def searchTopK(spark: SparkSession, indexDir: String,
+                 queryIds: Seq[Any], k: Int,
+                 dfCapInv: Int = 4): DataFrame = {
+    require(queryIds.nonEmpty, "searchTopK needs at least one query id")
+    val pdir = postingsDir(indexDir)
+    val stats = IncrementalRollup.read(spark, statsRollupDir(indexDir))
+      .select(col("n_rows"), col("sum_dl")).collect()
+    val (nDocs, totalDl) =
+      if (stats.isEmpty) (0L, 0L) else (stats.head.getLong(0),
+        stats.head.getLong(1))
+    def emptyResult: DataFrame = spark.range(0).select(
+      col("id").as("query_id"), col("id").as("b_id"),
+      col("id").cast("int").as("rank"),
+      col("id").cast("decimal(18,6)").as("score"))
+    if (nDocs == 0L) return emptyResult
+    val dfTab = IncrementalRollup.read(spark, dfRollupDir(indexDir))
+      .select(col("word"), col("n_rows").as("df"))
+      .filter(col("df") * dfCapInv <= nDocs && length(col("word")) > 0)
+    // bounded query-term set: the query docs' own postings rows
+    // (bloom-pruned by doc_id), df-capped through the rollup
+    val qTerms = History.readPinnedKeyed(spark, pdir, "doc_id", queryIds)
+      .select(col("doc_id").as("query_id"), col("word"))
+      .join(dfTab, "word")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val qBuckets = qTerms.select(bucket(col("word")).as("wb"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      if (qBuckets.isEmpty) return emptyResult
+      val lists = History.readPinnedPartitions(spark, pdir,
+        dir => dir.startsWith("wb=") &&
+          dir.stripPrefix("wb=").toLongOption.exists(qBuckets))
+      val avgdl = totalDl.toDouble / nDocs.toDouble
+      val idf = log((lit(nDocs.toDouble) - col("df") + 0.5) /
+        (col("df").cast("double") + 0.5) + 1.0)
+      val perTerm = lists.join(broadcast(qTerms), "word")
+        .filter(col("query_id") =!= col("doc_id"))
+        .select(col("query_id"), col("doc_id").as("b_id"),
+          round(idf * (col("tf").cast("double") * 2.2) /
+            (col("tf").cast("double") +
+              lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double")
+                / lit(avgdl))), 6)
+            .cast("decimal(18,6)").as("ts"))
+      val scored = perTerm.groupBy(col("query_id"), col("b_id"))
+        .agg(sum(col("ts")).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("b_id").asc)
+      scored.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= k)
+        .select("query_id", "b_id", "rank", "score")
+    } finally qTerms.unpersist(): Unit
+  }
+}

@@ -140,6 +140,41 @@ object ExtQueries {
     embeddings(s, d).filter(col("vec_id") % 97 === 1)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
 
+  /** s15's MAINTAINED BM25 index ([[graft.ext.LexicalIndex]]): the
+    * documents table becomes a manifest corpus lake, the postings /
+    * doclens lakes + df/stats rollups are bootstrapped, then the
+    * corpus EVOLVES (merge-on-read takedown of doc_id % 13 = 7, a
+    * +10,000,000-rekeyed copy append of doc_id % 41 = 0) and ONE tick
+    * mirrors the window — postings deletion vectors retracting df
+    * exactly through the rollups. Built once per (session, dir) under
+    * the artifact root. */
+  private val lexIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def maintainedLexIndex(s: SparkSession,
+                                 d: String): (String, String) =
+    lexIndexCache.computeIfAbsent(
+      s"${graft.SessionKey(s)}|$d",
+      _ => {
+        Memos.install(s)
+        val base = s"${artifactRoot(s, d)}/lexindex"
+        val corpus = s"$base/corpus"
+        val index = s"$base/index"
+        val docs = documents(s, d).select(col("doc_id"), col("text"))
+        docs.repartition(8).write.mode("overwrite").parquet(corpus)
+        graft.sources.History.enableManifests(s, corpus): Unit
+        graft.sources.History.enableShardedManifests(s, corpus): Unit
+        graft.ext.LexicalIndex.bootstrap(s, corpus, index): Unit
+        graft.sources.History.deleteWhereDV(s, corpus,
+          col("doc_id") % 13 === 7): Unit
+        graft.sources.History.append(s, corpus,
+          docs.filter(col("doc_id") % 41 === 0)
+            .select((col("doc_id") + 10000000L).as("doc_id"), col("text")),
+          key = "s15-copies"): Unit
+        graft.ext.LexicalIndex.tick(s, corpus, index): Unit
+        (corpus, index)
+      })
+
   /** s09/s10/s11 share the trained product quantizer and the corpus
     * code assignments — published like the coarse quantizer: codebook
     * through the versioned index root, codes as a small at-rest parquet
@@ -267,7 +302,8 @@ object ExtQueries {
     // the at-rest artifacts (quantizer/pq/codes/bands dirs under the
     // warehouse): drop cache entries, the band table's catalog entry,
     // and the dirs themselves
-    Seq(centroidsCache, pqCache, bandArtifactCache, vecIndexCache)
+    Seq(centroidsCache, pqCache, bandArtifactCache, vecIndexCache,
+        lexIndexCache)
       .foreach { cache =>
       val it = cache.entrySet().iterator()
       while (it.hasNext) {
@@ -738,6 +774,31 @@ object ExtQueries {
         .filter(col("vec_id") % 50 === 0)
       graft.ext.VectorIndex.searchTopK(s, index, queries,
         "vec_id", "embedding", s14Centroids(s, d), k = 3)
+    }),
+
+    // MAINTAINED BM25 index serving a LIVE corpus — the lexical
+    // counterpart of s14: postings/doclens lakes + exact df/stats
+    // rollups advanced by one change-feed tick after a DV takedown and
+    // an append; the search reads the query docs' postings
+    // (bloom-pruned), the rollups, and only the query terms' bucket
+    // partitions. The oracle recomputes one-shot BM25 over the final
+    // corpus image, so a missed df retraction, a stale avgdl, or a
+    // leaked posting fails the hash.
+    "s15_maintained_bm25" -> ((s, d) => {
+      val (corpus, index) = maintainedLexIndex(s, d)
+      val qIds = graft.sources.History.readPinned(s, corpus)
+        .filter(col("doc_id") % 50 === 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      // dfCapInv = 1: the synthetic corpus has a ~31-word vocabulary
+      // where all but one term sit at df ≈ 0.75·N — the production cap
+      // (4) would empty the vocabulary and make the gate vacuous, so
+      // the gate ranks over the FULL vocabulary instead, which also
+      // stresses every maintained df row; the cap's bounding behavior
+      // itself is covered by LexicalIndexSpec
+      graft.ext.LexicalIndex.searchTopK(s, index, qIds, k = 10,
+          dfCapInv = 1)
+        .select(col("query_id"), col("b_id"), col("rank"),
+          col("score").cast("double").as("score"))
     }),
 
     // Hybrid retrieval (the RAG first stage): a doc-as-query BM25 arm
@@ -2488,6 +2549,52 @@ object ExtQueries {
                   ORDER BY cos_r DESC, b_id ASC) AS rank FROM s) t
           WHERE rank <= 3"""
     },
+    "s15_maintained_bm25" ->
+      """WITH corpus2 AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 13 != 7
+           UNION ALL
+           SELECT doc_id + 10000000, text FROM documents
+           WHERE doc_id % 41 = 0
+         ), words AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM corpus2 WHERE text IS NOT NULL
+         ), dl AS (
+           SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY 1
+         ), stats AS (
+           SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl
+         ), tf AS (
+           SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2
+         ), dfreq AS (
+           SELECT word, COUNT(*) AS df FROM tf GROUP BY 1
+         ), vocab AS (
+           SELECT word, df FROM dfreq, stats
+           WHERE df * 1 <= n_docs AND length(word) > 0
+         ), qterms AS (
+           SELECT DISTINCT w.doc_id AS query_id, w.word, v.df
+           FROM words w JOIN vocab v USING (word)
+           WHERE w.doc_id % 50 = 0
+         ), per_term AS (
+           SELECT qt.query_id, tf.doc_id AS b_id,
+             CAST(round(
+               ln((CAST(n_docs AS DOUBLE) - qt.df + 0.5)
+                  / (CAST(qt.df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf AS DOUBLE) * 2.2)
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                    / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))),
+               6) AS DECIMAL(18,6)) AS ts
+           FROM tf JOIN qterms qt USING (word) JOIN dl USING (doc_id), stats
+           WHERE tf.doc_id != qt.query_id
+         ), lex_scored AS (
+           SELECT query_id, b_id, SUM(ts) AS score
+           FROM per_term GROUP BY 1, 2
+         )
+         SELECT query_id, b_id, CAST(rank AS INTEGER) AS rank,
+                CAST(score AS DOUBLE) AS score
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, b_id ASC) AS rank
+               FROM lex_scored) t
+         WHERE rank <= 10""",
     "s12_hybrid_rrf" ->
       """WITH words AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS word
