@@ -126,6 +126,13 @@ object LexicalIndex {
     val ddir = doclensDir(indexDir)
     doclens.coalesce(4).write.mode("overwrite").parquet(ddir)
     History.enableManifests(spark, ddir): Unit
+    // a RE-bootstrap over a surviving index dir must reset the rollups
+    // too: IncrementalRollup.bootstrap early-returns when state exists,
+    // and a stale rollup cursor above the fresh lakes' version numbering
+    // would make every later tick silently no-op on stale aggregates
+    val fs = fsOf(spark, indexDir)
+    Seq(dfRollupDir(indexDir), statsRollupDir(indexDir)).foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true): Unit)
     IncrementalRollup.bootstrap(spark, pdir, dfRollupDir(indexDir),
       Seq("word"), "tf"): Unit
     IncrementalRollup.bootstrap(spark, ddir, statsRollupDir(indexDir),
@@ -178,14 +185,30 @@ object LexicalIndex {
       require(touched.length < lim || lim == Int.MaxValue,
         s"tick window touches > maxDeletes=$maxDeletes docs — " +
           "re-bootstrap the index instead of replaying a mass change")
+      // crashed-attempt intents from this baseline whose ids the
+      // image-diff feed no longer mentions — reset + re-insert their
+      // image at `to` (see [[IndexReplay]])
+      val ifs = fsOf(spark, indexDir)
+      val touchedStr = touched.map(_.toString).toSet
+      val extras = IndexReplay
+        .pending(ifs, stateDir(indexDir), from)
+        .filterNot(touchedStr)
+      IndexReplay.record(ifs, stateDir(indexDir), from, touched)
       val nDel = feed.filter(col("_change") === "delete")
         .select(col(docIdCol)).distinct().count()
-      if (touched.nonEmpty) {
-        History.deleteKeysDV(spark, pdir, "doc_id", touched): Unit
-        History.deleteKeysDV(spark, ddir, "doc_id", touched): Unit
+      val allTouched = touched ++ extras
+      if (allTouched.nonEmpty) {
+        History.deleteKeysDV(spark, pdir, "doc_id", allTouched): Unit
+        History.deleteKeysDV(spark, ddir, "doc_id", allTouched): Unit
       }
-      val inserts = feed.filter(col("_change") === "insert")
+      val feedInserts = feed.filter(col("_change") === "insert")
         .select(col(docIdCol), col(textCol))
+      val inserts =
+        if (extras.isEmpty) feedInserts
+        else feedInserts.unionByName(
+          History.readPinned(spark, corpusLake, to)
+            .filter(col(docIdCol).cast("string").isin(extras: _*))
+            .select(col(docIdCol), col(textCol)))
       val nIns = inserts.select(col(docIdCol)).distinct().count()
       if (nIns > 0L) {
         val (p2, d2) = tokenize(inserts, docIdCol, textCol)
@@ -202,6 +225,7 @@ object LexicalIndex {
       IncrementalRollup.tick(spark, ddir, statsRollupDir(indexDir),
         Seq("grp"), "dl"): Unit
       markIndexed(spark, indexDir, to)
+      IndexReplay.clear(ifs, stateDir(indexDir), from)
       (to, nDel, nIns)
     } finally feed.unpersist(): Unit
   }
@@ -221,10 +245,16 @@ object LexicalIndex {
     val (nDocs, totalDl) =
       if (stats.isEmpty) (0L, 0L) else (stats.head.getLong(0),
         stats.head.getLong(1))
-    def emptyResult: DataFrame = spark.range(0).select(
-      col("id").as("query_id"), col("id").as("b_id"),
-      col("id").cast("int").as("rank"),
-      col("id").cast("decimal(18,6)").as("score"))
+    // empty results carry the key column's ACTUAL type (ids may be
+    // strings), so per-batch unions never hit a schema mismatch
+    def emptyResult: DataFrame = {
+      val idType = History.readPinned(spark, pdir).schema("doc_id").dataType
+      spark.range(0).select(
+        col("id").cast(idType).as("query_id"),
+        col("id").cast(idType).as("b_id"),
+        col("id").cast("int").as("rank"),
+        col("id").cast("decimal(28,6)").as("score"))
+    }
     if (nDocs == 0L) return emptyResult
     val dfTab = IncrementalRollup.read(spark, dfRollupDir(indexDir))
       .select(col("word"), col("n_rows").as("df"))
@@ -234,33 +264,34 @@ object LexicalIndex {
     val qTerms = History.readPinnedKeyed(spark, pdir, "doc_id", queryIds)
       .select(col("doc_id").as("query_id"), col("word"))
       .join(dfTab, "word")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val qBuckets = qTerms.select(bucket(col("word")).as("wb"))
-        .distinct().collect().map(_.getLong(0)).toSet
-      if (qBuckets.isEmpty) return emptyResult
-      val lists = History.readPinnedPartitions(spark, pdir,
-        dir => dir.startsWith("wb=") &&
-          dir.stripPrefix("wb=").toLongOption.exists(qBuckets))
-      val avgdl = totalDl.toDouble / nDocs.toDouble
-      val idf = log((lit(nDocs.toDouble) - col("df") + 0.5) /
-        (col("df").cast("double") + 0.5) + 1.0)
-      val perTerm = lists.join(broadcast(qTerms), "word")
-        .filter(col("query_id") =!= col("doc_id"))
-        .select(col("query_id"), col("doc_id").as("b_id"),
-          round(idf * (col("tf").cast("double") * 2.2) /
-            (col("tf").cast("double") +
-              lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double")
-                / lit(avgdl))), 6)
-            .cast("decimal(18,6)").as("ts"))
-      val scored = perTerm.groupBy(col("query_id"), col("b_id"))
-        .agg(sum(col("ts")).as("score"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("b_id").asc)
-      scored.withColumn("rank", row_number().over(w).cast("int"))
-        .filter(col("rank") <= k)
-        .select("query_id", "b_id", "rank", "score")
-    } finally qTerms.unpersist(): Unit
+    // the probed bucket set is bounded by the query docs' terms —
+    // collecting it is what makes the partition-pruned postings read
+    // possible (the broadcast(qTerms) below re-derives the same small
+    // frame lazily; a cache would only serve this one collect)
+    val qBuckets = qTerms.select(bucket(col("word")).as("wb"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    if (qBuckets.isEmpty) return emptyResult
+    val lists = History.readPinnedPartitions(spark, pdir,
+      dir => dir.startsWith("wb=") &&
+        dir.stripPrefix("wb=").toLongOption.exists(qBuckets))
+    val avgdl = totalDl.toDouble / nDocs.toDouble
+    val idf = log((lit(nDocs.toDouble) - col("df") + 0.5) /
+      (col("df").cast("double") + 0.5) + 1.0)
+    val perTerm = lists.join(broadcast(qTerms), "word")
+      .filter(col("query_id") =!= col("doc_id"))
+      .select(col("query_id"), col("doc_id").as("b_id"),
+        round(idf * (col("tf").cast("double") * 2.2) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double")
+              / lit(avgdl))), 6)
+          .cast("decimal(18,6)").as("ts"))
+    val scored = perTerm.groupBy(col("query_id"), col("b_id"))
+      .agg(sum(col("ts")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("b_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "b_id", "rank", "score")
   }
 }

@@ -187,11 +187,29 @@ object VectorIndex {
       require(touchedIds.length < lim || lim == Int.MaxValue,
         s"tick window touches > maxDeletes=$maxDeletes ids — " +
           "re-bootstrap the index instead of replaying a mass change")
+      // ids a crashed attempt from this baseline ALREADY took down that
+      // the image-diff feed no longer mentions (deleted-then-reinserted
+      // across the crash): reset them and re-insert their image AT `to`
+      // — see [[IndexReplay]]
+      val fs = fsOf(spark, indexDir)
+      val touchedStr = touchedIds.map(_.toString).toSet
+      val extras = IndexReplay
+        .pending(fs, stateDir(indexDir), from)
+        .filterNot(touchedStr)
+      IndexReplay.record(fs, stateDir(indexDir), from, touchedIds)
       val nDel = feed.filter(col("_change") === "delete").count()
-      if (touchedIds.nonEmpty)
-        History.deleteKeysDV(spark, pdir, idCol, touchedIds): Unit
-      val inserts = feed.filter(col("_change") === "insert")
+      val allTouched = touchedIds ++ extras
+      if (allTouched.nonEmpty) {
+        History.deleteKeysDV(spark, pdir, idCol, allTouched): Unit
+      }
+      val feedInserts = feed.filter(col("_change") === "insert")
         .select(col(idCol), col(embCol))
+      val inserts =
+        if (extras.isEmpty) feedInserts
+        else feedInserts.unionByName(
+          History.readPinned(spark, corpusLake, to)
+            .filter(col(idCol).cast("string").isin(extras: _*))
+            .select(col(idCol), col(embCol)))
       val nIns = inserts.count()
       if (nIns > 0L)
         History.append(spark, pdir,
@@ -201,6 +219,7 @@ object VectorIndex {
           partitionCols = Seq("cell")): Unit
       History.refreshKeyIndex(spark, pdir, idCol): Unit
       markIndexed(spark, indexDir, to)
+      IndexReplay.clear(fs, stateDir(indexDir), from)
       (to, nDel, nIns)
     } finally feed.unpersist(): Unit
   }

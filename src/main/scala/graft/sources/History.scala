@@ -2170,6 +2170,13 @@ object History {
     val qDest = destFs.makeQualified(destRoot)
     require(!FileManifest.enabled(destFs, destDir),
       s"exportSnapshot destination already holds a lake: $destDir")
+    // a retry after a crash between the schema declaration and the
+    // manifest publish finds declared-schema debris with no committed
+    // lake behind it (the manifest IS the commit point, and the
+    // occupied-destination guard above just proved none exists) —
+    // sweep it or declareAs below would wedge every retry
+    destFs.delete(new org.apache.hadoop.fs.Path(
+      SchemaLog.schemaDir(destDir)), true): Unit
     // (source-relative, dest-relative) copy pairs: data files keep
     // their layout; referenced DV sidecars keep their names under the
     // destination's own _manifests/dvs

@@ -129,13 +129,6 @@ object LakeChangeFeed {
         History.refreshStatsForRange(spark, lakePath, c, from, to): Unit)
       keyCols.foreach(c =>
         History.refreshKeyIndexForRange(spark, lakePath, c, from, to): Unit)
-      // small-file debt retires in the same agent pass: a converged
-      // lake no-ops, a packing commit is pure layout (the NEXT tick's
-      // feed diffs it to empty), and running after delivery means the
-      // packed-away files were already diffed — the loop never races
-      // its own rewrites. Cost follows the debt, not the lake.
-      binPackTargetBytes.foreach(t =>
-        History.binPack(spark, lakePath, targetBytes = t): Unit)
     }
     // materialized rollups advance on EVERY maintenance pass, not just
     // when this agent delivered a new range: a rollup bootstrapped (or
@@ -145,7 +138,19 @@ object LakeChangeFeed {
     // Failures are isolated PER ROLLUP: one poisoned rollup (e.g. an
     // HLL spec hitting a delete range) must not starve the others —
     // every spec gets its tick, then the failures surface together.
-    val failed = rollups.flatMap { r =>
+    // small-file debt retires in the same agent pass: a converged lake
+    // no-ops, a packing commit is pure layout (the NEXT tick's feed
+    // diffs it to empty), and running after delivery means the
+    // packed-away files were already diffed. Failure-ISOLATED like
+    // every other maintenance step below — a pack aborted by a racing
+    // writer must not starve the rollup/index ticks this pass.
+    val packFailed = range.toSeq.flatMap { _ =>
+      binPackTargetBytes.flatMap { t =>
+        try { History.binPack(spark, lakePath, targetBytes = t); None }
+        catch { case e: Exception => Some((s"$lakePath (binPack)", e)) }
+      }
+    }
+    val failed = packFailed ++ rollups.flatMap { r =>
       try {
         graft.sources.IncrementalRollup.tick(spark, lakePath, r.rollupDir,
           r.keyCols, r.sumCols, r.distinctCols): Unit
@@ -163,7 +168,8 @@ object LakeChangeFeed {
       } catch { case e: Exception => Some((ix.indexDir, e)) }
     }
     if (failed.nonEmpty) {
-      val total = rollups.size + vectorIndexes.size
+      val total = rollups.size + vectorIndexes.size +
+        (if (binPackTargetBytes.isDefined) 1 else 0)
       val ex = new IllegalStateException(
         s"${failed.size}/$total maintenance tick(s) failed " +
           s"(the rest advanced): ${failed.map(_._1).mkString(", ")}",

@@ -108,6 +108,53 @@ class LexicalIndexSpec extends AnyFunSuite {
       "replay must converge postings AND df/stats rollups")
   }
 
+  test("crashed-tick replay restores a delete-then-identical-reinsert") {
+    val (corpus, index) = mkLakes()
+    LexicalIndex.bootstrap(spark, corpus, index): Unit
+    History.deleteKeysDV(spark, corpus, "doc_id", Seq(5L)): Unit
+    LexicalIndex.tick(spark, corpus, index): Unit
+    // crash after the takedown landed; doc 5 comes back IDENTICALLY
+    val fs = new org.apache.hadoop.fs.Path(index).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(
+        LexicalIndex.stateDir(index)))
+      .filter(_.getPath.getName.endsWith(".done"))
+      .sortBy(_.getPath.getName).lastOption
+      .foreach(s => fs.delete(s.getPath, false): Unit)
+    History.append(spark, corpus, corpusDf(Seq(5L)), key = "back"): Unit
+    LexicalIndex.tick(spark, corpus, index): Unit
+    val got = rows(maintained(corpus, index, 5))
+    val want = rows(oneShot(corpus, 5))
+    assert(got === want,
+      "the intent record must restore the net-zero id's postings AND " +
+        "its df/stats contributions")
+  }
+
+  test("re-bootstrap over a surviving index dir resets rollups and state") {
+    val (corpus, index) = mkLakes()
+    LexicalIndex.bootstrap(spark, corpus, index): Unit
+    History.deleteKeysDV(spark, corpus, "doc_id", Seq(1L, 2L)): Unit
+    LexicalIndex.tick(spark, corpus, index): Unit
+    // a NEW corpus at a fresh path (version numbering restarts below
+    // the old rollup cursor) indexed into the SAME surviving index dir
+    // — the stale-artifact-root shape a session restart produces
+    val corpus2 = java.nio.file.Files
+      .createTempDirectory("graft-lexidx2").toString + "/corpus"
+    corpusDf(1000L until 1030L).repartition(2).write.parquet(corpus2)
+    History.enableManifests(spark, corpus2): Unit
+    LexicalIndex.bootstrap(spark, corpus2, index): Unit
+    History.deleteKeysDV(spark, corpus2, "doc_id", Seq(1001L)): Unit
+    LexicalIndex.tick(spark, corpus2, index): Unit
+    val qIds = History.readPinned(spark, corpus2)
+      .filter(col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val got = rows(LexicalIndex.searchTopK(spark, index, qIds, 5))
+    val want = rows(HybridRetrieval.docQueryBm25TopK(
+      History.readPinned(spark, corpus2), col("doc_id") % 10 === 0, 5))
+    assert(got === want,
+      "a re-bootstrap must reset df/stats rollups, not serve stale ones")
+  }
+
   test("search reads only the query terms' bucket partitions") {
     val (corpus, index) = mkLakes()
     LexicalIndex.bootstrap(spark, corpus, index): Unit

@@ -213,6 +213,28 @@ class VectorIndexSpec extends AnyFunSuite {
       s"exactly one tick attempt's files may be current, got: $tags")
   }
 
+  test("crashed-tick replay restores a delete-then-identical-reinsert") {
+    val (corpus, index) = mkLakes()
+    val cent = centroidsOf(corpus)
+    VectorIndex.bootstrap(spark, corpus, index, "vec_id", "embedding",
+      cent): Unit
+    // the image-diff poison case: the crashed attempt's takedown of X
+    // is durable, X is then re-inserted IDENTICALLY, and the replay's
+    // net feed never mentions X — only the recorded intent knows
+    History.deleteKeysDV(spark, corpus, "vec_id", Seq(4L)): Unit
+    VectorIndex.tick(spark, corpus, index, "vec_id", "embedding",
+      cent): Unit
+    dropLastMarker(index)
+    History.append(spark, corpus, corpusDf(Seq(4L)), key = "back"): Unit
+    VectorIndex.tick(spark, corpus, index, "vec_id", "embedding",
+      cent): Unit
+    assert(History.readPinnedKeyed(spark,
+        VectorIndex.postingsDir(index), "vec_id", Seq(4L)).count() === 1L,
+      "an id deleted-then-identically-reinserted across the crash must " +
+        "be restored from the intent record")
+    assertExact(corpus, index, cent, "post-restore search parity")
+  }
+
   test("the one-agent maintenance loop advances the index with the feed") {
     import graft.stream.LakeChangeFeed
     val (corpus, index) = mkLakes()
