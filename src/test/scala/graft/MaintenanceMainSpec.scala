@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.{FileManifest, History, IncrementalRollup}
+
+/** The config-driven maintenance agent: one `runOnce` pass configured
+  * purely through spark conf delivers the feed, advances a rollup,
+  * retires small-file debt, and vacuums — the deployable shape of the
+  * one-agent contract. */
+class MaintenanceMainSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def fresh(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString + "/x"
+
+  test("a conf-configured pass runs the whole maintenance contract") {
+    import spark.implicits._
+    val lake = fresh("graft-mm-lake")
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("doc_id", "n_chars")
+      .coalesce(1).write.parquet(lake)
+    History.enableManifests(spark, lake): Unit
+    val feed = fresh("graft-mm-feed")
+    val rollup = fresh("graft-mm-rollup")
+    IncrementalRollup.bootstrap(spark, lake, rollup,
+      Seq("doc_id"), "n_chars"): Unit
+    // baseline tick, then evolve: appends (small-file debt) + a DV
+    // takedown — all through the conf surface from here on
+    graft.stream.LakeChangeFeed.tick(spark, lake, feed): Unit
+    (4 to 7).foreach { i =>
+      History.append(spark, lake,
+        Seq((i.toLong, i * 10L)).toDF("doc_id", "n_chars"),
+        key = s"b$i"): Unit
+    }
+    History.deleteKeysDV(spark, lake, "doc_id", Seq(2L)): Unit
+    def set(k: String, v: String): Unit =
+      spark.conf.set(s"spark.graft.maintenance.$k", v)
+    set("lake", lake)
+    set("feedDir", feed)
+    set("keyCols", "doc_id")
+    set("rollups", s"$rollup|doc_id|n_chars")
+    set("binPackTargetBytes", (1024L * 1024).toString)
+    // grace must outlive the pass cadence (a zero grace would reclaim
+    // the feed's baseline the moment vacuum's own publish supersedes
+    // it — runOnce rejects it loudly)
+    set("vacuumGraceMs", "60000")
+    set("feedKeepRanges", "4")
+    try {
+      val range = MaintenanceMain.runOnce(spark)
+      assert(range.isDefined, "the pass must deliver the pending range")
+      // rollup advanced through appends AND the DV retraction
+      val got = IncrementalRollup.read(spark, rollup)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === Seq(1L, 3L, 4L, 5L, 6L, 7L))
+      // small-file debt retired in the same pass (the one packed file
+      // plus nothing else — vacuum at grace 0 already reclaimed)
+      val fs = new org.apache.hadoop.fs.Path(lake).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      assert(FileManifest.latest(fs, lake).get.cur.size === 1)
+      assert(History.readPinned(spark, lake)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+        Seq(1L, 3L, 4L, 5L, 6L, 7L))
+      // a second pass is a clean no-op (nothing new to deliver)
+      assert(MaintenanceMain.runOnce(spark).isEmpty)
+      // and a zero grace is rejected up front, not discovered as a
+      // wedged feed two passes later
+      set("vacuumGraceMs", "0")
+      intercept[IllegalArgumentException] {
+        MaintenanceMain.runOnce(spark)
+      }
+    } finally {
+      Seq("lake", "feedDir", "keyCols", "rollups", "binPackTargetBytes",
+        "vacuumGraceMs", "feedKeepRanges")
+        .foreach(k => spark.conf.unset(s"spark.graft.maintenance.$k"))
+    }
+  }
+
+  test("malformed rollup and index specs fail loudly") {
+    spark.conf.set("spark.graft.maintenance.rollups", "just-a-dir")
+    try intercept[IllegalArgumentException] {
+      MaintenanceMain.rollupSpecs(spark)
+    } finally spark.conf.unset("spark.graft.maintenance.rollups")
+    spark.conf.set("spark.graft.maintenance.vectorIndexes", "a|b")
+    try intercept[IllegalArgumentException] {
+      MaintenanceMain.indexSpecs(spark)
+    } finally spark.conf.unset("spark.graft.maintenance.vectorIndexes")
+  }
+}

@@ -18,6 +18,29 @@ class PropertySpec extends AnyFunSuite {
     Gen.zip(Gen.choose(0L, 30L), Gen.choose(-100, 100))
       .map { case (id, s) => Scored(id, s.toDouble) })
 
+  test("deletion-vector sidecars round-trip any position multiset") {
+    // write(unsorted, duplicated positions) → read must yield the
+    // sorted distinct set — the RLE encoder/decoder pair is the one
+    // place a position could silently shift, and a shifted position is
+    // a wrong-row delete
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val lake = java.nio.file.Files
+      .createTempDirectory("graft-dv-prop").toString
+    val genPositions: Gen[List[Long]] = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.choose(0L, 30L), // dense: exercises run coalescing
+      Gen.choose(0L, 1000000000L))) // sparse: exercises singletons
+    var i = 0
+    check(Prop.forAll(genPositions) { positions =>
+      i += 1
+      val name = graft.sources.DeletionVector.write(fs, lake,
+        s"part-$i.parquet", positions.toArray, version = i.toLong)
+      graft.sources.DeletionVector.evictCache() // force a physical read
+      val back = graft.sources.DeletionVector.read(fs, lake, name)
+      back.toSeq == positions.distinct.sorted
+    })
+  }
+
   test("Md5Prefix.hash ≡ numeric value of the md5 hex prefix") {
     // the native expression must stay bit-identical to the composed
     // conv(substring(md5(x),1,n),16,10) form every DuckDB oracle
