@@ -1094,6 +1094,26 @@ object ExtQueries {
             .as("kept_words"))
     }),
 
+    // Sequence packing (concat-then-chunk): documents concatenate into
+    // per-(lang, shard) token streams in ascending id order and every
+    // doc reports the 512-token training sequences it lands in — the
+    // deterministic window-cumsum shape that parallelizes by shard
+    // (each of the 8 streams packs independently; a 100 TB stratum
+    // shards to thousands of bounded sorts). A drifted start offset or
+    // bin boundary anywhere in the stream fails the hash.
+    "t23_seq_packing" -> ((s, d) =>
+      graft.ext.Packing.packBins(documents(s, d), "doc_id", "text",
+          "lang", pmod(col("doc_id"), lit(8L)), seqLen = 512L)
+        .filter(col("doc_id") % 7 === 0)), // bounded gate slice
+
+    // Token-budget selection: per (lang, shard) stream, keep docs in
+    // id order until 300 tokens — the boundary-crossing doc included
+    // (soft budget). The eval-set / per-domain-quota draw that rate
+    // sampling (t15) and fixed-n sampling (t21) can't express.
+    "t24_token_budget" -> ((s, d) =>
+      graft.ext.Packing.tokenBudget(documents(s, d), "doc_id", "text",
+        "lang", pmod(col("doc_id"), lit(8L)), budget = 300L)),
+
     // Fixed-size deterministic per-stratum sample: each lang keeps its
     // 20 docs with the smallest 48-bit md5 rank — a uniform sample
     // without replacement that is retry-stable and engine-portable
@@ -2126,6 +2146,45 @@ object ExtQueries {
          FROM dg JOIN bench USING (g)
          WHERE doc_id % 100 != 13
          GROUP BY doc_id""",
+    "t23_seq_packing" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, doc_id % 8 AS shard,
+             CAST(CASE WHEN text IS NULL THEN 0
+                  ELSE len(string_split(text, ' ')) END AS BIGINT)
+               AS n_tokens
+           FROM documents
+         ), st AS (
+           SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start
+           FROM toks
+         )
+         SELECT doc_id, lang, shard, n_tokens, start,
+           CAST(start // 512 AS BIGINT) AS bin_first,
+           CAST(CASE WHEN n_tokens = 0 THEN start // 512
+                ELSE (start + n_tokens - 1) // 512 END AS BIGINT)
+             AS bin_last,
+           CAST(CASE WHEN n_tokens = 0 THEN start // 512
+                ELSE (start + n_tokens - 1) // 512 END
+             - start // 512 + 1 AS BIGINT) AS n_bins
+         FROM st WHERE doc_id % 7 = 0""",
+    "t24_token_budget" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, doc_id % 8 AS shard,
+             CAST(CASE WHEN text IS NULL THEN 0
+                  ELSE len(string_split(text, ' ')) END AS BIGINT)
+               AS n_tokens
+           FROM documents
+         ), st AS (
+           SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start
+           FROM toks
+         )
+         SELECT doc_id, lang, shard, n_tokens, start
+         FROM st WHERE start < 300""",
     "t22_boilerplate_spans" ->
       """WITH w AS (
            SELECT doc_id, string_split(text, ' ') AS ws
