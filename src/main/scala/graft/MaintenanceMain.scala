@@ -81,30 +81,34 @@ object MaintenanceMain {
         IllegalArgumentException("spark.graft.maintenance.lake required"))
     val feedDir = conf(spark, "feedDir").getOrElse(throw new
         IllegalArgumentException("spark.graft.maintenance.feedDir required"))
+    // validate the vacuum contract UP FRONT, before a full pass of
+    // work: a zero grace gives in-flight readers and the feed's
+    // diffable files no protection at all — size the grace to the
+    // delivery cadence plus the pass duration (the files a diff needs
+    // are at most that old once the high water advances every pass)
+    val grace = conf(spark, "vacuumGraceMs").map(_.toLong)
+    grace.foreach(g => require(g > 0,
+      "spark.graft.maintenance.vacuumGraceMs must be > 0 — size it to " +
+        "the delivery cadence plus the pass duration (it is what keeps " +
+        "a delivered range's diffable files readable)"))
     val range = LakeChangeFeed.tickWithMaintenance(spark, lake, feedDir,
       statsCols = csv(spark, "statsCols"),
       keyCols = csv(spark, "keyCols"),
       rollups = rollupSpecs(spark),
       binPackTargetBytes = conf(spark, "binPackTargetBytes").map(_.toLong),
       vectorIndexes = indexSpecs(spark))
-    conf(spark, "vacuumGraceMs").map(_.toLong).foreach { g =>
-      // a ZERO grace is incompatible with a change feed, structurally:
-      // vacuum's own manifest publish supersedes the version the feed
-      // just delivered, and at grace 0 the superseded root is
-      // reclaimed in the same call — the next pass's baseline is gone
-      // and the feed fails loudly (by design: silent re-baselining
-      // would replay the lake as inserts). Enforce the feed contract
-      // here: the grace must exceed the pass cadence.
-      require(g > 0,
-        "spark.graft.maintenance.vacuumGraceMs must be > 0 when a " +
-          "change feed is delivered — size it to at least the pass " +
-          "cadence (the feed's baseline version must stay retained " +
-          "between passes)")
-      // deliver the pass's OWN commits (bin-pack, rewrites) before
-      // vacuuming so the high water tracks latest; these layout-only
-      // ranges diff to zero rows downstream
+    grace.foreach { g =>
+      // deliver the pass's OWN commits (bin-pack, rewrites) first so
+      // the high water tracks latest (layout-only ranges diff to zero
+      // rows downstream), then vacuum with the high-water ROOT pinned:
+      // vacuum's own publish supersedes the just-delivered version,
+      // and without the pin an aggressive grace could sweep the
+      // baseline root in the same call — wedging every later pass on
+      // an unresolvable changesBetween `from` (the feed fails loudly
+      // rather than re-baselining, by design)
       LakeChangeFeed.tick(spark, lake, feedDir): Unit
-      History.vacuum(spark, lake, graceMs = g): Unit
+      val pin = LakeChangeFeed.highWater(spark, feedDir).toSet
+      History.vacuum(spark, lake, graceMs = g, keepVersions = pin): Unit
     }
     conf(spark, "feedKeepRanges").map(_.toInt).foreach(k =>
       LakeChangeFeed.expire(spark, feedDir, keepRanges = k): Unit)
@@ -117,12 +121,33 @@ object MaintenanceMain {
     val once = conf(spark, "once").exists(_.toBoolean)
     val intervalMs =
       conf(spark, "intervalSecs").map(_.toLong).getOrElse(60L) * 1000L
-    var running = true
-    sys.addShutdownHook { running = false }
-    while (running) {
-      runOnce(spark): Unit
-      if (once) running = false
-      else Thread.sleep(intervalMs)
+    val running = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val loop = Thread.currentThread()
+    // graceful drain: flag the loop, wake it from its sleep, and WAIT
+    // for the in-flight pass — a hook that only flips a plain var
+    // neither reaches the loop thread reliably (no volatile) nor
+    // outlives the hook's own return (the JVM halts as hooks finish)
+    sys.addShutdownHook {
+      running.set(false)
+      loop.interrupt()
+      loop.join(120000L)
+    }
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    while (running.get()) {
+      // the agent is the ONE maintenance process per lake — a
+      // transient pass failure (an OCC abort under a racing writer, a
+      // poisoned rollup's aggregate rethrow) must cost one pass, not
+      // the daemon: vacuum, expiry, and every index stop advancing
+      // the moment this loop dies. `once` mode propagates instead —
+      // a one-shot caller wants the failure.
+      try runOnce(spark): Unit
+      catch {
+        case scala.util.control.NonFatal(e) if !once && running.get() =>
+          log.warn(s"maintenance pass failed; retrying next interval", e)
+      }
+      if (once) running.set(false)
+      else try Thread.sleep(intervalMs)
+      catch { case _: InterruptedException => () } // shutdown wake-up
     }
     if (once) spark.stop()
   }

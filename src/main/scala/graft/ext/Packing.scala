@@ -26,9 +26,25 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  // the ONE shared whitespace tokenizer (DuckDB split parity) — null
+  // text contributes zero tokens to its stream
   private def tokensOf(textCol: Column): Column =
     when(textCol.isNull, lit(0L))
-      .otherwise(size(split(textCol, " ")).cast("long"))
+      .otherwise(TextAnalysis.wsTokenCount(textCol).cast("long"))
+
+  /** The shared stream prelude: (id, stratum, shard, n_tokens) plus
+    * each doc's EXCLUSIVE running start offset in its (stratum, shard)
+    * stream — the one definition of "the token stream" both operators
+    * derive from. */
+  private def withStart(docs: DataFrame, idCol: String, textCol: String,
+                        stratumCol: String, shardCol: Column): DataFrame =
+    docs.select(col(idCol), col(stratumCol), shardCol.as("shard"),
+        tokensOf(col(textCol)).as("n_tokens"))
+      .withColumn("start",
+        coalesce(sum(col("n_tokens")).over(
+          Window.partitionBy(col(stratumCol), col("shard"))
+            .orderBy(col(idCol))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
 
   /** Concat-then-chunk bin assignment: each doc occupies
     * [start, start + n_tokens) of its (stratum, shard) token stream;
@@ -40,14 +56,7 @@ object Packing {
                stratumCol: String, shardCol: Column,
                seqLen: Long): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
-    val toks = tokensOf(col(textCol))
-    docs.select(col(idCol), col(stratumCol), shardCol.as("shard"),
-        toks.as("n_tokens"))
-      .withColumn("start",
-        coalesce(sum(col("n_tokens")).over(
-          Window.partitionBy(col(stratumCol), col("shard"))
-            .orderBy(col(idCol))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    withStart(docs, idCol, textCol, stratumCol, shardCol)
       .withColumn("bin_first", floor(col("start") / seqLen))
       .withColumn("bin_last",
         when(col("n_tokens") === 0L, floor(col("start") / seqLen))
@@ -67,14 +76,7 @@ object Packing {
                   stratumCol: String, shardCol: Column,
                   budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val toks = tokensOf(col(textCol))
-    docs.select(col(idCol), col(stratumCol), shardCol.as("shard"),
-        toks.as("n_tokens"))
-      .withColumn("start",
-        coalesce(sum(col("n_tokens")).over(
-          Window.partitionBy(col(stratumCol), col("shard"))
-            .orderBy(col(idCol))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    withStart(docs, idCol, textCol, stratumCol, shardCol)
       .filter(col("start") < budget)
       .select(idCol, stratumCol, "shard", "n_tokens", "start")
   }

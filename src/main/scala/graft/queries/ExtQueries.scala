@@ -1101,8 +1101,13 @@ object ExtQueries {
     // (each of the 8 streams packs independently; a 100 TB stratum
     // shards to thousands of bounded sorts). A drifted start offset or
     // bin boundary anywhere in the stream fails the hash.
+    // doc_id null-guard on both sides (the t22 precedent: a NULL id
+    // would make the stream's tie-order engine-dependent) and pmod for
+    // the shard so a negative id lands identically on both engines
     "t23_seq_packing" -> ((s, d) =>
-      graft.ext.Packing.packBins(documents(s, d), "doc_id", "text",
+      graft.ext.Packing.packBins(
+          documents(s, d).filter(col("doc_id").isNotNull),
+          "doc_id", "text",
           "lang", pmod(col("doc_id"), lit(8L)), seqLen = 512L)
         .filter(col("doc_id") % 7 === 0)), // bounded gate slice
 
@@ -1111,7 +1116,9 @@ object ExtQueries {
     // (soft budget). The eval-set / per-domain-quota draw that rate
     // sampling (t15) and fixed-n sampling (t21) can't express.
     "t24_token_budget" -> ((s, d) =>
-      graft.ext.Packing.tokenBudget(documents(s, d), "doc_id", "text",
+      graft.ext.Packing.tokenBudget(
+        documents(s, d).filter(col("doc_id").isNotNull),
+        "doc_id", "text",
         "lang", pmod(col("doc_id"), lit(8L)), budget = 300L)),
 
     // Fixed-size deterministic per-stratum sample: each lang keeps its
@@ -2148,11 +2155,11 @@ object ExtQueries {
          GROUP BY doc_id""",
     "t23_seq_packing" ->
       """WITH toks AS (
-           SELECT doc_id, lang, doc_id % 8 AS shard,
+           SELECT doc_id, lang, (doc_id % 8 + 8) % 8 AS shard,
              CAST(CASE WHEN text IS NULL THEN 0
                   ELSE len(string_split(text, ' ')) END AS BIGINT)
                AS n_tokens
-           FROM documents
+           FROM documents WHERE doc_id IS NOT NULL
          ), st AS (
            SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
                PARTITION BY lang, shard ORDER BY doc_id
@@ -2171,11 +2178,11 @@ object ExtQueries {
          FROM st WHERE doc_id % 7 = 0""",
     "t24_token_budget" ->
       """WITH toks AS (
-           SELECT doc_id, lang, doc_id % 8 AS shard,
+           SELECT doc_id, lang, (doc_id % 8 + 8) % 8 AS shard,
              CAST(CASE WHEN text IS NULL THEN 0
                   ELSE len(string_split(text, ' ')) END AS BIGINT)
                AS n_tokens
-           FROM documents
+           FROM documents WHERE doc_id IS NOT NULL
          ), st AS (
            SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
                PARTITION BY lang, shard ORDER BY doc_id

@@ -1158,7 +1158,15 @@ object History {
     * versions, and now-empty partition dirs. Returns
     * (retired deleted, orphans deleted). Run it like any writer: from
     * the lake's single writer sequence. */
-  def vacuum(spark: SparkSession, path: String, graceMs: Long): (Int, Int) = {
+  /** @param keepVersions manifest roots NEVER swept regardless of age
+    *        — the consumer-dependency pin (a change feed's high-water
+    *        baseline must stay resolvable until its next delivery
+    *        advances it; [[graft.MaintenanceMain]] passes the feed's
+    *        high water here). Unlike a tag this pins only the ROOT
+    *        (cheap metadata): the grace window remains what protects
+    *        the diffable FILES, so size it to the delivery cadence. */
+  def vacuum(spark: SparkSession, path: String, graceMs: Long,
+             keepVersions: Set[Long] = Set.empty): (Int, Int) = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val qRoot = fs.makeQualified(root)
@@ -1221,7 +1229,8 @@ object History {
         if (n.startsWith("v") && n.endsWith(".manifest") &&
             scala.util.Try(n.stripPrefix("v").stripSuffix(".manifest")
               .toLong).toOption
-              .exists(v => v < latestNow && !taggedVs(v)) &&
+              .exists(v => v < latestNow && !taggedVs(v) &&
+                !keepVersions(v)) &&
             s.getModificationTime <= cutoff)
           fs.delete(s.getPath, false): Unit
       }

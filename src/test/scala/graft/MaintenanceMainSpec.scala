@@ -52,8 +52,9 @@ class MaintenanceMainSpec extends AnyFunSuite {
       val got = IncrementalRollup.read(spark, rollup)
         .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
       assert(got === Seq(1L, 3L, 4L, 5L, 6L, 7L))
-      // small-file debt retired in the same pass (the one packed file
-      // plus nothing else — vacuum at grace 0 already reclaimed)
+      // small-file debt retired in the same pass: binPack folded the
+      // five appended files (and the DV) into one — a manifest-level
+      // fact; the retired originals stay on disk inside the grace
       val fs = new org.apache.hadoop.fs.Path(lake).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       assert(FileManifest.latest(fs, lake).get.cur.size === 1)
