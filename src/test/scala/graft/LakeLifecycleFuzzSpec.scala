@@ -98,7 +98,8 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
     // 11=refreshIndex as before)
     val extraOps = (if (keyed) Seq("deleteKeys", "refreshIndex") else Nil) ++
       (if (tagged) Seq("mkTag", "rmTag", "restore") else Nil) ++
-      (if (dv) Seq("deleteKeysDV", "materializeDV") else Nil)
+      (if (dv) Seq("deleteKeysDV", "materializeDV", "overwritePart")
+       else Nil)
     for (op <- 0 until nOps) {
       val pick = rnd.nextInt(10 + extraOps.size)
       val desc: String = pick match {
@@ -186,6 +187,15 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
           case "materializeDV" => // fold vectors back into data
             val (files, rows) = History.materializeDeletes(spark, lake)
             s"materializeDV ${files}f/${rows}r"
+          case "overwritePart" => // backfill one partition atomically
+            val p = s"p${rnd.nextInt(3)}"
+            val rows = freshRows(1 + rnd.nextInt(5))
+              .map { case (id, _, v) => (id, p, v) }
+            History.overwritePartitions(spark, lake, toDF(rows),
+              Seq("part")): Unit
+            model.filterInPlace { case (_, (mp, _)) => mp != p }
+            rows.foreach { case (id, pp, v) => model(id) = (pp, v) }
+            s"overwritePart $p ${rows.size}"
           case _ => // roll back to any retained snapshot ("restore")
             val f = fs(lake)
             val candidates = FileManifest.versions(f, lake)
