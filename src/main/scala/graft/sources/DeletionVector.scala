@@ -187,17 +187,27 @@ object DeletionVector {
 }
 
 /** The executor-side position table behind [[DvDeleted]]: data-file
-  * path → sorted deleted positions. Keys are registered under the
-  * planner's qualified-path form; `_metadata.file_path` may spell the
-  * same file differently (URI form), so a miss normalizes through
-  * Hadoop `Path` once per distinct path and memoizes — including
-  * definite misses (files with no vector, the common case) — in a
-  * concurrent map bounded by the distinct files a task touches. The
+  * path → sorted deleted positions, shipped as a REAL Spark broadcast
+  * — the expression (serialized into every task closure) carries only
+  * the handle, and each executor fetches the table once. Holding the
+  * table inline would re-serialize EVERY planned vector per task: at
+  * heavy DV volume (10⁵ vectored files × 10³ positions) that is
+  * hundreds of MB per task launch, the classic non-broadcast closure
+  * regression.
+  *
+  * Keys are registered under the planner's qualified-path form;
+  * `_metadata.file_path` may spell the same file differently (URI
+  * form), so a miss normalizes through Hadoop `Path` once per distinct
+  * path and memoizes — including definite misses (files with no
+  * vector, the common case) — in the executor-local table (broadcast
+  * values deserialize once per executor; the CHM mutation is
+  * thread-safe and bounded by the distinct files scanned there). The
   * single-entry `last` pair makes the per-row steady state one
-  * reference/equality compare, since a file split's metadata path is
+  * bytes-equality compare, since a file split's metadata path is
   * constant. */
 final class DvLookup(
-    private val table: java.util.concurrent.ConcurrentHashMap[String, Array[Long]])
+    private val bc: org.apache.spark.broadcast.Broadcast[
+      java.util.concurrent.ConcurrentHashMap[String, Array[Long]]])
   extends Serializable {
 
   @transient private var last: (UTF8String, Array[Long]) = null
@@ -219,6 +229,7 @@ final class DvLookup(
   }
 
   private def lookup(fp: UTF8String): Array[Long] = {
+    val table = bc.value
     val s = fp.toString
     val direct = table.get(s)
     if (direct != null) direct
@@ -238,17 +249,25 @@ object DvLookup {
   private[sources] val EMPTY = Array.empty[Long]
 
   /** Build from lake-relative pointers, resolving sidecars via
-    * [[DeletionVector.read]] and keying by the planner's qualified
-    * path. */
-  def forFiles(fs: FileSystem, qRoot: Path, lakePath: String,
+    * [[DeletionVector.read]], keying by the planner's qualified path,
+    * and publishing the table as one broadcast. */
+  def forFiles(spark: org.apache.spark.sql.SparkSession,
+               fs: FileSystem, qRoot: Path, lakePath: String,
                dvs: Map[String, String]): DvLookup = {
     val t = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
     dvs.foreach { case (rel, name) =>
       t.put(new Path(qRoot, rel).toString,
         DeletionVector.read(fs, lakePath, name)): Unit
     }
-    new DvLookup(t)
+    new DvLookup(spark.sparkContext.broadcast(t))
   }
+
+  /** Wrap an already-built position-delta table (the change feed's
+    * positional path). */
+  def ofTable(spark: org.apache.spark.sql.SparkSession,
+      t: java.util.concurrent.ConcurrentHashMap[String, Array[Long]])
+      : DvLookup =
+    new DvLookup(spark.sparkContext.broadcast(t))
 }
 
 /** `dv_deleted(file_path, row_index)` — TRUE iff the row at

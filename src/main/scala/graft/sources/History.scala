@@ -795,7 +795,7 @@ object History {
           val hit = ColumnBridge.column(DvDeleted(
             ColumnBridge.expression(col("_metadata.file_path")),
             ColumnBridge.expression(col("_metadata.row_index")),
-            new DvLookup(t)))
+            DvLookup.ofTable(spark, t)))
           Some(planManifest(spark, fs, root, // RAW rows: no dvs applied
               FileManifest.Manifest(toVersion, delta.keys.toSeq.sorted, Nil))
             .filter(hit)
@@ -1016,7 +1016,7 @@ object History {
     if (dvs.isEmpty) df
     else {
       import org.apache.spark.sql.graftbridge.ColumnBridge
-      val lookup = DvLookup.forFiles(fs, qRoot, path, dvs)
+      val lookup = DvLookup.forFiles(df.sparkSession, fs, qRoot, path, dvs)
       val deleted = ColumnBridge.column(DvDeleted(
         ColumnBridge.expression(col("_metadata.file_path")),
         ColumnBridge.expression(col("_metadata.row_index")),
