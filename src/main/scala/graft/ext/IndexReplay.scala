@@ -31,6 +31,13 @@ private[ext] object IndexReplay {
   def record(fs: FileSystem, stateDir: String, from: Long,
              ids: Seq[Any]): Unit = {
     if (ids.isEmpty) return
+    // one id per line — an id whose string form embeds a line break
+    // would silently split into two bogus intents; fail loudly (no
+    // sane vector/document key contains one)
+    require(ids.forall { id =>
+      val s = id.toString; !s.contains('\n') && !s.contains('\r')
+    }, "index keys must not contain line breaks (intent records are " +
+      "line-delimited)")
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     FileManifest.atomicWrite(fs,
       new Path(dir(stateDir), f"intent-$from%012d-$nonce.ids"),
