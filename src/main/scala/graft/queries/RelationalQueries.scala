@@ -844,7 +844,24 @@ object RelationalQueries {
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"),
           col("total_revenue").cast("double").as("total_revenue"))
-    })
+    }),
+
+    // TPC-H Q6 shape (forecasting revenue change): the pure
+    // scan-filter-aggregate — every predicate pushes to the parquet
+    // scan (date range, discount band, quantity cap), zero joins, one
+    // map-side partial sum; the revenue product bridges through
+    // DECIMAL(24,6) so the global sum is order-exact. The simplest
+    // classic shape, kept as a gate because it is the purest test of
+    // scan-level pushdown doing ALL the work.
+    "q53_forecast_revenue" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(24,6)")).as("rev"))
+        .select(col("rev").cast("double").as("revenue")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1313,6 +1330,14 @@ object RelationalQueries {
          )
          SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
          FROM rev JOIN supplier ON s_suppkey = l_suppkey
-         WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)"""
+         WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""",
+    "q53_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                  AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24"""
   )
 }
