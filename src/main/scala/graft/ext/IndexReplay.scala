@@ -28,6 +28,70 @@ private[ext] object IndexReplay {
 
   private def dir(stateDir: String) = new Path(stateDir)
 
+  // ------------------------------------------------------------------
+  // Shared index STATE machinery (used identically by VectorIndex and
+  // LexicalIndex — one definition of "which corpus version does this
+  // index reflect" and "undo a crashed attempt's appends"):
+  // ------------------------------------------------------------------
+
+  /** The corpus version the index currently reflects: marker files
+    * (`v<corpusVersion>.done`, atomic no-overwrite — crash-safe and
+    * replay-idempotent), current = max. */
+  def indexedVersion(fs: FileSystem, stateDir: String): Option[Long] = {
+    val d = dir(stateDir)
+    if (!fs.exists(d)) None
+    else {
+      val vs = fs.listStatus(d).iterator.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("v") && n.endsWith(".done"))
+          n.stripPrefix("v").stripSuffix(".done").toLongOption
+        else None
+      }.toSeq
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  /** Commit the marker for `corpusVersion` (idempotent), pruning to a
+    * bounded marker tail. `reset` drops EVERY prior marker first — a
+    * (re-)bootstrap invalidates them: a stale higher marker from a
+    * previous incarnation of the index at this path (e.g. a
+    * warehouse-persistent dir surviving a JVM restart while the corpus
+    * lake was rebuilt and its version numbering restarted) would make
+    * every later tick silently no-op on an unapplied window. */
+  def markIndexed(fs: FileSystem, stateDir: String, corpusVersion: Long,
+                  reset: Boolean = false): Unit = {
+    val d = dir(stateDir)
+    if (reset && fs.exists(d))
+      fs.listStatus(d).map(_.getPath)
+        .filter(_.getName.endsWith(".done"))
+        .foreach(p => fs.delete(p, false): Unit)
+    val dest = new Path(d, f"v$corpusVersion%012d.done")
+    if (!fs.exists(dest)) // replayed tick: marker already present
+      FileManifest.atomicWrite(fs, dest, s"$corpusVersion\n")
+    val all = fs.listStatus(d)
+      .map(_.getPath).filter(_.getName.endsWith(".done")).sortBy(_.getName)
+    all.dropRight(20).foreach(p => fs.delete(p, false): Unit)
+  }
+
+  /** Retire, wholesale, every CURRENT file of `lake` that a crashed
+    * (unmarked) tick attempt from the same baseline landed — their
+    * batch-tagged names (`b<keyPrefix>…`) make them exactly
+    * enumerable, and only unmarked attempts can still carry the
+    * baseline's prefix (a successful tick advances the baseline). The
+    * first half of the undo-then-apply replay discipline. */
+  def undoCrashedAppends(fs: FileSystem, lake: String,
+                         keyPrefix: String): Unit = {
+    val m = FileManifest.latest(fs, lake).getOrElse(
+      throw new IllegalStateException(
+        s"index tick before bootstrap: $lake has no manifest"))
+    val tag = graft.sources.LakeCommit.fileTag(keyPrefix)
+    val prior = m.cur.filter(rel =>
+      rel.substring(rel.lastIndexOf('/') + 1).startsWith(tag))
+    if (prior.nonEmpty)
+      FileManifest.commitDelta(fs, lake, Nil, prior,
+        dvSeen = prior.map(r => r -> m.dvs.get(r)).toMap): Unit
+  }
+
   def record(fs: FileSystem, stateDir: String, from: Long,
              ids: Seq[Any]): Unit = {
     if (ids.isEmpty) return

@@ -73,38 +73,10 @@ object LexicalIndex {
     (postings, doclens)
   }
 
-  def indexedVersion(spark: SparkSession, indexDir: String): Option[Long] = {
-    val fs = fsOf(spark, indexDir)
-    val dir = new org.apache.hadoop.fs.Path(stateDir(indexDir))
-    if (!fs.exists(dir)) None
-    else {
-      val vs = fs.listStatus(dir).iterator.flatMap { s =>
-        val n = s.getPath.getName
-        if (n.startsWith("v") && n.endsWith(".done"))
-          n.stripPrefix("v").stripSuffix(".done").toLongOption
-        else None
-      }.toSeq
-      if (vs.isEmpty) None else Some(vs.max)
-    }
-  }
-
-  private def markIndexed(spark: SparkSession, indexDir: String,
-                          corpusVersion: Long,
-                          reset: Boolean = false): Unit = {
-    val fs = fsOf(spark, indexDir)
-    val dir = new org.apache.hadoop.fs.Path(stateDir(indexDir))
-    if (reset && fs.exists(dir))
-      fs.listStatus(dir).map(_.getPath)
-        .filter(_.getName.endsWith(".done"))
-        .foreach(p => fs.delete(p, false): Unit)
-    val dest = new org.apache.hadoop.fs.Path(dir,
-      f"v$corpusVersion%012d.done")
-    if (!fs.exists(dest))
-      FileManifest.atomicWrite(fs, dest, s"$corpusVersion\n")
-    val all = fs.listStatus(dir)
-      .map(_.getPath).filter(_.getName.endsWith(".done")).sortBy(_.getName)
-    all.dropRight(20).foreach(p => fs.delete(p, false): Unit)
-  }
+  /** The corpus version the index currently reflects
+    * ([[IndexReplay.indexedVersion]]). */
+  def indexedVersion(spark: SparkSession, indexDir: String): Option[Long] =
+    IndexReplay.indexedVersion(fsOf(spark, indexDir), stateDir(indexDir))
 
   /** Build both lakes and both rollups from the corpus lake's current
     * pinned image. Returns the corpus version indexed. */
@@ -137,7 +109,7 @@ object LexicalIndex {
       Seq("word"), "tf"): Unit
     IncrementalRollup.bootstrap(spark, ddir, statsRollupDir(indexDir),
       Seq("grp"), "dl"): Unit
-    markIndexed(spark, indexDir, v, reset = true)
+    IndexReplay.markIndexed(fs, stateDir(indexDir), v, reset = true)
     v
   }
 
@@ -158,21 +130,9 @@ object LexicalIndex {
         s"LexicalIndex.tick before bootstrap at $indexDir"))
     val pdir = postingsDir(indexDir)
     val ddir = doclensDir(indexDir)
-    def undoCrashed(lake: String): Unit = {
-      val fs = fsOf(spark, lake)
-      val m = FileManifest.latest(fs, lake).getOrElse(
-        throw new IllegalStateException(
-          s"LexicalIndex.tick before bootstrap at $indexDir"))
-      val tag = graft.sources.LakeCommit.fileTag(s"lex-$from")
-      val prior = m.cur.filter(rel =>
-        rel.substring(rel.lastIndexOf('/') + 1).startsWith(tag))
-      if (prior.nonEmpty)
-        FileManifest.commitDelta(fs, lake, Nil, prior,
-          dvSeen = prior.map(r => r -> m.dvs.get(r)).toMap): Unit
-    }
     if (from == to) return (to, 0L, 0L)
-    undoCrashed(pdir)
-    undoCrashed(ddir)
+    IndexReplay.undoCrashedAppends(fsOf(spark, pdir), pdir, s"lex-$from")
+    IndexReplay.undoCrashedAppends(fsOf(spark, ddir), ddir, s"lex-$from")
     val feed = History.changesBetween(spark, corpusLake, from, to)
       .select(col(docIdCol), col(textCol), col("_change"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -224,7 +184,7 @@ object LexicalIndex {
         Seq("word"), "tf"): Unit
       IncrementalRollup.tick(spark, ddir, statsRollupDir(indexDir),
         Seq("grp"), "dl"): Unit
-      markIndexed(spark, indexDir, to)
+      IndexReplay.markIndexed(ifs, stateDir(indexDir), to)
       IndexReplay.clear(ifs, stateDir(indexDir), from)
       (to, nDel, nIns)
     } finally feed.unpersist(): Unit

@@ -1,8 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.{DeletionVector, FileManifest, History}
+import graft.sources.{FileManifest, History}
 
 /** INCREMENTALLY-MAINTAINED IVF index over an embeddings lake.
   *
@@ -22,9 +22,12 @@ import graft.sources.{DeletionVector, FileManifest, History}
   *    feed DELETES as a merge-on-read takedown on the postings lake
   *    ([[History.deleteKeysDV]]: position sidecars, zero postings
   *    files rewritten) and feed INSERTS as one cell-assigned
-  *    exactly-once append (`key = ivf-<from>-<to>`, so a crashed tick
-  *    replays idempotently: the append dedupes on its batch key, the
-  *    re-run takedown matches nothing).
+  *    exactly-once append. Crash replay is undo-then-apply +
+  *    intent-recorded ([[IndexReplay]]): a crashed attempt's
+  *    batch-tagged files retire wholesale, appends carry
+  *    attempt-unique keys, and intent records restore ids whose
+  *    delete-then-identical-reinsert nets to nothing in the replay's
+  *    image-diff feed.
   *  - [[searchTopK]]: assigns the bounded query set to its `nprobe`
   *    nearest cells and reads ONLY those cells' partitions
   *    ([[History.readPinnedPartitions]] — with sharded manifests the
@@ -53,50 +56,10 @@ object VectorIndex {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The corpus version the postings lake currently reflects: marker
-    * files (`v<corpusVersion>.done`, atomic no-overwrite — crash-safe
-    * and replay-idempotent), current = max. */
-  def indexedVersion(spark: SparkSession, indexDir: String): Option[Long] = {
-    val fs = fsOf(spark, indexDir)
-    val dir = new org.apache.hadoop.fs.Path(stateDir(indexDir))
-    if (!fs.exists(dir)) None
-    else {
-      val vs = fs.listStatus(dir).iterator.flatMap { s =>
-        val n = s.getPath.getName
-        if (n.startsWith("v") && n.endsWith(".done"))
-          n.stripPrefix("v").stripSuffix(".done").toLongOption
-        else None
-      }.toSeq
-      if (vs.isEmpty) None else Some(vs.max)
-    }
-  }
-
-  private def markIndexed(spark: SparkSession, indexDir: String,
-                          corpusVersion: Long,
-                          reset: Boolean = false): Unit = {
-    val fs = fsOf(spark, indexDir)
-    val dir = new org.apache.hadoop.fs.Path(stateDir(indexDir))
-    if (reset && fs.exists(dir))
-      // a (re-)bootstrap INVALIDATES every prior marker: the postings
-      // now reflect exactly `corpusVersion`, and a stale higher marker
-      // (a previous incarnation of the index at this path — e.g. a
-      // warehouse-persistent dir surviving a JVM restart while the
-      // corpus lake was rebuilt and its version numbering restarted)
-      // would make the next tick silently no-op on an unapplied window
-      fs.listStatus(dir).map(_.getPath)
-        .filter(_.getName.endsWith(".done"))
-        .foreach(p => fs.delete(p, false): Unit)
-    val dest = new org.apache.hadoop.fs.Path(dir,
-      f"v$corpusVersion%012d.done")
-    if (!fs.exists(dest)) // replayed tick: marker already present
-      FileManifest.atomicWrite(fs, dest, s"$corpusVersion\n")
-    // keep a bounded tail of markers (they are bytes, but why accrete)
-    val keep = 20
-    val all = fs.listStatus(dir)
-      .map(_.getPath).filter(_.getName.endsWith(".done"))
-      .sortBy(_.getName)
-    all.dropRight(keep).foreach(p => fs.delete(p, false): Unit)
-  }
+  /** The corpus version the postings lake currently reflects
+    * ([[IndexReplay.indexedVersion]]). */
+  def indexedVersion(spark: SparkSession, indexDir: String): Option[Long] =
+    IndexReplay.indexedVersion(fsOf(spark, indexDir), stateDir(indexDir))
 
   /** Build the postings lake from the corpus lake's CURRENT pinned
     * image with the given (already-published) centroid set. Returns
@@ -116,7 +79,8 @@ object VectorIndex {
     History.enableManifests(spark, pdir): Unit
     History.enableShardedManifests(spark, pdir): Unit
     History.refreshKeyIndex(spark, pdir, idCol): Unit
-    markIndexed(spark, indexDir, v, reset = true)
+    IndexReplay.markIndexed(fsOf(spark, indexDir), stateDir(indexDir), v,
+      reset = true)
     v
   }
 
@@ -162,19 +126,7 @@ object VectorIndex {
     //      immutable under their deletion vectors.
     // Run from one maintenance agent per index, like every lake
     // maintenance sequence.
-    val pfs = fsOf(spark, pdir)
-    val pm = FileManifest.latest(pfs, pdir).getOrElse(
-      throw new IllegalStateException(
-        s"VectorIndex.tick before bootstrap at $indexDir"))
-    // fileTag appends the trailing '-' itself: fileTag("ivf-<from>")
-    // == "bivf-<from>-", the shared prefix of every attempt key
-    // "ivf-<from>-<to>-<nonce>" from this baseline
-    val crashTag = graft.sources.LakeCommit.fileTag(s"ivf-$from")
-    val priorRels = pm.cur.filter(rel =>
-      rel.substring(rel.lastIndexOf('/') + 1).startsWith(crashTag))
-    if (priorRels.nonEmpty)
-      FileManifest.commitDelta(pfs, pdir, Nil, priorRels,
-        dvSeen = priorRels.map(r => r -> pm.dvs.get(r)).toMap): Unit
+    IndexReplay.undoCrashedAppends(fsOf(spark, pdir), pdir, s"ivf-$from")
     val feed = History.changesBetween(spark, corpusLake, from, to)
       .select(col(idCol), col(embCol), col("_change"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -218,7 +170,7 @@ object VectorIndex {
             java.util.UUID.randomUUID().toString.take(8),
           partitionCols = Seq("cell")): Unit
       History.refreshKeyIndex(spark, pdir, idCol): Unit
-      markIndexed(spark, indexDir, to)
+      IndexReplay.markIndexed(fs, stateDir(indexDir), to)
       IndexReplay.clear(fs, stateDir(indexDir), from)
       (to, nDel, nIns)
     } finally feed.unpersist(): Unit

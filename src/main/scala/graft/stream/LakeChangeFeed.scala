@@ -138,35 +138,31 @@ object LakeChangeFeed {
     // Failures are isolated PER ROLLUP: one poisoned rollup (e.g. an
     // HLL spec hitting a delete range) must not starve the others —
     // every spec gets its tick, then the failures surface together.
+    // every maintenance step below is failure-ISOLATED on the same
+    // terms: each is idempotent per delivered state (a current target
+    // no-ops, a crashed prior tick replays to convergence), so one
+    // poisoned step must cost one step, never starve the rest — all
+    // failures collect and surface together after everything ran
+    def guarded(label: String)(body: => Unit): Option[(String, Exception)] =
+      try { body; None } catch { case e: Exception => Some((label, e)) }
     // small-file debt retires in the same agent pass: a converged lake
     // no-ops, a packing commit is pure layout (the NEXT tick's feed
     // diffs it to empty), and running after delivery means the
-    // packed-away files were already diffed. Failure-ISOLATED like
-    // every other maintenance step below — a pack aborted by a racing
-    // writer must not starve the rollup/index ticks this pass.
-    val packFailed = range.toSeq.flatMap { _ =>
-      binPackTargetBytes.flatMap { t =>
-        try { History.binPack(spark, lakePath, targetBytes = t); None }
-        catch { case e: Exception => Some((s"$lakePath (binPack)", e)) }
-      }
-    }
-    val failed = packFailed ++ rollups.flatMap { r =>
-      try {
+    // packed-away files were already diffed
+    val failed =
+      range.toSeq.flatMap(_ => binPackTargetBytes.flatMap(t =>
+        guarded(s"$lakePath (binPack)") {
+          History.binPack(spark, lakePath, targetBytes = t): Unit
+        })) ++
+      rollups.flatMap(r => guarded(r.rollupDir) {
         graft.sources.IncrementalRollup.tick(spark, lakePath, r.rollupDir,
           r.keyCols, r.sumCols, r.distinctCols): Unit
-        None
-      } catch { case e: Exception => Some((r.rollupDir, e)) }
-    } ++ vectorIndexes.flatMap { ix =>
-      // maintained ANN indexes advance on the same idempotent terms as
-      // rollups: a current index no-ops, a crashed prior tick replays
-      // to convergence, and one poisoned index never starves the rest
-      try {
+      }) ++
+      vectorIndexes.flatMap(ix => guarded(ix.indexDir) {
         graft.ext.VectorIndex.tick(spark, lakePath, ix.indexDir,
           ix.idCol, ix.embCol,
           graft.ext.Similarity.loadCentroids(spark, ix.centroidsDir)): Unit
-        None
-      } catch { case e: Exception => Some((ix.indexDir, e)) }
-    }
+      })
     if (failed.nonEmpty) {
       val total = rollups.size + vectorIndexes.size +
         (if (binPackTargetBytes.isDefined) 1 else 0)
