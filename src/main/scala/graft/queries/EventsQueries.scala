@@ -163,6 +163,41 @@ object EventsQueries {
         "n_events", "sum_value", 300L)
     }),
 
+    // Rolling z-score anomaly detection per user: each event scored
+    // against the PREVIOUS 20 events' mean/variance (rows frame — the
+    // monitoring shape every ops pipeline runs). Determinism recipe:
+    // the rolling moments accumulate as EXACT decimals (sum, sum of
+    // squares — frame-order-independent), variance/mean derive from
+    // them in IDENTICAL double arithmetic on both engines, and the
+    // z-score rounds to 6 dp — so the anomaly set hash-gates despite
+    // floating point. Window partitions are per-user (bounded), never
+    // a global sort.
+    "e11_anomaly_zscore" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-20, -1)
+      events(s, d)
+        .withColumn("n", count(col("value")).over(w))
+        .withColumn("s1", sum(col("value").cast("decimal(18,2)")).over(w))
+        .withColumn("s2",
+          sum((col("value").cast("decimal(18,2)") *
+            col("value").cast("decimal(18,2)")).cast("decimal(28,4)"))
+            .over(w))
+        .filter(col("n") >= 10 && col("value").isNotNull)
+        .withColumn("mean",
+          col("s1").cast("double") / col("n").cast("double"))
+        .withColumn("variance",
+          (col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double")
+              / col("n").cast("double")) /
+            (col("n").cast("double") - 1.0))
+        .filter(col("variance") > 0.0)
+        .withColumn("z", round(
+          (col("value") - col("mean")) / sqrt(col("variance")), 6))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("user_id"), col("value"), col("z"))
+    }),
+
     // Semi-structured JSON extraction from the props payload.
     "e03_json_extract" -> ((s, d) => {
       events(s, d)
@@ -291,6 +326,30 @@ object EventsQueries {
              ROWS UNBOUNDED PRECEDING) AS filled_sum_value
          FROM g LEFT JOIN b
            ON b.event_type = g.event_type AND b.w_start = g.w_start""",
+    "e11_anomaly_zscore" ->
+      """WITH st AS (
+           SELECT event_id, user_id, value,
+             COUNT(value) OVER w AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) OVER w AS s1,
+             SUM(CAST(CAST(value AS DECIMAL(18,2))
+                 * CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,4)))
+               OVER w AS s2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+         ), m AS (
+           SELECT event_id, user_id, value,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             (CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+               AS variance
+           FROM st WHERE n >= 10 AND value IS NOT NULL
+         )
+         SELECT event_id, user_id, value,
+           round((value - mean) / sqrt(variance), 6) AS z
+         FROM m WHERE variance > 0.0
+           AND abs(round((value - mean) / sqrt(variance), 6)) > 3.0""",
     "e03_json_extract" ->
       """SELECT event_type,
          CAST(SUM(k) AS BIGINT) AS sum_k,
