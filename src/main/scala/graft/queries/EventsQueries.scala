@@ -198,6 +198,53 @@ object EventsQueries {
         .select(col("event_id"), col("user_id"), col("value"), col("z"))
     }),
 
+    // Cohort retention matrix — the product-analytics staple: users
+    // cohort by their FIRST-seen day, and each (cohort day, day
+    // offset) cell counts the distinct users active that many days
+    // later. Two exact aggregations (first-seen per user, then
+    // distinct users per cell) — both keyed, both map-side-partial;
+    // nothing floating-point, so the matrix hash-gates as-is.
+    "e12_cohort_retention" -> ((s, d) => {
+      val ev = events(s, d) // ts = epoch-nanos long (see Tables.events)
+        .select(col("user_id"),
+          expr("ts div 1000000000 div 86400").as("day"))
+      val cohorts = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      ev.join(cohorts, "user_id")
+        .groupBy(col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // Ordered funnel (view → click-after-view → purchase-after-click):
+    // each stage's entry time is the user's FIRST qualifying event
+    // strictly after the previous stage's — three keyed min-aggregates
+    // chained through broadcast-small per-user stage tables, never a
+    // per-user sort. Emits the classic per-stage distinct-user counts.
+    "e13_funnel" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("v_ts"))
+        .filter(col("v_ts").isNotNull)
+      val c = ev.join(broadcast(v), "user_id")
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "click" &&
+          col("ts") > col("v_ts"), col("ts"))).as("c_ts"))
+        .filter(col("c_ts").isNotNull)
+      val p = ev.join(broadcast(c), "user_id")
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "purchase" &&
+          col("ts") > col("c_ts"), col("ts"))).as("p_ts"))
+        .filter(col("p_ts").isNotNull)
+      v.agg(count(lit(1)).as("n"))
+        .select(lit("1_view").as("step"), col("n"))
+        .unionByName(c.agg(count(lit(1)).as("n"))
+          .select(lit("2_click_after_view").as("step"), col("n")))
+        .unionByName(p.agg(count(lit(1)).as("n"))
+          .select(lit("3_purchase_after_click").as("step"), col("n")))
+    }),
+
     // Semi-structured JSON extraction from the props payload.
     "e03_json_extract" -> ((s, d) => {
       events(s, d)
@@ -326,6 +373,38 @@ object EventsQueries {
              ROWS UNBOUNDED PRECEDING) AS filled_sum_value
          FROM g LEFT JOIN b
            ON b.event_type = g.event_type AND b.w_start = g.w_start""",
+    "e12_cohort_retention" ->
+      """WITH ev AS (
+           SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+           FROM events
+         ), cohorts AS (
+           SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY 1
+         )
+         SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+         FROM ev e JOIN cohorts c USING (user_id)
+         GROUP BY 1, 2""",
+    "e13_funnel" ->
+      """WITH v AS (
+           SELECT user_id, MIN(ts) AS v_ts FROM events
+           WHERE event_type = 'view' GROUP BY 1
+         ), c AS (
+           SELECT e.user_id, MIN(e.ts) AS c_ts
+           FROM events e JOIN v USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > v.v_ts
+           GROUP BY 1
+         ), p AS (
+           SELECT e.user_id, MIN(e.ts) AS p_ts
+           FROM events e JOIN c USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+           GROUP BY 1
+         )
+         SELECT '1_view' AS step, CAST(COUNT(*) AS BIGINT) AS n FROM v
+         UNION ALL
+         SELECT '2_click_after_view', CAST(COUNT(*) AS BIGINT) FROM c
+         UNION ALL
+         SELECT '3_purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM p""",
     "e11_anomaly_zscore" ->
       """WITH st AS (
            SELECT event_id, user_id, value,
