@@ -91,12 +91,22 @@ object MaintenanceMain {
       "spark.graft.maintenance.vacuumGraceMs must be > 0 — size it to " +
         "the delivery cadence plus the pass duration (it is what keeps " +
         "a delivered range's diffable files readable)"))
-    val range = LakeChangeFeed.tickWithMaintenance(spark, lake, feedDir,
+    // grow-side tick first, but SHRINK-SIDE OPS MUST STILL ADVANCE when
+    // it fails: tickWithMaintenance rethrows aggregated step failures,
+    // and a persistently poisoned rollup/index spec would otherwise
+    // starve vacuum and feed expiry on every daemon pass — retired
+    // files and delivered ranges growing without bound while the loop
+    // retries forever. Record the failure, run vacuum + expiry, then
+    // rethrow (so `once` mode still propagates it).
+    var range: Option[(Long, Long)] = None
+    val failures = scala.collection.mutable.ListBuffer.empty[Throwable]
+    try range = LakeChangeFeed.tickWithMaintenance(spark, lake, feedDir,
       statsCols = csv(spark, "statsCols"),
       keyCols = csv(spark, "keyCols"),
       rollups = rollupSpecs(spark),
       binPackTargetBytes = conf(spark, "binPackTargetBytes").map(_.toLong),
       vectorIndexes = indexSpecs(spark))
+    catch { case scala.util.control.NonFatal(e) => failures += e }
     grace.foreach { g =>
       // deliver the pass's OWN commits (bin-pack, rewrites) first so
       // the high water tracks latest (layout-only ranges diff to zero
@@ -105,13 +115,20 @@ object MaintenanceMain {
       // and without the pin an aggressive grace could sweep the
       // baseline root in the same call — wedging every later pass on
       // an unresolvable changesBetween `from` (the feed fails loudly
-      // rather than re-baselining, by design)
-      LakeChangeFeed.tick(spark, lake, feedDir): Unit
+      // rather than re-baselining, by design). A delivery failure here
+      // still must not block the vacuum: the pin falls back to the
+      // feed's current high water.
+      try LakeChangeFeed.tick(spark, lake, feedDir): Unit
+      catch { case scala.util.control.NonFatal(e) => failures += e }
       val pin = LakeChangeFeed.highWater(spark, feedDir).toSet
       History.vacuum(spark, lake, graceMs = g, keepVersions = pin): Unit
     }
     conf(spark, "feedKeepRanges").map(_.toInt).foreach(k =>
       LakeChangeFeed.expire(spark, feedDir, keepRanges = k): Unit)
+    failures.headOption.foreach { e =>
+      failures.drop(1).foreach(s => e.addSuppressed(s))
+      throw e
+    }
     range
   }
 

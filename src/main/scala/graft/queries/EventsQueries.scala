@@ -219,20 +219,24 @@ object EventsQueries {
     // Ordered funnel (view → click-after-view → purchase-after-click):
     // each stage's entry time is the user's FIRST qualifying event
     // strictly after the previous stage's — three keyed min-aggregates
-    // chained through broadcast-small per-user stage tables, never a
-    // per-user sort. Emits the classic per-stage distinct-user counts.
+    // chained through per-user stage tables, never a per-user sort.
+    // No broadcast hints: the stage tables are O(distinct users) and
+    // at 100 TB would blow the driver/broadcast limit — every join and
+    // aggregate here keys on user_id, so the planner's shuffle joins
+    // reuse one user_id exchange and the aggregations stay map-side
+    // partial either way. Emits the per-stage distinct-user counts.
     "e13_funnel" -> ((s, d) => {
       val ev = events(s, d)
         .select(col("user_id"), col("event_type"), col("ts"))
       val v = ev.groupBy(col("user_id"))
         .agg(min(when(col("event_type") === "view", col("ts"))).as("v_ts"))
         .filter(col("v_ts").isNotNull)
-      val c = ev.join(broadcast(v), "user_id")
+      val c = ev.join(v, "user_id")
         .groupBy(col("user_id"))
         .agg(min(when(col("event_type") === "click" &&
           col("ts") > col("v_ts"), col("ts"))).as("c_ts"))
         .filter(col("c_ts").isNotNull)
-      val p = ev.join(broadcast(c), "user_id")
+      val p = ev.join(c, "user_id")
         .groupBy(col("user_id"))
         .agg(min(when(col("event_type") === "purchase" &&
           col("ts") > col("c_ts"), col("ts"))).as("p_ts"))

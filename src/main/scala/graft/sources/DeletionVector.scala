@@ -144,9 +144,29 @@ object DeletionVector {
       lines.foreach { l =>
         l.split('\t') match {
           case Array("file", _) => ()
-          case Array("n", d) => declared = d.toLong
+          case Array("n", d) =>
+            declared = d.toLong
+            // hard reader ceiling: a legitimate vector is capped at the
+            // WRITE side (History.deleteWhereDV maxPositions, default
+            // 10M); a declaration past ~268M positions (~2 GB of longs)
+            // could only come from corruption or a sidecar rivaling its
+            // data file — either way, fail before allocating toward it
+            if (declared < 0 || declared > (1L << 28))
+              throw new java.io.IOException(
+                s"deletion vector $name corrupt: declares $declared positions")
           case Array("r", start, len) =>
             val s = start.toLong; val k = len.toLong
+            // bound growth DURING expansion, not just at the final
+            // declared-count check: a corrupt run length (`r\t0\t9e15`)
+            // must fail loudly here, before it allocates/loops the
+            // driver toward OOM. The writer emits `n` before any run,
+            // so a run with no declaration is itself corruption.
+            if (declared < 0) throw new java.io.IOException(
+              s"deletion vector $name corrupt: run before 'n' declaration")
+            if (s < 0 || k <= 0 || k > declared - n)
+              throw new java.io.IOException(
+                s"deletion vector $name corrupt: run $s+$k at $n " +
+                  s"positions exceeds declared $declared or is malformed")
             var j = 0L
             while (j < k) { add(s + j); j += 1 }
           case other => throw new java.io.IOException(

@@ -1423,16 +1423,23 @@ object History {
       .filter(predicate)
       .select(col("_metadata.file_path").as("fp"),
         col("_metadata.row_index").as("ri"))
-    // cheap count first: fail the cap BEFORE materializing positions on
-    // the driver (the count scan is column-pruned to metadata + the
-    // predicate's columns)
-    val nDel = victims.count()
+    // ONE evaluation of the victim scan: collect limit(cap+1) and fail
+    // on overflow. A count-then-collect pair would evaluate the
+    // predicate twice — under a non-deterministic predicate the counted
+    // and collected row sets can differ, letting the cap check pass
+    // while the collect materializes a larger position set on the
+    // driver. The limit also bounds the driver transfer itself: an
+    // over-cap delete ships at most cap+1 rows before failing.
+    val capPlusOne = if (maxPositions >= Int.MaxValue - 1L) Int.MaxValue
+                     else (maxPositions + 1L).toInt
+    val collected = victims.limit(capPlusOne).collect()
+    val nDel = collected.length.toLong
     if (nDel == 0L) return (0, 0L)
     require(nDel <= maxPositions,
-      s"deleteWhereDV matched $nDel rows > maxPositions $maxPositions — " +
+      s"deleteWhereDV matched > maxPositions $maxPositions rows — " +
         "a delete this dense is rewriting most of its files anyway; use " +
         "the copy-on-write path (deleteWhere/deleteKeys) or raise the cap")
-    val byFile: Map[String, Array[Long]] = victims.collect()
+    val byFile: Map[String, Array[Long]] = collected
       .groupBy(r => r.getString(0)).map { case (fp, rows) =>
         relByAbs.getOrElse(new org.apache.hadoop.fs.Path(fp).toString,
           throw new IllegalStateException(

@@ -374,4 +374,36 @@ class DeletionVectorSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("corrupt"))
   }
+
+  test("corrupt run lengths fail BEFORE expansion, not at OOM") {
+    val dir = lake()
+    val fs = fsOf(dir)
+    val dvs = new org.apache.hadoop.fs.Path(DeletionVector.dvsDir(dir))
+    def writeDv(name: String, body: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(dvs, name), true)
+      out.write(body.getBytes("UTF-8")); out.close()
+    }
+    def corrupt(name: String, body: String): Unit = {
+      writeDv(name, body)
+      DeletionVector.evictCache()
+      val e = intercept[java.io.IOException] {
+        DeletionVector.read(fs, dir, name)
+      }
+      assert(e.getMessage.contains("corrupt"), e.getMessage)
+    }
+    // a run whose declared length would expand toward driver OOM must
+    // throw on the run line itself (bounded by the declaration), in
+    // microseconds — not loop 9e15 times first. The test completing at
+    // all IS the assertion of early failure.
+    corrupt("huge-run.dv", "file\tx\nn\t3\nr\t0\t9000000000000000\n")
+    // a run before any `n` declaration (writer always declares first)
+    corrupt("run-first.dv", "file\tx\nr\t0\t2\nn\t2\n")
+    // an absurd declaration fails before anything allocates toward it
+    corrupt("huge-n.dv", "file\tx\nn\t9000000000000000\nr\t0\t1\n")
+    // negative / zero-length runs are malformed
+    corrupt("neg-start.dv", "file\tx\nn\t2\nr\t-3\t2\n")
+    corrupt("zero-len.dv", "file\tx\nn\t2\nr\t0\t0\n")
+    // runs summing past the declaration fail on the overflowing line
+    corrupt("over-decl.dv", "file\tx\nn\t2\nr\t0\t2\nr\t5\t1\n")
+  }
 }

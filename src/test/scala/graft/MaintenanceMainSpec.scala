@@ -86,4 +86,65 @@ class MaintenanceMainSpec extends AnyFunSuite {
       MaintenanceMain.indexSpecs(spark)
     } finally spark.conf.unset("spark.graft.maintenance.vectorIndexes")
   }
+
+  test("a poisoned maintenance step cannot starve vacuum or feed expiry") {
+    import spark.implicits._
+    val lake = fresh("graft-mm-poison-lake")
+    Seq((1L, 10L)).toDF("doc_id", "n_chars").coalesce(1).write.parquet(lake)
+    History.enableManifests(spark, lake): Unit
+    val feed = fresh("graft-mm-poison-feed")
+    graft.stream.LakeChangeFeed.tick(spark, lake, feed): Unit
+    // retire a file: the COW delete rewrites its victim, leaving the
+    // original data file reclaimable once past grace
+    History.append(spark, lake,
+      Seq((2L, 20L)).toDF("doc_id", "n_chars"), key = "b2"): Unit
+    History.deleteWhere(spark, lake, col("doc_id") === 2L): Unit
+    val fs = new org.apache.hadoop.fs.Path(lake).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Set[String] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(lake), true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val p = it.next().getPath.toString
+        if (p.endsWith(".parquet") && !p.contains("_manifests")) b += p
+      }
+      b.result()
+    }
+    val before = dataFiles()
+    def set(k: String, v: String): Unit =
+      spark.conf.set(s"spark.graft.maintenance.$k", v)
+    set("lake", lake)
+    set("feedDir", feed)
+    // POISON: a rollup dir that was never bootstrapped — its tick
+    // throws every pass, the exact chronically-failing-spec scenario
+    set("rollups", s"${fresh("graft-mm-poison-rollup")}|doc_id|n_chars")
+    set("vacuumGraceMs", "1")
+    set("feedKeepRanges", "1")
+    Thread.sleep(50)
+    try {
+      // the pass still fails loudly (once-mode callers want that) ...
+      val e = intercept[IllegalStateException] {
+        MaintenanceMain.runOnce(spark)
+      }
+      assert(e.getMessage.contains("maintenance tick"))
+      // ... but the shrink-side ops ADVANCED past the poisoned step:
+      // vacuum reclaimed the delete-retired files past grace
+      val after = dataFiles()
+      assert(after.size < before.size,
+        s"vacuum must still run under a poisoned rollup: " +
+          s"${before.size} -> ${after.size} data files")
+      // and feed expiry pruned delivered ranges down to the keep window
+      val ranges = fs.listStatus(new org.apache.hadoop.fs.Path(feed))
+        .map(_.getPath.getName).filter(_.startsWith("changes-"))
+      assert(ranges.length === 1,
+        s"expire must still run under a poisoned rollup: " +
+          ranges.mkString(", "))
+      // the lake itself stays correct throughout
+      assert(History.readPinned(spark, lake)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    } finally {
+      Seq("lake", "feedDir", "rollups", "vacuumGraceMs", "feedKeepRanges")
+        .foreach(k => spark.conf.unset(s"spark.graft.maintenance.$k"))
+    }
+  }
 }
