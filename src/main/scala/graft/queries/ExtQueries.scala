@@ -1121,6 +1121,82 @@ object ExtQueries {
         "doc_id", "text",
         "lang", pmod(col("doc_id"), lit(8L)), budget = 300L)),
 
+    // Bigram-LM quality scoring (the CCNet/KenLM-style perplexity
+    // filter): train an add-one-smoothed bigram model ON the corpus
+    // (c12/c1 counts + vocabulary size), then score every document by
+    // its mean negative log-likelihood — low = fluent/typical, high =
+    // atypical/garbled, the classic LM quality gate before training.
+    // Scale shape: the model tables are VOCABULARY-sized (grow ~
+    // log-like, not with the corpus), built by two keyed map-side-
+    // partial aggregations; scoring joins the corpus bigram stream
+    // against them shuffle-keyed on (w1,w2)/(w1) — never all-pairs,
+    // never driver-side. The per-position log term bridges to
+    // DECIMAL(18,6) so the per-doc sum is order-exact, and the final
+    // mean divides two identical numbers on both engines.
+    "t25_bigram_lm" -> ((s, d) => {
+      val ws = documents(s, d)
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .filter(size(col("l")) >= 2)
+      val bg = ws.select(col("doc_id"),
+          explode(zip_with(
+            slice(col("l"), lit(1), size(col("l")) - 1),
+            slice(col("l"), lit(2), size(col("l")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val bc = bg.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+      val cc = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val vocab = ws.select(explode(col("l")).as("w"))
+        .agg(countDistinct(col("w")).as("vocab"))
+      bg.join(bc, Seq("w1", "w2")).join(cc, Seq("w1"))
+        .crossJoin(broadcast(vocab)) // single row by construction
+        .select(col("doc_id"),
+          round(log((col("c12") + lit(1)).cast("double") /
+            (col("c1") + col("vocab")).cast("double")), 6)
+            .cast("decimal(18,6)").as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round((-sum(col("lp"))).cast("double") / count(lit(1)), 6)
+            .as("avg_nll"))
+    }),
+
+    // Collocation extraction (pointwise mutual information over the
+    // same bigram stream): the corpus-analysis step that surfaces
+    // multiword expressions worth protecting from tokenization. PMI
+    // compares exact integer counts through identical double
+    // conversions on both engines; the global top-20 rides
+    // TakeOrderedAndProject over the vocabulary-sized model table (a
+    // bounded per-partition heap + driver merge of 20-row heads — no
+    // corpus-wide sort), with (w1, w2) completing a total order so the
+    // cut is deterministic.
+    "t26_pmi_collocations" -> ((s, d) => {
+      val ws = documents(s, d)
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(split(col("text"), " ").as("l"))
+        .filter(size(col("l")) >= 2)
+      val bg = ws.select(
+          explode(zip_with(
+            slice(col("l"), lit(1), size(col("l")) - 1),
+            slice(col("l"), lit(2), size(col("l")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val bc = bg.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val c2 = bg.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+      val n = bg.agg(count(lit(1)).as("nb"))
+      bc.filter(col("c12") >= 5)
+        .join(c1, Seq("w1")).join(c2, Seq("w2"))
+        .crossJoin(broadcast(n)) // single row by construction
+        .select(col("w1"), col("w2"), col("c12"),
+          round(log((col("c12").cast("double") * col("nb").cast("double"))
+            / (col("c1").cast("double") * col("c2").cast("double"))), 6)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
     // Fixed-size deterministic per-stratum sample: each lang keeps its
     // 20 docs with the smallest 48-bit md5 rank — a uniform sample
     // without replacement that is retry-stable and engine-portable
@@ -2192,6 +2268,57 @@ object ExtQueries {
          )
          SELECT doc_id, lang, shard, n_tokens, start
          FROM st WHERE start < 300""",
+    "t25_bigram_lm" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS l
+           FROM documents
+           WHERE text IS NOT NULL AND length(trim(text)) > 0
+             AND len(string_split(text, ' ')) >= 2
+         ), b AS (
+           SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM w
+         ), bg AS (
+           SELECT doc_id, l[CAST(i AS INTEGER)] AS w1,
+             l[CAST(i + 1 AS INTEGER)] AS w2 FROM b
+         ), bc AS (
+           SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+         ), cc AS (
+           SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1
+         ), v AS (
+           SELECT COUNT(DISTINCT t.w) AS vocab
+           FROM (SELECT unnest(l) AS w FROM w) t
+         ), scored AS (
+           SELECT bg.doc_id,
+             CAST(round(ln(CAST(c12 + 1 AS DOUBLE) /
+               CAST(c1 + vocab AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp
+           FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
+         )
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+           round(CAST(-SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+         FROM scored GROUP BY doc_id""",
+    "t26_pmi_collocations" ->
+      """WITH w AS (
+           SELECT string_split(text, ' ') AS l
+           FROM documents
+           WHERE text IS NOT NULL AND length(trim(text)) > 0
+             AND len(string_split(text, ' ')) >= 2
+         ), b AS (
+           SELECT l, unnest(range(1, len(l))) AS i FROM w
+         ), bg AS (
+           SELECT l[CAST(i AS INTEGER)] AS w1,
+             l[CAST(i + 1 AS INTEGER)] AS w2 FROM b
+         ), bc AS (
+           SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+         ), u1 AS (
+           SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1
+         ), u2 AS (
+           SELECT w2, COUNT(*) AS c2 FROM bg GROUP BY 1
+         ), n AS (SELECT COUNT(*) AS nb FROM bg)
+         SELECT w1, w2, c12,
+           round(ln((CAST(c12 AS DOUBLE) * CAST(nb AS DOUBLE)) /
+             (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
+         FROM bc JOIN u1 USING (w1) JOIN u2 USING (w2) CROSS JOIN n
+         WHERE c12 >= 5
+         ORDER BY pmi DESC, w1, w2 LIMIT 20""",
     "t22_boilerplate_spans" ->
       """WITH w AS (
            SELECT doc_id, string_split(text, ' ') AS ws

@@ -861,7 +861,37 @@ object RelationalQueries {
           col("l_quantity") < 24)
         .agg(sum((col("l_extendedprice") * col("l_discount"))
           .cast("decimal(24,6)")).as("rev"))
-        .select(col("rev").cast("double").as("revenue")))
+        .select(col("rev").cast("double").as("revenue"))),
+
+    // TPC-H Q11 shape (important stock): per-(nation, part) supplied
+    // value, kept only where it exceeds 1.5× the nation's MEAN part
+    // value — the group-vs-derived-threshold pattern, self-scaling at
+    // any corpus size (a fixed fraction goes empty as parts multiply).
+    // ONE pass over the fact: the per-nation total/count re-aggregate
+    // the per-(nation, part) aggregate (sum of sums is exact in
+    // DECIMAL), so the lineitem scan + its exchange are computed once
+    // and the 25-row threshold side broadcasts back. The membership
+    // test cross-multiplies (value·np·2 > tv·3) so it stays exact
+    // integer/DECIMAL arithmetic — no float ULP call, no
+    // engine-specific decimal division. Supplier⋈nation is broadcast.
+    "q54_important_parts" -> ((s, d) => {
+      val sup = supplier(s, d)
+        .join(broadcast(nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val perPart = lineitem(s, d)
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name"), col("l_partkey"))
+        .agg(sum((col("l_extendedprice") * col("l_quantity"))
+          .cast("decimal(24,6)")).as("value"))
+      val thresholds = perPart.groupBy(col("n_name"))
+        .agg(sum(col("value")).as("tv"), count(lit(1)).as("np"))
+      perPart.join(broadcast(thresholds), Seq("n_name"))
+        .filter(col("value") * col("np") * 2 > col("tv") * 3)
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_important"),
+          sum(col("value")).cast("double").as("important_value"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1338,6 +1368,24 @@ object RelationalQueries {
          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
            AND l_shipdate < TIMESTAMP '1998-01-01'
            AND l_discount >= 0.05 AND l_discount <= 0.07
-           AND l_quantity < 24"""
+           AND l_quantity < 24""",
+    "q54_important_parts" ->
+      """WITH pp AS (
+           SELECT n_name, l_partkey,
+             SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(24,6)))
+               AS value
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           GROUP BY 1, 2
+         ), thr AS (
+           SELECT n_name, SUM(value) AS tv, COUNT(*) AS np
+           FROM pp GROUP BY 1
+         )
+         SELECT n_name, COUNT(*) AS n_important,
+           CAST(SUM(value) AS DOUBLE) AS important_value
+         FROM pp JOIN thr USING (n_name)
+         WHERE value * np * 2 > tv * 3
+         GROUP BY n_name"""
   )
 }
