@@ -300,6 +300,45 @@ object HistoryQueries {
       dir
     })
 
+  /** A manifest lake carrying declared CHECK constraints
+    * ([[graft.sources.Constraints]]): after `n_chars >= 0` and a
+    * known-lang set are committed, a batch violating the lang
+    * constraint is REJECTED WHOLE at the append edge (no file lands,
+    * no version flips) and a clean batch lands normally. h25 reads the
+    * final image — if enforcement ever silently admitted the bad batch
+    * (or bounced the good one) the per-lang counts shift and the hash
+    * fails. Keyed by (session, sfDir). */
+  private val constraintsLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def constraintsLake(s: SparkSession, sfDir: String): String =
+    constraintsLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-constraints-lake").toString + "/lake"
+      val docs = graft.Tables.documents(s, sfDir)
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+      docs.write.parquet(dir)
+      graft.sources.History.enableManifests(s, dir): Unit
+      graft.sources.Constraints.add(s, dir, "chars_nonneg",
+        "n_chars >= 0"): Unit
+      graft.sources.Constraints.add(s, dir, "known_lang",
+        "lang IN ('en', 'zh', 'de', 'es', 'fr')"): Unit
+      val bad = docs.filter(col("doc_id") % 10 === 1)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("lang", lit("xx"))
+      val rejected =
+        try { graft.sources.History.append(s, dir, bad, key = "bad"); false }
+        catch { case _: IllegalArgumentException => true }
+      require(rejected, "constraint enforcement must reject the xx batch")
+      graft.sources.History.append(s, dir,
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L),
+        key = "good"): Unit
+      dir
+    })
+
   /** A lang-partitioned manifest lake of the documents table built in
     * two schema ERAS: era 1 (even doc_ids) lands with n_chars as INT32
     * and no quality column; the schema is then DECLARED and EVOLVED
@@ -700,7 +739,17 @@ object HistoryQueries {
     // spec-asserted (BinPackSpec counts files and identities).
     "h22_binpacked" -> ((s, d) =>
       graft.sources.History.readPinned(s, binPackLake(s, d))
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+
+    // Declared CHECK constraints at the write edge: the final image is
+    // corpus + the clean batch, and NOTHING from the rejected batch —
+    // aggregated per lang so an admitted 'xx' row or a bounced clean
+    // row breaks the hash.
+    "h25_constrained_lake" -> ((s, d) =>
+      graft.sources.History.readPinned(s, constraintsLake(s, d))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("sum_chars")))
   )
 
   private val rollupCache =
@@ -834,6 +883,15 @@ object HistoryQueries {
          WHERE lang != 'de'
          UNION ALL
          SELECT doc_id, lang, source, n_chars + 5000 AS n_chars
-         FROM documents WHERE lang = 'de'"""
+         FROM documents WHERE lang = 'de'""",
+    "h25_constrained_lake" ->
+      """WITH all_rows AS (
+           SELECT lang, n_chars FROM documents
+           UNION ALL
+           SELECT lang, n_chars FROM documents WHERE doc_id % 10 = 0
+         )
+         SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM all_rows GROUP BY lang"""
   )
 }

@@ -41,6 +41,7 @@ object History {
       records.sparkSession.sparkContext.hadoopConfiguration)
     SchemaLog.latest(fs, path)
       .foreach(d => SchemaLog.validateWrite(d, shaped.schema))
+    Constraints.enforce(records.sparkSession, path, shaped)
     shaped
       .repartition(col("region"), col("dt"))
       // sorted within files → tight parquet row-group min/max stats on
@@ -1499,6 +1500,7 @@ object History {
           .mkString("/")}, not ${partitionCols.mkString("/")}")
     SchemaLog.latest(fs, path)
       .foreach(d => SchemaLog.validateWrite(d, batch.schema))
+    Constraints.enforce(spark, path, batch)
     val stage = fs.makeQualified(
       new org.apache.hadoop.fs.Path(overwriteStagingDir(path)))
     fs.delete(stage, true): Unit
@@ -1803,6 +1805,7 @@ object History {
       s"updates schema ${updates.columns.sorted.mkString(",")} != " +
         s"lake schema ${lakeCols.sorted.mkString(",")}")
     val updAligned = updates.select(lakeCols.map(col): _*)
+    Constraints.enforce(spark, path, updAligned)
     val updKeys = updates.select(keyCols.map(col): _*).distinct()
     // pass 1: which current files hold matched keys, and how many rows
     val relByAbs: Map[String, String] = m.cur.map(rel =>
@@ -2324,6 +2327,7 @@ object History {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     SchemaLog.latest(fs, path)
       .foreach(d => SchemaLog.validateWrite(d, batch.schema))
+    Constraints.enforce(spark, path, batch)
     val writer = batch.write.mode("overwrite")
       .option("maxRecordsPerFile", 5000000L)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)

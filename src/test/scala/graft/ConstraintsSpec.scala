@@ -1,0 +1,172 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.{Constraints, FileManifest, History, SchemaLog}
+
+/** Declared CHECK constraints: committed as versioned lake metadata,
+  * validated against existing data at add time, and enforced at every
+  * data-adding write edge with ANSI CHECK semantics (only FALSE
+  * violates; NULL passes; narrower batches evaluate as their read
+  * image). */
+class ConstraintsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def lake(): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-constraints").toString + "/lake"
+    Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L))
+      .toDF("doc_id", "lang", "n_chars").coalesce(1).write.parquet(dir)
+    History.enableManifests(spark, dir): Unit
+    dir
+  }
+
+  private def fsOf(dir: String) = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("add/drop version the set; duplicates and unknown drops fail") {
+    val dir = lake()
+    val fs = fsOf(dir)
+    assert(Constraints.current(fs, dir).isEmpty)
+    assert(Constraints.add(spark, dir, "chars_nonneg", "n_chars >= 0") === 1L)
+    assert(Constraints.add(spark, dir, "id_present",
+      "doc_id IS NOT NULL") === 2L)
+    assert(Constraints.current(fs, dir).map(_._1) ===
+      Seq("chars_nonneg", "id_present"))
+    intercept[IllegalArgumentException] {
+      Constraints.add(spark, dir, "chars_nonneg", "n_chars >= 0")
+    }
+    assert(Constraints.drop(spark, dir, "id_present") === 3L)
+    assert(Constraints.current(fs, dir).map(_._1) === Seq("chars_nonneg"))
+    intercept[IllegalArgumentException] {
+      Constraints.drop(spark, dir, "nope")
+    }
+    // history retained: every version readable
+    assert(Constraints.at(fs, dir, 2L).map(_._1) ===
+      Seq("chars_nonneg", "id_present"))
+  }
+
+  test("a constraint the existing data violates is never committed") {
+    val dir = lake()
+    val e = intercept[IllegalArgumentException] {
+      Constraints.add(spark, dir, "big_chars", "n_chars > 15")
+    }
+    assert(e.getMessage.contains("violated by existing data"))
+    assert(Constraints.current(fsOf(dir), dir).isEmpty)
+  }
+
+  test("append enforcement: violating batch rejected whole, clean lands") {
+    import spark.implicits._
+    val dir = lake()
+    val fs = fsOf(dir)
+    Constraints.add(spark, dir, "chars_nonneg", "n_chars >= 0"): Unit
+    val v0 = FileManifest.latest(fs, dir).get.version
+    val e = intercept[IllegalArgumentException] {
+      History.append(spark, dir,
+        Seq((4L, "en", 40L), (5L, "en", -1L))
+          .toDF("doc_id", "lang", "n_chars"), key = "bad")
+    }
+    assert(e.getMessage.contains("chars_nonneg"))
+    // rejected WHOLE: no version flip, image unchanged (the valid row
+    // in the same batch did not land either)
+    assert(FileManifest.latest(fs, dir).get.version === v0)
+    assert(History.readPinned(spark, dir).count() === 3L)
+    History.append(spark, dir,
+      Seq((4L, "en", 40L)).toDF("doc_id", "lang", "n_chars"),
+      key = "good"): Unit
+    assert(History.readPinned(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("ANSI CHECK: NULL passes; IS NOT NULL expresses non-nullness") {
+    import spark.implicits._
+    val dir = lake()
+    Constraints.add(spark, dir, "lang_known", "lang IN ('en', 'de')"): Unit
+    // NULL lang → predicate NULL → passes (not FALSE)
+    History.append(spark, dir,
+      Seq((10L, null.asInstanceOf[String], 5L))
+        .toDF("doc_id", "lang", "n_chars"), key = "nulllang"): Unit
+    assert(History.readPinned(spark, dir).count() === 4L)
+    // non-nullness must be said explicitly
+    Constraints.add(spark, dir, "chars_present",
+      "n_chars IS NOT NULL"): Unit
+    intercept[IllegalArgumentException] {
+      History.append(spark, dir,
+        Seq((11L, "en", null.asInstanceOf[java.lang.Long]))
+          .toDF("doc_id", "lang", "n_chars"), key = "nullchars")
+    }
+  }
+
+  test("narrower batches evaluate as their read image (null-extended)") {
+    import spark.implicits._
+    val dir = lake()
+    SchemaLog.declare(spark, dir): Unit
+    Constraints.add(spark, dir, "chars_nonneg", "n_chars >= 0"): Unit
+    // a mid-evolution writer without n_chars: lands as NULL n_chars at
+    // read → CHECK passes (NULL is not FALSE)
+    History.append(spark, dir,
+      Seq((20L, "fr")).toDF("doc_id", "lang"), key = "narrow"): Unit
+    assert(History.readPinned(spark, dir).count() === 4L)
+    // but an IS NOT NULL constraint on the missing column rejects a
+    // narrow batch (fresh lake: the declared set must predate the
+    // narrow write — existing-data validation correctly refuses it
+    // afterwards, which the add on THIS lake now demonstrates too)
+    intercept[IllegalArgumentException] {
+      Constraints.add(spark, dir, "chars_present2", "n_chars IS NOT NULL")
+    }
+    val dir2 = lake()
+    SchemaLog.declare(spark, dir2): Unit
+    Constraints.add(spark, dir2, "chars_present2",
+      "n_chars IS NOT NULL"): Unit
+    val e = intercept[IllegalArgumentException] {
+      History.append(spark, dir2,
+        Seq((21L, "fr")).toDF("doc_id", "lang"), key = "narrow2")
+    }
+    assert(e.getMessage.contains("chars_present2"))
+  }
+
+  test("mergeInto and overwritePartitions enforce too") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-constraints-p").toString + "/lake"
+    Seq((1L, "en", 10L), (2L, "de", 20L))
+      .toDF("doc_id", "lang", "n_chars")
+      .write.partitionBy("lang").parquet(dir)
+    History.enableManifests(spark, dir): Unit
+    Constraints.add(spark, dir, "chars_nonneg", "n_chars >= 0"): Unit
+    intercept[IllegalArgumentException] {
+      History.mergeInto(spark, dir,
+        Seq((1L, "en", -5L)).toDF("doc_id", "lang", "n_chars"),
+        Seq("doc_id"))
+    }
+    intercept[IllegalArgumentException] {
+      History.overwritePartitions(spark, dir,
+        Seq((3L, "en", -5L)).toDF("doc_id", "n_chars", "lang")
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq("lang"))
+    }
+    // image unchanged by both rejections
+    assert(History.readPinned(spark, dir).count() === 2L)
+    assert(History.readPinned(spark, dir)
+      .filter(col("n_chars") < 0).count() === 0L)
+    // a clean merge passes
+    History.mergeInto(spark, dir,
+      Seq((1L, "en", 99L)).toDF("doc_id", "lang", "n_chars"),
+      Seq("doc_id")): Unit
+    assert(History.readPinned(spark, dir)
+      .filter(col("doc_id") === 1L).head().getAs[Long]("n_chars") === 99L)
+  }
+
+  test("malformed expressions and names fail loudly at add") {
+    val dir = lake()
+    intercept[Exception] {
+      Constraints.add(spark, dir, "bad_col", "no_such_column > 0")
+    }
+    intercept[IllegalArgumentException] {
+      Constraints.add(spark, dir, "tab\tname", "n_chars >= 0")
+    }
+    assert(Constraints.current(fsOf(dir), dir).isEmpty)
+  }
+}
