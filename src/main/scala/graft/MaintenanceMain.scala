@@ -26,6 +26,7 @@ import graft.stream.LakeChangeFeed
   *   spark.graft.maintenance.keyCols         doc_id
   *   spark.graft.maintenance.rollups         dir|k1+k2|s1+s2|d1  ;-separated
   *   spark.graft.maintenance.vectorIndexes   idxDir|id|emb|centDir ;-separated
+  *   spark.graft.maintenance.lmRollups       dir|textCol|bigram    ;-separated
   *   spark.graft.maintenance.binPackTargetBytes  134217728
   *   spark.graft.maintenance.vacuumGraceMs   86400000
   *   spark.graft.maintenance.feedKeepRanges  96
@@ -74,6 +75,19 @@ object MaintenanceMain {
         }
       }
 
+  private[graft] def lmSpecs(
+      spark: SparkSession): Seq[LakeChangeFeed.LmSpec] =
+    conf(spark, "lmRollups").map(_.split(';').map(_.trim)
+        .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      .map { enc =>
+        enc.split('|') match {
+          case Array(dir, textCol, kind) =>
+            LakeChangeFeed.LmSpec(dir, textCol, kind)
+          case _ => throw new IllegalArgumentException(
+            s"bad lm spec '$enc' — want rollupDir|textCol|{unigram,bigram}")
+        }
+      }
+
   /** One full maintenance pass; returns the delivered range, if any.
     * The testable unit — `main` loops this on the cadence. */
   def runOnce(spark: SparkSession): Option[(Long, Long)] = {
@@ -105,7 +119,8 @@ object MaintenanceMain {
       keyCols = csv(spark, "keyCols"),
       rollups = rollupSpecs(spark),
       binPackTargetBytes = conf(spark, "binPackTargetBytes").map(_.toLong),
-      vectorIndexes = indexSpecs(spark))
+      vectorIndexes = indexSpecs(spark),
+      lmRollups = lmSpecs(spark))
     catch { case scala.util.control.NonFatal(e) => failures += e }
     grace.foreach { g =>
       // deliver the pass's OWN commits (bin-pack, rewrites) first so

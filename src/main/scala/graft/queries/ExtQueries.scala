@@ -175,6 +175,41 @@ object ExtQueries {
         (corpus, index)
       })
 
+  /** A documents-corpus lake whose BIGRAM count table (the t25 LM's
+    * model side) is MAINTAINED through the change feed: bootstrap,
+    * then a DV takedown and an exactly-once append, then one
+    * [[graft.ext.LmRollup.tickBigrams]] — the tick retracts the
+    * deleted documents' grams and adds the appended ones', never
+    * rescanning the corpus. s16 reads the maintained table; the
+    * oracle recomputes bigram counts over the FINAL image, so a
+    * missed retraction, a double-applied insert, or a drifted count
+    * anywhere in the vocabulary fails the hash. */
+  private val lmLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def maintainedLm(s: SparkSession, d: String): (String, String) =
+    lmLakeCache.computeIfAbsent(
+      s"${graft.SessionKey(s)}|$d",
+      _ => {
+        Memos.install(s)
+        val base = s"${artifactRoot(s, d)}/lmrollup"
+        val corpus = s"$base/corpus"
+        val rollup = s"$base/counts"
+        val docs = documents(s, d).select(col("doc_id"), col("text"))
+        docs.repartition(8).write.mode("overwrite").parquet(corpus)
+        graft.sources.History.enableManifests(s, corpus): Unit
+        graft.ext.LmRollup.bootstrapBigrams(s, corpus, rollup,
+          "text"): Unit
+        graft.sources.History.deleteWhereDV(s, corpus,
+          col("doc_id") % 13 === 4): Unit
+        graft.sources.History.append(s, corpus,
+          docs.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
+          key = "s16-copies"): Unit
+        graft.ext.LmRollup.tickBigrams(s, corpus, rollup, "text"): Unit
+        (corpus, rollup)
+      })
+
   /** s09/s10/s11 share the trained product quantizer and the corpus
     * code assignments — published like the coarse quantizer: codebook
     * through the versioned index root, codes as a small at-rest parquet
@@ -799,6 +834,19 @@ object ExtQueries {
           dfCapInv = 1)
         .select(col("query_id"), col("b_id"), col("rank"),
           col("score").cast("double").as("score"))
+    }),
+
+    // MAINTAINED LM model table serving a LIVE corpus — the model side
+    // of t25's bigram quality filter kept exact under corpus change:
+    // after a merge-on-read takedown and an append, ONE change-feed
+    // tick retracted the deleted docs' grams and added the new docs'
+    // (cost = the changed documents; the corpus is never rescanned).
+    // The oracle recomputes the counts one-shot over the final image —
+    // any drifted cell in the vocabulary-sized table fails the hash.
+    "s16_maintained_lm" -> ((s, d) => {
+      val (_, rollup) = maintainedLm(s, d)
+      graft.ext.LmRollup.read(s, rollup)
+        .select(col("w1"), col("w2"), col("n_rows"))
     }),
 
     // Hybrid retrieval (the RAG first stage): a doc-as-query BM25 arm
@@ -2742,6 +2790,23 @@ object ExtQueries {
                   ORDER BY cos_r DESC, b_id ASC) AS rank FROM s) t
           WHERE rank <= 3"""
     },
+    "s16_maintained_lm" ->
+      """WITH corpus2 AS (
+           SELECT text FROM documents
+           WHERE doc_id IS NULL OR doc_id % 13 != 4
+           UNION ALL
+           SELECT text FROM documents WHERE doc_id % 10 = 0
+         ), w AS (
+           SELECT string_split(text, ' ') AS l FROM corpus2
+           WHERE text IS NOT NULL AND length(trim(text)) > 0
+             AND len(string_split(text, ' ')) >= 2
+         ), b AS (
+           SELECT l, unnest(range(1, len(l))) AS i FROM w
+         ), bg AS (
+           SELECT l[CAST(i AS INTEGER)] AS w1,
+             l[CAST(i + 1 AS INTEGER)] AS w2 FROM b
+         )
+         SELECT w1, w2, COUNT(*) AS n_rows FROM bg GROUP BY 1, 2""",
     "s15_maintained_bm25" ->
       """WITH corpus2 AS (
            SELECT doc_id, text FROM documents WHERE doc_id % 13 != 7

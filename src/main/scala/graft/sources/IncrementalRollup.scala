@@ -191,36 +191,109 @@ object IncrementalRollup {
             sum(sign * col(c).cast("long")).as("d_" + c)) ++
             distinctCols.map(c => graft.functions.HyperLogLog
               .hll_sketch(col(c)).as("dh_" + c))): _*)
-      // the merge base is pinned to the state AT `from` — re-resolving
-      // currentVersion here would race a concurrent/replayed tick that
-      // published a newer state between our two reads and double-apply
-      // the overlap (permanently, since later ticks build on the result)
-      val prev = spark.read.parquet(statePath(rollupDir, from).toString)
-      // null-SAFE key join: a null group key is a legal groupBy output
-      // on both sides, and an equi-join would never match it — the one
-      // group would fork into two state rows (one never retractable)
-      val joinCond = keyCols.map(k => prev(k) <=> delta(k)).reduce(_ && _)
-      val merged = prev.join(delta, joinCond, "full_outer")
-        .select(keyCols.map(k => coalesce(prev(k), delta(k)).as(k)) ++
-          Seq((coalesce(col("n_rows"), lit(0L)) +
-            coalesce(col("d_rows"), lit(0L))).as("n_rows")) ++
-          sumCols.zip(sumNames).map { case (c, sn) =>
-            (coalesce(col(sn), lit(0L)) +
-              coalesce(col("d_" + c), lit(0L))).as(sn)
-          } ++
-          distinctCols.map { c =>
-            val sn = "hll_" + c
-            // union when both sides exist, else whichever is present
-            coalesce(graft.functions.HyperLogLog
-              .hll_union(col(sn), col("dh_" + c)),
-              col(sn), col("dh_" + c)).as(sn)
-          }: _*)
-        .filter(col("n_rows") > 0)
-      publish(spark, rollupDir, latest, merged)
+      mergeAndPublish(spark, rollupDir, from, latest, delta,
+        keyCols, sumCols, distinctCols)
       Some((from, latest))
       } finally {
         if (distinctCols.nonEmpty) changes.unpersist(): Unit
       }
+    }
+  }
+
+  /** Merge a signed delta into the state at `from` and publish it as
+    * the state at `latest` (shared by [[tick]] and [[tickDerived]]). */
+  private def mergeAndPublish(spark: SparkSession, rollupDir: String,
+                              from: Long, latest: Long, delta: DataFrame,
+                              keyCols: Seq[String], sumCols: Seq[String],
+                              distinctCols: Seq[String]): Unit = {
+    val sumNames = sumCols.map("sum_" + _)
+    // the merge base is pinned to the state AT `from` — re-resolving
+    // currentVersion here would race a concurrent/replayed tick that
+    // published a newer state between our two reads and double-apply
+    // the overlap (permanently, since later ticks build on the result)
+    val prev = spark.read.parquet(statePath(rollupDir, from).toString)
+    // null-SAFE key join: a null group key is a legal groupBy output
+    // on both sides, and an equi-join would never match it — the one
+    // group would fork into two state rows (one never retractable)
+    val joinCond = keyCols.map(k => prev(k) <=> delta(k)).reduce(_ && _)
+    val merged = prev.join(delta, joinCond, "full_outer")
+      .select(keyCols.map(k => coalesce(prev(k), delta(k)).as(k)) ++
+        Seq((coalesce(col("n_rows"), lit(0L)) +
+          coalesce(col("d_rows"), lit(0L))).as("n_rows")) ++
+        sumCols.zip(sumNames).map { case (c, sn) =>
+          (coalesce(col(sn), lit(0L)) +
+            coalesce(col("d_" + c), lit(0L))).as(sn)
+        } ++
+        distinctCols.map { c =>
+          val sn = "hll_" + c
+          // union when both sides exist, else whichever is present
+          coalesce(graft.functions.HyperLogLog
+            .hll_union(col(sn), col("dh_" + c)),
+            col(sn), col("dh_" + c)).as(sn)
+        }: _*)
+      .filter(col("n_rows") > 0)
+    publish(spark, rollupDir, latest, merged)
+  }
+
+  /** DERIVED rollup: maintain keyed COUNTS over a row-local transform
+    * of the lake — each corpus row maps (independently of every other
+    * row) to zero or more derived rows, and the state is the per-key
+    * count of derived rows. The transform's row-locality is what makes
+    * the rollup invertible: a deleted corpus row retracts exactly the
+    * derived rows it contributed, so the change feed advances the
+    * state without revisiting old data — the machinery behind
+    * MAINTAINED n-gram / language-model count tables ([[graft.ext
+    * .LmRollup]]): a takedown retracts its documents' grams, an append
+    * adds its own, and the model table never rescans the corpus.
+    *
+    * `derive` MUST be deterministic and row-local (explode/filter/
+    * project only — no joins, windows, or aggregates across corpus
+    * rows), and must emit exactly `keyCols`. Violating row-locality
+    * breaks retraction silently; keep transforms to per-row
+    * expressions. */
+  def bootstrapDerived(spark: SparkSession, lakePath: String,
+                       rollupDir: String, keyCols: Seq[String],
+                       derive: DataFrame => DataFrame,
+                       atVersion: Option[Long] = None): Long = {
+    validateCols(keyCols, Nil, Nil)
+    currentVersion(spark, rollupDir).getOrElse {
+      val v = atVersion.getOrElse(History.versions(spark, lakePath).last)
+      publish(spark, rollupDir, v,
+        aggregate(derive(History.readPinned(spark, lakePath, v)),
+          keyCols, Nil, Nil))
+      v
+    }
+  }
+
+  /** Advance a derived rollup to the lake's latest version: the change
+    * feed's inserts and deletes each pass through `derive` (which must
+    * match the bootstrap's), then merge as a signed count delta. */
+  def tickDerived(spark: SparkSession, lakePath: String,
+                  rollupDir: String, keyCols: Seq[String],
+                  derive: DataFrame => DataFrame): Option[(Long, Long)] = {
+    validateCols(keyCols, Nil, Nil)
+    val from = currentVersion(spark, rollupDir).getOrElse(
+      throw new IllegalStateException(
+        s"rollup at $rollupDir has no state — run bootstrapDerived first"))
+    val latest = History.versions(spark, lakePath).last
+    if (latest <= from) None
+    else {
+      // derive runs once per change side; persist the diff so the two
+      // passes share one row-hash diff materialization
+      val changes = History.changesBetween(spark, lakePath, from, latest)
+        .persist()
+      try {
+        val ins = derive(changes.filter(col("_change") === "insert")
+          .drop("_change")).withColumn("_sign", lit(1L))
+        val del = derive(changes.filter(col("_change") === "delete")
+          .drop("_change")).withColumn("_sign", lit(-1L))
+        val delta = ins.unionByName(del)
+          .groupBy(keyCols.map(col): _*)
+          .agg(sum(col("_sign")).as("d_rows"))
+        mergeAndPublish(spark, rollupDir, from, latest, delta,
+          keyCols, Nil, Nil)
+        Some((from, latest))
+      } finally { changes.unpersist(): Unit }
     }
   }
 

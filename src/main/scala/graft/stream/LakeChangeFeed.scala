@@ -122,7 +122,8 @@ object LakeChangeFeed {
       fromVersion: Option[Long] = None,
       rollups: Seq[RollupSpec] = Nil,
       binPackTargetBytes: Option[Long] = None,
-      vectorIndexes: Seq[IndexSpec] = Nil): Option[(Long, Long)] = {
+      vectorIndexes: Seq[IndexSpec] = Nil,
+      lmRollups: Seq[LmSpec] = Nil): Option[(Long, Long)] = {
     val range = tick(spark, lakePath, outDir, fromVersion)
     range.foreach { case (from, to) =>
       statsCols.foreach(c =>
@@ -162,9 +163,17 @@ object LakeChangeFeed {
         graft.ext.VectorIndex.tick(spark, lakePath, ix.indexDir,
           ix.idCol, ix.embCol,
           graft.ext.Similarity.loadCentroids(spark, ix.centroidsDir)): Unit
+      }) ++
+      lmRollups.flatMap(lm => guarded(lm.rollupDir) {
+        (if (lm.kind == "bigram")
+          graft.ext.LmRollup.tickBigrams(spark, lakePath,
+            lm.rollupDir, lm.textCol)
+        else
+          graft.ext.LmRollup.tickUnigrams(spark, lakePath,
+            lm.rollupDir, lm.textCol)): Unit
       })
     if (failed.nonEmpty) {
-      val total = rollups.size + vectorIndexes.size +
+      val total = rollups.size + vectorIndexes.size + lmRollups.size +
         (if (binPackTargetBytes.isDefined) 1 else 0)
       val ex = new IllegalStateException(
         s"${failed.size}/$total maintenance tick(s) failed " +
@@ -239,6 +248,15 @@ object LakeChangeFeed {
     def apply(rollupDir: String, keyCols: Seq[String],
               sumCol: String): RollupSpec =
       RollupSpec(rollupDir, keyCols, Seq(sumCol))
+  }
+
+  /** One maintained LM count table ([[graft.ext.LmRollup]]) for
+    * [[tickWithMaintenance]] to advance alongside the rollups —
+    * `kind` is "unigram" or "bigram" over `textCol`. */
+  final case class LmSpec(rollupDir: String, textCol: String,
+                          kind: String) {
+    require(kind == "unigram" || kind == "bigram",
+      s"LmSpec kind must be unigram|bigram, got '$kind'")
   }
 
   /** One maintained ANN index ([[graft.ext.VectorIndex]]) for
