@@ -629,6 +629,30 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
         s"exchange:\n${plan.toString.take(1500)}")
   }
 
+  test("plan quality: q54's threshold side reuses the per-part stage") {
+    // the per-nation total/count re-aggregate the (nation, part)
+    // partial aggregate — the broadcast threshold side must come from
+    // the SAME fact stage (ReusedQueryStage under AQE), never a second
+    // lineitem scan: at 100 TB a re-scan doubles the dominant I/O.
+    val df = SparkEntry.queries("q54_important_parts")(spark,
+      "/root/testdata/sf0.001")
+    df.collect(): Unit
+    val plan = df.queryExecution.executedPlan
+    def finalized(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+      }
+    val roots = plan +: finalized(plan)
+    val reusedOneScan = roots.map(_.toString).exists { s =>
+      (s.contains("ReusedExchange") || s.contains("ReusedQueryStage")) &&
+        "lineitem".r.findAllIn(s).length <= 1
+    }
+    assert(reusedOneScan,
+      s"q54 re-scans the fact instead of reusing the per-part stage:\n" +
+        plan.toString.take(1500))
+  }
+
   test("plan quality: q44 scans lineitem once; window rides the join shuffle") {
     // the double-EXISTS decorrelation computes per-order cardinalities
     // as WINDOW aggregates over the join output instead of a second
