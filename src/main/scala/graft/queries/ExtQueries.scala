@@ -200,6 +200,8 @@ object ExtQueries {
         graft.sources.History.enableManifests(s, corpus): Unit
         graft.ext.LmRollup.bootstrapBigrams(s, corpus, rollup,
           "text"): Unit
+        graft.ext.LmRollup.bootstrapUnigrams(s, corpus, s"$base/uni",
+          "text"): Unit
         graft.sources.History.deleteWhereDV(s, corpus,
           col("doc_id") % 13 === 4): Unit
         graft.sources.History.append(s, corpus,
@@ -207,7 +209,9 @@ object ExtQueries {
             .select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
           key = "s16-copies"): Unit
         graft.ext.LmRollup.tickBigrams(s, corpus, rollup, "text"): Unit
-        (corpus, rollup)
+        graft.ext.LmRollup.tickUnigrams(s, corpus, s"$base/uni",
+          "text"): Unit
+        (corpus, base)
       })
 
   /** s09/s10/s11 share the trained product quantizer and the corpus
@@ -844,9 +848,24 @@ object ExtQueries {
     // The oracle recomputes the counts one-shot over the final image —
     // any drifted cell in the vocabulary-sized table fails the hash.
     "s16_maintained_lm" -> ((s, d) => {
-      val (_, rollup) = maintainedLm(s, d)
-      graft.ext.LmRollup.read(s, rollup)
+      val (_, base) = maintainedLm(s, d)
+      graft.ext.LmRollup.read(s, s"$base/counts")
         .select(col("w1"), col("w2"), col("n_rows"))
+    }),
+
+    // LM quality scoring SERVED from the maintained model (the t25
+    // filter in production): query docs from the live corpus score
+    // against the ticked bigram/unigram tables — c12 joins, context
+    // counts one vocabulary-sized aggregation, vocab the unigram row
+    // count. The oracle recomputes model + scores one-shot over the
+    // final image, so a stale model cell or a drifted smoothing term
+    // anywhere fails the per-doc hash.
+    "s17_lm_score_served" -> ((s, d) => {
+      val (corpus, base) = maintainedLm(s, d)
+      val q = graft.sources.History.readPinned(s, corpus)
+        .filter(col("doc_id") % 50 === 0)
+      graft.ext.LmRollup.scoreDocs(s, s"$base/counts", s"$base/uni",
+        q, "doc_id", "text")
     }),
 
     // Hybrid retrieval (the RAG first stage): a doc-as-query BM25 arm
@@ -2790,6 +2809,40 @@ object ExtQueries {
                   ORDER BY cos_r DESC, b_id ASC) AS rank FROM s) t
           WHERE rank <= 3"""
     },
+    "s17_lm_score_served" ->
+      """WITH corpus2 AS (
+           SELECT doc_id, text FROM documents
+           WHERE doc_id IS NULL OR doc_id % 13 != 4
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents
+           WHERE doc_id % 10 = 0
+         ), w AS (
+           SELECT doc_id, string_split(text, ' ') AS l FROM corpus2
+           WHERE text IS NOT NULL AND length(trim(text)) > 0
+             AND len(string_split(text, ' ')) >= 2
+         ), b AS (
+           SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM w
+         ), bg AS (
+           SELECT doc_id, l[CAST(i AS INTEGER)] AS w1,
+             l[CAST(i + 1 AS INTEGER)] AS w2 FROM b
+         ), bc AS (
+           SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+         ), cc AS (
+           SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1
+         ), v AS (
+           SELECT COUNT(DISTINCT t.w) AS vocab
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM corpus2
+                 WHERE text IS NOT NULL AND length(trim(text)) > 0) t
+         ), scored AS (
+           SELECT bg.doc_id,
+             CAST(round(ln(CAST(c12 + 1 AS DOUBLE) /
+               CAST(c1 + vocab AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp
+           FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
+           WHERE bg.doc_id % 50 = 0
+         )
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+           round(CAST(-SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+         FROM scored GROUP BY doc_id""",
     "s16_maintained_lm" ->
       """WITH corpus2 AS (
            SELECT text FROM documents

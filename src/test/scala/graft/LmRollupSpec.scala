@@ -99,6 +99,32 @@ class LmRollupSpec extends AnyFunSuite {
     }
   }
 
+  test("scoreDocs serves new docs through the smoothing (unseen grams)") {
+    import spark.implicits._
+    val dir = lake(Seq((1L, "a b a b"), (2L, "b c")))
+    val bi = fresh("graft-lm-sbi"); val uni = fresh("graft-lm-suni")
+    LmRollup.bootstrapBigrams(spark, dir, bi, "text"): Unit
+    LmRollup.bootstrapUnigrams(spark, dir, uni, "text"): Unit
+    // vocab = {a, b, c} = 3; contexts: a→2 (a b ×2), b→2 (b a, b c)
+    val scored = LmRollup.scoreDocs(spark, bi, uni,
+      Seq((100L, "a b z"), (101L, "q q")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_nll"))).toMap
+    // doc 100: (a,b) seen c12=2,c1=2 → ln(3/5); (b,z) unseen in a seen
+    // context → ln(1/5); doc 101: (q,q) unseen context → ln(1/3)
+    def nll(lps: Seq[Double]): Double = {
+      val dec = lps.map(lp => BigDecimal(lp).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP))
+      (-(dec.sum).toDouble / lps.size * 1e6).round / 1e6
+    }
+    assert(scored(100L)._1 === 2L)
+    assert(math.abs(scored(100L)._2 -
+      nll(Seq(math.log(3.0 / 5), math.log(1.0 / 5)))) < 1e-9)
+    assert(scored(101L)._1 === 1L)
+    assert(math.abs(scored(101L)._2 - nll(Seq(math.log(1.0 / 3)))) < 1e-9)
+  }
+
   test("tickDerived refuses an unbootstrapped rollup; derive key contract") {
     import spark.implicits._
     val dir = lake(Seq((1L, "a b")))
