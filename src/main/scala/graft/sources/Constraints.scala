@@ -127,6 +127,20 @@ object Constraints {
     v
   }
 
+  /** Carry the source lake's active constraint set to a fresh export
+    * destination as its v1 (no-op when the source declares none; fails
+    * if the destination already declared — the export path guarantees
+    * a clean destination). */
+  private[sources] def exportTo(srcFs: FileSystem, srcPath: String,
+                                destFs: FileSystem,
+                                destPath: String): Unit = {
+    val cs = current(srcFs, srcPath)
+    if (cs.isEmpty) return
+    require(latestVersion(destFs, destPath).isEmpty,
+      s"exportTo on a lake with existing constraints: $destPath")
+    publish(destFs, destPath, 1L, cs)
+  }
+
   /** Enforce the active set against a batch about to land: evaluates
     * every constraint over the batch's READ image (missing declared
     * columns null-extended) in ONE validating job and throws — before

@@ -2235,6 +2235,10 @@ object History {
     // lose the projection a mixed-era source depends on)
     SchemaLog.latest(fs, path).foreach(s =>
       SchemaLog.declareAs(destFs, destDir, s): Unit)
+    // carry the declared CHECK constraints too — the clone is an
+    // independent lake, and a copy that silently dropped the source's
+    // data-quality contract would admit rows the source never could
+    Constraints.exportTo(fs, path, destFs, destDir)
     FileManifest.publish(destFs, destDir,
       FileManifest.Manifest(1L, m.cur, Nil, m.dvs))
     1L

@@ -159,6 +159,24 @@ class ConstraintsSpec extends AnyFunSuite {
       .filter(col("doc_id") === 1L).head().getAs[Long]("n_chars") === 99L)
   }
 
+  test("snapshot export carries the constraint set to the clone") {
+    import spark.implicits._
+    val dir = lake()
+    Constraints.add(spark, dir, "chars_nonneg", "n_chars >= 0"): Unit
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft-constraints-export").toString + "/clone"
+    History.exportSnapshot(spark, dir, dst): Unit
+    assert(Constraints.current(fsOf(dst), dst).map(_._1) ===
+      Seq("chars_nonneg"))
+    // the clone ENFORCES: the source's data-quality contract travels
+    intercept[IllegalArgumentException] {
+      History.append(spark, dst,
+        Seq((9L, "en", -1L)).toDF("doc_id", "lang", "n_chars"),
+        key = "bad-clone")
+    }
+    assert(History.readPinned(spark, dst).count() === 3L)
+  }
+
   test("malformed expressions and names fail loudly at add") {
     val dir = lake()
     intercept[Exception] {
