@@ -342,7 +342,7 @@ object ExtQueries {
     // warehouse): drop cache entries, the band table's catalog entry,
     // and the dirs themselves
     Seq(centroidsCache, pqCache, bandArtifactCache, vecIndexCache,
-        lexIndexCache)
+        lexIndexCache, lmLakeCache)
       .foreach { cache =>
       val it = cache.entrySet().iterator()
       while (it.hasNext) {
@@ -1213,7 +1213,11 @@ object ExtQueries {
         .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       val bc = bg.groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("c12"))
-      val cc = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      // context counts derive from the MODEL (sum of c12 over w2 —
+      // identical values), not a second corpus-wide aggregation: the
+      // re-aggregation is vocabulary-sized, so the corpus bigram
+      // stream is aggregated once and joined once
+      val cc = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
       val vocab = ws.select(explode(col("l")).as("w"))
         .agg(countDistinct(col("w")).as("vocab"))
       bg.join(bc, Seq("w1", "w2")).join(cc, Seq("w1"))
