@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.sources.{FileManifest, History}
+import graft.sources.{Constraints, FileManifest, History}
 
 /** Model-based fuzz of the manifest lake's row lifecycle: a seeded
   * random sequence of append / deleteWhere / mergeInto / clusterBy /
@@ -59,7 +59,8 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
                           sharded: Boolean = false,
                           keyed: Boolean = false,
                           tagged: Boolean = false,
-                          dv: Boolean = false): Unit = {
+                          dv: Boolean = false,
+                          constrained: Boolean = false): Unit = {
     val rnd = new scala.util.Random(seed)
     val lake = java.nio.file.Files
       .createTempDirectory(s"graft-fuzz-$seed").toString + "/lake"
@@ -88,6 +89,11 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
     History.enableManifests(spark, lake): Unit
     if (sharded) History.enableShardedManifests(spark, lake): Unit
     if (keyed) History.refreshKeyIndex(spark, lake, "id"): Unit
+    // constrained mode: a CHECK all generated rows satisfy, so every
+    // checked append below flows through enforcement — plus periodic
+    // violating appends that must bounce whole with no version flip
+    if (constrained)
+      Constraints.add(spark, lake, "v_nonneg", "v >= 0"): Unit
     init.foreach { case (id, p, v) => model(id) = (p, v) }
     assert(img(lake) === model.toMap, s"seed=$seed init")
     if (tagged)
@@ -99,7 +105,8 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
     val extraOps = (if (keyed) Seq("deleteKeys", "refreshIndex") else Nil) ++
       (if (tagged) Seq("mkTag", "rmTag", "restore") else Nil) ++
       (if (dv) Seq("deleteKeysDV", "materializeDV", "overwritePart")
-       else Nil)
+       else Nil) ++
+      (if (constrained) Seq("appendChecked", "appendBad") else Nil)
     for (op <- 0 until nOps) {
       val pick = rnd.nextInt(10 + extraOps.size)
       val desc: String = pick match {
@@ -196,6 +203,25 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
             model.filterInPlace { case (_, (mp, _)) => mp != p }
             rows.foreach { case (id, pp, v) => model(id) = (pp, v) }
             s"overwritePart $p ${rows.size}"
+          case "appendChecked" => // validated append through enforcement
+            val rows = freshRows(1 + rnd.nextInt(4))
+            History.append(spark, lake, toDF(rows), key = s"ck$op",
+              partitionCols = Seq("part")): Unit
+            rows.foreach { case (id, p, v) => model(id) = (p, v) }
+            s"appendChecked ${rows.size}"
+          case "appendBad" => // violating batch: rejected whole
+            val rows = freshRows(2).map { case (id, p, _) => (id, p, -5L) }
+            val before = FileManifest.latestVersion(fs(lake), lake).get
+            val rejected =
+              try {
+                History.append(spark, lake, toDF(rows), key = s"bad$op",
+                  partitionCols = Seq("part"))
+                false
+              } catch { case _: IllegalArgumentException => true }
+            assert(rejected, s"seed=$seed op#$op appendBad not rejected")
+            assert(FileManifest.latestVersion(fs(lake), lake)
+              .get === before, s"seed=$seed op#$op appendBad flipped")
+            "appendBad rejected"
           case _ => // roll back to any retained snapshot ("restore")
             val f = fs(lake)
             val candidates = FileManifest.versions(f, lake)
@@ -319,6 +345,15 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
       tagged = true, dv = true)
   }
 
+  test("constrained mode: enforcement composes with the lifecycle (seed 53)") {
+    runSequence(seed = 53L, nOps = 12, constrained = true)
+  }
+
+  test("constrained + DV + sharded: enforcement on the full stack (seed 59)") {
+    runSequence(seed = 59L, nOps = 12, sharded = true, dv = true,
+      constrained = true)
+  }
+
   // Deep sweep for bug hunts — opt-in (SPARK_GRAFT_DEEP_FUZZ=1) so the
   // default suite stays fast; longer sequences and more seeds over
   // both manifest modes, half with the keyed-index lifecycle mixed in.
@@ -329,5 +364,10 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
         keyed = Seq(23L, 101L, 211L).contains(seed),
         tagged = Seq(5L, 47L, 211L).contains(seed),
         dv = Seq(11L, 47L, 101L).contains(seed))
+    // constrained joins the deep sweep on its own seeds (the existing
+    // seeds' random streams must stay replayable as-is)
+    for (seed <- Seq(307L, 311L))
+      runSequence(seed, nOps = 25, sharded = seed == 311L,
+        dv = seed == 311L, constrained = true)
   }
 }
