@@ -106,9 +106,18 @@ class LakeCatalog extends TableCatalog {
       version.map(History.readPinned(spark, path, _))
         .getOrElse(History.readPinned(spark, path)).schema
     }
+    // the lake's declared contract rides the table properties —
+    // SQL-visible provenance (SHOW TBLPROPERTIES): pinned manifest
+    // version, declared-schema version, and the active CHECK set
+    val props: Map[String, String] =
+      Map("graft.version" -> m.version.toString) ++
+        SchemaLog.latestVersion(fs, path)
+          .map(v => "graft.schema.version" -> v.toString) ++
+        Constraints.current(fs, path)
+          .map { case (n, e) => s"graft.constraint.$n" -> e }
     org.apache.spark.sql.graftbridge.ParquetTableBridge.table(
       s"$catalogName.$path${version.fold("")(v => s"@v$v")}",
-      spark, files, qRoot.toString, Some(schema))
+      spark, files, qRoot.toString, Some(schema), props)
   }
 
   override def loadTable(ident: Identifier): Table =

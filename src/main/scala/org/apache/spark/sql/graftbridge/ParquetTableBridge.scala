@@ -38,21 +38,30 @@ object ParquetTableBridge {
     * exposes only the scan side, so writes fail at analysis with
     * "table does not support append". */
   def table(name: String, spark: SparkSession, paths: Seq[String],
-            basePath: String, schema: Option[StructType]): Table = {
+            basePath: String, schema: Option[StructType],
+            extraProperties: Map[String, String] = Map.empty): Table = {
     val opts = new java.util.HashMap[String, String]()
     opts.put("basePath", basePath): Unit
     new ReadOnlyTable(ParquetTable(name, spark,
       new CaseInsensitiveStringMap(opts),
-      paths.toList, schema, classOf[ParquetFileFormat]))
+      paths.toList, schema, classOf[ParquetFileFormat]), extraProperties)
   }
 
-  private final class ReadOnlyTable(delegate: ParquetTable)
+  private final class ReadOnlyTable(delegate: ParquetTable,
+                                    extraProperties: Map[String, String])
       extends Table
       with org.apache.spark.sql.connector.catalog.SupportsRead {
     override def name(): String = delegate.name
     override def schema(): StructType = delegate.schema
     override def partitioning() = delegate.partitioning()
-    override def properties() = delegate.properties()
+    override def properties() = {
+      // surface the lake's commit metadata (version, declared schema,
+      // CHECK constraints) through SHOW TBLPROPERTIES / DESCRIBE
+      val merged = new java.util.HashMap[String, String](
+        delegate.properties())
+      extraProperties.foreach { case (k, v) => merged.put(k, v): Unit }
+      merged
+    }
     override def columns() = delegate.columns()
     override def capabilities()
         : java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =

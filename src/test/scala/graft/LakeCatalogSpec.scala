@@ -137,6 +137,27 @@ class LakeCatalogSpec extends AnyFunSuite {
       Seq(1L, 2L, 3L, 4L))
   }
 
+  test("SHOW TBLPROPERTIES surfaces version, schema, and constraints") {
+    val dir = lake()
+    graft.sources.Constraints.add(spark, dir, "chars_nonneg",
+      "n_chars >= 0"): Unit
+    graft.sources.SchemaLog.declare(spark, dir): Unit
+    def props(): Map[String, String] =
+      spark.sql(s"SHOW TBLPROPERTIES lake.`$dir`")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val p = props()
+    assert(p("graft.version") ===
+      FileManifest.latest(fsOf(dir), dir).get.version.toString)
+    assert(p("graft.schema.version") === "1")
+    assert(p("graft.constraint.chars_nonneg") === "n_chars >= 0")
+    // the contract tracks the lake: a drop + a new commit both show
+    graft.sources.Constraints.drop(spark, dir, "chars_nonneg"): Unit
+    History.deleteWhere(spark, dir, col("doc_id") === 5L): Unit
+    val p2 = props()
+    assert(!p2.contains("graft.constraint.chars_nonneg"))
+    assert(p2("graft.version").toLong > p("graft.version").toLong)
+  }
+
   test("the SQL surface is read-only; writers go through the engine") {
     val dir = lake()
     // the table schema orders partition cols last: (doc_id, n_chars,
