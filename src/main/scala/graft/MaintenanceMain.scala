@@ -135,11 +135,18 @@ object MaintenanceMain {
       // feed's current high water.
       try LakeChangeFeed.tick(spark, lake, feedDir): Unit
       catch { case scala.util.control.NonFatal(e) => failures += e }
-      val pin = LakeChangeFeed.highWater(spark, feedDir).toSet
-      History.vacuum(spark, lake, graceMs = g, keepVersions = pin): Unit
+      // vacuum/expire failures COLLECT like the tick's: throwing here
+      // would skip the remaining shrink op and silently discard the
+      // recorded grow-side failure (the daemon log would show only the
+      // transient FS error, hiding the chronically failing spec)
+      try {
+        val pin = LakeChangeFeed.highWater(spark, feedDir).toSet
+        History.vacuum(spark, lake, graceMs = g, keepVersions = pin): Unit
+      } catch { case scala.util.control.NonFatal(e) => failures += e }
     }
     conf(spark, "feedKeepRanges").map(_.toInt).foreach(k =>
-      LakeChangeFeed.expire(spark, feedDir, keepRanges = k): Unit)
+      try LakeChangeFeed.expire(spark, feedDir, keepRanges = k): Unit
+      catch { case scala.util.control.NonFatal(e) => failures += e })
     failures.headOption.foreach { e =>
       failures.drop(1).foreach(s => e.addSuppressed(s))
       throw e

@@ -461,7 +461,8 @@ object HistoryQueries {
     Seq(deleteLakeCache, mergeLakeCache, clusterLakeCache, zLakeCache,
         shardedLakeCache, bloomLakeCache, evolvedLakeCache,
         taggedLakeCache, restoredLakeCache, rollupCache, dvLakeCache,
-        binPackLakeCache, exportCache, backfillLakeCache)
+        binPackLakeCache, exportCache, backfillLakeCache,
+        constraintsLakeCache)
       .foreach { cache =>
       cache.keySet.forEach { k =>
         if (k._1 == sk) rmLake(cache.remove(k))

@@ -102,8 +102,15 @@ object Constraints {
     require(!cur.exists(_._1 == name),
       s"constraint '$name' already declared on $path")
     val image = History.readPinned(spark, path)
-    val parsed = expr(exprSql) // analysis errors surface on first use
-    val violating = image.filter(parsed.cast("boolean") === lit(false))
+    val parsed = expr(exprSql)
+    // resolve the TYPE before committing anything: a silent cast would
+    // accept "n_chars" (numeric) as shorthand for != 0 and commit the
+    // typo instead of catching it (analysis errors surface here too)
+    val dt = image.select(parsed).schema.head.dataType
+    require(dt == org.apache.spark.sql.types.BooleanType,
+      s"constraint '$name' expression '$exprSql' resolves to $dt, " +
+        "not BOOLEAN")
+    val violating = image.filter(parsed === lit(false))
       .limit(1).collect()
     if (violating.nonEmpty)
       throw new IllegalArgumentException(
@@ -141,11 +148,31 @@ object Constraints {
     publish(destFs, destPath, 1L, cs)
   }
 
+  /** Enforce the active set against STAGED bytes (the append /
+    * partition-overwrite discipline): no-ops without constructing the
+    * read when the lake declares nothing, otherwise validates exactly
+    * the parquet rows that would publish — immune to non-deterministic
+    * batch plans, because the staged files ARE the batch. */
+  def enforceStaged(spark: SparkSession, path: String,
+                    stageDir: String): Unit = {
+    if (current(fsOf(spark, path), path).isEmpty) return
+    enforce(spark, path,
+      spark.read.option("basePath", stageDir).parquet(stageDir))
+  }
+
   /** Enforce the active set against a batch about to land: evaluates
     * every constraint over the batch's READ image (missing declared
     * columns null-extended) in ONE validating job and throws — before
     * any file lands — naming the violated constraint(s) and a sample
-    * row. No-op on a lake with no declared constraints. */
+    * row. No-op on a lake with no declared constraints.
+    *
+    * CALLER CONTRACT: `batch` must be deterministic (this validating
+    * job is a separate evaluation from the caller's write — a rand()
+    * column could pass here and land different values). The staged
+    * write paths ([[History.append]], [[History.overwritePartitions]])
+    * validate staged bytes via [[enforceStaged]] and are immune;
+    * mergeInto and the archive path already require deterministic
+    * inputs for their own multi-pass plans. */
   def enforce(spark: SparkSession, path: String, batch: DataFrame): Unit = {
     val fs = fsOf(spark, path)
     val cs = current(fs, path)

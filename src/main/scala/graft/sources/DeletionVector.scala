@@ -82,6 +82,12 @@ object DeletionVector {
         "pointer instead")
     val sorted = positions.distinct.sorted
     require(sorted.head >= 0, s"negative row position for $rel")
+    // mirror the reader's hard ceiling: a sidecar the reader would
+    // refuse must never be written — it would poison the file (and
+    // every old++fresh union after it) as permanently unreadable
+    require(sorted.length <= (1 << 28),
+      s"deletion vector for $rel carries ${sorted.length} positions " +
+        "> 2^28 — materialize via the copy-on-write path instead")
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val name =
       f"${graft.Hashes.md5Hex(rel, 32)}%s-v$version%012d-$nonce%s.dv"

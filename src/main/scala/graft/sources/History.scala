@@ -1407,6 +1407,14 @@ object History {
                            predicate: org.apache.spark.sql.Column,
                            candidates: Option[Seq[String]],
                            maxPositions: Long): (Int, Long) = {
+    // the cap must stay within both the collect's Int indexing and the
+    // DV reader's hard ceiling (DeletionVector.read refuses > 2^28
+    // positions) — a larger cap would either truncate silently at
+    // limit() or write sidecars no reader will accept
+    require(maxPositions > 0 && maxPositions <= (1L << 28),
+      s"maxPositions $maxPositions out of range (0, 2^28] — a delete " +
+        "denser than 268M positions per call belongs to the " +
+        "copy-on-write path (deleteWhere/deleteKeys)")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val qRoot = fs.makeQualified(root)
@@ -1431,8 +1439,7 @@ object History {
     // while the collect materializes a larger position set on the
     // driver. The limit also bounds the driver transfer itself: an
     // over-cap delete ships at most cap+1 rows before failing.
-    val capPlusOne = if (maxPositions >= Int.MaxValue - 1L) Int.MaxValue
-                     else (maxPositions + 1L).toInt
+    val capPlusOne = (maxPositions + 1L).toInt // fits: cap <= 2^28
     val collected = victims.limit(capPlusOne).collect()
     val nDel = collected.length.toLong
     if (nDel == 0L) return (0, 0L)
@@ -1500,7 +1507,6 @@ object History {
           .mkString("/")}, not ${partitionCols.mkString("/")}")
     SchemaLog.latest(fs, path)
       .foreach(d => SchemaLog.validateWrite(d, batch.schema))
-    Constraints.enforce(spark, path, batch)
     val stage = fs.makeQualified(
       new org.apache.hadoop.fs.Path(overwriteStagingDir(path)))
     fs.delete(stage, true): Unit
@@ -1508,6 +1514,13 @@ object History {
       .option("maxRecordsPerFile", 5000000L)
       .partitionBy(partitionCols: _*)
       .parquet(stage.toString)
+    // staged-bytes validation (see append): the exact rows that would
+    // replace the partitions are what the constraints judge
+    try Constraints.enforceStaged(spark, path, stage.toString)
+    catch { case e: Throwable =>
+      fs.delete(stage, true): Unit
+      throw e
+    }
     def dirOf(rel: String): String =
       rel.take(math.max(rel.lastIndexOf('/'), 0))
     val stagedDirs = FileManifest.walkDataFiles(fs, stage)
@@ -2127,6 +2140,22 @@ object History {
       throw new IllegalStateException(
         s"cannot restore to version $version at $path: ${gone.size} of its " +
           s"files were already vacuumed, e.g. ${gone.take(3).mkString(", ")}")
+    // restore RE-LANDS the target image as the current version, so the
+    // active CHECK set judges it like any other data-adding write: a
+    // constraint added after bad rows were deleted must not be silently
+    // un-made by rolling back past the delete (readers trust the
+    // SQL-surfaced contract). Costs one validating scan of the target
+    // image only when constraints exist; drop the constraint first to
+    // restore anyway.
+    if (Constraints.current(fs, path).nonEmpty)
+      try Constraints.enforce(spark, path,
+        planManifest(spark, fs, new org.apache.hadoop.fs.Path(path), target))
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"cannot restore $path to version $version: the target image " +
+            s"violates the active constraint set — drop the constraint " +
+            s"first, or pick another version. ${e.getMessage}")
+      }
     val targetSet = target.curSet
     val now = System.currentTimeMillis()
     FileManifest.publish(fs, path, FileManifest.Manifest(
@@ -2331,11 +2360,22 @@ object History {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     SchemaLog.latest(fs, path)
       .foreach(d => SchemaLog.validateWrite(d, batch.schema))
-    Constraints.enforce(spark, path, batch)
+    val stage = LakeCommit.stagingDir(path, key)
     val writer = batch.write.mode("overwrite")
       .option("maxRecordsPerFile", 5000000L)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
-     else writer).parquet(LakeCommit.stagingDir(path, key))
+     else writer).parquet(stage)
+    // validate the STAGED bytes, not the live plan: enforcing before
+    // the write would evaluate the batch twice, and a non-deterministic
+    // batch (rand() columns, non-deterministic UDF inputs) could pass
+    // validation on one row set and land another. The staged read is
+    // the exact bytes that will publish; a violation deletes the stage
+    // and nothing reaches the manifest.
+    try Constraints.enforceStaged(spark, path, stage)
+    catch { case e: Throwable =>
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+      throw e
+    }
     val rels = LakeCommit.publish(spark, path, key)
     FileManifest.addFiles(fs, path, rels)
     rels

@@ -109,12 +109,19 @@ class LakeCatalog extends TableCatalog {
     // the lake's declared contract rides the table properties —
     // SQL-visible provenance (SHOW TBLPROPERTIES): pinned manifest
     // version, declared-schema version, and the active CHECK set
+    // a time-travel pin reports only its manifest version: the schema
+    // declaration and CHECK set are properties of the lake's PRESENT —
+    // advertising today's constraints on yesterday's (possibly
+    // pre-constraint) data would misstate the provenance the
+    // properties exist to surface
     val props: Map[String, String] =
       Map("graft.version" -> m.version.toString) ++
-        SchemaLog.latestVersion(fs, path)
-          .map(v => "graft.schema.version" -> v.toString) ++
-        Constraints.current(fs, path)
-          .map { case (n, e) => s"graft.constraint.$n" -> e }
+        (if (version.isEmpty)
+          SchemaLog.latestVersion(fs, path)
+            .map(v => "graft.schema.version" -> v.toString).toMap ++
+            Constraints.current(fs, path)
+              .map { case (n, e) => s"graft.constraint.$n" -> e }
+         else Map.empty[String, String])
     org.apache.spark.sql.graftbridge.ParquetTableBridge.table(
       s"$catalogName.$path${version.fold("")(v => s"@v$v")}",
       spark, files, qRoot.toString, Some(schema), props)

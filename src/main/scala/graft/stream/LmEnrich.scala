@@ -28,17 +28,28 @@ import graft.ext.LmRollup
 object LmEnrich {
 
   /** Start a foreachBatch query scoring each micro-batch's documents.
-    * `onBatch` receives (`idCol`, n_bigrams, avg_nll) per batch —
-    * filter on the score and route as the deployment needs. */
+    * `onBatch` receives (`idCol`, n_bigrams, avg_nll) per batch, ONE
+    * ROW PER INPUT DOC: an unscoreable doc (null/blank text, fewer
+    * than two tokens) surfaces with n_bigrams = 0 and a NULL score —
+    * an admission filter must route every document it saw, never
+    * silently drop one. Filter on the score and route as the
+    * deployment needs. */
   def scoreStream(stream: DataFrame, idCol: String, textCol: String,
                   bigramDir: String, unigramDir: String,
                   checkpointDir: String)
-                 (onBatch: (DataFrame, Long) => Unit): StreamingQuery =
+                 (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions._
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        onBatch(LmRollup.scoreDocs(batch.sparkSession, bigramDir,
-          unigramDir, batch, idCol, textCol), batchId)
+        val scores = LmRollup.scoreDocs(batch.sparkSession, bigramDir,
+          unigramDir, batch, idCol, textCol)
+        val all = batch.select(col(idCol))
+          .join(scores, Seq(idCol), "left")
+          .withColumn("n_bigrams",
+            coalesce(col("n_bigrams"), lit(0L)))
+        onBatch(all, batchId)
       }
       .start()
+  }
 }

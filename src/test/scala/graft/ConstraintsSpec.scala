@@ -185,6 +185,61 @@ class ConstraintsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Constraints.add(spark, dir, "tab\tname", "n_chars >= 0")
     }
+    // a non-boolean expression is a typo, not a constraint — no silent
+    // cast to "!= 0" semantics
+    val e = intercept[IllegalArgumentException] {
+      Constraints.add(spark, dir, "typo", "n_chars")
+    }
+    assert(e.getMessage.contains("not BOOLEAN"))
     assert(Constraints.current(fsOf(dir), dir).isEmpty)
+  }
+
+  test("restore cannot roll back past the active constraint set") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-constraints-r").toString + "/lake"
+    Seq((1L, "en", 10L), (2L, "en", -7L))
+      .toDF("doc_id", "lang", "n_chars").coalesce(1).write.parquet(dir)
+    History.enableManifests(spark, dir): Unit
+    val v1 = graft.sources.FileManifest
+      .latest(fsOf(dir), dir).get.version
+    History.deleteWhere(spark, dir, col("n_chars") < 0): Unit
+    Constraints.add(spark, dir, "chars_nonneg", "n_chars >= 0"): Unit
+    // v1 holds the violating row: restoring to it would silently un-make
+    // the constraint readers now trust
+    val e = intercept[IllegalArgumentException] {
+      History.restore(spark, dir, v1)
+    }
+    assert(e.getMessage.contains("violates the active constraint"))
+    assert(History.readPinned(spark, dir).count() === 1L)
+    // dropping the constraint re-opens the rollback
+    Constraints.drop(spark, dir, "chars_nonneg"): Unit
+    History.restore(spark, dir, v1): Unit
+    assert(History.readPinned(spark, dir).count() === 2L)
+  }
+
+  test("a non-deterministic batch cannot smuggle violating rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-constraints-nd").toString + "/lake"
+    Seq((1L, "en", 0.9), (2L, "de", 0.8))
+      .toDF("doc_id", "lang", "score").coalesce(1).write.parquet(dir)
+    History.enableManifests(spark, dir): Unit
+    Constraints.add(spark, dir, "score_floor", "score >= 0.5"): Unit
+    // rand() re-evaluates per job: a pre-write validation could see one
+    // row set and land another — staged-bytes validation judges the
+    // exact parquet that would publish, so EVERY accepted append's
+    // landed rows satisfy the check, run after run
+    (1 to 5).foreach { i =>
+      val batch = Seq((i * 100L, "en"), (i * 100L + 1L, "fr"))
+        .toDF("doc_id", "lang")
+        .withColumn("score", rand())
+      val accepted =
+        try { History.append(spark, dir, batch, key = s"nd$i"); true }
+        catch { case _: IllegalArgumentException => false }
+      assert(History.readPinned(spark, dir)
+        .filter(col("score") < 0.5).count() === 0L,
+        s"attempt $i (accepted=$accepted) landed violating rows")
+    }
   }
 }

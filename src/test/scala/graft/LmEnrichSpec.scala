@@ -29,14 +29,17 @@ class LmEnrichSpec extends AnyFunSuite {
     LmRollup.bootstrapBigrams(spark, lake, bi, "text"): Unit
     LmRollup.bootstrapUnigrams(spark, lake, uni, "text"): Unit
     val got = new java.util.concurrent.ConcurrentHashMap[
-      Long, Map[Long, Double]]()
+      Long, Map[Long, Option[Double]]]()
     val input = MemoryStream[(Long, String)]
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-lmenrich-ck").toString
     val q = LmEnrich.scoreStream(input.toDF().toDF("doc_id", "text"),
       "doc_id", "text", bi, uni, ckpt) { (df, id) =>
-      got.put(id, df.collect().map(r => r.getAs[Long]("doc_id") ->
-        r.getAs[Double]("avg_nll")).toMap): Unit
+      got.put(id, df.collect().map { r =>
+        r.getAs[Long]("doc_id") ->
+          (if (r.isNullAt(r.fieldIndex("avg_nll"))) None
+           else Some(r.getAs[Double]("avg_nll")))
+      }.toMap): Unit
     }
     def batchScore(rows: Seq[(Long, String)]): Map[Long, Double] =
       LmRollup.scoreDocs(spark, bi, uni, rows.toDF("doc_id", "text"),
@@ -47,21 +50,27 @@ class LmEnrichSpec extends AnyFunSuite {
       val b1 = Seq((100L, "a b c"), (101L, "z z"))
       input.addData(b1: _*)
       q.processAllAvailable()
-      assert(got.get(0L) === batchScore(b1))
+      assert(got.get(0L) === batchScore(b1).view.mapValues(Some(_)).toMap)
       // evolve the model BETWEEN batches: new corpus doc makes (z, z)
       // a seen bigram — the next batch must score against the new
       // version without a stream restart
-      val before = got.get(0L)(101L)
+      val before = got.get(0L)(101L).get
       History.append(spark, lake,
         Seq((3L, "z z z")).toDF("doc_id", "text"), key = "e1"): Unit
       LmRollup.tickBigrams(spark, lake, bi, "text"): Unit
       LmRollup.tickUnigrams(spark, lake, uni, "text"): Unit
-      val b2 = Seq((102L, "z z"))
+      val b2 = Seq((102L, "z z"), (103L, "solo"), (104L, ""))
       input.addData(b2: _*)
       q.processAllAvailable()
-      assert(got.get(1L) === batchScore(b2))
-      assert(got.get(1L)(102L) < before,
+      // scoreable docs match the batch path ...
+      assert(got.get(1L).filter(_._2.isDefined) ===
+        batchScore(Seq((102L, "z z"))).view.mapValues(Some(_)).toMap)
+      assert(got.get(1L)(102L).get < before,
         "a (z,z)-seen model must score 'z z' better than the unseen one")
+      // ... and UNSCOREABLE docs still surface (null score): an
+      // admission filter must route every doc it saw, not drop them
+      assert(got.get(1L).keySet === Set(102L, 103L, 104L))
+      assert(got.get(1L)(103L).isEmpty && got.get(1L)(104L).isEmpty)
     } finally q.stop()
   }
 }
