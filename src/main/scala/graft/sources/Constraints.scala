@@ -98,7 +98,13 @@ object Constraints {
       s"bad constraint name '$name'")
     require(!exprSql.exists(c => c == '\t' || c == '\n'),
       "constraint expression must be a single line (no tab/newline)")
-    val cur = current(fs, path)
+    // resolve the base version ONCE and derive both the current set
+    // and the publish target from it: separate reads would let a racer
+    // publish in between, making this add build v(N+1) from a stale
+    // set and silently drop the racer's constraint — the atomic rename
+    // arbitrates only when both racers target the SAME version
+    val baseV = latestVersion(fs, path)
+    val cur = baseV.map(at(fs, path, _)).getOrElse(Nil)
     require(!cur.exists(_._1 == name),
       s"constraint '$name' already declared on $path")
     val image = History.readPinned(spark, path)
@@ -116,7 +122,7 @@ object Constraints {
       throw new IllegalArgumentException(
         s"constraint '$name' ($exprSql) is violated by existing data " +
           s"in $path — sample row: ${violating.head}")
-    val v = latestVersion(fs, path).getOrElse(0L) + 1L
+    val v = baseV.getOrElse(0L) + 1L
     publish(fs, path, v, cur :+ (name -> exprSql))
     v
   }
@@ -126,10 +132,11 @@ object Constraints {
     * would mask a typo forever). */
   def drop(spark: SparkSession, path: String, name: String): Long = {
     val fs = fsOf(spark, path)
-    val cur = current(fs, path)
+    val baseV = latestVersion(fs, path) // one read — see add
+    val cur = baseV.map(at(fs, path, _)).getOrElse(Nil)
     require(cur.exists(_._1 == name),
       s"constraint '$name' not declared on $path")
-    val v = latestVersion(fs, path).getOrElse(0L) + 1L
+    val v = baseV.getOrElse(0L) + 1L
     publish(fs, path, v, cur.filterNot(_._1 == name))
     v
   }

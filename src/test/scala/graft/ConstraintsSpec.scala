@@ -218,6 +218,33 @@ class ConstraintsSpec extends AnyFunSuite {
     assert(History.readPinned(spark, dir).count() === 2L)
   }
 
+  test("racing adds surface as loud commit failures, never lost writes") {
+    val dir = lake()
+    val fs = fsOf(dir)
+    // both racers resolve latest=0 and publish v1: the atomic
+    // no-overwrite rename arbitrates — the loser throws, and the
+    // committed set holds exactly the winner (a lost-update would
+    // silently drop one constraint; retry-after-failure composes)
+    val results = (0 until 2).map { i =>
+      new Thread { var out: Either[Throwable, Long] = null
+        override def run(): Unit =
+          out = try Right(Constraints.add(spark, dir, s"c$i",
+            "n_chars >= 0")) catch { case e: Throwable => Left(e) } }
+    }
+    results.foreach(_.start()); results.foreach(_.join(60000))
+    val (failed, won) = results.map(_.out).partition(_.isLeft)
+    val cur = Constraints.current(fs, dir).map(_._1).toSet
+    assert(won.nonEmpty, "at least one racer must commit")
+    assert(cur.size === won.size,
+      s"committed set $cur must hold exactly the winners")
+    // a loser's retry composes onto the winner's version
+    failed.zipWithIndex.foreach { case (_, i) =>
+      Constraints.add(spark, dir, s"retry$i", "doc_id IS NOT NULL"): Unit
+    }
+    assert(Constraints.current(fs, dir).size ===
+      won.size + failed.size)
+  }
+
   test("a non-deterministic batch cannot smuggle violating rows") {
     import spark.implicits._
     val dir = java.nio.file.Files
