@@ -74,7 +74,7 @@ object LmRollup {
     * bigrams/contexts score through the smoothing (left joins,
     * coalesce 0) — the path that scores NEW candidate documents
     * against the live model. Per-position log terms bridge to
-    * DECIMAL(18,6) exactly like t25, so the per-doc sum is order-exact
+    * DECIMAL(18,4) exactly like t25, so the per-doc sum is order-exact
     * and the served score hash-matches a one-shot recompute.
     *
     * Scale: the doc-side bigram stream shuffle-joins the
@@ -102,9 +102,11 @@ object LmRollup {
       .join(ctx, Seq("w1"), "left")
       .crossJoin(broadcast(vocab)) // single row by construction
       .select(col(idCol),
+        // 4-dp term bridge — see the t25 gate: 6 dp sits close enough
+        // to engine ln() ULP divergence to flip at corpus scale
         round(log((coalesce(col("c12"), lit(0L)) + lit(1)).cast("double") /
-          (coalesce(col("c1"), lit(0L)) + col("vocab")).cast("double")), 6)
-          .cast("decimal(18,6)").as("lp"))
+          (coalesce(col("c1"), lit(0L)) + col("vocab")).cast("double")), 4)
+          .cast("decimal(18,4)").as("lp"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         round((-sum(col("lp"))).cast("double") / count(lit(1)), 6)

@@ -1223,9 +1223,15 @@ object ExtQueries {
       bg.join(bc, Seq("w1", "w2")).join(cc, Seq("w1"))
         .crossJoin(broadcast(vocab)) // single row by construction
         .select(col("doc_id"),
+          // 4-dp term bridge: at 6 dp a 1-ULP ln() divergence between
+          // engines flips the last digit when the true value sits
+          // within ~1e-16 of a rounding boundary — at corpus scale a
+          // handful of the millions of terms WILL land there (observed
+          // at sf0.1). 4 dp widens the margin 100x while the per-doc
+          // sum stays order-exact through the DECIMAL bridge.
           round(log((col("c12") + lit(1)).cast("double") /
-            (col("c1") + col("vocab")).cast("double")), 6)
-            .cast("decimal(18,6)").as("lp"))
+            (col("c1") + col("vocab")).cast("double")), 4)
+            .cast("decimal(18,4)").as("lp"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           round((-sum(col("lp"))).cast("double") / count(lit(1)), 6)
@@ -2360,7 +2366,7 @@ object ExtQueries {
          ), scored AS (
            SELECT bg.doc_id,
              CAST(round(ln(CAST(c12 + 1 AS DOUBLE) /
-               CAST(c1 + vocab AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp
+               CAST(c1 + vocab AS DOUBLE)), 4) AS DECIMAL(18,4)) AS lp
            FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
          )
          SELECT doc_id, COUNT(*) AS n_bigrams,
@@ -2840,7 +2846,7 @@ object ExtQueries {
          ), scored AS (
            SELECT bg.doc_id,
              CAST(round(ln(CAST(c12 + 1 AS DOUBLE) /
-               CAST(c1 + vocab AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp
+               CAST(c1 + vocab AS DOUBLE)), 4) AS DECIMAL(18,4)) AS lp
            FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
            WHERE bg.doc_id % 50 = 0
          )

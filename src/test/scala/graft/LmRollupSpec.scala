@@ -114,7 +114,7 @@ class LmRollupSpec extends AnyFunSuite {
     // doc 100: (a,b) seen c12=2,c1=2 → ln(3/5); (b,z) unseen in a seen
     // context → ln(1/5); doc 101: (q,q) unseen context → ln(1/3)
     def nll(lps: Seq[Double]): Double = {
-      val dec = lps.map(lp => BigDecimal(lp).setScale(6,
+      val dec = lps.map(lp => BigDecimal(lp).setScale(4,
         BigDecimal.RoundingMode.HALF_UP))
       (-(dec.sum).toDouble / lps.size * 1e6).round / 1e6
     }
