@@ -115,4 +115,37 @@ object FrequentItems {
       .filter(col("cnt") >= lit(phi) * col("n_total"))
       .select(col(colName), col("cnt"))
   }
+
+  /** Per-GROUP heavy hitters: items whose exact count within their
+    * group is ≥ `phi` · (group size), with exact counts — the
+    * per-language / per-domain vocabulary-profile shape. Same
+    * two-phase contract as [[heavyHitters]], per group: one scan
+    * builds a ≤ k Misra-Gries summary PER GROUP (bounded map-side
+    * state per group, merged under the group-keyed exchange) plus the
+    * exact group sizes, then one scan counts only (group, candidate)
+    * survivors. The candidate table is ≤ k · |groups| rows — broadcast
+    * by construction for any real k; the full per-(group, item) count
+    * table is never shuffled. */
+  def groupedHeavyHitters(items: DataFrame, groupCol: String,
+                          itemCol: String, k: Int,
+                          phi: Double): DataFrame = {
+    require(phi > 1.0 / k,
+      s"phi=$phi must exceed 1/k=${1.0 / k}: the Misra-Gries summary only " +
+        "guarantees items above N/k survive")
+    val norm = items
+      .select(col(groupCol), col(itemCol).cast("string").as(itemCol))
+      .filter(col(itemCol).isNotNull)
+    val candidates = norm.groupBy(col(groupCol))
+      .agg(graft.functions.MisraGriesFn.misra_gries(col(itemCol), k)
+        .as("cands"))
+      .select(col(groupCol), explode(col("cands")).as(itemCol))
+    val totals = norm.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_total"))
+    norm.join(broadcast(candidates), Seq(groupCol, itemCol), "left_semi")
+      .groupBy(col(groupCol), col(itemCol))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), Seq(groupCol))
+      .filter(col("cnt") >= lit(phi) * col("n_total"))
+      .select(col(groupCol), col(itemCol), col("cnt"))
+  }
 }

@@ -731,6 +731,20 @@ object ExtQueries {
       FrequentItems.heavyHitters(words, k = 256, phi = 0.02)
     }),
 
+    // Per-GROUP heavy hitters (a06 per language): Misra-Gries summary
+    // PER GROUP merged under one group-keyed exchange + exact verify
+    // over the broadcast (group, candidate) set — the per-language /
+    // per-domain vocabulary profile, never shuffling the full
+    // per-(group, item) count table.
+    "a10_heavy_hitters_grouped" -> ((s, d) => {
+      val words = documents(s, d)
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      FrequentItems.groupedHeavyHitters(words, "lang", "word",
+        k = 256, phi = 0.025)
+    }),
+
     // Quantile sketch (the second sketch-family op beside a01's HLL):
     // percentile_approx vs the exact interpolated percentile, gated as
     // exact values + within-tolerance booleans (the a01 pattern — the
@@ -784,6 +798,18 @@ object ExtQueries {
         embeddings(s, d).filter(col("vec_id") % 50 === 0),
         pq, bucketedCorpus(s, d), "vec_id", "embedding",
         dim = 64, m = 4, k = 5, shortlist = 20)
+    }),
+
+    // Scalar (int8) quantization search — the third compression lane
+    // beside IVF and PQ: per-dimension min/max train (one bounded
+    // aggregation), linear codes, and a top-k ranked by the EXACT
+    // integer dot of codes (bit-deterministic, no float-sum bridge).
+    // At scale the corpus side scans 64-byte codes, not 256-byte
+    // floats.
+    "s18_sq_topk" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.sqTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5)
     }),
 
     // FILTERED vector search (the "where lang = 'en'" of retrieval):
@@ -1200,6 +1226,35 @@ object ExtQueries {
     // never driver-side. The per-position log term bridges to
     // DECIMAL(18,6) so the per-doc sum is order-exact, and the final
     // mean divides two identical numbers on both engines.
+    // CLOSED-LOOP mixture rebalancing: per-language keep rates derive
+    // from the corpus' own token masses (downsample every language to
+    // the smallest language's mass — the balanced-mixture draw), then
+    // the deterministic md5-bucket predicate thins at those rates.
+    // Unlike t15's static rates, the rate table here is DATA (one
+    // 5-row broadcast), so the gate closes the loop: mass → rate →
+    // sample → achieved mass, all hash-exact (integer outputs; the
+    // rate boundary compares identical doubles on both engines).
+    "t27_mixture_rebalance" -> ((s, d) => {
+      val toks = documents(s, d)
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          when(col("text").isNull, lit(0))
+            .otherwise(TextAnalysis.wsTokenCount(col("text")))
+            .cast("bigint").as("n_tok"))
+      val mass = toks.groupBy(col("lang")).agg(sum(col("n_tok")).as("m"))
+      val floorMass = mass.agg(min(col("m")).as("mn_m"))
+      val rates = mass.crossJoin(broadcast(floorMass)) // single row
+        .select(col("lang"),
+          (col("mn_m").cast("double") / col("m").cast("double"))
+            .as("rate"))
+      toks.join(broadcast(rates), Seq("lang"))
+        .filter(TextAnalysis.md5Bucket(col("doc_id")) <
+          col("rate") * 4294967296.0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tok")).cast("bigint").as("kept_tokens"))
+    }),
+
     "t25_bigram_lm" -> ((s, d) => {
       val ws = documents(s, d)
         .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
@@ -2345,6 +2400,29 @@ object ExtQueries {
          )
          SELECT doc_id, lang, shard, n_tokens, start
          FROM st WHERE start < 300""",
+    "t27_mixture_rebalance" ->
+      """WITH toks AS (
+           SELECT doc_id, lang,
+             CAST(CASE WHEN text IS NULL THEN 0
+                  ELSE len(string_split(text, ' ')) END AS BIGINT)
+               AS n_tok
+           FROM documents
+           WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+         ), mass AS (
+           SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS m
+           FROM toks GROUP BY 1
+         ), mn AS (SELECT MIN(m) AS mn_m FROM mass),
+         rates AS (
+           SELECT lang, CAST(mn_m AS DOUBLE) / CAST(m AS DOUBLE) AS rate
+           FROM mass, mn
+         ), kept AS (
+           SELECT t.lang, n_tok FROM toks t JOIN rates USING (lang)
+           WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             < rate * 4294967296.0
+         )
+         SELECT lang, COUNT(*) AS n_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
+         FROM kept GROUP BY lang""",
     "t25_bigram_lm" ->
       """WITH w AS (
            SELECT doc_id, string_split(text, ' ') AS l
@@ -2612,6 +2690,18 @@ object ExtQueries {
            WHERE length(word) > 0 GROUP BY word
          ), t AS (SELECT SUM(cnt) AS n_total FROM f)
          SELECT word, cnt FROM f, t WHERE cnt >= 0.02 * n_total""",
+    "a10_heavy_hitters_grouped" ->
+      """WITH w AS (
+           SELECT lang, unnest(string_split(text, ' ')) AS word
+           FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+         ), f AS (
+           SELECT lang, word, COUNT(*) AS cnt FROM w
+           WHERE length(word) > 0 GROUP BY lang, word
+         ), t AS (
+           SELECT lang, SUM(cnt) AS n_total FROM f GROUP BY lang
+         )
+         SELECT f.lang, word, cnt FROM f JOIN t USING (lang)
+         WHERE cnt >= 0.025 * n_total""",
     // BM25 is oracle-exact because per-term scores bridge to
     // DECIMAL(18,6) before the per-doc sum (order-independent exact
     // addition); ln/round/divide run in identical literal order on
@@ -2853,6 +2943,35 @@ object ExtQueries {
          SELECT doc_id, COUNT(*) AS n_bigrams,
            round(CAST(-SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_nll
          FROM scored GROUP BY doc_id""",
+    "s18_sq_topk" ->
+      """WITH ex AS (
+           SELECT vec_id, unnest(embedding) AS v,
+             unnest(range(1, len(embedding) + 1)) AS i
+           FROM embeddings
+         ), dims AS (
+           SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY i
+         ), codes AS (
+           SELECT vec_id, ex.i,
+             CAST(round((CAST(v AS DOUBLE) - CAST(mn AS DOUBLE)) /
+               (CASE WHEN mx = mn THEN 1.0
+                     ELSE (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))
+                          / 255.0 END)) AS BIGINT) AS q
+           FROM ex JOIN dims USING (i)
+         ), qd AS (
+           SELECT vec_id AS query_id, i, q FROM codes
+           WHERE vec_id % 50 = 0
+         ), scores AS (
+           SELECT query_id, c.vec_id AS b_id,
+             CAST(SUM(qd.q * c.q) AS BIGINT) AS idot
+           FROM qd JOIN codes c USING (i)
+           WHERE c.vec_id != query_id
+           GROUP BY 1, 2
+         ), r AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY idot DESC, b_id) AS rank FROM scores
+         )
+         SELECT query_id, b_id, CAST(rank AS INTEGER) AS rank, idot
+         FROM r WHERE rank <= 5""",
     "s16_maintained_lm" ->
       """WITH corpus2 AS (
            SELECT text FROM documents
