@@ -450,6 +450,27 @@ object ExtQueries {
         .select(col("doc_id"))
     }),
 
+    // Quality-aware dedup: each near-dup cluster keeps its LONGEST
+    // member (tie → smallest id), not an arbitrary representative —
+    // the "keep the best copy" variant real pipelines run (d07 keeps
+    // by id). One argmax aggregate over the memoized cluster labels:
+    // max(struct(n_chars, -id)) is the bounded per-group state; no
+    // sort, no second scan.
+    "d10_dedup_longest" -> ((s, d) => {
+      val cl = neardupClusters(s, d)
+      val docs = documents(s, d)
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("n_chars"))
+      docs.join(cl, docs("doc_id") === cl("id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("cluster"), col("doc_id")).as("cl"))
+        .groupBy(col("cl"))
+        .agg(max(struct(col("n_chars"),
+          (-col("doc_id")).as("neg_id"))).as("best"))
+        .select((-col("best.neg_id")).as("doc_id"),
+          col("best.n_chars").as("n_chars"))
+    }),
+
     // Embedding near-dup: label-blocked pairwise cosine, global top-20.
     "d05_embedding_neardup" -> ((s, d) => {
       Similarity.blockedPairs(embeddings(s, d), "vec_id", "embedding", "label")
@@ -1888,6 +1909,56 @@ object ExtQueries {
            SELECT id FROM (
              SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id) t
            WHERE cluster != id)""",
+    "d10_dedup_longest" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         ), sh AS (
+           SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+             THEN list_transform(range(1, len(ws)-1),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+             ELSE [text] END) AS shingle
+           FROM w JOIN documents USING (doc_id)
+         ), hh AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h32
+           FROM sh
+         ), mh AS (
+           SELECT doc_id, seed,
+             min(((2*seed+1) * h32 + (seed*12345+7)) % 4294967291) AS mh
+           FROM hh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
+           GROUP BY doc_id, seed
+         ), bands AS (
+           SELECT doc_id, seed // 2 AS band,
+             string_agg(lpad(CAST(mh AS VARCHAR), 10, '0'), '' ORDER BY seed) AS bkey
+           FROM mh GROUP BY doc_id, seed // 2
+         ), cand AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM bands a
+           JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         ), edges AS (
+           SELECT a_id AS a, b_id AS b FROM cand
+           UNION ALL SELECT b_id, a_id FROM cand
+         ), nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach(id, lab) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id
+         )
+         , lab AS (
+           SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id
+         ), all_docs AS (
+           SELECT d.doc_id, d.n_chars,
+             COALESCE(l.cluster, d.doc_id) AS cl
+           FROM documents d LEFT JOIN lab l ON d.doc_id = l.id
+           WHERE d.doc_id IS NOT NULL
+         ), best AS (
+           SELECT cl, doc_id, n_chars, ROW_NUMBER() OVER (
+             PARTITION BY cl ORDER BY n_chars DESC, doc_id) AS rn
+           FROM all_docs
+         )
+         SELECT doc_id, n_chars FROM best WHERE rn = 1""",
     "d05_embedding_neardup" -> {
       val dotAB = dotExpr.format("a", "b")
       val dotAA = dotExpr.format("a", "a")
