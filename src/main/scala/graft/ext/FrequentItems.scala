@@ -132,9 +132,13 @@ object FrequentItems {
     require(phi > 1.0 / k,
       s"phi=$phi must exceed 1/k=${1.0 / k}: the Misra-Gries summary only " +
         "guarantees items above N/k survive")
+    // NULL groups are EXCLUDED up front (documented contract): the
+    // per-group joins below are null-unsafe equality, so a NULL group
+    // would silently vanish between its summary and its verify pass —
+    // dropping it here makes the exclusion explicit and total
     val norm = items
       .select(col(groupCol), col(itemCol).cast("string").as(itemCol))
-      .filter(col(itemCol).isNotNull)
+      .filter(col(itemCol).isNotNull && col(groupCol).isNotNull)
     val candidates = norm.groupBy(col(groupCol))
       .agg(graft.functions.MisraGriesFn.misra_gries(col(itemCol), k)
         .as("cands"))

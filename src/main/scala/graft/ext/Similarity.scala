@@ -68,14 +68,18 @@ object Similarity {
     * min/max, `dim` rows of metadata collected to the driver (the
     * centroid-table pattern — never row data). */
   def sqTrain(corpus: DataFrame, embCol: String): (Seq[Double], Seq[Double]) = {
+    // element-type-agnostic (float or double embeddings): cast to
+    // double BEFORE the min/max — a float's double image is exact, so
+    // the trained bounds are identical either way
     val dims = corpus
       .select(posexplode(col(embCol)).as(Seq("i", "v")))
+      .select(col("i"), col("v").cast("double").as("v"))
       .groupBy(col("i")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
       .orderBy(col("i")).collect() // bounded: one row per dimension
-    val mins = dims.map(_.getAs[Float]("mn").toDouble).toSeq
+    val mins = dims.map(_.getAs[Double]("mn")).toSeq
     val scales = dims.map { r =>
-      val mn = r.getAs[Float]("mn").toDouble
-      val mx = r.getAs[Float]("mx").toDouble
+      val mn = r.getAs[Double]("mn")
+      val mx = r.getAs[Double]("mx")
       if (mx == mn) 1.0 else (mx - mn) / 255.0
     }.toSeq
     (mins, scales)
@@ -92,8 +96,13 @@ object Similarity {
     val scLit = array(scales.map(lit): _*)
     df.select(col(idCol),
       transform(col(embCol), (v, i) =>
-        round((v.cast("double") - element_at(mnLit, i + 1)) /
-          element_at(scLit, i + 1)).cast("long")).as(outCol))
+        // clamp to the byte range: a query vector OUTSIDE the trained
+        // bounds (the API accepts frames that are not corpus subsets)
+        // must quantize to a saturated int8 code, not an arbitrary
+        // int64 that skews the dot beyond what any int8 index stores
+        greatest(lit(0L), least(lit(255L),
+          round((v.cast("double") - element_at(mnLit, i + 1)) /
+            element_at(scLit, i + 1)).cast("long")))).as(outCol))
   }
 
   /** Top-k search in the quantized domain: bounded query set broadcast

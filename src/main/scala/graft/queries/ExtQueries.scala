@@ -1235,18 +1235,6 @@ object ExtQueries {
         "doc_id", "text",
         "lang", pmod(col("doc_id"), lit(8L)), budget = 300L)),
 
-    // Bigram-LM quality scoring (the CCNet/KenLM-style perplexity
-    // filter): train an add-one-smoothed bigram model ON the corpus
-    // (c12/c1 counts + vocabulary size), then score every document by
-    // its mean negative log-likelihood — low = fluent/typical, high =
-    // atypical/garbled, the classic LM quality gate before training.
-    // Scale shape: the model tables are VOCABULARY-sized (grow ~
-    // log-like, not with the corpus), built by two keyed map-side-
-    // partial aggregations; scoring joins the corpus bigram stream
-    // against them shuffle-keyed on (w1,w2)/(w1) — never all-pairs,
-    // never driver-side. The per-position log term bridges to
-    // DECIMAL(18,6) so the per-doc sum is order-exact, and the final
-    // mean divides two identical numbers on both engines.
     // CLOSED-LOOP mixture rebalancing: per-language keep rates derive
     // from the corpus' own token masses (downsample every language to
     // the smallest language's mass — the balanced-mixture draw), then
@@ -1276,6 +1264,18 @@ object ExtQueries {
           sum(col("n_tok")).cast("bigint").as("kept_tokens"))
     }),
 
+    // Bigram-LM quality scoring (the CCNet/KenLM-style perplexity
+    // filter): train an add-one-smoothed bigram model ON the corpus
+    // (c12/c1 counts + vocabulary size), then score every document by
+    // its mean negative log-likelihood — low = fluent/typical, high =
+    // atypical/garbled, the classic LM quality gate before training.
+    // Scale shape: the model tables are VOCABULARY-sized (grow ~
+    // log-like, not with the corpus), built by two keyed map-side-
+    // partial aggregations; scoring joins the corpus bigram stream
+    // against them shuffle-keyed on (w1,w2)/(w1) — never all-pairs,
+    // never driver-side. The per-position log term bridges to
+    // DECIMAL(18,4) so the per-doc sum is order-exact, and the final
+    // mean divides two identical numbers on both engines.
     "t25_bigram_lm" -> ((s, d) => {
       val ws = documents(s, d)
         .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
@@ -1662,6 +1662,34 @@ object ExtQueries {
     (parts.map(_._1).mkString(",\n"), parts.map(_._2), parts.map(_._3))
   }
 
+  /** Shared DuckDB CTE chain: shingle → minhash → LSH bands — the
+    * oracle-side mirror of the candidatePairs pipeline, used by the
+    * d06/d07/d09/d10 oracles from ONE copy (a drifted band recipe in a
+    * stray copy would silently unmoor that oracle from the Spark side
+    * it gates — the kmeansCtes discipline, applied to LSH). */
+  private val lshBandsCtes: String = """WITH RECURSIVE w AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         ), sh AS (
+           SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+             THEN list_transform(range(1, len(ws)-1),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+             ELSE [text] END) AS shingle
+           FROM w JOIN documents USING (doc_id)
+         ), hh AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h32
+           FROM sh
+         ), mh AS (
+           SELECT doc_id, seed,
+             min(((2*seed+1) * h32 + (seed*12345+7)) % 4294967291) AS mh
+           FROM hh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
+           GROUP BY doc_id, seed
+         ), bands AS (
+           SELECT doc_id, seed // 2 AS band,
+             string_agg(lpad(CAST(mh AS VARCHAR), 10, '0'), '' ORDER BY seed) AS bkey
+           FROM mh GROUP BY doc_id, seed // 2
+         )"""
+
   def oracleSql: Map[String, String] = Map(
     "d01_exact_dedup" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper,
@@ -1739,28 +1767,7 @@ object ExtQueries {
          JOIN sizes nb ON nb.doc_id = b_id
          WHERE round(inter / (na.n + nb.n - inter), 4) >= 0.1""",
     "d06_neardup_clusters" ->
-      """WITH RECURSIVE w AS (
-           SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-         ), sh AS (
-           SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
-             THEN list_transform(range(1, len(ws)-1),
-                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-             ELSE [text] END) AS shingle
-           FROM w JOIN documents USING (doc_id)
-         ), hh AS (
-           SELECT doc_id,
-             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h32
-           FROM sh
-         ), mh AS (
-           SELECT doc_id, seed,
-             min(((2*seed+1) * h32 + (seed*12345+7)) % 4294967291) AS mh
-           FROM hh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
-           GROUP BY doc_id, seed
-         ), bands AS (
-           SELECT doc_id, seed // 2 AS band,
-             string_agg(lpad(CAST(mh AS VARCHAR), 10, '0'), '' ORDER BY seed) AS bkey
-           FROM mh GROUP BY doc_id, seed // 2
-         ), cand AS (
+      s"""$lshBandsCtes, cand AS (
            SELECT a.doc_id AS a_id, b.doc_id AS b_id
            FROM bands a
            JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
@@ -1816,28 +1823,7 @@ object ExtQueries {
           GROUP BY cluster"""
     },
     "d09_incremental_dedup" ->
-      """WITH RECURSIVE w AS (
-           SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-         ), sh AS (
-           SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
-             THEN list_transform(range(1, len(ws)-1),
-                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-             ELSE [text] END) AS shingle
-           FROM w JOIN documents USING (doc_id)
-         ), hh AS (
-           SELECT doc_id,
-             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h32
-           FROM sh
-         ), mh AS (
-           SELECT doc_id, seed,
-             min(((2*seed+1) * h32 + (seed*12345+7)) % 4294967291) AS mh
-           FROM hh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
-           GROUP BY doc_id, seed
-         ), bands AS (
-           SELECT doc_id, seed // 2 AS band,
-             string_agg(lpad(CAST(mh AS VARCHAR), 10, '0'), '' ORDER BY seed) AS bkey
-           FROM mh GROUP BY doc_id, seed // 2
-         ), inc AS (
+      s"""$lshBandsCtes, inc AS (
            SELECT * FROM bands WHERE doc_id % 10 = 0
          ), cor AS (
            SELECT band, bkey FROM bands WHERE doc_id % 10 != 0
@@ -1868,28 +1854,7 @@ object ExtQueries {
          SELECT DISTINCT doc_id FROM surv
          WHERE doc_id NOT IN (SELECT id FROM dropped)""",
     "d07_dedup_keep" ->
-      """WITH RECURSIVE w AS (
-           SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-         ), sh AS (
-           SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
-             THEN list_transform(range(1, len(ws)-1),
-                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-             ELSE [text] END) AS shingle
-           FROM w JOIN documents USING (doc_id)
-         ), hh AS (
-           SELECT doc_id,
-             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h32
-           FROM sh
-         ), mh AS (
-           SELECT doc_id, seed,
-             min(((2*seed+1) * h32 + (seed*12345+7)) % 4294967291) AS mh
-           FROM hh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
-           GROUP BY doc_id, seed
-         ), bands AS (
-           SELECT doc_id, seed // 2 AS band,
-             string_agg(lpad(CAST(mh AS VARCHAR), 10, '0'), '' ORDER BY seed) AS bkey
-           FROM mh GROUP BY doc_id, seed // 2
-         ), cand AS (
+      s"""$lshBandsCtes, cand AS (
            SELECT a.doc_id AS a_id, b.doc_id AS b_id
            FROM bands a
            JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
@@ -1910,28 +1875,7 @@ object ExtQueries {
              SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id) t
            WHERE cluster != id)""",
     "d10_dedup_longest" ->
-      """WITH RECURSIVE w AS (
-           SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-         ), sh AS (
-           SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
-             THEN list_transform(range(1, len(ws)-1),
-                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-             ELSE [text] END) AS shingle
-           FROM w JOIN documents USING (doc_id)
-         ), hh AS (
-           SELECT doc_id,
-             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h32
-           FROM sh
-         ), mh AS (
-           SELECT doc_id, seed,
-             min(((2*seed+1) * h32 + (seed*12345+7)) % 4294967291) AS mh
-           FROM hh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
-           GROUP BY doc_id, seed
-         ), bands AS (
-           SELECT doc_id, seed // 2 AS band,
-             string_agg(lpad(CAST(mh AS VARCHAR), 10, '0'), '' ORDER BY seed) AS bkey
-           FROM mh GROUP BY doc_id, seed // 2
-         ), cand AS (
+      s"""$lshBandsCtes, cand AS (
            SELECT a.doc_id AS a_id, b.doc_id AS b_id
            FROM bands a
            JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
@@ -3023,10 +2967,11 @@ object ExtQueries {
            SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY i
          ), codes AS (
            SELECT vec_id, ex.i,
-             CAST(round((CAST(v AS DOUBLE) - CAST(mn AS DOUBLE)) /
-               (CASE WHEN mx = mn THEN 1.0
-                     ELSE (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))
-                          / 255.0 END)) AS BIGINT) AS q
+             GREATEST(0, LEAST(255,
+               CAST(round((CAST(v AS DOUBLE) - CAST(mn AS DOUBLE)) /
+                 (CASE WHEN mx = mn THEN 1.0
+                       ELSE (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))
+                            / 255.0 END)) AS BIGINT))) AS q
            FROM ex JOIN dims USING (i)
          ), qd AS (
            SELECT vec_id AS query_id, i, q FROM codes

@@ -232,7 +232,11 @@ class ConstraintsSpec extends AnyFunSuite {
             "n_chars >= 0")) catch { case e: Throwable => Left(e) } }
     }
     results.foreach(_.start()); results.foreach(_.join(60000))
-    val (failed, won) = results.map(_.out).partition(_.isLeft)
+    // a racer still null after the join timed out is a hang — report
+    // it as such instead of NPE-ing in the partition below
+    val outs = results.map(t => Option(t.out).getOrElse(
+      Left(new IllegalStateException("racer did not finish in 60s"))))
+    val (failed, won) = outs.partition(_.isLeft)
     val cur = Constraints.current(fs, dir).map(_._1).toSet
     assert(won.nonEmpty, "at least one racer must commit")
     assert(cur.size === won.size,
