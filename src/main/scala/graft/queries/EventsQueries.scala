@@ -249,6 +249,45 @@ object EventsQueries {
           .select(lit("3_purchase_after_click").as("step"), col("n")))
     }),
 
+    // Conversion-latency distribution: for users whose first purchase
+    // follows their first view, the view→purchase latency percentiles
+    // — the time-to-convert curve product teams watch. Two keyed
+    // min-aggregates (the e13 funnel shape) then one global percentile
+    // over integer microsecond latencies; nanos diff FIRST (small
+    // long), then integer-divide — raw epoch-nanos exceed a double's
+    // 2^53 but latencies never do.
+    "e14_conversion_latency" -> ((s, d) => {
+      val ev = events(s, d) // ts = epoch-nanos long (see Tables.events)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("v_ts"))
+        .filter(col("v_ts").isNotNull)
+      val lat = ev.join(v, "user_id")
+        .groupBy(col("user_id"), col("v_ts"))
+        .agg(min(when(col("event_type") === "purchase" &&
+          col("ts") > col("v_ts"), col("ts"))).as("p_ts"))
+        .filter(col("p_ts").isNotNull)
+        .select(expr("(p_ts - v_ts) div 1000").as("lat_us"))
+      lat.agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(lat_us, 0.5)"), 4).as("p50_us"),
+        round(expr("percentile(lat_us, 0.9)"), 4).as("p90_us"))
+    }),
+
+    // SLIDING windows (10-min length advancing every 5): window() emits
+    // one row per covered window, so each event lands in exactly two —
+    // the overlapping-window shape e01's tumbling windows can't express.
+    // Exact distinct users per (window, type); the streaming variant
+    // swaps countDistinct for the a-family HLL sketch under a watermark.
+    "e15_sliding_distinct" -> ((s, d) => {
+      events(s, d) // ts = epoch-nanos long (see Tables.events)
+        .withColumn("tsec", expr("timestamp_seconds(ts div 1000000000)"))
+        .groupBy(window(col("tsec"), "10 minutes", "5 minutes"),
+          col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("event_type"), col("n_users"))
+    }),
+
     // Semi-structured JSON extraction from the props payload.
     "e03_json_extract" -> ((s, d) => {
       events(s, d)
@@ -409,6 +448,35 @@ object EventsQueries {
          SELECT '2_click_after_view', CAST(COUNT(*) AS BIGINT) FROM c
          UNION ALL
          SELECT '3_purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM p""",
+    "e14_conversion_latency" ->
+      """WITH v AS (
+           SELECT user_id, MIN(ts) AS v_ts FROM events
+           WHERE event_type = 'view' GROUP BY 1
+         ), p AS (
+           SELECT e.user_id, v.v_ts, MIN(e.ts) AS p_ts
+           FROM events e JOIN v USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > v.v_ts
+           GROUP BY 1, 2
+         ), lat AS (
+           SELECT epoch_us(p_ts) - epoch_us(v_ts) AS lat_us FROM p
+         )
+         SELECT COUNT(*) AS n_converted,
+           round(quantile_cont(lat_us, 0.5), 4) AS p50_us,
+           round(quantile_cont(lat_us, 0.9), 4) AS p90_us
+         FROM lat""",
+    "e15_sliding_distinct" ->
+      """WITH e AS (
+           SELECT user_id, event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS b
+           FROM events
+         ), x AS (
+           SELECT user_id, event_type, b AS w_start FROM e
+           UNION ALL
+           SELECT user_id, event_type, b - 300 FROM e
+         )
+         SELECT w_start, event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM x GROUP BY 1, 2""",
     "e11_anomaly_zscore" ->
       """WITH st AS (
            SELECT event_id, user_id, value,
