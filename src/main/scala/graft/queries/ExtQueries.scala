@@ -241,12 +241,49 @@ object ExtQueries {
 
   /** Shingle→MinHash→LSH band pipeline shared by the d09 gate's two
     * sides (and the corpus band artifact below) — the d02 signature
-    * family, so band keys are comparable across all dedup gates. */
-  private def docBands(docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(TextAnalysis.wordShingles(col("text"), 3)).as("shingle"))
-    Dedup.lshBands(Dedup.minhashSignatures(sh, "doc_id", 8), "doc_id", 8, 2)
-  }
+    * family, so band keys are comparable across all dedup gates. One
+    * canonical definition, owned by the maintained index. */
+  private def docBands(docs: DataFrame): DataFrame =
+    graft.ext.BandIndex.deriveBands(docs)
+
+  /** d11's MAINTAINED band index ([[graft.ext.BandIndex]]): the
+    * non-batch corpus slice (doc_id % 10 != 0) becomes a manifest
+    * lake, its bands lake is bootstrapped, then the corpus EVOLVES —
+    * a merge-on-read takedown (doc_id % 13 = 7) and a
+    * +10,000,000-rekeyed copy append (doc_id % 41 = 0) — and ONE tick
+    * mirrors the window into the bands from the row-level change feed
+    * (feed deletes → band deletion vectors, feed inserts → one
+    * exactly-once band-partitioned append; the surviving corpus text
+    * is never re-shingled). Built once per (session, dir) under the
+    * artifact root; the gate then ADMITS the batch slice against the
+    * maintained lake. */
+  private val bandIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def maintainedBandIndex(s: SparkSession,
+                                  d: String): (String, String) =
+    bandIndexCache.computeIfAbsent(
+      s"${graft.SessionKey(s)}|$d",
+      _ => {
+        Memos.install(s)
+        val base = s"${artifactRoot(s, d)}/bandindex"
+        val corpus = s"$base/corpus"
+        val index = s"$base/index"
+        val docs = documents(s, d).select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 10 =!= 0)
+        docs.repartition(8).write.mode("overwrite").parquet(corpus)
+        graft.sources.History.enableManifests(s, corpus): Unit
+        graft.sources.History.enableShardedManifests(s, corpus): Unit
+        graft.ext.BandIndex.bootstrap(s, corpus, index): Unit
+        graft.sources.History.deleteWhereDV(s, corpus,
+          col("doc_id") % 13 === 7): Unit
+        graft.sources.History.append(s, corpus,
+          docs.filter(col("doc_id") % 41 === 0)
+            .select((col("doc_id") + 10000000L).as("doc_id"), col("text")),
+          key = "d11-copies"): Unit
+        graft.ext.BandIndex.tick(s, corpus, index): Unit
+        (corpus, index)
+      })
 
   /** d09's corpus band table as a BUCKETED AT-REST artifact
     * ([[graft.ext.Dedup.writeBucketedBands]] — the layout the
@@ -342,7 +379,7 @@ object ExtQueries {
     // warehouse): drop cache entries, the band table's catalog entry,
     // and the dirs themselves
     Seq(centroidsCache, pqCache, bandArtifactCache, vecIndexCache,
-        lexIndexCache, lmLakeCache)
+        lexIndexCache, lmLakeCache, bandIndexCache)
       .foreach { cache =>
       val it = cache.entrySet().iterator()
       while (it.hasNext) {
@@ -428,6 +465,25 @@ object ExtQueries {
       Dedup.incrementalKeep(
         docBands(docs.filter(col("doc_id") % 10 === 0)),
         corpusBandTable(s, d), "doc_id")
+    }),
+
+    // Admission against the MAINTAINED band index — d09's steady-state
+    // shape with the corpus side kept fresh by the change feed instead
+    // of rebuilt: after a takedown and a copy append landed on the
+    // corpus lake, one tick mirrored them into the bands lake (deletes
+    // as deletion vectors, inserts as one band-partitioned append), and
+    // the batch admits against that evolved artifact. The oracle
+    // recomputes bands one-shot over the corpus' FINAL image, so a
+    // leaked band row from a deleted doc, a missed insert, or a drifted
+    // bkey anywhere fails the admission hash.
+    "d11_maintained_dedup" -> ((s, d) => {
+      val (_, index) = maintainedBandIndex(s, d)
+      val batch = documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 10 === 0)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      Dedup.incrementalKeep(docBands(batch),
+        graft.ext.BandIndex.read(s, index), "doc_id")
     }),
 
     // Near-dup cluster resolution: connected components (iterative
@@ -687,6 +743,30 @@ object ExtQueries {
       media.select(col("media_id"), col("meta.mime").as("mime"),
         octet_length(col("payload")).as("byte_len"),
         md5(col("payload")).as("checksum"))
+    }),
+
+    // Media CONTENT dedup — the blob-store shape of d01: the same assets
+    // land twice under distinct ids (re-ingest), duplicates resolve by
+    // payload checksum WITHIN mime type (cross-type hash collisions never
+    // merge), and the report is what storage dedup actually bills —
+    // keeper id, copy count, bytes reclaimed. One hash-groupBy over
+    // (mime, md5(payload)); at 100 TB the payload bytes stream through
+    // the hash and only 16-byte digests shuffle.
+    "m06_media_dedup" -> ((s, d) => {
+      val media0 = Multimodal.asMediaTable(documents(s, d), "doc_id",
+        "text", "source")
+      val media = media0.unionAll(media0.select(
+        (col("media_id") + 1000000L).as("media_id"),
+        col("payload"), col("meta")))
+      media
+        .groupBy(col("meta.mime").as("mime"),
+          md5(col("payload")).as("checksum"))
+        .agg(min(col("media_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"),
+          (sum(octet_length(col("payload"))) -
+            max(octet_length(col("payload")))).cast("bigint")
+            .as("bytes_reclaimed"))
+        .filter(col("n_copies") > 1)
     }),
 
     // HLL sketch (custom TypedImperativeAggregate): the estimate itself is
@@ -1824,6 +1904,67 @@ object ExtQueries {
     },
     "d09_incremental_dedup" ->
       s"""$lshBandsCtes, inc AS (
+           SELECT * FROM bands WHERE doc_id % 10 = 0
+         ), cor AS (
+           SELECT band, bkey FROM bands WHERE doc_id % 10 != 0
+         ), hit AS (
+           SELECT DISTINCT i.doc_id FROM inc i
+           JOIN cor c ON i.band = c.band AND i.bkey = c.bkey
+         ), surv AS (
+           SELECT * FROM inc
+           WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+         ), cand AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM surv a JOIN surv b ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         ), edges AS (
+           SELECT a_id AS a, b_id AS b FROM cand
+           UNION ALL SELECT b_id, a_id FROM cand
+         ), nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach(id, lab) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id
+         ), dropped AS (
+           SELECT id FROM (
+             SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id) t
+           WHERE cluster != id
+         )
+         SELECT DISTINCT doc_id FROM surv
+         WHERE doc_id NOT IN (SELECT id FROM dropped)""",
+    "d11_maintained_dedup" ->
+      """WITH RECURSIVE src AS (
+           SELECT doc_id, text FROM documents
+           WHERE doc_id % 10 != 0 AND doc_id % 13 != 7
+           UNION ALL
+           SELECT doc_id + 10000000, text FROM documents
+           WHERE doc_id % 10 != 0 AND doc_id % 41 = 0
+           UNION ALL
+           SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+         ), w AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM src
+         ), sh AS (
+           SELECT s.doc_id, unnest(CASE WHEN len(ws) >= 3
+             THEN list_transform(range(1, len(ws)-1),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+             ELSE [s.text] END) AS shingle
+           FROM w JOIN src s USING (doc_id)
+         ), hh AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h32
+           FROM sh
+         ), mh AS (
+           SELECT doc_id, seed,
+             min(((2*seed+1) * h32 + (seed*12345+7)) % 4294967291) AS mh
+           FROM hh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
+           GROUP BY doc_id, seed
+         ), bands AS (
+           SELECT doc_id, seed // 2 AS band,
+             string_agg(lpad(CAST(mh AS VARCHAR), 10, '0'), ''
+               ORDER BY seed) AS bkey
+           FROM mh GROUP BY doc_id, seed // 2
+         ), inc AS (
            SELECT * FROM bands WHERE doc_id % 10 = 0
          ), cor AS (
            SELECT band, bkey FROM bands WHERE doc_id % 10 != 0
@@ -3143,6 +3284,22 @@ object ExtQueries {
              ('0x' || substr(h, 2 * ((143 * len) // 144) + 1, 2))::INT
              END AS INTEGER) AS b143
          FROM b""",
+    "m06_media_dedup" ->
+      """WITH m AS (
+           SELECT CAST(doc_id AS BIGINT) AS media_id,
+             'text/plain;src=' || source AS mime, text
+           FROM documents
+           UNION ALL
+           SELECT CAST(doc_id AS BIGINT) + 1000000,
+             'text/plain;src=' || source, text
+           FROM documents
+         )
+         SELECT mime, md5(text) AS checksum,
+           MIN(media_id) AS keep_id, COUNT(*) AS n_copies,
+           CAST(SUM(octet_length(encode(text)))
+             - MAX(octet_length(encode(text))) AS BIGINT)
+             AS bytes_reclaimed
+         FROM m GROUP BY 1, 2 HAVING COUNT(*) > 1""",
     "m01_multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
          'text/plain;src=' || source AS mime,
