@@ -27,6 +27,8 @@ import graft.stream.LakeChangeFeed
   *   spark.graft.maintenance.rollups         dir|k1+k2|s1+s2|d1  ;-separated
   *   spark.graft.maintenance.vectorIndexes   idxDir|id|emb|centDir ;-separated
   *   spark.graft.maintenance.lmRollups       dir|textCol|bigram    ;-separated
+  *   spark.graft.maintenance.textIndexes     idxDir|id|text|lexical ;-separated
+  *                                           (kind: lexical | bands)
   *   spark.graft.maintenance.binPackTargetBytes  134217728
   *   spark.graft.maintenance.vacuumGraceMs   86400000
   *   spark.graft.maintenance.feedKeepRanges  96
@@ -88,6 +90,20 @@ object MaintenanceMain {
         }
       }
 
+  private[graft] def textIndexSpecs(
+      spark: SparkSession): Seq[LakeChangeFeed.TextIndexSpec] =
+    conf(spark, "textIndexes").map(_.split(';').map(_.trim)
+        .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      .map { enc =>
+        enc.split('|') match {
+          case Array(dir, id, text, kind) =>
+            LakeChangeFeed.TextIndexSpec(dir, id, text, kind)
+          case _ => throw new IllegalArgumentException(
+            s"bad text index spec '$enc' — want " +
+              "indexDir|idCol|textCol|{lexical,bands}")
+        }
+      }
+
   /** One full maintenance pass; returns the delivered range, if any.
     * The testable unit — `main` loops this on the cadence. */
   def runOnce(spark: SparkSession): Option[(Long, Long)] = {
@@ -120,7 +136,8 @@ object MaintenanceMain {
       rollups = rollupSpecs(spark),
       binPackTargetBytes = conf(spark, "binPackTargetBytes").map(_.toLong),
       vectorIndexes = indexSpecs(spark),
-      lmRollups = lmSpecs(spark))
+      lmRollups = lmSpecs(spark),
+      textIndexes = textIndexSpecs(spark))
     catch { case scala.util.control.NonFatal(e) => failures += e }
     grace.foreach { g =>
       // deliver the pass's OWN commits (bin-pack, rewrites) first so

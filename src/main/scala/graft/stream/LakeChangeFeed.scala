@@ -123,7 +123,8 @@ object LakeChangeFeed {
       rollups: Seq[RollupSpec] = Nil,
       binPackTargetBytes: Option[Long] = None,
       vectorIndexes: Seq[IndexSpec] = Nil,
-      lmRollups: Seq[LmSpec] = Nil): Option[(Long, Long)] = {
+      lmRollups: Seq[LmSpec] = Nil,
+      textIndexes: Seq[TextIndexSpec] = Nil): Option[(Long, Long)] = {
     val range = tick(spark, lakePath, outDir, fromVersion)
     range.foreach { case (from, to) =>
       statsCols.foreach(c =>
@@ -171,9 +172,18 @@ object LakeChangeFeed {
         else
           graft.ext.LmRollup.tickUnigrams(spark, lakePath,
             lm.rollupDir, lm.textCol)): Unit
+      }) ++
+      textIndexes.flatMap(tx => guarded(tx.indexDir) {
+        (if (tx.kind == "lexical")
+          graft.ext.LexicalIndex.tick(spark, lakePath, tx.indexDir,
+            tx.idCol, tx.textCol)
+        else
+          graft.ext.BandIndex.tick(spark, lakePath, tx.indexDir,
+            tx.idCol, tx.textCol)): Unit
       })
     if (failed.nonEmpty) {
       val total = rollups.size + vectorIndexes.size + lmRollups.size +
+        textIndexes.size +
         (if (binPackTargetBytes.isDefined) 1 else 0)
       val ex = new IllegalStateException(
         s"${failed.size}/$total maintenance tick(s) failed " +
@@ -265,4 +275,14 @@ object LakeChangeFeed {
     * ([[graft.ext.Similarity.loadCentroids]]). */
   final case class IndexSpec(indexDir: String, idCol: String,
                              embCol: String, centroidsDir: String)
+
+  /** One maintained text-derived index for [[tickWithMaintenance]] to
+    * advance alongside the rollups — `kind` is "lexical" (BM25
+    * postings + rollups, [[graft.ext.LexicalIndex]]) or "bands"
+    * (dedup LSH bands, [[graft.ext.BandIndex]]) over `textCol`. */
+  final case class TextIndexSpec(indexDir: String, idCol: String,
+                                 textCol: String, kind: String) {
+    require(kind == "lexical" || kind == "bands",
+      s"TextIndexSpec kind must be lexical|bands, got '$kind'")
+  }
 }

@@ -85,6 +85,44 @@ class MaintenanceMainSpec extends AnyFunSuite {
     try intercept[IllegalArgumentException] {
       MaintenanceMain.indexSpecs(spark)
     } finally spark.conf.unset("spark.graft.maintenance.vectorIndexes")
+    spark.conf.set("spark.graft.maintenance.textIndexes", "a|b|c|nope")
+    try intercept[IllegalArgumentException] {
+      MaintenanceMain.textIndexSpecs(spark)
+    } finally spark.conf.unset("spark.graft.maintenance.textIndexes")
+  }
+
+  test("a conf-configured pass advances a maintained band index") {
+    import spark.implicits._
+    val lake = fresh("graft-mm-bands-lake")
+    (0L until 20L).map(i => (i, s"w$i a$i b$i c$i d$i e$i f$i"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(lake)
+    History.enableManifests(spark, lake): Unit
+    val feed = fresh("graft-mm-bands-feed")
+    val idx = fresh("graft-mm-bands-idx")
+    graft.ext.BandIndex.bootstrap(spark, lake, idx): Unit
+    graft.stream.LakeChangeFeed.tick(spark, lake, feed): Unit
+    History.deleteKeysDV(spark, lake, "doc_id", Seq(4L)): Unit
+    History.append(spark, lake,
+      Seq((100L, "w100 a100 b100 c100 d100 e100 f100"))
+        .toDF("doc_id", "text"), key = "mb"): Unit
+    def set(k: String, v: String): Unit =
+      spark.conf.set(s"spark.graft.maintenance.$k", v)
+    set("lake", lake)
+    set("feedDir", feed)
+    set("textIndexes", s"$idx|doc_id|text|bands")
+    try {
+      assert(MaintenanceMain.runOnce(spark).isDefined)
+      val got = graft.ext.BandIndex.read(spark, idx)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .toSet
+      val want = graft.ext.BandIndex
+        .deriveBands(History.readPinned(spark, lake))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .toSet
+      assert(got === want,
+        "the daemon pass must tick the band index to the corpus image")
+    } finally Seq("lake", "feedDir", "textIndexes")
+      .foreach(k => spark.conf.unset(s"spark.graft.maintenance.$k"))
   }
 
   test("a poisoned maintenance step cannot starve vacuum or feed expiry") {
