@@ -92,6 +92,29 @@ class BandIndexSpec extends AnyFunSuite {
     assert(BandIndex.tick(spark, corpus, index) === ((v, 0L, 0L)))
   }
 
+  test("admission scans the maintained bands lake, never the corpus text") {
+    val (corpus, index) = mkLakes()
+    BandIndex.bootstrap(spark, corpus, index): Unit
+    // AQE's adaptive wrapper hides the inner plan from collect — the
+    // static plan is the asserted shape
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probe = Dedup.admissionHits(
+        BandIndex.deriveBands(corpusDf(Seq(1000L))),
+        BandIndex.read(spark, index), "doc_id", excludeSelf = false)
+      val scanned = probe.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.rootPaths.map(_.toString)
+      }.flatten
+      assert(scanned.nonEmpty, "the probe must read the bands lake files")
+      assert(scanned.forall(_.contains(BandIndex.bandsDir(index))),
+        s"probe file scans must stay inside the bands lake: $scanned")
+      assert(!scanned.exists(_.contains(corpus)),
+        "admission must never re-read corpus text")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   test("crashed-tick replay restores a delete-then-identical-reinsert") {
     val (corpus, index) = mkLakes()
     BandIndex.bootstrap(spark, corpus, index): Unit
