@@ -1344,6 +1344,35 @@ object ExtQueries {
           sum(col("n_tok")).cast("bigint").as("kept_tokens"))
     }),
 
+    // Cross-source contamination matrix: pairwise Jaccard between the
+    // sources' distinct word-3-gram sets — the "how much does corpus A
+    // overlap corpus B" diagnostic run before mixing sources into a
+    // training blend (t11/t18 gate a train corpus against a TEST set;
+    // this profiles the sources against EACH OTHER). One distinct per
+    // (source, gram), one gram-keyed self-join whose fan-out is
+    // bounded by the source count squared (sources are tens, not
+    // corpus-sized), two broadcast-sized size tables.
+    "t28_source_overlap" -> ((s, d) => {
+      val fp = documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("source"),
+          explode(TextAnalysis.wordShingles(col("text"), 3)).as("g"))
+        .distinct()
+      val sizes = fp.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = fp.as("a").join(fp.as("b"), Seq("g"))
+        .filter(col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      inter
+        .join(sizes.select(col("source").as("src_a"), col("n").as("na")),
+          Seq("src_a"))
+        .join(sizes.select(col("source").as("src_b"), col("n").as("nb")),
+          Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          round(col("n_shared") / (col("na") + col("nb") - col("n_shared")),
+            4).as("jaccard"))
+    }),
+
     // Bigram-LM quality scoring (the CCNet/KenLM-style perplexity
     // filter): train an add-one-smoothed bigram model ON the corpus
     // (c12/c1 counts + vocabulary size), then score every document by
@@ -2556,6 +2585,29 @@ object ExtQueries {
          )
          SELECT doc_id, lang, shard, n_tokens, start
          FROM st WHERE start < 300""",
+    "t28_source_overlap" ->
+      """WITH w AS (
+           SELECT doc_id, source, string_split(text, ' ') AS ws
+           FROM documents
+         ), g0 AS (
+           SELECT DISTINCT w.source, unnest(CASE WHEN len(ws) >= 3
+             THEN list_transform(range(1, len(ws)-1),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+             ELSE [documents.text] END) AS g
+           FROM w JOIN documents USING (doc_id)
+         ), sizes AS (
+           SELECT source, COUNT(*) AS n FROM g0 GROUP BY 1
+         ), inter AS (
+           SELECT a.source AS src_a, b.source AS src_b,
+             COUNT(*) AS n_shared
+           FROM g0 a JOIN g0 b ON a.g = b.g AND a.source < b.source
+           GROUP BY 1, 2
+         )
+         SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+           round(n_shared / (sa.n + sb.n - n_shared), 4) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.source = src_a
+         JOIN sizes sb ON sb.source = src_b""",
     "t27_mixture_rebalance" ->
       """WITH toks AS (
            SELECT doc_id, lang,
