@@ -43,6 +43,14 @@ object FileStats {
   def statsPath(lakePath: String): String =
     s"${FileManifest.manifestDir(lakePath)}/stats.tsv"
 
+  /** Reserved pseudo-column: the file's TOTAL ROW COUNT (footer block
+    * counts summed), stored as (n, n). Refreshed through the ordinary
+    * [[refresh]] path (so the change-feed maintenance cadence applies
+    * unchanged — list it in `statsCols`), served by
+    * [[History.fastCount]] for metadata-only COUNT(*). The underscore
+    * prefix keeps it out of any real column's namespace. */
+  val RowsCol = "_graft_rows"
+
   /** Parsed-sidecar LRU keyed (qualified path, mtime, length) — the
     * sidecar is rewritten whole by refresh, so the status pair
     * invalidates naturally. Every stats-pruned plan consults the full
@@ -170,6 +178,16 @@ object FileStats {
       } finally reader.close()
     } catch { case _: Throwable => None }
 
+  /** Footer total row count (blocks summed), or None on an unreadable
+    * footer (never throws — same contract as [[minMaxFromFooter]]). */
+  def rowCountFromFooter(conf: Configuration, file: Path): Option[Long] =
+    try {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+      try Some(reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+      finally reader.close()
+    } catch { case _: Throwable => None }
+
   /** Bring the sidecar up to date with the latest manifest for
     * `colName`: footer-read only the current files missing an entry FOR
     * THAT COLUMN, drop entries for files no longer current or retired
@@ -201,8 +219,10 @@ object FileStats {
     LakeCommit.foreachPar(missing) { rel =>
       // record unstattable files as a sentinel so they're footer-read
       // ONCE, not on every refresh (keeps the steady state O(new files))
-      freshMap.put(rel, minMaxFromFooter(conf, new Path(qRoot, rel), colName))
-        : Unit
+      freshMap.put(rel,
+        if (colName == RowsCol)
+          rowCountFromFooter(conf, new Path(qRoot, rel)).map(n => (n, n))
+        else minMaxFromFooter(conf, new Path(qRoot, rel), colName)): Unit
     }
     val fresh = missing.flatMap(rel =>
       Option(freshMap.get(rel)).map(v => (rel, colName) -> v))

@@ -828,6 +828,59 @@ object History {
     FileStats.refresh(fs, spark.sparkContext.hadoopConfiguration, path, tsCol)
   }
 
+  /** Refresh the row-count pseudo-column of the stats sidecar
+    * ([[FileStats.RowsCol]]) — the writer-side half of [[fastCount]].
+    * Incremental: only current files missing an entry get one footer
+    * read. Returns the number of newly counted files. */
+  def refreshRowCounts(spark: SparkSession, path: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    FileStats.refresh(fs, spark.sparkContext.hadoopConfiguration, path,
+      FileStats.RowsCol)
+  }
+
+  /** Metadata-only COUNT(*) for a manifest lake — the
+    * `SELECT count(*)` every table format answers without touching a
+    * data page: per-file footer row counts served from the stats
+    * sidecar (pseudo-column [[FileStats.RowsCol]], refreshed by
+    * [[refreshRowCounts]] or the maintenance agent's `statsCols`),
+    * minus each current file's deletion-vector cardinality (DV
+    * sidecars are KB-scale and cached). Cost is O(files) map lookups —
+    * at 100 TB that is thousands of entries, not terabytes of scan.
+    *
+    * Returns None when any current file lacks a row-count entry (the
+    * refresh hasn't caught up to the pinned image): stats are an
+    * optimization, never a correctness input, so callers fall back to
+    * `readPinned(...).count()` — a stale sidecar can only fail to
+    * answer, never answer wrongly (data files are immutable, so a
+    * recorded count can never go stale; deletes land as DVs which are
+    * subtracted live). */
+  def fastCount(spark: SparkSession, path: String,
+                version: Option[Long] = None): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = version match {
+      case Some(v) => FileManifest.at(fs, path, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"manifest version $v not retained at $path"))
+      case None => FileManifest.latest(fs, path).getOrElse(
+        throw new IllegalStateException(
+          s"fastCount needs a manifest-mode lake: $path"))
+    }
+    val stats = FileStats.read(fs, path)
+    val perFile = m.cur.map(rel =>
+      stats.get((rel, FileStats.RowsCol)).flatten)
+    if (perFile.exists(_.isEmpty)) return None
+    val rows = perFile.map(_.get._1).sum
+    val curSet = m.curSet
+    val dvDeleted = m.dvs.iterator
+      .filter { case (rel, _) => curSet(rel) }
+      .map { case (_, name) =>
+        DeletionVector.read(fs, path, name).length.toLong }
+      .sum
+    Some(rows - dvDeleted)
+  }
+
   /** DESCRIBE HISTORY for a manifest lake: one row per RETAINED
     * version — commit time (the root's atomic-rename instant), live /
     * retired file counts, and the file-level delta vs the previous
