@@ -78,7 +78,11 @@ object BandIndex {
       .repartition(spark.sparkContext.defaultParallelism, col(docIdCol))
     val bdir = bandsDir(indexDir)
     deriveBands(corpus, docIdCol, textCol)
-      .repartition(col("band"))
+      // band alone has 4 distinct values — keying the shuffle on it
+      // would serialize the corpus-sized write onto 4 tasks; bkey
+      // keeps full parallelism while partitionBy still lays out the
+      // band dirs
+      .repartition(col("band"), col("bkey"))
       .write.mode("overwrite").partitionBy("band").parquet(bdir)
     History.enableManifests(spark, bdir): Unit
     History.enableShardedManifests(spark, bdir): Unit
@@ -96,61 +100,19 @@ object BandIndex {
   def tick(spark: SparkSession, corpusLake: String, indexDir: String,
            docIdCol: String = "doc_id", textCol: String = "text",
            maxDeletes: Long = 10000000L): (Long, Long, Long) = {
-    val cfs = fsOf(spark, corpusLake)
-    val to = FileManifest.latestVersion(cfs, corpusLake).getOrElse(
-      throw new IllegalStateException(
-        s"BandIndex needs a manifest-mode corpus lake: $corpusLake"))
-    val from = indexedVersion(spark, indexDir).getOrElse(
-      throw new IllegalStateException(
-        s"BandIndex.tick before bootstrap at $indexDir"))
     val bdir = bandsDir(indexDir)
-    if (from == to) return (to, 0L, 0L)
-    IndexReplay.undoCrashedAppends(fsOf(spark, bdir), bdir, s"band-$from")
-    val feed = History.changesBetween(spark, corpusLake, from, to)
-      .select(col(docIdCol), col(textCol), col("_change"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val lim =
-        if (maxDeletes >= Int.MaxValue.toLong) Int.MaxValue
-        else (maxDeletes + 1).toInt
-      val touched = feed.select(col(docIdCol)).distinct()
-        .limit(lim).collect().map(_.get(0)).toSeq
-      require(touched.length < lim || lim == Int.MaxValue,
-        s"tick window touches > maxDeletes=$maxDeletes docs — " +
-          "re-bootstrap the index instead of replaying a mass change")
-      // crashed-attempt intents from this baseline whose ids the
-      // image-diff feed no longer mentions — reset + re-insert their
-      // image at `to` (see [[IndexReplay]])
-      val ifs = fsOf(spark, indexDir)
-      val touchedStr = touched.map(_.toString).toSet
-      val extras = IndexReplay
-        .pending(ifs, stateDir(indexDir), from)
-        .filterNot(touchedStr)
-      IndexReplay.record(ifs, stateDir(indexDir), from, touched)
-      val nDel = feed.filter(col("_change") === "delete")
-        .select(col(docIdCol)).distinct().count()
-      val allTouched = touched ++ extras
-      if (allTouched.nonEmpty)
-        History.deleteKeysDV(spark, bdir, "doc_id", allTouched): Unit
-      val feedInserts = feed.filter(col("_change") === "insert")
-        .select(col(docIdCol), col(textCol))
-      val inserts =
-        if (extras.isEmpty) feedInserts
-        else feedInserts.unionByName(
-          History.readPinned(spark, corpusLake, to)
-            .filter(col(docIdCol).cast("string").isin(extras: _*))
-            .select(col(docIdCol), col(textCol)))
-      val nIns = inserts.select(col(docIdCol)).distinct().count()
-      if (nIns > 0L) {
-        val nonce = java.util.UUID.randomUUID().toString.take(8)
-        History.append(spark, bdir, deriveBands(inserts, docIdCol, textCol),
-          key = s"band-$from-$to-$nonce", partitionCols = Seq("band")): Unit
-      }
-      History.refreshKeyIndex(spark, bdir, "doc_id"): Unit
-      IndexReplay.markIndexed(ifs, stateDir(indexDir), to)
-      IndexReplay.clear(ifs, stateDir(indexDir), from)
-      (to, nDel, nIns)
-    } finally feed.unpersist(): Unit
+    IndexReplay.tickWindow(spark, corpusLake, indexDir,
+      stateDir(indexDir), lakes = Seq(bdir), keyPrefix = "band",
+      idCol = docIdCol, valueCols = Seq(textCol),
+      maxDeletes = maxDeletes, indexName = "BandIndex",
+      lakeKeyCol = "doc_id") {
+      (inserts, nIns, key) =>
+        if (nIns > 0L)
+          History.append(spark, bdir,
+            deriveBands(inserts, docIdCol, textCol),
+            key = key, partitionCols = Seq("band")): Unit
+        History.refreshKeyIndex(spark, bdir, "doc_id"): Unit
+    }
   }
 
   /** The maintained band table's current image (deletion-vector-aware,

@@ -133,4 +133,87 @@ private[ext] object IndexReplay {
       }
       .foreach(s => fs.delete(s.getPath, false): Unit)
   }
+
+  /** THE shared tick driver — the whole undo-then-apply replay
+    * discipline in one place, so the crash-safety subtleties (crashed
+    * batch-tagged appends retired wholesale, the intent record closing
+    * the delete-then-identical-reinsert image-diff hole, attempt-unique
+    * append keys) exist once and every maintained index (vector,
+    * lexical, bands) inherits fixes together.
+    *
+    * Resolves the window (from = indexed marker, to = corpus latest;
+    * no-op when equal), undoes crashed appends on every derived lake in
+    * `lakes`, computes the net feed, records intents, takes touched ids
+    * down from every lake (merge-on-read), assembles the insert image
+    * (feed inserts + crashed-intent resets re-read at `to`), then hands
+    * the caller `(inserts, nIns, appendKey)` to apply its index-specific
+    * writes/refreshes — called ALWAYS (even with zero inserts: key-index
+    * and rollup refreshes must still advance) — and finally commits the
+    * marker and clears intents. Returns (to, distinct ids deleted,
+    * distinct ids inserted). */
+  def tickWindow(spark: org.apache.spark.sql.SparkSession,
+      corpusLake: String, indexDir: String, stateDirPath: String,
+      lakes: Seq[String], keyPrefix: String, idCol: String,
+      valueCols: Seq[String], maxDeletes: Long, indexName: String,
+      // the derived lakes' key column — tokenizing indexes normalize
+      // the corpus id to "doc_id" regardless of idCol's name
+      lakeKeyCol: String = null)
+      (apply: (org.apache.spark.sql.DataFrame, Long, String) => Unit)
+      : (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sparkContext.hadoopConfiguration
+    def fsOf(p: String) = new Path(p).getFileSystem(conf)
+    val to = FileManifest.latestVersion(fsOf(corpusLake), corpusLake)
+      .getOrElse(throw new IllegalStateException(
+        s"$indexName needs a manifest-mode corpus lake: $corpusLake"))
+    val from = indexedVersion(fsOf(indexDir), stateDirPath).getOrElse(
+      throw new IllegalStateException(
+        s"$indexName.tick before bootstrap at $indexDir"))
+    if (from == to) return (to, 0L, 0L)
+    lakes.foreach(l => undoCrashedAppends(fsOf(l), l, s"$keyPrefix-$from"))
+    val feed = graft.sources.History
+      .changesBetween(spark, corpusLake, from, to)
+      .select((idCol +: valueCols).map(col) :+ col("_change"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val lim =
+        if (maxDeletes >= Int.MaxValue.toLong) Int.MaxValue
+        else (maxDeletes + 1).toInt
+      val touched = feed.select(col(idCol)).distinct()
+        .limit(lim).collect().map(_.get(0)).toSeq
+      // the guard keys off maxDeletes itself, not the derived lim — at
+      // maxDeletes == Int.MaxValue-1 the old `lim == Int.MaxValue`
+      // escape hatch silently disabled the cap
+      require(touched.length.toLong <= maxDeletes ||
+          maxDeletes >= Int.MaxValue.toLong,
+        s"tick window touches > maxDeletes=$maxDeletes ids — " +
+          "re-bootstrap the index instead of replaying a mass change")
+      val ifs = fsOf(indexDir)
+      val touchedStr = touched.map(_.toString).toSet
+      val extras = pending(ifs, stateDirPath, from).filterNot(touchedStr)
+      record(ifs, stateDirPath, from, touched)
+      val nDel = feed.filter(col("_change") === "delete")
+        .select(col(idCol)).distinct().count()
+      val allTouched = touched ++ extras
+      val keyCol = Option(lakeKeyCol).getOrElse(idCol)
+      if (allTouched.nonEmpty)
+        lakes.foreach(l => graft.sources.History
+          .deleteKeysDV(spark, l, keyCol, allTouched): Unit)
+      val feedInserts = feed.filter(col("_change") === "insert")
+        .select(idCol, valueCols: _*)
+      val inserts =
+        if (extras.isEmpty) feedInserts
+        else feedInserts.unionByName(
+          graft.sources.History.readPinned(spark, corpusLake, to)
+            .filter(col(idCol).cast("string").isin(extras: _*))
+            .select(idCol, valueCols: _*))
+      val nIns = inserts.select(col(idCol)).distinct().count()
+      apply(inserts, nIns,
+        s"$keyPrefix-$from-$to-" +
+          java.util.UUID.randomUUID().toString.take(8))
+      markIndexed(ifs, stateDirPath, to)
+      clear(ifs, stateDirPath, from)
+      (to, nDel, nIns)
+    } finally feed.unpersist(): Unit
+  }
 }

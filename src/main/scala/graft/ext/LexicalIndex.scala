@@ -121,73 +121,28 @@ object LexicalIndex {
   def tick(spark: SparkSession, corpusLake: String, indexDir: String,
            docIdCol: String = "doc_id", textCol: String = "text",
            maxDeletes: Long = 10000000L): (Long, Long, Long) = {
-    val cfs = fsOf(spark, corpusLake)
-    val to = FileManifest.latestVersion(cfs, corpusLake).getOrElse(
-      throw new IllegalStateException(
-        s"LexicalIndex needs a manifest-mode corpus lake: $corpusLake"))
-    val from = indexedVersion(spark, indexDir).getOrElse(
-      throw new IllegalStateException(
-        s"LexicalIndex.tick before bootstrap at $indexDir"))
     val pdir = postingsDir(indexDir)
     val ddir = doclensDir(indexDir)
-    if (from == to) return (to, 0L, 0L)
-    IndexReplay.undoCrashedAppends(fsOf(spark, pdir), pdir, s"lex-$from")
-    IndexReplay.undoCrashedAppends(fsOf(spark, ddir), ddir, s"lex-$from")
-    val feed = History.changesBetween(spark, corpusLake, from, to)
-      .select(col(docIdCol), col(textCol), col("_change"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val lim =
-        if (maxDeletes >= Int.MaxValue.toLong) Int.MaxValue
-        else (maxDeletes + 1).toInt
-      val touched = feed.select(col(docIdCol)).distinct()
-        .limit(lim).collect().map(_.get(0)).toSeq
-      require(touched.length < lim || lim == Int.MaxValue,
-        s"tick window touches > maxDeletes=$maxDeletes docs — " +
-          "re-bootstrap the index instead of replaying a mass change")
-      // crashed-attempt intents from this baseline whose ids the
-      // image-diff feed no longer mentions — reset + re-insert their
-      // image at `to` (see [[IndexReplay]])
-      val ifs = fsOf(spark, indexDir)
-      val touchedStr = touched.map(_.toString).toSet
-      val extras = IndexReplay
-        .pending(ifs, stateDir(indexDir), from)
-        .filterNot(touchedStr)
-      IndexReplay.record(ifs, stateDir(indexDir), from, touched)
-      val nDel = feed.filter(col("_change") === "delete")
-        .select(col(docIdCol)).distinct().count()
-      val allTouched = touched ++ extras
-      if (allTouched.nonEmpty) {
-        History.deleteKeysDV(spark, pdir, "doc_id", allTouched): Unit
-        History.deleteKeysDV(spark, ddir, "doc_id", allTouched): Unit
-      }
-      val feedInserts = feed.filter(col("_change") === "insert")
-        .select(col(docIdCol), col(textCol))
-      val inserts =
-        if (extras.isEmpty) feedInserts
-        else feedInserts.unionByName(
-          History.readPinned(spark, corpusLake, to)
-            .filter(col(docIdCol).cast("string").isin(extras: _*))
-            .select(col(docIdCol), col(textCol)))
-      val nIns = inserts.select(col(docIdCol)).distinct().count()
+    IndexReplay.tickWindow(spark, corpusLake, indexDir,
+      stateDir(indexDir), lakes = Seq(pdir, ddir), keyPrefix = "lex",
+      idCol = docIdCol, valueCols = Seq(textCol),
+      maxDeletes = maxDeletes, indexName = "LexicalIndex",
+      lakeKeyCol = "doc_id") { (inserts, nIns, key) =>
       if (nIns > 0L) {
         val (p2, d2) = tokenize(inserts, docIdCol, textCol)
-        val nonce = java.util.UUID.randomUUID().toString.take(8)
         History.append(spark, pdir, p2,
-          key = s"lex-$from-$to-$nonce", partitionCols = Seq("wb")): Unit
-        History.append(spark, ddir, d2,
-          key = s"lex-$from-$to-$nonce"): Unit
+          key = key, partitionCols = Seq("wb")): Unit
+        History.append(spark, ddir, d2, key = key): Unit
       }
       History.refreshKeyIndex(spark, pdir, "doc_id"): Unit
       History.refreshKeyIndex(spark, ddir, "doc_id"): Unit
+      // the rollups consume the postings/doclens lakes' OWN feeds, so
+      // they see a replay's undo as retractions and converge with it
       IncrementalRollup.tick(spark, pdir, dfRollupDir(indexDir),
         Seq("word"), "tf"): Unit
       IncrementalRollup.tick(spark, ddir, statsRollupDir(indexDir),
         Seq("grp"), "dl"): Unit
-      IndexReplay.markIndexed(ifs, stateDir(indexDir), to)
-      IndexReplay.clear(ifs, stateDir(indexDir), from)
-      (to, nDel, nIns)
-    } finally feed.unpersist(): Unit
+    }
   }
 
   /** Doc-as-query BM25 top-k from the MAINTAINED index: identical

@@ -94,86 +94,35 @@ object VectorIndex {
   def tick(spark: SparkSession, corpusLake: String, indexDir: String,
            idCol: String, embCol: String, centroids: DataFrame,
            maxDeletes: Long = 10000000L): (Long, Long, Long) = {
-    val cfs = fsOf(spark, corpusLake)
-    val to = FileManifest.latestVersion(cfs, corpusLake).getOrElse(
-      throw new IllegalStateException(
-        s"VectorIndex needs a manifest-mode corpus lake: $corpusLake"))
-    val from = indexedVersion(spark, indexDir).getOrElse(
-      throw new IllegalStateException(
-        s"VectorIndex.tick before bootstrap at $indexDir"))
-    if (from == to) return (to, 0L, 0L)
-    val pdir = postingsDir(indexDir)
     // UNDO-THEN-APPLY, the shape that makes replay convergent in every
-    // crash/advance interleaving. A crashed tick can leave its append
-    // CURRENT in the postings lake with the state marker unwritten; a
-    // naive replay then either loses updated ids (its takedown removes
-    // the crashed append's posting and a same-key re-append sweeps and
-    // REPLACES the batch files in place — mutating bytes under any DV
-    // pointers the reset attached: silent corruption) or doubles pure
-    // inserts (an advanced `to` changes the append key, so nothing
-    // dedupes), and an id inserted-then-deleted INSIDE the replay
-    // window escapes the net feed entirely, leaving its crashed
-    // posting live forever. So:
-    //  (1) retire, wholesale, every current postings file a prior
-    //      attempt from this SAME baseline landed — batch-tagged names
-    //      (`b ivf-<from>-…`) make them exactly enumerable, and only
-    //      unmarked (crashed) attempts can still carry this baseline's
-    //      prefix. This erases every partial-apply ambiguity at once.
-    //  (2) take down the net feed's touched ids from the PRE-window
-    //      postings (merge-on-read; re-deletes match nothing).
-    //  (3) append the feed's insert images under an ATTEMPT-UNIQUE
-    //      key — files are never name-reused, so postings stay
-    //      immutable under their deletion vectors.
-    // Run from one maintenance agent per index, like every lake
-    // maintenance sequence.
-    IndexReplay.undoCrashedAppends(fsOf(spark, pdir), pdir, s"ivf-$from")
-    val feed = History.changesBetween(spark, corpusLake, from, to)
-      .select(col(idCol), col(embCol), col("_change"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val lim =
-        if (maxDeletes >= Int.MaxValue.toLong) Int.MaxValue
-        else (maxDeletes + 1).toInt
-      val touchedIds = feed.select(col(idCol)).distinct()
-        .limit(lim).collect().map(_.get(0)).toSeq
-      require(touchedIds.length < lim || lim == Int.MaxValue,
-        s"tick window touches > maxDeletes=$maxDeletes ids — " +
-          "re-bootstrap the index instead of replaying a mass change")
-      // ids a crashed attempt from this baseline ALREADY took down that
-      // the image-diff feed no longer mentions (deleted-then-reinserted
-      // across the crash): reset them and re-insert their image AT `to`
-      // — see [[IndexReplay]]
-      val fs = fsOf(spark, indexDir)
-      val touchedStr = touchedIds.map(_.toString).toSet
-      val extras = IndexReplay
-        .pending(fs, stateDir(indexDir), from)
-        .filterNot(touchedStr)
-      IndexReplay.record(fs, stateDir(indexDir), from, touchedIds)
-      val nDel = feed.filter(col("_change") === "delete").count()
-      val allTouched = touchedIds ++ extras
-      if (allTouched.nonEmpty) {
-        History.deleteKeysDV(spark, pdir, idCol, allTouched): Unit
-      }
-      val feedInserts = feed.filter(col("_change") === "insert")
-        .select(col(idCol), col(embCol))
-      val inserts =
-        if (extras.isEmpty) feedInserts
-        else feedInserts.unionByName(
-          History.readPinned(spark, corpusLake, to)
-            .filter(col(idCol).cast("string").isin(extras: _*))
-            .select(col(idCol), col(embCol)))
-      val nIns = inserts.count()
-      if (nIns > 0L)
-        History.append(spark, pdir,
-          Similarity.assignCells(inserts, idCol, embCol, centroids),
-          key = s"ivf-$from-$to-" +
-            java.util.UUID.randomUUID().toString.take(8),
-          partitionCols = Seq("cell")): Unit
-      History.refreshKeyIndex(spark, pdir, idCol): Unit
-      IndexReplay.markIndexed(fs, stateDir(indexDir), to)
-      IndexReplay.clear(fs, stateDir(indexDir), from)
-      (to, nDel, nIns)
-    } finally feed.unpersist(): Unit
+    // crash/advance interleaving (see [[IndexReplay.tickWindow]], the
+    // one shared home of the discipline): a crashed tick can leave its
+    // append CURRENT in the postings lake with the state marker
+    // unwritten; a naive replay then either loses updated ids (its
+    // takedown removes the crashed append's posting and a same-key
+    // re-append sweeps and REPLACES the batch files in place — mutating
+    // bytes under any DV pointers the reset attached: silent
+    // corruption) or doubles pure inserts (an advanced `to` changes the
+    // append key, so nothing dedupes), and an id inserted-then-deleted
+    // INSIDE the replay window escapes the net feed entirely. So the
+    // driver (1) retires crashed batch-tagged appends wholesale,
+    // (2) takes the net feed's touched ids down from the pre-window
+    // postings (merge-on-read), and (3) hands this index the insert
+    // images to append under an ATTEMPT-UNIQUE key — files are never
+    // name-reused, so postings stay immutable under their deletion
+    // vectors. Run from one maintenance agent per index.
+    val pdir = postingsDir(indexDir)
+    IndexReplay.tickWindow(spark, corpusLake, indexDir,
+      stateDir(indexDir), lakes = Seq(pdir), keyPrefix = "ivf",
+      idCol = idCol, valueCols = Seq(embCol),
+      maxDeletes = maxDeletes, indexName = "VectorIndex") {
+      (inserts, nIns, key) =>
+        if (nIns > 0L)
+          History.append(spark, pdir,
+            Similarity.assignCells(inserts, idCol, embCol, centroids),
+            key = key, partitionCols = Seq("cell")): Unit
+        History.refreshKeyIndex(spark, pdir, idCol): Unit
+    }
   }
 
   /** ANN top-k from the MAINTAINED inverted lists: assign the bounded

@@ -253,9 +253,11 @@ object EventsQueries {
     // follows their first view, the view→purchase latency percentiles
     // — the time-to-convert curve product teams watch. Two keyed
     // min-aggregates (the e13 funnel shape) then one global percentile
-    // over integer microsecond latencies; nanos diff FIRST (small
-    // long), then integer-divide — raw epoch-nanos exceed a double's
-    // 2^53 but latencies never do.
+    // over integer microsecond latencies. Each side truncates to micros
+    // BEFORE the diff (pure long arithmetic, so the 2^53 double hazard
+    // never applies) — the same per-side convention as e06's delta_us:
+    // DuckDB's epoch_us truncates each timestamp, so a diff-first floor
+    // would drift ±1µs on non-µs-aligned nanos.
     "e14_conversion_latency" -> ((s, d) => {
       val ev = events(s, d) // ts = epoch-nanos long (see Tables.events)
         .select(col("user_id"), col("event_type"), col("ts"))
@@ -267,7 +269,7 @@ object EventsQueries {
         .agg(min(when(col("event_type") === "purchase" &&
           col("ts") > col("v_ts"), col("ts"))).as("p_ts"))
         .filter(col("p_ts").isNotNull)
-        .select(expr("(p_ts - v_ts) div 1000").as("lat_us"))
+        .select(expr("(p_ts div 1000) - (v_ts div 1000)").as("lat_us"))
       lat.agg(count(lit(1)).as("n_converted"),
         round(expr("percentile(lat_us, 0.5)"), 4).as("p50_us"),
         round(expr("percentile(lat_us, 0.9)"), 4).as("p90_us"))

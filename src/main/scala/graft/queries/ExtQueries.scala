@@ -151,29 +151,44 @@ object ExtQueries {
   private val lexIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
+  /** Shared evolved-corpus recipe for the maintained TEXT indexes
+    * (s15 lexical, d11 bands): write the doc slice as a manifest lake,
+    * bootstrap the index, evolve it — DV takedown (doc_id % 13 = 7)
+    * and a +10,000,000-rekeyed copy append (doc_id % 41 = 0) — then
+    * ONE tick mirrors the window. One definition so the two gates
+    * exercise the SAME corpus history (a drifted copy would leave them
+    * looking symmetric while testing different evolutions). */
+  private def evolvedTextIndex(s: SparkSession, d: String, subdir: String,
+      appendKey: String, slice: org.apache.spark.sql.Column,
+      bootstrap: (String, String) => Unit,
+      tick: (String, String) => Unit): (String, String) = {
+    Memos.install(s)
+    val base = s"${artifactRoot(s, d)}/$subdir"
+    val corpus = s"$base/corpus"
+    val index = s"$base/index"
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+      .filter(slice)
+    docs.repartition(8).write.mode("overwrite").parquet(corpus)
+    graft.sources.History.enableManifests(s, corpus): Unit
+    graft.sources.History.enableShardedManifests(s, corpus): Unit
+    bootstrap(corpus, index)
+    graft.sources.History.deleteWhereDV(s, corpus,
+      col("doc_id") % 13 === 7): Unit
+    graft.sources.History.append(s, corpus,
+      docs.filter(col("doc_id") % 41 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")),
+      key = appendKey): Unit
+    tick(corpus, index)
+    (corpus, index)
+  }
+
   private def maintainedLexIndex(s: SparkSession,
                                  d: String): (String, String) =
     lexIndexCache.computeIfAbsent(
       s"${graft.SessionKey(s)}|$d",
-      _ => {
-        Memos.install(s)
-        val base = s"${artifactRoot(s, d)}/lexindex"
-        val corpus = s"$base/corpus"
-        val index = s"$base/index"
-        val docs = documents(s, d).select(col("doc_id"), col("text"))
-        docs.repartition(8).write.mode("overwrite").parquet(corpus)
-        graft.sources.History.enableManifests(s, corpus): Unit
-        graft.sources.History.enableShardedManifests(s, corpus): Unit
-        graft.ext.LexicalIndex.bootstrap(s, corpus, index): Unit
-        graft.sources.History.deleteWhereDV(s, corpus,
-          col("doc_id") % 13 === 7): Unit
-        graft.sources.History.append(s, corpus,
-          docs.filter(col("doc_id") % 41 === 0)
-            .select((col("doc_id") + 10000000L).as("doc_id"), col("text")),
-          key = "s15-copies"): Unit
-        graft.ext.LexicalIndex.tick(s, corpus, index): Unit
-        (corpus, index)
-      })
+      _ => evolvedTextIndex(s, d, "lexindex", "s15-copies", lit(true),
+        (c, i) => graft.ext.LexicalIndex.bootstrap(s, c, i): Unit,
+        (c, i) => graft.ext.LexicalIndex.tick(s, c, i): Unit))
 
   /** A documents-corpus lake whose BIGRAM count table (the t25 LM's
     * model side) is MAINTAINED through the change feed: bootstrap,
@@ -264,26 +279,10 @@ object ExtQueries {
                                   d: String): (String, String) =
     bandIndexCache.computeIfAbsent(
       s"${graft.SessionKey(s)}|$d",
-      _ => {
-        Memos.install(s)
-        val base = s"${artifactRoot(s, d)}/bandindex"
-        val corpus = s"$base/corpus"
-        val index = s"$base/index"
-        val docs = documents(s, d).select(col("doc_id"), col("text"))
-          .filter(col("doc_id") % 10 =!= 0)
-        docs.repartition(8).write.mode("overwrite").parquet(corpus)
-        graft.sources.History.enableManifests(s, corpus): Unit
-        graft.sources.History.enableShardedManifests(s, corpus): Unit
-        graft.ext.BandIndex.bootstrap(s, corpus, index): Unit
-        graft.sources.History.deleteWhereDV(s, corpus,
-          col("doc_id") % 13 === 7): Unit
-        graft.sources.History.append(s, corpus,
-          docs.filter(col("doc_id") % 41 === 0)
-            .select((col("doc_id") + 10000000L).as("doc_id"), col("text")),
-          key = "d11-copies"): Unit
-        graft.ext.BandIndex.tick(s, corpus, index): Unit
-        (corpus, index)
-      })
+      _ => evolvedTextIndex(s, d, "bandindex", "d11-copies",
+        col("doc_id") % 10 =!= 0,
+        (c, i) => graft.ext.BandIndex.bootstrap(s, c, i): Unit,
+        (c, i) => graft.ext.BandIndex.tick(s, c, i): Unit))
 
   /** d09's corpus band table as a BUCKETED AT-REST artifact
     * ([[graft.ext.Dedup.writeBucketedBands]] — the layout the
@@ -1776,14 +1775,19 @@ object ExtQueries {
     * d06/d07/d09/d10 oracles from ONE copy (a drifted band recipe in a
     * stray copy would silently unmoor that oracle from the Spark side
     * it gates — the kmeansCtes discipline, applied to LSH). */
-  private val lshBandsCtes: String = """WITH RECURSIVE w AS (
-           SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  /** The shingle→md5→minhash→band CTE chain over `src` (doc_id, text)
+    * — ONE definition feeding every dedup oracle (d02/d06/d07/d09/d10
+    * over `documents`, d11 over its evolved-corpus CTE), so a future
+    * seed/band change can never unmoor one oracle from the Spark side
+    * it gates. */
+  private def lshBandsChain(src: String): String = s"""w AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM $src
          ), sh AS (
-           SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+           SELECT s.doc_id, unnest(CASE WHEN len(ws) >= 3
              THEN list_transform(range(1, len(ws)-1),
                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-             ELSE [text] END) AS shingle
-           FROM w JOIN documents USING (doc_id)
+             ELSE [s.text] END) AS shingle
+           FROM w JOIN $src s USING (doc_id)
          ), hh AS (
            SELECT doc_id,
              CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h32
@@ -1798,6 +1802,9 @@ object ExtQueries {
              string_agg(lpad(CAST(mh AS VARCHAR), 10, '0'), '' ORDER BY seed) AS bkey
            FROM mh GROUP BY doc_id, seed // 2
          )"""
+
+  private val lshBandsCtes: String =
+    s"WITH RECURSIVE ${lshBandsChain("documents")}"
 
   def oracleSql: Map[String, String] = Map(
     "d01_exact_dedup" ->
@@ -1963,7 +1970,7 @@ object ExtQueries {
          SELECT DISTINCT doc_id FROM surv
          WHERE doc_id NOT IN (SELECT id FROM dropped)""",
     "d11_maintained_dedup" ->
-      """WITH RECURSIVE src AS (
+      s"""WITH RECURSIVE src AS (
            SELECT doc_id, text FROM documents
            WHERE doc_id % 10 != 0 AND doc_id % 13 != 7
            UNION ALL
@@ -1971,29 +1978,7 @@ object ExtQueries {
            WHERE doc_id % 10 != 0 AND doc_id % 41 = 0
            UNION ALL
            SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
-         ), w AS (
-           SELECT doc_id, string_split(text, ' ') AS ws FROM src
-         ), sh AS (
-           SELECT s.doc_id, unnest(CASE WHEN len(ws) >= 3
-             THEN list_transform(range(1, len(ws)-1),
-                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-             ELSE [s.text] END) AS shingle
-           FROM w JOIN src s USING (doc_id)
-         ), hh AS (
-           SELECT doc_id,
-             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h32
-           FROM sh
-         ), mh AS (
-           SELECT doc_id, seed,
-             min(((2*seed+1) * h32 + (seed*12345+7)) % 4294967291) AS mh
-           FROM hh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
-           GROUP BY doc_id, seed
-         ), bands AS (
-           SELECT doc_id, seed // 2 AS band,
-             string_agg(lpad(CAST(mh AS VARCHAR), 10, '0'), ''
-               ORDER BY seed) AS bkey
-           FROM mh GROUP BY doc_id, seed // 2
-         ), inc AS (
+         ), ${lshBandsChain("src")}, inc AS (
            SELECT * FROM bands WHERE doc_id % 10 = 0
          ), cor AS (
            SELECT band, bkey FROM bands WHERE doc_id % 10 != 0
