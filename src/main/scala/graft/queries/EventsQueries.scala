@@ -290,6 +290,22 @@ object EventsQueries {
           col("event_type"), col("n_users"))
     }),
 
+    // Path-transition matrix (the product-analytics Markov view): for
+    // each user's event sequence, count adjacent (from → to) type
+    // pairs. One lead() over the per-user time order, one keyed count
+    // — type-pair cardinality is tiny, so the final aggregate is
+    // map-side partial all the way down.
+    "e16_path_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      events(s, d) // ts = epoch-nanos long (see Tables.events)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // Semi-structured JSON extraction from the props payload.
     "e03_json_extract" -> ((s, d) => {
       events(s, d)
@@ -466,6 +482,16 @@ object EventsQueries {
            round(quantile_cont(lat_us, 0.5), 4) AS p50_us,
            round(quantile_cont(lat_us, 0.9), 4) AS p90_us
          FROM lat""",
+    "e16_path_transitions" ->
+      """WITH x AS (
+           SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+           FROM events
+         )
+         SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS n
+         FROM x WHERE next_type IS NOT NULL GROUP BY 1, 2""",
     "e15_sliding_distinct" ->
       """WITH e AS (
            SELECT user_id, event_type,

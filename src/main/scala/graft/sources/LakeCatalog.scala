@@ -116,6 +116,11 @@ class LakeCatalog extends TableCatalog {
     // properties exist to surface
     val props: Map[String, String] =
       Map("graft.version" -> m.version.toString) ++
+        // exact row count when the metadata can answer it (footer
+        // row-count sidecar fresh for every current file — see
+        // History.fastCount); absent otherwise, never a guess
+        History.fastCount(spark, path, version)
+          .map(n => "graft.rowcount" -> n.toString) ++
         (if (version.isEmpty)
           SchemaLog.latestVersion(fs, path)
             .map(v => "graft.schema.version" -> v.toString).toMap ++

@@ -156,6 +156,12 @@ class LakeCatalogSpec extends AnyFunSuite {
     val p2 = props()
     assert(!p2.contains("graft.constraint.chars_nonneg"))
     assert(p2("graft.version").toLong > p("graft.version").toLong)
+    // metadata-only row count: absent until the sidecar is fresh,
+    // exact thereafter (and delete-aware — doc 5 is gone)
+    assert(!p2.contains("graft.rowcount"))
+    History.refreshRowCounts(spark, dir): Unit
+    val expected = History.readPinned(spark, dir).count()
+    assert(props()("graft.rowcount") === expected.toString)
   }
 
   test("the SQL surface is read-only; writers go through the engine") {
