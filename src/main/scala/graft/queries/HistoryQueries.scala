@@ -462,13 +462,59 @@ object HistoryQueries {
         shardedLakeCache, bloomLakeCache, evolvedLakeCache,
         taggedLakeCache, restoredLakeCache, rollupCache, dvLakeCache,
         binPackLakeCache, exportCache, backfillLakeCache,
-        constraintsLakeCache)
+        constraintsLakeCache, joinViewCache)
       .foreach { cache =>
       cache.keySet.forEach { k =>
         if (k._1 == sk) rmLake(cache.remove(k))
       }
     }
   }
+
+  /** h26's MAINTAINED JOIN VIEW ([[graft.ext.JoinView]]): facts
+    * (orders) ⋈ dims (customer) materialized as a lake, then BOTH
+    * sides evolve — a dim takedown (custkey % 13 = 7), an in-place
+    * dim correction (custkey % 17 = 3 renamed via delete + append),
+    * and an appended fact batch (custkey % 19 = 0, orderkeys rekeyed
+    * +100,000,000) — and ONE tick mirrors the window by recomputing
+    * only the touched keys (bloom-pruned reads on all three lakes).
+    * Keyed by (session, sfDir). */
+  private val joinViewCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def joinViewRoot(s: SparkSession, sfDir: String): String =
+    joinViewCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-jv").toString
+      val a = s"$base/facts"
+      val b = s"$base/dims"
+      val view = s"$base/view"
+      val orders = graft.Tables.orders(s, sfDir)
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"))
+      orders.repartition(4).write.parquet(a)
+      graft.sources.History.enableManifests(s, a): Unit
+      val cust = graft.Tables.customer(s, sfDir)
+        .select(col("c_custkey").as("custkey"), col("c_name"))
+      cust.repartition(4).write.parquet(b)
+      graft.sources.History.enableManifests(s, b): Unit
+      graft.ext.JoinView.bootstrap(s, a, b, view, "custkey"): Unit
+      graft.sources.History.deleteWhereDV(s, b,
+        col("custkey") % 13 === 7): Unit
+      graft.sources.History.deleteWhereDV(s, b,
+        col("custkey") % 17 === 3): Unit
+      graft.sources.History.append(s, b,
+        cust.filter(col("custkey") % 17 === 3 &&
+            col("custkey") % 13 =!= 7)
+          .withColumn("c_name", concat(col("c_name"), lit("-upd"))),
+        key = "h26-upd"): Unit
+      graft.sources.History.append(s, a,
+        orders.filter(col("custkey") % 19 === 0)
+          .select(col("custkey"),
+            (col("o_orderkey") + 100000000L).as("o_orderkey")),
+        key = "h26-batch"): Unit
+      graft.ext.JoinView.tick(s, a, b, view, "custkey"): Unit
+      view
+    })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S5: the three typed getFromDate shortcuts, date-bounded — each is a
@@ -750,7 +796,15 @@ object HistoryQueries {
       graft.sources.History.readPinned(s, constraintsLake(s, d))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).cast("bigint").as("sum_chars")))
+          sum(col("n_chars")).cast("bigint").as("sum_chars"))),
+
+    // Maintained JOIN view (IVM): after both sides evolved, one tick
+    // recomputed only the touched keys — the oracle joins the two
+    // final images fresh, so a leaked row for a deleted dim, a stale
+    // pre-correction name, or a missed fact batch fails the hash.
+    "h26_maintained_join" -> ((s, d) =>
+      graft.ext.JoinView.read(s, joinViewRoot(s, d))
+        .select(col("custkey"), col("o_orderkey"), col("c_name")))
   )
 
   private val rollupCache =
@@ -893,6 +947,20 @@ object HistoryQueries {
          )
          SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-         FROM all_rows GROUP BY lang"""
+         FROM all_rows GROUP BY lang""",
+    "h26_maintained_join" ->
+      """WITH a AS (
+           SELECT o_custkey AS custkey, o_orderkey FROM orders
+           UNION ALL
+           SELECT o_custkey, o_orderkey + 100000000 FROM orders
+           WHERE o_custkey % 19 = 0
+         ), b AS (
+           SELECT c_custkey AS custkey,
+             CASE WHEN c_custkey % 17 = 3 THEN c_name || '-upd'
+                  ELSE c_name END AS c_name
+           FROM customer WHERE c_custkey % 13 != 7
+         )
+         SELECT custkey, CAST(o_orderkey AS BIGINT) AS o_orderkey, c_name
+         FROM a JOIN b USING (custkey)"""
   )
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ext.JoinView
+import graft.sources.History
+
+/** Maintained join view (IVM): bootstrap once, advance per source
+  * commit on EITHER side, and the materialized rows must equal a fresh
+  * `A ⋈ B` over both lakes' current images at every state — including
+  * across crashes. */
+class JoinViewSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def mkLakes(): (String, String, String) = {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-joinview").toString
+    val a = s"$base/a"
+    val b = s"$base/b"
+    // A: facts (several rows per key); B: dims (one row per key)
+    (0L until 60L).map(i => (i % 20L, i, i * 10L))
+      .toDF("k", "a_id", "a_val").repartition(3).write.parquet(a)
+    (0L until 20L).map(k => (k, s"dim-$k"))
+      .toDF("k", "b_name").repartition(2).write.parquet(b)
+    History.enableManifests(spark, a): Unit
+    History.enableManifests(spark, b): Unit
+    (a, b, s"$base/view")
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("k"), col("a_id"), col("a_val"), col("b_name"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+
+  private def fresh(a: String, b: String) =
+    History.readPinned(spark, a).join(History.readPinned(spark, b), "k")
+
+  test("bootstrap materializes the full join; tick follows both sides") {
+    import spark.implicits._
+    val (a, b, view) = mkLakes()
+    JoinView.bootstrap(spark, a, b, view, "k"): Unit
+    assert(rows(JoinView.read(spark, view)) === rows(fresh(a, b)))
+    assert(rows(JoinView.read(spark, view)).size === 60)
+
+    // evolve BOTH sides in one window: a dim takedown (drops that
+    // key's fact rows from the view), a dim rename (delete+append same
+    // key), and a new fact batch under existing keys
+    History.deleteKeysDV(spark, b, "k", Seq(3L)): Unit
+    History.deleteKeysDV(spark, b, "k", Seq(5L)): Unit
+    History.append(spark, b, Seq((5L, "dim-5-renamed")).toDF("k", "b_name"),
+      key = "b-rename"): Unit
+    History.append(spark, a,
+      Seq((5L, 100L, 999L), (7L, 101L, 998L)).toDF("k", "a_id", "a_val"),
+      key = "a-batch"): Unit
+    val (_, nKeys) = JoinView.tick(spark, a, b, view, "k")
+    assert(nKeys === 3L) // keys 3, 5, 7
+    val got = rows(JoinView.read(spark, view))
+    assert(got === rows(fresh(a, b)),
+      "maintained view must equal a fresh join over both current images")
+    assert(!got.exists(_._1 == 3L), "taken-down dim key must be gone")
+    assert(got.exists(t => t._1 == 5L && t._4 == "dim-5-renamed"))
+    assert(got.exists(t => t._2 == 101L))
+    // no-op tick
+    assert(JoinView.tick(spark, a, b, view, "k")._2 === 0L)
+  }
+
+  test("crashed tick replays to convergence, including net-zero keys") {
+    import spark.implicits._
+    val (a, b, view) = mkLakes()
+    JoinView.bootstrap(spark, a, b, view, "k"): Unit
+    History.deleteKeysDV(spark, b, "k", Seq(4L)): Unit
+    JoinView.tick(spark, a, b, view, "k"): Unit
+    // crash: the advanced side's marker is lost (A's marker write was
+    // an idempotent no-op), and dim 4 comes back IDENTICALLY before
+    // the retry
+    val fs = new org.apache.hadoop.fs.Path(view).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(JoinView.stateBDir(view)))
+      .filter(_.getPath.getName.endsWith(".done"))
+      .sortBy(_.getPath.getName).lastOption
+      .foreach(s => fs.delete(s.getPath, false): Unit)
+    History.append(spark, b, Seq((4L, "dim-4")).toDF("k", "b_name"),
+      key = "back"): Unit
+    JoinView.tick(spark, a, b, view, "k"): Unit
+    assert(rows(JoinView.read(spark, view)) === rows(fresh(a, b)),
+      "replay must restore the net-zero key's view rows")
+    assert(rows(JoinView.read(spark, view)).exists(_._1 == 4L))
+  }
+
+  test("a one-sided window ticks without touching the other feed") {
+    import spark.implicits._
+    val (a, b, view) = mkLakes()
+    JoinView.bootstrap(spark, a, b, view, "k"): Unit
+    History.append(spark, a, Seq((11L, 200L, 42L)).toDF("k", "a_id", "a_val"),
+      key = "a-only"): Unit
+    val (_, nKeys) = JoinView.tick(spark, a, b, view, "k")
+    assert(nKeys === 1L)
+    assert(rows(JoinView.read(spark, view)) === rows(fresh(a, b)))
+  }
+}
