@@ -29,6 +29,7 @@ import graft.stream.LakeChangeFeed
   *   spark.graft.maintenance.lmRollups       dir|textCol|bigram    ;-separated
   *   spark.graft.maintenance.textIndexes     idxDir|id|text|lexical ;-separated
   *                                           (kind: lexical | bands)
+  *   spark.graft.maintenance.joinViews       viewRoot|lakeA|lakeB|key ;-separated
   *   spark.graft.maintenance.binPackTargetBytes  134217728
   *   spark.graft.maintenance.vacuumGraceMs   86400000
   *   spark.graft.maintenance.feedKeepRanges  96
@@ -104,6 +105,22 @@ object MaintenanceMain {
         }
       }
 
+  private[graft] final case class JoinViewSpec(viewRoot: String,
+      lakeA: String, lakeB: String, keyCol: String)
+
+  private[graft] def joinViewSpecs(
+      spark: SparkSession): Seq[JoinViewSpec] =
+    conf(spark, "joinViews").map(_.split(';').map(_.trim)
+        .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      .map { enc =>
+        enc.split('|') match {
+          case Array(root, a, b, key) => JoinViewSpec(root, a, b, key)
+          case _ => throw new IllegalArgumentException(
+            s"bad join view spec '$enc' — want " +
+              "viewRoot|lakeA|lakeB|keyCol")
+        }
+      }
+
   /** One full maintenance pass; returns the delivered range, if any.
     * The testable unit — `main` loops this on the cadence. */
   def runOnce(spark: SparkSession): Option[(Long, Long)] = {
@@ -139,6 +156,14 @@ object MaintenanceMain {
       lmRollups = lmSpecs(spark),
       textIndexes = textIndexSpecs(spark))
     catch { case scala.util.control.NonFatal(e) => failures += e }
+    // maintained join views span TWO lakes, so they tick from runOnce
+    // rather than the single-lake tickWithMaintenance — same failure
+    // isolation (one poisoned view costs one view, never the pass)
+    joinViewSpecs(spark).foreach { jv =>
+      try graft.ext.JoinView.tick(spark, jv.lakeA, jv.lakeB,
+        jv.viewRoot, jv.keyCol): Unit
+      catch { case scala.util.control.NonFatal(e) => failures += e }
+    }
     grace.foreach { g =>
       // deliver the pass's OWN commits (bin-pack, rewrites) first so
       // the high water tracks latest (layout-only ranges diff to zero

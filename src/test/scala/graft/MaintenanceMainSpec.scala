@@ -89,6 +89,47 @@ class MaintenanceMainSpec extends AnyFunSuite {
     try intercept[IllegalArgumentException] {
       MaintenanceMain.textIndexSpecs(spark)
     } finally spark.conf.unset("spark.graft.maintenance.textIndexes")
+    spark.conf.set("spark.graft.maintenance.joinViews", "a|b|c")
+    try intercept[IllegalArgumentException] {
+      MaintenanceMain.joinViewSpecs(spark)
+    } finally spark.conf.unset("spark.graft.maintenance.joinViews")
+  }
+
+  test("a conf-configured pass advances a maintained join view") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-mm-jv").toString
+    val a = s"$base/a"
+    val b = s"$base/b"
+    val view = s"$base/view"
+    (0L until 30L).map(i => (i % 10L, i)).toDF("k", "a_id")
+      .coalesce(1).write.parquet(a)
+    (0L until 10L).map(k => (k, s"d$k")).toDF("k", "b_name")
+      .coalesce(1).write.parquet(b)
+    History.enableManifests(spark, a): Unit
+    History.enableManifests(spark, b): Unit
+    graft.ext.JoinView.bootstrap(spark, a, b, view, "k"): Unit
+    val feed = fresh("graft-mm-jv-feed")
+    graft.stream.LakeChangeFeed.tick(spark, a, feed): Unit
+    History.deleteKeysDV(spark, b, "k", Seq(2L)): Unit
+    def set(k: String, v: String): Unit =
+      spark.conf.set(s"spark.graft.maintenance.$k", v)
+    set("lake", a)
+    set("feedDir", feed)
+    set("joinViews", s"$view|$a|$b|k")
+    try {
+      MaintenanceMain.runOnce(spark): Unit
+      val got = graft.ext.JoinView.read(spark, view)
+        .select("k", "a_id", "b_name").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val want = History.readPinned(spark, a)
+        .join(History.readPinned(spark, b), "k")
+        .select("k", "a_id", "b_name").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got === want, "the daemon pass must tick the join view")
+      assert(!got.exists(_._1 == 2L))
+    } finally Seq("lake", "feedDir", "joinViews")
+      .foreach(k => spark.conf.unset(s"spark.graft.maintenance.$k"))
   }
 
   test("a conf-configured pass advances a maintained band index") {
