@@ -89,6 +89,36 @@ class JoinViewSpec extends AnyFunSuite {
     assert(rows(JoinView.read(spark, view)).exists(_._1 == 4L))
   }
 
+  test("an incremental rollup composes over the view lake (agg-of-join)") {
+    import spark.implicits._
+    val (a, b, view) = mkLakes()
+    JoinView.bootstrap(spark, a, b, view, "k"): Unit
+    // the view's rows lake is an ordinary manifest lake, so the keyed
+    // rollup machinery maintains agg-of-join with NO new machinery:
+    // dim corrections and fact appends flow view-tick → rollup-tick
+    val rollup = java.nio.file.Files
+      .createTempDirectory("graft-jv-rollup").toString + "/r"
+    graft.sources.IncrementalRollup.bootstrap(spark,
+      JoinView.rowsDir(view), rollup, Seq("b_name"), "a_val"): Unit
+    History.deleteKeysDV(spark, b, "k", Seq(9L)): Unit
+    History.append(spark, a,
+      Seq((8L, 300L, 1000L)).toDF("k", "a_id", "a_val"), key = "m1"): Unit
+    JoinView.tick(spark, a, b, view, "k"): Unit
+    graft.sources.IncrementalRollup.tick(spark,
+      JoinView.rowsDir(view), rollup, Seq("b_name"), "a_val"): Unit
+    val got = graft.sources.IncrementalRollup.read(spark, rollup)
+      .select(col("b_name"), col("n_rows"), col("sum_a_val"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val want = fresh(a, b).groupBy(col("b_name"))
+      .agg(count(lit(1)).as("n"), sum(col("a_val")).cast("bigint").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === want,
+      "agg-of-join must follow both sources through the composed ticks")
+    assert(!got.exists(_._1 == "dim-9"))
+  }
+
   test("a one-sided window ticks without touching the other feed") {
     import spark.implicits._
     val (a, b, view) = mkLakes()
