@@ -158,12 +158,14 @@ object MaintenanceMain {
     catch { case scala.util.control.NonFatal(e) => failures += e }
     // maintained join views span TWO lakes, so they tick from runOnce
     // rather than the single-lake tickWithMaintenance — same failure
-    // isolation (one poisoned view costs one view, never the pass)
-    joinViewSpecs(spark).foreach { jv =>
+    // isolation (one poisoned view costs one view, never the pass);
+    // the PARSE is inside the try too: a malformed conf must not
+    // starve the shrink-side ops below any more than a failing tick
+    try joinViewSpecs(spark).foreach { jv =>
       try graft.ext.JoinView.tick(spark, jv.lakeA, jv.lakeB,
         jv.viewRoot, jv.keyCol): Unit
       catch { case scala.util.control.NonFatal(e) => failures += e }
-    }
+    } catch { case scala.util.control.NonFatal(e) => failures += e }
     grace.foreach { g =>
       // deliver the pass's OWN commits (bin-pack, rewrites) first so
       // the high water tracks latest (layout-only ranges diff to zero

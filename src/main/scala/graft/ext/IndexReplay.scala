@@ -134,6 +134,26 @@ private[ext] object IndexReplay {
       .foreach(s => fs.delete(s.getPath, false): Unit)
   }
 
+  /** Collect a feed's distinct touched keys under a hard cap — the
+    * mass-change guard shared by every maintained artifact's tick (the
+    * derived-limit escape-hatch bug lived in three copies of this
+    * once; it lives here now). Throws when the window touches more
+    * than `max` keys: replaying a mass change key-by-key is the wrong
+    * tool — re-bootstrap instead. */
+  def cappedKeys(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                 max: Long, what: String): Seq[Any] = {
+    import org.apache.spark.sql.functions.col
+    val lim =
+      if (max >= Int.MaxValue.toLong) Int.MaxValue
+      else (max + 1).toInt
+    val touched = df.select(col(keyCol)).distinct()
+      .limit(lim).collect().map(_.get(0)).toSeq
+    require(touched.length.toLong <= max || max >= Int.MaxValue.toLong,
+      s"tick window touches > $what=$max keys — " +
+        "re-bootstrap instead of replaying a mass change")
+    touched
+  }
+
   /** THE shared tick driver — the whole undo-then-apply replay
     * discipline in one place, so the crash-safety subtleties (crashed
     * batch-tagged appends retired wholesale, the intent record closing
@@ -176,18 +196,7 @@ private[ext] object IndexReplay {
       .select((idCol +: valueCols).map(col) :+ col("_change"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val lim =
-        if (maxDeletes >= Int.MaxValue.toLong) Int.MaxValue
-        else (maxDeletes + 1).toInt
-      val touched = feed.select(col(idCol)).distinct()
-        .limit(lim).collect().map(_.get(0)).toSeq
-      // the guard keys off maxDeletes itself, not the derived lim — at
-      // maxDeletes == Int.MaxValue-1 the old `lim == Int.MaxValue`
-      // escape hatch silently disabled the cap
-      require(touched.length.toLong <= maxDeletes ||
-          maxDeletes >= Int.MaxValue.toLong,
-        s"tick window touches > maxDeletes=$maxDeletes ids — " +
-          "re-bootstrap the index instead of replaying a mass change")
+      val touched = cappedKeys(feed, idCol, maxDeletes, "maxDeletes")
       val ifs = fsOf(indexDir)
       val touchedStr = touched.map(_.toString).toSet
       val extras = pending(ifs, stateDirPath, from).filterNot(touchedStr)

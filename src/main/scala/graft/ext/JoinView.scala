@@ -40,33 +40,33 @@ import graft.sources.{FileManifest, History}
 object JoinView {
 
   def rowsDir(viewRoot: String): String = s"$viewRoot/rows"
-  def stateADir(viewRoot: String): String = s"$viewRoot/_state_a"
-  def stateBDir(viewRoot: String): String = s"$viewRoot/_state_b"
+  def stateDir(viewRoot: String): String = s"$viewRoot/_state"
   private def intentsDir(viewRoot: String): String = s"$viewRoot/_intents"
 
   private def fsOf(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Combined replay-window id for the intent record: versions are
-    * commit counters, so a million commits per lake bounds the
-    * encoding far below Long overflow. */
+  /** The (versionA, versionB) baseline pair encoded as ONE marker
+    * value, so the pair commits ATOMICALLY — two separate marker dirs
+    * would open a half-advanced window (A's marker landed, B's lost)
+    * whose combined intent key no replay would ever look up again,
+    * silently orphaning the intents. Both components only grow, so
+    * the encoding is monotone and `indexedVersion`'s max picks the
+    * latest pair. Versions are commit counters; a million commits per
+    * lake bounds the encoding far below Long overflow. */
   private def comb(fromA: Long, fromB: Long): Long = {
     require(fromA < 1000000L && fromB < 1000000L,
-      s"JoinView intent encoding supports < 1e6 versions per lake " +
+      s"JoinView version encoding supports < 1e6 versions per lake " +
         s"(got $fromA, $fromB) — re-bootstrap the view")
     fromA * 1000000L + fromB
   }
 
   /** The (versionA, versionB) baselines the view currently reflects. */
   def indexedVersions(spark: SparkSession,
-                      viewRoot: String): Option[(Long, Long)] = {
-    val fs = fsOf(spark, viewRoot)
-    for {
-      a <- IndexReplay.indexedVersion(fs, stateADir(viewRoot))
-      b <- IndexReplay.indexedVersion(fs, stateBDir(viewRoot))
-    } yield (a, b)
-  }
+                      viewRoot: String): Option[(Long, Long)] =
+    IndexReplay.indexedVersion(fsOf(spark, viewRoot), stateDir(viewRoot))
+      .map(c => (c / 1000000L, c % 1000000L))
 
   /** Materialize `A ⋈ B` (inner equi-join on `keyCol`) from both
     * lakes' current pinned images. Returns the (versionA, versionB)
@@ -85,9 +85,8 @@ object JoinView {
     History.enableManifests(spark, rdir): Unit
     History.enableShardedManifests(spark, rdir): Unit
     History.refreshKeyIndex(spark, rdir, keyCol): Unit
-    val fs = fsOf(spark, viewRoot)
-    IndexReplay.markIndexed(fs, stateADir(viewRoot), vA, reset = true)
-    IndexReplay.markIndexed(fs, stateBDir(viewRoot), vB, reset = true)
+    IndexReplay.markIndexed(fsOf(spark, viewRoot), stateDir(viewRoot),
+      comb(vA, vB), reset = true)
     (vA, vB)
   }
 
@@ -110,25 +109,21 @@ object JoinView {
     val rdir = rowsDir(viewRoot)
     val from = comb(fromA, fromB)
     IndexReplay.undoCrashedAppends(fsOf(spark, rdir), rdir, s"jv-$from")
+    // null join keys never appear in the view (inner join) — and a
+    // null in the touched set would NPE the intent record, wedging
+    // the window forever
     def feedKeys(lake: String, f: Long, t: Long): DataFrame =
       if (f == t) spark.emptyDataFrame.select()
       else History.changesBetween(spark, lake, f, t)
-        .select(col(keyCol))
+        .select(col(keyCol)).filter(col(keyCol).isNotNull)
     val kA = feedKeys(lakeA, fromA, toA)
     val kB = feedKeys(lakeB, fromB, toB)
     val keysDf =
       if (kA.columns.isEmpty) kB
       else if (kB.columns.isEmpty) kA
       else kA.unionByName(kB)
-    val lim =
-      if (maxKeys >= Int.MaxValue.toLong) Int.MaxValue
-      else (maxKeys + 1).toInt
-    val touched = keysDf.distinct().limit(lim).collect()
-      .map(_.get(0)).toSeq
-    require(touched.length.toLong <= maxKeys ||
-        maxKeys >= Int.MaxValue.toLong,
-      s"tick window touches > maxKeys=$maxKeys join keys — " +
-        "re-bootstrap the view instead of replaying a mass change")
+    val touched = IndexReplay.cappedKeys(keysDf, keyCol, maxKeys,
+      "maxKeys")
     val fs = fsOf(spark, viewRoot)
     val touchedStr = touched.map(_.toString).toSet
     val extras = IndexReplay.pending(fs, intentsDir(viewRoot), from)
@@ -137,8 +132,14 @@ object JoinView {
     val allTouched = touched ++ extras
     if (allTouched.nonEmpty) {
       History.deleteKeysDV(spark, rdir, keyCol, allTouched): Unit
-      val aNew = History.readPinnedKeyed(spark, lakeA, keyCol, allTouched)
-      val bNew = History.readPinnedKeyed(spark, lakeB, keyCol, allTouched)
+      // recompute PINNED at the window's resolved targets: an unpinned
+      // read could capture a concurrent writer's later image while the
+      // marker commits (toA, toB) — rows the next window's net feed
+      // would never re-touch
+      val aNew = History.readPinnedKeyed(spark, lakeA, keyCol,
+        allTouched, version = Some(toA))
+      val bNew = History.readPinnedKeyed(spark, lakeB, keyCol,
+        allTouched, version = Some(toB))
       val fresh = aNew.join(bNew, keyCol)
       if (!fresh.isEmpty)
         History.append(spark, rdir, fresh,
@@ -146,8 +147,7 @@ object JoinView {
             java.util.UUID.randomUUID().toString.take(8)): Unit
       History.refreshKeyIndex(spark, rdir, keyCol): Unit
     }
-    IndexReplay.markIndexed(fs, stateADir(viewRoot), toA)
-    IndexReplay.markIndexed(fs, stateBDir(viewRoot), toB)
+    IndexReplay.markIndexed(fs, stateDir(viewRoot), comb(toA, toB))
     IndexReplay.clear(fs, intentsDir(viewRoot), from)
     ((toA, toB), allTouched.length.toLong)
   }

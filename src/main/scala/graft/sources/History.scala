@@ -585,12 +585,19 @@ object History {
     * would be a bloom false negative: silently dropped rows). */
   private def bloomPrune(fs: org.apache.hadoop.fs.FileSystem, path: String,
       keyCol: String, values: Seq[Any],
-      dirPred: Option[String => Boolean]): (FileManifest.Manifest, Seq[String]) = {
+      dirPred: Option[String => Boolean],
+      version: Option[Long] = None): (FileManifest.Manifest, Seq[String]) = {
     val m = dirPred match {
       case Some(p) =>
-        val v = FileManifest.latestVersion(fs, path).get
+        val v = version.getOrElse(
+          FileManifest.latestVersion(fs, path).get)
         FileManifest.atPruned(fs, path, v, p).get
-      case None => FileManifest.latest(fs, path).get
+      case None => version match {
+        case Some(v) => FileManifest.at(fs, path, v).getOrElse(
+          throw new IllegalArgumentException(
+            s"manifest version $v not retained at $path"))
+        case None => FileManifest.latest(fs, path).get
+      }
     }
     val idx = FileBloomIndex.readFor(fs, path, keyCol, m.cur)
     val hashCache = scala.collection.mutable.HashMap
@@ -626,13 +633,14 @@ object History {
     * loaded (both driver-side costs scale with the pruned set). */
   def readPinnedKeyed(spark: SparkSession, path: String, keyCol: String,
                       values: Seq[Any],
-                      dirPred: Option[String => Boolean] = None): DataFrame = {
+                      dirPred: Option[String => Boolean] = None,
+                      version: Option[Long] = None): DataFrame = {
     require(values.nonEmpty, "readPinnedKeyed needs at least one key")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(FileManifest.enabled(fs, path),
       s"readPinnedKeyed needs a manifest-mode lake: $path")
-    val (m, kept) = bloomPrune(fs, path, keyCol, values, dirPred)
+    val (m, kept) = bloomPrune(fs, path, keyCol, values, dirPred, version)
     // schema donor chain: a fully-pruned dirPred (or a drained pruned
     // slice) must still answer with the LAKE schema, so fall back to
     // the full manifest's files for the zero-row donor plan

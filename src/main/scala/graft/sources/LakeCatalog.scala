@@ -118,8 +118,11 @@ class LakeCatalog extends TableCatalog {
       Map("graft.version" -> m.version.toString) ++
         // exact row count when the metadata can answer it (footer
         // row-count sidecar fresh for every current file — see
-        // History.fastCount); absent otherwise, never a guess
-        History.fastCount(spark, path, version)
+        // History.fastCount); absent otherwise, never a guess. Pinned
+        // to the ALREADY-RESOLVED manifest — re-resolving latest here
+        // could race a concurrent commit and report v(n+1)'s count
+        // against v(n)'s file list
+        History.fastCount(spark, path, Some(m.version))
           .map(n => "graft.rowcount" -> n.toString) ++
         (if (version.isEmpty)
           SchemaLog.latestVersion(fs, path)

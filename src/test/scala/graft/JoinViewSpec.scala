@@ -72,12 +72,11 @@ class JoinViewSpec extends AnyFunSuite {
     JoinView.bootstrap(spark, a, b, view, "k"): Unit
     History.deleteKeysDV(spark, b, "k", Seq(4L)): Unit
     JoinView.tick(spark, a, b, view, "k"): Unit
-    // crash: the advanced side's marker is lost (A's marker write was
-    // an idempotent no-op), and dim 4 comes back IDENTICALLY before
-    // the retry
+    // crash: the window's (atomic, pair-encoded) marker is lost, and
+    // dim 4 comes back IDENTICALLY before the retry
     val fs = new org.apache.hadoop.fs.Path(view).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new org.apache.hadoop.fs.Path(JoinView.stateBDir(view)))
+    fs.listStatus(new org.apache.hadoop.fs.Path(JoinView.stateDir(view)))
       .filter(_.getPath.getName.endsWith(".done"))
       .sortBy(_.getPath.getName).lastOption
       .foreach(s => fs.delete(s.getPath, false): Unit)
