@@ -118,6 +118,42 @@ class JoinViewSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == "dim-9"))
   }
 
+  test("randomized evolution fuzz: view equals fresh join after every tick") {
+    import spark.implicits._
+    val (a, b, view) = mkLakes()
+    JoinView.bootstrap(spark, a, b, view, "k"): Unit
+    val rnd = new scala.util.Random(20260814L) // deterministic
+    var nextId = 1000L
+    (1 to 6).foreach { round =>
+      // 1-3 random ops per window, on either side
+      (0 until 1 + rnd.nextInt(3)).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 => // fact append (possibly under a dim-less key)
+            val k = rnd.nextInt(25).toLong
+            History.append(spark, a,
+              Seq((k, nextId, rnd.nextInt(1000).toLong))
+                .toDF("k", "a_id", "a_val"), key = s"fz-a-$nextId"): Unit
+            nextId += 1
+          case 1 => // dim takedown
+            History.deleteKeysDV(spark, b, "k",
+              Seq(rnd.nextInt(20).toLong)): Unit
+          case 2 => // dim upsert (delete + append)
+            val k = rnd.nextInt(20).toLong
+            History.deleteKeysDV(spark, b, "k", Seq(k)): Unit
+            History.append(spark, b,
+              Seq((k, s"dim-$k-r$round")).toDF("k", "b_name"),
+              key = s"fz-b-$round-$k"): Unit
+          case 3 => // fact takedown
+            History.deleteKeysDV(spark, a, "k",
+              Seq(rnd.nextInt(25).toLong)): Unit
+        }
+      }
+      JoinView.tick(spark, a, b, view, "k"): Unit
+      assert(rows(JoinView.read(spark, view)) === rows(fresh(a, b)),
+        s"fuzz round $round diverged")
+    }
+  }
+
   test("a one-sided window ticks without touching the other feed") {
     import spark.implicits._
     val (a, b, view) = mkLakes()
