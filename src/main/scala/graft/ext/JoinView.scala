@@ -68,18 +68,37 @@ object JoinView {
     IndexReplay.indexedVersion(fsOf(spark, viewRoot), stateDir(viewRoot))
       .map(c => (c / 1000000L, c % 1000000L))
 
-  /** Materialize `A ⋈ B` (inner equi-join on `keyCol`) from both
-    * lakes' current pinned images. Returns the (versionA, versionB)
-    * pair materialized. */
+  private def checkJoinType(joinType: String): Unit =
+    require(joinType == "inner" || joinType == "left",
+      s"JoinView supports inner|left equi-joins, got '$joinType' — " +
+        "recompute-touched-keys is exact for both (a missing-dim key " +
+        "is itself a touched key), but right/full flip which side " +
+        "anchors the view")
+
+  /** Materialize `A ⋈ B` (equi-join on `keyCol`; `joinType` inner or
+    * left — left keeps A rows whose dim is absent, null-extended, the
+    * enrichment shape) from both lakes' current pinned images. Pass
+    * the SAME joinType to every [[tick]]. Returns the
+    * (versionA, versionB) pair materialized. */
   def bootstrap(spark: SparkSession, lakeA: String, lakeB: String,
-                viewRoot: String, keyCol: String): (Long, Long) = {
+                viewRoot: String, keyCol: String,
+                joinType: String = "inner"): (Long, Long) = {
+    checkJoinType(joinType)
     def latest(l: String): Long =
       FileManifest.latestVersion(fsOf(spark, l), l).getOrElse(
         throw new IllegalStateException(
           s"JoinView needs manifest-mode source lakes: $l"))
     val (vA, vB) = (latest(lakeA), latest(lakeB))
-    val rows = History.readPinned(spark, lakeA, vA)
-      .join(History.readPinned(spark, lakeB, vB), keyCol)
+    // null join keys never participate in the maintained view: inner
+    // joins drop them by semantics, and a LEFT bootstrap must exclude
+    // them too or tick-appended null-key facts (unreachable by keyed
+    // recompute) would diverge from bootstrapped ones
+    val aSide = {
+      val base = History.readPinned(spark, lakeA, vA)
+      if (joinType == "left") base.filter(col(keyCol).isNotNull) else base
+    }
+    val rows = aSide
+      .join(History.readPinned(spark, lakeB, vB), Seq(keyCol), joinType)
     val rdir = rowsDir(viewRoot)
     rows.write.mode("overwrite").parquet(rdir)
     History.enableManifests(spark, rdir): Unit
@@ -96,7 +115,9 @@ object JoinView {
     * key count). */
   def tick(spark: SparkSession, lakeA: String, lakeB: String,
            viewRoot: String, keyCol: String,
-           maxKeys: Long = 10000000L): ((Long, Long), Long) = {
+           maxKeys: Long = 10000000L,
+           joinType: String = "inner"): ((Long, Long), Long) = {
+    checkJoinType(joinType)
     def latest(l: String): Long =
       FileManifest.latestVersion(fsOf(spark, l), l).getOrElse(
         throw new IllegalStateException(
@@ -140,7 +161,7 @@ object JoinView {
         allTouched, version = Some(toA))
       val bNew = History.readPinnedKeyed(spark, lakeB, keyCol,
         allTouched, version = Some(toB))
-      val fresh = aNew.join(bNew, keyCol)
+      val fresh = aNew.join(bNew, Seq(keyCol), joinType)
       if (!fresh.isEmpty)
         History.append(spark, rdir, fresh,
           key = s"jv-$from-" +

@@ -154,6 +154,30 @@ class JoinViewSpec extends AnyFunSuite {
     }
   }
 
+  test("left-join views keep dim-less facts null-extended through ticks") {
+    import spark.implicits._
+    val (a, b, view) = mkLakes()
+    JoinView.bootstrap(spark, a, b, view, "k", joinType = "left"): Unit
+    // dim takedown: under LEFT the facts for key 6 must SURVIVE with a
+    // null dim, not vanish; a fact under a never-dimmed key (77) must
+    // appear null-extended too
+    History.deleteKeysDV(spark, b, "k", Seq(6L)): Unit
+    History.append(spark, a, Seq((77L, 500L, 1L)).toDF("k", "a_id", "a_val"),
+      key = "lj1"): Unit
+    JoinView.tick(spark, a, b, view, "k", joinType = "left"): Unit
+    def leftRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("a_id"), col("b_name")).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getString(2))).toSet
+    val got = leftRows(JoinView.read(spark, view))
+    val want = leftRows(History.readPinned(spark, a)
+      .join(History.readPinned(spark, b), Seq("k"), "left"))
+    assert(got === want)
+    assert(got.exists(t => t._1 == 6L && t._3 == null),
+      "facts for the taken-down dim must survive null-extended")
+    assert(got.exists(t => t._1 == 77L && t._3 == null))
+  }
+
   test("a one-sided window ticks without touching the other feed") {
     import spark.implicits._
     val (a, b, view) = mkLakes()
