@@ -462,7 +462,7 @@ object HistoryQueries {
         shardedLakeCache, bloomLakeCache, evolvedLakeCache,
         taggedLakeCache, restoredLakeCache, rollupCache, dvLakeCache,
         binPackLakeCache, exportCache, backfillLakeCache,
-        constraintsLakeCache, joinViewCache)
+        constraintsLakeCache, joinViewCache, sqlInsertLakeCache)
       .foreach { cache =>
       cache.keySet.forEach { k =>
         if (k._1 == sk) rmLake(cache.remove(k))
@@ -804,8 +804,87 @@ object HistoryQueries {
     // pre-correction name, or a missed fact batch fails the hash.
     "h26_maintained_join" -> ((s, d) =>
       graft.ext.JoinView.read(s, joinViewRoot(s, d))
-        .select(col("custkey"), col("o_orderkey"), col("c_name")))
+        .select(col("custkey"), col("o_orderkey"), col("c_name"))),
+
+    // The SQL surface over a MERGE-ON-READ snapshot: h20's DV-bearing
+    // lake queried through `lake.`<path>`` — the catalog routes to the
+    // engine's pinned-read plan (PinnedLakeTable), so the takedown
+    // victims never surface in SQL results and the pushed predicate
+    // still prunes inside the inner plan. A catalog that served the
+    // raw parquet files would resurrect every vectored row and fail
+    // the hash on row count.
+    "h27_sql_dv_read" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.lake",
+        classOf[graft.sources.LakeCatalog].getName)
+      val dir = dvLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
+                WHERE doc_id >= 0""")
+    }),
+
+    // The SQL WRITE path: INSERT INTO routes through the staged,
+    // validated, exactly-once append — the lake's declared CHECK
+    // constraints bounce a violating SQL batch whole (enforced on
+    // staged bytes inside the memo), and the clean batch lands as one
+    // manifest commit. The final per-lang aggregate equals evens (the
+    // engine-landed base) + odds (the SQL-landed batch) and nothing
+    // from the bounced 'xx' batch.
+    "h28_sql_insert" -> ((s, d) => {
+      val dir = sqlInsertLake(s, d)
+      s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+                       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+                FROM lake.`$dir` GROUP BY lang""")
+    }),
+
+    // Metadata-only COUNT(*) through SQL: with the row-count sidecar
+    // fresh, the whole aggregate collapses to History.fastCount's
+    // answer (footer counts minus live DV cardinalities) as a
+    // LocalTableScan — zero file scans, the plan property asserted in
+    // LakeCatalogSpec — and must equal the scan-derived oracle count
+    // exactly. A drifted sidecar entry or an unnetted vector shifts
+    // the count and fails the hash.
+    "h29_sql_fast_count" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.lake",
+        classOf[graft.sources.LakeCatalog].getName)
+      val dir = dvLake(s, d)
+      graft.sources.History.refreshRowCounts(s, dir): Unit
+      s.sql(s"SELECT COUNT(*) AS n_rows FROM lake.`$dir`")
+    })
   )
+
+  /** h28's lake: evens land through the engine write path, a
+    * constraint is declared, a violating SQL INSERT ('xx' lang) must
+    * bounce WHOLE at the staged-append edge, then the odd half lands
+    * via SQL INSERT. Keyed by (session, sfDir). */
+  private val sqlInsertLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlInsertLake(s: SparkSession, sfDir: String): String =
+    sqlInsertLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      s.conf.set("spark.sql.catalog.lake",
+        classOf[graft.sources.LakeCatalog].getName)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sql-insert").toString + "/lake"
+      val docs = graft.Tables.documents(s, sfDir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      docs.filter(col("doc_id") % 2 === 0).write.parquet(dir)
+      graft.sources.History.enableManifests(s, dir): Unit
+      graft.sources.Constraints.add(s, dir, "known_lang",
+        "lang IN ('en', 'zh', 'de', 'es', 'fr')"): Unit
+      docs.filter(col("doc_id") % 2 === 1)
+        .createOrReplaceTempView("h28_src")
+      val rejected =
+        try {
+          s.sql(s"""INSERT INTO lake.`$dir`
+                    SELECT doc_id + 5000000, 'xx', source, n_chars
+                    FROM h28_src"""): Unit
+          false
+        } catch { case _: Exception => true }
+      require(rejected, "constrained SQL INSERT must bounce whole")
+      s.sql(s"""INSERT INTO lake.`$dir`
+                SELECT doc_id, lang, source, n_chars FROM h28_src"""): Unit
+      dir
+    })
 
   private val rollupCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
@@ -961,6 +1040,17 @@ object HistoryQueries {
            FROM customer WHERE c_custkey % 13 != 7
          )
          SELECT custkey, CAST(o_orderkey AS BIGINT) AS o_orderkey, c_name
-         FROM a JOIN b USING (custkey)"""
+         FROM a JOIN b USING (custkey)""",
+    "h27_sql_dv_read" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id >= 0
+           AND NOT (doc_id IN (3, 41, 404) OR doc_id % 17 = 5)""",
+    "h28_sql_insert" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY lang""",
+    "h29_sql_fast_count" ->
+      """SELECT COUNT(*) AS n_rows FROM documents
+         WHERE NOT (doc_id IN (3, 41, 404) OR doc_id % 17 = 5)"""
   )
 }

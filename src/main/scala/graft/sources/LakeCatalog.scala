@@ -28,12 +28,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * stack wholesale: vectorized reader, filter pushdown, column
   * pruning, partition-directory pruning against the lake root.
   *
-  * Read-only by design: writes go through the engine's committed
-  * writers ([[History.append]], [[History.deleteWhere]],
-  * [[History.mergeInto]], the streaming archive) — a bare SQL INSERT
-  * could not participate in the manifest/OCC commit protocol, so
-  * `createTable`/`alterTable`/`dropTable` fail loudly instead of
-  * silently bypassing it.
+  * Writes: `INSERT INTO lake.\`/path\`` routes through the engine's
+  * staged, validated, exactly-once append ([[History.append]] via
+  * [[LakeSqlWrite]]) — declared-schema validation and staged-bytes
+  * CHECK-constraint enforcement apply to SQL-landed batches exactly
+  * as to engine-landed ones, and the batch partitions into the lake's
+  * existing directory layout. Time-travel pins are read targets only.
+  * DDL (`createTable`/`alterTable`/`dropTable`) still fails loudly:
+  * lake lifecycle belongs to [[History.enableManifests]] and friends,
+  * not to a SQL session.
+  *
+  * Merge-on-read snapshots: a DV-bearing version serves through
+  * [[PinnedLakeTable]] (the engine's pinned-read plan, deletion
+  * vectors applied by the codegen `dv_deleted` predicate); DV-free
+  * versions keep the stock vectorized parquet table.
   *
   * Scale: a load costs one (cached) manifest resolution — O(lake
   * metadata), never a data-file listing; `listTables` is empty because
@@ -87,15 +95,6 @@ class LakeCatalog extends TableCatalog {
         throw new org.apache.spark.sql.catalyst.analysis
           .NoSuchTableException(ident))
     }
-    // the stock DSv2 parquet table cannot apply merge-on-read deletion
-    // vectors — serving it would RESURRECT deleted rows in SQL results,
-    // so a DV-bearing snapshot fails loudly with the two honest outs
-    if (m.dvs.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"snapshot v${m.version} of $path carries deletion vectors " +
-          s"(${m.dvs.size} files); the SQL catalog serves raw parquet " +
-          "scans only — read it via History.readPinned, or fold the " +
-          "vectors with History.materializeDeletes and retry")
     val qRoot = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
     val files = m.cur.sorted.map(rel =>
       new org.apache.hadoop.fs.Path(qRoot, rel).toString)
@@ -114,25 +113,62 @@ class LakeCatalog extends TableCatalog {
     // advertising today's constraints on yesterday's (possibly
     // pre-constraint) data would misstate the provenance the
     // properties exist to surface
+    // exact row count when the metadata can answer it (footer
+    // row-count sidecar fresh for every current file — see
+    // History.fastCount); absent otherwise, never a guess. Pinned
+    // to the ALREADY-RESOLVED manifest — re-resolving latest here
+    // could race a concurrent commit and report v(n+1)'s count
+    // against v(n)'s file list. Doubles as the COUNT(*) aggregate
+    // pushdown answer: `SELECT count(*)` over a fresh-stats lake
+    // plans a LocalTableScan, zero file scans.
+    val fastCnt = History.fastCount(spark, path, Some(m.version))
     val props: Map[String, String] =
       Map("graft.version" -> m.version.toString) ++
-        // exact row count when the metadata can answer it (footer
-        // row-count sidecar fresh for every current file — see
-        // History.fastCount); absent otherwise, never a guess. Pinned
-        // to the ALREADY-RESOLVED manifest — re-resolving latest here
-        // could race a concurrent commit and report v(n+1)'s count
-        // against v(n)'s file list
-        History.fastCount(spark, path, Some(m.version))
-          .map(n => "graft.rowcount" -> n.toString) ++
+        fastCnt.map(n => "graft.rowcount" -> n.toString) ++
         (if (version.isEmpty)
           SchemaLog.latestVersion(fs, path)
             .map(v => "graft.schema.version" -> v.toString).toMap ++
             Constraints.current(fs, path)
               .map { case (n, e) => s"graft.constraint.$n" -> e }
          else Map.empty[String, String])
-    org.apache.spark.sql.graftbridge.ParquetTableBridge.table(
-      s"$catalogName.$path${version.fold("")(v => s"@v$v")}",
-      spark, files, qRoot.toString, Some(schema), props)
+    val tableName =
+      s"$catalogName.$path${version.fold("")(v => s"@v$v")}"
+    // SQL writes land through the staged, validated, exactly-once
+    // append — latest-version tables only (a time-travel pin is a
+    // read of history, not a write target)
+    val partCols = uniformPartCols(m)
+    val writable = version.isEmpty
+    val curSet = m.curSet
+    val liveDvs = m.dvs.filter { case (rel, _) => curSet(rel) }
+    if (liveDvs.nonEmpty)
+      // merge-on-read: the stock parquet table cannot apply deletion
+      // vectors (it would resurrect deleted rows), so DV-bearing
+      // snapshots serve through the engine's pinned-read plan — the
+      // codegen dv_deleted predicate at the plan choke point — via the
+      // V1Scan fallback table. DV is the takedown default; the SQL
+      // surface must not go dark the moment one lands.
+      new PinnedLakeTable(tableName, path, m.version, schema, props,
+        fastCnt, writable, partCols)
+    else
+      org.apache.spark.sql.graftbridge.ParquetTableBridge.table(
+        tableName, spark, files, qRoot.toString, Some(schema), props,
+        fastCnt,
+        if (writable) Some((info: org.apache.spark.sql.connector.write
+            .LogicalWriteInfo) => LakeSqlWrite.builder(path, partCols, info))
+        else None)
+  }
+
+  /** Directory-encoded partition columns shared by EVERY current file
+    * (`k=v` path segments), or Nil when the layout is mixed or
+    * unpartitioned — the column set a SQL INSERT's staged write must
+    * `partitionBy` to land files in the lake's existing layout. */
+  private def uniformPartCols(m: FileManifest.Manifest): Seq[String] = {
+    def colsOf(rel: String): Seq[String] =
+      rel.split('/').dropRight(1).filter(_.contains('='))
+        .map(_.takeWhile(_ != '=')).toSeq
+    m.cur.headOption.map(colsOf)
+      .filter(cs => m.cur.forall(colsOf(_) == cs))
+      .getOrElse(Nil)
   }
 
   override def loadTable(ident: Identifier): Table =
@@ -178,9 +214,10 @@ class LakeCatalog extends TableCatalog {
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"$catalogName is a read-only SQL surface over manifest lakes; " +
-        s"$op must go through the engine's committed writers " +
-        "(History.append / deleteWhere / mergeInto / the streaming archive)")
+      s"$catalogName serves manifest lakes; $op must go through the " +
+        "engine's lifecycle operators (History.enableManifests / " +
+        "deleteWhere / mergeInto / vacuum — SQL INSERT is supported, " +
+        "DDL is not)")
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],

@@ -1,9 +1,15 @@
 package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.connector.catalog.Table
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScanBuilder, ParquetTable}
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -22,35 +28,51 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - `ParquetTable.apply(name, session, options, paths, schema,
   *    fallback)` — the case-class constructor.
   *  - `ParquetFileFormat` — the required v1 fallback class token.
+  *  - `ParquetScanBuilder` / `SupportsPushDownCatalystFilters` — the
+  *    scan-builder wrapper forwards the internal catalyst-filter
+  *    pushdown surface so wrapping costs no pushdown fidelity.
   */
 object ParquetTableBridge {
 
-  /** A read-only parquet table over exactly `paths`, with partition
-    * columns inferred relative to `basePath` and (when the lake
-    * declares one) the committed table schema applied — the same
-    * projection contract as `History.readPinned`.
+  /** A parquet table over exactly `paths`, with partition columns
+    * inferred relative to `basePath` and (when the lake declares one)
+    * the committed table schema applied — the same projection contract
+    * as `History.readPinned`.
     *
-    * READ-ONLY enforced at the capability level: the stock
-    * `ParquetTable` also implements `SupportsWrite`, and a SQL INSERT
-    * through it would land parquet files in the lake dir OUTSIDE the
-    * manifest commit protocol — invisible to pinned readers and
-    * reclaimed by the next vacuum, i.e. silent data loss. The wrapper
-    * exposes only the scan side, so writes fail at analysis with
-    * "table does not support append". */
+    * Reads delegate wholesale to the stock scan stack, plus ONE
+    * interception: an ungrouped `COUNT(*)` with no filters answers
+    * from `metaCount` (the lake's footer-stats row count) as a
+    * LocalScan — zero file scans — when the sidecar is fresh.
+    *
+    * Writes: absent `writeBuilder`, write capability is not declared
+    * and a SQL INSERT fails at analysis — the stock `ParquetTable`'s
+    * own `SupportsWrite` would land files OUTSIDE the manifest commit
+    * protocol (invisible to pinned readers, reclaimed by vacuum:
+    * silent data loss). With `writeBuilder` (the catalog passes the
+    * staged-append path for latest-version tables), INSERT routes
+    * through the engine's validated exactly-once append instead. */
   def table(name: String, spark: SparkSession, paths: Seq[String],
             basePath: String, schema: Option[StructType],
-            extraProperties: Map[String, String] = Map.empty): Table = {
+            extraProperties: Map[String, String] = Map.empty,
+            metaCount: Option[Long] = None,
+            writeBuilder: Option[LogicalWriteInfo => WriteBuilder] = None)
+      : Table = {
     val opts = new java.util.HashMap[String, String]()
     opts.put("basePath", basePath): Unit
-    new ReadOnlyTable(ParquetTable(name, spark,
+    new LakeBridgeTable(ParquetTable(name, spark,
       new CaseInsensitiveStringMap(opts),
-      paths.toList, schema, classOf[ParquetFileFormat]), extraProperties)
+      paths.toList, schema, classOf[ParquetFileFormat]),
+      extraProperties, metaCount, writeBuilder)
   }
 
-  private final class ReadOnlyTable(delegate: ParquetTable,
-                                    extraProperties: Map[String, String])
+  private final class LakeBridgeTable(
+      delegate: ParquetTable,
+      extraProperties: Map[String, String],
+      metaCount: Option[Long],
+      writeBuilder: Option[LogicalWriteInfo => WriteBuilder])
       extends Table
-      with org.apache.spark.sql.connector.catalog.SupportsRead {
+      with org.apache.spark.sql.connector.catalog.SupportsRead
+      with org.apache.spark.sql.connector.catalog.SupportsWrite {
     override def name(): String = delegate.name
     override def schema(): StructType = delegate.schema
     override def partitioning() = delegate.partitioning()
@@ -64,10 +86,59 @@ object ParquetTableBridge {
     }
     override def columns() = delegate.columns()
     override def capabilities()
-        : java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
-      java.util.EnumSet.of(
+        : java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] = {
+      val caps = java.util.EnumSet.of(
         org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+      if (writeBuilder.isDefined)
+        caps.add(org.apache.spark.sql.connector.catalog
+          .TableCapability.V1_BATCH_WRITE): Unit
+      caps
+    }
     override def newScanBuilder(options: CaseInsensitiveStringMap) =
-      delegate.newScanBuilder(options)
+      new LakeBridgeScanBuilder(
+        delegate.newScanBuilder(options), metaCount)
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      writeBuilder.getOrElse(throw new UnsupportedOperationException(
+        s"${delegate.name} is read-only at this version — INSERT " +
+          "targets the lake's latest version"))(info)
+  }
+
+  /** Forwards the stock builder's pushdown surface untouched; adds one
+    * aggregate rule — ungrouped COUNT(*), zero filters → the lake's
+    * metadata count as a [[graft.sources.MetaCountScan]]. Any filter
+    * disqualifies (it changes the counted set); so does a missing
+    * sidecar entry (metaCount None — stats are an optimization, never
+    * a guess). */
+  private final class LakeBridgeScanBuilder(
+      delegate: ParquetScanBuilder, metaCount: Option[Long])
+      extends ScanBuilder with SupportsPushDownCatalystFilters
+      with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+
+    private var sawFilters = false
+    private var countPushed = false
+
+    override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+      if (filters.nonEmpty) sawFilters = true
+      delegate.pushFilters(filters)
+    }
+    override def pushedFilters: Array[Predicate] = delegate.pushedFilters
+
+    override def pruneColumns(requiredSchema: StructType): Unit =
+      delegate.pruneColumns(requiredSchema)
+
+    override def supportCompletePushDown(agg: Aggregation): Boolean =
+      canAnswer(agg)
+    override def pushAggregation(agg: Aggregation): Boolean = {
+      if (!canAnswer(agg)) return false
+      countPushed = true
+      true
+    }
+    private def canAnswer(agg: Aggregation): Boolean =
+      metaCount.isDefined && !sawFilters &&
+        graft.sources.MetaCountScan.answerable(agg)
+
+    override def build(): Scan =
+      if (countPushed) new graft.sources.MetaCountScan(metaCount.get)
+      else delegate.build()
   }
 }

@@ -279,18 +279,21 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(FileManifest.latest(fsOf(dir), dir).get.dvs.isEmpty)
   }
 
-  test("the SQL catalog refuses a DV-bearing snapshot loudly") {
+  test("the SQL catalog applies a DV-bearing snapshot's vectors") {
     val dir = lake()
     History.deleteKeysDV(spark, dir, "id", Seq(1L)): Unit
     spark.conf.set("spark.sql.catalog.dvlake",
       classOf[graft.sources.LakeCatalog].getName)
-    val e = intercept[Exception] {
-      spark.sql(s"SELECT count(*) FROM dvlake.`$dir`").collect()
-    }
-    assert(e.getMessage.contains("deletion vectors") ||
-      Option(e.getCause).exists(_.getMessage.contains("deletion vectors")))
-    // materializing clears the path
+    // served through the engine's pinned-read plan (PinnedLakeTable):
+    // the deleted row never surfaces in SQL results
+    assert(spark.sql(s"SELECT count(*) FROM dvlake.`$dir`")
+      .collect().head.getLong(0) === 29L)
+    assert(spark.sql(s"SELECT count(*) FROM dvlake.`$dir` WHERE id = 1")
+      .collect().head.getLong(0) === 0L)
+    // materializing folds the vectors; the catalog returns to the
+    // stock vectorized table with identical results
     History.materializeDeletes(spark, dir): Unit
+    assert(FileManifest.latest(fsOf(dir), dir).get.dvs.isEmpty)
     assert(spark.sql(s"SELECT count(*) FROM dvlake.`$dir`")
       .collect().head.getLong(0) === 29L)
   }

@@ -164,19 +164,151 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(props()("graft.rowcount") === expected.toString)
   }
 
-  test("the SQL surface is read-only; writers go through the engine") {
+  test("INSERT INTO routes through the staged append; DDL still fails") {
     val dir = lake()
     // the table schema orders partition cols last: (doc_id, n_chars,
-    // lang) — well-typed values, so analysis reaches the capability
-    // check and the missing write capability rejects the INSERT
+    // lang); the staged append partitions the batch into the lake's
+    // lang=... layout and commits one manifest version
+    val before = FileManifest.latest(fsOf(dir), dir).get.version
+    spark.sql(s"INSERT INTO lake.`$dir` VALUES (9, 90, 'en'), (10, 100, 'pt')")
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) ===
+      Seq(1L, 2L, 3L, 4L, 5L, 9L, 10L))
+    // visible to the engine's readers too (same manifest commit), and
+    // the new rows landed INSIDE the partition layout
+    val pinned = History.readPinned(spark, dir)
+    assert(pinned.count() === 7)
+    assert(pinned.filter(col("lang") === "pt").count() === 1)
+    val m = FileManifest.latest(fsOf(dir), dir).get
+    assert(m.version > before)
+    assert(m.cur.exists(_.startsWith("lang=pt/")), m.cur.mkString(", "))
+    // DDL is still refused — lake lifecycle is not a SQL concern
+    def messageChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.toString).mkString(" | ")
     val e = intercept[Exception] {
-      spark.sql(s"INSERT INTO lake.`$dir` VALUES (9, 90, 'en')")
+      spark.sql(s"DROP TABLE lake.`$dir`")
+    }
+    assert(messageChain(e).contains("lifecycle"), messageChain(e))
+    // a time-travel pin is not a write target: the pinned table never
+    // declares write capability, so analysis rejects any INSERT at it
+    val cat = new LakeCatalog
+    cat.initialize("lake",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+    val pinnedTable = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty, dir), before.toString)
+    import org.apache.spark.sql.connector.catalog.TableCapability._
+    assert(!pinnedTable.capabilities().contains(V1_BATCH_WRITE) &&
+      !pinnedTable.capabilities().contains(BATCH_WRITE))
+    val latest = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty, dir))
+    assert(latest.capabilities().contains(V1_BATCH_WRITE))
+  }
+
+  test("a constraint-violating SQL INSERT bounces whole at the append edge") {
+    val dir = lake()
+    graft.sources.Constraints.add(spark, dir, "chars_nonneg",
+      "n_chars >= 0"): Unit
+    val before = FileManifest.latest(fsOf(dir), dir).get.version
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO lake.`$dir` VALUES (9, 90, 'en'), (10, -1, 'de')")
     }
     def messageChain(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(_.toString).mkString(" | ")
-    assert(messageChain(e).toLowerCase.contains("read-only") ||
-      messageChain(e).toLowerCase.contains("does not support"),
-      messageChain(e))
+    assert(messageChain(e).contains("chars_nonneg"), messageChain(e))
+    // NOTHING landed — not even the batch's valid rows
+    assert(FileManifest.latest(fsOf(dir), dir).get.version === before)
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) ===
+      Seq(1L, 2L, 3L, 4L, 5L))
+    // and a clean retry lands normally
+    spark.sql(s"INSERT INTO lake.`$dir` VALUES (9, 90, 'en')")
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) ===
+      Seq(1L, 2L, 3L, 4L, 5L, 9L))
+  }
+
+  test("DV-bearing snapshots serve through SQL with vectors applied") {
+    val dir = lake()
+    History.deleteKeysDV(spark, dir, "doc_id", Seq(2L, 5L)): Unit
+    // the catalog routes to the engine's pinned-read plan: deleted
+    // rows never surface, on the full scan or under pushed filters
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) ===
+      Seq(1L, 3L, 4L))
+    val filtered = spark.sql(
+      s"SELECT doc_id FROM lake.`$dir` WHERE lang = 'de' AND n_chars > 30")
+    assert(ids(filtered) === Seq(4L))
+    // pushed filters surface in the scan description (pruning reaches
+    // the inner plan); every filter is also re-evaluated post-scan
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftPinnedLake"), plan.take(1200))
+    assert(plan.contains("PushedFilters: [IsNotNull(lang)"),
+      plan.take(1200))
+    // time travel composes: the pre-delete version still reads whole,
+    // and a DV-bearing version resolved BY VERSION applies its vectors
+    val fs = fsOf(dir)
+    val vs = FileManifest.versions(fs, dir)
+    assert(ids(spark.sql(
+      s"SELECT * FROM lake.`$dir` VERSION AS OF ${vs.head}")) ===
+      Seq(1L, 2L, 3L, 4L, 5L))
+    assert(ids(spark.sql(
+      s"SELECT * FROM lake.`$dir` VERSION AS OF ${vs.last}")) ===
+      Seq(1L, 3L, 4L))
+    // a later COW delete composes on top through the same surface
+    History.deleteWhere(spark, dir, col("doc_id") === 3L): Unit
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) === Seq(1L, 4L))
+  }
+
+  test("SQL INSERT works on a DV-bearing lake (staged append, vectors kept)") {
+    val dir = lake()
+    History.deleteKeysDV(spark, dir, "doc_id", Seq(1L)): Unit
+    spark.sql(s"INSERT INTO lake.`$dir` VALUES (6, 60, 'fr')")
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) ===
+      Seq(2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("COUNT(*) answers from metadata when the sidecar is fresh") {
+    val dir = lake()
+    // stale sidecar: the count falls back to a real scan — correct,
+    // just not metadata-only
+    def countPlan(): (Long, String) = {
+      val df = spark.sql(s"SELECT COUNT(*) AS n FROM lake.`$dir`")
+      (df.collect().head.getLong(0),
+        df.queryExecution.executedPlan.toString)
+    }
+    val (n0, p0) = countPlan()
+    assert(n0 === 5L)
+    assert(!p0.contains("LocalTableScan"), p0.take(800))
+    History.refreshRowCounts(spark, dir): Unit
+    val (n1, p1) = countPlan()
+    assert(n1 === 5L)
+    // fresh stats: the whole aggregate collapsed to the metadata
+    // answer — no file scan in the plan
+    assert(p1.contains("LocalTableScan"), p1.take(800))
+    assert(!p1.contains("Parquet"), p1.take(800))
+    // a WHERE clause disqualifies the metadata answer (it changes the
+    // counted set) — falls back to the scan, still correct
+    val wdf = spark.sql(
+      s"SELECT COUNT(*) AS n FROM lake.`$dir` WHERE lang = 'en'")
+    assert(wdf.collect().head.getLong(0) === 2L)
+    assert(!wdf.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    // DV-bearing lake: the metadata count nets out vector
+    // cardinalities (fastCount) and STILL answers scan-free through
+    // the V1 fallback table
+    History.deleteKeysDV(spark, dir, "doc_id", Seq(2L, 5L)): Unit
+    val (n2, p2) = countPlan()
+    assert(n2 === 3L)
+    assert(p2.contains("LocalTableScan"), p2.take(800))
+    // an INSERT staleness-checks correctly: new files lack sidecar
+    // entries until the next refresh, so the count scans (and is right)
+    spark.sql(s"INSERT INTO lake.`$dir` VALUES (9, 90, 'en')")
+    val (n3, p3) = countPlan()
+    assert(n3 === 4L)
+    assert(!p3.contains("LocalTableScan"), p3.take(800))
+    History.refreshRowCounts(spark, dir): Unit
+    val (n4, p4) = countPlan()
+    assert(n4 === 4L && p4.contains("LocalTableScan"), p4.take(800))
   }
 }
