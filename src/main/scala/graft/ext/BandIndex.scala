@@ -99,7 +99,7 @@ object BandIndex {
     * inserted). */
   def tick(spark: SparkSession, corpusLake: String, indexDir: String,
            docIdCol: String = "doc_id", textCol: String = "text",
-           maxDeletes: Long = 10000000L): (Long, Long, Long) = {
+           maxDeletes: Long = 1000000L): (Long, Long, Long) = {
     val bdir = bandsDir(indexDir)
     IndexReplay.tickWindow(spark, corpusLake, indexDir,
       stateDir(indexDir), lakes = Seq(bdir), keyPrefix = "band",

@@ -139,19 +139,25 @@ private[ext] object IndexReplay {
     * derived-limit escape-hatch bug lived in three copies of this
     * once; it lives here now). Throws when the window touches more
     * than `max` keys: replaying a mass change key-by-key is the wrong
-    * tool — re-bootstrap instead. */
+    * tool — re-bootstrap instead.
+    *
+    * COUNT-FIRST: deciding "over cap" must never materialize the key
+    * set on the driver — at a multi-million cap that is GBs of heap
+    * allocated just to print the re-bootstrap error. The limited count
+    * stays executor-side and short-circuits; only an under-cap set is
+    * ever collected. */
   def cappedKeys(df: org.apache.spark.sql.DataFrame, keyCol: String,
                  max: Long, what: String): Seq[Any] = {
     import org.apache.spark.sql.functions.col
     val lim =
       if (max >= Int.MaxValue.toLong) Int.MaxValue
       else (max + 1).toInt
-    val touched = df.select(col(keyCol)).distinct()
-      .limit(lim).collect().map(_.get(0)).toSeq
-    require(touched.length.toLong <= max || max >= Int.MaxValue.toLong,
-      s"tick window touches > $what=$max keys — " +
-        "re-bootstrap instead of replaying a mass change")
-    touched
+    val dk = df.select(col(keyCol)).distinct().limit(lim)
+    if (max < Int.MaxValue.toLong && dk.count() > max)
+      throw new IllegalArgumentException(
+        s"requirement failed: tick window touches > $what=$max keys — " +
+          "re-bootstrap instead of replaying a mass change")
+    dk.collect().map(_.get(0)).toSeq
   }
 
   /** THE shared tick driver — the whole undo-then-apply replay

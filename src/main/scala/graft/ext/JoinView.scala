@@ -115,7 +115,12 @@ object JoinView {
     * key count). */
   def tick(spark: SparkSession, lakeA: String, lakeB: String,
            viewRoot: String, keyCol: String,
-           maxKeys: Long = 10000000L,
+           // 1M default: the touched set (and its string-form shadow
+           // for the intent filter) lives on the driver — ~tens of MB
+           // at this cap; a window touching more is a mass change that
+           // belongs to re-bootstrap, and cappedKeys decides that with
+           // a count, never by materializing the over-cap set
+           maxKeys: Long = 1000000L,
            joinType: String = "inner"): ((Long, Long), Long) = {
     checkJoinType(joinType)
     def latest(l: String): Long =

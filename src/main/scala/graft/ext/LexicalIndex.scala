@@ -120,7 +120,7 @@ object LexicalIndex {
     * docs inserted). */
   def tick(spark: SparkSession, corpusLake: String, indexDir: String,
            docIdCol: String = "doc_id", textCol: String = "text",
-           maxDeletes: Long = 10000000L): (Long, Long, Long) = {
+           maxDeletes: Long = 1000000L): (Long, Long, Long) = {
     val pdir = postingsDir(indexDir)
     val ddir = doclensDir(indexDir)
     IndexReplay.tickWindow(spark, corpusLake, indexDir,

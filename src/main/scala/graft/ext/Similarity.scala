@@ -105,16 +105,33 @@ object Similarity {
             element_at(scLit, i + 1)).cast("long")))).as(outCol))
   }
 
-  /** Top-k search in the quantized domain: bounded query set broadcast
-    * against the corpus codes (the s01 shape), scored by the exact
-    * integer dot of codes — at 100 TB the corpus side scans 64-byte
-    * codes instead of 256-byte floats, a 4× I/O cut before any
-    * pruning, and the int64 score needs no DECIMAL bridge. */
+  /** One-shot top-k in the quantized domain: trains bounds and derives
+    * corpus codes inline — the EXPLORATION shape (ad-hoc notebook run
+    * over a frame that has no published index yet). A deployment
+    * serves searches from AT-REST artifacts instead: train once
+    * ([[sqTrain]]), publish bounds ([[saveSqBounds]]) and the code
+    * table (one parquet write of [[sqCodes]]), then answer every query
+    * via [[sqTopKServed]] — the s07/s11 train-once-serve-many
+    * discipline; re-deriving corpus codes per search would re-scan the
+    * full float table, the exact cost the codes exist to avoid. */
   def sqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              embCol: String, k: Int): DataFrame = {
     val (mins, scales) = sqTrain(corpus, embCol)
-    val c = sqCodes(corpus, idCol, embCol, mins, scales)
-      .select(col(idCol).as("b_id"), col("codes").as("b_codes"))
+    sqTopKServed(sqCodes(corpus, idCol, embCol, mins, scales),
+      queries, idCol, embCol, mins, scales, k)
+  }
+
+  /** Serve-path top-k: the corpus side is an at-rest CODE table
+    * (`(idCol, codes)` — [[sqCodes]] persisted at ingest), so a search
+    * scans 64-byte int8 codes instead of 256-byte floats (4× the scan
+    * I/O cut before any pruning) and never touches the original
+    * embeddings. Only the bounded query set quantizes per call
+    * (against the published bounds). Scores are the exact int64 dot of
+    * codes — bit-deterministic, no DECIMAL bridge. */
+  def sqTopKServed(codes: DataFrame, queries: DataFrame, idCol: String,
+                   embCol: String, mins: Seq[Double], scales: Seq[Double],
+                   k: Int): DataFrame = {
+    val c = codes.select(col(idCol).as("b_id"), col("codes").as("b_codes"))
     val q = sqCodes(queries, idCol, embCol, mins, scales)
       .select(col(idCol).as("query_id"), col("codes").as("q_codes"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("b_id"))
@@ -126,6 +143,30 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "b_id", "rank", "idot")
+  }
+
+  /** Publish trained SQ bounds through the SAME versioned-dir +
+    * atomic-`current`-pointer protocol as [[saveCentroids]] (a reader
+    * always resolves a complete bounds table; a trainer crash leaves
+    * the previous publish intact) — encoded as one centroid-shaped row
+    * per dimension: `(c_id = dim index, c_emb = [min, scale])`. */
+  def saveSqBounds(spark: org.apache.spark.sql.SparkSession, path: String,
+                   mins: Seq[Double], scales: Seq[Double]): Unit = {
+    import spark.implicits._
+    saveCentroids(
+      mins.indices.map(i => (i.toLong, Seq(mins(i), scales(i))))
+        .toDF("c_id", "c_emb"),
+      path)
+  }
+
+  /** Load published SQ bounds — `dim` rows of metadata, the
+    * centroid-table pattern (never row data). */
+  def loadSqBounds(spark: org.apache.spark.sql.SparkSession,
+                   path: String): (Seq[Double], Seq[Double]) = {
+    val rows = loadCentroids(spark, path)
+      .orderBy(col("c_id")).collect() // bounded: one row per dimension
+    val embs = rows.map(_.getSeq[Double](1))
+    (embs.map(_(0)).toSeq, embs.map(_(1)).toSeq)
   }
 
   /** Sign-bit LSH bucket over the first `bits` dimensions — the IVF-style

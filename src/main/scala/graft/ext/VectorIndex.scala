@@ -88,12 +88,16 @@ object VectorIndex {
     * applying only the change feed: deletes → merge-on-read takedown
     * on the postings (bloom-pruned, zero rewrites), inserts → one
     * cell-assigned exactly-once append. Returns (corpus version now
-    * indexed, rows deleted, rows inserted). `maxDeletes` bounds the
-    * driver-side takedown id list (change-rate sized; a bigger purge
-    * should re-bootstrap). */
+    * indexed, DISTINCT ids deleted, DISTINCT ids inserted) — both
+    * counters are distinct-id counts, not feed-row counts (an id whose
+    * image changed twice in the window counts once; monitoring that
+    * compares tick metrics against raw feed volumes should expect
+    * the distinct semantics). `maxDeletes` bounds the driver-side
+    * takedown id list (change-rate sized, count-first checked; a
+    * bigger purge should re-bootstrap). */
   def tick(spark: SparkSession, corpusLake: String, indexDir: String,
            idCol: String, embCol: String, centroids: DataFrame,
-           maxDeletes: Long = 10000000L): (Long, Long, Long) = {
+           maxDeletes: Long = 1000000L): (Long, Long, Long) = {
     // UNDO-THEN-APPLY, the shape that makes replay convergent in every
     // crash/advance interleaving (see [[IndexReplay.tickWindow]], the
     // one shared home of the discipline): a crashed tick can leave its

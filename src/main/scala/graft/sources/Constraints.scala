@@ -163,6 +163,22 @@ object Constraints {
   def enforceStaged(spark: SparkSession, path: String,
                     stageDir: String): Unit = {
     if (current(fsOf(spark, path), path).isEmpty) return
+    // an EMPTY stage is trivially valid: a zero-row batch written with
+    // partitionBy stages NO parquet files, and constructing the read
+    // over a fileless directory throws 'Unable to infer schema' —
+    // turning a legal no-op append into a crash. Walk the stage first;
+    // zero data files ⇒ zero rows ⇒ nothing to validate.
+    val sfs = fsOf(spark, stageDir)
+    val stage = new org.apache.hadoop.fs.Path(stageDir)
+    def hasDataFile: Boolean = {
+      val it = sfs.listFiles(stage, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) return true
+      }
+      false
+    }
+    if (!sfs.exists(stage) || !hasDataFile) return
     enforce(spark, path,
       spark.read.option("basePath", stageDir).parquet(stageDir))
   }

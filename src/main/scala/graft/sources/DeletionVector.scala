@@ -189,6 +189,52 @@ object DeletionVector {
     }
   }
 
+  /** Per-name cardinality cache (a long per entry — no budget needed
+    * beyond an entry cap; names are immutable+unique like the sidecars
+    * they describe). */
+  private val countCache =
+    new java.util.LinkedHashMap[(String, String), Long](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), Long]): Boolean =
+        size() > 65536
+    }
+  /** Physical cardinality-only sidecar reads — spec hook. */
+  private[graft] val dvCountReads =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** A vector's position COUNT without materializing the positions:
+    * answered from the parse cache when the vector is resident, from
+    * the cardinality cache on a repeat, else by reading the sidecar
+    * and parsing ONLY its `n` declaration line — O(sidecar KB) driver
+    * I/O, never O(positions) heap. The metadata path behind
+    * [[History.fastCount]]: a table-resolution-time count must not
+    * expand (or churn the budgeted cache with) every vector's full
+    * position array just to take its length. */
+  def cardinality(fs: FileSystem, lakePath: String, name: String): Long = {
+    val key = cacheKey(fs, lakePath, name)
+    val resident = cache.synchronized(Option(cache.get(key)))
+    resident match {
+      case Some(arr) => arr.length.toLong
+      case None =>
+        val cached = countCache.synchronized(
+          Option(countCache.get(key)))
+        cached.getOrElse {
+          dvCountReads.incrementAndGet(): Unit
+          val lines =
+            SidecarIO.readLines(fs, new Path(dvsDir(lakePath), name))
+          val n = lines.collectFirst {
+            case l if l.startsWith("n\t") => l.stripPrefix("n\t").toLong
+          }.getOrElse(throw new java.io.IOException(
+            s"deletion vector $name corrupt: no 'n' declaration"))
+          if (n < 0 || n > (1L << 28))
+            throw new java.io.IOException(
+              s"deletion vector $name corrupt: declares $n positions")
+          countCache.synchronized(countCache.put(key, n)): Unit
+          n
+        }
+    }
+  }
+
   /** Sidecar files on disk, with mtimes (vacuum's candidate list). */
   def listDvFiles(fs: FileSystem, lakePath: String): Seq[(String, Long)] = {
     val dir = new Path(dvsDir(lakePath))
@@ -207,8 +253,9 @@ object DeletionVector {
         .getOrElse(Nil)).toSet
 
   /** Drop cached vectors for a wiped/rebuilt lake (test hygiene). */
-  private[graft] def evictCache(): Unit = cache.synchronized {
-    cache.clear(); cachedPositions = 0L
+  private[graft] def evictCache(): Unit = {
+    cache.synchronized { cache.clear(); cachedPositions = 0L }
+    countCache.synchronized(countCache.clear())
   }
 }
 

@@ -862,7 +862,18 @@ object History {
     * `readPinned(...).count()` — a stale sidecar can only fail to
     * answer, never answer wrongly (data files are immutable, so a
     * recorded count can never go stale; deletes land as DVs which are
-    * subtracted live). */
+    * subtracted live).
+    *
+    * DV cost contract: each live vector contributes ONE driver-side
+    * sidecar read the first time ([[DeletionVector.cardinality]] —
+    * parses only the KB-scale `n` declaration, never the positions;
+    * cached per name thereafter), so a fresh count on a
+    * heavily-takedown'd lake pays O(live DV files) driver I/O, not
+    * O(deleted positions) heap. A lake accumulating vectors past the
+    * low-thousands should fold them — [[materializeDeletes]], whose
+    * dead-fraction guidance applies: compact when vectors rival file
+    * count or dead rows pass ~10% — which also returns this path to
+    * pure map lookups. */
   def fastCount(spark: SparkSession, path: String,
                 version: Option[Long] = None): Option[Long] = {
     val root = new org.apache.hadoop.fs.Path(path)
@@ -883,8 +894,7 @@ object History {
     val curSet = m.curSet
     val dvDeleted = m.dvs.iterator
       .filter { case (rel, _) => curSet(rel) }
-      .map { case (_, name) =>
-        DeletionVector.read(fs, path, name).length.toLong }
+      .map { case (_, name) => DeletionVector.cardinality(fs, path, name) }
       .sum
     Some(rows - dvDeleted)
   }

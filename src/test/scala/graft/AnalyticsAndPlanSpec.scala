@@ -653,6 +653,31 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
         plan.toString.take(1500))
   }
 
+  test("plan quality: t25 reads the corpus text exactly once") {
+    // the bigram stream aggregates ONCE to per-(doc, w1, w2) counts;
+    // the model, context, vocabulary, and scoring stages all derive
+    // from that aggregate through reused exchanges — a second (or
+    // third) corpus explode re-runs the most expensive stage of the
+    // query (the round-13 shape ran it ~3x: 10.5x its oracle).
+    val df = SparkEntry.queries("t25_bigram_lm")(spark,
+      "/root/testdata/sf0.001")
+    df.collect(): Unit
+    val plan = df.queryExecution.executedPlan
+    def finalized(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+      }
+    val roots = plan +: finalized(plan)
+    val oneScan = roots.map(_.toString).exists { s =>
+      (s.contains("ReusedExchange") || s.contains("ReusedQueryStage")) &&
+        "documents\\.parquet".r.findAllIn(s).length <= 1
+    }
+    assert(oneScan,
+      s"t25 re-derives the corpus bigram stream instead of reusing " +
+        s"the per-doc aggregate:\n${plan.toString.take(1500)}")
+  }
+
   test("plan quality: q44 scans lineitem once; window rides the join shuffle") {
     // the double-EXISTS decorrelation computes per-order cardinalities
     // as WINDOW aggregates over the join output instead of a second

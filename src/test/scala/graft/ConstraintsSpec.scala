@@ -47,6 +47,29 @@ class ConstraintsSpec extends AnyFunSuite {
       Seq("chars_nonneg", "id_present"))
   }
 
+  test("an empty partitioned batch appends as a no-op, not a crash") {
+    import spark.implicits._
+    val dir = lake()
+    Constraints.add(spark, dir, "chars_nonneg", "n_chars >= 0"): Unit
+    val v0 = FileManifest.latest(fsOf(dir), dir).get.version
+    // zero rows + partitionBy stages NO parquet files: staged-bytes
+    // validation must treat the fileless stage as trivially valid
+    // instead of throwing 'Unable to infer schema'
+    History.append(spark, dir,
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "lang", "n_chars")
+        .where(lit(false)),
+      key = "empty-batch", partitionCols = Seq("lang")): Unit
+    assert(History.readPinned(spark, dir).count() === 3L)
+    // still enforcing afterwards
+    intercept[IllegalArgumentException] {
+      History.append(spark, dir,
+        Seq((9L, "en", -5L)).toDF("doc_id", "lang", "n_chars"),
+        key = "bad-after-empty")
+    }
+    assert(History.readPinned(spark, dir).count() === 3L)
+    assert(FileManifest.latest(fsOf(dir), dir).get.version >= v0)
+  }
+
   test("a constraint the existing data violates is never committed") {
     val dir = lake()
     val e = intercept[IllegalArgumentException] {

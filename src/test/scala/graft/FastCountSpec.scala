@@ -51,4 +51,41 @@ class FastCountSpec extends AnyFunSuite {
     // a second refresh is a no-op (footers are read once per file)
     assert(History.refreshRowCounts(spark, lake) === 0)
   }
+
+  test("fastCount never materializes DV positions; sidecar reads are bounded") {
+    import spark.implicits._
+    val lake = mkLake()
+    History.refreshRowCounts(spark, lake): Unit
+    History.deleteKeysDV(spark, lake, "id", Seq(1L, 11L, 21L)): Unit
+    History.deleteWhereDV(spark, lake, col("id") % 10 === 7): Unit
+    val fs = new org.apache.hadoop.fs.Path(lake).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val liveDvs = FileManifest.latest(fs, lake).get.dvs.size
+    assert(liveDvs >= 1)
+    val expected = History.readPinned(spark, lake).count()
+    // evict every cache so the count must hit disk — and prove it hits
+    // only the cardinality path: zero FULL position parses, at most
+    // one cardinality read per live vector
+    graft.sources.DeletionVector.evictCache()
+    val fullBefore = graft.sources.DeletionVector.dvFileReads.get()
+    val cntBefore = graft.sources.DeletionVector.dvCountReads.get()
+    assert(History.fastCount(spark, lake) === Some(expected))
+    assert(graft.sources.DeletionVector.dvFileReads.get() === fullBefore,
+      "fastCount expanded a full deletion vector just to count it")
+    val firstPass =
+      graft.sources.DeletionVector.dvCountReads.get() - cntBefore
+    assert(firstPass <= liveDvs.toLong && firstPass >= 1L,
+      s"cardinality reads ($firstPass) exceed live DV files ($liveDvs)")
+    // second count: everything cached, zero sidecar I/O of either kind
+    assert(History.fastCount(spark, lake) === Some(expected))
+    assert(graft.sources.DeletionVector.dvFileReads.get() === fullBefore)
+    assert(graft.sources.DeletionVector.dvCountReads.get() ===
+      cntBefore + firstPass)
+    // and the counts agree with the full parse when one DOES happen
+    val m = FileManifest.latest(fs, lake).get
+    m.dvs.values.foreach { name =>
+      assert(graft.sources.DeletionVector.cardinality(fs, lake, name) ===
+        graft.sources.DeletionVector.read(fs, lake, name).length.toLong)
+    }
+  }
 }

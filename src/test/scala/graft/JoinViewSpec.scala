@@ -66,6 +66,30 @@ class JoinViewSpec extends AnyFunSuite {
     assert(JoinView.tick(spark, a, b, view, "k")._2 === 0L)
   }
 
+  test("an over-cap window fails by COUNT, before any driver key set") {
+    import spark.implicits._
+    val (a, b, view) = mkLakes()
+    JoinView.bootstrap(spark, a, b, view, "k"): Unit
+    // a window touching 5 keys against maxKeys=3: the guard must
+    // refuse with the re-bootstrap message — decided executor-side
+    // (count-first), never by materializing the over-cap set
+    History.append(spark, a,
+      (0L until 5L).map(k => (k, 1000L + k, 0L))
+        .toDF("k", "a_id", "a_val"),
+      key = "mass"): Unit
+    val e = intercept[IllegalArgumentException] {
+      JoinView.tick(spark, a, b, view, "k", maxKeys = 3L)
+    }
+    assert(e.getMessage.contains("re-bootstrap"), e.getMessage)
+    // nothing advanced: marker still at the bootstrap pair, view
+    // unchanged, and a wide-enough retry applies the window whole
+    val viewBefore = rows(JoinView.read(spark, view))
+    val (_, nKeys) = JoinView.tick(spark, a, b, view, "k")
+    assert(nKeys === 5L)
+    assert(rows(JoinView.read(spark, view)) === rows(fresh(a, b)))
+    assert(rows(JoinView.read(spark, view)) !== viewBefore)
+  }
+
   test("crashed tick replays to convergence, including net-zero keys") {
     import spark.implicits._
     val (a, b, view) = mkLakes()

@@ -60,6 +60,37 @@ class SqQuantizationSpec extends AnyFunSuite {
     assert(top1(200L) === 250L && top1(250L) === 200L)
   }
 
+  test("published SQ bounds round-trip; the serve path equals one-shot") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val df = (0L until 60L).map(i =>
+      (i, Seq.fill(6)(rnd.nextFloat() * 4f - 2f))).toDF("vec_id", "embedding")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sq").toString + "/sq"
+    val (mins, scales) = Similarity.sqTrain(df, "embedding")
+    Similarity.saveSqBounds(spark, root, mins, scales)
+    val (m2, s2) = Similarity.loadSqBounds(spark, root)
+    assert(m2 === mins && s2 === scales)
+    // re-publish flips the pointer atomically (saveCentroids protocol)
+    Similarity.saveSqBounds(spark, root, mins.map(_ + 1.0), scales)
+    assert(Similarity.loadSqBounds(spark, root)._1 === mins.map(_ + 1.0))
+    // the served path over an at-rest code table returns exactly the
+    // one-shot answer (same bounds, same integer dots, same ranks)
+    val codesDir = java.nio.file.Files
+      .createTempDirectory("graft-sqcodes").toString + "/codes"
+    Similarity.sqCodes(df, "vec_id", "embedding", mins, scales)
+      .write.parquet(codesDir)
+    val queries = df.filter(col("vec_id") % 10 === 0)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))
+    val served = Similarity.sqTopKServed(spark.read.parquet(codesDir),
+      queries, "vec_id", "embedding", mins, scales, k = 3)
+      .collect().map(key).toSet
+    val oneShot = Similarity.sqTopK(df, queries, "vec_id", "embedding", 3)
+      .collect().map(key).toSet
+    assert(served === oneShot && served.nonEmpty)
+  }
+
   test("grouped heavy hitters equal the exact per-group answer") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
