@@ -848,6 +848,23 @@ object HistoryQueries {
       val dir = dvLake(s, d)
       graft.sources.History.refreshRowCounts(s, dir): Unit
       s.sql(s"SELECT COUNT(*) AS n_rows FROM lake.`$dir`")
+    }),
+
+    // Metadata-only MIN/MAX (+ COUNT) in ONE pushed aggregate: the
+    // clustered lake's per-file footer extrema (stats sidecar, fresh
+    // for every current file, zero live DVs) answer the whole
+    // SELECT as a LocalTableScan — zero file scans (plan asserted in
+    // LakeCatalogSpec). A drifted footer entry, a missed file, or a
+    // sidecar consulted for the wrong column shifts an extremum and
+    // fails the hash.
+    "h30_sql_fast_minmax" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.lake",
+        classOf[graft.sources.LakeCatalog].getName)
+      val dir = clusterLake(s, d)
+      graft.sources.History.refreshRowCounts(s, dir): Unit
+      s.sql(s"""SELECT MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+                       COUNT(*) AS n_rows
+                FROM lake.`$dir`""")
     })
   )
 
@@ -1051,6 +1068,10 @@ object HistoryQueries {
          FROM documents GROUP BY lang""",
     "h29_sql_fast_count" ->
       """SELECT COUNT(*) AS n_rows FROM documents
-         WHERE NOT (doc_id IN (3, 41, 404) OR doc_id % 17 = 5)"""
+         WHERE NOT (doc_id IN (3, 41, 404) OR doc_id % 17 = 5)""",
+    "h30_sql_fast_minmax" ->
+      """SELECT MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+                COUNT(*) AS n_rows
+         FROM documents"""
   )
 }

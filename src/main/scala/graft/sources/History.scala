@@ -899,6 +899,41 @@ object History {
     Some(rows - dvDeleted)
   }
 
+  /** Metadata-only MIN/MAX for an INT64-statted column — the second
+    * aggregate family every table format answers from manifests: the
+    * global min is the min of per-file footer minima (stats sidecar,
+    * [[refreshStats]]), likewise max. Returns None — callers fall back
+    * to the scan — when:
+    *  - any current file lacks a fresh, non-sentinel entry for
+    *    `column` (stats are an optimization, never a guess);
+    *  - ANY live deletion vector exists: a vector may have deleted
+    *    exactly the extreme row, and unlike COUNT the answer cannot be
+    *    netted from cardinalities — only a scan (or a
+    *    [[materializeDeletes]] fold) restores the metadata path;
+    *  - the lake has no current files (the scan's NULL is the honest
+    *    answer).
+    * O(files) cached map lookups, zero data pages. */
+  def fastMinMax(spark: SparkSession, path: String, column: String,
+                 version: Option[Long] = None): Option[(Long, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = version match {
+      case Some(v) => FileManifest.at(fs, path, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"manifest version $v not retained at $path"))
+      case None => FileManifest.latest(fs, path).getOrElse(
+        throw new IllegalStateException(
+          s"fastMinMax needs a manifest-mode lake: $path"))
+    }
+    if (m.cur.isEmpty) return None
+    val curSet = m.curSet
+    if (m.dvs.exists { case (rel, _) => curSet(rel) }) return None
+    val stats = FileStats.read(fs, path)
+    val perFile = m.cur.map(rel => stats.get((rel, column)).flatten)
+    if (perFile.exists(_.isEmpty)) return None
+    Some((perFile.map(_.get._1).min, perFile.map(_.get._2).max))
+  }
+
   /** DESCRIBE HISTORY for a manifest lake: one row per RETAINED
     * version — commit time (the root's atomic-rename instant), live /
     * retired file counts, and the file-level delta vs the previous

@@ -140,6 +140,20 @@ class LakeCatalog extends TableCatalog {
     val writable = version.isEmpty
     val curSet = m.curSet
     val liveDvs = m.dvs.filter { case (rel, _) => curSet(rel) }
+    // whole-aggregate metadata answers: COUNT(*) from the row-count
+    // sidecar (DV cardinalities netted), MIN/MAX of BIGINT columns
+    // from footer extrema (fastMinMax refuses under live DVs — a
+    // vector may have deleted the extreme row). Resolved lazily per
+    // pushed aggregate; the stats sidecar is cached.
+    val longCols = schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.LongType)
+      .map(_.name).toSet
+    val aggResolver: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation => Option[MetaAggScan] = agg =>
+      MetaAggScan.resolve(agg, fastCnt,
+        c => if (longCols.contains(c))
+          History.fastMinMax(spark, path, c, Some(m.version))
+        else None)
     if (liveDvs.nonEmpty)
       // merge-on-read: the stock parquet table cannot apply deletion
       // vectors (it would resurrect deleted rows), so DV-bearing
@@ -148,11 +162,11 @@ class LakeCatalog extends TableCatalog {
       // V1Scan fallback table. DV is the takedown default; the SQL
       // surface must not go dark the moment one lands.
       new PinnedLakeTable(tableName, path, m.version, schema, props,
-        fastCnt, writable, partCols)
+        aggResolver, writable, partCols)
     else
       org.apache.spark.sql.graftbridge.ParquetTableBridge.table(
         tableName, spark, files, qRoot.toString, Some(schema), props,
-        fastCnt,
+        aggResolver,
         if (writable) Some((info: org.apache.spark.sql.connector.write
             .LogicalWriteInfo) => LakeSqlWrite.builder(path, partCols, info))
         else None)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
@@ -52,27 +53,65 @@ object LakeSqlWrite {
     }
 }
 
-/** Metadata-only `COUNT(*)`: a [[LocalScan]] carrying the one answer
-  * row. Planned when the whole aggregate was pushed down — the query
-  * `SELECT count(*) FROM lake.\`/p\`` then executes as a
-  * LocalTableScan over this row: zero file scans, zero tasks (the
-  * count came from [[History.fastCount]]'s footer-stats sidecar minus
-  * live deletion-vector cardinalities). */
-final class MetaCountScan(n: Long) extends LocalScan {
-  override def readSchema(): StructType =
-    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+/** A fully-answered metadata aggregate: a [[LocalScan]] carrying the
+  * one answer row. Planned when the WHOLE pushed Aggregation resolved
+  * from lake metadata — `SELECT count(*), min(id), max(id) FROM
+  * lake.\`/p\`` then executes as a LocalTableScan over this row: zero
+  * file scans, zero tasks (COUNT from [[History.fastCount]]'s footer
+  * row counts minus live DV cardinalities; MIN/MAX from
+  * [[History.fastMinMax]]'s per-file footer extrema). */
+final class MetaAggScan(schema: StructType, values: Array[Any])
+    extends LocalScan {
+  override def readSchema(): StructType = schema
   override def rows(): Array[InternalRow] =
-    Array(InternalRow(n))
-  override def description(): String = s"GraftMetaCount($n)"
+    Array(InternalRow.fromSeq(values.toIndexedSeq))
+  override def description(): String =
+    s"GraftMetaAgg(${values.mkString(", ")})"
 }
 
-object MetaCountScan {
-  /** True iff `agg` is exactly an ungrouped COUNT(*) — the one shape
-    * the stats sidecar can answer. */
-  def answerable(agg: Aggregation): Boolean =
-    agg.groupByExpressions().isEmpty &&
-      agg.aggregateExpressions().length == 1 &&
-      agg.aggregateExpressions()(0).isInstanceOf[CountStar]
+object MetaAggScan {
+
+  /** Resolve an entire pushed Aggregation from metadata, or None —
+    * ALL functions must answer (a half-answered aggregate cannot be
+    * stitched), grouping must be empty, and the caller has already
+    * ruled out filters. `count` answers COUNT(*); `minMax` answers
+    * MIN/MAX for a named top-level column, or None when the column is
+    * unstatted / not BIGINT / the lake carries live deletion vectors
+    * (a vector may have deleted the extreme row — unlike COUNT,
+    * extrema cannot be netted from cardinalities). */
+  def resolve(agg: Aggregation, count: => Option[Long],
+              minMax: String => Option[(Long, Long)]): Option[MetaAggScan] = {
+    if (agg.groupByExpressions().nonEmpty) return None
+    val funcs = agg.aggregateExpressions()
+    if (funcs.isEmpty) return None
+    val resolved: Seq[Option[(StructField, Any)]] =
+      funcs.toSeq.zipWithIndex.map {
+        case (_: CountStar, i) =>
+          count.map(n =>
+            (StructField(s"count_$i", LongType, nullable = false), n: Any))
+        case (m: aggregate.Min, i) =>
+          colName(m.column()).flatMap(minMax).map(v =>
+            (StructField(s"min_$i", LongType, nullable = false),
+              v._1: Any))
+        case (m: aggregate.Max, i) =>
+          colName(m.column()).flatMap(minMax).map(v =>
+            (StructField(s"max_$i", LongType, nullable = false),
+              v._2: Any))
+        case _ => None // SUM/AVG/COUNT(col): no metadata answer
+      }
+    if (resolved.exists(_.isEmpty)) None
+    else Some(new MetaAggScan(StructType(resolved.map(_.get._1)),
+      resolved.map(_.get._2).toArray))
+  }
+
+  private def colName(
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case n: org.apache.spark.sql.connector.expressions.NamedReference
+        if n.fieldNames().length == 1 =>
+      Some(n.fieldNames()(0))
+    case _ => None
+  }
 }
 
 /** Exact translations from DSv2 [[sources.Filter]]s back to `Column`
@@ -162,7 +201,8 @@ private[sources] object LakeFilterSql {
 final class PinnedLakeTable(
     tableName: String, path: String, version: Long,
     tableSchema: StructType, props: Map[String, String],
-    rowCount: Option[Long], writable: Boolean, partitionCols: Seq[String])
+    aggResolver: Aggregation => Option[MetaAggScan],
+    writable: Boolean, partitionCols: Seq[String])
   extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = tableName
@@ -181,7 +221,7 @@ final class PinnedLakeTable(
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PinnedLakeScanBuilder(path, version, tableSchema, rowCount)
+    new PinnedLakeScanBuilder(path, version, tableSchema, aggResolver)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (!writable)
@@ -194,14 +234,14 @@ final class PinnedLakeTable(
 
 private final class PinnedLakeScanBuilder(
     path: String, version: Long, tableSchema: StructType,
-    rowCount: Option[Long])
+    aggResolver: Aggregation => Option[MetaAggScan])
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private val columns = tableSchema.fieldNames.toSet
   private var required: StructType = tableSchema
   private var all: Array[Filter] = Array.empty
-  private var countPushed = false
+  private var metaAgg: Option[MetaAggScan] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     all = filters
@@ -213,21 +253,18 @@ private final class PinnedLakeScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // a WHERE clause (even one fully pushed) changes the aggregated set,
+  // so any filter at all disqualifies the metadata answer
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    canAnswer(agg)
+    all.isEmpty && aggResolver(agg).isDefined
   override def pushAggregation(agg: Aggregation): Boolean = {
-    if (!canAnswer(agg)) return false
-    countPushed = true
-    true
+    if (all.nonEmpty) return false
+    metaAgg = aggResolver(agg)
+    metaAgg.isDefined
   }
-  // a WHERE clause (even one fully pushed) changes the counted set, so
-  // any filter at all disqualifies the metadata answer
-  private def canAnswer(agg: Aggregation): Boolean =
-    rowCount.isDefined && all.isEmpty && MetaCountScan.answerable(agg)
 
   override def build(): Scan =
-    if (countPushed) new MetaCountScan(rowCount.get)
-    else new PinnedLakeScan(path, version, required, all)
+    metaAgg.getOrElse(new PinnedLakeScan(path, version, required, all))
 }
 
 private final class PinnedLakeScan(

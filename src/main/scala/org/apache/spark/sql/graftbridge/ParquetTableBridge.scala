@@ -54,7 +54,8 @@ object ParquetTableBridge {
   def table(name: String, spark: SparkSession, paths: Seq[String],
             basePath: String, schema: Option[StructType],
             extraProperties: Map[String, String] = Map.empty,
-            metaCount: Option[Long] = None,
+            aggResolver: Aggregation => Option[graft.sources.MetaAggScan] =
+              _ => None,
             writeBuilder: Option[LogicalWriteInfo => WriteBuilder] = None)
       : Table = {
     val opts = new java.util.HashMap[String, String]()
@@ -62,13 +63,13 @@ object ParquetTableBridge {
     new LakeBridgeTable(ParquetTable(name, spark,
       new CaseInsensitiveStringMap(opts),
       paths.toList, schema, classOf[ParquetFileFormat]),
-      extraProperties, metaCount, writeBuilder)
+      extraProperties, aggResolver, writeBuilder)
   }
 
   private final class LakeBridgeTable(
       delegate: ParquetTable,
       extraProperties: Map[String, String],
-      metaCount: Option[Long],
+      aggResolver: Aggregation => Option[graft.sources.MetaAggScan],
       writeBuilder: Option[LogicalWriteInfo => WriteBuilder])
       extends Table
       with org.apache.spark.sql.connector.catalog.SupportsRead
@@ -96,7 +97,7 @@ object ParquetTableBridge {
     }
     override def newScanBuilder(options: CaseInsensitiveStringMap) =
       new LakeBridgeScanBuilder(
-        delegate.newScanBuilder(options), metaCount)
+        delegate.newScanBuilder(options), aggResolver)
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       writeBuilder.getOrElse(throw new UnsupportedOperationException(
         s"${delegate.name} is read-only at this version — INSERT " +
@@ -104,18 +105,21 @@ object ParquetTableBridge {
   }
 
   /** Forwards the stock builder's pushdown surface untouched; adds one
-    * aggregate rule — ungrouped COUNT(*), zero filters → the lake's
-    * metadata count as a [[graft.sources.MetaCountScan]]. Any filter
-    * disqualifies (it changes the counted set); so does a missing
-    * sidecar entry (metaCount None — stats are an optimization, never
-    * a guess). */
+    * aggregate rule — an ungrouped Aggregation that the lake's
+    * metadata can answer WHOLE (COUNT(*) from the row-count sidecar,
+    * MIN/MAX of BIGINT columns from footer extrema) with zero filters
+    * pushed → a [[graft.sources.MetaAggScan]]. Any filter disqualifies
+    * (it changes the aggregated set); so does a stale sidecar or a
+    * live deletion vector (the resolver returns None — stats are an
+    * optimization, never a guess). */
   private final class LakeBridgeScanBuilder(
-      delegate: ParquetScanBuilder, metaCount: Option[Long])
+      delegate: ParquetScanBuilder,
+      aggResolver: Aggregation => Option[graft.sources.MetaAggScan])
       extends ScanBuilder with SupportsPushDownCatalystFilters
       with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
     private var sawFilters = false
-    private var countPushed = false
+    private var metaAgg: Option[graft.sources.MetaAggScan] = None
 
     override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
       if (filters.nonEmpty) sawFilters = true
@@ -127,18 +131,14 @@ object ParquetTableBridge {
       delegate.pruneColumns(requiredSchema)
 
     override def supportCompletePushDown(agg: Aggregation): Boolean =
-      canAnswer(agg)
+      !sawFilters && aggResolver(agg).isDefined
     override def pushAggregation(agg: Aggregation): Boolean = {
-      if (!canAnswer(agg)) return false
-      countPushed = true
-      true
+      if (sawFilters) return false
+      metaAgg = aggResolver(agg)
+      metaAgg.isDefined
     }
-    private def canAnswer(agg: Aggregation): Boolean =
-      metaCount.isDefined && !sawFilters &&
-        graft.sources.MetaCountScan.answerable(agg)
 
     override def build(): Scan =
-      if (countPushed) new graft.sources.MetaCountScan(metaCount.get)
-      else delegate.build()
+      metaAgg.getOrElse(delegate.build())
   }
 }

@@ -311,4 +311,44 @@ class LakeCatalogSpec extends AnyFunSuite {
     val (n4, p4) = countPlan()
     assert(n4 === 4L && p4.contains("LocalTableScan"), p4.take(800))
   }
+
+  test("MIN/MAX answer from footer stats; DVs and non-bigint fall back") {
+    val dir = lake()
+    def run(sql: String): (Seq[Any], String) = {
+      val df = spark.sql(sql)
+      (df.collect().head.toSeq, df.queryExecution.executedPlan.toString)
+    }
+    val q = s"SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx, " +
+      s"COUNT(*) AS n FROM lake.`$dir`"
+    // no stats yet: correct via the scan
+    val (v0, p0) = run(q)
+    assert(v0 === Seq(1L, 5L, 5L) && !p0.contains("LocalTableScan"))
+    History.refreshStats(spark, dir, "doc_id"): Unit
+    History.refreshRowCounts(spark, dir): Unit
+    // fresh stats, no DVs: the WHOLE aggregate collapses to metadata
+    val (v1, p1) = run(q)
+    assert(v1 === Seq(1L, 5L, 5L))
+    assert(p1.contains("LocalTableScan") && !p1.contains("Parquet"),
+      p1.take(800))
+    // a non-bigint column in the mix disqualifies the whole push
+    val (v2, p2) = run(s"SELECT MIN(lang) AS ml FROM lake.`$dir`")
+    assert(v2 === Seq("de") && !p2.contains("LocalTableScan"))
+    // a live DV may have deleted the extreme row: MIN/MAX must fall
+    // back to the scan (COUNT alone still answers from metadata)
+    History.deleteKeysDV(spark, dir, "doc_id", Seq(5L)): Unit
+    val (v3, p3) = run(q)
+    assert(v3 === Seq(1L, 4L, 4L), v3)
+    assert(!p3.contains("LocalTableScan"), p3.take(800))
+    val cdf = spark.sql(s"SELECT COUNT(*) AS n FROM lake.`$dir`")
+    assert(cdf.collect().head.getLong(0) === 4L)
+    assert(cdf.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    // folding the vectors restores the metadata extrema path
+    History.materializeDeletes(spark, dir): Unit
+    History.refreshStats(spark, dir, "doc_id"): Unit
+    History.refreshRowCounts(spark, dir): Unit
+    val (v4, p4) = run(q)
+    assert(v4 === Seq(1L, 4L, 4L))
+    assert(p4.contains("LocalTableScan"), p4.take(800))
+  }
 }
