@@ -865,6 +865,31 @@ object HistoryQueries {
       s.sql(s"""SELECT MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
                        COUNT(*) AS n_rows
                 FROM lake.`$dir`""")
+    }),
+
+    // Partition-FILTERED metadata aggregates: each scalar subquery's
+    // predicate is decided per file from its lang=... dir
+    // (PartitionPredicate), so every count/extremum here is a sum over
+    // the SELECTED files' sidecar entries — the `count(*) WHERE dt=…`
+    // dashboard query at metadata cost, zero file scans
+    // (LakeCatalogSpec asserts the plan; this gate pins the VALUES on
+    // the post-delete sharded lake, where a wrong file selection or a
+    // sidecar entry consulted across partitions shifts a number).
+    "h31_sql_partition_count" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.lake",
+        classOf[graft.sources.LakeCatalog].getName)
+      val dir = shardedLake(s, d)
+      graft.sources.History.refreshRowCounts(s, dir): Unit
+      graft.sources.History.refreshStats(s, dir, "doc_id"): Unit
+      s.sql(s"""SELECT
+          (SELECT COUNT(*) FROM lake.`$dir`
+           WHERE lang IN ('en', 'de')) AS n_en_de,
+          (SELECT COUNT(*) FROM lake.`$dir`
+           WHERE lang != 'en') AS n_not_en,
+          (SELECT MIN(doc_id) FROM lake.`$dir`
+           WHERE lang = 'de') AS mn_de,
+          (SELECT MAX(doc_id) FROM lake.`$dir`
+           WHERE lang = 'de') AS mx_de""")
     })
   )
 
@@ -1072,6 +1097,17 @@ object HistoryQueries {
     "h30_sql_fast_minmax" ->
       """SELECT MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
                 COUNT(*) AS n_rows
-         FROM documents"""
+         FROM documents""",
+    "h31_sql_partition_count" ->
+      """WITH live AS (
+           SELECT * FROM documents
+           WHERE NOT (lang = 'en' AND doc_id % 7 = 0)
+         )
+         SELECT
+           (SELECT COUNT(*) FROM live
+            WHERE lang IN ('en', 'de')) AS n_en_de,
+           (SELECT COUNT(*) FROM live WHERE lang != 'en') AS n_not_en,
+           (SELECT MIN(doc_id) FROM live WHERE lang = 'de') AS mn_de,
+           (SELECT MAX(doc_id) FROM live WHERE lang = 'de') AS mx_de"""
   )
 }

@@ -886,17 +886,50 @@ object History {
         throw new IllegalStateException(
           s"fastCount needs a manifest-mode lake: $path"))
     }
+    fastCountFiles(fs, path, m, m.cur)
+  }
+
+  /** [[fastCount]] over an explicit subset of a manifest's current
+    * files — the partition-filtered metadata-aggregate path
+    * (`SELECT count(*) … WHERE dt = …` deciding files from their
+    * `k=v` dirs, [[PartitionPredicate]]). Per-file sidecar row counts
+    * minus the subset's DV cardinalities; None if any subset file
+    * lacks a fresh entry. An empty subset is exactly zero rows. */
+  private[sources] def fastCountFiles(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, m: FileManifest.Manifest,
+      rels: Seq[String]): Option[Long] = {
     val stats = FileStats.read(fs, path)
-    val perFile = m.cur.map(rel =>
+    val perFile = rels.map(rel =>
       stats.get((rel, FileStats.RowsCol)).flatten)
     if (perFile.exists(_.isEmpty)) return None
     val rows = perFile.map(_.get._1).sum
-    val curSet = m.curSet
+    val relSet = rels.toSet
     val dvDeleted = m.dvs.iterator
-      .filter { case (rel, _) => curSet(rel) }
+      .filter { case (rel, _) => relSet(rel) }
       .map { case (_, name) => DeletionVector.cardinality(fs, path, name) }
       .sum
     Some(rows - dvDeleted)
+  }
+
+  /** The current snapshot's FILE inventory — one row per current data
+    * file with its deletion-vector pointer (null = none) and its
+    * sidecar row count (null = not yet refreshed): the table a
+    * maintenance dashboard reads to decide compaction/materialization.
+    * Pure metadata: the cached manifest + the cached stats sidecar,
+    * zero data-file I/O. Surfaced through SQL as
+    * ``lake.`/path#files`` ([[LakeCatalog]]). */
+  def describeFiles(spark: SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = FileManifest.latest(fs, path).getOrElse(
+      throw new IllegalStateException(
+        s"describeFiles needs a manifest-mode lake: $path"))
+    val stats = FileStats.read(fs, path)
+    import spark.implicits._
+    m.cur.sorted.map { rel =>
+      (rel, m.dvs.get(rel),
+        stats.get((rel, FileStats.RowsCol)).flatten.map(_._1))
+    }.toDF("file", "dv_file", "n_rows")
   }
 
   /** Metadata-only MIN/MAX for an INT64-statted column — the second
@@ -925,11 +958,21 @@ object History {
         throw new IllegalStateException(
           s"fastMinMax needs a manifest-mode lake: $path"))
     }
-    if (m.cur.isEmpty) return None
-    val curSet = m.curSet
-    if (m.dvs.exists { case (rel, _) => curSet(rel) }) return None
+    fastMinMaxFiles(fs, path, m, m.cur, column)
+  }
+
+  /** [[fastMinMax]] over an explicit current-file subset (the
+    * partition-filtered path). A live DV ON THE SUBSET disqualifies
+    * (vectors elsewhere cannot move this subset's extrema); an empty
+    * subset bails (the pruned scan's NULL is the honest answer). */
+  private[sources] def fastMinMaxFiles(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, m: FileManifest.Manifest, rels: Seq[String],
+      column: String): Option[(Long, Long)] = {
+    if (rels.isEmpty) return None
+    val relSet = rels.toSet
+    if (m.dvs.exists { case (rel, _) => relSet(rel) }) return None
     val stats = FileStats.read(fs, path)
-    val perFile = m.cur.map(rel => stats.get((rel, column)).flatten)
+    val perFile = rels.map(rel => stats.get((rel, column)).flatten)
     if (perFile.exists(_.isEmpty)) return None
     Some((perFile.map(_.get._1).min, perFile.map(_.get._2).max))
   }

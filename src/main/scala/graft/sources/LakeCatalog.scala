@@ -142,18 +142,28 @@ class LakeCatalog extends TableCatalog {
     val liveDvs = m.dvs.filter { case (rel, _) => curSet(rel) }
     // whole-aggregate metadata answers: COUNT(*) from the row-count
     // sidecar (DV cardinalities netted), MIN/MAX of BIGINT columns
-    // from footer extrema (fastMinMax refuses under live DVs — a
-    // vector may have deleted the extreme row). Resolved lazily per
-    // pushed aggregate; the stats sidecar is cached.
+    // from footer extrema (refused under live DVs on the selected
+    // subset — a vector may have deleted the extreme row). Pushed
+    // filters select a FILE SUBSET when they are partition-decidable
+    // from the `k=v` dirs ([[PartitionPredicate]]) — the
+    // `count(*) WHERE dt = …` dashboard query at metadata cost; any
+    // undecidable filter refuses the whole answer. Resolved lazily
+    // per pushed aggregate; manifest and sidecars are cached.
     val longCols = schema.fields
       .filter(_.dataType == org.apache.spark.sql.types.LongType)
       .map(_.name).toSet
-    val aggResolver: org.apache.spark.sql.connector.expressions.aggregate
-        .Aggregation => Option[MetaAggScan] = agg =>
-      MetaAggScan.resolve(agg, fastCnt,
-        c => if (longCols.contains(c))
-          History.fastMinMax(spark, path, c, Some(m.version))
-        else None)
+    val aggResolver: (org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation, Seq[org.apache.spark.sql.sources.Filter])
+        => Option[MetaAggScan] = (agg, filters) =>
+      PartitionPredicate.select(m.cur, partCols, schema, filters)
+        .flatMap { rels =>
+          MetaAggScan.resolve(agg,
+            count = if (rels.length == m.cur.length) fastCnt
+              else History.fastCountFiles(fs, path, m, rels),
+            minMax = c => if (longCols.contains(c))
+              History.fastMinMaxFiles(fs, path, m, rels, c)
+            else None)
+        }
     if (liveDvs.nonEmpty)
       // merge-on-read: the stock parquet table cannot apply deletion
       // vectors (it would resurrect deleted rows), so DV-bearing
@@ -185,8 +195,44 @@ class LakeCatalog extends TableCatalog {
       .getOrElse(Nil)
   }
 
-  override def loadTable(ident: Identifier): Table =
-    tableAt(ident, None)
+  /** Metadata-table suffixes: ``lake.`/path#history` `` — retained
+    * versions with commit times, file deltas, tags; ``#files`` — the
+    * current snapshot's file inventory (DV pointers, sidecar row
+    * counts); ``#tags`` — name → version pins; ``#constraints`` — the
+    * active CHECK set. All driver-computed from cached manifests and
+    * sidecars: zero data files touched, the standard `table$metadata`
+    * surface of the log-structured formats. */
+  private val metaTables: Map[String,
+      (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "history" -> ((s, p) => History.describeHistory(s, p)),
+    "files" -> ((s, p) => History.describeFiles(s, p)),
+    "tags" -> ((s, p) => {
+      val fs = fsOf(p)
+      val rows = FileManifest.tags(fs, p)
+      import s.implicits._
+      rows.sortBy(_._1).toDF("tag", "version")
+    }),
+    "constraints" -> ((s, p) => {
+      val rows = Constraints.current(fsOf(p), p)
+      import s.implicits._
+      rows.toDF("name", "expression")
+    }))
+
+  override def loadTable(ident: Identifier): Table = {
+    val raw = pathOf(ident)
+    val hash = raw.lastIndexOf('#')
+    val suffix = if (hash < 0) None else Some(raw.substring(hash + 1))
+    suffix.flatMap(sfx => metaTables.get(sfx).map((sfx, _))) match {
+      case Some((sfx, mk)) =>
+        val p = raw.substring(0, hash)
+        if (!FileManifest.enabled(fsOf(p), p))
+          throw new org.apache.spark.sql.catalyst.analysis
+            .NoSuchTableException(ident)
+        val df = () => mk(spark, p)
+        new LakeMetaTable(s"$catalogName.$p#$sfx", df().schema, df)
+      case None => tableAt(ident, None)
+    }
+  }
 
   /** `VERSION AS OF x`: a numeric literal is a manifest version; a
     * string literal is a TAG name ([[FileManifest.tagVersion]]). */
@@ -217,8 +263,15 @@ class LakeCatalog extends TableCatalog {
     tableAt(ident, Some(candidates.max))
   }
 
-  override def tableExists(ident: Identifier): Boolean =
-    FileManifest.enabled(fsOf(pathOf(ident)), pathOf(ident))
+  override def tableExists(ident: Identifier): Boolean = {
+    val raw = pathOf(ident)
+    val hash = raw.lastIndexOf('#')
+    val p = // a known metadata suffix resolves against its base lake
+      if (hash >= 0 && metaTables.contains(raw.substring(hash + 1)))
+        raw.substring(0, hash)
+      else raw
+    FileManifest.enabled(fsOf(p), p)
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     if (namespace.nonEmpty) Array.empty

@@ -173,6 +173,42 @@ private[sources] object LakeFilterSql {
   }
 }
 
+/** A driver-computed METADATA table (`lake.\`/path#history\`` and
+  * friends): rows come from a lake-metadata DataFrame built at scan
+  * time — manifest/sidecar reads only, zero data files. V1Scan
+  * fallback like [[PinnedLakeTable]]; no pushdown surface (these
+  * tables are O(versions)/O(files) rows of metadata, not data). */
+final class LakeMetaTable(tableName: String, tableSchema: StructType,
+                          df: () => DataFrame)
+  extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] = Array.empty
+  override def properties(): java.util.Map[String, String] =
+    java.util.Collections.emptyMap()
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = tableSchema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = tableSchema
+            override def needConversion: Boolean = false
+            override def toString: String = tableName
+            override def buildScan(): RDD[Row] =
+              df().queryExecution.toRdd.asInstanceOf[RDD[Row]]
+          }.asInstanceOf[T]
+        override def description(): String = s"GraftLakeMeta($tableName)"
+      }
+    }
+}
+
 /** SQL table over a pinned manifest snapshot served through the
   * ENGINE's read plan ([[History.readPinned]]) instead of the stock
   * DSv2 parquet table — the path that can apply merge-on-read
@@ -201,7 +237,7 @@ private[sources] object LakeFilterSql {
 final class PinnedLakeTable(
     tableName: String, path: String, version: Long,
     tableSchema: StructType, props: Map[String, String],
-    aggResolver: Aggregation => Option[MetaAggScan],
+    aggResolver: (Aggregation, Seq[Filter]) => Option[MetaAggScan],
     writable: Boolean, partitionCols: Seq[String])
   extends Table with SupportsRead with SupportsWrite {
 
@@ -234,7 +270,7 @@ final class PinnedLakeTable(
 
 private final class PinnedLakeScanBuilder(
     path: String, version: Long, tableSchema: StructType,
-    aggResolver: Aggregation => Option[MetaAggScan])
+    aggResolver: (Aggregation, Seq[Filter]) => Option[MetaAggScan])
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -243,23 +279,31 @@ private final class PinnedLakeScanBuilder(
   private var all: Array[Filter] = Array.empty
   private var metaAgg: Option[MetaAggScan] = None
 
+  /** Filters split by EXACT convertibility: an exactly-convertible
+    * filter is fully handled by the inner plan (its Column image has
+    * identical semantics — the LakeFilterSql contract), so it is NOT
+    * returned for post-scan re-evaluation; that absence is what makes
+    * a filtered aggregate eligible for whole-aggregate pushdown (a
+    * residual Filter node between Aggregate and relation blocks it).
+    * Anything not exactly convertible stays post-scan (and may still
+    * prune via the weaker `prune` image). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     all = filters
-    filters // ALL re-evaluated post-scan: pushed copies only prune
+    filters.filterNot(LakeFilterSql.exact(_, columns).isDefined)
   }
   override def pushedFilters(): Array[Filter] =
-    all.filter(LakeFilterSql.prune(_, columns).isDefined)
+    all.filter(LakeFilterSql.exact(_, columns).isDefined)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  // a WHERE clause (even one fully pushed) changes the aggregated set,
-  // so any filter at all disqualifies the metadata answer
+  // the resolver sees the pushed filters: partition-decidable ones
+  // select a file subset whose sidecar entries answer the aggregate;
+  // anything else returns None and the scan runs
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    all.isEmpty && aggResolver(agg).isDefined
+    aggResolver(agg, all.toSeq).isDefined
   override def pushAggregation(agg: Aggregation): Boolean = {
-    if (all.nonEmpty) return false
-    metaAgg = aggResolver(agg)
+    metaAgg = aggResolver(agg, all.toSeq)
     metaAgg.isDefined
   }
 

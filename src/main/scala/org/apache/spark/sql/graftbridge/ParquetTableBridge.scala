@@ -54,8 +54,8 @@ object ParquetTableBridge {
   def table(name: String, spark: SparkSession, paths: Seq[String],
             basePath: String, schema: Option[StructType],
             extraProperties: Map[String, String] = Map.empty,
-            aggResolver: Aggregation => Option[graft.sources.MetaAggScan] =
-              _ => None,
+            aggResolver: (Aggregation, Seq[org.apache.spark.sql.sources.Filter])
+              => Option[graft.sources.MetaAggScan] = (_, _) => None,
             writeBuilder: Option[LogicalWriteInfo => WriteBuilder] = None)
       : Table = {
     val opts = new java.util.HashMap[String, String]()
@@ -69,7 +69,8 @@ object ParquetTableBridge {
   private final class LakeBridgeTable(
       delegate: ParquetTable,
       extraProperties: Map[String, String],
-      aggResolver: Aggregation => Option[graft.sources.MetaAggScan],
+      aggResolver: (Aggregation, Seq[org.apache.spark.sql.sources.Filter])
+        => Option[graft.sources.MetaAggScan],
       writeBuilder: Option[LogicalWriteInfo => WriteBuilder])
       extends Table
       with org.apache.spark.sql.connector.catalog.SupportsRead
@@ -107,22 +108,28 @@ object ParquetTableBridge {
   /** Forwards the stock builder's pushdown surface untouched; adds one
     * aggregate rule — an ungrouped Aggregation that the lake's
     * metadata can answer WHOLE (COUNT(*) from the row-count sidecar,
-    * MIN/MAX of BIGINT columns from footer extrema) with zero filters
-    * pushed → a [[graft.sources.MetaAggScan]]. Any filter disqualifies
-    * (it changes the aggregated set); so does a stale sidecar or a
-    * live deletion vector (the resolver returns None — stats are an
-    * optimization, never a guess). */
+    * MIN/MAX of BIGINT columns from footer extrema) → a
+    * [[graft.sources.MetaAggScan]]. Pushed filters translate back to
+    * source filters and ride along: PARTITION-decidable predicates
+    * select the file subset whose sidecar entries answer the aggregate
+    * (Spark only attempts aggregate pushdown when no post-scan filter
+    * remains, and the stock builder fully consumes exactly the
+    * partition filters — so what reaches the resolver is decidable or
+    * nothing). A stale sidecar, an untranslatable filter, or a
+    * data-column predicate makes the resolver return None — stats are
+    * an optimization, never a guess. */
   private final class LakeBridgeScanBuilder(
       delegate: ParquetScanBuilder,
-      aggResolver: Aggregation => Option[graft.sources.MetaAggScan])
+      aggResolver: (Aggregation, Seq[org.apache.spark.sql.sources.Filter])
+        => Option[graft.sources.MetaAggScan])
       extends ScanBuilder with SupportsPushDownCatalystFilters
       with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
-    private var sawFilters = false
+    private var pushed: Seq[Expression] = Nil
     private var metaAgg: Option[graft.sources.MetaAggScan] = None
 
     override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
-      if (filters.nonEmpty) sawFilters = true
+      pushed = pushed ++ filters
       delegate.pushFilters(filters)
     }
     override def pushedFilters: Array[Predicate] = delegate.pushedFilters
@@ -130,11 +137,19 @@ object ParquetTableBridge {
     override def pruneColumns(requiredSchema: StructType): Unit =
       delegate.pruneColumns(requiredSchema)
 
+    private def resolve(agg: Aggregation)
+        : Option[graft.sources.MetaAggScan] = {
+      val translated = pushed.map(
+        org.apache.spark.sql.execution.datasources.DataSourceStrategy
+          .translateFilter(_, supportNestedPredicatePushdown = true))
+      if (translated.exists(_.isEmpty)) None
+      else aggResolver(agg, translated.map(_.get))
+    }
+
     override def supportCompletePushDown(agg: Aggregation): Boolean =
-      !sawFilters && aggResolver(agg).isDefined
+      resolve(agg).isDefined
     override def pushAggregation(agg: Aggregation): Boolean = {
-      if (sawFilters) return false
-      metaAgg = aggResolver(agg)
+      metaAgg = resolve(agg)
       metaAgg.isDefined
     }
 

@@ -287,11 +287,12 @@ class LakeCatalogSpec extends AnyFunSuite {
     // answer — no file scan in the plan
     assert(p1.contains("LocalTableScan"), p1.take(800))
     assert(!p1.contains("Parquet"), p1.take(800))
-    // a WHERE clause disqualifies the metadata answer (it changes the
-    // counted set) — falls back to the scan, still correct
+    // a DATA-column WHERE clause disqualifies the metadata answer
+    // (partition-decidable predicates are covered separately) — falls
+    // back to the scan, still correct
     val wdf = spark.sql(
-      s"SELECT COUNT(*) AS n FROM lake.`$dir` WHERE lang = 'en'")
-    assert(wdf.collect().head.getLong(0) === 2L)
+      s"SELECT COUNT(*) AS n FROM lake.`$dir` WHERE n_chars >= 20")
+    assert(wdf.collect().head.getLong(0) === 4L)
     assert(!wdf.queryExecution.executedPlan.toString
       .contains("LocalTableScan"))
     // DV-bearing lake: the metadata count nets out vector
@@ -310,6 +311,103 @@ class LakeCatalogSpec extends AnyFunSuite {
     History.refreshRowCounts(spark, dir): Unit
     val (n4, p4) = countPlan()
     assert(n4 === 4L && p4.contains("LocalTableScan"), p4.take(800))
+  }
+
+  test("partition-decidable filters keep aggregates metadata-only") {
+    val dir = lake() // lang-partitioned: en(2), de(2), fr(1)
+    History.refreshStats(spark, dir, "doc_id"): Unit
+    History.refreshRowCounts(spark, dir): Unit
+    def run(sql: String): (Seq[Any], Boolean) = {
+      val df = spark.sql(sql)
+      (df.collect().head.toSeq,
+        df.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    }
+    // equality, IN, and negation on the partition column: answered
+    // from the selected files' sidecar entries, zero scans
+    val (v1, m1) = run(
+      s"SELECT COUNT(*) AS n FROM lake.`$dir` WHERE lang = 'en'")
+    assert(v1 === Seq(2L) && m1)
+    val (v2, m2) = run(
+      s"SELECT COUNT(*) AS n FROM lake.`$dir` WHERE lang IN ('en', 'de')")
+    assert(v2 === Seq(4L) && m2)
+    val (v3, m3) = run(
+      s"SELECT COUNT(*) AS n FROM lake.`$dir` WHERE lang != 'fr'")
+    assert(v3 === Seq(4L) && m3)
+    // partition-filtered MIN/MAX compose in the same pushed aggregate
+    val (v4, m4) = run(
+      s"SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx, COUNT(*) AS n " +
+        s"FROM lake.`$dir` WHERE lang = 'de'")
+    assert(v4 === Seq(3L, 4L, 2L) && m4)
+    // a DATA-column predicate refuses the metadata answer (scan runs,
+    // result stays exact)
+    val (v5, m5) = run(
+      s"SELECT COUNT(*) AS n FROM lake.`$dir` WHERE n_chars > 15")
+    assert(v5 === Seq(4L) && !m5)
+    // mixed partition+data predicates refuse too
+    val (v6, m6) = run(
+      s"SELECT COUNT(*) AS n FROM lake.`$dir` " +
+        "WHERE lang = 'en' AND n_chars > 15")
+    assert(v6 === Seq(1L) && !m6)
+    // an empty selection is exactly zero — still metadata-only
+    val (v7, m7) = run(
+      s"SELECT COUNT(*) AS n FROM lake.`$dir` WHERE lang = 'xx'")
+    assert(v7 === Seq(0L) && m7)
+    // DV path: a takedown inside one partition nets that partition's
+    // count and refuses extrema there, while other partitions keep
+    // the metadata extrema path
+    History.deleteKeysDV(spark, dir, "doc_id", Seq(1L)): Unit // lang=en
+    val (v8, m8) = run(
+      s"SELECT COUNT(*) AS n FROM lake.`$dir` WHERE lang = 'en'")
+    assert(v8 === Seq(1L) && m8)
+    val (v9, m9) = run(
+      s"SELECT MIN(doc_id) AS mn FROM lake.`$dir` WHERE lang = 'en'")
+    assert(v9 === Seq(2L) && !m9) // vector on the subset: scan decides
+    val (v10, m10) = run(
+      s"SELECT MIN(doc_id) AS mn FROM lake.`$dir` WHERE lang = 'de'")
+    assert(v10 === Seq(3L) && m10) // untouched partition: metadata
+  }
+
+  test("metadata tables: #history, #files, #tags, #constraints via SQL") {
+    val dir = lake()
+    History.tag(spark, dir, "v1-pin"): Unit
+    graft.sources.Constraints.add(spark, dir, "chars_nonneg",
+      "n_chars >= 0"): Unit
+    History.deleteKeysDV(spark, dir, "doc_id", Seq(5L)): Unit
+    History.refreshRowCounts(spark, dir): Unit
+    // #history: one row per retained version, newest carries the DV
+    val hist = spark.sql(
+      s"SELECT version, n_files, tags, n_dv_files FROM lake.`$dir#history` " +
+        "ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    assert(hist.length >= 2)
+    assert(hist.head._3 === "v1-pin" && hist.head._4 === 0L)
+    assert(hist.last._4 === 1L)
+    // #files: current inventory with DV pointer + sidecar row counts
+    val files = spark.sql(
+      s"SELECT file, dv_file, n_rows FROM lake.`$dir#files`")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+    assert(files.nonEmpty && files.forall(_._3.isDefined))
+    assert(files.count(_._2.isDefined) === 1) // exactly one vectored file
+    assert(files.map(_._3.get).sum === 5L)    // sidecar counts pre-DV
+    // #tags and #constraints
+    val tags = spark.sql(s"SELECT tag, version FROM lake.`$dir#tags`")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(tags.toSeq === Seq(("v1-pin", hist.head._1)))
+    val cs = spark.sql(
+      s"SELECT name, expression FROM lake.`$dir#constraints`")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(cs.toSeq === Seq(("chars_nonneg", "n_chars >= 0")))
+    // SQL composes over the metadata: the dashboard join
+    val n = spark.sql(
+      s"""SELECT COUNT(*) FROM lake.`$dir#files` f
+          WHERE f.dv_file IS NOT NULL""").collect().head.getLong(0)
+    assert(n === 1L)
+    // an unknown suffix is just a path that is not a lake
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM lake.`$dir#nope`").collect()
+    }
   }
 
   test("MIN/MAX answer from footer stats; DVs and non-bigint fall back") {
