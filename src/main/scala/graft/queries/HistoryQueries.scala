@@ -890,6 +890,21 @@ object HistoryQueries {
            WHERE lang = 'de') AS mn_de,
           (SELECT MAX(doc_id) FROM lake.`$dir`
            WHERE lang = 'de') AS mx_de""")
+    }),
+
+    // GROUP BY a partition column from metadata: every lang group's
+    // count is the sum of ITS dirs' sidecar entries — the per-day /
+    // per-source dashboard breakdown at metadata cost, one
+    // LocalTableScan row per partition (plan asserted in
+    // LakeCatalogSpec). A file grouped under the wrong dir value or a
+    // count bled across partitions shifts a row and fails the hash.
+    "h32_sql_groupby_meta" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.lake",
+        classOf[graft.sources.LakeCatalog].getName)
+      val dir = shardedLake(s, d)
+      graft.sources.History.refreshRowCounts(s, dir): Unit
+      s.sql(s"""SELECT lang, COUNT(*) AS n_docs
+                FROM lake.`$dir` GROUP BY lang""")
     })
   )
 
@@ -1108,6 +1123,10 @@ object HistoryQueries {
             WHERE lang IN ('en', 'de')) AS n_en_de,
            (SELECT COUNT(*) FROM live WHERE lang != 'en') AS n_not_en,
            (SELECT MIN(doc_id) FROM live WHERE lang = 'de') AS mn_de,
-           (SELECT MAX(doc_id) FROM live WHERE lang = 'de') AS mx_de"""
+           (SELECT MAX(doc_id) FROM live WHERE lang = 'de') AS mx_de""",
+    "h32_sql_groupby_meta" ->
+      """SELECT lang, COUNT(*) AS n_docs FROM documents
+         WHERE NOT (lang = 'en' AND doc_id % 7 = 0)
+         GROUP BY lang"""
   )
 }

@@ -157,12 +157,69 @@ class LakeCatalog extends TableCatalog {
         => Option[MetaAggScan] = (agg, filters) =>
       PartitionPredicate.select(m.cur, partCols, schema, filters)
         .flatMap { rels =>
-          MetaAggScan.resolve(agg,
-            count = if (rels.length == m.cur.length) fastCnt
-              else History.fastCountFiles(fs, path, m, rels),
+          def funcsOver(sel: Seq[String]) = MetaAggScan.resolveFuncs(agg,
+            count = if (sel.length == m.cur.length) fastCnt
+              else History.fastCountFiles(fs, path, m, sel),
             minMax = c => if (longCols.contains(c))
-              History.fastMinMaxFiles(fs, path, m, rels, c)
+              History.fastMinMaxFiles(fs, path, m, sel, c)
             else None)
+          val groupRefs = agg.groupByExpressions().toSeq
+            .map(MetaAggScan.colName)
+          if (groupRefs.isEmpty)
+            funcsOver(rels).map { case (fields, values) =>
+              new MetaAggScan(org.apache.spark.sql.types
+                .StructType(fields), Array(values.toArray))
+            }
+          else if (groupRefs.exists(_.isEmpty) ||
+              !groupRefs.flatten.forall(partCols.contains)) None
+          else {
+            // GROUP BY partition columns: each selected file belongs
+            // wholesale to the group its dirs spell, so every group's
+            // aggregate is a sum over ITS files' sidecar entries —
+            // per-day/per-lang dashboard counts at metadata cost. The
+            // null group (__HIVE_DEFAULT_PARTITION__) is a real group;
+            // an empty selection yields zero groups, exactly like the
+            // pruned scan.
+            val gcols = groupRefs.flatten
+            val types = schema.fields.map(f => f.name -> f.dataType).toMap
+            val decoded: Seq[Option[(Seq[Any], String)]] = rels.map { rel =>
+              PartitionPredicate.partitionValues(rel).flatMap { vals =>
+                val tup = gcols.map(c => vals.get(c).flatMap(raw =>
+                  types.get(c).flatMap(dt =>
+                    PartitionPredicate.catalystValue(raw, dt))))
+                if (tup.exists(_.isEmpty)) None
+                else Some((tup.map(_.get), rel))
+              }
+            }
+            if (decoded.exists(_.isEmpty)) None
+            else {
+              val gFields = gcols.map(c =>
+                org.apache.spark.sql.types.StructField(
+                  c, types(c), nullable = true))
+              val groups = decoded.map(_.get)
+                .groupBy(_._1).toSeq
+                .sortBy(_._1.map(String.valueOf(_)).mkString("|"))
+              if (groups.isEmpty)
+                // zero selected files ⇒ zero groups (exactly the
+                // pruned scan's answer); the schema still needs the
+                // function fields — derive them over the empty subset
+                funcsOver(Nil).map { case (fields, _) =>
+                  new MetaAggScan(org.apache.spark.sql.types
+                    .StructType(gFields ++ fields), Array.empty)
+                }
+              else {
+                val rows = groups.map { case (tup, members) =>
+                  funcsOver(members.map(_._2))
+                    .map(fv => (fv._1, tup ++ fv._2))
+                }
+                if (rows.exists(_.isEmpty)) None
+                else Some(new MetaAggScan(
+                  org.apache.spark.sql.types.StructType(
+                    gFields ++ rows.head.get._1),
+                  rows.map(_.get._2.toArray).toArray))
+              }
+            }
+          }
         }
     if (liveDvs.nonEmpty)
       // merge-on-read: the stock parquet table cannot apply deletion

@@ -60,28 +60,36 @@ object LakeSqlWrite {
   * file scans, zero tasks (COUNT from [[History.fastCount]]'s footer
   * row counts minus live DV cardinalities; MIN/MAX from
   * [[History.fastMinMax]]'s per-file footer extrema). */
-final class MetaAggScan(schema: StructType, values: Array[Any])
+final class MetaAggScan(schema: StructType, data: Array[Array[Any]])
     extends LocalScan {
   override def readSchema(): StructType = schema
   override def rows(): Array[InternalRow] =
-    Array(InternalRow.fromSeq(values.toIndexedSeq))
+    data.map(vs => InternalRow.fromSeq(vs.toIndexedSeq))
   override def description(): String =
-    s"GraftMetaAgg(${values.mkString(", ")})"
+    s"GraftMetaAgg(${data.length} rows)"
 }
 
 object MetaAggScan {
 
-  /** Resolve an entire pushed Aggregation from metadata, or None —
-    * ALL functions must answer (a half-answered aggregate cannot be
-    * stitched), grouping must be empty, and the caller has already
-    * ruled out filters. `count` answers COUNT(*); `minMax` answers
-    * MIN/MAX for a named top-level column, or None when the column is
-    * unstatted / not BIGINT / the lake carries live deletion vectors
-    * (a vector may have deleted the extreme row — unlike COUNT,
-    * extrema cannot be netted from cardinalities). */
+  /** Resolve an UNGROUPED pushed Aggregation from metadata, or None.
+    * `count` answers COUNT(*); `minMax` answers MIN/MAX for a named
+    * top-level column, or None when the column is unstatted / not
+    * BIGINT / the selection carries live deletion vectors (a vector
+    * may have deleted the extreme row — unlike COUNT, extrema cannot
+    * be netted from cardinalities). */
   def resolve(agg: Aggregation, count: => Option[Long],
               minMax: String => Option[(Long, Long)]): Option[MetaAggScan] = {
     if (agg.groupByExpressions().nonEmpty) return None
+    resolveFuncs(agg, count, minMax).map { case (fields, values) =>
+      new MetaAggScan(StructType(fields), Array(values.toArray))
+    }
+  }
+
+  /** The per-function half: ALL functions must answer (a half-answered
+    * aggregate cannot be stitched onto a scan). */
+  def resolveFuncs(agg: Aggregation, count: => Option[Long],
+                   minMax: String => Option[(Long, Long)])
+      : Option[(Seq[StructField], Seq[Any])] = {
     val funcs = agg.aggregateExpressions()
     if (funcs.isEmpty) return None
     val resolved: Seq[Option[(StructField, Any)]] =
@@ -100,12 +108,11 @@ object MetaAggScan {
         case _ => None // SUM/AVG/COUNT(col): no metadata answer
       }
     if (resolved.exists(_.isEmpty)) None
-    else Some(new MetaAggScan(StructType(resolved.map(_.get._1)),
-      resolved.map(_.get._2).toArray))
+    else Some((resolved.map(_.get._1), resolved.map(_.get._2)))
   }
 
-  private def colName(
-      e: org.apache.spark.sql.connector.expressions.Expression)
+  /** The single top-level column a connector expression names. */
+  def colName(e: org.apache.spark.sql.connector.expressions.Expression)
       : Option[String] = e match {
     case n: org.apache.spark.sql.connector.expressions.NamedReference
         if n.fieldNames().length == 1 =>

@@ -57,6 +57,31 @@ object PartitionPredicate {
     })
   }
 
+  /** A file's decoded partition values — public for the grouped
+    * metadata-aggregate path (`GROUP BY <partition col>` answered
+    * per dir). */
+  def partitionValues(rel: String): Option[Map[String, Option[String]]] =
+    valuesOf(rel)
+
+  /** Decode a dir-encoded partition value to its CATALYST form under
+    * the column's type (None = not safely decodable — bail). A null
+    * partition value (`__HIVE_DEFAULT_PARTITION__`) decodes to
+    * catalyst null: the null group is a real group. */
+  def catalystValue(raw: Option[String], dt: DataType): Option[Any] =
+    raw match {
+      case None => Some(null)
+      case Some(s) => dt match {
+        case _: StringType =>
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        case _: LongType => s.toLongOption
+        case _: IntegerType => s.toIntOption
+        case _: DateType =>
+          try Some(java.time.LocalDate.parse(s).toEpochDay.toInt)
+          catch { case _: Exception => None }
+        case _ => None
+      }
+    }
+
   /** Parse a file's `k=v` path segments (Hive-escaped) to values;
     * None when a segment fails to parse. Missing keys read as absent
     * (eval bails on them). */

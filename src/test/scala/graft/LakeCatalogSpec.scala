@@ -367,6 +367,49 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(v10 === Seq(3L) && m10) // untouched partition: metadata
   }
 
+  test("GROUP BY a partition column answers per-dir from metadata") {
+    val dir = lake() // lang-partitioned: en(2), de(2), fr(1)
+    History.refreshStats(spark, dir, "doc_id"): Unit
+    History.refreshRowCounts(spark, dir): Unit
+    def run(sql: String)
+        : (Seq[(String, Seq[Any])], Boolean) = {
+      val df = spark.sql(sql)
+      (df.collect().map(r =>
+          (r.getString(0), r.toSeq.drop(1))).sortBy(_._1).toSeq,
+        df.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    }
+    // per-lang counts: one metadata row per partition dir, zero scans
+    val (v1, m1) = run(
+      s"SELECT lang, COUNT(*) AS n FROM lake.`$dir` GROUP BY lang")
+    assert(v1 === Seq(("de", Seq(2L)), ("en", Seq(2L)), ("fr", Seq(1L))))
+    assert(m1)
+    // grouped extrema + count compose; filters compose too
+    val (v2, m2) = run(
+      s"SELECT lang, MIN(doc_id) AS mn, MAX(doc_id) AS mx, " +
+        s"COUNT(*) AS n FROM lake.`$dir` " +
+        "WHERE lang != 'fr' GROUP BY lang")
+    assert(v2 === Seq(("de", Seq(3L, 4L, 2L)), ("en", Seq(1L, 2L, 2L))))
+    assert(m2)
+    // grouping by a DATA column refuses (scan runs, stays exact)
+    val df3 = spark.sql(
+      s"SELECT n_chars, COUNT(*) AS n FROM lake.`$dir` GROUP BY n_chars")
+    assert(!df3.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(df3.collect().length === 5)
+    // a DV nets its partition's count per group and refuses extrema
+    History.deleteKeysDV(spark, dir, "doc_id", Seq(3L)): Unit // lang=de
+    val (v4, m4) = run(
+      s"SELECT lang, COUNT(*) AS n FROM lake.`$dir` GROUP BY lang")
+    assert(v4 === Seq(("de", Seq(1L)), ("en", Seq(2L)), ("fr", Seq(1L))))
+    assert(m4)
+    val df5 = spark.sql(
+      s"SELECT lang, MIN(doc_id) AS mn FROM lake.`$dir` GROUP BY lang")
+    assert(!df5.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(df5.collect().map(r => (r.getString(0), r.getLong(1))).sorted
+      .toSeq === Seq(("de", 4L), ("en", 1L), ("fr", 5L)))
+  }
+
   test("metadata tables: #history, #files, #tags, #constraints via SQL") {
     val dir = lake()
     History.tag(spark, dir, "v1-pin"): Unit
