@@ -47,7 +47,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * metadata), never a data-file listing; `listTables` is empty because
   * lake paths are not enumerable from nothing.
   */
-class LakeCatalog extends TableCatalog {
+class LakeCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = "lake"
   /** Friendly-name aliases from catalog options:
@@ -335,6 +336,19 @@ class LakeCatalog extends TableCatalog {
     else aliases.keys.toArray.sorted
       .map(a => Identifier.of(Array.empty, a)) // configured aliases only —
       // bare lake paths are not enumerable from nothing
+
+  /** SQL `CALL lake.vacuum('/path', …)` — the maintenance surface
+    * ([[LakeProcedures]]): every lifecycle operator the daemon runs,
+    * callable from a SQL-only session, one implementation. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    LakeProcedures.load(ident).getOrElse(
+      throw new RuntimeException(
+        s"unknown lake procedure '${ident.name()}'; have: " +
+          LakeProcedures.list(Array.empty).map(_.name()).mkString(", ")))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    LakeProcedures.list(namespace)
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(

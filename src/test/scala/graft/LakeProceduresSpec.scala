@@ -1,0 +1,123 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.{FileManifest, History, LakeCatalog}
+
+/** SQL `CALL` maintenance surface ([[graft.sources.LakeProcedures]]):
+  * every lifecycle operator runs from a SQL-only session through the
+  * SAME engine implementation, returns its result counters as rows,
+  * and composes with the rest of the SQL surface (constraints declared
+  * via CALL bounce a violating INSERT; a CALL'd tag serves time
+  * travel; a CALL'd vacuum respects it). */
+class LakeProceduresSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = SparkTestBase.spark
+    s.conf.set("spark.sql.catalog.lake", classOf[LakeCatalog].getName)
+    s
+  }
+
+  private def fsOf(dir: String) =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  private def lake(): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-callproc").toString + "/lake"
+    Seq((1L, "en", 10L), (2L, "en", 20L), (3L, "de", 30L),
+        (4L, "de", 40L), (5L, "fr", 50L))
+      .toDF("doc_id", "lang", "n_chars")
+      .repartition(col("lang"))
+      .write.partitionBy("lang").parquet(dir)
+    History.enableManifests(spark, dir): Unit
+    dir
+  }
+
+  private def call(sql: String): Seq[Any] =
+    spark.sql(sql).collect().head.toSeq
+
+  test("stats/rowcount/key-index refreshes run via CALL") {
+    val dir = lake()
+    assert(call(s"CALL lake.refresh_row_counts('$dir')") === Seq(3))
+    assert(call(s"CALL lake.refresh_stats('$dir', 'doc_id')") === Seq(3))
+    assert(call(s"CALL lake.refresh_key_index('$dir', 'doc_id')").head
+      .asInstanceOf[Int] >= 1)
+    // the refreshed sidecar serves the metadata COUNT(*) immediately
+    val df = spark.sql(s"SELECT COUNT(*) AS n FROM lake.`$dir`")
+    assert(df.collect().head.getLong(0) === 5L)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    // the system namespace spelling works too
+    assert(call(s"CALL lake.system.refresh_row_counts('$dir')") === Seq(0))
+  }
+
+  test("tag + restore + vacuum lifecycle via CALL") {
+    val dir = lake()
+    val v1 = FileManifest.latest(fsOf(dir), dir).get.version
+    assert(call(s"CALL lake.tag('$dir', 'pre-delete')") === Seq(v1))
+    History.deleteWhere(spark, dir, col("doc_id") === 2L): Unit
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM lake.`$dir`")
+      .collect().head.getLong(0) === 4L)
+    // restore by CALL: metadata-only rollback
+    val restored = call(s"CALL lake.restore('$dir', $v1)")
+    assert(restored.head.asInstanceOf[Long] > v1)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM lake.`$dir`")
+      .collect().head.getLong(0) === 5L)
+    // vacuum by CALL (grace 0): reclaims the undone delete's files but
+    // keeps the tag's pinned snapshot readable
+    History.deleteWhere(spark, dir, col("doc_id") === 5L): Unit
+    val Seq(files, versions) = call(s"CALL lake.vacuum('$dir', 0)")
+    assert(files.asInstanceOf[Int] >= 1 || versions.asInstanceOf[Int] >= 1)
+    assert(spark.sql(
+      s"SELECT COUNT(*) AS n FROM lake.`$dir` VERSION AS OF 'pre-delete'")
+      .collect().head.getLong(0) === 5L)
+  }
+
+  test("constraints declared via CALL bounce a violating SQL INSERT") {
+    val dir = lake()
+    val v = call(
+      s"CALL lake.add_constraint('$dir', 'chars_nonneg', 'n_chars >= 0')")
+    assert(v === Seq(1L))
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO lake.`$dir` VALUES (9, -1, 'en')")
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.toString).mkString(" | ")
+    assert(chain(e).contains("chars_nonneg"), chain(e))
+    assert(call(s"CALL lake.drop_constraint('$dir', 'chars_nonneg')") ===
+      Seq(2L))
+    spark.sql(s"INSERT INTO lake.`$dir` VALUES (9, -1, 'en')")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM lake.`$dir`")
+      .collect().head.getLong(0) === 6L)
+  }
+
+  test("DV folding and compaction via CALL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-callproc2").toString + "/lake"
+    (0L until 40L).map(i => (i, s"p$i")).toDF("id", "v")
+      .repartition(8).write.parquet(dir)
+    History.enableManifests(spark, dir): Unit
+    History.deleteKeysDV(spark, dir, "id", Seq(3L, 17L)): Unit
+    assert(FileManifest.latest(fsOf(dir), dir).get.dvs.nonEmpty)
+    val Seq(rewritten, dropped) =
+      call(s"CALL lake.materialize_deletes('$dir', 1)")
+    assert(rewritten.asInstanceOf[Int] >= 1 &&
+      dropped.asInstanceOf[Long] === 2L)
+    assert(FileManifest.latest(fsOf(dir), dir).get.dvs.isEmpty)
+    val Seq(dirsPacked, _) =
+      call(s"CALL lake.bin_pack('$dir', ${256L * 1024 * 1024}, 2)")
+    assert(dirsPacked.asInstanceOf[Int] >= 1)
+    assert(History.readPinned(spark, dir).count() === 38L)
+    // unknown procedures fail loudly (Spark wraps in
+    // FAILED_TO_LOAD_ROUTINE; our inventory message rides the cause)
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL lake.frobnicate('$dir')")
+    }
+    val chain2 = Iterator.iterate(e2: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.toString).mkString(" | ")
+    assert(chain2.contains("frobnicate"), chain2)
+  }
+}
