@@ -152,12 +152,18 @@ private[ext] object IndexReplay {
     val lim =
       if (max >= Int.MaxValue.toLong) Int.MaxValue
       else (max + 1).toInt
+    // persisted across the guard count and the collect — two actions
+    // over the same distinct would otherwise run the feed's most
+    // expensive stage twice on every tick
     val dk = df.select(col(keyCol)).distinct().limit(lim)
-    if (max < Int.MaxValue.toLong && dk.count() > max)
-      throw new IllegalArgumentException(
-        s"requirement failed: tick window touches > $what=$max keys — " +
-          "re-bootstrap instead of replaying a mass change")
-    dk.collect().map(_.get(0)).toSeq
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (max < Int.MaxValue.toLong && dk.count() > max)
+        throw new IllegalArgumentException(
+          s"requirement failed: tick window touches > $what=$max keys — " +
+            "re-bootstrap instead of replaying a mass change")
+      dk.collect().map(_.get(0)).toSeq
+    } finally dk.unpersist(blocking = false): Unit
   }
 
   /** THE shared tick driver — the whole undo-then-apply replay

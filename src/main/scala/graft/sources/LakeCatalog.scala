@@ -156,72 +156,13 @@ class LakeCatalog extends TableCatalog
     val aggResolver: (org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation, Seq[org.apache.spark.sql.sources.Filter])
         => Option[MetaAggScan] = (agg, filters) =>
-      PartitionPredicate.select(m.cur, partCols, schema, filters)
-        .flatMap { rels =>
-          def funcsOver(sel: Seq[String]) = MetaAggScan.resolveFuncs(agg,
-            count = if (sel.length == m.cur.length) fastCnt
-              else History.fastCountFiles(fs, path, m, sel),
-            minMax = c => if (longCols.contains(c))
-              History.fastMinMaxFiles(fs, path, m, sel, c)
-            else None)
-          val groupRefs = agg.groupByExpressions().toSeq
-            .map(MetaAggScan.colName)
-          if (groupRefs.isEmpty)
-            funcsOver(rels).map { case (fields, values) =>
-              new MetaAggScan(org.apache.spark.sql.types
-                .StructType(fields), Array(values.toArray))
-            }
-          else if (groupRefs.exists(_.isEmpty) ||
-              !groupRefs.flatten.forall(partCols.contains)) None
-          else {
-            // GROUP BY partition columns: each selected file belongs
-            // wholesale to the group its dirs spell, so every group's
-            // aggregate is a sum over ITS files' sidecar entries —
-            // per-day/per-lang dashboard counts at metadata cost. The
-            // null group (__HIVE_DEFAULT_PARTITION__) is a real group;
-            // an empty selection yields zero groups, exactly like the
-            // pruned scan.
-            val gcols = groupRefs.flatten
-            val types = schema.fields.map(f => f.name -> f.dataType).toMap
-            val decoded: Seq[Option[(Seq[Any], String)]] = rels.map { rel =>
-              PartitionPredicate.partitionValues(rel).flatMap { vals =>
-                val tup = gcols.map(c => vals.get(c).flatMap(raw =>
-                  types.get(c).flatMap(dt =>
-                    PartitionPredicate.catalystValue(raw, dt))))
-                if (tup.exists(_.isEmpty)) None
-                else Some((tup.map(_.get), rel))
-              }
-            }
-            if (decoded.exists(_.isEmpty)) None
-            else {
-              val gFields = gcols.map(c =>
-                org.apache.spark.sql.types.StructField(
-                  c, types(c), nullable = true))
-              val groups = decoded.map(_.get)
-                .groupBy(_._1).toSeq
-                .sortBy(_._1.map(String.valueOf(_)).mkString("|"))
-              if (groups.isEmpty)
-                // zero selected files ⇒ zero groups (exactly the
-                // pruned scan's answer); the schema still needs the
-                // function fields — derive them over the empty subset
-                funcsOver(Nil).map { case (fields, _) =>
-                  new MetaAggScan(org.apache.spark.sql.types
-                    .StructType(gFields ++ fields), Array.empty)
-                }
-              else {
-                val rows = groups.map { case (tup, members) =>
-                  funcsOver(members.map(_._2))
-                    .map(fv => (fv._1, tup ++ fv._2))
-                }
-                if (rows.exists(_.isEmpty)) None
-                else Some(new MetaAggScan(
-                  org.apache.spark.sql.types.StructType(
-                    gFields ++ rows.head.get._1),
-                  rows.map(_.get._2.toArray).toArray))
-              }
-            }
-          }
-        }
+      MetaAggScan.resolveWithGrouping(agg, filters, m.cur, partCols,
+        schema, sel => MetaAggScan.resolveFuncs(agg,
+          count = if (sel.length == m.cur.length) fastCnt
+            else History.fastCountFiles(fs, path, m, sel),
+          minMax = c => if (longCols.contains(c))
+            History.fastMinMaxFiles(fs, path, m, sel, c)
+          else None))
     if (liveDvs.nonEmpty)
       // merge-on-read: the stock parquet table cannot apply deletion
       // vectors (it would resurrect deleted rows), so DV-bearing
@@ -260,34 +201,50 @@ class LakeCatalog extends TableCatalog
     * active CHECK set. All driver-computed from cached manifests and
     * sidecars: zero data files touched, the standard `table$metadata`
     * surface of the log-structured formats. */
-  private val metaTables: Map[String,
-      (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
-    "history" -> ((s, p) => History.describeHistory(s, p)),
-    "files" -> ((s, p) => History.describeFiles(s, p)),
-    "tags" -> ((s, p) => {
-      val fs = fsOf(p)
-      val rows = FileManifest.tags(fs, p)
-      import s.implicits._
-      rows.sortBy(_._1).toDF("tag", "version")
-    }),
-    "constraints" -> ((s, p) => {
-      val rows = Constraints.current(fsOf(p), p)
-      import s.implicits._
-      rows.toDF("name", "expression")
-    }))
+  private val metaTables: Map[String, (StructType,
+      (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
+    import org.apache.spark.sql.types._
+    def st(fields: (String, DataType)*): StructType =
+      StructType(fields.map { case (n, dt) => StructField(n, dt) })
+    // schemas are STATIC (drift-guarded in LakeCatalogSpec): building
+    // the frame just to read its shape would walk every retained
+    // manifest at each table resolution
+    Map(
+      "history" -> ((st("version" -> LongType, "committed_at" -> LongType,
+          "n_files" -> LongType, "n_retired" -> LongType,
+          "n_added" -> LongType, "n_removed" -> LongType,
+          "tags" -> StringType, "n_dv_files" -> LongType),
+        (s: SparkSession, p: String) => History.describeHistory(s, p))),
+      "files" -> ((st("file" -> StringType, "dv_file" -> StringType,
+          "n_rows" -> LongType),
+        (s: SparkSession, p: String) => History.describeFiles(s, p))),
+      "tags" -> ((st("tag" -> StringType, "version" -> LongType),
+        (s: SparkSession, p: String) => {
+          val rows = FileManifest.tags(fsOf(p), p)
+          import s.implicits._
+          rows.sortBy(_._1).toDF("tag", "version")
+        })),
+      "constraints" -> ((st("name" -> StringType,
+          "expression" -> StringType),
+        (s: SparkSession, p: String) => {
+          val rows = Constraints.current(fsOf(p), p)
+          import s.implicits._
+          rows.toDF("name", "expression")
+        })))
+  }
 
   override def loadTable(ident: Identifier): Table = {
     val raw = pathOf(ident)
     val hash = raw.lastIndexOf('#')
     val suffix = if (hash < 0) None else Some(raw.substring(hash + 1))
     suffix.flatMap(sfx => metaTables.get(sfx).map((sfx, _))) match {
-      case Some((sfx, mk)) =>
+      case Some((sfx, (schema, mk))) =>
         val p = raw.substring(0, hash)
         if (!FileManifest.enabled(fsOf(p), p))
           throw new org.apache.spark.sql.catalyst.analysis
             .NoSuchTableException(ident)
-        val df = () => mk(spark, p)
-        new LakeMetaTable(s"$catalogName.$p#$sfx", df().schema, df)
+        new LakeMetaTable(s"$catalogName.$p#$sfx", schema,
+          () => mk(spark, p))
       case None => tableAt(ident, None)
     }
   }

@@ -119,6 +119,70 @@ object MetaAggScan {
       Some(n.fieldNames()(0))
     case _ => None
   }
+
+  /** The COMPLETE metadata-aggregate resolution: pushed filters select
+    * a file subset when partition-decidable ([[PartitionPredicate]]),
+    * then either the ungrouped functions answer over that subset, or —
+    * when every grouping key is a partition column — each group's
+    * functions answer over ITS files (a file belongs wholesale to the
+    * group its `k=v` dirs spell). `funcs` evaluates the aggregate
+    * functions over a file subset (the caller binds it to the lake's
+    * sidecar readers); group keys decode type-exactly to catalyst
+    * values, `__HIVE_DEFAULT_PARTITION__` is the null group, and any
+    * doubt anywhere returns None — the scan is always the fallback. */
+  def resolveWithGrouping(agg: Aggregation,
+      filters: Seq[sources.Filter], cur: Seq[String],
+      partCols: Seq[String], schema: StructType,
+      funcs: Seq[String] => Option[(Seq[StructField], Seq[Any])])
+      : Option[MetaAggScan] =
+    PartitionPredicate.select(cur, partCols, schema, filters)
+      .flatMap { rels =>
+        val groupRefs = agg.groupByExpressions().toSeq.map(colName)
+        if (groupRefs.isEmpty)
+          funcs(rels).map { case (fields, values) =>
+            new MetaAggScan(StructType(fields), Array(values.toArray))
+          }
+        else if (groupRefs.exists(_.isEmpty) ||
+            !groupRefs.flatten.forall(partCols.contains)) None
+        else {
+          val gcols = groupRefs.flatten
+          val types = schema.fields.map(f => f.name -> f.dataType).toMap
+          val decoded: Seq[Option[(Seq[Any], String)]] = rels.map { rel =>
+            PartitionPredicate.partitionValues(rel).flatMap { vals =>
+              val tup = gcols.map(c => vals.get(c).flatMap(raw =>
+                types.get(c).flatMap(dt =>
+                  PartitionPredicate.catalystValue(raw, dt))))
+              if (tup.exists(_.isEmpty)) None
+              else Some((tup.map(_.get), rel))
+            }
+          }
+          if (decoded.exists(_.isEmpty)) None
+          else {
+            val gFields = gcols.map(c =>
+              StructField(c, types(c), nullable = true))
+            val groups = decoded.map(_.get)
+              .groupBy(_._1).toSeq
+              .sortBy(_._1.map(String.valueOf(_)).mkString("|"))
+            if (groups.isEmpty)
+              // zero selected files ⇒ zero groups (exactly the pruned
+              // scan's answer); the schema still needs the function
+              // fields — derive them over the empty subset
+              funcs(Nil).map { case (fields, _) =>
+                new MetaAggScan(StructType(gFields ++ fields),
+                  Array.empty)
+              }
+            else {
+              val rows = groups.map { case (tup, members) =>
+                funcs(members.map(_._2)).map(fv => (fv._1, tup ++ fv._2))
+              }
+              if (rows.exists(_.isEmpty)) None
+              else Some(new MetaAggScan(
+                StructType(gFields ++ rows.head.get._1),
+                rows.map(_.get._2.toArray).toArray))
+            }
+          }
+        }
+      }
 }
 
 /** Exact translations from DSv2 [[sources.Filter]]s back to `Column`
@@ -306,31 +370,44 @@ private final class PinnedLakeScanBuilder(
 
   // the resolver sees the pushed filters: partition-decidable ones
   // select a file subset whose sidecar entries answer the aggregate;
-  // anything else returns None and the scan runs
+  // anything else returns None and the scan runs. Memoized per
+  // aggregate — Spark probes supportCompletePushDown then pushes, and
+  // each resolution walks O(files) metadata.
+  private var lastResolved: Option[(Aggregation, Option[MetaAggScan])] = None
+  private def resolve(agg: Aggregation): Option[MetaAggScan] =
+    lastResolved match {
+      case Some((a, r)) if a == agg => r
+      case _ =>
+        val r = aggResolver(agg, all.toSeq)
+        lastResolved = Some((agg, r))
+        r
+    }
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    aggResolver(agg, all.toSeq).isDefined
+    resolve(agg).isDefined
   override def pushAggregation(agg: Aggregation): Boolean = {
-    metaAgg = aggResolver(agg, all.toSeq)
+    metaAgg = resolve(agg)
     metaAgg.isDefined
   }
 
   override def build(): Scan =
-    metaAgg.getOrElse(new PinnedLakeScan(path, version, required, all))
+    metaAgg.getOrElse(new PinnedLakeScan(path, version, required,
+      all.filter(LakeFilterSql.exact(_, columns).isDefined),
+      all.filterNot(LakeFilterSql.exact(_, columns).isDefined)))
 }
 
 private final class PinnedLakeScan(
     path: String, version: Long, required: StructType,
-    filters: Array[Filter]) extends V1Scan {
+    handled: Array[Filter], residual: Array[Filter]) extends V1Scan {
 
   override def readSchema(): StructType = required
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    new PinnedLakeRelation(context, path, version, required, filters)
-      .asInstanceOf[T]
+    new PinnedLakeRelation(context, path, version, required,
+      handled, residual).asInstanceOf[T]
 
   override def description(): String = {
-    val pushed = filters.mkString(", ")
+    val pushed = (handled ++ residual).mkString(", ")
     s"GraftPinnedLake $path@v$version PushedFilters: [$pushed], " +
       s"ReadSchema: ${required.catalogString}"
   }
@@ -338,7 +415,8 @@ private final class PinnedLakeScan(
 
 private final class PinnedLakeRelation(
     context: SQLContext, path: String, version: Long,
-    required: StructType, filters: Array[Filter])
+    required: StructType, handled: Array[Filter],
+    residual: Array[Filter])
   extends BaseRelation with TableScan {
 
   override def sqlContext: SQLContext = context
@@ -352,8 +430,20 @@ private final class PinnedLakeRelation(
     val spark = context.sparkSession
     val base = History.readPinned(spark, path, version)
     val names = base.columns.toSet
-    val filtered = filters
-      .flatMap(LakeFilterSql.prune(_, names))
+    // HANDLED filters were reported fully consumed at analysis (Spark
+    // re-evaluates nothing above) — a failed re-conversion here (the
+    // lake's declared schema changed between analysis and execution)
+    // must fail LOUDLY: silently dropping one would return unfiltered
+    // rows as if they matched
+    val handledCols = handled.map { f =>
+      LakeFilterSql.exact(f, names).getOrElse(
+        throw new IllegalStateException(
+          s"pushed filter $f no longer converts against $path@v$version" +
+            " (schema changed since analysis) — re-run the query"))
+    }
+    // residual filters re-evaluate above; their weaker images only prune
+    val filtered = (handledCols ++ residual.flatMap(
+        LakeFilterSql.prune(_, names)))
       .foldLeft(base)(_.filter(_))
     val pruned = filtered.select(
       required.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)

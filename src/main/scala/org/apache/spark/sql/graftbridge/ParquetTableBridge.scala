@@ -137,20 +137,35 @@ object ParquetTableBridge {
     override def pruneColumns(requiredSchema: StructType): Unit =
       delegate.pruneColumns(requiredSchema)
 
+    // memoized per aggregate: Spark probes supportCompletePushDown
+    // then pushes, and each resolution re-translates the pushed
+    // filters and walks O(files) metadata
+    private var lastResolved: Option[(Aggregation,
+      Option[graft.sources.MetaAggScan])] = None
     private def resolve(agg: Aggregation)
-        : Option[graft.sources.MetaAggScan] = {
-      val translated = pushed.map(
-        org.apache.spark.sql.execution.datasources.DataSourceStrategy
-          .translateFilter(_, supportNestedPredicatePushdown = true))
-      if (translated.exists(_.isEmpty)) None
-      else aggResolver(agg, translated.map(_.get))
-    }
+        : Option[graft.sources.MetaAggScan] =
+      lastResolved match {
+        case Some((a, r)) if a == agg => r
+        case _ =>
+          val translated = pushed.map(
+            org.apache.spark.sql.execution.datasources.DataSourceStrategy
+              .translateFilter(_, supportNestedPredicatePushdown = true))
+          val r =
+            if (translated.exists(_.isEmpty)) None
+            else aggResolver(agg, translated.map(_.get))
+          lastResolved = Some((agg, r))
+          r
+      }
 
     override def supportCompletePushDown(agg: Aggregation): Boolean =
-      resolve(agg).isDefined
+      resolve(agg).isDefined || delegate.supportCompletePushDown(agg)
     override def pushAggregation(agg: Aggregation): Boolean = {
       metaAgg = resolve(agg)
-      metaAgg.isDefined
+      // fall back to the stock builder's own aggregate pushdown (the
+      // parquet footer-stats path, config-gated inside the delegate) —
+      // a lake with a stale sidecar should not lose the capability the
+      // unwrapped table had
+      metaAgg.isDefined || delegate.pushAggregation(agg)
     }
 
     override def build(): Scan =

@@ -451,6 +451,15 @@ class LakeCatalogSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql(s"SELECT * FROM lake.`$dir#nope`").collect()
     }
+    // drift guard: the catalog's STATIC metadata schemas must match
+    // the maker frames field-for-field (names + types) — a drifted
+    // field would mis-project rows at the needConversion=false boundary
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.map(f => (f.name, f.dataType))
+    assert(shape(spark.sql(s"SELECT * FROM lake.`$dir#history`")) ===
+      shape(History.describeHistory(spark, dir)))
+    assert(shape(spark.sql(s"SELECT * FROM lake.`$dir#files`")) ===
+      shape(History.describeFiles(spark, dir)))
   }
 
   test("MIN/MAX answer from footer stats; DVs and non-bigint fall back") {
