@@ -905,6 +905,21 @@ object HistoryQueries {
       graft.sources.History.refreshRowCounts(s, dir): Unit
       s.sql(s"""SELECT lang, COUNT(*) AS n_docs
                 FROM lake.`$dir` GROUP BY lang""")
+    }),
+
+    // CDC through SQL: the row-level change feed across the DV
+    // takedown window as a `#changes@from..to` table — h21's positional
+    // O(changed-vectors) delta path, consumable by a SQL-only
+    // downstream (the rollup/index-maintenance input). A feed that
+    // missed a vector's positions, emitted a survivor, or dropped the
+    // _change marker fails the hash.
+    "h33_sql_change_feed" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.lake",
+        classOf[graft.sources.LakeCatalog].getName)
+      val dir = dvLake(s, d)
+      val vs = graft.sources.History.versions(s, dir)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars, _change
+                FROM lake.`$dir#changes@${vs.head}..${vs.last}`""")
     })
   )
 
@@ -1127,6 +1142,10 @@ object HistoryQueries {
     "h32_sql_groupby_meta" ->
       """SELECT lang, COUNT(*) AS n_docs FROM documents
          WHERE NOT (lang = 'en' AND doc_id % 7 = 0)
-         GROUP BY lang"""
+         GROUP BY lang""",
+    "h33_sql_change_feed" ->
+      """SELECT doc_id, lang, source, n_chars, 'delete' AS _change
+         FROM documents
+         WHERE doc_id IN (3, 41, 404) OR doc_id % 17 = 5"""
   )
 }

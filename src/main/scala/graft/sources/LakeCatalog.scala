@@ -233,19 +233,46 @@ class LakeCatalog extends TableCatalog
         })))
   }
 
+  /** `#changes@<from>..<to>`: the row-level change feed across a
+    * version window as a SQL table — CDC for SQL-only consumers
+    * (inserts + deletes with the `_change` marker, computed from only
+    * the files that changed; positional O(changed-vectors) under DV
+    * commits). Bare `#changes` reads the LAST commit's window. */
+  private val ChangesRange = "changes@([0-9]+)\\.\\.([0-9]+)".r
+
   override def loadTable(ident: Identifier): Table = {
     val raw = pathOf(ident)
     val hash = raw.lastIndexOf('#')
     val suffix = if (hash < 0) None else Some(raw.substring(hash + 1))
-    suffix.flatMap(sfx => metaTables.get(sfx).map((sfx, _))) match {
-      case Some((sfx, (schema, mk))) =>
-        val p = raw.substring(0, hash)
-        if (!FileManifest.enabled(fsOf(p), p))
-          throw new org.apache.spark.sql.catalyst.analysis
-            .NoSuchTableException(ident)
-        new LakeMetaTable(s"$catalogName.$p#$sfx", schema,
-          () => mk(spark, p))
-      case None => tableAt(ident, None)
+    def base: String = raw.substring(0, hash)
+    def requireLake(p: String): Unit =
+      if (!FileManifest.enabled(fsOf(p), p))
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchTableException(ident)
+    def changesTable(p: String, from: Long, to: Long): Table = {
+      // schema is data-dependent (lake columns + _change) — resolved
+      // once per load from the same plan the scan runs; the frame
+      // itself stays DISTRIBUTED (LakeMetaTable wraps the plan's RDD,
+      // it never collects), so a big window is executor work
+      val mk = () => History.changesBetween(spark, p, from, to)
+      new LakeMetaTable(s"$catalogName.$p#changes@$from..$to",
+        mk().schema, mk)
+    }
+    suffix match {
+      case Some(ChangesRange(a, b)) =>
+        requireLake(base)
+        changesTable(base, a.toLong, b.toLong)
+      case Some("changes") =>
+        requireLake(base)
+        val vs = FileManifest.versions(fsOf(base), base)
+        val to = vs.last
+        changesTable(base, vs.filter(_ < to).lastOption.getOrElse(to), to)
+      case Some(sfx) if metaTables.contains(sfx) =>
+        val (schema, mk) = metaTables(sfx)
+        requireLake(base)
+        new LakeMetaTable(s"$catalogName.$base#$sfx", schema,
+          () => mk(spark, base))
+      case _ => tableAt(ident, None)
     }
   }
 
@@ -282,7 +309,11 @@ class LakeCatalog extends TableCatalog
     val raw = pathOf(ident)
     val hash = raw.lastIndexOf('#')
     val p = // a known metadata suffix resolves against its base lake
-      if (hash >= 0 && metaTables.contains(raw.substring(hash + 1)))
+      if (hash >= 0 && {
+          val sfx = raw.substring(hash + 1)
+          metaTables.contains(sfx) || sfx == "changes" ||
+            ChangesRange.pattern.matcher(sfx).matches()
+        })
         raw.substring(0, hash)
       else raw
     FileManifest.enabled(fsOf(p), p)

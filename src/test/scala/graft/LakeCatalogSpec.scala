@@ -462,6 +462,32 @@ class LakeCatalogSpec extends AnyFunSuite {
       shape(History.describeFiles(spark, dir)))
   }
 
+  test("#changes serves the row-level change feed through SQL") {
+    val dir = lake()
+    val fs = fsOf(dir)
+    val v1 = FileManifest.latest(fs, dir).get.version
+    History.deleteKeysDV(spark, dir, "doc_id", Seq(2L)): Unit
+    spark.sql(s"INSERT INTO lake.`$dir` VALUES (9, 90, 'pt')")
+    val vLast = FileManifest.latest(fs, dir).get.version
+    // explicit window: both commits' row-level deltas
+    val feed = spark.sql(
+      s"SELECT doc_id, _change FROM lake.`$dir#changes@$v1..$vLast`")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(feed === Seq((2L, "delete"), (9L, "insert")))
+    // bare #changes = the LAST commit's window (the INSERT)
+    val lastW = spark.sql(
+      s"SELECT doc_id, _change FROM lake.`$dir#changes`")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(lastW === Seq((9L, "insert")))
+    // CDC composes in SQL: aggregate the feed like a downstream rollup
+    val net = spark.sql(
+      s"""SELECT SUM(CASE WHEN _change = 'insert' THEN n_chars
+                          ELSE -n_chars END) AS net
+          FROM lake.`$dir#changes@$v1..$vLast`""")
+      .collect().head.getLong(0)
+    assert(net === 70L) // +90 (insert) - 20 (deleted doc 2)
+  }
+
   test("MIN/MAX answer from footer stats; DVs and non-bigint fall back") {
     val dir = lake()
     def run(sql: String): (Seq[Any], String) = {
