@@ -250,13 +250,15 @@ class LakeCatalog extends TableCatalog
         throw new org.apache.spark.sql.catalyst.analysis
           .NoSuchTableException(ident)
     def changesTable(p: String, from: Long, to: Long): Table = {
-      // schema is data-dependent (lake columns + _change) — resolved
-      // once per load from the same plan the scan runs; the frame
-      // itself stays DISTRIBUTED (LakeMetaTable wraps the plan's RDD,
-      // it never collects), so a big window is executor work
-      val mk = () => History.changesBetween(spark, p, from, to)
+      // schema is data-dependent (lake columns + _change), so the
+      // frame is captured ONCE at load — the scan executes the same
+      // pinned plan, immune to a schema evolution landing between
+      // analysis and execution. The frame stays DISTRIBUTED
+      // (LakeMetaTable wraps the plan's RDD, it never collects), so a
+      // big window is executor work.
+      val feed = History.changesBetween(spark, p, from, to)
       new LakeMetaTable(s"$catalogName.$p#changes@$from..$to",
-        mk().schema, mk)
+        feed.schema, () => feed)
     }
     suffix match {
       case Some(ChangesRange(a, b)) =>
