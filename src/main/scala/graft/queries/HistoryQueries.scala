@@ -920,6 +920,22 @@ object HistoryQueries {
       val vs = graft.sources.History.versions(s, dir)
       s.sql(s"""SELECT doc_id, lang, source, n_chars, _change
                 FROM lake.`$dir#changes@${vs.head}..${vs.last}`""")
+    }),
+
+    // SQL row-level DELETE: two `DELETE FROM lake.\`…\` WHERE …`
+    // statements route through the engine's merge-on-read takedown
+    // (per-file deletion vectors + one OCC commit each, zero data
+    // files rewritten) — the first through the stock bridge table
+    // (DV-free at resolution), the second through the pinned-read
+    // table (DVs now present), so BOTH SQL table classes carry the
+    // delete surface. The read-back is the corpus minus exactly both
+    // victim sets: a delete that missed a row, took a survivor, or
+    // resurrected a vectored row on the second statement fails the
+    // hash.
+    "h34_sql_delete" -> ((s, d) => {
+      val dir = sqlDeleteLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
+                WHERE doc_id >= 0""")
     })
   )
 
@@ -955,6 +971,34 @@ object HistoryQueries {
       require(rejected, "constrained SQL INSERT must bounce whole")
       s.sql(s"""INSERT INTO lake.`$dir`
                 SELECT doc_id, lang, source, n_chars FROM h28_src"""): Unit
+      dir
+    })
+
+  /** h34's lake: the corpus lands through the engine write path, then
+    * two SQL DELETE statements take rows down — the first resolves the
+    * DV-free lake (stock bridge table route), the second resolves the
+    * now-DV-bearing lake (pinned-table route). Both land as deletion
+    * vectors (`DeletionVectorSpec`/`LakeCatalogSpec` assert the
+    * no-rewrite property; this gate asserts the ROW SET at SF scale).
+    * Keyed by (session, sfDir). */
+  private val sqlDeleteLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlDeleteLake(s: SparkSession, sfDir: String): String =
+    sqlDeleteLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      s.conf.set("spark.sql.catalog.lake",
+        classOf[graft.sources.LakeCatalog].getName)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sql-delete").toString + "/lake"
+      graft.Tables.documents(s, sfDir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .repartition(8) // round-robin: every file spans the id range
+        .write.parquet(dir)
+      graft.sources.History.enableManifests(s, dir): Unit
+      s.sql(s"DELETE FROM lake.`$dir` WHERE doc_id IN (7, 99, 1234)"): Unit
+      s.sql(s"""DELETE FROM lake.`$dir`
+                WHERE lang = 'en' AND doc_id <= 500"""): Unit
       dir
     })
 
@@ -1146,6 +1190,11 @@ object HistoryQueries {
     "h33_sql_change_feed" ->
       """SELECT doc_id, lang, source, n_chars, 'delete' AS _change
          FROM documents
-         WHERE doc_id IN (3, 41, 404) OR doc_id % 17 = 5"""
+         WHERE doc_id IN (3, 41, 404) OR doc_id % 17 = 5""",
+    "h34_sql_delete" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id >= 0
+           AND NOT (doc_id IN (7, 99, 1234))
+           AND NOT (lang = 'en' AND doc_id <= 500)"""
   )
 }

@@ -178,7 +178,8 @@ class LakeCatalog extends TableCatalog
         aggResolver,
         if (writable) Some((info: org.apache.spark.sql.connector.write
             .LogicalWriteInfo) => LakeSqlWrite.builder(path, partCols, info))
-        else None)
+        else None,
+        deleteTarget = if (writable) Some(path) else None)
   }
 
   /** Directory-encoded partition columns shared by EVERY current file

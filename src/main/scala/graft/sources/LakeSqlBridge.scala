@@ -53,6 +53,67 @@ object LakeSqlWrite {
     }
 }
 
+/** SQL row-level DELETE for manifest lakes: `DELETE FROM
+  * lake.\`/path\` WHERE …` routes to the engine's MERGE-ON-READ
+  * takedown ([[History.deleteWhereDV]] — per-file deletion-vector
+  * sidecars + one OCC manifest commit, ZERO data bytes rewritten: the
+  * k-rows-over-j-multi-GB-files takedown costs j few-KB sidecars at
+  * 100 TB), the same operator every engine-side takedown uses, so a
+  * SQL-issued delete is indistinguishable from an engine-issued one
+  * (change feed emits it, readers apply it inline, materializeDeletes
+  * folds it). An UNCONDITIONAL `DELETE FROM lake.\`/p\`` — and SQL
+  * TRUNCATE, which Spark lowers to it — takes the COPY-ON-WRITE path
+  * instead ([[History.deleteWhere]]): every file retires in one
+  * manifest flip, zero sidecars written for zero surviving rows, and
+  * time travel to the pre-truncate version still answers until vacuum.
+  *
+  * `canDeleteWhere` accepts only conditions whose every filter
+  * converts EXACTLY back to a `Column` predicate
+  * ([[LakeFilterSql.exact]]) — the read path's handled-filter
+  * contract, for the inverse reason: a weaker image would delete too
+  * little, a stricter one too much, and refusal here makes Spark fail
+  * the DELETE loudly at analysis instead of running a wrong one. (A
+  * condition Catalyst cannot translate to source filters at all —
+  * `doc_id % 17 = 5` — never reaches us and fails the same way;
+  * expression-level deletes go through the engine's `deleteWhereDV`
+  * directly.) NULL-predicate rows survive, SQL DELETE semantics —
+  * enforced inside the engine operator. Time-travel pins refuse: a
+  * delete targets the lake's PRESENT. */
+trait LakeSqlDelete extends org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** The lake root when this table is a deletable latest-version pin;
+    * None for time-travel pins (read targets only). */
+  protected def deleteTarget: Option[String]
+  /** Top-level column names the conversion may reference. */
+  protected def deleteColumns: Set[String]
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    deleteTarget.isDefined &&
+      filters.forall(LakeFilterSql.exact(_, deleteColumns).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val path = deleteTarget.getOrElse(throw new UnsupportedOperationException(
+      "time-travel pins are read-only; DELETE targets the lake's " +
+        "latest version"))
+    val spark = org.apache.spark.sql.SparkSession.active
+    val unconditional = filters.forall {
+      case _: sources.AlwaysTrue => true
+      case _ => false
+    }
+    if (unconditional)
+      History.deleteWhere(spark, path, lit(true)): Unit
+    else {
+      val pred = filters.toIndexedSeq.map { f =>
+        LakeFilterSql.exact(f, deleteColumns).getOrElse(
+          throw new IllegalStateException(
+            s"DELETE filter $f no longer converts against $path " +
+              "(schema changed since analysis) — re-run the statement"))
+      }.reduce(_ && _)
+      History.deleteWhereDV(spark, path, pred): Unit
+    }
+  }
+}
+
 /** A fully-answered metadata aggregate: a [[LocalScan]] carrying the
   * one answer row. Planned when the WHOLE pushed Aggregation resolved
   * from lake metadata — `SELECT count(*), min(id), max(id) FROM
@@ -310,7 +371,12 @@ final class PinnedLakeTable(
     tableSchema: StructType, props: Map[String, String],
     aggResolver: (Aggregation, Seq[Filter]) => Option[MetaAggScan],
     writable: Boolean, partitionCols: Seq[String])
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with LakeSqlDelete {
+
+  override protected def deleteTarget: Option[String] =
+    if (writable) Some(path) else None
+  override protected def deleteColumns: Set[String] =
+    tableSchema.fieldNames.toSet
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema

@@ -56,14 +56,15 @@ object ParquetTableBridge {
             extraProperties: Map[String, String] = Map.empty,
             aggResolver: (Aggregation, Seq[org.apache.spark.sql.sources.Filter])
               => Option[graft.sources.MetaAggScan] = (_, _) => None,
-            writeBuilder: Option[LogicalWriteInfo => WriteBuilder] = None)
+            writeBuilder: Option[LogicalWriteInfo => WriteBuilder] = None,
+            deleteTarget: Option[String] = None)
       : Table = {
     val opts = new java.util.HashMap[String, String]()
     opts.put("basePath", basePath): Unit
     new LakeBridgeTable(ParquetTable(name, spark,
       new CaseInsensitiveStringMap(opts),
       paths.toList, schema, classOf[ParquetFileFormat]),
-      extraProperties, aggResolver, writeBuilder)
+      extraProperties, aggResolver, writeBuilder, deleteTarget)
   }
 
   private final class LakeBridgeTable(
@@ -71,10 +72,15 @@ object ParquetTableBridge {
       extraProperties: Map[String, String],
       aggResolver: (Aggregation, Seq[org.apache.spark.sql.sources.Filter])
         => Option[graft.sources.MetaAggScan],
-      writeBuilder: Option[LogicalWriteInfo => WriteBuilder])
+      writeBuilder: Option[LogicalWriteInfo => WriteBuilder],
+      target: Option[String])
       extends Table
       with org.apache.spark.sql.connector.catalog.SupportsRead
-      with org.apache.spark.sql.connector.catalog.SupportsWrite {
+      with org.apache.spark.sql.connector.catalog.SupportsWrite
+      with graft.sources.LakeSqlDelete {
+    override protected def deleteTarget: Option[String] = target
+    override protected def deleteColumns: Set[String] =
+      delegate.schema.fieldNames.toSet
     override def name(): String = delegate.name
     override def schema(): StructType = delegate.schema
     override def partitioning() = delegate.partitioning()

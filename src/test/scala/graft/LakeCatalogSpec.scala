@@ -527,4 +527,57 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(v4 === Seq(1L, 4L, 4L))
     assert(p4.contains("LocalTableScan"), p4.take(800))
   }
+
+  test("SQL DELETE lands as deletion vectors on both table routes") {
+    val dir = lake()
+    val fs = fsOf(dir)
+    val filesBefore = FileManifest.latest(fs, dir).get.cur.toSet
+    // route 1: the DV-free lake resolves the stock bridge table
+    spark.sql(s"DELETE FROM lake.`$dir` WHERE doc_id IN (2, 5)")
+    val m1 = FileManifest.latest(fs, dir).get
+    assert(m1.cur.toSet === filesBefore,
+      "merge-on-read: zero data files rewritten")
+    assert(m1.dvs.nonEmpty, "the delete must land as DV sidecars")
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) ===
+      Seq(1L, 3L, 4L))
+    // route 2: the now-DV-bearing lake resolves the pinned table —
+    // DELETE must work identically through it
+    spark.sql(s"DELETE FROM lake.`$dir` WHERE lang = 'de' AND n_chars >= 40")
+    val m2 = FileManifest.latest(fs, dir).get
+    assert(m2.cur.toSet === filesBefore)
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) === Seq(1L, 3L))
+    // time travel between the two deletes still answers (compliance
+    // clock starts at vacuum, not at DELETE)
+    assert(ids(spark.sql(
+      s"SELECT * FROM lake.`$dir` VERSION AS OF ${m1.version}")) ===
+      Seq(1L, 3L, 4L))
+  }
+
+  test("unconditional SQL DELETE truncates copy-on-write") {
+    val dir = lake()
+    val fs = fsOf(dir)
+    History.declareSchema(spark, dir): Unit
+    spark.sql(s"DELETE FROM lake.`$dir`")
+    val m = FileManifest.latest(fs, dir).get
+    assert(m.cur.isEmpty,
+      "truncate retires every file — zero sidecars for zero survivors")
+    assert(m.dvs.isEmpty)
+    assert(spark.sql(s"SELECT * FROM lake.`$dir`").count() === 0L)
+    // the pre-truncate version still answers until vacuum
+    assert(ids(spark.sql(
+      s"SELECT * FROM lake.`$dir` VERSION AS OF ${m.version - 1}")) ===
+      Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("a DELETE whose condition cannot convert exactly fails loudly") {
+    val dir = lake()
+    // `%` has no source-filter image: the statement must fail at
+    // analysis — never run weaker or stricter — and the lake is
+    // untouched (expression-level deletes go through deleteWhereDV)
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM lake.`$dir` WHERE doc_id % 2 = 0")
+    }
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) ===
+      Seq(1L, 2L, 3L, 4L, 5L))
+  }
 }
