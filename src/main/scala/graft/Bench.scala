@@ -6,6 +6,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       // oracle comparisons assume UTC timestamp semantics; Verify and the
       // test base pin it, so the bench must too or any session-tz-

@@ -4,7 +4,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions for SQL use
-  * (`spark.sql("SELECT dot_product(a, b) …")`).
+  * (`spark.sql("SELECT dot_product(a, b) …")`) and the lake DML rule
+  * (`UPDATE lake.\`/path\` SET … WHERE …` →
+  * [[graft.sources.History.updateWhere]]; see
+  * [[graft.sources.LakeDmlRule]]).
   *
   * Wire up with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
@@ -15,7 +18,7 @@ import org.apache.spark.sql.SparkSessionExtensions
   * surfaces always expose the same functions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     graft.functions.GraftFunctions.all.foreach {
       case (name, className, builder) =>
         e.injectFunction(
@@ -24,4 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               className, name),
             builder))
     }
+    e.injectPostHocResolutionRule(session =>
+      new graft.sources.LakeDmlRule(session))
+  }
 }

@@ -936,6 +936,24 @@ object HistoryQueries {
       val dir = sqlDeleteLake(s, d)
       s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
                 WHERE doc_id >= 0""")
+    }),
+
+    // SQL row-level UPDATE: `UPDATE lake.\`…\` SET … WHERE …` routes
+    // through the engine's copy-on-write file-granular rewrite
+    // (History.updateWhere via the GraftExtensions post-hoc rule) —
+    // one update against the DV-free lake, a DV delete to flip the
+    // table onto the pinned route, then a second update whose
+    // condition (`doc_id % 13 = 4`) has no source-filter image at all:
+    // the rule re-anchors whole Catalyst expressions by name, so
+    // UPDATE carries full expression power where DELETE's
+    // filter-exact contract refuses. The read-back is the corpus with
+    // exactly both CASE images applied minus the DV'd rows — an update
+    // that touched a non-matching row, skipped a matching one, or
+    // resurrected a deleted row fails the hash.
+    "h35_sql_update" -> ((s, d) => {
+      val dir = sqlUpdateLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
+                WHERE doc_id >= 0""")
     })
   )
 
@@ -999,6 +1017,35 @@ object HistoryQueries {
       s.sql(s"DELETE FROM lake.`$dir` WHERE doc_id IN (7, 99, 1234)"): Unit
       s.sql(s"""DELETE FROM lake.`$dir`
                 WHERE lang = 'en' AND doc_id <= 500"""): Unit
+      dir
+    })
+
+  /** h35's lake: corpus through the engine write path, then UPDATE →
+    * DV DELETE → UPDATE through SQL — the first update resolves the
+    * DV-free stock bridge table, the second the DV-bearing pinned
+    * table, and the second's condition is deliberately
+    * filter-inexpressible (modulo) to pin the by-name expression
+    * re-anchoring. Keyed by (session, sfDir). */
+  private val sqlUpdateLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlUpdateLake(s: SparkSession, sfDir: String): String =
+    sqlUpdateLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      s.conf.set("spark.sql.catalog.lake",
+        classOf[graft.sources.LakeCatalog].getName)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sql-update").toString + "/lake"
+      graft.Tables.documents(s, sfDir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .repartition(8) // round-robin: every file spans the id range
+        .write.parquet(dir)
+      graft.sources.History.enableManifests(s, dir): Unit
+      s.sql(s"""UPDATE lake.`$dir` SET n_chars = n_chars * 2
+                WHERE lang = 'en' AND doc_id < 300"""): Unit
+      s.sql(s"DELETE FROM lake.`$dir` WHERE doc_id IN (11, 22)"): Unit
+      s.sql(s"""UPDATE lake.`$dir` SET source = concat('r:', source)
+                WHERE doc_id % 13 = 4"""): Unit
       dir
     })
 
@@ -1195,6 +1242,14 @@ object HistoryQueries {
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE doc_id >= 0
            AND NOT (doc_id IN (7, 99, 1234))
-           AND NOT (lang = 'en' AND doc_id <= 500)"""
+           AND NOT (lang = 'en' AND doc_id <= 500)""",
+    "h35_sql_update" ->
+      """SELECT doc_id, lang,
+           CASE WHEN doc_id % 13 = 4 THEN 'r:' || source
+                ELSE source END AS source,
+           CASE WHEN lang = 'en' AND doc_id < 300 THEN n_chars * 2
+                ELSE n_chars END AS n_chars
+         FROM documents
+         WHERE doc_id >= 0 AND doc_id NOT IN (11, 22)"""
   )
 }

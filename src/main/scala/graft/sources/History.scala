@@ -1915,6 +1915,107 @@ object History {
     fs.delete(stage, true): Unit
   }
 
+  def updateStagingDir(path: String): String = s"$path/_staging/update"
+
+  /** Copy-on-write row UPDATE: every lake row matching `predicate`
+    * gets `assignments` applied (name → new-value expression over the
+    * row's existing columns); non-matching rows pass through
+    * byte-identical. SQL UPDATE semantics: a row updates iff the
+    * predicate is TRUE — NULL keeps the row unchanged. Assigned values
+    * are cast to the column's existing type, so the lake schema never
+    * drifts through an update; assigning a PARTITION column is legal
+    * and the rewrite lands the row in its new directory naturally.
+    *
+    * Two passes, file-granular like [[deleteWhere]]: (1) one
+    * column-pruned, filter-pushed scan of the manifest's current files
+    * finds which files hold matches (the collect is bounded by the
+    * AFFECTED FILE count, never row data); (2) one job rewrites just
+    * those files with per-column `CASE WHEN pred THEN value ELSE col`
+    * projections into staging — existing deletion vectors applied on
+    * read, so a vectored-out row neither updates nor resurrects. The
+    * staged bytes are constraint-validated ([[Constraints.enforceStaged]]
+    * — an update CAN introduce a violation, unlike a delete) and the
+    * commit is the usual single atomic manifest flip with DV-pointer
+    * conflict detection: in-flight pinned scans undisturbed,
+    * pre-update time travel intact until [[vacuum]], crash before
+    * publish leaves only unreferenced staged orphans.
+    *
+    * At 100 TB the cost is proportional to the files the predicate
+    * touches, not the lake: a keyed correction against an id-clustered
+    * layout rewrites a handful of files. There is no merge-on-read
+    * analog — an update changes bytes, so rewrite is the honest shape.
+    * CALLER CONTRACT: `predicate` and assignment values must be
+    * deterministic (pass 1 and pass 2 evaluate the predicate
+    * independently). Run from the lake's single writer sequence.
+    *
+    * @return (files rewritten, rows updated) */
+  def updateWhere(spark: SparkSession, path: String,
+                  predicate: org.apache.spark.sql.Column,
+                  assignments: Seq[(String, org.apache.spark.sql.Column)])
+      : (Int, Long) = {
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    val names = assignments.map(_._1)
+    require(names.distinct.size == names.size,
+      s"duplicate assignment targets: ${names.diff(names.distinct).mkString(",")}")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qRoot = fs.makeQualified(root)
+    val m = FileManifest.latest(fs, path).getOrElse(
+      throw new IllegalStateException(
+        s"updateWhere needs a manifest-mode lake (enableManifests): $path"))
+    if (m.cur.isEmpty) return (0, 0L)
+    val matchPred = coalesce(predicate, lit(false))
+    val relByAbs: Map[String, String] = m.cur.map(rel =>
+      new org.apache.hadoop.fs.Path(qRoot, rel).toString -> rel).toMap
+    // pass 1: which current files hold matching rows (bare predicate —
+    // pushes to the parquet scan; see deleteImpl)
+    val hits = planManifest(spark, fs, root, m)
+      .filter(predicate)
+      .groupBy(col("_metadata.file_path").as("fp"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (hits.isEmpty) return (0, 0L)
+    val rowsUpdated = hits.map(_._2).sum
+    val affected: Seq[String] = hits.map { case (fp, _) =>
+      relByAbs.getOrElse(new org.apache.hadoop.fs.Path(fp).toString,
+        throw new IllegalStateException(
+          s"matched file not in the planned manifest: $fp"))
+    }.toSeq.sorted
+    val partCols = uniformPartCols(path, affected)
+    // pass 2: rewrite the affected files with assignments applied
+    val stage = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(updateStagingDir(path)))
+    fs.delete(stage, true): Unit
+    val base = rewriteScan(spark, fs, qRoot, path, m, affected)
+    val unknown = names.filterNot(base.columns.contains)
+    require(unknown.isEmpty,
+      s"updateWhere: unknown column(s) ${unknown.mkString(",")} — lake " +
+        s"columns are ${base.columns.mkString(",")}")
+    val assignMap = assignments.toMap
+    val schema = base.schema
+    val updated = base.select(base.columns.toIndexedSeq.map { c =>
+      assignMap.get(c) match {
+        case Some(v) =>
+          when(matchPred, v.cast(schema(c).dataType)).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    val writer = updated.write.mode("overwrite")
+      .option("maxRecordsPerFile", 5000000L)
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(stage.toString)
+    // staged-bytes validation: the exact rows that would publish are
+    // what the constraints judge (an update can break a CHECK)
+    try Constraints.enforceStaged(spark, path, stage.toString)
+    catch { case e: Throwable =>
+      fs.delete(stage, true): Unit
+      throw e
+    }
+    promoteAndFlip(fs, qRoot, path, stage, s"u${m.version + 1}-", affected,
+      dvSeenOf(m, affected))
+    (affected.size, rowsUpdated)
+  }
+
   def mergeStagingDir(path: String): String = s"$path/_staging/merge"
 
   /** Copy-on-write keyed MERGE (upsert): every lake row whose

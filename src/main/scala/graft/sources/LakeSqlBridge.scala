@@ -84,6 +84,11 @@ trait LakeSqlDelete extends org.apache.spark.sql.connector.catalog.SupportsDelet
   /** The lake root when this table is a deletable latest-version pin;
     * None for time-travel pins (read targets only). */
   protected def deleteTarget: Option[String]
+
+  /** The lake root this SQL table can target with row-level DML
+    * beyond DELETE (UPDATE / MERGE, via [[LakeDmlRule]]); None for
+    * read-only time-travel pins. */
+  final def sqlDmlTarget: Option[String] = deleteTarget
   /** Top-level column names the conversion may reference. */
   protected def deleteColumns: Set[String]
 

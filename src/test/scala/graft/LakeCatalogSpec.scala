@@ -569,6 +569,57 @@ class LakeCatalogSpec extends AnyFunSuite {
       Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("SQL UPDATE routes through the copy-on-write engine operator") {
+    val dir = lake()
+    val fs = fsOf(dir)
+    val before = FileManifest.latest(fs, dir).get
+    // the statement returns the engine receipt: (files, rows)
+    val receipt = spark.sql(
+      s"UPDATE lake.`$dir` SET n_chars = n_chars * 10 WHERE lang = 'en'")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(receipt === Seq((1, 2L)))
+    val got = spark.sql(s"SELECT doc_id, n_chars FROM lake.`$dir`")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got === Seq((1L, 100L), (2L, 200L), (3L, 30L), (4L, 40L),
+      (5L, 50L)))
+    // file-granular: the de and fr files survive unrewritten
+    val after = FileManifest.latest(fs, dir).get
+    assert(before.cur.filterNot(_.startsWith("lang=en"))
+      .forall(after.cur.contains), after.cur.mkString(","))
+    // pre-update time travel still answers
+    assert(spark.sql(
+      s"""SELECT n_chars FROM lake.`$dir` VERSION AS OF ${before.version}
+          WHERE doc_id = 1""").collect().map(_.getLong(0)).toSeq ===
+      Seq(10L))
+    // the DV-bearing lake resolves the pinned table — UPDATE must work
+    // identically through that route, never resurrecting the DV'd row
+    spark.sql(s"DELETE FROM lake.`$dir` WHERE doc_id = 2")
+    spark.sql(s"UPDATE lake.`$dir` SET n_chars = 0 WHERE lang = 'en'")
+    assert(spark.sql(s"SELECT doc_id, n_chars FROM lake.`$dir`" +
+        " WHERE lang = 'en'")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 0L)))
+  }
+
+  test("SQL UPDATE without WHERE updates every row") {
+    val dir = lake()
+    spark.sql(s"UPDATE lake.`$dir` SET n_chars = doc_id")
+    assert(spark.sql(
+      s"SELECT sum(n_chars) AS s FROM lake.`$dir`")
+      .collect()(0).getLong(0) === 15L)
+  }
+
+  test("an UPDATE carrying a subquery refuses loudly, lake untouched") {
+    val dir = lake()
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"""UPDATE lake.`$dir` SET n_chars = 0
+                    WHERE doc_id IN (SELECT doc_id FROM lake.`$dir`)""")
+    }
+    assert(e.getMessage.contains("subquery"))
+    assert(spark.sql(s"SELECT sum(n_chars) AS s FROM lake.`$dir`")
+      .collect()(0).getLong(0) === 150L)
+  }
+
   test("a DELETE whose condition cannot convert exactly fails loudly") {
     val dir = lake()
     // `%` has no source-filter image: the statement must fail at
