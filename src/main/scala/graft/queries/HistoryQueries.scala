@@ -954,6 +954,21 @@ object HistoryQueries {
       val dir = sqlUpdateLake(s, d)
       s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
                 WHERE doc_id >= 0""")
+    }),
+
+    // SQL MERGE INTO (classic upsert): corrections for every
+    // doc_id % 7 = 3 row plus a brand-new key block land through
+    // `MERGE INTO lake.\`…\` USING src ON … WHEN MATCHED THEN UPDATE
+    // SET * WHEN NOT MATCHED THEN INSERT *`, routed to the engine's
+    // keyed copy-on-write merge (file-granular rewrite of exactly the
+    // files holding matched keys, one OCC flip). The read-back is the
+    // corpus anti-joined on the source keys ∪ the source image — a
+    // matched row that kept its old image, an unmatched row that got
+    // replaced, or a lost/duplicated insert fails the hash.
+    "h36_sql_merge" -> ((s, d) => {
+      val dir = sqlMergeLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
+                WHERE doc_id >= 0""")
     })
   )
 
@@ -1046,6 +1061,38 @@ object HistoryQueries {
       s.sql(s"DELETE FROM lake.`$dir` WHERE doc_id IN (11, 22)"): Unit
       s.sql(s"""UPDATE lake.`$dir` SET source = concat('r:', source)
                 WHERE doc_id % 13 = 4"""): Unit
+      dir
+    })
+
+  /** h36's lake: corpus through the engine write path, then one SQL
+    * MERGE whose source mixes corrections (existing keys, new images)
+    * with inserts (offset keys) — derived from the same documents
+    * table so the DuckDB oracle can rebuild the exact image. */
+  private val sqlMergeLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlMergeLake(s: SparkSession, sfDir: String): String =
+    sqlMergeLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      s.conf.set("spark.sql.catalog.lake",
+        classOf[graft.sources.LakeCatalog].getName)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sql-merge").toString + "/lake"
+      val docs = graft.Tables.documents(s, sfDir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      docs.repartition(8).write.parquet(dir)
+      graft.sources.History.enableManifests(s, dir): Unit
+      docs.filter(col("doc_id") % 7 === 3)
+        .withColumn("source", lit("merged"))
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .unionByName(docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("source", lit("new")))
+        .createOrReplaceTempView("h36_merge_src")
+      s.sql(s"""MERGE INTO lake.`$dir` t USING h36_merge_src s
+                ON t.doc_id = s.doc_id
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *"""): Unit
       dir
     })
 
@@ -1250,6 +1297,19 @@ object HistoryQueries {
            CASE WHEN lang = 'en' AND doc_id < 300 THEN n_chars * 2
                 ELSE n_chars END AS n_chars
          FROM documents
-         WHERE doc_id >= 0 AND doc_id NOT IN (11, 22)"""
+         WHERE doc_id >= 0 AND doc_id NOT IN (11, 22)""",
+    "h36_sql_merge" ->
+      """WITH src AS (
+           SELECT doc_id, lang, 'merged' AS source,
+                  n_chars + 1000 AS n_chars
+           FROM documents WHERE doc_id % 7 = 3
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, lang, 'new' AS source,
+                  n_chars
+           FROM documents WHERE doc_id < 50)
+         SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM src)
+         UNION ALL
+         SELECT doc_id, lang, source, n_chars FROM src"""
   )
 }

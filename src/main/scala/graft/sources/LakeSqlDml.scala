@@ -2,15 +2,16 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute,
-  AttributeReference, Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan,
-  SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
+  AttributeReference, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
+  InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction,
+  UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** SQL `UPDATE lake.\`/path\` SET … WHERE …` for manifest lakes.
@@ -94,7 +95,89 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         val cond = condition.map(byName(_, "an UPDATE condition"))
           .getOrElse(lit(true))
         GraftUpdateCommand(path, cond, assigns)
+
+      case m: MergeIntoTable
+          if m.resolved && lakeTarget(m.targetTable).isDefined =>
+        rewriteMerge(m, lakeTarget(m.targetTable).get)
     }
+
+  /** The classic UPSERT shape — `WHEN MATCHED THEN UPDATE SET * WHEN
+    * NOT MATCHED THEN INSERT *` joined on name-equal key columns —
+    * maps EXACTLY onto the engine's keyed copy-on-write
+    * [[History.mergeInto]] (same join keys, same whole-row source
+    * image, same duplicate-source-key refusal), so that is the shape
+    * this surface accepts; every other merge shape (conditioned
+    * actions, partial SET lists, expressions over target columns,
+    * DELETE actions, NOT MATCHED BY SOURCE, schema evolution) refuses
+    * loudly with the engine-operator alternative named. One documented
+    * deviation rides along from the engine operator: ALL target rows
+    * sharing a matched key are superseded by the single source row for
+    * that key (upsert-by-key), where standard MERGE would update each
+    * copy in place — identical results on key-unique targets, which is
+    * what an upsert key means. */
+  private def rewriteMerge(m: MergeIntoTable, path: String): LogicalPlan = {
+    def unsupported(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"MERGE INTO through the lake SQL surface supports exactly the " +
+          "upsert shape `ON <name-equal key equalities> WHEN MATCHED " +
+          "THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`; " +
+          s"$what is not — use the engine operator " +
+          "(History.mergeInto / deleteKeys / updateWhere) for other " +
+          "shapes")
+    if (m.withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
+    if (m.notMatchedBySourceActions.nonEmpty)
+      unsupported("WHEN NOT MATCHED BY SOURCE")
+    val sourceOut = m.sourceTable.outputSet
+    val targetOut = m.targetTable.outputSet
+    // ON: a conjunction of target-attr = source-attr equalities over
+    // name-equal columns → the engine operator's by-name join keys
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val keyCols = conjuncts(m.mergeCondition).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if (targetOut.contains(a) && sourceOut.contains(b)) ||
+             (targetOut.contains(b) && sourceOut.contains(a)) =>
+        val (t, s) = if (targetOut.contains(a)) (a, b) else (b, a)
+        if (!t.name.equalsIgnoreCase(s.name))
+          unsupported(s"ON ${t.name} = ${s.name} (key columns must be " +
+            "name-equal for the by-name keyed merge)")
+        t.name
+      case other => unsupported(s"ON condition `$other`")
+    }
+    // the whole-row source image: every target column assigned its
+    // name-equal bare source attribute, identically in both actions
+    def image(assignments: Seq[Assignment],
+              action: String): Map[String, AttributeReference] =
+      assignments.map { a =>
+        val t = a.key match {
+          case ar: AttributeReference => ar
+          case other => unsupported(s"$action of nested field $other")
+        }
+        a.value match {
+          case s: AttributeReference
+              if sourceOut.contains(s) && s.name.equalsIgnoreCase(t.name) =>
+            t.name -> s
+          case other => unsupported(
+            s"$action `${t.name} = $other` (values must be the " +
+              "name-equal source column — the SET * / INSERT * image)")
+        }
+      }.toMap
+    val (up, in) = (m.matchedActions, m.notMatchedActions) match {
+      case (Seq(UpdateAction(None, upA, _)), Seq(InsertAction(None, inA))) =>
+        (image(upA, "UPDATE SET"), image(inA, "INSERT"))
+      case _ => unsupported("this action list")
+    }
+    val targetCols = m.targetTable.output.map(_.name)
+    if (up.keySet != targetCols.toSet)
+      unsupported(s"a partial SET list (${up.keySet.mkString(",")})")
+    if (up.map { case (k, v) => k -> v.exprId } !=
+        in.map { case (k, v) => k -> v.exprId })
+      unsupported("UPDATE and INSERT disagreeing on the source image")
+    GraftMergeCommand(path, m.sourceTable,
+      targetCols.map(c => c -> up(c)), keyCols)
+  }
 }
 
 /** The eager command a lake UPDATE plans to: runs
@@ -110,6 +193,31 @@ case class GraftUpdateCommand(path: String, condition: Column,
   override def run(spark: SparkSession): Seq[Row] = {
     val (files, rows) = History.updateWhere(spark, path, condition,
       assignments)
+    Seq(Row(files, rows))
+  }
+}
+
+/** The eager command a lake MERGE plans to: the source subtree becomes
+  * the updates frame (selected down to exactly the target columns, by
+  * exprId so duplicate source names cannot misbind), then
+  * [[History.mergeInto]] runs the keyed copy-on-write upsert and the
+  * statement returns its (files touched, rows replaced) receipt. */
+case class GraftMergeCommand(path: String, source: LogicalPlan,
+    imageCols: Seq[(String, AttributeReference)], keyCols: Seq[String])
+  extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_touched", IntegerType, nullable = false)(),
+    AttributeReference("rows_replaced", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val updates = DatasetBridge.ofRows(spark, source)
+      .select(imageCols.map { case (name, attr) =>
+        ColumnBridge.column(attr).as(name)
+      }: _*)
+    val (files, rows) = History.mergeInto(spark, path, updates, keyCols)
     Seq(Row(files, rows))
   }
 }

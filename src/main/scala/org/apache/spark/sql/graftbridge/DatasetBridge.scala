@@ -19,6 +19,15 @@ object DatasetBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
 
+  /** Wrap an analyzed LogicalPlan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]`) — lets an extension rule hand a statement's
+    * resolved source subtree to an engine operator as a frame. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Stable unique id of a classic session (`sessionUUID` is
     * `private[sql]` in Spark 4) — cache keys collide/recycle with
     * `System.identityHashCode`, a UUID never does. */

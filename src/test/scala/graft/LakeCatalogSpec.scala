@@ -620,6 +620,90 @@ class LakeCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === 150L)
   }
 
+  test("SQL MERGE INTO upserts through the keyed engine merge") {
+    import spark.implicits._
+    val dir = lake()
+    val fs = fsOf(dir)
+    val before = FileManifest.latest(fs, dir).get
+    // source: corrections for 2 and 3, plus a brand-new row 9 — column
+    // order deliberately differs from the target (SET * maps by name)
+    Seq(("en", 2L, 222L), ("de", 3L, 333L), ("xx", 9L, 999L))
+      .toDF("lang", "doc_id", "n_chars")
+      .createOrReplaceTempView("merge_src")
+    val receipt = spark.sql(
+      s"""MERGE INTO lake.`$dir` t USING merge_src s
+          ON t.doc_id = s.doc_id
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(receipt.map(_._2) === Seq(2L), "two lake rows replaced")
+    val got = spark.sql(
+      s"SELECT doc_id, lang, n_chars FROM lake.`$dir`")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq((1L, "en", 10L), (2L, "en", 222L),
+      (3L, "de", 333L), (4L, "de", 40L), (5L, "fr", 50L),
+      (9L, "xx", 999L)))
+    // file-granular: the fr file held no matched key and survives
+    val after = FileManifest.latest(fs, dir).get
+    assert(before.cur.filter(_.startsWith("lang=fr"))
+      .forall(after.cur.contains), after.cur.mkString(","))
+    // pre-merge time travel still answers
+    assert(ids(spark.sql(
+      s"SELECT * FROM lake.`$dir` VERSION AS OF ${before.version}")) ===
+      Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("non-upsert MERGE shapes refuse loudly, lake untouched") {
+    import spark.implicits._
+    val dir = lake()
+    Seq((2L, "en", 222L)).toDF("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("merge_src2")
+    def refuses(sql: String): Unit = {
+      val e = intercept[UnsupportedOperationException] {
+        spark.sql(sql)
+      }
+      assert(e.getMessage.contains("upsert shape"), e.getMessage)
+    }
+    // matched DELETE
+    refuses(s"""MERGE INTO lake.`$dir` t USING merge_src2 s
+                ON t.doc_id = s.doc_id
+                WHEN MATCHED THEN DELETE""")
+    // partial SET list
+    refuses(s"""MERGE INTO lake.`$dir` t USING merge_src2 s
+                ON t.doc_id = s.doc_id
+                WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+                WHEN NOT MATCHED THEN INSERT *""")
+    // conditioned action
+    refuses(s"""MERGE INTO lake.`$dir` t USING merge_src2 s
+                ON t.doc_id = s.doc_id
+                WHEN MATCHED AND s.n_chars > 0 THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *""")
+    // non-equality ON
+    refuses(s"""MERGE INTO lake.`$dir` t USING merge_src2 s
+                ON t.doc_id >= s.doc_id
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *""")
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) ===
+      Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("MERGE with duplicate source keys refuses (ambiguous upsert)") {
+    import spark.implicits._
+    val dir = lake()
+    Seq((2L, "en", 1L), (2L, "en", 2L)).toDF("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("merge_dup")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO lake.`$dir` t USING merge_dup s
+                    ON t.doc_id = s.doc_id
+                    WHEN MATCHED THEN UPDATE SET *
+                    WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(e.getMessage.contains("duplicate keys"), e.getMessage)
+    assert(spark.sql(s"SELECT n_chars FROM lake.`$dir` WHERE doc_id = 2")
+      .collect().map(_.getLong(0)).toSeq === Seq(20L))
+  }
+
   test("a DELETE whose condition cannot convert exactly fails loudly") {
     val dir = lake()
     // `%` has no source-filter image: the statement must fail at
