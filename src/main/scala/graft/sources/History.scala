@@ -2011,7 +2011,10 @@ object History {
       fs.delete(stage, true): Unit
       throw e
     }
-    promoteAndFlip(fs, qRoot, path, stage, s"u${m.version + 1}-", affected,
+    // "e" (edit) tag: distinct from mergeInto's "u" so the two
+    // correction-family rewrites can never sweep each other's
+    // same-version promote leftovers
+    promoteAndFlip(fs, qRoot, path, stage, s"e${m.version + 1}-", affected,
       dvSeenOf(m, affected))
     (affected.size, rowsUpdated)
   }

@@ -28,15 +28,27 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * stack wholesale: vectorized reader, filter pushdown, column
   * pruning, partition-directory pruning against the lake root.
   *
-  * Writes: `INSERT INTO lake.\`/path\`` routes through the engine's
-  * staged, validated, exactly-once append ([[History.append]] via
-  * [[LakeSqlWrite]]) — declared-schema validation and staged-bytes
-  * CHECK-constraint enforcement apply to SQL-landed batches exactly
-  * as to engine-landed ones, and the batch partitions into the lake's
-  * existing directory layout. Time-travel pins are read targets only.
-  * DDL (`createTable`/`alterTable`/`dropTable`) still fails loudly:
-  * lake lifecycle belongs to [[History.enableManifests]] and friends,
-  * not to a SQL session.
+  * Writes — the full DML surface:
+  *  - `INSERT INTO lake.\`/path\`` routes through the engine's staged,
+  *    validated, exactly-once append ([[History.append]] via
+  *    [[LakeSqlWrite]]) — declared-schema validation and staged-bytes
+  *    CHECK-constraint enforcement apply to SQL-landed batches exactly
+  *    as to engine-landed ones, and the batch partitions into the
+  *    lake's existing directory layout.
+  *  - `DELETE FROM … WHERE …` lands as merge-on-read deletion vectors
+  *    ([[History.deleteWhereDV]] via [[LakeSqlDelete]]); unconditional
+  *    DELETE/TRUNCATE retires every file copy-on-write.
+  *  - `UPDATE … SET … WHERE …` and upsert-shaped `MERGE INTO` route to
+  *    the copy-on-write file-granular [[History.updateWhere]] /
+  *    [[History.mergeInto]] through the [[LakeDmlRule]] extension rule
+  *    (`--conf spark.sql.extensions=graft.GraftExtensions` — the one
+  *    line the UPDATE/MERGE statements need, because Spark has no
+  *    capability trait for them short of the V2-only ReplaceData
+  *    machinery).
+  * Time-travel pins are read targets only. DDL
+  * (`createTable`/`alterTable`/`dropTable`) still fails loudly: lake
+  * lifecycle belongs to [[History.enableManifests]] and friends, not
+  * to a SQL session.
   *
   * Merge-on-read snapshots: a DV-bearing version serves through
   * [[PinnedLakeTable]] (the engine's pinned-read plan, deletion

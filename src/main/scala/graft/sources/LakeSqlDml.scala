@@ -176,7 +176,7 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         in.map { case (k, v) => k -> v.exprId })
       unsupported("UPDATE and INSERT disagreeing on the source image")
     GraftMergeCommand(path, m.sourceTable,
-      targetCols.map(c => c -> up(c)), keyCols)
+      targetCols.map(c => c -> up(c)), keyCols.distinct)
   }
 }
 
@@ -217,7 +217,17 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
       .select(imageCols.map { case (name, attr) =>
         ColumnBridge.column(attr).as(name)
       }: _*)
-    val (files, rows) = History.mergeInto(spark, path, updates, keyCols)
-    Seq(Row(files, rows))
+    // mergeInto's caller contract: the updates frame is evaluated
+    // several times (dup check, semi-join, anti-join, staged write) —
+    // an engine caller caches a non-trivial plan, a SQL user can't, so
+    // cache here for the operator's duration (spills past memory; a
+    // correction batch is small next to the lake by construction)
+    updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (files, rows) = History.mergeInto(spark, path, updates, keyCols)
+      Seq(Row(files, rows))
+    } finally {
+      updates.unpersist(blocking = false): Unit
+    }
   }
 }
