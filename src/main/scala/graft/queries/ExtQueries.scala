@@ -1380,10 +1380,24 @@ object ExtQueries {
     // bounded by the source count squared (sources are tens, not
     // corpus-sized), two broadcast-sized size tables.
     "t28_source_overlap" -> ((s, d) => {
+      // ONE corpus-wide exchange: the exploded (source, shingle)
+      // stream shuffles by the JOIN key `g` once — g-hash co-locates
+      // every (source, g) duplicate, so the distinct aggregates in
+      // place on that partitioning, and both self-join sides reuse
+      // the same exchange. The former distinct-on-(source,g)-then-
+      // join-on-g shape planned three corpus-wide shuffles for the
+      // same answer.
+      // explicit (vacuously true) null guards: the self-join INFERS
+      // isnotnull(g) on its two branches but the sizes branch never
+      // does, and branches with different inferred filter sets
+      // canonicalize differently — breaking the exchange reuse that
+      // keeps this a one-scan query (t25's lesson). Stating both up
+      // front makes every consumer's subtree identical.
       val fp = documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("source"),
           explode(TextAnalysis.wordShingles(col("text"), 3)).as("g"))
+        .filter(col("g").isNotNull && col("source").isNotNull)
+        .repartition(col("g"))
         .distinct()
       val sizes = fp.groupBy(col("source")).agg(count(lit(1)).as("n"))
       val inter = fp.as("a").join(fp.as("b"), Seq("g"))

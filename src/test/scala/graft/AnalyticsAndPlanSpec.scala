@@ -678,6 +678,33 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
         s"the per-doc aggregate:\n${plan.toString.take(1500)}")
   }
 
+  test("plan quality: t28 scans the corpus once; one corpus-wide exchange") {
+    // the exploded (source, shingle) stream shuffles by the join key
+    // ONCE; the distinct aggregates in place on that partitioning and
+    // the self-join's second side AND the per-source size aggregate
+    // both reuse the same exchange — the round-13 shape planned three
+    // corpus-wide shuffles over two scans for the same answer (the
+    // explicit isnotnull guards keep all three consumer subtrees
+    // canonically identical; dropping them splits the exchange).
+    val df = SparkEntry.queries("t28_source_overlap")(spark,
+      "/root/testdata/sf0.001")
+    df.collect(): Unit
+    val plan = df.queryExecution.executedPlan
+    def finalized(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+      }
+    val roots = plan +: finalized(plan)
+    val oneScan = roots.map(_.toString).exists { s =>
+      s.contains("ReusedExchange") &&
+        "documents\\.parquet".r.findAllIn(s).length <= 1
+    }
+    assert(oneScan,
+      s"t28 re-scans the corpus instead of reusing the shingle " +
+        s"exchange:\n${plan.toString.take(1500)}")
+  }
+
   test("plan quality: q44 scans lineitem once; window rides the join shuffle") {
     // the double-EXISTS decorrelation computes per-order cardinalities
     // as WINDOW aggregates over the join output instead of a second
