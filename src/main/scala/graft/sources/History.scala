@@ -2304,6 +2304,69 @@ object History {
     expirePartitions(spark, path,
       col("dt") < lit(asOf.minusDays(retainDays.toLong).toString).cast("date"))
 
+  /** Generic whole-partition retention for MANIFEST lakes: retire
+    * every current file under a partition directory matching
+    * `predicate` — evaluated over the lake's directory-encoded
+    * partition columns (any scheme, decoded by the same
+    * [[PartitionPredicate]] parsing the metadata aggregates fuzz),
+    * each typed by the lake's read schema — in ONE metadata-only
+    * commit: no data file is read or moved, the dirs just leave CUR,
+    * so at 100 TB dropping a month costs a manifest flip and time
+    * travel to the pre-expire version answers until [[vacuum]]. A
+    * predicate referencing a non-partition column refuses loudly
+    * (a row-level predicate would select whole partitions by a row
+    * subset); the dir count bounds all driver work. The region/dt
+    * [[expirePartitions]] predates the generic directory scheme and
+    * remains for the history lake's legacy (non-manifest) mode.
+    * @return the expired partition dirs */
+  def expirePartitionsWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = FileManifest.latest(fs, path).getOrElse(
+      throw new IllegalStateException(
+        s"expirePartitionsWhere needs a manifest-mode lake " +
+          s"(enableManifests): $path — legacy region/dt layouts use " +
+          "expirePartitions"))
+    if (m.cur.isEmpty) return Nil
+    val partCols = uniformPartCols(path, m.cur)
+    require(partCols.nonEmpty,
+      s"$path has no partition directories to expire")
+    def dirOf(rel: String): String =
+      rel.take(math.max(rel.lastIndexOf('/'), 0))
+    val dirs = m.cur.map(dirOf).distinct.sorted
+    val raw: Seq[(String, Seq[String])] = dirs.map { d =>
+      val vals = PartitionPredicate.partitionValues(s"$d/_p.parquet")
+        .getOrElse(throw new IllegalStateException(
+          s"undecodable partition dir under $path: $d"))
+      d -> partCols.map(c => vals.get(c).flatten.orNull)
+    }
+    // typed exactly like a read: cast each raw dir value to the
+    // column's type in the lake read schema (one-footer probe)
+    val probe = planManifest(spark, fs, root, m.copy(cur = m.cur.take(1)))
+    import spark.implicits._
+    val strDf = raw.toDF("__dir", "__vals")
+    val typed = partCols.zipWithIndex.foldLeft(strDf) {
+      case (df, (c, i)) => df.withColumn(c,
+        element_at(col("__vals"), i + 1).cast(probe.schema(c).dataType))
+    }.drop("__vals")
+    val matched = try typed.filter(predicate)
+      .select(col("__dir")).collect().map(_.getString(0))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          "predicate may only reference partition columns " +
+            s"(${partCols.mkString(", ")}) — a row-level predicate " +
+            "would select whole partitions by a row subset " +
+            s"(analysis said: ${e.getMessage})")
+    }
+    if (matched.isEmpty) return Nil
+    val mset = matched.toSet
+    val expired = m.cur.filter(rel => mset(dirOf(rel)))
+    FileManifest.commitDelta(fs, path, Nil, expired): Unit
+    matched.toSeq.sorted
+  }
+
   /** Roll an interrupted legacy-mode [[expirePartitions]] forward. No-op
     * without a pending expire manifest. */
   def recoverExpire(spark: SparkSession, path: String): Boolean = {

@@ -143,7 +143,48 @@ object LakeProcedures {
       Seq(("path", StringType, "lake root"),
         ("name", StringType, "constraint name")),
       Seq(("constraint_version", LongType)),
-      (s, in) => Seq(Constraints.drop(s, str(in, 0), str(in, 1))))
+      (s, in) => Seq(Constraints.drop(s, str(in, 0), str(in, 1)))),
+    Proc("cluster",
+      "cluster-rewrite current files sorted on a column (tight stats)",
+      Seq(("path", StringType, "lake root"),
+        ("column", StringType, "sort column (INT64 for stats pruning)"),
+        ("num_files", IntegerType,
+          "target output file count; <= 0 keeps the current count")),
+      Seq(("files_retired", IntegerType), ("files_statted", IntegerType)),
+      (s, in) => {
+        val (r, w) = History.clusterBy(s, str(in, 0), str(in, 1),
+          in.getInt(2))
+        Seq[Any](r, w)
+      }),
+    Proc("cluster_z",
+      "Z-ORDER cluster-rewrite on >=2 integral columns (multi-dim prune)",
+      Seq(("path", StringType, "lake root"),
+        ("columns", StringType, "comma-separated integral columns"),
+        ("num_files", IntegerType,
+          "target output file count; <= 0 keeps the current count")),
+      Seq(("files_retired", IntegerType), ("files_statted", IntegerType)),
+      (s, in) => {
+        val cols = str(in, 1).split(",").map(_.trim).filter(_.nonEmpty)
+        val (r, w) = History.clusterByZ(s, str(in, 0), cols.toSeq,
+          in.getInt(2))
+        Seq[Any](r, w)
+      }),
+    Proc("expire_partitions",
+      "retire whole partitions matching a partition-column predicate",
+      Seq(("path", StringType, "lake root"),
+        ("predicate", StringType,
+          "boolean SQL over partition columns, e.g. dt < '2026-01-01'")),
+      Seq(("partitions_expired", IntegerType)),
+      (s, in) => Seq(History.expirePartitionsWhere(s, str(in, 0),
+        org.apache.spark.sql.functions.expr(str(in, 1))).size)),
+    Proc("export_snapshot",
+      "clone one retained version's exact row set to a fresh lake root",
+      Seq(("path", StringType, "lake root"),
+        ("dest", StringType, "destination root (must not hold a lake)"),
+        ("version", LongType, "retained version to export")),
+      Seq(("dest_version", LongType)),
+      (s, in) => Seq(History.exportSnapshot(s, str(in, 0), str(in, 1),
+        Some(in.getLong(2)))))
   ).map(p => p.name -> p).toMap
 
   /** Resolve an identifier (`vacuum` or `system.vacuum`). */

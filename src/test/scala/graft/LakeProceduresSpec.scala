@@ -120,4 +120,46 @@ class LakeProceduresSpec extends AnyFunSuite {
       .takeWhile(_ != null).map(_.toString).mkString(" | ")
     assert(chain2.contains("frobnicate"), chain2)
   }
+
+  test("cluster, Z-order, expire, and export snapshot via CALL") {
+    val dir = lake()
+    // single-column cluster: layout-only — the row set is unchanged
+    val c = call(s"CALL lake.cluster('$dir', 'doc_id', 2)")
+    assert(c.head.asInstanceOf[Int] >= 1 &&
+      c(1).asInstanceOf[Int] >= 1, c.mkString(","))
+    assert(spark.sql(s"SELECT sum(n_chars) AS s FROM lake.`$dir`")
+      .collect().head.getLong(0) === 150L)
+    // Z-order on two integral columns
+    val z = call(s"CALL lake.cluster_z('$dir', 'doc_id, n_chars', 2)")
+    assert(z.head.asInstanceOf[Int] >= 1, z.mkString(","))
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM lake.`$dir`")
+      .collect().head.getLong(0) === 5L)
+    // export the current version to a fresh root: exact clone
+    val v = FileManifest.latest(fsOf(dir), dir).get.version
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft-callexport").toString + "/clone"
+    assert(call(s"CALL lake.export_snapshot('$dir', '$dest', $v)") ===
+      Seq(1L))
+    assert(spark.sql(s"SELECT sum(n_chars) AS s FROM lake.`$dest`")
+      .collect().head.getLong(0) === 150L)
+    // expire one whole partition by predicate; the clone is untouched
+    val vPre = FileManifest.latest(fsOf(dir), dir).get.version
+    assert(call(
+      s"CALL lake.expire_partitions('$dir', 'lang = ''fr''')") === Seq(1))
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM lake.`$dir`")
+      .collect().head.getLong(0) === 4L)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM lake.`$dest`")
+      .collect().head.getLong(0) === 5L)
+    // metadata-only: pre-expire time travel still answers
+    assert(spark.sql(
+      s"SELECT COUNT(*) AS n FROM lake.`$dir` VERSION AS OF $vPre")
+      .collect().head.getLong(0) === 5L)
+    // a data-column predicate refuses loudly (whole partitions only)
+    val e = intercept[Exception] {
+      call(s"CALL lake.expire_partitions('$dir', 'doc_id = 1')")
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(chain.contains("partition columns"), chain)
+  }
 }
