@@ -704,8 +704,12 @@ object FileManifest {
 
   /** Test-only deterministic race injection: consumed (run once) by the
     * next [[commitDelta]] attempt, between its latest-read and its
-    * publish — the window where a competing commit forces a rebase. */
+    * publish — the window where a competing commit forces a rebase.
+    * When [[testRaceHookPath]] is set, only a commit against that lake
+    * consumes it — suites sharing the JVM-wide session can't steal a
+    * hook armed for a long-window operator (scan → jobs → commit). */
   private[graft] var testRaceHook: Option[() => Unit] = None
+  private[graft] var testRaceHookPath: Option[String] = None
 
   /** OPTIMISTIC-CONCURRENCY commit: apply a DELTA — `adds` become
     * current, `retire` move current→retired — on top of WHATEVER the
@@ -823,7 +827,10 @@ object FileManifest {
         m.retired ++ retire.sorted.map(now -> _),
         (m.dvs -- retireSet) ++ setDvs.map { case (rel, (_, n)) => rel -> n })
       // fire (and consume) the injected race exactly once
-      testRaceHook.foreach { h => testRaceHook = None; h() }
+      if (testRaceHookPath.forall(_ == lakePath))
+        testRaceHook.foreach { h =>
+          testRaceHook = None; testRaceHookPath = None; h()
+        }
       try {
         publish(fs, lakePath, next)
         return next.version

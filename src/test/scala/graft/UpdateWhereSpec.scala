@@ -137,6 +137,26 @@ class UpdateWhereSpec extends AnyFunSuite {
     assert(rows(dir) === before)
   }
 
+  test("a DV landing mid-update conflicts loudly, never resurrects") {
+    val dir = lake()
+    // race: a takedown's deletion vector lands on the en file INSIDE
+    // updateWhere's commit window — the update's rewrite scan did not
+    // apply that vector, so letting the flip land would resurrect the
+    // deleted row inside the rewritten file. The dvSeen declaration
+    // must turn that into a loud conflict instead.
+    FileManifest.testRaceHookPath = Some(dir)
+    FileManifest.testRaceHook = Some(() =>
+      History.deleteWhereDV(spark, dir, col("doc_id") === 1L): Unit)
+    intercept[java.util.ConcurrentModificationException] {
+      History.updateWhere(spark, dir, col("lang") === "en",
+        Seq("n_chars" -> lit(0L)))
+    }
+    assert(FileManifest.testRaceHook.isEmpty, "hook must be consumed")
+    // the takedown won; the update landed nothing
+    assert(rows(dir) === Seq((2L, "en", 20L), (3L, "de", 30L),
+      (4L, "de", 40L), (5L, "fr", 50L)))
+  }
+
   test("no matches is a no-op: no version bump, no rewrite") {
     val dir = lake()
     val v0 = FileManifest.latest(fsOf(dir), dir).get.version
