@@ -92,6 +92,24 @@ class BandIndexSpec extends AnyFunSuite {
     assert(BandIndex.tick(spark, corpus, index) === ((v, 0L, 0L)))
   }
 
+  test("tick mirrors a row correction: old bands retract, new derive") {
+    val (corpus, index) = mkLakes()
+    BandIndex.bootstrap(spark, corpus, index): Unit
+    // a correction rewrites one family's text in place — the feed's
+    // hash-projected diff replays exactly the changed docs, the tick
+    // re-shingles only them, and the maintained bands lake must equal
+    // a one-shot derivation over the corrected corpus
+    History.updateWhere(spark, corpus, col("doc_id") % 7 === 2,
+      Seq("text" -> concat(col("text"), lit(" corrected kappa lambda")))
+    ): Unit
+    val (_, d, i) = BandIndex.tick(spark, corpus, index)
+    assert(d === 6L && i === 6L,
+      s"only the 6 changed docs may replay, got del=$d ins=$i")
+    assert(bandSet(BandIndex.read(spark, index)) ===
+      bandSet(recomputed(corpus)),
+      "maintained bands must equal a fresh derivation after the update")
+  }
+
   test("admission scans the maintained bands lake, never the corpus text") {
     val (corpus, index) = mkLakes()
     BandIndex.bootstrap(spark, corpus, index): Unit

@@ -85,6 +85,32 @@ class LexicalIndexSpec extends AnyFunSuite {
     assert(LexicalIndex.tick(spark, corpus, index) === ((v, 0L, 0L)))
   }
 
+  test("ticks mirror row corrections (updateWhere and keyed merge)") {
+    val (corpus, index) = mkLakes()
+    LexicalIndex.bootstrap(spark, corpus, index): Unit
+    // a correction REWRITES docs in place (copy-on-write): the change
+    // feed's hash-projected diff presents exactly the changed rows as
+    // delete+insert, so the tick must retract the old text's postings
+    // and admit the new — never the rewritten files' unchanged rows
+    History.updateWhere(spark, corpus, col("doc_id") % 10 === 3,
+      Seq("text" -> concat(col("text"), lit(" zq77 zq77")))): Unit
+    val (_, d1, i1) = LexicalIndex.tick(spark, corpus, index)
+    assert(d1 === 4L && i1 === 4L,
+      s"only the 4 changed docs may replay, got del=$d1 ins=$i1")
+    assert(rows(maintained(corpus, index, 5)) ===
+      rows(oneShot(corpus, 5)),
+      "maintained BM25 must equal a fresh recompute after the update")
+    // a keyed merge: one corrected image + one brand-new doc
+    import spark.implicits._
+    History.mergeInto(spark, corpus,
+      Seq((5L, "zq88 zq88 t5 r5"), (200L, text(200L)))
+        .toDF("doc_id", "text"), Seq("doc_id")): Unit
+    LexicalIndex.tick(spark, corpus, index): Unit
+    assert(rows(maintained(corpus, index, 5)) ===
+      rows(oneShot(corpus, 5)),
+      "maintained BM25 must equal a fresh recompute after the merge")
+  }
+
   test("a crashed tick replays to convergence, rollups included") {
     val (corpus, index) = mkLakes()
     LexicalIndex.bootstrap(spark, corpus, index): Unit
