@@ -60,7 +60,10 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
                           keyed: Boolean = false,
                           tagged: Boolean = false,
                           dv: Boolean = false,
-                          constrained: Boolean = false): Unit = {
+                          constrained: Boolean = false,
+                          dml: Boolean = false): Unit = {
+    if (dml) spark.conf.set("spark.sql.catalog.lake",
+      classOf[graft.sources.LakeCatalog].getName)
     val rnd = new scala.util.Random(seed)
     val lake = java.nio.file.Files
       .createTempDirectory(s"graft-fuzz-$seed").toString + "/lake"
@@ -106,7 +109,9 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
       (if (tagged) Seq("mkTag", "rmTag", "restore") else Nil) ++
       (if (dv) Seq("deleteKeysDV", "materializeDV", "overwritePart")
        else Nil) ++
-      (if (constrained) Seq("appendChecked", "appendBad") else Nil)
+      (if (constrained) Seq("appendChecked", "appendBad") else Nil) ++
+      (if (dml) Seq("updateWhere", "updateMove", "sqlUpdate", "sqlDelete")
+       else Nil)
     for (op <- 0 until nOps) {
       val pick = rnd.nextInt(10 + extraOps.size)
       val desc: String = pick match {
@@ -222,6 +227,39 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
             assert(FileManifest.latestVersion(fs(lake), lake)
               .get === before, s"seed=$seed op#$op appendBad flipped")
             "appendBad rejected"
+          case "updateWhere" => // copy-on-write row correction
+            val k = 2 + rnd.nextInt(3)
+            val r = rnd.nextInt(k)
+            History.updateWhere(spark, lake, col("id") % k === r,
+              Seq("v" -> (col("v") + 10000L))): Unit
+            model.mapValuesInPlace { case (id, (p, v)) =>
+              if (id % k == r) (p, v + 10000L) else (p, v) }
+            s"updateWhere id%$k=$r"
+          case "updateMove" => // correction assigning a PARTITION column
+            val from = s"p${rnd.nextInt(3)}"
+            val to = s"p${rnd.nextInt(3)}"
+            History.updateWhere(spark, lake, col("part") === from,
+              Seq("part" -> lit(to))): Unit
+            model.mapValuesInPlace { case (_, (p, v)) =>
+              if (p == from) (to, v) else (p, v) }
+            s"updateMove $from->$to"
+          case "sqlUpdate" => // the same verb through the SQL surface
+            val x = rnd.nextLong(1000L)
+            spark.sql(s"UPDATE lake.`$lake` SET v = v + 7 WHERE v < $x")
+              .collect(): Unit
+            model.mapValuesInPlace { case (_, (p, v)) =>
+              if (v < x) (p, v + 7L) else (p, v) }
+            s"sqlUpdate v<$x"
+          case "sqlDelete" => // SQL DELETE lands as deletion vectors
+            if (model.isEmpty) "sqlDelete noop"
+            else {
+              val victims = rnd.shuffle(model.keys.toSeq)
+                .take(1 + rnd.nextInt(3)).sorted
+              spark.sql(s"DELETE FROM lake.`$lake` " +
+                s"WHERE id IN (${victims.mkString(", ")})"): Unit
+              victims.foreach(model.remove)
+              s"sqlDelete ${victims.size}"
+            }
           case _ => // roll back to any retained snapshot ("restore")
             val f = fs(lake)
             val candidates = FileManifest.versions(f, lake)
@@ -273,8 +311,9 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
     }
     // fold any outstanding deletion vectors first: the plain directory
     // read below sees raw parquet bytes, which by design include
-    // DV-deleted rows until a rewrite materializes them
-    if (dv) History.materializeDeletes(spark, lake): Unit
+    // DV-deleted rows until a rewrite materializes them (dml mode's
+    // SQL DELETEs land as vectors too)
+    if (dv || dml) History.materializeDeletes(spark, lake): Unit
     // after a final vacuum the plain directory read agrees too (no
     // retired/orphan files left to double-count)
     History.vacuum(spark, lake, graceMs = 0L): Unit
@@ -352,6 +391,15 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
   test("constrained + DV + sharded: enforcement on the full stack (seed 59)") {
     runSequence(seed = 59L, nOps = 12, sharded = true, dv = true,
       constrained = true)
+  }
+
+  test("DML mode: UPDATE + SQL verbs compose with the lifecycle (seed 61)") {
+    runSequence(seed = 61L, nOps = 12, dml = true)
+  }
+
+  test("DML + DV + sharded + constrained: corrections on the full stack (seed 67)") {
+    runSequence(seed = 67L, nOps = 14, sharded = true, dv = true,
+      constrained = true, dml = true)
   }
 
   // Deep sweep for bug hunts — opt-in (SPARK_GRAFT_DEEP_FUZZ=1) so the
