@@ -77,7 +77,8 @@ object LiveMain {
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .appName("graft-transis-kinesis").getOrCreate()
+      .appName("graft-transis-kinesis")
+      .withExtensions(new GraftExtensions).getOrCreate()
     val wired = wire(spark)
     try wired.query.awaitTermination()
     catch {

@@ -200,7 +200,8 @@ object MaintenanceMain {
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .appName("graft-maintenance").getOrCreate()
+      .appName("graft-maintenance")
+      .withExtensions(new GraftExtensions).getOrCreate()
     val once = conf(spark, "once").exists(_.toBoolean)
     val intervalMs =
       conf(spark, "intervalSecs").map(_.toLong).getOrElse(60L) * 1000L
