@@ -1952,7 +1952,41 @@ object History {
   def updateWhere(spark: SparkSession, path: String,
                   predicate: org.apache.spark.sql.Column,
                   assignments: Seq[(String, org.apache.spark.sql.Column)])
+      : (Int, Long) =
+    updateImpl(spark, path, predicate, assignments, None)
+
+  /** KEYED correction: [[updateWhere]] for an explicit key list, with
+    * the pass-1 match scan bloom-pruned through the per-file key index
+    * ([[refreshKeyIndex]]) when one exists — the same prune
+    * [[deleteKeys]] rides: on an unclustered 100 TB lake, "update
+    * these 10k doc_ids" scans only the files whose filter might hold a
+    * victim instead of the lake. Correctness is index-independent (no
+    * false negatives; the rewrite applies the exact IN predicate), so
+    * a stale or absent index only costs scan width. */
+  def updateKeys(spark: SparkSession, path: String, keyCol: String,
+                 values: Seq[Any],
+                 assignments: Seq[(String, org.apache.spark.sql.Column)])
       : (Int, Long) = {
+    require(values.nonEmpty, "updateKeys needs at least one key")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(FileManifest.enabled(fs, path),
+      s"updateKeys needs a manifest-mode lake (enableManifests): $path")
+    val (m, candidates) = bloomPrune(fs, path, keyCol, values, None)
+    if (candidates.isEmpty) return (0, 0L)
+    val probe = planManifest(spark, fs, root, m.copy(cur = m.cur.take(1)))
+    if (probe.columns.isEmpty) return (0, 0L)
+    keyInFilter(probe.schema(keyCol).dataType, keyCol, values) match {
+      case Some(pred) =>
+        updateImpl(spark, path, pred, assignments, Some(candidates))
+      case None => (0, 0L)
+    }
+  }
+
+  private def updateImpl(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      candidates: Option[Seq[String]]): (Int, Long) = {
     require(assignments.nonEmpty, "updateWhere needs at least one assignment")
     val names = assignments.map(_._1)
     require(names.distinct.size == names.size,
@@ -1965,11 +1999,14 @@ object History {
         s"updateWhere needs a manifest-mode lake (enableManifests): $path"))
     if (m.cur.isEmpty) return (0, 0L)
     val matchPred = coalesce(predicate, lit(false))
-    val relByAbs: Map[String, String] = m.cur.map(rel =>
+    // a candidate subset (bloom-pruned keyed update) narrows the match
+    // SCAN only; the rewrite below still applies the exact predicate
+    val scanCur = candidates.getOrElse(m.cur)
+    val relByAbs: Map[String, String] = scanCur.map(rel =>
       new org.apache.hadoop.fs.Path(qRoot, rel).toString -> rel).toMap
     // pass 1: which current files hold matching rows (bare predicate —
     // pushes to the parquet scan; see deleteImpl)
-    val hits = planManifest(spark, fs, root, m)
+    val hits = planManifest(spark, fs, root, m.copy(cur = scanCur))
       .filter(predicate)
       .groupBy(col("_metadata.file_path").as("fp"))
       .agg(count(lit(1)).as("n"))

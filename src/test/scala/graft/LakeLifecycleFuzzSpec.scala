@@ -417,5 +417,10 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
     for (seed <- Seq(307L, 311L))
       runSequence(seed, nOps = 25, sharded = seed == 311L,
         dv = seed == 311L, constrained = true)
+    // dml (UPDATE + SQL verbs) likewise joins on fresh seeds, one on
+    // the full stack
+    for (seed <- Seq(401L, 409L))
+      runSequence(seed, nOps = 25, sharded = seed == 409L,
+        dv = seed == 409L, constrained = seed == 409L, dml = true)
   }
 }

@@ -157,6 +157,31 @@ class UpdateWhereSpec extends AnyFunSuite {
       (4L, "de", 40L), (5L, "fr", 50L)))
   }
 
+  test("updateKeys: bloom-pruned keyed correction, index-independent") {
+    import spark.implicits._
+    val dir = lake()
+    History.refreshKeyIndex(spark, dir, "doc_id"): Unit
+    val (_, n) = History.updateKeys(spark, dir, "doc_id",
+      Seq(2L, 4L, 999L), Seq("n_chars" -> (col("n_chars") + 1L)))
+    assert(n === 2L, "999 is absent; 2 and 4 update")
+    assert(rows(dir) === Seq((1L, "en", 10L), (2L, "en", 21L),
+      (3L, "de", 30L), (4L, "de", 41L), (5L, "fr", 50L)))
+    // absent keys only: a no-op, no version flip
+    val v0 = FileManifest.latest(fsOf(dir), dir).get.version
+    assert(History.updateKeys(spark, dir, "doc_id", Seq(777L),
+      Seq("n_chars" -> lit(0L))) === ((0, 0L)))
+    assert(FileManifest.latest(fsOf(dir), dir).get.version === v0)
+    // a STALE index (rows appended since refresh) must only cost scan
+    // width, never rows: the unindexed file is always scanned
+    History.append(spark, dir,
+      Seq((6L, "en", 60L)).toDF("doc_id", "lang", "n_chars"),
+      key = "b2", partitionCols = Seq("lang")): Unit
+    val (_, n2) = History.updateKeys(spark, dir, "doc_id", Seq(6L),
+      Seq("n_chars" -> lit(61L)))
+    assert(n2 === 1L)
+    assert(rows(dir).filter(_._1 == 6L) === Seq((6L, "en", 61L)))
+  }
+
   test("no matches is a no-op: no version bump, no rewrite") {
     val dir = lake()
     val v0 = FileManifest.latest(fsOf(dir), dir).get.version
