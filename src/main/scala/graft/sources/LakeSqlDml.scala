@@ -66,6 +66,15 @@ object LakeDmlRule {
         s"$what with a subquery is not supported through the lake SQL " +
           "surface — materialize the subquery (CREATE a temp table / " +
           "use the engine operator) and reference it by value")
+    // the engine operator evaluates the predicate in its match scan
+    // AND its rewrite projection (updateWhere's documented caller
+    // contract) — a rand()/uuid() that flips between the two would
+    // update a different row set than it scanned, so refuse up front
+    if (!e.deterministic)
+      throw new UnsupportedOperationException(
+        s"$what must be deterministic: the copy-on-write update " +
+          "evaluates it once to find the affected files and once in " +
+          s"the rewrite — `$e` could differ between the two")
     ColumnBridge.column(e.transform {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     })

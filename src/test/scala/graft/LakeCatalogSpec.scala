@@ -620,6 +620,22 @@ class LakeCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === 150L)
   }
 
+  test("a non-deterministic UPDATE refuses loudly, lake untouched") {
+    val dir = lake()
+    // rand() could flip between the match scan and the rewrite —
+    // updating a different row set than it scanned
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"UPDATE lake.`$dir` SET n_chars = 0 WHERE rand() < 0.5")
+    }
+    assert(e.getMessage.contains("deterministic"), e.getMessage)
+    val e2 = intercept[UnsupportedOperationException] {
+      spark.sql(s"UPDATE lake.`$dir` SET n_chars = CAST(rand() AS BIGINT)")
+    }
+    assert(e2.getMessage.contains("deterministic"), e2.getMessage)
+    assert(spark.sql(s"SELECT sum(n_chars) AS s FROM lake.`$dir`")
+      .collect()(0).getLong(0) === 150L)
+  }
+
   test("SQL MERGE INTO upserts through the keyed engine merge") {
     import spark.implicits._
     val dir = lake()
