@@ -1301,10 +1301,29 @@ object ExtQueries {
       // lines the same way; collision odds are ~n²/2⁶⁴ — vanishing at
       // gate scale, and at 100 TB a collision merely merges two spans'
       // df, the standard accepted trade of hashed line-dedup)
+      // ONE corpus-wide exchange (the t28 shape): the hashed span
+      // stream shuffles by the join key `h` once — h-hash co-locates
+      // every (doc_id, h) duplicate so the per-doc aggregate runs in
+      // place, the df aggregate runs in place on the preserved
+      // partitioning, and the df join needs no exchange on either side
+      // the vacuously-true isnotnull guard keeps both join branches'
+      // subtrees canonically identical (t25/t28's exchange-reuse
+      // lesson: the join infers it on one side only otherwise)
       val perDocSpan = spans
-        .groupBy(col("doc_id"), xxhash64(col("span")).as("h"))
+        .select(col("doc_id"), xxhash64(col("span")).as("h"),
+          col("span_len"))
+        .filter(col("h").isNotNull)
+        .repartition(col("h"))
+        .groupBy(col("doc_id"), col("h"))
         .agg(count(lit(1)).as("cnt"), sum(col("span_len")).as("len_sum"))
-      val dfreq = perDocSpan.groupBy(col("h"))
+      // the vacuous cnt/len_sum references anchor the df branch to the
+      // SAME (doc_id, h) aggregate the probe side plans — without
+      // them, column pruning drops span_len below the df branch's
+      // exchange and the two subtrees stop canonicalizing equal (a
+      // second corpus scan instead of a ReusedExchange)
+      val dfreq = perDocSpan
+        .filter(col("cnt") >= 1L && col("len_sum") >= 0L)
+        .groupBy(col("h"))
         .agg(count(lit(1)).as("ndocs"))
       perDocSpan.join(dfreq, "h")
         .groupBy(col("doc_id"))

@@ -705,6 +705,31 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
         s"exchange:\n${plan.toString.take(1500)}")
   }
 
+  test("plan quality: t22 scans the corpus once; one span-hash exchange") {
+    // the hashed span stream shuffles by the join key once; the
+    // per-(doc, span) aggregate runs in place, the df branch reuses
+    // the same exchange (vacuous cnt/len_sum anchors keep the two
+    // subtrees canonically identical against column pruning), and the
+    // df join broadcasts — the prior shape ran two corpus scans.
+    val df = SparkEntry.queries("t22_boilerplate_spans")(spark,
+      "/root/testdata/sf0.001")
+    df.collect(): Unit
+    val plan = df.queryExecution.executedPlan
+    def finalized(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+      }
+    val roots = plan +: finalized(plan)
+    val oneScan = roots.map(_.toString).exists { s =>
+      s.contains("ReusedExchange") &&
+        "documents\\.parquet".r.findAllIn(s).length <= 1
+    }
+    assert(oneScan,
+      s"t22 re-scans the corpus instead of reusing the span-hash " +
+        s"exchange:\n${plan.toString.take(1500)}")
+  }
+
   test("plan quality: q44 scans lineitem once; window rides the join shuffle") {
     // the double-EXISTS decorrelation computes per-order cardinalities
     // as WINDOW aggregates over the join output instead of a second
