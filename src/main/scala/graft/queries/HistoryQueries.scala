@@ -462,7 +462,8 @@ object HistoryQueries {
         shardedLakeCache, bloomLakeCache, evolvedLakeCache,
         taggedLakeCache, restoredLakeCache, rollupCache, dvLakeCache,
         binPackLakeCache, exportCache, backfillLakeCache,
-        constraintsLakeCache, joinViewCache, sqlInsertLakeCache)
+        constraintsLakeCache, joinViewCache, sqlInsertLakeCache,
+        sqlDeleteLakeCache, sqlUpdateLakeCache, sqlMergeLakeCache)
       .foreach { cache =>
       cache.keySet.forEach { k =>
         if (k._1 == sk) rmLake(cache.remove(k))
