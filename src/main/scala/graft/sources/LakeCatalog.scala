@@ -250,8 +250,22 @@ class LakeCatalog extends TableCatalog
     * version window as a SQL table — CDC for SQL-only consumers
     * (inserts + deletes with the `_change` marker, computed from only
     * the files that changed; positional O(changed-vectors) under DV
-    * commits). Bare `#changes` reads the LAST commit's window. */
-  private val ChangesRange = "changes@([0-9]+)\\.\\.([0-9]+)".r
+    * commits). Window endpoints are manifest versions or TAG names
+    * (``#changes@training-v1..training-v2`` — "what changed between
+    * the two corpus snapshots my models trained on", resolved through
+    * the same tag registry `VERSION AS OF` reads). Bare `#changes`
+    * reads the LAST commit's window. */
+  // lazy first-".." split: dotted tag names work; a tag containing a
+  // literal ".." is unaddressable here (name tags without it)
+  private val ChangesRange = "changes@(.+?)\\.\\.(.+)".r
+
+  /** A window endpoint: a version number, else a tag name. */
+  private def endpointVersion(p: String, e: String): Long =
+    e.toLongOption.getOrElse(
+      FileManifest.tagVersion(fsOf(p), p, e).getOrElse(
+        throw new IllegalArgumentException(
+          s"'$e' is neither a version nor a tag at $p; tags: " +
+            FileManifest.tags(fsOf(p), p).map(_._1).mkString(", "))))
 
   override def loadTable(ident: Identifier): Table = {
     val raw = pathOf(ident)
@@ -276,7 +290,8 @@ class LakeCatalog extends TableCatalog
     suffix match {
       case Some(ChangesRange(a, b)) =>
         requireLake(base)
-        changesTable(base, a.toLong, b.toLong)
+        changesTable(base, endpointVersion(base, a),
+          endpointVersion(base, b))
       case Some("changes") =>
         requireLake(base)
         val vs = FileManifest.versions(fsOf(base), base)

@@ -486,6 +486,23 @@ class LakeCatalogSpec extends AnyFunSuite {
           FROM lake.`$dir#changes@$v1..$vLast`""")
       .collect().head.getLong(0)
     assert(net === 70L) // +90 (insert) - 20 (deleted doc 2)
+    // TAG-addressed window: "what changed between the two snapshots
+    // my models trained on" — endpoints resolve through the same tag
+    // registry VERSION AS OF reads (dotted names included)
+    History.tag(spark, dir, "train.v1", Some(v1)): Unit
+    History.tag(spark, dir, "train.v2", Some(vLast)): Unit
+    val byTag = spark.sql(
+      s"SELECT doc_id, _change FROM lake.`$dir#changes@train.v1..train.v2`")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(byTag === feed, "tag endpoints must equal version endpoints")
+    // an unknown endpoint names the available tags
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM lake.`$dir#changes@nope..train.v2`")
+        .collect()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(chain.contains("neither a version nor a tag"), chain)
   }
 
   test("MIN/MAX answer from footer stats; DVs and non-bigint fall back") {
