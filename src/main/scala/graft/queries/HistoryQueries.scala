@@ -945,9 +945,10 @@ object HistoryQueries {
     // one update against the DV-free lake, a DV delete to flip the
     // table onto the pinned route, then a second update whose
     // condition (`doc_id % 13 = 4`) has no source-filter image at all:
-    // the rule re-anchors whole Catalyst expressions by name, so
-    // UPDATE carries full expression power where DELETE's
-    // filter-exact contract refuses. The read-back is the corpus with
+    // the rule re-anchors whole Catalyst expressions by name, so the
+    // DML verbs carry full expression power where the capability
+    // path's filter-exact contract refuses. The read-back is the
+    // corpus with
     // exactly both CASE images applied minus the DV'd rows — an update
     // that touched a non-matching row, skipped a matching one, or
     // resurrected a deleted row fails the hash.

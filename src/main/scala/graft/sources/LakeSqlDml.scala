@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
   AttributeReference, EqualTo, Expression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
-  InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction,
-  UpdateTable}
+  DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable,
+  SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -108,6 +108,24 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       case m: MergeIntoTable
           if m.resolved && lakeTarget(m.targetTable).isDefined =>
         rewriteMerge(m, lakeTarget(m.targetTable).get)
+
+      // with the extension installed, EVERY lake DELETE routes through
+      // the engine directly — full expression power (doc_id % 17 = 5),
+      // where the capability path ([[LakeSqlDelete]], still serving
+      // extension-less sessions) accepts only exactly-convertible
+      // source filters. Same verbs underneath: unconditional →
+      // copy-on-write retire-all; conditional → deletion vectors.
+      case d @ DeleteFromTable(target, condition)
+          if d.resolved && lakeTarget(target).isDefined =>
+        val path = lakeTarget(target).get
+        val unconditional = condition match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(true, _) =>
+            true
+          case _ => false
+        }
+        GraftDeleteCommand(path,
+          if (unconditional) None
+          else Some(byName(condition, "a DELETE condition")))
     }
 
   /** The classic UPSERT shape — `WHEN MATCHED THEN UPDATE SET * WHEN
@@ -202,6 +220,28 @@ case class GraftUpdateCommand(path: String, condition: Column,
   override def run(spark: SparkSession): Seq[Row] = {
     val (files, rows) = History.updateWhere(spark, path, condition,
       assignments)
+    Seq(Row(files, rows))
+  }
+}
+
+/** The eager command a lake DELETE plans to under the extension:
+  * condition-bearing deletes land as merge-on-read deletion vectors
+  * ([[History.deleteWhereDV]] — zero data files rewritten);
+  * unconditional deletes (and TRUNCATE) retire every file
+  * copy-on-write ([[History.deleteWhere]]). NULL predicate keeps the
+  * row, SQL DELETE semantics, enforced inside the operators. */
+case class GraftDeleteCommand(path: String, condition: Option[Column])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_touched", IntegerType, nullable = false)(),
+    AttributeReference("rows_deleted", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (files, rows) = condition match {
+      case None => History.deleteWhere(spark, path, lit(true))
+      case Some(pred) => History.deleteWhereDV(spark, path, pred)
+    }
     Seq(Row(files, rows))
   }
 }

@@ -737,15 +737,31 @@ class LakeCatalogSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq === Seq(20L))
   }
 
-  test("a DELETE whose condition cannot convert exactly fails loudly") {
+  test("DELETE carries full expression power under the extension") {
     val dir = lake()
-    // `%` has no source-filter image: the statement must fail at
-    // analysis — never run weaker or stricter — and the lake is
-    // untouched (expression-level deletes go through deleteWhereDV)
-    intercept[Exception] {
-      spark.sql(s"DELETE FROM lake.`$dir` WHERE doc_id % 2 = 0")
+    val fs = fsOf(dir)
+    val filesBefore = FileManifest.latest(fs, dir).get.cur.toSet
+    // `%` has no source-filter image — the capability path
+    // (extension-less sessions) refuses it exactly; the extension
+    // rule routes it straight to the engine's DV takedown, returning
+    // the engine receipt
+    val receipt = spark.sql(
+      s"DELETE FROM lake.`$dir` WHERE doc_id % 2 = 0")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(receipt.map(_._2) === Seq(2L))
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) ===
+      Seq(1L, 3L, 5L))
+    assert(FileManifest.latest(fs, dir).get.cur.toSet === filesBefore,
+      "merge-on-read: zero data files rewritten")
+    // non-determinism and subqueries still refuse loudly
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"DELETE FROM lake.`$dir` WHERE rand() < 0.5")
+    }
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"""DELETE FROM lake.`$dir`
+                    WHERE doc_id IN (SELECT doc_id FROM lake.`$dir`)""")
     }
     assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) ===
-      Seq(1L, 2L, 3L, 4L, 5L))
+      Seq(1L, 3L, 5L))
   }
 }
