@@ -463,7 +463,8 @@ object HistoryQueries {
         taggedLakeCache, restoredLakeCache, rollupCache, dvLakeCache,
         binPackLakeCache, exportCache, backfillLakeCache,
         constraintsLakeCache, joinViewCache, sqlInsertLakeCache,
-        sqlDeleteLakeCache, sqlUpdateLakeCache, sqlMergeLakeCache)
+        sqlDeleteLakeCache, sqlUpdateLakeCache, sqlMergeLakeCache,
+        sqlMoveLakeCache)
       .foreach { cache =>
       cache.keySet.forEach { k =>
         if (k._1 == sk) rmLake(cache.remove(k))
@@ -971,6 +972,33 @@ object HistoryQueries {
       val dir = sqlMergeLake(s, d)
       s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
                 WHERE doc_id >= 0""")
+    }),
+
+    // SQL UPDATE assigning a PARTITION column at SF scale: rows whose
+    // lang matches (or whose id hits the modular slice) move to a new
+    // directory-encoded partition value through the normal partitioned
+    // rewrite — the moved rows must land in their new directory (the
+    // partition-pruned predicate below reads them back), the untouched
+    // partitions must not rewrite, and the image equals the CASE
+    // oracle exactly.
+    "h37_sql_update_move" -> ((s, d) => {
+      val dir = sqlMoveLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
+                WHERE doc_id >= 0""")
+    }),
+
+    // The change feed of an UPDATE: the window covering h35's second
+    // update must present EXACTLY the changed rows — each as its
+    // pre-image delete and post-image insert — never the rewritten
+    // files' unchanged neighbours (the hash-projected diff at SF
+    // scale). A resurrection, a lost retraction, or an unchanged row
+    // leaking into the window fails the hash.
+    "h38_update_cdc" -> ((s, d) => {
+      val dir = sqlUpdateLake(s, d)
+      val vs = graft.sources.History.versions(s, dir)
+      val (from, to) = (vs(vs.length - 2), vs.last)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars, _change
+                FROM lake.`$dir#changes@$from..$to`""")
     })
   )
 
@@ -1095,6 +1123,30 @@ object HistoryQueries {
                 ON t.doc_id = s.doc_id
                 WHEN MATCHED THEN UPDATE SET *
                 WHEN NOT MATCHED THEN INSERT *"""): Unit
+      dir
+    })
+
+  /** h37's lake: documents PARTITIONED BY lang through the engine
+    * write path, then one SQL UPDATE that moves a whole language plus
+    * a modular id-slice into a fresh partition value. Keyed by
+    * (session, sfDir). */
+  private val sqlMoveLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlMoveLake(s: SparkSession, sfDir: String): String =
+    sqlMoveLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      s.conf.set("spark.sql.catalog.lake",
+        classOf[graft.sources.LakeCatalog].getName)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sql-move").toString + "/lake"
+      graft.Tables.documents(s, sfDir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .repartition(col("lang"))
+        .write.partitionBy("lang").parquet(dir)
+      graft.sources.History.enableManifests(s, dir): Unit
+      s.sql(s"""UPDATE lake.`$dir` SET lang = 'yy'
+                WHERE lang = 'fr' OR doc_id % 31 = 7"""): Unit
       dir
     })
 
@@ -1300,6 +1352,25 @@ object HistoryQueries {
                 ELSE n_chars END AS n_chars
          FROM documents
          WHERE doc_id >= 0 AND doc_id NOT IN (11, 22)""",
+    "h37_sql_update_move" ->
+      """SELECT doc_id,
+           CASE WHEN lang = 'fr' OR doc_id % 31 = 7 THEN 'yy'
+                ELSE lang END AS lang,
+           source, n_chars
+         FROM documents WHERE doc_id >= 0""",
+    "h38_update_cdc" ->
+      """WITH base AS (
+           SELECT doc_id, lang, source,
+             CASE WHEN lang = 'en' AND doc_id < 300 THEN n_chars * 2
+                  ELSE n_chars END AS n_chars
+           FROM documents WHERE doc_id NOT IN (11, 22)),
+         ch AS (SELECT * FROM base WHERE doc_id % 13 = 4)
+         SELECT doc_id, lang, source, n_chars, 'delete' AS _change
+         FROM ch
+         UNION ALL
+         SELECT doc_id, lang, 'r:' || source AS source, n_chars,
+           'insert' AS _change
+         FROM ch""",
     "h36_sql_merge" ->
       """WITH src AS (
            SELECT doc_id, lang, 'merged' AS source,
