@@ -464,7 +464,7 @@ object HistoryQueries {
         binPackLakeCache, exportCache, backfillLakeCache,
         constraintsLakeCache, joinViewCache, sqlInsertLakeCache,
         sqlDeleteLakeCache, sqlUpdateLakeCache, sqlMergeLakeCache,
-        sqlMoveLakeCache)
+        sqlMoveLakeCache, sqlOverwriteLakeCache)
       .foreach { cache =>
       cache.keySet.forEach { k =>
         if (k._1 == sk) rmLake(cache.remove(k))
@@ -999,6 +999,18 @@ object HistoryQueries {
       val (from, to) = (vs(vs.length - 2), vs.last)
       s.sql(s"""SELECT doc_id, lang, source, n_chars, _change
                 FROM lake.`$dir#changes@$from..$to`""")
+    }),
+
+    // SQL INSERT OVERWRITE: the whole-lake restatement lands as ONE
+    // manifest flip (History.overwriteAll — never a visible
+    // delete+insert in-between state). The corpus is replaced by a
+    // filtered, transformed SELECT; the read-back must be exactly the
+    // restated image — any pre-restatement row surviving, or a
+    // restated row lost, fails the hash.
+    "h39_sql_overwrite" -> ((s, d) => {
+      val dir = sqlOverwriteLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
+                WHERE doc_id >= 0""")
     })
   )
 
@@ -1147,6 +1159,31 @@ object HistoryQueries {
       graft.sources.History.enableManifests(s, dir): Unit
       s.sql(s"""UPDATE lake.`$dir` SET lang = 'yy'
                 WHERE lang = 'fr' OR doc_id % 31 = 7"""): Unit
+      dir
+    })
+
+  /** h39's lake: the full corpus lands through the engine write path,
+    * then one SQL INSERT OVERWRITE restates it to the filtered,
+    * transformed image in one atomic flip. */
+  private val sqlOverwriteLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlOverwriteLake(s: SparkSession, sfDir: String): String =
+    sqlOverwriteLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      s.conf.set("spark.sql.catalog.lake",
+        classOf[graft.sources.LakeCatalog].getName)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sql-ovw").toString + "/lake"
+      graft.Tables.documents(s, sfDir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .repartition(8)
+        .write.parquet(dir)
+      graft.sources.History.enableManifests(s, dir): Unit
+      s.sql(s"""INSERT OVERWRITE lake.`$dir`
+                SELECT doc_id, lang, source, n_chars * 2 AS n_chars
+                FROM parquet.`$sfDir/documents.parquet`
+                WHERE lang = 'en'"""): Unit
       dir
     })
 
@@ -1371,6 +1408,9 @@ object HistoryQueries {
          SELECT doc_id, lang, 'r:' || source AS source, n_chars,
            'insert' AS _change
          FROM ch""",
+    "h39_sql_overwrite" ->
+      """SELECT doc_id, lang, source, n_chars * 2 AS n_chars
+         FROM documents WHERE lang = 'en' AND doc_id >= 0""",
     "h36_sql_merge" ->
       """WITH src AS (
            SELECT doc_id, lang, 'merged' AS source,

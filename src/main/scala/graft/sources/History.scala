@@ -1636,6 +1636,55 @@ object History {
     * every committed write.
     *
     * @return (partitions replaced-or-created, old files retired) */
+  def restateStagingDir(path: String): String = s"$path/_staging/restate"
+
+  /** Atomic WHOLE-LAKE restatement (the SQL `INSERT OVERWRITE` /
+    * "rebuild the table" shape): stage `batch` through the full write
+    * discipline — declared-schema validation, the lake's existing
+    * partition-directory layout, staged-bytes CHECK constraints — then
+    * ONE manifest flip makes the staged files current and retires
+    * EVERY pre-restatement file. Never two commits (a deleteWhere +
+    * append pair has a visible empty-or-double state between them):
+    * readers see the old image or the new, nothing else; pre-restate
+    * time travel answers until [[vacuum]]; a concurrent DV landing or
+    * rewrite conflicts loudly (all current files' DV pointers are
+    * declared). Crash before the flip leaves only unreferenced staged
+    * orphans. Run from the lake's single writer sequence.
+    * @return (files staged, files retired) */
+  def overwriteAll(spark: SparkSession, path: String,
+                   batch: DataFrame): (Int, Int) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qRoot = fs.makeQualified(root)
+    val m = FileManifest.latest(fs, path).getOrElse(
+      throw new IllegalStateException(
+        s"overwriteAll needs a manifest-mode lake (enableManifests): " +
+          path))
+    val partCols =
+      if (m.cur.nonEmpty) uniformPartCols(path, m.cur) else Nil
+    require(partCols.forall(batch.columns.contains),
+      s"batch missing the lake's partition columns: " +
+        partCols.mkString(","))
+    SchemaLog.latest(fs, path)
+      .foreach(d => SchemaLog.validateWrite(d, batch.schema))
+    val stage = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(restateStagingDir(path)))
+    fs.delete(stage, true): Unit
+    val writer = batch.write.mode("overwrite")
+      .option("maxRecordsPerFile", 5000000L)
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(stage.toString)
+    try Constraints.enforceStaged(spark, path, stage.toString)
+    catch { case e: Throwable =>
+      fs.delete(stage, true): Unit
+      throw e
+    }
+    val nStaged = FileManifest.walkDataFiles(fs, stage).size
+    promoteAndFlip(fs, qRoot, path, stage, s"r${m.version + 1}-", m.cur,
+      dvSeenOf(m, m.cur))
+    (nStaged, m.cur.size)
+  }
+
   def overwritePartitions(spark: SparkSession, path: String,
                           batch: DataFrame,
                           partitionCols: Seq[String]): (Int, Int) = {

@@ -31,23 +31,31 @@ object LakeSqlWrite {
 
   /** One WriteBuilder per INSERT: the query id keys the staged batch,
     * so a retried/crashed INSERT converges to exactly one copy while
-    * distinct INSERT statements land distinct batches. */
+    * distinct INSERT statements land distinct batches.
+    *
+    * Full-table `INSERT OVERWRITE` routes to the atomic whole-lake
+    * restatement ([[History.overwriteAll]] — one flip, never a
+    * delete+insert pair with a visible in-between state) via
+    * `SupportsTruncate`, the V1-fallback overwrite protocol. Static
+    * PARTITION-clause and dynamic-mode overwrites have no V1 image and
+    * refuse loudly at analysis (capability check) — partition-granular
+    * restatement is [[History.overwritePartitions]]. */
   def builder(path: String, partitionCols: Seq[String],
               info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var replaceAll = false
+      override def truncate(): WriteBuilder = { replaceAll = true; this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
-            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              if (overwrite)
-                throw new UnsupportedOperationException(
-                  s"INSERT OVERWRITE is not supported on lake $path — " +
-                    "restate data through History.overwritePartitions / " +
-                    "deleteWhere + INSERT, which commit atomically")
-              History.append(data.sparkSession, path, data,
-                key = s"sql-insert-${info.queryId()}",
-                partitionCols = partitionCols): Unit
-            }
+            override def insert(data: DataFrame, overwrite: Boolean): Unit =
+              if (replaceAll || overwrite)
+                History.overwriteAll(data.sparkSession, path, data): Unit
+              else
+                History.append(data.sparkSession, path, data,
+                  key = s"sql-insert-${info.queryId()}",
+                  partitionCols = partitionCols): Unit
           }
       }
     }
@@ -394,8 +402,12 @@ final class PinnedLakeTable(
   }
   override def capabilities(): java.util.Set[TableCapability] =
     if (writable)
+      // TRUNCATE (not OVERWRITE_BY_FILTER): full-table INSERT
+      // OVERWRITE is the one overwrite with a V1 image; a PARTITION
+      // clause then refuses at ANALYSIS (capability check) instead of
+      // planning
       java.util.EnumSet.of(TableCapability.BATCH_READ,
-        TableCapability.V1_BATCH_WRITE)
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

@@ -97,9 +97,13 @@ object ParquetTableBridge {
         : java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] = {
       val caps = java.util.EnumSet.of(
         org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
-      if (writeBuilder.isDefined)
+      if (writeBuilder.isDefined) {
         caps.add(org.apache.spark.sql.connector.catalog
           .TableCapability.V1_BATCH_WRITE): Unit
+        // full-table INSERT OVERWRITE (see LakeSqlWrite.builder)
+        caps.add(org.apache.spark.sql.connector.catalog
+          .TableCapability.TRUNCATE): Unit
+      }
       caps
     }
     override def newScanBuilder(options: CaseInsensitiveStringMap) =

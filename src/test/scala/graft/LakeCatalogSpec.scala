@@ -653,6 +653,39 @@ class LakeCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === 150L)
   }
 
+  test("INSERT OVERWRITE restates the whole lake in one flip") {
+    val dir = lake()
+    val fs = fsOf(dir)
+    val vBefore = FileManifest.latest(fs, dir).get.version
+    // table column order: data cols then the partition col (lang)
+    spark.sql(s"""INSERT OVERWRITE lake.`$dir`
+                  VALUES (7, 70, 'it'), (8, 80, 'it')""")
+    val m = FileManifest.latest(fs, dir).get
+    assert(m.version === vBefore + 1,
+      "one commit — never a delete+insert pair")
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) === Seq(7L, 8L))
+    // the restated rows landed in the lake's directory layout
+    assert(m.cur.forall(_.startsWith("lang=")), m.cur.mkString(","))
+    // pre-restatement time travel still answers
+    assert(ids(spark.sql(
+      s"SELECT * FROM lake.`$dir` VERSION AS OF $vBefore")) ===
+      Seq(1L, 2L, 3L, 4L, 5L))
+    // a constraint-violating restatement bounces whole
+    History.declareSchema(spark, dir): Unit
+    graft.sources.Constraints.add(spark, dir, "chars_pos",
+      "n_chars > 0"): Unit
+    intercept[IllegalArgumentException] {
+      spark.sql(s"INSERT OVERWRITE lake.`$dir` VALUES (9, -1, 'de')")
+    }
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) === Seq(7L, 8L))
+    // a PARTITION clause has no V1 overwrite image: refuses loudly
+    intercept[Exception] {
+      spark.sql(s"""INSERT OVERWRITE lake.`$dir` PARTITION (lang = 'it')
+                    VALUES (10, 100)""")
+    }
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) === Seq(7L, 8L))
+  }
+
   test("SQL MERGE INTO upserts through the keyed engine merge") {
     import spark.implicits._
     val dir = lake()
