@@ -110,7 +110,8 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
       (if (dv) Seq("deleteKeysDV", "materializeDV", "overwritePart")
        else Nil) ++
       (if (constrained) Seq("appendChecked", "appendBad") else Nil) ++
-      (if (dml) Seq("updateWhere", "updateMove", "sqlUpdate", "sqlDelete")
+      (if (dml) Seq("updateWhere", "updateMove", "sqlUpdate", "sqlDelete",
+                    "sqlOverwrite")
        else Nil)
     for (op <- 0 until nOps) {
       val pick = rnd.nextInt(10 + extraOps.size)
@@ -250,6 +251,15 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
             model.mapValuesInPlace { case (_, (p, v)) =>
               if (v < x) (p, v + 7L) else (p, v) }
             s"sqlUpdate v<$x"
+          case "sqlOverwrite" => // atomic whole-lake restatement
+            val rows = freshRows(3 + rnd.nextInt(5))
+            toDF(rows).createOrReplaceTempView("fuzz_ovw_src")
+            // table column order: data cols then the partition col
+            spark.sql(s"INSERT OVERWRITE lake.`$lake` " +
+              "SELECT id, v, part FROM fuzz_ovw_src").collect(): Unit
+            model.clear()
+            rows.foreach { case (id, p, v) => model(id) = (p, v) }
+            s"sqlOverwrite ${rows.size}"
           case "sqlDelete" => // SQL DELETE lands as deletion vectors
             if (model.isEmpty) "sqlDelete noop"
             else {
