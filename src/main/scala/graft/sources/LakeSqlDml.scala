@@ -2,8 +2,10 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
-  AttributeReference, EqualTo, Expression, SubqueryExpression}
+  AttributeReference, EqualTo, Expression, In, Literal,
+  SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
   DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable,
   SubqueryAlias, UpdateAction, UpdateTable}
@@ -79,6 +81,35 @@ object LakeDmlRule {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     })
   }
+
+  /** The KEYED shape — a bare `key IN (literals…)` / `key = literal`
+    * condition, the canonical takedown/correction list. Recognized so
+    * the commands route to the keyed engine variants
+    * ([[History.deleteKeysDV]] / [[History.updateKeys]]), whose match
+    * scan rides the per-file bloom key index: on an unclustered
+    * 100 TB lake, "these 10k ids" scans candidate files instead of
+    * the lake. NULL literals fall back to the generic path (a bloom
+    * probe has no null image; IN-with-NULL semantics stay exact
+    * there). */
+  private[sources] def keyedShape(e: Expression)
+      : Option[(String, Seq[Any])] = {
+    def lits(vs: Seq[Expression]): Option[Seq[Any]] =
+      if (vs.nonEmpty && vs.forall {
+            case l: Literal => l.value != null
+            case _ => false
+          })
+        Some(vs.map { case l: Literal =>
+          CatalystTypeConverters.convertToScala(l.value, l.dataType) })
+      else None
+    e match {
+      case In(a: AttributeReference, vs) => lits(vs).map(a.name -> _)
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        lits(Seq(l)).map(a.name -> _)
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        lits(Seq(l)).map(a.name -> _)
+      case _ => None
+    }
+  }
 }
 
 /** Post-hoc resolution rule: resolved DML plans over lake-catalog
@@ -103,7 +134,8 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         }
         val cond = condition.map(byName(_, "an UPDATE condition"))
           .getOrElse(lit(true))
-        GraftUpdateCommand(path, cond, assigns)
+        GraftUpdateCommand(path, cond, assigns,
+          condition.flatMap(keyedShape))
 
       case m: MergeIntoTable
           if m.resolved && lakeTarget(m.targetTable).isDefined =>
@@ -125,7 +157,8 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         }
         GraftDeleteCommand(path,
           if (unconditional) None
-          else Some(byName(condition, "a DELETE condition")))
+          else Some(byName(condition, "a DELETE condition")),
+          if (unconditional) None else keyedShape(condition))
     }
 
   /** The classic UPSERT shape — `WHEN MATCHED THEN UPDATE SET * WHEN
@@ -211,15 +244,22 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
   * [[History.updateWhere]] and returns its (files, rows) receipt as
   * the statement's result row. */
 case class GraftUpdateCommand(path: String, condition: Column,
-    assignments: Seq[(String, Column)]) extends LeafRunnableCommand {
+    assignments: Seq[(String, Column)],
+    keyed: Option[(String, Seq[Any])] = None)
+  extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("files_rewritten", IntegerType, nullable = false)(),
     AttributeReference("rows_updated", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val (files, rows) = History.updateWhere(spark, path, condition,
-      assignments)
+    // a bare key-list condition rides the bloom key index
+    // (index-independent correctness — see History.updateKeys)
+    val (files, rows) = keyed match {
+      case Some((k, vs)) => History.updateKeys(spark, path, k, vs,
+        assignments)
+      case None => History.updateWhere(spark, path, condition, assignments)
+    }
     Seq(Row(files, rows))
   }
 }
@@ -230,7 +270,8 @@ case class GraftUpdateCommand(path: String, condition: Column,
   * unconditional deletes (and TRUNCATE) retire every file
   * copy-on-write ([[History.deleteWhere]]). NULL predicate keeps the
   * row, SQL DELETE semantics, enforced inside the operators. */
-case class GraftDeleteCommand(path: String, condition: Option[Column])
+case class GraftDeleteCommand(path: String, condition: Option[Column],
+    keyed: Option[(String, Seq[Any])] = None)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -238,9 +279,12 @@ case class GraftDeleteCommand(path: String, condition: Option[Column])
     AttributeReference("rows_deleted", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val (files, rows) = condition match {
-      case None => History.deleteWhere(spark, path, lit(true))
-      case Some(pred) => History.deleteWhereDV(spark, path, pred)
+    // a bare key-list condition (the canonical takedown list) rides
+    // the bloom key index — see History.deleteKeysDV
+    val (files, rows) = (condition, keyed) match {
+      case (None, _) => History.deleteWhere(spark, path, lit(true))
+      case (_, Some((k, vs))) => History.deleteKeysDV(spark, path, k, vs)
+      case (Some(pred), None) => History.deleteWhereDV(spark, path, pred)
     }
     Seq(Row(files, rows))
   }
