@@ -1479,6 +1479,13 @@ object ExtQueries {
       // vocabulary from the model too: positions 1..n-1 land in w1 and
       // 2..n in w2, so over every kept doc the union of the model's
       // two columns IS the corpus vocabulary — no third corpus explode.
+      // "Kept doc" is LOAD-BEARING: vocabulary here is defined over
+      // multi-token documents, exactly the ws-level size(l) >= 2
+      // filter above (which the oracle mirrors with len(split) >= 2).
+      // Dropping that explicit filter would NOT change this query's
+      // rows (single-token docs produce no bigrams anyway) but would
+      // silently desynchronize the vocabulary definition from the
+      // oracle's — keep the two filters paired.
       // The vacuous c12 >= 1 anchors the count: countDistinct is
       // duplicate-agnostic, so without a reference to c12 the
       // redundant-aggregate rewrite collapses these arms straight onto

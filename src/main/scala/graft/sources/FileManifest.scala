@@ -767,7 +767,8 @@ object FileManifest {
   def commitDelta(fs: FileSystem, lakePath: String, adds: Seq[String],
                   retire: Seq[String], maxAttempts: Int = 10,
                   setDvs: Map[String, (Option[String], String)] = Map.empty,
-                  dvSeen: Map[String, Option[String]] = Map.empty): Long = {
+                  dvSeen: Map[String, Option[String]] = Map.empty,
+                  expectBase: Option[Long] = None): Long = {
     val retireSet = retire.toSet
     // `maxAttempts` bounds NO-PROGRESS retries, not losses: under real
     // contention a committer can lose the next-version race once per
@@ -790,6 +791,18 @@ object FileManifest {
       attempt = if (m.version > lastSeen) 1 else attempt + 1
       totalAttempts += 1
       lastSeen = m.version
+      // compare-and-swap commits (whole-lake restatement) must land on
+      // EXACTLY the version their retire set was computed from — a
+      // rebase over any concurrent commit would let that commit's
+      // files survive a "retires everything" contract
+      expectBase.foreach { base =>
+        if (m.version != base)
+          throw new java.util.ConcurrentModificationException(
+            s"commit conflict at $lakePath: expected base version $base " +
+              s"but the lake is at ${m.version} — a concurrent commit " +
+              "landed under the restatement; recompute from the new " +
+              "snapshot and retry")
+      }
       val gone = retireSet -- m.curSet
       if (gone.nonEmpty)
         throw new java.util.ConcurrentModificationException(

@@ -3,6 +3,14 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** A merge-on-read delete matched more positions than its driver-side
+  * cap — the data-dependent refusal (vs a caller error): the delete is
+  * dense enough that the honest shape is the copy-on-write rewrite.
+  * Typed so the SQL DELETE surface can catch exactly this case and
+  * fall back to [[History.deleteWhere]] instead of string-matching. */
+final class DvCapExceededException(msg: String)
+  extends IllegalArgumentException(msg)
+
 /** Date/type-parameterized history access (S4–S8 semantics, SURVEY.md §2.1):
   * the reference pushes `startDate`/`types` filters into URL params
   * (`transis_consumer.py:157-225`); at rest the same pushdown is achieved by
@@ -1592,10 +1600,16 @@ object History {
     val collected = victims.limit(capPlusOne).collect()
     val nDel = collected.length.toLong
     if (nDel == 0L) return (0, 0L)
-    require(nDel <= maxPositions,
-      s"deleteWhereDV matched > maxPositions $maxPositions rows — " +
-        "a delete this dense is rewriting most of its files anyway; use " +
-        "the copy-on-write path (deleteWhere/deleteKeys) or raise the cap")
+    if (nDel > maxPositions)
+      // a TYPED refusal (not a bare require) so callers that can run
+      // the dense shape — the SQL DELETE command falls back to the
+      // copy-on-write path — can catch the over-cap case specifically
+      // without string-matching, while everything else still fails loud
+      throw new DvCapExceededException(
+        s"deleteWhereDV matched > maxPositions $maxPositions rows — " +
+          "a delete this dense is rewriting most of its files anyway; " +
+          "use the copy-on-write path (deleteWhere/deleteKeys) or raise " +
+          "the cap")
     val byFile: Map[String, Array[Long]] = collected
       .groupBy(r => r.getString(0)).map { case (fp, rows) =>
         relByAbs.getOrElse(new org.apache.hadoop.fs.Path(fp).toString,
@@ -1680,8 +1694,14 @@ object History {
       throw e
     }
     val nStaged = FileManifest.walkDataFiles(fs, stage).size
+    // CAS on the base version, not the usual rebase: "retires EVERY
+    // pre-restatement file" is the contract, and a concurrent append
+    // landing between the manifest read above and the flip would
+    // SURVIVE a rebased commit (its files are not in the retire set) —
+    // silently contradicting the restatement. The SQL surface makes
+    // multi-writer INSERT OVERWRITE likely, so fail loudly instead.
     promoteAndFlip(fs, qRoot, path, stage, s"r${m.version + 1}-", m.cur,
-      dvSeenOf(m, m.cur))
+      dvSeenOf(m, m.cur), expectBase = Some(m.version))
     (nStaged, m.cur.size)
   }
 
@@ -1922,7 +1942,8 @@ object History {
       qRoot: org.apache.hadoop.fs.Path, path: String,
       stage: org.apache.hadoop.fs.Path, tag: String,
       affected: Seq[String],
-      dvSeen: Map[String, Option[String]] = Map.empty): Unit = {
+      dvSeen: Map[String, Option[String]] = Map.empty,
+      expectBase: Option[Long] = None): Unit = {
     def dirOf(rel: String): String =
       rel.take(math.max(rel.lastIndexOf('/'), 0))
     val moves: Seq[(String, Seq[(org.apache.hadoop.fs.Path, String)])] =
@@ -1960,7 +1981,7 @@ object History {
     // `affected`, or a merge-on-read delete moved a DV pointer the
     // rewrite scan applied — fails loudly instead of double-applying
     FileManifest.commitDelta(fs, path, movedRels, affected,
-      dvSeen = dvSeen): Unit
+      dvSeen = dvSeen, expectBase = expectBase): Unit
     fs.delete(stage, true): Unit
   }
 

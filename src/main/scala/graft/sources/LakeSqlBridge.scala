@@ -122,7 +122,14 @@ trait LakeSqlDelete extends org.apache.spark.sql.connector.catalog.SupportsDelet
             s"DELETE filter $f no longer converts against $path " +
               "(schema changed since analysis) — re-run the statement"))
       }.reduce(_ && _)
-      History.deleteWhereDV(spark, path, pred): Unit
+      // dense deletes (> the DV position cap) fall back to the
+      // copy-on-write path — the SQL surface must run both shapes
+      // (filters here are exactly convertible, hence deterministic)
+      val cap = spark.conf
+        .get("spark.graft.dml.dvMaxPositions", "10000000").toLong
+      try History.deleteWhereDV(spark, path, pred, cap): Unit
+      catch { case _: DvCapExceededException =>
+        History.deleteWhere(spark, path, pred): Unit }
     }
   }
 }

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
-  AttributeReference, EqualTo, Expression, In, Literal,
-  SubqueryExpression}
+  AttributeReference, CurrentDate, CurrentTimestampLike, EqualTo,
+  Expression, In, Literal, LocalTimestamp, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
   DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable,
   SubqueryAlias, UpdateAction, UpdateTable}
@@ -77,6 +77,22 @@ object LakeDmlRule {
         s"$what must be deterministic: the copy-on-write update " +
           "evaluates it once to find the affected files and once in " +
           s"the rewrite — `$e` could differ between the two")
+    // current_timestamp()/now()/current_date() are MARKED deterministic
+    // (Catalyst's ComputeCurrentTime pins them per query) but the
+    // engine operator runs the match scan and the rewrite as SEPARATE
+    // queries — each gets its own pinned instant, so a time-window
+    // condition could match different boundary rows in the two passes.
+    // Same two-evaluation hazard, different mechanism: refuse, and name
+    // the fix (a literal pins one instant for both passes).
+    if (e.exists(x => x.isInstanceOf[CurrentDate] ||
+        x.isInstanceOf[CurrentTimestampLike] ||
+        x.isInstanceOf[LocalTimestamp]))
+      throw new UnsupportedOperationException(
+        s"$what uses current_date()/current_timestamp()/localtimestamp()" +
+          " — the copy-on-write DML evaluates it as two separate queries" +
+          " (match scan, rewrite), each pinning its own 'now', so a" +
+          " time-window boundary could differ between the two. Pin the" +
+          s" instant as a literal instead: `$e`")
     ColumnBridge.column(e.transform {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     })
@@ -280,11 +296,27 @@ case class GraftDeleteCommand(path: String, condition: Option[Column],
 
   override def run(spark: SparkSession): Seq[Row] = {
     // a bare key-list condition (the canonical takedown list) rides
-    // the bloom key index — see History.deleteKeysDV
+    // the bloom key index — see History.deleteKeysDV. A DENSE delete
+    // (> the DV position cap) falls back to the copy-on-write path —
+    // SQL consumers have no engine-API escape hatch, so the verb must
+    // run both shapes; the predicate is deterministic (enforced at
+    // analysis), so re-evaluating it in the COW pass matches the same
+    // rows the DV pass over-counted.
+    // the DV-vs-COW density threshold is a session knob
+    // (spark.graft.dml.dvMaxPositions) — same ceiling contract as the
+    // engine operators' maxPositions parameter
+    val cap = spark.conf
+      .get("spark.graft.dml.dvMaxPositions", "10000000").toLong
     val (files, rows) = (condition, keyed) match {
       case (None, _) => History.deleteWhere(spark, path, lit(true))
-      case (_, Some((k, vs))) => History.deleteKeysDV(spark, path, k, vs)
-      case (Some(pred), None) => History.deleteWhereDV(spark, path, pred)
+      case (_, Some((k, vs))) =>
+        try History.deleteKeysDV(spark, path, k, vs, cap)
+        catch { case _: DvCapExceededException =>
+          History.deleteKeys(spark, path, k, vs) }
+      case (Some(pred), None) =>
+        try History.deleteWhereDV(spark, path, pred, cap)
+        catch { case _: DvCapExceededException =>
+          History.deleteWhere(spark, path, pred) }
     }
     Seq(Row(files, rows))
   }

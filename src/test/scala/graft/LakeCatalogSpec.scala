@@ -653,6 +653,43 @@ class LakeCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === 150L)
   }
 
+  test("DML referencing current_timestamp/current_date refuses loudly") {
+    val dir = lake()
+    // Catalyst marks these deterministic but pins a FRESH instant per
+    // query — and the COW DML runs its match scan and rewrite as two
+    // queries, so a time-window boundary could differ between them
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"""UPDATE lake.`$dir` SET n_chars = 0
+                    WHERE doc_id > unix_timestamp(current_timestamp())""")
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+    val e2 = intercept[UnsupportedOperationException] {
+      spark.sql(s"""DELETE FROM lake.`$dir`
+                    WHERE doc_id % 2 = 0
+                      AND current_date() > DATE'1970-01-01'""")
+    }
+    assert(e2.getMessage.contains("literal"), e2.getMessage)
+    assert(spark.sql(s"SELECT sum(n_chars) AS s FROM lake.`$dir`")
+      .collect()(0).getLong(0) === 150L)
+  }
+
+  test("a DELETE denser than the DV cap falls back to copy-on-write") {
+    val dir = lake()
+    val fs = fsOf(dir)
+    spark.conf.set("spark.graft.dml.dvMaxPositions", "1")
+    try {
+      // expression route: 3 victims > cap 1 → the COW path, no vectors
+      spark.sql(s"DELETE FROM lake.`$dir` WHERE n_chars <= 30")
+      val m = FileManifest.latest(fs, dir).get
+      assert(m.dvs.isEmpty, "dense delete must land copy-on-write")
+      assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) === Seq(4L, 5L))
+      // keyed route: the key-list over the cap falls back the same way
+      spark.sql(s"DELETE FROM lake.`$dir` WHERE doc_id IN (4, 5, 6)")
+      assert(FileManifest.latest(fs, dir).get.dvs.isEmpty)
+      assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) === Seq.empty)
+    } finally spark.conf.unset("spark.graft.dml.dvMaxPositions")
+  }
+
   test("INSERT OVERWRITE restates the whole lake in one flip") {
     val dir = lake()
     val fs = fsOf(dir)

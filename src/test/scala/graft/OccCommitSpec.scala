@@ -157,6 +157,35 @@ class OccCommitSpec extends AnyFunSuite {
     assert(ids === Seq(0L, 2L, 300L))
   }
 
+  test("overwriteAll CAS: a concurrent append under the restatement " +
+      "conflicts loudly and the append survives") {
+    import spark.implicits._
+    val dir = lake(2)
+    val fs = fsOf(dir)
+    // an append lands while overwriteAll is between its manifest read
+    // and its flip — a REBASE would let the appended file silently
+    // survive a "retires every pre-restatement file" contract, so the
+    // restatement must fail loudly instead
+    val late = orphanFile(dir, 300L)
+    FileManifest.testRaceHookPath = Some(dir)
+    FileManifest.testRaceHook =
+      Some(() => FileManifest.commitDelta(fs, dir, Seq(late), Nil): Unit)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      History.overwriteAll(spark, dir,
+        Seq((7L, "restated")).toDF("id", "tag"))
+    }
+    assert(e.getMessage.contains("expected base version"), e.getMessage)
+    val ids = History.readPinned(spark, dir)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // the racing append survived; nothing of the failed restatement did
+    assert(ids === Seq(0L, 1L, 300L))
+    // with no concurrent commit the restatement lands normally
+    History.overwriteAll(spark, dir,
+      Seq((7L, "restated")).toDF("id", "tag")): Unit
+    assert(History.readPinned(spark, dir)
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(7L))
+  }
+
   test("two deletes of disjoint files commute through the flip") {
     val dir = lake(4)
     val fs = fsOf(dir)
