@@ -1011,6 +1011,22 @@ object HistoryQueries {
       val dir = sqlOverwriteLake(s, d)
       s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
                 WHERE doc_id >= 0""")
+    }),
+
+    // SQL STATIC-PARTITION INSERT OVERWRITE (the canonical backfill:
+    // restate one day/source/lang while the rest of the lake is
+    // untouched metadata): `PARTITION (lang = 'en')` routes to
+    // History.overwriteWhere — retire exactly the files whose lang=en
+    // dirs satisfy the filter, land the batch in their place, ONE
+    // CAS'd manifest flip. Untouched partitions' files survive
+    // byte-identical and pre-overwrite time travel still answers
+    // (both spec-locked in LakeCatalogSpec). The read-back is the
+    // corpus outside en plus the restated en image — a row leaking
+    // into or out of the named partition fails the hash.
+    "h40_sql_overwrite_partition" -> ((s, d) => {
+      val dir = sqlPartOvwLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
+                WHERE doc_id >= 0""")
     })
   )
 
@@ -1184,6 +1200,34 @@ object HistoryQueries {
                 SELECT doc_id, lang, source, n_chars * 2 AS n_chars
                 FROM parquet.`$sfDir/documents.parquet`
                 WHERE lang = 'en'"""): Unit
+      dir
+    })
+
+  /** h40's lake: documents PARTITIONED BY lang through the engine
+    * write path, then one SQL static-partition INSERT OVERWRITE
+    * restates lang=en to its filtered, transformed image — every
+    * other partition untouched. */
+  private val sqlPartOvwLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlPartOvwLake(s: SparkSession, sfDir: String): String =
+    sqlPartOvwLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      s.conf.set("spark.sql.catalog.lake",
+        classOf[graft.sources.LakeCatalog].getName)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sql-povw").toString + "/lake"
+      graft.Tables.documents(s, sfDir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .repartition(col("lang"))
+        .write.partitionBy("lang").parquet(dir)
+      graft.sources.History.enableManifests(s, dir): Unit
+      // table column order: data cols then the partition col, so the
+      // static-partition SELECT provides (doc_id, source, n_chars)
+      s.sql(s"""INSERT OVERWRITE lake.`$dir` PARTITION (lang = 'en')
+                SELECT doc_id, source, n_chars * 3 AS n_chars
+                FROM parquet.`$sfDir/documents.parquet`
+                WHERE lang = 'en' AND doc_id % 2 = 0"""): Unit
       dir
     })
 
@@ -1411,6 +1455,12 @@ object HistoryQueries {
     "h39_sql_overwrite" ->
       """SELECT doc_id, lang, source, n_chars * 2 AS n_chars
          FROM documents WHERE lang = 'en' AND doc_id >= 0""",
+    "h40_sql_overwrite_partition" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE lang != 'en'
+         UNION ALL
+         SELECT doc_id, 'en' AS lang, source, n_chars * 3 AS n_chars
+         FROM documents WHERE lang = 'en' AND doc_id % 2 = 0""",
     "h36_sql_merge" ->
       """WITH src AS (
            SELECT doc_id, lang, 'merged' AS source,

@@ -1749,6 +1749,108 @@ object History {
     (stagedDirs.size, affected.size)
   }
 
+  def filteredOverwriteStagingDir(path: String): String =
+    s"$path/_staging/fovw"
+
+  /** STATIC partition-filtered restatement — the engine image of SQL
+    * `INSERT OVERWRITE … PARTITION (k = v)`: retire exactly the
+    * current files whose `k=v` directories SATISFY `filters` and land
+    * `batch` in their place, in ONE manifest flip. Where
+    * [[overwritePartitions]] replaces the partitions the BATCH holds
+    * rows for (dynamic mode), this replaces the partitions the FILTER
+    * names (static mode) — the difference matters when the batch is
+    * empty or partial for a named partition: here the partition is
+    * still cleared, exactly what the statement said.
+    *
+    * File selection is [[PartitionPredicate]]'s bail-on-doubt
+    * per-file decision, where doubt REFUSES the statement (an
+    * undecidable filter must never guess a retire set). Every staged
+    * file must itself land INSIDE the overwritten region — a batch row
+    * outside the PARTITION clause would survive in a directory the
+    * statement did not restate, so it refuses whole (Spark's static
+    * PARTITION clause injects the partition values as constants, so a
+    * well-formed statement cannot trip this; the check guards engine
+    * callers and multi-column partials). Staged bytes are
+    * CHECK-validated like every committed write; the commit is
+    * compare-and-swap on the base version ([[overwriteAll]]'s
+    * discipline — the SQL surface makes concurrent writers likely,
+    * and a rebase could let a concurrent append into the restated
+    * region silently survive).
+    *
+    * At 100 TB this is the canonical backfill: restate one
+    * day/source/lang at O(that partition) cost while the rest of the
+    * lake is untouched metadata.
+    *
+    * @return (files staged, files retired) */
+  def overwriteWhere(spark: SparkSession, path: String, batch: DataFrame,
+                     filters: Seq[org.apache.spark.sql.sources.Filter])
+      : (Int, Int) = {
+    require(filters.nonEmpty,
+      "overwriteWhere needs partition filters; a full-table restatement " +
+        "is overwriteAll")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qRoot = fs.makeQualified(root)
+    val m = FileManifest.latest(fs, path).getOrElse(
+      throw new IllegalStateException(
+        s"overwriteWhere needs a manifest-mode lake (enableManifests): " +
+          path))
+    def undecidable(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"INSERT OVERWRITE with filter ${filters.mkString(" AND ")} is " +
+          s"not partition-decidable at $path ($what) — a static " +
+          "overwrite must know EXACTLY which files it retires; filter " +
+          "on the lake's partition columns, or restate through " +
+          "overwritePartitions (dynamic) / overwriteAll (full)")
+    if (m.cur.isEmpty) undecidable("the lake has no current files, so " +
+      "no partition layout to decide against")
+    val partCols = uniformPartCols(path, m.cur)
+    if (partCols.isEmpty) undecidable("the lake is unpartitioned")
+    val schema = planManifest(spark, fs, root, m).schema
+    val selected = PartitionPredicate
+      .select(m.cur, partCols, schema, filters)
+      .getOrElse(undecidable("the filter does not decide per-file from " +
+        s"the ${partCols.mkString("/")} directories"))
+    require(partCols.forall(batch.columns.contains),
+      s"batch missing the lake's partition columns: " +
+        partCols.mkString(","))
+    SchemaLog.latest(fs, path)
+      .foreach(d => SchemaLog.validateWrite(d, batch.schema))
+    val stage = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(filteredOverwriteStagingDir(path)))
+    fs.delete(stage, true): Unit
+    batch.write.mode("overwrite")
+      .option("maxRecordsPerFile", 5000000L)
+      .partitionBy(partCols: _*)
+      .parquet(stage.toString)
+    try {
+      // containment: every staged file's dirs must satisfy the filter
+      // (= land inside the region this statement retires)
+      val stagedRels = FileManifest.walkDataFiles(fs, stage)
+      val inRegion = PartitionPredicate
+        .select(stagedRels, partCols, schema, filters)
+      if (!inRegion.exists(_.size == stagedRels.size)) {
+        val outside = stagedRels.toSet -- inRegion.getOrElse(Nil).toSet
+        throw new IllegalArgumentException(
+          "INSERT OVERWRITE batch holds rows OUTSIDE the overwritten " +
+            s"region ${filters.mkString(" AND ")}: " +
+            outside.toSeq.sorted.take(4)
+              .map(r => r.take(math.max(r.lastIndexOf('/'), 0)))
+              .distinct.mkString(", ") +
+            " — rows there would survive in directories the statement " +
+            "did not restate; restrict the query or widen the filter")
+      }
+      Constraints.enforceStaged(spark, path, stage.toString)
+    } catch { case e: Throwable =>
+      fs.delete(stage, true): Unit
+      throw e
+    }
+    val nStaged = FileManifest.walkDataFiles(fs, stage).size
+    promoteAndFlip(fs, qRoot, path, stage, s"f${m.version + 1}-", selected,
+      dvSeenOf(m, selected), expectBase = Some(m.version))
+    (nStaged, selected.size)
+  }
+
   def binPackStagingDir(path: String): String = s"$path/_staging/binpack"
 
   /** Generic SMALL-FILE COMPACTION (the lakehouse OPTIMIZE): rewrite

@@ -33,29 +33,50 @@ object LakeSqlWrite {
     * so a retried/crashed INSERT converges to exactly one copy while
     * distinct INSERT statements land distinct batches.
     *
-    * Full-table `INSERT OVERWRITE` routes to the atomic whole-lake
-    * restatement ([[History.overwriteAll]] — one flip, never a
-    * delete+insert pair with a visible in-between state) via
-    * `SupportsTruncate`, the V1-fallback overwrite protocol. Static
-    * PARTITION-clause and dynamic-mode overwrites have no V1 image and
-    * refuse loudly at analysis (capability check) — partition-granular
-    * restatement is [[History.overwritePartitions]]. */
+    * Overwrites ride `SupportsOverwrite`, the V1-fallback overwrite
+    * protocol, split by the delete filter Spark hands over:
+    *  - full-table `INSERT OVERWRITE` (filter = AlwaysTrue, routed
+    *    through `truncate()`) → the atomic whole-lake restatement
+    *    ([[History.overwriteAll]] — one flip, never a delete+insert
+    *    pair with a visible in-between state);
+    *  - static `INSERT OVERWRITE … PARTITION (k = v)` (filter = the
+    *    partition equalities) → the partition-filtered restatement
+    *    ([[History.overwriteWhere]] — retires exactly the files whose
+    *    `k=v` dirs satisfy the filter, CAS commit, batch containment
+    *    checked).
+    * DYNAMIC-mode overwrite (`partitionOverwriteMode=dynamic`) has no
+    * V1 image and refuses loudly at analysis (capability check) — that
+    * shape is [[History.overwritePartitions]] from the engine. */
   def builder(path: String, partitionCols: Seq[String],
               info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder
-      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var replaceAll = false
+      private var byFilter: Option[Array[Filter]] = None
       override def truncate(): WriteBuilder = { replaceAll = true; this }
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        // Spark routes an all-AlwaysTrue filter set through truncate()
+        // already; keep the equivalence here for direct callers
+        if (filters.forall(_.isInstanceOf[sources.AlwaysTrue]))
+          replaceAll = true
+        else byFilter = Some(filters)
+        this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit =
-              if (replaceAll || overwrite)
-                History.overwriteAll(data.sparkSession, path, data): Unit
-              else
-                History.append(data.sparkSession, path, data,
-                  key = s"sql-insert-${info.queryId()}",
-                  partitionCols = partitionCols): Unit
+              byFilter match {
+                case Some(filters) =>
+                  History.overwriteWhere(data.sparkSession, path, data,
+                    filters.toIndexedSeq): Unit
+                case None if replaceAll || overwrite =>
+                  History.overwriteAll(data.sparkSession, path, data): Unit
+                case None =>
+                  History.append(data.sparkSession, path, data,
+                    key = s"sql-insert-${info.queryId()}",
+                    partitionCols = partitionCols): Unit
+              }
           }
       }
     }
@@ -409,12 +430,13 @@ final class PinnedLakeTable(
   }
   override def capabilities(): java.util.Set[TableCapability] =
     if (writable)
-      // TRUNCATE (not OVERWRITE_BY_FILTER): full-table INSERT
-      // OVERWRITE is the one overwrite with a V1 image; a PARTITION
-      // clause then refuses at ANALYSIS (capability check) instead of
-      // planning
+      // TRUNCATE → whole-lake restatement; OVERWRITE_BY_FILTER → the
+      // static PARTITION-clause restatement (History.overwriteWhere).
+      // Dynamic-mode overwrite still refuses at ANALYSIS (no
+      // SupportsDynamicOverwrite V1 image)
       java.util.EnumSet.of(TableCapability.BATCH_READ,
-        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.OVERWRITE_BY_FILTER)
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

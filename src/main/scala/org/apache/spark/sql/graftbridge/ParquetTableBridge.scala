@@ -103,6 +103,9 @@ object ParquetTableBridge {
         // full-table INSERT OVERWRITE (see LakeSqlWrite.builder)
         caps.add(org.apache.spark.sql.connector.catalog
           .TableCapability.TRUNCATE): Unit
+        // static PARTITION-clause INSERT OVERWRITE (overwriteWhere)
+        caps.add(org.apache.spark.sql.connector.catalog
+          .TableCapability.OVERWRITE_BY_FILTER): Unit
       }
       caps
     }

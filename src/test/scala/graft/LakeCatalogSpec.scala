@@ -715,12 +715,70 @@ class LakeCatalogSpec extends AnyFunSuite {
       spark.sql(s"INSERT OVERWRITE lake.`$dir` VALUES (9, -1, 'de')")
     }
     assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) === Seq(7L, 8L))
-    // a PARTITION clause has no V1 overwrite image: refuses loudly
-    intercept[Exception] {
-      spark.sql(s"""INSERT OVERWRITE lake.`$dir` PARTITION (lang = 'it')
-                    VALUES (10, 100)""")
+  }
+
+  test("INSERT OVERWRITE PARTITION restates exactly the named partition") {
+    val dir = lake()
+    val fs = fsOf(dir)
+    val before = FileManifest.latest(fs, dir).get
+    val untouched = before.cur.filterNot(_.startsWith("lang=en"))
+    // static partition overwrite: replace lang=en (ids 1,2) with id 10
+    spark.sql(s"""INSERT OVERWRITE lake.`$dir` PARTITION (lang = 'en')
+                  VALUES (10, 100)""")
+    val m = FileManifest.latest(fs, dir).get
+    assert(m.version === before.version + 1, "one flip, one commit")
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) ===
+      Seq(3L, 4L, 5L, 10L))
+    // untouched partitions' files are byte-identical (same rel paths)
+    assert(untouched.forall(m.cur.contains),
+      s"non-en files must survive untouched: ${m.cur.mkString(",")}")
+    // pre-overwrite time travel still answers
+    assert(ids(spark.sql(
+      s"SELECT * FROM lake.`$dir` VERSION AS OF ${before.version}")) ===
+      Seq(1L, 2L, 3L, 4L, 5L))
+    // overwriting a partition with a DISJOINT filter clears it: an
+    // empty source restates lang=de to nothing
+    spark.sql(s"""INSERT OVERWRITE lake.`$dir` PARTITION (lang = 'de')
+                  SELECT doc_id, n_chars FROM lake.`$dir` WHERE false""")
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) ===
+      Seq(5L, 10L))
+    // DYNAMIC-mode overwrite has no V1 image: refuses at analysis
+    // (that shape is the engine's History.overwritePartitions)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val e = intercept[Exception] {
+        spark.sql(s"""INSERT OVERWRITE lake.`$dir` PARTITION (lang)
+                      SELECT doc_id, n_chars, lang FROM lake.`$dir`
+                      WHERE doc_id = 5""")
+      }
+      assert(e.getMessage != null)
+    } finally
+      spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) === Seq(5L, 10L))
+  }
+
+  test("overwriteWhere refuses rows outside the overwritten region " +
+      "and undecidable filters") {
+    import spark.implicits._
+    val dir = lake()
+    // a batch holding lang=de rows cannot land under a lang='en'
+    // restatement — the row would survive in a directory the
+    // statement did not restate
+    val e = intercept[IllegalArgumentException] {
+      History.overwriteWhere(spark, dir,
+        Seq((10L, "de", 100L)).toDF("doc_id", "lang", "n_chars"),
+        Seq(org.apache.spark.sql.sources.EqualTo("lang", "en")))
     }
-    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) === Seq(7L, 8L))
+    assert(e.getMessage.contains("OUTSIDE"), e.getMessage)
+    // a non-partition-column filter is not decidable per file
+    val e2 = intercept[UnsupportedOperationException] {
+      History.overwriteWhere(spark, dir,
+        Seq((10L, "en", 100L)).toDF("doc_id", "lang", "n_chars"),
+        Seq(org.apache.spark.sql.sources.EqualTo("doc_id", 1L)))
+    }
+    assert(e2.getMessage.contains("partition-decidable"), e2.getMessage)
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) ===
+      Seq(1L, 2L, 3L, 4L, 5L))
   }
 
   test("SQL MERGE INTO upserts through the keyed engine merge") {
