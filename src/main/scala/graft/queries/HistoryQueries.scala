@@ -1027,6 +1027,33 @@ object HistoryQueries {
       val dir = sqlPartOvwLake(s, d)
       s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
                 WHERE doc_id >= 0""")
+    }),
+
+    // SQL MERGE `WHEN MATCHED THEN DELETE` — the CDC takedown-apply
+    // shape: a key feed (existing keys + absent ones) deletes exactly
+    // its matched rows as deletion vectors (zero data files rewritten;
+    // MergeCdcSpec asserts the no-rewrite property), absent keys no-op
+    // per standard MERGE. The read-back is the corpus minus exactly
+    // the matched key set — a survivor, an over-delete, or an absent
+    // key inventing a row fails the hash.
+    "h41_sql_merge_delete" -> ((s, d) => {
+      val dir = sqlMergeDelLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
+                WHERE doc_id >= 0""")
+    }),
+
+    // The full CDC-apply batch through ONE SQL MERGE: op='D' rows
+    // delete their matched keys (DV), op='U' rows update theirs
+    // (file-granular COW), unmatched non-'D' rows insert, and
+    // unmatched 'D' rows do NOTHING (matched-ness is pinned at
+    // statement start — MergeCdcSpec pins the resurrection guard).
+    // The read-back is the corpus with all four arm semantics applied
+    // exactly — a deleted row surviving, a tombstone inserted, or an
+    // update leaking to the wrong arm fails the hash.
+    "h42_sql_merge_cdc" -> ((s, d) => {
+      val dir = sqlMergeCdcLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
+                WHERE doc_id >= 0""")
     })
   )
 
@@ -1228,6 +1255,77 @@ object HistoryQueries {
                 SELECT doc_id, source, n_chars * 3 AS n_chars
                 FROM parquet.`$sfDir/documents.parquet`
                 WHERE lang = 'en' AND doc_id % 2 = 0"""): Unit
+      dir
+    })
+
+  /** h41's lake: corpus through the engine write path, then one SQL
+    * `MERGE … WHEN MATCHED THEN DELETE` applies a key feed mixing
+    * existing keys (doc_id % 9 = 2) with absent ones (offset block). */
+  private val sqlMergeDelLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlMergeDelLake(s: SparkSession, sfDir: String): String =
+    sqlMergeDelLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      s.conf.set("spark.sql.catalog.lake",
+        classOf[graft.sources.LakeCatalog].getName)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sql-mgdel").toString + "/lake"
+      val docs = graft.Tables.documents(s, sfDir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      docs.repartition(8).write.parquet(dir)
+      graft.sources.History.enableManifests(s, dir): Unit
+      docs.filter(col("doc_id") % 9 === 2).select(col("doc_id"))
+        .unionByName(docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 5000000L).as("doc_id")))
+        .createOrReplaceTempView("h41_del_src")
+      s.sql(s"""MERGE INTO lake.`$dir` t USING h41_del_src s
+                ON t.doc_id = s.doc_id
+                WHEN MATCHED THEN DELETE"""): Unit
+      dir
+    })
+
+  /** h42's lake: corpus through the engine write path, then ONE SQL
+    * MERGE replays a four-arm CDC batch (matched deletes, matched
+    * updates, unmatched inserts, unmatched tombstones) — all derived
+    * from the documents table so the DuckDB oracle rebuilds the exact
+    * image. */
+  private val sqlMergeCdcLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlMergeCdcLake(s: SparkSession, sfDir: String): String =
+    sqlMergeCdcLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      s.conf.set("spark.sql.catalog.lake",
+        classOf[graft.sources.LakeCatalog].getName)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sql-mgcdc").toString + "/lake"
+      val docs = graft.Tables.documents(s, sfDir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      docs.repartition(8).write.parquet(dir)
+      graft.sources.History.enableManifests(s, dir): Unit
+      // arms are key-disjoint by construction (modular classes and
+      // offset blocks), as standard MERGE requires
+      docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("op", lit("D"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 3)
+          .withColumn("source", lit("cdc"))
+          .withColumn("n_chars", col("n_chars") + 1000L)
+          .withColumn("op", lit("U")))
+        .unionByName(docs.filter(col("doc_id") < 40)
+          .withColumn("doc_id", col("doc_id") + 2000000L)
+          .withColumn("source", lit("new"))
+          .withColumn("op", lit("I")))
+        .unionByName(docs
+          .filter(col("doc_id") >= 40 && col("doc_id") < 60)
+          .withColumn("doc_id", col("doc_id") + 3000000L)
+          .withColumn("op", lit("D")))
+        .createOrReplaceTempView("h42_cdc_src")
+      s.sql(s"""MERGE INTO lake.`$dir` t USING h42_cdc_src s
+                ON t.doc_id = s.doc_id
+                WHEN MATCHED AND s.op = 'D' THEN DELETE
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED AND s.op != 'D' THEN INSERT *"""): Unit
       dir
     })
 
@@ -1461,6 +1559,18 @@ object HistoryQueries {
          UNION ALL
          SELECT doc_id, 'en' AS lang, source, n_chars * 3 AS n_chars
          FROM documents WHERE lang = 'en' AND doc_id % 2 = 0""",
+    "h41_sql_merge_delete" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id % 9 != 2""",
+    "h42_sql_merge_cdc" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id % 7 != 0 AND doc_id % 7 != 3
+         UNION ALL
+         SELECT doc_id, lang, 'cdc' AS source, n_chars + 1000 AS n_chars
+         FROM documents WHERE doc_id % 7 = 3
+         UNION ALL
+         SELECT doc_id + 2000000 AS doc_id, lang, 'new' AS source, n_chars
+         FROM documents WHERE doc_id < 40""",
     "h36_sql_merge" ->
       """WITH src AS (
            SELECT doc_id, lang, 'merged' AS source,

@@ -1563,7 +1563,47 @@ object History {
   private def deleteDvImpl(spark: SparkSession, path: String,
                            predicate: org.apache.spark.sql.Column,
                            candidates: Option[Seq[String]],
-                           maxPositions: Long): (Int, Long) = {
+                           maxPositions: Long): (Int, Long) =
+    dvVictimsCommit(spark, path, candidates, maxPositions) { scan =>
+      scan.filter(predicate)
+        .select(col("_metadata.file_path").as("fp"),
+          col("_metadata.row_index").as("ri"))
+    }
+
+  /** MERGE-ON-READ delete of every row whose `keyCols` value appears
+    * in `keys` — [[deleteWhereDV]] for a DISTRIBUTED key frame (the
+    * SQL `MERGE … WHEN MATCHED THEN DELETE` arm, where the delete list
+    * is a query, not a literal takedown list): victims come from ONE
+    * key-semi-join over the manifest's current files, so the key frame
+    * never passes through the driver — only the matched POSITIONS do,
+    * capped like every DV write. NULL keys never match (SQL join
+    * semantics — standard MERGE: a null-keyed source row is simply not
+    * matched). Prefer [[deleteKeysDV]] when the keys ARE a literal
+    * list: that route rides the per-file bloom index; this one scans
+    * the key column of every current file (one column-pruned pass). */
+  def deleteMatchedDV(spark: SparkSession, path: String,
+                      keys: DataFrame, keyCols: Seq[String],
+                      maxPositions: Long = 10000000L): (Int, Long) = {
+    require(keyCols.nonEmpty, "deleteMatchedDV needs key columns")
+    require(keyCols.forall(keys.columns.contains),
+      s"keys frame missing key columns: ${keyCols.mkString(",")}")
+    dvVictimsCommit(spark, path, None, maxPositions) { scan =>
+      scan.select(
+          col("_metadata.file_path").as("fp") +:
+            col("_metadata.row_index").as("ri") +:
+            keyCols.map(col): _*)
+        .join(keys.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_semi")
+        .select(col("fp"), col("ri"))
+    }
+  }
+
+  /** Shared DV-delete tail: run `victimsOf` over the (vector-applied)
+    * scan of the current files, collect the matched positions under
+    * the cap, write per-file union vectors, one OCC pointer commit. */
+  private def dvVictimsCommit(spark: SparkSession, path: String,
+      candidates: Option[Seq[String]], maxPositions: Long)(
+      victimsOf: DataFrame => DataFrame): (Int, Long) = {
     // the cap must stay within both the collect's Int indexing and the
     // DV reader's hard ceiling (DeletionVector.read refuses > 2^28
     // positions) — a larger cap would either truncate silently at
@@ -1585,10 +1625,8 @@ object History {
     // the scan applies EXISTING vectors (planManifest), so an
     // already-deleted row neither recounts nor re-collects; the new
     // vector is old ∪ new positions per file
-    val victims = planManifest(spark, fs, root, m.copy(cur = scanCur))
-      .filter(predicate)
-      .select(col("_metadata.file_path").as("fp"),
-        col("_metadata.row_index").as("ri"))
+    val victims = victimsOf(planManifest(spark, fs, root,
+      m.copy(cur = scanCur)))
     // ONE evaluation of the victim scan: collect limit(cap+1) and fail
     // on overflow. A count-then-collect pair would evaluate the
     // predicate twice — under a non-deterministic predicate the counted

@@ -1,18 +1,18 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
   AttributeReference, CurrentDate, CurrentTimestampLike, EqualTo,
   Expression, In, Literal, LocalTimestamp, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
-  DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable,
-  SubqueryAlias, UpdateAction, UpdateTable}
+  DeleteAction, DeleteFromTable, InsertAction, LogicalPlan,
+  MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{coalesce, col, count, lit}
 import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
@@ -177,29 +177,45 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           if (unconditional) None else keyedShape(condition))
     }
 
-  /** The classic UPSERT shape — `WHEN MATCHED THEN UPDATE SET * WHEN
-    * NOT MATCHED THEN INSERT *` joined on name-equal key columns —
-    * maps EXACTLY onto the engine's keyed copy-on-write
-    * [[History.mergeInto]] (same join keys, same whole-row source
-    * image, same duplicate-source-key refusal), so that is the shape
-    * this surface accepts; every other merge shape (conditioned
-    * actions, partial SET lists, expressions over target columns,
-    * DELETE actions, NOT MATCHED BY SOURCE, schema evolution) refuses
-    * loudly with the engine-operator alternative named. One documented
-    * deviation rides along from the engine operator: ALL target rows
-    * sharing a matched key are superseded by the single source row for
-    * that key (upsert-by-key), where standard MERGE would update each
-    * copy in place — identical results on key-unique targets, which is
-    * what an upsert key means. */
+  /** The MERGE shapes this surface accepts, all joined `ON` name-equal
+    * key-column equalities:
+    *
+    *  - the classic UPSERT — `WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    *    MATCHED THEN INSERT *` — maps EXACTLY onto the engine's keyed
+    *    copy-on-write [[History.mergeInto]] (same join keys, same
+    *    whole-row source image, same duplicate-source-key refusal):
+    *    the fast path, [[GraftMergeCommand]];
+    *  - the CDC-APPLY family — any consistent combination of
+    *    `WHEN MATCHED [AND <src cond>] THEN DELETE`,
+    *    `WHEN MATCHED THEN UPDATE SET *`, and
+    *    `WHEN NOT MATCHED [AND <src cond>] THEN INSERT *` (the shape a
+    *    Debezium-style feed replays) — composed from the engine's
+    *    merge-on-read keyed delete ([[History.deleteKeysDV]] /
+    *    [[History.deleteMatchedDV]]) and [[History.mergeInto]] by
+    *    [[GraftMergeCdcCommand]]. Arm conditions may reference ONLY
+    *    source columns (the usual CDC op flag) — a condition over
+    *    target columns cannot be replayed on the source side and
+    *    refuses loudly.
+    *
+    * Everything else (partial SET lists, expressions over target
+    * columns, conditional UPDATE arms, NOT MATCHED BY SOURCE, schema
+    * evolution) refuses loudly with the engine-operator alternative
+    * named. One documented deviation rides along from the engine
+    * operator: ALL target rows sharing a matched key are superseded
+    * (or deleted) by the single source row for that key
+    * (upsert-by-key), where standard MERGE would touch each copy in
+    * place — identical results on key-unique targets, which is what
+    * an upsert key means. */
   private def rewriteMerge(m: MergeIntoTable, path: String): LogicalPlan = {
     def unsupported(what: String): Nothing =
       throw new UnsupportedOperationException(
-        s"MERGE INTO through the lake SQL surface supports exactly the " +
-          "upsert shape `ON <name-equal key equalities> WHEN MATCHED " +
-          "THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`; " +
-          s"$what is not — use the engine operator " +
-          "(History.mergeInto / deleteKeys / updateWhere) for other " +
-          "shapes")
+        "MERGE INTO through the lake SQL surface supports `ON " +
+          "<name-equal key equalities>` with WHEN MATCHED [AND <source " +
+          "cond>] THEN DELETE, WHEN MATCHED THEN UPDATE SET *, and " +
+          "WHEN NOT MATCHED [AND <source cond>] THEN INSERT * (any " +
+          s"consistent combination); $what is not — use the engine " +
+          "operator (History.mergeInto / deleteKeysDV / updateWhere) " +
+          "for other shapes")
     if (m.withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
     if (m.notMatchedBySourceActions.nonEmpty)
       unsupported("WHEN NOT MATCHED BY SOURCE")
@@ -211,17 +227,20 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    val keyCols = conjuncts(m.mergeCondition).map {
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-          if (targetOut.contains(a) && sourceOut.contains(b)) ||
-             (targetOut.contains(b) && sourceOut.contains(a)) =>
-        val (t, s) = if (targetOut.contains(a)) (a, b) else (b, a)
-        if (!t.name.equalsIgnoreCase(s.name))
-          unsupported(s"ON ${t.name} = ${s.name} (key columns must be " +
-            "name-equal for the by-name keyed merge)")
-        t.name
-      case other => unsupported(s"ON condition `$other`")
-    }
+    val keyPairs: Seq[(String, AttributeReference)] =
+      conjuncts(m.mergeCondition).map {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if (targetOut.contains(a) && sourceOut.contains(b)) ||
+               (targetOut.contains(b) && sourceOut.contains(a)) =>
+          val (t, s) = if (targetOut.contains(a)) (a, b) else (b, a)
+          if (!t.name.equalsIgnoreCase(s.name))
+            unsupported(s"ON ${t.name} = ${s.name} (key columns must be " +
+              "name-equal for the by-name keyed merge)")
+          t.name -> s
+        case other => unsupported(s"ON condition `$other`")
+      }
+    val keyCols = keyPairs.map(_._1).distinct
+    val keyAttrs = keyCols.map(k => k -> keyPairs.find(_._1 == k).get._2)
     // the whole-row source image: every target column assigned its
     // name-equal bare source attribute, identically in both actions
     def image(assignments: Seq[Assignment],
@@ -240,19 +259,76 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
               "name-equal source column — the SET * / INSERT * image)")
         }
       }.toMap
-    val (up, in) = (m.matchedActions, m.notMatchedActions) match {
-      case (Seq(UpdateAction(None, upA, _)), Seq(InsertAction(None, inA))) =>
-        (image(upA, "UPDATE SET"), image(inA, "INSERT"))
-      case _ => unsupported("this action list")
-    }
     val targetCols = m.targetTable.output.map(_.name)
-    if (up.keySet != targetCols.toSet)
-      unsupported(s"a partial SET list (${up.keySet.mkString(",")})")
-    if (up.map { case (k, v) => k -> v.exprId } !=
-        in.map { case (k, v) => k -> v.exprId })
-      unsupported("UPDATE and INSERT disagreeing on the source image")
-    GraftMergeCommand(path, m.sourceTable,
-      targetCols.map(c => c -> up(c)), keyCols.distinct)
+    def fullImage(assignments: Seq[Assignment],
+                  action: String): Map[String, AttributeReference] = {
+      val img = image(assignments, action)
+      if (img.keySet != targetCols.toSet)
+        unsupported(s"a partial $action list (${img.keySet.mkString(",")})")
+      img
+    }
+    def imagesAgree(u: Map[String, AttributeReference],
+                    i: Map[String, AttributeReference]): Unit =
+      if (u.map { case (k, v) => k -> v.exprId } !=
+          i.map { case (k, v) => k -> v.exprId })
+        unsupported("UPDATE and INSERT disagreeing on the source image")
+    // an arm condition replayable on the SOURCE side (the CDC op flag)
+    def srcCond(c: Expression, action: String): Column = {
+      if (!c.references.subsetOf(sourceOut))
+        unsupported(s"a $action condition referencing target columns " +
+          s"(`$c`) — arm conditions replay against the source frame, " +
+          "so they may reference only source columns")
+      byName(c, s"a MERGE $action condition")
+    }
+
+    (m.matchedActions, m.notMatchedActions) match {
+      // the classic upsert: the file-granular fast path (one keyed
+      // engine merge, no matched/unmatched pre-split needed)
+      case (Seq(UpdateAction(None, upA, _)), Seq(InsertAction(None, inA))) =>
+        val up = fullImage(upA, "UPDATE SET")
+        imagesAgree(up, fullImage(inA, "INSERT"))
+        GraftMergeCommand(path, m.sourceTable,
+          targetCols.map(c => c -> up(c)), keyCols)
+
+      case (matched, notMatched) =>
+        if (matched.isEmpty && notMatched.isEmpty)
+          unsupported("an empty action list")
+        val (delCond, updImage): (Option[Option[Expression]],
+            Option[Map[String, AttributeReference]]) = matched match {
+          case Seq() => (None, None)
+          case Seq(UpdateAction(None, upA, _)) =>
+            (None, Some(fullImage(upA, "UPDATE SET")))
+          case Seq(DeleteAction(c)) => (Some(c), None)
+          case Seq(DeleteAction(Some(c)), UpdateAction(None, upA, _)) =>
+            (Some(Some(c)), Some(fullImage(upA, "UPDATE SET")))
+          case Seq(DeleteAction(None), _*) =>
+            unsupported("an action after an unconditional WHEN MATCHED " +
+              "THEN DELETE (unreachable)")
+          case Seq(UpdateAction(Some(_), _, _), _*) =>
+            unsupported("a conditional WHEN MATCHED UPDATE (only the " +
+              "DELETE arm takes a condition)")
+          case _ => unsupported("this matched-action list")
+        }
+        val (insCond, insImage): (Option[Option[Expression]],
+            Option[Map[String, AttributeReference]]) = notMatched match {
+          case Seq() => (None, None)
+          case Seq(InsertAction(c, inA)) =>
+            (Some(c), Some(fullImage(inA, "INSERT")))
+          case _ => unsupported("this not-matched-action list")
+        }
+        val img: Map[String, AttributeReference] =
+          (updImage, insImage) match {
+            case (Some(u), Some(i)) => imagesAgree(u, i); u
+            case (Some(u), None) => u
+            case (None, Some(i)) => i
+            case (None, None) => Map.empty
+          }
+        GraftMergeCdcCommand(path, m.sourceTable, keyCols, keyAttrs,
+          if (img.isEmpty) Nil else targetCols.map(c => c -> img(c)),
+          delCond.map(_.map(srcCond(_, "MATCHED DELETE"))),
+          hasUpdate = updImage.isDefined,
+          insCond.map(_.map(srcCond(_, "NOT MATCHED INSERT"))))
+    }
   }
 }
 
@@ -354,5 +430,138 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
     } finally {
       updates.unpersist(blocking = false): Unit
     }
+  }
+}
+
+/** The eager command the CDC-apply MERGE shapes plan to — composes the
+  * engine's merge-on-read keyed delete and keyed copy-on-write upsert
+  * in one writer sequence with standard MERGE semantics:
+  *
+  *  1. duplicate source keys refuse (a target row matched by several
+  *     source rows is ambiguous — the standard refusal);
+  *  2. when upsert arms exist, the matched key set is pinned FIRST
+  *     (one column-pruned key scan of the lake semi-joined against
+  *     the batch's keys — the source side is small, so the join
+  *     broadcasts it and the result is at most batch-sized), so
+  *     matched-ness means "matched at statement start": a row the
+  *     DELETE arm takes down is never resurrected by an
+  *     unconditional INSERT arm evaluated after the delete committed;
+  *  3. the DELETE arm lands as deletion vectors — a modest
+  *     single-column key list collects (capped) and rides the
+  *     per-file bloom index ([[History.deleteKeysDV]]); a bigger list
+  *     or multi-column key stays distributed
+  *     ([[History.deleteMatchedDV]], one key-semi-join, no row data
+  *     on the driver);
+  *  4. the UPDATE arm (matched ∧ ¬delete-cond rows) and INSERT arm
+  *     (unmatched ∧ insert-cond rows) union into ONE
+  *     [[History.mergeInto]] — file-granular rewrite, one OCC flip.
+  *
+  * Arm conditions evaluate on the RAW source frame (they may
+  * reference source columns outside the target image — the CDC op
+  * flag); NULL conditions behave as SQL three-valued logic dictates
+  * (a NULL delete-cond row falls through to the UPDATE arm, a NULL
+  * insert-cond row is not inserted). At 100 TB the cost is one key
+  * scan + the files the batch's keys touch, like the engine
+  * operators it composes. Run from the lake's single writer sequence
+  * (concurrent-writer conflicts surface through the usual OCC/DV
+  * declarations of the composed operators). */
+case class GraftMergeCdcCommand(path: String, source: LogicalPlan,
+    keyCols: Seq[String], keyAttrs: Seq[(String, AttributeReference)],
+    imageCols: Seq[(String, AttributeReference)],
+    deleteCond: Option[Option[Column]],
+    hasUpdate: Boolean,
+    insertCond: Option[Option[Column]])
+  extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_touched", IntegerType, nullable = false)(),
+    AttributeReference("rows_deleted", LongType, nullable = false)(),
+    AttributeReference("rows_replaced", LongType, nullable = false)())
+
+  /** Single-column delete lists up to this size collect to literals
+    * and ride the bloom key index; past it (or multi-column keys) the
+    * delete stays a distributed key-frame semi-join. */
+  private val bloomRouteCap = 100000
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcRaw = DatasetBridge.ofRows(spark, source)
+    srcRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keySel = keyAttrs.map { case (n, a) =>
+      ColumnBridge.column(a).as(n) }
+    try {
+      // standard MERGE refusal: several source rows matching one
+      // target row is ambiguous — across ALL arms, since a key landing
+      // in both the delete and upsert arms would otherwise apply both
+      val dupes = srcRaw.select(keySel: _*)
+        .groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
+      require(dupes.isEmpty,
+        s"MERGE source has duplicate keys, e.g. ${dupes.headOption.orNull}")
+      var filesTouched = 0
+      var rowsDeleted = 0L
+      var rowsReplaced = 0L
+      // pin matched-ness BEFORE any arm commits: "matched" must mean
+      // matched at statement start, or a delete-arm row could read as
+      // unmatched afterwards and be resurrected by the INSERT arm
+      val matchedKeys: Option[DataFrame] =
+        if (hasUpdate || insertCond.isDefined) {
+          val srcKeys = srcRaw.select(keySel: _*).distinct()
+          val mk = History.readPinned(spark, path)
+            .select(keyCols.map(col): _*)
+            .join(srcKeys, keyCols, "left_semi").distinct()
+          mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          mk.count(): Unit // force NOW, ahead of the delete commit
+          Some(mk)
+        } else None
+      try {
+        deleteCond.foreach { cond =>
+          val delRows = cond.map(srcRaw.filter).getOrElse(srcRaw)
+          val delKeys = delRows.select(keySel: _*)
+          val (f, n) =
+            if (keyCols.size == 1) {
+              val collected = delKeys.distinct()
+                .limit(bloomRouteCap + 1).collect()
+              // NULL keys never match a target row — standard MERGE
+              val vals = collected.iterator.map(_.get(0))
+                .filter(_ != null).toSeq
+              if (collected.length <= bloomRouteCap)
+                if (vals.isEmpty) (0, 0L)
+                else History.deleteKeysDV(spark, path, keyCols.head, vals)
+              else History.deleteMatchedDV(spark, path, delKeys, keyCols)
+            } else History.deleteMatchedDV(spark, path, delKeys, keyCols)
+          filesTouched += f
+          rowsDeleted = n
+        }
+        matchedKeys.foreach { mk =>
+          val imgSel = imageCols.map { case (n, a) =>
+            ColumnBridge.column(a).as(n) }
+          // UPDATE arm: matched rows the delete-cond did NOT take
+          // (NULL cond falls through to update — three-valued logic)
+          val updIn =
+            if (!hasUpdate) None
+            else Some(deleteCond.flatten
+              .map(c => srcRaw.filter(!coalesce(c, lit(false))))
+              .getOrElse(srcRaw)
+              .select(imgSel: _*).join(mk, keyCols, "left_semi"))
+          // INSERT arm: unmatched rows passing the insert-cond
+          val insIn = insertCond.map(c =>
+            c.map(srcRaw.filter).getOrElse(srcRaw)
+              .select(imgSel: _*).join(mk, keyCols, "left_anti"))
+          (updIn.toSeq ++ insIn.toSeq).reduceOption(_ unionByName _)
+            .foreach { input =>
+              input.persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                val (f, r) = History.mergeInto(spark, path, input, keyCols)
+                filesTouched += f
+                rowsReplaced = r
+              } finally input.unpersist(blocking = false): Unit
+            }
+        }
+      } finally matchedKeys.foreach(_.unpersist(blocking = false): Unit)
+      Seq(Row(filesTouched, rowsDeleted, rowsReplaced))
+    } finally srcRaw.unpersist(blocking = false): Unit
   }
 }
