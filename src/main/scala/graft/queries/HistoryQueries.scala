@@ -1054,6 +1054,21 @@ object HistoryQueries {
       val dir = sqlMergeCdcLake(s, d)
       s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
                 WHERE doc_id >= 0""")
+    }),
+
+    // SQL DDL — the lake lifecycle with ZERO Scala: CTAS provisions a
+    // sharded manifest lake (declared schema + declared partitioning +
+    // property-carried CHECK constraint) and populates it through the
+    // staged validated append in one statement; a second INSERT lands
+    // the other half; the declared partitioning governs both layouts
+    // (no files existed to derive a scheme from). The read-back is the
+    // transformed-evens ∪ odds image — a lost half, a misdeclared
+    // schema, or an INSERT landing unpartitioned (and thus unreadable
+    // under the declared projection) fails the hash.
+    "h43_sql_create_table" -> ((s, d) => {
+      val dir = sqlDdlLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
+                WHERE doc_id >= 0""")
     })
   )
 
@@ -1329,6 +1344,33 @@ object HistoryQueries {
       dir
     })
 
+  /** h43's lake: built with ZERO Scala — CTAS (partitioned, CHECK
+    * constraint via TBLPROPERTIES) over the evens with a transform,
+    * then a plain INSERT lands the odds. */
+  private val sqlDdlLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlDdlLake(s: SparkSession, sfDir: String): String =
+    sqlDdlLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      s.conf.set("spark.sql.catalog.lake",
+        classOf[graft.sources.LakeCatalog].getName)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sql-ddl").toString + "/lake"
+      s.sql(s"""CREATE TABLE lake.`$dir` USING parquet
+                PARTITIONED BY (lang)
+                TBLPROPERTIES (
+                  'graft.constraint.chars_pos' = 'n_chars >= 0')
+                AS SELECT doc_id, source, n_chars + 7 AS n_chars, lang
+                FROM parquet.`$sfDir/documents.parquet`
+                WHERE doc_id % 2 = 0"""): Unit
+      s.sql(s"""INSERT INTO lake.`$dir`
+                SELECT doc_id, source, n_chars, lang
+                FROM parquet.`$sfDir/documents.parquet`
+                WHERE doc_id % 2 = 1"""): Unit
+      dir
+    })
+
   private val rollupCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
@@ -1562,6 +1604,11 @@ object HistoryQueries {
     "h41_sql_merge_delete" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE doc_id % 9 != 2""",
+    "h43_sql_create_table" ->
+      """SELECT doc_id, lang, source,
+                CASE WHEN doc_id % 2 = 0 THEN n_chars + 7
+                     ELSE n_chars END AS n_chars
+         FROM documents""",
     "h42_sql_merge_cdc" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE doc_id % 7 != 0 AND doc_id % 7 != 3

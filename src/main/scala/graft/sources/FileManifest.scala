@@ -121,6 +121,47 @@ object FileManifest {
   def enabled(fs: FileSystem, lakePath: String): Boolean =
     latestVersion(fs, lakePath).isDefined
 
+  def partitioningPath(lakePath: String): Path =
+    new Path(manifestDir(lakePath), "partitioning.tsv")
+
+  /** DECLARE the lake's partition columns (SQL `CREATE TABLE …
+    * PARTITIONED BY` — the one moment a partitioning exists before any
+    * file does). Write-once: lakes without a declaration keep deriving
+    * the scheme from their files' `k=v` directories, and a
+    * declaration contradicting an existing layout would make every
+    * writer ambiguous. */
+  def declarePartitioning(fs: FileSystem, lakePath: String,
+                          cols: Seq[String]): Unit = {
+    require(cols.nonEmpty && cols.distinct == cols,
+      s"partitioning must be distinct non-empty columns: $cols")
+    require(cols.forall(c => !c.contains('\t') && !c.contains('\n')),
+      s"partition column names must be tab/newline-free: $cols")
+    val dest = partitioningPath(lakePath)
+    require(!fs.exists(dest),
+      s"partitioning already declared at $lakePath")
+    val tmp = new Path(dest.getParent, dest.getName + ".tmp")
+    fs.mkdirs(dest.getParent): Unit
+    val out = fs.create(tmp, true)
+    try out.write(cols.mkString("\t")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"partitioning publish failed: $dest")
+  }
+
+  /** The declared partition columns, if any — authoritative over the
+    * layout-derived scheme (an EMPTY declared-partitioned lake has no
+    * files to derive from, but its first write must still land
+    * partitioned). */
+  def declaredPartitioning(fs: FileSystem,
+                           lakePath: String): Option[Seq[String]] = {
+    val p = partitioningPath(lakePath)
+    if (!fs.exists(p)) None
+    else SidecarIO.readLines(fs, p).headOption
+      .map(_.split('\t').toSeq.filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+  }
+
   def latestVersion(fs: FileSystem, lakePath: String): Option[Long] = {
     val dir = new Path(manifestDir(lakePath))
     if (!fs.exists(dir)) None

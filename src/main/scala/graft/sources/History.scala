@@ -1712,8 +1712,8 @@ object History {
       throw new IllegalStateException(
         s"overwriteAll needs a manifest-mode lake (enableManifests): " +
           path))
-    val partCols =
-      if (m.cur.nonEmpty) uniformPartCols(path, m.cur) else Nil
+    val partCols = FileManifest.declaredPartitioning(fs, path)
+      .getOrElse(if (m.cur.nonEmpty) uniformPartCols(path, m.cur) else Nil)
     require(partCols.forall(batch.columns.contains),
       s"batch missing the lake's partition columns: " +
         partCols.mkString(","))
@@ -1757,10 +1757,16 @@ object History {
     val m = FileManifest.latest(fs, path).getOrElse(
       throw new IllegalStateException(
         s"overwritePartitions needs a manifest-mode lake: $path"))
-    if (m.cur.nonEmpty)
-      require(uniformPartCols(path, m.cur) == partitionCols,
-        s"lake is partitioned by ${uniformPartCols(path, m.cur)
-          .mkString("/")}, not ${partitionCols.mkString("/")}")
+    FileManifest.declaredPartitioning(fs, path) match {
+      case Some(d) => require(d == partitionCols,
+        s"lake declares partitioning ${d.mkString("/")}, " +
+          s"not ${partitionCols.mkString("/")}")
+      case None if m.cur.nonEmpty =>
+        require(uniformPartCols(path, m.cur) == partitionCols,
+          s"lake is partitioned by ${uniformPartCols(path, m.cur)
+            .mkString("/")}, not ${partitionCols.mkString("/")}")
+      case None =>
+    }
     SchemaLog.latest(fs, path)
       .foreach(d => SchemaLog.validateWrite(d, batch.schema))
     val stage = fs.makeQualified(
@@ -1840,11 +1846,16 @@ object History {
           "overwrite must know EXACTLY which files it retires; filter " +
           "on the lake's partition columns, or restate through " +
           "overwritePartitions (dynamic) / overwriteAll (full)")
-    if (m.cur.isEmpty) undecidable("the lake has no current files, so " +
-      "no partition layout to decide against")
-    val partCols = uniformPartCols(path, m.cur)
+    val declared = FileManifest.declaredPartitioning(fs, path)
+    if (m.cur.isEmpty && declared.isEmpty)
+      undecidable("the lake has no current files and no declared " +
+        "partitioning, so no partition layout to decide against")
+    val partCols = declared.getOrElse(uniformPartCols(path, m.cur))
     if (partCols.isEmpty) undecidable("the lake is unpartitioned")
-    val schema = planManifest(spark, fs, root, m).schema
+    // the declared schema types the partition-value decoding; an
+    // undeclared lake infers from its (nonempty) current files
+    val schema = SchemaLog.latest(fs, path)
+      .getOrElse(planManifest(spark, fs, root, m).schema)
     val selected = PartitionPredicate
       .select(m.cur, partCols, schema, filters)
       .getOrElse(undecidable("the filter does not decide per-file from " +
@@ -2341,11 +2352,12 @@ object History {
           s"matched file not in the planned manifest: $fp"))
     }.toSeq.sorted
     // the lake's directory scheme governs where inserts land too, so
-    // derive it from ALL current files, not just the affected ones
+    // prefer the declared partitioning, else derive it from ALL
+    // current files, not just the affected ones
     val schemeDonors = if (m.cur.nonEmpty) m.cur else affected
-    val partCols =
+    val partCols = FileManifest.declaredPartitioning(fs, path).getOrElse(
       if (schemeDonors.isEmpty) Seq.empty[String]
-      else uniformPartCols(path, schemeDonors)
+      else uniformPartCols(path, schemeDonors))
     // pass 2: survivors of the affected files + all update rows
     val stage = fs.makeQualified(
       new org.apache.hadoop.fs.Path(mergeStagingDir(path)))
@@ -2923,10 +2935,22 @@ object History {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     SchemaLog.latest(fs, path)
       .foreach(d => SchemaLog.validateWrite(d, batch.schema))
+    // a DECLARED partitioning is authoritative: a caller passing Nil
+    // inherits it (the first append into a CREATE TABLE'd empty lake
+    // must land partitioned), a caller contradicting it would write an
+    // ambiguous mixed layout and refuses
+    val partBy = FileManifest.declaredPartitioning(fs, path) match {
+      case Some(d) =>
+        require(partitionCols.isEmpty || partitionCols == d,
+          s"lake declares partitioning ${d.mkString("/")}, " +
+            s"not ${partitionCols.mkString("/")}")
+        d
+      case None => partitionCols
+    }
     val stage = LakeCommit.stagingDir(path, key)
     val writer = batch.write.mode("overwrite")
       .option("maxRecordsPerFile", 5000000L)
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+    (if (partBy.nonEmpty) writer.partitionBy(partBy: _*)
      else writer).parquet(stage)
     // validate the STAGED bytes, not the live plan: enforcing before
     // the write would evaluate the batch twice, and a non-deterministic

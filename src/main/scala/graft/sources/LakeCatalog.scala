@@ -148,8 +148,11 @@ class LakeCatalog extends TableCatalog
       s"$catalogName.$path${version.fold("")(v => s"@v$v")}"
     // SQL writes land through the staged, validated, exactly-once
     // append — latest-version tables only (a time-travel pin is a
-    // read of history, not a write target)
-    val partCols = uniformPartCols(m)
+    // read of history, not a write target). A DECLARED partitioning
+    // (CREATE TABLE … PARTITIONED BY) is authoritative — an empty
+    // lake has no files to derive the scheme from
+    val partCols = FileManifest.declaredPartitioning(fs, path)
+      .getOrElse(uniformPartCols(m))
     val writable = version.isEmpty
     val curSet = m.curSet
     val liveDvs = m.dvs.filter { case (rel, _) => curSet(rel) }
@@ -371,23 +374,86 @@ class LakeCatalog extends TableCatalog
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
       s"$catalogName serves manifest lakes; $op must go through the " +
-        "engine's lifecycle operators (History.enableManifests / " +
-        "deleteWhere / mergeInto / vacuum — SQL INSERT is supported, " +
-        "DDL is not)")
+        "engine's lifecycle operators (CREATE TABLE / CTAS / INSERT / " +
+        "DML / CALL are supported; this verb is not)")
 
+  /** SQL `CREATE TABLE lake.\`/path\` (cols…) PARTITIONED BY (k)` —
+    * the last Scala dependency in the SQL lifecycle: provisions a
+    * fresh manifest lake at the path (SHARDED from birth — the 100 TB
+    * manifest shape), declares the table schema ([[SchemaLog]] — every
+    * later write validates against it), records the declared
+    * partitioning (authoritative for every writer, since an empty lake
+    * has no layout to derive), and applies any
+    * `graft.constraint.<name>` table properties as CHECK constraints.
+    * CTAS rides the same path: Spark creates the table then routes the
+    * query through the staged validated append; a constraint-violating
+    * CTAS bounces whole and the empty shell is dropped. Only identity
+    * partition transforms are accepted (the lake's `k=v` directory
+    * scheme IS identity partitioning). */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    readOnly("createTable")
+      properties: java.util.Map[String, String]): Table = {
+    val path = pathOf(ident)
+    val fs = fsOf(path)
+    if (FileManifest.enabled(fs, path))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map {
+      case t if t.name() == "identity" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        t.references()(0).fieldNames()(0)
+      case other => throw new UnsupportedOperationException(
+        s"PARTITIONED BY $other is not supported — the lake's k=v " +
+          "directory scheme is identity partitioning on top-level " +
+          "columns")
+    }
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c is not a table column"))
+    require(schema.nonEmpty, "CREATE TABLE needs at least one column")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path)): Unit
+    History.enableManifests(spark, path): Unit
+    History.enableShardedManifests(spark, path): Unit
+    SchemaLog.declareAs(fs, path, schema): Unit
+    if (partCols.nonEmpty)
+      FileManifest.declarePartitioning(fs, path, partCols)
+    // CHECK constraints ride table properties (there is no portable
+    // CONSTRAINT clause in Spark DDL); all other properties are
+    // Spark-internal (provider, owner, …) and ignored
+    import scala.jdk.CollectionConverters._
+    properties.asScala.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      if (k.startsWith("graft.constraint."))
+        Constraints.add(spark, path,
+          k.stripPrefix("graft.constraint."), v): Unit
+    }
+    tableAt(ident, None)
+  }
 
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table =
-    readOnly("alterTable")
+    readOnly("alterTable (schema evolution is CALL " +
+      "lake.declare_schema / History.evolveSchema)")
 
-  override def dropTable(ident: Identifier): Boolean =
-    readOnly("dropTable")
+  /** DROP TABLE only for lakes that never held committed data (every
+    * retained version's file set is empty) — exactly the cleanup a
+    * failed CTAS needs. A data-bearing lake refuses: SQL must not
+    * delete 100 TB plus its whole time-travel history in one verb
+    * (expire/vacuum are the governed paths). */
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = pathOf(ident)
+    val fs = fsOf(path)
+    if (!FileManifest.enabled(fs, path)) return false
+    val versions = FileManifest.versions(fs, path)
+    val anyData = versions.exists(v =>
+      FileManifest.at(fs, path, v).exists(_.cur.nonEmpty))
+    if (anyData)
+      throw new UnsupportedOperationException(
+        s"DROP TABLE on a data-bearing lake ($path) is refused — " +
+          "retire data through DELETE / expire_partitions / vacuum, " +
+          "then remove the empty lake from the engine")
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+  }
 
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit =
-    readOnly("renameTable")
+    readOnly("renameTable (a lake's identity is its path)")
 }

@@ -181,14 +181,15 @@ class LakeCatalogSpec extends AnyFunSuite {
     val m = FileManifest.latest(fsOf(dir), dir).get
     assert(m.version > before)
     assert(m.cur.exists(_.startsWith("lang=pt/")), m.cur.mkString(", "))
-    // DDL is still refused — lake lifecycle is not a SQL concern
+    // destructive DDL on a DATA-BEARING lake is still refused — SQL
+    // must not delete data plus its time-travel history in one verb
     def messageChain(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(_.toString).mkString(" | ")
     val e = intercept[Exception] {
       spark.sql(s"DROP TABLE lake.`$dir`")
     }
-    assert(messageChain(e).contains("lifecycle"), messageChain(e))
+    assert(messageChain(e).contains("data-bearing"), messageChain(e))
     // a time-travel pin is not a write target: the pinned table never
     // declares write capability, so analysis rejects any INSERT at it
     val cat = new LakeCatalog
@@ -824,18 +825,17 @@ class LakeCatalogSpec extends AnyFunSuite {
       val e = intercept[UnsupportedOperationException] {
         spark.sql(sql)
       }
-      assert(e.getMessage.contains("upsert shape"), e.getMessage)
+      assert(e.getMessage.contains("use the engine operator"),
+        e.getMessage)
     }
-    // matched DELETE
-    refuses(s"""MERGE INTO lake.`$dir` t USING merge_src2 s
-                ON t.doc_id = s.doc_id
-                WHEN MATCHED THEN DELETE""")
+    // (matched DELETE and conditional DELETE/INSERT arms are now
+    // SUPPORTED — MergeCdcSpec covers them; these stay refused:)
     // partial SET list
     refuses(s"""MERGE INTO lake.`$dir` t USING merge_src2 s
                 ON t.doc_id = s.doc_id
                 WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
                 WHEN NOT MATCHED THEN INSERT *""")
-    // conditioned action
+    // conditioned UPDATE action (only the DELETE arm takes a condition)
     refuses(s"""MERGE INTO lake.`$dir` t USING merge_src2 s
                 ON t.doc_id = s.doc_id
                 WHEN MATCHED AND s.n_chars > 0 THEN UPDATE SET *

@@ -1,0 +1,134 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{FileManifest, History, LakeCatalog, SchemaLog}
+
+/** SQL DDL on the lake catalog ([[LakeCatalog.createTable]] /
+  * `dropTable`): CREATE TABLE provisions a sharded manifest lake with
+  * a declared schema + declared partitioning + property-carried CHECK
+  * constraints, CTAS populates through the staged validated append,
+  * and DROP TABLE is allowed only for lakes that never held data —
+  * closing the last Scala dependency in the SQL-only lifecycle. */
+class LakeDdlSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = SparkTestBase.spark
+    s.conf.set("spark.sql.catalog.lake", classOf[LakeCatalog].getName)
+    s
+  }
+
+  private def fsOf(dir: String) =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  private def tmpPath(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/lake"
+
+  test("SQL-only lifecycle: CREATE TABLE, INSERT, constraint, SELECT") {
+    val dir = tmpPath("graft-ddl")
+    spark.sql(s"""CREATE TABLE lake.`$dir` (
+                    doc_id BIGINT, n_chars BIGINT, lang STRING)
+                  USING parquet PARTITIONED BY (lang)
+                  TBLPROPERTIES (
+                    'graft.constraint.chars_pos' = 'n_chars >= 0')""")
+    val fs = fsOf(dir)
+    assert(FileManifest.enabled(fs, dir))
+    assert(SchemaLog.latest(fs, dir).map(_.fieldNames.toSet) ===
+      Some(Set("doc_id", "n_chars", "lang")))
+    assert(FileManifest.declaredPartitioning(fs, dir) === Some(Seq("lang")))
+    // an empty declared lake still presents its schema to SQL
+    assert(spark.sql(s"SELECT * FROM lake.`$dir`").columns.sorted.toSeq ===
+      Seq("doc_id", "lang", "n_chars"))
+    // the first INSERT lands PARTITIONED by the declaration (no files
+    // existed to derive the scheme from)
+    spark.sql(s"INSERT INTO lake.`$dir` VALUES (1, 10, 'en'), (2, 20, 'de')")
+    val m = FileManifest.latest(fs, dir).get
+    assert(m.cur.nonEmpty && m.cur.forall(_.startsWith("lang=")),
+      m.cur.mkString(","))
+    // the property-declared CHECK bounces a violating batch whole
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO lake.`$dir` VALUES (3, -5, 'en')")
+    }
+    assert(spark.sql(s"SELECT sum(n_chars) AS s FROM lake.`$dir`")
+      .collect()(0).getLong(0) === 30L)
+    // static partition overwrite works against the DECLARED layout
+    spark.sql(s"""INSERT OVERWRITE lake.`$dir` PARTITION (lang = 'en')
+                  VALUES (7, 70)""")
+    assert(spark.sql(s"SELECT doc_id FROM lake.`$dir` ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L, 7L))
+    // DML rides the same lake
+    spark.sql(s"UPDATE lake.`$dir` SET n_chars = 99 WHERE doc_id = 2")
+    spark.sql(s"DELETE FROM lake.`$dir` WHERE doc_id = 7")
+    assert(spark.sql(
+        s"SELECT doc_id, n_chars FROM lake.`$dir` ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((2L, 99L)))
+  }
+
+  test("CREATE TABLE on an existing lake refuses; bad shapes refuse") {
+    val dir = tmpPath("graft-ddl-dup")
+    spark.sql(s"CREATE TABLE lake.`$dir` (id BIGINT) USING parquet")
+    intercept[org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException] {
+      spark.sql(s"CREATE TABLE lake.`$dir` (id BIGINT) USING parquet")
+    }
+    // non-identity partition transforms refuse
+    val dir2 = tmpPath("graft-ddl-bucket")
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"""CREATE TABLE lake.`$dir2` (id BIGINT, ts TIMESTAMP)
+                    USING parquet PARTITIONED BY (days(ts))""")
+    }
+    assert(!FileManifest.enabled(fsOf(dir2), dir2))
+  }
+
+  test("CTAS creates and populates in one statement") {
+    import spark.implicits._
+    val dir = tmpPath("graft-ctas")
+    Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L))
+      .toDF("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql(s"""CREATE TABLE lake.`$dir` USING parquet
+                  PARTITIONED BY (lang)
+                  AS SELECT doc_id, n_chars, lang FROM ctas_src""")
+    val fs = fsOf(dir)
+    assert(FileManifest.declaredPartitioning(fs, dir) === Some(Seq("lang")))
+    assert(FileManifest.latest(fs, dir).get.cur
+      .forall(_.startsWith("lang=")))
+    assert(spark.sql(s"SELECT sum(n_chars) AS s FROM lake.`$dir`")
+      .collect()(0).getLong(0) === 60L)
+    // time travel exists from birth: version history answers
+    assert(History.versions(spark, dir).nonEmpty)
+  }
+
+  test("a constraint-violating CTAS bounces whole and drops the shell") {
+    import spark.implicits._
+    val dir = tmpPath("graft-ctas-bounce")
+    Seq((1L, -10L)).toDF("doc_id", "n_chars")
+      .createOrReplaceTempView("ctas_bad_src")
+    intercept[Exception] {
+      spark.sql(s"""CREATE TABLE lake.`$dir` USING parquet
+                    TBLPROPERTIES (
+                      'graft.constraint.chars_pos' = 'n_chars >= 0')
+                    AS SELECT doc_id, n_chars FROM ctas_bad_src""")
+    }
+    // Spark's CTAS cleanup dropped the just-created empty shell
+    assert(!FileManifest.enabled(fsOf(dir), dir),
+      "the failed CTAS must not leave a half-created lake")
+  }
+
+  test("DROP TABLE: empty lakes drop, data-bearing lakes refuse") {
+    val dir = tmpPath("graft-ddl-drop")
+    spark.sql(s"CREATE TABLE lake.`$dir` (id BIGINT) USING parquet")
+    assert(FileManifest.enabled(fsOf(dir), dir))
+    spark.sql(s"DROP TABLE lake.`$dir`")
+    assert(!FileManifest.enabled(fsOf(dir), dir))
+    val dir2 = tmpPath("graft-ddl-drop2")
+    spark.sql(s"CREATE TABLE lake.`$dir2` (id BIGINT) USING parquet")
+    spark.sql(s"INSERT INTO lake.`$dir2` VALUES (1)")
+    val e = intercept[Exception] {
+      spark.sql(s"DROP TABLE lake.`$dir2`")
+    }
+    assert(e.getMessage.contains("data-bearing"), e.getMessage)
+    assert(spark.sql(s"SELECT count(*) AS n FROM lake.`$dir2`")
+      .collect()(0).getLong(0) === 1L)
+  }
+}
