@@ -1069,6 +1069,21 @@ object HistoryQueries {
       val dir = sqlDdlLake(s, d)
       s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
                 WHERE doc_id >= 0""")
+    }),
+
+    // IN-subquery DML: the "act on everything the quality query
+    // flagged" statements — a bare uncorrelated `key IN (SELECT …)`
+    // condition materializes to a key list at command time and rides
+    // the bloom key index (DELETE → deletion vectors, UPDATE → keyed
+    // COW), so the canonical two-step (flag, then take down) is one
+    // SQL statement. The read-back is the corpus minus the flagged
+    // short docs, with the flagged zh docs' source prefixed — a key
+    // the subquery flagged surviving, or an unflagged row touched,
+    // fails the hash.
+    "h44_sql_in_subquery" -> ((s, d) => {
+      val dir = sqlInSubqueryLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
+                WHERE doc_id >= 0""")
     })
   )
 
@@ -1371,6 +1386,41 @@ object HistoryQueries {
       dir
     })
 
+  /** h44's lake: corpus through the engine write path, then one
+    * IN-subquery DELETE (quality-flagged short docs) and one
+    * IN-subquery UPDATE (zh docs' source prefixed) — both
+    * materialized to keyed routes. */
+  private val sqlInSubqueryLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlInSubqueryLake(s: SparkSession, sfDir: String): String =
+    sqlInSubqueryLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir),
+      _ => {
+        Memos.install(s)
+        s.conf.set("spark.sql.catalog.lake",
+          classOf[graft.sources.LakeCatalog].getName)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-sql-insub").toString + "/lake"
+        graft.Tables.documents(s, sfDir)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"))
+          .repartition(8)
+          .write.parquet(dir)
+        graft.sources.History.enableManifests(s, dir): Unit
+        s.sql(s"""DELETE FROM lake.`$dir`
+                  WHERE doc_id IN (
+                    SELECT doc_id
+                    FROM parquet.`$sfDir/documents.parquet`
+                    WHERE n_chars < 120)"""): Unit
+        s.sql(s"""UPDATE lake.`$dir`
+                  SET source = concat('q:', source)
+                  WHERE doc_id IN (
+                    SELECT doc_id
+                    FROM parquet.`$sfDir/documents.parquet`
+                    WHERE lang = 'zh')"""): Unit
+        dir
+      })
+
   private val rollupCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
@@ -1609,6 +1659,12 @@ object HistoryQueries {
                 CASE WHEN doc_id % 2 = 0 THEN n_chars + 7
                      ELSE n_chars END AS n_chars
          FROM documents""",
+    "h44_sql_in_subquery" ->
+      """SELECT doc_id, lang,
+                CASE WHEN lang = 'zh' THEN concat('q:', source)
+                     ELSE source END AS source,
+                n_chars
+         FROM documents WHERE n_chars >= 120""",
     "h42_sql_merge_cdc" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE doc_id % 7 != 0 AND doc_id % 7 != 3

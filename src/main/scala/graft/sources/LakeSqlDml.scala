@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
   AttributeReference, CurrentDate, CurrentTimestampLike, EqualTo,
-  Expression, In, Literal, LocalTimestamp, SubqueryExpression}
+  Expression, In, InSubquery, ListQuery, Literal, LocalTimestamp,
+  SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
   DeleteAction, DeleteFromTable, InsertAction, LogicalPlan,
   MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
@@ -126,6 +127,25 @@ object LakeDmlRule {
       case _ => None
     }
   }
+
+  /** The MATERIALIZABLE IN-subquery shape — a bare, UNCORRELATED
+    * `key IN (SELECT <one col> …)` condition (the "delete everything
+    * the quality query flagged" statement): the subquery plan runs
+    * eagerly at command time, its distinct non-null values become a
+    * key list, and the DML rides the bloom key index exactly like a
+    * literal IN. Dropping the NULLs is EXACT here: a NULL in an IN
+    * list can only turn non-matches into NULL (never TRUE), and
+    * DELETE/UPDATE act only on TRUE. Correlated subqueries,
+    * multi-column IN, and subqueries nested deeper in the condition
+    * keep the loud [[byName]] refusal. */
+  private[sources] def inSubqueryShape(e: Expression)
+      : Option[(String, LogicalPlan)] = e match {
+    case InSubquery(Seq(a: AttributeReference), lq: ListQuery)
+        if lq.outerAttrs.isEmpty && lq.joinCond.isEmpty &&
+          lq.plan.output.length == 1 =>
+      Some((a.name, lq.plan))
+    case _ => None
+  }
 }
 
 /** Post-hoc resolution rule: resolved DML plans over lake-catalog
@@ -148,10 +168,15 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           }
           name -> byName(a.value, "an UPDATE assignment")
         }
-        val cond = condition.map(byName(_, "an UPDATE condition"))
-          .getOrElse(lit(true))
-        GraftUpdateCommand(path, cond, assigns,
-          condition.flatMap(keyedShape))
+        condition.flatMap(inSubqueryShape) match {
+          case some @ Some(_) =>
+            GraftUpdateCommand(path, lit(true), assigns, None, some)
+          case None =>
+            val cond = condition.map(byName(_, "an UPDATE condition"))
+              .getOrElse(lit(true))
+            GraftUpdateCommand(path, cond, assigns,
+              condition.flatMap(keyedShape))
+        }
 
       case m: MergeIntoTable
           if m.resolved && lakeTarget(m.targetTable).isDefined =>
@@ -171,10 +196,14 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             true
           case _ => false
         }
-        GraftDeleteCommand(path,
-          if (unconditional) None
-          else Some(byName(condition, "a DELETE condition")),
-          if (unconditional) None else keyedShape(condition))
+        inSubqueryShape(condition) match {
+          case some @ Some(_) => GraftDeleteCommand(path, None, None, some)
+          case None =>
+            GraftDeleteCommand(path,
+              if (unconditional) None
+              else Some(byName(condition, "a DELETE condition")),
+              if (unconditional) None else keyedShape(condition))
+        }
     }
 
   /** The MERGE shapes this surface accepts, all joined `ON` name-equal
@@ -332,13 +361,39 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
+/** Materialization of a bare uncorrelated `key IN (SELECT …)` DML
+  * condition: the subquery runs eagerly, its distinct non-null values
+  * become a literal key list (capped — a list past the cap is a scan,
+  * not a list), and the verb rides the bloom key index. */
+private[sources] object SubqueryKeys {
+  def materialize(spark: SparkSession, plan: LogicalPlan,
+                  what: String): Seq[Any] = {
+    val cap = spark.conf
+      .get("spark.graft.dml.subqueryKeyCap", "1000000").toInt
+    val rows = DatasetBridge.ofRows(spark, plan)
+      .distinct().limit(cap + 1).collect()
+    if (rows.length > cap)
+      throw new UnsupportedOperationException(
+        s"$what IN (subquery) materialized more than $cap distinct " +
+          "keys — a selection that wide is a scan, not a key list: " +
+          "run the dense shape as two statements (CREATE a temp/lake " +
+          "table from the subquery, then a join-shaped engine op) or " +
+          "raise spark.graft.dml.subqueryKeyCap")
+    rows.iterator.map(_.get(0)).filter(_ != null).toSeq
+  }
+}
+
 /** The eager command a lake UPDATE plans to: runs
   * [[History.updateWhere]] and returns its (files, rows) receipt as
   * the statement's result row. */
 case class GraftUpdateCommand(path: String, condition: Column,
     assignments: Seq[(String, Column)],
-    keyed: Option[(String, Seq[Any])] = None)
+    keyed: Option[(String, Seq[Any])] = None,
+    subqueryKeys: Option[(String, LogicalPlan)] = None)
   extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] =
+    subqueryKeys.map(_._2).toSeq
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("files_rewritten", IntegerType, nullable = false)(),
@@ -346,11 +401,17 @@ case class GraftUpdateCommand(path: String, condition: Column,
 
   override def run(spark: SparkSession): Seq[Row] = {
     // a bare key-list condition rides the bloom key index
-    // (index-independent correctness — see History.updateKeys)
-    val (files, rows) = keyed match {
-      case Some((k, vs)) => History.updateKeys(spark, path, k, vs,
+    // (index-independent correctness — see History.updateKeys);
+    // an uncorrelated IN-subquery materializes to the same route
+    val (files, rows) = (keyed, subqueryKeys) match {
+      case (Some((k, vs)), _) => History.updateKeys(spark, path, k, vs,
         assignments)
-      case None => History.updateWhere(spark, path, condition, assignments)
+      case (None, Some((k, plan))) =>
+        val vs = SubqueryKeys.materialize(spark, plan, s"UPDATE … $k")
+        if (vs.isEmpty) (0, 0L)
+        else History.updateKeys(spark, path, k, vs, assignments)
+      case (None, None) =>
+        History.updateWhere(spark, path, condition, assignments)
     }
     Seq(Row(files, rows))
   }
@@ -363,8 +424,12 @@ case class GraftUpdateCommand(path: String, condition: Column,
   * copy-on-write ([[History.deleteWhere]]). NULL predicate keeps the
   * row, SQL DELETE semantics, enforced inside the operators. */
 case class GraftDeleteCommand(path: String, condition: Option[Column],
-    keyed: Option[(String, Seq[Any])] = None)
+    keyed: Option[(String, Seq[Any])] = None,
+    subqueryKeys: Option[(String, LogicalPlan)] = None)
   extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] =
+    subqueryKeys.map(_._2).toSeq
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("files_touched", IntegerType, nullable = false)(),
@@ -372,7 +437,8 @@ case class GraftDeleteCommand(path: String, condition: Option[Column],
 
   override def run(spark: SparkSession): Seq[Row] = {
     // a bare key-list condition (the canonical takedown list) rides
-    // the bloom key index — see History.deleteKeysDV. A DENSE delete
+    // the bloom key index — see History.deleteKeysDV; an uncorrelated
+    // IN-subquery materializes to the same route. A DENSE delete
     // (> the DV position cap) falls back to the copy-on-write path —
     // SQL consumers have no engine-API escape hatch, so the verb must
     // run both shapes; the predicate is deterministic (enforced at
@@ -383,13 +449,17 @@ case class GraftDeleteCommand(path: String, condition: Option[Column],
     // engine operators' maxPositions parameter
     val cap = spark.conf
       .get("spark.graft.dml.dvMaxPositions", "10000000").toLong
-    val (files, rows) = (condition, keyed) match {
-      case (None, _) => History.deleteWhere(spark, path, lit(true))
-      case (_, Some((k, vs))) =>
-        try History.deleteKeysDV(spark, path, k, vs, cap)
-        catch { case _: DvCapExceededException =>
-          History.deleteKeys(spark, path, k, vs) }
-      case (Some(pred), None) =>
+    def keysDelete(k: String, vs: Seq[Any]): (Int, Long) =
+      try History.deleteKeysDV(spark, path, k, vs, cap)
+      catch { case _: DvCapExceededException =>
+        History.deleteKeys(spark, path, k, vs) }
+    val (files, rows) = (condition, keyed, subqueryKeys) match {
+      case (None, _, Some((k, plan))) =>
+        val vs = SubqueryKeys.materialize(spark, plan, s"DELETE … $k")
+        if (vs.isEmpty) (0, 0L) else keysDelete(k, vs)
+      case (None, _, None) => History.deleteWhere(spark, path, lit(true))
+      case (_, Some((k, vs)), _) => keysDelete(k, vs)
+      case (Some(pred), None, _) =>
         try History.deleteWhereDV(spark, path, pred, cap)
         catch { case _: DvCapExceededException =>
           History.deleteWhere(spark, path, pred) }

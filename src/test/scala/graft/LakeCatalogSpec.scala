@@ -627,13 +627,54 @@ class LakeCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === 15L)
   }
 
-  test("an UPDATE carrying a subquery refuses loudly, lake untouched") {
+  test("a bare uncorrelated IN-subquery DML materializes to a key list") {
     val dir = lake()
+    val fs = fsOf(dir)
+    // DELETE … WHERE key IN (SELECT …): the subquery runs eagerly, its
+    // values ride the keyed DV route (no data file rewritten)
+    val filesBefore = FileManifest.latest(fs, dir).get.cur.toSet
+    spark.sql(s"""DELETE FROM lake.`$dir`
+                  WHERE doc_id IN (SELECT doc_id FROM lake.`$dir`
+                                   WHERE n_chars >= 40)""")
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) === Seq(1L, 2L, 3L))
+    assert(FileManifest.latest(fs, dir).get.cur.toSet === filesBefore,
+      "keyed IN-subquery delete lands as deletion vectors")
+    // UPDATE rides the same materialized-key route
+    spark.sql(s"""UPDATE lake.`$dir` SET n_chars = n_chars + 500
+                  WHERE doc_id IN (SELECT doc_id FROM lake.`$dir`
+                                   WHERE lang = 'en')""")
+    assert(spark.sql(s"SELECT sum(n_chars) AS s FROM lake.`$dir`")
+      .collect()(0).getLong(0) === (10L + 500 + 20 + 500 + 30))
+    // a subquery wider than the key cap refuses, lake untouched
+    spark.conf.set("spark.graft.dml.subqueryKeyCap", "1")
+    try {
+      val e = intercept[UnsupportedOperationException] {
+        spark.sql(s"""DELETE FROM lake.`$dir`
+                      WHERE doc_id IN (SELECT doc_id FROM lake.`$dir`)""")
+      }
+      assert(e.getMessage.contains("key list"), e.getMessage)
+      assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) ===
+        Seq(1L, 2L, 3L))
+    } finally spark.conf.unset("spark.graft.dml.subqueryKeyCap")
+  }
+
+  test("correlated and nested subquery DML still refuses loudly") {
+    val dir = lake()
+    // correlated EXISTS: not a materializable key list
     val e = intercept[UnsupportedOperationException] {
       spark.sql(s"""UPDATE lake.`$dir` SET n_chars = 0
-                    WHERE doc_id IN (SELECT doc_id FROM lake.`$dir`)""")
+                    WHERE EXISTS (SELECT 1 FROM lake.`$dir` o
+                                  WHERE o.doc_id = doc_id + 1)""")
     }
-    assert(e.getMessage.contains("subquery"))
+    assert(e.getMessage.contains("subquery"), e.getMessage)
+    // a scalar subquery in an ASSIGNMENT value cannot replay inside
+    // the rewrite either
+    val e2 = intercept[UnsupportedOperationException] {
+      spark.sql(s"""UPDATE lake.`$dir`
+                    SET n_chars = (SELECT max(n_chars) FROM lake.`$dir`)
+                    WHERE doc_id = 1""")
+    }
+    assert(e2.getMessage.contains("subquery"), e2.getMessage)
     assert(spark.sql(s"SELECT sum(n_chars) AS s FROM lake.`$dir`")
       .collect()(0).getLong(0) === 150L)
   }
@@ -881,13 +922,16 @@ class LakeCatalogSpec extends AnyFunSuite {
       Seq(1L, 3L, 5L))
     assert(FileManifest.latest(fs, dir).get.cur.toSet === filesBefore,
       "merge-on-read: zero data files rewritten")
-    // non-determinism and subqueries still refuse loudly
+    // non-determinism and non-materializable subqueries (a bare
+    // uncorrelated IN is now materialized — see the IN-subquery test)
+    // still refuse loudly
     intercept[UnsupportedOperationException] {
       spark.sql(s"DELETE FROM lake.`$dir` WHERE rand() < 0.5")
     }
     intercept[UnsupportedOperationException] {
       spark.sql(s"""DELETE FROM lake.`$dir`
-                    WHERE doc_id IN (SELECT doc_id FROM lake.`$dir`)""")
+                    WHERE n_chars > (SELECT avg(n_chars)
+                                     FROM lake.`$dir`)""")
     }
     assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) ===
       Seq(1L, 3L, 5L))
