@@ -1084,6 +1084,23 @@ object HistoryQueries {
       val dir = sqlInSubqueryLake(s, d)
       s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
                 WHERE doc_id >= 0""")
+    }),
+
+    // Metadata-only extrema BEYOND BIGINT: DATE and STRING MIN/MAX
+    // answer from per-file footer stats (DATE as its physical
+    // days-since-epoch INT32; STRING under UTF-8-byte order — the one
+    // ordering parquet's comparator, Spark's UTF8String, and DuckDB's
+    // binary collation all share), the whole SELECT planning a
+    // LocalTableScan with zero file reads (plan spec-locked in
+    // LakeCatalogSpec; this gate pins the VALUES). A sidecar entry
+    // consulted for the wrong column, a narrowed date, or a
+    // string-order divergence shifts an extremum and fails the hash.
+    "h45_sql_meta_extrema" -> ((s, d) => {
+      val dir = sqlMetaExtremaLake(s, d)
+      s.sql(s"""SELECT MIN(dt) AS mn_dt, MAX(dt) AS mx_dt,
+                       MIN(source) AS mn_src, MAX(source) AS mx_src,
+                       COUNT(*) AS n_rows
+                FROM lake.`$dir`""")
     })
   )
 
@@ -1421,6 +1438,33 @@ object HistoryQueries {
         dir
       })
 
+  /** h45's lake: documents with a derived DATE column, stats
+    * refreshed for the date and string columns plus row counts — the
+    * typed metadata-extrema serve state. */
+  private val sqlMetaExtremaLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlMetaExtremaLake(s: SparkSession, sfDir: String): String =
+    sqlMetaExtremaLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir),
+      _ => {
+        Memos.install(s)
+        s.conf.set("spark.sql.catalog.lake",
+          classOf[graft.sources.LakeCatalog].getName)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-sql-extrema").toString + "/lake"
+        graft.Tables.documents(s, sfDir)
+          .select(col("doc_id"), col("source"),
+            date_add(lit("2020-01-01").cast("date"),
+              (col("doc_id") % 365).cast("int")).as("dt"))
+          .repartition(4)
+          .write.parquet(dir)
+        graft.sources.History.enableManifests(s, dir): Unit
+        graft.sources.History.refreshStats(s, dir, "dt"): Unit
+        graft.sources.History.refreshStats(s, dir, "source"): Unit
+        graft.sources.History.refreshRowCounts(s, dir): Unit
+        dir
+      })
+
   private val rollupCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
@@ -1665,6 +1709,12 @@ object HistoryQueries {
                      ELSE source END AS source,
                 n_chars
          FROM documents WHERE n_chars >= 120""",
+    "h45_sql_meta_extrema" ->
+      """SELECT MIN(DATE '2020-01-01' + CAST(doc_id % 365 AS INT)) AS mn_dt,
+                MAX(DATE '2020-01-01' + CAST(doc_id % 365 AS INT)) AS mx_dt,
+                MIN(source) AS mn_src, MAX(source) AS mx_src,
+                COUNT(*) AS n_rows
+         FROM documents""",
     "h42_sql_merge_cdc" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE doc_id % 7 != 0 AND doc_id % 7 != 3

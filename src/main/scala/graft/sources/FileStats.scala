@@ -40,6 +40,22 @@ import scala.jdk.CollectionConverters._
   */
 object FileStats {
 
+  /** A (file, column) stats entry: INT64/INT32/DATE columns fold to a
+    * long range (DATE as days-since-epoch — the physical INT32 value);
+    * STRING columns to a string range under UTF-8-byte unsigned
+    * ordering (parquet's binary comparator, which is also exactly
+    * [[org.apache.spark.unsafe.types.UTF8String]]'s ordering — the
+    * one ordering both the writer and every reader agree on). */
+  sealed trait StatRange
+  final case class LongRange(mn: Long, mx: Long) extends StatRange
+  final case class StrRange(mn: String, mx: String) extends StatRange
+
+  /** UTF-8-byte unsigned comparison — parquet's and Spark's shared
+    * string ordering (Java String.compareTo differs above the BMP). */
+  private[sources] def utf8Lt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+
   def statsPath(lakePath: String): String =
     s"${FileManifest.manifestDir(lakePath)}/stats.tsv"
 
@@ -62,7 +78,7 @@ object FileStats {
   private val cacheCap = 64
   private val cacheMaxLines = 2000000L
   private val parsedCache = new java.util.LinkedHashMap[
-    (String, Long, Long), Map[(String, String), Option[(Long, Long)]]](
+    (String, Long, Long), Map[(String, String), Option[StatRange]]](
     16, 0.75f, true)
   private var cachedLines = 0L
   /** Physical sidecar reads — spec-assertable: a repeated stats-pruned
@@ -70,15 +86,25 @@ object FileStats {
   private[graft] val statsFileReads =
     new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Load the sidecar: (rel path, column) → Some(min, max), or None for
+  /** Load the sidecar: (rel path, column) → Some(range), or None for
     * the known-unstattable sentinel. Empty when absent. Cached per
     * (path, mtime, length); one metadata RTT per call thereafter. */
   def read(fs: FileSystem, lakePath: String)
-      : Map[(String, String), Option[(Long, Long)]] = {
+      : Map[(String, String), Option[StatRange]] = {
     val p = new Path(statsPath(lakePath))
     val st = try Some(fs.getFileStatus(p)) catch {
       case _: java.io.FileNotFoundException => None
     }
+    // string bounds ride base64 of the UTF-8 bytes (`s:` tag) — the
+    // one encoding that keeps a tab/newline-bearing bound on one TSV
+    // line and round-trips exactly; numeric lines stay bare longs, so
+    // pre-string sidecars parse unchanged
+    def bound(v: String): Option[Either[Long, String]] =
+      if (v.startsWith("s:"))
+        scala.util.Try(Right(new String(
+          java.util.Base64.getDecoder.decode(v.drop(2)),
+          java.nio.charset.StandardCharsets.UTF_8))).toOption
+      else scala.util.Try(Left(v.toLong)).toOption
     st match {
       case None => Map.empty
       case Some(s) =>
@@ -92,8 +118,13 @@ object FileStats {
             l.split('\t') match {
               case Array(rel, c, "-", "-") => Some((rel, c) -> None)
               case Array(rel, c, mn, mx) =>
-                scala.util.Try(
-                  (rel, c) -> Some((mn.toLong, mx.toLong))).toOption
+                (bound(mn), bound(mx)) match {
+                  case (Some(Left(a)), Some(Left(b))) =>
+                    Some((rel, c) -> Some(LongRange(a, b)))
+                  case (Some(Right(a)), Some(Right(b))) =>
+                    Some((rel, c) -> Some(StrRange(a, b)))
+                  case _ => None // mixed/unparsable: plan the file
+                }
               case _ => None // unparsable: plan the file, don't fail reads
             }
           }.toMap
@@ -114,17 +145,22 @@ object FileStats {
   }
 
   private def publish(fs: FileSystem, lakePath: String,
-      stats: Map[(String, String), Option[(Long, Long)]]): Unit = {
+      stats: Map[(String, String), Option[StatRange]]): Unit = {
     val dest = new Path(statsPath(lakePath))
     val tmp = new Path(dest.getParent, dest.getName + ".tmp")
     fs.mkdirs(dest.getParent): Unit
     val out = fs.create(tmp, true)
+    def b64(s: String): String = "s:" + java.util.Base64.getEncoder
+      .encodeToString(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     try {
       val sb = new StringBuilder
       stats.toSeq.sortBy(_._1).foreach { case ((rel, c), v) =>
         sb.append(rel).append('\t').append(c).append('\t')
         v match {
-          case Some((mn, mx)) => sb.append(mn).append('\t').append(mx)
+          case Some(LongRange(mn, mx)) =>
+            sb.append(mn).append('\t').append(mx)
+          case Some(StrRange(mn, mx)) =>
+            sb.append(b64(mn)).append('\t').append(b64(mx))
           case None => sb.append("-\t-")
         }
         sb.append('\n')
@@ -147,18 +183,22 @@ object FileStats {
     }
   }
 
-  /** Footer min/max of a top-level INT64 column, or None when the file
-    * has no such column, no stats, or an unreadable footer (never
-    * throws — a file we can't stat just stays unpruned). Multi-rowgroup
-    * files fold across blocks. */
+  /** Footer min/max of a top-level INT64/INT32/DATE/STRING column, or
+    * None when the file has no such column, no stats, or an unreadable
+    * footer (never throws — a file we can't stat just stays unpruned).
+    * Multi-rowgroup files fold across blocks; integral stats widen to
+    * a [[LongRange]] (DATE as its physical days-since-epoch INT32),
+    * string stats fold under UTF-8-byte unsigned order into a
+    * [[StrRange]]. Non-string BINARY (raw bytes, decimals) stays
+    * unstatted — no reader ordering to answer MIN/MAX under. */
   def minMaxFromFooter(conf: Configuration, file: Path,
-                       colName: String): Option[(Long, Long)] =
+                       colName: String): Option[StatRange] =
     try {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
       try {
         val blocks = reader.getFooter.getBlocks.asScala
-        val ranges = blocks.flatMap { b =>
+        val ranges: Seq[StatRange] = blocks.toSeq.flatMap { b =>
           b.getColumns.asScala
             .find(_.getPath.toDotString == colName)
             .flatMap { c =>
@@ -166,15 +206,31 @@ object FileStats {
               if (st == null || st.isEmpty || !st.hasNonNullValue) None
               else (st.genericGetMin, st.genericGetMax) match {
                 case (mn: java.lang.Long, mx: java.lang.Long) =>
-                  Some((mn.longValue(), mx.longValue()))
+                  Some(LongRange(mn.longValue(), mx.longValue()))
+                case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                  Some(LongRange(mn.longValue(), mx.longValue()))
+                case (mn: org.apache.parquet.io.api.Binary,
+                      mx: org.apache.parquet.io.api.Binary)
+                    if c.getPrimitiveType.getLogicalTypeAnnotation
+                      .isInstanceOf[org.apache.parquet.schema
+                        .LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                  Some(StrRange(mn.toStringUsingUTF8, mx.toStringUsingUTF8))
                 case _ => None
               }
             }
         }
-        // every row group must report stats, or rows outside the folded
-        // range could exist in an unstatted block
+        // every row group must report stats (of one shape), or rows
+        // outside the folded range could exist in an unstatted block
         if (ranges.isEmpty || ranges.size != blocks.size) None
-        else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+        else if (ranges.forall(_.isInstanceOf[LongRange])) {
+          val ls = ranges.collect { case r: LongRange => r }
+          Some(LongRange(ls.map(_.mn).min, ls.map(_.mx).max))
+        } else if (ranges.forall(_.isInstanceOf[StrRange])) {
+          val ss = ranges.collect { case r: StrRange => r }
+          Some(StrRange(
+            ss.map(_.mn).reduce((a, b) => if (utf8Lt(a, b)) a else b),
+            ss.map(_.mx).reduce((a, b) => if (utf8Lt(a, b)) b else a)))
+        } else None
       } finally reader.close()
     } catch { case _: Throwable => None }
 
@@ -215,13 +271,14 @@ object FileStats {
     // on the same bounded pool as commit renames (matters on object
     // stores where each footer is a round-trip)
     val freshMap = new java.util.concurrent.ConcurrentHashMap[
-      String, Option[(Long, Long)]]()
+      String, Option[StatRange]]()
     LakeCommit.foreachPar(missing) { rel =>
       // record unstattable files as a sentinel so they're footer-read
       // ONCE, not on every refresh (keeps the steady state O(new files))
       freshMap.put(rel,
         if (colName == RowsCol)
-          rowCountFromFooter(conf, new Path(qRoot, rel)).map(n => (n, n))
+          rowCountFromFooter(conf, new Path(qRoot, rel))
+            .map(n => LongRange(n, n))
         else minMaxFromFooter(conf, new Path(qRoot, rel), colName)): Unit
     }
     val fresh = missing.flatMap(rel =>

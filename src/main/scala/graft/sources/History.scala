@@ -908,9 +908,11 @@ object History {
       rels: Seq[String]): Option[Long] = {
     val stats = FileStats.read(fs, path)
     val perFile = rels.map(rel =>
-      stats.get((rel, FileStats.RowsCol)).flatten)
+      stats.get((rel, FileStats.RowsCol)).flatten.collect {
+        case FileStats.LongRange(n, _) => n
+      })
     if (perFile.exists(_.isEmpty)) return None
-    val rows = perFile.map(_.get._1).sum
+    val rows = perFile.map(_.get).sum
     val relSet = rels.toSet
     val dvDeleted = m.dvs.iterator
       .filter { case (rel, _) => relSet(rel) }
@@ -936,7 +938,9 @@ object History {
     import spark.implicits._
     m.cur.sorted.map { rel =>
       (rel, m.dvs.get(rel),
-        stats.get((rel, FileStats.RowsCol)).flatten.map(_._1))
+        stats.get((rel, FileStats.RowsCol)).flatten.collect {
+          case FileStats.LongRange(n, _) => n
+        })
     }.toDF("file", "dv_file", "n_rows")
   }
 
@@ -976,13 +980,46 @@ object History {
   private[sources] def fastMinMaxFiles(fs: org.apache.hadoop.fs.FileSystem,
       path: String, m: FileManifest.Manifest, rels: Seq[String],
       column: String): Option[(Long, Long)] = {
+    val perFile = statRanges(fs, path, m, rels, column).map(_.map {
+      case FileStats.LongRange(mn, mx) => Some((mn, mx))
+      case _ => None
+    })
+    perFile.filter(_.forall(_.isDefined)).map(_.flatten)
+      .filter(_.nonEmpty)
+      .map(rs => (rs.map(_._1).min, rs.map(_._2).max))
+  }
+
+  /** [[fastMinMaxFiles]] for a STRING-statted column: extrema fold
+    * under UTF-8-byte unsigned order — parquet's binary comparator and
+    * Spark's `UTF8String` ordering, which agree on every string. */
+  private[sources] def fastMinMaxStrFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String, m: FileManifest.Manifest, rels: Seq[String],
+      column: String): Option[(String, String)] = {
+    val perFile = statRanges(fs, path, m, rels, column).map(_.map {
+      case FileStats.StrRange(mn, mx) => Some((mn, mx))
+      case _ => None
+    })
+    perFile.filter(_.forall(_.isDefined)).map(_.flatten)
+      .filter(_.nonEmpty)
+      .map(rs => (
+        rs.map(_._1).reduce((a, b) => if (FileStats.utf8Lt(a, b)) a else b),
+        rs.map(_._2).reduce((a, b) => if (FileStats.utf8Lt(a, b)) b else a)))
+  }
+
+  /** The subset's fresh stat ranges, or None when any file lacks one
+    * or a live DV sits on the subset (a vector may have deleted the
+    * extreme row — unlike COUNT, extrema cannot be netted from
+    * cardinalities). */
+  private def statRanges(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, m: FileManifest.Manifest, rels: Seq[String],
+      column: String): Option[Seq[FileStats.StatRange]] = {
     if (rels.isEmpty) return None
     val relSet = rels.toSet
     if (m.dvs.exists { case (rel, _) => relSet(rel) }) return None
     val stats = FileStats.read(fs, path)
     val perFile = rels.map(rel => stats.get((rel, column)).flatten)
-    if (perFile.exists(_.isEmpty)) return None
-    Some((perFile.map(_.get._1).min, perFile.map(_.get._2).max))
+    if (perFile.exists(_.isEmpty)) None else Some(perFile.map(_.get))
   }
 
   /** DESCRIBE HISTORY for a manifest lake: one row per RETAINED
@@ -1099,7 +1136,8 @@ object History {
     val kept = m.cur.filter(rel =>
       bounds.forall { case (c, lo, hi) =>
         stats.get((rel, c)) match {
-          case Some(Some((mn, mx))) => mx >= lo && mn <= hi
+          case Some(Some(FileStats.LongRange(mn, mx))) =>
+            mx >= lo && mn <= hi
           case _ => true // no entry / unstattable sentinel: always plan
         }
       })

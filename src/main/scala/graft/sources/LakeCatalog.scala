@@ -157,17 +157,39 @@ class LakeCatalog extends TableCatalog
     val curSet = m.curSet
     val liveDvs = m.dvs.filter { case (rel, _) => curSet(rel) }
     // whole-aggregate metadata answers: COUNT(*) from the row-count
-    // sidecar (DV cardinalities netted), MIN/MAX of BIGINT columns
-    // from footer extrema (refused under live DVs on the selected
-    // subset — a vector may have deleted the extreme row). Pushed
-    // filters select a FILE SUBSET when they are partition-decidable
-    // from the `k=v` dirs ([[PartitionPredicate]]) — the
-    // `count(*) WHERE dt = …` dashboard query at metadata cost; any
-    // undecidable filter refuses the whole answer. Resolved lazily
+    // sidecar (DV cardinalities netted), MIN/MAX of BIGINT / INT /
+    // DATE / STRING columns from footer extrema (refused under live
+    // DVs on the selected subset — a vector may have deleted the
+    // extreme row). Pushed filters select a FILE SUBSET when they are
+    // partition-decidable from the `k=v` dirs ([[PartitionPredicate]])
+    // — the `count(*) WHERE dt = …` dashboard query at metadata cost;
+    // any undecidable filter refuses the whole answer. Resolved lazily
     // per pushed aggregate; manifest and sidecars are cached.
-    val longCols = schema.fields
-      .filter(_.dataType == org.apache.spark.sql.types.LongType)
-      .map(_.name).toSet
+    val colTypes = schema.fields
+      .map(f => f.name -> f.dataType).toMap
+    val typedMinMax: (Seq[String], String) => Option[
+        (org.apache.spark.sql.types.DataType, Any, Any)] = (sel, c) =>
+      colTypes.get(c).flatMap {
+        case dt @ org.apache.spark.sql.types.LongType =>
+          History.fastMinMaxFiles(fs, path, m, sel, c)
+            .map { case (mn, mx) => (dt, mn, mx) }
+        case dt @ org.apache.spark.sql.types.IntegerType =>
+          // INT32 footer stats widen to long in the sidecar; the
+          // catalyst value narrows back (always fits by construction)
+          History.fastMinMaxFiles(fs, path, m, sel, c)
+            .map { case (mn, mx) => (dt, mn.toInt, mx.toInt) }
+        case dt @ org.apache.spark.sql.types.DateType =>
+          // DATE is physically INT32 days-since-epoch — the sidecar
+          // long IS the catalyst date value
+          History.fastMinMaxFiles(fs, path, m, sel, c)
+            .map { case (mn, mx) => (dt, mn.toInt, mx.toInt) }
+        case dt @ org.apache.spark.sql.types.StringType =>
+          History.fastMinMaxStrFiles(fs, path, m, sel, c)
+            .map { case (mn, mx) => (dt,
+              org.apache.spark.unsafe.types.UTF8String.fromString(mn),
+              org.apache.spark.unsafe.types.UTF8String.fromString(mx)) }
+        case _ => None
+      }
     val aggResolver: (org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation, Seq[org.apache.spark.sql.sources.Filter])
         => Option[MetaAggScan] = (agg, filters) =>
@@ -175,9 +197,7 @@ class LakeCatalog extends TableCatalog
         schema, sel => MetaAggScan.resolveFuncs(agg,
           count = if (sel.length == m.cur.length) fastCnt
             else History.fastCountFiles(fs, path, m, sel),
-          minMax = c => if (longCols.contains(c))
-            History.fastMinMaxFiles(fs, path, m, sel, c)
-          else None))
+          minMax = c => typedMinMax(sel, c)))
     if (liveDvs.nonEmpty)
       // merge-on-read: the stock parquet table cannot apply deletion
       // vectors (it would resurrect deleted rows), so DV-bearing

@@ -184,8 +184,54 @@ object LakeProcedures {
         ("version", LongType, "retained version to export")),
       Seq(("dest_version", LongType)),
       (s, in) => Seq(History.exportSnapshot(s, str(in, 0), str(in, 1),
-        Some(in.getLong(2)))))
+        Some(in.getLong(2))))),
+    Proc("tick_feed",
+      "deliver the change feed's (high-water, latest] diff to out_dir",
+      Seq(("path", StringType, "lake root"),
+        ("out_dir", StringType, "change-feed delivery directory")),
+      // (-1, -1) = nothing to deliver (the lake has no new version);
+      // a delivered (or replay-converged) range reports its endpoints
+      Seq(("from_version", LongType), ("to_version", LongType)),
+      (s, in) => {
+        val range = graft.stream.LakeChangeFeed.tick(
+          s, str(in, 0), str(in, 1))
+        Seq[Any](range.map(_._1).getOrElse(-1L),
+          range.map(_._2).getOrElse(-1L))
+      }),
+    Proc("expire_feed",
+      "prune delivered change-feed ranges beyond the retention tail",
+      Seq(("out_dir", StringType, "change-feed delivery directory"),
+        ("keep_ranges", IntegerType, "delivered ranges to retain")),
+      Seq(("ranges_removed", IntegerType)),
+      (s, in) => Seq(graft.stream.LakeChangeFeed.expire(
+        s, str(in, 0), in.getInt(1)))),
+    Proc("bootstrap_rollup",
+      "bootstrap a maintained keyed-sum rollup (one full pinned scan)",
+      Seq(("path", StringType, "lake root"),
+        ("rollup_dir", StringType, "rollup state directory"),
+        ("key_cols", StringType, "comma-separated grouping columns"),
+        ("sum_cols", StringType, "comma-separated summed columns")),
+      Seq(("at_version", LongType)),
+      (s, in) => Seq(IncrementalRollup.bootstrap(s, str(in, 0),
+        str(in, 1), csv(str(in, 2)), csv(str(in, 3))))),
+    Proc("tick_rollup",
+      "advance a rollup to the lake's latest version via the change feed",
+      Seq(("path", StringType, "lake root"),
+        ("rollup_dir", StringType, "rollup state directory"),
+        ("key_cols", StringType, "comma-separated grouping columns"),
+        ("sum_cols", StringType, "comma-separated summed columns")),
+      // (-1, -1) = already current
+      Seq(("from_version", LongType), ("to_version", LongType)),
+      (s, in) => {
+        val range = IncrementalRollup.tick(s, str(in, 0), str(in, 1),
+          csv(str(in, 2)), csv(str(in, 3)))
+        Seq[Any](range.map(_._1).getOrElse(-1L),
+          range.map(_._2).getOrElse(-1L))
+      })
   ).map(p => p.name -> p).toMap
+
+  private def csv(s: String): Seq[String] =
+    s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
   /** Resolve an identifier (`vacuum` or `system.vacuum`). */
   def load(ident: Identifier): Option[UnboundProcedure] = {

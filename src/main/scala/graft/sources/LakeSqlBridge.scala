@@ -175,12 +175,15 @@ object MetaAggScan {
 
   /** Resolve an UNGROUPED pushed Aggregation from metadata, or None.
     * `count` answers COUNT(*); `minMax` answers MIN/MAX for a named
-    * top-level column, or None when the column is unstatted / not
-    * BIGINT / the selection carries live deletion vectors (a vector
-    * may have deleted the extreme row — unlike COUNT, extrema cannot
-    * be netted from cardinalities). */
+    * top-level column as (column type, min, max) in CATALYST-internal
+    * values (Long / Int days-for-DATE / UTF8String), or None when the
+    * column is unstatted / of an unstattable type / the selection
+    * carries live deletion vectors (a vector may have deleted the
+    * extreme row — unlike COUNT, extrema cannot be netted from
+    * cardinalities). */
   def resolve(agg: Aggregation, count: => Option[Long],
-              minMax: String => Option[(Long, Long)]): Option[MetaAggScan] = {
+              minMax: String => Option[(org.apache.spark.sql.types.DataType,
+                Any, Any)]): Option[MetaAggScan] = {
     if (agg.groupByExpressions().nonEmpty) return None
     resolveFuncs(agg, count, minMax).map { case (fields, values) =>
       new MetaAggScan(StructType(fields), Array(values.toArray))
@@ -190,7 +193,8 @@ object MetaAggScan {
   /** The per-function half: ALL functions must answer (a half-answered
     * aggregate cannot be stitched onto a scan). */
   def resolveFuncs(agg: Aggregation, count: => Option[Long],
-                   minMax: String => Option[(Long, Long)])
+                   minMax: String => Option[
+                     (org.apache.spark.sql.types.DataType, Any, Any)])
       : Option[(Seq[StructField], Seq[Any])] = {
     val funcs = agg.aggregateExpressions()
     if (funcs.isEmpty) return None
@@ -200,13 +204,11 @@ object MetaAggScan {
           count.map(n =>
             (StructField(s"count_$i", LongType, nullable = false), n: Any))
         case (m: aggregate.Min, i) =>
-          colName(m.column()).flatMap(minMax).map(v =>
-            (StructField(s"min_$i", LongType, nullable = false),
-              v._1: Any))
+          colName(m.column()).flatMap(minMax).map { case (dt, mn, _) =>
+            (StructField(s"min_$i", dt, nullable = false), mn) }
         case (m: aggregate.Max, i) =>
-          colName(m.column()).flatMap(minMax).map(v =>
-            (StructField(s"max_$i", LongType, nullable = false),
-              v._2: Any))
+          colName(m.column()).flatMap(minMax).map { case (dt, _, mx) =>
+            (StructField(s"max_$i", dt, nullable = false), mx) }
         case _ => None // SUM/AVG/COUNT(col): no metadata answer
       }
     if (resolved.exists(_.isEmpty)) None

@@ -524,7 +524,9 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(v1 === Seq(1L, 5L, 5L))
     assert(p1.contains("LocalTableScan") && !p1.contains("Parquet"),
       p1.take(800))
-    // a non-bigint column in the mix disqualifies the whole push
+    // an UNSTATTED column in the mix disqualifies the whole push
+    // (lang is a PARTITION column here — absent from the data files,
+    // so a stats refresh cannot stat it and the scan stays honest)
     val (v2, p2) = run(s"SELECT MIN(lang) AS ml FROM lake.`$dir`")
     assert(v2 === Seq("de") && !p2.contains("LocalTableScan"))
     // a live DV may have deleted the extreme row: MIN/MAX must fall
@@ -544,6 +546,41 @@ class LakeCatalogSpec extends AnyFunSuite {
     val (v4, p4) = run(q)
     assert(v4 === Seq(1L, 4L, 4L))
     assert(p4.contains("LocalTableScan"), p4.take(800))
+  }
+
+  test("DATE, INT, and STRING extrema answer from footer stats, " +
+      "type-exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sqlcat-dt").toString + "/lake"
+    Seq((1, java.sql.Date.valueOf("2026-01-03"), "beta"),
+        (2, java.sql.Date.valueOf("2026-02-14"), "alpha"),
+        (3, java.sql.Date.valueOf("2025-12-31"), "gamma"))
+      .toDF("rank", "dt", "tag")
+      .repartition(2).write.parquet(dir)
+    History.enableManifests(spark, dir): Unit
+    History.refreshStats(spark, dir, "dt"): Unit
+    History.refreshStats(spark, dir, "rank"): Unit
+    History.refreshStats(spark, dir, "tag"): Unit
+    val df = spark.sql(s"""SELECT MIN(dt) AS mn_dt, MAX(dt) AS mx_dt,
+                                  MIN(rank) AS mn_r, MAX(rank) AS mx_r,
+                                  MIN(tag) AS mn_t, MAX(tag) AS mx_t
+                           FROM lake.`$dir`""")
+    val r = df.collect().head
+    assert(r.getDate(0) === java.sql.Date.valueOf("2025-12-31"))
+    assert(r.getDate(1) === java.sql.Date.valueOf("2026-02-14"))
+    assert((r.getInt(2), r.getInt(3)) === (1, 3))
+    assert((r.getString(4), r.getString(5)) === ("alpha", "gamma"))
+    assert(df.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      df.queryExecution.executedPlan.toString.take(800))
+    // the string sidecar round-trips exactly through its encoding —
+    // the SAME extrema answer after the parsed-cache is bypassed by a
+    // second refresh cycle (publish rewrites the sidecar whole)
+    History.refreshStats(spark, dir, "rank"): Unit
+    val again = spark.sql(
+      s"SELECT MIN(tag) AS mn_t, MAX(tag) AS mx_t FROM lake.`$dir`")
+    assert(again.collect().head.toSeq === Seq("alpha", "gamma"))
   }
 
   test("SQL DELETE lands as deletion vectors on both table routes") {

@@ -162,4 +162,60 @@ class LakeProceduresSpec extends AnyFunSuite {
       .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
     assert(chain.contains("partition columns"), chain)
   }
+
+  test("change-feed delivery and expiry via CALL") {
+    import spark.implicits._
+    val dir = lake()
+    val feed = java.nio.file.Files
+      .createTempDirectory("graft-callfeed").toString + "/feed"
+    // bootstrap tick: baselines at latest, nothing delivered
+    assert(call(s"CALL lake.tick_feed('$dir', '$feed')") ===
+      Seq(-1L, -1L))
+    val v0 = FileManifest.latest(fsOf(dir), dir).get.version
+    History.append(spark, dir,
+      Seq((6L, "it", 60L)).toDF("doc_id", "lang", "n_chars"),
+      key = "feed-b1", partitionCols = Seq("lang")): Unit
+    val v1 = FileManifest.latest(fsOf(dir), dir).get.version
+    assert(call(s"CALL lake.tick_feed('$dir', '$feed')") ===
+      Seq(v0, v1))
+    // the delivered range holds exactly the appended row
+    val delivered = spark.read.parquet(s"$feed/changes-v$v0-v$v1")
+    assert(delivered.select("doc_id").collect().map(_.getLong(0)).toSeq
+      === Seq(6L))
+    // replayed tick converges to the same range; nothing new after
+    assert(call(s"CALL lake.tick_feed('$dir', '$feed')") ===
+      Seq(-1L, -1L))
+    // expiry prunes beyond the retention tail (keep the last range)
+    History.append(spark, dir,
+      Seq((7L, "it", 70L)).toDF("doc_id", "lang", "n_chars"),
+      key = "feed-b2", partitionCols = Seq("lang")): Unit
+    assert(call(s"CALL lake.tick_feed('$dir', '$feed')").last ===
+      FileManifest.latest(fsOf(dir), dir).get.version)
+    assert(call(s"CALL lake.expire_feed('$feed', 1)")
+      .head.asInstanceOf[Int] >= 1)
+  }
+
+  test("rollup bootstrap and advance via CALL") {
+    import spark.implicits._
+    val dir = lake()
+    val roll = java.nio.file.Files
+      .createTempDirectory("graft-callroll").toString + "/rollup"
+    val v0 = FileManifest.latest(fsOf(dir), dir).get.version
+    assert(call(s"CALL lake.bootstrap_rollup('$dir', '$roll', " +
+      s"'lang', 'n_chars')") === Seq(v0))
+    // already current: tick no-ops
+    assert(call(s"CALL lake.tick_rollup('$dir', '$roll', " +
+      s"'lang', 'n_chars')") === Seq(-1L, -1L))
+    History.append(spark, dir,
+      Seq((6L, "en", 100L)).toDF("doc_id", "lang", "n_chars"),
+      key = "roll-b1", partitionCols = Seq("lang")): Unit
+    val v1 = FileManifest.latest(fsOf(dir), dir).get.version
+    assert(call(s"CALL lake.tick_rollup('$dir', '$roll', " +
+      s"'lang', 'n_chars')") === Seq(v0, v1))
+    // the advanced state equals a fresh aggregate
+    val state = graft.sources.IncrementalRollup
+      .read(spark, roll).select("lang", "sum_n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(state === Map("en" -> 130L, "de" -> 70L, "fr" -> 50L))
+  }
 }
