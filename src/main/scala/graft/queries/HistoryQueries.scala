@@ -1101,6 +1101,45 @@ object HistoryQueries {
                        MIN(source) AS mn_src, MAX(source) AS mx_src,
                        COUNT(*) AS n_rows
                 FROM lake.`$dir`""")
+    }),
+
+    // FULL-SYNC MERGE (`WHEN NOT MATCHED BY SOURCE THEN DELETE`
+    // beside the upsert pair — the "make the table BE this query"
+    // statement a dimension sync runs): matched keys update, new keys
+    // insert, and every target row the source no longer carries
+    // deletes as DVs through one anti-join. After the statement the
+    // lake IS the source image — any straggler surviving the sync arm,
+    // or a synced row lost, fails the hash.
+    "h46_sql_merge_sync" -> ((s, d) => {
+      val dir = sqlMergeSyncLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
+                WHERE doc_id >= 0""")
+    }),
+
+    // SQL schema EVOLUTION lifecycle: CTAS, then `ALTER TABLE ADD
+    // COLUMNS` (metadata-only — SchemaLog.evolve, zero files
+    // rewritten), then an INSERT carrying the new column. Pre-ALTER
+    // rows read back NULL in the added column, post-ALTER rows carry
+    // their values, and the whole lifecycle is SQL-only. A rewritten
+    // old file, a misprojected era, or a lost new-column value fails
+    // the hash.
+    "h47_sql_alter_table" -> ((s, d) => {
+      val dir = sqlAlterLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, n_chars, quality FROM lake.`$dir`
+                WHERE doc_id >= 0""")
+    }),
+
+    // PARTITION-COLUMN extrema from the directory names: MIN/MAX of
+    // the partition column need zero footer stats — each current
+    // file's value IS its lang=... dir, guarded by fresh nonzero row
+    // counts so an empty file could never vote. The whole SELECT
+    // plans a LocalTableScan (plan spec-locked in LakeCatalogSpec);
+    // this gate pins the VALUES against the corpus at SF scale.
+    "h48_sql_partition_extrema" -> ((s, d) => {
+      val dir = sqlPartExtremaLake(s, d)
+      s.sql(s"""SELECT MIN(lang) AS mn_lang, MAX(lang) AS mx_lang,
+                       COUNT(*) AS n_rows
+                FROM lake.`$dir`""")
     })
   )
 
@@ -1465,6 +1504,88 @@ object HistoryQueries {
         dir
       })
 
+  /** h46's lake: corpus through the engine write path, then one
+    * full-sync SQL MERGE (upsert pair + NOT MATCHED BY SOURCE DELETE)
+    * whose source is a transformed corpus subset — the lake must end
+    * exactly as the source image. */
+  private val sqlMergeSyncLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlMergeSyncLake(s: SparkSession, sfDir: String): String =
+    sqlMergeSyncLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir),
+      _ => {
+        Memos.install(s)
+        s.conf.set("spark.sql.catalog.lake",
+          classOf[graft.sources.LakeCatalog].getName)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-sql-sync").toString + "/lake"
+        val docs = graft.Tables.documents(s, sfDir)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"))
+        docs.repartition(8).write.parquet(dir)
+        graft.sources.History.enableManifests(s, dir): Unit
+        docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("n_chars", col("n_chars") + 50L)
+          .unionByName(docs.filter(col("doc_id") < 25)
+            .withColumn("doc_id", col("doc_id") + 4000000L)
+            .withColumn("source", lit("sync")))
+          .createOrReplaceTempView("h46_sync_src")
+        s.sql(s"""MERGE INTO lake.`$dir` t USING h46_sync_src s
+                  ON t.doc_id = s.doc_id
+                  WHEN MATCHED THEN UPDATE SET *
+                  WHEN NOT MATCHED THEN INSERT *
+                  WHEN NOT MATCHED BY SOURCE THEN DELETE"""): Unit
+        dir
+      })
+
+  /** h47's lake: SQL-only CTAS (evens) → ALTER TABLE ADD COLUMNS
+    * (quality DOUBLE, metadata-only) → INSERT (odds with values). */
+  private val sqlAlterLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlAlterLake(s: SparkSession, sfDir: String): String =
+    sqlAlterLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      s.conf.set("spark.sql.catalog.lake",
+        classOf[graft.sources.LakeCatalog].getName)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sql-alter").toString + "/lake"
+      s.sql(s"""CREATE TABLE lake.`$dir` USING parquet
+                AS SELECT doc_id, lang, n_chars
+                FROM parquet.`$sfDir/documents.parquet`
+                WHERE doc_id % 2 = 0"""): Unit
+      s.sql(s"ALTER TABLE lake.`$dir` ADD COLUMNS (quality DOUBLE)"): Unit
+      s.sql(s"""INSERT INTO lake.`$dir`
+                SELECT doc_id, lang, n_chars,
+                       CAST(n_chars AS DOUBLE) / 100.0 AS quality
+                FROM parquet.`$sfDir/documents.parquet`
+                WHERE doc_id % 2 = 1"""): Unit
+      dir
+    })
+
+  /** h48's lake: lang-partitioned corpus with fresh row counts — the
+    * partition-column-extrema serve state. */
+  private val sqlPartExtremaLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlPartExtremaLake(s: SparkSession, sfDir: String): String =
+    sqlPartExtremaLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir),
+      _ => {
+        Memos.install(s)
+        s.conf.set("spark.sql.catalog.lake",
+          classOf[graft.sources.LakeCatalog].getName)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-sql-pext").toString + "/lake"
+        graft.Tables.documents(s, sfDir)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"))
+          .repartition(col("lang"))
+          .write.partitionBy("lang").parquet(dir)
+        graft.sources.History.enableManifests(s, dir): Unit
+        graft.sources.History.refreshRowCounts(s, dir): Unit
+        dir
+      })
+
   private val rollupCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
@@ -1713,6 +1834,24 @@ object HistoryQueries {
       """SELECT MIN(DATE '2020-01-01' + CAST(doc_id % 365 AS INT)) AS mn_dt,
                 MAX(DATE '2020-01-01' + CAST(doc_id % 365 AS INT)) AS mx_dt,
                 MIN(source) AS mn_src, MAX(source) AS mx_src,
+                COUNT(*) AS n_rows
+         FROM documents""",
+    "h46_sql_merge_sync" ->
+      """SELECT doc_id, lang, source, n_chars + 50 AS n_chars
+         FROM documents WHERE doc_id % 3 = 0
+         UNION ALL
+         SELECT doc_id + 4000000 AS doc_id, lang, 'sync' AS source,
+                n_chars
+         FROM documents WHERE doc_id < 25""",
+    "h47_sql_alter_table" ->
+      """SELECT doc_id, lang, n_chars, CAST(NULL AS DOUBLE) AS quality
+         FROM documents WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id, lang, n_chars,
+                CAST(n_chars AS DOUBLE) / 100.0 AS quality
+         FROM documents WHERE doc_id % 2 = 1""",
+    "h48_sql_partition_extrema" ->
+      """SELECT MIN(lang) AS mn_lang, MAX(lang) AS mx_lang,
                 COUNT(*) AS n_rows
          FROM documents""",
     "h42_sql_merge_cdc" ->

@@ -1007,6 +1007,57 @@ object History {
         rs.map(_._2).reduce((a, b) => if (FileStats.utf8Lt(a, b)) b else a)))
   }
 
+  /** Metadata MIN/MAX for a PARTITION column over a current-file
+    * subset: each file's value IS its `k=v` directory name, so the
+    * extrema need zero footer stats — but a file only contributes if
+    * it demonstrably HOLDS live rows: a fresh NONZERO row-count
+    * sidecar entry (an empty file's directory value is not data) and
+    * no live deletion vector on the subset (a vector may have emptied
+    * a file). Null-partition files (`__HIVE_DEFAULT_PARTITION__`)
+    * skip — SQL MIN/MAX ignore NULLs; all-null (or undecodable
+    * anywhere) refuses and the scan answers. Values decode
+    * type-exactly ([[PartitionPredicate.catalystValue]]); strings
+    * compare under UTF-8-byte order like the footer-stats path. */
+  private[sources] def fastMinMaxPartFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String, m: FileManifest.Manifest, rels: Seq[String],
+      column: String,
+      dt: org.apache.spark.sql.types.DataType): Option[(Any, Any)] = {
+    if (rels.isEmpty) return None
+    val relSet = rels.toSet
+    if (m.dvs.exists { case (rel, _) => relSet(rel) }) return None
+    val stats = FileStats.read(fs, path)
+    val counts = rels.map(rel =>
+      stats.get((rel, FileStats.RowsCol)).flatten.collect {
+        case FileStats.LongRange(n, _) => n
+      })
+    if (counts.exists(_.isEmpty)) return None
+    val live = rels.zip(counts.map(_.get))
+      .collect { case (rel, n) if n > 0 => rel }
+    val decoded: Seq[Option[Any]] = live.map { rel =>
+      for {
+        vals <- PartitionPredicate.partitionValues(rel)
+        raw <- vals.get(column) // missing key = not this col's layout
+        v <- PartitionPredicate.catalystValue(raw, dt)
+      } yield v
+    }
+    if (decoded.exists(_.isEmpty)) return None
+    val nonNull = decoded.map(_.get).filter(_ != null)
+    if (nonNull.isEmpty) return None
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long) => x < y
+      case (x: java.lang.Integer, y: java.lang.Integer) =>
+        x.intValue() < y.intValue()
+      case (x: org.apache.spark.unsafe.types.UTF8String,
+            y: org.apache.spark.unsafe.types.UTF8String) =>
+        x.compareTo(y) < 0
+      case _ => throw new IllegalStateException(
+        s"uncomparable decoded partition values: $a / $b")
+    }
+    Some((nonNull.reduce((a, b) => if (lt(a, b)) a else b),
+      nonNull.reduce((a, b) => if (lt(a, b)) b else a)))
+  }
+
   /** The subset's fresh stat ranges, or None when any file lacks one
     * or a live DV sits on the subset (a vector may have deleted the
     * extreme row — unlike COUNT, extrema cannot be netted from
@@ -1632,6 +1683,33 @@ object History {
             keyCols.map(col): _*)
         .join(keys.select(keyCols.map(col): _*).distinct(),
           keyCols, "left_semi")
+        .select(col("fp"), col("ri"))
+    }
+  }
+
+  /** MERGE-ON-READ delete of every row whose `keyCols` value does NOT
+    * appear in `keys` — the SQL `MERGE … WHEN NOT MATCHED BY SOURCE
+    * THEN DELETE` arm (full-sync: the target sheds rows the source no
+    * longer carries). One column-pruned anti-join over the current
+    * files; `extraCond` (the arm's target-side condition) filters the
+    * scan first. NULL-keyed target rows are never matched by any
+    * source row, so they DELETE here — exactly standard MERGE (the
+    * anti-join keeps them for the same reason a join drops them). */
+  def deleteUnmatchedDV(spark: SparkSession, path: String,
+                        keys: DataFrame, keyCols: Seq[String],
+                        extraCond: Option[org.apache.spark.sql.Column] = None,
+                        maxPositions: Long = 10000000L): (Int, Long) = {
+    require(keyCols.nonEmpty, "deleteUnmatchedDV needs key columns")
+    require(keyCols.forall(keys.columns.contains),
+      s"keys frame missing key columns: ${keyCols.mkString(",")}")
+    dvVictimsCommit(spark, path, None, maxPositions) { scan =>
+      val base = extraCond.map(scan.filter).getOrElse(scan)
+      base.select(
+          col("_metadata.file_path").as("fp") +:
+            col("_metadata.row_index").as("ri") +:
+            keyCols.map(col): _*)
+        .join(keys.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_anti")
         .select(col("fp"), col("ri"))
     }
   }

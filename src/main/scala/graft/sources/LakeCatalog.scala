@@ -170,6 +170,13 @@ class LakeCatalog extends TableCatalog
     val typedMinMax: (Seq[String], String) => Option[
         (org.apache.spark.sql.types.DataType, Any, Any)] = (sel, c) =>
       colTypes.get(c).flatMap {
+        // a PARTITION column's extrema come from the k=v directory
+        // names themselves (zero footer stats) — guarded by fresh
+        // nonzero row counts so an empty file's dir value never
+        // answers; catalystValue decodes type-exactly
+        case dt if partCols.contains(c) =>
+          History.fastMinMaxPartFiles(fs, path, m, sel, c, dt)
+            .map { case (mn, mx) => (dt, mn, mx) }
         case dt @ org.apache.spark.sql.types.LongType =>
           History.fastMinMaxFiles(fs, path, m, sel, c)
             .map { case (mn, mx) => (dt, mn, mx) }
@@ -448,10 +455,62 @@ class LakeCatalog extends TableCatalog
     tableAt(ident, None)
   }
 
+  /** SQL `ALTER TABLE lake.\`/path\` ADD COLUMNS (…)` and widening
+    * `ALTER COLUMN c TYPE BIGINT` → the engine's metadata-only schema
+    * EVOLUTION ([[SchemaLog.evolve]] — add nullable columns, widen
+    * int→long / float→double; no data file rewritten, old files read
+    * back with nulls/promoted values). Everything else (drops,
+    * renames, narrowing, nested edits, comments) refuses loudly:
+    * those either lose data or need a per-row cast that can fail,
+    * which a declared schema must never smuggle into a scan. Requires
+    * a DECLARED schema (CREATE TABLE declares one; pre-DDL lakes run
+    * `CALL lake.declare_schema` first) — evolution validates against
+    * the declaration, not a guess. */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    readOnly("alterTable (schema evolution is CALL " +
-      "lake.declare_schema / History.evolveSchema)")
+                          changes: TableChange*): Table = {
+    val path = pathOf(ident)
+    val fs = fsOf(path)
+    if (!FileManifest.enabled(fs, path))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    val declared = SchemaLog.latest(fs, path).getOrElse(
+      throw new UnsupportedOperationException(
+        s"ALTER TABLE needs a declared schema at $path — run " +
+          "CALL lake.declare_schema('" + path + "') once (CREATE " +
+          "TABLE'd lakes are declared from birth)"))
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      if (fieldNames.length != 1)
+        throw new UnsupportedOperationException(
+          s"$what of nested field ${fieldNames.mkString(".")} is not " +
+            "supported — lake schemas are flat")
+      fieldNames(0)
+    }
+    val next = changes.foldLeft(declared) { (schema, change) =>
+      change match {
+        case add: TableChange.AddColumn =>
+          val name = topLevel(add.fieldNames(), "ADD COLUMNS")
+          if (!add.isNullable)
+            throw new UnsupportedOperationException(
+              s"ADD COLUMNS $name NOT NULL is not supported — existing " +
+                "rows have no value for it; add it nullable")
+          StructType(schema.fields :+ org.apache.spark.sql.types
+            .StructField(name, add.dataType(), nullable = true))
+        case upd: TableChange.UpdateColumnType =>
+          val name = topLevel(upd.fieldNames(), "ALTER COLUMN")
+          StructType(schema.fields.map(f =>
+            if (f.name == name) f.copy(dataType = upd.newDataType())
+            else f))
+        case other => throw new UnsupportedOperationException(
+          s"ALTER TABLE $other is not supported — the lake evolves by " +
+            "adding nullable columns and widening types " +
+            "(History.evolveSchema); drops/renames/narrowing lose data")
+      }
+    }
+    // metadata-only commit; validateEvolution rejects anything that
+    // is not a pure widening of the declaration
+    SchemaLog.evolve(spark, path, next): Unit
+    tableAt(ident, None)
+  }
 
   /** DROP TABLE only for lakes that never held committed data (every
     * retained version's file set is empty) — exactly the cleanup a

@@ -240,14 +240,13 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       throw new UnsupportedOperationException(
         "MERGE INTO through the lake SQL surface supports `ON " +
           "<name-equal key equalities>` with WHEN MATCHED [AND <source " +
-          "cond>] THEN DELETE, WHEN MATCHED THEN UPDATE SET *, and " +
-          "WHEN NOT MATCHED [AND <source cond>] THEN INSERT * (any " +
-          s"consistent combination); $what is not — use the engine " +
-          "operator (History.mergeInto / deleteKeysDV / updateWhere) " +
-          "for other shapes")
+          "cond>] THEN DELETE, WHEN MATCHED THEN UPDATE SET *, " +
+          "WHEN NOT MATCHED [AND <source cond>] THEN INSERT *, and " +
+          "WHEN NOT MATCHED BY SOURCE [AND <target cond>] THEN DELETE " +
+          s"(any consistent combination); $what is not — use the " +
+          "engine operator (History.mergeInto / deleteKeysDV / " +
+          "updateWhere) for other shapes")
     if (m.withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      unsupported("WHEN NOT MATCHED BY SOURCE")
     val sourceOut = m.sourceTable.outputSet
     val targetOut = m.targetTable.outputSet
     // ON: a conjunction of target-attr = source-attr equalities over
@@ -310,17 +309,35 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       byName(c, s"a MERGE $action condition")
     }
 
+    // the SYNC arm: target rows no source row matches, optionally
+    // guarded by a TARGET-side condition (the source row is absent by
+    // definition, so a source reference there is meaningless and
+    // Spark's analyzer rejects it before us)
+    val bySourceDel: Option[Option[Expression]] =
+      m.notMatchedBySourceActions match {
+        case Seq() => None
+        case Seq(DeleteAction(c)) =>
+          c.foreach { cond =>
+            if (!cond.references.subsetOf(targetOut))
+              unsupported("a NOT MATCHED BY SOURCE condition " +
+                s"referencing non-target columns (`$cond`)")
+          }
+          Some(c)
+        case _ => unsupported("this not-matched-by-source action list")
+      }
+
     (m.matchedActions, m.notMatchedActions) match {
       // the classic upsert: the file-granular fast path (one keyed
       // engine merge, no matched/unmatched pre-split needed)
-      case (Seq(UpdateAction(None, upA, _)), Seq(InsertAction(None, inA))) =>
+      case (Seq(UpdateAction(None, upA, _)), Seq(InsertAction(None, inA)))
+          if bySourceDel.isEmpty =>
         val up = fullImage(upA, "UPDATE SET")
         imagesAgree(up, fullImage(inA, "INSERT"))
         GraftMergeCommand(path, m.sourceTable,
           targetCols.map(c => c -> up(c)), keyCols)
 
       case (matched, notMatched) =>
-        if (matched.isEmpty && notMatched.isEmpty)
+        if (matched.isEmpty && notMatched.isEmpty && bySourceDel.isEmpty)
           unsupported("an empty action list")
         val (delCond, updImage): (Option[Option[Expression]],
             Option[Map[String, AttributeReference]]) = matched match {
@@ -356,7 +373,9 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           if (img.isEmpty) Nil else targetCols.map(c => c -> img(c)),
           delCond.map(_.map(srcCond(_, "MATCHED DELETE"))),
           hasUpdate = updImage.isDefined,
-          insCond.map(_.map(srcCond(_, "NOT MATCHED INSERT"))))
+          insCond.map(_.map(srcCond(_, "NOT MATCHED INSERT"))),
+          bySourceDel.map(_.map(
+            byName(_, "a MERGE NOT MATCHED BY SOURCE condition"))))
     }
   }
 }
@@ -540,7 +559,8 @@ case class GraftMergeCdcCommand(path: String, source: LogicalPlan,
     imageCols: Seq[(String, AttributeReference)],
     deleteCond: Option[Option[Column]],
     hasUpdate: Boolean,
-    insertCond: Option[Option[Column]])
+    insertCond: Option[Option[Column]],
+    bySourceDelete: Option[Option[Column]] = None)
   extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
@@ -586,6 +606,17 @@ case class GraftMergeCdcCommand(path: String, source: LogicalPlan,
           Some(mk)
         } else None
       try {
+        // the SYNC arm first (still before any COW rewrite): target
+        // rows whose key no source row carries, DV'd through one
+        // anti-join — rows the upsert arms are about to INSERT are in
+        // the source key set by definition, so ordering cannot
+        // resurrect or double-delete
+        bySourceDelete.foreach { cond =>
+          val (f, n) = History.deleteUnmatchedDV(spark, path,
+            srcRaw.select(keySel: _*), keyCols, cond)
+          filesTouched += f
+          rowsDeleted += n
+        }
         deleteCond.foreach { cond =>
           val delRows = cond.map(srcRaw.filter).getOrElse(srcRaw)
           val delKeys = delRows.select(keySel: _*)
@@ -602,7 +633,7 @@ case class GraftMergeCdcCommand(path: String, source: LogicalPlan,
               else History.deleteMatchedDV(spark, path, delKeys, keyCols)
             } else History.deleteMatchedDV(spark, path, delKeys, keyCols)
           filesTouched += f
-          rowsDeleted = n
+          rowsDeleted += n
         }
         matchedKeys.foreach { mk =>
           val imgSel = imageCols.map { case (n, a) =>

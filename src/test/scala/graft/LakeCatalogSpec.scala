@@ -524,11 +524,13 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(v1 === Seq(1L, 5L, 5L))
     assert(p1.contains("LocalTableScan") && !p1.contains("Parquet"),
       p1.take(800))
-    // an UNSTATTED column in the mix disqualifies the whole push
-    // (lang is a PARTITION column here — absent from the data files,
-    // so a stats refresh cannot stat it and the scan stays honest)
-    val (v2, p2) = run(s"SELECT MIN(lang) AS ml FROM lake.`$dir`")
-    assert(v2 === Seq("de") && !p2.contains("LocalTableScan"))
+    // a PARTITION column's extrema answer from the k=v directory
+    // names themselves (zero footer stats — guarded by the fresh
+    // row counts refreshed above, so an empty file could never vote)
+    val (v2, p2) = run(
+      s"SELECT MIN(lang) AS ml, MAX(lang) AS xl FROM lake.`$dir`")
+    assert(v2 === Seq("de", "fr"))
+    assert(p2.contains("LocalTableScan"), p2.take(800))
     // a live DV may have deleted the extreme row: MIN/MAX must fall
     // back to the scan (COUNT alone still answers from metadata)
     History.deleteKeysDV(spark, dir, "doc_id", Seq(5L)): Unit
@@ -581,6 +583,49 @@ class LakeCatalogSpec extends AnyFunSuite {
     val again = spark.sql(
       s"SELECT MIN(tag) AS mn_t, MAX(tag) AS mx_t FROM lake.`$dir`")
     assert(again.collect().head.toSeq === Seq("alpha", "gamma"))
+  }
+
+  test("partition-column extrema answer from directory names, guarded") {
+    import spark.implicits._
+    // a DATE-partitioned lake: dt extrema come from the dt=... dirs
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sqlcat-pdt").toString + "/lake"
+    Seq((1L, java.sql.Date.valueOf("2026-01-03")),
+        (2L, java.sql.Date.valueOf("2026-02-14")),
+        (3L, java.sql.Date.valueOf("2025-12-31")))
+      .toDF("id", "dt")
+      .repartition(col("dt"))
+      .write.partitionBy("dt").parquet(dir)
+    History.enableManifests(spark, dir): Unit
+    // without row counts the extrema refuse (an empty file's dir
+    // value must never vote) — the scan answers
+    val q = s"SELECT MIN(dt) AS mn, MAX(dt) AS mx FROM lake.`$dir`"
+    val df0 = spark.sql(q)
+    assert(!df0.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(df0.collect().head.getDate(0) ===
+      java.sql.Date.valueOf("2025-12-31"))
+    History.refreshRowCounts(spark, dir): Unit
+    val df1 = spark.sql(q)
+    val r = df1.collect().head
+    assert(r.getDate(0) === java.sql.Date.valueOf("2025-12-31"))
+    assert(r.getDate(1) === java.sql.Date.valueOf("2026-02-14"))
+    assert(df1.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      df1.queryExecution.executedPlan.toString.take(800))
+    // partition-FILTERED partition extrema decide per file too
+    val df2 = spark.sql(s"""SELECT MAX(dt) AS mx FROM lake.`$dir`
+                            WHERE dt < DATE'2026-02-01'""")
+    assert(df2.collect().head.getDate(0) ===
+      java.sql.Date.valueOf("2026-01-03"))
+    // a DV on the selection refuses extrema (vector may have emptied
+    // a file) — values stay correct via the scan
+    History.deleteKeysDV(spark, dir, "id", Seq(2L)): Unit
+    val df3 = spark.sql(q)
+    assert(df3.collect().head.getDate(1) ===
+      java.sql.Date.valueOf("2026-01-03"))
+    assert(!df3.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
   }
 
   test("SQL DELETE lands as deletion vectors on both table routes") {

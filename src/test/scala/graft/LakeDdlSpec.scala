@@ -115,6 +115,40 @@ class LakeDdlSpec extends AnyFunSuite {
       "the failed CTAS must not leave a half-created lake")
   }
 
+  test("ALTER TABLE: add nullable columns and widen types, SQL-only") {
+    val dir = tmpPath("graft-ddl-alter")
+    spark.sql(s"""CREATE TABLE lake.`$dir` (id INT, n_chars BIGINT)
+                  USING parquet""")
+    spark.sql(s"INSERT INTO lake.`$dir` VALUES (1, 10), (2, 20)")
+    // add a nullable column: metadata-only, old rows read back null
+    spark.sql(s"ALTER TABLE lake.`$dir` ADD COLUMNS (score DOUBLE)")
+    assert(spark.sql(s"SELECT * FROM lake.`$dir`").columns.toSeq ===
+      Seq("id", "n_chars", "score"))
+    assert(spark.sql(
+        s"SELECT count(*) AS n FROM lake.`$dir` WHERE score IS NULL")
+      .collect().head.getLong(0) === 2L)
+    spark.sql(s"INSERT INTO lake.`$dir` VALUES (3, 30, 0.5)")
+    // widen INT -> BIGINT: old INT32 files promote at the read edge
+    spark.sql(s"ALTER TABLE lake.`$dir` ALTER COLUMN id TYPE BIGINT")
+    val ids = spark.sql(s"SELECT id FROM lake.`$dir` ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids === Seq(1L, 2L, 3L))
+    // destructive/narrowing shapes refuse loudly
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.toString).mkString(" | ")
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE lake.`$dir` DROP COLUMN n_chars")
+    }
+    assert(chain(e).contains("not supported") ||
+      chain(e).contains("lose data"), chain(e))
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE lake.`$dir` ALTER COLUMN n_chars TYPE INT")
+    }
+    assert(chain(e2).nonEmpty)
+    assert(spark.sql(s"SELECT * FROM lake.`$dir`").columns.length === 3)
+  }
+
   test("DROP TABLE: empty lakes drop, data-bearing lakes refuse") {
     val dir = tmpPath("graft-ddl-drop")
     spark.sql(s"CREATE TABLE lake.`$dir` (id BIGINT) USING parquet")

@@ -168,6 +168,45 @@ class MergeCdcSpec extends AnyFunSuite {
       (3L, "de", 30L), (4L, "de", 40L), (5L, "fr", 50L)))
   }
 
+  test("WHEN NOT MATCHED BY SOURCE THEN DELETE: the full-sync shape") {
+    import spark.implicits._
+    val dir = lake()
+    // source carries keys 1 (update image), 6 (insert); everything
+    // else in the target must go — after the statement the lake IS
+    // the source image
+    Seq((1L, "en", 111L), (6L, "it", 60L))
+      .toDF("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("sync_src")
+    spark.sql(s"""MERGE INTO lake.`$dir` t USING sync_src s
+                  ON t.doc_id = s.doc_id
+                  WHEN MATCHED THEN UPDATE SET *
+                  WHEN NOT MATCHED THEN INSERT *
+                  WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(rows(dir) === Seq((1L, "en", 111L), (6L, "it", 60L)))
+  }
+
+  test("NOT MATCHED BY SOURCE with a target condition deletes its slice") {
+    import spark.implicits._
+    val dir = lake()
+    // sync only the de partition's stragglers: target rows no source
+    // key matches AND lang='de' delete; the fr row (also unmatched)
+    // survives the guarded arm
+    Seq((1L, "en", 111L)).toDF("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("sync_cond_src")
+    spark.sql(s"""MERGE INTO lake.`$dir` t USING sync_cond_src s
+                  ON t.doc_id = s.doc_id
+                  WHEN MATCHED THEN UPDATE SET *
+                  WHEN NOT MATCHED BY SOURCE AND t.lang = 'de'
+                    THEN DELETE""")
+    assert(rows(dir) === Seq((1L, "en", 111L), (2L, "en", 20L),
+      (5L, "fr", 50L)))
+    // bare sync-delete (no other arms) also works
+    spark.sql(s"""MERGE INTO lake.`$dir` t USING sync_cond_src s
+                  ON t.doc_id = s.doc_id
+                  WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(rows(dir) === Seq((1L, "en", 111L)))
+  }
+
   test("a DV landing under the CDC merge's rewrite conflicts loudly") {
     import spark.implicits._
     val dir = lake()
