@@ -111,7 +111,8 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
        else Nil) ++
       (if (constrained) Seq("appendChecked", "appendBad") else Nil) ++
       (if (dml) Seq("updateWhere", "updateMove", "sqlUpdate", "sqlDelete",
-                    "sqlOverwrite")
+                    "sqlOverwrite", "sqlOverwritePart", "sqlMergeCdc",
+                    "sqlMergeSync", "sqlDeleteInSub")
        else Nil)
     for (op <- 0 until nOps) {
       val pick = rnd.nextInt(10 + extraOps.size)
@@ -269,6 +270,80 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
                 s"WHERE id IN (${victims.mkString(", ")})"): Unit
               victims.foreach(model.remove)
               s"sqlDelete ${victims.size}"
+            }
+          case "sqlOverwritePart" => // static-partition restatement
+            val target = s"p${rnd.nextInt(3)}"
+            val rows = freshRows(1 + rnd.nextInt(5))
+              .map { case (id, _, v) => (id, target, v) }
+            toDF(rows).createOrReplaceTempView("fuzz_povw_src")
+            spark.sql(s"INSERT OVERWRITE lake.`$lake` " +
+              s"PARTITION (part = '$target') " +
+              "SELECT id, v FROM fuzz_povw_src").collect(): Unit
+            model.filterInPlace { case (_, (p, _)) => p != target }
+            rows.foreach { case (id, p, v) => model(id) = (p, v) }
+            s"sqlOverwritePart $target ${rows.size}"
+          case "sqlMergeCdc" => // the four-arm CDC apply in one MERGE
+            import spark.implicits._
+            val live = rnd.shuffle(model.keys.toSeq)
+            val dels = live.take(rnd.nextInt(3))
+            val upds = live.drop(dels.size).take(rnd.nextInt(3))
+              .map(id => (id, s"p${rnd.nextInt(3)}", rnd.nextLong(1000L)))
+            val ins = freshRows(rnd.nextInt(3))
+            val ghostDels = freshRows(1) // absent keys: must no-op
+            val src =
+              dels.map(id => (id, "px", 0L, "D")) ++
+              upds.map { case (id, p, v) => (id, p, v, "U") } ++
+              ins.map { case (id, p, v) => (id, p, v, "I") } ++
+              ghostDels.map { case (id, p, v) => (id, p, v, "D") }
+            if (src.isEmpty) "sqlMergeCdc noop"
+            else {
+              src.toDF("id", "part", "v", "op")
+                .createOrReplaceTempView("fuzz_cdc_src")
+              spark.sql(s"""MERGE INTO lake.`$lake` t
+                            USING fuzz_cdc_src s ON t.id = s.id
+                            WHEN MATCHED AND s.op = 'D' THEN DELETE
+                            WHEN MATCHED THEN UPDATE SET *
+                            WHEN NOT MATCHED AND s.op != 'D'
+                              THEN INSERT *""").collect(): Unit
+              dels.foreach(model.remove)
+              upds.foreach { case (id, p, v) => model(id) = (p, v) }
+              ins.foreach { case (id, p, v) => model(id) = (p, v) }
+              s"sqlMergeCdc d${dels.size}/u${upds.size}/i${ins.size}"
+            }
+          case "sqlMergeSync" => // full sync: the lake BECOMES the src
+            import spark.implicits._
+            val keep = rnd.shuffle(model.toSeq)
+              .take(rnd.nextInt(model.size + 1))
+              .map { case (id, (p, v)) => (id, p, v + 1L) }
+            val fresh = freshRows(rnd.nextInt(3))
+            val src = keep ++ fresh
+            if (src.isEmpty) "sqlMergeSync noop"
+            else {
+              toDF(src).createOrReplaceTempView("fuzz_sync_src")
+              spark.sql(s"""MERGE INTO lake.`$lake` t
+                            USING fuzz_sync_src s ON t.id = s.id
+                            WHEN MATCHED THEN UPDATE SET *
+                            WHEN NOT MATCHED THEN INSERT *
+                            WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+                .collect(): Unit
+              model.clear()
+              src.foreach { case (id, p, v) => model(id) = (p, v) }
+              s"sqlMergeSync ${src.size}"
+            }
+          case "sqlDeleteInSub" => // IN-subquery takedown, keyed route
+            if (model.isEmpty) "sqlDeleteInSub noop"
+            else {
+              val x = rnd.nextLong(1000L)
+              val victims = rnd.shuffle(model.keys.toSeq)
+                .take(1 + rnd.nextInt(4))
+              toDF(victims.map(id => (id, "px", 0L)))
+                .createOrReplaceTempView("fuzz_insub_src")
+              spark.sql(s"""DELETE FROM lake.`$lake`
+                            WHERE id IN (SELECT id FROM fuzz_insub_src
+                                         WHERE v < $x OR v >= $x)""")
+                .collect(): Unit
+              victims.foreach(model.remove)
+              s"sqlDeleteInSub ${victims.size}"
             }
           case _ => // roll back to any retained snapshot ("restore")
             val f = fs(lake)
