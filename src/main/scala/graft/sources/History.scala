@@ -1058,10 +1058,14 @@ object History {
       nonNull.reduce((a, b) => if (lt(a, b)) b else a)))
   }
 
-  /** The subset's fresh stat ranges, or None when any file lacks one
-    * or a live DV sits on the subset (a vector may have deleted the
-    * extreme row — unlike COUNT, extrema cannot be netted from
-    * cardinalities). */
+  /** The subset's fresh stat ranges, or None when any contributing
+    * file lacks one or a live DV sits on the subset (a vector may
+    * have deleted the extreme row — unlike COUNT, extrema cannot be
+    * netted from cardinalities). A file with a FRESH ZERO row count
+    * is skipped rather than required: an empty file (a repartition
+    * artifact) has no footer extrema to record AND no row that could
+    * be the extreme — demanding its sentinel entry would refuse the
+    * whole subset forever. */
   private def statRanges(fs: org.apache.hadoop.fs.FileSystem,
       path: String, m: FileManifest.Manifest, rels: Seq[String],
       column: String): Option[Seq[FileStats.StatRange]] = {
@@ -1069,7 +1073,11 @@ object History {
     val relSet = rels.toSet
     if (m.dvs.exists { case (rel, _) => relSet(rel) }) return None
     val stats = FileStats.read(fs, path)
-    val perFile = rels.map(rel => stats.get((rel, column)).flatten)
+    val contributing = rels.filterNot(rel =>
+      stats.get((rel, FileStats.RowsCol)).flatten.contains(
+        FileStats.LongRange(0L, 0L)))
+    if (contributing.isEmpty) return None // all-empty: scan's NULL answers
+    val perFile = contributing.map(rel => stats.get((rel, column)).flatten)
     if (perFile.exists(_.isEmpty)) None else Some(perFile.map(_.get))
   }
 

@@ -190,6 +190,11 @@ class LakeCatalog extends TableCatalog
           // long IS the catalyst date value
           History.fastMinMaxFiles(fs, path, m, sel, c)
             .map { case (mn, mx) => (dt, mn.toInt, mx.toInt) }
+        case dt @ org.apache.spark.sql.types.TimestampType =>
+          // INT64-micros timestamps stat like any long; legacy INT96
+          // files yield no long footer stats and honestly refuse
+          History.fastMinMaxFiles(fs, path, m, sel, c)
+            .map { case (mn, mx) => (dt, mn, mx) }
         case dt @ org.apache.spark.sql.types.StringType =>
           History.fastMinMaxStrFiles(fs, path, m, sel, c)
             .map { case (mn, mx) => (dt,
@@ -493,6 +498,11 @@ class LakeCatalog extends TableCatalog
             throw new UnsupportedOperationException(
               s"ADD COLUMNS $name NOT NULL is not supported — existing " +
                 "rows have no value for it; add it nullable")
+          if (add.position() != null)
+            throw new UnsupportedOperationException(
+              s"ADD COLUMNS $name FIRST/AFTER is not supported — " +
+                "evolved columns append at the end (silently ignoring " +
+                "the position would misplace it)")
           StructType(schema.fields :+ org.apache.spark.sql.types
             .StructField(name, add.dataType(), nullable = true))
         case upd: TableChange.UpdateColumnType =>

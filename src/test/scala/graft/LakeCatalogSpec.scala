@@ -585,6 +585,67 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(again.collect().head.toSeq === Seq("alpha", "gamma"))
   }
 
+  test("grouped metadata aggregates compose COUNT with typed extrema") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sqlcat-grp").toString + "/lake"
+    Seq((1L, "en", java.sql.Timestamp.valueOf("2026-01-01 10:00:00")),
+        (2L, "en", java.sql.Timestamp.valueOf("2026-01-02 11:30:00")),
+        (3L, "de", java.sql.Timestamp.valueOf("2026-01-03 09:15:00")))
+      .toDF("id", "lang", "ts")
+      .repartition(col("lang"))
+      .write.partitionBy("lang").parquet(dir)
+    History.enableManifests(spark, dir): Unit
+    History.refreshRowCounts(spark, dir): Unit
+    History.refreshStats(spark, dir, "id"): Unit
+    History.refreshStats(spark, dir, "ts"): Unit
+    // per-partition COUNT + MIN answer per group from each lang dir's
+    // sidecar entries — but the default-written (INT96) timestamp has
+    // NO footer stats, so including MAX(ts) refuses the whole push
+    // (half-answered aggregates cannot be stitched onto a scan)
+    val df = spark.sql(s"""SELECT lang, COUNT(*) AS n, MIN(id) AS mn
+                           FROM lake.`$dir` GROUP BY lang""")
+    assert(df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      === Seq(("de", 1L, 3L), ("en", 2L, 1L)))
+    assert(df.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      df.queryExecution.executedPlan.toString.take(800))
+    val dfTs = spark.sql(s"""SELECT lang, MAX(ts) AS mx
+                             FROM lake.`$dir` GROUP BY lang""")
+    assert(!dfTs.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      "INT96 timestamps carry no footer stats — the scan must answer")
+    assert(dfTs.collect().map(_.getTimestamp(1).toString).sorted.toSeq
+      === Seq("2026-01-02 11:30:00.0", "2026-01-03 09:15:00.0"))
+  }
+
+  test("INT64-micros timestamps serve extrema from footer stats") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sqlcat-ts64").toString + "/lake"
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    try
+      Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00")),
+          (2L, java.sql.Timestamp.valueOf("2026-01-02 11:30:00")))
+        .toDF("id", "ts")
+        .repartition(2).write.parquet(dir)
+    finally
+      spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    History.enableManifests(spark, dir): Unit
+    History.refreshRowCounts(spark, dir): Unit
+    History.refreshStats(spark, dir, "ts"): Unit
+    val df = spark.sql(
+      s"SELECT MIN(ts) AS mn, MAX(ts) AS mx FROM lake.`$dir`")
+    val r = df.collect().head
+    assert((r.getTimestamp(0).toString, r.getTimestamp(1).toString) ===
+      ("2026-01-01 10:00:00.0", "2026-01-02 11:30:00.0"))
+    assert(df.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      df.queryExecution.executedPlan.toString.take(800))
+  }
+
   test("partition-column extrema answer from directory names, guarded") {
     import spark.implicits._
     // a DATE-partitioned lake: dt extrema come from the dt=... dirs

@@ -99,6 +99,39 @@ class LakeDdlSpec extends AnyFunSuite {
     assert(History.versions(spark, dir).nonEmpty)
   }
 
+  test("CTAS with the partition column mid-schema reads back by name") {
+    import spark.implicits._
+    val dir = tmpPath("graft-ctas-mid")
+    Seq((1L, "en", 10L), (2L, "de", 20L))
+      .toDF("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("ctas_mid_src")
+    // lang (the partition col) sits mid-query; Spark's CTAS analysis
+    // normalizes partition columns to the END of the table schema
+    // (standard Hive-style layout) — dirs carry lang's values, files
+    // the rest, and the declared projection merges them by NAME
+    spark.sql(s"""CREATE TABLE lake.`$dir` USING parquet
+                  PARTITIONED BY (lang)
+                  AS SELECT doc_id, lang, n_chars FROM ctas_mid_src""")
+    val df = spark.sql(s"SELECT * FROM lake.`$dir`")
+    assert(df.columns.toSeq === Seq("doc_id", "n_chars", "lang"))
+    assert(df.select("doc_id", "lang", "n_chars").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+      === Seq((1L, "en", 10L), (2L, "de", 20L)))
+    // INSERT follows the normalized order (data cols, then partition)
+    spark.sql(s"INSERT INTO lake.`$dir` VALUES (3, 30, 'fr')")
+    assert(spark.sql(
+        s"SELECT n_chars FROM lake.`$dir` WHERE lang = 'fr'")
+      .collect().head.getLong(0) === 30L)
+    // ADD COLUMNS FIRST/AFTER refuses (position would be misplaced)
+    val e = intercept[Exception] {
+      spark.sql(
+        s"ALTER TABLE lake.`$dir` ADD COLUMNS (x BIGINT FIRST)")
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.toString).mkString(" | ")
+      .contains("FIRST/AFTER"))
+  }
+
   test("a constraint-violating CTAS bounces whole and drops the shell") {
     import spark.implicits._
     val dir = tmpPath("graft-ctas-bounce")
