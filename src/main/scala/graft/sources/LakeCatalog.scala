@@ -137,6 +137,8 @@ class LakeCatalog extends TableCatalog
     val fastCnt = History.fastCount(spark, path, Some(m.version))
     val props: Map[String, String] =
       Map("graft.version" -> m.version.toString) ++
+        FileManifest.declaredPartitioning(fs, path)
+          .map(cs => "graft.partitioning" -> cs.mkString(",")) ++
         fastCnt.map(n => "graft.rowcount" -> n.toString) ++
         (if (version.isEmpty)
           SchemaLog.latestVersion(fs, path)
@@ -442,20 +444,38 @@ class LakeCatalog extends TableCatalog
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c is not a table column"))
     require(schema.nonEmpty, "CREATE TABLE needs at least one column")
-    fs.mkdirs(new org.apache.hadoop.fs.Path(path)): Unit
-    History.enableManifests(spark, path): Unit
-    History.enableShardedManifests(spark, path): Unit
-    SchemaLog.declareAs(fs, path, schema): Unit
-    if (partCols.nonEmpty)
-      FileManifest.declarePartitioning(fs, path, partCols)
-    // CHECK constraints ride table properties (there is no portable
-    // CONSTRAINT clause in Spark DDL); all other properties are
-    // Spark-internal (provider, owner, …) and ignored
-    import scala.jdk.CollectionConverters._
-    properties.asScala.toSeq.sortBy(_._1).foreach { case (k, v) =>
-      if (k.startsWith("graft.constraint."))
-        Constraints.add(spark, path,
-          k.stripPrefix("graft.constraint."), v): Unit
+    // CREATE means CREATE: a directory already holding files would be
+    // silently ADOPTED by the manifest bootstrap (files the declared
+    // schema may not even match) — adopting existing data is the
+    // engine's explicit enableManifests call, never a side effect
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(root) && fs.listStatus(root).nonEmpty)
+      throw new UnsupportedOperationException(
+        s"CREATE TABLE at non-empty $path — adopting existing files " +
+          "is History.enableManifests (explicit), not a DDL side " +
+          "effect; point CREATE TABLE at an empty or absent path")
+    fs.mkdirs(root): Unit
+    try {
+      History.enableManifests(spark, path): Unit
+      History.enableShardedManifests(spark, path): Unit
+      SchemaLog.declareAs(fs, path, schema): Unit
+      if (partCols.nonEmpty)
+        FileManifest.declarePartitioning(fs, path, partCols)
+      // CHECK constraints ride table properties (there is no portable
+      // CONSTRAINT clause in Spark DDL); all other properties are
+      // Spark-internal (provider, owner, …) and ignored
+      import scala.jdk.CollectionConverters._
+      properties.asScala.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        if (k.startsWith("graft.constraint."))
+          Constraints.add(spark, path,
+            k.stripPrefix("graft.constraint."), v): Unit
+      }
+    } catch { case e: Throwable =>
+      // a half-provisioned shell (manifest without declaration, a
+      // failing constraint expression) must not squat on the path —
+      // the path was empty, so removing it loses nothing
+      fs.delete(root, true): Unit
+      throw e
     }
     tableAt(ident, None)
   }
