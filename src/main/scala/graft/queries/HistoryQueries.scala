@@ -1168,7 +1168,7 @@ object HistoryQueries {
       val rejected =
         try {
           s.sql(s"""INSERT INTO lake.`$dir`
-                    SELECT doc_id + 5000000, 'xx', source, n_chars
+                    SELECT doc_id + 50000000, 'xx', source, n_chars
                     FROM h28_src"""): Unit
           false
         } catch { case _: Exception => true }
@@ -1363,7 +1363,7 @@ object HistoryQueries {
       graft.sources.History.enableManifests(s, dir): Unit
       docs.filter(col("doc_id") % 9 === 2).select(col("doc_id"))
         .unionByName(docs.filter(col("doc_id") < 30)
-          .select((col("doc_id") + 5000000L).as("doc_id")))
+          .select((col("doc_id") + 50000000L).as("doc_id")))
         .createOrReplaceTempView("h41_del_src")
       s.sql(s"""MERGE INTO lake.`$dir` t USING h41_del_src s
                 ON t.doc_id = s.doc_id
@@ -1399,12 +1399,12 @@ object HistoryQueries {
           .withColumn("n_chars", col("n_chars") + 1000L)
           .withColumn("op", lit("U")))
         .unionByName(docs.filter(col("doc_id") < 40)
-          .withColumn("doc_id", col("doc_id") + 2000000L)
+          .withColumn("doc_id", col("doc_id") + 20000000L)
           .withColumn("source", lit("new"))
           .withColumn("op", lit("I")))
         .unionByName(docs
           .filter(col("doc_id") >= 40 && col("doc_id") < 60)
-          .withColumn("doc_id", col("doc_id") + 3000000L)
+          .withColumn("doc_id", col("doc_id") + 30000000L)
           .withColumn("op", lit("D")))
         .createOrReplaceTempView("h42_cdc_src")
       s.sql(s"""MERGE INTO lake.`$dir` t USING h42_cdc_src s
@@ -1527,7 +1527,7 @@ object HistoryQueries {
         docs.filter(col("doc_id") % 3 === 0)
           .withColumn("n_chars", col("n_chars") + 50L)
           .unionByName(docs.filter(col("doc_id") < 25)
-            .withColumn("doc_id", col("doc_id") + 4000000L)
+            .withColumn("doc_id", col("doc_id") + 40000000L)
             .withColumn("source", lit("sync")))
           .createOrReplaceTempView("h46_sync_src")
         s.sql(s"""MERGE INTO lake.`$dir` t USING h46_sync_src s
@@ -1840,7 +1840,7 @@ object HistoryQueries {
       """SELECT doc_id, lang, source, n_chars + 50 AS n_chars
          FROM documents WHERE doc_id % 3 = 0
          UNION ALL
-         SELECT doc_id + 4000000 AS doc_id, lang, 'sync' AS source,
+         SELECT doc_id + 40000000 AS doc_id, lang, 'sync' AS source,
                 n_chars
          FROM documents WHERE doc_id < 25""",
     "h47_sql_alter_table" ->
@@ -1861,7 +1861,7 @@ object HistoryQueries {
          SELECT doc_id, lang, 'cdc' AS source, n_chars + 1000 AS n_chars
          FROM documents WHERE doc_id % 7 = 3
          UNION ALL
-         SELECT doc_id + 2000000 AS doc_id, lang, 'new' AS source, n_chars
+         SELECT doc_id + 20000000 AS doc_id, lang, 'new' AS source, n_chars
          FROM documents WHERE doc_id < 40""",
     "h36_sql_merge" ->
       """WITH src AS (

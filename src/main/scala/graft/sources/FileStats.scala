@@ -203,10 +203,32 @@ object FileStats {
             .find(_.getPath.toDotString == colName)
             .flatMap { c =>
               val st = c.getStatistics
+              // INT64 TIMESTAMP stats NORMALIZE to micros — the unit
+              // catalyst timestamps use — or refuse: serving a
+              // TIMESTAMP_MILLIS bound as micros would answer 1000x
+              // off, and NANOS cannot round-trip through micros
+              def tsToMicros(v: Long): Option[Long] =
+                c.getPrimitiveType.getLogicalTypeAnnotation match {
+                  case ts: org.apache.parquet.schema.LogicalTypeAnnotation
+                      .TimestampLogicalTypeAnnotation =>
+                    ts.getUnit match {
+                      case org.apache.parquet.schema
+                          .LogicalTypeAnnotation.TimeUnit.MICROS =>
+                        Some(v)
+                      case org.apache.parquet.schema
+                          .LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                        try Some(Math.multiplyExact(v, 1000L))
+                        catch { case _: ArithmeticException => None }
+                      case _ => None // NANOS: not micros-representable
+                    }
+                  case _ => Some(v) // plain INT64
+                }
               if (st == null || st.isEmpty || !st.hasNonNullValue) None
               else (st.genericGetMin, st.genericGetMax) match {
                 case (mn: java.lang.Long, mx: java.lang.Long) =>
-                  Some(LongRange(mn.longValue(), mx.longValue()))
+                  for (a <- tsToMicros(mn.longValue());
+                       b <- tsToMicros(mx.longValue()))
+                    yield LongRange(a, b)
                 case (mn: java.lang.Integer, mx: java.lang.Integer) =>
                   Some(LongRange(mn.longValue(), mx.longValue()))
                 case (mn: org.apache.parquet.io.api.Binary,

@@ -1685,13 +1685,15 @@ object History {
     require(keyCols.forall(keys.columns.contains),
       s"keys frame missing key columns: ${keyCols.mkString(",")}")
     dvVictimsCommit(spark, path, None, maxPositions) { scan =>
+      // underscore-prefixed aliases: a data column named `fp`/`ri`
+      // must not collide with the position projection
       scan.select(
-          col("_metadata.file_path").as("fp") +:
-            col("_metadata.row_index").as("ri") +:
+          col("_metadata.file_path").as("__graft_fp") +:
+            col("_metadata.row_index").as("__graft_ri") +:
             keyCols.map(col): _*)
         .join(keys.select(keyCols.map(col): _*).distinct(),
           keyCols, "left_semi")
-        .select(col("fp"), col("ri"))
+        .select(col("__graft_fp"), col("__graft_ri"))
     }
   }
 
@@ -1713,12 +1715,12 @@ object History {
     dvVictimsCommit(spark, path, None, maxPositions) { scan =>
       val base = extraCond.map(scan.filter).getOrElse(scan)
       base.select(
-          col("_metadata.file_path").as("fp") +:
-            col("_metadata.row_index").as("ri") +:
+          col("_metadata.file_path").as("__graft_fp") +:
+            col("_metadata.row_index").as("__graft_ri") +:
             keyCols.map(col): _*)
         .join(keys.select(keyCols.map(col): _*).distinct(),
           keyCols, "left_anti")
-        .select(col("fp"), col("ri"))
+        .select(col("__graft_fp"), col("__graft_ri"))
     }
   }
 
@@ -1989,37 +1991,49 @@ object History {
         partCols.mkString(","))
     SchemaLog.latest(fs, path)
       .foreach(d => SchemaLog.validateWrite(d, batch.schema))
-    val stage = fs.makeQualified(
-      new org.apache.hadoop.fs.Path(filteredOverwriteStagingDir(path)))
-    fs.delete(stage, true): Unit
+    // a UNIQUE staging dir AND promote tag per attempt: the CAS commit
+    // arbitrates concurrent restatements, but two writers sharing one
+    // fixed staging path would clobber each other's staged bytes
+    // BEFORE the commit could judge anything — and a shared promote
+    // tag is worse: the same-tag leftover sweep (built for crashed
+    // single-writer retries) would delete a just-COMMITTED sibling's
+    // current files. This is the one overwrite verb the SQL surface
+    // invites from multiple sessions, so both are per-attempt here.
+    // Crashed attempts' staged orphans and promoted-but-uncommitted
+    // files are vacuum fodder like any unreferenced path.
+    val attempt = java.util.UUID.randomUUID().toString
+    val stage = fs.makeQualified(new org.apache.hadoop.fs.Path(
+      s"${filteredOverwriteStagingDir(path)}-$attempt"))
     batch.write.mode("overwrite")
       .option("maxRecordsPerFile", 5000000L)
       .partitionBy(partCols: _*)
       .parquet(stage.toString)
-    try {
-      // containment: every staged file's dirs must satisfy the filter
-      // (= land inside the region this statement retires)
-      val stagedRels = FileManifest.walkDataFiles(fs, stage)
-      val inRegion = PartitionPredicate
-        .select(stagedRels, partCols, schema, filters)
-      if (!inRegion.exists(_.size == stagedRels.size)) {
-        val outside = stagedRels.toSet -- inRegion.getOrElse(Nil).toSet
-        throw new IllegalArgumentException(
-          "INSERT OVERWRITE batch holds rows OUTSIDE the overwritten " +
-            s"region ${filters.mkString(" AND ")}: " +
-            outside.toSeq.sorted.take(4)
-              .map(r => r.take(math.max(r.lastIndexOf('/'), 0)))
-              .distinct.mkString(", ") +
-            " — rows there would survive in directories the statement " +
-            "did not restate; restrict the query or widen the filter")
+    val nStaged =
+      try {
+        // containment: every staged file's dirs must satisfy the
+        // filter (= land inside the region this statement retires)
+        val stagedRels = FileManifest.walkDataFiles(fs, stage)
+        val inRegion = PartitionPredicate
+          .select(stagedRels, partCols, schema, filters)
+        if (!inRegion.exists(_.size == stagedRels.size)) {
+          val outside = stagedRels.toSet -- inRegion.getOrElse(Nil).toSet
+          throw new IllegalArgumentException(
+            "INSERT OVERWRITE batch holds rows OUTSIDE the overwritten " +
+              s"region ${filters.mkString(" AND ")}: " +
+              outside.toSeq.sorted.take(4)
+                .map(r => r.take(math.max(r.lastIndexOf('/'), 0)))
+                .distinct.mkString(", ") +
+              " — rows there would survive in directories the statement " +
+              "did not restate; restrict the query or widen the filter")
+        }
+        Constraints.enforceStaged(spark, path, stage.toString)
+        stagedRels.size
+      } catch { case e: Throwable =>
+        fs.delete(stage, true): Unit
+        throw e
       }
-      Constraints.enforceStaged(spark, path, stage.toString)
-    } catch { case e: Throwable =>
-      fs.delete(stage, true): Unit
-      throw e
-    }
-    val nStaged = FileManifest.walkDataFiles(fs, stage).size
-    promoteAndFlip(fs, qRoot, path, stage, s"f${m.version + 1}-", selected,
+    promoteAndFlip(fs, qRoot, path, stage,
+      s"f${m.version + 1}-${attempt.take(8)}-", selected,
       dvSeenOf(m, selected), expectBase = Some(m.version))
     (nStaged, selected.size)
   }

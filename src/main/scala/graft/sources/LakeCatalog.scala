@@ -523,10 +523,20 @@ class LakeCatalog extends TableCatalog
               s"ADD COLUMNS $name FIRST/AFTER is not supported — " +
                 "evolved columns append at the end (silently ignoring " +
                 "the position would misplace it)")
+          // catalog-API callers can bypass the analyzer's own check; a
+          // duplicate field would publish an ambiguous declared schema
+          // that evolve can never repair (drops are refused)
+          if (schema.fieldNames.exists(_.equalsIgnoreCase(name)))
+            throw new IllegalArgumentException(
+              s"ADD COLUMNS $name: the column already exists")
           StructType(schema.fields :+ org.apache.spark.sql.types
             .StructField(name, add.dataType(), nullable = true))
         case upd: TableChange.UpdateColumnType =>
           val name = topLevel(upd.fieldNames(), "ALTER COLUMN")
+          if (!schema.fieldNames.contains(name))
+            throw new IllegalArgumentException(
+              s"ALTER COLUMN $name: no such column " +
+                s"(have: ${schema.fieldNames.mkString(", ")})")
           StructType(schema.fields.map(f =>
             if (f.name == name) f.copy(dataType = upd.newDataType())
             else f))

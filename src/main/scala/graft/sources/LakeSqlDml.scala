@@ -545,6 +545,17 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
   *     (unmatched ∧ insert-cond rows) union into ONE
   *     [[History.mergeInto]] — file-granular rewrite, one OCC flip.
   *
+  * STATEMENT-LEVEL failure atomicity over the (up to three) engine
+  * commits: the upsert input is CHECK-validated BEFORE any delete arm
+  * lands (the deterministic bounce cannot half-apply), and any error
+  * after one of this statement's arms committed compensates with a
+  * metadata-only [[History.restore]] to the statement's base version
+  * (the aborted attempt stays visible in history; the rollback never
+  * fires when the only version advance was a concurrent writer's).
+  * Readers between the arms' commits see each arm's own consistent
+  * snapshot — the multi-arm statement is not a single flip; like every
+  * DML verb this runs from the lake's single writer sequence.
+  *
   * Arm conditions evaluate on the RAW source frame (they may
   * reference source columns outside the target image — the CDC op
   * flag); NULL conditions behave as SQL three-valued logic dictates
@@ -592,6 +603,22 @@ case class GraftMergeCdcCommand(path: String, source: LogicalPlan,
       var filesTouched = 0
       var rowsDeleted = 0L
       var rowsReplaced = 0L
+      val fsys = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // the statement's base version: a multi-arm MERGE lands as up to
+      // three engine commits (sync-arm DVs, matched-delete DVs, the
+      // COW merge flip) — each consistent on its own, but a failure
+      // BETWEEN them would leave the statement half-applied, so any
+      // error after the first commit compensates with a metadata-only
+      // rollback to this version (single-writer contract, like every
+      // DML verb: a concurrent commit inside the window conflicts
+      // loudly through OCC/CAS before the rollback could touch it)
+      val v0 = FileManifest.latestVersion(fsys, path)
+      // set once any of THIS statement's arms has committed — the
+      // compensating rollback must never fire for a failure whose only
+      // version advance came from a CONCURRENT writer (restoring would
+      // roll back THEIR commit, not ours)
+      var armsCommitted = false
       // pin matched-ness BEFORE any arm commits: "matched" must mean
       // matched at statement start, or a delete-arm row could read as
       // unmatched afterwards and be resurrected by the INSERT arm
@@ -605,63 +632,95 @@ case class GraftMergeCdcCommand(path: String, source: LogicalPlan,
           mk.count(): Unit // force NOW, ahead of the delete commit
           Some(mk)
         } else None
+      // build (and pin) the upsert input BEFORE any delete commits,
+      // and CHECK-validate it up front: a constraint-violating
+      // update/insert row must bounce the WHOLE statement before
+      // the delete arms land, not after (mergeInto re-validates the
+      // exact staged bytes later — same deterministic verdict)
+      val upsertInput: Option[DataFrame] = matchedKeys.flatMap { mk =>
+        val imgSel = imageCols.map { case (n, a) =>
+          ColumnBridge.column(a).as(n) }
+        // UPDATE arm: matched rows the delete-cond did NOT take
+        // (NULL cond falls through to update — three-valued logic)
+        val updIn =
+          if (!hasUpdate) None
+          else Some(deleteCond.flatten
+            .map(c => srcRaw.filter(!coalesce(c, lit(false))))
+            .getOrElse(srcRaw)
+            .select(imgSel: _*).join(mk, keyCols, "left_semi"))
+        // INSERT arm: unmatched rows passing the insert-cond
+        val insIn = insertCond.map(c =>
+          c.map(srcRaw.filter).getOrElse(srcRaw)
+            .select(imgSel: _*).join(mk, keyCols, "left_anti"))
+        (updIn.toSeq ++ insIn.toSeq).reduceOption(_ unionByName _)
+      }
+      upsertInput.foreach(_.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): Unit)
       try {
-        // the SYNC arm first (still before any COW rewrite): target
-        // rows whose key no source row carries, DV'd through one
-        // anti-join — rows the upsert arms are about to INSERT are in
-        // the source key set by definition, so ordering cannot
-        // resurrect or double-delete
-        bySourceDelete.foreach { cond =>
-          val (f, n) = History.deleteUnmatchedDV(spark, path,
-            srcRaw.select(keySel: _*), keyCols, cond)
-          filesTouched += f
-          rowsDeleted += n
+        try {
+          upsertInput.foreach(Constraints.enforce(spark, path, _))
+          // the DV-vs-COW density ceiling: the same session knob the
+          // SQL DELETE route honors
+          val dvCap = spark.conf
+            .get("spark.graft.dml.dvMaxPositions", "10000000").toLong
+          // the SYNC arm first (still before any COW rewrite): target
+          // rows whose key no source row carries, DV'd through one
+          // anti-join — rows the upsert arms are about to INSERT are
+          // in the source key set by definition, so ordering cannot
+          // resurrect or double-delete
+          bySourceDelete.foreach { cond =>
+            val (f, n) = History.deleteUnmatchedDV(spark, path,
+              srcRaw.select(keySel: _*), keyCols, cond, dvCap)
+            if (f > 0) armsCommitted = true
+            filesTouched += f
+            rowsDeleted += n
+          }
+          deleteCond.foreach { cond =>
+            val delRows = cond.map(srcRaw.filter).getOrElse(srcRaw)
+            val delKeys = delRows.select(keySel: _*)
+            val (f, n) =
+              if (keyCols.size == 1) {
+                val collected = delKeys.distinct()
+                  .limit(bloomRouteCap + 1).collect()
+                // NULL keys never match a target row — standard MERGE
+                val vals = collected.iterator.map(_.get(0))
+                  .filter(_ != null).toSeq
+                if (collected.length <= bloomRouteCap)
+                  if (vals.isEmpty) (0, 0L)
+                  // a delete denser than the DV cap falls back to the
+                  // copy-on-write keyed takedown, like SQL DELETE
+                  else
+                    try History.deleteKeysDV(spark, path, keyCols.head,
+                      vals, dvCap)
+                    catch { case _: DvCapExceededException =>
+                      History.deleteKeys(spark, path, keyCols.head, vals) }
+                else History.deleteMatchedDV(spark, path, delKeys,
+                  keyCols, dvCap)
+              } else History.deleteMatchedDV(spark, path, delKeys,
+                keyCols, dvCap)
+            if (f > 0) armsCommitted = true
+            filesTouched += f
+            rowsDeleted += n
+          }
+          upsertInput.foreach { input =>
+            val (f, r) = History.mergeInto(spark, path, input, keyCols)
+            filesTouched += f
+            rowsReplaced = r
+          }
+        } catch { case e: Throwable =>
+          // compensate: if one of OUR arms already committed, roll the
+          // lake back to the statement's base version (metadata-only;
+          // the aborted attempt stays visible in history, honestly)
+          if (armsCommitted && v0.isDefined &&
+              FileManifest.latestVersion(fsys, path) != v0)
+            try History.restore(spark, path, v0.get): Unit
+            catch { case e2: Throwable => e.addSuppressed(e2) }
+          throw e
         }
-        deleteCond.foreach { cond =>
-          val delRows = cond.map(srcRaw.filter).getOrElse(srcRaw)
-          val delKeys = delRows.select(keySel: _*)
-          val (f, n) =
-            if (keyCols.size == 1) {
-              val collected = delKeys.distinct()
-                .limit(bloomRouteCap + 1).collect()
-              // NULL keys never match a target row — standard MERGE
-              val vals = collected.iterator.map(_.get(0))
-                .filter(_ != null).toSeq
-              if (collected.length <= bloomRouteCap)
-                if (vals.isEmpty) (0, 0L)
-                else History.deleteKeysDV(spark, path, keyCols.head, vals)
-              else History.deleteMatchedDV(spark, path, delKeys, keyCols)
-            } else History.deleteMatchedDV(spark, path, delKeys, keyCols)
-          filesTouched += f
-          rowsDeleted += n
-        }
-        matchedKeys.foreach { mk =>
-          val imgSel = imageCols.map { case (n, a) =>
-            ColumnBridge.column(a).as(n) }
-          // UPDATE arm: matched rows the delete-cond did NOT take
-          // (NULL cond falls through to update — three-valued logic)
-          val updIn =
-            if (!hasUpdate) None
-            else Some(deleteCond.flatten
-              .map(c => srcRaw.filter(!coalesce(c, lit(false))))
-              .getOrElse(srcRaw)
-              .select(imgSel: _*).join(mk, keyCols, "left_semi"))
-          // INSERT arm: unmatched rows passing the insert-cond
-          val insIn = insertCond.map(c =>
-            c.map(srcRaw.filter).getOrElse(srcRaw)
-              .select(imgSel: _*).join(mk, keyCols, "left_anti"))
-          (updIn.toSeq ++ insIn.toSeq).reduceOption(_ unionByName _)
-            .foreach { input =>
-              input.persist(
-                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              try {
-                val (f, r) = History.mergeInto(spark, path, input, keyCols)
-                filesTouched += f
-                rowsReplaced = r
-              } finally input.unpersist(blocking = false): Unit
-            }
-        }
-      } finally matchedKeys.foreach(_.unpersist(blocking = false): Unit)
+      } finally {
+        matchedKeys.foreach(_.unpersist(blocking = false): Unit)
+        upsertInput.foreach(_.unpersist(blocking = false): Unit)
+      }
       Seq(Row(filesTouched, rowsDeleted, rowsReplaced))
     } finally srcRaw.unpersist(blocking = false): Unit
   }

@@ -207,6 +207,68 @@ class MergeCdcSpec extends AnyFunSuite {
     assert(rows(dir) === Seq((1L, "en", 111L)))
   }
 
+  test("a constraint-violating upsert arm bounces the WHOLE statement " +
+      "before any delete lands") {
+    import spark.implicits._
+    val dir = lake()
+    graft.sources.Constraints.add(spark, dir, "chars_nonneg",
+      "n_chars >= 0"): Unit
+    val fs = fsOf(dir)
+    val v0 = FileManifest.latest(fs, dir).get.version
+    // the delete arm alone would succeed; the update arm carries a
+    // violating row — statement atomicity demands the delete must NOT
+    // have landed when the statement errors
+    Seq((2L, "en", 0L, "D"), (1L, "en", -5L, "U"))
+      .toDF("doc_id", "lang", "n_chars", "op")
+      .createOrReplaceTempView("cdc_atomic_src")
+    intercept[Exception] {
+      spark.sql(s"""MERGE INTO lake.`$dir` t USING cdc_atomic_src s
+                    ON t.doc_id = s.doc_id
+                    WHEN MATCHED AND s.op = 'D' THEN DELETE
+                    WHEN MATCHED THEN UPDATE SET *""")
+    }
+    assert(FileManifest.latest(fs, dir).get.version === v0,
+      "no arm may commit when another arm's validation bounces")
+    assert(rows(dir) === Seq((1L, "en", 10L), (2L, "en", 20L),
+      (3L, "de", 30L), (4L, "de", 40L), (5L, "fr", 50L)))
+  }
+
+  test("a failure after a delete arm committed compensates with a " +
+      "rollback to the statement's base version") {
+    import spark.implicits._
+    val dir = lake()
+    // arm a two-stage hook: the delete arm's commit re-arms it, then
+    // the MERGE flip's commit window gets a concurrent DV landing —
+    // mergeInto conflicts loudly AFTER the delete arm already
+    // committed, and the compensation must roll the lake back whole
+    Seq((2L, "en", 0L, "D"), (1L, "en", 111L, "U"))
+      .toDF("doc_id", "lang", "n_chars", "op")
+      .createOrReplaceTempView("cdc_comp_src")
+    FileManifest.testRaceHookPath = Some(dir)
+    FileManifest.testRaceHook = Some { () =>
+      FileManifest.testRaceHookPath = Some(dir)
+      FileManifest.testRaceHook = Some { () =>
+        History.deleteWhereDV(spark, dir, col("doc_id") === 4L): Unit
+      }
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        spark.sql(s"""MERGE INTO lake.`$dir` t USING cdc_comp_src s
+                      ON t.doc_id = s.doc_id
+                      WHEN MATCHED AND s.op = 'D' THEN DELETE
+                      WHEN MATCHED THEN UPDATE SET *""")
+      }
+      // the statement's own delete (key 2) must NOT survive the
+      // failed statement; the in-window concurrent takedown (key 4)
+      // rolls back with it — the documented single-writer caveat
+      assert(rows(dir) === Seq((1L, "en", 10L), (2L, "en", 20L),
+        (3L, "de", 30L), (4L, "de", 40L), (5L, "fr", 50L)))
+    } finally {
+      FileManifest.testRaceHook = None
+      FileManifest.testRaceHookPath = None
+    }
+  }
+
   test("a DV landing under the CDC merge's rewrite conflicts loudly") {
     import spark.implicits._
     val dir = lake()
