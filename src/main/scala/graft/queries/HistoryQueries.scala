@@ -1140,6 +1140,21 @@ object HistoryQueries {
       s.sql(s"""SELECT MIN(lang) AS mn_lang, MAX(lang) AS mx_lang,
                        COUNT(*) AS n_rows
                 FROM lake.`$dir`""")
+    }),
+
+    // Metadata-only COUNT(col) — the NON-NULL count, the completeness
+    // dashboard's other half: per-file footer rows minus footer null
+    // counts (the nulls entry rides the same refresh as the column's
+    // extrema, zero extra I/O), the whole SELECT planning a
+    // LocalTableScan (plan spec-locked in LakeCatalogSpec; this gate
+    // pins the VALUES at SF scale). A nulls entry consulted for the
+    // wrong column or a miscounted block shifts the count and fails
+    // the hash.
+    "h49_sql_count_col" -> ((s, d) => {
+      val dir = sqlCountColLake(s, d)
+      s.sql(s"""SELECT COUNT(lang_opt) AS n_lang, COUNT(*) AS n_rows,
+                       MIN(doc_id) AS mn_id
+                FROM lake.`$dir`""")
     })
   )
 
@@ -1586,6 +1601,33 @@ object HistoryQueries {
         dir
       })
 
+  /** h49's lake: documents with a derived NULLABLE column, stats (and
+    * their piggybacked null counts) refreshed — the COUNT(col) serve
+    * state. */
+  private val sqlCountColLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlCountColLake(s: SparkSession, sfDir: String): String =
+    sqlCountColLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir),
+      _ => {
+        Memos.install(s)
+        s.conf.set("spark.sql.catalog.lake",
+          classOf[graft.sources.LakeCatalog].getName)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-sql-cntcol").toString + "/lake"
+        graft.Tables.documents(s, sfDir)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, lit(null))
+              .otherwise(col("lang")).as("lang_opt"))
+          .repartition(4)
+          .write.parquet(dir)
+        graft.sources.History.enableManifests(s, dir): Unit
+        graft.sources.History.refreshRowCounts(s, dir): Unit
+        graft.sources.History.refreshStats(s, dir, "lang_opt"): Unit
+        graft.sources.History.refreshStats(s, dir, "doc_id"): Unit
+        dir
+      })
+
   private val rollupCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
@@ -1853,6 +1895,11 @@ object HistoryQueries {
     "h48_sql_partition_extrema" ->
       """SELECT MIN(lang) AS mn_lang, MAX(lang) AS mx_lang,
                 COUNT(*) AS n_rows
+         FROM documents""",
+    "h49_sql_count_col" ->
+      """SELECT COUNT(CASE WHEN doc_id % 7 = 0 THEN NULL
+                           ELSE lang END) AS n_lang,
+                COUNT(*) AS n_rows, MIN(doc_id) AS mn_id
          FROM documents""",
     "h42_sql_merge_cdc" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

@@ -67,6 +67,13 @@ object FileStats {
     * prefix keeps it out of any real column's namespace. */
   val RowsCol = "_graft_rows"
 
+  /** Reserved pseudo-column PREFIX: `_graft_nulls:<col>` holds the
+    * file's NULL COUNT for `<col>` as (n, n) — recorded by the same
+    * footer read that stats the column's extrema (zero extra I/O),
+    * served by [[History.fastCountColFiles]] for metadata-only
+    * COUNT(col) = rows − nulls. */
+  val NullsPrefix = "_graft_nulls:"
+
   /** Parsed-sidecar LRU keyed (qualified path, mtime, length) — the
     * sidecar is rewritten whole by refresh, so the status pair
     * invalidates naturally. Every stats-pruned plan consults the full
@@ -193,11 +200,32 @@ object FileStats {
     * unstatted — no reader ordering to answer MIN/MAX under. */
   def minMaxFromFooter(conf: Configuration, file: Path,
                        colName: String): Option[StatRange] =
+    footerColumnStats(conf, file, colName)._1
+
+  /** One footer read answering BOTH stats families for a column: its
+    * min/max range ([[minMaxFromFooter]]'s contract) and its total
+    * NULL COUNT (blocks' num-nulls summed — None unless every block
+    * declares one, or on any read problem; never throws). */
+  def footerColumnStats(conf: Configuration, file: Path,
+      colName: String): (Option[StatRange], Option[Long]) =
     try {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
       try {
         val blocks = reader.getFooter.getBlocks.asScala
+        val nullsPerBlock: Seq[Option[Long]] = blocks.toSeq.map { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == colName)
+            .flatMap { c =>
+              val st = c.getStatistics
+              if (st == null || st.isEmpty || !st.isNumNullsSet) None
+              else Some(st.getNumNulls)
+            }
+        }
+        val nulls: Option[Long] =
+          if (nullsPerBlock.isEmpty || nullsPerBlock.exists(_.isEmpty))
+            None
+          else Some(nullsPerBlock.map(_.get).sum)
         val ranges: Seq[StatRange] = blocks.toSeq.flatMap { b =>
           b.getColumns.asScala
             .find(_.getPath.toDotString == colName)
@@ -243,18 +271,20 @@ object FileStats {
         }
         // every row group must report stats (of one shape), or rows
         // outside the folded range could exist in an unstatted block
-        if (ranges.isEmpty || ranges.size != blocks.size) None
-        else if (ranges.forall(_.isInstanceOf[LongRange])) {
-          val ls = ranges.collect { case r: LongRange => r }
-          Some(LongRange(ls.map(_.mn).min, ls.map(_.mx).max))
-        } else if (ranges.forall(_.isInstanceOf[StrRange])) {
-          val ss = ranges.collect { case r: StrRange => r }
-          Some(StrRange(
-            ss.map(_.mn).reduce((a, b) => if (utf8Lt(a, b)) a else b),
-            ss.map(_.mx).reduce((a, b) => if (utf8Lt(a, b)) b else a)))
-        } else None
+        val range: Option[StatRange] =
+          if (ranges.isEmpty || ranges.size != blocks.size) None
+          else if (ranges.forall(_.isInstanceOf[LongRange])) {
+            val ls = ranges.collect { case r: LongRange => r }
+            Some(LongRange(ls.map(_.mn).min, ls.map(_.mx).max))
+          } else if (ranges.forall(_.isInstanceOf[StrRange])) {
+            val ss = ranges.collect { case r: StrRange => r }
+            Some(StrRange(
+              ss.map(_.mn).reduce((a, b) => if (utf8Lt(a, b)) a else b),
+              ss.map(_.mx).reduce((a, b) => if (utf8Lt(a, b)) b else a)))
+          } else None
+        (range, nulls)
       } finally reader.close()
-    } catch { case _: Throwable => None }
+    } catch { case _: Throwable => (None, None) }
 
   /** Footer total row count (blocks summed), or None on an unreadable
     * footer (never throws — same contract as [[minMaxFromFooter]]). */
@@ -288,26 +318,37 @@ object FileStats {
       case Some(fl) => val cs = m.curSet; fl.filter(cs)
       case None => m.cur
     }
-    val missing = scope.filterNot(rel => have.contains((rel, colName)))
+    // a real column's refresh records BOTH its extrema range and its
+    // null count (same footer read); either entry missing re-reads —
+    // so a pre-nulls sidecar upgrades in place on its next refresh
+    val nullsKey = s"$NullsPrefix$colName"
+    val missing = scope.filterNot(rel =>
+      have.contains((rel, colName)) &&
+        (colName == RowsCol || have.contains((rel, nullsKey))))
     // footer reads are independent KB-scale metadata fetches — run them
     // on the same bounded pool as commit renames (matters on object
     // stores where each footer is a round-trip)
     val freshMap = new java.util.concurrent.ConcurrentHashMap[
-      String, Option[StatRange]]()
+      String, (Option[StatRange], Option[Long])]()
     LakeCommit.foreachPar(missing) { rel =>
       // record unstattable files as a sentinel so they're footer-read
       // ONCE, not on every refresh (keeps the steady state O(new files))
       freshMap.put(rel,
         if (colName == RowsCol)
-          rowCountFromFooter(conf, new Path(qRoot, rel))
-            .map(n => LongRange(n, n))
-        else minMaxFromFooter(conf, new Path(qRoot, rel), colName)): Unit
+          (rowCountFromFooter(conf, new Path(qRoot, rel))
+            .map(n => LongRange(n, n)), None)
+        else footerColumnStats(conf, new Path(qRoot, rel), colName)): Unit
     }
     val fresh = missing.flatMap(rel =>
-      Option(freshMap.get(rel)).map(v => (rel, colName) -> v))
+      Option(freshMap.get(rel)).toSeq.flatMap { case (range, nulls) =>
+        Seq((rel, colName) -> range) ++
+          (if (colName == RowsCol) Nil
+           else Seq((rel, nullsKey) ->
+             nulls.map(n => LongRange(n, n): StatRange)))
+      })
     val keep = m.curSet ++ m.retiredSet // retired may still serve pins
     val next = have.view.filterKeys(k => keep(k._1)).toMap ++ fresh
     if (next != have) publish(fs, lakePath, next)
-    fresh.count(_._2.isDefined)
+    fresh.count { case ((_, c), v) => c == colName && v.isDefined }
   }
 }

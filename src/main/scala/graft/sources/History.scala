@@ -1007,6 +1007,37 @@ object History {
         rs.map(_._2).reduce((a, b) => if (FileStats.utf8Lt(a, b)) b else a)))
   }
 
+  /** Metadata-only COUNT(col) — the NON-NULL count — over a
+    * current-file subset: per-file footer row count minus per-file
+    * footer null count, both from the stats sidecar (the null entry
+    * rides every [[refreshStats]] of the column at zero extra I/O).
+    * Refused when a live DV sits on the subset (a vector deletes null
+    * and non-null rows unevenly — the answer cannot be netted) or any
+    * contributing file lacks either entry; a fresh ZERO-rowcount file
+    * contributes zero without needing a nulls entry. An empty subset
+    * is exactly zero. */
+  private[sources] def fastCountColFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String, m: FileManifest.Manifest, rels: Seq[String],
+      column: String): Option[Long] = {
+    val relSet = rels.toSet
+    if (m.dvs.exists { case (rel, _) => relSet(rel) }) return None
+    val stats = FileStats.read(fs, path)
+    val nullsKey = s"${FileStats.NullsPrefix}$column"
+    val per: Seq[Option[Long]] = rels.map { rel =>
+      stats.get((rel, FileStats.RowsCol)).flatten.collect {
+        case FileStats.LongRange(n, _) => n
+      } match {
+        case Some(0L) => Some(0L)
+        case Some(n) => stats.get((rel, nullsKey)).flatten.collect {
+          case FileStats.LongRange(k, _) => n - k
+        }
+        case None => None
+      }
+    }
+    if (per.exists(_.isEmpty)) None else Some(per.map(_.get).sum)
+  }
+
   /** Metadata MIN/MAX for a PARTITION column over a current-file
     * subset: each file's value IS its `k=v` directory name, so the
     * extrema need zero footer stats — but a file only contributes if

@@ -211,7 +211,15 @@ class LakeCatalog extends TableCatalog
         schema, sel => MetaAggScan.resolveFuncs(agg,
           count = if (sel.length == m.cur.length) fastCnt
             else History.fastCountFiles(fs, path, m, sel),
-          minMax = c => typedMinMax(sel, c)))
+          minMax = c => typedMinMax(sel, c),
+          countCol = c =>
+            // a PARTITION column is never null within its k=v dirs
+            // (the null dir is __HIVE_DEFAULT_PARTITION__, a distinct
+            // directory this subset either includes or not) — but
+            // deciding that per dir duplicates the grouped path, so
+            // only DATA columns answer from the nulls sidecar here
+            if (partCols.contains(c)) None
+            else History.fastCountColFiles(fs, path, m, sel, c)))
     if (liveDvs.nonEmpty)
       // merge-on-read: the stock parquet table cannot apply deletion
       // vectors (it would resurrect deleted rows), so DV-bearing

@@ -183,18 +183,23 @@ object MetaAggScan {
     * cardinalities). */
   def resolve(agg: Aggregation, count: => Option[Long],
               minMax: String => Option[(org.apache.spark.sql.types.DataType,
-                Any, Any)]): Option[MetaAggScan] = {
+                Any, Any)],
+              countCol: String => Option[Long] = _ => None)
+      : Option[MetaAggScan] = {
     if (agg.groupByExpressions().nonEmpty) return None
-    resolveFuncs(agg, count, minMax).map { case (fields, values) =>
-      new MetaAggScan(StructType(fields), Array(values.toArray))
+    resolveFuncs(agg, count, minMax, countCol).map {
+      case (fields, values) =>
+        new MetaAggScan(StructType(fields), Array(values.toArray))
     }
   }
 
   /** The per-function half: ALL functions must answer (a half-answered
-    * aggregate cannot be stitched onto a scan). */
+    * aggregate cannot be stitched onto a scan). `countCol` answers the
+    * NON-NULL `COUNT(col)` from footer rows − footer nulls. */
   def resolveFuncs(agg: Aggregation, count: => Option[Long],
                    minMax: String => Option[
-                     (org.apache.spark.sql.types.DataType, Any, Any)])
+                     (org.apache.spark.sql.types.DataType, Any, Any)],
+                   countCol: String => Option[Long] = _ => None)
       : Option[(Seq[StructField], Seq[Any])] = {
     val funcs = agg.aggregateExpressions()
     if (funcs.isEmpty) return None
@@ -203,13 +208,17 @@ object MetaAggScan {
         case (_: CountStar, i) =>
           count.map(n =>
             (StructField(s"count_$i", LongType, nullable = false), n: Any))
+        case (c: aggregate.Count, i) if !c.isDistinct =>
+          colName(c.column()).flatMap(countCol).map(n =>
+            (StructField(s"countcol_$i", LongType, nullable = false),
+              n: Any))
         case (m: aggregate.Min, i) =>
           colName(m.column()).flatMap(minMax).map { case (dt, mn, _) =>
             (StructField(s"min_$i", dt, nullable = false), mn) }
         case (m: aggregate.Max, i) =>
           colName(m.column()).flatMap(minMax).map { case (dt, _, mx) =>
             (StructField(s"max_$i", dt, nullable = false), mx) }
-        case _ => None // SUM/AVG/COUNT(col): no metadata answer
+        case _ => None // SUM/AVG/COUNT(DISTINCT): no metadata answer
       }
     if (resolved.exists(_.isEmpty)) None
     else Some((resolved.map(_.get._1), resolved.map(_.get._2)))

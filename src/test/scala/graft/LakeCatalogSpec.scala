@@ -585,6 +585,40 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(again.collect().head.toSeq === Seq("alpha", "gamma"))
   }
 
+  test("COUNT(col) answers non-null counts from footer null stats") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sqlcat-cnt").toString + "/lake"
+    Seq((1L, Some(10L)), (2L, None), (3L, Some(30L)), (4L, None),
+        (5L, Some(50L)))
+      .toDF("id", "opt")
+      .repartition(2).write.parquet(dir)
+    History.enableManifests(spark, dir): Unit
+    History.refreshRowCounts(spark, dir): Unit
+    History.refreshStats(spark, dir, "opt"): Unit
+    // COUNT(col) = footer rows − footer nulls, COUNT(*) beside it —
+    // the whole SELECT plans a LocalTableScan, zero file reads
+    val df = spark.sql(s"""SELECT COUNT(opt) AS n_opt, COUNT(*) AS n
+                           FROM lake.`$dir`""")
+    assert(df.collect().head.toSeq === Seq(3L, 5L))
+    assert(df.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      df.queryExecution.executedPlan.toString.take(800))
+    // COUNT(DISTINCT col) has no metadata answer: the scan runs
+    val dfd = spark.sql(
+      s"SELECT COUNT(DISTINCT opt) AS d FROM lake.`$dir`")
+    assert(dfd.collect().head.getLong(0) === 3L)
+    assert(!dfd.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    // a live DV refuses (a vector deletes null/non-null unevenly):
+    // values stay correct via the scan
+    History.deleteKeysDV(spark, dir, "id", Seq(2L)): Unit
+    val dfv = spark.sql(s"SELECT COUNT(opt) AS n_opt FROM lake.`$dir`")
+    assert(dfv.collect().head.getLong(0) === 3L)
+    assert(!dfv.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+  }
+
   test("grouped metadata aggregates compose COUNT with typed extrema") {
     import spark.implicits._
     val dir = java.nio.file.Files
