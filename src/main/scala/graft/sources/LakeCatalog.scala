@@ -288,6 +288,17 @@ class LakeCatalog extends TableCatalog
           val rows = Constraints.current(fsOf(p), p)
           import s.implicits._
           rows.toDF("name", "expression")
+        })),
+      // the declared-schema HISTORY: every evolution step as DDL — the
+      // "when did this column appear" audit (`#history` answers the
+      // data side; this answers the shape side)
+      "schema" -> ((st("version" -> LongType, "schema_ddl" -> StringType),
+        (s: SparkSession, p: String) => {
+          val f = fsOf(p)
+          val rows = SchemaLog.versions(f, p)
+            .map(v => (v, SchemaLog.at(f, p, v).toDDL))
+          import s.implicits._
+          rows.toDF("version", "schema_ddl")
         })))
   }
 

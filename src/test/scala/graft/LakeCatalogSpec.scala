@@ -448,6 +448,21 @@ class LakeCatalogSpec extends AnyFunSuite {
       s"""SELECT COUNT(*) FROM lake.`$dir#files` f
           WHERE f.dv_file IS NOT NULL""").collect().head.getLong(0)
     assert(n === 1L)
+    // #schema: the declared-schema history as DDL — empty before a
+    // declaration, one row per evolution step after
+    assert(spark.sql(s"SELECT * FROM lake.`$dir#schema`").count() === 0L)
+    History.declareSchema(spark, dir): Unit
+    History.evolveSchema(spark, dir,
+      org.apache.spark.sql.types.StructType(
+        History.declaredSchema(spark, dir).get.fields :+
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.DoubleType))): Unit
+    val sch = spark.sql(
+      s"SELECT version, schema_ddl FROM lake.`$dir#schema` " +
+        "ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(sch.length === 2)
+    assert(!sch.head._2.contains("score") && sch.last._2.contains("score"))
     // an unknown suffix is just a path that is not a lake
     intercept[Exception] {
       spark.sql(s"SELECT * FROM lake.`$dir#nope`").collect()
