@@ -1155,6 +1155,66 @@ object HistoryQueries {
       s.sql(s"""SELECT COUNT(lang_opt) AS n_lang, COUNT(*) AS n_rows,
                        MIN(doc_id) AS mn_id
                 FROM lake.`$dir`""")
+    }),
+
+    // PARTIAL-SET / conditional-UPDATE-arm MERGE — the highest-
+    // frequency real-world CDC shape (a Debezium-style feed carrying
+    // only the CHANGED columns): two conditional UPDATE arms with
+    // DIFFERENT partial SET lists (first-match-wins, expression
+    // values), plus a partial-column INSERT arm whose unassigned
+    // column fills NULL. Unassigned target columns must survive
+    // byte-identical through the keyed target-image join
+    // (MergeCdcSpec locks the mechanics; this gate pins the VALUES at
+    // SF scale). A leaked arm, a clobbered unassigned column, or a
+    // NULL-fill going wrong fails the hash.
+    "h50_sql_merge_partial" -> ((s, d) => {
+      val dir = sqlMergePartialLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
+                WHERE doc_id >= 0""")
+    }),
+
+    // DYNAMIC-mode INSERT OVERWRITE ("replace exactly the partitions
+    // this query produced" — the multi-day backfill): with
+    // partitionOverwriteMode=dynamic, one statement restates the en
+    // and zh partitions to a transformed image derived from the query
+    // itself, while every partition the query produced NO rows for
+    // survives byte-identical (spec-locked in LakeCatalogSpec; this
+    // gate pins the VALUES at SF scale). A row leaking into an
+    // unproduced partition, or an untouched partition lost, fails the
+    // hash.
+    "h51_sql_overwrite_dynamic" -> ((s, d) => {
+      val dir = sqlDynOvwLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
+                WHERE doc_id >= 0""")
+    }),
+
+    // METADATA-ONLY RENAME COLUMN (declared-schema aliasing): era 1
+    // holds the column under its old physical name, a SQL ALTER
+    // renames it (zero files rewritten), era 2 writes the new name,
+    // and a DV DELETE whose predicate references the RENAMED column
+    // lands on top — one scan serves both eras through the alias
+    // projection (mechanics spec-locked in LakeDdlSpec; this gate
+    // pins the VALUES at SF scale). A pre-rename file reading back
+    // NULL, a misrouted era, or the filter missing one era fails the
+    // hash.
+    "h52_sql_rename_column" -> ((s, d) => {
+      val dir = sqlRenameLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, origin, n_chars FROM lake.`$dir`
+                WHERE doc_id >= 0""")
+    }),
+
+    // DOUBLE metadata extrema: MIN/MAX of a DOUBLE column answer from
+    // per-file footer stats (NaN/±0.0-touching bounds refused at stat
+    // time — parquet writer conventions are unreliable exactly there),
+    // the whole SELECT planning a LocalTableScan with zero file reads
+    // (plan spec-locked in LakeCatalogSpec; this gate pins the VALUES
+    // at SF scale). A dropped file bound or a float-fold divergence
+    // shifts an extremum and fails the hash.
+    "h53_sql_double_extrema" -> ((s, d) => {
+      val dir = sqlDblExtremaLake(s, d)
+      s.sql(s"""SELECT MIN(score) AS mn_s, MAX(score) AS mx_s,
+                       COUNT(*) AS n_rows
+                FROM lake.`$dir`""")
     })
   )
 
@@ -1359,6 +1419,71 @@ object HistoryQueries {
       dir
     })
 
+  /** h51's lake: documents PARTITIONED BY lang through the engine
+    * write path, then one DYNAMIC-mode SQL INSERT OVERWRITE whose
+    * query produces rows for en and zh only — exactly those two
+    * partitions restate, the rest survive untouched. */
+  private val sqlDynOvwLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlDynOvwLake(s: SparkSession, sfDir: String): String =
+    sqlDynOvwLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      s.conf.set("spark.sql.catalog.lake",
+        classOf[graft.sources.LakeCatalog].getName)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sql-dynovw").toString + "/lake"
+      graft.Tables.documents(s, sfDir)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+        .repartition(col("lang"))
+        .write.partitionBy("lang").parquet(dir)
+      graft.sources.History.enableManifests(s, dir): Unit
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        s.sql(s"""INSERT OVERWRITE lake.`$dir`
+                  SELECT doc_id, source, n_chars * 5 AS n_chars, lang
+                  FROM parquet.`$sfDir/documents.parquet`
+                  WHERE lang IN ('en', 'zh') AND doc_id % 3 = 0"""): Unit
+      finally prev match {
+        case Some(v) =>
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      dir
+    })
+
+  /** h52's lake: corpus through the engine write path (physical
+    * column `source`), declared, then SQL RENAME COLUMN source→origin
+    * (metadata-only), an era-2 INSERT under the new name, and a DV
+    * DELETE filtering on the renamed column. */
+  private val sqlRenameLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlRenameLake(s: SparkSession, sfDir: String): String =
+    sqlRenameLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      s.conf.set("spark.sql.catalog.lake",
+        classOf[graft.sources.LakeCatalog].getName)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sql-rename").toString + "/lake"
+      graft.Tables.documents(s, sfDir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .repartition(8)
+        .write.parquet(dir)
+      graft.sources.History.enableManifests(s, dir): Unit
+      graft.sources.SchemaLog.declare(s, dir): Unit
+      s.sql(s"ALTER TABLE lake.`$dir` RENAME COLUMN source TO origin"): Unit
+      s.sql(s"""INSERT INTO lake.`$dir`
+                SELECT doc_id + 70000000, lang, 'era2' AS origin, n_chars
+                FROM parquet.`$sfDir/documents.parquet`
+                WHERE doc_id < 45"""): Unit
+      s.sql(s"""DELETE FROM lake.`$dir`
+                WHERE origin = 'era2' AND doc_id % 2 = 0"""): Unit
+      dir
+    })
+
   /** h41's lake: corpus through the engine write path, then one SQL
     * `MERGE … WHEN MATCHED THEN DELETE` applies a key feed mixing
     * existing keys (doc_id % 9 = 2) with absent ones (offset block). */
@@ -1429,6 +1554,53 @@ object HistoryQueries {
                 WHEN NOT MATCHED AND s.op != 'D' THEN INSERT *"""): Unit
       dir
     })
+
+  /** h50's lake: corpus through the engine write path, then ONE SQL
+    * MERGE replays a column-subset CDC batch — op='N' rows reset only
+    * n_chars (expression value), op='S' rows reset only source
+    * (expression value), an offset block inserts through a partial
+    * column list (lang unassigned → NULL). Arms are key-disjoint
+    * (modular classes), feeds derived from documents so the DuckDB
+    * oracle rebuilds the exact image. */
+  private val sqlMergePartialLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlMergePartialLake(s: SparkSession, sfDir: String): String =
+    sqlMergePartialLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir),
+      _ => {
+        Memos.install(s)
+        s.conf.set("spark.sql.catalog.lake",
+          classOf[graft.sources.LakeCatalog].getName)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-sql-mgpart").toString + "/lake"
+        val docs = graft.Tables.documents(s, sfDir)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        docs.repartition(8).write.parquet(dir)
+        graft.sources.History.enableManifests(s, dir): Unit
+        // the feed's columns deliberately do NOT mirror the target
+        // image (n2/src2/op) — partial SET lists take expressions over
+        // whatever the feed carries
+        docs.filter(col("doc_id") % 11 === 5)
+          .select(col("doc_id"), (col("n_chars") * 2).as("n2"),
+            col("source").as("src2"), lit("N").as("op"))
+          .unionByName(docs.filter(col("doc_id") % 11 === 7)
+            .select(col("doc_id"), col("n_chars").as("n2"),
+              col("source").as("src2"), lit("S").as("op")))
+          .unionByName(docs.filter(col("doc_id") < 35)
+            .select((col("doc_id") + 60000000L).as("doc_id"),
+              col("n_chars").as("n2"), col("source").as("src2"),
+              lit("N").as("op")))
+          .createOrReplaceTempView("h50_cdc_src")
+        s.sql(s"""MERGE INTO lake.`$dir` t USING h50_cdc_src s
+                  ON t.doc_id = s.doc_id
+                  WHEN MATCHED AND s.op = 'N'
+                    THEN UPDATE SET n_chars = s.n2 + 5
+                  WHEN MATCHED AND s.op = 'S'
+                    THEN UPDATE SET source = concat('p:', s.src2)
+                  WHEN NOT MATCHED THEN INSERT (doc_id, source, n_chars)
+                    VALUES (s.doc_id, 'ins', s.n2)"""): Unit
+        dir
+      })
 
   /** h43's lake: built with ZERO Scala — CTAS (partitioned, CHECK
     * constraint via TBLPROPERTIES) over the evens with a transform,
@@ -1515,6 +1687,31 @@ object HistoryQueries {
         graft.sources.History.enableManifests(s, dir): Unit
         graft.sources.History.refreshStats(s, dir, "dt"): Unit
         graft.sources.History.refreshStats(s, dir, "source"): Unit
+        graft.sources.History.refreshRowCounts(s, dir): Unit
+        dir
+      })
+
+  /** h53's lake: a DOUBLE score column (strictly positive, exact
+    * binary fractions so Spark and DuckDB agree bit-for-bit) with
+    * refreshed footer stats — the DOUBLE metadata-extrema surface. */
+  private val sqlDblExtremaLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlDblExtremaLake(s: SparkSession, sfDir: String): String =
+    sqlDblExtremaLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir),
+      _ => {
+        Memos.install(s)
+        s.conf.set("spark.sql.catalog.lake",
+          classOf[graft.sources.LakeCatalog].getName)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-sql-dblext").toString + "/lake"
+        graft.Tables.documents(s, sfDir)
+          .select(col("doc_id"),
+            (lit(1000.25) + col("doc_id") * lit(0.5)).as("score"))
+          .repartition(4)
+          .write.parquet(dir)
+        graft.sources.History.enableManifests(s, dir): Unit
+        graft.sources.History.refreshStats(s, dir, "score"): Unit
         graft.sources.History.refreshRowCounts(s, dir): Unit
         dir
       })
@@ -1910,6 +2107,35 @@ object HistoryQueries {
          UNION ALL
          SELECT doc_id + 20000000 AS doc_id, lang, 'new' AS source, n_chars
          FROM documents WHERE doc_id < 40""",
+    "h53_sql_double_extrema" ->
+      """SELECT MIN(1000.25 + doc_id * 0.5) AS mn_s,
+                MAX(1000.25 + doc_id * 0.5) AS mx_s,
+                COUNT(*) AS n_rows
+         FROM documents""",
+    "h52_sql_rename_column" ->
+      """SELECT doc_id, lang, source AS origin, n_chars FROM documents
+         UNION ALL
+         SELECT doc_id + 70000000 AS doc_id, lang, 'era2' AS origin,
+                n_chars
+         FROM documents WHERE doc_id < 45 AND doc_id % 2 = 1""",
+    "h51_sql_overwrite_dynamic" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE lang NOT IN ('en', 'zh')
+         UNION ALL
+         SELECT doc_id, lang, source, n_chars * 5 AS n_chars
+         FROM documents
+         WHERE lang IN ('en', 'zh') AND doc_id % 3 = 0""",
+    "h50_sql_merge_partial" ->
+      """SELECT doc_id, lang,
+                CASE WHEN doc_id % 11 = 7 THEN 'p:' || source
+                     ELSE source END AS source,
+                CASE WHEN doc_id % 11 = 5 THEN n_chars * 2 + 5
+                     ELSE n_chars END AS n_chars
+         FROM documents
+         UNION ALL
+         SELECT doc_id + 60000000 AS doc_id, CAST(NULL AS VARCHAR) AS lang,
+                'ins' AS source, n_chars
+         FROM documents WHERE doc_id < 35""",
     "h36_sql_merge" ->
       """WITH src AS (
            SELECT doc_id, lang, 'merged' AS source,

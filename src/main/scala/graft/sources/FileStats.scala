@@ -49,6 +49,13 @@ object FileStats {
   sealed trait StatRange
   final case class LongRange(mn: Long, mx: Long) extends StatRange
   final case class StrRange(mn: String, mx: String) extends StatRange
+  /** DOUBLE/FLOAT extrema (floats widen exactly). Footer bounds
+    * involving NaN or ±0.0 REFUSE at read time — parquet double stats
+    * are unreliable around NaN (a writer may drop NaN from bounds or
+    * order it arbitrarily) and the −0.0/+0.0 min/max convention varies
+    * by writer, so a bound touching either could answer or prune
+    * wrongly. */
+  final case class DoubleRange(mn: Double, mx: Double) extends StatRange
 
   /** UTF-8-byte unsigned comparison — parquet's and Spark's shared
     * string ordering (Java String.compareTo differs above the BMP). */
@@ -58,6 +65,16 @@ object FileStats {
 
   def statsPath(lakePath: String): String =
     s"${FileManifest.manifestDir(lakePath)}/stats.tsv"
+
+  /** Sidecar FORMAT VERSION header (first line). v2 = timestamp
+    * entries are unit-normalized to micros at footer-read time; a
+    * sidecar WITHOUT the marker predates the normalization, so its
+    * INT64 TIMESTAMP_MILLIS entries hold raw millis that a v2 reader
+    * would serve 1000x off (typed MIN/MAX and readPinnedBox pruning).
+    * Unversioned sidecars are therefore DISCARDED on read — pruning
+    * degrades until the next refresh rebuilds them under v2, which is
+    * the one failure direction the design allows. */
+  private val FormatHeader = "#graft-stats-v2"
 
   /** Reserved pseudo-column: the file's TOTAL ROW COUNT (footer block
     * counts summed), stored as (n, n). Refreshed through the ordinary
@@ -106,12 +123,18 @@ object FileStats {
     // one encoding that keeps a tab/newline-bearing bound on one TSV
     // line and round-trips exactly; numeric lines stay bare longs, so
     // pre-string sidecars parse unchanged
-    def bound(v: String): Option[Either[Long, String]] =
+    // double bounds ride a `d:` tag with java.lang.Double.toString —
+    // exact round-trip for every finite double and ±Infinity (NaN/±0.0
+    // never get written — refused at footer-read time)
+    def bound(v: String): Option[Any] =
       if (v.startsWith("s:"))
-        scala.util.Try(Right(new String(
+        scala.util.Try(new String(
           java.util.Base64.getDecoder.decode(v.drop(2)),
-          java.nio.charset.StandardCharsets.UTF_8))).toOption
-      else scala.util.Try(Left(v.toLong)).toOption
+          java.nio.charset.StandardCharsets.UTF_8): Any).toOption
+      else if (v.startsWith("d:"))
+        scala.util.Try(
+          java.lang.Double.parseDouble(v.drop(2)): Any).toOption
+      else scala.util.Try(v.toLong: Any).toOption
     st match {
       case None => Map.empty
       case Some(s) =>
@@ -120,16 +143,26 @@ object FileStats {
         val hit = parsedCache.synchronized(Option(parsedCache.get(key)))
         hit.getOrElse {
           statsFileReads.incrementAndGet(): Unit
-          val lines = SidecarIO.readLines(fs, p)
+          val allLines = SidecarIO.readLines(fs, p)
+          // pre-v2 sidecars (no format header) may hold raw-millis
+          // timestamp bounds a v2 reader would misread as micros —
+          // discard whole; the next refresh re-reads footers and
+          // republishes under v2 (weaker pruning meanwhile, never a
+          // wrong prune)
+          val lines =
+            if (allLines.headOption.contains(FormatHeader)) allLines.tail
+            else Seq.empty
           val parsed = lines.flatMap { l =>
             l.split('\t') match {
               case Array(rel, c, "-", "-") => Some((rel, c) -> None)
               case Array(rel, c, mn, mx) =>
                 (bound(mn), bound(mx)) match {
-                  case (Some(Left(a)), Some(Left(b))) =>
+                  case (Some(a: Long), Some(b: Long)) =>
                     Some((rel, c) -> Some(LongRange(a, b)))
-                  case (Some(Right(a)), Some(Right(b))) =>
+                  case (Some(a: String), Some(b: String)) =>
                     Some((rel, c) -> Some(StrRange(a, b)))
+                  case (Some(a: Double), Some(b: Double)) =>
+                    Some((rel, c) -> Some(DoubleRange(a, b)))
                   case _ => None // mixed/unparsable: plan the file
                 }
               case _ => None // unparsable: plan the file, don't fail reads
@@ -161,6 +194,7 @@ object FileStats {
       .encodeToString(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     try {
       val sb = new StringBuilder
+      sb.append(FormatHeader).append('\n')
       stats.toSeq.sortBy(_._1).foreach { case ((rel, c), v) =>
         sb.append(rel).append('\t').append(c).append('\t')
         v match {
@@ -168,6 +202,10 @@ object FileStats {
             sb.append(mn).append('\t').append(mx)
           case Some(StrRange(mn, mx)) =>
             sb.append(b64(mn)).append('\t').append(b64(mx))
+          case Some(DoubleRange(mn, mx)) =>
+            sb.append("d:").append(java.lang.Double.toString(mn))
+              .append('\t')
+              .append("d:").append(java.lang.Double.toString(mx))
           case None => sb.append("-\t-")
         }
         sb.append('\n')
@@ -189,6 +227,13 @@ object FileStats {
           throw new java.io.IOException(s"stats publish failed: $dest")
     }
   }
+
+  /** A floating-point footer bound pair folded to a [[DoubleRange]],
+    * or None when either bound is NaN or ±0.0 (unreliable writer
+    * conventions — see [[DoubleRange]]). */
+  private def dblRange(mn: Double, mx: Double): Option[DoubleRange] =
+    if (mn.isNaN || mx.isNaN || mn == 0.0d || mx == 0.0d) None
+    else Some(DoubleRange(mn, mx))
 
   /** Footer min/max of a top-level INT64/INT32/DATE/STRING column, or
     * None when the file has no such column, no stats, or an unreadable
@@ -249,7 +294,21 @@ object FileStats {
                         catch { case _: ArithmeticException => None }
                       case _ => None // NANOS: not micros-representable
                     }
-                  case _ => Some(v) // plain INT64
+                  // UINT64: the signed longValue() view wraps values
+                  // above Long.MaxValue into negatives — a wrong bound
+                  // could wrong-prune, so refuse like NANOS does
+                  case i: org.apache.parquet.schema.LogicalTypeAnnotation
+                      .IntLogicalTypeAnnotation if !i.isSigned => None
+                  case _ => Some(v) // plain signed INT64
+                }
+              // UINT32 (read by Spark as LONG): signed intValue() turns
+              // values above Int.MaxValue negative — same wrong-prune
+              // hazard, same refusal (mirrors the timestamp-unit guard)
+              def int32Signed: Boolean =
+                c.getPrimitiveType.getLogicalTypeAnnotation match {
+                  case i: org.apache.parquet.schema.LogicalTypeAnnotation
+                      .IntLogicalTypeAnnotation => i.isSigned
+                  case _ => true
                 }
               if (st == null || st.isEmpty || !st.hasNonNullValue) None
               else (st.genericGetMin, st.genericGetMax) match {
@@ -257,8 +316,18 @@ object FileStats {
                   for (a <- tsToMicros(mn.longValue());
                        b <- tsToMicros(mx.longValue()))
                     yield LongRange(a, b)
-                case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                case (mn: java.lang.Integer, mx: java.lang.Integer)
+                    if int32Signed =>
                   Some(LongRange(mn.longValue(), mx.longValue()))
+                // DOUBLE/FLOAT: refuse bounds touching NaN or ±0.0
+                // (see DoubleRange's scaladoc — writer conventions
+                // vary there, and a wrong bound can wrong-prune)
+                case (mn: java.lang.Double, mx: java.lang.Double) =>
+                  dblRange(mn.doubleValue(), mx.doubleValue())
+                case (mn: java.lang.Float, mx: java.lang.Float) =>
+                  // float → double is exact for every float value
+                  dblRange(mn.floatValue().toDouble,
+                    mx.floatValue().toDouble)
                 case (mn: org.apache.parquet.io.api.Binary,
                       mx: org.apache.parquet.io.api.Binary)
                     if c.getPrimitiveType.getLogicalTypeAnnotation
@@ -281,6 +350,11 @@ object FileStats {
             Some(StrRange(
               ss.map(_.mn).reduce((a, b) => if (utf8Lt(a, b)) a else b),
               ss.map(_.mx).reduce((a, b) => if (utf8Lt(a, b)) b else a)))
+          } else if (ranges.forall(_.isInstanceOf[DoubleRange])) {
+            val ds = ranges.collect { case r: DoubleRange => r }
+            // per-block bounds already exclude NaN/±0.0; min/max over
+            // finite doubles and ±Infinity fold plainly
+            Some(DoubleRange(ds.map(_.mn).min, ds.map(_.mx).max))
           } else None
         (range, nulls)
       } finally reader.close()
@@ -325,6 +399,17 @@ object FileStats {
     val missing = scope.filterNot(rel =>
       have.contains((rel, colName)) &&
         (colName == RowsCol || have.contains((rel, nullsKey))))
+    // RENAMED columns: files written before the rename hold the column
+    // under a retired physical name — fall back through the alias
+    // chain (newest first) when the declared name yields nothing, so
+    // metadata extrema/COUNT(col) keep answering across a rename. The
+    // entry is still KEYED by the declared name; values are the same
+    // logical column, so a consulted bound can never wrong-prune.
+    val aliasNames: Seq[String] =
+      if (colName == RowsCol) Nil
+      else SchemaLog.latest(fs, lakePath).toSeq.flatMap(
+        _.fields.find(_.name == colName).toSeq
+          .flatMap(f => SchemaLog.aliasesOf(f).reverse))
     // footer reads are independent KB-scale metadata fetches — run them
     // on the same bounded pool as commit renames (matters on object
     // stores where each footer is a round-trip)
@@ -337,7 +422,11 @@ object FileStats {
         if (colName == RowsCol)
           (rowCountFromFooter(conf, new Path(qRoot, rel))
             .map(n => LongRange(n, n)), None)
-        else footerColumnStats(conf, new Path(qRoot, rel), colName)): Unit
+        else
+          (colName +: aliasNames).iterator
+            .map(n => footerColumnStats(conf, new Path(qRoot, rel), n))
+            .find { case (r, n) => r.isDefined || n.isDefined }
+            .getOrElse((None, None))): Unit
     }
     val fresh = missing.flatMap(rel =>
       Option(freshMap.get(rel)).toSeq.flatMap { case (range, nulls) =>

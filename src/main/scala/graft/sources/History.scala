@@ -1007,6 +1007,25 @@ object History {
         rs.map(_._2).reduce((a, b) => if (FileStats.utf8Lt(a, b)) b else a)))
   }
 
+  /** [[fastMinMaxFiles]] for a DOUBLE/FLOAT-statted column: bounds
+    * touching NaN or ±0.0 were already refused at footer-read time
+    * ([[FileStats.DoubleRange]]), so the fold here is plain double
+    * min/max. NaN VALUES in the data make the whole file's bound
+    * refuse (parquet writers exclude NaN from stats, so a bound could
+    * understate) — only the footer's own honesty is trusted. */
+  private[sources] def fastMinMaxDblFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String, m: FileManifest.Manifest, rels: Seq[String],
+      column: String): Option[(Double, Double)] = {
+    val perFile = statRanges(fs, path, m, rels, column).map(_.map {
+      case FileStats.DoubleRange(mn, mx) => Some((mn, mx))
+      case _ => None
+    })
+    perFile.filter(_.forall(_.isDefined)).map(_.flatten)
+      .filter(_.nonEmpty)
+      .map(rs => (rs.map(_._1).min, rs.map(_._2).max))
+  }
+
   /** Metadata-only COUNT(col) — the NON-NULL count — over a
     * current-file subset: per-file footer row count minus per-file
     * footer null count, both from the stats sidecar (the null entry
@@ -1254,8 +1273,11 @@ object History {
     // shape for every file regardless of age (see [[SchemaLog]])
     val declared = SchemaLog.latest(fs, root.toString)
     if (m.cur.nonEmpty) {
+      // renamed columns scan under the PHYSICAL read schema (declared
+      // + retired names) and fold back to the declared shape after the
+      // DV filter — metadata-only renames, one scan for every era
       val base = declared match {
-        case Some(s) => spark.read.schema(s)
+        case Some(s) => spark.read.schema(SchemaLog.physicalReadSchema(s))
         case None => spark.read
       }
       val scan = base.option("basePath", qRoot.toString)
@@ -1265,8 +1287,10 @@ object History {
       // positions out of the scan (pointers for files outside this
       // plan's cur are irrelevant — planners routinely plan subsets)
       val curSet = m.curSet
-      applyDvs(scan, fs, qRoot, root.toString,
+      val dvApplied = applyDvs(scan, fs, qRoot, root.toString,
         m.dvs.filter { case (rel, _) => curSet(rel) })
+      declared.map(SchemaLog.applyAliases(dvApplied, _))
+        .getOrElse(dvApplied)
     } else if (declared.isDefined) {
       // empty CURRENT set: the declared schema IS the lake schema — no
       // donor file needed, zero rows by construction
@@ -1338,12 +1362,17 @@ object History {
       path: String, m: FileManifest.Manifest,
       affected: Seq[String]): DataFrame = {
     val affectedSet = affected.toSet
-    applyDvs(rewriteReader(spark, fs, path)
+    val scan = applyDvs(rewriteReader(spark, fs, path)
         .option("basePath", qRoot.toString)
         .parquet(affected.map(rel =>
           new org.apache.hadoop.fs.Path(qRoot, rel).toString): _*),
       fs, qRoot, path,
       m.dvs.filter { case (rel, _) => affectedSet(rel) })
+    // renamed columns fold back to the declared shape, so every
+    // copy-on-write rewrite converges files to the NEW physical name
+    // (an alias-blind rewrite would write the new column all-null)
+    SchemaLog.latest(fs, path)
+      .map(SchemaLog.applyAliases(scan, _)).getOrElse(scan)
   }
 
   /** The DV pointers a rewrite's scan applied, declared at commit so a
@@ -1364,7 +1393,11 @@ object History {
       fs: org.apache.hadoop.fs.FileSystem,
       path: String): org.apache.spark.sql.DataFrameReader =
     SchemaLog.latest(fs, path) match {
-      case Some(s) => spark.read.schema(s)
+      // physical read schema: renamed columns' retired names scan too
+      // (callers fold back via applyAliases — rewriteScan does; the
+      // legacy directory-mode caller can never see a declared schema,
+      // since declaring requires manifest mode)
+      case Some(s) => spark.read.schema(SchemaLog.physicalReadSchema(s))
       case None => spark.read.option("mergeSchema", "true")
     }
 
@@ -2487,7 +2520,12 @@ object History {
     val m = FileManifest.latest(fs, path).getOrElse(
       throw new IllegalStateException(
         s"mergeInto needs a manifest-mode lake (enableManifests): $path"))
-    val dupes = updates.groupBy(keyCols.map(col): _*)
+    // NULL-keyed rows are exempt from the distinctness check: a NULL
+    // key matches nothing (the contract below), so two NULL-keyed
+    // update rows are two independent inserts, not an ambiguity
+    val dupes = updates
+      .filter(keyCols.map(c => col(c).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
     require(dupes.isEmpty,
       s"mergeInto updates have duplicate keys, e.g. ${dupes.head}")

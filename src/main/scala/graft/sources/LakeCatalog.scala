@@ -202,6 +202,16 @@ class LakeCatalog extends TableCatalog
             .map { case (mn, mx) => (dt,
               org.apache.spark.unsafe.types.UTF8String.fromString(mn),
               org.apache.spark.unsafe.types.UTF8String.fromString(mx)) }
+        case dt @ org.apache.spark.sql.types.DoubleType =>
+          // NaN/±0.0-touching footer bounds were refused at stat time
+          // (FileStats.DoubleRange) — what remains answers exactly
+          History.fastMinMaxDblFiles(fs, path, m, sel, c)
+            .map { case (mn, mx) => (dt, mn, mx) }
+        case dt @ org.apache.spark.sql.types.FloatType =>
+          // FLOAT stats widened exactly to double; narrow back (exact
+          // by construction — the bounds were float values)
+          History.fastMinMaxDblFiles(fs, path, m, sel, c)
+            .map { case (mn, mx) => (dt, mn.toFloat, mx.toFloat) }
         case _ => None
       }
     val aggResolver: (org.apache.spark.sql.connector.expressions.aggregate
@@ -220,13 +230,16 @@ class LakeCatalog extends TableCatalog
             // only DATA columns answer from the nulls sidecar here
             if (partCols.contains(c)) None
             else History.fastCountColFiles(fs, path, m, sel, c)))
-    if (liveDvs.nonEmpty)
+    if (liveDvs.nonEmpty || SchemaLog.hasAliases(schema))
       // merge-on-read: the stock parquet table cannot apply deletion
       // vectors (it would resurrect deleted rows), so DV-bearing
       // snapshots serve through the engine's pinned-read plan — the
       // codegen dv_deleted predicate at the plan choke point — via the
       // V1Scan fallback table. DV is the takedown default; the SQL
-      // surface must not go dark the moment one lands.
+      // surface must not go dark the moment one lands. RENAMED-column
+      // lakes route the same way: only the engine read applies the
+      // alias projection (the stock table would read pre-rename files'
+      // column as NULL).
       new PinnedLakeTable(tableName, path, m.version, schema, props,
         aggResolver, writable, partCols)
     else
@@ -499,17 +512,19 @@ class LakeCatalog extends TableCatalog
     tableAt(ident, None)
   }
 
-  /** SQL `ALTER TABLE lake.\`/path\` ADD COLUMNS (…)` and widening
-    * `ALTER COLUMN c TYPE BIGINT` → the engine's metadata-only schema
-    * EVOLUTION ([[SchemaLog.evolve]] — add nullable columns, widen
-    * int→long / float→double; no data file rewritten, old files read
-    * back with nulls/promoted values). Everything else (drops,
-    * renames, narrowing, nested edits, comments) refuses loudly:
-    * those either lose data or need a per-row cast that can fail,
-    * which a declared schema must never smuggle into a scan. Requires
-    * a DECLARED schema (CREATE TABLE declares one; pre-DDL lakes run
-    * `CALL lake.declare_schema` first) — evolution validates against
-    * the declaration, not a guess. */
+  /** SQL `ALTER TABLE lake.\`/path\` ADD COLUMNS (…)`, widening
+    * `ALTER COLUMN c TYPE BIGINT`, and `RENAME COLUMN a TO b` → the
+    * engine's metadata-only schema EVOLUTION ([[SchemaLog.evolve]] /
+    * [[SchemaLog.renameColumn]] — add nullable columns, widen
+    * int→long / float→double, rename via declared-schema aliasing; no
+    * data file rewritten, old files read back with nulls/promoted
+    * values/the new name). Everything else (drops, narrowing, nested
+    * edits, comments) refuses loudly: those either lose data or need
+    * a per-row cast that can fail, which a declared schema must never
+    * smuggle into a scan. Requires a DECLARED schema (CREATE TABLE
+    * declares one; pre-DDL lakes run `CALL lake.declare_schema`
+    * first) — evolution validates against the declaration, not a
+    * guess. */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val path = pathOf(ident)
@@ -522,6 +537,26 @@ class LakeCatalog extends TableCatalog
         s"ALTER TABLE needs a declared schema at $path — run " +
           "CALL lake.declare_schema('" + path + "') once (CREATE " +
           "TABLE'd lakes are declared from birth)"))
+    // RENAME COLUMN commits its own schema version (alias-carrying) —
+    // one rename per statement, exactly what the SQL verb parses to
+    changes.toSeq match {
+      case Seq(rn: TableChange.RenameColumn) =>
+        val name = {
+          if (rn.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              s"RENAME COLUMN of nested field " +
+                s"${rn.fieldNames().mkString(".")} is not supported — " +
+                "lake schemas are flat")
+          rn.fieldNames()(0)
+        }
+        SchemaLog.renameColumn(spark, path, name, rn.newName()): Unit
+        return tableAt(ident, None)
+      case cs if cs.exists(_.isInstanceOf[TableChange.RenameColumn]) =>
+        throw new UnsupportedOperationException(
+          "RENAME COLUMN cannot be combined with other ALTER TABLE " +
+            "changes in one statement")
+      case _ =>
+    }
     def topLevel(fieldNames: Array[String], what: String): String = {
       if (fieldNames.length != 1)
         throw new UnsupportedOperationException(
@@ -561,8 +596,8 @@ class LakeCatalog extends TableCatalog
             else f))
         case other => throw new UnsupportedOperationException(
           s"ALTER TABLE $other is not supported — the lake evolves by " +
-            "adding nullable columns and widening types " +
-            "(History.evolveSchema); drops/renames/narrowing lose data")
+            "adding nullable columns, widening types, and RENAME " +
+            "COLUMN (alias-mapped); drops/narrowing lose data")
       }
     }
     // metadata-only commit; validateEvolution rejects anything that

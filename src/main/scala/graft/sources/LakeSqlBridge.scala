@@ -45,8 +45,10 @@ object LakeSqlWrite {
     *    `k=v` dirs satisfy the filter, CAS commit, batch containment
     *    checked).
     * DYNAMIC-mode overwrite (`partitionOverwriteMode=dynamic`) has no
-    * V1 image and refuses loudly at analysis (capability check) — that
-    * shape is [[History.overwritePartitions]] from the engine. */
+    * V1 image; with the [[graft.GraftExtensions]] rule installed the
+    * resolved plan routes to [[History.overwritePartitions]]
+    * ([[GraftDynamicOverwriteCommand]]); without the extension it
+    * still refuses loudly at analysis (capability check). */
   def builder(path: String, partitionCols: Seq[String],
               info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder
@@ -443,8 +445,9 @@ final class PinnedLakeTable(
     if (writable)
       // TRUNCATE → whole-lake restatement; OVERWRITE_BY_FILTER → the
       // static PARTITION-clause restatement (History.overwriteWhere).
-      // Dynamic-mode overwrite still refuses at ANALYSIS (no
-      // SupportsDynamicOverwrite V1 image)
+      // Dynamic-mode overwrite has no V1 image here — it routes
+      // through the GraftExtensions rule (GraftDynamicOverwriteCommand)
+      // and refuses at ANALYSIS in extension-less sessions
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
         TableCapability.OVERWRITE_BY_FILTER)

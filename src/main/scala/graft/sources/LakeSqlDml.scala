@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
   SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
   DeleteAction, DeleteFromTable, InsertAction, LogicalPlan,
-  MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
+  MergeIntoTable, OverwritePartitionsDynamic, SubqueryAlias,
+  UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -182,6 +183,20 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           if m.resolved && lakeTarget(m.targetTable).isDefined =>
         rewriteMerge(m, lakeTarget(m.targetTable).get)
 
+      // DYNAMIC-mode INSERT OVERWRITE (partitionOverwriteMode=dynamic):
+      // "replace exactly the partitions this query produced" — the
+      // multi-day backfill shape. Spark's V1 write fallback has no
+      // image for it (the capability path refuses at analysis), so the
+      // extension routes the resolved plan to the engine's
+      // [[History.overwritePartitions]] — staged write, per-directory
+      // retire set derived from the STAGED files, CHECK-validated, one
+      // manifest flip. The analyzer has already aligned `query` to the
+      // table schema (names, types, casts), so the batch lands exactly
+      // as an engine caller's would.
+      case o: OverwritePartitionsDynamic
+          if o.resolved && lakeTarget(o.table).isDefined =>
+        GraftDynamicOverwriteCommand(lakeTarget(o.table).get, o.query)
+
       // with the extension installed, EVERY lake DELETE routes through
       // the engine directly — full expression power (doc_id % 17 = 5),
       // where the capability path ([[LakeSqlDelete]], still serving
@@ -214,37 +229,45 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     *    copy-on-write [[History.mergeInto]] (same join keys, same
     *    whole-row source image, same duplicate-source-key refusal):
     *    the fast path, [[GraftMergeCommand]];
-    *  - the CDC-APPLY family — any consistent combination of
-    *    `WHEN MATCHED [AND <src cond>] THEN DELETE`,
-    *    `WHEN MATCHED THEN UPDATE SET *`, and
-    *    `WHEN NOT MATCHED [AND <src cond>] THEN INSERT *` (the shape a
-    *    Debezium-style feed replays) — composed from the engine's
-    *    merge-on-read keyed delete ([[History.deleteKeysDV]] /
-    *    [[History.deleteMatchedDV]]) and [[History.mergeInto]] by
-    *    [[GraftMergeCdcCommand]]. Arm conditions may reference ONLY
-    *    source columns (the usual CDC op flag) — a condition over
-    *    target columns cannot be replayed on the source side and
-    *    refuses loudly.
+    *  - the CDC-APPLY family — ORDERED arm lists with standard
+    *    first-match-wins semantics:
+    *    `WHEN MATCHED [AND <src cond>] THEN DELETE | UPDATE SET <list>`
+    *    (any number, any order; SET lists may be PARTIAL — unassigned
+    *    columns keep the target row's current values — and values may
+    *    be arbitrary deterministic expressions over SOURCE columns),
+    *    `WHEN NOT MATCHED [AND <src cond>] THEN INSERT (<cols>)`
+    *    (partial column lists fill NULL, standard INSERT semantics),
+    *    and `WHEN NOT MATCHED BY SOURCE [AND <tgt cond>] THEN DELETE`
+    *    — composed from the engine's merge-on-read keyed delete
+    *    ([[History.deleteKeysDV]] / [[History.deleteMatchedDV]]) and
+    *    [[History.mergeInto]] by [[GraftMergeCdcCommand]]. Arm
+    *    conditions and SET/INSERT values may reference ONLY source
+    *    columns (the usual CDC op flag / changed-column feed) — a
+    *    value over target columns cannot be replayed on the source
+    *    side and refuses loudly; a partial SET fetches the unassigned
+    *    columns by JOINING the keyed target image instead.
     *
-    * Everything else (partial SET lists, expressions over target
-    * columns, conditional UPDATE arms, NOT MATCHED BY SOURCE, schema
-    * evolution) refuses loudly with the engine-operator alternative
-    * named. One documented deviation rides along from the engine
-    * operator: ALL target rows sharing a matched key are superseded
-    * (or deleted) by the single source row for that key
-    * (upsert-by-key), where standard MERGE would touch each copy in
-    * place — identical results on key-unique targets, which is what
-    * an upsert key means. */
+    * Everything else (values over target columns, key-column
+    * reassignment, schema evolution, UPDATE/INSERT in the by-source
+    * list) refuses loudly with the engine-operator alternative named.
+    * One documented deviation rides along from the engine operator:
+    * ALL target rows sharing a matched key are superseded (or deleted)
+    * by the single source row for that key (upsert-by-key), where
+    * standard MERGE would touch each copy in place — identical results
+    * on key-unique targets, which is what an upsert key means (a
+    * PARTIAL update against a multi-copy key refuses through the
+    * engine's duplicate-key check rather than collapsing copies). */
   private def rewriteMerge(m: MergeIntoTable, path: String): LogicalPlan = {
     def unsupported(what: String): Nothing =
       throw new UnsupportedOperationException(
         "MERGE INTO through the lake SQL surface supports `ON " +
-          "<name-equal key equalities>` with WHEN MATCHED [AND <source " +
-          "cond>] THEN DELETE, WHEN MATCHED THEN UPDATE SET *, " +
-          "WHEN NOT MATCHED [AND <source cond>] THEN INSERT *, and " +
-          "WHEN NOT MATCHED BY SOURCE [AND <target cond>] THEN DELETE " +
-          s"(any consistent combination); $what is not — use the " +
-          "engine operator (History.mergeInto / deleteKeysDV / " +
+          "<name-equal key equalities>` with ordered WHEN MATCHED " +
+          "[AND <source cond>] THEN DELETE / UPDATE SET <list> arms " +
+          "(partial SET lists keep unassigned target columns; values " +
+          "are source-side expressions), WHEN NOT MATCHED [AND <source " +
+          "cond>] THEN INSERT (<cols>) arms, and WHEN NOT MATCHED BY " +
+          s"SOURCE [AND <target cond>] THEN DELETE; $what is not — " +
+          "use the engine operator (History.mergeInto / deleteKeysDV / " +
           "updateWhere) for other shapes")
     if (m.withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
     val sourceOut = m.sourceTable.outputSet
@@ -269,44 +292,75 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       }
     val keyCols = keyPairs.map(_._1).distinct
     val keyAttrs = keyCols.map(k => k -> keyPairs.find(_._1 == k).get._2)
-    // the whole-row source image: every target column assigned its
-    // name-equal bare source attribute, identically in both actions
-    def image(assignments: Seq[Assignment],
-              action: String): Map[String, AttributeReference] =
-      assignments.map { a =>
+    val targetCols = m.targetTable.output.map(_.name)
+    val targetSchema: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      m.targetTable.output.map(a => a.name -> a.dataType)
+    // a SET/INSERT value or arm condition replayable on the SOURCE
+    // side: deterministic (evaluated in several passes), subquery-free
+    // (binds to THIS plan), current-time-free (each engine pass pins
+    // its own instant), references only source columns. Kept
+    // exprId-BOUND — the command evaluates it against the very same
+    // source subtree, so duplicate source names cannot misbind.
+    def srcExpr(e: Expression, what: String): Column = {
+      if (e.exists(_.isInstanceOf[SubqueryExpression]))
+        unsupported(s"$what with a subquery (materialize it first)")
+      if (!e.deterministic)
+        unsupported(s"a non-deterministic $what (`$e`) — the merge " +
+          "evaluates arms in several passes")
+      if (e.exists(x => x.isInstanceOf[CurrentDate] ||
+          x.isInstanceOf[CurrentTimestampLike] ||
+          x.isInstanceOf[LocalTimestamp]))
+        unsupported(s"$what using current_date()/current_timestamp()/" +
+          "localtimestamp() (the merge runs as several queries, each " +
+          "pinning its own 'now' — pin the instant as a literal)")
+      if (!e.references.subsetOf(sourceOut))
+        unsupported(s"a $what referencing target columns (`$e`) — " +
+          "conditions and values replay against the source frame, so " +
+          "they may reference only source columns")
+      ColumnBridge.column(e)
+    }
+    // one UPDATE SET / INSERT assignment list → named value Columns.
+    // Key columns may only be (re)assigned their own name-equal source
+    // attribute — anything else would change row identity under the
+    // upsert-by-key engine operator.
+    def armSets(assignments: Seq[Assignment],
+                action: String): Seq[(String, Column)] = {
+      val sets = assignments.map { a =>
         val t = a.key match {
-          case ar: AttributeReference => ar
+          case ar: AttributeReference => ar.name
           case other => unsupported(s"$action of nested field $other")
         }
-        a.value match {
+        if (keyCols.exists(_.equalsIgnoreCase(t))) a.value match {
           case s: AttributeReference
-              if sourceOut.contains(s) && s.name.equalsIgnoreCase(t.name) =>
-            t.name -> s
+              if sourceOut.contains(s) && s.name.equalsIgnoreCase(t) =>
           case other => unsupported(
-            s"$action `${t.name} = $other` (values must be the " +
-              "name-equal source column — the SET * / INSERT * image)")
+            s"$action reassigning key column `$t = $other` (the keyed " +
+              "merge identifies rows by the ON keys)")
         }
-      }.toMap
-    val targetCols = m.targetTable.output.map(_.name)
-    def fullImage(assignments: Seq[Assignment],
-                  action: String): Map[String, AttributeReference] = {
-      val img = image(assignments, action)
-      if (img.keySet != targetCols.toSet)
-        unsupported(s"a partial $action list (${img.keySet.mkString(",")})")
-      img
+        t -> srcExpr(a.value, s"$action value for `$t`")
+      }
+      val dup = sets.groupBy(_._1).collectFirst {
+        case (n, vs) if vs.size > 1 => n }
+      dup.foreach(n => unsupported(s"$action assigning `$n` twice"))
+      sets
     }
-    def imagesAgree(u: Map[String, AttributeReference],
-                    i: Map[String, AttributeReference]): Unit =
-      if (u.map { case (k, v) => k -> v.exprId } !=
-          i.map { case (k, v) => k -> v.exprId })
-        unsupported("UPDATE and INSERT disagreeing on the source image")
-    // an arm condition replayable on the SOURCE side (the CDC op flag)
-    def srcCond(c: Expression, action: String): Column = {
-      if (!c.references.subsetOf(sourceOut))
-        unsupported(s"a $action condition referencing target columns " +
-          s"(`$c`) — arm conditions replay against the source frame, " +
-          "so they may reference only source columns")
-      byName(c, s"a MERGE $action condition")
+    // the classic whole-row image — every target column its name-equal
+    // bare source attribute — or None (shape detection, not an error)
+    def classicImage(assignments: Seq[Assignment])
+        : Option[Map[String, AttributeReference]] = {
+      val pairs = assignments.map { a =>
+        (a.key, a.value) match {
+          case (t: AttributeReference, s: AttributeReference)
+              if sourceOut.contains(s) &&
+                s.name.equalsIgnoreCase(t.name) => Some(t.name -> s)
+          case _ => None
+        }
+      }
+      if (pairs.exists(_.isEmpty)) None
+      else {
+        val img = pairs.flatten.toMap
+        if (img.keySet == targetCols.toSet) Some(img) else None
+      }
     }
 
     // the SYNC arm: target rows no source row matches, optionally
@@ -330,55 +384,61 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       // the classic upsert: the file-granular fast path (one keyed
       // engine merge, no matched/unmatched pre-split needed)
       case (Seq(UpdateAction(None, upA, _)), Seq(InsertAction(None, inA)))
-          if bySourceDel.isEmpty =>
-        val up = fullImage(upA, "UPDATE SET")
-        imagesAgree(up, fullImage(inA, "INSERT"))
+          if bySourceDel.isEmpty &&
+            classicImage(upA).isDefined && classicImage(inA).isDefined &&
+            classicImage(upA).get.view.mapValues(_.exprId).toMap ==
+              classicImage(inA).get.view.mapValues(_.exprId).toMap =>
+        val up = classicImage(upA).get
         GraftMergeCommand(path, m.sourceTable,
           targetCols.map(c => c -> up(c)), keyCols)
 
       case (matched, notMatched) =>
         if (matched.isEmpty && notMatched.isEmpty && bySourceDel.isEmpty)
           unsupported("an empty action list")
-        val (delCond, updImage): (Option[Option[Expression]],
-            Option[Map[String, AttributeReference]]) = matched match {
-          case Seq() => (None, None)
-          case Seq(UpdateAction(None, upA, _)) =>
-            (None, Some(fullImage(upA, "UPDATE SET")))
-          case Seq(DeleteAction(c)) => (Some(c), None)
-          case Seq(DeleteAction(Some(c)), UpdateAction(None, upA, _)) =>
-            (Some(Some(c)), Some(fullImage(upA, "UPDATE SET")))
-          case Seq(DeleteAction(None), _*) =>
-            unsupported("an action after an unconditional WHEN MATCHED " +
-              "THEN DELETE (unreachable)")
-          case Seq(UpdateAction(Some(_), _, _), _*) =>
-            unsupported("a conditional WHEN MATCHED UPDATE (only the " +
-              "DELETE arm takes a condition)")
-          case _ => unsupported("this matched-action list")
-        }
-        val (insCond, insImage): (Option[Option[Expression]],
-            Option[Map[String, AttributeReference]]) = notMatched match {
-          case Seq() => (None, None)
-          case Seq(InsertAction(c, inA)) =>
-            (Some(c), Some(fullImage(inA, "INSERT")))
-          case _ => unsupported("this not-matched-action list")
-        }
-        val img: Map[String, AttributeReference] =
-          (updImage, insImage) match {
-            case (Some(u), Some(i)) => imagesAgree(u, i); u
-            case (Some(u), None) => u
-            case (None, Some(i)) => i
-            case (None, None) => Map.empty
+        def reachable(conds: Seq[Option[Expression]],
+                      what: String): Unit =
+          conds.dropRight(1).zipWithIndex.foreach { case (c, i) =>
+            if (c.isEmpty) unsupported(
+              s"an arm after an unconditional $what (arm ${i + 1} " +
+                "matches every row — later arms are unreachable)")
           }
+        val matchedArms: Seq[MergeArmSpec] = matched.map {
+          case DeleteAction(c) => MergeArmSpec(
+            c.map(srcExpr(_, "MATCHED DELETE condition")), None)
+          case UpdateAction(c, upA, _) => MergeArmSpec(
+            c.map(srcExpr(_, "MATCHED UPDATE condition")),
+            Some(armSets(upA, "UPDATE SET")))
+          case other => unsupported(s"matched action $other")
+        }
+        reachable(matched.map {
+          case DeleteAction(c) => c
+          case UpdateAction(c, _, _) => c
+          case _ => None
+        }, "WHEN MATCHED arm")
+        val insertArms: Seq[MergeArmSpec] = notMatched.map {
+          case InsertAction(c, inA) => MergeArmSpec(
+            c.map(srcExpr(_, "NOT MATCHED INSERT condition")),
+            Some(armSets(inA, "INSERT")))
+          case other => unsupported(s"not-matched action $other")
+        }
+        reachable(notMatched.map {
+          case InsertAction(c, _) => c
+          case _ => None
+        }, "WHEN NOT MATCHED arm")
         GraftMergeCdcCommand(path, m.sourceTable, keyCols, keyAttrs,
-          if (img.isEmpty) Nil else targetCols.map(c => c -> img(c)),
-          delCond.map(_.map(srcCond(_, "MATCHED DELETE"))),
-          hasUpdate = updImage.isDefined,
-          insCond.map(_.map(srcCond(_, "NOT MATCHED INSERT"))),
+          targetSchema, matchedArms, insertArms,
           bySourceDel.map(_.map(
             byName(_, "a MERGE NOT MATCHED BY SOURCE condition"))))
     }
   }
 }
+
+/** One WHEN MATCHED / WHEN NOT MATCHED arm of a CDC-apply MERGE:
+  * `cond` is the arm's source-side condition (None = unconditional),
+  * `sets` the named value columns of an UPDATE/INSERT arm (None = a
+  * DELETE arm). Arms apply in statement order, first match wins. */
+private[sources] case class MergeArmSpec(cond: Option[Column],
+    sets: Option[Seq[(String, Column)]])
 
 /** Materialization of a bare uncorrelated `key IN (SELECT …)` DML
   * condition: the subquery runs eagerly, its distinct non-null values
@@ -487,6 +547,62 @@ case class GraftDeleteCommand(path: String, condition: Option[Column],
   }
 }
 
+/** The eager command a dynamic-mode `INSERT OVERWRITE` plans to
+  * (`spark.sql.sources.partitionOverwriteMode=dynamic`): runs
+  * [[History.overwritePartitions]] — the batch stages partition-laid-
+  * out, the retire set is exactly the current files in the directories
+  * the STAGED files landed in (the h24 engine operator), staged bytes
+  * are CHECK-validated, untouched partitions survive byte-identical,
+  * and pre-overwrite time travel still answers until vacuum. The
+  * lake's partitioning comes declared
+  * ([[FileManifest.declaredPartitioning]]) or derived from a uniform
+  * `k=v` layout; an UNPARTITIONED lake runs the whole-table
+  * restatement instead ([[History.overwriteAll]]) — dynamic mode over
+  * zero partition columns IS full-table overwrite, the standard
+  * Hive/Spark semantics — and a mixed layout refuses (no decidable
+  * retire set). At 100 TB: O(restated partitions) cost, the canonical
+  * backfill. */
+case class GraftDynamicOverwriteCommand(path: String, source: LogicalPlan)
+  extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partitions_restated", IntegerType,
+      nullable = false)(),
+    AttributeReference("files_retired", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partCols = FileManifest.declaredPartitioning(fs, path)
+      .getOrElse {
+        val m = FileManifest.latest(fs, path).getOrElse(
+          throw new IllegalStateException(
+            s"INSERT OVERWRITE needs a manifest-mode lake: $path"))
+        def colsOf(rel: String): Seq[String] =
+          rel.split('/').dropRight(1).filter(_.contains('='))
+            .map(_.takeWhile(_ != '=')).toSeq
+        val schemes = m.cur.map(colsOf).distinct
+        if (schemes.length > 1)
+          throw new UnsupportedOperationException(
+            "dynamic-mode INSERT OVERWRITE over a MIXED-layout lake " +
+              s"($path) has no decidable retire set — declare " +
+              "partitioning (CREATE TABLE … PARTITIONED BY) or restate " +
+              "explicitly (PARTITION (k = v) / full-table)")
+        schemes.headOption.getOrElse(Seq.empty)
+      }
+    val batch = DatasetBridge.ofRows(spark, source)
+    val (staged, retired) =
+      if (partCols.isEmpty)
+        // zero partition columns: dynamic mode degenerates to the
+        // whole-table restatement — standard Hive/Spark semantics
+        History.overwriteAll(spark, path, batch)
+      else History.overwritePartitions(spark, path, batch, partCols)
+    Seq(Row(staged, retired))
+  }
+}
+
 /** The eager command a lake MERGE plans to: the source subtree becomes
   * the updates frame (selected down to exactly the target columns, by
   * exprId so duplicate source names cannot misbind), then
@@ -527,22 +643,31 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
   * in one writer sequence with standard MERGE semantics:
   *
   *  1. duplicate source keys refuse (a target row matched by several
-  *     source rows is ambiguous — the standard refusal);
+  *     source rows is ambiguous — the standard refusal; rows with a
+  *     NULL key are exempt, since a NULL key matches nothing and each
+  *     such row independently takes the NOT MATCHED arm);
   *  2. when upsert arms exist, the matched key set is pinned FIRST
   *     (one column-pruned key scan of the lake semi-joined against
   *     the batch's keys — the source side is small, so the join
   *     broadcasts it and the result is at most batch-sized), so
-  *     matched-ness means "matched at statement start": a row the
+  *     matched-ness means "matched at statement start": a row a
   *     DELETE arm takes down is never resurrected by an
   *     unconditional INSERT arm evaluated after the delete committed;
-  *  3. the DELETE arm lands as deletion vectors — a modest
+  *  3. arms apply per source row in statement order, FIRST MATCH WINS
+  *     (standard semantics; a NULL arm condition is not-taken —
+  *     three-valued logic). A PARTIAL UPDATE arm joins its rows to the
+  *     pinned target image on the keys and takes the target's current
+  *     values for every unassigned column (one column-pruned keyed
+  *     join per partial arm — batch-sized output, broadcast source
+  *     side); a whole-row arm needs no target join. A partial INSERT
+  *     arm fills unassigned columns with typed NULLs;
+  *  4. DELETE-arm rows land as deletion vectors — a modest
   *     single-column key list collects (capped) and rides the
   *     per-file bloom index ([[History.deleteKeysDV]]); a bigger list
   *     or multi-column key stays distributed
   *     ([[History.deleteMatchedDV]], one key-semi-join, no row data
   *     on the driver);
-  *  4. the UPDATE arm (matched ∧ ¬delete-cond rows) and INSERT arm
-  *     (unmatched ∧ insert-cond rows) union into ONE
+  *  5. all UPDATE-arm and INSERT-arm rows union into ONE
   *     [[History.mergeInto]] — file-granular rewrite, one OCC flip.
   *
   * STATEMENT-LEVEL failure atomicity over the (up to three) engine
@@ -550,27 +675,32 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
   * lands (the deterministic bounce cannot half-apply), and any error
   * after one of this statement's arms committed compensates with a
   * metadata-only [[History.restore]] to the statement's base version
-  * (the aborted attempt stays visible in history; the rollback never
-  * fires when the only version advance was a concurrent writer's).
+  * (the aborted attempt stays visible in history). The restore REFUSES
+  * when the manifest history inside the statement window holds a
+  * version this statement did not create — restoring would silently
+  * revert a concurrent writer's durable commit, so the failure
+  * surfaces loudly with the partial-application state named instead.
   * Readers between the arms' commits see each arm's own consistent
   * snapshot — the multi-arm statement is not a single flip; like every
   * DML verb this runs from the lake's single writer sequence.
   *
-  * Arm conditions evaluate on the RAW source frame (they may
-  * reference source columns outside the target image — the CDC op
-  * flag); NULL conditions behave as SQL three-valued logic dictates
-  * (a NULL delete-cond row falls through to the UPDATE arm, a NULL
-  * insert-cond row is not inserted). At 100 TB the cost is one key
-  * scan + the files the batch's keys touch, like the engine
-  * operators it composes. Run from the lake's single writer sequence
-  * (concurrent-writer conflicts surface through the usual OCC/DV
-  * declarations of the composed operators). */
+  * An EMPTY lake (manifest exists, zero current files) short-circuits:
+  * every source row is unmatched, delete/update arms no-op, insert
+  * arms append — standard MERGE against an empty target, even before
+  * any schema is declared.
+  *
+  * Arm conditions and SET/INSERT values evaluate on the RAW source
+  * frame (they may reference source columns outside the target image —
+  * the CDC op flag). At 100 TB the cost is one key scan + the files
+  * the batch's keys touch, like the engine operators it composes. Run
+  * from the lake's single writer sequence (concurrent-writer conflicts
+  * surface through the usual OCC/DV declarations of the composed
+  * operators). */
 case class GraftMergeCdcCommand(path: String, source: LogicalPlan,
     keyCols: Seq[String], keyAttrs: Seq[(String, AttributeReference)],
-    imageCols: Seq[(String, AttributeReference)],
-    deleteCond: Option[Option[Column]],
-    hasUpdate: Boolean,
-    insertCond: Option[Option[Column]],
+    targetSchema: Seq[(String, org.apache.spark.sql.types.DataType)],
+    matchedArms: Seq[MergeArmSpec],
+    insertArms: Seq[MergeArmSpec],
     bySourceDelete: Option[Option[Column]] = None)
   extends LeafRunnableCommand {
 
@@ -587,17 +717,30 @@ case class GraftMergeCdcCommand(path: String, source: LogicalPlan,
   private val bloomRouteCap = 100000
 
   override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{lit => flit}
     val srcRaw = DatasetBridge.ofRows(spark, source)
     srcRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keySel = keyAttrs.map { case (n, a) =>
       ColumnBridge.column(a).as(n) }
+    val targetCols = targetSchema.map(_._1)
+    val typeOf = targetSchema.toMap
+    // first-match-wins: arm i fires where its condition holds and no
+    // earlier arm's did (NULL conditions are not-taken — coalesce)
+    def condOrTrue(a: MergeArmSpec): Column =
+      a.cond.map(c => coalesce(c, flit(false))).getOrElse(flit(true))
+    def armFilter(arms: Seq[MergeArmSpec], i: Int): Column =
+      arms.take(i).map(a => !condOrTrue(a))
+        .foldLeft(condOrTrue(arms(i)))(_ && _)
     try {
       // standard MERGE refusal: several source rows matching one
       // target row is ambiguous — across ALL arms, since a key landing
-      // in both the delete and upsert arms would otherwise apply both
+      // in both a delete and an upsert arm would otherwise apply both.
+      // NULL-keyed rows are exempt: they match nothing, so two of them
+      // are two independent NOT-MATCHED rows, not an ambiguity.
       val dupes = srcRaw.select(keySel: _*)
+        .filter(keyCols.map(c => col(c).isNotNull).reduce(_ && _))
         .groupBy(keyCols.map(col): _*)
-        .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
+        .agg(count(flit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
       require(dupes.isEmpty,
         s"MERGE source has duplicate keys, e.g. ${dupes.headOption.orNull}")
       var filesTouched = 0
@@ -605,55 +748,105 @@ case class GraftMergeCdcCommand(path: String, source: LogicalPlan,
       var rowsReplaced = 0L
       val fsys = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val manifest = FileManifest.latest(fsys, path).getOrElse(
+        throw new IllegalStateException(
+          s"MERGE needs a manifest-mode lake (enableManifests): $path"))
+      // empty current file set: every source row is unmatched by
+      // construction — no key pin, no target join (readPinned on an
+      // undeclared empty lake has no columns to resolve), no deletes;
+      // only the insert arms apply
+      val lakeEmpty = manifest.cur.isEmpty
       // the statement's base version: a multi-arm MERGE lands as up to
       // three engine commits (sync-arm DVs, matched-delete DVs, the
       // COW merge flip) — each consistent on its own, but a failure
       // BETWEEN them would leave the statement half-applied, so any
       // error after the first commit compensates with a metadata-only
       // rollback to this version (single-writer contract, like every
-      // DML verb: a concurrent commit inside the window conflicts
-      // loudly through OCC/CAS before the rollback could touch it)
+      // DML verb)
       val v0 = FileManifest.latestVersion(fsys, path)
-      // set once any of THIS statement's arms has committed — the
-      // compensating rollback must never fire for a failure whose only
-      // version advance came from a CONCURRENT writer (restoring would
-      // roll back THEIR commit, not ours)
+      // versions THIS statement's arms produced — the compensating
+      // rollback must never fire over a version it did not create (a
+      // concurrent writer's commit inside the window): restoring would
+      // silently revert THEIR durable commit, the one thing a
+      // compensation must never do
       var armsCommitted = false
-      // pin matched-ness BEFORE any arm commits: "matched" must mean
-      // matched at statement start, or a delete-arm row could read as
-      // unmatched afterwards and be resurrected by the INSERT arm
-      val matchedKeys: Option[DataFrame] =
-        if (hasUpdate || insertCond.isDefined) {
-          val srcKeys = srcRaw.select(keySel: _*).distinct()
-          val mk = History.readPinned(spark, path)
-            .select(keyCols.map(col): _*)
-            .join(srcKeys, keyCols, "left_semi").distinct()
-          mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          mk.count(): Unit // force NOW, ahead of the delete commit
-          Some(mk)
-        } else None
+      var ourVersions = Set.empty[Long]
+      def recordCommit(): Unit = {
+        armsCommitted = true
+        FileManifest.latestVersion(fsys, path)
+          .foreach(v => ourVersions += v)
+      }
+      val hasUpdateArms = matchedArms.exists(_.sets.isDefined)
+      // ONE pinned read of the statement-start snapshot serves both the
+      // matched-key pin and the partial arms' target image — pinned
+      // (and forced) BEFORE any arm commits, so "matched" and "current
+      // target values" both mean statement start
+      val pinnedTarget: Option[DataFrame] =
+        if (!lakeEmpty && (hasUpdateArms || insertArms.nonEmpty))
+          Some(History.readPinned(spark, path))
+        else None
+      val matchedKeys: Option[DataFrame] = pinnedTarget.map { tgt =>
+        val srcKeys = srcRaw.select(keySel: _*).distinct()
+        val mk = tgt.select(keyCols.map(col): _*)
+          .join(srcKeys, keyCols, "left_semi").distinct()
+        mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        mk.count(): Unit // force NOW, ahead of the delete commit
+        mk
+      }
+      // one UPDATE arm's rows, aligned to the target schema: whole-row
+      // arms select straight off the source; PARTIAL arms join the
+      // pinned target image on the keys (inner join — doubles as the
+      // matched-ness test, same pin) and take the target's current
+      // values for unassigned columns. Assigned values cast to the
+      // declared column type (store-assignment, standard MERGE).
+      def updateArmRows(i: Int,
+                        sets: Seq[(String, Column)]): DataFrame = {
+        val base = srcRaw.filter(armFilter(matchedArms, i))
+        def setOf(n: String): Option[Column] =
+          sets.find(_._1.equalsIgnoreCase(n)).map(_._2)
+        val unassigned = targetCols.filterNot(c => setOf(c).isDefined)
+        if (unassigned.isEmpty)
+          base.select(targetCols.map(n =>
+              setOf(n).get.cast(typeOf(n)).as(n)): _*)
+            .join(matchedKeys.get, keyCols, "left_semi")
+        else {
+          val isKey = (n: String) => keyCols.exists(_.equalsIgnoreCase(n))
+          val srcSide = base.select(keySel ++
+            sets.collect { case (n, c) if !isKey(n) =>
+              c.cast(typeOf(n)).as(n) }: _*)
+          val tgtSide = pinnedTarget.get.select(
+            (keyCols ++ unassigned.filterNot(isKey)).map(col): _*)
+          srcSide.join(tgtSide, keyCols, "inner")
+            .select(targetCols.map(col): _*)
+        }
+      }
+      // one INSERT arm's rows: unmatched (anti vs the pinned matched
+      // keys), unassigned columns fill typed NULLs — standard INSERT
+      def insertArmRows(i: Int,
+                        sets: Seq[(String, Column)]): DataFrame = {
+        val base = srcRaw.filter(armFilter(insertArms, i))
+        val anti = matchedKeys
+          .map(mk => base.join(mk, keyCols, "left_anti")).getOrElse(base)
+        anti.select(targetSchema.map { case (n, dt) =>
+          sets.find(_._1.equalsIgnoreCase(n))
+            .map(_._2.cast(dt)).getOrElse(flit(null).cast(dt)).as(n)
+        }: _*)
+      }
       // build (and pin) the upsert input BEFORE any delete commits,
       // and CHECK-validate it up front: a constraint-violating
       // update/insert row must bounce the WHOLE statement before
       // the delete arms land, not after (mergeInto re-validates the
       // exact staged bytes later — same deterministic verdict)
-      val upsertInput: Option[DataFrame] = matchedKeys.flatMap { mk =>
-        val imgSel = imageCols.map { case (n, a) =>
-          ColumnBridge.column(a).as(n) }
-        // UPDATE arm: matched rows the delete-cond did NOT take
-        // (NULL cond falls through to update — three-valued logic)
-        val updIn =
-          if (!hasUpdate) None
-          else Some(deleteCond.flatten
-            .map(c => srcRaw.filter(!coalesce(c, lit(false))))
-            .getOrElse(srcRaw)
-            .select(imgSel: _*).join(mk, keyCols, "left_semi"))
-        // INSERT arm: unmatched rows passing the insert-cond
-        val insIn = insertCond.map(c =>
-          c.map(srcRaw.filter).getOrElse(srcRaw)
-            .select(imgSel: _*).join(mk, keyCols, "left_anti"))
-        (updIn.toSeq ++ insIn.toSeq).reduceOption(_ unionByName _)
+      val updParts: Seq[DataFrame] =
+        if (lakeEmpty) Nil
+        else matchedArms.zipWithIndex.collect {
+          case (MergeArmSpec(_, Some(sets)), i) => updateArmRows(i, sets)
+        }
+      val insParts: Seq[DataFrame] = insertArms.zipWithIndex.map {
+        case (arm, i) => insertArmRows(i, arm.sets.get)
       }
+      val upsertInput: Option[DataFrame] =
+        (updParts ++ insParts).reduceOption(_ unionByName _)
       upsertInput.foreach(_.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): Unit)
       try {
@@ -668,19 +861,24 @@ case class GraftMergeCdcCommand(path: String, source: LogicalPlan,
           // anti-join — rows the upsert arms are about to INSERT are
           // in the source key set by definition, so ordering cannot
           // resurrect or double-delete
-          bySourceDelete.foreach { cond =>
+          if (!lakeEmpty) bySourceDelete.foreach { cond =>
             val (f, n) = History.deleteUnmatchedDV(spark, path,
               srcRaw.select(keySel: _*), keyCols, cond, dvCap)
-            if (f > 0) armsCommitted = true
+            if (f > 0) recordCommit()
             filesTouched += f
             rowsDeleted += n
           }
-          deleteCond.foreach { cond =>
-            val delRows = cond.map(srcRaw.filter).getOrElse(srcRaw)
-            val delKeys = delRows.select(keySel: _*)
+          // DELETE-arm rows (first-match-wins across the matched list)
+          val delKeys: Option[DataFrame] =
+            if (lakeEmpty) None
+            else matchedArms.zipWithIndex.collect {
+              case (MergeArmSpec(_, None), i) =>
+                srcRaw.filter(armFilter(matchedArms, i)).select(keySel: _*)
+            }.reduceOption(_ unionByName _)
+          delKeys.foreach { dk =>
             val (f, n) =
               if (keyCols.size == 1) {
-                val collected = delKeys.distinct()
+                val collected = dk.distinct()
                   .limit(bloomRouteCap + 1).collect()
                 // NULL keys never match a target row — standard MERGE
                 val vals = collected.iterator.map(_.get(0))
@@ -694,27 +892,43 @@ case class GraftMergeCdcCommand(path: String, source: LogicalPlan,
                       vals, dvCap)
                     catch { case _: DvCapExceededException =>
                       History.deleteKeys(spark, path, keyCols.head, vals) }
-                else History.deleteMatchedDV(spark, path, delKeys,
+                else History.deleteMatchedDV(spark, path, dk,
                   keyCols, dvCap)
-              } else History.deleteMatchedDV(spark, path, delKeys,
+              } else History.deleteMatchedDV(spark, path, dk,
                 keyCols, dvCap)
-            if (f > 0) armsCommitted = true
+            if (f > 0) recordCommit()
             filesTouched += f
             rowsDeleted += n
           }
           upsertInput.foreach { input =>
             val (f, r) = History.mergeInto(spark, path, input, keyCols)
+            recordCommit()
             filesTouched += f
             rowsReplaced = r
           }
         } catch { case e: Throwable =>
           // compensate: if one of OUR arms already committed, roll the
           // lake back to the statement's base version (metadata-only;
-          // the aborted attempt stays visible in history, honestly)
+          // the aborted attempt stays visible in history, honestly) —
+          // UNLESS the window holds a version we did not create: that
+          // is a concurrent writer's durable commit, and restoring
+          // over it would revert their data, so refuse loudly instead
           if (armsCommitted && v0.isDefined &&
-              FileManifest.latestVersion(fsys, path) != v0)
-            try History.restore(spark, path, v0.get): Unit
-            catch { case e2: Throwable => e.addSuppressed(e2) }
+              FileManifest.latestVersion(fsys, path) != v0) {
+            val foreign = FileManifest.versions(fsys, path)
+              .filter(v => v > v0.get && !ourVersions.contains(v))
+            if (foreign.nonEmpty)
+              e.addSuppressed(new IllegalStateException(
+                s"MERGE at $path is PARTIALLY applied: version(s) " +
+                  s"${foreign.mkString(", ")} in the statement window " +
+                  "were committed by a concurrent writer, so the " +
+                  s"compensating restore to v${v0.get} was refused " +
+                  "(it would revert their commit); reconcile from " +
+                  "#history / History.restore manually"))
+            else
+              try History.restore(spark, path, v0.get): Unit
+              catch { case e2: Throwable => e.addSuppressed(e2) }
+          }
           throw e
         }
       } finally {

@@ -160,7 +160,31 @@ object SchemaLog {
         s"evolve needs a declared schema — call declare first: $lakePath"))
     val old = at(fs, lakePath, v)
     validateEvolution(old, next)
-    publish(fs, lakePath, v + 1, next)
+    // a retired physical name (renamed away) cannot come back as a new
+    // column: old files still hold it, so the one-scan physical read
+    // schema would carry a duplicate field
+    val retired = old.fields.flatMap(aliasesOf)
+    next.fields.filterNot(f => old.fieldNames.contains(f.name)).foreach {
+      f =>
+        if (retired.exists(_.equalsIgnoreCase(f.name)))
+          throw new IllegalArgumentException(
+            s"added column '${f.name}' is a retired physical name of a " +
+              "renamed column — old files still hold it under that " +
+              "name; pick a different name")
+    }
+    // evolution must not lose rename lineage: a caller-constructed
+    // `next` without the alias metadata would silently orphan every
+    // pre-rename file's column — carry it over by name
+    val oldByName = old.fields.map(f => f.name -> f).toMap
+    val carried = StructType(next.fields.map { f =>
+      oldByName.get(f.name) match {
+        case Some(of) if aliasesOf(of).nonEmpty && aliasesOf(f).isEmpty =>
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putStringArray(RenamedFromKey, aliasesOf(of).toArray).build())
+        case _ => f
+      }
+    })
+    publish(fs, lakePath, v + 1, carried)
     v + 1
   }
 
@@ -180,6 +204,137 @@ object SchemaLog {
       s"declareAs on a lake with an existing declared schema: $lakePath")
     publish(fs, lakePath, 1L, schema)
     1L
+  }
+
+  /** Field-metadata key carrying a renamed column's PRIOR physical
+    * names (oldest first): files written before the rename hold the
+    * column under one of these names, and the read edge reconciles —
+    * see [[physicalReadSchema]] / [[applyAliases]]. */
+  val RenamedFromKey = "graft.renamedFrom"
+
+  /** The prior physical names of a declared field (empty for never-
+    * renamed columns). */
+  def aliasesOf(f: StructField): Seq[String] =
+    if (f.metadata.contains(RenamedFromKey))
+      scala.util.Try(
+        f.metadata.getStringArray(RenamedFromKey).toSeq).getOrElse(Nil)
+    else Nil
+
+  /** Does any declared field carry retired physical names? (Decides
+    * whether reads need the alias projection / the engine read path.) */
+  def hasAliases(s: StructType): Boolean =
+    s.fields.exists(f => aliasesOf(f).nonEmpty)
+
+  /** The PHYSICAL read schema for a declared table schema: every
+    * declared field plus one nullable column per retired physical name
+    * (at the field's declared — widened — type, so the reader promotes
+    * old files' narrower physicals exactly as it does for the live
+    * name). One parquet scan over mixed-era files then fills, for each
+    * renamed column, exactly one of {new name, aliases} per file — no
+    * file holds two of them (writes validate against the declared
+    * schema, which only ever carries the live name). */
+  def physicalReadSchema(s: StructType): StructType =
+    if (!hasAliases(s)) s
+    else StructType(s.fields.flatMap { f =>
+      f +: aliasesOf(f).map(a =>
+        StructField(a, f.dataType, nullable = true))
+    })
+
+  /** Fold a [[physicalReadSchema]] scan back to the DECLARED shape:
+    * renamed columns coalesce(new name, aliases newest-first) — per
+    * file exactly one is non-absent, so this is selection, not
+    * arithmetic. No-op (and no extra Project) for alias-free schemas. */
+  def applyAliases(df: org.apache.spark.sql.DataFrame,
+                   s: StructType): org.apache.spark.sql.DataFrame =
+    if (!hasAliases(s)) df
+    else {
+      import org.apache.spark.sql.functions.{coalesce, col}
+      def q(n: String) = col(s"`$n`")
+      df.select(s.fields.map { f =>
+        val as = aliasesOf(f)
+        if (as.isEmpty) q(f.name)
+        else coalesce((f.name +: as.reverse).map(q): _*).as(f.name)
+      }.toIndexedSeq: _*)
+    }
+
+  /** METADATA-ONLY column rename: commits a new declared-schema
+    * version where `oldName`'s field is re-declared as `newName`
+    * carrying `oldName` (and any earlier names) as retired physical
+    * aliases — zero data files rewritten; every file era reads back
+    * under the new name through the [[applyAliases]] projection, and
+    * copy-on-write maintenance converges files to the new physical
+    * name as a side effect. Refuses:
+    *  - partition columns (their `k=v` DIRECTORY names are physical —
+    *    a metadata rename cannot move directories);
+    *  - a target name colliding with a declared column or any retired
+    *    physical name (the one-scan read schema must stay
+    *    duplicate-free);
+    *  - renames while a CHECK constraint references the old name (the
+    *    constraint would stop resolving — drop and re-add it against
+    *    the new name first, an explicit governed step). */
+  def renameColumn(spark: SparkSession, lakePath: String,
+                   oldName: String, newName: String): Long = {
+    val fs = new Path(lakePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, lakePath).getOrElse(
+      throw new IllegalStateException(
+        s"RENAME COLUMN needs a declared schema — declare first: " +
+          lakePath))
+    val old = at(fs, lakePath, v)
+    val field = old.fields.find(_.name.equalsIgnoreCase(oldName))
+      .getOrElse(throw new IllegalArgumentException(
+        s"RENAME COLUMN $oldName: no such column " +
+          s"(have: ${old.fieldNames.mkString(", ")})"))
+    if (old.fields.exists(_.name.equalsIgnoreCase(newName)))
+      throw new IllegalArgumentException(
+        s"RENAME COLUMN to $newName: the column already exists")
+    if (old.fields.flatMap(aliasesOf).exists(_.equalsIgnoreCase(newName)))
+      throw new IllegalArgumentException(
+        s"RENAME COLUMN to $newName: that name is a retired physical " +
+          "name of an earlier rename — old files still hold it, so " +
+          "reusing it would make the read ambiguous")
+    val partCols = FileManifest.declaredPartitioning(fs, lakePath)
+      .getOrElse {
+        def colsOf(rel: String): Seq[String] =
+          rel.split('/').dropRight(1).filter(_.contains('='))
+            .map(_.takeWhile(_ != '=')).toSeq
+        FileManifest.latest(fs, lakePath)
+          .map(_.cur).filter(_.nonEmpty)
+          .map(cur => colsOf(cur.head))
+          .getOrElse(Seq.empty)
+      }
+    if (partCols.exists(_.equalsIgnoreCase(field.name)))
+      throw new UnsupportedOperationException(
+        s"RENAME COLUMN ${field.name}: it is a partition column — the " +
+          "k=v directory names are physical and a metadata-only " +
+          "rename cannot move directories")
+    // a CHECK constraint referencing the old name would silently stop
+    // resolving; renaming under it is refused, not repaired (the
+    // constraint's meaning is the owner's to restate)
+    val referencing = Constraints.current(fs, lakePath).collect {
+      case (name, expr) if scala.util.Try(
+          spark.sessionState.sqlParser.parseExpression(expr).collect {
+            case u: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute => u.name
+          }.exists(_.equalsIgnoreCase(field.name))).getOrElse(true) =>
+        name
+    }
+    if (referencing.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"RENAME COLUMN ${field.name}: CHECK constraint(s) " +
+          s"${referencing.mkString(", ")} reference it — drop and " +
+          s"re-add them against '$newName' first")
+    val next = StructType(old.fields.map { f =>
+      if (f.name == field.name) {
+        val md = new MetadataBuilder().withMetadata(f.metadata)
+          .putStringArray(RenamedFromKey,
+            (aliasesOf(f) :+ f.name).toArray)
+          .build()
+        StructField(newName, f.dataType, f.nullable, md)
+      } else f
+    })
+    publish(fs, lakePath, v + 1, next)
+    v + 1
   }
 
   /** Does the parquet read edge promote `from`-typed file columns into

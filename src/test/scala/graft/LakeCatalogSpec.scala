@@ -600,6 +600,54 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(again.collect().head.toSeq === Seq("alpha", "gamma"))
   }
 
+  test("DOUBLE metadata extrema answer from footer stats; NaN and " +
+      "±0.0 bounds refuse to the scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sqlcat-dbl").toString + "/lake"
+    Seq((1L, 1.5), (2L, -3.25), (3L, 8.75))
+      .toDF("id", "score")
+      .repartition(2).write.parquet(dir)
+    History.enableManifests(spark, dir): Unit
+    History.refreshStats(spark, dir, "score"): Unit
+    History.refreshRowCounts(spark, dir): Unit
+    val df = spark.sql(s"""SELECT MIN(score) AS mn, MAX(score) AS mx
+                           FROM lake.`$dir`""")
+    assert(df.collect().head.toSeq === Seq(-3.25, 8.75))
+    assert(df.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      df.queryExecution.executedPlan.toString.take(800))
+    // NaN values poison parquet's double bounds (Math.min/max
+    // propagate NaN) → the bound refuses at stat time and the SCAN
+    // answers — Spark orders NaN greatest, a footer answer would lie
+    val dirNan = java.nio.file.Files
+      .createTempDirectory("graft-sqlcat-dblnan").toString + "/lake"
+    Seq((1L, 2.5), (2L, Double.NaN)).toDF("id", "score")
+      .repartition(1).write.parquet(dirNan)
+    History.enableManifests(spark, dirNan): Unit
+    History.refreshStats(spark, dirNan, "score"): Unit
+    History.refreshRowCounts(spark, dirNan): Unit
+    val dfNan = spark.sql(
+      s"SELECT MAX(score) AS mx FROM lake.`$dirNan`")
+    assert(dfNan.collect().head.getDouble(0).isNaN)
+    assert(!dfNan.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    // a bound touching ±0.0 refuses too (writer min/max conventions
+    // around signed zero vary) — the scan answers exactly
+    val dirZero = java.nio.file.Files
+      .createTempDirectory("graft-sqlcat-dblzero").toString + "/lake"
+    Seq((1L, 0.0), (2L, 4.5)).toDF("id", "score")
+      .repartition(1).write.parquet(dirZero)
+    History.enableManifests(spark, dirZero): Unit
+    History.refreshStats(spark, dirZero, "score"): Unit
+    History.refreshRowCounts(spark, dirZero): Unit
+    val dfZ = spark.sql(
+      s"SELECT MIN(score) AS mn FROM lake.`$dirZero`")
+    assert(dfZ.collect().head.getDouble(0) === 0.0)
+    assert(!dfZ.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+  }
+
   test("COUNT(col) answers non-null counts from footer null stats") {
     import spark.implicits._
     val dir = java.nio.file.Files
@@ -976,19 +1024,55 @@ class LakeCatalogSpec extends AnyFunSuite {
                   SELECT doc_id, n_chars FROM lake.`$dir` WHERE false""")
     assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) ===
       Seq(5L, 10L))
-    // DYNAMIC-mode overwrite has no V1 image: refuses at analysis
-    // (that shape is the engine's History.overwritePartitions)
+    // DYNAMIC-mode overwrite routes through the extension rule to
+    // History.overwritePartitions — the full behavior is pinned in
+    // its own test below; here just confirm the verb no longer goes
+    // dark mid-lifecycle
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      val e = intercept[Exception] {
-        spark.sql(s"""INSERT OVERWRITE lake.`$dir` PARTITION (lang)
-                      SELECT doc_id, n_chars, lang FROM lake.`$dir`
-                      WHERE doc_id = 5""")
-      }
-      assert(e.getMessage != null)
-    } finally
+    try
+      spark.sql(s"""INSERT OVERWRITE lake.`$dir` PARTITION (lang)
+                    SELECT doc_id, n_chars, lang FROM lake.`$dir`
+                    WHERE doc_id = 5""")
+    finally
       spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) === Seq(5L, 10L))
+  }
+
+  test("dynamic-mode INSERT OVERWRITE restates exactly the partitions " +
+      "the query produced") {
+    val dir = lake()
+    val fs = fsOf(dir)
+    val before = FileManifest.latest(fs, dir).get
+    val untouched = before.cur.filterNot(_.startsWith("lang=en"))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // the query produces rows for lang=en ONLY → exactly that
+      // partition restates; de and fr survive byte-identical
+      spark.sql(s"""INSERT OVERWRITE lake.`$dir`
+                    VALUES (11, 110, 'en'), (12, 120, 'en')""")
+      val m = FileManifest.latest(fs, dir).get
+      assert(m.version === before.version + 1, "one flip, one commit")
+      assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) ===
+        Seq(3L, 4L, 5L, 11L, 12L))
+      assert(untouched.forall(m.cur.contains),
+        s"unproduced partitions must survive untouched: " +
+          m.cur.mkString(","))
+      // pre-overwrite time travel still answers
+      assert(ids(spark.sql(
+        s"SELECT * FROM lake.`$dir` VERSION AS OF ${before.version}")) ===
+        Seq(1L, 2L, 3L, 4L, 5L))
+      // an UNPARTITIONED lake under dynamic mode: Spark itself plans
+      // the truncate path (no partition columns to be dynamic over) —
+      // the whole-lake restatement, standard semantics
+      import spark.implicits._
+      val flat = java.nio.file.Files
+        .createTempDirectory("graft-sqlcat-dynflat").toString + "/lake"
+      Seq((1L, 10L)).toDF("doc_id", "n_chars").write.parquet(flat)
+      History.enableManifests(spark, flat): Unit
+      spark.sql(s"INSERT OVERWRITE lake.`$flat` VALUES (2, 20)")
+      assert(ids(spark.sql(s"SELECT * FROM lake.`$flat`")) === Seq(2L))
+    } finally
+      spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
   }
 
   test("overwriteWhere refuses rows outside the overwritten region " +
@@ -1061,18 +1145,17 @@ class LakeCatalogSpec extends AnyFunSuite {
       assert(e.getMessage.contains("use the engine operator"),
         e.getMessage)
     }
-    // (matched DELETE and conditional DELETE/INSERT arms are now
-    // SUPPORTED — MergeCdcSpec covers them; these stay refused:)
-    // partial SET list
+    // (matched DELETE, conditional arms, and partial SET lists are
+    // now SUPPORTED — MergeCdcSpec covers them; these stay refused:)
+    // SET value over a TARGET column (values replay on the source)
     refuses(s"""MERGE INTO lake.`$dir` t USING merge_src2 s
                 ON t.doc_id = s.doc_id
-                WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+                WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + 1
                 WHEN NOT MATCHED THEN INSERT *""")
-    // conditioned UPDATE action (only the DELETE arm takes a condition)
+    // key-column reassignment (row identity under the keyed merge)
     refuses(s"""MERGE INTO lake.`$dir` t USING merge_src2 s
                 ON t.doc_id = s.doc_id
-                WHEN MATCHED AND s.n_chars > 0 THEN UPDATE SET *
-                WHEN NOT MATCHED THEN INSERT *""")
+                WHEN MATCHED THEN UPDATE SET doc_id = s.doc_id * 10""")
     // non-equality ON
     refuses(s"""MERGE INTO lake.`$dir` t USING merge_src2 s
                 ON t.doc_id >= s.doc_id

@@ -182,6 +182,91 @@ class LakeDdlSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT * FROM lake.`$dir`").columns.length === 3)
   }
 
+  test("RENAME COLUMN is metadata-only: old files read back under the " +
+      "new name across eras, DML and maintenance converge") {
+    val dir = tmpPath("graft-ddl-rename")
+    spark.sql(s"""CREATE TABLE lake.`$dir` (doc_id BIGINT, txt STRING)
+                  USING parquet""")
+    spark.sql(s"INSERT INTO lake.`$dir` VALUES (1, 'a'), (2, 'b')")
+    val fs = fsOf(dir)
+    val filesBefore = FileManifest.latest(fs, dir).get.cur.toSet
+    spark.sql(s"ALTER TABLE lake.`$dir` RENAME COLUMN txt TO body")
+    // zero data files touched — the rename is one schema-log commit
+    assert(FileManifest.latest(fs, dir).get.cur.toSet === filesBefore)
+    assert(spark.sql(s"SELECT * FROM lake.`$dir`").columns.toSeq ===
+      Seq("doc_id", "body"))
+    // era 1 (pre-rename physical 'txt') reads back under 'body'
+    def all(): Seq[(Long, String)] =
+      spark.sql(s"SELECT doc_id, body FROM lake.`$dir` ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(all() === Seq((1L, "a"), (2L, "b")))
+    // era 2 writes the NEW physical name; both eras in one scan
+    spark.sql(s"INSERT INTO lake.`$dir` VALUES (3, 'c')")
+    assert(all() === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // a writer still sending the OLD name refuses loudly
+    intercept[Exception] {
+      import spark.implicits._
+      History.append(spark, dir,
+        Seq((4L, "d")).toDF("doc_id", "txt"), key = "old-writer")
+    }
+    // filters/DML resolve the new name; predicates push into both eras
+    assert(spark.sql(s"SELECT doc_id FROM lake.`$dir` WHERE body = 'a'")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    spark.sql(s"UPDATE lake.`$dir` SET body = 'z' WHERE doc_id = 2")
+    spark.sql(s"DELETE FROM lake.`$dir` WHERE body = 'c'")
+    assert(all() === Seq((1L, "a"), (2L, "z")))
+    // the COW update REWROTE era-1 rows under the new physical name —
+    // maintenance converges files as a side effect
+    // second rename CHAINS: body -> content, all three eras answer
+    spark.sql(s"ALTER TABLE lake.`$dir` RENAME COLUMN body TO content")
+    assert(spark.sql(
+        s"SELECT doc_id, content FROM lake.`$dir` ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "z")))
+    // time travel projects history to the CURRENT declared shape
+    assert(spark.sql(s"SELECT * FROM lake.`$dir` VERSION AS OF 1")
+      .columns.toSeq === Seq("doc_id", "content"))
+  }
+
+  test("RENAME COLUMN refusals: partition columns, collisions, retired " +
+      "names, constraint references") {
+    val dir = tmpPath("graft-ddl-rename-ref")
+    spark.sql(s"""CREATE TABLE lake.`$dir`
+                  (doc_id BIGINT, n_chars BIGINT, lang STRING)
+                  USING parquet PARTITIONED BY (lang)
+                  TBLPROPERTIES (
+                    'graft.constraint.chars_pos' = 'n_chars >= 0')""")
+    spark.sql(s"INSERT INTO lake.`$dir` VALUES (1, 10, 'en')")
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.toString).mkString(" | ")
+    // partition column: the k=v dirs are physical
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE lake.`$dir` RENAME COLUMN lang TO language")
+    }
+    assert(chain(e1).contains("partition column"), chain(e1))
+    // target collides with an existing column
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE lake.`$dir` RENAME COLUMN doc_id TO n_chars")
+    }
+    assert(chain(e2).contains("already exists"), chain(e2))
+    // a CHECK constraint referencing the column blocks the rename
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE lake.`$dir` RENAME COLUMN n_chars TO sz")
+    }
+    assert(chain(e3).contains("chars_pos"), chain(e3))
+    // after dropping the constraint the rename lands, and the RETIRED
+    // name cannot come back as a new column
+    graft.sources.Constraints.drop(spark, dir, "chars_pos"): Unit
+    spark.sql(s"ALTER TABLE lake.`$dir` RENAME COLUMN n_chars TO sz")
+    val e4 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE lake.`$dir` ADD COLUMNS (n_chars BIGINT)")
+    }
+    assert(chain(e4).contains("retired"), chain(e4))
+    assert(spark.sql(s"SELECT sz FROM lake.`$dir`")
+      .collect().head.getLong(0) === 10L)
+  }
+
   test("DROP TABLE: empty lakes drop, data-bearing lakes refuse") {
     val dir = tmpPath("graft-ddl-drop")
     spark.sql(s"CREATE TABLE lake.`$dir` (id BIGINT) USING parquet")

@@ -237,13 +237,41 @@ class MergeCdcSpec extends AnyFunSuite {
       "rollback to the statement's base version") {
     import spark.implicits._
     val dir = lake()
+    // the delete arm (key 2) commits, then the UPDATE arm's SET
+    // expression throws at evaluation time (ANSI divide-by-zero hits
+    // only inside mergeInto — constraints ran upfront, there are
+    // none): a failure with ONLY this statement's own commit in the
+    // window, so the compensation must roll the lake back whole
+    Seq((2L, "en", 0L, "D"), (1L, "en", 0L, "U"))
+      .toDF("doc_id", "lang", "n_chars", "op")
+      .createOrReplaceTempView("cdc_comp_src")
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO lake.`$dir` t USING cdc_comp_src s
+                    ON t.doc_id = s.doc_id
+                    WHEN MATCHED AND s.op = 'D' THEN DELETE
+                    WHEN MATCHED THEN UPDATE SET n_chars = 100 div s.n_chars""")
+    }
+    assert(e.toString.toLowerCase.contains("divide"),
+      s"expected the SET expression's divide-by-zero, got: $e")
+    // the statement's own delete (key 2) must NOT survive the failed
+    // statement — compensated by the metadata-only restore
+    assert(rows(dir) === Seq((1L, "en", 10L), (2L, "en", 20L),
+      (3L, "de", 30L), (4L, "de", 40L), (5L, "fr", 50L)))
+  }
+
+  test("the compensating rollback REFUSES over a concurrent writer's " +
+      "in-window commit and surfaces the partial application loudly") {
+    import spark.implicits._
+    val dir = lake()
     // arm a two-stage hook: the delete arm's commit re-arms it, then
     // the MERGE flip's commit window gets a concurrent DV landing —
     // mergeInto conflicts loudly AFTER the delete arm already
-    // committed, and the compensation must roll the lake back whole
+    // committed. Restoring to the base version here would silently
+    // revert the CONCURRENT writer's durable takedown (key 4), so the
+    // compensation must refuse and name the foreign version instead.
     Seq((2L, "en", 0L, "D"), (1L, "en", 111L, "U"))
       .toDF("doc_id", "lang", "n_chars", "op")
-      .createOrReplaceTempView("cdc_comp_src")
+      .createOrReplaceTempView("cdc_comp_refuse_src")
     FileManifest.testRaceHookPath = Some(dir)
     FileManifest.testRaceHook = Some { () =>
       FileManifest.testRaceHookPath = Some(dir)
@@ -252,17 +280,22 @@ class MergeCdcSpec extends AnyFunSuite {
       }
     }
     try {
-      intercept[java.util.ConcurrentModificationException] {
-        spark.sql(s"""MERGE INTO lake.`$dir` t USING cdc_comp_src s
+      val e = intercept[java.util.ConcurrentModificationException] {
+        spark.sql(s"""MERGE INTO lake.`$dir` t USING cdc_comp_refuse_src s
                       ON t.doc_id = s.doc_id
                       WHEN MATCHED AND s.op = 'D' THEN DELETE
                       WHEN MATCHED THEN UPDATE SET *""")
       }
-      // the statement's own delete (key 2) must NOT survive the
-      // failed statement; the in-window concurrent takedown (key 4)
-      // rolls back with it — the documented single-writer caveat
-      assert(rows(dir) === Seq((1L, "en", 10L), (2L, "en", 20L),
-        (3L, "de", 30L), (4L, "de", 40L), (5L, "fr", 50L)))
+      assert(e.getSuppressed.exists(s =>
+          s.getMessage.contains("concurrent writer") &&
+            s.getMessage.contains("PARTIALLY applied")),
+        "the refused compensation must surface the partial state: " +
+          e.getSuppressed.map(_.getMessage).mkString(" | "))
+      // key 2: our committed delete arm survives (partial application,
+      // surfaced loudly); key 4: the concurrent takedown survives (the
+      // one thing the old restore-to-base would have reverted)
+      assert(rows(dir) === Seq((1L, "en", 10L), (3L, "de", 30L),
+        (5L, "fr", 50L)))
     } finally {
       FileManifest.testRaceHook = None
       FileManifest.testRaceHookPath = None
@@ -296,5 +329,187 @@ class MergeCdcSpec extends AnyFunSuite {
       FileManifest.testRaceHook = None
       FileManifest.testRaceHookPath = None
     }
+  }
+
+  test("a partial SET list keeps unassigned columns byte-identical " +
+      "(the Debezium column-subset feed)") {
+    import spark.implicits._
+    val dir = lake()
+    // the feed carries only the changed column (n_chars); lang is NOT
+    // in the source image at all and must survive untouched
+    Seq((1L, 111L), (3L, 333L)).toDF("doc_id", "n_chars")
+      .createOrReplaceTempView("cdc_partial")
+    spark.sql(s"""MERGE INTO lake.`$dir` t USING cdc_partial s
+                  ON t.doc_id = s.doc_id
+                  WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars""")
+    assert(rows(dir) === Seq((1L, "en", 111L), (2L, "en", 20L),
+      (3L, "de", 333L), (4L, "de", 40L), (5L, "fr", 50L)))
+  }
+
+  test("conditional UPDATE arms apply first-match-wins in statement " +
+      "order, each with its own SET list") {
+    import spark.implicits._
+    val dir = lake()
+    // key 1: op=A -> first arm (set n_chars); key 3: op=B -> second
+    // arm (set lang); key 4: op=C -> no arm matches, row untouched
+    Seq((1L, "A", "zz", 111L), (3L, "B", "yy", 333L),
+        (4L, "C", "xx", 444L))
+      .toDF("doc_id", "op", "lang", "n_chars")
+      .createOrReplaceTempView("cdc_condupd")
+    spark.sql(s"""MERGE INTO lake.`$dir` t USING cdc_condupd s
+                  ON t.doc_id = s.doc_id
+                  WHEN MATCHED AND s.op = 'A'
+                    THEN UPDATE SET n_chars = s.n_chars
+                  WHEN MATCHED AND s.op = 'B'
+                    THEN UPDATE SET lang = s.lang""")
+    assert(rows(dir) === Seq((1L, "en", 111L), (2L, "en", 20L),
+      (3L, "yy", 30L), (4L, "de", 40L), (5L, "fr", 50L)))
+  }
+
+  test("SET values may be arbitrary source-side expressions") {
+    import spark.implicits._
+    val dir = lake()
+    Seq((2L, 7L)).toDF("doc_id", "delta")
+      .createOrReplaceTempView("cdc_expr")
+    // delta is a source column OUTSIDE the target image; the value is
+    // a computed expression over it
+    spark.sql(s"""MERGE INTO lake.`$dir` t USING cdc_expr s
+                  ON t.doc_id = s.doc_id
+                  WHEN MATCHED THEN UPDATE SET n_chars = s.delta * 100 + 1""")
+    assert(rows(dir) === Seq((1L, "en", 10L), (2L, "en", 701L),
+      (3L, "de", 30L), (4L, "de", 40L), (5L, "fr", 50L)))
+  }
+
+  test("a partial INSERT column list fills unassigned columns with NULL") {
+    import spark.implicits._
+    val dir = lake()
+    Seq((7L, "it", 70L)).toDF("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("cdc_partins")
+    spark.sql(s"""MERGE INTO lake.`$dir` t USING cdc_partins s
+                  ON t.doc_id = s.doc_id
+                  WHEN NOT MATCHED THEN INSERT (doc_id, lang)
+                    VALUES (s.doc_id, s.lang)""")
+    val got = History.readPinned(spark, dir)
+      .filter(col("doc_id") === 7L).collect()
+    assert(got.length === 1)
+    assert(got.head.getString(1) === "it")
+    assert(got.head.isNullAt(2), "unassigned n_chars must be NULL")
+  }
+
+  test("NULL-keyed source rows are exempt from the duplicate-key " +
+      "refusal and each takes the NOT MATCHED arm") {
+    import spark.implicits._
+    val dir = lake()
+    // two NULL-keyed rows: standard MERGE matches them to nothing —
+    // no ambiguity, both insert
+    Seq((null.asInstanceOf[java.lang.Long], "n1", 1L),
+        (null.asInstanceOf[java.lang.Long], "n2", 2L),
+        (1L: java.lang.Long, "en", 111L))
+      .toDF("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("cdc_nullkey")
+    spark.sql(s"""MERGE INTO lake.`$dir` t USING cdc_nullkey s
+                  ON t.doc_id = s.doc_id
+                  WHEN MATCHED THEN UPDATE SET *
+                  WHEN NOT MATCHED THEN INSERT *""")
+    val got = History.readPinned(spark, dir)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getString(1), r.getLong(2))).sortBy(t => (t._1, t._2)).toSeq
+    assert(got === Seq((-1L, "n1", 1L), (-1L, "n2", 2L),
+      (1L, "en", 111L), (2L, "en", 20L), (3L, "de", 30L),
+      (4L, "de", 40L), (5L, "fr", 50L)))
+  }
+
+  test("MERGE into an EMPTY undeclared lake inserts every source row " +
+      "(no zero-column pin failure)") {
+    import spark.implicits._
+    // a TRUNCATED lake: current file set empty, schema only derivable
+    // from retired files — the empty-target shape a SQL session can
+    // actually reach (a never-written lake has no columns for the ON
+    // clause to resolve at analysis)
+    val dir = lake()
+    spark.sql(s"DELETE FROM lake.`$dir`")
+    assert(rows(dir).isEmpty)
+    Seq((1L, "en", 10L), (2L, "de", 0L))
+      .toDF("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("cdc_empty")
+    // mixed arms: delete/update no-op against an empty target, the
+    // conditional insert applies — standard MERGE
+    spark.sql(s"""MERGE INTO lake.`$dir` t USING cdc_empty s
+                  ON t.doc_id = s.doc_id
+                  WHEN MATCHED AND s.n_chars = 0 THEN DELETE
+                  WHEN MATCHED THEN UPDATE SET *
+                  WHEN NOT MATCHED AND s.n_chars > 0 THEN INSERT *""")
+    assert(rows(dir) === Seq((1L, "en", 10L)))
+  }
+
+  test("reassigning a key column to anything but its source image " +
+      "refuses (row identity under the keyed merge)") {
+    import spark.implicits._
+    val dir = lake()
+    Seq((1L, "en", 111L)).toDF("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("cdc_keyset")
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"""MERGE INTO lake.`$dir` t USING cdc_keyset s
+                    ON t.doc_id = s.doc_id
+                    WHEN MATCHED THEN UPDATE SET doc_id = s.doc_id + 1000""")
+    }
+    assert(e.getMessage.contains("key column"), e.getMessage)
+    assert(rows(dir).size === 5)
+  }
+
+  test("SET values over target columns refuse loudly (replay against " +
+      "the source frame)") {
+    import spark.implicits._
+    val dir = lake()
+    Seq((1L, 5L)).toDF("doc_id", "delta")
+      .createOrReplaceTempView("cdc_tgtval")
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"""MERGE INTO lake.`$dir` t USING cdc_tgtval s
+                    ON t.doc_id = s.doc_id
+                    WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + s.delta""")
+    }
+    assert(e.getMessage.contains("target columns"), e.getMessage)
+  }
+
+  test("an arm after an unconditional arm refuses (unreachable)") {
+    import spark.implicits._
+    val dir = lake()
+    Seq((1L, "en", 111L)).toDF("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("cdc_unreach")
+    // Spark's PARSER rejects this shape already ("only the last
+    // MATCHED clause can omit the condition"); the rule's own
+    // reachability check guards catalog-API constructions of the plan
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO lake.`$dir` t USING cdc_unreach s
+                    ON t.doc_id = s.doc_id
+                    WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+                    WHEN MATCHED THEN DELETE""")
+    }
+    assert(e.getMessage.toLowerCase.contains("unreachable") ||
+      e.getMessage.toLowerCase.contains("omit the condition") ||
+      e.isInstanceOf[org.apache.spark.sql.catalyst.parser.ParseException],
+      e.toString)
+  }
+
+  test("a partial update against a multi-copy matched key refuses " +
+      "through the duplicate-key check (documented deviation)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mergecdc-multi").toString + "/lake"
+    // TWO target copies of key 1: a whole-row arm supersedes both
+    // (upsert-by-key); a PARTIAL arm would need each copy's own
+    // unassigned values — refusing beats silently collapsing copies
+    Seq((1L, "en", 10L), (1L, "de", 11L), (2L, "fr", 20L))
+      .toDF("doc_id", "lang", "n_chars").write.parquet(dir)
+    History.enableManifests(spark, dir): Unit
+    Seq((1L, 111L)).toDF("doc_id", "n_chars")
+      .createOrReplaceTempView("cdc_multicopy")
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO lake.`$dir` t USING cdc_multicopy s
+                    ON t.doc_id = s.doc_id
+                    WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars""")
+    }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
   }
 }
