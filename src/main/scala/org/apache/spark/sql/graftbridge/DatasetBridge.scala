@@ -19,6 +19,15 @@ object DatasetBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
 
+  /** Wrap an InternalRow RDD as a STREAMING DataFrame — the V1
+    * streaming `Source.getBatch` contract (micro-batch frames must be
+    * isStreaming; the flag is only settable through the private
+    * constructor this bridges). */
+  def streamingDf(spark: SparkSession, rdd: RDD[InternalRow],
+                  schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
   /** Wrap an analyzed LogicalPlan as a DataFrame (`Dataset.ofRows` is
     * `private[sql]`) — lets an extension rule hand a statement's
     * resolved source subtree to an engine operator as a frame. */
