@@ -84,26 +84,54 @@ object Bench {
       }.sorted
       ts(ts.size / 2) // median of 11
     }
+    // Per-query STAGE/JOB counters — the "why is this gate slow" number
+    // next to each time: a floor-bound gate's cost is sequential-stage
+    // depth × the per-action floor, so the ledger records the count the
+    // ratio rests on (counted on the LAST measured run; AQE keeps the
+    // count stable across warmed runs).
+    val stageCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = { stageCount.incrementAndGet(): Unit }
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          jobCount.incrementAndGet(): Unit
+        }
+      })
     val results = selected.map { case (name, fn) =>
+      var lastStages = 0
+      var lastJobs = 0
       val times = (0 until runs).map { _ =>
         // Evict the cross-query memos (shared LSH pairs / cluster results)
         // before every measured iteration so min-of-N times the actual
         // pipeline, not a MEMORY_AND_DISK cache read. Gate/correctness
         // runs keep the memos (there each query runs once, sharing work).
         graft.queries.Memos.evictQueryMemos(spark)
+        val (s0, j0) = (stageCount.get(), jobCount.get())
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // listener events are async; give the bus a beat before reading
+        Thread.sleep(30)
+        lastStages = stageCount.get() - s0
+        lastJobs = jobCount.get() - j0
+        dt
       }
       val sorted = times.sorted
       val median =
         if (sorted.size % 2 == 1) sorted(sorted.size / 2)
         else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
-      name -> (sorted.head, median)
+      name -> (sorted.head, median, lastStages, lastJobs)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
     val qsMed = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
+      .mkString("{", ",", "}")
+    val qsStages = results.map { case (k, v) =>
+      s"\"" + k + "\":[" + v._3 + "," + v._4 + "]" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     // median-of-runs total alongside min: min estimates the plan's real
@@ -117,7 +145,7 @@ object Bench {
       .mkString("{", ",", "}")
     val floorJson =
       f"""{"per_query":$floor%.4f,"suite":${floor * results.size}%.3f,"by_family":$famFloor}"""
-    val full = s"""{"metric":"total","value":$total,"median":$totalMed,"unit":"sec","queries":$qs,"queries_median":$qsMed,"floor":$floorJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"median":$totalMed,"unit":"sec","queries":$qs,"queries_median":$qsMed,"queries_stages_jobs":$qsStages,"floor":$floorJson,"sf":"$sfDir"}"""
     // Per-query detail goes to the file only — the full JSON line is
     // ~2.5 KB and the driver's tail capture truncates its head (rounds
     // 1-2 postmortem: BENCH_r0{1,2}.json both "parsed": null).

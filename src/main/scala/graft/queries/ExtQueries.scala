@@ -1467,15 +1467,28 @@ object ExtQueries {
         // that keeps this a one-scan query. Stating both up front
         // makes every consumer's subtree identical.
         .filter(col("w1").isNotNull && col("w2").isNotNull)
-      // the ONE corpus-sized aggregation: per-doc bigram counts; the
-      // raw positional stream is never re-derived or re-joined
-      val dbg = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+      // the ONE corpus-sized exchange: the raw bigram stream shuffles
+      // by the DOWNSTREAM join key (w1, w2) once — that partitioning
+      // satisfies the per-doc aggregate (equal (doc,w1,w2) ⇒ equal
+      // (w1,w2)), the model aggregate, and the scoring join's big
+      // side, so dbg, bc, and the join all compute IN-STAGE on reused
+      // exchange bytes with zero further corpus-sized shuffles. (The
+      // former groupBy-first shape shuffled the corpus twice: once to
+      // (doc,w1,w2), once more re-keying dbg to (w1,w2) — per-doc
+      // bigram multiplicity is ~1, so the map-side combine it bought
+      // saved almost nothing.) The exchange output is re-read by each
+      // consumer (ReusedExchange) — shuffle reads, never a re-scan of
+      // the text explode, which stays exactly once (plan spec).
+      val bgP = bg.repartition(col("w1"), col("w2"))
+      val dbg = bgP.groupBy(col("doc_id"), col("w1"), col("w2"))
         .agg(count(lit(1)).as("k"))
       val bc = dbg.groupBy(col("w1"), col("w2"))
         .agg(sum(col("k")).as("c12"))
-      // context counts derive from the MODEL (sum of c12 over w2 —
-      // identical values), not a second corpus-wide aggregation
-      val cc = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      // context counts in PLACE via a window over the model (sum of
+      // c12 per w1 — identical values to the former groupBy+join,
+      // minus one model-sized exchange and the join stage)
+      val cc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("w1"))
       // vocabulary from the model too: positions 1..n-1 land in w1 and
       // 2..n in w2, so over every kept doc the union of the model's
       // two columns IS the corpus vocabulary — no third corpus explode.
@@ -1500,7 +1513,7 @@ object ExtQueries {
       // join + the final aggregate, nothing else. No forced broadcast:
       // the model grows with distinct bigrams, so AQE decides (at
       // sf-scale it broadcasts; at 100 TB it shuffle-joins on (w1,w2)).
-      val model = bc.join(cc, Seq("w1"))
+      val model = bc.withColumn("c1", sum(col("c12")).over(cc))
         .crossJoin(broadcast(vocab)) // single row by construction
         .select(col("w1"), col("w2"),
           // 4-dp term bridge: at 6 dp a 1-ULP ln() divergence between
