@@ -1215,6 +1215,20 @@ object HistoryQueries {
       s.sql(s"""SELECT MIN(score) AS mn_s, MAX(score) AS mx_s,
                        COUNT(*) AS n_rows
                 FROM lake.`$dir`""")
+    }),
+
+    // METADATA-ONLY DROP COLUMN (projection + permanent name
+    // tombstone): era 1 holds the column physically, a SQL ALTER drops
+    // it (zero files rewritten), era 2 inserts WITHOUT it, and the
+    // read never shows it again — while the tombstone keeps the name
+    // from ever resurrecting old files' stale values (refusals
+    // spec-locked in LakeDdlSpec; this gate pins the VALUES at SF
+    // scale). A dropped column leaking back, or a lost row in either
+    // era, fails the hash.
+    "h54_sql_drop_column" -> ((s, d) => {
+      val dir = sqlDropColLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, n_chars FROM lake.`$dir`
+                WHERE doc_id >= 0""")
     })
   )
 
@@ -1716,6 +1730,33 @@ object HistoryQueries {
         dir
       })
 
+  /** h54's lake: corpus with `source` physically present, declared,
+    * then SQL DROP COLUMN source (metadata-only tombstoned drop) and
+    * an era-2 INSERT without the column. */
+  private val sqlDropColLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlDropColLake(s: SparkSession, sfDir: String): String =
+    sqlDropColLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir), _ => {
+      Memos.install(s)
+      s.conf.set("spark.sql.catalog.lake",
+        classOf[graft.sources.LakeCatalog].getName)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sql-dropcol").toString + "/lake"
+      graft.Tables.documents(s, sfDir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .repartition(8)
+        .write.parquet(dir)
+      graft.sources.History.enableManifests(s, dir): Unit
+      graft.sources.SchemaLog.declare(s, dir): Unit
+      s.sql(s"ALTER TABLE lake.`$dir` DROP COLUMN source"): Unit
+      s.sql(s"""INSERT INTO lake.`$dir`
+                SELECT doc_id + 80000000, lang, n_chars
+                FROM parquet.`$sfDir/documents.parquet`
+                WHERE doc_id < 25"""): Unit
+      dir
+    })
+
   /** h46's lake: corpus through the engine write path, then one
     * full-sync SQL MERGE (upsert pair + NOT MATCHED BY SOURCE DELETE)
     * whose source is a transformed corpus subset — the lake must end
@@ -2107,6 +2148,11 @@ object HistoryQueries {
          UNION ALL
          SELECT doc_id + 20000000 AS doc_id, lang, 'new' AS source, n_chars
          FROM documents WHERE doc_id < 40""",
+    "h54_sql_drop_column" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         UNION ALL
+         SELECT doc_id + 80000000 AS doc_id, lang, n_chars
+         FROM documents WHERE doc_id < 25""",
     "h53_sql_double_extrema" ->
       """SELECT MIN(1000.25 + doc_id * 0.5) AS mn_s,
                 MAX(1000.25 + doc_id * 0.5) AS mx_s,

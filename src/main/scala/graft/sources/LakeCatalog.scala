@@ -513,18 +513,18 @@ class LakeCatalog extends TableCatalog
   }
 
   /** SQL `ALTER TABLE lake.\`/path\` ADD COLUMNS (…)`, widening
-    * `ALTER COLUMN c TYPE BIGINT`, and `RENAME COLUMN a TO b` → the
-    * engine's metadata-only schema EVOLUTION ([[SchemaLog.evolve]] /
-    * [[SchemaLog.renameColumn]] — add nullable columns, widen
-    * int→long / float→double, rename via declared-schema aliasing; no
-    * data file rewritten, old files read back with nulls/promoted
-    * values/the new name). Everything else (drops, narrowing, nested
-    * edits, comments) refuses loudly: those either lose data or need
-    * a per-row cast that can fail, which a declared schema must never
-    * smuggle into a scan. Requires a DECLARED schema (CREATE TABLE
-    * declares one; pre-DDL lakes run `CALL lake.declare_schema`
-    * first) — evolution validates against the declaration, not a
-    * guess. */
+    * `ALTER COLUMN c TYPE BIGINT`, `RENAME COLUMN a TO b`, and
+    * `DROP COLUMN c` → the engine's metadata-only schema EVOLUTION
+    * ([[SchemaLog.evolve]] / [[SchemaLog.renameColumn]] /
+    * [[SchemaLog.dropColumn]] — add nullable columns, widen int→long /
+    * float→double, rename via declared-schema aliasing, drop via
+    * projection + a permanent name tombstone; no data file rewritten).
+    * Everything else (narrowing, nested edits, comments) refuses
+    * loudly: those need a per-row cast that can fail, which a declared
+    * schema must never smuggle into a scan. Requires a DECLARED schema
+    * (CREATE TABLE declares one; pre-DDL lakes run
+    * `CALL lake.declare_schema` first) — evolution validates against
+    * the declaration, not a guess. */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val path = pathOf(ident)
@@ -537,24 +537,30 @@ class LakeCatalog extends TableCatalog
         s"ALTER TABLE needs a declared schema at $path — run " +
           "CALL lake.declare_schema('" + path + "') once (CREATE " +
           "TABLE'd lakes are declared from birth)"))
-    // RENAME COLUMN commits its own schema version (alias-carrying) —
-    // one rename per statement, exactly what the SQL verb parses to
+    // RENAME/DROP COLUMN commit their own schema versions (alias- and
+    // tombstone-carrying) — one verb per statement, exactly what the
+    // SQL grammar parses to
+    def flat(fieldNames: Array[String], what: String): String = {
+      if (fieldNames.length != 1)
+        throw new UnsupportedOperationException(
+          s"$what of nested field ${fieldNames.mkString(".")} is not " +
+            "supported — lake schemas are flat")
+      fieldNames(0)
+    }
     changes.toSeq match {
       case Seq(rn: TableChange.RenameColumn) =>
-        val name = {
-          if (rn.fieldNames().length != 1)
-            throw new UnsupportedOperationException(
-              s"RENAME COLUMN of nested field " +
-                s"${rn.fieldNames().mkString(".")} is not supported — " +
-                "lake schemas are flat")
-          rn.fieldNames()(0)
-        }
-        SchemaLog.renameColumn(spark, path, name, rn.newName()): Unit
+        SchemaLog.renameColumn(spark, path,
+          flat(rn.fieldNames(), "RENAME COLUMN"), rn.newName()): Unit
         return tableAt(ident, None)
-      case cs if cs.exists(_.isInstanceOf[TableChange.RenameColumn]) =>
+      case Seq(del: TableChange.DeleteColumn) =>
+        SchemaLog.dropColumn(spark, path,
+          flat(del.fieldNames(), "DROP COLUMN")): Unit
+        return tableAt(ident, None)
+      case cs if cs.exists(c => c.isInstanceOf[TableChange.RenameColumn]
+          || c.isInstanceOf[TableChange.DeleteColumn]) =>
         throw new UnsupportedOperationException(
-          "RENAME COLUMN cannot be combined with other ALTER TABLE " +
-            "changes in one statement")
+          "RENAME/DROP COLUMN cannot be combined with other ALTER " +
+            "TABLE changes in one statement")
       case _ =>
     }
     def topLevel(fieldNames: Array[String], what: String): String = {

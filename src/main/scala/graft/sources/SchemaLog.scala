@@ -160,10 +160,11 @@ object SchemaLog {
         s"evolve needs a declared schema — call declare first: $lakePath"))
     val old = at(fs, lakePath, v)
     validateEvolution(old, next)
-    // a retired physical name (renamed away) cannot come back as a new
-    // column: old files still hold it, so the one-scan physical read
-    // schema would carry a duplicate field
-    val retired = old.fields.flatMap(aliasesOf)
+    // a retired physical name (renamed away or dropped) cannot come
+    // back as a new column: old files still hold it — a rename alias
+    // would duplicate the read schema; a dropped name would resurrect
+    // stale values into the new column
+    val retired = retiredNames(fs, lakePath)
     next.fields.filterNot(f => old.fieldNames.contains(f.name)).foreach {
       f =>
         if (retired.exists(_.equalsIgnoreCase(f.name)))
@@ -257,6 +258,109 @@ object SchemaLog {
       }.toIndexedSeq: _*)
     }
 
+  /** Tombstone sidecar: physical names of DROPPED columns (plus their
+    * own rename lineage). Old files still hold these columns, so a
+    * later ADD/RENAME-to of the same name would RESURRECT their stale
+    * values into the new column — the classic name-based-schema
+    * hazard field-id formats exist to avoid; the tombstone list is
+    * the name-based answer (append-only, KB-scale). */
+  private def retiredPath(lakePath: String): Path =
+    new Path(schemaDir(lakePath), "retired.tsv")
+
+  /** Every physical name no NEW column may take: rename aliases from
+    * the current declaration plus dropped-column tombstones (base64 of
+    * the UTF-8 name, one per line — the stats sidecar's encoding, so
+    * any legal column name round-trips exactly). */
+  def retiredNames(fs: FileSystem, lakePath: String): Seq[String] = {
+    val fromAliases = latest(fs, lakePath).toSeq
+      .flatMap(_.fields.flatMap(aliasesOf))
+    val fromDrops =
+      if (!fs.exists(retiredPath(lakePath))) Seq.empty
+      else SidecarIO.readLines(fs, retiredPath(lakePath))
+        .flatMap(l => scala.util.Try(new String(
+          java.util.Base64.getDecoder.decode(l),
+          java.nio.charset.StandardCharsets.UTF_8)).toOption)
+    (fromAliases ++ fromDrops).distinct
+  }
+
+  private def appendRetired(fs: FileSystem, lakePath: String,
+                            names: Seq[String]): Unit = {
+    val existing =
+      if (!fs.exists(retiredPath(lakePath))) Seq.empty
+      else SidecarIO.readLines(fs, retiredPath(lakePath))
+    val lines = (existing ++ names.map(n =>
+      java.util.Base64.getEncoder.encodeToString(
+        n.getBytes(java.nio.charset.StandardCharsets.UTF_8)))).distinct
+    FileManifest.atomicWrite(fs, retiredPath(lakePath),
+      lines.mkString("\n"))
+  }
+
+  /** METADATA-ONLY column drop: commits a new declared-schema version
+    * WITHOUT the field — zero data files rewritten; old files keep the
+    * bytes (projection simply stops reading them) and copy-on-write
+    * maintenance sheds the column from rewritten files as a side
+    * effect. The dropped name (and its rename lineage) is TOMBSTONED:
+    * re-adding it would resurrect old files' stale values into the
+    * new column, so it refuses forever. NOTE the declared-schema
+    * contract applies: every read — time travel included — projects
+    * to the CURRENT declaration, so pre-drop snapshots also stop
+    * showing the column (restore the schema-bearing export, not time
+    * travel, to recover it). Refuses partition columns (the k=v dirs
+    * are the lake's layout), the last remaining column, and drops
+    * while a CHECK constraint references the column. */
+  def dropColumn(spark: SparkSession, lakePath: String,
+                 name: String): Long = {
+    val fs = new Path(lakePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, lakePath).getOrElse(
+      throw new IllegalStateException(
+        s"DROP COLUMN needs a declared schema — declare first: " +
+          lakePath))
+    val old = at(fs, lakePath, v)
+    val field = old.fields.find(_.name.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"DROP COLUMN $name: no such column " +
+          s"(have: ${old.fieldNames.mkString(", ")})"))
+    if (old.fields.length == 1)
+      throw new UnsupportedOperationException(
+        s"DROP COLUMN ${field.name}: it is the table's only column")
+    val partCols = FileManifest.declaredPartitioning(fs, lakePath)
+      .getOrElse {
+        def colsOf(rel: String): Seq[String] =
+          rel.split('/').dropRight(1).filter(_.contains('='))
+            .map(_.takeWhile(_ != '=')).toSeq
+        FileManifest.latest(fs, lakePath)
+          .map(_.cur).filter(_.nonEmpty)
+          .map(cur => colsOf(cur.head))
+          .getOrElse(Seq.empty)
+      }
+    if (partCols.exists(_.equalsIgnoreCase(field.name)))
+      throw new UnsupportedOperationException(
+        s"DROP COLUMN ${field.name}: it is a partition column — the " +
+          "k=v directory layout depends on it (expire/restate the " +
+          "partitions instead)")
+    val referencing = Constraints.current(fs, lakePath).collect {
+      case (n, expr) if scala.util.Try(
+          spark.sessionState.sqlParser.parseExpression(expr).collect {
+            case u: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute => u.name
+          }.exists(_.equalsIgnoreCase(field.name))).getOrElse(true) =>
+        n
+    }
+    if (referencing.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"DROP COLUMN ${field.name}: CHECK constraint(s) " +
+          s"${referencing.mkString(", ")} reference it — drop them " +
+          "first")
+    // tombstone BEFORE publish: a crash between the two leaves the
+    // column present but its name reserved — safe (re-dropping
+    // converges); the reverse order could let a racing ADD slip in
+    appendRetired(fs, lakePath, field.name +: aliasesOf(field))
+    publish(fs, lakePath, v + 1,
+      StructType(old.fields.filterNot(_.name == field.name)))
+    v + 1
+  }
+
   /** METADATA-ONLY column rename: commits a new declared-schema
     * version where `oldName`'s field is re-declared as `newName`
     * carrying `oldName` (and any earlier names) as retired physical
@@ -288,11 +392,12 @@ object SchemaLog {
     if (old.fields.exists(_.name.equalsIgnoreCase(newName)))
       throw new IllegalArgumentException(
         s"RENAME COLUMN to $newName: the column already exists")
-    if (old.fields.flatMap(aliasesOf).exists(_.equalsIgnoreCase(newName)))
+    if (retiredNames(fs, lakePath).exists(_.equalsIgnoreCase(newName)))
       throw new IllegalArgumentException(
         s"RENAME COLUMN to $newName: that name is a retired physical " +
-          "name of an earlier rename — old files still hold it, so " +
-          "reusing it would make the read ambiguous")
+          "name (renamed away or dropped) — old files still hold it, " +
+          "so reusing it would resurrect stale values or make the " +
+          "read ambiguous")
     val partCols = FileManifest.declaredPartitioning(fs, lakePath)
       .getOrElse {
         def colsOf(rel: String): Seq[String] =

@@ -166,20 +166,66 @@ class LakeDdlSpec extends AnyFunSuite {
     val ids = spark.sql(s"SELECT id FROM lake.`$dir` ORDER BY id")
       .collect().map(_.getLong(0)).toSeq
     assert(ids === Seq(1L, 2L, 3L))
-    // destructive/narrowing shapes refuse loudly
+    // narrowing shapes refuse loudly
     def chain(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(_.toString).mkString(" | ")
-    val e = intercept[Exception] {
-      spark.sql(s"ALTER TABLE lake.`$dir` DROP COLUMN n_chars")
-    }
-    assert(chain(e).contains("not supported") ||
-      chain(e).contains("lose data"), chain(e))
     val e2 = intercept[Exception] {
       spark.sql(s"ALTER TABLE lake.`$dir` ALTER COLUMN n_chars TYPE INT")
     }
     assert(chain(e2).nonEmpty)
     assert(spark.sql(s"SELECT * FROM lake.`$dir`").columns.length === 3)
+  }
+
+  test("DROP COLUMN is metadata-only projection; the name is " +
+      "tombstoned forever") {
+    val dir = tmpPath("graft-ddl-drop-col")
+    spark.sql(s"""CREATE TABLE lake.`$dir`
+                  (doc_id BIGINT, n_chars BIGINT, score DOUBLE)
+                  USING parquet""")
+    spark.sql(s"INSERT INTO lake.`$dir` VALUES (1, 10, 0.5), (2, 20, 0.7)")
+    val fs = fsOf(dir)
+    val filesBefore = FileManifest.latest(fs, dir).get.cur.toSet
+    spark.sql(s"ALTER TABLE lake.`$dir` DROP COLUMN score")
+    // zero data files touched; the column is projection-gone
+    assert(FileManifest.latest(fs, dir).get.cur.toSet === filesBefore)
+    assert(spark.sql(s"SELECT * FROM lake.`$dir`").columns.toSeq ===
+      Seq("doc_id", "n_chars"))
+    // writers sending the dropped column refuse (not declared)
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO lake.`$dir` VALUES (3, 30, 0.9)")
+    }
+    spark.sql(s"INSERT INTO lake.`$dir` VALUES (3, 30)")
+    assert(spark.sql(s"SELECT sum(n_chars) AS s FROM lake.`$dir`")
+      .collect().head.getLong(0) === 60L)
+    // the tombstone: re-adding the name would resurrect the old
+    // files' stale values into the "new" column — refuses forever
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.toString).mkString(" | ")
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE lake.`$dir` ADD COLUMNS (score DOUBLE)")
+    }
+    assert(chain(e).contains("retired"), chain(e))
+    // renaming another column ONTO the tombstoned name refuses too
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE lake.`$dir` RENAME COLUMN n_chars TO score")
+    }
+    assert(chain(e2).contains("retired"), chain(e2))
+    // guarded drops: partition columns, the last column, constrained
+    // columns
+    val dir2 = tmpPath("graft-ddl-drop-col2")
+    spark.sql(s"""CREATE TABLE lake.`$dir2` (doc_id BIGINT, lang STRING)
+                  USING parquet PARTITIONED BY (lang)""")
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE lake.`$dir2` DROP COLUMN lang")
+    }
+    assert(chain(e3).contains("partition column"), chain(e3))
+    spark.sql(s"ALTER TABLE lake.`$dir2` DROP COLUMN doc_id")
+    val e4 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE lake.`$dir2` DROP COLUMN lang")
+    }
+    assert(chain(e4).contains("only column"), chain(e4))
   }
 
   test("RENAME COLUMN is metadata-only: old files read back under the " +

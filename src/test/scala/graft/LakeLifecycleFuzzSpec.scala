@@ -112,7 +112,8 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
       (if (constrained) Seq("appendChecked", "appendBad") else Nil) ++
       (if (dml) Seq("updateWhere", "updateMove", "sqlUpdate", "sqlDelete",
                     "sqlOverwrite", "sqlOverwritePart", "sqlMergeCdc",
-                    "sqlMergeSync", "sqlDeleteInSub")
+                    "sqlMergeSync", "sqlDeleteInSub", "sqlMergePartial",
+                    "sqlOverwriteDyn")
        else Nil)
     for (op <- 0 until nOps) {
       val pick = rnd.nextInt(10 + extraOps.size)
@@ -330,6 +331,54 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
               src.foreach { case (id, p, v) => model(id) = (p, v) }
               s"sqlMergeSync ${src.size}"
             }
+          case "sqlMergePartial" => // column-subset CDC: conditional
+            // partial-SET arms, first-match-wins; ghosts must no-op
+            import spark.implicits._
+            val live = rnd.shuffle(model.keys.toSeq)
+            val vUpds = live.take(rnd.nextInt(3))
+              .map(id => (id, "px", rnd.nextLong(1000L), "V"))
+            val pUpds = live.drop(vUpds.size).take(rnd.nextInt(3))
+              .map(id => (id, s"p${rnd.nextInt(3)}", 0L, "P"))
+            val ghosts = freshRows(1)
+              .map { case (id, p, v) => (id, p, v, "V") }
+            val src = vUpds ++ pUpds ++ ghosts
+            src.toDF("id", "np", "nv", "op")
+              .createOrReplaceTempView("fuzz_partial_src")
+            spark.sql(s"""MERGE INTO lake.`$lake` t
+                          USING fuzz_partial_src s ON t.id = s.id
+                          WHEN MATCHED AND s.op = 'V'
+                            THEN UPDATE SET v = s.nv + 1
+                          WHEN MATCHED AND s.op = 'P'
+                            THEN UPDATE SET part = s.np""").collect(): Unit
+            vUpds.foreach { case (id, _, nv, _) =>
+              model(id) = (model(id)._1, nv + 1) }
+            pUpds.foreach { case (id, np, _, _) =>
+              model(id) = (np, model(id)._2) }
+            s"sqlMergePartial v${vUpds.size}/p${pUpds.size}"
+
+          case "sqlOverwriteDyn" => // dynamic-mode backfill: replace
+            // exactly the partitions the batch produced
+            val rows = freshRows(1 + rnd.nextInt(4))
+            spark.conf
+              .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try
+              // table column order: data cols then the partition col
+              spark.sql(s"INSERT OVERWRITE lake.`$lake` " +
+                rows.map { case (id, p, v) => s"($id, $v, '$p')" }
+                  .mkString("VALUES ", ", ", "")).collect(): Unit
+            finally spark.conf
+              .unset("spark.sql.sources.partitionOverwriteMode")
+            if (model.isEmpty) {
+              // empty current set: zero partition columns derivable —
+              // the verb degenerates to the whole-table restatement
+              model.clear()
+            } else {
+              val restated = rows.map(_._2).toSet
+              model.filterInPlace { case (_, (p, _)) => !restated(p) }
+            }
+            rows.foreach { case (id, p, v) => model(id) = (p, v) }
+            s"sqlOverwriteDyn ${rows.map(_._2).distinct.sorted.mkString(",")}"
+
           case "sqlDeleteInSub" => // IN-subquery takedown, keyed route
             if (model.isEmpty) "sqlDeleteInSub noop"
             else {
