@@ -1217,6 +1217,22 @@ object HistoryQueries {
                 FROM lake.`$dir`""")
     }),
 
+    // DECIMAL metadata extrema: MIN/MAX of an INT64-backed DECIMAL
+    // column answer from footer stats as UNSCALED bounds reassembled
+    // at the declared (precision, scale) — recorded under a DISTINCT
+    // sidecar type so plain-long consumers (range pruning, BIGINT
+    // extrema) can never misread an unscaled value as a logical one.
+    // Whole SELECT plans a LocalTableScan (plan spec-locked; this
+    // gate pins the VALUES at SF scale). The money-column dashboard
+    // at metadata cost.
+    "h55_sql_decimal_extrema" -> ((s, d) => {
+      val dir = sqlDecExtremaLake(s, d)
+      s.sql(s"""SELECT CAST(MIN(amount) AS DOUBLE) AS mn_a,
+                       CAST(MAX(amount) AS DOUBLE) AS mx_a,
+                       COUNT(*) AS n_rows
+                FROM lake.`$dir`""")
+    }),
+
     // METADATA-ONLY DROP COLUMN (projection + permanent name
     // tombstone): era 1 holds the column physically, a SQL ALTER drops
     // it (zero files rewritten), era 2 inserts WITHOUT it, and the
@@ -1730,6 +1746,32 @@ object HistoryQueries {
         dir
       })
 
+  /** h55's lake: an INT64-backed DECIMAL(12,2) amount column (exact
+    * quarter offsets, so Spark and DuckDB agree bit-for-bit through
+    * the DOUBLE bridge) with refreshed footer stats. */
+  private val sqlDecExtremaLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlDecExtremaLake(s: SparkSession, sfDir: String): String =
+    sqlDecExtremaLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir),
+      _ => {
+        Memos.install(s)
+        s.conf.set("spark.sql.catalog.lake",
+          classOf[graft.sources.LakeCatalog].getName)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-sql-decext").toString + "/lake"
+        graft.Tables.documents(s, sfDir)
+          .select(col("doc_id"),
+            (col("doc_id").cast("decimal(12,2)") + lit(0.25))
+              .cast("decimal(12,2)").as("amount"))
+          .repartition(4)
+          .write.parquet(dir)
+        graft.sources.History.enableManifests(s, dir): Unit
+        graft.sources.History.refreshStats(s, dir, "amount"): Unit
+        graft.sources.History.refreshRowCounts(s, dir): Unit
+        dir
+      })
+
   /** h54's lake: corpus with `source` physically present, declared,
     * then SQL DROP COLUMN source (metadata-only tombstoned drop) and
     * an era-2 INSERT without the column. */
@@ -2148,6 +2190,13 @@ object HistoryQueries {
          UNION ALL
          SELECT doc_id + 20000000 AS doc_id, lang, 'new' AS source, n_chars
          FROM documents WHERE doc_id < 40""",
+    "h55_sql_decimal_extrema" ->
+      """SELECT CAST(MIN(CAST(doc_id AS DECIMAL(12,2)) + 0.25)
+                  AS DOUBLE) AS mn_a,
+                CAST(MAX(CAST(doc_id AS DECIMAL(12,2)) + 0.25)
+                  AS DOUBLE) AS mx_a,
+                COUNT(*) AS n_rows
+         FROM documents""",
     "h54_sql_drop_column" ->
       """SELECT doc_id, lang, n_chars FROM documents
          UNION ALL

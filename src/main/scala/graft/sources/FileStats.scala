@@ -56,6 +56,16 @@ object FileStats {
     * by writer, so a bound touching either could answer or prune
     * wrongly. */
   final case class DoubleRange(mn: Double, mx: Double) extends StatRange
+  /** DECIMAL extrema as UNSCALED INT32/INT64 bounds — a DISTINCT type
+    * (not [[LongRange]]) so generic long-range consumers
+    * ([[History.readPinnedBox]] pruning, BIGINT extrema) can never
+    * consume an unscaled value as a logical one; only the typed
+    * decimal reader, which knows the declared (precision, scale),
+    * interprets it. Unscaled order = logical order at a fixed scale,
+    * so the fold is plain long min/max. FIXED_LEN_BYTE_ARRAY-backed
+    * decimals (precision > 18) have Binary stats with no safe
+    * ordering shortcut here and stay unstatted. */
+  final case class UnscaledRange(mn: Long, mx: Long) extends StatRange
 
   /** UTF-8-byte unsigned comparison — parquet's and Spark's shared
     * string ordering (Java String.compareTo differs above the BMP). */
@@ -125,7 +135,8 @@ object FileStats {
     // pre-string sidecars parse unchanged
     // double bounds ride a `d:` tag with java.lang.Double.toString —
     // exact round-trip for every finite double and ±Infinity (NaN/±0.0
-    // never get written — refused at footer-read time)
+    // never get written — refused at footer-read time); unscaled
+    // decimal bounds ride a `u:` tag (see UnscaledRange)
     def bound(v: String): Option[Any] =
       if (v.startsWith("s:"))
         scala.util.Try(new String(
@@ -134,6 +145,8 @@ object FileStats {
       else if (v.startsWith("d:"))
         scala.util.Try(
           java.lang.Double.parseDouble(v.drop(2)): Any).toOption
+      else if (v.startsWith("u:"))
+        scala.util.Try(Unscaled(v.drop(2).toLong): Any).toOption
       else scala.util.Try(v.toLong: Any).toOption
     st match {
       case None => Map.empty
@@ -163,6 +176,8 @@ object FileStats {
                     Some((rel, c) -> Some(StrRange(a, b)))
                   case (Some(a: Double), Some(b: Double)) =>
                     Some((rel, c) -> Some(DoubleRange(a, b)))
+                  case (Some(Unscaled(a)), Some(Unscaled(b))) =>
+                    Some((rel, c) -> Some(UnscaledRange(a, b)))
                   case _ => None // mixed/unparsable: plan the file
                 }
               case _ => None // unparsable: plan the file, don't fail reads
@@ -206,6 +221,9 @@ object FileStats {
             sb.append("d:").append(java.lang.Double.toString(mn))
               .append('\t')
               .append("d:").append(java.lang.Double.toString(mx))
+          case Some(UnscaledRange(mn, mx)) =>
+            sb.append("u:").append(mn).append('\t')
+              .append("u:").append(mx)
           case None => sb.append("-\t-")
         }
         sb.append('\n')
@@ -234,6 +252,10 @@ object FileStats {
   private def dblRange(mn: Double, mx: Double): Option[DoubleRange] =
     if (mn.isNaN || mx.isNaN || mn == 0.0d || mx == 0.0d) None
     else Some(DoubleRange(mn, mx))
+
+  /** Parse-time marker for a `u:`-tagged sidecar bound (see
+    * [[UnscaledRange]]). */
+  private final case class Unscaled(v: Long)
 
   /** Footer min/max of a top-level INT64/INT32/DATE/STRING column, or
     * None when the file has no such column, no stats, or an unreadable
@@ -301,6 +323,10 @@ object FileStats {
                       .IntLogicalTypeAnnotation if !i.isSigned => None
                   case _ => Some(v) // plain signed INT64
                 }
+              def isDecimal: Boolean =
+                c.getPrimitiveType.getLogicalTypeAnnotation
+                  .isInstanceOf[org.apache.parquet.schema
+                    .LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
               // UINT32 (read by Spark as LONG): signed intValue() turns
               // values above Int.MaxValue negative — same wrong-prune
               // hazard, same refusal (mirrors the timestamp-unit guard)
@@ -312,6 +338,16 @@ object FileStats {
                 }
               if (st == null || st.isEmpty || !st.hasNonNullValue) None
               else (st.genericGetMin, st.genericGetMax) match {
+                // DECIMAL-backed INT32/INT64: the stat is the UNSCALED
+                // value — recorded under the DISTINCT UnscaledRange so
+                // no plain-long consumer can misread it; only the
+                // typed decimal reader (which knows the scale) serves
+                case (mn: java.lang.Long, mx: java.lang.Long)
+                    if isDecimal =>
+                  Some(UnscaledRange(mn.longValue(), mx.longValue()))
+                case (mn: java.lang.Integer, mx: java.lang.Integer)
+                    if isDecimal =>
+                  Some(UnscaledRange(mn.longValue(), mx.longValue()))
                 case (mn: java.lang.Long, mx: java.lang.Long) =>
                   for (a <- tsToMicros(mn.longValue());
                        b <- tsToMicros(mx.longValue()))
@@ -355,6 +391,10 @@ object FileStats {
             // per-block bounds already exclude NaN/±0.0; min/max over
             // finite doubles and ±Infinity fold plainly
             Some(DoubleRange(ds.map(_.mn).min, ds.map(_.mx).max))
+          } else if (ranges.forall(_.isInstanceOf[UnscaledRange])) {
+            val us = ranges.collect { case r: UnscaledRange => r }
+            // unscaled order = logical order at the column's fixed scale
+            Some(UnscaledRange(us.map(_.mn).min, us.map(_.mx).max))
           } else None
         (range, nulls)
       } finally reader.close()

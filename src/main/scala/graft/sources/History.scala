@@ -1026,6 +1026,25 @@ object History {
       .map(rs => (rs.map(_._1).min, rs.map(_._2).max))
   }
 
+  /** [[fastMinMaxFiles]] for a DECIMAL-statted column: bounds are
+    * UNSCALED INT32/INT64 values ([[FileStats.UnscaledRange]] — the
+    * distinct type that keeps plain-long consumers from misreading
+    * them); unscaled order equals logical order at the column's fixed
+    * scale, so the fold is plain long min/max and the TYPED caller
+    * (which knows precision/scale) reassembles the decimal. */
+  private[sources] def fastMinMaxDecFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String, m: FileManifest.Manifest, rels: Seq[String],
+      column: String): Option[(Long, Long)] = {
+    val perFile = statRanges(fs, path, m, rels, column).map(_.map {
+      case FileStats.UnscaledRange(mn, mx) => Some((mn, mx))
+      case _ => None
+    })
+    perFile.filter(_.forall(_.isDefined)).map(_.flatten)
+      .filter(_.nonEmpty)
+      .map(rs => (rs.map(_._1).min, rs.map(_._2).max))
+  }
+
   /** Metadata-only COUNT(col) — the NON-NULL count — over a
     * current-file subset: per-file footer row count minus per-file
     * footer null count, both from the stats sidecar (the null entry

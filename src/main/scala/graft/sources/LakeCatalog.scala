@@ -212,6 +212,19 @@ class LakeCatalog extends TableCatalog
           // by construction — the bounds were float values)
           History.fastMinMaxDblFiles(fs, path, m, sel, c)
             .map { case (mn, mx) => (dt, mn.toFloat, mx.toFloat) }
+        case dt: org.apache.spark.sql.types.DecimalType
+            if dt.precision <= 18 =>
+          // INT32/INT64-backed decimals: unscaled bounds reassemble at
+          // the DECLARED (precision, scale) — files were written (or
+          // validated) against the declaration, so scales agree;
+          // FIXED_LEN_BYTE_ARRAY decimals (precision > 18) never
+          // statted, honest fallback
+          History.fastMinMaxDecFiles(fs, path, m, sel, c)
+            .map { case (mn, mx) => (dt,
+              org.apache.spark.sql.types.Decimal(mn, dt.precision,
+                dt.scale),
+              org.apache.spark.sql.types.Decimal(mx, dt.precision,
+                dt.scale)) }
         case _ => None
       }
     val aggResolver: (org.apache.spark.sql.connector.expressions.aggregate

@@ -632,6 +632,26 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(dfNan.collect().head.getDouble(0).isNaN)
     assert(!dfNan.queryExecution.executedPlan.toString
       .contains("LocalTableScan"))
+    // DECIMAL extrema: unscaled footer bounds reassemble at the
+    // declared (precision, scale) — LocalTableScan, exact values
+    val dirDec = java.nio.file.Files
+      .createTempDirectory("graft-sqlcat-dec").toString + "/lake"
+    Seq((1L, BigDecimal("10.25")), (2L, BigDecimal("-3.50")),
+        (3L, BigDecimal("99.75")))
+      .toDF("id", "amount")
+      .select(col("id"), col("amount").cast("decimal(12,2)").as("amount"))
+      .repartition(2).write.parquet(dirDec)
+    History.enableManifests(spark, dirDec): Unit
+    History.refreshStats(spark, dirDec, "amount"): Unit
+    History.refreshRowCounts(spark, dirDec): Unit
+    val dfDec = spark.sql(
+      s"SELECT MIN(amount) AS mn, MAX(amount) AS mx FROM lake.`$dirDec`")
+    assert(dfDec.collect().head.toSeq ===
+      Seq(new java.math.BigDecimal("-3.50"),
+        new java.math.BigDecimal("99.75")))
+    assert(dfDec.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      dfDec.queryExecution.executedPlan.toString.take(800))
     // a bound touching ±0.0 refuses too (writer min/max conventions
     // around signed zero vary) — the scan answers exactly
     val dirZero = java.nio.file.Files

@@ -622,6 +622,55 @@ class PinnedLakeSpec extends AnyFunSuite {
       .inputFiles.length === 1)
   }
 
+  test("footer-stat guards: DECIMAL refuses, pre-v2 sidecars discard, " +
+      "renamed columns heal through the alias chain") {
+    import spark.implicits._
+    import graft.sources.{FileStats, SchemaLog}
+    // DECIMAL-backed INT64: the footer stat is the UNSCALED long,
+    // recorded under the DISTINCT UnscaledRange type — a plain-long
+    // consumer (range pruning, BIGINT extrema) must never see it as
+    // a LongRange, while the typed decimal reader serves it exactly
+    val lake = java.nio.file.Files
+      .createTempDirectory("graft-statguard").toString + "/lake"
+    Seq((1L, BigDecimal("12.34")), (2L, BigDecimal("56.78")))
+      .toDF("id", "amount")
+      .select(col("id"), col("amount").cast("decimal(10,2)").as("amount"))
+      .coalesce(1).write.parquet(lake)
+    History.enableManifests(spark, lake): Unit
+    History.refreshStats(spark, lake, "amount"): Unit
+    val fs = hadoopFs(lake)
+    val entries = FileStats.read(fs, lake)
+      .collect { case ((_, c), v) if c == "amount" => v }
+    assert(entries.nonEmpty && entries.forall(
+        _.exists(_.isInstanceOf[FileStats.UnscaledRange])),
+      s"decimal column must stat as UnscaledRange, got $entries")
+    assert(entries.flatten === Seq(FileStats.UnscaledRange(1234L, 5678L)))
+    // pre-v2 sidecar (no format header): discarded whole on read —
+    // raw-millis timestamp entries must never be served as micros
+    val statsP = new org.apache.hadoop.fs.Path(FileStats.statsPath(lake))
+    val out = fs.create(statsP, true)
+    try out.write("f.parquet\tid\t1\t2\n".getBytes("UTF-8"))
+    finally out.close()
+    assert(FileStats.read(fs, lake).isEmpty,
+      "an unversioned sidecar must be discarded, not reinterpreted")
+    // the next refresh republishes under v2 and serves again
+    History.refreshStats(spark, lake, "id"): Unit
+    assert(FileStats.read(fs, lake).exists { case ((_, c), v) =>
+      c == "id" && v.isDefined })
+    // RENAMED column: era-1 files hold the old physical name; the
+    // refresh falls back through the alias chain, keyed to the new
+    // name, so metadata extrema keep answering across the rename
+    SchemaLog.declare(spark, lake): Unit
+    SchemaLog.renameColumn(spark, lake, "id", "doc_key"): Unit
+    History.refreshStats(spark, lake, "doc_key"): Unit
+    val renamed = FileStats.read(fs, lake).collect {
+      case ((_, c), Some(FileStats.LongRange(mn, mx)))
+          if c == "doc_key" => (mn, mx)
+    }
+    assert(renamed.toSeq === Seq((1L, 2L)),
+      s"alias-chain stats must serve the old files, got $renamed")
+  }
+
   test("legacy retention: expire manifest is the commit point readers honor") {
     import spark.implicits._
     val lake = freshLake()
