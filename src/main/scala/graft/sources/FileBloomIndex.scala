@@ -332,9 +332,22 @@ object FileBloomIndex {
     val qRoot = fs.makeQualified(root)
     val relByAbs: Map[String, String] = missing.map(rel =>
       new Path(qRoot, rel).toString -> rel).toMap
-    val scan = spark.read
+    // declared-schema lakes index through the SAME projection every
+    // read uses: widened types hash at the declared width (probes cast
+    // to the entry's keyType, so build and probe always agree) and
+    // RENAMED columns resolve for pre-rename files too (the alias
+    // coalesce — a footer-inferred scan would fail to resolve the new
+    // name against old files)
+    val declared = SchemaLog.latest(fs, lakePath)
+    val reader = declared match {
+      case Some(s) => spark.read.schema(SchemaLog.physicalReadSchema(s))
+      case None => spark.read
+    }
+    val scan0 = reader
       .option("basePath", qRoot.toString)
       .parquet(missing.map(rel => new Path(qRoot, rel).toString): _*)
+    val scan = declared.map(SchemaLog.applyAliases(scan0, _))
+      .getOrElse(scan0)
     val keyType = scan.schema(colName).dataType // what the build hashes
     val fresh: Map[String, Entry] = scan
       .select(col("_metadata.file_path").as("__graft_fp"),

@@ -3062,9 +3062,14 @@ object History {
       }
     }
     // carry the declared schema (re-inference at the destination would
-    // lose the projection a mixed-era source depends on)
+    // lose the projection a mixed-era source depends on) AND the
+    // retired-name tombstones: the copied files are raw bytes, so a
+    // DROPPED column's values still sit inside them — without the
+    // tombstone the destination could ADD the name back and resurrect
+    // them (rename aliases ride the schema's field metadata already)
     SchemaLog.latest(fs, path).foreach(s =>
       SchemaLog.declareAs(destFs, destDir, s): Unit)
+    SchemaLog.carryRetired(fs, path, destFs, destDir)
     // carry the declared CHECK constraints too — the clone is an
     // independent lake, and a copy that silently dropped the source's
     // data-quality contract would admit rows the source never could

@@ -283,6 +283,16 @@ object SchemaLog {
     (fromAliases ++ fromDrops).distinct
   }
 
+  /** Carry the source lake's retired-name set to a snapshot-export
+    * destination: the export copies RAW file bytes, so dropped
+    * columns' values travel with them — the destination needs the
+    * same re-add protection or it could resurrect them. */
+  private[sources] def carryRetired(srcFs: FileSystem, srcPath: String,
+      destFs: FileSystem, destPath: String): Unit = {
+    val names = retiredNames(srcFs, srcPath)
+    if (names.nonEmpty) appendRetired(destFs, destPath, names)
+  }
+
   private def appendRetired(fs: FileSystem, lakePath: String,
                             names: Seq[String]): Unit = {
     val existing =

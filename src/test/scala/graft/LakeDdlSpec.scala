@@ -272,6 +272,13 @@ class LakeDdlSpec extends AnyFunSuite {
     // time travel projects history to the CURRENT declared shape
     assert(spark.sql(s"SELECT * FROM lake.`$dir` VERSION AS OF 1")
       .columns.toSeq === Seq("doc_id", "content"))
+    // the bloom key index builds on the RENAMED column across eras
+    // (pre-rename files resolve through the alias projection) and the
+    // keyed read answers through it
+    assert(History.refreshKeyIndex(spark, dir, "content") > 0)
+    val keyed = History.readPinnedKeyed(spark, dir, "content", Seq("z"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(keyed === Seq(2L))
   }
 
   test("RENAME COLUMN refusals: partition columns, collisions, retired " +

@@ -96,6 +96,37 @@ class SnapshotExportSpec extends AnyFunSuite {
       Seq((1L, 10L), (2L, 20L), (3L, 30L)))
   }
 
+  test("drop tombstones and rename aliases travel with the export") {
+    import spark.implicits._
+    val src = fresh("graft-export-ret")
+    Seq((1L, 10L, 0.5), (2L, 20L, 0.7)).toDF("id", "n", "score")
+      .coalesce(1).write.parquet(src)
+    History.enableManifests(spark, src): Unit
+    graft.sources.SchemaLog.declare(spark, src): Unit
+    graft.sources.SchemaLog.dropColumn(spark, src, "score"): Unit
+    graft.sources.SchemaLog.renameColumn(spark, src, "n", "n_chars"): Unit
+    val dst = fresh("graft-export-ret-dst")
+    History.exportSnapshot(spark, src, dst): Unit
+    // the rename alias travels in the schema: era-1 files (physical
+    // `n`) read back under the new name at the destination
+    assert(History.readPinned(spark, dst).columns.toSeq ===
+      Seq("id", "n_chars"))
+    assert(History.readPinned(spark, dst).select("n_chars").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(10L, 20L))
+    // the DROP tombstone travels too: the copied files still hold
+    // `score`'s raw bytes, so re-adding the name at the destination
+    // would resurrect them — it must refuse exactly like the source
+    val destFs = fsOf(dst)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.SchemaLog.evolve(spark, dst,
+        org.apache.spark.sql.types.StructType(
+          graft.sources.SchemaLog.latest(destFs, dst).get.fields :+
+            org.apache.spark.sql.types.StructField("score",
+              org.apache.spark.sql.types.DoubleType)))
+    }
+    assert(e.getMessage.contains("retired"), e.getMessage)
+  }
+
   test("export refuses an occupied destination and unknown references") {
     val src = lake()
     val dst = fresh("graft-export-occ")
