@@ -1353,6 +1353,24 @@ object History {
       df.filter(!deleted)
     }
 
+  /** The lake's directory partitioning with LAYOUT MEMORY: the
+    * declared partitioning when one exists, else the uniform `k=v`
+    * scheme of the CURRENT files, else — a fully-truncated lake — of
+    * the RETIRED files still recorded in the manifest. A lake must not
+    * forget its layout because a restatement/delete emptied it: the
+    * next insert would land unpartitioned and every dir-pruned read
+    * would go blind to its rows (caught by the round-16 deep fuzz,
+    * seed 509). Mixed historical schemes still fail loudly through
+    * [[uniformPartCols]]'s own check. */
+  private def lakeLayout(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, m: FileManifest.Manifest): Seq[String] =
+    FileManifest.declaredPartitioning(fs, path).getOrElse {
+      val donors =
+        if (m.cur.nonEmpty) m.cur else m.retired.map(_._2).distinct
+      if (donors.isEmpty) Seq.empty[String]
+      else uniformPartCols(path, donors)
+    }
+
   /** Directory-encoded partition columns of `affected`'s layout,
     * validated uniform — every copy-on-write rewrite stages through
     * `partitionBy(these)`, so a mixed scheme would write an ambiguous
@@ -1921,8 +1939,7 @@ object History {
       throw new IllegalStateException(
         s"overwriteAll needs a manifest-mode lake (enableManifests): " +
           path))
-    val partCols = FileManifest.declaredPartitioning(fs, path)
-      .getOrElse(if (m.cur.nonEmpty) uniformPartCols(path, m.cur) else Nil)
+    val partCols = lakeLayout(fs, path, m)
     require(partCols.forall(batch.columns.contains),
       s"batch missing the lake's partition columns: " +
         partCols.mkString(","))
@@ -2055,12 +2072,11 @@ object History {
           "overwrite must know EXACTLY which files it retires; filter " +
           "on the lake's partition columns, or restate through " +
           "overwritePartitions (dynamic) / overwriteAll (full)")
-    val declared = FileManifest.declaredPartitioning(fs, path)
-    if (m.cur.isEmpty && declared.isEmpty)
-      undecidable("the lake has no current files and no declared " +
-        "partitioning, so no partition layout to decide against")
-    val partCols = declared.getOrElse(uniformPartCols(path, m.cur))
-    if (partCols.isEmpty) undecidable("the lake is unpartitioned")
+    // layout memory: declared, else current files' scheme, else the
+    // retired files' (a truncated lake still knows its partitioning)
+    val partCols = lakeLayout(fs, path, m)
+    if (partCols.isEmpty) undecidable("the lake is unpartitioned " +
+      "(no declared partitioning and no current/retired file layout)")
     // the declared schema types the partition-value decoding; an
     // undeclared lake infers from its (nonempty) current files
     val schema = SchemaLog.latest(fs, path)
@@ -2577,13 +2593,10 @@ object History {
         throw new IllegalStateException(
           s"matched file not in the planned manifest: $fp"))
     }.toSeq.sorted
-    // the lake's directory scheme governs where inserts land too, so
-    // prefer the declared partitioning, else derive it from ALL
-    // current files, not just the affected ones
-    val schemeDonors = if (m.cur.nonEmpty) m.cur else affected
-    val partCols = FileManifest.declaredPartitioning(fs, path).getOrElse(
-      if (schemeDonors.isEmpty) Seq.empty[String]
-      else uniformPartCols(path, schemeDonors))
+    // the lake's directory scheme governs where inserts land too —
+    // declared, else derived from ALL current files, else (truncated
+    // lake) from the retired files: layout memory
+    val partCols = lakeLayout(fs, path, m)
     // pass 2: survivors of the affected files + all update rows
     val stage = fs.makeQualified(
       new org.apache.hadoop.fs.Path(mergeStagingDir(path)))

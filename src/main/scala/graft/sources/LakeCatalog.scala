@@ -266,15 +266,19 @@ class LakeCatalog extends TableCatalog
   }
 
   /** Directory-encoded partition columns shared by EVERY current file
-    * (`k=v` path segments), or Nil when the layout is mixed or
-    * unpartitioned — the column set a SQL INSERT's staged write must
-    * `partitionBy` to land files in the lake's existing layout. */
+    * (`k=v` path segments) — or, when the CURRENT set is empty (a
+    * truncated lake), by every RETIRED file still in the manifest:
+    * layout memory, so the next SQL INSERT after a full restatement
+    * still lands partitioned. Nil when the layout is mixed or
+    * unpartitioned. */
   private def uniformPartCols(m: FileManifest.Manifest): Seq[String] = {
     def colsOf(rel: String): Seq[String] =
       rel.split('/').dropRight(1).filter(_.contains('='))
         .map(_.takeWhile(_ != '=')).toSeq
-    m.cur.headOption.map(colsOf)
-      .filter(cs => m.cur.forall(colsOf(_) == cs))
+    val donors =
+      if (m.cur.nonEmpty) m.cur else m.retired.map(_._2).distinct
+    donors.headOption.map(colsOf)
+      .filter(cs => donors.forall(colsOf(_) == cs))
       .getOrElse(Nil)
   }
 
@@ -325,6 +329,16 @@ class LakeCatalog extends TableCatalog
             .map(v => (v, SchemaLog.at(f, p, v).toDDL))
           import s.implicits._
           rows.toDF("version", "schema_ddl")
+        })),
+      // RETIRED physical names (renamed-away aliases + dropped-column
+      // tombstones): the "why can't I reuse this name" audit — every
+      // listed name is permanently reserved because old files still
+      // hold it
+      "retired" -> ((st("name" -> StringType),
+        (s: SparkSession, p: String) => {
+          val rows = SchemaLog.retiredNames(fsOf(p), p).sorted
+          import s.implicits._
+          rows.toDF("name")
         })))
   }
 

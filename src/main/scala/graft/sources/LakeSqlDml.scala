@@ -583,7 +583,11 @@ case class GraftDynamicOverwriteCommand(path: String, source: LogicalPlan)
         def colsOf(rel: String): Seq[String] =
           rel.split('/').dropRight(1).filter(_.contains('='))
             .map(_.takeWhile(_ != '=')).toSeq
-        val schemes = m.cur.map(colsOf).distinct
+        // layout memory: a truncated lake's scheme survives in its
+        // retired files (History.lakeLayout's rule)
+        val donors =
+          if (m.cur.nonEmpty) m.cur else m.retired.map(_._2).distinct
+        val schemes = donors.map(colsOf).distinct
         if (schemes.length > 1)
           throw new UnsupportedOperationException(
             "dynamic-mode INSERT OVERWRITE over a MIXED-layout lake " +

@@ -40,7 +40,13 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *  - `startingVersion` — baseline: `latest` (default; deliver
   *    changes from stream start on) or a retained version number
   *    (initial-snapshot-then-follow: `1` replays history as inserts
-  *    from the oldest retained version).
+  *    from the oldest retained version);
+  *  - `startingTimestamp` — baseline by wall clock (`yyyy-MM-dd
+  *    HH:mm:ss` or epoch millis): the newest version committed at or
+  *    before the instant, resolved through the same commit-mtime
+  *    registry `TIMESTAMP AS OF` reads ("tail everything since
+  *    yesterday's snapshot"). Mutually exclusive with
+  *    `startingVersion`.
   *
   * Contracts: the schema is pinned at stream start (the lake's
   * declared schema + `_change`); columns added by later evolution
@@ -59,12 +65,19 @@ class GraftLakeStreamProvider extends StreamSourceProvider
       "graft-lake needs a lake path: readStream.format(\"graft-lake\")" +
         ".load(\"/lake\")"))
 
+  private def checkOptions(parameters: Map[String, String]): Unit =
+    if (parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp"))
+      throw new IllegalArgumentException(
+        "graft-lake takes startingVersion OR startingTimestamp, not both")
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     schema.foreach(_ => throw new IllegalArgumentException(
       "graft-lake derives its schema from the lake's declared schema " +
         "— do not pass one"))
+    checkOptions(parameters)
     (shortName(),
       LakeStreamSource.streamSchema(sqlContext.sparkSession,
         pathOf(parameters)))
@@ -72,9 +85,12 @@ class GraftLakeStreamProvider extends StreamSourceProvider
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    checkOptions(parameters)
     new LakeStreamSource(sqlContext.sparkSession, pathOf(parameters),
-      parameters.get("startingVersion"))
+      parameters.get("startingVersion"),
+      parameters.get("startingTimestamp"))
+  }
 }
 
 private[sources] object LakeStreamSource {
@@ -86,7 +102,8 @@ private[sources] object LakeStreamSource {
 }
 
 private[sources] class LakeStreamSource(spark: SparkSession, path: String,
-    startingVersion: Option[String]) extends Source {
+    startingVersion: Option[String],
+    startingTimestamp: Option[String] = None) extends Source {
 
   private val fs = new org.apache.hadoop.fs.Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -95,12 +112,27 @@ private[sources] class LakeStreamSource(spark: SparkSession, path: String,
     * start from the first commit after it. (A restarted query never
     * re-resolves this — its checkpointed offsets take precedence via
     * `getBatch`'s `start`.) */
-  private val baseline: Long = startingVersion match {
-    case None => latestVersion()
-    case Some("latest") => latestVersion()
-    case Some(v) => v.toLongOption.getOrElse(
+  private val baseline: Long = (startingVersion, startingTimestamp) match {
+    case (None, None) => latestVersion()
+    case (Some("latest"), _) => latestVersion()
+    case (Some(v), _) => v.toLongOption.getOrElse(
       throw new IllegalArgumentException(
         s"startingVersion must be 'latest' or a version number, got '$v'"))
+    case (None, Some(t)) =>
+      // epoch millis or a local-session timestamp string — the same
+      // commit-mtime resolution `TIMESTAMP AS OF` uses
+      val tsMs = t.toLongOption.getOrElse {
+        scala.util.Try(java.sql.Timestamp.valueOf(t).getTime).getOrElse(
+          throw new IllegalArgumentException(
+            "startingTimestamp must be epoch millis or " +
+              s"'yyyy-MM-dd HH:mm:ss', got '$t'"))
+      }
+      val candidates = FileManifest.versions(fs, path).filter(v =>
+        FileManifest.versionMtime(fs, path, v).exists(_ <= tsMs))
+      candidates.sorted.lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"no version of $path existed at startingTimestamp $t " +
+            "(or older versions were vacuumed)"))
   }
 
   private def latestVersion(): Long =

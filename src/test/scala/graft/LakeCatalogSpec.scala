@@ -1058,6 +1058,33 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) === Seq(5L, 10L))
   }
 
+  test("layout memory: a truncated lake's next writes still land " +
+      "partitioned (retired files donate the scheme)") {
+    import spark.implicits._
+    val dir = lake()
+    val fs = fsOf(dir)
+    // full truncate: current file set empty, layout only in retired
+    spark.sql(s"DELETE FROM lake.`$dir`")
+    assert(FileManifest.latest(fs, dir).get.cur.isEmpty)
+    // MERGE-insert into the empty lake (the round-16 deep-fuzz seed-509
+    // shape): the staged write must land in the k=v layout, or every
+    // dir-pruned read would go blind to the rows
+    Seq((7L, "de", 70L)).toDF("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("mem_src")
+    spark.sql(s"""MERGE INTO lake.`$dir` t USING mem_src s
+                  ON t.doc_id = s.doc_id
+                  WHEN NOT MATCHED THEN INSERT *""")
+    // SQL INSERT too
+    spark.sql(s"INSERT INTO lake.`$dir` VALUES (8, 80, 'fr')")
+    val m = FileManifest.latest(fs, dir).get
+    assert(m.cur.nonEmpty && m.cur.forall(_.startsWith("lang=")),
+      s"post-truncate writes must keep the layout: ${m.cur.mkString(",")}")
+    // the dir-pruned read sees the rows
+    assert(History.readPinnedPartitions(spark, dir, _ == "lang=de")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(7L))
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) === Seq(7L, 8L))
+  }
+
   test("dynamic-mode INSERT OVERWRITE restates exactly the partitions " +
       "the query produced") {
     val dir = lake()

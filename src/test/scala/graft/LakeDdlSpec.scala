@@ -226,6 +226,9 @@ class LakeDdlSpec extends AnyFunSuite {
       spark.sql(s"ALTER TABLE lake.`$dir2` DROP COLUMN lang")
     }
     assert(chain(e4).contains("only column"), chain(e4))
+    // the #retired inspection table lists every reserved name
+    assert(spark.sql(s"SELECT name FROM lake.`$dir#retired`")
+      .collect().map(_.getString(0)).sorted.toSeq === Seq("score"))
   }
 
   test("RENAME COLUMN is metadata-only: old files read back under the " +

@@ -556,5 +556,10 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
     for (seed <- Seq(401L, 409L))
       runSequence(seed, nOps = 25, sharded = seed == 409L,
         dv = seed == 409L, constrained = seed == 409L, dml = true)
+    // round-16 verbs (partial-SET MERGE arms, dynamic overwrite) get
+    // their own fresh seeds so the widened pick range is swept hard
+    for (seed <- Seq(503L, 509L))
+      runSequence(seed, nOps = 30, sharded = seed == 509L,
+        dv = seed == 509L, dml = true)
   }
 }

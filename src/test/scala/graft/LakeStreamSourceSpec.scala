@@ -92,6 +92,55 @@ class LakeStreamSourceSpec extends AnyFunSuite {
     assert(seen.asScala.toSeq.sorted === Seq((5L, "insert")))
   }
 
+  test("startingTimestamp baselines at the newest version committed " +
+      "at or before the instant") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val lake = docsLake() // v1 committed now
+    History.append(spark, lake,
+      Seq((5L, 50L)).toDF("doc_id", "n_chars"), key = "a5"): Unit // v2
+    // a timestamp far in the future resolves to the LATEST version —
+    // nothing replays; one far in the past refuses loudly
+    val seen =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    runOnce2(lake, fresh("graft-lss-ts-ckpt"), seen,
+      startingTimestamp = Some(String.valueOf(
+        System.currentTimeMillis() + 3600000L)))
+    assert(seen.asScala.isEmpty)
+    val e = intercept[Exception] {
+      runOnce2(lake, fresh("graft-lss-ts-ckpt2"), seen,
+        startingTimestamp = Some("1000"))
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.toString).mkString(" | ")
+    assert(chain(e).contains("no version"), chain(e))
+    // both options together refuse
+    val e2 = intercept[Exception] {
+      spark.readStream.format("graft-lake")
+        .option("startingVersion", "1")
+        .option("startingTimestamp", "1000")
+        .load(lake)
+    }
+    assert(chain(e2).contains("not both"), chain(e2))
+  }
+
+  private def runOnce2(lake: String, ckpt: String,
+      seen: java.util.concurrent.ConcurrentLinkedQueue[(Long, String)],
+      startingTimestamp: Option[String]): Unit = {
+    val reader = spark.readStream.format("graft-lake")
+    startingTimestamp.foreach(t =>
+      reader.option("startingTimestamp", t): Unit)
+    reader.load(lake).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("doc_id", "_change").collect()
+          .foreach(r => seen.add((r.getLong(0), r.getString(1))): Unit)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(60000L): Unit
+  }
+
   test("a vacuumed baseline fails loudly instead of re-baselining") {
     import spark.implicits._
     val lake = docsLake()
