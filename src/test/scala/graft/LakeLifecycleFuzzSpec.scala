@@ -562,4 +562,18 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
       runSequence(seed, nOps = 30, sharded = seed == 509L,
         dv = seed == 509L, dml = true)
   }
+
+  // Bug-hunt dial: SPARK_GRAFT_FUZZ_SWEEP=<n> runs n EXTRA randomized
+  // full-stack sequences (fresh deterministic seeds, mode bits cycled)
+  // on top of the deep sweep — any failure reproduces from its printed
+  // seed. The round-16 layout-memory hole was found exactly this way.
+  test("deep fuzz: env-sized randomized sweep (opt-in)") {
+    assume(sys.env.get("SPARK_GRAFT_DEEP_FUZZ").contains("1"))
+    val n = sys.env.get("SPARK_GRAFT_FUZZ_SWEEP")
+      .flatMap(_.toIntOption).getOrElse(0)
+    for (i <- 0 until n)
+      runSequence(seed = 10000L + i, nOps = 20,
+        sharded = i % 2 == 0, keyed = i % 3 == 0, tagged = i % 4 == 0,
+        dv = i % 2 == 1, constrained = i % 3 == 1, dml = true)
+  }
 }
