@@ -2578,9 +2578,14 @@ object History {
       new org.apache.hadoop.fs.Path(qRoot, rel).toString -> rel).toMap
     // the _metadata pseudo-column resolves only on the scan itself, so
     // materialize file_path (plus just the keys — maximal pruning)
-    // before the semi-join
+    // before the semi-join. Guard on the FILE SET, not the column set:
+    // an EMPTY declared lake plans a schema-bearing LocalRelation,
+    // which has columns but no _metadata pseudo-column to select
+    // (round-16 renames-fuzz find — merge into a truncated declared
+    // lake crashed instead of inserting)
     val hits =
-      if (base.columns.isEmpty) Array.empty[(String, Long)]
+      if (m.cur.isEmpty || base.columns.isEmpty)
+        Array.empty[(String, Long)]
       else base.select(
           col("_metadata.file_path").as("__graft_fp") +: keyCols.map(col): _*)
         .join(updKeys, keyCols, "left_semi")

@@ -48,9 +48,10 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
       FileManifest.listLiveFiles(f, lake).filterNot(known))
   }
 
-  private def img(lake: String): Map[Long, (String, Long)] = {
+  private def img(lake: String, vCol: String = "v")
+      : Map[Long, (String, Long)] = {
     import spark.implicits._
-    History.readPinned(spark, lake).select("id", "part", "v")
+    History.readPinned(spark, lake).select("id", "part", vCol)
       .as[(Long, String, Long)].collect()
       .map { case (id, p, v) => id -> (p, v) }.toMap
   }
@@ -61,13 +62,29 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
                           tagged: Boolean = false,
                           dv: Boolean = false,
                           constrained: Boolean = false,
-                          dml: Boolean = false): Unit = {
+                          dml: Boolean = false,
+                          renames: Boolean = false): Unit = {
     if (dml) spark.conf.set("spark.sql.catalog.lake",
       classOf[graft.sources.LakeCatalog].getName)
+    require(!(renames && (constrained || dml)),
+      "renames mode composes with the engine ops (constraints would " +
+        "reference the old name; the SQL rename surface has its own " +
+        "spec + gate)")
     val rnd = new scala.util.Random(seed)
     val lake = java.nio.file.Files
       .createTempDirectory(s"graft-fuzz-$seed").toString + "/lake"
     val model: Model = scala.collection.mutable.Map.empty
+    // renames mode: the value column's CURRENT declared name (rename
+    // ops retire the old one); every validated write and predicate
+    // below speaks the current name, while the raw-adopt append path
+    // keeps writing the ORIGINAL physical name — deliberate
+    // stale-writer coverage for the alias-chain read
+    var vName = "v"
+    var renSeq = 0
+    def toLakeDF(rows: Seq[(Long, String, Long)]) = {
+      val df = toDF(rows)
+      if (vName == "v") df else df.withColumnRenamed("v", vName)
+    }
     // tag name -> the exact image pinned at tag time; every live tag is
     // re-read after EVERY op (deletes, merges, clusters, grace-0
     // vacuums) and must still equal its pin
@@ -92,6 +109,7 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
     History.enableManifests(spark, lake): Unit
     if (sharded) History.enableShardedManifests(spark, lake): Unit
     if (keyed) History.refreshKeyIndex(spark, lake, "id"): Unit
+    if (renames) History.declareSchema(spark, lake): Unit
     // constrained mode: a CHECK all generated rows satisfy, so every
     // checked append below flows through enforcement — plus periodic
     // violating appends that must bounce whole with no version flip
@@ -114,7 +132,8 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
                     "sqlOverwrite", "sqlOverwritePart", "sqlMergeCdc",
                     "sqlMergeSync", "sqlDeleteInSub", "sqlMergePartial",
                     "sqlOverwriteDyn")
-       else Nil)
+       else Nil) ++
+      (if (renames) Seq("renameV") else Nil)
     for (op <- 0 until nOps) {
       val pick = rnd.nextInt(10 + extraOps.size)
       val desc: String = pick match {
@@ -137,9 +156,9 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
               s"delete part==$p"
             case _ =>
               val x = rnd.nextLong(1000L)
-              History.deleteWhere(spark, lake, col("v") < x): Unit
+              History.deleteWhere(spark, lake, col(vName) < x): Unit
               model.filterInPlace { case (_, (_, mv)) => mv >= x }
-              s"delete v<$x"
+              s"delete $vName<$x"
           }
         case 4 | 5 | 6 => // keyed merge: updates on live ids + inserts
           val live = model.keys.toSeq.sorted
@@ -153,7 +172,7 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
           val ins = freshRows(rnd.nextInt(4))
           val batch = upd ++ ins
           if (batch.nonEmpty) {
-            History.mergeInto(spark, lake, toDF(batch), Seq("id")): Unit
+            History.mergeInto(spark, lake, toLakeDF(batch), Seq("id")): Unit
             batch.foreach { case (id, p, v) => model(id) = (p, v) }
           }
           s"merge ${upd.size}u+${ins.size}i"
@@ -206,7 +225,7 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
             val p = s"p${rnd.nextInt(3)}"
             val rows = freshRows(1 + rnd.nextInt(5))
               .map { case (id, _, v) => (id, p, v) }
-            History.overwritePartitions(spark, lake, toDF(rows),
+            History.overwritePartitions(spark, lake, toLakeDF(rows),
               Seq("part")): Unit
             model.filterInPlace { case (_, (mp, _)) => mp != p }
             rows.foreach { case (id, pp, v) => model(id) = (pp, v) }
@@ -379,6 +398,16 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
             rows.foreach { case (id, p, v) => model(id) = (p, v) }
             s"sqlOverwriteDyn ${rows.map(_._2).distinct.sorted.mkString(",")}"
 
+          case "renameV" => // metadata-only rename mid-lifecycle: every
+            // later read/write speaks the new name; old files (and the
+            // raw-adopt writer still emitting the ORIGINAL name) read
+            // back through the alias chain
+            val nn = s"v_r$renSeq"; renSeq += 1
+            graft.sources.SchemaLog.renameColumn(
+              spark, lake, vName, nn): Unit
+            vName = nn
+            s"renameV -> $nn"
+
           case "sqlDeleteInSub" => // IN-subquery takedown, keyed route
             if (model.isEmpty) "sqlDeleteInSub noop"
             else {
@@ -408,7 +437,7 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
             }
         }
       }
-      assert(img(lake) === model.toMap, s"seed=$seed op#$op [$desc]")
+      assert(img(lake, vName) === model.toMap, s"seed=$seed op#$op [$desc]")
       if (keyed) {
         // point-lookup cross-check on a live sample + two absent keys;
         // the index may be arbitrarily stale here — staleness must
@@ -417,7 +446,7 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
         val probes = model.keys.toSeq.sorted.take(5) ++
           Seq(nextId + 1000L, nextId + 2000L)
         val got = History.readPinnedKeyed(spark, lake, "id", probes)
-          .select("id", "part", "v").as[(Long, String, Long)].collect()
+          .select("id", "part", vName).as[(Long, String, Long)].collect()
           .map { case (id, p, v) => id -> (p, v) }.toMap
         val want = probes.flatMap(id => model.get(id).map(id -> _)).toMap
         assert(got === want, s"seed=$seed op#$op [$desc] keyed lookup")
@@ -428,7 +457,7 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
         import spark.implicits._
         for ((name, snap) <- tagModel) {
           val got = History.readTag(spark, lake, name)
-            .select("id", "part", "v").as[(Long, String, Long)].collect()
+            .select("id", "part", vName).as[(Long, String, Long)].collect()
             .map { case (id, p, v) => id -> (p, v) }.toMap
           assert(got === snap, s"seed=$seed op#$op [$desc] tag $name")
         }
@@ -451,21 +480,32 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
     // after a final vacuum the plain directory read agrees too (no
     // retired/orphan files left to double-count)
     History.vacuum(spark, lake, graceMs = 0L): Unit
-    val plain =
-      if (model.isEmpty) Map.empty[Long, (String, Long)]
-      else {
-        import spark.implicits._
-        spark.read.parquet(lake).select("id", "part", "v")
-          .as[(Long, String, Long)].collect()
-          .map { case (id, p, v) => id -> (p, v) }.toMap
-      }
-    assert(plain === model.toMap, s"seed=$seed final plain read")
+    if (renames) {
+      // physical files span rename eras, so the raw directory read
+      // cannot select one value-column name — check the orphan/double-
+      // count property by COUNT (schema-free) and values via the
+      // aliased engine read
+      if (model.nonEmpty)
+        assert(spark.read.parquet(lake).count() === model.size.toLong,
+          s"seed=$seed final raw count")
+      assert(img(lake, vName) === model.toMap, s"seed=$seed final read")
+    } else {
+      val plain =
+        if (model.isEmpty) Map.empty[Long, (String, Long)]
+        else {
+          import spark.implicits._
+          spark.read.parquet(lake).select("id", "part", "v")
+            .as[(Long, String, Long)].collect()
+            .map { case (id, p, v) => id -> (p, v) }.toMap
+        }
+      assert(plain === model.toMap, s"seed=$seed final plain read")
+    }
     if (sharded) {
       // partition-pruned reads reassemble the model slice by slice
       import spark.implicits._
       for (p <- Seq("p0", "p1", "p2") if model.exists(_._2._1 == p)) {
         val got = History.readPinnedPartitions(spark, lake, _ == s"part=$p")
-          .select("id", "part", "v").as[(Long, String, Long)].collect()
+          .select("id", "part", vName).as[(Long, String, Long)].collect()
           .map { case (id, pp, v) => id -> (pp, v) }.toMap
         assert(got === model.filter(_._2._1 == p).toMap,
           s"seed=$seed sharded pruned read part=$p")
@@ -561,6 +601,14 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
     for (seed <- Seq(503L, 509L))
       runSequence(seed, nOps = 30, sharded = seed == 509L,
         dv = seed == 509L, dml = true)
+    // RENAMES mid-lifecycle: metadata-only column renames interleave
+    // with deletes/merges/clusters/DV takedowns/tags/restores while a
+    // stale raw-adopt writer keeps emitting the ORIGINAL physical name
+    // — every read must keep answering through the alias chain
+    for (seed <- Seq(601L, 607L))
+      runSequence(seed, nOps = 25, sharded = seed == 607L,
+        keyed = true, dv = seed == 607L, tagged = seed == 601L,
+        renames = true)
   }
 
   // Bug-hunt dial: SPARK_GRAFT_FUZZ_SWEEP=<n> runs n EXTRA randomized

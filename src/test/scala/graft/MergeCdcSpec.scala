@@ -492,6 +492,27 @@ class MergeCdcSpec extends AnyFunSuite {
       e.toString)
   }
 
+  test("engine mergeInto inserts into a truncated DECLARED lake (the " +
+      "schema-bearing empty plan has no _metadata to scan)") {
+    import spark.implicits._
+    // a CREATE TABLE'd lake: declared schema, ZERO current files —
+    // exactly the shape whose planManifest is a schema-bearing
+    // LocalRelation with no _metadata pseudo-column
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mergecdc-decl").toString + "/lake"
+    spark.sql(s"""CREATE TABLE lake.`$dir`
+                  (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                  USING parquet""")
+    assert(FileManifest.latest(fsOf(dir), dir).get.cur.isEmpty)
+    // pre-fix this crashed resolving _metadata.file_path against the
+    // declared-schema LocalRelation (round-16 renames-fuzz find)
+    val (_, replaced) = History.mergeInto(spark, dir,
+      Seq((9L, "it", 90L)).toDF("doc_id", "lang", "n_chars"),
+      Seq("doc_id"))
+    assert(replaced === 0L)
+    assert(rows(dir) === Seq((9L, "it", 90L)))
+  }
+
   test("a partial update against a multi-copy matched key refuses " +
       "through the duplicate-key check (documented deviation)") {
     import spark.implicits._
