@@ -550,6 +550,42 @@ object FileManifest {
       latestVersion(fs, lakePath).exists(v => isSharded(fs, lakePath, v))
     if (shardedMode) publishSharded(fs, lakePath, m)
     else atomicWrite(fs, dest, flatContent(m))
+    recordWitnessed(lakePath, m.version)
+  }
+
+  /** Thread-local COMMIT WITNESS: the versions THIS THREAD published,
+    * per lake, inside a [[witnessCommits]] window. Multi-commit
+    * statements (the CDC-apply MERGE lands up to three engine commits)
+    * need to know which versions are THEIRS so a compensating
+    * [[History.restore]] never reverts a concurrent writer's durable
+    * commit — and inferring "ours" by re-reading latestVersion after
+    * each arm is exactly the race the foreign-version guard exists to
+    * close (a concurrent commit landing between our publish and the
+    * re-read gets misattributed). Recording at the publish funnel is
+    * race-FREE: only a version this thread's own `publish` call landed
+    * is ever recorded. */
+  private val commitWitness =
+    new ThreadLocal[scala.collection.mutable.Set[(String, Long)]]()
+
+  /** Run `body` with a fresh witness installed; `body` receives the
+    * LIVE set — it accumulates as commits land, so a failure handler
+    * mid-window reads the versions committed so far. Windows nest: an
+    * inner window's commits propagate to the outer one on exit. */
+  def witnessCommits[T](
+      body: scala.collection.Set[(String, Long)] => T): T = {
+    val prev = commitWitness.get()
+    val mine = scala.collection.mutable.Set.empty[(String, Long)]
+    commitWitness.set(mine)
+    try body(mine)
+    finally {
+      commitWitness.set(prev)
+      if (prev != null) prev ++= mine
+    }
+  }
+
+  private def recordWitnessed(lakePath: String, v: Long): Unit = {
+    val w = commitWitness.get()
+    if (w != null) w += ((lakePath, v)): Unit
   }
 
   /** Publish `m` as a SHARDED version: entries grouped by partition

@@ -448,7 +448,11 @@ object FileStats {
     val aliasNames: Seq[String] =
       if (colName == RowsCol) Nil
       else SchemaLog.latest(fs, lakePath).toSeq.flatMap(
-        _.fields.find(_.name == colName).toSeq
+        // case-INSENSITIVE field lookup, like every other name
+        // resolution on the lake surface — a case-variant colName must
+        // still find the alias chain, or pre-rename files silently stay
+        // unstatted and metadata extrema degrade to scans
+        _.fields.find(_.name.equalsIgnoreCase(colName)).toSeq
           .flatMap(f => SchemaLog.aliasesOf(f).reverse))
     // footer reads are independent KB-scale metadata fetches — run them
     // on the same bounded pool as commit renames (matters on object

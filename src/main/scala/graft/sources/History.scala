@@ -1362,7 +1362,7 @@ object History {
     * would go blind to its rows (caught by the round-16 deep fuzz,
     * seed 509). Mixed historical schemes still fail loudly through
     * [[uniformPartCols]]'s own check. */
-  private def lakeLayout(fs: org.apache.hadoop.fs.FileSystem,
+  private[sources] def lakeLayout(fs: org.apache.hadoop.fs.FileSystem,
       path: String, m: FileManifest.Manifest): Seq[String] =
     FileManifest.declaredPartitioning(fs, path).getOrElse {
       val donors =

@@ -772,14 +772,11 @@ case class GraftMergeCdcCommand(path: String, source: LogicalPlan,
       // rollback must never fire over a version it did not create (a
       // concurrent writer's commit inside the window): restoring would
       // silently revert THEIR durable commit, the one thing a
-      // compensation must never do
-      var armsCommitted = false
-      var ourVersions = Set.empty[Long]
-      def recordCommit(): Unit = {
-        armsCommitted = true
-        FileManifest.latestVersion(fsys, path)
-          .foreach(v => ourVersions += v)
-      }
+      // compensation must never do. Recorded by the PUBLISH-funnel
+      // witness ([[FileManifest.witnessCommits]]), not by re-reading
+      // latestVersion after each arm — the re-read races a concurrent
+      // writer landing between our commit and the read, misattributing
+      // their version as ours (ADVICE r16).
       val hasUpdateArms = matchedArms.exists(_.sets.isDefined)
       // ONE pinned read of the statement-start snapshot serves both the
       // matched-key pin and the partial arms' target image — pinned
@@ -854,6 +851,7 @@ case class GraftMergeCdcCommand(path: String, source: LogicalPlan,
       upsertInput.foreach(_.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): Unit)
       try {
+        FileManifest.witnessCommits { witnessed =>
         try {
           upsertInput.foreach(Constraints.enforce(spark, path, _))
           // the DV-vs-COW density ceiling: the same session knob the
@@ -868,7 +866,6 @@ case class GraftMergeCdcCommand(path: String, source: LogicalPlan,
           if (!lakeEmpty) bySourceDelete.foreach { cond =>
             val (f, n) = History.deleteUnmatchedDV(spark, path,
               srcRaw.select(keySel: _*), keyCols, cond, dvCap)
-            if (f > 0) recordCommit()
             filesTouched += f
             rowsDeleted += n
           }
@@ -900,13 +897,11 @@ case class GraftMergeCdcCommand(path: String, source: LogicalPlan,
                   keyCols, dvCap)
               } else History.deleteMatchedDV(spark, path, dk,
                 keyCols, dvCap)
-            if (f > 0) recordCommit()
             filesTouched += f
             rowsDeleted += n
           }
           upsertInput.foreach { input =>
             val (f, r) = History.mergeInto(spark, path, input, keyCols)
-            recordCommit()
             filesTouched += f
             rowsReplaced = r
           }
@@ -917,7 +912,9 @@ case class GraftMergeCdcCommand(path: String, source: LogicalPlan,
           // UNLESS the window holds a version we did not create: that
           // is a concurrent writer's durable commit, and restoring
           // over it would revert their data, so refuse loudly instead
-          if (armsCommitted && v0.isDefined &&
+          val ourVersions: Set[Long] =
+            witnessed.collect { case (p, v) if p == path => v }.toSet
+          if (ourVersions.nonEmpty && v0.isDefined &&
               FileManifest.latestVersion(fsys, path) != v0) {
             val foreign = FileManifest.versions(fsys, path)
               .filter(v => v > v0.get && !ourVersions.contains(v))
@@ -934,6 +931,7 @@ case class GraftMergeCdcCommand(path: String, source: LogicalPlan,
               catch { case e2: Throwable => e.addSuppressed(e2) }
           }
           throw e
+        }
         }
       } finally {
         matchedKeys.foreach(_.unpersist(blocking = false): Unit)

@@ -38,9 +38,16 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *
   * Options:
   *  - `startingVersion` — baseline: `latest` (default; deliver
-  *    changes from stream start on) or a retained version number
-  *    (initial-snapshot-then-follow: `1` replays history as inserts
-  *    from the oldest retained version);
+  *    changes from stream start on) or a version number N, INCLUSIVE:
+  *    deliveries start WITH version N's changes. `1` (or any N that
+  *    is the oldest retained version) is initial-snapshot-then-follow
+  *    — version N's full snapshot replays as inserts (a diff against
+  *    a synthetic empty manifest: N's own commit published the
+  *    pre-existing files, and those rows must be reachable), then the
+  *    follow continues. An N below the oldest retained version fails
+  *    loudly — part of the requested history was vacuumed, and a
+  *    silent net-state replay could double-deliver on a resumed
+  *    checkpoint;
   *  - `startingTimestamp` — baseline by wall clock (`yyyy-MM-dd
   *    HH:mm:ss` or epoch millis): the newest version committed at or
   *    before the instant, resolved through the same commit-mtime
@@ -109,15 +116,22 @@ private[sources] class LakeStreamSource(spark: SparkSession, path: String,
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Baseline version, resolved ONCE at source creation: deliveries
-    * start from the first commit after it. (A restarted query never
-    * re-resolves this — its checkpointed offsets take precedence via
-    * `getBatch`'s `start`.) */
+    * start from the first commit after it. A numeric `startingVersion`
+    * N stores N−1 here — the option is INCLUSIVE of version N (its
+    * snapshot/changes must be deliverable), while the offset protocol
+    * is exclusive-of-from. (A restarted query never re-resolves this —
+    * its checkpointed offsets take precedence via `getBatch`'s
+    * `start`.) */
   private val baseline: Long = (startingVersion, startingTimestamp) match {
     case (None, None) => latestVersion()
     case (Some("latest"), _) => latestVersion()
-    case (Some(v), _) => v.toLongOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"startingVersion must be 'latest' or a version number, got '$v'"))
+    case (Some(v), _) =>
+      val n = v.toLongOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"startingVersion must be 'latest' or a version number, got '$v'"))
+      if (n < 1L) throw new IllegalArgumentException(
+        s"startingVersion must be >= 1 (manifests start at v1), got $n")
+      n - 1L
     case (None, Some(t)) =>
       // epoch millis or a local-session timestamp string — the same
       // commit-mtime resolution `TIMESTAMP AS OF` uses
@@ -160,7 +174,36 @@ private[sources] class LakeStreamSource(spark: SparkSession, path: String,
       if (from >= to)
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else History.changesBetween(spark, path, from, to)
+      else {
+        val oldest = FileManifest.versions(fs, path).minOption
+          .getOrElse(throw new IllegalStateException(
+            s"graft-lake: no manifest versions retained at $path"))
+        if (from >= oldest) History.changesBetween(spark, path, from, to)
+        else if (from == 0L && oldest == 1L) {
+          // diff from a SYNTHETIC EMPTY manifest: from = 0 names the
+          // (never-published) version before v1, which is EXACTLY the
+          // empty lake — so the window opens with v1's full snapshot
+          // replayed as inserts (this is how startingVersion=1
+          // bootstraps the initial snapshot; v1's own commit published
+          // the pre-existing files, so its rows live nowhere else),
+          // then the regular file-granular diff covers the rest. Only
+          // from=0 qualifies: any retained-then-vacuumed `from` >= 1
+          // means deliveries may already have happened against it, and
+          // replaying a net snapshot could double-deliver — that case
+          // fails loudly below, same rule as time travel.
+          val snap = History.readPinned(spark, path, 1L)
+            .withColumn("_change",
+              org.apache.spark.sql.functions.lit("insert"))
+          if (to == 1L) snap
+          else snap.unionByName(
+            History.changesBetween(spark, path, 1L, to))
+        } else throw new IllegalStateException(
+          s"graft-lake batch ($from, $to] at $path: version $from is " +
+            s"not retained (oldest retained: $oldest) — the window was " +
+            "vacuumed past the checkpoint; replaying the net state " +
+            "could double-deliver, so re-baseline explicitly with a " +
+            "fresh checkpoint")
+      }
     // pin the stream's start-time shape: a column added by evolution
     // mid-stream is dropped until restart (standard streaming
     // semantics); a renamed/lost column fails resolution loudly

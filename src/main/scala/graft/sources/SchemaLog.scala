@@ -334,16 +334,16 @@ object SchemaLog {
     if (old.fields.length == 1)
       throw new UnsupportedOperationException(
         s"DROP COLUMN ${field.name}: it is the table's only column")
-    val partCols = FileManifest.declaredPartitioning(fs, lakePath)
-      .getOrElse {
-        def colsOf(rel: String): Seq[String] =
-          rel.split('/').dropRight(1).filter(_.contains('='))
-            .map(_.takeWhile(_ != '=')).toSeq
-        FileManifest.latest(fs, lakePath)
-          .map(_.cur).filter(_.nonEmpty)
-          .map(cur => colsOf(cur.head))
-          .getOrElse(Seq.empty)
-      }
+    // LAYOUT MEMORY, same rule as every write path (History.lakeLayout):
+    // a truncated lake's scheme survives in its RETIRED files, so the
+    // guard must see it — deriving from current files only would let a
+    // partition column be dropped during an empty-current-set window,
+    // after which the next INSERT partitions by a column the declared
+    // schema no longer carries
+    val partCols = FileManifest.latest(fs, lakePath)
+      .map(m => History.lakeLayout(fs, lakePath, m))
+      .getOrElse(
+        FileManifest.declaredPartitioning(fs, lakePath).getOrElse(Seq.empty))
     if (partCols.exists(_.equalsIgnoreCase(field.name)))
       throw new UnsupportedOperationException(
         s"DROP COLUMN ${field.name}: it is a partition column — the " +
@@ -408,16 +408,13 @@ object SchemaLog {
           "name (renamed away or dropped) — old files still hold it, " +
           "so reusing it would resurrect stale values or make the " +
           "read ambiguous")
-    val partCols = FileManifest.declaredPartitioning(fs, lakePath)
-      .getOrElse {
-        def colsOf(rel: String): Seq[String] =
-          rel.split('/').dropRight(1).filter(_.contains('='))
-            .map(_.takeWhile(_ != '=')).toSeq
-        FileManifest.latest(fs, lakePath)
-          .map(_.cur).filter(_.nonEmpty)
-          .map(cur => colsOf(cur.head))
-          .getOrElse(Seq.empty)
-      }
+    // LAYOUT MEMORY, same rule as every write path (History.lakeLayout):
+    // the guard must also see a truncated lake's scheme (retired files)
+    // — see the DROP COLUMN guard's note
+    val partCols = FileManifest.latest(fs, lakePath)
+      .map(m => History.lakeLayout(fs, lakePath, m))
+      .getOrElse(
+        FileManifest.declaredPartitioning(fs, lakePath).getOrElse(Seq.empty))
     if (partCols.exists(_.equalsIgnoreCase(field.name)))
       throw new UnsupportedOperationException(
         s"RENAME COLUMN ${field.name}: it is a partition column — the " +

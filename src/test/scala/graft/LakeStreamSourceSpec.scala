@@ -85,11 +85,31 @@ class LakeStreamSourceSpec extends AnyFunSuite {
       Seq((5L, 50L)).toDF("doc_id", "n_chars"), key = "a5"): Unit
     val seen =
       new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
-    // baseline at v1 (oldest retained): history replays as inserts,
-    // then the follow continues from the checkpoint
+    // startingVersion is INCLUSIVE: `1` replays v1's full snapshot as
+    // inserts (diff from the synthetic empty manifest before v1 — the
+    // bootstrap rows live nowhere but v1's own commit) and then the
+    // v2 append, all in the first window
     runOnce(lake, fresh("graft-lss-ckpt2"), seen,
       startingVersion = Some("1"))
-    assert(seen.asScala.toSeq.sorted === Seq((5L, "insert")))
+    assert(seen.asScala.toSeq.sorted ===
+      Seq((1L, "insert"), (2L, "insert"), (3L, "insert"),
+        (4L, "insert"), (5L, "insert")))
+    // startingVersion = 2 delivers FROM v2's changes on (diff v1..v2):
+    // the bootstrap snapshot is excluded, the append included
+    val seen2 =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    runOnce(lake, fresh("graft-lss-ckpt2b"), seen2,
+      startingVersion = Some("2"))
+    assert(seen2.asScala.toSeq.sorted === Seq((5L, "insert")))
+    // startingVersion < 1 refuses: manifests start at v1
+    val e = intercept[Exception] {
+      runOnce(lake, fresh("graft-lss-ckpt2c"), seen2,
+        startingVersion = Some("0"))
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.toString).mkString(" | ")
+    assert(chain(e).contains("must be >= 1"), chain(e))
   }
 
   test("startingTimestamp baselines at the newest version committed " +

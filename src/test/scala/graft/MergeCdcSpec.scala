@@ -41,6 +41,18 @@ class MergeCdcSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       .sortBy(_._1).toSeq
 
+  /** Run `body` on a fresh thread and join — the concurrent-writer
+    * simulation must not share the statement thread, or the
+    * publish-funnel commit witness would attribute its commit to the
+    * statement. Failures rethrow on the caller. */
+  private def onOtherThread(body: => Unit): Unit = {
+    @volatile var err: Option[Throwable] = None
+    val t = new Thread(() =>
+      try body catch { case e: Throwable => err = Some(e) })
+    t.start(); t.join()
+    err.foreach(throw _)
+  }
+
   test("WHEN MATCHED THEN DELETE lands matched keys as deletion vectors") {
     import spark.implicits._
     val dir = lake()
@@ -276,7 +288,13 @@ class MergeCdcSpec extends AnyFunSuite {
     FileManifest.testRaceHook = Some { () =>
       FileManifest.testRaceHookPath = Some(dir)
       FileManifest.testRaceHook = Some { () =>
-        History.deleteWhereDV(spark, dir, col("doc_id") === 4L): Unit
+        // the concurrent writer must be a real OTHER THREAD: the
+        // publish-funnel commit witness is thread-local, so a same-
+        // thread hook commit would be (wrongly, for this simulation)
+        // attributed to the statement itself
+        onOtherThread {
+          History.deleteWhereDV(spark, dir, col("doc_id") === 4L): Unit
+        }
       }
     }
     try {
@@ -313,7 +331,11 @@ class MergeCdcSpec extends AnyFunSuite {
       .createOrReplaceTempView("cdc_race")
     FileManifest.testRaceHookPath = Some(dir)
     FileManifest.testRaceHook = Some { () =>
-      History.deleteWhereDV(spark, dir, col("doc_id") === 2L): Unit
+      // other-thread for the same reason as the refused-compensation
+      // test: a concurrent writer is never the statement's own thread
+      onOtherThread {
+        History.deleteWhereDV(spark, dir, col("doc_id") === 2L): Unit
+      }
     }
     try {
       intercept[java.util.ConcurrentModificationException] {
