@@ -1245,6 +1245,46 @@ object HistoryQueries {
       val dir = sqlDropColLake(s, d)
       s.sql(s"""SELECT doc_id, lang, n_chars FROM lake.`$dir`
                 WHERE doc_id >= 0""")
+    }),
+
+    // CORRELATED-SUBQUERY DELETE: `WHERE EXISTS (SELECT … WHERE f.k =
+    // t.k AND <f-only>) AND <target cond>` decorrelates onto ONE
+    // distributed key-frame semi-join riding deletion vectors (the
+    // frame never passes through the driver — unlike the capped
+    // uncorrelated-IN materialization), and `WHERE NOT EXISTS (…)`
+    // onto the anti-join — the two highest-frequency DML shapes that
+    // previously refused. A mis-joined key, a leaked residual
+    // conjunct, or an anti/semi mixup fails the hash.
+    "h56_sql_delete_exists" -> ((s, d) => {
+      val dir = sqlDelExistsLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
+                WHERE doc_id >= 0""")
+    }),
+
+    // CORRELATED-IN UPDATE: `WHERE t.lang IN (SELECT p.lang FROM p
+    // WHERE p.doc_id = t.doc_id)` is exactly the (doc_id, lang)
+    // pair-frame semi-join — one copy-on-write pass over only the
+    // files holding matches (History.updateMatched). The pair table
+    // here derives each row's expectation from the NEXT document
+    // (doc_id-1 shift), so a self-trivial translation cannot pass.
+    "h57_sql_update_corr_in" -> ((s, d) => {
+      val dir = sqlUpdCorrInLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
+                WHERE doc_id >= 0""")
+    }),
+
+    // MERGE `WHEN NOT MATCHED BY SOURCE THEN UPDATE` (the fourth
+    // standard arm — full-sync MARKING instead of deletion): ordered
+    // by-source arms, first-match-wins, target-side conditions and
+    // values, all update arms folded into ONE copy-on-write anti-join
+    // pass whose per-column CASE chain encodes arm order (two
+    // sequential passes would leak the first arm's writes into the
+    // second arm's condition). An arm leak, a matched row marked, or
+    // an insert row caught by the sync arms fails the hash.
+    "h58_sql_merge_sync_update" -> ((s, d) => {
+      val dir = sqlMergeSyncUpdLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
+                WHERE doc_id >= 0""")
     })
   )
 
@@ -1833,6 +1873,108 @@ object HistoryQueries {
         dir
       })
 
+  /** h56's lake: corpus through the engine write path, then one
+    * correlated-EXISTS SQL DELETE (decorrelated onto the keyed-frame
+    * DV route, with a subquery-side conjunct AND a residual
+    * target-side conjunct) followed by one NOT EXISTS DELETE (the
+    * anti-join). */
+  private val sqlDelExistsLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlDelExistsLake(s: SparkSession, sfDir: String): String =
+    sqlDelExistsLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir),
+      _ => {
+        Memos.install(s)
+        s.conf.set("spark.sql.catalog.lake",
+          classOf[graft.sources.LakeCatalog].getName)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-sql-dexists").toString + "/lake"
+        val docs = graft.Tables.documents(s, sfDir)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"))
+        docs.repartition(8).write.parquet(dir)
+        graft.sources.History.enableManifests(s, dir): Unit
+        docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), (col("n_chars") % 5).as("sev"))
+          .createOrReplaceTempView("h56_flags")
+        s.sql(s"""DELETE FROM lake.`$dir` t
+                  WHERE EXISTS (SELECT 1 FROM h56_flags f
+                                WHERE f.doc_id = t.doc_id AND f.sev >= 2)
+                    AND t.n_chars >= 100""")
+        docs.filter(col("doc_id") % 11 =!= 7).select(col("doc_id"))
+          .createOrReplaceTempView("h56_keep")
+        s.sql(s"""DELETE FROM lake.`$dir` t
+                  WHERE NOT EXISTS (SELECT 1 FROM h56_keep k
+                                    WHERE k.doc_id = t.doc_id)""")
+        dir
+      })
+
+  /** h57's lake: corpus, then one correlated-IN SQL UPDATE whose pair
+    * table carries each row's expected lang from the NEXT document
+    * (doc_id − 1 shift) — matched rows get +10000 n_chars. */
+  private val sqlUpdCorrInLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlUpdCorrInLake(s: SparkSession, sfDir: String): String =
+    sqlUpdCorrInLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir),
+      _ => {
+        Memos.install(s)
+        s.conf.set("spark.sql.catalog.lake",
+          classOf[graft.sources.LakeCatalog].getName)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-sql-ucorr").toString + "/lake"
+        val docs = graft.Tables.documents(s, sfDir)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"))
+        docs.repartition(8).write.parquet(dir)
+        graft.sources.History.enableManifests(s, dir): Unit
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") - 1L).as("doc_id"), col("lang"))
+          .createOrReplaceTempView("h57_pairs")
+        s.sql(s"""UPDATE lake.`$dir` t SET n_chars = n_chars + 10000
+                  WHERE t.lang IN (SELECT p.lang FROM h57_pairs p
+                                   WHERE p.doc_id = t.doc_id)""")
+        dir
+      })
+
+  /** h58's lake: corpus, then one full-sync MERGE whose by-source arms
+    * UPDATE instead of delete — odd-n_chars unmatched rows mark
+    * source='stale', the rest zero their n_chars (ordered arms,
+    * first-match-wins); matched rows take a +50 update, new keys
+    * insert. */
+  private val sqlMergeSyncUpdLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlMergeSyncUpdLake(s: SparkSession, sfDir: String): String =
+    sqlMergeSyncUpdLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir),
+      _ => {
+        Memos.install(s)
+        s.conf.set("spark.sql.catalog.lake",
+          classOf[graft.sources.LakeCatalog].getName)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-sql-syncupd").toString + "/lake"
+        val docs = graft.Tables.documents(s, sfDir)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"))
+        docs.repartition(8).write.parquet(dir)
+        graft.sources.History.enableManifests(s, dir): Unit
+        docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("n_chars", col("n_chars") + 50L)
+          .unionByName(docs.filter(col("doc_id") < 30)
+            .withColumn("doc_id", col("doc_id") + 90000000L)
+            .withColumn("source", lit("new")))
+          .createOrReplaceTempView("h58_sync_src")
+        s.sql(s"""MERGE INTO lake.`$dir` t USING h58_sync_src s
+                  ON t.doc_id = s.doc_id
+                  WHEN MATCHED THEN UPDATE SET *
+                  WHEN NOT MATCHED THEN INSERT *
+                  WHEN NOT MATCHED BY SOURCE AND t.n_chars % 2 = 1
+                    THEN UPDATE SET source = 'stale'
+                  WHEN NOT MATCHED BY SOURCE
+                    THEN UPDATE SET n_chars = 0"""): Unit
+        dir
+      })
+
   /** h47's lake: SQL-only CTAS (evens) → ALTER TABLE ADD COLUMNS
     * (quality DOUBLE, metadata-only) → INSERT (odds with values). */
   private val sqlAlterLakeCache =
@@ -2202,6 +2344,33 @@ object HistoryQueries {
          UNION ALL
          SELECT doc_id + 80000000 AS doc_id, lang, n_chars
          FROM documents WHERE doc_id < 25""",
+    "h56_sql_delete_exists" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE NOT (doc_id % 3 = 0 AND n_chars % 5 >= 2
+                    AND n_chars >= 100)
+           AND doc_id % 11 <> 7""",
+    "h57_sql_update_corr_in" ->
+      """SELECT d.doc_id, d.lang, d.source,
+                CASE WHEN EXISTS (SELECT 1 FROM documents o
+                                  WHERE o.doc_id % 5 = 0
+                                    AND o.doc_id - 1 = d.doc_id
+                                    AND o.lang = d.lang)
+                     THEN d.n_chars + 10000 ELSE d.n_chars
+                END AS n_chars
+         FROM documents d""",
+    "h58_sql_merge_sync_update" ->
+      """SELECT doc_id, lang, source, n_chars + 50 AS n_chars
+         FROM documents WHERE doc_id % 3 = 0
+         UNION ALL
+         SELECT doc_id + 90000000 AS doc_id, lang, 'new' AS source,
+                n_chars
+         FROM documents WHERE doc_id < 30
+         UNION ALL
+         SELECT doc_id, lang, 'stale' AS source, n_chars
+         FROM documents WHERE doc_id % 3 <> 0 AND n_chars % 2 = 1
+         UNION ALL
+         SELECT doc_id, lang, source, CAST(0 AS BIGINT) AS n_chars
+         FROM documents WHERE doc_id % 3 <> 0 AND n_chars % 2 = 0""",
     "h53_sql_double_extrema" ->
       """SELECT MIN(1000.25 + doc_id * 0.5) AS mn_s,
                 MAX(1000.25 + doc_id * 0.5) AS mx_s,

@@ -1781,14 +1781,20 @@ object History {
     * the key column of every current file (one column-pruned pass). */
   def deleteMatchedDV(spark: SparkSession, path: String,
                       keys: DataFrame, keyCols: Seq[String],
-                      maxPositions: Long = 10000000L): (Int, Long) = {
+                      maxPositions: Long = 10000000L,
+                      extraCond: Option[org.apache.spark.sql.Column] = None)
+      : (Int, Long) = {
     require(keyCols.nonEmpty, "deleteMatchedDV needs key columns")
     require(keyCols.forall(keys.columns.contains),
       s"keys frame missing key columns: ${keyCols.mkString(",")}")
     dvVictimsCommit(spark, path, None, maxPositions) { scan =>
+      // residual target-side conjuncts (a decorrelated `EXISTS(…) AND
+      // t.z > 5` DELETE) gate the victim scan FIRST — NULL keeps the
+      // row, SQL DELETE semantics
+      val base = extraCond.map(scan.filter).getOrElse(scan)
       // underscore-prefixed aliases: a data column named `fp`/`ri`
       // must not collide with the position projection
-      scan.select(
+      base.select(
           col("_metadata.file_path").as("__graft_fp") +:
             col("_metadata.row_index").as("__graft_ri") +:
             keyCols.map(col): _*)
@@ -2512,6 +2518,136 @@ object History {
     promoteAndFlip(fs, qRoot, path, stage, s"e${m.version + 1}-", affected,
       dvSeenOf(m, affected))
     (affected.size, rowsUpdated)
+  }
+
+  /** Copy-on-write UPDATE of every row whose `keyCols` value appears
+    * in `keys` — [[updateWhere]] for a DISTRIBUTED key frame (the
+    * decorrelated `UPDATE … WHERE x IN (SELECT y FROM s WHERE s.k =
+    * t.k)` shape: the match list is a query, not a literal list):
+    * matched-ness comes from ONE key-semi-join over the current files
+    * in the match scan and one mark-join in the rewrite, so the key
+    * frame never passes through the driver. `extraCond` (residual
+    * target-side conjuncts) must ALSO hold for a row to update — NULL
+    * is not-TRUE, SQL UPDATE semantics. NULL keys never match (join
+    * semantics). Same cost shape and caller contract as [[updateWhere]]
+    * (deterministic inputs; run from the writer sequence); the keys
+    * frame is evaluated in both passes, so non-trivial plans should be
+    * cached by the caller (the SQL command does).
+    * @return (files rewritten, rows updated) */
+  def updateMatched(spark: SparkSession, path: String,
+      keys: DataFrame, keyCols: Seq[String],
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      extraCond: Option[org.apache.spark.sql.Column] = None): (Int, Long) =
+    updateJoinImpl(spark, path, keys, keyCols, anti = false, extraCond,
+      assignments)
+
+  /** Copy-on-write UPDATE of every row whose `keyCols` value does NOT
+    * appear in `keys` — the `MERGE … WHEN NOT MATCHED BY SOURCE THEN
+    * UPDATE` arm (full-sync: mark rows the source no longer carries)
+    * and the decorrelated `NOT EXISTS` UPDATE. One column-pruned
+    * anti-join match scan, one mark-join rewrite; NULL-keyed lake rows
+    * are never matched by any key, so they UPDATE here — exactly
+    * standard MERGE (same rule as [[deleteUnmatchedDV]]).
+    * @return (files rewritten, rows updated) */
+  def updateUnmatched(spark: SparkSession, path: String,
+      keys: DataFrame, keyCols: Seq[String],
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      extraCond: Option[org.apache.spark.sql.Column] = None): (Int, Long) =
+    updateJoinImpl(spark, path, keys, keyCols, anti = true, extraCond,
+      assignments)
+
+  /** Shared key-frame update tail: [[updateImpl]] with the match
+    * decided by a semi/anti join against `keys` instead of a bare
+    * predicate. Pass 1 finds the affected files through the join
+    * (collect bounded by file count); pass 2 rewrites exactly those
+    * files with a LEFT OUTER mark-join deciding per row — the key
+    * frame is distinct-ed first, so the mark join is 1:1 and survivor
+    * rows pass through byte-identical. */
+  private def updateJoinImpl(spark: SparkSession, path: String,
+      keys: DataFrame, keyCols: Seq[String], anti: Boolean,
+      extraCond: Option[org.apache.spark.sql.Column],
+      assignments: Seq[(String, org.apache.spark.sql.Column)])
+      : (Int, Long) = {
+    require(assignments.nonEmpty, "update needs at least one assignment")
+    require(keyCols.nonEmpty, "key-frame update needs key columns")
+    require(keyCols.forall(keys.columns.contains),
+      s"keys frame missing key columns: ${keyCols.mkString(",")}")
+    val names = assignments.map(_._1)
+    require(names.distinct.size == names.size,
+      s"duplicate assignment targets: ${names.diff(names.distinct).mkString(",")}")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qRoot = fs.makeQualified(root)
+    val m = FileManifest.latest(fs, path).getOrElse(
+      throw new IllegalStateException(
+        s"updateMatched/updateUnmatched needs a manifest-mode lake " +
+          s"(enableManifests): $path"))
+    if (m.cur.isEmpty) return (0, 0L)
+    val keyFrame = keys.select(keyCols.map(col): _*).distinct()
+    keyFrame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val scan = planManifest(spark, fs, root, m)
+      if (scan.columns.isEmpty) return (0, 0L)
+      // NULL extra-cond keeps the row unchanged: SQL UPDATE semantics
+      val gate = extraCond.map(c => coalesce(c, lit(false)))
+      // pass 1: which current files hold rows on the updating side
+      val preFiltered = gate.map(scan.filter).getOrElse(scan)
+      val hits = preFiltered
+        .select(col("_metadata.file_path").as("__graft_fp") +:
+          keyCols.map(col): _*)
+        .join(keyFrame, keyCols, if (anti) "left_anti" else "left_semi")
+        .groupBy(col("__graft_fp"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      if (hits.isEmpty) return (0, 0L)
+      val rowsUpdated = hits.map(_._2).sum
+      val relByAbs: Map[String, String] = m.cur.map(rel =>
+        new org.apache.hadoop.fs.Path(qRoot, rel).toString -> rel).toMap
+      val affected: Seq[String] = hits.map { case (fp, _) =>
+        relByAbs.getOrElse(new org.apache.hadoop.fs.Path(fp).toString,
+          throw new IllegalStateException(
+            s"matched file not in the planned manifest: $fp"))
+      }.toSeq.sorted
+      val partCols = uniformPartCols(path, affected)
+      // pass 2: rewrite the affected files; per-row matched-ness via a
+      // 1:1 LEFT OUTER mark join against the distinct key frame
+      val stage = fs.makeQualified(
+        new org.apache.hadoop.fs.Path(updateStagingDir(path)))
+      fs.delete(stage, true): Unit
+      val base = rewriteScan(spark, fs, qRoot, path, m, affected)
+      val unknown = names.filterNot(base.columns.contains)
+      require(unknown.isEmpty,
+        s"update: unknown column(s) ${unknown.mkString(",")} — lake " +
+          s"columns are ${base.columns.mkString(",")}")
+      val marks = keyFrame.withColumn("__graft_m", lit(true))
+      val joined = base.join(marks, keyCols.toSeq, "left_outer")
+      val sideFlag =
+        if (anti) col("__graft_m").isNull else col("__graft_m").isNotNull
+      val updPred = gate.map(_ && sideFlag).getOrElse(sideFlag)
+      val assignMap = assignments.toMap
+      val schema = base.schema
+      val updated = joined.select(base.columns.toIndexedSeq.map { c =>
+        assignMap.get(c) match {
+          case Some(v) =>
+            when(updPred, v.cast(schema(c).dataType)).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+      val writer = updated.write.mode("overwrite")
+        .option("maxRecordsPerFile", 5000000L)
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+        .parquet(stage.toString)
+      try Constraints.enforceStaged(spark, path, stage.toString)
+      catch { case e: Throwable =>
+        fs.delete(stage, true): Unit
+        throw e
+      }
+      // shares updateWhere's "e" staging tag: same staging dir, same
+      // single-writer sequence — never concurrent with updateImpl
+      promoteAndFlip(fs, qRoot, path, stage, s"e${m.version + 1}-",
+        affected, dvSeenOf(m, affected))
+      (affected.size, rowsUpdated)
+    } finally keyFrame.unpersist(blocking = false): Unit
   }
 
   def mergeStagingDir(path: String): String = s"$path/_staging/merge"

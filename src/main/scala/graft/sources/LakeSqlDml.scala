@@ -3,14 +3,14 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
-  AttributeReference, CurrentDate, CurrentTimestampLike, EqualTo,
-  Expression, In, InSubquery, ListQuery, Literal, LocalTimestamp,
-  SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
+  AttributeReference, AttributeSet, CurrentDate, CurrentTimestampLike,
+  EqualTo, Exists, Expression, In, InSubquery, ListQuery, Literal,
+  LocalTimestamp, Not, OuterReference, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
   DeleteAction, DeleteFromTable, InsertAction, LogicalPlan,
   MergeIntoTable, OverwritePartitionsDynamic, SubqueryAlias,
-  UpdateAction, UpdateTable}
+  UpdateAction, UpdateTable, Filter => LFilter, Project => LProject}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -147,7 +147,146 @@ object LakeDmlRule {
       Some((a.name, lq.plan))
     case _ => None
   }
+
+  private[sources] def conjunctsOf(e: Expression): Seq[Expression] =
+    e match {
+      case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+      case other => Seq(other)
+    }
+
+  /** The CORRELATED-subquery shape, decorrelated onto the engine's
+    * keyed-frame ops instead of refused. Accepted:
+    *
+    *  - `[NOT] EXISTS (SELECT … FROM s WHERE s.a = t.x [AND s.b = t.y]
+    *    [AND <s-only conds>])` — the "delete/update everything another
+    *    table flags" statement: the correlated equalities become the
+    *    join keys, the s-only conjuncts stay a subquery-side filter,
+    *    and the verb runs as ONE distributed semi-join (anti for NOT
+    *    EXISTS) against the decorrelated key frame
+    *    ([[History.deleteMatchedDV]] / [[History.deleteUnmatchedDV]] /
+    *    [[History.updateMatched]] / [[History.updateUnmatched]]) — the
+    *    frame never passes through the driver, unlike the materialized
+    *    uncorrelated IN route;
+    *  - `t.x IN (SELECT <expr> FROM s WHERE s.k = t.k [AND <s-only>])`
+    *    — the correlated IN is exactly the (k, x) semi-join against
+    *    (k, expr): ∃ s-row with k-equality AND value-equality, both
+    *    standard equi-join semantics (NULLs never match — and a NULL
+    *    never satisfies IN as TRUE, so the translation is exact for a
+    *    verb that acts only on TRUE).
+    *
+    * The subquery conjunct may ride under a conjunction with plain
+    * TARGET-side conditions — they become the op's residual condition
+    * (same [[byName]] discipline). Correlated NOT IN (NULL-laden
+    * three-valued semantics), non-equality correlation, multi-value
+    * IN, and outer references outside the subquery's own top Filter
+    * all return None — the caller falls through to the loud generic
+    * refusal. Decorrelation happens at RESOLUTION time (the extension
+    * rule runs before the optimizer pulls correlated predicates up, so
+    * the equalities still sit inside the plan as [[OuterReference]]
+    * conjuncts). */
+  private[sources] def correlatedShape(cond: Expression,
+      targetOut: AttributeSet): Option[CorrelatedMatch] = {
+    val cs = conjunctsOf(cond)
+    val (subqs, plain) =
+      cs.partition(_.exists(_.isInstanceOf[SubqueryExpression]))
+    if (subqs.length != 1) return None
+    val residual: Option[Column] =
+      if (plain.isEmpty) None
+      else scala.util.Try(byName(plain.reduce(And), "a DML condition"))
+        .toOption match {
+        case s @ Some(_) => s
+        case None => return None
+      }
+    // fit to evaluate inside the subquery's own decorrelated plan:
+    // outer-free, subquery-free, deterministic (the engine ops
+    // evaluate the frame in several passes)
+    def innerOk(e: Expression): Boolean =
+      !e.exists(x => x.isInstanceOf[OuterReference] ||
+        x.isInstanceOf[SubqueryExpression]) && e.deterministic
+    // split the subquery's Filter into correlated equality pairs
+    // (target attr = inner expr) and the inner-only residual
+    def splitCorr(c: Expression)
+        : Option[(Seq[(AttributeReference, Expression)],
+                  Option[Expression])] = {
+      val pairs = scala.collection.mutable.ArrayBuffer
+        .empty[(AttributeReference, Expression)]
+      val rest = scala.collection.mutable.ArrayBuffer.empty[Expression]
+      conjunctsOf(c).foreach {
+        case EqualTo(OuterReference(a: AttributeReference), inner)
+            if targetOut.contains(a) && innerOk(inner) =>
+          pairs += (a -> inner)
+        case EqualTo(inner, OuterReference(a: AttributeReference))
+            if targetOut.contains(a) && innerOk(inner) =>
+          pairs += (a -> inner)
+        case other if innerOk(other) => rest += other
+        case _ => return None
+      }
+      if (pairs.isEmpty) return None
+      // one frame column per target column: two inner expressions
+      // correlated to the same target column would need per-pair
+      // conjunction the keyed frame cannot express
+      if (pairs.map(_._1.name.toLowerCase).distinct.size != pairs.size)
+        return None
+      Some((pairs.toSeq, rest.reduceOption(And)))
+    }
+    def frame(pairs: Seq[(AttributeReference, Expression)],
+              extra: Seq[(String, Expression)],
+              rest: Option[Expression],
+              child: LogicalPlan): LogicalPlan =
+      LProject(
+        (pairs.map { case (a, in) => Alias(in, a.name)() } ++
+          extra.map { case (n, in) => Alias(in, n)() }).toList,
+        rest.map(LFilter(_, child)).getOrElse(child))
+    subqs.head match {
+      case NotOrExists(anti, e) =>
+        val (c, child) = e.plan match {
+          case LProject(_, LFilter(c, ch)) => (c, ch)
+          case LFilter(c, ch) => (c, ch)
+          case _ => return None
+        }
+        splitCorr(c).map { case (pairs, rest) =>
+          CorrelatedMatch(pairs.map(_._1.name),
+            frame(pairs, Nil, rest, child), anti, residual)
+        }
+      case InSubquery(Seq(v: AttributeReference), lq: ListQuery)
+          if targetOut.contains(v) =>
+        lq.plan match {
+          case LProject(projList, LFilter(c, ch)) if projList.length == 1 =>
+            val valueExpr = projList.head match {
+              case al: Alias => al.child
+              case x: Expression => x
+            }
+            if (!innerOk(valueExpr)) return None
+            splitCorr(c).flatMap { case (pairs, rest) =>
+              val names =
+                (pairs.map(_._1.name) :+ v.name).map(_.toLowerCase)
+              if (names.distinct.size != names.size) None
+              else Some(CorrelatedMatch(pairs.map(_._1.name) :+ v.name,
+                frame(pairs, Seq(v.name -> valueExpr), rest, ch),
+                anti = false, residual))
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Matches `EXISTS(…)` (anti = false) and `NOT EXISTS(…)` (anti =
+    * true) in one arm. */
+  private object NotOrExists {
+    def unapply(e: Expression): Option[(Boolean, Exists)] = e match {
+      case x: Exists => Some((false, x))
+      case Not(x: Exists) => Some((true, x))
+      case _ => None
+    }
+  }
 }
+
+/** A decorrelated DML match: act on the target rows whose `keyCols`
+  * tuple appears (anti: does NOT appear) in the frame `keysPlan`
+  * produces, with `residual` target-side conjuncts also required. */
+private[sources] case class CorrelatedMatch(keyCols: Seq[String],
+    keysPlan: LogicalPlan, anti: Boolean, residual: Option[Column])
 
 /** Post-hoc resolution rule: resolved DML plans over lake-catalog
   * tables → eager engine commands. Injected via
@@ -173,10 +312,16 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           case some @ Some(_) =>
             GraftUpdateCommand(path, lit(true), assigns, None, some)
           case None =>
-            val cond = condition.map(byName(_, "an UPDATE condition"))
-              .getOrElse(lit(true))
-            GraftUpdateCommand(path, cond, assigns,
-              condition.flatMap(keyedShape))
+            condition.flatMap(correlatedShape(_, target.outputSet)) match {
+              case some @ Some(_) =>
+                GraftUpdateCommand(path, lit(true), assigns, None, None,
+                  some)
+              case None =>
+                val cond = condition.map(byName(_, "an UPDATE condition"))
+                  .getOrElse(lit(true))
+                GraftUpdateCommand(path, cond, assigns,
+                  condition.flatMap(keyedShape))
+            }
         }
 
       case m: MergeIntoTable
@@ -213,11 +358,15 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         }
         inSubqueryShape(condition) match {
           case some @ Some(_) => GraftDeleteCommand(path, None, None, some)
-          case None =>
-            GraftDeleteCommand(path,
-              if (unconditional) None
-              else Some(byName(condition, "a DELETE condition")),
-              if (unconditional) None else keyedShape(condition))
+          case None => correlatedShape(condition, target.outputSet) match {
+            case some @ Some(_) =>
+              GraftDeleteCommand(path, None, None, None, some)
+            case None =>
+              GraftDeleteCommand(path,
+                if (unconditional) None
+                else Some(byName(condition, "a DELETE condition")),
+                if (unconditional) None else keyedShape(condition))
+          }
         }
     }
 
@@ -237,9 +386,15 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     *    be arbitrary deterministic expressions over SOURCE columns),
     *    `WHEN NOT MATCHED [AND <src cond>] THEN INSERT (<cols>)`
     *    (partial column lists fill NULL, standard INSERT semantics),
-    *    and `WHEN NOT MATCHED BY SOURCE [AND <tgt cond>] THEN DELETE`
-    *    — composed from the engine's merge-on-read keyed delete
-    *    ([[History.deleteKeysDV]] / [[History.deleteMatchedDV]]) and
+    *    and ordered `WHEN NOT MATCHED BY SOURCE [AND <tgt cond>] THEN
+    *    DELETE | UPDATE SET <target-side list>` arms (the full-sync
+    *    family: shed or mark rows the source no longer carries;
+    *    by-source conditions and values see only the target row, and
+    *    key columns may not be reassigned — row identity is pinned by
+    *    the ON keys) — composed from the engine's merge-on-read keyed
+    *    delete ([[History.deleteKeysDV]] / [[History.deleteMatchedDV]]
+    *    / [[History.deleteUnmatchedDV]]), the anti-join copy-on-write
+    *    update ([[History.updateUnmatched]]) and
     *    [[History.mergeInto]] by [[GraftMergeCdcCommand]]. Arm
     *    conditions and SET/INSERT values may reference ONLY source
     *    columns (the usual CDC op flag / changed-column feed) — a
@@ -265,8 +420,9 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           "[AND <source cond>] THEN DELETE / UPDATE SET <list> arms " +
           "(partial SET lists keep unassigned target columns; values " +
           "are source-side expressions), WHEN NOT MATCHED [AND <source " +
-          "cond>] THEN INSERT (<cols>) arms, and WHEN NOT MATCHED BY " +
-          s"SOURCE [AND <target cond>] THEN DELETE; $what is not — " +
+          "cond>] THEN INSERT (<cols>) arms, and ordered WHEN NOT " +
+          "MATCHED BY SOURCE [AND <target cond>] THEN DELETE / UPDATE " +
+          s"SET <target-side list> arms; $what is not — " +
           "use the engine operator (History.mergeInto / deleteKeysDV / " +
           "updateWhere) for other shapes")
     if (m.withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
@@ -362,29 +518,70 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         if (img.keySet == targetCols.toSet) Some(img) else None
       }
     }
-
-    // the SYNC arm: target rows no source row matches, optionally
-    // guarded by a TARGET-side condition (the source row is absent by
-    // definition, so a source reference there is meaningless and
-    // Spark's analyzer rejects it before us)
-    val bySourceDel: Option[Option[Expression]] =
-      m.notMatchedBySourceActions match {
-        case Seq() => None
-        case Seq(DeleteAction(c)) =>
-          c.foreach { cond =>
-            if (!cond.references.subsetOf(targetOut))
-              unsupported("a NOT MATCHED BY SOURCE condition " +
-                s"referencing non-target columns (`$cond`)")
-          }
-          Some(c)
-        case _ => unsupported("this not-matched-by-source action list")
+    // first-match-wins makes arms after an unconditional one dead code
+    // — refuse rather than silently ignore the user's later arms
+    def reachable(conds: Seq[Option[Expression]], what: String): Unit =
+      conds.dropRight(1).zipWithIndex.foreach { case (c, i) =>
+        if (c.isEmpty) unsupported(
+          s"an arm after an unconditional $what (arm ${i + 1} " +
+            "matches every row — later arms are unreachable)")
       }
+
+    // the SYNC arms: target rows no source row matches — ordered
+    // DELETE / UPDATE SET list, first match wins, conditions and SET
+    // values TARGET-side (the source row is absent by definition, so a
+    // source reference there is meaningless and Spark's analyzer
+    // rejects it before us). Values/conditions re-anchor BY NAME
+    // (byName — the engine ops evaluate them against their own scans).
+    def tgtExpr(e: Expression, what: String): Column = {
+      if (!e.references.subsetOf(targetOut))
+        unsupported(s"a $what referencing non-target columns (`$e`) — " +
+          "by-source arms see only the target row")
+      try byName(e, what)
+      catch { case u: UnsupportedOperationException =>
+        unsupported(s"$what: ${u.getMessage}") }
+    }
+    val bySourceArms: Seq[MergeArmSpec] = m.notMatchedBySourceActions.map {
+      case DeleteAction(c) => MergeArmSpec(
+        c.map(tgtExpr(_, "NOT MATCHED BY SOURCE DELETE condition")), None)
+      case UpdateAction(c, upA, _) =>
+        val sets = upA.map { a =>
+          val t = a.key match {
+            case ar: AttributeReference => ar.name
+            case other =>
+              unsupported(s"by-source UPDATE of nested field $other")
+          }
+          // reassigning a KEY on an unmatched row could move it INTO
+          // the source key set mid-statement — the later upsert arms
+          // join against the lake at their own run time, so the moved
+          // row would be superseded, a silent deviation from
+          // statement-start matched-ness. Refuse; non-key columns
+          // (the usual `active = false` / `deleted_at = ts` marks)
+          // are the actual full-sync shape.
+          if (keyCols.exists(_.equalsIgnoreCase(t)))
+            unsupported(s"a NOT MATCHED BY SOURCE UPDATE reassigning " +
+              s"key column `$t` (row identity is pinned by the ON keys)")
+          t -> tgtExpr(a.value, s"by-source UPDATE value for `$t`")
+        }
+        val dup = sets.groupBy(_._1).collectFirst {
+          case (n, vs) if vs.size > 1 => n }
+        dup.foreach(n => unsupported(s"by-source UPDATE assigning `$n` twice"))
+        MergeArmSpec(
+          c.map(tgtExpr(_, "NOT MATCHED BY SOURCE UPDATE condition")),
+          Some(sets))
+      case other => unsupported(s"not-matched-by-source action $other")
+    }
+    reachable(m.notMatchedBySourceActions.map {
+      case DeleteAction(c) => c
+      case UpdateAction(c, _, _) => c
+      case _ => None
+    }, "WHEN NOT MATCHED BY SOURCE arm")
 
     (m.matchedActions, m.notMatchedActions) match {
       // the classic upsert: the file-granular fast path (one keyed
       // engine merge, no matched/unmatched pre-split needed)
       case (Seq(UpdateAction(None, upA, _)), Seq(InsertAction(None, inA)))
-          if bySourceDel.isEmpty &&
+          if bySourceArms.isEmpty &&
             classicImage(upA).isDefined && classicImage(inA).isDefined &&
             classicImage(upA).get.view.mapValues(_.exprId).toMap ==
               classicImage(inA).get.view.mapValues(_.exprId).toMap =>
@@ -393,15 +590,8 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           targetCols.map(c => c -> up(c)), keyCols)
 
       case (matched, notMatched) =>
-        if (matched.isEmpty && notMatched.isEmpty && bySourceDel.isEmpty)
+        if (matched.isEmpty && notMatched.isEmpty && bySourceArms.isEmpty)
           unsupported("an empty action list")
-        def reachable(conds: Seq[Option[Expression]],
-                      what: String): Unit =
-          conds.dropRight(1).zipWithIndex.foreach { case (c, i) =>
-            if (c.isEmpty) unsupported(
-              s"an arm after an unconditional $what (arm ${i + 1} " +
-                "matches every row — later arms are unreachable)")
-          }
         val matchedArms: Seq[MergeArmSpec] = matched.map {
           case DeleteAction(c) => MergeArmSpec(
             c.map(srcExpr(_, "MATCHED DELETE condition")), None)
@@ -426,9 +616,7 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           case _ => None
         }, "WHEN NOT MATCHED arm")
         GraftMergeCdcCommand(path, m.sourceTable, keyCols, keyAttrs,
-          targetSchema, matchedArms, insertArms,
-          bySourceDel.map(_.map(
-            byName(_, "a MERGE NOT MATCHED BY SOURCE condition"))))
+          targetSchema, matchedArms, insertArms, bySourceArms)
     }
   }
 }
@@ -468,11 +656,12 @@ private[sources] object SubqueryKeys {
 case class GraftUpdateCommand(path: String, condition: Column,
     assignments: Seq[(String, Column)],
     keyed: Option[(String, Seq[Any])] = None,
-    subqueryKeys: Option[(String, LogicalPlan)] = None)
+    subqueryKeys: Option[(String, LogicalPlan)] = None,
+    correlated: Option[CorrelatedMatch] = None)
   extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] =
-    subqueryKeys.map(_._2).toSeq
+    subqueryKeys.map(_._2).toSeq ++ correlated.map(_.keysPlan)
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("files_rewritten", IntegerType, nullable = false)(),
@@ -481,15 +670,30 @@ case class GraftUpdateCommand(path: String, condition: Column,
   override def run(spark: SparkSession): Seq[Row] = {
     // a bare key-list condition rides the bloom key index
     // (index-independent correctness — see History.updateKeys);
-    // an uncorrelated IN-subquery materializes to the same route
-    val (files, rows) = (keyed, subqueryKeys) match {
-      case (Some((k, vs)), _) => History.updateKeys(spark, path, k, vs,
+    // an uncorrelated IN-subquery materializes to the same route;
+    // a DECORRELATED [NOT] EXISTS / correlated IN stays a distributed
+    // key-frame join (History.updateMatched/updateUnmatched) — the
+    // frame never passes through the driver
+    val (files, rows) = (keyed, subqueryKeys, correlated) match {
+      case (Some((k, vs)), _, _) => History.updateKeys(spark, path, k, vs,
         assignments)
-      case (None, Some((k, plan))) =>
+      case (None, Some((k, plan)), _) =>
         val vs = SubqueryKeys.materialize(spark, plan, s"UPDATE … $k")
         if (vs.isEmpty) (0, 0L)
         else History.updateKeys(spark, path, k, vs, assignments)
-      case (None, None) =>
+      case (None, None, Some(cm)) =>
+        // the engine evaluates the frame in both passes — cache it
+        // for the op's duration (frames here are filtered/projected
+        // slices of another table, small next to the lake)
+        val keys = DatasetBridge.ofRows(spark, cm.keysPlan)
+        keys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (cm.anti) History.updateUnmatched(spark, path, keys,
+            cm.keyCols, assignments, cm.residual)
+          else History.updateMatched(spark, path, keys,
+            cm.keyCols, assignments, cm.residual)
+        } finally keys.unpersist(blocking = false): Unit
+      case _ =>
         History.updateWhere(spark, path, condition, assignments)
     }
     Seq(Row(files, rows))
@@ -504,11 +708,12 @@ case class GraftUpdateCommand(path: String, condition: Column,
   * row, SQL DELETE semantics, enforced inside the operators. */
 case class GraftDeleteCommand(path: String, condition: Option[Column],
     keyed: Option[(String, Seq[Any])] = None,
-    subqueryKeys: Option[(String, LogicalPlan)] = None)
+    subqueryKeys: Option[(String, LogicalPlan)] = None,
+    correlated: Option[CorrelatedMatch] = None)
   extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] =
-    subqueryKeys.map(_._2).toSeq
+    subqueryKeys.map(_._2).toSeq ++ correlated.map(_.keysPlan)
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("files_touched", IntegerType, nullable = false)(),
@@ -532,13 +737,27 @@ case class GraftDeleteCommand(path: String, condition: Option[Column],
       try History.deleteKeysDV(spark, path, k, vs, cap)
       catch { case _: DvCapExceededException =>
         History.deleteKeys(spark, path, k, vs) }
-    val (files, rows) = (condition, keyed, subqueryKeys) match {
-      case (None, _, Some((k, plan))) =>
+    val (files, rows) = (condition, keyed, subqueryKeys, correlated) match {
+      case (None, _, _, Some(cm)) =>
+        // decorrelated [NOT] EXISTS / correlated IN: one distributed
+        // key-frame semi/anti join, merge-on-read DVs. A delete denser
+        // than the DV cap fails with the typed over-cap advice — raise
+        // the cap or restate; there is no keyed COW image for a frame
+        // this side of materialization.
+        val keys = DatasetBridge.ofRows(spark, cm.keysPlan)
+        keys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (cm.anti) History.deleteUnmatchedDV(spark, path, keys,
+            cm.keyCols, cm.residual, cap)
+          else History.deleteMatchedDV(spark, path, keys, cm.keyCols,
+            cap, cm.residual)
+        } finally keys.unpersist(blocking = false): Unit
+      case (None, _, Some((k, plan)), _) =>
         val vs = SubqueryKeys.materialize(spark, plan, s"DELETE … $k")
         if (vs.isEmpty) (0, 0L) else keysDelete(k, vs)
-      case (None, _, None) => History.deleteWhere(spark, path, lit(true))
-      case (_, Some((k, vs)), _) => keysDelete(k, vs)
-      case (Some(pred), None, _) =>
+      case (None, _, None, _) => History.deleteWhere(spark, path, lit(true))
+      case (_, Some((k, vs)), _, _) => keysDelete(k, vs)
+      case (Some(pred), None, _, _) =>
         try History.deleteWhereDV(spark, path, pred, cap)
         catch { case _: DvCapExceededException =>
           History.deleteWhere(spark, path, pred) }
@@ -705,7 +924,7 @@ case class GraftMergeCdcCommand(path: String, source: LogicalPlan,
     targetSchema: Seq[(String, org.apache.spark.sql.types.DataType)],
     matchedArms: Seq[MergeArmSpec],
     insertArms: Seq[MergeArmSpec],
-    bySourceDelete: Option[Option[Column]] = None)
+    bySourceArms: Seq[MergeArmSpec] = Nil)
   extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
@@ -858,16 +1077,53 @@ case class GraftMergeCdcCommand(path: String, source: LogicalPlan,
           // SQL DELETE route honors
           val dvCap = spark.conf
             .get("spark.graft.dml.dvMaxPositions", "10000000").toLong
-          // the SYNC arm first (still before any COW rewrite): target
-          // rows whose key no source row carries, DV'd through one
-          // anti-join — rows the upsert arms are about to INSERT are
-          // in the source key set by definition, so ordering cannot
-          // resurrect or double-delete
-          if (!lakeEmpty) bySourceDelete.foreach { cond =>
-            val (f, n) = History.deleteUnmatchedDV(spark, path,
-              srcRaw.select(keySel: _*), keyCols, cond, dvCap)
-            filesTouched += f
-            rowsDeleted += n
+          // the SYNC arms first (still before any COW rewrite): target
+          // rows whose key no source row carries. First-match-wins
+          // across the ordered by-source list with every condition
+          // evaluated on PRISTINE statement-start rows: all DELETE
+          // arms land first (DVs never alter surviving rows' bytes),
+          // then every UPDATE arm folds into ONE copy-on-write pass
+          // whose per-column CASE chain encodes the arm order — two
+          // sequential update passes would let the first pass's writes
+          // leak into the second pass's condition evaluation. Rows the
+          // upsert arms are about to INSERT are in the source key set
+          // by definition, so ordering cannot resurrect or
+          // double-delete; key reassignment is refused at analysis.
+          if (!lakeEmpty && bySourceArms.nonEmpty) {
+            val srcKeys = srcRaw.select(keySel: _*)
+            bySourceArms.zipWithIndex.collect {
+              case (MergeArmSpec(_, None), i) => i
+            }.foreach { i =>
+              val (f, n) = History.deleteUnmatchedDV(spark, path,
+                srcKeys, keyCols, Some(armFilter(bySourceArms, i)), dvCap)
+              filesTouched += f
+              rowsDeleted += n
+            }
+            val updArms = bySourceArms.zipWithIndex.collect {
+              case (MergeArmSpec(_, Some(sets)), i) => (i, sets)
+            }
+            if (updArms.nonEmpty) {
+              val updPred = updArms.map { case (i, _) =>
+                armFilter(bySourceArms, i) }.reduce(_ || _)
+              val byCol: Seq[(String, Column)] = targetCols.flatMap { c =>
+                val whens = updArms.flatMap { case (i, sets) =>
+                  sets.find(_._1.equalsIgnoreCase(c))
+                    .map(s => (armFilter(bySourceArms, i), s._2))
+                }
+                whens match {
+                  case Seq() => None
+                  case (c0, v0) +: tail =>
+                    Some(c -> tail.foldLeft(
+                      org.apache.spark.sql.functions.when(c0, v0)) {
+                        case (acc, (ci, vi)) => acc.when(ci, vi)
+                      }.otherwise(col(c)))
+                }
+              }
+              val (f, n) = History.updateUnmatched(spark, path, srcKeys,
+                keyCols, byCol, Some(updPred))
+              filesTouched += f
+              rowsReplaced += n
+            }
           }
           // DELETE-arm rows (first-match-wins across the matched list)
           val delKeys: Option[DataFrame] =
@@ -903,7 +1159,7 @@ case class GraftMergeCdcCommand(path: String, source: LogicalPlan,
           upsertInput.foreach { input =>
             val (f, r) = History.mergeInto(spark, path, input, keyCols)
             filesTouched += f
-            rowsReplaced = r
+            rowsReplaced += r
           }
         } catch { case e: Throwable =>
           // compensate: if one of OUR arms already committed, roll the

@@ -918,9 +918,68 @@ class LakeCatalogSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.dml.subqueryKeyCap")
   }
 
-  test("correlated and nested subquery DML still refuses loudly") {
+  test("correlated EXISTS DELETE decorrelates onto the keyed-frame " +
+      "DV route; NOT EXISTS onto the anti-join") {
+    import spark.implicits._
     val dir = lake()
-    // correlated EXISTS: not a materializable key list
+    val fs = fsOf(dir)
+    Seq((2L, true), (4L, true), (5L, false)).toDF("id", "flagged")
+      .createOrReplaceTempView("corr_flags")
+    val filesBefore = FileManifest.latest(fs, dir).get.cur.toSet
+    // the correlated equality becomes the join key; the subquery-side
+    // conjunct (f.flagged) stays a frame filter; the delete rides
+    // deletion vectors (zero data files rewritten)
+    spark.sql(s"""DELETE FROM lake.`$dir` t
+                  WHERE EXISTS (SELECT 1 FROM corr_flags f
+                                WHERE f.id = t.doc_id AND f.flagged)""")
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) === Seq(1L, 3L, 5L))
+    assert(FileManifest.latest(fs, dir).get.cur.toSet === filesBefore,
+      "correlated EXISTS delete lands as deletion vectors")
+    // NOT EXISTS: the anti-join — shed rows the flag table does not
+    // carry at all (ids 1 and 3; 5 is present with flagged = false)
+    spark.sql(s"""DELETE FROM lake.`$dir` t
+                  WHERE NOT EXISTS (SELECT 1 FROM corr_flags f
+                                    WHERE f.id = t.doc_id)""")
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) === Seq(5L))
+  }
+
+  test("correlated EXISTS UPDATE with a residual target conjunct " +
+      "updates exactly the semi-joined rows") {
+    import spark.implicits._
+    val dir = lake()
+    Seq((2L, 0), (4L, 0), (5L, 0)).toDF("id", "pad")
+      .createOrReplaceTempView("corr_upd_flags")
+    // EXISTS ∧ plain target-side conjunct: ids {2,4,5} ∩ lang='fr' = {5}
+    spark.sql(s"""UPDATE lake.`$dir` t SET n_chars = n_chars + 1000
+                  WHERE EXISTS (SELECT 1 FROM corr_upd_flags f
+                                WHERE f.id = t.doc_id)
+                    AND t.lang = 'fr'""")
+    assert(spark.sql(s"SELECT doc_id, n_chars FROM lake.`$dir`")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      === Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 1050L)))
+  }
+
+  test("correlated IN UPDATE matches on the (correlation key, value) " +
+      "pair frame") {
+    import spark.implicits._
+    val dir = lake()
+    Seq((1L, "en"), (2L, "de"), (3L, "de")).toDF("id", "l")
+      .createOrReplaceTempView("corr_pairs")
+    // t.lang IN (SELECT l … WHERE p.id = t.doc_id) ⟺ (doc_id, lang)
+    // semi-joins (id, l): row 1 (en∈{en}) and row 3 (de∈{de}) update;
+    // row 2 (en∉{de}) and rows 4/5 (no pairs) survive
+    spark.sql(s"""UPDATE lake.`$dir` t SET n_chars = 0
+                  WHERE t.lang IN (SELECT p.l FROM corr_pairs p
+                                   WHERE p.id = t.doc_id)""")
+    assert(spark.sql(s"SELECT sum(n_chars) AS s FROM lake.`$dir`")
+      .collect()(0).getLong(0) === (0L + 20 + 0 + 40 + 50))
+  }
+
+  test("non-equality-correlated and nested subquery DML still " +
+      "refuses loudly") {
+    val dir = lake()
+    // correlation through an EXPRESSION of the outer column (doc_id+1)
+    // is not a keyed frame — refuse, never silently mis-join
     val e = intercept[UnsupportedOperationException] {
       spark.sql(s"""UPDATE lake.`$dir` SET n_chars = 0
                     WHERE EXISTS (SELECT 1 FROM lake.`$dir` o

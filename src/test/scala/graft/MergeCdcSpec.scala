@@ -219,6 +219,101 @@ class MergeCdcSpec extends AnyFunSuite {
     assert(rows(dir) === Seq((1L, "en", 111L)))
   }
 
+  test("WHEN NOT MATCHED BY SOURCE THEN UPDATE marks the rows the " +
+      "source no longer carries (ordered, first-match-wins)") {
+    import spark.implicits._
+    val dir = lake()
+    Seq((1L, "en", 111L), (6L, "it", 60L))
+      .toDF("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("sync_upd_src")
+    // matched 1 updates; 6 inserts; unmatched 2..5 take the FIRST
+    // by-source arm whose target condition holds: de rows mark -1,
+    // everything else marks 0 — values are target-side expressions
+    spark.sql(s"""MERGE INTO lake.`$dir` t USING sync_upd_src s
+                  ON t.doc_id = s.doc_id
+                  WHEN MATCHED THEN UPDATE SET *
+                  WHEN NOT MATCHED THEN INSERT *
+                  WHEN NOT MATCHED BY SOURCE AND t.lang = 'de'
+                    THEN UPDATE SET n_chars = -1
+                  WHEN NOT MATCHED BY SOURCE THEN UPDATE SET n_chars = 0""")
+    assert(rows(dir) === Seq((1L, "en", 111L), (2L, "en", 0L),
+      (3L, "de", -1L), (4L, "de", -1L), (5L, "fr", 0L), (6L, "it", 60L)))
+  }
+
+  test("ordered by-source arms mix DELETE and UPDATE with pristine-row " +
+      "condition evaluation") {
+    import spark.implicits._
+    val dir = lake()
+    Seq((1L, "en", 111L)).toDF("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("sync_mix_src")
+    // unmatched 2..5: the DELETE arm takes n_chars >= 40 (ids 4, 5);
+    // the UPDATE arm takes the remainder (2 → 21, 3 → 31). The update
+    // value references the target row (n_chars + 1), and its arm
+    // filter (!(n_chars >= 40)) must evaluate on PRISTINE rows
+    spark.sql(s"""MERGE INTO lake.`$dir` t USING sync_mix_src s
+                  ON t.doc_id = s.doc_id
+                  WHEN MATCHED THEN UPDATE SET *
+                  WHEN NOT MATCHED BY SOURCE AND t.n_chars >= 40
+                    THEN DELETE
+                  WHEN NOT MATCHED BY SOURCE
+                    THEN UPDATE SET n_chars = t.n_chars + 1""")
+    assert(rows(dir) === Seq((1L, "en", 111L), (2L, "en", 21L),
+      (3L, "de", 31L)))
+    // UPDATE arm FIRST, DELETE second: first-match-wins — row 2
+    // (pristine 21 ≤ 30) takes the update to 121; the later DELETE
+    // arm must judge the PRISTINE value (21, filtered out by !arm1),
+    // never the updated 121 — while row 3 (pristine 31 > 30) falls
+    // through to the DELETE honestly
+    spark.sql(s"""MERGE INTO lake.`$dir` t USING sync_mix_src s
+                  ON t.doc_id = s.doc_id
+                  WHEN NOT MATCHED BY SOURCE AND t.n_chars <= 30
+                    THEN UPDATE SET n_chars = t.n_chars + 100
+                  WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(rows(dir) === Seq((1L, "en", 111L), (2L, "en", 121L)))
+  }
+
+  test("by-source UPDATE refusals: key reassignment, source-column " +
+      "values, unreachable arms") {
+    import spark.implicits._
+    val dir = lake()
+    Seq((1L, "en", 111L)).toDF("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("sync_refuse_src")
+    def bounce(sqlText: String, needle: String): Unit = {
+      val e = intercept[UnsupportedOperationException] {
+        spark.sql(sqlText)
+      }
+      assert(e.getMessage.contains(needle), e.getMessage)
+    }
+    // reassigning the ON key on an unmatched row could move it INTO
+    // the source key set mid-statement
+    bounce(s"""MERGE INTO lake.`$dir` t USING sync_refuse_src s
+               ON t.doc_id = s.doc_id
+               WHEN NOT MATCHED BY SOURCE THEN UPDATE SET doc_id = 99""",
+      "key column")
+    // the source row is absent by definition (Spark's analyzer refuses
+    // source references in by-source arms before our rule sees them,
+    // with its own error type — accept either refusal)
+    intercept[Exception] {
+      spark.sql(s"""MERGE INTO lake.`$dir` t USING sync_refuse_src s
+                    ON t.doc_id = s.doc_id
+                    WHEN NOT MATCHED BY SOURCE
+                      THEN UPDATE SET n_chars = s.n_chars""")
+    }: Unit
+    // an arm after an unconditional by-source arm is dead code —
+    // Spark's PARSER already rejects unconditional-then-more arm
+    // lists, so the guard never reaches our reachable() check; assert
+    // the statement bounces either way
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql(s"""MERGE INTO lake.`$dir` t USING sync_refuse_src s
+                    ON t.doc_id = s.doc_id
+                    WHEN NOT MATCHED BY SOURCE THEN UPDATE SET n_chars = 0
+                    WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    }: Unit
+    assert(rows(dir) === Seq((1L, "en", 10L), (2L, "en", 20L),
+      (3L, "de", 30L), (4L, "de", 40L), (5L, "fr", 50L)),
+      "every refusal must leave the lake untouched")
+  }
+
   test("a constraint-violating upsert arm bounces the WHOLE statement " +
       "before any delete lands") {
     import spark.implicits._
