@@ -1285,6 +1285,21 @@ object HistoryQueries {
       val dir = sqlMergeSyncUpdLake(s, d)
       s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
                 WHERE doc_id >= 0""")
+    }),
+
+    // STREAMING LAKE LOOP, SQL/Python-reachable end to end:
+    // readStream.format("graft-lake") tails a source lake from its v1
+    // bootstrap snapshot (inclusive startingVersion), a transform runs
+    // in the micro-batch, and writeStream.format("graft-lake") lands
+    // each batch in a destination lake through the ledger-keyed
+    // exactly-once append (batch-tagged publish + manifest flip +
+    // high-water ledger). The gate reads the DESTINATION back — a
+    // dropped bootstrap row, a duplicated batch, or a transform
+    // evaluated twice fails the hash.
+    "h59_sql_stream_lake_loop" -> ((s, d) => {
+      val dir = streamLoopLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
+                WHERE doc_id >= 0""")
     })
   )
 
@@ -1975,6 +1990,49 @@ object HistoryQueries {
         dir
       })
 
+  /** h59's DESTINATION lake: source lake built from the corpus, then
+    * one AvailableNow readStream("graft-lake") → transform →
+    * writeStream("graft-lake") run lands the v1 bootstrap snapshot
+    * (plus a follow-up append committed before the run) exactly once
+    * in a CREATE TABLE'd destination. */
+  private val streamLoopLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def streamLoopLake(s: SparkSession, sfDir: String): String =
+    streamLoopLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir),
+      _ => {
+        Memos.install(s)
+        s.conf.set("spark.sql.catalog.lake",
+          classOf[graft.sources.LakeCatalog].getName)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-sql-sloop").toString
+        val src = s"$tmp/src"
+        val dst = s"$tmp/dst"
+        val docs = graft.Tables.documents(s, sfDir)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"))
+        docs.filter(col("doc_id") % 2 === 0).repartition(8)
+          .write.parquet(src)
+        graft.sources.History.enableManifests(s, src): Unit
+        // a second source commit before the stream runs: the one
+        // AvailableNow window must carry bootstrap + follow-up
+        graft.sources.History.append(s, src,
+          docs.filter(col("doc_id") % 2 === 1), key = "h59-odds"): Unit
+        s.sql(s"""CREATE TABLE lake.`$dst`
+                  (doc_id BIGINT, lang STRING, source STRING,
+                   n_chars BIGINT) USING parquet"""): Unit
+        s.readStream.format("graft-lake")
+          .option("startingVersion", "1").load(src)
+          .filter(col("_change") === "insert")
+          .withColumn("n_chars", col("n_chars") + 7L)
+          .select("doc_id", "lang", "source", "n_chars")
+          .writeStream.format("graft-lake")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(dst).awaitTermination(120000L): Unit
+        dst
+      })
+
   /** h47's lake: SQL-only CTAS (evens) → ALTER TABLE ADD COLUMNS
     * (quality DOUBLE, metadata-only) → INSERT (odds with values). */
   private val sqlAlterLakeCache =
@@ -2344,6 +2402,9 @@ object HistoryQueries {
          UNION ALL
          SELECT doc_id + 80000000 AS doc_id, lang, n_chars
          FROM documents WHERE doc_id < 25""",
+    "h59_sql_stream_lake_loop" ->
+      """SELECT doc_id, lang, source, n_chars + 7 AS n_chars
+         FROM documents""",
     "h56_sql_delete_exists" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE NOT (doc_id % 3 = 0 AND n_chars % 5 >= 2

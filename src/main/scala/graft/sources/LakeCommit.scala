@@ -78,6 +78,25 @@ object LakeCommit {
     * it, so a format change there and here must stay in lockstep. */
   private[graft] def fileTag(key: String): String = s"b$key-"
 
+  /** Whether a batch published under `key` already reached the
+    * manifest — as CURRENT files, or RETIRED by a later in-line
+    * compaction. The replay guard every exactly-once batch writer
+    * needs: re-publishing an already-committed batch would sweep
+    * manifest-referenced files out from under pinned readers
+    * (immutability violation), re-add files a compaction already
+    * retired (duplicating rows), or leave dangling cur entries under
+    * different task parallelism — so a replay that sees `true` must
+    * skip straight to its ledger mark. */
+  private[graft] def batchCommitted(fs: org.apache.hadoop.fs.FileSystem,
+      lakePath: String, key: String): Boolean = {
+    val tag = fileTag(key)
+    FileManifest.latest(fs, lakePath).exists { m =>
+      (m.cur.iterator ++ m.retired.iterator.map(_._2)).exists { rel =>
+        rel.substring(rel.lastIndexOf('/') + 1).startsWith(tag)
+      }
+    }
+  }
+
   /** Move every staged data file of `batchId` into the lake, preserving
     * partition directories, under deterministic-enough batch-tagged names;
     * sweep prior partial attempts of the same batch first; drop the

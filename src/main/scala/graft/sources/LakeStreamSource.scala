@@ -1,13 +1,14 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset,
   SerializedOffset}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftbridge.DatasetBridge
 import org.apache.spark.sql.sources.{DataSourceRegister,
-  StreamSourceProvider}
+  StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** `spark.readStream.format("graft-lake").load("/lake")` — the SQL/
@@ -63,9 +64,48 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * as the change-feed agent). At 100 TB a micro-batch costs
   * O(files the window's commits touched), never a lake scan. */
 class GraftLakeStreamProvider extends StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-lake"
+
+  /** `df.writeStream.format("graft-lake").option("checkpointLocation",
+    * ck).start("/lake")` — the SQL/Python-only way to stream INTO a
+    * manifest lake with the same ledger-keyed exactly-once output the
+    * Scala archive path uses ([[graft.stream.Pipeline.archiveBatch]]):
+    * every micro-batch stages under a batch-tagged name and publishes
+    * idempotently, a [[graft.stream.Pipeline.FileBatchLedger]] inside
+    * the lake records the high-water batch id, and batch ids are
+    * namespaced by a checkpoint-derived stream tag — so a crash at ANY
+    * point (mid-write, between publish and ledger mark, between ledger
+    * and checkpoint commit) replays into exactly one copy, and a fresh
+    * checkpoint dir gets a fresh tag + ledger scope instead of
+    * colliding with a previous incarnation's batches. Append mode only
+    * (a lake append sink has no update/complete image); partitioning
+    * comes from the LAKE's own layout, so `partitionBy` here refuses. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    if (outputMode != OutputMode.Append())
+      throw new IllegalArgumentException(
+        s"graft-lake sink supports Append output mode only, got " +
+          s"$outputMode — the lake append sink has no update/complete " +
+          "image (aggregate with a watermark and append, or land the " +
+          "raw stream and aggregate at read time)")
+    if (partitionColumns.nonEmpty)
+      throw new IllegalArgumentException(
+        "graft-lake sink derives partitioning from the lake's own " +
+          s"layout — drop partitionBy(${partitionColumns.mkString(",")})")
+    val path = pathOf(parameters)
+    // the checkpoint dir IS the batch-id namespace (ids restart at 0
+    // with a fresh checkpoint), so the stream tag and the ledger scope
+    // both derive from it — required, never defaulted silently
+    val ckpt = parameters.getOrElse("checkpointLocation",
+      throw new IllegalArgumentException(
+        "graft-lake sink needs an explicit checkpointLocation option: " +
+          "the batch-tagged publish names and the exactly-once ledger " +
+          "are scoped by it"))
+    new LakeStreamSink(sqlContext.sparkSession, path, ckpt)
+  }
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
@@ -217,4 +257,64 @@ private[sources] class LakeStreamSource(spark: SparkSession, path: String,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
   override def toString: String = s"GraftLakeStream($path)"
+}
+
+/** The `graft-lake` streaming SINK (see
+  * [[GraftLakeStreamProvider.createSink]]): a thin V1 `Sink` over the
+  * engine's validated exactly-once append. V1 by design, mirroring the
+  * source: `addBatch` re-wraps the incremental plan's rows as a batch
+  * frame ([[DatasetBridge.internalDf]] — the V1 sink contract hands a
+  * streaming-planned DataFrame that must not be re-planned as-is) and
+  * runs the SAME stage/publish/ledger discipline the Scala archive
+  * sink uses ([[graft.stream.Pipeline.archiveBatch]]), through the
+  * same primitives:
+  *
+  *  1. a batch at-or-below the ledger's high-water mark is a restart
+  *     replay — skipped whole;
+  *  2. a batch whose tagged files the manifest already references
+  *     crashed between manifest add and ledger mark — the replay must
+  *     NOT re-publish ([[LakeCommit.batchCommitted]]: re-publishing
+  *     would sweep committed files from under pinned readers), it
+  *     falls through to the ledger mark;
+  *  3. otherwise [[History.append]] — declared-schema validation,
+  *     staged CHECK constraints, batch-keyed idempotent publish, one
+  *     manifest flip — so a crash MID-append replays into the same
+  *     batch-tagged names and converges to one copy.
+  *
+  * Requires a MANIFEST lake (CREATE TABLE / enableManifests first):
+  * the already-committed replay guard and the atomic visibility flip
+  * both live in the manifest — a bare-directory sink would be
+  * at-least-once across one crash window, which this surface refuses
+  * to ship silently. */
+private[sources] class LakeStreamSink(spark: SparkSession, path: String,
+    checkpointDir: String) extends Sink {
+
+  private val streamTag = graft.stream.Pipeline.streamTagOf(checkpointDir)
+  // ledger dir scoped BY STREAM TAG inside the lake: the ledger is
+  // keyed by bare batch id, so a fresh checkpoint (fresh id namespace)
+  // must get a fresh ledger scope — deriving both from the checkpoint
+  // keeps replay detection exact across incarnations
+  private val ledger =
+    new graft.stream.Pipeline.FileBatchLedger(s"$path/_ledger/$streamTag")
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    if (ledger.lastCommitted >= batchId) return // restart replay
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!FileManifest.enabled(fs, path))
+      throw new IllegalStateException(
+        s"graft-lake sink needs a manifest-mode lake at $path — " +
+          "CREATE TABLE lake.`" + path + "` (…) first (or " +
+          "History.enableManifests): the exactly-once replay guard " +
+          "and the atomic batch flip live in the manifest")
+    val key = s"$streamTag-$batchId"
+    if (!LakeCommit.batchCommitted(fs, path, key)) {
+      val batch = DatasetBridge.internalDf(spark,
+        data.queryExecution.toRdd, data.schema)
+      History.append(spark, path, batch, key): Unit
+    }
+    ledger.markCommitted(batchId)
+  }
+
+  override def toString: String = s"GraftLakeSink($path)"
 }

@@ -231,14 +231,8 @@ object Pipeline {
       // already retired would duplicate the batch's rows. (Vacuum only
       // reaps retired entries past grace — size the grace window to
       // cover the longest possible replay delay, as for scans.)
-      val alreadyCommitted = manifests && {
-        val tag = graft.sources.LakeCommit.fileTag(key)
-        graft.sources.FileManifest.latest(fs, lakePath).exists { m =>
-          (m.cur.iterator ++ m.retired.iterator.map(_._2)).exists { rel =>
-            rel.substring(rel.lastIndexOf('/') + 1).startsWith(tag)
-          }
-        }
-      }
+      val alreadyCommitted = manifests &&
+        graft.sources.LakeCommit.batchCommitted(fs, lakePath, key)
       if (alreadyCommitted) {
         // fall through to the ledger mark only
       } else if (ledger.isDefined || manifests) {
