@@ -37,7 +37,15 @@ object LiveMain {
     * drive it). */
   def wire(spark: SparkSession,
            clientFactory: Option[() => KinesisClient] = None,
-           procCaller: Option[ProcCaller] = None): Wired = {
+           procCaller: Option[ProcCaller] = None,
+           secretsClient: Option[graft.sources.SecretsClient] = None)
+      : Wired = {
+    // S10 live half: when secret ids are configured, resolve the
+    // Transis/DI credentials from AWS Secrets Manager (reflective SDK
+    // v2 adapter) with the reference's whole-file local fallback —
+    // landing as spark.graft.* overrides so fromSparkConf below stays
+    // the single config surface (utils.py:38-66 restated)
+    graft.sources.SecretsConfig.resolve(spark, secretsClient): Unit
     val cfg = GraftConfig.fromSparkConf(spark)
     val path = spark.conf.getOption("spark.graft.transis.path")
       .getOrElse(s"http://${cfg.transis.hostname}:${cfg.transis.port}/")

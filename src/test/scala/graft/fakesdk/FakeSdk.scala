@@ -23,7 +23,9 @@ object Region {
   def of(id: String): Region = new Region(id)
 }
 
-class SdkBytes private (val bytes: Array[Byte])
+class SdkBytes private (val bytes: Array[Byte]) {
+  def asUtf8String(): String = new String(bytes, "UTF-8")
+}
 object SdkBytes {
   def fromByteArray(b: Array[Byte]): SdkBytes = new SdkBytes(b)
 }
@@ -89,6 +91,58 @@ object KinesisClient {
     def build(): KinesisClient = {
       if (r != null) FakeSdkState.regions.add(r.id): Unit
       new KinesisClient
+    }
+  }
+}
+
+/** Secrets Manager shapes `SdkSecretsClient` reflects over. Secrets
+  * served from [[FakeSecretsState.secrets]]; an id absent there throws
+  * (the ResourceNotFound path the real SDK would take). Ids in
+  * [[FakeSecretsState.binaryIds]] answer through secretBinary()
+  * instead of secretString() — the SecretBinary branch. */
+object FakeSecretsState {
+  val secrets =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val binaryIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  val regions = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def reset(): Unit = { secrets.clear(); binaryIds.clear(); regions.clear() }
+}
+
+class GetSecretValueRequest private[fakesdk] (val secretId: String)
+object GetSecretValueRequest {
+  def builder(): Builder = new Builder(null)
+  class Builder private[fakesdk] (id: String) {
+    def secretId(s: String): Builder = new Builder(s)
+    def build(): GetSecretValueRequest = new GetSecretValueRequest(id)
+  }
+}
+
+class GetSecretValueResponse private[fakesdk] (s: String, b: SdkBytes) {
+  def secretString(): String = s
+  def secretBinary(): SdkBytes = b
+}
+
+class SecretsManagerClient {
+  def getSecretValue(req: GetSecretValueRequest): GetSecretValueResponse = {
+    val v = FakeSecretsState.secrets.get(req.secretId)
+    if (v == null) throw new RuntimeException(
+      s"ResourceNotFoundException: ${req.secretId}")
+    if (FakeSecretsState.binaryIds.contains(req.secretId))
+      new GetSecretValueResponse(null,
+        SdkBytes.fromByteArray(v.getBytes("UTF-8")))
+    else new GetSecretValueResponse(v, null)
+  }
+}
+object SecretsManagerClient {
+  def create(): SecretsManagerClient = new SecretsManagerClient
+  def builder(): Builder = new Builder
+  class Builder private[fakesdk] () {
+    private var r: Region = null
+    def region(x: Region): Builder = { r = x; this }
+    def build(): SecretsManagerClient = {
+      if (r != null) FakeSecretsState.regions.add(r.id): Unit
+      new SecretsManagerClient
     }
   }
 }
