@@ -664,22 +664,28 @@ object ExtQueries {
       val ivf = Similarity.ivfTopK(
         emb, queries, centroids, "vec_id", "embedding", 3)
         .select(col("query_id"), col("b_id"))
-      // ONE pass over every pipeline: the old per-method shape
-      // (semi-join + separate denominator crossJoin) embedded the
-      // brute-force truth subtree FOUR times in the plan — membership
-      // flags folded in a single aggregate + explode compute truth,
-      // lsh, and ivf exactly once each. distinct() guards the flag
-      // join against hypothetical duplicate (query, candidate) pairs
-      // (a semi-join was naturally immune); it folds rows the top-k
-      // contract says don't exist, so the recall values are unchanged.
-      val flagged = truth
-        .join(lsh.distinct().withColumn("in_lsh", lit(1)),
-          Seq("query_id", "b_id"), "left")
-        .join(ivf.distinct().withColumn("in_ivf", lit(1)),
-          Seq("query_id", "b_id"), "left")
-        .agg(count(lit(1)).as("truth_n"),
-          sum(coalesce(col("in_lsh"), lit(0))).as("lsh_hits"),
-          sum(coalesce(col("in_ivf"), lit(0))).as("ivf_hits"))
+      // ONE pass over every pipeline AND one exchange for the
+      // intersection: the three (query, candidate) sets union with
+      // per-method flag columns and fold in a single groupBy —
+      // max(flag) per pair gives exactly the distinct+left-join
+      // semantics the previous shape used (duplicate pairs, which the
+      // top-k contract says don't exist anyway, collapse to one
+      // flagged row), but as ONE shuffle instead of two flag joins
+      // plus two distinct exchanges (round-16 ledger: s05 was purely
+      // stage-count-bound, 14 stages at the per-action floor).
+      val tagged = truth.select(col("query_id"), col("b_id"),
+          lit(1).as("t"), lit(0).as("l"), lit(0).as("i"))
+        .unionAll(lsh.select(col("query_id"), col("b_id"),
+          lit(0).as("t"), lit(1).as("l"), lit(0).as("i")))
+        .unionAll(ivf.select(col("query_id"), col("b_id"),
+          lit(0).as("t"), lit(0).as("l"), lit(1).as("i")))
+      val flagged = tagged
+        .groupBy(col("query_id"), col("b_id"))
+        .agg(max(col("t")).as("t"), max(col("l")).as("l"),
+          max(col("i")).as("i"))
+        .agg(sum(col("t")).cast("bigint").as("truth_n"),
+          sum(col("t") * col("l")).as("lsh_hits"),
+          sum(col("t") * col("i")).as("ivf_hits"))
       def methodStruct(method: String, hits: org.apache.spark.sql.Column) =
         struct(lit(method).as("method"),
           hits.cast("bigint").as("hits"),

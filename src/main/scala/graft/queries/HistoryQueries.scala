@@ -1300,6 +1300,21 @@ object HistoryQueries {
       val dir = streamLoopLake(s, d)
       s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
                 WHERE doc_id >= 0""")
+    }),
+
+    // PARTITION-LAYOUT EVOLUTION (CALL lake.repartition_lake): a
+    // lang-partitioned corpus re-grains to source-partitioning in one
+    // whole-lake restatement + CAS flip (declared layout updated,
+    // schema pinned so the moved column's int64 type survives dir
+    // encoding, pre-change snapshots intact — spec-locked in
+    // LakeProceduresSpec), then an era-2 append lands under the NEW
+    // scheme and one read spans both eras. A lost row across the
+    // restatement, a type drift through the partition position, or an
+    // era-2 row landing mis-laid-out fails the hash.
+    "h60_sql_repartition_lake" -> ((s, d) => {
+      val dir = repartitionLakeDir(s, d)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
+                WHERE doc_id >= 0""")
     })
   )
 
@@ -1990,6 +2005,34 @@ object HistoryQueries {
         dir
       })
 
+  /** h60's lake: corpus partitioned by lang, re-grained to source via
+    * CALL repartition_lake, then an era-2 slice appended under the new
+    * scheme. */
+  private val repartitionLakeDirCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def repartitionLakeDir(s: SparkSession, sfDir: String): String =
+    repartitionLakeDirCache.computeIfAbsent((graft.SessionKey(s), sfDir),
+      _ => {
+        Memos.install(s)
+        s.conf.set("spark.sql.catalog.lake",
+          classOf[graft.sources.LakeCatalog].getName)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-sql-regrain").toString + "/lake"
+        val docs = graft.Tables.documents(s, sfDir)
+          .select(col("doc_id"), col("n_chars"), col("lang"),
+            col("source"))
+        docs.repartition(col("lang"))
+          .write.partitionBy("lang").parquet(dir)
+        graft.sources.History.enableManifests(s, dir): Unit
+        s.sql(s"CALL lake.repartition_lake('$dir', 'source')"): Unit
+        graft.sources.History.append(s, dir,
+          docs.filter(col("doc_id") < 35)
+            .withColumn("doc_id", col("doc_id") + 95000000L),
+          key = "h60-era2"): Unit
+        dir
+      })
+
   /** h59's DESTINATION lake: source lake built from the corpus, then
     * one AvailableNow readStream("graft-lake") → transform →
     * writeStream("graft-lake") run lands the v1 bootstrap snapshot
@@ -2405,6 +2448,11 @@ object HistoryQueries {
     "h59_sql_stream_lake_loop" ->
       """SELECT doc_id, lang, source, n_chars + 7 AS n_chars
          FROM documents""",
+    "h60_sql_repartition_lake" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         UNION ALL
+         SELECT doc_id + 95000000 AS doc_id, lang, source, n_chars
+         FROM documents WHERE doc_id < 35""",
     "h56_sql_delete_exists" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE NOT (doc_id % 3 = 0 AND n_chars % 5 >= 2

@@ -149,6 +149,34 @@ object FileManifest {
       throw new java.io.IOException(s"partitioning publish failed: $dest")
   }
 
+  /** REPLACE the declared partitioning — the one caller is
+    * [[History.repartitionLake]]'s whole-lake re-grain, which runs the
+    * physical restatement first and then updates the declaration to
+    * match (write-once [[declarePartitioning]] stays the rule for
+    * everyone else: a declaration changed WITHOUT restating the files
+    * would make every writer ambiguous). Empty `cols` removes the
+    * declaration (an unpartitioned re-grain) — layout memory then
+    * derives the scheme from the restated files, which is consistent
+    * at every crash point of the delete+rename below. */
+  private[sources] def redeclarePartitioning(fs: FileSystem,
+      lakePath: String, cols: Seq[String]): Unit = {
+    require(cols.distinct == cols,
+      s"partitioning must be distinct columns: $cols")
+    require(cols.forall(c => !c.contains('\t') && !c.contains('\n')),
+      s"partition column names must be tab/newline-free: $cols")
+    val dest = partitioningPath(lakePath)
+    if (cols.isEmpty) { fs.delete(dest, false): Unit; return }
+    val tmp = new Path(dest.getParent, dest.getName + ".tmp")
+    fs.mkdirs(dest.getParent): Unit
+    val out = fs.create(tmp, true)
+    try out.write(cols.mkString("\t")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(dest, false): Unit
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"partitioning publish failed: $dest")
+  }
+
   /** The declared partition columns, if any — authoritative over the
     * layout-derived scheme (an EMPTY declared-partitioned lake has no
     * files to derive from, but its first write must still land

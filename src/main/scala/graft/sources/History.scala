@@ -2143,6 +2143,95 @@ object History {
     (nStaged, selected.size)
   }
 
+  def repartitionStagingDir(path: String): String =
+    s"$path/_staging/repartition"
+
+  /** WHOLE-LAKE PARTITION-LAYOUT EVOLUTION (re-grain): restate the
+    * lake's current row set under a NEW partition-column scheme —
+    * `CALL lake.repartition_lake(path, 'cols…')`. The declared layout
+    * is otherwise WRITE-ONCE ([[FileManifest.declarePartitioning]]);
+    * until this op existed, a grain change meant export + re-clone,
+    * losing history and tags.
+    *
+    * One staged rewrite of the pinned image laid out by the new
+    * columns (deletion vectors materialized through — the restated
+    * files carry no DV debt), then ONE compare-and-swap manifest flip
+    * retiring every pre-restatement file (a concurrent commit under
+    * the restatement conflicts loudly — same CAS rule as
+    * [[overwriteAll]], because a rebased flip would let the
+    * concurrent batch's old-scheme files survive as a MIXED layout),
+    * then the declaration updates to the new scheme. Empty `cols`
+    * re-grains to UNPARTITIONED (declaration removed; layout memory
+    * derives the scheme from the restated files).
+    *
+    * Contracts: the row multiset is unchanged (layout-only, like
+    * [[binPack]]/[[clusterBy]] — no constraint re-validation needed);
+    * PRE-change snapshots and tags still answer until [[vacuum]]
+    * (time travel plans explicit file paths, so the old `k=v` dirs
+    * keep resolving); pruned reads answer under the NEW scheme from
+    * the first post-flip plan. A crash between the flip and the
+    * redeclaration leaves the declaration one scheme behind — the
+    * next write fails LOUDLY on the uniform-layout check (never a
+    * silent mixed layout), and re-running this procedure converges
+    * (the image is already re-grained; the flip is empty; the
+    * redeclaration completes). Stats/bloom sidecars are keyed by file,
+    * so the restated files start unstatted — run `refresh_stats` /
+    * `refresh_key_index` / `refresh_row_counts` after a re-grain to
+    * re-prime metadata serving.
+    *
+    * At 100 TB this is a deliberate full rewrite — O(lake), the
+    * honest cost of changing the physical grain — but it is ONE job
+    * and one flip, not an export/reload outage, and readers see the
+    * old image until the instant of the flip. Run from the lake's
+    * single writer sequence.
+    *
+    * @return (files staged, files retired) */
+  def repartitionLake(spark: SparkSession, path: String,
+                      cols: Seq[String]): (Int, Int) = {
+    require(cols.distinct == cols,
+      s"repartitionLake needs distinct columns, got ${cols.mkString(",")}")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qRoot = fs.makeQualified(root)
+    val m = FileManifest.latest(fs, path).getOrElse(
+      throw new IllegalStateException(
+        s"repartitionLake needs a manifest-mode lake (enableManifests): " +
+          path))
+    val image = readPinned(spark, path)
+    val missing = cols.filterNot(c =>
+      image.columns.exists(_.equalsIgnoreCase(c)))
+    require(missing.isEmpty,
+      s"repartitionLake: no such column(s) ${missing.mkString(",")} — " +
+        s"lake columns are ${image.columns.mkString(",")}")
+    // resolve to the lake's declared casing: the k=v dir names ARE the
+    // physical column names every later read/write derives from
+    val resolved = cols.map(c => image.columns
+      .find(_.equalsIgnoreCase(c)).get)
+    // pin the schema BEFORE restating: a column moving into the
+    // partition position is read back from its k=v dir names, and an
+    // UNDECLARED lake would re-infer its type from the path strings
+    // (an int64 id silently narrows to int32) — the declared schema is
+    // what keeps partition-column types exact across the re-grain
+    if (SchemaLog.latest(fs, path).isEmpty) declareSchema(spark, path): Unit
+    if (m.cur.isEmpty) {
+      // nothing to restate: the re-grain is the declaration change
+      FileManifest.redeclarePartitioning(fs, path, resolved)
+      return (0, 0)
+    }
+    val stage = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(repartitionStagingDir(path)))
+    fs.delete(stage, true): Unit
+    val writer = image.write.mode("overwrite")
+      .option("maxRecordsPerFile", 5000000L)
+    (if (resolved.nonEmpty) writer.partitionBy(resolved: _*) else writer)
+      .parquet(stage.toString)
+    val nStaged = FileManifest.walkDataFiles(fs, stage).size
+    promoteAndFlip(fs, qRoot, path, stage, s"g${m.version + 1}-", m.cur,
+      dvSeenOf(m, m.cur), expectBase = Some(m.version))
+    FileManifest.redeclarePartitioning(fs, path, resolved)
+    (nStaged, m.cur.size)
+  }
+
   def binPackStagingDir(path: String): String = s"$path/_staging/binpack"
 
   /** Generic SMALL-FILE COMPACTION (the lakehouse OPTIMIZE): rewrite

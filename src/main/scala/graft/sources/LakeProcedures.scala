@@ -169,6 +169,18 @@ object LakeProcedures {
           in.getInt(2))
         Seq[Any](r, w)
       }),
+    Proc("repartition_lake",
+      "re-grain the lake under a new partition scheme (whole-lake " +
+        "restatement, one CAS flip, time travel intact)",
+      Seq(("path", StringType, "lake root"),
+        ("columns", StringType,
+          "comma-separated new partition columns; empty = unpartitioned")),
+      Seq(("files_staged", IntegerType), ("files_retired", IntegerType)),
+      (s, in) => {
+        val (st, rt) = History.repartitionLake(s, str(in, 0),
+          csv(str(in, 1)))
+        Seq[Any](st, rt)
+      }),
     Proc("expire_partitions",
       "retire whole partitions matching a partition-column predicate",
       Seq(("path", StringType, "lake root"),

@@ -81,9 +81,21 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
     // stale-writer coverage for the alias-chain read
     var vName = "v"
     var renSeq = 0
+    // tombstone-adversary state (renames mode): the optional extra
+    // nullable column the drop/re-add op cycles, every name ever
+    // RETIRED (renamed away or dropped) — the resurrection attempts
+    // below must bounce off each of them forever
+    var wSeq = 0
+    var wLive: Option[String] = None
+    val retiredEver = scala.collection.mutable.ArrayBuffer.empty[String]
     def toLakeDF(rows: Seq[(Long, String, Long)]) = {
-      val df = toDF(rows)
-      if (vName == "v") df else df.withColumnRenamed("v", vName)
+      val df0 = toDF(rows)
+      val df = if (vName == "v") df0 else df0.withColumnRenamed("v", vName)
+      // the keyed merge replaces WHOLE rows, so its updates frame must
+      // carry the evolved extra column too (typed NULL — the same
+      // image an engine caller mid-evolution would build); appends
+      // tolerate narrower batches, where the extra column is harmless
+      wLive.fold(df)(w => df.withColumn(w, lit(null).cast("long")))
     }
     // tag name -> the exact image pinned at tag time; every live tag is
     // re-read after EVERY op (deletes, merges, clusters, grace-0
@@ -133,7 +145,8 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
                     "sqlMergeSync", "sqlDeleteInSub", "sqlMergePartial",
                     "sqlOverwriteDyn")
        else Nil) ++
-      (if (renames) Seq("renameV") else Nil)
+      (if (renames) Seq("renameV", "dropReAdd", "renameOntoRetired")
+       else Nil)
     for (op <- 0 until nOps) {
       val pick = rnd.nextInt(10 + extraOps.size)
       val desc: String = pick match {
@@ -405,8 +418,63 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
             val nn = s"v_r$renSeq"; renSeq += 1
             graft.sources.SchemaLog.renameColumn(
               spark, lake, vName, nn): Unit
+            retiredEver += vName
             vName = nn
             s"renameV -> $nn"
+
+          case "dropReAdd" => // the NAME-RESURRECTION adversary: cycle
+            // an extra nullable column through add -> drop, and after
+            // every drop ATTEMPT to re-add the tombstoned name — old
+            // files still hold its bytes, so a successful re-add would
+            // resurrect stale values into the "new" column; the
+            // tombstone must bounce it forever
+            val f = fs(lake)
+            wLive match {
+              case None =>
+                val nn = s"w$wSeq"; wSeq += 1
+                val cur = graft.sources.SchemaLog.latest(f, lake).get
+                graft.sources.SchemaLog.evolve(spark, lake,
+                  org.apache.spark.sql.types.StructType(cur.fields :+
+                    org.apache.spark.sql.types.StructField(nn,
+                      org.apache.spark.sql.types.LongType,
+                      nullable = true))): Unit
+                wLive = Some(nn)
+                s"addW $nn"
+              case Some(w) =>
+                graft.sources.SchemaLog.dropColumn(spark, lake, w): Unit
+                retiredEver += w
+                wLive = None
+                val cur = graft.sources.SchemaLog.latest(f, lake).get
+                val e = intercept[IllegalArgumentException] {
+                  graft.sources.SchemaLog.evolve(spark, lake,
+                    org.apache.spark.sql.types.StructType(cur.fields :+
+                      org.apache.spark.sql.types.StructField(w,
+                        org.apache.spark.sql.types.LongType,
+                        nullable = true)))
+                }
+                assert(e.getMessage.contains("retired"),
+                  s"seed=$seed op#$op re-add of dropped $w must bounce " +
+                    s"off the tombstone: ${e.getMessage}")
+                s"dropW $w + re-add bounced"
+            }
+
+          case "renameOntoRetired" => // rename-onto-retired collision:
+            // renaming the live value column ONTO any name ever
+            // retired (renamed away or dropped) must refuse — the old
+            // files still answer to that physical name, so the read
+            // schema would go ambiguous / resurrect stale values
+            if (retiredEver.isEmpty) "renameOntoRetired noop"
+            else {
+              val target = retiredEver(rnd.nextInt(retiredEver.size))
+              val e = intercept[IllegalArgumentException] {
+                graft.sources.SchemaLog.renameColumn(
+                  spark, lake, vName, target)
+              }
+              assert(e.getMessage.contains("retired"),
+                s"seed=$seed op#$op rename onto retired $target must " +
+                  s"refuse: ${e.getMessage}")
+              s"renameOntoRetired $target bounced"
+            }
 
           case "sqlDeleteInSub" => // IN-subquery takedown, keyed route
             if (model.isEmpty) "sqlDeleteInSub noop"
@@ -608,6 +676,14 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
     for (seed <- Seq(601L, 607L))
       runSequence(seed, nOps = 25, sharded = seed == 607L,
         keyed = true, dv = seed == 607L, tagged = seed == 601L,
+        renames = true)
+    // TOMBSTONE adversary seeds (round-17): longer renames-mode walks
+    // so the widened pick range (dropReAdd / renameOntoRetired — the
+    // name-resurrection hazard class) is swept hard alongside the
+    // alias-chain lifecycle
+    for (seed <- Seq(701L, 709L))
+      runSequence(seed, nOps = 35, sharded = seed == 709L,
+        keyed = true, dv = seed == 709L, tagged = seed == 701L,
         renames = true)
   }
 

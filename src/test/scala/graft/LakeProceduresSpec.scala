@@ -37,6 +37,56 @@ class LakeProceduresSpec extends AnyFunSuite {
   private def call(sql: String): Seq[Any] =
     spark.sql(sql).collect().head.toSeq
 
+  test("repartition_lake re-grains the layout: pruned reads follow the " +
+      "new scheme, pre-change snapshots still answer") {
+    import spark.implicits._
+    val dir = lake() // lang-partitioned, no declaration
+    val fs = fsOf(dir)
+    val v0 = FileManifest.latest(fs, dir).get.version
+    spark.sql(s"CALL lake.tag('$dir', 'pre-grain')")
+    // a DV takedown before the re-grain: the restated files must
+    // materialize it through (no DV debt survives a whole-lake rewrite)
+    History.deleteKeysDV(spark, dir, "doc_id", Seq(2L)): Unit
+    val Seq(staged, retired) =
+      call(s"CALL lake.repartition_lake('$dir', 'doc_id')")
+    assert(retired.asInstanceOf[Int] >= 2, s"retired=$retired")
+    assert(staged.asInstanceOf[Int] >= 1)
+    // the declared layout follows the new scheme
+    assert(FileManifest.declaredPartitioning(fs, dir) ===
+      Some(Seq("doc_id")))
+    // current files live under doc_id=… dirs; none under lang=…
+    val cur = FileManifest.latest(fs, dir).get.cur
+    assert(cur.nonEmpty && cur.forall(_.startsWith("doc_id=")), cur)
+    // content identical minus the DV'd row, lang now a data column
+    assert(History.readPinned(spark, dir)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq ===
+      Seq((1L, "en", 10L), (3L, "de", 30L), (4L, "de", 40L),
+        (5L, "fr", 50L)))
+    // pre-grain time travel and the tag still answer the OLD image
+    assert(History.readPinned(spark, dir, v0).count() === 5L)
+    assert(spark.sql(
+      s"SELECT COUNT(*) AS n FROM lake.`$dir` VERSION AS OF 'pre-grain'")
+      .collect()(0).getLong(0) === 5L)
+    // writes after the re-grain land under the NEW scheme
+    History.append(spark, dir,
+      Seq((6L, "it", 60L)).toDF("doc_id", "lang", "n_chars"),
+      key = "regrain-a6"): Unit
+    val cur2 = FileManifest.latest(fs, dir).get.cur
+    assert(cur2.exists(_.startsWith("doc_id=6")), cur2)
+    // re-grain to UNPARTITIONED removes the declaration
+    call(s"CALL lake.repartition_lake('$dir', '')")
+    assert(FileManifest.declaredPartitioning(fs, dir) === None)
+    assert(FileManifest.latest(fs, dir).get.cur.forall(!_.contains("=")))
+    assert(History.readPinned(spark, dir).count() === 5L)
+    // unknown column refuses, lake untouched
+    val e = intercept[Exception] {
+      call(s"CALL lake.repartition_lake('$dir', 'nope')")
+    }
+    assert(e.getMessage.contains("no such column"), e.getMessage)
+  }
+
   test("stats/rowcount/key-index refreshes run via CALL") {
     val dir = lake()
     assert(call(s"CALL lake.refresh_row_counts('$dir')") === Seq(3))
