@@ -26,15 +26,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val declared = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    val failed = declared.flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        None
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Some(name)
       }
-    }
+    }.toSeq.sorted
+    // dumped-vs-declared witness: per-query failures stay stderr-soft
+    // for the driver contract (they surface as `err` rows in
+    // CORRECTNESS), but a silently-thin round — fewer dumps than
+    // declared gates — must be loud at BUILD time, not judge time.
+    println(s"[verify] dumped ${declared.size - failed.size}/" +
+      s"${declared.size} declared queries" +
+      (if (failed.isEmpty) "" else s"; FAILED: ${failed.mkString(",")}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -52,6 +52,56 @@ object Dedup {
 
   /** Banded-LSH melt: (id, band, bkey) with r signature values per band
     * (fixed-width lpad keeps the concatenation unambiguous). */
+  /** Positional duplicate-span ISLANDS (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * ExactSubstr criterion over word n-grams): a gram occurring at
+    * least `minCount` times CORPUS-WIDE (same-doc repeats included)
+    * marks the n tokens it covers as duplicated; overlapping/adjacent
+    * duplicated grams merge into maximal islands. Returns one row per
+    * island: (idCol, st, en) — 1-based inclusive token bounds.
+    *
+    * Scale shape: positional grams ride ONE corpus-sized exchange
+    * keyed by the 64-bit gram hash (the corpus frequency attaches as
+    * a WINDOW on that partitioning — no join, no second corpus scan);
+    * the doc-keyed island window then shuffles only the FILTERED
+    * duplicate positions, and the island aggregation runs in place on
+    * the doc-id partitioning (its grouping keys are a superset).
+    * Grams shuffle as xxhash64, never strings (the hashed-line-dedup
+    * trade: a 2⁻⁶⁴-scale collision merely merges two grams' counts). */
+  def dupSpanIslands(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, minCount: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .filter(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("l"))
+      .filter(size(col("l")) >= n)
+    val grams = words
+      .select(col(idCol),
+        posexplode(TextAnalysis.positionalShingles(col("l"), n)))
+      .filter(col("col").isNotNull)
+      .select(col(idCol), (col("pos") + 1).as("p"),
+        xxhash64(col("col")).as("h"))
+    val dup = grams
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("cnt") >= minCount)
+      .select(col(idCol), col("p"))
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("p"))
+    // a duplicated gram at p covers [p, p+n-1]; the next merges into
+    // the same island iff its start is within the covered span + 1
+    // (adjacency) — a break exactly when the gap exceeds n. NULL lag
+    // (first row) compares null > n = false → brk 0 on both engines,
+    // so island ids are 0-based cumulative sums everywhere.
+    dup
+      .withColumn("brk",
+        when(col("p") - lag(col("p"), 1).over(wOrd) > n, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("isl_id", sum(col("brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("isl_id"))
+      .agg(min(col("p")).as("st"), (max(col("p")) + (n - 1)).as("en"))
+      .select(col(idCol), col("st"), col("en"))
+  }
+
   def lshBands(signatures: DataFrame, idCol: String, k: Int, r: Int): DataFrame = {
     val bands = (0 until k / r).map { b =>
       struct(lit(b).as("band"),

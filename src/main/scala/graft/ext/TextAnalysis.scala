@@ -83,6 +83,24 @@ object TextAnalysis {
       .otherwise(array(text))
   }
 
+  /** Position-PRESERVING word n-grams: element i (0-based) of the
+    * result is the n-gram starting at word i+1, and the trailing
+    * i > len−n entries are NULL (partial windows) — callers
+    * `posexplode` and drop the NULLs, keeping the 1-based start
+    * position as `pos + 1`. [[wordShingles]] filters the partials out
+    * and so loses positions; the exact-substring span machinery (t29)
+    * needs them to merge overlapping duplicate grams into maximal
+    * islands. Same single-evaluation zip_with chain as
+    * [[wordShingles]] (O(n·k) per doc — never the O(n²)
+    * transform(sequence, i -> slice) shape; see the note there).
+    * Takes the ALREADY-split word array, not the text, so one split
+    * serves both this and the caller's length guard. */
+  def positionalShingles(words: Column, n: Int): Column =
+    (1 until n).foldLeft(words) { (acc, k) =>
+      zip_with(acc, slice(words, lit(k + 1), size(words)),
+        (a, b) => concat(a, lit(" "), b))
+    }
+
   /** Within-document repetition: fraction of duplicated entries in a
     * pre-projected gram array (Gopher-style repetitiveness signal: 0 =
     * all grams distinct, → 1 as text degenerates into loops). Takes the

@@ -436,6 +436,31 @@ object ExtQueries {
     // 3-gram shingles — the linear-scalable near-dup shape.
     "d02_minhash_lsh" -> ((s, d) => candidatePairs(s, d)),
 
+    // Two-stage near-dup VERIFICATION (the production recall/precision
+    // split): MinHash-LSH candidate pairs supply lexical RECALL (d02's
+    // banded pipeline, shared memo — never all-pairs), then each
+    // candidate is verified by embedding cosine ≥ 0.1 for semantic
+    // PRECISION — the standard "cheap sketch proposes, dense vector
+    // disposes" pipeline run before collapsing near-dup clusters.
+    // Scale shape: the pair stream is near-dup-sized (LSH bands bound
+    // it), and the verify step is two id-keyed equi-joins against the
+    // normed embedding table — a pair-stream-sized shuffle, never a
+    // corpus×corpus product; at 100 TB both joins co-locate on the id
+    // the pair stream already carries.
+    "d12_lsh_cosine_verified" -> ((s, d) => {
+      val n = Similarity.withNorm(embeddings(s, d), "vec_id", "embedding")
+      val ea = n.select(col("vec_id").as("a_id"),
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+      val eb = n.select(col("vec_id").as("b_id"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+      candidatePairs(s, d)
+        .join(ea, "a_id").join(eb, "b_id")
+        .select(col("a_id"), col("b_id"), col("n_bands"),
+          Similarity.cosine(col("emb_a"), col("emb_b"),
+            col("nrm_a"), col("nrm_b")).as("cos_r"))
+        .filter(col("cos_r") >= 0.1)
+    }),
+
     // 16-bit SimHash fingerprints + bucket occupancy.
     "d03_simhash" -> ((s, d) => {
       val words = documents(s, d).select(col("doc_id"),
@@ -1439,6 +1464,68 @@ object ExtQueries {
             4).as("jaccard"))
     }),
 
+    // Exact-substring duplicate SPANS (Lee et al. 2021, "Deduplicating
+    // Training Data Makes Language Models Better" — the ExactSubstr
+    // dedup, adapted to word 4-grams): a gram occurring ≥ 2 times
+    // CORPUS-WIDE (same-doc repeats count — the true ExactSubstr
+    // criterion, vs t22's distinct-doc df) marks the 4 tokens it
+    // covers as duplicated; overlapping/adjacent duplicated grams
+    // merge into maximal islands (gaps-and-islands over positions) and
+    // each doc reports its island count, covered-token total, and
+    // longest island — the per-doc accounting a span-removal pass
+    // would act on. Scale shape: positions ride ONE corpus-sized
+    // exchange keyed by the 64-bit gram hash (frequency attaches as a
+    // WINDOW on that partitioning — no join, no second corpus scan);
+    // the doc-keyed island window then shuffles only the FILTERED
+    // duplicate positions (a small fraction of the corpus), and both
+    // aggregations run in place on the doc_id partitioning (grouping
+    // keys are supersets). Grams shuffle as xxhash64, never strings
+    // (t22's accepted hashed-line-dedup trade: a 2⁻⁶⁴-scale collision
+    // merely merges two grams' counts). At 100 TB the window's
+    // per-partition sort is by the same single long the exchange
+    // hashes — the sort-free alternative (groupBy + exchange-reused
+    // join, the t22 anchor pattern) trades it for a join; either
+    // stays one corpus scan.
+    "t29_dup_span_islands" -> ((s, d) =>
+      Dedup.dupSpanIslands(documents(s, d), "doc_id", "text",
+          n = 4, minCount = 2L)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("en") - col("st") + 1).as("dup_tokens"),
+          max(col("en") - col("st") + 1).cast("bigint").as("max_island"))),
+
+    // Exact-substring span EXCISION — the removal half of the same
+    // ExactSubstr pipeline (Lee et al. remove every occurrence of a
+    // duplicated span): every token a t29 island covers is cut, and
+    // each doc reports its kept-token count plus an md5 of the cleaned
+    // text, so a single drifted cut anywhere in the corpus fails the
+    // hash. Docs whose every token is excised drop out (no cleaned
+    // row), like fully-deduplicated docs drop from a cleaned corpus.
+    // Scale shape: the island table is dup-sized, its per-token
+    // explode is bounded by total duplicated tokens, and the excision
+    // is one doc_id+position anti-join against the corpus word stream
+    // — co-located on the doc id both sides already carry, never a
+    // corpus×corpus product; the cleaned-text rebuild is an in-place
+    // doc-keyed aggregation (array_sort over (pos, word) structs, the
+    // deterministic order-restoring rebuild).
+    "t30_dup_span_excision" -> ((s, d) => {
+      val covered = Dedup.dupSpanIslands(documents(s, d), "doc_id", "text",
+          n = 4, minCount = 2L)
+        .select(col("doc_id"),
+          explode(sequence(col("st"), col("en"))).as("p"))
+      val words = documents(s, d)
+        .filter(col("text").isNotNull && col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("w"))
+      words.join(covered, Seq("doc_id", "p"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("p"), col("w")))),
+            x => x.getField("w")), " ")).as("kept_hash"))
+    }),
+
     // Bigram-LM quality scoring (the CCNet/KenLM-style perplexity
     // filter): train an add-one-smoothed bigram model ON the corpus
     // (c12/c1 counts + vocabulary size), then score every document by
@@ -1956,6 +2043,35 @@ object ExtQueries {
          JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
            AND a.doc_id < b.doc_id
          GROUP BY 1, 2""",
+    // d02's banded-LSH CTEs propose; the embedding join disposes —
+    // the WHERE repeats the ROUNDED cosine so the boundary compares
+    // identical doubles on both engines (the d04 discipline)
+    "d12_lsh_cosine_verified" ->
+      s"""$lshBandsCtes, cand AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands
+           FROM bands a
+           JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         ), n AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1,65),
+               i -> CAST(embedding[i] AS DOUBLE)
+                    * CAST(embedding[i] AS DOUBLE)))) AS nrm
+           FROM embeddings
+         )
+         SELECT a_id, b_id, n_bands,
+           round(list_sum(list_transform(range(1,65),
+             i -> CAST(ea.embedding[i] AS DOUBLE)
+                  * CAST(eb.embedding[i] AS DOUBLE)))
+             / (ea.nrm * eb.nrm), 6) AS cos_r
+         FROM cand
+         JOIN n ea ON ea.vec_id = a_id
+         JOIN n eb ON eb.vec_id = b_id
+         WHERE round(list_sum(list_transform(range(1,65),
+             i -> CAST(ea.embedding[i] AS DOUBLE)
+                  * CAST(eb.embedding[i] AS DOUBLE)))
+             / (ea.nrm * eb.nrm), 6) >= 0.1""",
     "d03_simhash" -> {
       val sums = (0 until 16).map(p =>
         s"SUM(CASE WHEN substr(hx,${p + 1},1) >= '8' THEN 1 ELSE -1 END) AS s$p")
@@ -2806,6 +2922,89 @@ object ExtQueries {
              AS kept_words
          FROM sp JOIN df USING (span)
          GROUP BY doc_id""",
+    // gram-frequency threshold is corpus-wide occurrence count (≥2,
+    // same-doc repeats included), then classic gaps-and-islands over
+    // the 1-based gram start positions with merge distance n=4
+    "t29_dup_span_islands" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS ws
+           FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+         ), pos AS (
+           SELECT doc_id, unnest(range(1, len(ws) - 2)) AS p, ws
+           FROM w WHERE len(ws) >= 4
+         ), g AS (
+           SELECT doc_id, p,
+             array_to_string(
+               ws[CAST(p AS INTEGER) : CAST(p + 3 AS INTEGER)], ' ') AS gram
+           FROM pos
+         ), f AS (
+           SELECT doc_id, p, COUNT(*) OVER (PARTITION BY gram) AS cnt FROM g
+         ), dup AS (
+           SELECT doc_id, p FROM f WHERE cnt >= 2
+         ), lg AS (
+           SELECT doc_id, p,
+             CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p) > 4
+               THEN 1 ELSE 0 END AS brk
+           FROM dup
+         ), isl AS (
+           SELECT doc_id, p,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+           FROM lg
+         ), spans AS (
+           SELECT doc_id, isl_id, MIN(p) AS st, MAX(p) + 3 AS en
+           FROM isl GROUP BY doc_id, isl_id
+         )
+         SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(en - st + 1) AS BIGINT) AS dup_tokens,
+           CAST(MAX(en - st + 1) AS BIGINT) AS max_island
+         FROM spans GROUP BY doc_id""",
+    // t29's island chain + per-token coverage explode + anti-join
+    // excision; the cleaned text rebuilds position-ordered on both
+    // engines (string_agg ORDER BY p ≡ Spark's array_sort rebuild)
+    "t30_dup_span_excision" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS ws
+           FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+         ), pos AS (
+           SELECT doc_id, unnest(range(1, len(ws) - 2)) AS p, ws
+           FROM w WHERE len(ws) >= 4
+         ), g AS (
+           SELECT doc_id, p,
+             array_to_string(
+               ws[CAST(p AS INTEGER) : CAST(p + 3 AS INTEGER)], ' ') AS gram
+           FROM pos
+         ), f AS (
+           SELECT doc_id, p, COUNT(*) OVER (PARTITION BY gram) AS cnt FROM g
+         ), dup AS (
+           SELECT doc_id, p FROM f WHERE cnt >= 2
+         ), lg AS (
+           SELECT doc_id, p,
+             CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p) > 4
+               THEN 1 ELSE 0 END AS brk
+           FROM dup
+         ), isl AS (
+           SELECT doc_id, p,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+           FROM lg
+         ), spans AS (
+           SELECT doc_id, isl_id, MIN(p) AS st, MAX(p) + 3 AS en
+           FROM isl GROUP BY doc_id, isl_id
+         ), cov AS (
+           SELECT doc_id, unnest(generate_series(st, en)) AS p FROM spans
+         ), wp AS (
+           SELECT doc_id, unnest(range(1, len(ws) + 1)) AS p, ws FROM w
+         ), words AS (
+           SELECT doc_id, p, ws[CAST(p AS INTEGER)] AS wd FROM wp
+         ), kept AS (
+           SELECT words.doc_id, words.p, words.wd
+           FROM words ANTI JOIN cov USING (doc_id, p)
+         )
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           md5(string_agg(wd, ' ' ORDER BY p)) AS kept_hash
+         FROM kept GROUP BY doc_id""",
     "t21_fixed_sample" ->
       """WITH h AS (
            SELECT lang, doc_id, n_chars,

@@ -730,6 +730,34 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
         s"exchange:\n${plan.toString.take(1500)}")
   }
 
+  test("plan quality: t29 scans the corpus once; two hash exchanges") {
+    // positions ride ONE corpus-sized exchange keyed by the gram hash
+    // (frequency is a window on that partitioning — no join, so no
+    // exchange-reuse subtleties and no second scan); the doc-keyed
+    // island window shuffles only the filtered duplicate positions,
+    // and both aggregations run in place on the doc_id partitioning.
+    val df = SparkEntry.queries("t29_dup_span_islands")(spark,
+      "/root/testdata/sf0.001")
+    df.collect(): Unit
+    val plan = df.queryExecution.executedPlan
+    def finalized(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+      }
+    val roots = (plan +: finalized(plan)).map(
+      _.toString.split("== Initial Plan ==").head)
+    val scans = roots.map(s =>
+      "documents\\.parquet".r.findAllIn(s).length).max
+    assert(scans <= 1,
+      s"t29 must scan the corpus once:\n${plan.toString.take(1500)}")
+    val hashExchanges = roots.map(s =>
+      "Exchange hashpartitioning".r.findAllIn(s).length).max
+    assert(hashExchanges <= 2,
+      s"t29 must plan exactly the gram-hash and doc_id exchanges:\n" +
+        plan.toString.take(1500))
+  }
+
   test("plan quality: q44 scans lineitem once; window rides the join shuffle") {
     // the double-EXISTS decorrelation computes per-order cardinalities
     // as WINDOW aggregates over the join output instead of a second

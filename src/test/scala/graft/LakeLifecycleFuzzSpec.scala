@@ -137,7 +137,8 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
     // 11=refreshIndex as before)
     val extraOps = (if (keyed) Seq("deleteKeys", "refreshIndex") else Nil) ++
       (if (tagged) Seq("mkTag", "rmTag", "restore") else Nil) ++
-      (if (dv) Seq("deleteKeysDV", "materializeDV", "overwritePart")
+      (if (dv) Seq("deleteKeysDV", "materializeDV", "overwritePart",
+                   "regrain")
        else Nil) ++
       (if (constrained) Seq("appendChecked", "appendBad") else Nil) ++
       (if (dml) Seq("updateWhere", "updateMove", "sqlUpdate", "sqlDelete",
@@ -243,6 +244,18 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
             model.filterInPlace { case (_, (mp, _)) => mp != p }
             rows.foreach { case (id, pp, v) => model(id) = (pp, v) }
             s"overwritePart $p ${rows.size}"
+          case "regrain" => // whole-lake layout evolution mid-lifecycle
+            // (CALL lake.repartition_lake): round-trip part →
+            // unpartitioned → part so BOTH scheme-change directions run
+            // under composition (tags, DVs, later deletes/merges) while
+            // the lake ends in the layout the raw-append writer speaks
+            // — a lasting unpartitioned re-grain would make that
+            // writer's next k=v landing a mixed layout the engine
+            // refuses. Contents must not change; pinned tags must
+            // still answer through the retired pre-grain files.
+            History.repartitionLake(spark, lake, Seq.empty): Unit
+            History.repartitionLake(spark, lake, Seq("part")): Unit
+            "regrain none->part"
           case "appendChecked" => // validated append through enforcement
             val rows = freshRows(1 + rnd.nextInt(4))
             History.append(spark, lake, toDF(rows), key = s"ck$op",
