@@ -1328,7 +1328,17 @@ object History {
         case Some(p) =>
           spark.read.option("basePath", qRoot.toString).parquet(p.toString)
             .filter(org.apache.spark.sql.functions.lit(false))
-        case None => spark.emptyDataFrame // nothing at all to infer from
+        case None =>
+          // no donor bytes anywhere: fall back to SCHEMA MEMORY (the
+          // snapshot vacuum took before destroying the last donor) so
+          // the lake keeps its shape — a zero-column frame here makes
+          // every later `select` die unresolved (round-17 deep-fuzz
+          // find: delete-all + grace-0 vacuum + read)
+          SchemaLog.readMemory(fs, root.toString) match {
+            case Some(s) => spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+            case None => spark.emptyDataFrame // nothing at all to infer from
+          }
       }
     }
   }
@@ -1542,6 +1552,19 @@ object History {
       FileManifest.at(fs, path, v).map(_.curSet).getOrElse(Set.empty))
     val (expired, kept) = m.retired.partition { case (ts, rel) =>
       ts <= cutoff && !tagPinned(rel) }
+    // SCHEMA MEMORY: an UNDECLARED lake's schema lives only in its
+    // data-file footers — this reclaim may destroy the last donor
+    // (empty current set + every retired byte expired), after which a
+    // pinned read would degrade to a zero-column frame. Snapshot the
+    // current read shape BEFORE deleting so the lake never forgets it
+    // (the schema twin of lakeLayout's retired-file fallback; see
+    // SchemaLog.readMemory). Declared lakes never need it; an empty
+    // inferred shape (nothing readable even now) must not overwrite a
+    // previously-written memory.
+    if (expired.nonEmpty && SchemaLog.latest(fs, path).isEmpty) {
+      val shape = planManifest(spark, fs, root, m).schema
+      if (shape.nonEmpty) SchemaLog.writeMemory(fs, path, shape)
+    }
     LakeCommit.foreachPar(expired.map(_._2)) { rel =>
       fs.delete(new org.apache.hadoop.fs.Path(qRoot, rel), false): Unit
     }

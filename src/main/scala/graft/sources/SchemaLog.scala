@@ -111,6 +111,46 @@ object SchemaLog {
   def latest(fs: FileSystem, lakePath: String): Option[StructType] =
     latestVersion(fs, lakePath).map(v => at(fs, lakePath, v))
 
+  /** SCHEMA MEMORY — the last-resort record of an UNDECLARED lake's
+    * read shape, the schema-flavored twin of `History.lakeLayout`'s
+    * retired-file fallback. An undeclared lake infers its schema from
+    * data-file footers; once the current set is empty AND vacuum has
+    * reclaimed every retired byte, there is nothing left to infer
+    * from, and a pinned read would degrade to a ZERO-COLUMN frame —
+    * every downstream `select("id", …)` then dies with an unresolved-
+    * column error (deep-fuzz find, round 17: delete-all + grace-0
+    * vacuum + any later read). [[graft.sources.History.vacuum]] writes
+    * this snapshot BEFORE destroying the last donor; the pinned
+    * planner reads it only on the no-files/no-declaration/no-donor
+    * path. NOT a declaration: the lake stays in adopt-and-merge mode
+    * (writes keep their loose undeclared semantics), and a later
+    * declaration always wins. */
+  private def memoryPath(lakePath: String): Path =
+    new Path(schemaDir(lakePath), "memory.json")
+
+  /** Last-writer-wins overwrite, NOT the manifests' atomic
+    * no-overwrite commit: every vacuum refreshes the memory, so a
+    * collision here is two snapshots of the same lake racing — either
+    * is a valid memory. A torn concurrent read parses as None in
+    * [[readMemory]] and only degrades the LAST-RESORT fallback, never
+    * a committed artifact. */
+  def writeMemory(fs: FileSystem, lakePath: String,
+                  schema: StructType): Unit = {
+    val p = memoryPath(lakePath)
+    fs.mkdirs(p.getParent): Unit
+    val out = fs.create(p, true)
+    try out.write(
+      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readMemory(fs: FileSystem, lakePath: String): Option[StructType] = {
+    val p = memoryPath(lakePath)
+    if (!scala.util.Try(fs.exists(p)).getOrElse(false)) None
+    else scala.util.Try(DataType.fromJson(SidecarIO.readString(fs, p))
+      .asInstanceOf[StructType]).toOption
+  }
+
   /** Every committed schema version (ascending) — the evolution
     * history. */
   def versions(fs: FileSystem, lakePath: String): Seq[Long] = {

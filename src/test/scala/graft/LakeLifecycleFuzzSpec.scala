@@ -144,13 +144,20 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
       (if (dml) Seq("updateWhere", "updateMove", "sqlUpdate", "sqlDelete",
                     "sqlOverwrite", "sqlOverwritePart", "sqlMergeCdc",
                     "sqlMergeSync", "sqlDeleteInSub", "sqlMergePartial",
-                    "sqlOverwriteDyn")
+                    "sqlOverwriteDyn", "sqlDeleteExists", "sqlUpdateCorrIn",
+                    "sqlMergeSyncUpd")
        else Nil) ++
       (if (renames) Seq("renameV", "dropReAdd", "renameOntoRetired")
        else Nil)
     for (op <- 0 until nOps) {
       val pick = rnd.nextInt(10 + extraOps.size)
-      val desc: String = pick match {
+      // name the op BEFORE it runs so an exception thrown INSIDE an
+      // engine call still reports (seed, op#, op name) — without this
+      // a deep-sweep crash surfaces as a bare analysis error with no
+      // way to replay it
+      val picked =
+        if (pick < 10) s"base$pick" else extraOps(pick - 10)
+      val desc: String = try pick match {
         case 0 | 1 => // append a fresh batch
           val rows = freshRows(1 + rnd.nextInt(8))
           appendCommit(lake, rows)
@@ -424,6 +431,69 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
             rows.foreach { case (id, p, v) => model(id) = (p, v) }
             s"sqlOverwriteDyn ${rows.map(_._2).distinct.sorted.mkString(",")}"
 
+          case "sqlDeleteExists" => // correlated-EXISTS takedown: the
+            // decorrelated semi-join route (h56 shape) — plus one
+            // ghost row that must match nothing
+            if (model.isEmpty) "sqlDeleteExists noop"
+            else {
+              val victims = rnd.shuffle(model.keys.toSeq)
+                .take(1 + rnd.nextInt(3)).sorted
+              toDF(victims.map(id => (id, "px", rnd.nextLong(1000L))) :+
+                  ((nextId + 888L, "px", 0L)))
+                .createOrReplaceTempView("fuzz_exists_src")
+              spark.sql(s"""DELETE FROM lake.`$lake` t
+                            WHERE EXISTS (SELECT 1 FROM fuzz_exists_src s
+                                          WHERE s.id = t.id)""")
+                .collect(): Unit
+              victims.foreach(model.remove)
+              s"sqlDeleteExists ${victims.size}"
+            }
+          case "sqlUpdateCorrIn" => // correlated-IN correction: value
+            // matched per-key through the decorrelated (id, v) frame
+            // (h57 shape) — a stale v in the source matches nothing
+            if (model.isEmpty) "sqlUpdateCorrIn noop"
+            else {
+              val live = rnd.shuffle(model.keys.toSeq)
+                .take(1 + rnd.nextInt(3)).sorted
+              val (hit, stale) = live.partition(_ => rnd.nextBoolean())
+              toDF(hit.map(id => (id, "px", model(id)._2)) ++
+                  stale.map(id => (id, "px", model(id)._2 + 5000L)))
+                .createOrReplaceTempView("fuzz_corrin_src")
+              spark.sql(s"""UPDATE lake.`$lake` t SET v = v + 31
+                            WHERE t.v IN (SELECT s.v FROM fuzz_corrin_src s
+                                          WHERE s.id = t.id)""")
+                .collect(): Unit
+              hit.foreach(id => model(id) = (model(id)._1, model(id)._2 + 31L))
+              s"sqlUpdateCorrIn ${hit.size}h/${stale.size}s"
+            }
+          case "sqlMergeSyncUpd" => // full sync with the by-source
+            // UPDATE arm (h58 shape): unmatched target rows are MARKED
+            // (v bumped) instead of shed — key reassignment refused by
+            // the engine, so the mark is the representative shape
+            if (model.isEmpty) "sqlMergeSyncUpd noop"
+            else {
+              val keep = rnd.shuffle(model.toSeq)
+                .take(rnd.nextInt(model.size + 1))
+                .map { case (id, (p, v)) => (id, p, v + 1L) }
+              val fresh = freshRows(rnd.nextInt(3))
+              val src = keep ++ fresh
+              if (src.isEmpty) "sqlMergeSyncUpd noop"
+              else {
+                toDF(src).createOrReplaceTempView("fuzz_syncupd_src")
+                spark.sql(s"""MERGE INTO lake.`$lake` t
+                              USING fuzz_syncupd_src s ON t.id = s.id
+                              WHEN MATCHED THEN UPDATE SET *
+                              WHEN NOT MATCHED THEN INSERT *
+                              WHEN NOT MATCHED BY SOURCE
+                                THEN UPDATE SET v = v + 100000""")
+                  .collect(): Unit
+                val srcIds = src.map(_._1).toSet
+                model.mapValuesInPlace { case (id, (p, v)) =>
+                  if (srcIds(id)) (p, v) else (p, v + 100000L) }
+                src.foreach { case (id, p, v) => model(id) = (p, v) }
+                s"sqlMergeSyncUpd ${keep.size}k+${fresh.size}f"
+              }
+            }
           case "renameV" => // metadata-only rename mid-lifecycle: every
             // later read/write speaks the new name; old files (and the
             // raw-adopt writer still emitting the ORIGINAL name) read
@@ -517,6 +587,10 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
               s"restore v$v"
             }
         }
+      } catch {
+        case e: org.scalatest.exceptions.TestFailedException => throw e
+        case e: Throwable => throw new IllegalStateException(
+          s"seed=$seed op#$op [$picked] threw: ${e.getMessage}", e)
       }
       assert(img(lake, vName) === model.toMap, s"seed=$seed op#$op [$desc]")
       if (keyed) {

@@ -32,6 +32,33 @@ class PinnedLakeSpec extends AnyFunSuite {
     df.select(col("siteId"), col(ts)).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
 
+  test("schema memory: an undeclared lake emptied and fully vacuumed " +
+      "keeps its read shape") {
+    import spark.implicits._
+    // round-17 deep-fuzz find: delete-all retires every file; a
+    // grace-0 vacuum then destroys every donor byte, and the
+    // UNDECLARED lake had nothing left to infer a schema from — the
+    // pinned read degraded to a ZERO-COLUMN frame and any downstream
+    // select died with an unresolved-column analysis error. Vacuum now
+    // snapshots the shape before the last donor dies.
+    val lake = freshLake() + "/lake"
+    Seq((1L, "p0", 10L), (2L, "p1", 20L)).toDF("id", "part", "v")
+      .write.partitionBy("part").parquet(lake)
+    History.enableManifests(spark, lake): Unit
+    History.deleteWhere(spark, lake, lit(true)): Unit
+    History.vacuum(spark, lake, graceMs = 0L): Unit
+    val img = History.readPinned(spark, lake).select("id", "part", "v")
+    assert(img.schema.fieldNames.toSeq === Seq("id", "part", "v"))
+    assert(img.count() === 0L)
+    // partition-column TYPE and layout memory both hold: the next
+    // append lands partitioned and reads back whole
+    History.append(spark, lake,
+      Seq((3L, "p0", 30L)).toDF("id", "part", "v"), key = "post-vacuum",
+      partitionCols = Seq("part")): Unit
+    assert(History.readPinned(spark, lake).select("id", "part", "v")
+      .as[(Long, String, Long)].collect().toSeq === Seq((3L, "p0", 30L)))
+  }
+
   test("a scan planned before a compaction completes correctly after it") {
     val lake = freshLake()
     History.writePartitioned(records(streamPayload), lake)
