@@ -43,6 +43,12 @@ def main():
         "n_queries": len(oracle),
         "slowest": {k: round(v, 3) for k, v in slow},
     }))
+    # full per-query bests to a file for the weak-gate ledger
+    # (Spark-side per-query mins live in bench_out.json)
+    dest = os.environ.get("ORACLE_TIME_OUT")
+    if dest:
+        with open(dest, "w") as f:
+            json.dump({k: round(v, 4) for k, v in best.items()}, f)
 
 
 if __name__ == "__main__":
