@@ -85,13 +85,25 @@ object Dedup {
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("cnt") >= minCount)
       .select(col(idCol), col("p"))
+    spanIslands(dup, idCol, n)
+  }
+
+  /** Gaps-and-islands merge of FLAGGED n-gram start positions into
+    * maximal covered spans — the shared tail of every span-cutting
+    * operator ([[dupSpanIslands]]'s corpus-duplicate criterion, t31's
+    * eval-set-membership criterion). `flagged` is (idCol, p) with p
+    * the 1-based gram start; returns (idCol, st, en), 1-based
+    * inclusive token bounds. A flagged gram at p covers [p, p+n-1];
+    * the next merges into the same island iff its start is within the
+    * covered span + 1 (adjacency) — a break exactly when the gap
+    * exceeds n. NULL lag (first row) compares null > n = false →
+    * brk 0 on both engines, so island ids are 0-based cumulative sums
+    * everywhere. One doc-keyed exchange over only the flagged
+    * positions; both aggregations run in place on that partitioning. */
+  def spanIslands(flagged: DataFrame, idCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy(col(idCol)).orderBy(col("p"))
-    // a duplicated gram at p covers [p, p+n-1]; the next merges into
-    // the same island iff its start is within the covered span + 1
-    // (adjacency) — a break exactly when the gap exceeds n. NULL lag
-    // (first row) compares null > n = false → brk 0 on both engines,
-    // so island ids are 0-based cumulative sums everywhere.
-    dup
+    flagged
       .withColumn("brk",
         when(col("p") - lag(col("p"), 1).over(wOrd) > n, lit(1))
           .otherwise(lit(0)))

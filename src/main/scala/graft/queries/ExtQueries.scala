@@ -1526,6 +1526,43 @@ object ExtQueries {
             x => x.getField("w")), " ")).as("kept_hash"))
     }),
 
+    // SURGICAL decontamination — span-level eval-overlap excision:
+    // where t11/t18 DROP a training doc that shares grams with the
+    // benchmark slice, this cuts exactly the overlapping SPANS and
+    // keeps the rest of the doc (the Lee-et-al answer to "don't throw
+    // away a 5k-token doc for one quoted benchmark sentence").
+    // Positional train-side 4-grams flag on MEMBERSHIP in the eval
+    // slice's distinct gram set, then the same gaps-and-islands merge
+    // as t29/t30 (shared Dedup.spanIslands) yields the per-doc cut
+    // accounting. Scale shape: benchmarks are MB-scale → the distinct
+    // eval-gram table BROADCASTS into the probe (the train stream
+    // never shuffles for it — same admission geometry as t18's bloom);
+    // the only corpus-fraction exchange is the doc-keyed island window
+    // over FLAGGED positions.
+    "t31_surgical_decontaminate" -> ((s, d) => {
+      val n = 4
+      val docs = documents(s, d)
+        .filter(col("text").isNotNull && col("doc_id").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .filter(size(col("l")) >= n)
+      def grams(df: DataFrame) = df
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.positionalShingles(col("l"), n)))
+        .filter(col("col").isNotNull)
+        .select(col("doc_id"), (col("pos") + 1).as("p"),
+          xxhash64(col("col")).as("h"))
+      val evalGrams = grams(docs.filter(col("doc_id") % 100 === 17))
+        .select(col("h")).distinct()
+      val flagged = grams(docs.filter(col("doc_id") % 100 =!= 17))
+        .join(broadcast(evalGrams), Seq("h"), "left_semi")
+        .select(col("doc_id"), col("p"))
+      Dedup.spanIslands(flagged, "doc_id", n)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("en") - col("st") + 1).as("cut_tokens"),
+          max(col("en") - col("st") + 1).cast("bigint").as("max_island"))
+    }),
+
     // Bigram-LM quality scoring (the CCNet/KenLM-style perplexity
     // filter): train an add-one-smoothed bigram model ON the corpus
     // (c12/c1 counts + vocabulary size), then score every document by
@@ -3005,6 +3042,44 @@ object ExtQueries {
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
            md5(string_agg(wd, ' ' ORDER BY p)) AS kept_hash
          FROM kept GROUP BY doc_id""",
+    // train-side grams flag on MEMBERSHIP in the eval slice's distinct
+    // gram set (t29's island chain with the criterion swapped)
+    "t31_surgical_decontaminate" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS ws
+           FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+         ), pos AS (
+           SELECT doc_id, unnest(range(1, len(ws) - 2)) AS p, ws
+           FROM w WHERE len(ws) >= 4
+         ), g AS (
+           SELECT doc_id, p,
+             array_to_string(
+               ws[CAST(p AS INTEGER) : CAST(p + 3 AS INTEGER)], ' ') AS gram
+           FROM pos
+         ), ev AS (
+           SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 17
+         ), fl AS (
+           SELECT doc_id, p FROM g JOIN ev USING (gram)
+           WHERE doc_id % 100 != 17
+         ), lg AS (
+           SELECT doc_id, p,
+             CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p) > 4
+               THEN 1 ELSE 0 END AS brk
+           FROM fl
+         ), isl AS (
+           SELECT doc_id, p,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+           FROM lg
+         ), spans AS (
+           SELECT doc_id, isl_id, MIN(p) AS st, MAX(p) + 3 AS en
+           FROM isl GROUP BY doc_id, isl_id
+         )
+         SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(en - st + 1) AS BIGINT) AS cut_tokens,
+           CAST(MAX(en - st + 1) AS BIGINT) AS max_island
+         FROM spans GROUP BY doc_id""",
     "t21_fixed_sample" ->
       """WITH h AS (
            SELECT lang, doc_id, n_chars,

@@ -77,6 +77,30 @@ class DupSpanSpec extends AnyFunSuite {
     assert(out.keySet === Set(0L, 1L, 2L, 3L, 5L))
   }
 
+  test("t31: only eval-overlapping spans are cut, eval docs stay out") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-surgical").toString
+    // doc 17 IS the eval slice (doc_id % 100 == 17); doc 1 quotes its
+    // 4-gram "c d e f" at position 3; doc 2 shares nothing
+    Seq(
+      (17L, "c d e f", "en", "s0", 7L),
+      (1L, "a b c d e f g h", "en", "s0", 15L),
+      (2L, "t u v w x y", "en", "s0", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry
+      .queries("t31_surgical_decontaminate")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_islands"), r.getAs[Long]("cut_tokens"),
+          r.getAs[Long]("max_island"))))
+      .toMap
+    // doc 1 cuts exactly [3, 6]; the eval doc and the clean doc are
+    // not in the cut report
+    assert(out === Map(1L -> ((1L, 4L, 4L))))
+  }
+
   test("positionalShingles preserves positions and nulls the partials") {
     import spark.implicits._
     val r = Seq(Tuple1("a b c d e"))
