@@ -61,16 +61,24 @@ object Dedup {
     * island: (idCol, st, en) — 1-based inclusive token bounds.
     *
     * Scale shape: positional grams ride ONE corpus-sized exchange
-    * keyed by the 64-bit gram hash (the corpus frequency attaches as
-    * a WINDOW on that partitioning — no join, no second corpus scan);
-    * the doc-keyed island window then shuffles only the FILTERED
-    * duplicate positions, and the island aggregation runs in place on
-    * the doc-id partitioning (its grouping keys are a superset).
+    * keyed by the 64-bit gram hash; the corpus frequency is an
+    * AGGREGATE on that partitioning joined back in place (both join
+    * sides derive from the same repartition, so the probe branch is a
+    * ReusedExchange — one scan, one gram-keyed exchange, zero join
+    * exchanges). Deliberately a groupBy+join and NOT a window on the
+    * gram partitioning: a count window materializes EVERY occurrence
+    * of a gram in one task's buffer, so a hot stop-word gram
+    * (`"of the end of"`-class) becomes an unbounded single-task
+    * spill-thrash at corpus scale, while the aggregate streams one
+    * entry per key and the join side sorts/spills linearly with AQE
+    * skew-split available (ADVICE r17). The doc-keyed island window
+    * then shuffles only the FILTERED duplicate positions, and the
+    * island aggregation runs in place on the doc-id partitioning (its
+    * grouping keys are a superset).
     * Grams shuffle as xxhash64, never strings (the hashed-line-dedup
     * trade: a 2⁻⁶⁴-scale collision merely merges two grams' counts). */
   def dupSpanIslands(docs: DataFrame, idCol: String, textCol: String,
                      n: Int, minCount: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val words = docs
       .filter(col(textCol).isNotNull && col(idCol).isNotNull)
       .select(col(idCol), split(col(textCol), " ").as("l"))
@@ -81,9 +89,21 @@ object Dedup {
       .filter(col("col").isNotNull)
       .select(col(idCol), (col("pos") + 1).as("p"),
         xxhash64(col("col")).as("h"))
-    val dup = grams
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("h"))))
-      .filter(col("cnt") >= minCount)
+      .repartition(col("h"))
+    // the vacuous max(id)/max(p) aggregates (and the always-true
+    // not-null filter referencing them) anchor the count branch to the
+    // FULL (id, p, h) exchange the probe side plans — without them,
+    // column pruning drops id/p below this branch's exchange and the
+    // two subtrees stop canonicalizing equal (a second corpus scan
+    // instead of a ReusedExchange; the t22 lesson)
+    val dupGrams = grams
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col(idCol)).as("_a"), max(col("p")).as("_b"))
+      .filter(col("cnt") >= minCount &&
+        col("_a").isNotNull && col("_b") >= 1)
+      .select(col("h"))
+    val dup = grams.join(dupGrams, Seq("h"))
       .select(col(idCol), col("p"))
     spanIslands(dup, idCol, n)
   }

@@ -1560,8 +1560,15 @@ object History {
     // (the schema twin of lakeLayout's retired-file fallback; see
     // SchemaLog.readMemory). Declared lakes never need it; an empty
     // inferred shape (nothing readable even now) must not overwrite a
-    // previously-written memory.
-    if (expired.nonEmpty && SchemaLog.latest(fs, path).isEmpty) {
+    // previously-written memory. Trigger ONLY when the current set is
+    // empty — the one state where the reclaimed retired files can be
+    // the last schema donors; while any current file exists, it keeps
+    // donating, so the footer-analysis pass here would be pure cost on
+    // every routine vacuum (ADVICE r17). The final delete-all-then-
+    // vacuum necessarily passes through the empty-cur state, so the
+    // memory is still written before the last donor dies.
+    if (expired.nonEmpty && m.cur.isEmpty &&
+        SchemaLog.latest(fs, path).isEmpty) {
       val shape = planManifest(spark, fs, root, m).schema
       if (shape.nonEmpty) SchemaLog.writeMemory(fs, path, shape)
     }

@@ -128,20 +128,55 @@ object SchemaLog {
   private def memoryPath(lakePath: String): Path =
     new Path(schemaDir(lakePath), "memory.json")
 
-  /** Last-writer-wins overwrite, NOT the manifests' atomic
-    * no-overwrite commit: every vacuum refreshes the memory, so a
-    * collision here is two snapshots of the same lake racing — either
-    * is a valid memory. A torn concurrent read parses as None in
+  /** Last-writer-wins, published by OVERWRITE-BY-RENAME — not the
+    * manifests' atomic no-overwrite commit: every vacuum refreshes the
+    * memory, so a collision here is two snapshots of the same lake
+    * racing — either is a valid memory. The rename (vs. writing the
+    * destination in place) makes each published file ALL-OR-NOTHING: a
+    * crash mid-write can no longer destroy the previously valid memory
+    * — the exact last-resort artifact the fallback depends on (ADVICE
+    * r17). A torn concurrent read still parses as None in
     * [[readMemory]] and only degrades the LAST-RESORT fallback, never
     * a committed artifact. */
   def writeMemory(fs: FileSystem, lakePath: String,
                   schema: StructType): Unit = {
     val p = memoryPath(lakePath)
     fs.mkdirs(p.getParent): Unit
-    val out = fs.create(p, true)
-    try out.write(
-      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    val bytes = schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if ("file" == fs.getUri.getScheme) {
+      // LOCAL: java.nio atomic replace — no checksum sidecar to tear
+      // (same reasoning as FileManifest.tryLinkCommit: the Hadoop local
+      // FS splits data+crc renames, which can leave a persistent
+      // checksum mismatch; nio writes crc-less and moves atomically)
+      val destFile = java.nio.file.Paths.get(fs.makeQualified(p).toUri)
+      val tmpFile = destFile.resolveSibling(p.getName +
+        s".${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      java.nio.file.Files.write(tmpFile, bytes): Unit
+      java.nio.file.Files.move(tmpFile, destFile,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      // a stale same-name checksum sidecar (pre-fix writer, or a
+      // rebuilt lake) would fail verified reads of crc-less content
+      scala.util.Try(java.nio.file.Files.deleteIfExists(
+        destFile.resolveSibling("." + p.getName + ".crc"))): Unit
+    } else {
+      val tmp = new Path(p.getParent, p.getName +
+        s".${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      try org.apache.hadoop.fs.FileContext
+        .getFileContext(fs.makeQualified(p).toUri, fs.getConf)
+        .rename(fs.makeQualified(tmp), fs.makeQualified(p),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          // no FileContext binding: plain delete+rename (best effort —
+          // the absence window degrades only the last-resort fallback)
+          fs.delete(p, false): Unit
+          if (!fs.rename(tmp, p))
+            throw new java.io.IOException(s"memory publish failed: $p")
+      }
+    }
   }
 
   def readMemory(fs: FileSystem, lakePath: String): Option[StructType] = {

@@ -731,11 +731,15 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
   }
 
   test("plan quality: t29 scans the corpus once; two hash exchanges") {
-    // positions ride ONE corpus-sized exchange keyed by the gram hash
-    // (frequency is a window on that partitioning — no join, so no
-    // exchange-reuse subtleties and no second scan); the doc-keyed
+    // positions ride ONE corpus-sized exchange keyed by the gram hash;
+    // the corpus frequency is an aggregate on that partitioning joined
+    // back in place — the count branch reads the SAME exchange
+    // (ReusedExchange), so the corpus is scanned once and a hot
+    // stop-word gram streams through the aggregate instead of
+    // materializing in a window buffer (ADVICE r17). The doc-keyed
     // island window shuffles only the filtered duplicate positions,
-    // and both aggregations run in place on the doc_id partitioning.
+    // and both island aggregations run in place on the doc_id
+    // partitioning.
     val df = SparkEntry.queries("t29_dup_span_islands")(spark,
       "/root/testdata/sf0.001")
     df.collect(): Unit
@@ -751,11 +755,18 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
       "documents\\.parquet".r.findAllIn(s).length).max
     assert(scans <= 1,
       s"t29 must scan the corpus once:\n${plan.toString.take(1500)}")
-    val hashExchanges = roots.map(s =>
-      "Exchange hashpartitioning".r.findAllIn(s).length).max
+    // count Exchange OPERATORS only — a ReusedExchange line repeats the
+    // reused exchange's own description text, which is a read, not a
+    // second shuffle write
+    val hashExchanges = roots.map(_.linesIterator
+      .filterNot(_.contains("ReusedExchange"))
+      .count(_.contains("Exchange hashpartitioning"))).max
     assert(hashExchanges <= 2,
       s"t29 must plan exactly the gram-hash and doc_id exchanges:\n" +
         plan.toString.take(1500))
+    assert(roots.exists(_.contains("ReusedExchange")),
+      s"t29's frequency branch must reuse the gram exchange, not " +
+        s"re-scan:\n${plan.toString.take(1500)}")
   }
 
   test("plan quality: q44 scans lineitem once; window rides the join shuffle") {
