@@ -1315,6 +1315,57 @@ object HistoryQueries {
       val dir = repartitionLakeDir(s, d)
       s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
                 WHERE doc_id >= 0""")
+    }),
+
+    // SNAPSHOT-ERA SCHEMA TIME TRAVEL: every manifest commit stamps the
+    // declared-schema version current at that commit, and `VERSION AS
+    // OF` resolves the declaration AS OF the pin — so after a DROP
+    // COLUMN, a pre-drop pin still SHOWS the dropped column with its
+    // values (history stops lying about shape; recover an accidental
+    // drop via the pin or a pinned export). The gate pins the
+    // pre-drop version: a read that projects to the present
+    // declaration loses the `source` column and fails the schema
+    // match; stale era resolution (wrong stamp) fails the hash.
+    "h61_sql_schema_asof" -> ((s, d) => {
+      val (dir, vPre) = sqlSchemaAsofLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars
+                FROM lake.`$dir` VERSION AS OF $vPre
+                WHERE doc_id >= 0""")
+    }),
+
+    // SCALAR-SUBQUERY SET: one UNCORRELATED set (a corpus-wide max
+    // materialized to one literal) and one CORRELATED set (per-lang
+    // max over a SUBSET — langs absent from the subset take the
+    // aggregate's over-empty-group NULL, the decorrelation "count
+    // bug" class the keyed value-frame must get right). A stale/
+    // swapped frame value, a leaked WHERE, or a wrong empty-group
+    // default fails the hash.
+    "h62_sql_update_scalar_set" -> ((s, d) => {
+      val dir = sqlScalarSetLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
+                WHERE doc_id >= 0""")
+    }),
+
+    // CORRELATED NOT IN (non-null-proven): DELETE every row whose
+    // n_chars appears in NO subset row of its language — exact under
+    // three-valued logic because the subquery filter proves the inner
+    // value non-null; rows of langs ABSENT from the subset delete too
+    // (NOT IN over an empty set is TRUE). The two disjoint anti-join
+    // arms (null/non-null probe) mis-composed fails the hash.
+    "h63_sql_delete_not_in" -> ((s, d) => {
+      val dir = sqlNotInLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
+                WHERE doc_id >= 0""")
+    }),
+
+    // COMPOUND EXISTS conjuncts: `EXISTS(a) AND NOT EXISTS(b)` folds
+    // into ONE decorrelated key frame (a's keys minus b's) and rides
+    // the single semi-join DV delete. A dropped arm, a union/except
+    // mixup, or residual leakage fails the hash.
+    "h64_sql_delete_exists_pair" -> ((s, d) => {
+      val dir = sqlExistsPairLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
+                WHERE doc_id >= 0""")
     })
   )
 
@@ -1869,6 +1920,44 @@ object HistoryQueries {
       dir
     })
 
+  /** h61's lake: corpus with `source` declared, an era-1 INSERT
+    * committed UNDER that declaration (the pre-drop manifest the gate
+    * pins — its schema stamp is what era resolution reads), then SQL
+    * DROP COLUMN source and an era-2 INSERT without it. Returns
+    * (dir, pre-drop manifest version). */
+  private val sqlSchemaAsofLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      (String, Long)]()
+
+  private def sqlSchemaAsofLake(s: SparkSession,
+                                sfDir: String): (String, Long) =
+    sqlSchemaAsofLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir),
+      _ => {
+        Memos.install(s)
+        s.conf.set("spark.sql.catalog.lake",
+          classOf[graft.sources.LakeCatalog].getName)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-sql-asof").toString + "/lake"
+        graft.Tables.documents(s, sfDir)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"))
+          .repartition(8)
+          .write.parquet(dir)
+        graft.sources.History.enableManifests(s, dir): Unit
+        graft.sources.SchemaLog.declare(s, dir): Unit
+        s.sql(s"""INSERT INTO lake.`$dir`
+                  SELECT doc_id + 83000000, lang, source, n_chars
+                  FROM parquet.`$sfDir/documents.parquet`
+                  WHERE doc_id < 20"""): Unit
+        val vPre = graft.sources.History.versions(s, dir).last
+        s.sql(s"ALTER TABLE lake.`$dir` DROP COLUMN source"): Unit
+        s.sql(s"""INSERT INTO lake.`$dir`
+                  SELECT doc_id + 84000000, lang, n_chars
+                  FROM parquet.`$sfDir/documents.parquet`
+                  WHERE doc_id < 10"""): Unit
+        (dir, vPre)
+      })
+
   /** h46's lake: corpus through the engine write path, then one
     * full-sync SQL MERGE (upsert pair + NOT MATCHED BY SOURCE DELETE)
     * whose source is a transformed corpus subset — the lake must end
@@ -1936,6 +2025,105 @@ object HistoryQueries {
         s.sql(s"""DELETE FROM lake.`$dir` t
                   WHERE NOT EXISTS (SELECT 1 FROM h56_keep k
                                     WHERE k.doc_id = t.doc_id)""")
+        dir
+      })
+
+  /** h62's lake: corpus, then one UNCORRELATED scalar-subquery SET
+    * (corpus-subset max as one literal) and one CORRELATED
+    * scalar-subquery SET (per-lang max over a subset that EXCLUDES
+    * 'de' — de rows probe an empty group and take the aggregate's
+    * NULL). */
+  private val sqlScalarSetLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlScalarSetLake(s: SparkSession, sfDir: String): String =
+    sqlScalarSetLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir),
+      _ => {
+        Memos.install(s)
+        s.conf.set("spark.sql.catalog.lake",
+          classOf[graft.sources.LakeCatalog].getName)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-sql-scalarset").toString + "/lake"
+        val docs = graft.Tables.documents(s, sfDir)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"))
+        docs.repartition(8).write.parquet(dir)
+        graft.sources.History.enableManifests(s, dir): Unit
+        docs.filter(col("doc_id") % 4 === 0)
+          .createOrReplaceTempView("h62_sub_all")
+        docs.filter(col("doc_id") % 4 === 0 && col("lang") =!= "de")
+          .createOrReplaceTempView("h62_sub_lang")
+        s.sql(s"""UPDATE lake.`$dir` t
+                  SET n_chars = (SELECT MAX(n_chars) FROM h62_sub_all)
+                  WHERE t.doc_id % 9 = 2"""): Unit
+        s.sql(s"""UPDATE lake.`$dir` t
+                  SET n_chars = (SELECT MAX(o.n_chars + 5)
+                                 FROM h62_sub_lang o
+                                 WHERE o.lang = t.lang)
+                  WHERE t.doc_id % 9 = 5"""): Unit
+        dir
+      })
+
+  /** h63's lake: corpus, then one correlated NOT IN DELETE — the
+    * subquery's own IS NOT NULL filter is the non-null proof the
+    * translation requires; 'de' is excluded from the subset so its
+    * rows exercise the empty-group (NOT IN = TRUE) arm. */
+  private val sqlNotInLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlNotInLake(s: SparkSession, sfDir: String): String =
+    sqlNotInLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir),
+      _ => {
+        Memos.install(s)
+        s.conf.set("spark.sql.catalog.lake",
+          classOf[graft.sources.LakeCatalog].getName)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-sql-notin").toString + "/lake"
+        val docs = graft.Tables.documents(s, sfDir)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"))
+        docs.repartition(8).write.parquet(dir)
+        graft.sources.History.enableManifests(s, dir): Unit
+        docs.filter(col("doc_id") % 3 === 0 && col("lang") =!= "de")
+          .createOrReplaceTempView("h63_sub")
+        s.sql(s"""DELETE FROM lake.`$dir` t
+                  WHERE t.n_chars NOT IN (SELECT o.n_chars FROM h63_sub o
+                                          WHERE o.lang = t.lang
+                                            AND o.n_chars IS NOT NULL)
+                    AND t.doc_id % 2 = 0"""): Unit
+        dir
+      })
+
+  /** h64's lake: corpus, then one compound-conjunct DELETE —
+    * `EXISTS(a) AND NOT EXISTS(b)` folded into one decorrelated key
+    * frame (a's keys minus b's). */
+  private val sqlExistsPairLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlExistsPairLake(s: SparkSession, sfDir: String): String =
+    sqlExistsPairLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir),
+      _ => {
+        Memos.install(s)
+        s.conf.set("spark.sql.catalog.lake",
+          classOf[graft.sources.LakeCatalog].getName)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-sql-exipair").toString + "/lake"
+        val docs = graft.Tables.documents(s, sfDir)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"))
+        docs.repartition(8).write.parquet(dir)
+        graft.sources.History.enableManifests(s, dir): Unit
+        docs.filter(col("doc_id") % 2 === 0)
+          .createOrReplaceTempView("h64_a")
+        docs.filter(col("doc_id") % 5 === 0)
+          .createOrReplaceTempView("h64_b")
+        s.sql(s"""DELETE FROM lake.`$dir` t
+                  WHERE EXISTS (SELECT 1 FROM h64_a a
+                                WHERE a.doc_id = t.doc_id
+                                  AND a.n_chars >= 100)
+                    AND NOT EXISTS (SELECT 1 FROM h64_b b
+                                    WHERE b.doc_id = t.doc_id
+                                      AND b.lang = 'en')"""): Unit
         dir
       })
 
@@ -2445,6 +2633,40 @@ object HistoryQueries {
          UNION ALL
          SELECT doc_id + 80000000 AS doc_id, lang, n_chars
          FROM documents WHERE doc_id < 25""",
+    "h61_sql_schema_asof" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         UNION ALL
+         SELECT doc_id + 83000000 AS doc_id, lang, source, n_chars
+         FROM documents WHERE doc_id < 20""",
+    "h62_sql_update_scalar_set" ->
+      """SELECT d.doc_id, d.lang, d.source,
+                CASE WHEN d.doc_id % 9 = 2 THEN
+                       (SELECT MAX(n_chars) FROM documents
+                        WHERE doc_id % 4 = 0)
+                     WHEN d.doc_id % 9 = 5 THEN
+                       (SELECT MAX(o.n_chars + 5) FROM documents o
+                        WHERE o.doc_id % 4 = 0 AND o.lang <> 'de'
+                          AND o.lang = d.lang)
+                     ELSE d.n_chars
+                END AS n_chars
+         FROM documents d""",
+    "h63_sql_delete_not_in" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents t
+         WHERE (t.doc_id % 2 = 0 AND t.n_chars NOT IN
+                 (SELECT o.n_chars FROM documents o
+                  WHERE o.doc_id % 3 = 0 AND o.lang <> 'de'
+                    AND o.lang = t.lang AND o.n_chars IS NOT NULL))
+               IS NOT TRUE""",
+    "h64_sql_delete_exists_pair" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents t
+         WHERE NOT (EXISTS (SELECT 1 FROM documents a
+                            WHERE a.doc_id % 2 = 0
+                              AND a.doc_id = t.doc_id
+                              AND a.n_chars >= 100)
+                    AND NOT EXISTS (SELECT 1 FROM documents b
+                                    WHERE b.doc_id % 5 = 0
+                                      AND b.doc_id = t.doc_id
+                                      AND b.lang = 'en'))""",
     "h59_sql_stream_lake_loop" ->
       """SELECT doc_id, lang, source, n_chars + 7 AS n_chars
          FROM documents""",

@@ -94,9 +94,18 @@ object FileManifest {
 
   def shardsDir(lakePath: String): String = s"${manifestDir(lakePath)}/shards"
 
+  /** @param schemaV the DECLARED SCHEMA VERSION current when this
+    *        manifest version committed (`schema\t<v>` root line),
+    *        stamped by [[publish]] — the snapshot-era schema a
+    *        time-travel read resolves so `VERSION AS OF` stops
+    *        projecting dropped/renamed columns to the lake's present
+    *        declaration. None on pre-stamp manifests and undeclared
+    *        lakes (readers fall back to the current declaration —
+    *        the old contract). */
   case class Manifest(version: Long, cur: Seq[String],
                       retired: Seq[(Long, String)],
-                      dvs: Map[String, String] = Map.empty) {
+                      dvs: Map[String, String] = Map.empty,
+                      schemaV: Option[Long] = None) {
     def curSet: Set[String] = cur.toSet
     def retiredSet: Set[String] = retired.map(_._2).toSet
   }
@@ -274,20 +283,24 @@ object FileManifest {
     (e.cur.size + e.ret.size + e.dvs.size + 1).toLong
 
   /** One parsed root: either the flat entry list itself, or the shard
-    * index (shardFileName, partitionDir). */
+    * index (shardFileName, partitionDir) — plus the root-level
+    * schema-version stamp (shard FILES never carry one). */
   private type Root = Either[Entries, Seq[(String, String)]]
 
-  private def parseRoot(lines: List[String], v: Long): Root = {
+  private def parseRoot(lines: List[String],
+                        v: Long): (Root, Option[Long]) = {
     val shards = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val cur = scala.collection.mutable.ArrayBuffer.empty[String]
     val ret = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
     val dvs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var schemaV: Option[Long] = None
     lines.foreach { l =>
       l.split('\t') match {
         case Array("cur", rel) => cur += rel
         case Array("ret", ts, rel) => ret += ((ts.toLong, rel))
         case Array("dv", rel, name) => dvs += ((rel, name))
         case Array("shard", name, dir) => shards += ((name, dir))
+        case Array("schema", sv) => schemaV = Some(sv.toLong)
         case other => throw new java.io.IOException(
           s"bad manifest line in v$v: ${other.mkString("\\t")}")
       }
@@ -295,20 +308,20 @@ object FileManifest {
     if (shards.nonEmpty && (cur.nonEmpty || ret.nonEmpty || dvs.nonEmpty))
       throw new java.io.IOException(
         s"manifest v$v mixes flat and shard lines")
-    if (shards.nonEmpty) Right(shards.toSeq)
-    else Left(Entries(cur.toSeq, ret.toSeq, dvs.toMap))
+    if (shards.nonEmpty) (Right(shards.toSeq), schemaV)
+    else (Left(Entries(cur.toSeq, ret.toSeq, dvs.toMap)), schemaV)
   }
 
   // retries the local-FS mid-rename checksum window — see SidecarIO
   private def readLines(fs: FileSystem, p: Path): List[String] =
     SidecarIO.readLines(fs, p)
 
-  /** Root-kind index: Some(shard index) for sharded roots, None for
-    * flat — tiny entries, count-bounded with the same LRU policy. A
-    * flat root's ENTRIES live in `parsedCache` (populated on the same
-    * read), so no root is ever parsed twice while cached. */
+  /** Root-kind index: Some((shard index, schema stamp)) for sharded
+    * roots, None for flat — tiny entries, count-bounded with the same
+    * LRU policy. A flat root's ENTRIES live in `parsedCache` (populated
+    * on the same read), so no root is ever parsed twice while cached. */
   private val rootIndexCache = new java.util.LinkedHashMap[
-    CacheKey, Option[Seq[(String, String)]]](16, 0.75f, true)
+    CacheKey, Option[(Seq[(String, String)], Option[Long])]](16, 0.75f, true)
 
   private def cacheKey(fs: FileSystem, lakePath: String, v: Long,
                        st: org.apache.hadoop.fs.FileStatus): CacheKey =
@@ -330,20 +343,21 @@ object FileManifest {
     }
 
   /** Ensure version `v`'s root is classified (and, for flat roots,
-    * fully parsed into `parsedCache`); returns its shard index, or
-    * None for a flat root. ONE physical root read per cached lifetime. */
+    * fully parsed into `parsedCache`); returns its (shard index,
+    * schema stamp), or None for a flat root. ONE physical root read
+    * per cached lifetime. */
   private def rootIndex(fs: FileSystem, lakePath: String,
-                        v: Long): Option[Seq[(String, String)]] = {
+      v: Long): Option[(Seq[(String, String)], Option[Long])] = {
     val st = fs.getFileStatus(versionPath(lakePath, v))
     val key = cacheKey(fs, lakePath, v, st)
     val hit = rootIndexCache.synchronized(Option(rootIndexCache.get(key)))
     hit.getOrElse {
       manifestFileReads.incrementAndGet(): Unit
       val idx = parseRoot(readLines(fs, versionPath(lakePath, v)), v) match {
-        case Left(e) =>
-          putParsed(key, Manifest(v, e.cur, e.ret, e.dvs))
+        case (Left(e), sv) =>
+          putParsed(key, Manifest(v, e.cur, e.ret, e.dvs, sv))
           None
-        case Right(shards) => Some(shards)
+        case (Right(shards), sv) => Some((shards, sv))
       }
       rootIndexCache.synchronized {
         rootIndexCache.put(key, idx): Unit
@@ -379,8 +393,8 @@ object FileManifest {
       shardFileReads.incrementAndGet(): Unit
       val entry = parseRoot(
         readLines(fs, new Path(shardsDir(lakePath), name)), -1L) match {
-        case Left(e) => e
-        case Right(_) => throw new java.io.IOException(
+        case (Left(e), _) => e
+        case (Right(_), _) => throw new java.io.IOException(
           s"shard file $name contains shard lines (nested sharding)")
       }
       putShardCache(key, entry)
@@ -406,19 +420,19 @@ object FileManifest {
           Option(parsedCache.synchronized(parsedCache.get(key))).getOrElse {
             manifestFileReads.incrementAndGet(): Unit
             parseRoot(readLines(fs, vp), v) match {
-              case Left(e) =>
-                val m = Manifest(v, e.cur, e.ret, e.dvs)
+              case (Left(e), sv) =>
+                val m = Manifest(v, e.cur, e.ret, e.dvs, sv)
                 putParsed(key, m)
                 m
-              case Right(_) => throw new IllegalStateException(
+              case (Right(_), _) => throw new IllegalStateException(
                 s"root of v$v changed kind under a reader: $vp")
             }
           }
-        case Some(shards) =>
+        case Some((shards, sv)) =>
           val parts = shards.sortBy(_._2)
             .map { case (name, _) => readShard(fs, lakePath, name) }
           val m = Manifest(v, parts.flatMap(_.cur), parts.flatMap(_.ret),
-            parts.flatMap(_.dvs).toMap)
+            parts.flatMap(_.dvs).toMap, sv)
           putParsed(key, m)
           m
       }
@@ -443,13 +457,14 @@ object FileManifest {
         val full = readVersion(fs, lakePath, version) // parsedCache hit
         Manifest(version, full.cur.filter(r => dirPred(entryDir(r))),
           full.retired.filter(r => dirPred(entryDir(r._2))),
-          full.dvs.filter { case (r, _) => dirPred(entryDir(r)) })
-      case Some(shards) =>
+          full.dvs.filter { case (r, _) => dirPred(entryDir(r)) },
+          full.schemaV)
+      case Some((shards, sv)) =>
         val parts = shards.sortBy(_._2)
           .collect { case (name, dir) if dirPred(dir) =>
             readShard(fs, lakePath, name) }
         Manifest(version, parts.flatMap(_.cur), parts.flatMap(_.ret),
-          parts.flatMap(_.dvs).toMap)
+          parts.flatMap(_.dvs).toMap, sv)
     }
     Some(m)
   }
@@ -553,6 +568,8 @@ object FileManifest {
 
   private def flatContent(m: Manifest): String = {
     val sb = new StringBuilder
+    m.schemaV.foreach(sv =>
+      sb.append("schema\t").append(sv).append('\n'))
     m.cur.sorted.foreach(rel => sb.append("cur\t").append(rel).append('\n'))
     m.retired.sortBy(_._2).foreach { case (ts, rel) =>
       sb.append("ret\t").append(ts).append('\t').append(rel).append('\n')
@@ -574,10 +591,16 @@ object FileManifest {
     if (fs.exists(dest))
       throw new VersionCollisionException(
         s"manifest version collision at $dest: two writers raced")
+    // stamp the DECLARED SCHEMA VERSION current at this commit (always
+    // re-resolved — a caller-copied manifest could carry a stale one):
+    // every file this version references was validated against a
+    // declaration ≤ this stamp, so a time-travel read resolving it
+    // plans era-consistent (see History.readPinned(version))
+    val stamped = m.copy(schemaV = SchemaLog.latestVersion(fs, lakePath))
     val shardedMode =
       latestVersion(fs, lakePath).exists(v => isSharded(fs, lakePath, v))
-    if (shardedMode) publishSharded(fs, lakePath, m)
-    else atomicWrite(fs, dest, flatContent(m))
+    if (shardedMode) publishSharded(fs, lakePath, stamped)
+    else atomicWrite(fs, dest, flatContent(stamped))
     recordWitnessed(lakePath, m.version)
   }
 
@@ -638,7 +661,7 @@ object FileManifest {
     val prevIdx: Map[String, String] =
       latestVersion(fs, lakePath) match {
         case Some(v) => rootIndex(fs, lakePath, v)
-          .map(_.map { case (name, dir) => dir -> name }.toMap)
+          .map(_._1.map { case (name, dir) => dir -> name }.toMap)
           .getOrElse(Map.empty)
         case None => Map.empty
       }
@@ -695,7 +718,11 @@ object FileManifest {
       }
       s"shard\t$name\t$dir"
     }
-    atomicWrite(fs, dest, shardLines.mkString("", "\n", "\n"))
+    // the schema stamp is a ROOT line (shard files never carry one —
+    // they are reused across versions, and the stamp is per-commit)
+    val schemaLine = m.schemaV.map(sv => s"schema\t$sv").toSeq
+    atomicWrite(fs, dest,
+      (schemaLine ++ shardLines).mkString("", "\n", "\n"))
   }
 
   /** Convert a manifest-mode lake to SHARDED manifests: republish the
@@ -805,7 +832,7 @@ object FileManifest {
     * versions) once past grace. */
   def referencedShards(fs: FileSystem, lakePath: String): Set[String] =
     versions(fs, lakePath).flatMap(v =>
-      rootIndex(fs, lakePath, v).getOrElse(Nil).map(_._1)).toSet
+      rootIndex(fs, lakePath, v).map(_._1).getOrElse(Nil).map(_._1)).toSet
 
   /** Test-only deterministic race injection: consumed (run once) by the
     * next [[commitDelta]] attempt, between its latest-read and its

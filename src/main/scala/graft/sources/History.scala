@@ -557,12 +557,34 @@ object History {
     * horizon IS the vacuum grace — size it to the audit window). Fails
     * loudly on a vacuumed/unknown version (a silent fallback to latest
     * would be a wrong-answer bug for an audit reader); [[versions]]
-    * lists what is still reachable. */
-  def readPinned(spark: SparkSession, path: String, version: Long): DataFrame = {
+    * lists what is still reachable.
+    *
+    * SNAPSHOT-ERA SCHEMA: the read plans with the declared schema that
+    * was CURRENT WHEN THE PINNED VERSION COMMITTED (the manifest's
+    * schema stamp — [[FileManifest.Manifest.schemaV]]), not the lake's
+    * present declaration: a pre-drop pin still shows the dropped
+    * column, a pre-rename pin shows the old name, and a pre-widening
+    * pin keeps the narrow type — history stops lying about shape.
+    * Era-consistent by construction: every file the pinned manifest
+    * references was validated against a declaration ≤ the stamp.
+    * Manifests that predate the stamp (and undeclared-at-commit lakes
+    * that declared later) fall back to the current declaration — the
+    * old contract, still the right one when no era record exists. */
+  def readPinned(spark: SparkSession, path: String, version: Long): DataFrame =
+    readPinned(spark, path, version, eraSchema = true)
+
+  /** [[readPinned]] with the era-schema resolution explicit: the SQL
+    * catalog serves its LATEST table through a version pin too (so a
+    * loaded table is snapshot-stable under concurrent commits), and
+    * that route must keep projecting to the CURRENT declaration —
+    * a metadata-only evolve applies to latest reads immediately,
+    * without waiting for the next data commit. */
+  private[sources] def readPinned(spark: SparkSession, path: String,
+      version: Long, eraSchema: Boolean): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     FileManifest.at(fs, path, version) match {
-      case Some(m) => planManifest(spark, fs, root, m)
+      case Some(m) => planManifest(spark, fs, root, m, asOf = eraSchema)
       case None => throw new IllegalArgumentException(
         s"manifest version $version not retained at $path " +
           s"(vacuumed or never published); retained: " +
@@ -1281,16 +1303,24 @@ object History {
       col(c) >= lo && col(c) <= hi }.reduce(_ && _))
   }
 
+  /** @param asOf resolve the declared schema AS OF the manifest's
+    *        commit (its schema stamp) instead of the lake's present
+    *        declaration — the time-travel path; stamp-less manifests
+    *        fall back to the present declaration either way. */
   private def planManifest(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
-      m: FileManifest.Manifest): DataFrame = {
+      m: FileManifest.Manifest, asOf: Boolean = false): DataFrame = {
     val qRoot = fs.makeQualified(root)
     // declared-schema lakes plan every file against the committed table
     // schema: columns added by evolution backfill null in pre-evolution
     // files, widened columns are promoted by the parquet reader itself
     // (INT32 file → LONG schema), and no footer-merge job runs — one
     // shape for every file regardless of age (see [[SchemaLog]])
-    val declared = SchemaLog.latest(fs, root.toString)
+    val declared =
+      if (asOf)
+        m.schemaV.map(sv => SchemaLog.at(fs, root.toString, sv))
+          .orElse(SchemaLog.latest(fs, root.toString))
+      else SchemaLog.latest(fs, root.toString)
     if (m.cur.nonEmpty) {
       // renamed columns scan under the PHYSICAL read schema (declared
       // + retired names) and fold back to the declared shape after the
@@ -2675,6 +2705,121 @@ object History {
     updateJoinImpl(spark, path, keys, keyCols, anti = true, extraCond,
       assignments)
 
+  /** Copy-on-write UPDATE whose assigned VALUE comes from a keyed
+    * frame — the decorrelated `UPDATE t SET x = (SELECT agg FROM s
+    * WHERE s.k = t.k) [WHERE cond]`: `keys` is (keyCols…, valCol) with
+    * at most one row per key (checked when `checkUnique` — the
+    * standard scalar-subquery cardinality error; an aggregate-shaped
+    * frame is unique per key by construction and skips the pass).
+    * EVERY target row satisfying `extraCond` updates — key-matched
+    * rows take the frame value through a 1:1 LEFT OUTER mark join,
+    * unmatched rows take `emptyValue` (the subquery-over-empty-group
+    * result: typed NULL for most aggregates, 0 for COUNT — the
+    * decorrelation "count bug" handled the standard way). Plain
+    * assignments ride the same single rewrite. One filter-pushed
+    * match scan finds the affected files; one job rewrites exactly
+    * those files; same staging/validation/OCC-flip contract as
+    * [[updateWhere]]. The frame is evaluated in both passes — cache a
+    * non-trivial plan (the SQL command does).
+    * @return (files rewritten, rows updated) */
+  def updateFromFrame(spark: SparkSession, path: String,
+      keys: DataFrame, keyCols: Seq[String], setCol: String,
+      valCol: String, emptyValue: org.apache.spark.sql.Column,
+      plainAssignments: Seq[(String, org.apache.spark.sql.Column)],
+      extraCond: Option[org.apache.spark.sql.Column],
+      checkUnique: Boolean): (Int, Long) = {
+    require(keyCols.nonEmpty, "updateFromFrame needs key columns")
+    require((keyCols :+ valCol).forall(keys.columns.contains),
+      s"keys frame missing columns: ${(keyCols :+ valCol).mkString(",")}")
+    val names = setCol +: plainAssignments.map(_._1)
+    require(names.distinct.size == names.size,
+      s"duplicate assignment targets: ${names.mkString(",")}")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qRoot = fs.makeQualified(root)
+    val m = FileManifest.latest(fs, path).getOrElse(
+      throw new IllegalStateException(
+        s"updateFromFrame needs a manifest-mode lake (enableManifests): " +
+          path))
+    if (m.cur.isEmpty) return (0, 0L)
+    val frame = keys.select((keyCols :+ valCol).map(col): _*)
+    frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (checkUnique) {
+        // SQL's scalar-subquery contract errors on >1 row per probe —
+        // by ROW COUNT, not distinct values (two equal rows still err)
+        val dup = frame
+          .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+          .groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+          .limit(1).collect()
+        require(dup.isEmpty,
+          "scalar subquery returned more than one row for a key, " +
+            s"e.g. ${dup.headOption.orNull}")
+      }
+      val scan = planManifest(spark, fs, root, m)
+      if (scan.columns.isEmpty) return (0, 0L)
+      // NULL condition keeps the row unchanged: SQL UPDATE semantics
+      val gate = extraCond.map(c => coalesce(c, lit(false)))
+      // pass 1: every file holding a row the gate admits rewrites —
+      // unmatched rows update too (to emptyValue), standard scalar-SET
+      val preFiltered = gate.map(scan.filter).getOrElse(scan)
+      val hits = preFiltered
+        .groupBy(col("_metadata.file_path").as("fp"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      if (hits.isEmpty) return (0, 0L)
+      val rowsUpdated = hits.map(_._2).sum
+      val relByAbs: Map[String, String] = m.cur.map(rel =>
+        new org.apache.hadoop.fs.Path(qRoot, rel).toString -> rel).toMap
+      val affected: Seq[String] = hits.map { case (fp, _) =>
+        relByAbs.getOrElse(new org.apache.hadoop.fs.Path(fp).toString,
+          throw new IllegalStateException(
+            s"matched file not in the planned manifest: $fp"))
+      }.toSeq.sorted
+      val partCols = uniformPartCols(path, affected)
+      val stage = fs.makeQualified(
+        new org.apache.hadoop.fs.Path(updateStagingDir(path)))
+      fs.delete(stage, true): Unit
+      val base = rewriteScan(spark, fs, qRoot, path, m, affected)
+      val unknown = names.filterNot(base.columns.contains)
+      require(unknown.isEmpty,
+        s"updateFromFrame: unknown column(s) ${unknown.mkString(",")} — " +
+          s"lake columns are ${base.columns.mkString(",")}")
+      val marks = frame.withColumn("__graft_m", lit(true))
+      val joined = base.join(marks, keyCols.toSeq, "left_outer")
+      val updPred = gate.getOrElse(lit(true))
+      val plainMap = plainAssignments.toMap
+      val schema = base.schema
+      val updated = joined.select(base.columns.toIndexedSeq.map { c =>
+        if (c == setCol) {
+          val v = when(col("__graft_m").isNotNull, col(valCol))
+            .otherwise(emptyValue)
+          when(updPred, v.cast(schema(c).dataType)).otherwise(col(c)).as(c)
+        } else plainMap.get(c) match {
+          case Some(v) =>
+            when(updPred, v.cast(schema(c).dataType))
+              .otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+      val writer = updated.write.mode("overwrite")
+        .option("maxRecordsPerFile", 5000000L)
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+        .parquet(stage.toString)
+      try Constraints.enforceStaged(spark, path, stage.toString)
+      catch { case e: Throwable =>
+        fs.delete(stage, true): Unit
+        throw e
+      }
+      // shares updateWhere's "e" staging tag: same staging dir, same
+      // single-writer sequence
+      promoteAndFlip(fs, qRoot, path, stage, s"e${m.version + 1}-",
+        affected, dvSeenOf(m, affected))
+      (affected.size, rowsUpdated)
+    } finally frame.unpersist(blocking = false): Unit
+  }
+
   /** Shared key-frame update tail: [[updateImpl]] with the match
     * decided by a semi/anti join against `keys` instead of a bare
     * predicate. Pass 1 finds the affected files through the join
@@ -3339,8 +3484,20 @@ object History {
     // retired-name tombstones: the copied files are raw bytes, so a
     // DROPPED column's values still sit inside them — without the
     // tombstone the destination could ADD the name back and resurrect
-    // them (rename aliases ride the schema's field metadata already)
-    SchemaLog.latest(fs, path).foreach(s =>
+    // them (rename aliases ride the schema's field metadata already).
+    // An EXPLICIT version/tag pin exports the SNAPSHOT-ERA declaration
+    // (the manifest's schema stamp — the same schema readPinned(src,
+    // version) plans), so a pre-drop export round-trips the dropped
+    // column; a latest export carries the present declaration, exactly
+    // like a latest read. Tombstones always carry in full: the era
+    // files can only hold a SUBSET of the source's retired names, so
+    // extra tombstones are pure protection, never a lost column.
+    val exportDecl =
+      if (version.isDefined || tag.isDefined)
+        m.schemaV.map(sv => SchemaLog.at(fs, path, sv))
+          .orElse(SchemaLog.latest(fs, path))
+      else SchemaLog.latest(fs, path)
+    exportDecl.foreach(s =>
       SchemaLog.declareAs(destFs, destDir, s): Unit)
     SchemaLog.carryRetired(fs, path, destFs, destDir)
     // carry the declared CHECK constraints too — the clone is an

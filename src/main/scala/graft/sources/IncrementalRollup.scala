@@ -128,7 +128,8 @@ object IncrementalRollup {
     existing.getOrElse {
       val v = atVersion.getOrElse(History.versions(spark, lakePath).last)
       publish(spark, rollupDir, v,
-        aggregate(History.readPinned(spark, lakePath, v), keyCols, sumCols,
+        aggregate(History.readPinned(spark, lakePath, v,
+          eraSchema = false), keyCols, sumCols,
           distinctCols))
       v
     }
@@ -259,7 +260,8 @@ object IncrementalRollup {
     currentVersion(spark, rollupDir).getOrElse {
       val v = atVersion.getOrElse(History.versions(spark, lakePath).last)
       publish(spark, rollupDir, v,
-        aggregate(derive(History.readPinned(spark, lakePath, v)),
+        aggregate(derive(History.readPinned(spark, lakePath, v,
+          eraSchema = false)),
           keyCols, Nil, Nil))
       v
     }

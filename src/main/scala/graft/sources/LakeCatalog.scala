@@ -111,18 +111,26 @@ class LakeCatalog extends TableCatalog
     val qRoot = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
     val files = m.cur.sorted.map(rel =>
       new org.apache.hadoop.fs.Path(qRoot, rel).toString)
-    // the declared schema when committed (projection + widening —
-    // exactly readPinned's contract); otherwise the pinned read's
-    // inferred schema so an EMPTY version still presents the lake shape
-    val schema: StructType = SchemaLog.latest(fs, path).getOrElse {
+    // the declared schema (projection + widening — exactly readPinned's
+    // contract): the SNAPSHOT-ERA declaration for an explicit
+    // `VERSION AS OF` pin (the manifest's schema stamp — a pre-drop pin
+    // shows the dropped column), the PRESENT declaration for the latest
+    // table; otherwise the pinned read's inferred schema so an EMPTY
+    // version still presents the lake shape
+    val schema: StructType = (version match {
+      case Some(_) => m.schemaV.map(SchemaLog.at(fs, path, _))
+        .orElse(SchemaLog.latest(fs, path))
+      case None => SchemaLog.latest(fs, path)
+    }).getOrElse {
       version.map(History.readPinned(spark, path, _))
         .getOrElse(History.readPinned(spark, path)).schema
     }
     // the lake's declared contract rides the table properties —
     // SQL-visible provenance (SHOW TBLPROPERTIES): pinned manifest
     // version, declared-schema version, and the active CHECK set
-    // a time-travel pin reports only its manifest version: the schema
-    // declaration and CHECK set are properties of the lake's PRESENT —
+    // a time-travel pin reports its manifest version and its ERA
+    // schema version (the stamp its snapshot resolves) — but never the
+    // CHECK set: constraints are properties of the lake's PRESENT, and
     // advertising today's constraints on yesterday's (possibly
     // pre-constraint) data would misstate the provenance the
     // properties exist to surface
@@ -145,7 +153,8 @@ class LakeCatalog extends TableCatalog
             .map(v => "graft.schema.version" -> v.toString).toMap ++
             Constraints.current(fs, path)
               .map { case (n, e) => s"graft.constraint.$n" -> e }
-         else Map.empty[String, String])
+         else m.schemaV
+           .map(v => "graft.schema.version" -> v.toString).toMap)
     val tableName =
       s"$catalogName.$path${version.fold("")(v => s"@v$v")}"
     // SQL writes land through the staged, validated, exactly-once
@@ -254,7 +263,7 @@ class LakeCatalog extends TableCatalog
       // alias projection (the stock table would read pre-rename files'
       // column as NULL).
       new PinnedLakeTable(tableName, path, m.version, schema, props,
-        aggResolver, writable, partCols)
+        aggResolver, writable, partCols, era = version.isDefined)
     else
       org.apache.spark.sql.graftbridge.ParquetTableBridge.table(
         tableName, spark, files, qRoot.toString, Some(schema), props,

@@ -424,7 +424,8 @@ final class PinnedLakeTable(
     tableName: String, path: String, version: Long,
     tableSchema: StructType, props: Map[String, String],
     aggResolver: (Aggregation, Seq[Filter]) => Option[MetaAggScan],
-    writable: Boolean, partitionCols: Seq[String])
+    writable: Boolean, partitionCols: Seq[String],
+    era: Boolean = false)
   extends Table with SupportsRead with SupportsWrite with LakeSqlDelete {
 
   override protected def deleteTarget: Option[String] =
@@ -454,7 +455,7 @@ final class PinnedLakeTable(
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PinnedLakeScanBuilder(path, version, tableSchema, aggResolver)
+    new PinnedLakeScanBuilder(path, version, tableSchema, aggResolver, era)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (!writable)
@@ -465,9 +466,14 @@ final class PinnedLakeTable(
   }
 }
 
+/** @param era resolve the pinned version's SNAPSHOT-ERA declared
+  *        schema (an explicit `VERSION AS OF` pin) instead of the
+  *        lake's present declaration (the catalog's latest table,
+  *        which pins a version only for snapshot stability). */
 private final class PinnedLakeScanBuilder(
     path: String, version: Long, tableSchema: StructType,
-    aggResolver: (Aggregation, Seq[Filter]) => Option[MetaAggScan])
+    aggResolver: (Aggregation, Seq[Filter]) => Option[MetaAggScan],
+    era: Boolean)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -518,19 +524,20 @@ private final class PinnedLakeScanBuilder(
   override def build(): Scan =
     metaAgg.getOrElse(new PinnedLakeScan(path, version, required,
       all.filter(LakeFilterSql.exact(_, columns).isDefined),
-      all.filterNot(LakeFilterSql.exact(_, columns).isDefined)))
+      all.filterNot(LakeFilterSql.exact(_, columns).isDefined), era))
 }
 
 private final class PinnedLakeScan(
     path: String, version: Long, required: StructType,
-    handled: Array[Filter], residual: Array[Filter]) extends V1Scan {
+    handled: Array[Filter], residual: Array[Filter],
+    era: Boolean) extends V1Scan {
 
   override def readSchema(): StructType = required
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
     new PinnedLakeRelation(context, path, version, required,
-      handled, residual).asInstanceOf[T]
+      handled, residual, era).asInstanceOf[T]
 
   override def description(): String = {
     val pushed = (handled ++ residual).mkString(", ")
@@ -542,7 +549,7 @@ private final class PinnedLakeScan(
 private final class PinnedLakeRelation(
     context: SQLContext, path: String, version: Long,
     required: StructType, handled: Array[Filter],
-    residual: Array[Filter])
+    residual: Array[Filter], era: Boolean)
   extends BaseRelation with TableScan {
 
   override def sqlContext: SQLContext = context
@@ -554,7 +561,7 @@ private final class PinnedLakeRelation(
 
   override def buildScan(): RDD[Row] = {
     val spark = context.sparkSession
-    val base = History.readPinned(spark, path, version)
+    val base = History.readPinned(spark, path, version, eraSchema = era)
     val names = base.columns.toSet
     // HANDLED filters were reported fully consumed at analysis (Spark
     // re-evaluates nothing above) — a failed re-conversion here (the

@@ -184,12 +184,48 @@ object LakeDmlRule {
     * rule runs before the optimizer pulls correlated predicates up, so
     * the equalities still sit inside the plan as [[OuterReference]]
     * conjuncts). */
+  /** Fit to evaluate inside a subquery's own decorrelated plan:
+    * outer-free, subquery-free, deterministic (the engine ops evaluate
+    * the frame in several passes). */
+  private def innerOk(e: Expression): Boolean =
+    !e.exists(x => x.isInstanceOf[OuterReference] ||
+      x.isInstanceOf[SubqueryExpression]) && e.deterministic
+
+  /** Split a subquery's Filter condition into correlated equality
+    * pairs (target attr = inner expr) and the inner-only residual. */
+  private def splitCorr(c: Expression, targetOut: AttributeSet)
+      : Option[(Seq[(AttributeReference, Expression)],
+                Option[Expression])] = {
+    val pairs = scala.collection.mutable.ArrayBuffer
+      .empty[(AttributeReference, Expression)]
+    val rest = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    conjunctsOf(c).foreach {
+      case EqualTo(OuterReference(a: AttributeReference), inner)
+          if targetOut.contains(a) && innerOk(inner) =>
+        pairs += (a -> inner)
+      case EqualTo(inner, OuterReference(a: AttributeReference))
+          if targetOut.contains(a) && innerOk(inner) =>
+        pairs += (a -> inner)
+      case other if innerOk(other) => rest += other
+      case _ => return None
+    }
+    if (pairs.isEmpty) return None
+    // one frame column per target column: two inner expressions
+    // correlated to the same target column would need per-pair
+    // conjunction the keyed frame cannot express
+    if (pairs.map(_._1.name.toLowerCase).distinct.size != pairs.size)
+      return None
+    Some((pairs.toSeq, rest.reduceOption(And)))
+  }
+
   private[sources] def correlatedShape(cond: Expression,
       targetOut: AttributeSet): Option[CorrelatedMatch] = {
     val cs = conjunctsOf(cond)
     val (subqs, plain) =
       cs.partition(_.exists(_.isInstanceOf[SubqueryExpression]))
-    if (subqs.length != 1) return None
+    if (subqs.isEmpty) return None
+    if (subqs.length > 1)
+      return compoundExistsShape(subqs, plain, targetOut)
     val residual: Option[Column] =
       if (plain.isEmpty) None
       else scala.util.Try(byName(plain.reduce(And), "a DML condition"))
@@ -197,38 +233,6 @@ object LakeDmlRule {
         case s @ Some(_) => s
         case None => return None
       }
-    // fit to evaluate inside the subquery's own decorrelated plan:
-    // outer-free, subquery-free, deterministic (the engine ops
-    // evaluate the frame in several passes)
-    def innerOk(e: Expression): Boolean =
-      !e.exists(x => x.isInstanceOf[OuterReference] ||
-        x.isInstanceOf[SubqueryExpression]) && e.deterministic
-    // split the subquery's Filter into correlated equality pairs
-    // (target attr = inner expr) and the inner-only residual
-    def splitCorr(c: Expression)
-        : Option[(Seq[(AttributeReference, Expression)],
-                  Option[Expression])] = {
-      val pairs = scala.collection.mutable.ArrayBuffer
-        .empty[(AttributeReference, Expression)]
-      val rest = scala.collection.mutable.ArrayBuffer.empty[Expression]
-      conjunctsOf(c).foreach {
-        case EqualTo(OuterReference(a: AttributeReference), inner)
-            if targetOut.contains(a) && innerOk(inner) =>
-          pairs += (a -> inner)
-        case EqualTo(inner, OuterReference(a: AttributeReference))
-            if targetOut.contains(a) && innerOk(inner) =>
-          pairs += (a -> inner)
-        case other if innerOk(other) => rest += other
-        case _ => return None
-      }
-      if (pairs.isEmpty) return None
-      // one frame column per target column: two inner expressions
-      // correlated to the same target column would need per-pair
-      // conjunction the keyed frame cannot express
-      if (pairs.map(_._1.name.toLowerCase).distinct.size != pairs.size)
-        return None
-      Some((pairs.toSeq, rest.reduceOption(And)))
-    }
     def frame(pairs: Seq[(AttributeReference, Expression)],
               extra: Seq[(String, Expression)],
               rest: Option[Expression],
@@ -244,7 +248,7 @@ object LakeDmlRule {
           case LFilter(c, ch) => (c, ch)
           case _ => return None
         }
-        splitCorr(c).map { case (pairs, rest) =>
+        splitCorr(c, targetOut).map { case (pairs, rest) =>
           CorrelatedMatch(pairs.map(_._1.name),
             frame(pairs, Nil, rest, child), anti, residual)
         }
@@ -257,13 +261,98 @@ object LakeDmlRule {
               case x: Expression => x
             }
             if (!innerOk(valueExpr)) return None
-            splitCorr(c).flatMap { case (pairs, rest) =>
+            splitCorr(c, targetOut).flatMap { case (pairs, rest) =>
               val names =
                 (pairs.map(_._1.name) :+ v.name).map(_.toLowerCase)
               if (names.distinct.size != names.size) None
               else Some(CorrelatedMatch(pairs.map(_._1.name) :+ v.name,
                 frame(pairs, Seq(v.name -> valueExpr), rest, ch),
                 anti = false, residual))
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** The CORRELATED NOT IN shape — `t.x NOT IN (SELECT <expr> FROM s
+    * WHERE s.k = t.k [AND <s-only>])` — accepted ONLY when the inner
+    * expression is provably non-null: a non-nullable attribute, or an
+    * explicit `<expr> IS NOT NULL` conjunct in the subquery's own
+    * filter. Under that proof the three-valued NOT IN is EXACT as two
+    * disjoint anti-join verbs over frames pinned at statement start:
+    *
+    *  - per target row, `x NOT IN S(k)` is TRUE iff S(k) is empty, OR
+    *    x is non-null and (k, x) matches no inner row — a NULL x with
+    *    a non-empty S(k) is NULL (not-TRUE), so the verb must skip it;
+    *  - rows with `x IS NOT NULL`: anti-join on (k, x) against the
+    *    PAIR frame (S(k)-empty rows match nothing there, correctly
+    *    acting — TRUE by the empty-set rule);
+    *  - rows with `x IS NULL`: anti-join on (k) against the KEY frame
+    *    (acting exactly when S(k) is empty).
+    *
+    * The two row sets are disjoint by x-nullness, so the two engine
+    * ops compose exactly (statement-atomicity discipline in the
+    * commands). WITHOUT the non-null proof, a NULL inner value poisons
+    * every comparison (x NOT IN {1, NULL} is never TRUE) and the
+    * anti-join translation over-acts — that case keeps the loud
+    * refusal, with the IS NOT NULL fix named. */
+  private[sources] def notInShape(cond: Expression,
+      targetOut: AttributeSet): Option[CorrelatedNotIn] = {
+    import org.apache.spark.sql.catalyst.expressions.IsNotNull
+    val cs = conjunctsOf(cond)
+    val (subqs, plain) =
+      cs.partition(_.exists(_.isInstanceOf[SubqueryExpression]))
+    if (subqs.length != 1) return None
+    val residual: Option[Column] =
+      if (plain.isEmpty) None
+      else scala.util.Try(byName(plain.reduce(And), "a DML condition"))
+        .toOption match {
+        case s @ Some(_) => s
+        case None => return None
+      }
+    subqs.head match {
+      case Not(InSubquery(Seq(v: AttributeReference), lq: ListQuery))
+          if targetOut.contains(v) =>
+        lq.plan match {
+          case LProject(projList, LFilter(c, ch)) if projList.length == 1 =>
+            val valueExpr = projList.head match {
+              case al: Alias => al.child
+              case x: Expression => x
+            }
+            if (!innerOk(valueExpr)) return None
+            splitCorr(c, targetOut).flatMap { case (pairs, rest) =>
+              val names =
+                (pairs.map(_._1.name) :+ v.name).map(_.toLowerCase)
+              if (names.distinct.size != names.size) return None
+              // the non-null PROOF: a non-nullable inner attribute, or
+              // an explicit IS NOT NULL filter on the inner expression
+              val provedNonNull = (valueExpr match {
+                case a: AttributeReference => !a.nullable
+                case _ => !valueExpr.nullable
+              }) || rest.exists(r => conjunctsOf(r).exists {
+                case IsNotNull(e) => e.semanticEquals(valueExpr)
+                case _ => false
+              })
+              if (!provedNonNull)
+                throw new UnsupportedOperationException(
+                  "correlated NOT IN is supported only when the inner " +
+                    "expression is provably non-null (a NULL inner " +
+                    "value makes NOT IN never-TRUE for every probed " +
+                    s"row): add `${valueExpr.sql} IS NOT NULL` to the " +
+                    "subquery's WHERE clause, or use NOT EXISTS with " +
+                    "the value equality spelled out")
+              val keyAliases = pairs.map { case (a, in) =>
+                Alias(in, a.name)() }
+              val base = rest.map(LFilter(_, ch)).getOrElse(ch)
+              Some(CorrelatedNotIn(
+                pairCols = pairs.map(_._1.name) :+ v.name,
+                pairFrame = LProject(
+                  (keyAliases :+ Alias(valueExpr, v.name)()).toList, base),
+                keyCols = pairs.map(_._1.name),
+                keyFrame = LProject(keyAliases.toList, base),
+                probeCol = v.name,
+                residual = residual))
             }
           case _ => None
         }
@@ -280,6 +369,90 @@ object LakeDmlRule {
       case _ => None
     }
   }
+
+  /** COMPOUND subquery conjuncts — `EXISTS(a) AND NOT EXISTS(b) [AND
+    * …]`: when every subquery conjunct is an EXISTS-family arm
+    * correlated on the SAME target column set, the arms fold into ONE
+    * decorrelated key frame by set algebra — positives intersect,
+    * negatives subtract (all-negative: union, anti-joined) — and the
+    * verb stays a single distributed semi/anti join, exactly the
+    * single-subquery route. Per target key k: `k ∈ ∩(positives) \
+    * ∪(negatives)` ⟺ every EXISTS holds and no NOT EXISTS is violated;
+    * NULL frame keys never match a target row in the final join, so
+    * the set ops' null-safe equality cannot change the verb's row set.
+    * Arms correlated on DIFFERENT column sets (or mixed with
+    * correlated IN) have no single-frame image — those refuse with a
+    * targeted message instead of the generic subquery refusal. */
+  private def compoundExistsShape(subqs: Seq[Expression],
+      plain: Seq[Expression],
+      targetOut: AttributeSet): Option[CorrelatedMatch] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Except, Intersect,
+      Union}
+    def unsupported(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        "a DML condition with SEVERAL subquery conjuncts is supported " +
+          "only as [NOT] EXISTS arms correlated on the same target " +
+          s"column set (folded into one key frame); $what — run the " +
+          "statement as separate DML steps or materialize the " +
+          "subqueries first")
+    val arms: Seq[(Boolean, Seq[(AttributeReference, Expression)],
+        Option[Expression], LogicalPlan)] = subqs.map {
+      case NotOrExists(anti, e) =>
+        val (c, child) = e.plan match {
+          case LProject(_, LFilter(c0, ch)) => (c0, ch)
+          case LFilter(c0, ch) => (c0, ch)
+          case _ => unsupported(
+            s"an EXISTS arm without a correlated filter (`${e.plan
+              .nodeName}`) is not decorrelatable here")
+        }
+        splitCorr(c, targetOut) match {
+          case Some((pairs, rest)) => (anti, pairs, rest, child)
+          case None => unsupported(
+            "an EXISTS arm whose filter is not a conjunction of " +
+              "target-column equalities plus inner-only conditions")
+        }
+      case other => unsupported(
+        s"`${other.sql}` is not an EXISTS/NOT EXISTS arm")
+    }
+    val keyNames = arms.head._2.map(_._1.name.toLowerCase).sorted
+    arms.foreach { case (_, pairs, _, _) =>
+      if (pairs.map(_._1.name.toLowerCase).sorted != keyNames)
+        unsupported("the arms correlate on different target column sets")
+    }
+    // frames project the key aliases in ONE canonical (sorted) order —
+    // the set operators below align positionally
+    def frameOf(arm: (Boolean, Seq[(AttributeReference, Expression)],
+        Option[Expression], LogicalPlan)): LogicalPlan = {
+      val (_, pairs, rest, child) = arm
+      LProject(
+        pairs.sortBy(_._1.name.toLowerCase)
+          .map { case (a, in) => Alias(in, a.name)() }.toList,
+        rest.map(LFilter(_, child)).getOrElse(child))
+    }
+    // positionally-aligned set ops need type-equal columns; the inner
+    // exprs were each coerced against the SAME target attribute, so a
+    // mismatch here means genuinely different types — no frame image
+    val armTypes = arms.map(a =>
+      a._2.sortBy(_._1.name.toLowerCase).map(_._2.dataType))
+    if (armTypes.distinct.length != 1)
+      unsupported("the arms' correlated expressions disagree on type")
+    val (pos, neg) = arms.partition(!_._1)
+    val residual: Option[Column] =
+      if (plain.isEmpty) None
+      else Some(byName(plain.reduce(And), "a DML condition"))
+    val keyCols = arms.head._2.map(_._1.name)
+      .sortBy(_.toLowerCase)
+    if (pos.nonEmpty) {
+      val inter = pos.map(frameOf)
+        .reduce((a, b) => Intersect(a, b, isAll = false))
+      val frame = neg.map(frameOf)
+        .foldLeft(inter)((acc, n) => Except(acc, n, isAll = false))
+      Some(CorrelatedMatch(keyCols, frame, anti = false, residual))
+    } else {
+      val frame = neg.map(frameOf).reduce((a, b) => Union(a, b))
+      Some(CorrelatedMatch(keyCols, frame, anti = true, residual))
+    }
+  }
 }
 
 /** A decorrelated DML match: act on the target rows whose `keyCols`
@@ -287,6 +460,24 @@ object LakeDmlRule {
   * produces, with `residual` target-side conjuncts also required. */
 private[sources] case class CorrelatedMatch(keyCols: Seq[String],
     keysPlan: LogicalPlan, anti: Boolean, residual: Option[Column])
+
+/** A decorrelated correlated-scalar-subquery SET: `framePlan` yields
+  * (keyCols…, valCol) — at most one row per key (`checkUnique` runs
+  * the cardinality pass for projection-shaped subqueries; aggregate
+  * frames are unique by construction); key-unmatched target rows take
+  * `emptyValue`. */
+private[sources] case class ScalarFrameSpec(framePlan: LogicalPlan,
+    keyCols: Seq[String], valCol: String, emptyValue: Column,
+    checkUnique: Boolean)
+
+/** A decorrelated, non-null-proven correlated NOT IN: two disjoint
+  * anti-join verbs — rows with a non-null probe anti-join the PAIR
+  * frame on `pairCols`; rows with a NULL probe anti-join the KEY frame
+  * on `keyCols` (the S(k)-empty case, the only one where NOT IN is
+  * TRUE for a NULL probe). See [[LakeDmlRule.notInShape]]. */
+private[sources] case class CorrelatedNotIn(pairCols: Seq[String],
+    pairFrame: LogicalPlan, keyCols: Seq[String], keyFrame: LogicalPlan,
+    probeCol: String, residual: Option[Column])
 
 /** Post-hoc resolution rule: resolved DML plans over lake-catalog
   * tables → eager engine commands. Injected via
@@ -299,15 +490,24 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       case u @ UpdateTable(target, assignments, condition)
           if u.resolved && lakeTarget(target).isDefined =>
         val path = lakeTarget(target).get
-        val assigns = assignments.map { a =>
-          val name = a.key match {
-            case ar: AttributeReference => ar.name
-            case other => throw new UnsupportedOperationException(
-              s"UPDATE of a nested field ($other) is not supported — " +
-                "assign top-level lake columns")
-          }
-          name -> byName(a.value, "an UPDATE assignment")
+        def nameOf(a: Assignment): String = a.key match {
+          case ar: AttributeReference => ar.name
+          case other => throw new UnsupportedOperationException(
+            s"UPDATE of a nested field ($other) is not supported — " +
+              "assign top-level lake columns")
         }
+        // SCALAR-SUBQUERY SET: one assignment whose value IS a scalar
+        // subquery — uncorrelated materializes eagerly; correlated
+        // decorrelates onto the keyed value-frame rewrite
+        // (History.updateFromFrame). Detected BEFORE the byName pass,
+        // which refuses subqueries in values.
+        val (subAssigns, plainRaw) = assignments.partition(
+          _.value.exists(_.isInstanceOf[SubqueryExpression]))
+        if (subAssigns.nonEmpty)
+          rewriteScalarSet(path, target, subAssigns, plainRaw, condition)
+        else {
+        val assigns = assignments.map(a =>
+          nameOf(a) -> byName(a.value, "an UPDATE assignment"))
         condition.flatMap(inSubqueryShape) match {
           case some @ Some(_) =>
             GraftUpdateCommand(path, lit(true), assigns, None, some)
@@ -317,11 +517,35 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
                 GraftUpdateCommand(path, lit(true), assigns, None, None,
                   some)
               case None =>
-                val cond = condition.map(byName(_, "an UPDATE condition"))
-                  .getOrElse(lit(true))
-                GraftUpdateCommand(path, cond, assigns,
-                  condition.flatMap(keyedShape))
+                condition.flatMap(notInShape(_, target.outputSet)) match {
+                  case some @ Some(ni) =>
+                    // the two COW passes are disjoint by PROBE
+                    // nullness evaluated at each pass's own run —
+                    // exact only while neither pass can change it, so
+                    // assigning the probe (or a correlation key)
+                    // refuses; mark/flag updates are the actual shape
+                    val pinned = ni.probeCol +: ni.keyCols
+                    assigns.map(_._1).find(n =>
+                      pinned.exists(_.equalsIgnoreCase(n))).foreach { n =>
+                        throw new UnsupportedOperationException(
+                          s"UPDATE … NOT IN assigning `$n` is not " +
+                            "supported: the column decides the " +
+                            "statement's own match (probe/correlation " +
+                            "key), so writing it mid-statement would " +
+                            "change which rows match — assign other " +
+                            "columns, or materialize the subquery")
+                      }
+                    GraftUpdateCommand(path, lit(true), assigns, None,
+                      None, None, some)
+                  case None =>
+                    val cond = condition
+                      .map(byName(_, "an UPDATE condition"))
+                      .getOrElse(lit(true))
+                    GraftUpdateCommand(path, cond, assigns,
+                      condition.flatMap(keyedShape))
+                }
             }
+        }
         }
 
       case m: MergeIntoTable
@@ -361,14 +585,136 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           case None => correlatedShape(condition, target.outputSet) match {
             case some @ Some(_) =>
               GraftDeleteCommand(path, None, None, None, some)
-            case None =>
-              GraftDeleteCommand(path,
-                if (unconditional) None
-                else Some(byName(condition, "a DELETE condition")),
-                if (unconditional) None else keyedShape(condition))
+            case None => notInShape(condition, target.outputSet) match {
+              case some @ Some(_) =>
+                GraftDeleteCommand(path, None, None, None, None, some)
+              case None =>
+                GraftDeleteCommand(path,
+                  if (unconditional) None
+                  else Some(byName(condition, "a DELETE condition")),
+                  if (unconditional) None else keyedShape(condition))
+            }
           }
         }
     }
+
+  /** The SCALAR-SUBQUERY SET shapes: `UPDATE … SET x = (SELECT …)
+    * [WHERE <plain cond>]`.
+    *
+    *  - UNCORRELATED — any single-column subquery: runs eagerly at
+    *    command time; one row supplies the value, zero rows supply
+    *    NULL (the standard scalar-subquery empty result), more than
+    *    one errors — then the verb is a plain [[History.updateWhere]]
+    *    with a literal (like the uncorrelated-IN route, driver-
+    *    materialized but ONE value, never a list);
+    *  - CORRELATED `(SELECT <agg>(…) FROM s WHERE s.k = t.k [AND
+    *    <s-only>])`: decorrelates to a per-key aggregate frame and
+    *    rides [[History.updateFromFrame]] — one keyed value join, the
+    *    frame never passes through the driver. Unmatched keys take the
+    *    aggregate's over-empty-group result (NULL; 0 for COUNT — the
+    *    decorrelation "count bug" handled the standard way);
+    *  - CORRELATED projection `(SELECT <expr> FROM s WHERE s.k = t.k
+    *    [AND <s-only>])`: same route with the runtime one-row-per-key
+    *    cardinality check (the standard scalar-subquery error).
+    *
+    * One subquery-valued assignment per statement; plain assignments
+    * ride the same rewrite; the WHERE may be any plain deterministic
+    * condition (subquery conditions combined with a subquery SET have
+    * no single-frame image — refused with the alternative named). */
+  private def rewriteScalarSet(path: String, target: LogicalPlan,
+      subAssigns: Seq[Assignment], plainRaw: Seq[Assignment],
+      condition: Option[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+    import org.apache.spark.sql.catalyst.expressions.aggregate
+      .AggregateExpression
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    def unsupported(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        "UPDATE … SET <col> = (SELECT …) supports ONE assignment " +
+          "whose value is the bare scalar subquery — uncorrelated, or " +
+          "correlated by target-column equalities (an aggregate or a " +
+          s"single projected expression) — with a plain WHERE; $what " +
+          "is not — materialize the subquery (CREATE a temp table) " +
+          "and reference it by value, or use History.updateFromFrame")
+    if (subAssigns.length > 1)
+      unsupported("several subquery-valued assignments")
+    val a = subAssigns.head
+    val setCol = a.key match {
+      case ar: AttributeReference => ar.name
+      case other => unsupported(s"assignment to nested field $other")
+    }
+    val plainAssigns = plainRaw.map { p =>
+      val n = p.key match {
+        case ar: AttributeReference => ar.name
+        case other => unsupported(s"assignment to nested field $other")
+      }
+      n -> byName(p.value, "an UPDATE assignment")
+    }
+    if (condition.exists(_.exists(_.isInstanceOf[SubqueryExpression])))
+      unsupported("a subquery in the WHERE combined with a subquery SET")
+    val cond = condition.map(byName(_, "an UPDATE condition"))
+    val sq = a.value match {
+      case s: ScalarSubquery => s
+      case other => unsupported(
+        s"a subquery nested inside a larger value expression (`$other`)")
+    }
+    if (sq.outerAttrs.isEmpty)
+      return GraftUpdateScalarCommand(path, setCol, plainAssigns,
+        cond, uncorrelated = Some(sq.plan))
+    val targetOut = target.outputSet
+    // correlated: aggregate or single-projection over a correlated
+    // Filter — the correlation equalities become the frame keys
+    val valName = "__graft_val"
+    def decorrelate(c: Expression, ch: LogicalPlan,
+        mkVal: Seq[(AttributeReference, Expression)] => Option[
+          (LogicalPlan => LogicalPlan, Boolean, Expression)])
+        : Option[ScalarFrameSpec] =
+      splitCorr(c, targetOut).flatMap { case (pairs, rest) =>
+        if (pairs.exists(_._1.name.equalsIgnoreCase(setCol)))
+          None // assigning a correlation key changes the match itself
+        else mkVal(pairs).map { case (build, needDup, empty) =>
+          val base = rest.map(LFilter(_, ch)).getOrElse(ch)
+          ScalarFrameSpec(build(base), pairs.map(_._1.name), valName,
+            ColumnBridge.column(empty), needDup)
+        }
+      }
+    val spec: Option[ScalarFrameSpec] = sq.plan match {
+      case Aggregate(Nil, Seq(al: Alias), LFilter(c, ch), _) =>
+        al.child match {
+          case ae: AggregateExpression if innerOk(ae) =>
+            decorrelate(c, ch, pairs => Some((
+              (base: LogicalPlan) => Aggregate(
+                pairs.map(_._2),
+                (pairs.map { case (at, in) => Alias(in, at.name)() } :+
+                  Alias(ae, valName)()).toList, base, None),
+              false,
+              // the over-empty-group result: COUNT-family aggregates
+              // have a non-null defaultResult (0); the rest yield NULL
+              ae.aggregateFunction.defaultResult
+                .getOrElse(Literal.create(null, ae.dataType)))))
+          case _ => None
+        }
+      case LProject(Seq(p), LFilter(c, ch)) =>
+        val valueExpr = p match {
+          case al: Alias => al.child
+          case x: Expression => x
+        }
+        if (!innerOk(valueExpr)) None
+        else decorrelate(c, ch, pairs => Some((
+          (base: LogicalPlan) => LProject(
+            (pairs.map { case (at, in) => Alias(in, at.name)() } :+
+              Alias(valueExpr, valName)()).toList, base),
+          true,
+          Literal.create(null, valueExpr.dataType))))
+      case _ => None
+    }
+    spec match {
+      case Some(s) => GraftUpdateScalarCommand(path, setCol, plainAssigns,
+        cond, corr = Some(s))
+      case None => unsupported(
+        s"this correlated shape (`${sq.plan.nodeName}` subquery)")
+    }
+  }
 
   /** The MERGE shapes this surface accepts, all joined `ON` name-equal
     * key-column equalities:
@@ -628,6 +974,49 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 private[sources] case class MergeArmSpec(cond: Option[Column],
     sets: Option[Seq[(String, Column)]])
 
+/** Statement-level failure atomicity for MULTI-COMMIT DML statements
+  * (the NOT IN two-anti-join deletes/updates; GraftMergeCdcCommand
+  * carries its own inline copy of the same discipline): any error
+  * after one of this statement's engine commits landed compensates
+  * with a metadata-only [[History.restore]] to the statement's base
+  * version — REFUSED when the window holds a version this statement
+  * did not create (a concurrent writer's durable commit, which a
+  * compensation must never revert; the failure then surfaces loudly
+  * with the partial-application state named). Commit attribution is
+  * the publish-funnel witness, never a latest-version re-read. */
+private[sources] object DmlCompensation {
+  def compensated[T](spark: SparkSession, path: String,
+                     what: String)(body: => T): T = {
+    val fsys = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v0 = FileManifest.latestVersion(fsys, path)
+    FileManifest.witnessCommits { witnessed =>
+      try body
+      catch { case e: Throwable =>
+        val ours: Set[Long] =
+          witnessed.collect { case (p, v) if p == path => v }.toSet
+        if (ours.nonEmpty && v0.isDefined &&
+            FileManifest.latestVersion(fsys, path) != v0) {
+          val foreign = FileManifest.versions(fsys, path)
+            .filter(v => v > v0.get && !ours.contains(v))
+          if (foreign.nonEmpty)
+            e.addSuppressed(new IllegalStateException(
+              s"$what at $path is PARTIALLY applied: version(s) " +
+                s"${foreign.mkString(", ")} in the statement window " +
+                "were committed by a concurrent writer, so the " +
+                s"compensating restore to v${v0.get} was refused " +
+                "(it would revert their commit); reconcile from " +
+                "#history / History.restore manually"))
+          else
+            try History.restore(spark, path, v0.get): Unit
+            catch { case e2: Throwable => e.addSuppressed(e2) }
+        }
+        throw e
+      }
+    }
+  }
+}
+
 /** Materialization of a bare uncorrelated `key IN (SELECT …)` DML
   * condition: the subquery runs eagerly, its distinct non-null values
   * become a literal key list (capped — a list past the cap is a scan,
@@ -657,11 +1046,13 @@ case class GraftUpdateCommand(path: String, condition: Column,
     assignments: Seq[(String, Column)],
     keyed: Option[(String, Seq[Any])] = None,
     subqueryKeys: Option[(String, LogicalPlan)] = None,
-    correlated: Option[CorrelatedMatch] = None)
+    correlated: Option[CorrelatedMatch] = None,
+    correlatedNotIn: Option[CorrelatedNotIn] = None)
   extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] =
-    subqueryKeys.map(_._2).toSeq ++ correlated.map(_.keysPlan)
+    subqueryKeys.map(_._2).toSeq ++ correlated.map(_.keysPlan) ++
+      correlatedNotIn.toSeq.flatMap(ni => Seq(ni.pairFrame, ni.keyFrame))
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("files_rewritten", IntegerType, nullable = false)(),
@@ -675,6 +1066,41 @@ case class GraftUpdateCommand(path: String, condition: Column,
     // key-frame join (History.updateMatched/updateUnmatched) — the
     // frame never passes through the driver
     val (files, rows) = (keyed, subqueryKeys, correlated) match {
+      case _ if correlatedNotIn.isDefined =>
+        // the proven-non-null correlated NOT IN: two DISJOINT
+        // copy-on-write update passes (null probes vs the key frame,
+        // then non-null probes vs the pair frame). Disjoint by
+        // PROBE-NULLNESS, which neither pass can change — the rule
+        // refuses assignments to the probe or key columns — so the
+        // first pass's writes cannot move a row into the second
+        // pass's match set. Both frames force before the first
+        // commit; failure between commits compensates.
+        val ni = correlatedNotIn.get
+        val probe = col(ni.probeCol)
+        def withResidual(c: Column): Column =
+          ni.residual.map(_ && c).getOrElse(c)
+        val pairKeys = DatasetBridge.ofRows(spark, ni.pairFrame)
+        val keyKeys = DatasetBridge.ofRows(spark, ni.keyFrame)
+        pairKeys.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        keyKeys.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          pairKeys.count(): Unit
+          keyKeys.count(): Unit
+          DmlCompensation.compensated(spark, path, "UPDATE") {
+            val (f1, n1) = History.updateUnmatched(spark, path, keyKeys,
+              ni.keyCols, assignments,
+              Some(withResidual(probe.isNull)))
+            val (f2, n2) = History.updateUnmatched(spark, path, pairKeys,
+              ni.pairCols, assignments,
+              Some(withResidual(probe.isNotNull)))
+            (f1 + f2, n1 + n2)
+          }
+        } finally {
+          pairKeys.unpersist(blocking = false): Unit
+          keyKeys.unpersist(blocking = false): Unit
+        }
       case (Some((k, vs)), _, _) => History.updateKeys(spark, path, k, vs,
         assignments)
       case (None, Some((k, plan)), _) =>
@@ -700,6 +1126,55 @@ case class GraftUpdateCommand(path: String, condition: Column,
   }
 }
 
+/** The eager command a scalar-subquery SET UPDATE plans to: the
+  * uncorrelated shape materializes ONE value at command time (zero
+  * rows → NULL, several → the standard scalar-subquery error) and
+  * runs the plain copy-on-write update; the correlated shape runs
+  * [[History.updateFromFrame]] — the keyed value frame stays
+  * distributed. See [[LakeDmlRule.rewriteScalarSet]]. */
+case class GraftUpdateScalarCommand(path: String, setCol: String,
+    plainAssigns: Seq[(String, Column)], condition: Option[Column],
+    uncorrelated: Option[LogicalPlan] = None,
+    corr: Option[ScalarFrameSpec] = None)
+  extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] =
+    uncorrelated.toSeq ++ corr.map(_.framePlan)
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_rewritten", IntegerType, nullable = false)(),
+    AttributeReference("rows_updated", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (files, rows) = (uncorrelated, corr) match {
+      case (Some(plan), _) =>
+        val out = DatasetBridge.ofRows(spark, plan)
+        val dt = out.schema.fields.head.dataType
+        val vs = out.limit(2).collect()
+        require(vs.length <= 1,
+          "scalar subquery in SET returned more than one row")
+        val value: Column = vs.headOption.map(_.get(0)) match {
+          case Some(null) | None => lit(null).cast(dt)
+          case Some(v) => lit(v)
+        }
+        History.updateWhere(spark, path,
+          condition.getOrElse(lit(true)),
+          (setCol -> value) +: plainAssigns)
+      case (None, Some(s)) =>
+        val frame = DatasetBridge.ofRows(spark, s.framePlan)
+        frame.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try History.updateFromFrame(spark, path, frame, s.keyCols,
+          setCol, s.valCol, s.emptyValue, plainAssigns, condition,
+          s.checkUnique)
+        finally frame.unpersist(blocking = false): Unit
+      case _ => throw new IllegalStateException(
+        "GraftUpdateScalarCommand needs an uncorrelated plan or a frame")
+    }
+    Seq(Row(files, rows))
+  }
+}
+
 /** The eager command a lake DELETE plans to under the extension:
   * condition-bearing deletes land as merge-on-read deletion vectors
   * ([[History.deleteWhereDV]] — zero data files rewritten);
@@ -709,11 +1184,13 @@ case class GraftUpdateCommand(path: String, condition: Column,
 case class GraftDeleteCommand(path: String, condition: Option[Column],
     keyed: Option[(String, Seq[Any])] = None,
     subqueryKeys: Option[(String, LogicalPlan)] = None,
-    correlated: Option[CorrelatedMatch] = None)
+    correlated: Option[CorrelatedMatch] = None,
+    correlatedNotIn: Option[CorrelatedNotIn] = None)
   extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] =
-    subqueryKeys.map(_._2).toSeq ++ correlated.map(_.keysPlan)
+    subqueryKeys.map(_._2).toSeq ++ correlated.map(_.keysPlan) ++
+      correlatedNotIn.toSeq.flatMap(ni => Seq(ni.pairFrame, ni.keyFrame))
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("files_touched", IntegerType, nullable = false)(),
@@ -737,7 +1214,39 @@ case class GraftDeleteCommand(path: String, condition: Option[Column],
       try History.deleteKeysDV(spark, path, k, vs, cap)
       catch { case _: DvCapExceededException =>
         History.deleteKeys(spark, path, k, vs) }
-    val (files, rows) = (condition, keyed, subqueryKeys, correlated) match {
+    val (files, rows) = correlatedNotIn match {
+      case Some(ni) =>
+        // the proven-non-null correlated NOT IN: two DISJOINT anti-join
+        // DV deletes (non-null probes vs the pair frame; null probes vs
+        // the key frame — see LakeDmlRule.notInShape). Both frames force
+        // BEFORE the first commit, so a subquery reading this same lake
+        // cannot observe the first arm; DVs never alter surviving rows'
+        // bytes, so the arms compose exactly. Failure between the two
+        // commits compensates (DmlCompensation).
+        val probe = col(ni.probeCol)
+        def withResidual(c: Column): Column =
+          ni.residual.map(_ && c).getOrElse(c)
+        val pairKeys = DatasetBridge.ofRows(spark, ni.pairFrame)
+        val keyKeys = DatasetBridge.ofRows(spark, ni.keyFrame)
+        pairKeys.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        keyKeys.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          pairKeys.count(): Unit
+          keyKeys.count(): Unit
+          DmlCompensation.compensated(spark, path, "DELETE") {
+            val (f1, n1) = History.deleteUnmatchedDV(spark, path, pairKeys,
+              ni.pairCols, Some(withResidual(probe.isNotNull)), cap)
+            val (f2, n2) = History.deleteUnmatchedDV(spark, path, keyKeys,
+              ni.keyCols, Some(withResidual(probe.isNull)), cap)
+            (f1 + f2, n1 + n2)
+          }
+        } finally {
+          pairKeys.unpersist(blocking = false): Unit
+          keyKeys.unpersist(blocking = false): Unit
+        }
+      case None => (condition, keyed, subqueryKeys, correlated) match {
       case (None, _, _, Some(cm)) =>
         // decorrelated [NOT] EXISTS / correlated IN: one distributed
         // key-frame semi/anti join, merge-on-read DVs. A delete denser
@@ -761,6 +1270,7 @@ case class GraftDeleteCommand(path: String, condition: Option[Column],
         try History.deleteWhereDV(spark, path, pred, cap)
         catch { case _: DvCapExceededException =>
           History.deleteWhere(spark, path, pred) }
+      }
     }
     Seq(Row(files, rows))
   }

@@ -231,7 +231,8 @@ private[sources] class LakeStreamSource(spark: SparkSession, path: String,
           // means deliveries may already have happened against it, and
           // replaying a net snapshot could double-deliver — that case
           // fails loudly below, same rule as time travel.
-          val snap = History.readPinned(spark, path, 1L)
+          val snap = History.readPinned(spark, path, 1L,
+            eraSchema = false)
             .withColumn("_change",
               org.apache.spark.sql.functions.lit("insert"))
           if (to == 1L) snap

@@ -38,11 +38,14 @@ import org.apache.spark.sql.types._
   *    a widened/added column) stay legal — the read edge reconciles.
   *
   * Versioning is intentionally INDEPENDENT of manifest versions: a
-  * schema change is a metadata-only commit (no data rewrite), and a
-  * time-travel read of any retained manifest version projects to the
-  * CURRENT declared schema — consumers see one shape for a table no
-  * matter which snapshot they pin (old snapshots gain nulls for young
-  * columns, exactly like old files do).
+  * schema change is a metadata-only commit (no data rewrite). The two
+  * logs correlate through the manifest's SCHEMA STAMP — every manifest
+  * commit records the declared-schema version current at that commit
+  * ([[FileManifest.Manifest.schemaV]]) — so a LATEST read projects to
+  * the current declaration (an evolve applies immediately, no data
+  * commit needed), while a TIME-TRAVEL read resolves the declaration
+  * AS OF the pinned commit: a pre-drop pin still shows the dropped
+  * column, a pre-rename pin the old name — history keeps its shape.
   *
   * Scale: the log is one tiny JSON file per schema version; reads are
   * one `listStatus` + an LRU-cached parse per plan — never
@@ -386,11 +389,12 @@ object SchemaLog {
     * maintenance sheds the column from rewritten files as a side
     * effect. The dropped name (and its rename lineage) is TOMBSTONED:
     * re-adding it would resurrect old files' stale values into the
-    * new column, so it refuses forever. NOTE the declared-schema
-    * contract applies: every read — time travel included — projects
-    * to the CURRENT declaration, so pre-drop snapshots also stop
-    * showing the column (restore the schema-bearing export, not time
-    * travel, to recover it). Refuses partition columns (the k=v dirs
+    * new column, so it refuses forever. LATEST reads stop showing the
+    * column from this commit on; TIME-TRAVEL reads of pre-drop
+    * versions still show it (the snapshot-era schema stamp — see
+    * [[graft.sources.History.readPinned(spark:*,path:*,version:*)*]]),
+    * so an accidental drop recovers via `VERSION AS OF` or a pinned
+    * export within the vacuum grace. Refuses partition columns (the k=v dirs
     * are the lake's layout), the last remaining column, and drops
     * while a CHECK constraint references the column. */
   def dropColumn(spark: SparkSession, lakePath: String,

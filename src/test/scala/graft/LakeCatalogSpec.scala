@@ -986,16 +986,225 @@ class LakeCatalogSpec extends AnyFunSuite {
                                   WHERE o.doc_id = doc_id + 1)""")
     }
     assert(e.getMessage.contains("subquery"), e.getMessage)
-    // a scalar subquery in an ASSIGNMENT value cannot replay inside
-    // the rewrite either
+    // a scalar subquery NESTED inside a larger value expression still
+    // refuses (the bare-subquery SET is the supported shape)
     val e2 = intercept[UnsupportedOperationException] {
       spark.sql(s"""UPDATE lake.`$dir`
-                    SET n_chars = (SELECT max(n_chars) FROM lake.`$dir`)
+                    SET n_chars = 1 + (SELECT max(n_chars)
+                                       FROM lake.`$dir`)
                     WHERE doc_id = 1""")
     }
-    assert(e2.getMessage.contains("subquery"), e2.getMessage)
+    assert(e2.getMessage.contains("larger value expression"),
+      e2.getMessage)
     assert(spark.sql(s"SELECT sum(n_chars) AS s FROM lake.`$dir`")
       .collect()(0).getLong(0) === 150L)
+  }
+
+  test("uncorrelated scalar-subquery SET materializes one value") {
+    val dir = lake()
+    // one row: the corpus max lands as a literal through the COW update
+    spark.sql(s"""UPDATE lake.`$dir`
+                  SET n_chars = (SELECT max(n_chars) FROM lake.`$dir`)
+                  WHERE doc_id = 1""")
+    assert(spark.sql(s"SELECT sum(n_chars) AS s FROM lake.`$dir`")
+      .collect()(0).getLong(0) === 190L) // 50+20+30+40+50
+    // zero rows: the standard scalar-subquery NULL
+    spark.sql(s"""UPDATE lake.`$dir`
+                  SET n_chars = (SELECT max(n_chars) FROM lake.`$dir`
+                                 WHERE doc_id > 999 AND n_chars > 0)
+                  WHERE doc_id = 2""")
+    assert(spark.sql(
+      s"SELECT n_chars FROM lake.`$dir` WHERE doc_id = 2")
+      .collect()(0).isNullAt(0))
+    // more than one row: the standard cardinality error, lake untouched
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"""UPDATE lake.`$dir`
+                    SET n_chars = (SELECT n_chars FROM lake.`$dir`
+                                   WHERE doc_id >= 3 AND doc_id <= 4)
+                    WHERE doc_id = 3""")
+    }
+    assert(e.getMessage.contains("more than one row"), e.getMessage)
+  }
+
+  test("correlated scalar-subquery SET: per-key aggregate, empty-group " +
+      "NULL, COUNT's zero") {
+    import spark.implicits._
+    val dir = lake()
+    Seq(("en", 5L), ("en", 6L), ("de", 7L)).toDF("l", "w")
+      .createOrReplaceTempView("scal_src")
+    // per-lang sum: en=11, de=7; fr probes an EMPTY group → NULL (the
+    // aggregate's over-empty-group result — a decorrelation that
+    // dropped empty groups would leave fr at 50)
+    spark.sql(s"""UPDATE lake.`$dir` t
+                  SET n_chars = (SELECT sum(o.w) FROM scal_src o
+                                 WHERE o.l = t.lang)""")
+    assert(spark.sql(s"SELECT doc_id, n_chars FROM lake.`$dir`")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]))).sortBy(_._1).toSeq
+      === Seq((1L, Some(11L)), (2L, Some(11L)), (3L, Some(7L)),
+        (4L, Some(7L)), (5L, None)))
+    // COUNT over an empty group is 0, not NULL — the classic
+    // decorrelation "count bug"
+    spark.sql(s"""UPDATE lake.`$dir` t
+                  SET n_chars = (SELECT count(*) FROM scal_src o
+                                 WHERE o.l = t.lang)""")
+    assert(spark.sql(s"SELECT doc_id, n_chars FROM lake.`$dir`")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      === Seq((1L, 2L), (2L, 2L), (3L, 1L), (4L, 1L), (5L, 0L)))
+  }
+
+  test("correlated projection-shaped scalar SET: keyed value join + " +
+      "the one-row-per-key cardinality check") {
+    import spark.implicits._
+    val dir = lake()
+    Seq(("en", 100L), ("fr", 200L)).toDF("l", "w")
+      .createOrReplaceTempView("proj_src")
+    // plain assignments ride the same rewrite; the WHERE gates rows
+    spark.sql(s"""UPDATE lake.`$dir` t
+                  SET n_chars = (SELECT o.w FROM proj_src o
+                                 WHERE o.l = t.lang),
+                      doc_id = doc_id + 100
+                  WHERE t.doc_id <= 2""")
+    assert(spark.sql(s"SELECT doc_id, n_chars FROM lake.`$dir`")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      === Seq((3L, 30L), (4L, 40L), (5L, 50L),
+        (101L, 100L), (102L, 100L)))
+    // two source rows for one key: the standard scalar-subquery error
+    Seq(("de", 1L), ("de", 2L)).toDF("l", "w")
+      .createOrReplaceTempView("proj_dup")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"""UPDATE lake.`$dir` t
+                    SET n_chars = (SELECT o.w FROM proj_dup o
+                                   WHERE o.l = t.lang)
+                    WHERE t.doc_id = 3""")
+    }
+    assert(e.getMessage.contains("more than one row"), e.getMessage)
+  }
+
+  /** Lake with a NULLABLE value column for the NOT IN three-valued
+    * cases. */
+  private def lakeNullable(): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sqlcat-null").toString + "/lake"
+    Seq((1L, "en", java.lang.Long.valueOf(10L)),
+        (2L, "en", null.asInstanceOf[java.lang.Long]),
+        (3L, "de", java.lang.Long.valueOf(30L)),
+        (4L, "fr", java.lang.Long.valueOf(40L)),
+        (5L, "it", null.asInstanceOf[java.lang.Long]))
+      .toDF("doc_id", "lang", "n_chars")
+      .repartition(2).write.parquet(dir)
+    History.enableManifests(spark, dir): Unit
+    dir
+  }
+
+  test("correlated NOT IN DELETE: exact three-valued semantics under " +
+      "the non-null proof") {
+    import spark.implicits._
+    val dir = lakeNullable()
+    Seq(("en", 10L), ("en", 99L), ("fr", 7L)).toDF("l", "w")
+      .createOrReplaceTempView("notin_src")
+    // row 1 (en,10): 10 ∈ {10,99} → FALSE, keep
+    // row 2 (en,NULL): NULL probe vs non-empty set → NULL, keep
+    // row 3 (de,30): EMPTY set → TRUE, delete
+    // row 4 (fr,40): 40 ∉ {7} → TRUE, delete
+    // row 5 (it,NULL): NULL probe vs EMPTY set → TRUE, delete
+    spark.sql(s"""DELETE FROM lake.`$dir` t
+                  WHERE t.n_chars NOT IN (SELECT o.w FROM notin_src o
+                                          WHERE o.l = t.lang
+                                            AND o.w IS NOT NULL)""")
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) === Seq(1L, 2L))
+  }
+
+  test("correlated NOT IN UPDATE: the two disjoint arms compose; " +
+      "probe/key assignment refuses; no proof refuses") {
+    import spark.implicits._
+    val dir = lakeNullable()
+    Seq(("en", 10L)).toDF("l", "w").createOrReplaceTempView("notin_u")
+    // row 1 (en,10): FALSE keep; row 2 (en,NULL): NULL keep;
+    // rows 3/4 (de/fr, empty sets): TRUE update; row 5 (it,NULL +
+    // empty set): TRUE update
+    spark.sql(s"""UPDATE lake.`$dir` t SET doc_id = doc_id + 100
+                  WHERE t.n_chars NOT IN (SELECT o.w FROM notin_u o
+                                          WHERE o.l = t.lang
+                                            AND o.w IS NOT NULL)""")
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) ===
+      Seq(1L, 2L, 103L, 104L, 105L))
+    // assigning the probe column would change the statement's own
+    // match between the two arms — refused
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"""UPDATE lake.`$dir` t SET n_chars = 0
+                    WHERE t.n_chars NOT IN (SELECT o.w FROM notin_u o
+                                            WHERE o.l = t.lang
+                                              AND o.w IS NOT NULL)""")
+    }
+    assert(e.getMessage.contains("probe"), e.getMessage)
+    // notin_u's `w` came from a Scala Long — NON-NULLABLE, so a
+    // filter-less NOT IN is already proven exact and legally runs
+    // (rows 1/2 keep as above; nothing else matches the pair frame)
+    spark.sql(s"""DELETE FROM lake.`$dir` t
+                  WHERE t.n_chars NOT IN (SELECT o.w FROM notin_u o
+                                          WHERE o.l = t.lang)""")
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) === Seq(1L, 2L))
+    // a NULLABLE inner value without the explicit IS NOT NULL filter
+    // has no exact translation (a NULL inner value makes NOT IN
+    // never-TRUE) — refused, with the fix named
+    Seq(("en", java.lang.Long.valueOf(10L)),
+        ("de", null.asInstanceOf[java.lang.Long]))
+      .toDF("l", "w").createOrReplaceTempView("notin_nullable")
+    val e2 = intercept[UnsupportedOperationException] {
+      spark.sql(s"""DELETE FROM lake.`$dir` t
+                    WHERE t.n_chars NOT IN (SELECT o.w
+                                            FROM notin_nullable o
+                                            WHERE o.l = t.lang)""")
+    }
+    assert(e2.getMessage.contains("IS NOT NULL"), e2.getMessage)
+  }
+
+  test("compound EXISTS conjuncts fold into one decorrelated frame") {
+    import spark.implicits._
+    val dir = lake()
+    Seq(2L, 4L, 5L).toDF("id").createOrReplaceTempView("pair_a")
+    Seq(4L).toDF("id").createOrReplaceTempView("pair_b")
+    // EXISTS(a) AND NOT EXISTS(b): a's keys minus b's = {2, 5}
+    spark.sql(s"""DELETE FROM lake.`$dir` t
+                  WHERE EXISTS (SELECT 1 FROM pair_a a
+                                WHERE a.id = t.doc_id)
+                    AND NOT EXISTS (SELECT 1 FROM pair_b b
+                                    WHERE b.id = t.doc_id)""")
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) ===
+      Seq(1L, 3L, 4L))
+    // EXISTS(c) AND EXISTS(d): intersection {3}
+    Seq(1L, 3L).toDF("id").createOrReplaceTempView("pair_c")
+    Seq(3L, 4L).toDF("id").createOrReplaceTempView("pair_d")
+    spark.sql(s"""DELETE FROM lake.`$dir` t
+                  WHERE EXISTS (SELECT 1 FROM pair_c c
+                                WHERE c.id = t.doc_id)
+                    AND EXISTS (SELECT 1 FROM pair_d d
+                                WHERE d.id = t.doc_id)""")
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) === Seq(1L, 4L))
+    // NOT EXISTS(e) AND NOT EXISTS(f): anti the union — only 4 is in
+    // neither
+    Seq(1L).toDF("id").createOrReplaceTempView("pair_e")
+    Seq(9L).toDF("id").createOrReplaceTempView("pair_f")
+    spark.sql(s"""DELETE FROM lake.`$dir` t
+                  WHERE NOT EXISTS (SELECT 1 FROM pair_e e
+                                    WHERE e.id = t.doc_id)
+                    AND NOT EXISTS (SELECT 1 FROM pair_f f
+                                    WHERE f.id = t.doc_id)""")
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) === Seq(1L))
+    // arms correlated on DIFFERENT target columns have no single-frame
+    // image — targeted refusal
+    Seq("en").toDF("l").createOrReplaceTempView("pair_l")
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"""DELETE FROM lake.`$dir` t
+                    WHERE EXISTS (SELECT 1 FROM pair_e e
+                                  WHERE e.id = t.doc_id)
+                      AND EXISTS (SELECT 1 FROM pair_l x
+                                  WHERE x.l = t.lang)""")
+    }
+    assert(e.getMessage.contains("different target column sets"),
+      e.getMessage)
   }
 
   test("a non-deterministic UPDATE refuses loudly, lake untouched") {

@@ -97,12 +97,22 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
       // tolerate narrower batches, where the extra column is harmless
       wLive.fold(df)(w => df.withColumn(w, lit(null).cast("long")))
     }
-    // tag name -> the exact image pinned at tag time; every live tag is
-    // re-read after EVERY op (deletes, merges, clusters, grace-0
-    // vacuums) and must still equal its pin
+    // tag name -> (value-column name at pin time, the exact image
+    // pinned at tag time); every live tag is re-read after EVERY op
+    // (deletes, merges, clusters, grace-0 vacuums) and must still
+    // equal its pin — under the pin-ERA column name: a pinned read
+    // resolves the declaration AS OF the pinned commit, so a tag taken
+    // before a rename keeps answering under the OLD name
     val tagModel = scala.collection.mutable.LinkedHashMap
-      .empty[String, Map[Long, (String, Long)]]
+      .empty[String, (String, Map[Long, (String, Long)])]
     var tagSeq = 0
+    // ERA PINS (renames mode): (manifest version, value-column name at
+    // commit, image at commit) for recently committed versions —
+    // re-read while their roots stay retained, asserting the SNAPSHOT-
+    // ERA schema resolution: the pin must answer under the name its
+    // commit's schema stamp declares, whatever renames ran since
+    val eraPins = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Map[Long, (String, Long)])]
     // manifest version -> the model image it published (tagged mode):
     // the restore op rolls the lake back to any RETAINED version and
     // the model must follow
@@ -128,6 +138,8 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
     if (constrained)
       Constraints.add(spark, lake, "v_nonneg", "v >= 0"): Unit
     init.foreach { case (id, p, v) => model(id) = (p, v) }
+    // the last PRE-DECLARATION manifest version (era pins start after)
+    val initV = FileManifest.latestVersion(fs(lake), lake).get
     assert(img(lake) === model.toMap, s"seed=$seed init")
     if (tagged)
       history(FileManifest.latestVersion(fs(lake), lake).get) = model.toMap
@@ -222,7 +234,7 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
             }
             val name = s"t$tagSeq"; tagSeq += 1
             History.tag(spark, lake, name): Unit
-            tagModel(name) = model.toMap
+            tagModel(name) = (vName, model.toMap)
             s"tag $name"
           case "rmTag" => // release the oldest pin
             tagModel.headOption match {
@@ -608,16 +620,51 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
       }
       if (tagged) {
         // every live pin must read back EXACTLY the image it pinned,
-        // whatever deletes/merges/clusters/grace-0 vacuums ran since
+        // whatever deletes/merges/clusters/grace-0 vacuums ran since —
+        // under the PIN-ERA column name (a tagged manifest's schema
+        // stamp names the column as declared at its commit; the
+        // current-name fallback covers pre-stamp pins, whose era
+        // resolution falls back to the present declaration)
         import spark.implicits._
-        for ((name, snap) <- tagModel) {
-          val got = History.readTag(spark, lake, name)
-            .select("id", "part", vName).as[(Long, String, Long)].collect()
+        for ((name, (pinName, snap)) <- tagModel) {
+          val df = History.readTag(spark, lake, name)
+          val vc = if (df.columns.contains(pinName)) pinName else vName
+          val got = df
+            .select("id", "part", vc).as[(Long, String, Long)].collect()
             .map { case (id, p, v) => id -> (p, v) }.toMap
           assert(got === snap, s"seed=$seed op#$op [$desc] tag $name")
         }
         // record this op's committed image for future restore ops
         history(FileManifest.latestVersion(fs(lake), lake).get) = model.toMap
+      }
+      if (renames) {
+        // SNAPSHOT-ERA re-reads: pin freshly committed versions with
+        // the column name their commit declared; while the root stays
+        // retained (no vacuum yet), the pinned read must answer under
+        // exactly that era name with exactly that image — a rename
+        // landing after the commit must NOT leak into the pin
+        val f = fs(lake)
+        val latestV = FileManifest.latestVersion(f, lake).get
+        // only post-declaration commits carry a schema stamp — the
+        // init versions (enableManifests / shard conversion) predate
+        // declareSchema and would era-resolve to the PRESENT name
+        if (latestV > initV && !eraPins.exists(_._1 == latestV) &&
+            eraPins.forall(_._1 < latestV)) {
+          eraPins += ((latestV, vName, model.toMap))
+          if (eraPins.size > 4) eraPins.remove(0): Unit
+        }
+        val retained = FileManifest.versions(f, lake).toSet
+        import spark.implicits._
+        for ((v, pinName, snap) <- eraPins if retained(v)) {
+          val df = History.readPinned(spark, lake, v)
+          assert(df.columns.contains(pinName),
+            s"seed=$seed op#$op [$desc] era pin v$v must declare " +
+              s"'$pinName' (has: ${df.columns.mkString(",")})")
+          val got = df
+            .select("id", "part", pinName).as[(Long, String, Long)]
+            .collect().map { case (id, p, v2) => id -> (p, v2) }.toMap
+          assert(got === snap, s"seed=$seed op#$op [$desc] era pin v$v")
+        }
       }
     }
     // release every remaining pin first: pinned files are retired-but-

@@ -119,12 +119,142 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     val dir = declaredLake()
     val vs = History.versions(spark, dir)
     val v1 = History.readPinned(spark, dir, vs.head)
-    // the pre-evolution snapshot reads with the CURRENT declared shape:
-    // one schema for the table no matter which version a reader pins
+    // vs.head predates the DECLARATION itself (its manifest carries no
+    // schema stamp), so the era resolution falls back to the CURRENT
+    // declared shape — the pre-stamp contract, still the right one
+    // when no era record exists
     assert(v1.schema.fieldNames.toSeq === Seq("id", "v", "tag", "score"))
     val rows = v1.collect().map(r => (r.getLong(0),
       Option(r.get(3)))).toSet
     assert(rows === Set((1L, None), (2L, None)))
+  }
+
+  // ---------------------------------------------------------------
+  // SNAPSHOT-ERA schema: a pinned read resolves the declaration AS OF
+  // the pinned commit (the manifest's schema stamp), so history keeps
+  // its shape across drops, renames, and widenings.
+  // ---------------------------------------------------------------
+
+  test("era schema: a pre-drop pin still shows the dropped column") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-era-drop").toString + "/lake"
+    Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "n", "tag")
+      .write.parquet(dir)
+    History.enableManifests(spark, dir): Unit                 // v1, no stamp
+    History.declareSchema(spark, dir): Unit                   // schema 1
+    History.append(spark, dir,
+      Seq((3L, 30L, "c")).toDF("id", "n", "tag"), key = "e1"): Unit // v2 @s1
+    val vPre = History.versions(spark, dir).last
+    SchemaLog.dropColumn(spark, dir, "tag"): Unit             // schema 2
+    History.append(spark, dir,
+      Seq((4L, 40L)).toDF("id", "n"), key = "e2"): Unit       // v3 @s2
+    // LATEST: the drop applies — tag is gone
+    assert(History.readPinned(spark, dir).schema.fieldNames.toSeq ===
+      Seq("id", "n"))
+    // PRE-DROP PIN: the era schema still carries tag, with its values
+    val pre = History.readPinned(spark, dir, vPre)
+    assert(pre.schema.fieldNames.toSeq === Seq("id", "n", "tag"))
+    assert(pre.select("id", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // POST-DROP PIN: era schema 2 — no tag, and the era-3 row included
+    val post = History.readPinned(spark, dir,
+      History.versions(spark, dir).last)
+    assert(post.schema.fieldNames.toSeq === Seq("id", "n"))
+    assert(post.count() === 4)
+  }
+
+  test("era schema: a pre-rename pin shows the old column name") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-era-ren").toString + "/lake"
+    Seq((1L, "x"), (2L, "y")).toDF("id", "label").write.parquet(dir)
+    History.enableManifests(spark, dir): Unit
+    History.declareSchema(spark, dir): Unit                   // schema 1
+    History.append(spark, dir,
+      Seq((3L, "z")).toDF("id", "label"), key = "e1"): Unit   // v2 @s1
+    val vPre = History.versions(spark, dir).last
+    SchemaLog.renameColumn(spark, dir, "label", "name"): Unit // schema 2
+    History.append(spark, dir,
+      Seq((4L, "w")).toDF("id", "name"), key = "e2"): Unit    // v3 @s2
+    // LATEST: the rename applies across all eras (alias coalesce)
+    val latest = History.readPinned(spark, dir)
+    assert(latest.schema.fieldNames.toSeq === Seq("id", "name"))
+    assert(latest.select("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "x"), (2L, "y"), (3L, "z"), (4L, "w")))
+    // PRE-RENAME PIN: the era declaration still names it `label`
+    val pre = History.readPinned(spark, dir, vPre)
+    assert(pre.schema.fieldNames.toSeq === Seq("id", "label"))
+    assert(pre.select("id", "label").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "x"), (2L, "y"), (3L, "z")))
+  }
+
+  test("era schema: a pre-widening pin keeps the narrow type") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-era-wide").toString + "/lake"
+    Seq((1, 1.5f), (2, 2.5f)).toDF("id", "v").write.parquet(dir)
+    History.enableManifests(spark, dir): Unit
+    History.declareSchema(spark, dir): Unit                   // schema 1
+    History.append(spark, dir,
+      Seq((3, 3.5f)).toDF("id", "v"), key = "e1"): Unit       // v2 @s1
+    val vPre = History.versions(spark, dir).last
+    val declared = History.declaredSchema(spark, dir).get
+    History.evolveSchema(spark, dir, StructType(declared.fields.map {
+      case f if f.name == "id" => f.copy(dataType = LongType)
+      case f if f.name == "v" => f.copy(dataType = DoubleType)
+      case f => f
+    })): Unit                                                  // schema 2
+    History.append(spark, dir,
+      Seq((4L, 4.5d)).toDF("id", "v"), key = "e2"): Unit      // v3 @s2
+    // LATEST: widened — every era promotes
+    assert(History.readPinned(spark, dir).schema.fields
+      .map(f => (f.name, f.dataType)).toSeq ===
+      Seq(("id", LongType), ("v", DoubleType)))
+    // PRE-WIDENING PIN: the era declaration is still (INT, FLOAT) —
+    // exact because every file that manifest references was validated
+    // against a declaration no wider than the stamp
+    val pre = History.readPinned(spark, dir, vPre)
+    assert(pre.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      Seq(("id", IntegerType), ("v", FloatType)))
+    assert(pre.collect().map(r => (r.getInt(0), r.getFloat(1))).toSet ===
+      Set((1, 1.5f), (2, 2.5f), (3, 3.5f)))
+  }
+
+  test("era schema: a pinned export carries the as-of declaration") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-era-exp").toString + "/lake"
+    Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "n", "tag")
+      .write.parquet(dir)
+    History.enableManifests(spark, dir): Unit
+    History.declareSchema(spark, dir): Unit                   // schema 1
+    History.append(spark, dir,
+      Seq((3L, 30L, "c")).toDF("id", "n", "tag"), key = "e1"): Unit
+    val vPre = History.versions(spark, dir).last
+    SchemaLog.dropColumn(spark, dir, "tag"): Unit             // schema 2
+    History.append(spark, dir,
+      Seq((4L, 40L)).toDF("id", "n"), key = "e2"): Unit
+    // PRE-DROP EXPORT: the clone declares the ERA schema, so it reads
+    // back with tag — identical to readPinned(src, vPre) — and its own
+    // tombstones still block re-adding a retired name
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft-era-exp-dst").toString + "/clone"
+    History.exportSnapshot(spark, dir, dest, version = Some(vPre)): Unit
+    val clone = History.readPinned(spark, dest)
+    assert(clone.schema.fieldNames.toSeq === Seq("id", "n", "tag"))
+    assert(clone.select("id", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // LATEST EXPORT keeps carrying the present declaration
+    val dest2 = java.nio.file.Files
+      .createTempDirectory("graft-era-exp-dst2").toString + "/clone"
+    History.exportSnapshot(spark, dir, dest2): Unit
+    assert(History.readPinned(spark, dest2).schema.fieldNames.toSeq ===
+      Seq("id", "n"))
   }
 
   test("illegal evolutions are rejected") {
