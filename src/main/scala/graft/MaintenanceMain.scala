@@ -35,7 +35,18 @@ import graft.stream.LakeChangeFeed
   *   spark.graft.maintenance.feedKeepRanges  96
   *   spark.graft.maintenance.intervalSecs    60
   *   spark.graft.maintenance.once            true   (one pass, then exit)
+  *   spark.graft.maintenance.leaseTtlMs      600000 (0 disables the lease)
   * }}}
+  *
+  * SINGLE-AGENT ENFORCEMENT: every pass first acquires (or renews) the
+  * lake's maintenance lease ([[graft.sources.MaintenanceLease]] — an
+  * expiring lease file under `_manifests/lease/` committed by the
+  * atomic no-overwrite primitive). A second daemon pointed at the same
+  * lake BOUNCES LOUDLY (the loop exits — two interleaved maintenance
+  * sequences are undefined behavior, the exact constraint the lease
+  * enforces); a crashed daemon's lease ages out after `leaseTtlMs` and
+  * the next daemon takes over. Size the TTL well above one pass
+  * duration + the interval so a live daemon renews long before expiry.
   */
 object MaintenanceMain {
 
@@ -120,6 +131,35 @@ object MaintenanceMain {
               "viewRoot|lakeA|lakeB|keyCol")
         }
       }
+
+  /** The lake's maintenance-lease TTL from conf (default 10 min;
+    * 0 = lease off, for embedded callers that own sequencing). */
+  private[graft] def leaseTtl(spark: SparkSession): Long =
+    conf(spark, "leaseTtlMs").map(_.toLong).getOrElse(600000L)
+
+  /** Acquire/renew the configured lake's lease for this process.
+    * Throws [[graft.sources.LeaseHeldException]] when another daemon
+    * holds it. No-op when the lease is disabled (ttl 0). */
+  private[graft] def acquireLease(spark: SparkSession,
+                                  owner: String): Unit = {
+    val ttl = leaseTtl(spark)
+    if (ttl <= 0) return
+    val lake = conf(spark, "lake").getOrElse(throw new
+        IllegalArgumentException("spark.graft.maintenance.lake required"))
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.MaintenanceLease.acquire(fs, lake, owner, ttl): Unit
+  }
+
+  private[graft] def releaseLease(spark: SparkSession,
+                                  owner: String): Unit = {
+    if (leaseTtl(spark) <= 0) return
+    conf(spark, "lake").foreach { lake =>
+      val fs = new org.apache.hadoop.fs.Path(lake)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.sources.MaintenanceLease.release(fs, lake, owner): Unit
+    }
+  }
 
   /** One full maintenance pass; returns the delivered range, if any.
     * The testable unit — `main` loops this on the cadence. */
@@ -217,22 +257,35 @@ object MaintenanceMain {
       loop.join(120000L)
     }
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
-    while (running.get()) {
-      // the agent is the ONE maintenance process per lake — a
-      // transient pass failure (an OCC abort under a racing writer, a
-      // poisoned rollup's aggregate rethrow) must cost one pass, not
-      // the daemon: vacuum, expiry, and every index stop advancing
-      // the moment this loop dies. `once` mode propagates instead —
-      // a one-shot caller wants the failure.
-      try runOnce(spark): Unit
-      catch {
+    // this process's lease identity — fresh per daemon start, so a
+    // restarted daemon on the same host is a NEW owner (it waits out
+    // its predecessor's lease like any other takeover)
+    val owner = s"maintenance-${java.util.UUID.randomUUID()}"
+    try while (running.get()) {
+      // the agent is the ONE maintenance process per lake — ENFORCED:
+      // acquire/renew the lease before every pass; a second daemon
+      // bounces OUT OF THE LOOP loudly (retrying would be the exact
+      // interleaving the lease exists to prevent). A transient pass
+      // failure (an OCC abort under a racing writer, a poisoned
+      // rollup's aggregate rethrow) must cost one pass, not the
+      // daemon: vacuum, expiry, and every index stop advancing the
+      // moment this loop dies. `once` mode propagates instead — a
+      // one-shot caller wants the failure.
+      try {
+        acquireLease(spark, owner)
+        runOnce(spark): Unit
+      } catch {
+        case e: graft.sources.LeaseHeldException =>
+          log.error("another maintenance daemon holds this lake's " +
+            "lease — exiting (one agent per lake)", e)
+          throw e
         case scala.util.control.NonFatal(e) if !once && running.get() =>
           log.warn(s"maintenance pass failed; retrying next interval", e)
       }
       if (once) running.set(false)
       else try Thread.sleep(intervalMs)
       catch { case _: InterruptedException => () } // shutdown wake-up
-    }
+    } finally releaseLease(spark, owner)
     if (once) spark.stop()
   }
 }
