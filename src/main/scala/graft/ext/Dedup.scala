@@ -77,11 +77,24 @@ object Dedup {
     * grouping keys are a superset).
     * Grams shuffle as xxhash64, never strings (the hashed-line-dedup
     * trade: a 2⁻⁶⁴-scale collision merely merges two grams' counts). */
+  /** @param minIslandLen drop islands covering fewer than this many
+    *        tokens — the Lee-et-al fidelity knob (the paper operates
+    *        on ≥50-token matches; gram coverage alone floors islands
+    *        at `n`). 0 keeps every island.
+    * @param charGrams token = CHARACTER instead of whitespace word —
+    *        the byte/char-level ExactSubstr mode (the paper's
+    *        granularity): grams become length-`n` substrings and
+    *        island bounds are 1-based character positions. Costs one
+    *        stream row per character; the plan shape (one corpus
+    *        exchange, aggregate+reused-join frequency) is identical. */
   def dupSpanIslands(docs: DataFrame, idCol: String, textCol: String,
-                     n: Int, minCount: Long): DataFrame = {
+                     n: Int, minCount: Long,
+                     minIslandLen: Int = 0,
+                     charGrams: Boolean = false): DataFrame = {
+    val sep = if (charGrams) "" else " "
     val words = docs
       .filter(col(textCol).isNotNull && col(idCol).isNotNull)
-      .select(col(idCol), split(col(textCol), " ").as("l"))
+      .select(col(idCol), split(col(textCol), sep).as("l"))
       .filter(size(col("l")) >= n)
     val grams = words
       .select(col(idCol),
@@ -105,7 +118,9 @@ object Dedup {
       .select(col("h"))
     val dup = grams.join(dupGrams, Seq("h"))
       .select(col(idCol), col("p"))
-    spanIslands(dup, idCol, n)
+    val islands = spanIslands(dup, idCol, n)
+    if (minIslandLen <= 0) islands
+    else islands.filter(col("en") - col("st") + 1 >= minIslandLen)
   }
 
   /** Gaps-and-islands merge of FLAGGED n-gram start positions into

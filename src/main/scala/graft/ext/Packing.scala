@@ -26,9 +26,12 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  // the ONE shared whitespace tokenizer (DuckDB split parity) — null
-  // text contributes zero tokens to its stream
-  private def tokensOf(textCol: Column): Column =
+  /** The default token DENOMINATION: whitespace counts (DuckDB split
+    * parity) — null text contributes zero tokens to its stream. Real
+    * training runs pass [[graft.ext.Bpe.tokenCount]] with their
+    * published merges instead (the `countTokens` hook below), so bins
+    * and budgets measure what the model actually consumes. */
+  private def wsTokensOf(textCol: Column): Column =
     when(textCol.isNull, lit(0L))
       .otherwise(TextAnalysis.wsTokenCount(textCol).cast("long"))
 
@@ -37,9 +40,10 @@ object Packing {
     * stream — the one definition of "the token stream" both operators
     * derive from. */
   private def withStart(docs: DataFrame, idCol: String, textCol: String,
-                        stratumCol: String, shardCol: Column): DataFrame =
+                        stratumCol: String, shardCol: Column,
+                        countTokens: Column => Column): DataFrame =
     docs.select(col(idCol), col(stratumCol), shardCol.as("shard"),
-        tokensOf(col(textCol)).as("n_tokens"))
+        countTokens(col(textCol)).as("n_tokens"))
       .withColumn("start",
         coalesce(sum(col("n_tokens")).over(
           Window.partitionBy(col(stratumCol), col("shard"))
@@ -54,9 +58,10 @@ object Packing {
     * everything a sequence writer needs to slice it. */
   def packBins(docs: DataFrame, idCol: String, textCol: String,
                stratumCol: String, shardCol: Column,
-               seqLen: Long): DataFrame = {
+               seqLen: Long,
+               countTokens: Column => Column = wsTokensOf): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
-    withStart(docs, idCol, textCol, stratumCol, shardCol)
+    withStart(docs, idCol, textCol, stratumCol, shardCol, countTokens)
       .withColumn("bin_first", floor(col("start") / seqLen))
       .withColumn("bin_last",
         when(col("n_tokens") === 0L, floor(col("start") / seqLen))
@@ -74,9 +79,10 @@ object Packing {
     * Deterministic, engine-portable, one window. */
   def tokenBudget(docs: DataFrame, idCol: String, textCol: String,
                   stratumCol: String, shardCol: Column,
-                  budget: Long): DataFrame = {
+                  budget: Long,
+                  countTokens: Column => Column = wsTokensOf): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    withStart(docs, idCol, textCol, stratumCol, shardCol)
+    withStart(docs, idCol, textCol, stratumCol, shardCol, countTokens)
       .filter(col("start") < budget)
       .select(idCol, stratumCol, "shard", "n_tokens", "start")
   }

@@ -106,6 +106,23 @@ object ExtQueries {
     * deterministic subset as s03, frozen at bootstrap. Built once per
     * (session, dir) under the artifact root; the gate then SEARCHES
     * the maintained lists. */
+  /** t32/t33's trained-merges ARTIFACT: the demo vocab published once
+    * per (session, sfDir) through the versioned-pointer protocol —
+    * the gates then LOAD it back, so the serve path (pointer resolve →
+    * table → plan literals) is what the oracle checks. */
+  private val bpeMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bpeMergesDir(s: SparkSession, d: String): String =
+    bpeMergesCache.computeIfAbsent(
+      s"${graft.SessionKey(s)}|$d",
+      _ => {
+        Memos.install(s)
+        val dir = s"${artifactRoot(s, d)}/bpe-merges"
+        graft.ext.Bpe.saveMerges(s, graft.ext.Bpe.demoMerges, dir)
+        dir
+      })
+
   private val vecIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
@@ -1562,6 +1579,50 @@ object ExtQueries {
           sum(col("en") - col("st") + 1).as("cut_tokens"),
           max(col("en") - col("st") + 1).cast("bigint").as("max_island"))
     }),
+
+    // REAL BPE tokenization from an at-rest merges artifact: the gate
+    // publishes the trained vocab (Bpe.demoMerges — Bpe.train output
+    // over this corpus) through the versioned-pointer protocol, loads
+    // it back, and counts subword tokens via the exact chained-replace
+    // segmentation (no UDF — see Bpe). The oracle replays the
+    // IDENTICAL merge chain, generated from the same constants, so a
+    // drifted merge order, a separator-consumption bug, or a
+    // normalization mismatch fails the hash on the first document.
+    "t32_bpe_token_count" -> ((s, d) => {
+      val merges = graft.ext.Bpe.loadMerges(s, bpeMergesDir(s, d))
+      documents(s, d)
+        .filter(col("doc_id").isNotNull && col("doc_id") % 5 === 1)
+        .select(col("doc_id"),
+          graft.ext.Bpe.tokenCount(col("text"), merges).as("n_bpe"))
+    }),
+
+    // Sequence packing RE-DENOMINATED in real BPE tokens (t23's
+    // concat-then-chunk stream with the model's actual token counts —
+    // whitespace-denominated bins mis-size every training sequence):
+    // same deterministic per-(lang, shard) window, bin geometry now in
+    // subword tokens from the published merges artifact.
+    "t33_bpe_packing" -> ((s, d) => {
+      val merges = graft.ext.Bpe.loadMerges(s, bpeMergesDir(s, d))
+      graft.ext.Packing.packBins(
+          documents(s, d).filter(col("doc_id").isNotNull),
+          "doc_id", "text",
+          "lang", pmod(col("doc_id"), lit(8L)), seqLen = 512L,
+          countTokens = t => graft.ext.Bpe.tokenCount(t, merges))
+        .filter(col("doc_id") % 7 === 0)
+    }),
+
+    // ExactSubstr at the PAPER's granularity (Lee et al. operate on
+    // character/byte-level matches with a minimum match length, not
+    // word 4-grams): t29's island pipeline in charGrams mode — grams
+    // are 20-char substrings, island bounds are character positions —
+    // with the min-island-length knob dropping sub-threshold matches.
+    "t34_dup_span_chars" -> ((s, d) =>
+      Dedup.dupSpanIslands(documents(s, d), "doc_id", "text",
+          n = 20, minCount = 2L, minIslandLen = 30, charGrams = true)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("en") - col("st") + 1).as("dup_chars"),
+          max(col("en") - col("st") + 1).cast("bigint").as("max_island"))),
 
     // Bigram-LM quality scoring (the CCNet/KenLM-style perplexity
     // filter): train an add-one-smoothed bigram model ON the corpus
@@ -3080,6 +3141,77 @@ object ExtQueries {
            CAST(SUM(en - st + 1) AS BIGINT) AS cut_tokens,
            CAST(MAX(en - st + 1) AS BIGINT) AS max_island
          FROM spans GROUP BY doc_id""",
+    // the IDENTICAL merge chain, generated from the same demoMerges
+    // constants the Spark side publishes and loads — the two engines
+    // cannot drift on merge order or separator handling
+    "t32_bpe_token_count" ->
+      s"""SELECT doc_id,
+            ${graft.ext.Bpe.oracleTokenCountSql("text",
+              graft.ext.Bpe.demoMerges)} AS n_bpe
+          FROM documents
+          WHERE doc_id IS NOT NULL AND doc_id % 5 = 1""",
+    // t23's packing window with the token denomination swapped to the
+    // replayed BPE chain
+    "t33_bpe_packing" ->
+      s"""WITH toks AS (
+            SELECT doc_id, lang, (doc_id % 8 + 8) % 8 AS shard,
+              ${graft.ext.Bpe.oracleTokenCountSql("text",
+                graft.ext.Bpe.demoMerges)} AS n_tokens
+            FROM documents WHERE doc_id IS NOT NULL
+          ), st AS (
+            SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+                PARTITION BY lang, shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start
+            FROM toks
+          )
+          SELECT doc_id, lang, shard, n_tokens, start,
+            CAST(start // 512 AS BIGINT) AS bin_first,
+            CAST(CASE WHEN n_tokens = 0 THEN start // 512
+                 ELSE (start + n_tokens - 1) // 512 END AS BIGINT)
+              AS bin_last,
+            CAST(CASE WHEN n_tokens = 0 THEN start // 512
+                 ELSE (start + n_tokens - 1) // 512 END
+              - start // 512 + 1 AS BIGINT) AS n_bins
+          FROM st WHERE doc_id % 7 = 0""",
+    // t29's island chain at character granularity (substr grams) with
+    // the minimum-island-length threshold
+    "t34_dup_span_chars" ->
+      """WITH pos AS (
+           SELECT doc_id, text, unnest(range(1, len(text) - 18)) AS p
+           FROM documents
+           WHERE text IS NOT NULL AND doc_id IS NOT NULL
+             AND len(text) >= 20
+         ), g AS (
+           SELECT doc_id, p,
+             substr(text, CAST(p AS INTEGER), 20) AS gram FROM pos
+         ), f AS (
+           SELECT doc_id, p, COUNT(*) OVER (PARTITION BY gram) AS cnt
+           FROM g
+         ), dup AS (
+           SELECT doc_id, p FROM f WHERE cnt >= 2
+         ), lg AS (
+           SELECT doc_id, p,
+             CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p)
+                    > 20
+               THEN 1 ELSE 0 END AS brk
+           FROM dup
+         ), isl AS (
+           SELECT doc_id, p,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+           FROM lg
+         ), spans AS (
+           SELECT doc_id, isl_id, MIN(p) AS st, MAX(p) + 19 AS en
+           FROM isl GROUP BY doc_id, isl_id
+         ), keep AS (
+           SELECT * FROM spans WHERE en - st + 1 >= 30
+         )
+         SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(en - st + 1) AS BIGINT) AS dup_chars,
+           CAST(MAX(en - st + 1) AS BIGINT) AS max_island
+         FROM keep GROUP BY doc_id""",
     "t21_fixed_sample" ->
       """WITH h AS (
            SELECT lang, doc_id, n_chars,

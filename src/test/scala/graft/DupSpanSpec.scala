@@ -101,6 +101,50 @@ class DupSpanSpec extends AnyFunSuite {
     assert(out === Map(1L -> ((1L, 4L, 4L))))
   }
 
+  test("charGrams mode: islands are character spans matching shared " +
+      "substrings; minIslandLen drops sub-threshold matches") {
+    import spark.implicits._
+    // a 30-char string S shared by docs 10 and 11 (no internal
+    // 20-char period, so grams repeat only ACROSS the docs), plus a
+    // doc 12 sharing nothing 20 chars long
+    val S = "abcdefghijklmnopqrstuvwxyz!@#$"
+    assert(S.length === 30)
+    val docs = Seq(
+      (10L, "zzzzz" + S + "qqqqq"),
+      (11L, S + "kkkkkkkk"),
+      (12L, "completely different content here")
+    ).toDF("doc_id", "text")
+    val islands = graft.ext.Dedup.dupSpanIslands(docs, "doc_id", "text",
+        n = 20, minCount = 2L, minIslandLen = 0, charGrams = true)
+      .collect().map(r => (r.getLong(0),
+        r.getAs[Number]("st").longValue, r.getAs[Number]("en").longValue))
+      .toSeq.sortBy(_._1)
+    // doc 10: S occupies chars 6..35; doc 11: chars 1..30 — the
+    // island is EXACTLY the shared substring, in character positions
+    assert(islands === Seq((10L, 6L, 35L), (11L, 1L, 30L)))
+    // the fidelity knob: a 31-char minimum drops the 30-char match
+    // (Lee et al.'s ≥50-byte threshold is this knob at paper scale)
+    assert(graft.ext.Dedup.dupSpanIslands(docs, "doc_id", "text",
+        n = 20, minCount = 2L, minIslandLen = 31,
+        charGrams = true).count() === 0L)
+    assert(graft.ext.Dedup.dupSpanIslands(docs, "doc_id", "text",
+        n = 20, minCount = 2L, minIslandLen = 30,
+        charGrams = true).count() === 2L)
+  }
+
+  test("minIslandLen in word mode keeps only long-enough islands") {
+    val dir = goldenDir()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // golden geometry (t29 test): islands of token length 5,5,4,4,8 —
+    // a 5-token floor keeps the two 5s and the 8, drops the 4s
+    val kept = graft.ext.Dedup.dupSpanIslands(docs, "doc_id", "text",
+        n = 4, minCount = 2L, minIslandLen = 5)
+      .collect().map(r => (r.getLong(0),
+        r.getAs[Number]("en").longValue -
+          r.getAs[Number]("st").longValue + 1)).toSeq.sorted
+    assert(kept === Seq((0L, 5L), (1L, 5L), (4L, 8L)))
+  }
+
   test("positionalShingles preserves positions and nulls the partials") {
     import spark.implicits._
     val r = Seq(Tuple1("a b c d e"))
