@@ -91,17 +91,36 @@ object Dedup {
                      n: Int, minCount: Long,
                      minIslandLen: Int = 0,
                      charGrams: Boolean = false): DataFrame = {
-    val sep = if (charGrams) "" else " "
-    val words = docs
-      .filter(col(textCol).isNotNull && col(idCol).isNotNull)
-      .select(col(idCol), split(col(textCol), sep).as("l"))
-      .filter(size(col("l")) >= n)
-    val grams = words
-      .select(col(idCol),
-        posexplode(TextAnalysis.positionalShingles(col("l"), n)))
-      .filter(col("col").isNotNull)
-      .select(col(idCol), (col("pos") + 1).as("p"),
-        xxhash64(col("col")).as("h"))
+    val base = docs.filter(col(textCol).isNotNull && col(idCol).isNotNull)
+    // char mode grams are DIRECT substrings — one substr per position,
+    // never the word path's n−1 chained zip_with concat passes (which
+    // at n = 20 allocate 19 full intermediate arrays per document and
+    // dominate the gate's cost 10× over the rest of the plan)
+    val grams = (if (charGrams)
+      // char grams are DIRECT substrings (one substr+hash per
+      // position, codegen — never the word path's chained zip_with).
+      // The DOC stream repartitions first: gram explosion amplifies
+      // every text byte into ~24 gram-stream bytes ((id, p, h) per
+      // character), so spreading the RAW docs is 24× cheaper than any
+      // downstream fix, and a small/coarse input (one parquet split)
+      // would otherwise run the whole explosion on one task
+      base.filter(length(col(textCol)) >= n)
+        .repartition(
+          docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+        .select(col(idCol), col(textCol),
+          explode(sequence(lit(1),
+            length(col(textCol)) - (n - 1))).as("p"))
+        .select(col(idCol), col("p"),
+          xxhash64(col(textCol).substr(col("p"), lit(n))).as("h"))
+    else
+      base
+        .select(col(idCol), split(col(textCol), " ").as("l"))
+        .filter(size(col("l")) >= n)
+        .select(col(idCol),
+          posexplode(TextAnalysis.positionalShingles(col("l"), n)))
+        .filter(col("col").isNotNull)
+        .select(col(idCol), (col("pos") + 1).as("p"),
+          xxhash64(col("col")).as("h")))
       .repartition(col("h"))
     // the vacuous max(id)/max(p) aggregates (and the always-true
     // not-null filter referencing them) anchor the count branch to the
