@@ -1366,6 +1366,20 @@ object HistoryQueries {
       val dir = sqlExistsPairLake(s, d)
       s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
                 WHERE doc_id >= 0""")
+    }),
+
+    // UNDROP COLUMN (CALL lake.undrop_column): the explicit,
+    // tombstone-releasing undo of a metadata-only drop — exact because
+    // the tombstone guaranteed the name was never recycled. Era-1 rows
+    // resurrect their original `source` values, rows inserted DURING
+    // the dropped window read NULL (no bytes — an added column's
+    // backfill), era-3 rows written after the undrop carry values
+    // again. A stale tombstone, a lost value, or a mis-typed
+    // redeclaration fails the hash.
+    "h65_sql_undrop_column" -> ((s, d) => {
+      val dir = sqlUndropLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
+                WHERE doc_id >= 0""")
     })
   )
 
@@ -2127,6 +2141,42 @@ object HistoryQueries {
         dir
       })
 
+  /** h65's lake: corpus with `source` declared, SQL DROP COLUMN
+    * source, an era-2 INSERT without it, CALL lake.undrop_column, and
+    * an era-3 INSERT with it again. */
+  private val sqlUndropLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlUndropLake(s: SparkSession, sfDir: String): String =
+    sqlUndropLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir),
+      _ => {
+        Memos.install(s)
+        s.conf.set("spark.sql.catalog.lake",
+          classOf[graft.sources.LakeCatalog].getName)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-sql-undrop").toString + "/lake"
+        graft.Tables.documents(s, sfDir)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"))
+          .repartition(8)
+          .write.parquet(dir)
+        graft.sources.History.enableManifests(s, dir): Unit
+        graft.sources.SchemaLog.declare(s, dir): Unit
+        s.sql(s"ALTER TABLE lake.`$dir` DROP COLUMN source"): Unit
+        s.sql(s"""INSERT INTO lake.`$dir`
+                  SELECT doc_id + 86000000, lang, n_chars
+                  FROM parquet.`$sfDir/documents.parquet`
+                  WHERE doc_id < 15"""): Unit
+        s.sql(s"CALL lake.undrop_column('$dir', 'source')").collect(): Unit
+        // the undropped field re-declares at the END (ADD COLUMN
+        // position semantics) — the positional INSERT follows it
+        s.sql(s"""INSERT INTO lake.`$dir`
+                  SELECT doc_id + 87000000, lang, n_chars, source
+                  FROM parquet.`$sfDir/documents.parquet`
+                  WHERE doc_id < 10"""): Unit
+        dir
+      })
+
   /** h57's lake: corpus, then one correlated-IN SQL UPDATE whose pair
     * table carries each row's expected lang from the NEXT document
     * (doc_id − 1 shift) — matched rows get +10000 n_chars. */
@@ -2638,6 +2688,15 @@ object HistoryQueries {
          UNION ALL
          SELECT doc_id + 83000000 AS doc_id, lang, source, n_chars
          FROM documents WHERE doc_id < 20""",
+    "h65_sql_undrop_column" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         UNION ALL
+         SELECT doc_id + 86000000 AS doc_id, lang,
+                CAST(NULL AS VARCHAR) AS source, n_chars
+         FROM documents WHERE doc_id < 15
+         UNION ALL
+         SELECT doc_id + 87000000 AS doc_id, lang, source, n_chars
+         FROM documents WHERE doc_id < 10""",
     "h62_sql_update_scalar_set" ->
       """SELECT d.doc_id, d.lang, d.source,
                 CASE WHEN d.doc_id % 9 = 2 THEN

@@ -189,6 +189,14 @@ object LakeProcedures {
       Seq(("partitions_expired", IntegerType)),
       (s, in) => Seq(History.expirePartitionsWhere(s, str(in, 0),
         org.apache.spark.sql.functions.expr(str(in, 1))).size)),
+    Proc("undrop_column",
+      "undo a metadata-only DROP COLUMN: re-declare the field as last " +
+        "declared and release its tombstone (exact — the tombstone " +
+        "guaranteed the name was never recycled)",
+      Seq(("path", StringType, "lake root"),
+        ("column", StringType, "dropped column name")),
+      Seq(("schema_version", LongType)),
+      (s, in) => Seq(SchemaLog.undropColumn(s, str(in, 0), str(in, 1)))),
     Proc("export_snapshot",
       "clone one retained version's exact row set to a fresh lake root",
       Seq(("path", StringType, "lake root"),

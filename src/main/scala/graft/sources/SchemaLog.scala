@@ -379,8 +379,49 @@ object SchemaLog {
     val lines = (existing ++ names.map(n =>
       java.util.Base64.getEncoder.encodeToString(
         n.getBytes(java.nio.charset.StandardCharsets.UTF_8)))).distinct
-    FileManifest.atomicWrite(fs, retiredPath(lakePath),
-      lines.mkString("\n"))
+    replaceRetired(fs, lakePath, lines)
+  }
+
+  /** Publish a REPLACEMENT retired list by overwrite-by-rename —
+    * all-or-nothing like [[writeMemory]], and deliberately NOT the
+    * manifests' no-overwrite commit: the tombstone file is re-written
+    * by every later drop (and shrunk by [[undropColumn]]), and DDL
+    * runs from the lake's single-writer sequence, so last-writer-wins
+    * over a whole-file image is the correct arbitration (the
+    * no-overwrite primitive would make the SECOND drop on a lake
+    * collide with the first's file — a one-drop-per-lake bug). */
+  private def replaceRetired(fs: FileSystem, lakePath: String,
+                             lines: Seq[String]): Unit = {
+    val p = retiredPath(lakePath)
+    fs.mkdirs(p.getParent): Unit
+    val bytes = lines.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if ("file" == fs.getUri.getScheme) {
+      val destFile = java.nio.file.Paths.get(fs.makeQualified(p).toUri)
+      val tmpFile = destFile.resolveSibling(p.getName +
+        s".${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      java.nio.file.Files.write(tmpFile, bytes): Unit
+      java.nio.file.Files.move(tmpFile, destFile,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      scala.util.Try(java.nio.file.Files.deleteIfExists(
+        destFile.resolveSibling("." + p.getName + ".crc"))): Unit
+    } else {
+      val tmp = new Path(p.getParent, p.getName +
+        s".${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      try org.apache.hadoop.fs.FileContext
+        .getFileContext(fs.makeQualified(p).toUri, fs.getConf)
+        .rename(fs.makeQualified(tmp), fs.makeQualified(p),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          fs.delete(p, false): Unit
+          if (!fs.rename(tmp, p))
+            throw new java.io.IOException(s"retired publish failed: $p")
+      }
+    }
   }
 
   /** METADATA-ONLY column drop: commits a new declared-schema version
@@ -447,6 +488,82 @@ object SchemaLog {
     appendRetired(fs, lakePath, field.name +: aliasesOf(field))
     publish(fs, lakePath, v + 1,
       StructType(old.fields.filterNot(_.name == field.name)))
+    v + 1
+  }
+
+  /** EXPLICIT UNDO of a metadata-only [[dropColumn]] — `UNDROP`:
+    * re-declares the dropped field EXACTLY as its last declaration
+    * (same type, same rename lineage) and releases its tombstone.
+    *
+    * Safe precisely BECAUSE the tombstone existed: re-adding a dropped
+    * name is refused forever since old files' bytes would resurrect
+    * into a semantically NEW column — but undrop's intent is the
+    * opposite: bring back the OLD column, whose values in old files
+    * are its own. The tombstone guarantees the name was never recycled
+    * in between, so the resurrection is exact:
+    *
+    *  - rows written BEFORE the drop read their original values back;
+    *  - rows written DURING the dropped window read NULL (they carry
+    *    no bytes for it — exactly an added column's backfill);
+    *  - the rename lineage returns with the field, so pre-rename-era
+    *    files keep resolving through the alias projection.
+    *
+    * Metadata-only (schema version +1, tombstone list rewritten);
+    * deliberately NOT wired to SQL `ADD COLUMN` — silently turning an
+    * ADD into a resurrection is the exact hazard the tombstone blocks;
+    * the explicit surface is this API and `CALL lake.undrop_column`.
+    * Era reads stay honest: pins inside the dropped window still
+    * resolve era declarations without the column. Refuses when the
+    * name is live, was never declared in a retained schema version,
+    * or is retired only as a RENAME alias (undrop un-drops; it does
+    * not un-rename — the live column already owns those files). */
+  def undropColumn(spark: SparkSession, lakePath: String,
+                   name: String): Long = {
+    val fs = new Path(lakePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, lakePath).getOrElse(
+      throw new IllegalStateException(
+        s"UNDROP COLUMN needs a declared schema: $lakePath"))
+    val cur = at(fs, lakePath, v)
+    if (cur.fields.exists(_.name.equalsIgnoreCase(name)))
+      throw new IllegalArgumentException(
+        s"UNDROP COLUMN $name: the column is live")
+    // a name retired as a live column's RENAME alias is not a drop —
+    // the bytes belong to the renamed column
+    val aliasOwner = cur.fields.find(f =>
+      aliasesOf(f).exists(_.equalsIgnoreCase(name)))
+    aliasOwner.foreach { f =>
+      throw new IllegalArgumentException(
+        s"UNDROP COLUMN $name: it is a retired physical name of live " +
+          s"column '${f.name}' (renamed, not dropped)")
+    }
+    val dropLines =
+      if (!fs.exists(retiredPath(lakePath))) Seq.empty[String]
+      else SidecarIO.readLines(fs, retiredPath(lakePath))
+    def decoded(l: String): Option[String] =
+      scala.util.Try(new String(java.util.Base64.getDecoder.decode(l),
+        java.nio.charset.StandardCharsets.UTF_8)).toOption
+    if (!dropLines.flatMap(decoded(_)).exists(_.equalsIgnoreCase(name)))
+      throw new IllegalArgumentException(
+        s"UNDROP COLUMN $name: not a dropped column (tombstones: " +
+          s"${retiredNames(fs, lakePath).mkString(", ")})")
+    // the field comes back EXACTLY as last declared — newest retained
+    // schema version that carried it donates type + rename lineage
+    val donor = versions(fs, lakePath).sorted.reverse.iterator
+      .map(at(fs, lakePath, _))
+      .flatMap(_.fields.find(_.name.equalsIgnoreCase(name)))
+      .nextOption()
+      .getOrElse(throw new IllegalArgumentException(
+        s"UNDROP COLUMN $name: no retained schema version declares it"))
+    // release the tombstone for the field AND its rename lineage (the
+    // lineage returns as field metadata, where retiredNames re-covers
+    // it as a live alias — never double-listed, never lost)
+    val release = (donor.name +: aliasesOf(donor)).map(_.toLowerCase).toSet
+    val kept = dropLines.filterNot(l =>
+      decoded(l).exists(d => release(d.toLowerCase)))
+    replaceRetired(fs, lakePath, kept)
+    publish(fs, lakePath, v + 1,
+      StructType(cur.fields :+ donor.copy(nullable = true)))
     v + 1
   }
 

@@ -224,6 +224,48 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       Set((1, 1.5f), (2, 2.5f), (3, 3.5f)))
   }
 
+  test("era schema composes with deletion vectors and the SQL pin") {
+    import spark.implicits._
+    val s = spark
+    s.conf.set("spark.sql.catalog.lake",
+      classOf[graft.sources.LakeCatalog].getName)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-era-dv").toString + "/lake"
+    Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+      .toDF("id", "n", "tag").write.parquet(dir)
+    History.enableManifests(spark, dir): Unit
+    History.declareSchema(spark, dir): Unit                   // schema 1
+    // a DV takedown UNDER the pre-drop schema (no files rewritten)
+    History.deleteWhereDV(spark, dir, col("id") === 2L, 1000L): Unit
+    val vPre = History.versions(spark, dir).last
+    SchemaLog.dropColumn(spark, dir, "tag"): Unit             // schema 2
+    History.append(spark, dir, Seq((4L, 40L)).toDF("id", "n"),
+      key = "e2"): Unit
+    // the engine pin: era schema (tag present) AND the vectors applied
+    val pre = History.readPinned(spark, dir, vPre)
+    assert(pre.schema.fieldNames.toSeq === Seq("id", "n", "tag"))
+    assert(pre.select("id", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "a"), (3L, "c")))
+    // the SQL pin routes the DV-bearing era snapshot through the
+    // engine read (PinnedLakeTable) — same schema, same row set
+    val viaSql = s.sql(
+      s"SELECT id, tag FROM lake.`$dir` VERSION AS OF $vPre")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaSql === Set((1L, "a"), (3L, "c")))
+    // the pinned table advertises the ERA schema version it resolves
+    val cat = s.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val pinned = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array.empty, dir), vPre.toString)
+    assert(pinned.properties().get("graft.schema.version") === "1")
+    assert(pinned.schema().fieldNames.toSeq === Seq("id", "n", "tag"))
+    // latest keeps the present declaration
+    assert(History.readPinned(spark, dir).schema.fieldNames.toSeq ===
+      Seq("id", "n"))
+  }
+
   test("era schema: a pinned export carries the as-of declaration") {
     import spark.implicits._
     val dir = java.nio.file.Files
@@ -255,6 +297,86 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     History.exportSnapshot(spark, dir, dest2): Unit
     assert(History.readPinned(spark, dest2).schema.fieldNames.toSeq ===
       Seq("id", "n"))
+  }
+
+  test("undrop: the tombstone-releasing undo resurrects original " +
+      "values exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-undrop").toString + "/lake"
+    Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "n", "tag")
+      .write.parquet(dir)
+    History.enableManifests(spark, dir): Unit
+    History.declareSchema(spark, dir): Unit                   // s1
+    SchemaLog.dropColumn(spark, dir, "tag"): Unit             // s2
+    // the dropped window: writes carry no tag bytes
+    History.append(spark, dir, Seq((3L, 30L)).toDF("id", "n"),
+      key = "win"): Unit
+    // re-adding under a NEW identity still refuses (the hazard)
+    intercept[IllegalArgumentException] {
+      History.evolveSchema(spark, dir, StructType(
+        History.declaredSchema(spark, dir).get.fields :+
+          StructField("tag", StringType)))
+    }
+    // the EXPLICIT undo: field returns as last declared
+    SchemaLog.undropColumn(spark, dir, "tag"): Unit           // s3
+    History.append(spark, dir,
+      Seq((4L, 40L, "d")).toDF("id", "n", "tag"), key = "e3"): Unit
+    val rows = History.readPinned(spark, dir)
+      .select("id", "tag").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(rows === Set((1L, Some("a")), (2L, Some("b")),
+      (3L, None), (4L, Some("d"))))
+    // the tombstone is RELEASED — but the live column blocks re-add
+    // through the exists check, and undropping a live column refuses
+    intercept[IllegalArgumentException] {
+      SchemaLog.undropColumn(spark, dir, "tag")
+    }
+    intercept[IllegalArgumentException] {
+      SchemaLog.undropColumn(spark, dir, "never_existed")
+    }
+  }
+
+  test("undrop: a dropped RENAMED column returns with its lineage; " +
+      "rename aliases alone refuse") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-undrop-ren").toString + "/lake"
+    Seq((1L, "x")).toDF("id", "v").write.parquet(dir)
+    History.enableManifests(spark, dir): Unit
+    History.declareSchema(spark, dir): Unit
+    SchemaLog.renameColumn(spark, dir, "v", "w"): Unit
+    // un-dropping the retired ALIAS of a live column refuses (that is
+    // a rename, not a drop — the live column owns those files)
+    val e = intercept[IllegalArgumentException] {
+      SchemaLog.undropColumn(spark, dir, "v")
+    }
+    assert(e.getMessage.contains("renamed"), e.getMessage)
+    SchemaLog.dropColumn(spark, dir, "w"): Unit
+    SchemaLog.undropColumn(spark, dir, "w"): Unit
+    // the lineage came back with the field: pre-rename files still
+    // resolve their `v` bytes under `w`
+    assert(History.readPinned(spark, dir).select("id", "w").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === Set((1L, "x")))
+  }
+
+  test("two drops on one lake compose (tombstone file rewrite, not " +
+      "no-overwrite collision)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-2drop").toString + "/lake"
+    Seq((1L, 10L, "a", 1.5d)).toDF("id", "n", "tag", "score")
+      .write.parquet(dir)
+    History.enableManifests(spark, dir): Unit
+    History.declareSchema(spark, dir): Unit
+    SchemaLog.dropColumn(spark, dir, "tag"): Unit
+    // the SECOND drop re-publishes the retired list over the first's
+    // file — the no-overwrite primitive would collide here
+    SchemaLog.dropColumn(spark, dir, "score"): Unit
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(SchemaLog.retiredNames(fs, dir).toSet === Set("tag", "score"))
+    assert(History.readPinned(spark, dir).columns.toSeq === Seq("id", "n"))
   }
 
   test("illegal evolutions are rejected") {
