@@ -569,7 +569,13 @@ object History {
     * references was validated against a declaration ≤ the stamp.
     * Manifests that predate the stamp (and undeclared-at-commit lakes
     * that declared later) fall back to the current declaration — the
-    * old contract, still the right one when no era record exists. */
+    * old contract, still the right one when no era record exists.
+    * Stamp granularity: metadata-only schema changes (evolve, rename,
+    * drop, undrop) do NOT publish a manifest version, so a pin — or a
+    * tag — taken BETWEEN a metadata change and the next data commit
+    * resolves the declaration as of the last COMMIT: the change
+    * becomes pin-visible at the next committed version, while latest
+    * reads see it immediately. */
   def readPinned(spark: SparkSession, path: String, version: Long): DataFrame =
     readPinned(spark, path, version, eraSchema = true)
 

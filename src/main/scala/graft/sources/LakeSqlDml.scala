@@ -176,14 +176,17 @@ object LakeDmlRule {
     *
     * The subquery conjunct may ride under a conjunction with plain
     * TARGET-side conditions — they become the op's residual condition
-    * (same [[byName]] discipline). Correlated NOT IN (NULL-laden
-    * three-valued semantics), non-equality correlation, multi-value
-    * IN, and outer references outside the subquery's own top Filter
-    * all return None — the caller falls through to the loud generic
-    * refusal. Decorrelation happens at RESOLUTION time (the extension
-    * rule runs before the optimizer pulls correlated predicates up, so
-    * the equalities still sit inside the plan as [[OuterReference]]
-    * conjuncts). */
+    * (same [[byName]] discipline). SEVERAL subquery conjuncts are
+    * accepted when all are [NOT] EXISTS arms correlated on the same
+    * target column set — they fold into ONE frame by set algebra
+    * ([[compoundExistsShape]]). Correlated NOT IN routes separately
+    * ([[notInShape]] — exact under a proven-non-null inner value);
+    * non-equality correlation, multi-value IN, and outer references
+    * outside the subquery's own top Filter all return None — the
+    * caller falls through to the loud generic refusal. Decorrelation
+    * happens at RESOLUTION time (the extension rule runs before the
+    * optimizer pulls correlated predicates up, so the equalities
+    * still sit inside the plan as [[OuterReference]] conjuncts). */
   /** Fit to evaluate inside a subquery's own decorrelated plan:
     * outer-free, subquery-free, deterministic (the engine ops evaluate
     * the frame in several passes). */

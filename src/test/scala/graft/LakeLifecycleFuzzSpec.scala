@@ -56,7 +56,7 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
       .map { case (id, p, v) => id -> (p, v) }.toMap
   }
 
-  private def runSequence(seed: Long, nOps: Int,
+  private[graft] def runSequence(seed: Long, nOps: Int,
                           sharded: Boolean = false,
                           keyed: Boolean = false,
                           tagged: Boolean = false,
@@ -621,14 +621,22 @@ class LakeLifecycleFuzzSpec extends AnyFunSuite {
       if (tagged) {
         // every live pin must read back EXACTLY the image it pinned,
         // whatever deletes/merges/clusters/grace-0 vacuums ran since —
-        // under the PIN-ERA column name (a tagged manifest's schema
-        // stamp names the column as declared at its commit; the
-        // current-name fallback covers pre-stamp pins, whose era
-        // resolution falls back to the present declaration)
+        // under the PIN-ERA column name: a tagged manifest's schema
+        // STAMP names the column as declared at its COMMIT, which can
+        // lag the name at tag-creation time (a metadata-only rename
+        // between data commits becomes pin-visible only at the next
+        // commit — the documented stamp contract), so the value column
+        // resolves from the frame itself: the one declared name the
+        // era actually carries ("v" or a rename-generation "v_rK");
+        // pre-stamp pins fall back to the present declaration the
+        // same way
         import spark.implicits._
         for ((name, (pinName, snap)) <- tagModel) {
           val df = History.readTag(spark, lake, name)
-          val vc = if (df.columns.contains(pinName)) pinName else vName
+          val vc =
+            if (df.columns.contains(pinName)) pinName
+            else df.columns.filter(c => c == "v" || c.startsWith("v_r"))
+              .sorted.lastOption.getOrElse(vName)
           val got = df
             .select("id", "part", vc).as[(Long, String, Long)].collect()
             .map { case (id, p, v) => id -> (p, v) }.toMap
