@@ -1209,11 +1209,15 @@ object History {
             m.cur.size.toLong),
           prev.map(_ => (prevCur -- m.curSet).size.toLong).getOrElse(0L),
           tagsByV.getOrElse(m.version, ""),
-          m.dvs.size.toLong))
+          m.dvs.size.toLong,
+          // the SNAPSHOT-ERA schema stamp this version's pins resolve
+          // (null = pre-stamp / undeclared-at-commit — era resolution
+          // falls back to the present declaration)
+          m.schemaV.map(java.lang.Long.valueOf).orNull))
     }
     import spark.implicits._
     rows.toDF("version", "committed_at", "n_files", "n_retired",
-      "n_added", "n_removed", "tags", "n_dv_files")
+      "n_added", "n_removed", "tags", "n_dv_files", "schema_version")
   }
 
   /** The files ADDED by the commits in (fromVersion, toVersion] — the

@@ -310,7 +310,8 @@ class LakeCatalog extends TableCatalog
       "history" -> ((st("version" -> LongType, "committed_at" -> LongType,
           "n_files" -> LongType, "n_retired" -> LongType,
           "n_added" -> LongType, "n_removed" -> LongType,
-          "tags" -> StringType, "n_dv_files" -> LongType),
+          "tags" -> StringType, "n_dv_files" -> LongType,
+          "schema_version" -> LongType),
         (s: SparkSession, p: String) => History.describeHistory(s, p))),
       "files" -> ((st("file" -> StringType, "dv_file" -> StringType,
           "n_rows" -> LongType),

@@ -266,6 +266,46 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       Seq("id", "n"))
   }
 
+  test("stamp granularity: metadata-only DDL becomes pin-visible at " +
+      "the NEXT commit; #history audits the stamps") {
+    import spark.implicits._
+    val s = spark
+    s.conf.set("spark.sql.catalog.lake",
+      classOf[graft.sources.LakeCatalog].getName)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-era-gran").toString + "/lake"
+    Seq((1L, "x")).toDF("id", "label").write.parquet(dir)
+    History.enableManifests(spark, dir): Unit                 // v1 no stamp
+    History.declareSchema(spark, dir): Unit                   // schema 1
+    History.append(spark, dir, Seq((2L, "y")).toDF("id", "label"),
+      key = "e1"): Unit                                        // v2 @s1
+    val vPre = History.versions(spark, dir).last
+    SchemaLog.renameColumn(spark, dir, "label", "name"): Unit // schema 2
+    // a TAG taken between the rename and the next data commit pins the
+    // last COMMIT — its era is still schema 1 (the documented stamp
+    // contract: metadata-only DDL publishes no manifest version), so
+    // the pin answers under the OLD name while latest already renamed
+    History.tag(spark, dir, "between"): Unit
+    assert(History.readTag(spark, dir, "between")
+      .schema.fieldNames.toSeq === Seq("id", "label"))
+    assert(History.readPinned(spark, dir).schema.fieldNames.toSeq ===
+      Seq("id", "name"))
+    // the next commit carries the new stamp; pins from here see it
+    History.append(spark, dir, Seq((3L, "z")).toDF("id", "name"),
+      key = "e2"): Unit                                        // v3 @s2
+    val vPost = History.versions(spark, dir).last
+    assert(History.readPinned(spark, dir, vPost)
+      .schema.fieldNames.toSeq === Seq("id", "name"))
+    // #history audits exactly which stamp each version's pins resolve
+    val stamps = s.sql(
+      s"SELECT version, schema_version FROM lake.`$dir#history`")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(stamps(1L) === None)        // pre-declaration commit
+    assert(stamps(vPre) === Some(1L))  // pre-rename era
+    assert(stamps(vPost) === Some(2L)) // post-rename era
+  }
+
   test("era schema: a pinned export carries the as-of declaration") {
     import spark.implicits._
     val dir = java.nio.file.Files
