@@ -766,9 +766,21 @@ object Dedup {
     * Input must be one row per distinct (id, gram). */
   def ngramJaccardPairs(grams: DataFrame, idCol: String, gramCol: String,
                         maxDocFreq: Int, minJaccard: Double): DataFrame = {
-    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col(gramCol))
-    val g = grams.withColumn("_df", count(lit(1)).over(wg))
-      .filter(col("_df") <= maxDocFreq).drop("_df")
+    // document frequency is an aggregate on the gram-keyed exchange
+    // joined back in place — NEVER count().over(Window.partitionBy(gram)):
+    // a window must buffer every occurrence of a hot boilerplate gram in
+    // ONE task's partition before the cap can drop it, while the
+    // aggregate partial-combines map-side and streams (the same de-skew
+    // applied to dupSpanIslands, ADVICE r17 / VERDICT r18). The vacuous
+    // max(id) anchor keeps the count branch referencing idCol so column
+    // pruning doesn't shrink its exchange below the probe side's and
+    // break ReusedExchange canonicalization (the t22 lesson).
+    val g0 = grams.repartition(col(gramCol))
+    val keep = g0.groupBy(col(gramCol))
+      .agg(count(lit(1)).as("_df"), max(col(idCol)).as("_a"))
+      .filter(col("_df") <= maxDocFreq && col("_a").isNotNull)
+      .select(col(gramCol))
+    val g = g0.join(keep, Seq(gramCol))
     val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val a = g.select(col(idCol).as("a_id"), col(gramCol).as("g"))
     val b = g.select(col(idCol).as("b_id"), col(gramCol).as("g"))

@@ -769,6 +769,39 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
         s"re-scan:\n${plan.toString.take(1500)}")
   }
 
+  test("plan quality: d04 computes gram df as aggregate+join, never a window") {
+    // the hot-gram document-frequency cap must be a groupBy on the
+    // gram-keyed exchange joined back in place (partial-combining, so a
+    // boilerplate gram shared by F docs streams through the aggregate),
+    // never count().over(Window.partitionBy(gram)) — a window buffers
+    // all F occurrences in ONE task before the cap can drop them (the
+    // identical skew the r17 ADVICE removed from dupSpanIslands). The
+    // df branch must reuse the probe side's gram exchange, and the
+    // corpus is scanned once.
+    val df = SparkEntry.queries("d04_ngram_jaccard")(spark,
+      "/root/testdata/sf0.001")
+    df.collect(): Unit
+    val plan = df.queryExecution.executedPlan
+    def finalized(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+      }
+    val roots = (plan +: finalized(plan)).map(
+      _.toString.split("== Initial Plan ==").head)
+    assert(!roots.exists(_.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("g#"))),
+      s"d04 gram df must not be a gram-keyed window:\n" +
+        plan.toString.take(1500))
+    val scans = roots.map(s =>
+      "documents\\.parquet".r.findAllIn(s).length).max
+    assert(scans <= 1,
+      s"d04 must scan the corpus once:\n${plan.toString.take(1500)}")
+    assert(roots.exists(_.contains("ReusedExchange")),
+      s"d04's df branch must reuse the gram exchange, not re-scan:\n" +
+        plan.toString.take(1500))
+  }
+
   test("plan quality: q44 scans lineitem once; window rides the join shuffle") {
     // the double-EXISTS decorrelation computes per-order cardinalities
     // as WINDOW aggregates over the join output instead of a second
