@@ -178,6 +178,16 @@ object Bench {
       new String(java.nio.file.Files.readAllBytes(p),
         java.nio.charset.StandardCharsets.UTF_8).trim
     }.toOption.filter(s => s.startsWith("{") && s.length < 2000)
+      // must actually PARSE as one JSON value: a truncated/malformed
+      // ledger (valid "{" prefix, bad body) spliced verbatim would
+      // corrupt the one tail line downstream tooling parses (ADVICE
+      // r18) — omit the field instead, as for absent/oversized files
+      .filter(s => scala.util.Try {
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        m.enable(com.fasterxml.jackson.databind.DeserializationFeature
+          .FAIL_ON_TRAILING_TOKENS)
+        m.readValue(s, classOf[com.fasterxml.jackson.databind.JsonNode])
+      }.isSuccess)
     val quietField =
       quietPairs.map(s => s""","quiet_pairs":$s""").getOrElse("")
     // Compact total-only line as the VERY LAST stdout line (after

@@ -737,7 +737,12 @@ object FileManifest {
     if (isSharded(fs, lakePath, v)) v
     else {
       val m = readVersion(fs, lakePath, v)
-      publishSharded(fs, lakePath, Manifest(v + 1, m.cur, m.retired, m.dvs))
+      // stamp here too: this bypasses publish() (which would route a
+      // not-yet-sharded lake back to a flat write), and an unstamped
+      // conversion version would silently fall back to the present
+      // declaration under an era time-travel pin (ADVICE r18)
+      publishSharded(fs, lakePath, Manifest(v + 1, m.cur, m.retired, m.dvs)
+        .copy(schemaV = SchemaLog.latestVersion(fs, lakePath)))
       v + 1
     }
   }

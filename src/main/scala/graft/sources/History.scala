@@ -1901,6 +1901,99 @@ object History {
     }
   }
 
+  /** COPY-ON-WRITE image of [[deleteMatchedDV]] — for deletes denser
+    * than the DV position cap, where the honest shape is the rewrite:
+    * same victim semantics (semi-join on `keyCols`, `extraCond` gates
+    * first, NULL keeps the row), but affected files are rewritten
+    * minus the victims instead of vectored, so no positions ever pass
+    * through the driver. The SQL DELETE surface falls back here on
+    * [[DvCapExceededException]] (ADVICE r18). */
+  def deleteMatched(spark: SparkSession, path: String,
+                    keys: DataFrame, keyCols: Seq[String],
+                    extraCond: Option[org.apache.spark.sql.Column] = None)
+      : (Int, Long) =
+    frameDeleteImpl(spark, path, keys, keyCols, extraCond, anti = false)
+
+  /** COPY-ON-WRITE image of [[deleteUnmatchedDV]] — the dense-delete
+    * fallback for the anti-join arm (NOT IN / NOT MATCHED BY SOURCE):
+    * rows whose key finds no match in `keys` (NULL-keyed rows match
+    * nothing, so they delete, exactly the DV route's semantics) are
+    * dropped by rewriting their files. */
+  def deleteUnmatched(spark: SparkSession, path: String,
+                      keys: DataFrame, keyCols: Seq[String],
+                      extraCond: Option[org.apache.spark.sql.Column] = None)
+      : (Int, Long) =
+    frameDeleteImpl(spark, path, keys, keyCols, extraCond, anti = true)
+
+  /** Frame-keyed copy-on-write delete, both polarities. Two passes
+    * like [[deleteImpl]]: (1) one column-pruned scan semi/anti-joins
+    * the current files against the DISTINCT key frame to find the
+    * affected files and the deleted-row count (the collect is bounded
+    * by the affected FILE count, never rows); (2) one job rewrites
+    * just those files keeping every row that fails the residual or is
+    * on the surviving side of the key join (a left-outer hit flag —
+    * the key frame is distinct, so the join never duplicates rows).
+    * Commit tail is the shared [[promoteAndFlip]] OCC flip. */
+  private def frameDeleteImpl(spark: SparkSession, path: String,
+      keys: DataFrame, keyCols: Seq[String],
+      extraCond: Option[org.apache.spark.sql.Column],
+      anti: Boolean): (Int, Long) = {
+    require(keyCols.nonEmpty, "frame delete needs key columns")
+    require(keyCols.forall(keys.columns.contains),
+      s"keys frame missing key columns: ${keyCols.mkString(",")}")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qRoot = fs.makeQualified(root)
+    val m = FileManifest.latest(fs, path).getOrElse(
+      throw new IllegalStateException(
+        s"frame delete needs a manifest-mode lake (enableManifests): " +
+          path))
+    if (m.cur.isEmpty) return (0, 0L)
+    val k = keys.select(keyCols.map(col): _*).distinct()
+    val relByAbs: Map[String, String] = m.cur.map(rel =>
+      new org.apache.hadoop.fs.Path(qRoot, rel).toString -> rel).toMap
+    // pass 1: affected files + deleted-row count (vector-applied scan,
+    // so already-DV-deleted rows neither recount nor rewrite-match)
+    val scan = planManifest(spark, fs, root, m)
+    val base = extraCond.map(scan.filter).getOrElse(scan)
+    val hits = base.select(
+        col("_metadata.file_path").as("__graft_fp") +:
+          keyCols.map(col): _*)
+      .join(k, keyCols, if (anti) "left_anti" else "left_semi")
+      .groupBy(col("__graft_fp")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (hits.isEmpty) return (0, 0L)
+    val rowsDeleted = hits.map(_._2).sum
+    val affected: Seq[String] = hits.map { case (fp, _) =>
+      relByAbs.getOrElse(new org.apache.hadoop.fs.Path(fp).toString,
+        throw new IllegalStateException(
+          s"matched file not in the planned manifest: $fp"))
+    }.toSeq.sorted
+    val partCols = uniformPartCols(path, affected)
+    // pass 2: rewrite the affected files minus the victims. keep =
+    // NOT (residual passes AND key side selects) — NULL residual keeps
+    // the row (SQL DELETE), NULL-keyed rows never join-match, so under
+    // anti they are victims and under semi they survive, matching the
+    // DV route exactly
+    val stage = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(deleteStagingDir(path)))
+    fs.delete(stage, true): Unit
+    val residual = coalesce(extraCond.getOrElse(lit(true)), lit(false))
+    val victimKey = if (anti) col("__graft_hit").isNull
+                    else col("__graft_hit").isNotNull
+    val keep = rewriteScan(spark, fs, qRoot, path, m, affected)
+      .join(k.withColumn("__graft_hit", lit(1)), keyCols, "left_outer")
+      .filter(!(residual && victimKey))
+      .drop("__graft_hit")
+    val writer = keep.write.mode("overwrite")
+      .option("maxRecordsPerFile", 5000000L)
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(stage.toString)
+    promoteAndFlip(fs, qRoot, path, stage, s"d${m.version + 1}-", affected,
+      dvSeenOf(m, affected))
+    (affected.size, rowsDeleted)
+  }
+
   /** Shared DV-delete tail: run `victimsOf` over the (vector-applied)
     * scan of the current files, collect the matched positions under
     * the cap, write per-file union vectors, one OCC pointer commit. */

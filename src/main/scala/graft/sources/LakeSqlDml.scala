@@ -998,6 +998,19 @@ private[sources] object DmlCompensation {
       catch { case e: Throwable =>
         val ours: Set[Long] =
           witnessed.collect { case (p, v) if p == path => v }.toSet
+        // a statement that committed onto a lake with NO base version
+        // cannot compensate (there is nothing to restore to) — but the
+        // caller must still learn commits landed, not just see the
+        // original failure (ADVICE r18); unreachable for current NOT IN
+        // callers (manifest-mode lakes with data), a trap for future
+        // multi-commit statements on fresh lakes
+        if (ours.nonEmpty && v0.isEmpty)
+          e.addSuppressed(new IllegalStateException(
+            s"$what at $path is PARTIALLY applied: version(s) " +
+              s"${ours.toSeq.sorted.mkString(", ")} landed but the " +
+              "lake had no version before the statement, so a " +
+              "compensating restore-to-base is impossible; reconcile " +
+              "from #history / History.restore manually"))
         if (ours.nonEmpty && v0.isDefined &&
             FileManifest.latestVersion(fsys, path) != v0) {
           val foreign = FileManifest.versions(fsys, path)
@@ -1225,10 +1238,20 @@ case class GraftDeleteCommand(path: String, condition: Option[Column],
         // BEFORE the first commit, so a subquery reading this same lake
         // cannot observe the first arm; DVs never alter surviving rows'
         // bytes, so the arms compose exactly. Failure between the two
-        // commits compensates (DmlCompensation).
+        // commits compensates (DmlCompensation). An arm denser than the
+        // DV cap falls back to the copy-on-write anti-join rewrite like
+        // every other DELETE shape (ADVICE r18) — inside the
+        // compensation window, so a failure AFTER a COW arm still
+        // restores the statement's base version.
         val probe = col(ni.probeCol)
         def withResidual(c: Column): Column =
           ni.residual.map(_ && c).getOrElse(c)
+        def unmatchedDelete(keys: org.apache.spark.sql.DataFrame,
+                            kc: Seq[String], cond: Column): (Int, Long) =
+          try History.deleteUnmatchedDV(spark, path, keys, kc,
+            Some(cond), cap)
+          catch { case _: DvCapExceededException =>
+            History.deleteUnmatched(spark, path, keys, kc, Some(cond)) }
         val pairKeys = DatasetBridge.ofRows(spark, ni.pairFrame)
         val keyKeys = DatasetBridge.ofRows(spark, ni.keyFrame)
         pairKeys.persist(
@@ -1239,10 +1262,10 @@ case class GraftDeleteCommand(path: String, condition: Option[Column],
           pairKeys.count(): Unit
           keyKeys.count(): Unit
           DmlCompensation.compensated(spark, path, "DELETE") {
-            val (f1, n1) = History.deleteUnmatchedDV(spark, path, pairKeys,
-              ni.pairCols, Some(withResidual(probe.isNotNull)), cap)
-            val (f2, n2) = History.deleteUnmatchedDV(spark, path, keyKeys,
-              ni.keyCols, Some(withResidual(probe.isNull)), cap)
+            val (f1, n1) = unmatchedDelete(pairKeys, ni.pairCols,
+              withResidual(probe.isNotNull))
+            val (f2, n2) = unmatchedDelete(keyKeys, ni.keyCols,
+              withResidual(probe.isNull))
             (f1 + f2, n1 + n2)
           }
         } finally {
@@ -1253,16 +1276,24 @@ case class GraftDeleteCommand(path: String, condition: Option[Column],
       case (None, _, _, Some(cm)) =>
         // decorrelated [NOT] EXISTS / correlated IN: one distributed
         // key-frame semi/anti join, merge-on-read DVs. A delete denser
-        // than the DV cap fails with the typed over-cap advice — raise
-        // the cap or restate; there is no keyed COW image for a frame
-        // this side of materialization.
+        // than the DV cap falls back to the frame-keyed copy-on-write
+        // rewrite (History.deleteMatched/deleteUnmatched) — the SQL
+        // surface runs both shapes like every other DELETE route.
         val keys = DatasetBridge.ofRows(spark, cm.keysPlan)
         keys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          if (cm.anti) History.deleteUnmatchedDV(spark, path, keys,
-            cm.keyCols, cm.residual, cap)
-          else History.deleteMatchedDV(spark, path, keys, cm.keyCols,
-            cap, cm.residual)
+          if (cm.anti)
+            try History.deleteUnmatchedDV(spark, path, keys,
+              cm.keyCols, cm.residual, cap)
+            catch { case _: DvCapExceededException =>
+              History.deleteUnmatched(spark, path, keys, cm.keyCols,
+                cm.residual) }
+          else
+            try History.deleteMatchedDV(spark, path, keys, cm.keyCols,
+              cap, cm.residual)
+            catch { case _: DvCapExceededException =>
+              History.deleteMatched(spark, path, keys, cm.keyCols,
+                cm.residual) }
         } finally keys.unpersist(blocking = false): Unit
       case (None, _, Some((k, plan)), _) =>
         val vs = SubqueryKeys.materialize(spark, plan, s"DELETE … $k")

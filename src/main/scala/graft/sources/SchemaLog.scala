@@ -515,8 +515,12 @@ object SchemaLog {
     * Era reads stay honest: pins inside the dropped window still
     * resolve era declarations without the column. Refuses when the
     * name is live, was never declared in a retained schema version,
-    * or is retired only as a RENAME alias (undrop un-drops; it does
-    * not un-rename — the live column already owns those files). */
+    * or is retired only as a RENAME alias — of a live column (which
+    * already owns those files) or of a later-dropped one (undrop the
+    * drop-time FINAL name instead; resurrecting the pre-rename
+    * declaration would orphan the lineage and let a second undrop
+    * declare two live columns over the same bytes). Undrop un-drops;
+    * it does not un-rename. */
   def undropColumn(spark: SparkSession, lakePath: String,
                    name: String): Long = {
     val fs = new Path(lakePath)
@@ -548,13 +552,41 @@ object SchemaLog {
         s"UNDROP COLUMN $name: not a dropped column (tombstones: " +
           s"${retiredNames(fs, lakePath).mkString(", ")})")
     // the field comes back EXACTLY as last declared — newest retained
-    // schema version that carried it donates type + rename lineage
+    // schema version that carried it donates type + rename lineage.
+    // The name must be the dropped field's FINAL name: a name retired
+    // only as rename LINEAGE of a later-dropped column (rename a→b,
+    // then drop b) must not resurrect its pre-rename declaration —
+    // that would revive 'a' without b's lineage, and a later UNDROP b
+    // would then declare TWO live columns resolving the same physical
+    // bytes (ADVICE r18). Newest-first, the first retained schema
+    // touching the name adjudicates: a field NAMED `name` donates; a
+    // field merely carrying `name` as an alias refuses, naming the
+    // final name to undrop instead.
     val donor = versions(fs, lakePath).sorted.reverse.iterator
       .map(at(fs, lakePath, _))
-      .flatMap(_.fields.find(_.name.equalsIgnoreCase(name)))
+      .flatMap(_.fields.find(f => f.name.equalsIgnoreCase(name) ||
+        aliasesOf(f).exists(_.equalsIgnoreCase(name))))
       .nextOption()
       .getOrElse(throw new IllegalArgumentException(
         s"UNDROP COLUMN $name: no retained schema version declares it"))
+    if (!donor.name.equalsIgnoreCase(name))
+      throw new IllegalArgumentException(
+        s"UNDROP COLUMN $name: it is retired rename lineage of " +
+          s"dropped column '${donor.name}' — UNDROP COLUMN " +
+          s"${donor.name} brings the field back (lineage included); " +
+          "undrop does not un-rename")
+    // defense in depth: the donor returns with its whole lineage, and
+    // none of those names may collide with a live column's name or
+    // alias (unreachable under the lineage refusal above, but the
+    // duplicate-free one-scan read schema is cheap to assert here)
+    val liveNames = cur.fields.flatMap(f => f.name +: aliasesOf(f))
+      .map(_.toLowerCase).toSet
+    val clash = (donor.name +: aliasesOf(donor))
+      .map(_.toLowerCase).filter(liveNames)
+    if (clash.nonEmpty)
+      throw new IllegalArgumentException(
+        s"UNDROP COLUMN $name: its lineage (${clash.mkString(", ")}) " +
+          "collides with a live column's name or alias")
     // release the tombstone for the field AND its rename lineage (the
     // lineage returns as field metadata, where retiredNames re-covers
     // it as a live alias — never double-listed, never lost)

@@ -1260,6 +1260,40 @@ class LakeCatalogSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.dml.dvMaxPositions")
   }
 
+  test("dense frame-keyed DELETEs (correlated EXISTS / NOT IN) fall " +
+      "back to copy-on-write like every other route") {
+    import spark.implicits._
+    val dir = lakeNullable()
+    val fs = fsOf(dir)
+    Seq(("en", 10L), ("en", 99L), ("fr", 7L)).toDF("l", "w")
+      .createOrReplaceTempView("notin_cow")
+    spark.conf.set("spark.graft.dml.dvMaxPositions", "1")
+    try {
+      // correlated NOT IN, 3 victims total: the non-null arm (rows
+      // 3, 4 > cap 1) must fall back to COW instead of failing; the
+      // null arm (row 5 alone) legally stays under the cap and lands
+      // a vector — each arm picks its own shape, the result is exact
+      spark.sql(s"""DELETE FROM lake.`$dir` t
+                    WHERE t.n_chars NOT IN (SELECT o.w FROM notin_cow o
+                                            WHERE o.l = t.lang
+                                              AND o.w IS NOT NULL)""")
+      val m1 = FileManifest.latest(fs, dir).get
+      assert(m1.dvs.size <= 1,
+        s"the dense arm must land copy-on-write, not vectors: ${m1.dvs}")
+      assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) === Seq(1L, 2L))
+      // correlated EXISTS (semi arm): both remaining rows are en →
+      // 2 victims > cap → the COW matched route
+      spark.sql(s"""DELETE FROM lake.`$dir` t
+                    WHERE EXISTS (SELECT 1 FROM notin_cow o
+                                  WHERE o.l = t.lang)""")
+      // no NEW vector landed for the 2-victim semi arm (the surviving
+      // d2-p1 vector belongs to the earlier null arm, whose file this
+      // delete never touched)
+      assert(FileManifest.latest(fs, dir).get.dvs.size <= 1)
+      assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) === Seq.empty)
+    } finally spark.conf.unset("spark.graft.dml.dvMaxPositions")
+  }
+
   test("INSERT OVERWRITE restates the whole lake in one flip") {
     val dir = lake()
     val fs = fsOf(dir)

@@ -400,6 +400,37 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet === Set((1L, "x")))
   }
 
+  test("undrop: a TOMBSTONED rename alias refuses, naming the final " +
+      "name (no pre-rename resurrection)") {
+    import spark.implicits._
+    // rename a→b, drop b: BOTH names tombstone. Undropping 'a' must
+    // refuse — resurrecting the pre-rename declaration would revive a
+    // field without b's lineage, and a later UNDROP b would then
+    // declare two live columns over the same physical bytes (ADVICE
+    // r18). The refusal names the drop-time FINAL name to undrop.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-undrop-lin").toString + "/lake"
+    Seq((1L, "x")).toDF("id", "a").write.parquet(dir)
+    History.enableManifests(spark, dir): Unit
+    History.declareSchema(spark, dir): Unit
+    SchemaLog.renameColumn(spark, dir, "a", "b"): Unit
+    SchemaLog.dropColumn(spark, dir, "b"): Unit
+    val e = intercept[IllegalArgumentException] {
+      SchemaLog.undropColumn(spark, dir, "a")
+    }
+    assert(e.getMessage.contains("rename lineage") &&
+      e.getMessage.contains("'b'"), e.getMessage)
+    // the sanctioned undo still works and brings the lineage back
+    SchemaLog.undropColumn(spark, dir, "b"): Unit
+    assert(History.readPinned(spark, dir).select("id", "b").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === Set((1L, "x")))
+    // and 'a' is re-covered as b's live alias — still not undroppable
+    val e2 = intercept[IllegalArgumentException] {
+      SchemaLog.undropColumn(spark, dir, "a")
+    }
+    assert(e2.getMessage.contains("renamed"), e2.getMessage)
+  }
+
   test("two drops on one lake compose (tombstone file rewrite, not " +
       "no-overwrite collision)") {
     import spark.implicits._

@@ -60,6 +60,24 @@ class ShardedManifestSpec extends AnyFunSuite {
     assert(ids(History.readPinned(spark, lake, 2L)) === flatImage)
   }
 
+  test("conversion stamps the declared schema version like any commit") {
+    // convertToSharded bypasses publish() (a not-yet-sharded lake would
+    // route back to a flat write), so it must stamp the schema version
+    // itself — an unstamped conversion version silently falls back to
+    // the PRESENT declaration under an era time-travel pin (ADVICE r18)
+    val lake = docsLake()
+    History.enableManifests(spark, lake): Unit
+    History.declareSchema(spark, lake): Unit
+    val sv = graft.sources.SchemaLog
+      .latestVersion(hadoopFs(lake), lake)
+    assert(sv.isDefined)
+    History.enableShardedManifests(spark, lake): Unit
+    val m = FileManifest.latest(hadoopFs(lake), lake).get
+    assert(m.schemaV === sv,
+      s"conversion version v${m.version} must carry the stamp $sv, " +
+        s"got ${m.schemaV}")
+  }
+
   test("a commit touching one partition rewrites exactly one shard") {
     val lake = docsLake()
     History.enableManifests(spark, lake): Unit
