@@ -137,18 +137,19 @@ object MaintenanceMain {
   private[graft] def leaseTtl(spark: SparkSession): Long =
     conf(spark, "leaseTtlMs").map(_.toLong).getOrElse(600000L)
 
-  /** Acquire/renew the configured lake's lease for this process.
-    * Throws [[graft.sources.LeaseHeldException]] when another daemon
-    * holds it. No-op when the lease is disabled (ttl 0). */
-  private[graft] def acquireLease(spark: SparkSession,
-                                  owner: String): Unit = {
+  /** Acquire/renew the configured lake's lease for this process —
+    * returned as the pass's FENCING TOKEN (see [[runOnce]]). Throws
+    * [[graft.sources.LeaseHeldException]] when another daemon holds
+    * it. None when the lease is disabled (ttl 0). */
+  private[graft] def acquireLease(spark: SparkSession, owner: String)
+      : Option[graft.sources.MaintenanceLease.Lease] = {
     val ttl = leaseTtl(spark)
-    if (ttl <= 0) return
+    if (ttl <= 0) return None
     val lake = conf(spark, "lake").getOrElse(throw new
         IllegalArgumentException("spark.graft.maintenance.lake required"))
     val fs = new org.apache.hadoop.fs.Path(lake)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.sources.MaintenanceLease.acquire(fs, lake, owner, ttl): Unit
+    Some(graft.sources.MaintenanceLease.acquire(fs, lake, owner, ttl))
   }
 
   private[graft] def releaseLease(spark: SparkSession,
@@ -162,12 +163,26 @@ object MaintenanceMain {
   }
 
   /** One full maintenance pass; returns the delivered range, if any.
-    * The testable unit — `main` loops this on the cadence. */
-  def runOnce(spark: SparkSession): Option[(Long, Long)] = {
+    * The testable unit — `main` loops this on the cadence. `lease` is
+    * the pass's FENCING TOKEN: the destructive sweeps (vacuum, feed
+    * expiry) re-verify it immediately before each delete batch, so a
+    * pass that outlived its TTL bounces with
+    * [[graft.sources.LeaseFencedException]] instead of deleting under
+    * a successor's lease. */
+  def runOnce(spark: SparkSession,
+              lease: Option[graft.sources.MaintenanceLease.Lease] = None)
+      : Option[(Long, Long)] = {
     val lake = conf(spark, "lake").getOrElse(throw new
         IllegalArgumentException("spark.graft.maintenance.lake required"))
     val feedDir = conf(spark, "feedDir").getOrElse(throw new
         IllegalArgumentException("spark.graft.maintenance.feedDir required"))
+    val fence: () => Unit = lease match {
+      case Some(tok) =>
+        val fs = new org.apache.hadoop.fs.Path(lake)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        () => graft.sources.MaintenanceLease.checkFence(fs, lake, tok)
+      case None => () => ()
+    }
     // validate the vacuum contract UP FRONT, before a full pass of
     // work: a zero grace gives in-flight readers and the feed's
     // diffable files no protection at all — size the grace to the
@@ -225,11 +240,13 @@ object MaintenanceMain {
       // transient FS error, hiding the chronically failing spec)
       try {
         val pin = LakeChangeFeed.highWater(spark, feedDir).toSet
-        History.vacuum(spark, lake, graceMs = g, keepVersions = pin): Unit
+        History.vacuum(spark, lake, graceMs = g, keepVersions = pin,
+          fence = fence): Unit
       } catch { case scala.util.control.NonFatal(e) => failures += e }
     }
     conf(spark, "feedKeepRanges").map(_.toInt).foreach(k =>
-      try LakeChangeFeed.expire(spark, feedDir, keepRanges = k): Unit
+      try LakeChangeFeed.expire(spark, feedDir, keepRanges = k,
+        fence = fence): Unit
       catch { case scala.util.control.NonFatal(e) => failures += e })
     failures.headOption.foreach { e =>
       failures.drop(1).foreach(s => e.addSuppressed(s))
@@ -272,8 +289,8 @@ object MaintenanceMain {
       // moment this loop dies. `once` mode propagates instead — a
       // one-shot caller wants the failure.
       try {
-        acquireLease(spark, owner)
-        runOnce(spark): Unit
+        val lease = acquireLease(spark, owner)
+        runOnce(spark, lease): Unit
       } catch {
         case e: graft.sources.LeaseHeldException =>
           log.error("another maintenance daemon holds this lake's " +

@@ -79,10 +79,28 @@ object Bpe {
       call_function("replace", acc, lit(s" $l  $r "), lit(s" $l$r "))
     }
 
-  /** The segmented token array. */
+  /** Above this many merges, [[tokens]]/[[tokenCount]] leave the
+    * k-replace chain (k string scans per row — fine at gate vocab,
+    * quadratic pain at a production 30k-merge table) for the
+    * single-pass [[graft.functions.BpeTokens]] expression, whose cost
+    * is vocabulary-size independent. Session knob so specs can force
+    * either path; both are exact and fuzz-locked equivalent. */
+  def chainMaxMerges: Int =
+    scala.util.Try(SparkSession.active.conf
+      .get("spark.graft.bpe.chainMaxMerges", "64").toInt).getOrElse(64)
+
+  /** The segmented token array — chained replaces at gate-sized
+    * vocabularies (oracle-replayable builtins), the single-pass table
+    * walk past [[chainMaxMerges]]. */
   def tokens(text: Column, merges: Seq[(String, String)]): Column =
-    filter(split(trim(applyMerges(text, merges)), " +"),
-      t => length(t) > 0)
+    if (merges.size <= chainMaxMerges)
+      filter(split(trim(applyMerges(text, merges)), " +"),
+        t => length(t) > 0)
+    else {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      ColumnBridge.column(graft.functions.BpeTokens(
+        ColumnBridge.expression(text), merges))
+    }
 
   /** Subword token count under the trained merges — the training-data
     * budgeting denomination. NULL text counts zero. */
@@ -123,24 +141,120 @@ object Bpe {
         .filter(col(textCol).isNotNull)
         .select(tokens(col(textCol), acc.toSeq).as("u"))
         .filter(size(col("u")) >= 2)
-      val pairs = units.select(explode(zip_with(
-          slice(col("u"), lit(1), size(col("u")) - 1),
-          slice(col("u"), lit(2), size(col("u")) - 1),
-          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-        // a pair whose RIGHT unit is a word-initial unit of the NEXT
-        // word never exists: the </w> marker unit intervenes, so
-        // cross-word pairs are (x, </w>) and (</w>, y) — the former
-        // is a legitimate end-of-word merge, the latter is excluded
-        // (merging across the marker would glue words)
-        .filter(col("p.l") =!= "</w>")
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(count(lit(1)).as("cnt"))
+      // merges must never cross a word boundary (the Sennrich
+      // convention): the </w> marker unit intervenes between words,
+      // so crossing candidates are exactly pairs whose LEFT unit is
+      // the bare marker or ENDS with it (a word-final merged symbol
+      // like `t</w>` followed by the next word's first unit) —
+      // excluded from training (pairCounts), and
+      // [[graft.functions.BpeTable]] refuses them at apply time, which
+      // is what makes per-word segmentation equivalent to the
+      // whole-stream replace chain
+      val pairs = pairCounts(units)
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
       if (pairs.isEmpty) return acc.toSeq
       acc += ((pairs(0).getString(0), pairs(0).getString(1)))
     }
     acc.toSeq
+  }
+
+  /** Adjacent-pair counts of a unit-array column — the trainer's one
+    * aggregation, shared by [[train]] and [[trainFast]]. Excludes
+    * word-crossing candidates (left unit is or ends with `</w>`). */
+  private def pairCounts(units: DataFrame): DataFrame =
+    units.select(explode(zip_with(
+        slice(col("u"), lit(1), size(col("u")) - 1),
+        slice(col("u"), lit(2), size(col("u")) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .filter(col("p.l") =!= "</w>" && !col("p.l").endsWith("</w>"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** PRODUCTION TRAINER: the same merges as [[train]] (equivalence is
+    * spec-locked), at O(numMerges / batch) Spark jobs instead of one
+    * per merge, with the unit stream CHECKPOINTED between rounds so a
+    * round costs its own batch of replaces — never a k-deep replay
+    * from raw text. On restart the caller re-derives from raw text
+    * (local checkpoints are process-lifetime state, the documented
+    * trainer contract).
+    *
+    * EXACT BATCHING: each round counts pairs once and takes not just
+    * the argmax but the longest ranked PREFIX provably equal to
+    * merging one at a time:
+    *  - candidates must be pairwise unit-DISJOINT — a merge deletes
+    *    only adjacencies touching its own units and creates only pairs
+    *    involving its new symbol, so disjoint candidates' counts are
+    *    invariant under each other's application;
+    *  - no collected pair outside the prefix that TOUCHES a prefix
+    *    unit may count ≥ the candidate (every new-pair occurrence
+    *    consumes an occurrence of a touching pair — e.g. each
+    *    `(x, lr)` eats an `(x, l)` — so touching counts bound every
+    *    pair the batch can create);
+    *  - the candidate must count strictly above the collected top-K's
+    *    minimum unless the collection saw every pair (uncollected
+    *    pairs count ≤ that floor, so the strict bound keeps them
+    *    harmless too).
+    * Any violation stops the batch — correctness never depends on
+    * batching width. */
+  def trainFast(docs: DataFrame, textCol: String, numMerges: Int,
+                maxBatch: Int = 16, topK: Int = 4096)
+      : Seq[(String, String)] = {
+    require(maxBatch >= 1 && topK >= 2, "trainFast needs sane bounds")
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var state = docs.filter(col(textCol).isNotNull)
+      .select(unitStream(col(textCol)).as("s"))
+      .localCheckpoint(true)
+    try {
+      while (acc.size < numMerges) {
+        val units = state
+          .select(filter(split(trim(col("s")), " +"),
+            t => length(t) > 0).as("u"))
+          .filter(size(col("u")) >= 2)
+        val top = pairCounts(units)
+          .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+          .limit(topK).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        if (top.isEmpty) return acc.toSeq
+        val batch = exactBatchPrefix(top.toSeq,
+          math.min(maxBatch, numMerges - acc.size),
+          sawAll = top.length < topK)
+        acc ++= batch
+        val nextState = batch.foldLeft(state) { case (df, (l, r)) =>
+          df.select(call_function("replace", col("s"),
+            lit(s" $l  $r "), lit(s" $l$r ")).as("s"))
+        }.localCheckpoint(true)
+        state.unpersist(blocking = false): Unit
+        state = nextState
+      }
+      acc.toSeq
+    } finally state.unpersist(blocking = false): Unit
+  }
+
+  /** The longest exactly-sequential prefix of one round's ranked pair
+    * counts — see [[trainFast]] for the invariants each step checks. */
+  private[graft] def exactBatchPrefix(top: Seq[(String, String, Long)],
+      maxM: Int, sawAll: Boolean): Seq[(String, String)] = {
+    val floor = top.last._3
+    val batch = scala.collection.mutable.ArrayBuffer(
+      (top.head._1, top.head._2))
+    val units = scala.collection.mutable.Set(top.head._1, top.head._2)
+    var i = 1
+    var stopped = false
+    while (!stopped && i < top.length && batch.size < maxM) {
+      val (l, r, c) = top(i)
+      val disjoint = !units(l) && !units(r)
+      val covered = sawAll || c > floor
+      // any collected pair BELOW the candidate that touches a batched
+      // unit with the candidate's count could feed a new pair into a
+      // tie the lex order would resolve differently — stop there
+      lazy val hazard = top.drop(i + 1).exists { case (ql, qr, qc) =>
+        qc >= c && (units(ql) || units(qr)) }
+      if (disjoint && covered && !hazard) {
+        batch += ((l, r)); units += l; units += r; i += 1
+      } else stopped = true
+    }
+    batch.toSeq
   }
 
   /** Persist an ordered merges table — versioned dir + atomic

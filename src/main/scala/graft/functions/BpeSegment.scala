@@ -1,0 +1,202 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass BPE segmentation — the vocabulary-scale upgrade
+  * path [[graft.ext.Bpe]]'s scaladoc names: the k-nested-`replace`
+  * chain is exact but costs k full string scans per row, which at a
+  * real 30k-merge vocabulary is 30,000 scans of every document. This
+  * node walks the MERGE TABLE once per word instead: adjacent-pair
+  * ranks come from one hash lookup, and a monotone rank pointer
+  * replays the chain exactly — find the lowest-ranked pair present at
+  * or past the pointer, merge all its occurrences, advance past it
+  * (see [[BpeTable]].segmentWord for why this, and not the classic
+  * global-priority loop, is the chain-equivalent walk;
+  * `BpeSegmentSpec`'s fuzz locks the equivalence from outside).
+  *
+  * Cost per row is O(word length × merges APPLIED), independent of
+  * vocabulary size, plus a per-executor WORD CACHE (natural-language
+  * tokens are Zipf-distributed — a few thousand distinct words cover
+  * almost every row, so most words segment via one cache hit).
+  *
+  * Normalization is byte-identical to [[graft.ext.Bpe.unitStream]]:
+  * `lower` via [[UTF8String.toLowerCase]] (the same call `lower()`
+  * codegen makes), strip everything outside `[a-z ]`, single-space
+  * word split. Stays inside whole-stage codegen: `doGenCode` emits a
+  * direct call on the table reference object, like every graft
+  * expression. */
+case class BpeTokens(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  @transient private lazy val table = new BpeTable(merges)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_tokens expects a string document, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    table.segment(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table,
+      classOf[BpeTable].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.segment($c)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeTokens = copy(child = newChild)
+}
+
+/** The driver-built, executor-shared merge table: rank lookup for
+  * adjacent unit pairs plus a bounded word-segmentation cache. One
+  * instance rides the generated code's reference array (serialized
+  * with the plan); the cache is transient and refills per executor. */
+final class BpeTable(merges: Seq[(String, String)]) extends Serializable {
+
+  // word-crossing rules (left unit is or ends with the word marker)
+  // are refused: the trainer never produces them (Bpe.train excludes
+  // the candidates), and their absence is exactly what makes per-WORD
+  // segmentation equal to the whole-stream replace chain
+  require(merges.forall { case (l, _) =>
+    l != "</w>" && !l.endsWith("</w>") },
+    "BPE merge table contains a word-crossing rule (left unit ends " +
+      "with </w>) — merges must not glue words")
+
+  /** (left SPACE right) → ALL its ranks, ascending. A space can never
+    * appear in a unit (units are `[a-z]`+ or `</w>` by the shared
+    * normalization), so the key is collision-free. Every rank is kept,
+    * not just the first: the same pair can legally recur in a table
+    * (a middle rule rebuilding a constituent spelling re-creates it),
+    * and the chain applies the later occurrence again — so must the
+    * pointer walk. */
+  private val rank: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      val k = l + " " + r
+      val prev = m.get(k)
+      m.put(k, if (prev == null) Array(i) else prev :+ i): Unit
+    }
+    m
+  }
+
+  private val cacheCap = 1 << 16
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+
+  /** Segment one document: normalize, split, per-word priority merge,
+    * concatenate. Called from generated code. */
+  def segment(text: UTF8String): ArrayData = {
+    // identical to lower() + regexp_replace('[^a-z ]','') + split(' ')
+    val norm = text.toLowerCase.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any](16)
+    val word = new java.lang.StringBuilder(16)
+    var i = 0
+    val n = norm.length
+    while (i <= n) {
+      val ch = if (i < n) norm.charAt(i) else ' '
+      if (ch == ' ') {
+        if (word.length > 0) {
+          val toks = segmentWord(word.toString)
+          var j = 0
+          while (j < toks.length) {
+            out += UTF8String.fromString(toks(j)); j += 1
+          }
+          word.setLength(0)
+        }
+      } else if (ch >= 'a' && ch <= 'z') word.append(ch)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Token count without materializing the array — the budgeting hot
+    * path. */
+  def count(text: UTF8String): Long = {
+    val norm = text.toLowerCase.toString
+    var total = 0L
+    val word = new java.lang.StringBuilder(16)
+    var i = 0
+    val n = norm.length
+    while (i <= n) {
+      val ch = if (i < n) norm.charAt(i) else ' '
+      if (ch == ' ') {
+        if (word.length > 0) {
+          total += segmentWord(word.toString).length
+          word.setLength(0)
+        }
+      } else if (ch >= 'a' && ch <= 'z') word.append(ch)
+      i += 1
+    }
+    total
+  }
+
+  /** One word's segmentation, cached: char units + `</w>`, then walk
+    * the table with a MONOTONE RANK POINTER: find the lowest-ranked
+    * pair present AT OR PAST the pointer, merge all its occurrences
+    * (one left-to-right pass IS exhaustion — the merged symbol is
+    * longer than either constituent, so it can never re-form its own
+    * pair), advance the pointer past that rank, repeat. Skipping an
+    * absent rule is exactly the chain's no-op replace, so this equals
+    * the rank-ordered exhaustive-replace chain BY CONSTRUCTION —
+    * unlike the classic "merge the globally lowest-ranked pair
+    * anywhere, repeat" loop, which diverges when a LATER rule rebuilds
+    * a symbol string an earlier rule consumes (two merge paths to one
+    * spelling, e.g. `a+bc` and `ab+c` both spelling `abc`): the chain
+    * never revisits a passed rule, so neither does this. */
+  private def segmentWord(w: String): Array[String] = {
+    val hit = cache.get(w)
+    if (hit != null) return hit
+    var units = new Array[String](w.length + 1)
+    var i = 0
+    while (i < w.length) { units(i) = String.valueOf(w.charAt(i)); i += 1 }
+    units(w.length) = "</w>"
+    var minRank = 0
+    while (minRank < merges.size && units.length >= 2) {
+      // lowest-ranked adjacent pair present at or past the pointer
+      var best = Integer.MAX_VALUE
+      i = 0
+      while (i < units.length - 1) {
+        val rs = rank.get(units(i) + " " + units(i + 1))
+        if (rs != null) {
+          // smallest rank at or past the pointer (ranks ascend; dup
+          // lists are tiny, a linear skip beats a search)
+          var j = 0
+          while (j < rs.length && rs(j) < minRank) j += 1
+          if (j < rs.length && rs(j) < best) best = rs(j)
+        }
+        i += 1
+      }
+      if (best == Integer.MAX_VALUE) minRank = merges.size
+      else {
+        // merge every occurrence of the best pair, left to right,
+        // non-overlapping — exactly the exhaustive single-rule pass
+        val (l, r) = (merges(best)._1, merges(best)._2)
+        val next = new Array[String](units.length)
+        var src = 0
+        var dst = 0
+        while (src < units.length) {
+          if (src < units.length - 1 && units(src) == l &&
+              units(src + 1) == r) {
+            next(dst) = l + r; src += 2
+          } else { next(dst) = units(src); src += 1 }
+          dst += 1
+        }
+        units = java.util.Arrays.copyOf(next, dst)
+        minRank = best + 1
+      }
+    }
+    if (cache.size() >= cacheCap) cache.clear()
+    cache.put(w, units): Unit
+    units
+  }
+}

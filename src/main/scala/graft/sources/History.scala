@@ -570,12 +570,14 @@ object History {
     * Manifests that predate the stamp (and undeclared-at-commit lakes
     * that declared later) fall back to the current declaration — the
     * old contract, still the right one when no era record exists.
-    * Stamp granularity: metadata-only schema changes (evolve, rename,
-    * drop, undrop) do NOT publish a manifest version, so a pin — or a
-    * tag — taken BETWEEN a metadata change and the next data commit
-    * resolves the declaration as of the last COMMIT: the change
-    * becomes pin-visible at the next committed version, while latest
-    * reads see it immediately. */
+    * Stamp granularity — DDL IS A COMMIT: every metadata-only schema
+    * change (declare, evolve, rename, drop, undrop) also publishes a
+    * DATA-IDENTICAL manifest version stamped with the new declaration
+    * ([[SchemaLog]] commitDdlVersion), so a pin — or a tag — taken
+    * right after the DDL resolves the post-DDL schema, Delta/Iceberg-
+    * style. Only a crash between the schema publish and its manifest
+    * commit degrades to the old one-commit lag, which the next commit
+    * heals. */
   def readPinned(spark: SparkSession, path: String, version: Long): DataFrame =
     readPinned(spark, path, version, eraSchema = true)
 
@@ -1570,9 +1572,15 @@ object History {
     *        advances it; [[graft.MaintenanceMain]] passes the feed's
     *        high water here). Unlike a tag this pins only the ROOT
     *        (cheap metadata): the grace window remains what protects
-    *        the diffable FILES, so size it to the delivery cadence. */
+    *        the diffable FILES, so size it to the delivery cadence.
+    * @param fence invoked immediately BEFORE each delete batch — the
+    *        lease fencing hook ([[MaintenanceLease.checkFence]]): a
+    *        zombie pass that outlived its TTL throws out of the sweep
+    *        instead of deleting under a successor's lease. Default
+    *        no-op for unleased callers. */
   def vacuum(spark: SparkSession, path: String, graceMs: Long,
-             keepVersions: Set[Long] = Set.empty): (Int, Int) = {
+             keepVersions: Set[Long] = Set.empty,
+             fence: () => Unit = () => ()): (Int, Int) = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val qRoot = fs.makeQualified(root)
@@ -1612,6 +1620,7 @@ object History {
       val shape = planManifest(spark, fs, root, m).schema
       if (shape.nonEmpty) SchemaLog.writeMemory(fs, path, shape)
     }
+    fence()
     LakeCommit.foreachPar(expired.map(_._2)) { rel =>
       fs.delete(new org.apache.hadoop.fs.Path(qRoot, rel), false): Unit
     }
@@ -1622,6 +1631,7 @@ object History {
         val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(qRoot, rel))
         st.getModificationTime <= cutoff
       }
+    fence()
     LakeCommit.foreachPar(orphans) { rel =>
       fs.delete(new org.apache.hadoop.fs.Path(qRoot, rel), false): Unit
     }
@@ -1641,12 +1651,14 @@ object History {
         walk(stagingRoot).filter(_.getModificationTime <= cutoff)
           .map(_.getPath)
       }
+    fence()
     LakeCommit.foreachPar(staleStaged) { p => fs.delete(p, false): Unit }
     if (expired.nonEmpty)
       FileManifest.publish(fs, path,
         FileManifest.Manifest(m.version + 1, m.cur, kept, m.dvs))
     // stale manifest versions past grace (a reader pinned to an old
     // version within grace still resolves it)
+    fence()
     val latestNow = FileManifest.latestVersion(fs, path).getOrElse(m.version)
     fs.listStatus(new org.apache.hadoop.fs.Path(
         FileManifest.manifestDir(path)))
@@ -1663,6 +1675,7 @@ object History {
     // shard files no RETAINED version references (left by vacuumed
     // versions whose shards nothing else reuses, or by crashed sharded
     // publishes) past grace — same orphan discipline as data files
+    fence()
     val refShards = FileManifest.referencedShards(fs, path)
     FileManifest.listShardFiles(fs, path)
       .filter { case (name, mtime) => !refShards(name) && mtime <= cutoff }
@@ -1674,6 +1687,7 @@ object History {
     // (superseded vectors, vectors of rewritten/vacuumed files, crashed
     // DV-commit attempts) past grace — tagged versions are retained, so
     // their vectors stay pinned alongside their data files
+    fence()
     val refDvs = DeletionVector.referencedDvs(fs, path)
     DeletionVector.listDvFiles(fs, path)
       .filter { case (name, mtime) => !refDvs(name) && mtime <= cutoff }
@@ -1687,9 +1701,11 @@ object History {
     // ~24 KB/entry shards of dead partitions would accrete forever
     val liveDirs = (m.cur ++ kept.map(_._2))
       .map(FileManifest.entryDir).toSet
+    fence()
     FileBloomIndex.vacuumShards(fs, path, liveDirs, cutoff): Unit
     // drop emptied partition dirs (an expired partition after its files
     // are reclaimed), then emptied region parents
+    fence()
     FileManifest.listPartitionDirs(fs, qRoot)
       .map(rel => new org.apache.hadoop.fs.Path(qRoot, rel))
       .filter(p => fs.listStatus(p).isEmpty)
@@ -2356,6 +2372,19 @@ object History {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val qRoot = fs.makeQualified(root)
+    if (!FileManifest.enabled(fs, path))
+      throw new IllegalStateException(
+        s"repartitionLake needs a manifest-mode lake (enableManifests): " +
+          path)
+    // pin the schema BEFORE restating: a column moving into the
+    // partition position is read back from its k=v dir names, and an
+    // UNDECLARED lake would re-infer its type from the path strings
+    // (an int64 id silently narrows to int32) — the declared schema is
+    // what keeps partition-column types exact across the re-grain.
+    // This runs BEFORE the manifest snapshot below: the declaration is
+    // itself a commit (DDL-as-commit publishes a data-identical
+    // version), and the restatement's CAS flip must base on it
+    if (SchemaLog.latest(fs, path).isEmpty) declareSchema(spark, path): Unit
     val m = FileManifest.latest(fs, path).getOrElse(
       throw new IllegalStateException(
         s"repartitionLake needs a manifest-mode lake (enableManifests): " +
@@ -2370,12 +2399,6 @@ object History {
     // physical column names every later read/write derives from
     val resolved = cols.map(c => image.columns
       .find(_.equalsIgnoreCase(c)).get)
-    // pin the schema BEFORE restating: a column moving into the
-    // partition position is read back from its k=v dir names, and an
-    // UNDECLARED lake would re-infer its type from the path strings
-    // (an int64 id silently narrows to int32) — the declared schema is
-    // what keeps partition-column types exact across the re-grain
-    if (SchemaLog.latest(fs, path).isEmpty) declareSchema(spark, path): Unit
     if (m.cur.isEmpty) {
       // nothing to restate: the re-grain is the declaration change
       FileManifest.redeclarePartitioning(fs, path, resolved)

@@ -5,6 +5,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 /** Another maintenance agent holds the lake's lease. */
 class LeaseHeldException(msg: String) extends IllegalStateException(msg)
 
+/** A destructive sweep's fencing check failed: the pass's lease is no
+  * longer the lake's current valid lease (expired mid-pass, taken over
+  * by a successor, or released) — the sweep must stop deleting. */
+class LeaseFencedException(msg: String) extends IllegalStateException(msg)
+
 /** The SINGLE-MAINTENANCE-AGENT lock — an expiring lease under
   * `_manifests/lease/`, making the constraint the shrink-side ops
   * (vacuum, feed expiry — see [[graft.MaintenanceMain]]) have always
@@ -144,6 +149,31 @@ object MaintenanceLease {
           leasePath(lakePath, l.version + 1), s"$owner\t0\n")).isSuccess
       case _ => false
     }
+
+  /** FENCING TOKEN check for destructive batches — the standard
+    * discipline an expiring lease needs on its delete path: a zombie
+    * holder whose pass outlives its TTL (GC pause, slow FS) would
+    * otherwise keep deleting while a successor holds the lease.
+    * Vacuum/retention sweeps call this immediately before EACH delete
+    * batch ([[History.vacuum]]'s `fence` hook); it throws
+    * [[LeaseFencedException]] unless the lake's CURRENT lease is the
+    * token's owner's and unexpired — same owner at a higher version is
+    * a renewal by this process and passes. Cost: one lease-dir listing
+    * + one tiny read per batch, never data-proportional. */
+  def checkFence(fs: FileSystem, lakePath: String, token: Lease): Unit = {
+    val now = System.currentTimeMillis()
+    val cur = current(fs, lakePath)
+    val ok = cur.exists(l => l.owner == token.owner &&
+      l.version >= token.version && !l.expired(now))
+    if (!ok)
+      throw new LeaseFencedException(
+        s"lease fencing on $lakePath: this pass's lease (v" +
+          s"${token.version}, '${token.owner}') is no longer current " +
+          s"and valid (current: ${cur.map(l => s"v${l.version} '" +
+            l.owner + "' until " + l.expiresAt).getOrElse("none")}) — " +
+          "the pass outlived its TTL or was superseded; deleting " +
+          "nothing further")
+  }
 
   /** Run `body` under the lease, renewing is the caller's concern
     * (one acquire covers `ttlMs`); releases on exit. */

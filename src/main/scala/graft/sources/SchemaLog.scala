@@ -220,6 +220,7 @@ object SchemaLog {
           History.readPinned(spark, lakePath).schema
             .fields.map(_.copy(nullable = true)))
         publish(fs, lakePath, 1L, snapshot)
+        commitDdlVersion(fs, lakePath)
         1L
     }
   }
@@ -264,6 +265,7 @@ object SchemaLog {
       }
     })
     publish(fs, lakePath, v + 1, carried)
+    commitDdlVersion(fs, lakePath)
     v + 1
   }
 
@@ -271,6 +273,25 @@ object SchemaLog {
                       schema: StructType): Unit =
     FileManifest.atomicWrite(fs, versionPath(lakePath, v),
       schema.json)
+
+  /** DDL-AS-COMMIT: publish a DATA-IDENTICAL manifest version right
+    * after a metadata-only schema change (declare / evolve / rename /
+    * drop / undrop), so the new declaration is PIN-visible immediately
+    * — a tag or `VERSION AS OF` taken between the DDL and the next
+    * data commit resolves the post-DDL schema, not the declaration as
+    * of the last data commit (the round-18 closing-sweep stamp-
+    * granularity lag, seed 10024; Delta/Iceberg users expect DDL to be
+    * a version). [[FileManifest.publish]] stamps the fresh schema
+    * version on the new root; content is byte-identical (same cur /
+    * retired / dvs), so the change feed diffs empty and vacuum sees
+    * the same references. No-op on lakes without manifests (the
+    * stamp-less fallback contract covers them). Crash between the
+    * schema publish and this commit degrades to the old documented
+    * lag — converges at the next commit, never wrong twice. */
+  private def commitDdlVersion(fs: FileSystem, lakePath: String): Unit =
+    FileManifest.latest(fs, lakePath).foreach { m =>
+      FileManifest.publish(fs, lakePath, m.copy(version = m.version + 1))
+    }
 
   /** Declare an EXPLICIT schema as a fresh lake's v1 — the snapshot-
     * export path carrying the source lake's declaration to the copy
@@ -488,6 +509,7 @@ object SchemaLog {
     appendRetired(fs, lakePath, field.name +: aliasesOf(field))
     publish(fs, lakePath, v + 1,
       StructType(old.fields.filterNot(_.name == field.name)))
+    commitDdlVersion(fs, lakePath)
     v + 1
   }
 
@@ -596,6 +618,7 @@ object SchemaLog {
     replaceRetired(fs, lakePath, kept)
     publish(fs, lakePath, v + 1,
       StructType(cur.fields :+ donor.copy(nullable = true)))
+    commitDdlVersion(fs, lakePath)
     v + 1
   }
 
@@ -674,6 +697,7 @@ object SchemaLog {
       } else f
     })
     publish(fs, lakePath, v + 1, next)
+    commitDdlVersion(fs, lakePath)
     v + 1
   }
 

@@ -234,8 +234,11 @@ object LakeChangeFeed {
     * `keepRanges` to the slowest consumer's checkpoint lag — a file-
     * source stream that has already checkpointed past a range never
     * reads it again, so expiry behind every consumer is invisible.
-    * Returns the number of range dirs deleted. */
-  def expire(spark: SparkSession, outDir: String, keepRanges: Int): Int = {
+    * Returns the number of range dirs deleted. `fence` runs before the
+    * delete batch — the lease fencing hook, same discipline as
+    * [[graft.sources.History.vacuum]]. */
+  def expire(spark: SparkSession, outDir: String, keepRanges: Int,
+             fence: () => Unit = () => ()): Int = {
     require(keepRanges >= 1, s"keepRanges must be >= 1, got $keepRanges")
     val out = new org.apache.hadoop.fs.Path(outDir)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -244,9 +247,10 @@ object LakeChangeFeed {
       case RangeDir(from, to) => Some((from.toLong, to.toLong, s.getPath))
       case _ => None
     }).sortBy(r => (r._2, r._1)) // oldest first; high water last
-    ranges.dropRight(keepRanges).count { case (_, _, p) =>
-      fs.delete(p, true)
-    }
+    val victims = ranges.dropRight(keepRanges)
+    if (victims.isEmpty) return 0
+    fence()
+    victims.count { case (_, _, p) => fs.delete(p, true) }
   }
 
   /** One incrementally-maintained rollup for [[tickWithMaintenance]] to

@@ -1,0 +1,185 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ext.Bpe
+
+/** The single-pass BPE expression vs the chained-replace path: exact
+  * equivalence on the gate vocabulary, on adversarial constructions
+  * (dup-rank rules, two spellings of one symbol), and under a seeded
+  * fuzz over random well-formed tables; the gates t32/t33 green
+  * through the Expression path; trainFast ≡ train; batching safety. */
+class BpeSegmentSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  /** Segment via a forced path: chainMaxMerges high = replace chain,
+    * 0 = the BpeTokens expression. */
+  private def segVia(texts: Seq[String], merges: Seq[(String, String)],
+                     chainMax: Int): Seq[Seq[String]] = {
+    import spark.implicits._
+    spark.conf.set("spark.graft.bpe.chainMaxMerges", chainMax.toString)
+    try texts.toDF("t")
+      .select(Bpe.tokens(col("t"), merges).as("u"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    finally spark.conf.unset("spark.graft.bpe.chainMaxMerges")
+  }
+
+  private def bothPathsAgree(texts: Seq[String],
+                             merges: Seq[(String, String)],
+                             hint: String): Unit = {
+    val chain = segVia(texts, merges, Int.MaxValue)
+    val expr = segVia(texts, merges, 0)
+    texts.indices.foreach { i =>
+      assert(chain(i) === expr(i),
+        s"$hint: paths diverge on ${texts(i).take(60)} " +
+          s"under ${merges.mkString(",")}")
+    }
+  }
+
+  test("expression ≡ chain on the gate vocabulary and tricky shapes") {
+    bothPathsAgree(Seq(
+      "hello world", "aaaa", "aaaaa", "abab", "at ha", "ab ab",
+      "He!!o  42 world", "", "   ", "!!!", "x", "the the the cat",
+      "join the hash parser now", "straße MIXED Case ünïcode"),
+      Bpe.demoMerges, "demo vocab")
+  }
+
+  test("expression ≡ chain when a later rule rebuilds a spelling an " +
+      "earlier rule consumes (the global-priority trap)") {
+    // (a,bc) builds abc; (abc,d) consumes it; (ab,c) REBUILDS the
+    // spelling abc later — the chain never revisits (abc,d), so the
+    // new abc units must stay unmerged with d
+    val merges = Seq(("b", "c"), ("a", "bc"), ("abc", "d"),
+      ("a", "b"), ("ab", "c"))
+    bothPathsAgree(Seq("abcd", "abcd abcd", "abc abcd d",
+      "aabbccdd", "dabc"), merges, "rebuilt spelling")
+  }
+
+  test("expression ≡ chain on duplicate-pair tables (the later rank " +
+      "fires again)") {
+    // (ab,c) appears twice; the middle (a,b) recreates ab units, so
+    // the chain's SECOND (ab,c) merges them — the rank walk must too
+    val merges = Seq(("a", "bc"), ("ab", "c"), ("a", "b"), ("ab", "c"))
+    bothPathsAgree(Seq("abc", "abc abc", "aabc", "abcabc"),
+      merges, "duplicate pair")
+  }
+
+  test("seeded fuzz: random well-formed tables, random texts, paths " +
+      "identical") {
+    val rnd = new scala.util.Random(190411)
+    val alphabet = "abcd"
+    (0 until 25).foreach { round =>
+      // grow a well-formed table: constituents are chars, </w>, or
+      // earlier merges; left never is/ends-with the marker
+      val symbols = scala.collection.mutable.ArrayBuffer(
+        alphabet.map(String.valueOf(_)) :+ "</w>": _*)
+      val merges = (0 until (3 + rnd.nextInt(10))).map { _ =>
+        def pick(): String = symbols(rnd.nextInt(symbols.size))
+        var l = pick()
+        while (l == "</w>" || l.endsWith("</w>")) l = pick()
+        val r = pick()
+        symbols += (l + r)
+        (l, r)
+      }
+      val texts = (0 until 8).map { _ =>
+        (0 until (1 + rnd.nextInt(24))).map { _ =>
+          if (rnd.nextInt(6) == 0) " "
+          else String.valueOf(alphabet(rnd.nextInt(alphabet.length)))
+        }.mkString
+      }
+      bothPathsAgree(texts, merges, s"fuzz round $round")
+    }
+  }
+
+  test("t32/t33 gates green through the Expression path") {
+    val dir = "/root/testdata/sf0.001"
+    Seq("t32_bpe_token_count", "t33_bpe_packing").foreach { gate =>
+      val expected = SparkEntry.queries(gate)(spark, dir).collect()
+        .map(_.toString).sorted.toSeq
+      spark.conf.set("spark.graft.bpe.chainMaxMerges", "0")
+      val got = try SparkEntry.queries(gate)(spark, dir).collect()
+        .map(_.toString).sorted.toSeq
+      finally spark.conf.unset("spark.graft.bpe.chainMaxMerges")
+      assert(got === expected, s"$gate diverges on the Expression path")
+    }
+  }
+
+  test("a word-crossing rule is refused by the expression path") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.bpe.chainMaxMerges", "0")
+    try {
+      val e = intercept[Exception] {
+        Seq("ab ab").toDF("t")
+          .select(Bpe.tokens(col("t"),
+            Seq(("b", "</w>"), ("b</w>", "a"))).as("u"))
+          .collect()
+      }
+      assert(e.getMessage != null)
+    } finally spark.conf.unset("spark.graft.bpe.chainMaxMerges")
+  }
+
+  test("trainFast learns exactly train's merges (batched rounds, " +
+      "checkpointed stream)") {
+    import spark.implicits._
+    val docs = Seq(
+      "the cat sat on the mat", "the hat is on the cat",
+      "parser joins the hash now", "low lower lowest slow slower",
+      "aaaa abab the the the").toDF("text")
+    val n = 18
+    assert(Bpe.trainFast(docs, "text", n, maxBatch = 8, topK = 64) ===
+      Bpe.train(docs, "text", n))
+  }
+
+  test("trainFast fuzz: random corpora, batched ≡ sequential") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    (0 until 4).foreach { round =>
+      val words = Seq("ab", "abc", "bc", "ca", "aab", "b", "cab")
+      val docs = (0 until 6).map { _ =>
+        (0 until (3 + rnd.nextInt(8)))
+          .map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+      }.toDF("text")
+      val n = 10
+      assert(Bpe.trainFast(docs, "text", n, maxBatch = 4, topK = 32) ===
+        Bpe.train(docs, "text", n), s"fuzz round $round")
+    }
+  }
+
+  test("exactBatchPrefix stops on touching pairs, ties, and the " +
+      "coverage floor") {
+    // disjoint run is batched
+    assert(Bpe.exactBatchPrefix(Seq(("a", "b", 9L), ("c", "d", 7L),
+        ("e", "f", 5L)), 3, sawAll = true) ===
+      Seq(("a", "b"), ("c", "d"), ("e", "f")))
+    // a candidate touching a batched unit stops the batch
+    assert(Bpe.exactBatchPrefix(Seq(("a", "b", 9L), ("b", "c", 7L)),
+        3, sawAll = true) === Seq(("a", "b")))
+    // a LOWER pair touching batch units that ties the candidate could
+    // feed a new pair into the tie — stop
+    assert(Bpe.exactBatchPrefix(Seq(("a", "b", 9L), ("c", "d", 7L),
+        ("x", "a", 7L)), 3, sawAll = true) === Seq(("a", "b")))
+    // uncollected coverage: at the floor without sawAll, stop
+    assert(Bpe.exactBatchPrefix(Seq(("a", "b", 9L), ("c", "d", 9L)),
+        3, sawAll = false) === Seq(("a", "b")))
+    // maxBatch truncates
+    assert(Bpe.exactBatchPrefix(Seq(("a", "b", 9L), ("c", "d", 7L),
+        ("e", "f", 5L)), 2, sawAll = true) ===
+      Seq(("a", "b"), ("c", "d")))
+  }
+
+  test("a 1k-merge synthetic table segments correctly through the " +
+      "expression (vocab-size-independent walk)") {
+    import spark.implicits._
+    // 1000 rules; only the first five can ever fire on the corpus —
+    // the rest are dead weight a chained path would scan 1000× per row
+    val merges = Seq(("l", "o"), ("lo", "w"), ("r", "</w>"),
+      ("e", "r</w>"), ("low", "er</w>")) ++
+      (0 until 995).map(i => (s"q$i", "z"))
+    val got = Seq("low lower").toDF("t")
+      .select(Bpe.tokens(col("t"), merges).as("u"))
+      .collect()(0).getSeq[String](0)
+    // low: l o w </w> → lo w </w> → low </w>; lower: … → low e r</w>
+    // → low er</w> → lower</w>
+    assert(got === Seq("low", "</w>", "lower</w>"))
+  }
+}

@@ -59,6 +59,48 @@ class MaintenanceLeaseSpec extends AnyFunSuite {
     assert(l.owner === "daemonB")
   }
 
+  test("fencing: a zombie pass that outlived its TTL deletes nothing " +
+      "under the successor's lease") {
+    import spark.implicits._
+    val (fs, dir) = freshLake()
+    // retire a file so vacuum(grace≈0) has something real to delete
+    History.deleteWhere(spark, dir,
+      org.apache.spark.sql.functions.col("id") === 1L): Unit
+    val m = FileManifest.latest(fs, dir).get
+    assert(m.retired.nonEmpty, "need a retired file to prove no-delete")
+    val retiredPath = new org.apache.hadoop.fs.Path(
+      fs.makeQualified(new org.apache.hadoop.fs.Path(dir)),
+      m.retired.head._2)
+    assert(fs.exists(retiredPath))
+    // daemon A's pass stalls past its own TTL; B takes over
+    val zombie = MaintenanceLease.acquire(fs, dir, "daemonA", 50L)
+    Thread.sleep(120L)
+    val succ = MaintenanceLease.acquire(fs, dir, "daemonB", 60000L)
+    // A resumes its sweep with its stale token — the fence bounces it
+    // BEFORE the first delete batch, and the retired file survives
+    val e = intercept[graft.sources.LeaseFencedException] {
+      History.vacuum(spark, dir, graceMs = 1L,
+        fence = () => MaintenanceLease.checkFence(fs, dir, zombie))
+    }
+    assert(e.getMessage.contains("daemonB"), e.getMessage)
+    assert(fs.exists(retiredPath), "zombie sweep must delete nothing")
+    // the live holder's fence passes and the sweep reclaims
+    Thread.sleep(5L)
+    History.vacuum(spark, dir, graceMs = 1L,
+      fence = () => MaintenanceLease.checkFence(fs, dir, succ)): Unit
+    assert(!fs.exists(retiredPath), "the valid holder's sweep reclaims")
+    // an EXPIRED-but-unsuperseded token also bounces (deleting without
+    // a valid lease is the hazard, successor or not) — and a renewal
+    // by the same owner at a higher version passes
+    val short = MaintenanceLease.acquire(fs, dir, "daemonB", 1L)
+    Thread.sleep(10L)
+    intercept[graft.sources.LeaseFencedException] {
+      MaintenanceLease.checkFence(fs, dir, short)
+    }
+    MaintenanceLease.acquire(fs, dir, "daemonB", 60000L): Unit
+    MaintenanceLease.checkFence(fs, dir, short) // renewed: passes
+  }
+
   test("two daemons racing the same acquire: exactly one wins") {
     val (fs, dir) = freshLake()
     for (round <- 0 until 5) {

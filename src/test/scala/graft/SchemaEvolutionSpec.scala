@@ -266,8 +266,8 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       Seq("id", "n"))
   }
 
-  test("stamp granularity: metadata-only DDL becomes pin-visible at " +
-      "the NEXT commit; #history audits the stamps") {
+  test("DDL is a commit: a tag taken right after a rename pins the " +
+      "post-rename declaration; #history audits the stamps") {
     import spark.implicits._
     val s = spark
     s.conf.set("spark.sql.catalog.lake",
@@ -276,23 +276,31 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       .createTempDirectory("graft-era-gran").toString + "/lake"
     Seq((1L, "x")).toDF("id", "label").write.parquet(dir)
     History.enableManifests(spark, dir): Unit                 // v1 no stamp
-    History.declareSchema(spark, dir): Unit                   // schema 1
+    History.declareSchema(spark, dir): Unit            // schema 1 → v2 @s1
     History.append(spark, dir, Seq((2L, "y")).toDF("id", "label"),
-      key = "e1"): Unit                                        // v2 @s1
+      key = "e1"): Unit                                        // v3 @s1
     val vPre = History.versions(spark, dir).last
-    SchemaLog.renameColumn(spark, dir, "label", "name"): Unit // schema 2
-    // a TAG taken between the rename and the next data commit pins the
-    // last COMMIT — its era is still schema 1 (the documented stamp
-    // contract: metadata-only DDL publishes no manifest version), so
-    // the pin answers under the OLD name while latest already renamed
+    SchemaLog.renameColumn(spark, dir, "label", "name"): Unit
+    // the rename ITSELF published a data-identical manifest version
+    // stamped with schema 2 (DDL-as-commit, the round-18 closing-sweep
+    // lag closed): a TAG taken between the rename and the next data
+    // commit pins the POST-rename declaration — no one-commit lag
+    val vDdl = History.versions(spark, dir).last
+    assert(vDdl === vPre + 1, "the rename must publish a version")
     History.tag(spark, dir, "between"): Unit
     assert(History.readTag(spark, dir, "between")
-      .schema.fieldNames.toSeq === Seq("id", "label"))
+      .schema.fieldNames.toSeq === Seq("id", "name"))
+    // the DDL version is data-identical to its predecessor
+    assert(History.readTag(spark, dir, "between")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L))
     assert(History.readPinned(spark, dir).schema.fieldNames.toSeq ===
       Seq("id", "name"))
-    // the next commit carries the new stamp; pins from here see it
+    // pre-rename pins still answer under the OLD name (era schema)
+    assert(History.readPinned(spark, dir, vPre)
+      .schema.fieldNames.toSeq === Seq("id", "label"))
     History.append(spark, dir, Seq((3L, "z")).toDF("id", "name"),
-      key = "e2"): Unit                                        // v3 @s2
+      key = "e2"): Unit
     val vPost = History.versions(spark, dir).last
     assert(History.readPinned(spark, dir, vPost)
       .schema.fieldNames.toSeq === Seq("id", "name"))
@@ -303,6 +311,7 @@ class SchemaEvolutionSpec extends AnyFunSuite {
         (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(stamps(1L) === None)        // pre-declaration commit
     assert(stamps(vPre) === Some(1L))  // pre-rename era
+    assert(stamps(vDdl) === Some(2L))  // the rename's own version
     assert(stamps(vPost) === Some(2L)) // post-rename era
   }
 
@@ -539,24 +548,26 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       "rewrite did not converge the file onto the declared schema")
   }
 
-  test("an evolution is metadata-only: the change feed stays empty") {
+  test("an evolution is metadata-only: the DDL version is data-" +
+      "identical and the change feed stays empty") {
     val dir = declaredLake()
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val before = graft.sources.FileManifest.latest(fs, dir).get.version
+    val before = graft.sources.FileManifest.latest(fs, dir).get
     import org.apache.spark.sql.types._
     val declared = History.declaredSchema(spark, dir).get
     History.evolveSchema(spark, dir, StructType(
       declared.fields :+ StructField("extra2", StringType))): Unit
-    // no data file changed and no manifest version was even published —
-    // the schema log versions independently
-    assert(graft.sources.FileManifest.latest(fs, dir).get.version === before)
-    // and a feed across any same-files span diffs to empty
-    val vs = History.versions(spark, dir)
-    if (vs.size >= 2) {
-      val feed = History.changesBetween(spark, dir, vs.last, vs.last)
-      assert(feed.count() === 0)
-    }
+    // DDL-as-commit: one data-IDENTICAL manifest version (same files,
+    // same dvs) carrying the new stamp — so the change is pin-visible
+    // immediately, while zero data bytes moved
+    val after = graft.sources.FileManifest.latest(fs, dir).get
+    assert(after.version === before.version + 1)
+    assert(after.cur === before.cur && after.dvs === before.dvs)
+    // and the feed across the DDL version diffs to empty
+    val feed = History.changesBetween(spark, dir,
+      after.version, after.version)
+    assert(feed.count() === 0)
     // reads now surface the second added column, null everywhere
     val df = History.readPinned(spark, dir)
     assert(df.schema.fieldNames.last === "extra2")
