@@ -1380,6 +1380,30 @@ object HistoryQueries {
       val dir = sqlUndropLake(s, d)
       s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
                 WHERE doc_id >= 0""")
+    }),
+
+    // MIXED compound arms: `doc_id IN (subquery) AND NOT EXISTS
+    // (correlated subquery)` — the IN arm keys on its probed column,
+    // the NOT EXISTS on its correlation column, SAME key set, so both
+    // fold into one Except frame and the delete stays a single
+    // distributed semi join. A dropped arm or a set-algebra mixup
+    // fails the hash.
+    "h66_sql_delete_mixed_in" -> ((s, d) => {
+      val dir = sqlMixedInLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
+                WHERE doc_id >= 0""")
+    }),
+
+    // RUNTIME non-null proof for correlated NOT IN: the inner value is
+    // nullable-TYPED (a CASE with no ELSE) but null-FREE on the data —
+    // the static proof fails, the pre-commit probe of the materialized
+    // pair frame passes, and the two disjoint anti-join arms run
+    // exactly. Over-deleting NULL-probed rows or refusing outright
+    // fails the gate.
+    "h67_sql_delete_not_in_runtime" -> ((s, d) => {
+      val dir = sqlNotInRuntimeLake(s, d)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars FROM lake.`$dir`
+                WHERE doc_id >= 0""")
     })
   )
 
@@ -2141,6 +2165,66 @@ object HistoryQueries {
         dir
       })
 
+  /** h66's lake: corpus, then one MIXED-ARM compound DELETE —
+    * `doc_id IN (a) AND NOT EXISTS (b correlated on doc_id)`, both
+    * arms keyed on doc_id, folded into one Except frame. */
+  private val sqlMixedInLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlMixedInLake(s: SparkSession, sfDir: String): String =
+    sqlMixedInLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir),
+      _ => {
+        Memos.install(s)
+        s.conf.set("spark.sql.catalog.lake",
+          classOf[graft.sources.LakeCatalog].getName)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-sql-mixin").toString + "/lake"
+        val docs = graft.Tables.documents(s, sfDir)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"))
+        docs.repartition(8).write.parquet(dir)
+        graft.sources.History.enableManifests(s, dir): Unit
+        docs.filter(col("n_chars") >= 120)
+          .createOrReplaceTempView("h66_a")
+        docs.filter(col("lang") === "en")
+          .createOrReplaceTempView("h66_b")
+        s.sql(s"""DELETE FROM lake.`$dir` t
+                  WHERE t.doc_id IN (SELECT a.doc_id FROM h66_a a)
+                    AND NOT EXISTS (SELECT 1 FROM h66_b b
+                                    WHERE b.doc_id = t.doc_id)"""): Unit
+        dir
+      })
+
+  /** h67's lake: corpus, then one correlated NOT IN DELETE whose inner
+    * value is nullable-TYPED (CASE with no ELSE) but null-FREE — the
+    * static proof fails, the runtime pre-commit probe passes. */
+  private val sqlNotInRuntimeLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlNotInRuntimeLake(s: SparkSession, sfDir: String): String =
+    sqlNotInRuntimeLakeCache.computeIfAbsent((graft.SessionKey(s), sfDir),
+      _ => {
+        Memos.install(s)
+        s.conf.set("spark.sql.catalog.lake",
+          classOf[graft.sources.LakeCatalog].getName)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-sql-notinrt").toString + "/lake"
+        val docs = graft.Tables.documents(s, sfDir)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"))
+        docs.repartition(8).write.parquet(dir)
+        graft.sources.History.enableManifests(s, dir): Unit
+        docs.filter(col("doc_id") % 3 === 0 && col("lang") =!= "de")
+          .select(col("lang"),
+            when(col("n_chars") >= -1, col("n_chars")).as("w"))
+          .createOrReplaceTempView("h67_sub")
+        s.sql(s"""DELETE FROM lake.`$dir` t
+                  WHERE t.n_chars NOT IN (SELECT o.w FROM h67_sub o
+                                          WHERE o.lang = t.lang)
+                    AND t.doc_id % 2 = 1"""): Unit
+        dir
+      })
+
   /** h65's lake: corpus with `source` declared, SQL DROP COLUMN
     * source, an era-2 INSERT without it, CALL lake.undrop_column, and
     * an era-3 INSERT with it again. */
@@ -2709,6 +2793,21 @@ object HistoryQueries {
                      ELSE d.n_chars
                 END AS n_chars
          FROM documents d""",
+    "h66_sql_delete_mixed_in" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents t
+         WHERE NOT (t.doc_id IN (SELECT a.doc_id FROM documents a
+                                 WHERE a.n_chars >= 120)
+                    AND NOT EXISTS (SELECT 1 FROM documents b
+                                    WHERE b.lang = 'en'
+                                      AND b.doc_id = t.doc_id))""",
+    "h67_sql_delete_not_in_runtime" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents t
+         WHERE (t.doc_id % 2 = 1 AND t.n_chars NOT IN
+                 (SELECT CASE WHEN o.n_chars >= -1 THEN o.n_chars END
+                  FROM documents o
+                  WHERE o.doc_id % 3 = 0 AND o.lang <> 'de'
+                    AND o.lang = t.lang))
+               IS NOT TRUE""",
     "h63_sql_delete_not_in" ->
       """SELECT doc_id, lang, source, n_chars FROM documents t
          WHERE (t.doc_id % 2 = 0 AND t.n_chars NOT IN

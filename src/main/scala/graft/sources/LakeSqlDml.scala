@@ -279,11 +279,15 @@ object LakeDmlRule {
   }
 
   /** The CORRELATED NOT IN shape — `t.x NOT IN (SELECT <expr> FROM s
-    * WHERE s.k = t.k [AND <s-only>])` — accepted ONLY when the inner
-    * expression is provably non-null: a non-nullable attribute, or an
-    * explicit `<expr> IS NOT NULL` conjunct in the subquery's own
-    * filter. Under that proof the three-valued NOT IN is EXACT as two
-    * disjoint anti-join verbs over frames pinned at statement start:
+    * WHERE s.k = t.k [AND <s-only>])` — exact ONLY when the inner
+    * expression is non-null, proven STATICALLY (a non-nullable
+    * attribute, or an explicit `<expr> IS NOT NULL` conjunct in the
+    * subquery's own filter) or at RUNTIME (the commands probe the
+    * materialized pair frame for any NULL before the first commit — a
+    * nullable-typed but null-free inner runs exactly; an actual NULL
+    * raises the refusal with evidence). Under the proof the
+    * three-valued NOT IN is EXACT as two disjoint anti-join verbs over
+    * frames pinned at statement start:
     *
     *  - per target row, `x NOT IN S(k)` is TRUE iff S(k) is empty, OR
     *    x is non-null and (k, x) matches no inner row — a NULL x with
@@ -330,6 +334,12 @@ object LakeDmlRule {
               if (names.distinct.size != names.size) return None
               // the non-null PROOF: a non-nullable inner attribute, or
               // an explicit IS NOT NULL filter on the inner expression
+              // the non-null proof can also be RUNTIME: when static
+              // nullability fails, the commands probe the materialized
+              // pair frame for any NULL inner value before the first
+              // commit — none observed means the translation is exact
+              // on THIS execution's data; a NULL found raises the same
+              // refusal, now with evidence (VERDICT r18 #5)
               val provedNonNull = (valueExpr match {
                 case a: AttributeReference => !a.nullable
                 case _ => !valueExpr.nullable
@@ -337,14 +347,6 @@ object LakeDmlRule {
                 case IsNotNull(e) => e.semanticEquals(valueExpr)
                 case _ => false
               })
-              if (!provedNonNull)
-                throw new UnsupportedOperationException(
-                  "correlated NOT IN is supported only when the inner " +
-                    "expression is provably non-null (a NULL inner " +
-                    "value makes NOT IN never-TRUE for every probed " +
-                    s"row): add `${valueExpr.sql} IS NOT NULL` to the " +
-                    "subquery's WHERE clause, or use NOT EXISTS with " +
-                    "the value equality spelled out")
               val keyAliases = pairs.map { case (a, in) =>
                 Alias(in, a.name)() }
               val base = rest.map(LFilter(_, ch)).getOrElse(ch)
@@ -355,7 +357,9 @@ object LakeDmlRule {
                 keyCols = pairs.map(_._1.name),
                 keyFrame = LProject(keyAliases.toList, base),
                 probeCol = v.name,
-                residual = residual))
+                residual = residual,
+                provedNonNull = provedNonNull,
+                innerSql = valueExpr.sql))
             }
           case _ => None
         }
@@ -373,31 +377,60 @@ object LakeDmlRule {
     }
   }
 
-  /** COMPOUND subquery conjuncts — `EXISTS(a) AND NOT EXISTS(b) [AND
-    * …]`: when every subquery conjunct is an EXISTS-family arm
-    * correlated on the SAME target column set, the arms fold into ONE
-    * decorrelated key frame by set algebra — positives intersect,
-    * negatives subtract (all-negative: union, anti-joined) — and the
-    * verb stays a single distributed semi/anti join, exactly the
-    * single-subquery route. Per target key k: `k ∈ ∩(positives) \
-    * ∪(negatives)` ⟺ every EXISTS holds and no NOT EXISTS is violated;
-    * NULL frame keys never match a target row in the final join, so
-    * the set ops' null-safe equality cannot change the verb's row set.
-    * Arms correlated on DIFFERENT column sets (or mixed with
-    * correlated IN) have no single-frame image — those refuse with a
-    * targeted message instead of the generic subquery refusal. */
+  /** Matches `t.x [NOT] IN (subquery)` in one compound arm. */
+  private object NotOrIn {
+    def unapply(e: Expression)
+        : Option[(Boolean, AttributeReference, ListQuery)] = e match {
+      case InSubquery(Seq(v: AttributeReference), lq: ListQuery) =>
+        Some((false, v, lq))
+      case Not(InSubquery(Seq(v: AttributeReference), lq: ListQuery)) =>
+        Some((true, v, lq))
+      case _ => None
+    }
+  }
+
+  /** COMPOUND subquery conjuncts — `EXISTS(a) AND NOT EXISTS(b) AND
+    * k IN (c) [AND …]`: when every subquery conjunct is an
+    * EXISTS-family or IN-family arm keyed on the SAME target column
+    * set, the arms fold into ONE decorrelated key frame by set algebra
+    * — positives intersect, negatives subtract (all-negative: union,
+    * anti-joined) — and the verb stays a single distributed semi/anti
+    * join, exactly the single-subquery route. An IN arm's key set is
+    * its correlation columns PLUS the probed column (`t.x IN (SELECT e
+    * FROM s WHERE s.k = t.k)` keys on (k, x) against (k, e)) — an
+    * uncorrelated `k IN (…)` keys on (k) alone, so it mixes freely
+    * with EXISTS arms correlated on k. Per target key tuple:
+    * `key ∈ ∩(positives) \ ∪(negatives)` ⟺ every positive holds and no
+    * negative is violated; NULL frame keys never match a target row in
+    * the final join, so the set ops' null-safe equality cannot change
+    * the verb's row set, and a NULL target key never matches a semi
+    * fold — exactly IN/EXISTS's not-TRUE. Guards where three-valued
+    * logic has no frame image: a NOT IN arm needs a provably non-null
+    * inner (NULL poisons it to never-TRUE), and in an ALL-NEGATIVE
+    * fold a NOT IN arm's probed column must be non-nullable (a NULL
+    * probe is TRUE only when the inner is empty — runtime-dependent,
+    * where the anti join would always act). Arms keyed on DIFFERENT
+    * column sets refuse with a targeted message instead of the generic
+    * subquery refusal. */
   private def compoundExistsShape(subqs: Seq[Expression],
       plain: Seq[Expression],
       targetOut: AttributeSet): Option[CorrelatedMatch] = {
+    import org.apache.spark.sql.catalyst.expressions.IsNotNull
     import org.apache.spark.sql.catalyst.plans.logical.{Except, Intersect,
       Union}
     def unsupported(what: String): Nothing =
       throw new UnsupportedOperationException(
         "a DML condition with SEVERAL subquery conjuncts is supported " +
-          "only as [NOT] EXISTS arms correlated on the same target " +
-          s"column set (folded into one key frame); $what — run the " +
-          "statement as separate DML steps or materialize the " +
+          "only as [NOT] EXISTS / [NOT] IN arms keyed on the same " +
+          s"target column set (folded into one key frame); $what — " +
+          "run the statement as separate DML steps or materialize the " +
           "subqueries first")
+    // NOT IN arms whose PROBED target column is nullable — exact under
+    // a positive arm (a NULL probe already fails the semi fold) or a
+    // plain `probe IS NOT NULL` conjunct, but not in a bare
+    // all-negative anti fold (see the scaladoc guard)
+    val antiInNullableProbes =
+      scala.collection.mutable.ArrayBuffer.empty[String]
     val arms: Seq[(Boolean, Seq[(AttributeReference, Expression)],
         Option[Expression], LogicalPlan)] = subqs.map {
       case NotOrExists(anti, e) =>
@@ -414,8 +447,62 @@ object LakeDmlRule {
             "an EXISTS arm whose filter is not a conjunction of " +
               "target-column equalities plus inner-only conditions")
         }
+      case NotOrIn(anti, v, lq) if targetOut.contains(v) =>
+        lq.plan match {
+          case LProject(projList, below) if projList.length == 1 =>
+            val valueExpr = projList.head match {
+              case al: Alias => al.child
+              case x: Expression => x
+            }
+            if (!innerOk(valueExpr))
+              unsupported("an IN arm whose value expression references " +
+                "the target or another subquery")
+            val (pairs, rest, child) = below match {
+              case LFilter(c0, ch) => splitCorr(c0, targetOut) match {
+                case Some((p, r)) => (p, r, ch)
+                // an UNCORRELATED IN arm's filter is all inner-only —
+                // splitCorr demands a correlated pair, but here the
+                // probed column alone is the key
+                case None if innerOk(c0) => (Nil, Some(c0), ch)
+                case None => unsupported(
+                  "an IN arm whose filter is not a conjunction of " +
+                    "target-column equalities plus inner-only conditions")
+              }
+              case ch => (Nil, None, ch)
+            }
+            val names = (pairs.map(_._1.name) :+ v.name).map(_.toLowerCase)
+            if (names.distinct.size != names.size)
+              unsupported("an IN arm probing one of its own " +
+                "correlation columns")
+            if (anti) {
+              // NOT IN arm: a NULL inner value makes it never-TRUE —
+              // the frame subtraction has no image for that, so the
+              // inner must be provably non-null (same proof as the
+              // single NOT IN route; here the arm composes with others
+              // so the runtime-probe escape does not apply)
+              val proved = !valueExpr.nullable ||
+                rest.exists(r => conjunctsOf(r).exists {
+                  case IsNotNull(x) => x.semanticEquals(valueExpr)
+                  case _ => false
+                })
+              if (!proved)
+                unsupported("a NOT IN arm needs a provably non-null " +
+                  s"inner value — add `${valueExpr.sql} IS NOT NULL` " +
+                  "to its subquery's WHERE clause")
+              val probeNonNull = !v.nullable ||
+                plain.exists(p => conjunctsOf(p).exists {
+                  case IsNotNull(a: AttributeReference) =>
+                    a.name.equalsIgnoreCase(v.name)
+                  case _ => false
+                })
+              if (!probeNonNull) antiInNullableProbes += v.name
+            }
+            (anti, pairs :+ (v -> valueExpr), rest, child)
+          case _ => unsupported(
+            "an IN arm whose subquery is not a single-column projection")
+        }
       case other => unsupported(
-        s"`${other.sql}` is not an EXISTS/NOT EXISTS arm")
+        s"`${other.sql}` is not an EXISTS/NOT EXISTS/IN/NOT IN arm")
     }
     val keyNames = arms.head._2.map(_._1.name.toLowerCase).sorted
     arms.foreach { case (_, pairs, _, _) =>
@@ -452,6 +539,12 @@ object LakeDmlRule {
         .foldLeft(inter)((acc, n) => Except(acc, n, isAll = false))
       Some(CorrelatedMatch(keyCols, frame, anti = false, residual))
     } else {
+      if (antiInNullableProbes.nonEmpty)
+        unsupported("an all-negative fold with a NOT IN arm probing " +
+          s"nullable column(s) ${antiInNullableProbes.mkString(", ")} " +
+          "has no exact frame image (a NULL probe is TRUE only when " +
+          "the inner is empty — runtime-dependent); add `<col> IS " +
+          "NOT NULL` as a plain conjunct or include a positive arm")
       val frame = neg.map(frameOf).reduce((a, b) => Union(a, b))
       Some(CorrelatedMatch(keyCols, frame, anti = true, residual))
     }
@@ -480,7 +573,28 @@ private[sources] case class ScalarFrameSpec(framePlan: LogicalPlan,
   * TRUE for a NULL probe). See [[LakeDmlRule.notInShape]]. */
 private[sources] case class CorrelatedNotIn(pairCols: Seq[String],
     pairFrame: LogicalPlan, keyCols: Seq[String], keyFrame: LogicalPlan,
-    probeCol: String, residual: Option[Column])
+    probeCol: String, residual: Option[Column],
+    provedNonNull: Boolean = true, innerSql: String = "") {
+
+  /** RUNTIME non-null proof, called on the MATERIALIZED (persisted,
+    * counted) pair frame before the statement's first commit when the
+    * static proof failed: a nullable-TYPED but null-FREE inner runs
+    * exactly; an actually-NULL inner raises the same refusal the
+    * static check used to, now with evidence. One `limit(1)` pass over
+    * cached data — never lake-proportional. */
+  def proveNonNullOrRefuse(pairKeys: org.apache.spark.sql.DataFrame)
+      : Unit = {
+    if (provedNonNull) return
+    if (pairKeys.filter(col(probeCol).isNull).limit(1).count() > 0)
+      throw new UnsupportedOperationException(
+        "correlated NOT IN is supported only when the inner " +
+          "expression is non-null (a NULL inner value makes NOT IN " +
+          "never-TRUE for every probed row), and this subquery " +
+          "produced a NULL at runtime: add " +
+          s"`$innerSql IS NOT NULL` to the subquery's WHERE clause, " +
+          "or use NOT EXISTS with the value equality spelled out")
+  }
+}
 
 /** Post-hoc resolution rule: resolved DML plans over lake-catalog
   * tables → eager engine commands. Injected via
@@ -1104,6 +1218,9 @@ case class GraftUpdateCommand(path: String, condition: Column,
         try {
           pairKeys.count(): Unit
           keyKeys.count(): Unit
+          // runtime non-null proof when static nullability failed —
+          // BEFORE the first commit, on the already-cached frame
+          ni.proveNonNullOrRefuse(pairKeys)
           DmlCompensation.compensated(spark, path, "UPDATE") {
             val (f1, n1) = History.updateUnmatched(spark, path, keyKeys,
               ni.keyCols, assignments,
@@ -1261,6 +1378,9 @@ case class GraftDeleteCommand(path: String, condition: Option[Column],
         try {
           pairKeys.count(): Unit
           keyKeys.count(): Unit
+          // runtime non-null proof when static nullability failed —
+          // BEFORE the first commit, on the already-cached frame
+          ni.proveNonNullOrRefuse(pairKeys)
           DmlCompensation.compensated(spark, path, "DELETE") {
             val (f1, n1) = unmatchedDelete(pairKeys, ni.pairCols,
               withResidual(probe.isNotNull))

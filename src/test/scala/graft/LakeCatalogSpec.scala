@@ -1117,7 +1117,8 @@ class LakeCatalogSpec extends AnyFunSuite {
   }
 
   test("correlated NOT IN UPDATE: the two disjoint arms compose; " +
-      "probe/key assignment refuses; no proof refuses") {
+      "probe/key assignment refuses; an actual NULL inner refuses at " +
+      "runtime") {
     import spark.implicits._
     val dir = lakeNullable()
     Seq(("en", 10L)).toDF("l", "w").createOrReplaceTempView("notin_u")
@@ -1146,12 +1147,14 @@ class LakeCatalogSpec extends AnyFunSuite {
                   WHERE t.n_chars NOT IN (SELECT o.w FROM notin_u o
                                           WHERE o.l = t.lang)""")
     assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) === Seq(1L, 2L))
-    // a NULLABLE inner value without the explicit IS NOT NULL filter
+    // a NULLABLE inner with an ACTUAL NULL and no IS NOT NULL filter
     // has no exact translation (a NULL inner value makes NOT IN
-    // never-TRUE) — refused, with the fix named
+    // never-TRUE) — the RUNTIME probe refuses, with the fix named,
+    // before any commit lands
     Seq(("en", java.lang.Long.valueOf(10L)),
         ("de", null.asInstanceOf[java.lang.Long]))
       .toDF("l", "w").createOrReplaceTempView("notin_nullable")
+    val before = ids(spark.sql(s"SELECT * FROM lake.`$dir`"))
     val e2 = intercept[UnsupportedOperationException] {
       spark.sql(s"""DELETE FROM lake.`$dir` t
                     WHERE t.n_chars NOT IN (SELECT o.w
@@ -1159,6 +1162,28 @@ class LakeCatalogSpec extends AnyFunSuite {
                                             WHERE o.l = t.lang)""")
     }
     assert(e2.getMessage.contains("IS NOT NULL"), e2.getMessage)
+    assert(e2.getMessage.contains("runtime"), e2.getMessage)
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) === before,
+      "the runtime refusal must land before any commit")
+  }
+
+  test("correlated NOT IN over a nullable-TYPED but null-FREE inner " +
+      "runs exactly (runtime non-null proof)") {
+    import spark.implicits._
+    val dir = lakeNullable()
+    // nullable java.lang.Long column, but no NULL value present — the
+    // static proof fails, the runtime probe passes, semantics exact:
+    // row 1 (en,10): 10 ∈ {10,99} → FALSE keep; row 2 (en,NULL): NULL
+    // probe vs non-empty set → NULL keep; rows 3/4/5: empty sets or
+    // unmatched → TRUE delete
+    Seq(("en", java.lang.Long.valueOf(10L)),
+        ("en", java.lang.Long.valueOf(99L)),
+        ("fr", java.lang.Long.valueOf(7L)))
+      .toDF("l", "w").createOrReplaceTempView("notin_nullfree")
+    spark.sql(s"""DELETE FROM lake.`$dir` t
+                  WHERE t.n_chars NOT IN (SELECT o.w FROM notin_nullfree o
+                                          WHERE o.l = t.lang)""")
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) === Seq(1L, 2L))
   }
 
   test("compound EXISTS conjuncts fold into one decorrelated frame") {
@@ -1205,6 +1230,57 @@ class LakeCatalogSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("different target column sets"),
       e.getMessage)
+  }
+
+  test("mixed IN arms in compound DML: IN/NOT IN fold with EXISTS on " +
+      "the same key set; guards refuse the inexact shapes") {
+    import spark.implicits._
+    val dir = lake() // doc_ids 1..5
+    // IN(a) AND NOT EXISTS(b): {2,4,5} minus {4} = {2,5}
+    Seq(2L, 4L, 5L).toDF("id").createOrReplaceTempView("mix_a")
+    Seq(4L).toDF("id").createOrReplaceTempView("mix_b")
+    spark.sql(s"""DELETE FROM lake.`$dir` t
+                  WHERE t.doc_id IN (SELECT a.id FROM mix_a a)
+                    AND NOT EXISTS (SELECT 1 FROM mix_b b
+                                    WHERE b.id = t.doc_id)""")
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) ===
+      Seq(1L, 3L, 4L))
+    // IN(c) AND NOT IN(d) — non-nullable Scala Long inners, one
+    // positive and one negative arm → Except: {3,4} \ {4,9} = {3}
+    Seq(3L, 4L).toDF("id").createOrReplaceTempView("mix_c")
+    Seq(4L, 9L).toDF("id").createOrReplaceTempView("mix_d")
+    spark.sql(s"""DELETE FROM lake.`$dir` t
+                  WHERE t.doc_id IN (SELECT c.id FROM mix_c c)
+                    AND t.doc_id NOT IN (SELECT d.id FROM mix_d d)""")
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) === Seq(1L, 4L))
+    // an IN arm keyed on a different column than the EXISTS arm —
+    // targeted mismatched-key-set refusal
+    Seq("en").toDF("l").createOrReplaceTempView("mix_l")
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"""DELETE FROM lake.`$dir` t
+                    WHERE t.lang IN (SELECT x.l FROM mix_l x)
+                      AND NOT EXISTS (SELECT 1 FROM mix_b b
+                                      WHERE b.id = t.doc_id)""")
+    }
+    assert(e.getMessage.contains("different target column sets"),
+      e.getMessage)
+    // a compound NOT IN arm with a NULLABLE inner and no IS NOT NULL
+    // refuses with the fix named (no runtime-probe escape in compounds)
+    Seq(java.lang.Long.valueOf(1L), null.asInstanceOf[java.lang.Long])
+      .toDF("id").createOrReplaceTempView("mix_nullable")
+    val e2 = intercept[UnsupportedOperationException] {
+      spark.sql(s"""DELETE FROM lake.`$dir` t
+                    WHERE t.doc_id IN (SELECT c.id FROM mix_c c)
+                      AND t.doc_id NOT IN (SELECT n.id
+                                           FROM mix_nullable n)""")
+    }
+    assert(e2.getMessage.contains("IS NOT NULL"), e2.getMessage)
+    // ...and WITH the IS NOT NULL filter the same statement runs
+    spark.sql(s"""DELETE FROM lake.`$dir` t
+                  WHERE t.doc_id IN (SELECT c.id FROM mix_c c)
+                    AND t.doc_id NOT IN (SELECT n.id FROM mix_nullable n
+                                         WHERE n.id IS NOT NULL)""")
+    assert(ids(spark.sql(s"SELECT * FROM lake.`$dir`")) === Seq(1L))
   }
 
   test("a non-deterministic UPDATE refuses loudly, lake untouched") {
