@@ -167,6 +167,74 @@ class BpeSegmentSpec extends AnyFunSuite {
       Seq(("a", "b"), ("c", "d")))
   }
 
+  test("OPT-IN scale probe: 500-merge trainFast run + 1k-merge " +
+      "segmentation throughput (SPARK_GRAFT_BPE_SCALE=1)") {
+    assume(sys.env.get("SPARK_GRAFT_BPE_SCALE").contains("1"))
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("text")).cache()
+    val nDocs = docs.count()
+    // --- 500-merge distributed training run (VERDICT r18 #7) ---
+    // the synthetic corpus's ~30-word vocabulary SATURATES BPE at
+    // ~106 merges (every distinct word becomes one unit), so the
+    // training corpus is augmented with per-document hex-digest words
+    // (digits→spaces over sha2 hex = fresh a-f words) to give the
+    // trainer a real vocabulary to learn
+    val trainDocs = docs.select(concat_ws(" ", col("text"),
+      regexp_replace(sha2(col("text"), 256), "[0-9]", " ")).as("text"))
+    val t0 = System.nanoTime()
+    val merges = graft.ext.Bpe.trainFast(trainDocs, "text", 500,
+      maxBatch = 16, topK = 4096)
+    val trainSecs = (System.nanoTime() - t0) / 1e9
+    assert(merges.length === 500)
+    // equivalence safety net on a prefix (full 500-seq match vs train
+    // would take 500 sequential jobs — the per-round exactness is
+    // already fuzz-locked; here assert the well-formedness invariants)
+    val known = scala.collection.mutable.Set.empty[String]
+    merges.foreach { case (l, r) =>
+      def ok(s: String) = s == "</w>" || s.length == 1 || known(s)
+      assert(ok(l) && ok(r), s"unbuildable rule ($l, $r)")
+      assert(l != "</w>" && !l.endsWith("</w>"), s"crossing rule ($l,$r)")
+      known += (l + r): Unit
+    }
+    // --- segmentation throughput: 24-merge demo vs 500 vs 1000 ---
+    def benchCount(ms: Seq[(String, String)], label: String): Double = {
+      spark.conf.set("spark.graft.bpe.chainMaxMerges", "0")
+      try {
+        val t = System.nanoTime()
+        docs.select(sum(graft.ext.Bpe.tokenCount(col("text"), ms)))
+          .collect(): Unit
+        val s = (System.nanoTime() - t) / 1e9
+        info(f"$label: $s%.2f s over $nDocs docs")
+        s
+      } finally spark.conf.unset("spark.graft.bpe.chainMaxMerges")
+    }
+    benchCount(graft.ext.Bpe.demoMerges, "expr-24"): Unit // warm-up
+    val t24 = benchCount(graft.ext.Bpe.demoMerges, "expr-24")
+    val t500 = benchCount(merges, "expr-500")
+    // the chained-replace path at the same 500-merge vocab — the cost
+    // the Expression exists to remove (500 full string scans per row)
+    spark.conf.set("spark.graft.bpe.chainMaxMerges", "100000")
+    val tChain = try {
+      val t = System.nanoTime()
+      docs.select(sum(graft.ext.Bpe.tokenCount(col("text"), merges)))
+        .collect(): Unit
+      (System.nanoTime() - t) / 1e9
+    } finally spark.conf.unset("spark.graft.bpe.chainMaxMerges")
+    info(f"chain-500: $tChain%.2f s (expr-500 $t500%.2f s, " +
+      f"${tChain / t500}%.1f× slower)")
+    val t1000 = benchCount(merges ++ (0 until 500).map(i =>
+      (s"zz$i", "q")), "expr-1000-padded")
+    info(f"train(500 merges, batched): $trainSecs%.1f s; " +
+      f"per-row cost ratio 1000-vs-24 merges: ${t1000 / t24}%.2f")
+    // flat per-row cost: a 40× larger vocabulary must not cost 40× —
+    // allow generous headroom for more merges actually APPLYING
+    assert(t1000 <= t24 * 6,
+      f"per-row cost must be vocab-size independent: " +
+        f"24-merge $t24%.2f s vs 1000-merge $t1000%.2f s")
+  }
+
   test("a 1k-merge synthetic table segments correctly through the " +
       "expression (vocab-size-independent walk)") {
     import spark.implicits._
