@@ -1758,8 +1758,15 @@ case class GraftMergeCdcCommand(path: String, source: LogicalPlan,
             bySourceArms.zipWithIndex.collect {
               case (MergeArmSpec(_, None), i) => i
             }.foreach { i =>
-              val (f, n) = History.deleteUnmatchedDV(spark, path,
-                srcKeys, keyCols, Some(armFilter(bySourceArms, i)), dvCap)
+              // dense arm → COW fallback like every delete route; the
+              // rewrite preserves surviving rows' CONTENT exactly, so
+              // later arms' conditions still evaluate pristine values
+              val (f, n) =
+                try History.deleteUnmatchedDV(spark, path, srcKeys,
+                  keyCols, Some(armFilter(bySourceArms, i)), dvCap)
+                catch { case _: DvCapExceededException =>
+                  History.deleteUnmatched(spark, path, srcKeys, keyCols,
+                    Some(armFilter(bySourceArms, i))) }
               filesTouched += f
               rowsDeleted += n
             }
@@ -1813,10 +1820,16 @@ case class GraftMergeCdcCommand(path: String, source: LogicalPlan,
                       vals, dvCap)
                     catch { case _: DvCapExceededException =>
                       History.deleteKeys(spark, path, keyCols.head, vals) }
-                else History.deleteMatchedDV(spark, path, dk,
+                else
+                  try History.deleteMatchedDV(spark, path, dk,
+                    keyCols, dvCap)
+                  catch { case _: DvCapExceededException =>
+                    History.deleteMatched(spark, path, dk, keyCols) }
+              } else
+                try History.deleteMatchedDV(spark, path, dk,
                   keyCols, dvCap)
-              } else History.deleteMatchedDV(spark, path, dk,
-                keyCols, dvCap)
+                catch { case _: DvCapExceededException =>
+                  History.deleteMatched(spark, path, dk, keyCols) }
             filesTouched += f
             rowsDeleted += n
           }

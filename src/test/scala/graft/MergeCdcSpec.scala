@@ -219,6 +219,30 @@ class MergeCdcSpec extends AnyFunSuite {
     assert(rows(dir) === Seq((1L, "en", 111L)))
   }
 
+  test("dense MERGE delete arms fall back to copy-on-write past the " +
+      "DV cap (matched and by-source)") {
+    import spark.implicits._
+    val dir = lake()
+    spark.conf.set("spark.graft.dml.dvMaxPositions", "1")
+    try {
+      // matched-delete frame route: multi-column key forces the frame
+      // path (not the bloom key list); 2 victims > cap 1 → COW
+      Seq((2L, "en"), (4L, "de")).toDF("doc_id", "lang")
+        .createOrReplaceTempView("dense_del")
+      spark.sql(s"""MERGE INTO lake.`$dir` t USING dense_del s
+                    ON t.doc_id = s.doc_id AND t.lang = s.lang
+                    WHEN MATCHED THEN DELETE""")
+      assert(rows(dir).map(_._1) === Seq(1L, 3L, 5L))
+      // by-source delete arm: 2 unmatched victims > cap 1 → COW
+      Seq((1L, "en")).toDF("doc_id", "lang")
+        .createOrReplaceTempView("dense_sync")
+      spark.sql(s"""MERGE INTO lake.`$dir` t USING dense_sync s
+                    ON t.doc_id = s.doc_id AND t.lang = s.lang
+                    WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      assert(rows(dir).map(_._1) === Seq(1L))
+    } finally spark.conf.unset("spark.graft.dml.dvMaxPositions")
+  }
+
   test("WHEN NOT MATCHED BY SOURCE THEN UPDATE marks the rows the " +
       "source no longer carries (ordered, first-match-wins)") {
     import spark.implicits._
