@@ -103,10 +103,20 @@ object Bpe {
     }
 
   /** Subword token count under the trained merges — the training-data
-    * budgeting denomination. NULL text counts zero. */
+    * budgeting denomination. NULL text counts zero. Past
+    * [[chainMaxMerges]] this is the count-only expression
+    * ([[graft.functions.BpeTokenCount]]) — no per-row token array just
+    * to take its size. */
   def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
-    when(text.isNull, lit(0L))
-      .otherwise(size(tokens(text, merges)).cast("long"))
+    if (merges.size <= chainMaxMerges)
+      when(text.isNull, lit(0L))
+        .otherwise(size(tokens(text, merges)).cast("long"))
+    else {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      when(text.isNull, lit(0L)).otherwise(
+        ColumnBridge.column(graft.functions.BpeTokenCount(
+          ColumnBridge.expression(text), merges)))
+    }
 
   /** The DuckDB expression replaying [[tokenCount]] for a column name —
     * the oracle side of the same chain, generated from the SAME merges

@@ -57,6 +57,37 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
       newChild: Expression): BpeTokens = copy(child = newChild)
 }
 
+/** [[BpeTokens]]'s count-only sibling for the budgeting hot path:
+  * sums segment lengths per word without materializing a token array
+  * per row (the `size(tokens(…))` composition allocates a
+  * GenericArrayData + one UTF8String per token just to count them). */
+case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  @transient private lazy val table = new BpeTable(merges)
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_token_count expects a string document, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    table.count(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table,
+      classOf[BpeTable].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.count($c)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeTokenCount = copy(child = newChild)
+}
+
 /** The driver-built, executor-shared merge table: rank lookup for
   * adjacent unit pairs plus a bounded word-segmentation cache. One
   * instance rides the generated code's reference array (serialized
