@@ -740,10 +740,23 @@ object Dedup {
   def semanticPairs(vecs: DataFrame, centroids: DataFrame, idCol: String,
                     embCol: String, minCos: Double,
                     maxCell: Int = 4096): DataFrame = {
+    // the cell-size guard is an AGGREGATE joined back on the cell
+    // exchange, never count().over(Window.partitionBy(cell)): the
+    // degenerate cell is the guard's own target, and a window would
+    // buffer exactly that cell's rows (embedding vectors included) in
+    // ONE task before dropping them. The vacuous max(id)/first(emb)
+    // anchors keep the count branch referencing the probe side's full
+    // columns so both subtrees canonicalize to one ReusedExchange
+    // (the dupSpanIslands / t22 shape).
     val assigned = Similarity.assignCells(vecs, idCol, embCol, centroids)
-    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
-    val bounded = assigned.withColumn("_cn", count(lit(1)).over(wc))
-      .filter(col("_cn") <= maxCell).drop("_cn")
+      .repartition(col("cell"))
+    val okCells = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("_cn"), max(col(idCol)).as("_a"),
+        first(col(embCol)).as("_e"))
+      .filter(col("_cn") <= maxCell && col("_a").isNotNull &&
+        coalesce(size(col("_e")), lit(-2)) >= -2)
+      .select(col("cell"))
+    val bounded = assigned.join(okCells, Seq("cell"))
     val withN = Similarity.withNorm(bounded, idCol, embCol)
     val a = withN.select(col(idCol).as("a_id"), col(embCol).as("a_emb"),
       col("nrm").as("a_nrm"), col("cell"))

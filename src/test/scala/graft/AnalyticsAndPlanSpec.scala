@@ -802,6 +802,42 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
         plan.toString.take(1500))
   }
 
+  test("plan quality: the de-skewed guard counts (d03 bucket, d08 " +
+      "cell, t06 df) are aggregates on reused exchanges, not windows") {
+    def roots(gate: String): Seq[String] = {
+      val df = SparkEntry.queries(gate)(spark, "/root/testdata/sf0.001")
+      df.collect(): Unit
+      val plan = df.queryExecution.executedPlan
+      val fin = plan.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+      }
+      (plan +: fin).map(_.toString.split("== Initial Plan ==").head)
+    }
+    // d03: the ONLY window was the bucket occupancy — now gone
+    // entirely; the occupancy branch reuses the simhash exchange
+    val d03 = roots("d03_simhash")
+    assert(!d03.exists(_.linesIterator.exists(_.contains("Window"))),
+      "d03 must have no window operator")
+    assert(d03.exists(_.contains("ReusedExchange")),
+      "d03 occupancy branch must reuse the simhash exchange")
+    // d08: no window keyed by the cell id (the maxCell guard is an
+    // aggregate joined back)
+    val d08 = roots("d08_semantic_dedup")
+    assert(!d08.exists(_.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("cell#"))),
+      "d08 cell-size guard must not be a cell-keyed window")
+    // t06: exactly one window remains (the per-doc rank); the df
+    // branch reuses the word exchange
+    val t06 = roots("t06_tfidf_terms")
+    val winLines = t06.map(_.linesIterator.count(l =>
+      l.contains("Window") && !l.contains("WindowGroupLimit"))).max
+    assert(winLines <= 1,
+      s"t06 must keep only the per-doc rank window, found $winLines")
+    assert(t06.exists(_.contains("ReusedExchange")),
+      "t06 df branch must reuse the word exchange")
+  }
+
   test("plan quality: q44 scans lineitem once; window rides the join shuffle") {
     // the double-EXISTS decorrelation computes per-order cardinalities
     // as WINDOW aggregates over the join output instead of a second
