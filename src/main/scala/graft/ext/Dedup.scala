@@ -186,10 +186,12 @@ object Dedup {
     * page carrying the same legal footer) turns the linear shape
     * quadratic. Buckets larger than the cap are dropped entirely —
     * members that near-dup for a *content* reason still pair through
-    * their other, non-degenerate bands. The bucket count is one window
-    * over the same (band, bkey) hash partitioning the join needs, so
-    * the cap adds no extra shuffle. Use [[oversizedBuckets]] to monitor
-    * what a given cap drops. */
+    * their other, non-degenerate bands. The bucket count is an
+    * aggregate joined back on the same (band, bkey) exchange the join
+    * needs (ReusedExchange — no extra shuffle, and the mega-bucket
+    * partial-combines map-side instead of buffering in one task's
+    * window). Use [[oversizedBuckets]] to monitor what a given cap
+    * drops. */
   def lshCandidatePairs(bands: DataFrame, idCol: String,
                         maxBucket: Int = 256,
                         sampleOversized: Boolean = false): DataFrame = {
@@ -202,14 +204,26 @@ object Dedup {
     // because boilerplate-only matches are usually noise.
     val bounded =
       if (sampleOversized) {
+        // rank-filter windows get Spark's WindowGroupLimit treatment
+        // (bounded per-group heap inserted BEFORE the shuffle), so the
+        // sample mode never buffers a whole mega-bucket
         val ws = w.orderBy(hash(col(idCol)).asc, col(idCol).asc)
         bands.withColumn("_rn", row_number().over(ws))
           .filter(col("_rn") <= maxBucket)
           .drop("_rn")
-      } else bands
-        .withColumn("_bn", count(lit(1)).over(w))
-        .filter(col("_bn") <= maxBucket)
-        .drop("_bn")
+      } else {
+        // drop mode counts get NO group-limit optimization — a count
+        // window would buffer the mega-bucket (the guard's own target)
+        // in one task before dropping it; aggregate + join back on the
+        // same (band, bkey) exchange instead (the d04/t29 de-skew;
+        // anchor keeps both subtrees on one ReusedExchange)
+        val based = bands.repartition(col("band"), col("bkey"))
+        val ok = based.groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("_bn"), max(col(idCol)).as("_a"))
+          .filter(col("_bn") <= maxBucket && col("_a").isNotNull)
+          .select(col("band"), col("bkey"))
+        based.join(ok, Seq("band", "bkey"))
+      }
     val a = bounded.select(col(idCol).as("a_id"), col("band"), col("bkey"))
     val b = bounded.select(col(idCol).as("b_id"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))
