@@ -192,6 +192,37 @@ object Dedup {
     * partial-combines map-side instead of buffering in one task's
     * window). Use [[oversizedBuckets]] to monitor what a given cap
     * drops. */
+  /** Per-key row count joined back on ONE exchange — the de-skewed
+    * replacement for `count().over(Window.partitionBy(keys))`: a
+    * window buffers a hot key's whole partition in one task before any
+    * downstream filter can drop it, while this aggregate
+    * partial-combines map-side and the join-back streams (the single
+    * count row per key is the only buffered side). The vacuous
+    * `max(hash(anchor))` aggregates keep the count branch referencing
+    * `anchorCols` so column pruning cannot narrow its exchange below
+    * the probe side's — both subtrees then canonicalize to one
+    * ReusedExchange (the t22 lesson; hash() never returns null, so the
+    * isNotNull filters are always-true anchors Catalyst cannot fold).
+    * Pass every non-key column the caller keeps as an anchor.
+    *
+    * CONTRACT: key columns must be NON-NULL — the inner join drops
+    * NULL-keyed rows where a window kept them (every current caller's
+    * keys are hashes, grams, words, or cell/bucket ids, which cannot
+    * be null). This helper is the ONE place the anchoring trick lives;
+    * do not hand-copy the pattern (ADVICE r19 review). */
+  private[graft] def keyedCount(df: DataFrame, keyCols: Seq[String],
+      countName: String, anchorCols: Seq[String]): DataFrame = {
+    val based = df.repartition(keyCols.map(col): _*)
+    val anchors = anchorCols.zipWithIndex.map { case (c, i) =>
+      max(hash(col(c))).as(s"_ka$i") }
+    val counted = based.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as(countName), anchors: _*)
+    val ok = anchorCols.indices
+      .foldLeft(counted) { (d, i) => d.filter(col(s"_ka$i").isNotNull) }
+      .select(keyCols.map(col) :+ col(countName): _*)
+    based.join(ok, keyCols)
+  }
+
   def lshCandidatePairs(bands: DataFrame, idCol: String,
                         maxBucket: Int = 256,
                         sampleOversized: Boolean = false): DataFrame = {
@@ -211,19 +242,14 @@ object Dedup {
         bands.withColumn("_rn", row_number().over(ws))
           .filter(col("_rn") <= maxBucket)
           .drop("_rn")
-      } else {
+      } else
         // drop mode counts get NO group-limit optimization — a count
         // window would buffer the mega-bucket (the guard's own target)
-        // in one task before dropping it; aggregate + join back on the
-        // same (band, bkey) exchange instead (the d04/t29 de-skew;
-        // anchor keeps both subtrees on one ReusedExchange)
-        val based = bands.repartition(col("band"), col("bkey"))
-        val ok = based.groupBy(col("band"), col("bkey"))
-          .agg(count(lit(1)).as("_bn"), max(col(idCol)).as("_a"))
-          .filter(col("_bn") <= maxBucket && col("_a").isNotNull)
-          .select(col("band"), col("bkey"))
-        based.join(ok, Seq("band", "bkey"))
-      }
+        // in one task before dropping it; the shared de-skewed count
+        // rides the same (band, bkey) exchange the pair join needs
+        keyedCount(bands, Seq("band", "bkey"), "_bn", Seq(idCol))
+          .filter(col("_bn") <= maxBucket)
+          .drop("_bn")
     val a = bounded.select(col(idCol).as("a_id"), col("band"), col("bkey"))
     val b = bounded.select(col(idCol).as("b_id"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))
@@ -754,23 +780,16 @@ object Dedup {
   def semanticPairs(vecs: DataFrame, centroids: DataFrame, idCol: String,
                     embCol: String, minCos: Double,
                     maxCell: Int = 4096): DataFrame = {
-    // the cell-size guard is an AGGREGATE joined back on the cell
-    // exchange, never count().over(Window.partitionBy(cell)): the
-    // degenerate cell is the guard's own target, and a window would
-    // buffer exactly that cell's rows (embedding vectors included) in
-    // ONE task before dropping them. The vacuous max(id)/first(emb)
-    // anchors keep the count branch referencing the probe side's full
-    // columns so both subtrees canonicalize to one ReusedExchange
-    // (the dupSpanIslands / t22 shape).
+    // the cell-size guard is the shared de-skewed count
+    // ([[keyedCount]]), never count().over(Window.partitionBy(cell)):
+    // the degenerate cell is the guard's own target, and a window
+    // would buffer exactly that cell's rows (embedding vectors
+    // included) in ONE task before dropping them
     val assigned = Similarity.assignCells(vecs, idCol, embCol, centroids)
-      .repartition(col("cell"))
-    val okCells = assigned.groupBy(col("cell"))
-      .agg(count(lit(1)).as("_cn"), max(col(idCol)).as("_a"),
-        first(col(embCol)).as("_e"))
-      .filter(col("_cn") <= maxCell && col("_a").isNotNull &&
-        coalesce(size(col("_e")), lit(-2)) >= -2)
-      .select(col("cell"))
-    val bounded = assigned.join(okCells, Seq("cell"))
+    val bounded = keyedCount(assigned, Seq("cell"), "_cn",
+        Seq(idCol, embCol))
+      .filter(col("_cn") <= maxCell)
+      .drop("_cn")
     val withN = Similarity.withNorm(bounded, idCol, embCol)
     val a = withN.select(col(idCol).as("a_id"), col(embCol).as("a_emb"),
       col("nrm").as("a_nrm"), col("cell"))
@@ -793,21 +812,15 @@ object Dedup {
     * Input must be one row per distinct (id, gram). */
   def ngramJaccardPairs(grams: DataFrame, idCol: String, gramCol: String,
                         maxDocFreq: Int, minJaccard: Double): DataFrame = {
-    // document frequency is an aggregate on the gram-keyed exchange
-    // joined back in place — NEVER count().over(Window.partitionBy(gram)):
-    // a window must buffer every occurrence of a hot boilerplate gram in
-    // ONE task's partition before the cap can drop it, while the
-    // aggregate partial-combines map-side and streams (the same de-skew
-    // applied to dupSpanIslands, ADVICE r17 / VERDICT r18). The vacuous
-    // max(id) anchor keeps the count branch referencing idCol so column
-    // pruning doesn't shrink its exchange below the probe side's and
-    // break ReusedExchange canonicalization (the t22 lesson).
-    val g0 = grams.repartition(col(gramCol))
-    val keep = g0.groupBy(col(gramCol))
-      .agg(count(lit(1)).as("_df"), max(col(idCol)).as("_a"))
-      .filter(col("_df") <= maxDocFreq && col("_a").isNotNull)
-      .select(col(gramCol))
-    val g = g0.join(keep, Seq(gramCol))
+    // document frequency is the shared de-skewed count
+    // ([[keyedCount]]) on the gram-keyed exchange — NEVER
+    // count().over(Window.partitionBy(gram)): a window must buffer
+    // every occurrence of a hot boilerplate gram in ONE task's
+    // partition before the cap can drop it (the same de-skew applied
+    // to dupSpanIslands, ADVICE r17 / VERDICT r18)
+    val g = keyedCount(grams, Seq(gramCol), "_df", Seq(idCol))
+      .filter(col("_df") <= maxDocFreq)
+      .drop("_df")
     val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val a = g.select(col(idCol).as("a_id"), col(gramCol).as("g"))
     val b = g.select(col(idCol).as("b_id"), col(gramCol).as("g"))

@@ -738,20 +738,16 @@ object Similarity {
     * path. */
   def blockedPairs(vecs: DataFrame, idCol: String, embCol: String,
                    blockCol: String, maxBlock: Int = 1024): DataFrame = {
-    // the block-size guard aggregates and joins back on the block
-    // exchange instead of a count window: the RUNAWAY block is the
-    // guard's own target, and a window would buffer exactly that
-    // block's rows (vectors included) in one task before dropping
-    // them. Anchors keep the two subtrees exchange-reuse equal.
-    val base = vecs.select(col(idCol), col(embCol), col(blockCol))
-      .repartition(col(blockCol))
-    val okBlocks = base.groupBy(col(blockCol))
-      .agg(count(lit(1)).as("_bn"), max(col(idCol)).as("_a"),
-        first(col(embCol)).as("_e"))
-      .filter(col("_bn") <= maxBlock && col("_a").isNotNull &&
-        coalesce(size(col("_e")), lit(-2)) >= -2)
-      .select(col(blockCol))
-    val bounded = base.join(okBlocks, Seq(blockCol))
+    // the block-size guard is the shared de-skewed count
+    // ([[Dedup.keyedCount]]) on the block exchange, not a count
+    // window: the RUNAWAY block is the guard's own target, and a
+    // window would buffer exactly that block's rows (vectors
+    // included) in one task before dropping them
+    val bounded = Dedup.keyedCount(
+        vecs.select(col(idCol), col(embCol), col(blockCol)),
+        Seq(blockCol), "_bn", Seq(idCol, embCol))
+      .filter(col("_bn") <= maxBlock)
+      .drop("_bn")
     val v = withNorm(bounded, idCol, embCol)
       .select(col(idCol), col(embCol), col("nrm"), col(blockCol))
     val a = v.select(col(blockCol).as("blk"), col(idCol).as("a_id"),

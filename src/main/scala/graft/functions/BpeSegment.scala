@@ -103,6 +103,11 @@ final class BpeTable(merges: Seq[(String, String)]) extends Serializable {
     "BPE merge table contains a word-crossing rule (left unit ends " +
       "with </w>) — merges must not glue words")
 
+  // array-backed for the hot loop: the caller's Seq may be a linear
+  // List, where `size` and `apply(best)` are O(vocab) walks — exactly
+  // the vocabulary-proportional cost this expression exists to remove
+  private val mergesArr: Array[(String, String)] = merges.toArray
+
   /** (left SPACE right) → ALL its ranks, ascending. A space can never
     * appear in a unit (units are `[a-z]`+ or `</w>` by the shared
     * normalization), so the key is collision-free. Every rank is kept,
@@ -192,7 +197,7 @@ final class BpeTable(merges: Seq[(String, String)]) extends Serializable {
     while (i < w.length) { units(i) = String.valueOf(w.charAt(i)); i += 1 }
     units(w.length) = "</w>"
     var minRank = 0
-    while (minRank < merges.size && units.length >= 2) {
+    while (minRank < mergesArr.length && units.length >= 2) {
       // lowest-ranked adjacent pair present at or past the pointer
       var best = Integer.MAX_VALUE
       i = 0
@@ -207,11 +212,11 @@ final class BpeTable(merges: Seq[(String, String)]) extends Serializable {
         }
         i += 1
       }
-      if (best == Integer.MAX_VALUE) minRank = merges.size
+      if (best == Integer.MAX_VALUE) minRank = mergesArr.length
       else {
         // merge every occurrence of the best pair, left to right,
         // non-overlapping — exactly the exhaustive single-rule pass
-        val (l, r) = (merges(best)._1, merges(best)._2)
+        val (l, r) = (mergesArr(best)._1, mergesArr(best)._2)
         val next = new Array[String](units.length)
         var src = 0
         var dst = 0

@@ -482,18 +482,12 @@ object ExtQueries {
     "d03_simhash" -> ((s, d) => {
       val words = documents(s, d).select(col("doc_id"),
         explode(split(col("text"), " ")).as("word"))
-      // bucket occupancy as an aggregate joined back on the bucket
-      // exchange, not a count window: a hot bucket IS the near-dup
-      // mass this query exists to surface, and a window would buffer
-      // all of it in one task (the d04/t29 de-skew; anchor keeps the
-      // two subtrees on one ReusedExchange)
+      // bucket occupancy via the shared de-skewed count
+      // (Dedup.keyedCount), not a count window: a hot bucket IS the
+      // near-dup mass this query exists to surface, and a window
+      // would buffer all of it in one task (the d04/t29 de-skew)
       val sh = Dedup.simhash(words, "doc_id", "word")
-        .repartition(col("simhash"))
-      val occ = sh.groupBy(col("simhash"))
-        .agg(count(lit(1)).as("n_bucket"), max(col("doc_id")).as("_a"))
-        .filter(col("_a").isNotNull)
-        .select(col("simhash"), col("n_bucket"))
-      sh.join(occ, Seq("simhash"))
+      Dedup.keyedCount(sh, Seq("simhash"), "n_bucket", Seq("doc_id"))
         .select(col("doc_id"), col("simhash"), col("n_bucket"))
     }),
 
@@ -799,21 +793,15 @@ object ExtQueries {
       val tf = words.groupBy(col("doc_id"), col("word"))
         .agg(count(lit(1)).as("tf"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      // document frequency as an AGGREGATE on the word exchange joined
-      // back in place — never count().over(Window.partitionBy(word)):
-      // a stop word's partition holds one row per CONTAINING DOC, so
-      // the window buffers ~corpus-size rows in one task, while the
-      // aggregate partial-combines map-side (the d04/t29 de-skew).
-      // Anchors keep the df branch reading the probe's full columns so
-      // both subtrees share ONE word exchange (ReusedExchange) — same
-      // shuffle count as the window had.
-      val tfW = tf.repartition(col("word"))
-      val dfAgg = tfW.groupBy(col("word"))
-        .agg(count(lit(1)).as("df"), max(col("doc_id")).as("_a"),
-          max(col("tf")).as("_b"))
-        .filter(col("_a").isNotNull && col("_b") >= 1)
-        .select(col("word"), col("df"))
-      val scored = tfW.join(dfAgg, Seq("word"))
+      // document frequency via the shared de-skewed count
+      // (Dedup.keyedCount) on one reused word exchange — never
+      // count().over(Window.partitionBy(word)): a stop word's
+      // partition holds one row per CONTAINING DOC, so the window
+      // buffers ~corpus-size rows in one task, while the aggregate
+      // partial-combines map-side (the d04/t29 de-skew; same shuffle
+      // count as the window had)
+      val scored = Dedup.keyedCount(tf, Seq("word"), "df",
+          Seq("doc_id", "tf"))
         .crossJoin(broadcast(n))
         .select(col("doc_id"), col("word"),
           round(col("tf") *

@@ -2376,6 +2376,15 @@ object History {
       throw new IllegalStateException(
         s"repartitionLake needs a manifest-mode lake (enableManifests): " +
           path)
+    // VALIDATE the requested columns before any mutation: the implicit
+    // declaration below is a permanent commit, and a typo'd column
+    // name must leave the lake untouched
+    val preImage = readPinned(spark, path)
+    val missing = cols.filterNot(c =>
+      preImage.columns.exists(_.equalsIgnoreCase(c)))
+    require(missing.isEmpty,
+      s"repartitionLake: no such column(s) ${missing.mkString(",")} — " +
+        s"lake columns are ${preImage.columns.mkString(",")}")
     // pin the schema BEFORE restating: a column moving into the
     // partition position is read back from its k=v dir names, and an
     // UNDECLARED lake would re-infer its type from the path strings
@@ -2390,11 +2399,6 @@ object History {
         s"repartitionLake needs a manifest-mode lake (enableManifests): " +
           path))
     val image = readPinned(spark, path)
-    val missing = cols.filterNot(c =>
-      image.columns.exists(_.equalsIgnoreCase(c)))
-    require(missing.isEmpty,
-      s"repartitionLake: no such column(s) ${missing.mkString(",")} — " +
-        s"lake columns are ${image.columns.mkString(",")}")
     // resolve to the lake's declared casing: the k=v dir names ARE the
     // physical column names every later read/write derives from
     val resolved = cols.map(c => image.columns

@@ -303,6 +303,14 @@ object SchemaLog {
     require(latestVersion(fs, lakePath).isEmpty,
       s"declareAs on a lake with an existing declared schema: $lakePath")
     publish(fs, lakePath, 1L, schema)
+    // DDL-as-commit here too: the CREATE TABLE path declares AFTER its
+    // manifests exist, and without a stamped version a tag taken right
+    // after CREATE would pin a stamp-less manifest that resolves the
+    // PRESENT declaration under later renames — the exact lag
+    // commitDdlVersion closes for declare(). Snapshot export declares
+    // BEFORE the destination's first manifest publish, where this
+    // no-ops and the subsequent publish stamps the declaration itself.
+    commitDdlVersion(fs, lakePath)
     1L
   }
 
