@@ -64,6 +64,45 @@ class LakeDdlSpec extends AnyFunSuite {
       Seq((2L, 99L)))
   }
 
+  test("CREATE TABLE stamps its declaration: a tag taken right after " +
+      "CREATE pins the CREATE-time schema under later renames") {
+    // the review-found gap: CREATE TABLE declares AFTER its manifests
+    // exist, so without declareAs's DDL commit the freshest version
+    // stayed stamp-less and a tag on it resolved the PRESENT
+    // declaration — showing the post-rename name for a pre-rename pin
+    val dir = tmpPath("graft-ddl-stamp")
+    spark.sql(s"""CREATE TABLE lake.`$dir` (
+                    doc_id BIGINT, a STRING) USING parquet""")
+    val fs = fsOf(dir)
+    val m = FileManifest.latest(fs, dir).get
+    assert(m.schemaV === Some(1L),
+      s"CREATE's freshest version must carry the declaration stamp, " +
+        s"got ${m.schemaV}")
+    History.tag(spark, dir, "at_create"): Unit
+    SchemaLog.renameColumn(spark, dir, "a", "b"): Unit
+    assert(History.readTag(spark, dir, "at_create")
+      .schema.fieldNames.toSeq === Seq("doc_id", "a"))
+    assert(History.readPinned(spark, dir).schema.fieldNames.toSeq ===
+      Seq("doc_id", "b"))
+  }
+
+  test("repartition_lake with a bad column leaves the lake untouched " +
+      "(no implicit declaration, no version)") {
+    import spark.implicits._
+    val dir = tmpPath("graft-ddl-regrain")
+    Seq((1L, "en")).toDF("doc_id", "lang").write.parquet(dir)
+    History.enableManifests(spark, dir): Unit
+    val fs = fsOf(dir)
+    val vBefore = FileManifest.latest(fs, dir).get.version
+    intercept[IllegalArgumentException] {
+      History.repartitionLake(spark, dir, Seq("doc_idd")) // typo
+    }
+    assert(SchemaLog.latest(fs, dir).isEmpty,
+      "a refused re-grain must not implicitly declare a schema")
+    assert(FileManifest.latest(fs, dir).get.version === vBefore,
+      "a refused re-grain must not publish a version")
+  }
+
   test("CREATE TABLE on an existing lake refuses; bad shapes refuse") {
     val dir = tmpPath("graft-ddl-dup")
     spark.sql(s"CREATE TABLE lake.`$dir` (id BIGINT) USING parquet")
