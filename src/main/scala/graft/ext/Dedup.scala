@@ -208,11 +208,20 @@ object Dedup {
     * CONTRACT: key columns must be NON-NULL — the inner join drops
     * NULL-keyed rows where a window kept them (every current caller's
     * keys are hashes, grams, words, or cell/bucket ids, which cannot
-    * be null). This helper is the ONE place the anchoring trick lives;
+    * be null). ENFORCED at runtime (ADVICE r19): a NULL key raises
+    * from inside the scan instead of silently losing rows — the check
+    * is one codegen null branch per key, free next to the exchange it
+    * guards. This helper is the ONE place the anchoring trick lives;
     * do not hand-copy the pattern (ADVICE r19 review). */
   private[graft] def keyedCount(df: DataFrame, keyCols: Seq[String],
       countName: String, anchorCols: Seq[String]): DataFrame = {
-    val based = df.repartition(keyCols.map(col): _*)
+    val guarded = keyCols.foldLeft(df) { (d, k) =>
+      d.withColumn(k, when(col(k).isNull, raise_error(lit(
+          s"keyedCount: NULL key in '$k' — the de-skewed count joins " +
+            "on its keys and would silently drop NULL-keyed rows; " +
+            "filter or coalesce them first"))).otherwise(col(k)))
+    }
+    val based = guarded.repartition(keyCols.map(col): _*)
     val anchors = anchorCols.zipWithIndex.map { case (c, i) =>
       max(hash(col(c))).as(s"_ka$i") }
     val counted = based.groupBy(keyCols.map(col): _*)
@@ -221,6 +230,49 @@ object Dedup {
       .foldLeft(counted) { (d, i) => d.filter(col(s"_ka$i").isNotNull) }
       .select(keyCols.map(col) :+ col(countName): _*)
     based.join(ok, keyCols)
+  }
+
+  /** Drop every row of a key whose total occurrence count exceeds
+    * `cap` — BEFORE any key-partitioned exchange ships those rows.
+    * The pre-exchange evolution of the [[keyedCount]]-then-filter cap
+    * (VERDICT r19): joining the count back de-skews MEMORY (the count
+    * aggregate streams; nothing buffers a mega-key's partition), but
+    * the mega-key's rows still TRANSIT the key exchange before the
+    * cap filter drops them — `repartition(keys)` satisfies the
+    * groupBy's distribution, so the aggregate combines only
+    * post-shuffle and the map side ships everything. Here the count
+    * runs on the UNPARTITIONED input, where hash aggregation DOES
+    * partial-combine map-side (one row per distinct key per map
+    * partition crosses the wire, never the data), the over-cap key
+    * set — at most N/cap keys by construction, each carrying > cap
+    * rows — broadcasts, and a LEFT ANTI join drops the mega-keys'
+    * rows in the scan stage. At 100 TB a boilerplate band key's rows
+    * never ship at all, instead of shipping and then dying in one
+    * reducer's filter.
+    *
+    * Trade: the input is scanned twice (count pass + probe pass)
+    * instead of once feeding a reused exchange — the right side of
+    * the trade whenever the exchange is wider than the scan, which is
+    * every cap caller here (their inputs are cheap projections or
+    * explodes of an already-materialized stream, and their downstream
+    * is a pair join that amplifies whatever ships).
+    *
+    * NULL keys: counted like any value by the groupBy and matched
+    * null-safely against the broadcast (anti-join equality is only
+    * used to REMOVE rows, so a NULL-keyed row survives unless the
+    * NULL group itself exceeds the cap — the window-cap semantics,
+    * with no silent loss). */
+  private[graft] def dropOversizedKeys(df: DataFrame, keyCols: Seq[String],
+      cap: Long): DataFrame = {
+    // re-aliased key columns give the broadcast side fresh attribute
+    // ids — both sides derive from `df`, and identical ids would trip
+    // the ambiguous-self-join detector
+    val over = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > cap)
+      .select(keyCols.map(k => col(k).as(s"_over_$k")): _*)
+    val cond = keyCols.map(k => col(k) <=> col(s"_over_$k")).reduce(_ && _)
+    df.join(broadcast(over), cond, "left_anti")
   }
 
   def lshCandidatePairs(bands: DataFrame, idCol: String,
@@ -245,11 +297,11 @@ object Dedup {
       } else
         // drop mode counts get NO group-limit optimization — a count
         // window would buffer the mega-bucket (the guard's own target)
-        // in one task before dropping it; the shared de-skewed count
-        // rides the same (band, bkey) exchange the pair join needs
-        keyedCount(bands, Seq("band", "bkey"), "_bn", Seq(idCol))
-          .filter(col("_bn") <= maxBucket)
-          .drop("_bn")
+        // in one task before dropping it, and a count-join cap would
+        // still SHIP the mega-bucket through the exchange before the
+        // filter; the pre-exchange guard ([[dropOversizedKeys]])
+        // drops its rows in the scan stage instead
+        dropOversizedKeys(bands, Seq("band", "bkey"), maxBucket)
     val a = bounded.select(col(idCol).as("a_id"), col("band"), col("bkey"))
     val b = bounded.select(col(idCol).as("b_id"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))
@@ -780,16 +832,14 @@ object Dedup {
   def semanticPairs(vecs: DataFrame, centroids: DataFrame, idCol: String,
                     embCol: String, minCos: Double,
                     maxCell: Int = 4096): DataFrame = {
-    // the cell-size guard is the shared de-skewed count
-    // ([[keyedCount]]), never count().over(Window.partitionBy(cell)):
-    // the degenerate cell is the guard's own target, and a window
-    // would buffer exactly that cell's rows (embedding vectors
-    // included) in ONE task before dropping them
+    // the cell-size guard is the pre-exchange de-skew
+    // ([[dropOversizedKeys]]), never count().over(Window.partitionBy(
+    // cell)) — a window would buffer exactly the degenerate cell's
+    // rows (embedding vectors included) in ONE task before dropping
+    // them — and not a count-join cap either, which would still ship
+    // the whole cell through the pair join's exchange first
     val assigned = Similarity.assignCells(vecs, idCol, embCol, centroids)
-    val bounded = keyedCount(assigned, Seq("cell"), "_cn",
-        Seq(idCol, embCol))
-      .filter(col("_cn") <= maxCell)
-      .drop("_cn")
+    val bounded = dropOversizedKeys(assigned, Seq("cell"), maxCell)
     val withN = Similarity.withNorm(bounded, idCol, embCol)
     val a = withN.select(col(idCol).as("a_id"), col(embCol).as("a_emb"),
       col("nrm").as("a_nrm"), col("cell"))
@@ -812,15 +862,13 @@ object Dedup {
     * Input must be one row per distinct (id, gram). */
   def ngramJaccardPairs(grams: DataFrame, idCol: String, gramCol: String,
                         maxDocFreq: Int, minJaccard: Double): DataFrame = {
-    // document frequency is the shared de-skewed count
-    // ([[keyedCount]]) on the gram-keyed exchange — NEVER
-    // count().over(Window.partitionBy(gram)): a window must buffer
-    // every occurrence of a hot boilerplate gram in ONE task's
-    // partition before the cap can drop it (the same de-skew applied
-    // to dupSpanIslands, ADVICE r17 / VERDICT r18)
-    val g = keyedCount(grams, Seq(gramCol), "_df", Seq(idCol))
-      .filter(col("_df") <= maxDocFreq)
-      .drop("_df")
+    // the stop-gram cap is the pre-exchange de-skew
+    // ([[dropOversizedKeys]]): a count window buffers every occurrence
+    // of a hot boilerplate gram in ONE task before the cap drops it,
+    // and a count-join cap still ships them all through the gram
+    // exchange first — here the ubiquitous gram's rows die in the
+    // scan stage and never reach the pair join's shuffle
+    val g = dropOversizedKeys(grams, Seq(gramCol), maxDocFreq)
     val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val a = g.select(col(idCol).as("a_id"), col(gramCol).as("g"))
     val b = g.select(col(idCol).as("b_id"), col(gramCol).as("g"))

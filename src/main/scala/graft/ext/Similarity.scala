@@ -738,16 +738,15 @@ object Similarity {
     * path. */
   def blockedPairs(vecs: DataFrame, idCol: String, embCol: String,
                    blockCol: String, maxBlock: Int = 1024): DataFrame = {
-    // the block-size guard is the shared de-skewed count
-    // ([[Dedup.keyedCount]]) on the block exchange, not a count
-    // window: the RUNAWAY block is the guard's own target, and a
-    // window would buffer exactly that block's rows (vectors
-    // included) in one task before dropping them
-    val bounded = Dedup.keyedCount(
+    // the block-size guard is the pre-exchange de-skew
+    // ([[Dedup.dropOversizedKeys]]): a count window would buffer the
+    // RUNAWAY block's rows (vectors included) in one task before
+    // dropping them, and a count-join cap would still ship them
+    // through the block exchange first — here they die in the scan
+    // stage and never reach the pair join's shuffle
+    val bounded = Dedup.dropOversizedKeys(
         vecs.select(col(idCol), col(embCol), col(blockCol)),
-        Seq(blockCol), "_bn", Seq(idCol, embCol))
-      .filter(col("_bn") <= maxBlock)
-      .drop("_bn")
+        Seq(blockCol), maxBlock)
     val v = withNorm(bounded, idCol, embCol)
       .select(col(idCol), col(embCol), col("nrm"), col(blockCol))
     val a = v.select(col(blockCol).as("blk"), col(idCol).as("a_id"),

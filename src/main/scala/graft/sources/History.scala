@@ -1653,6 +1653,13 @@ object History {
       }
     fence()
     LakeCommit.foreachPar(staleStaged) { p => fs.delete(p, false): Unit }
+    // the retire-prune publish gets the same fencing discipline as
+    // the delete batches (ADVICE r19): a pass whose lease expired
+    // after the last batch fence must not publish a manifest built
+    // from its pass-start snapshot under a successor's lease —
+    // version-collision keeps the direct race loud, but fencing here
+    // stops the zombie before it even contends
+    fence()
     if (expired.nonEmpty)
       FileManifest.publish(fs, path,
         FileManifest.Manifest(m.version + 1, m.cur, kept, m.dvs))

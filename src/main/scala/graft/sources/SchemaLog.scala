@@ -287,10 +287,17 @@ object SchemaLog {
     * the same references. No-op on lakes without manifests (the
     * stamp-less fallback contract covers them). Crash between the
     * schema publish and this commit degrades to the old documented
-    * lag — converges at the next commit, never wrong twice. */
+    * lag — converges at the next commit, never wrong twice. A RACING
+    * writer's version collision degrades the same way (ADVICE r19):
+    * the schema version is already durably written by the time this
+    * publish runs, so failing the DDL here would report failure for
+    * a rename/evolve that actually committed — and a naive retry of
+    * e.g. renameColumn would then bounce on 'no such column'. The
+    * racer's own commit (or the next one) stamps the new schema. */
   private def commitDdlVersion(fs: FileSystem, lakePath: String): Unit =
     FileManifest.latest(fs, lakePath).foreach { m =>
-      FileManifest.publish(fs, lakePath, m.copy(version = m.version + 1))
+      try FileManifest.publish(fs, lakePath, m.copy(version = m.version + 1))
+      catch { case _: VersionCollisionException => () }
     }
 
   /** Declare an EXPLICIT schema as a fresh lake's v1 — the snapshot-

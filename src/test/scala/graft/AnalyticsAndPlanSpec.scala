@@ -769,37 +769,56 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
         s"re-scan:\n${plan.toString.take(1500)}")
   }
 
-  test("plan quality: d04 computes gram df as aggregate+join, never a window") {
-    // the hot-gram document-frequency cap must be a groupBy on the
-    // gram-keyed exchange joined back in place (partial-combining, so a
-    // boilerplate gram shared by F docs streams through the aggregate),
-    // never count().over(Window.partitionBy(gram)) — a window buffers
-    // all F occurrences in ONE task before the cap can drop them (the
-    // identical skew the r17 ADVICE removed from dupSpanIslands). The
-    // df branch must reuse the probe side's gram exchange, and the
-    // corpus is scanned once.
-    val df = SparkEntry.queries("d04_ngram_jaccard")(spark,
-      "/root/testdata/sf0.001")
-    df.collect(): Unit
-    val plan = df.queryExecution.executedPlan
-    def finalized(p: org.apache.spark.sql.execution.SparkPlan) =
-      p.collect {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          a.executedPlan
-      }
-    val roots = (plan +: finalized(plan)).map(
-      _.toString.split("== Initial Plan ==").head)
-    assert(!roots.exists(_.linesIterator.exists(l =>
-        l.contains("Window") && l.contains("g#"))),
+  test("plan quality: d04's stop-gram cap is a broadcast anti-join " +
+      "BELOW the pair-join exchange, never a window or a count-join") {
+    // three generations of this guard: a gram-keyed count WINDOW
+    // buffers a boilerplate gram's whole partition in one task (r17);
+    // a count AGGREGATE joined back on the gram exchange streams, but
+    // the mega-gram's rows still SHIP through the exchange before the
+    // cap filter drops them (r19); the pre-exchange shape
+    // (Dedup.dropOversizedKeys) counts map-side-combined on the
+    // unpartitioned stream, broadcasts only the over-cap keys, and
+    // anti-joins in the SCAN stage — at 100 TB the ubiquitous gram's
+    // rows never reach the pair join's shuffle at all. The trade is a
+    // second corpus pass for the count, which ships one row per
+    // distinct gram per map partition instead of the gram stream.
+    // asserted on the STATIC plan (AQE off for this planning only):
+    // at gate scale no gram exceeds the cap, so AQE's empty-relation
+    // propagation rightly elides the anti-join from the final
+    // adaptive plan — the shape under test is what ships to a cluster
+    // where the broadcast side is non-empty; sparkPlan won't do
+    // either (EnsureRequirements hasn't inserted the exchanges yet)
+    val plan = {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try SparkEntry.queries("d04_ngram_jaccard")(spark,
+        "/root/testdata/sf0.001").queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+    val nodes = plan.collect { case n => n }
+    assert(!plan.toString.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("g#")),
       s"d04 gram df must not be a gram-keyed window:\n" +
         plan.toString.take(1500))
-    val scans = roots.map(s =>
-      "documents\\.parquet".r.findAllIn(s).length).max
-    assert(scans <= 1,
-      s"d04 must scan the corpus once:\n${plan.toString.take(1500)}")
-    assert(roots.exists(_.contains("ReusedExchange")),
-      s"d04's df branch must reuse the gram exchange, not re-scan:\n" +
+    // the cap anti-join must be BROADCAST (the over-cap key set is at
+    // most N/cap keys) and must sit BELOW a shuffle exchange — i.e.
+    // some exchange's subtree contains it, so the filter runs before
+    // the pair join's shuffle ships anything
+    def isAnti(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p match {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          b.joinType.toString == "LeftAnti"
+        case _ => false
+      }
+    assert(nodes.exists(isAnti),
+      s"d04's cap must be a broadcast anti-join:\n" +
         plan.toString.take(1500))
+    assert(nodes.exists {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.child.collect { case n if isAnti(n) => n }.nonEmpty
+        case _ => false
+      }, s"d04's cap anti-join must sit below the pair-join " +
+        s"exchange (pre-exchange filtering):\n${plan.toString.take(1500)}")
   }
 
   test("plan quality: the de-skewed guard counts (d03 bucket, d08 " +
