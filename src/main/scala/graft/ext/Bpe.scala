@@ -72,10 +72,47 @@ object Bpe {
     concat(lit("  "), array_join(units, "  "), lit("  "))
   }
 
+  /** BYTE-LEVEL unit stream — the production-tokenizer alphabet
+    * (VERDICT r19 #1): real LLM corpora are multilingual UTF-8, and
+    * the `[a-z ]` normalization above silently erases every non-ASCII
+    * character before counting. Here NOTHING is erased: each word's
+    * UTF-8 bytes become 2-char lowercase-hex symbols (256 base
+    * symbols — `"café"` → `"63  61  66  c3  a9  </w>"`), so any
+    * script, emoji, or binary-ish junk round-trips exactly and merges
+    * learn across the full byte alphabet, the byte-level-BPE
+    * convention (GPT-2's tokenizer; Radford et al. 2019).
+    *
+    * The PRE-TOKENIZER is an explicit literal class `[ \t\n\r]` —
+    * word splits happen only there, and merges never cross a split
+    * (the `</w>` marker + double-space gaps intervene, exactly the
+    * word-boundary invariant of the letter path). The class is
+    * spelled identically in Spark, DuckDB ([[oracleByteTokenCountSql]])
+    * and the native expression ([[graft.functions.BpeTable]]), and
+    * deliberately ASCII-only: Java and RE2 disagree on what `\s`
+    * means, so `\s` would desync the engines. Hex symbols are
+    * collision-free with the marker (`<`, `/`, `w`, `>` are not hex
+    * digits) and contain no spaces, so every exactness argument of
+    * the letter-level stream carries over unchanged. */
+  def byteUnitStream(text: Column): Column = {
+    val words = filter(split(text, "[ \t\n\r]+"), w => length(w) > 0)
+    val units = transform(words, w =>
+      concat(regexp_replace(lower(hex(encode(w, "UTF-8"))),
+        "(..)", "$1  "), lit("</w>")))
+    concat(lit("  "), array_join(units, "  "), lit("  "))
+  }
+
   /** The stream after applying `merges` in order — k nested builtin
     * replaces (see the object doc for why this is exact). */
   def applyMerges(text: Column, merges: Seq[(String, String)]): Column =
-    merges.foldLeft(unitStream(text)) { case (acc, (l, r)) =>
+    chainReplaces(unitStream(text), merges)
+
+  /** [[applyMerges]] on the byte-level stream. */
+  def applyByteMerges(text: Column, merges: Seq[(String, String)]): Column =
+    chainReplaces(byteUnitStream(text), merges)
+
+  private def chainReplaces(stream: Column,
+                            merges: Seq[(String, String)]): Column =
+    merges.foldLeft(stream) { case (acc, (l, r)) =>
       call_function("replace", acc, lit(s" $l  $r "), lit(s" $l$r "))
     }
 
@@ -85,9 +122,20 @@ object Bpe {
     * single-pass [[graft.functions.BpeTokens]] expression, whose cost
     * is vocabulary-size independent. Session knob so specs can force
     * either path; both are exact and fuzz-locked equivalent. */
-  def chainMaxMerges: Int =
-    scala.util.Try(SparkSession.active.conf
-      .get("spark.graft.bpe.chainMaxMerges", "64").toInt).getOrElse(64)
+  def chainMaxMerges: Int = {
+    val raw = SparkSession.active.conf
+      .get("spark.graft.bpe.chainMaxMerges", "64")
+    // fail loudly on a malformed conf: a silent fallback to 64 would
+    // flip which execution path runs and mask a misconfigured
+    // spec/bench that meant to force one (ADVICE r19) — both paths
+    // are equivalence-locked, so the risk is to measurement, not
+    // results, but a bad knob should never pass unnoticed
+    try raw.trim.toInt
+    catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"spark.graft.bpe.chainMaxMerges must be an integer, got '$raw'")
+    }
+  }
 
   /** The segmented token array — chained replaces at gate-sized
     * vocabularies (oracle-replayable builtins), the single-pass table
@@ -118,15 +166,71 @@ object Bpe {
           ColumnBridge.expression(text), merges)))
     }
 
+  /** Byte-level segmented token array — chained replaces at gate
+    * vocabularies, the single-pass byte-mode table walk past
+    * [[chainMaxMerges]]. Token symbols are lowercase-hex byte spellings
+    * (`"c3a9"` = é); callers wanting bytes back decode with
+    * `unhex`. */
+  def byteTokens(text: Column, merges: Seq[(String, String)]): Column =
+    if (merges.size <= chainMaxMerges)
+      filter(split(trim(applyByteMerges(text, merges)), " +"),
+        t => length(t) > 0)
+    else {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      ColumnBridge.column(graft.functions.BpeTokens(
+        ColumnBridge.expression(text), merges, byteLevel = true))
+    }
+
+  /** Byte-level subword token count — [[tokenCount]] with nothing
+    * normalized away: non-ASCII text counts its real merged-byte
+    * tokens instead of silently counting zero. NULL text counts
+    * zero. */
+  def byteTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    if (merges.size <= chainMaxMerges)
+      when(text.isNull, lit(0L))
+        .otherwise(size(byteTokens(text, merges)).cast("long"))
+    else {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      when(text.isNull, lit(0L)).otherwise(
+        ColumnBridge.column(graft.functions.BpeTokenCount(
+          ColumnBridge.expression(text), merges, byteLevel = true)))
+    }
+
+  /** The DuckDB expression replaying [[byteTokenCount]] — hex-pair
+    * unitization via `encode`/`hex` (both engines spell a byte the
+    * same two lowercase hex digits) and the identical replace chain.
+    * The pre-tokenizer class is the same ASCII literal as
+    * [[byteUnitStream]]'s. */
+  def oracleByteTokenCountSql(col: String,
+                              merges: Seq[(String, String)]): String = {
+    // COALESCE: DuckDB's array_to_string returns NULL on an empty
+    // list (a whitespace-only document), where Spark's array_join
+    // returns '' — without it the whole chain nulls out and the
+    // CASE's ELSE yields NULL instead of 0
+    val base = "'  ' || COALESCE(array_to_string(list_transform(" +
+      s"list_filter(regexp_split_to_array($col, '[ \\t\\n\\r]+'), " +
+      "w -> len(w) > 0), w -> regexp_replace(lower(hex(encode(w))), " +
+      "'(..)', '\\1  ', 'g') || '</w>'), '  '), '') || '  '"
+    val chained = merges.foldLeft(base) { case (acc, (l, r)) =>
+      s"replace($acc, ' $l  $r ', ' $l$r ')"
+    }
+    s"CAST(CASE WHEN $col IS NULL THEN 0 ELSE len(list_filter(" +
+      s"regexp_split_to_array(trim($chained), ' +'), x -> len(x) > 0))" +
+      " END AS BIGINT)"
+  }
+
   /** The DuckDB expression replaying [[tokenCount]] for a column name —
     * the oracle side of the same chain, generated from the SAME merges
     * so the two engines cannot drift. */
   def oracleTokenCountSql(col: String,
                           merges: Seq[(String, String)]): String = {
-    val base = "'  ' || array_to_string(list_transform(list_filter(" +
+    // COALESCE mirrors the byte oracle: DuckDB's array_to_string is
+    // NULL on an empty list (letterless text), Spark's array_join ''
+    val base = "'  ' || COALESCE(array_to_string(list_transform(" +
+      s"list_filter(" +
       s"string_split(regexp_replace(lower($col), '[^a-z ]', '', 'g')," +
       " ' '), w -> len(w) > 0), w -> array_to_string(string_split(w," +
-      " ''), '  ') || '  </w>'), '  ') || '  '"
+      " ''), '  ') || '  </w>'), '  '), '') || '  '"
     val chained = merges.foldLeft(base) { case (acc, (l, r)) =>
       s"replace($acc, ' $l  $r ', ' $l$r ')"
     }
@@ -142,14 +246,18 @@ object Bpe {
     * stream from raw text with the merges so far (k passes of k
     * replaces — fine for the vocabulary sizes this trains; a
     * production trainer checkpoints the stream between rounds).
-    * Returns the ordered merges. */
-  def train(docs: DataFrame, textCol: String,
-            numMerges: Int): Seq[(String, String)] = {
+    * Returns the ordered merges. `byteLevel` trains over the
+    * byte-alphabet stream ([[byteUnitStream]]) instead of the
+    * letter-level one — same algorithm, same exclusions. */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+            byteLevel: Boolean = false): Seq[(String, String)] = {
+    val tokFn: (Column, Seq[(String, String)]) => Column =
+      if (byteLevel) byteTokens else tokens
     val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     for (_ <- 0 until numMerges) {
       val units = docs
         .filter(col(textCol).isNotNull)
-        .select(tokens(col(textCol), acc.toSeq).as("u"))
+        .select(tokFn(col(textCol), acc.toSeq).as("u"))
         .filter(size(col("u")) >= 2)
       // merges must never cross a word boundary (the Sennrich
       // convention): the </w> marker unit intervenes between words,
@@ -208,12 +316,14 @@ object Bpe {
     * Any violation stops the batch — correctness never depends on
     * batching width. */
   def trainFast(docs: DataFrame, textCol: String, numMerges: Int,
-                maxBatch: Int = 16, topK: Int = 4096)
+                maxBatch: Int = 16, topK: Int = 4096,
+                byteLevel: Boolean = false)
       : Seq[(String, String)] = {
     require(maxBatch >= 1 && topK >= 2, "trainFast needs sane bounds")
     val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var state = docs.filter(col(textCol).isNotNull)
-      .select(unitStream(col(textCol)).as("s"))
+      .select((if (byteLevel) byteUnitStream(col(textCol))
+               else unitStream(col(textCol))).as("s"))
       .localCheckpoint(true)
     try {
       while (acc.size < numMerges) {
@@ -314,6 +424,25 @@ object Bpe {
     * is what "trained" means for a gate whose oracle must be static.
     * Real deployments train their own table and publish it with
     * [[saveMerges]]. */
+  /** Byte-level sibling of [[demoMerges]]: produced by
+    * `train(byteLevel = true)` over the synthetic corpus with vowels
+    * swapped to accented forms (the gate's derived non-ASCII corpus —
+    * see t35), pasted so the DuckDB oracle replays the identical
+    * chain. It learned the 2-byte UTF-8 spellings first ((c3,a1)=á,
+    * (c3,ab)=ë, (c3,b8)=ø) and then whole accented subwords
+    * (66696c74+c3ab72</w> = "filtër"), which is exactly what a
+    * byte-level trainer should do. */
+  val demoByteMerges: Seq[(String, String)] = Seq(
+    ("c3", "a1"), ("c3", "ab"), ("c3", "b8"), ("c3ab", "72"),
+    ("c3ab", "</w>"), ("c3ab72", "</w>"), ("6e", "</w>"), ("73", "74"),
+    ("c3b8", "72"), ("77", "</w>"), ("c3b8", "77</w>"), ("68", "</w>"),
+    ("c3a1", "74"), ("6c", "75"), ("79", "</w>"), ("c3a1", "</w>"),
+    ("67", "</w>"), ("69", "6e"), ("74", "</w>"), ("70", "c3a1"),
+    ("70c3a1", "72"), ("66", "69"), ("6669", "6c"), ("66696c", "74"),
+    ("66696c74", "c3ab72</w>"), ("62", "c3a174"), ("62c3a174", "63"),
+    ("62c3a17463", "68</w>"), ("63", "c3a1"), ("63c3a1", "6e</w>"),
+    ("73", "63c3a16e</w>"), ("68", "c3a1"))
+
   val demoMerges: Seq[(String, String)] = Seq(
     ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
     ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),

@@ -30,10 +30,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * word split. Stays inside whole-stage codegen: `doGenCode` emits a
   * direct call on the table reference object, like every graft
   * expression. */
-case class BpeTokens(child: Expression, merges: Seq[(String, String)])
+case class BpeTokens(child: Expression, merges: Seq[(String, String)],
+                     byteLevel: Boolean = false)
     extends UnaryExpression {
 
-  @transient private lazy val table = new BpeTable(merges)
+  @transient private lazy val table = new BpeTable(merges, byteLevel)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -61,10 +62,11 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
   * sums segment lengths per word without materializing a token array
   * per row (the `size(tokens(…))` composition allocates a
   * GenericArrayData + one UTF8String per token just to count them). */
-case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
+case class BpeTokenCount(child: Expression, merges: Seq[(String, String)],
+                         byteLevel: Boolean = false)
     extends UnaryExpression {
 
-  @transient private lazy val table = new BpeTable(merges)
+  @transient private lazy val table = new BpeTable(merges, byteLevel)
 
   override def dataType: DataType = LongType
 
@@ -91,8 +93,17 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
 /** The driver-built, executor-shared merge table: rank lookup for
   * adjacent unit pairs plus a bounded word-segmentation cache. One
   * instance rides the generated code's reference array (serialized
-  * with the plan); the cache is transient and refills per executor. */
-final class BpeTable(merges: Seq[(String, String)]) extends Serializable {
+  * with the plan); the cache is transient and refills per executor.
+  *
+  * `byteLevel` switches the UNITIZATION only — the rank-pointer walk
+  * is alphabet-independent. Byte mode mirrors
+  * [[graft.ext.Bpe.byteUnitStream]] exactly: words split on the ASCII
+  * class `[ \t\n\r]` (those four byte values never occur inside a
+  * multi-byte UTF-8 sequence — continuation bytes are ≥ 0x80 — so
+  * splitting on raw bytes is UTF-8-safe), units are 2-char
+  * lowercase-hex byte spellings, nothing is normalized away. */
+final class BpeTable(merges: Seq[(String, String)],
+                     byteLevel: Boolean = false) extends Serializable {
 
   // word-crossing rules (left unit is or ends with the word marker)
   // are refused: the trainer never produces them (Bpe.train excludes
@@ -129,28 +140,21 @@ final class BpeTable(merges: Seq[(String, String)]) extends Serializable {
   @transient private lazy val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
 
-  /** Segment one document: normalize, split, per-word priority merge,
-    * concatenate. Called from generated code. */
+  // 256 interned hex-pair symbols — byte-mode units alias these, so a
+  // word's unit array allocates no per-byte strings
+  private val byteSyms: Array[String] =
+    Array.tabulate(256)(i => f"$i%02x")
+
+  /** Segment one document: unitize (per the table's mode), per-word
+    * rank-pointer merge, concatenate. Called from generated code. */
   def segment(text: UTF8String): ArrayData = {
-    // identical to lower() + regexp_replace('[^a-z ]','') + split(' ')
-    val norm = text.toLowerCase.toString
     val out = new scala.collection.mutable.ArrayBuffer[Any](16)
-    val word = new java.lang.StringBuilder(16)
-    var i = 0
-    val n = norm.length
-    while (i <= n) {
-      val ch = if (i < n) norm.charAt(i) else ' '
-      if (ch == ' ') {
-        if (word.length > 0) {
-          val toks = segmentWord(word.toString)
-          var j = 0
-          while (j < toks.length) {
-            out += UTF8String.fromString(toks(j)); j += 1
-          }
-          word.setLength(0)
-        }
-      } else if (ch >= 'a' && ch <= 'z') word.append(ch)
-      i += 1
+    if (byteLevel) eachByteWord(text) { toks =>
+      var j = 0
+      while (j < toks.length) { out += UTF8String.fromString(toks(j)); j += 1 }
+    } else eachCharWord(text) { toks =>
+      var j = 0
+      while (j < toks.length) { out += UTF8String.fromString(toks(j)); j += 1 }
     }
     new GenericArrayData(out.toArray)
   }
@@ -158,22 +162,67 @@ final class BpeTable(merges: Seq[(String, String)]) extends Serializable {
   /** Token count without materializing the array — the budgeting hot
     * path. */
   def count(text: UTF8String): Long = {
-    val norm = text.toLowerCase.toString
     var total = 0L
+    if (byteLevel) eachByteWord(text)(toks => total += toks.length)
+    else eachCharWord(text)(toks => total += toks.length)
+    total
+  }
+
+  /** Letter-mode word iteration — identical to lower() +
+    * regexp_replace('[^a-z ]','') + split(' '). */
+  private def eachCharWord(text: UTF8String)
+                          (f: Array[String] => Unit): Unit = {
+    val norm = text.toLowerCase.toString
     val word = new java.lang.StringBuilder(16)
     var i = 0
     val n = norm.length
     while (i <= n) {
       val ch = if (i < n) norm.charAt(i) else ' '
       if (ch == ' ') {
-        if (word.length > 0) {
-          total += segmentWord(word.toString).length
-          word.setLength(0)
-        }
+        if (word.length > 0) { f(segmentWord(word.toString)); word.setLength(0) }
       } else if (ch >= 'a' && ch <= 'z') word.append(ch)
       i += 1
     }
-    total
+  }
+
+  /** Byte-mode word iteration: raw UTF-8 bytes, split on the ASCII
+    * pre-tokenizer bytes, hex-pair units — nothing erased. */
+  private def eachByteWord(text: UTF8String)
+                          (f: Array[String] => Unit): Unit = {
+    val bytes = text.getBytes
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      val sep = i == bytes.length || {
+        val b = bytes(i)
+        b == ' '.toByte || b == '\t'.toByte || b == '\n'.toByte ||
+          b == '\r'.toByte
+      }
+      if (sep) {
+        if (i > start) f(segmentByteWord(bytes, start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+  }
+
+  private def segmentByteWord(bytes: Array[Byte], from: Int,
+                              until: Int): Array[String] = {
+    // cache key: the raw word bytes, latin-1-decoded (bijective on
+    // bytes, so distinct words cannot collide)
+    val key = new String(bytes, from, until - from,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    val units = new Array[String](until - from + 1)
+    var i = from
+    var j = 0
+    while (i < until) { units(j) = byteSyms(bytes(i) & 0xff); i += 1; j += 1 }
+    units(j) = "</w>"
+    val res = walk(units)
+    if (cache.size() >= cacheCap) cache.clear()
+    cache.put(key, res): Unit
+    res
   }
 
   /** One word's segmentation, cached: char units + `</w>`, then walk
@@ -192,10 +241,23 @@ final class BpeTable(merges: Seq[(String, String)]) extends Serializable {
   private def segmentWord(w: String): Array[String] = {
     val hit = cache.get(w)
     if (hit != null) return hit
-    var units = new Array[String](w.length + 1)
+    val units = new Array[String](w.length + 1)
     var i = 0
     while (i < w.length) { units(i) = String.valueOf(w.charAt(i)); i += 1 }
     units(w.length) = "</w>"
+    val res = walk(units)
+    if (cache.size() >= cacheCap) cache.clear()
+    cache.put(w, res): Unit
+    res
+  }
+
+  /** The MONOTONE RANK POINTER walk over one word's unit array —
+    * alphabet-independent (see the class doc of the letter path for
+    * the chain-equivalence argument; byte mode reuses it verbatim,
+    * hex symbols being just another space-free alphabet). */
+  private def walk(units0: Array[String]): Array[String] = {
+    var units = units0
+    var i = 0
     var minRank = 0
     while (minRank < mergesArr.length && units.length >= 2) {
       // lowest-ranked adjacent pair present at or past the pointer
@@ -231,8 +293,71 @@ final class BpeTable(merges: Seq[(String, String)]) extends Serializable {
         minRank = best + 1
       }
     }
-    if (cache.size() >= cacheCap) cache.clear()
-    cache.put(w, units): Unit
     units
+  }
+}
+
+/** SQL-surface builders for `bpe_tokens` / `bpe_token_count`
+  * (VERDICT r19 #6: the flagship expression was DataFrame-API-only).
+  * Registered through the canonical [[GraftFunctions]] list like
+  * every sketch function.
+  *
+  * Signature: `bpe_tokens(text, merges[, mode])` where `merges` is a
+  * FOLDABLE string — either inline rules `'l r;l2 r2;…'` (rank
+  * order, the [[graft.ext.Bpe.saveMerges]] rows flattened) or
+  * `'@<path>'` to resolve the published merges artifact via
+  * [[graft.ext.Bpe.loadMerges]] at plan time (the table rides into
+  * the plan as driver-built literals either way, exactly like the
+  * DataFrame path). `mode` is `'chars'` (default — the normalized
+  * letter alphabet) or `'bytes'` (byte-level, nothing erased). */
+object BpeSql {
+
+  import org.apache.spark.sql.types.StringType
+
+  private def foldString(e: Expression, what: String): String = {
+    require(e.foldable && e.dataType == StringType,
+      s"BPE $what must be a foldable string literal, got ${e.sql}")
+    val v = e.eval()
+    require(v != null, s"BPE $what must not be NULL")
+    v.toString
+  }
+
+  private[graft] def parseMerges(spec: String): Seq[(String, String)] =
+    if (spec.startsWith("@"))
+      graft.ext.Bpe.loadMerges(
+        org.apache.spark.sql.SparkSession.active, spec.drop(1))
+    else spec.split(";").iterator.map(_.trim).filter(_.nonEmpty).map {
+      rule =>
+        rule.split("\\s+") match {
+          case Array(l, r) => (l, r)
+          case _ => throw new IllegalArgumentException(
+            s"bad BPE merge rule '$rule' — expected 'left right'")
+        }
+    }.toSeq
+
+  private def byteMode(exprs: Seq[Expression]): Boolean =
+    if (exprs.length < 3) false
+    else foldString(exprs(2), "mode") match {
+      case "bytes" => true
+      case "chars" => false
+      case m => throw new IllegalArgumentException(
+        s"BPE mode must be 'chars' or 'bytes', got '$m'")
+    }
+
+  private def checkArity(exprs: Seq[Expression], name: String): Unit =
+    require(exprs.length == 2 || exprs.length == 3,
+      s"$name(text, merges[, mode]) takes 2 or 3 arguments, " +
+        s"got ${exprs.length}")
+
+  def tokensBuilder(exprs: Seq[Expression]): Expression = {
+    checkArity(exprs, "bpe_tokens")
+    BpeTokens(exprs.head, parseMerges(foldString(exprs(1), "merges")),
+      byteMode(exprs))
+  }
+
+  def countBuilder(exprs: Seq[Expression]): Expression = {
+    checkArity(exprs, "bpe_token_count")
+    BpeTokenCount(exprs.head, parseMerges(foldString(exprs(1), "merges")),
+      byteMode(exprs))
   }
 }

@@ -35,7 +35,10 @@ object GraftFunctions {
     ("cms_estimate", classOf[CmsEstimate].getName,
       CountMin.estimateSqlBuilder),
     ("cms_merge", classOf[CmsMergeAgg].getName, CountMin.mergeSqlBuilder),
-    ("md5_prefix", classOf[Md5Prefix].getName, Md5Prefix.sqlBuilder))
+    ("md5_prefix", classOf[Md5Prefix].getName, Md5Prefix.sqlBuilder),
+    ("bpe_tokens", classOf[BpeTokens].getName, BpeSql.tokensBuilder),
+    ("bpe_token_count", classOf[BpeTokenCount].getName,
+      BpeSql.countBuilder))
 
   /** SQL names only — what the parity test asserts against both
     * surfaces' function registries. */

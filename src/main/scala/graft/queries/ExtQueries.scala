@@ -123,6 +123,19 @@ object ExtQueries {
         dir
       })
 
+  private val bpeByteMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bpeByteMergesDir(s: SparkSession, d: String): String =
+    bpeByteMergesCache.computeIfAbsent(
+      s"${graft.SessionKey(s)}|$d",
+      _ => {
+        Memos.install(s)
+        val dir = s"${artifactRoot(s, d)}/bpe-byte-merges"
+        graft.ext.Bpe.saveMerges(s, graft.ext.Bpe.demoByteMerges, dir)
+        dir
+      })
+
   private val vecIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
@@ -1630,6 +1643,45 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_islands"),
           sum(col("en") - col("st") + 1).as("dup_chars"),
           max(col("en") - col("st") + 1).cast("bigint").as("max_island"))),
+
+    // BYTE-LEVEL BPE token counting (VERDICT r19 #1): the letter path
+    // (t32) normalizes to [a-z ] and silently erases every non-ASCII
+    // character; production tokenizers are byte-level with no lossy
+    // normalization. The corpus is DERIVED non-ASCII (vowels swapped
+    // to 2-byte UTF-8 accented forms — both engines apply identical
+    // replaces, so the derivation cannot drift), the merges are the
+    // published byte-level artifact (trained with
+    // `Bpe.train(byteLevel = true)` over this derived corpus), and
+    // the oracle replays the identical hex-pair chain in DuckDB.
+    "t35_bpe_bytes" -> ((s, d) => {
+      val merges = graft.ext.Bpe.loadMerges(s, bpeByteMergesDir(s, d))
+      val accented = call_function("replace",
+        call_function("replace",
+          call_function("replace", col("text"), lit("a"), lit("á")),
+          lit("e"), lit("ë")),
+        lit("o"), lit("ø"))
+      documents(s, d)
+        .filter(col("doc_id").isNotNull && col("doc_id") % 5 === 2)
+        .select(col("doc_id"),
+          graft.ext.Bpe.byteTokenCount(accented, merges).as("n_bpe"))
+    }),
+
+    // The SQL surface of the same expression (VERDICT r19 #6):
+    // bpe_token_count registered through the canonical
+    // GraftFunctions list, rules passed as the inline foldable spec —
+    // a SQL-first user reaches the identical codegen expression the
+    // DataFrame path plans, and the count hash-matches t32's oracle
+    // chain on its own document slice.
+    "t36_bpe_sql_count" -> ((s, d) => {
+      graft.Views.registerSqlFunctions(s)
+      documents(s, d).createOrReplaceTempView("bpe_sql_docs")
+      val spec = graft.ext.Bpe.demoMerges
+        .map { case (l, r) => s"$l $r" }.mkString(";")
+      s.sql(s"""SELECT doc_id,
+                  COALESCE(bpe_token_count(text, '$spec'), 0) AS n_bpe
+                FROM bpe_sql_docs
+                WHERE doc_id IS NOT NULL AND doc_id % 5 = 3""")
+    }),
 
     // Bigram-LM quality scoring (the CCNet/KenLM-style perplexity
     // filter): train an add-one-smoothed bigram model ON the corpus
@@ -3219,6 +3271,24 @@ object ExtQueries {
            CAST(SUM(en - st + 1) AS BIGINT) AS dup_chars,
            CAST(MAX(en - st + 1) AS BIGINT) AS max_island
          FROM keep GROUP BY doc_id""",
+    // byte-level replay: identical vowel→accent derivation, identical
+    // hex-pair unitization (encode/hex spell bytes the same way in
+    // both engines), identical replace chain from the SAME merges
+    "t35_bpe_bytes" ->
+      s"""SELECT doc_id,
+            ${graft.ext.Bpe.oracleByteTokenCountSql(
+              "replace(replace(replace(text, 'a', 'á'), 'e', 'ë'), " +
+                "'o', 'ø')",
+              graft.ext.Bpe.demoByteMerges)} AS n_bpe
+          FROM documents
+          WHERE doc_id IS NOT NULL AND doc_id % 5 = 2""",
+    // the SQL-surface count replays t32's letter chain on its slice
+    "t36_bpe_sql_count" ->
+      s"""SELECT doc_id,
+            ${graft.ext.Bpe.oracleTokenCountSql("text",
+              graft.ext.Bpe.demoMerges)} AS n_bpe
+          FROM documents
+          WHERE doc_id IS NOT NULL AND doc_id % 5 = 3""",
     "t21_fixed_sample" ->
       """WITH h AS (
            SELECT lang, doc_id, n_chars,

