@@ -1577,7 +1577,27 @@ object History {
     *        lease fencing hook ([[MaintenanceLease.checkFence]]): a
     *        zombie pass that outlived its TTL throws out of the sweep
     *        instead of deleting under a successor's lease. Default
-    *        no-op for unleased callers. */
+    *        no-op for unleased callers.
+    *
+    * TWO-PHASE DATA DELETES (VERDICT r19 #5): check-then-delete is not
+    * atomic — a pass can lose its lease between a fence that passed and
+    * the removal it guarded. So the DATA-file batches (expired retired
+    * files, orphans, stale staged bytes) never delete directly: each
+    * batch RENAMES its victims into a pass-tokened trash dir under
+    * `_manifests/trash/<pass>/` (invisible to readers and orphan scans),
+    * and the only irreversible step — purging this pass's trash — runs
+    * once at pass end behind its own fence. A zombie fenced out (or
+    * crashed) mid-sweep therefore leaves every byte it touched
+    * restorable ([[restoreTrash]]); abandoned trash of such passes is
+    * reclaimed by a later vacuum once past `graceMs`. Residual honesty:
+    * the fence→purge window still exists, but it now only destroys
+    * bytes this pass's own completed, fence-checked sweep already
+    * condemned — bytes any successor's vacuum would purge too — never
+    * bytes a successor might still be serving. Metadata removals (stale
+    * manifest versions, unreferenced shard/DV sidecars, emptied dirs)
+    * keep direct deletes: each is guarded by reference counting against
+    * RETAINED versions, so a stale pass can only remove what nothing
+    * resolvable references. */
   def vacuum(spark: SparkSession, path: String, graceMs: Long,
              keepVersions: Set[Long] = Set.empty,
              fence: () => Unit = () => ()): (Int, Int) = {
@@ -1589,6 +1609,25 @@ object History {
         s"vacuum needs a manifest-mode lake (enableManifests): $path"))
     val now = System.currentTimeMillis()
     val cutoff = now - graceMs
+    val trashRoot = new org.apache.hadoop.fs.Path(
+      FileManifest.manifestDir(path), "trash")
+    val passToken = f"pass-$now%013d-${
+      java.util.UUID.randomUUID().toString.take(8)}"
+    val passTrash = new org.apache.hadoop.fs.Path(trashRoot, passToken)
+    // rename-into-trash instead of delete: restorable until the
+    // fence-guarded purge at pass end; a vanished source is a no-op
+    // (delete parity — another sweep already reclaimed it)
+    def toTrash(rel: String): Unit = {
+      val src = new org.apache.hadoop.fs.Path(qRoot, rel)
+      // a vanished source is delete-parity no-op — e.g. a file a fenced
+      // predecessor already moved to ITS trash (rename, unlike delete,
+      // throws on a missing source)
+      if (!fs.exists(src)) return
+      val dest = new org.apache.hadoop.fs.Path(passTrash, rel)
+      fs.mkdirs(dest.getParent): Unit
+      if (!fs.rename(src, dest) && fs.exists(src))
+        throw new java.io.IOException(s"trash rename failed: $src -> $dest")
+    }
     // tagged versions are PINNED: every data file a tagged manifest
     // still references survives vacuum regardless of age, and the
     // tagged version file itself is kept below — so a tag makes a
@@ -1621,9 +1660,7 @@ object History {
       if (shape.nonEmpty) SchemaLog.writeMemory(fs, path, shape)
     }
     fence()
-    LakeCommit.foreachPar(expired.map(_._2)) { rel =>
-      fs.delete(new org.apache.hadoop.fs.Path(qRoot, rel), false): Unit
-    }
+    LakeCommit.foreachPar(expired.map(_._2))(toTrash)
     val known = m.curSet ++ m.retiredSet
     val orphans = FileManifest.listLiveFiles(fs, path)
       .filterNot(known)
@@ -1632,9 +1669,7 @@ object History {
         st.getModificationTime <= cutoff
       }
     fence()
-    LakeCommit.foreachPar(orphans) { rel =>
-      fs.delete(new org.apache.hadoop.fs.Path(qRoot, rel), false): Unit
-    }
+    LakeCommit.foreachPar(orphans)(toTrash)
     // crashed copy-on-write attempts (delete/merge/cluster/compact)
     // leave staged files under _staging — hidden from the data listing
     // above, swept by the NEXT same-op run, but an op that never runs
@@ -1652,7 +1687,9 @@ object History {
           .map(_.getPath)
       }
     fence()
-    LakeCommit.foreachPar(staleStaged) { p => fs.delete(p, false): Unit }
+    LakeCommit.foreachPar(staleStaged) { p =>
+      toTrash(qRoot.toUri.relativize(fs.makeQualified(p).toUri).getPath)
+    }
     // the retire-prune publish gets the same fencing discipline as
     // the delete batches (ADVICE r19): a pass whose lease expired
     // after the last batch fence must not publish a manifest built
@@ -1728,7 +1765,55 @@ object History {
       fs.listStatus(stagingRoot)
         .filter(s => s.isDirectory && fs.listStatus(s.getPath).isEmpty)
         .foreach(s => fs.delete(s.getPath, false): Unit)
+    // the ONLY irreversible step of the data sweep: purge this pass's
+    // trash behind one more fence — a pass fenced out here leaves its
+    // renames restorable; then reclaim trash ABANDONED by crashed or
+    // fenced predecessors once past grace (their restore window)
+    fence()
+    fs.delete(passTrash, true): Unit
+    if (fs.exists(trashRoot))
+      fs.listStatus(trashRoot)
+        .filter(t => t.isDirectory && t.getPath.getName != passToken &&
+          t.getModificationTime <= cutoff)
+        .foreach(t => fs.delete(t.getPath, true): Unit)
     (expired.size, orphans.size + staleStaged.size)
+  }
+
+  /** Restore every file still sitting in vacuum's two-phase trash
+    * (`_manifests/trash/<pass>/` — left by passes that crashed or were
+    * lease-fenced mid-sweep) back to its original lake-relative path.
+    * A destination that already exists is left alone (the file was
+    * re-created since; its trash copy stays for the next reclaim).
+    * Returns the number of files restored. Run it like any writer:
+    * from the lake's single writer sequence. */
+  def restoreTrash(spark: SparkSession, path: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qRoot = fs.makeQualified(root)
+    val trashRoot = new org.apache.hadoop.fs.Path(
+      FileManifest.manifestDir(path), "trash")
+    if (!fs.exists(trashRoot)) return 0
+    var restored = 0
+    fs.listStatus(trashRoot).filter(_.isDirectory).foreach { pass =>
+      def walk(p: org.apache.hadoop.fs.Path)
+          : Seq[org.apache.hadoop.fs.Path] =
+        fs.listStatus(p).toSeq.flatMap { st =>
+          if (st.isDirectory) walk(st.getPath) else Seq(st.getPath)
+        }
+      val passUri = fs.makeQualified(pass.getPath).toUri
+      walk(pass.getPath).foreach { f =>
+        val rel = passUri.relativize(fs.makeQualified(f).toUri).getPath
+        val dest = new org.apache.hadoop.fs.Path(qRoot, rel)
+        if (!fs.exists(dest)) {
+          fs.mkdirs(dest.getParent): Unit
+          if (fs.rename(f, dest)) restored += 1
+        }
+      }
+      // drop the pass dir if everything left it
+      if (walk(pass.getPath).isEmpty)
+        fs.delete(pass.getPath, true): Unit
+    }
+    restored
   }
 
   def deleteStagingDir(path: String): String = s"$path/_staging/delete"

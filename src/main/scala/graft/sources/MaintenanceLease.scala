@@ -159,7 +159,15 @@ object MaintenanceLease {
     * [[LeaseFencedException]] unless the lake's CURRENT lease is the
     * token's owner's and unexpired — same owner at a higher version is
     * a renewal by this process and passes. Cost: one lease-dir listing
-    * + one tiny read per batch, never data-proportional. */
+    * + one tiny read per batch, never data-proportional.
+    *
+    * Check-then-act is still not atomic: a lease can expire between a
+    * fence that passed and the mutation it guarded. Vacuum closes the
+    * DATA side of that window structurally — its batches only RENAME
+    * into a pass-tokened trash dir, and the one irreversible purge
+    * runs behind its own fence at pass end (see [[History.vacuum]] /
+    * [[History.restoreTrash]]) — so the residual stale-check window
+    * destroys nothing a successor could still need. */
   def checkFence(fs: FileSystem, lakePath: String, token: Lease): Unit = {
     val now = System.currentTimeMillis()
     val cur = current(fs, lakePath)

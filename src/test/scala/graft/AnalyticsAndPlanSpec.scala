@@ -821,6 +821,77 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
         s"exchange (pre-exchange filtering):\n${plan.toString.take(1500)}")
   }
 
+  test("OPT-IN shuffle-bytes probe: pre-exchange guard cap vs " +
+      "post-exchange cap on a boilerplate mega-bucket corpus " +
+      "(SPARK_GRAFT_SHUFFLE_PROBE=1)") {
+    assume(sys.env.get("SPARK_GRAFT_SHUFFLE_PROBE").contains("1"))
+    import org.apache.spark.scheduler.{SparkListener,
+      SparkListenerStageCompleted}
+    // synthetic LSH band table: half the corpus hashes into ONE
+    // boilerplate bucket (the shape a shared site template produces);
+    // the other half spreads over small genuine-duplicate buckets
+    val n = 200000L
+    val bands = spark.range(n).select(
+      col("id"),
+      lit(0).as("band"),
+      when(col("id") < n / 2, lit("BOILERPLATE"))
+        .otherwise(concat(lit("b"), (col("id") / 4).cast("string")))
+        .as("bkey"))
+      .localCheckpoint(true) // isolate the probe from range-scan cost
+    val cap = 64
+    def measure(pairs: => org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val bytes = new java.util.concurrent.atomic.AtomicLong()
+      val recs = new java.util.concurrent.atomic.AtomicLong()
+      val l = new SparkListener {
+        override def onStageCompleted(
+            e: SparkListenerStageCompleted): Unit = {
+          bytes.addAndGet(
+            e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten): Unit
+          recs.addAndGet(
+            e.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten): Unit
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        pairs.count(): Unit
+        org.apache.spark.graftbridge.ListenerBridge
+          .drain(spark.sparkContext, 5000L)
+      } finally spark.sparkContext.removeSparkListener(l)
+      (bytes.get(), recs.get())
+    }
+    // current shape: count on the UNpartitioned input (map-side
+    // combined), broadcast the over-cap keys, anti-join in the scan
+    // stage — mega-bucket rows never reach the pair join's exchange
+    val (preB, preR) = measure(
+      graft.ext.Dedup.lshCandidatePairs(bands, "id", maxBucket = cap))
+    // round-19 shape (reconstructed): cap AFTER the exchange — size
+    // aggregate + join-back on the bucket partitioning; the mega-
+    // bucket's rows all transit the shuffle before the filter drops
+    // them
+    val (postB, postR) = measure {
+      val parted = bands.repartition(col("band"), col("bkey"))
+      val sizes = parted.groupBy("band", "bkey")
+        .agg(count(lit(1)).as("_n"))
+      val bounded = parted.join(sizes, Seq("band", "bkey"))
+        .filter(col("_n") <= cap).drop("_n")
+      val a = bounded.select(col("id").as("a_id"), col("band"),
+        col("bkey"))
+      val b = bounded.select(col("id").as("b_id"), col("band"),
+        col("bkey"))
+      a.join(b, Seq("band", "bkey")).filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_bands"))
+    }
+    info(f"pre-exchange guard: ${preB / 1024.0}%.0f KiB / $preR%d rows " +
+      f"shuffled; post-exchange cap: ${postB / 1024.0}%.0f KiB / " +
+      f"$postR%d rows; bytes ratio ${postB.toDouble / preB}%.2f")
+    // the mega-bucket is half the corpus: the post-exchange shape must
+    // ship materially more than the pre-exchange shape
+    assert(postB > preB,
+      s"post-exchange cap shuffled $postB bytes <= pre-exchange $preB")
+    assert(postR > preR,
+      s"post-exchange cap shuffled $postR rows <= pre-exchange $preR")
+  }
+
   test("plan quality: the de-skewed guard counts (d03 bucket, d08 " +
       "cell, t06 df) are aggregates on reused exchanges, not windows") {
     def roots(gate: String): Seq[String] = {

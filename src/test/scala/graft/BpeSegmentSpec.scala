@@ -307,7 +307,7 @@ class BpeSegmentSpec extends AnyFunSuite {
       Seq(("a", "b"), ("c", "d")))
   }
 
-  test("OPT-IN scale probe: 500-merge trainFast run + 1k-merge " +
+  test("OPT-IN scale probe: 2k-merge delta trainer + 1k-merge " +
       "segmentation throughput (SPARK_GRAFT_BPE_SCALE=1)") {
     assume(sys.env.get("SPARK_GRAFT_BPE_SCALE").contains("1"))
     import spark.implicits._
@@ -315,22 +315,25 @@ class BpeSegmentSpec extends AnyFunSuite {
       .parquet("/root/testdata/sf0.01/documents.parquet")
       .select(col("text")).cache()
     val nDocs = docs.count()
-    // --- 500-merge distributed training run (VERDICT r18 #7) ---
+    // --- 2000-merge delta-trainer run (VERDICT r19 #2) ---
     // the synthetic corpus's ~30-word vocabulary SATURATES BPE at
     // ~106 merges (every distinct word becomes one unit), so the
     // training corpus is augmented with per-document hex-digest words
     // (digits→spaces over sha2 hex = fresh a-f words) to give the
-    // trainer a real vocabulary to learn
+    // trainer a real vocabulary to learn; two 512-bit digests per doc —
+    // a single sha2-256 saturates BPE at ~840 merges
     val trainDocs = docs.select(concat_ws(" ", col("text"),
-      regexp_replace(sha2(col("text"), 256), "[0-9]", " ")).as("text"))
+      regexp_replace(sha2(col("text"), 512), "[0-9]", " "),
+      regexp_replace(sha2(concat(col("text"), lit("q")), 512), "[0-9]", " "),
+      regexp_replace(sha2(concat(col("text"), lit("z")), 512), "[0-9]", " "))
+      .as("text"))
     val t0 = System.nanoTime()
-    val merges = graft.ext.Bpe.trainFast(trainDocs, "text", 500,
+    val merges = graft.ext.Bpe.trainFast(trainDocs, "text", 2000,
       maxBatch = 16, topK = 4096)
     val trainSecs = (System.nanoTime() - t0) / 1e9
-    assert(merges.length === 500)
-    // equivalence safety net on a prefix (full 500-seq match vs train
-    // would take 500 sequential jobs — the per-round exactness is
-    // already fuzz-locked; here assert the well-formedness invariants)
+    assert(merges.length === 2000)
+    // equivalence safety net (the per-round exactness is fuzz-locked;
+    // here assert the well-formedness invariants over the full run)
     val known = scala.collection.mutable.Set.empty[String]
     merges.foreach { case (l, r) =>
       def ok(s: String) = s == "</w>" || s.length == 1 || known(s)
@@ -338,7 +341,44 @@ class BpeSegmentSpec extends AnyFunSuite {
       assert(l != "</w>" && !l.endsWith("</w>"), s"crossing rule ($l,$r)")
       known += (l + r): Unit
     }
-    // --- segmentation throughput: 24-merge demo vs 500 vs 1000 ---
+    // per-round cost must NOT grow with the pair-type table (which
+    // only grows as training proceeds): compare per-merge seconds in
+    // the first vs last quartile of rounds
+    val rounds = graft.ext.Bpe.lastTrainRounds
+    val q = rounds.length / 4
+    def perMerge(seg: Vector[(Int, Double)]): Double =
+      seg.map(_._2).sum / math.max(1, seg.map(_._1).sum)
+    val first = perMerge(rounds.take(q))
+    val last = perMerge(rounds.takeRight(q))
+    info(f"train(2000 merges, delta): $trainSecs%.1f s over " +
+      f"${rounds.length} rounds; s/merge first-quartile $first%.3f " +
+      f"vs last-quartile $last%.3f")
+    assert(last <= first * 3,
+      f"per-merge cost grew with the pair table: $first%.3f → $last%.3f")
+    // --- corpus-size independence (the delta trainer's point): the
+    // NATURAL corpus has a ~fixed vocabulary (Heaps' law regime), so a
+    // 10× corpus must not cost ~10× per round once the one corpus-scale
+    // init job is done ---
+    def perRoundAfterInit(sf: String): (Double, Double) = {
+      val d = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        .select(col("text"))
+      val t = System.nanoTime()
+      val m = graft.ext.Bpe.trainFast(d, "text", 60, maxBatch = 16,
+        topK = 4096)
+      val total = (System.nanoTime() - t) / 1e9
+      assert(m.length === 60)
+      val rl = graft.ext.Bpe.lastTrainRounds
+      (rl.map(_._2).sum / rl.length, total)
+    }
+    val (r001, t001) = perRoundAfterInit("sf0.01")
+    val (r01, t01) = perRoundAfterInit("sf0.1")
+    info(f"60 merges: sf0.01 $t001%.1f s (${r001}%.3f s/round) vs " +
+      f"sf0.1 $t01%.1f s (${r01}%.3f s/round) — 10× corpus, " +
+      f"${r01 / r001}%.2f× per-round")
+    assert(r01 <= r001 * 4,
+      f"per-round cost must not track corpus size: " +
+        f"$r001%.3f → $r01%.3f s/round at 10× corpus")
+    // --- segmentation throughput: 24-merge demo vs 2000 ---
     def benchCount(ms: Seq[(String, String)], label: String): Double = {
       spark.conf.set("spark.graft.bpe.chainMaxMerges", "0")
       try {
@@ -352,27 +392,27 @@ class BpeSegmentSpec extends AnyFunSuite {
     }
     benchCount(graft.ext.Bpe.demoMerges, "expr-24"): Unit // warm-up
     val t24 = benchCount(graft.ext.Bpe.demoMerges, "expr-24")
-    val t500 = benchCount(merges, "expr-500")
-    // the chained-replace path at the same 500-merge vocab — the cost
-    // the Expression exists to remove (500 full string scans per row)
+    val t2000 = benchCount(merges, "expr-2000")
+    // the chained-replace path, capped at 200 rules: its cost is
+    // linear in k (13.4× at 500 rules, r19 SCALING.md), and past ~500
+    // nested replaces Spark 4's recursive Column-node conversion
+    // overflows the default test stack — the expression path is also
+    // the only SAFE path at production vocabulary sizes
     spark.conf.set("spark.graft.bpe.chainMaxMerges", "100000")
     val tChain = try {
       val t = System.nanoTime()
-      docs.select(sum(graft.ext.Bpe.tokenCount(col("text"), merges)))
-        .collect(): Unit
+      docs.select(sum(graft.ext.Bpe.tokenCount(col("text"),
+        merges.take(200)))).collect(): Unit
       (System.nanoTime() - t) / 1e9
     } finally spark.conf.unset("spark.graft.bpe.chainMaxMerges")
-    info(f"chain-500: $tChain%.2f s (expr-500 $t500%.2f s, " +
-      f"${tChain / t500}%.1f× slower)")
-    val t1000 = benchCount(merges ++ (0 until 500).map(i =>
-      (s"zz$i", "q")), "expr-1000-padded")
-    info(f"train(500 merges, batched): $trainSecs%.1f s; " +
-      f"per-row cost ratio 1000-vs-24 merges: ${t1000 / t24}%.2f")
-    // flat per-row cost: a 40× larger vocabulary must not cost 40× —
+    info(f"chain-200: $tChain%.2f s (expr-2000 $t2000%.2f s over a " +
+      "10× larger table)")
+    info(f"per-row cost ratio 2000-vs-24 merges: ${t2000 / t24}%.2f")
+    // flat per-row cost: an 80× larger vocabulary must not cost 80× —
     // allow generous headroom for more merges actually APPLYING
-    assert(t1000 <= t24 * 6,
+    assert(t2000 <= t24 * 6,
       f"per-row cost must be vocab-size independent: " +
-        f"24-merge $t24%.2f s vs 1000-merge $t1000%.2f s")
+        f"24-merge $t24%.2f s vs 2000-merge $t2000%.2f s")
   }
 
   test("a 1k-merge synthetic table segments correctly through the " +

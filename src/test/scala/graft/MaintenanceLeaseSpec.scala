@@ -101,6 +101,84 @@ class MaintenanceLeaseSpec extends AnyFunSuite {
     MaintenanceLease.checkFence(fs, dir, short) // renewed: passes
   }
 
+  test("a zombie whose fence passes STALE at the batch boundary " +
+      "renames, never destroys: zero irrecoverable deletes") {
+    import spark.implicits._
+    val (fs, dir) = freshLake()
+    History.deleteWhere(spark, dir,
+      org.apache.spark.sql.functions.col("id") === 1L): Unit
+    val m = FileManifest.latest(fs, dir).get
+    val retiredRel = m.retired.head._2
+    val qRoot = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+    val retiredPath = new org.apache.hadoop.fs.Path(qRoot, retiredRel)
+    assert(fs.exists(retiredPath))
+    // the worst interleaving: the TTL expires (successor takes over)
+    // RIGHT AFTER a fence check passed — the first delete batch runs
+    // on a stale check. Simulated deterministically: the first fence
+    // call passes, every later one throws (the pass is a zombie from
+    // batch 2 on).
+    var calls = 0
+    val e = intercept[graft.sources.LeaseFencedException] {
+      History.vacuum(spark, dir, graceMs = 1L, fence = { () =>
+        calls += 1
+        if (calls > 1) throw new graft.sources.LeaseFencedException(
+          "simulated: lease lost after the first batch's check passed")
+      })
+    }
+    assert(e.getMessage.contains("simulated"))
+    // the stale-checked batch RAN — the file left its live path —
+    // but nothing was destroyed: its bytes sit in the pass's trash
+    assert(!fs.exists(retiredPath),
+      "the stale-checked batch should have run (rename)")
+    val trashRoot = new org.apache.hadoop.fs.Path(
+      FileManifest.manifestDir(dir), "trash")
+    val trashed = fs.listStatus(trashRoot).filter(_.isDirectory)
+    assert(trashed.length === 1, "one abandoned pass trash dir")
+    // full recovery: restore puts the byte-identical file back
+    assert(History.restoreTrash(spark, dir) === 1)
+    assert(fs.exists(retiredPath), "restored to its original path")
+    // a later VALID pass reclaims it for real (trash purged at pass
+    // end, nothing abandoned left behind)
+    Thread.sleep(5L)
+    History.vacuum(spark, dir, graceMs = 1L): Unit
+    assert(!fs.exists(retiredPath))
+    val leftover = if (fs.exists(trashRoot))
+      fs.listStatus(trashRoot).filter(_.isDirectory) else Array.empty
+    assert(leftover.isEmpty, "a completed pass leaves no trash")
+    // and the lake still answers
+    assert(History.readPinned(spark, dir).count() === 0L)
+  }
+
+  test("abandoned trash of a crashed pass is reclaimed by a later " +
+      "vacuum only past grace") {
+    import spark.implicits._
+    val (fs, dir) = freshLake()
+    History.deleteWhere(spark, dir,
+      org.apache.spark.sql.functions.col("id") === 1L): Unit
+    // zombie pass dies after batch 1 (as above)
+    var calls = 0
+    intercept[graft.sources.LeaseFencedException] {
+      History.vacuum(spark, dir, graceMs = 1L, fence = { () =>
+        calls += 1
+        if (calls > 1) throw new graft.sources.LeaseFencedException(
+          "simulated")
+      })
+    }
+    val trashRoot = new org.apache.hadoop.fs.Path(
+      FileManifest.manifestDir(dir), "trash")
+    assert(fs.listStatus(trashRoot).count(_.isDirectory) === 1)
+    // a successor running with a LONG grace leaves the fresh trash
+    // alone — the restore window holds
+    History.vacuum(spark, dir, graceMs = 3600000L): Unit
+    assert(fs.listStatus(trashRoot).count(_.isDirectory) === 1,
+      "fresh abandoned trash must survive within grace")
+    // past grace it is reclaimed
+    Thread.sleep(10L)
+    History.vacuum(spark, dir, graceMs = 1L): Unit
+    assert(fs.listStatus(trashRoot).count(_.isDirectory) === 0,
+      "abandoned trash past grace is reclaimed")
+  }
+
   test("two daemons racing the same acquire: exactly one wins") {
     val (fs, dir) = freshLake()
     for (round <- 0 until 5) {

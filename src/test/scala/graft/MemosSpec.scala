@@ -58,16 +58,22 @@ class MemosSpec extends AnyFunSuite {
     // the session (serve-path reads) and evictAll removes them
     val sf = "/root/testdata/sf0.001"
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    assert(ExtQueries.queries("s09_pq_codes")(spark, sf).count() > 0)
-    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
-    assert(leaked.isEmpty,
-      s"training storage must be released once the artifact is published: $leaked")
-    def annDirs: Seq[java.io.File] = {
+    def allArtifactDirs: Seq[java.io.File] = {
       val wh = new java.io.File(new org.apache.hadoop.fs.Path(
         spark.sessionState.conf.warehousePath).toUri.getPath)
       Option(wh.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.startsWith("graft_artifacts_")).toSeq
     }
+    // evictAll only tracks dirs published by THIS session — a crashed
+    // predecessor JVM's orphans are vacuum-able garbage, not this
+    // test's concern; assert on the delta like the sibling test
+    val preexisting = allArtifactDirs.toSet
+    assert(ExtQueries.queries("s09_pq_codes")(spark, sf).count() > 0)
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"training storage must be released once the artifact is published: $leaked")
+    def annDirs: Seq[java.io.File] =
+      allArtifactDirs.filterNot(preexisting)
     assert(annDirs.nonEmpty, "publish should land index artifacts at rest")
     Memos.evictAll(spark)
     assert(annDirs.isEmpty, s"artifact dirs survived teardown: $annDirs")

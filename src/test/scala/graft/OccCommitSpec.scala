@@ -199,6 +199,73 @@ class OccCommitSpec extends AnyFunSuite {
     assert(ids === Seq(0L, 3L))
   }
 
+  test("two concurrent History.append writers both land with one " +
+      "rebase: row multiset = union") {
+    import spark.implicits._
+    val dir = lake(1)
+    val fs = fsOf(dir)
+    val v0 = FileManifest.latest(fs, dir).get.version
+    // the SECOND appender commits inside the first's read→publish
+    // window — the first's version collides and re-bases, both batches
+    // land, and the lake's rows are exactly the union of the batches
+    FileManifest.testRaceHookPath = Some(dir)
+    FileManifest.testRaceHook = Some { () =>
+      History.append(spark, dir,
+        Seq((200L, "theirs")).toDF("id", "tag"), "append-race-b"): Unit
+    }
+    History.append(spark, dir,
+      Seq((100L, "mine")).toDF("id", "tag"), "append-race-a"): Unit
+    assert(FileManifest.testRaceHook.isEmpty, "hook must be consumed")
+    val rows = History.readPinned(spark, dir)
+      .select("id", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(rows === Seq((0L, "row0"), (100L, "mine"), (200L, "theirs")),
+      "row multiset must be the union of both appends")
+    // two data commits = two versions; neither append re-ran its job
+    assert(FileManifest.latest(fs, dir).get.version === v0 + 2)
+  }
+
+  test("a COW delete racing a compaction of the SAME files bounces " +
+      "loudly; no rows are lost either way") {
+    import spark.implicits._
+    // partitioned manifest lake, 3 one-row files in one partition
+    // (compaction resolves partition-dir slices, so the competitor
+    // needs a real region=…/dt=… layout)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-occ-cr").toString + "/lake"
+    (0 until 3).foreach { i =>
+      Seq((i.toLong, 1000L + i, "R1", "2020-01-01"))
+        .toDF("siteId", "ts", "region", "dt")
+        .coalesce(1).write.mode("append")
+        .partitionBy("region", "dt").parquet(dir)
+    }
+    History.enableManifests(spark, dir): Unit
+    // the compaction retires every file of the lake's single partition
+    // slice inside the delete's read→publish window; the delete's
+    // retire set is now stale — a rebase would resurrect the rows its
+    // rewrite dropped, so it must refuse, not retry
+    FileManifest.testRaceHookPath = Some(dir)
+    FileManifest.testRaceHook = Some { () =>
+      History.compactLatest(spark, dir, Seq("siteId"), "ts",
+        col("dt") === "2020-01-01")
+    }
+    val e = intercept[java.util.ConcurrentModificationException] {
+      History.deleteWhere(spark, dir, col("siteId") === 1L)
+    }
+    assert(e.getMessage.contains("no longer current"), e.getMessage)
+    // the compaction won; the refused delete left every row intact
+    // (its promoted-but-uncommitted keep-file is vacuum-able garbage,
+    // invisible to pinned readers)
+    val ids = History.readPinned(spark, dir)
+      .select("siteId").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(0L, 1L, 2L))
+    // and with no concurrent compaction the same delete lands
+    History.deleteWhere(spark, dir, col("siteId") === 1L): Unit
+    assert(History.readPinned(spark, dir)
+      .select("siteId").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(0L, 2L))
+  }
+
   test("racing merge-on-read deletes never lose each other's rows (threaded)") {
     import spark.implicits._
     // one multi-row file so every DV write targets the SAME rel: the
