@@ -356,12 +356,18 @@ object Bpe {
     // the loop runs hundreds of TINY fixed-shape queries; AQE's
     // per-shuffle re-optimization is pure per-round latency here
     val sess = docs.sparkSession
-    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    val shufWas = sess.conf.get("spark.sql.shuffle.partitions", "32")
+    // getOption + unset, not get-with-fallback: a session that never
+    // configured these keys must leave with them UNSET, not with this
+    // loop's guess written in as an explicit value
+    val aqeWas = sess.conf.getOption("spark.sql.adaptive.enabled")
+    val shufWas = sess.conf.getOption("spark.sql.shuffle.partitions")
+    def restore(key: String, was: Option[String]): Unit =
+      was.fold(sess.conf.unset(key))(v => sess.conf.set(key, v))
     sess.conf.set("spark.sql.adaptive.enabled", "false")
     sess.conf.set("spark.sql.shuffle.partitions", "8")
     var wordsCp = words    // last CHECKPOINTED word table
     var sinceCp = 0        // rounds since, lineage stays shallow
+    lastTrainRounds = Vector.empty // never leave a PRIOR run's trace
     try {
       val roundLog = scala.collection.mutable.ArrayBuffer
         .empty[(Int, Double)]
@@ -371,7 +377,10 @@ object Bpe {
         val top = pc.orderBy(col("cnt").desc, col("l").asc, col("r").asc)
           .limit(topK).collect()
           .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-        if (top.isEmpty) return acc.toSeq
+        if (top.isEmpty) { // pair exhaustion: vocabulary saturated
+          lastTrainRounds = roundLog.toVector
+          return acc.toSeq
+        }
         val batch = exactBatchPrefix(top.toSeq,
           math.min(maxBatch, numMerges - acc.size),
           sawAll = top.length < topK)
@@ -424,8 +433,8 @@ object Bpe {
       lastTrainRounds = roundLog.toVector
       acc.toSeq
     } finally {
-      sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      sess.conf.set("spark.sql.shuffle.partitions", shufWas)
+      restore("spark.sql.adaptive.enabled", aqeWas)
+      restore("spark.sql.shuffle.partitions", shufWas)
       pc.unpersist(blocking = false): Unit
       wordsCp.unpersist(blocking = false): Unit
     }
@@ -433,7 +442,10 @@ object Bpe {
 
   /** Diagnostic trace of the most recent [[trainFast]] run: one entry
     * per round, `(merges learned this round, round wall seconds)`.
-    * Written only on normal loop completion; for probes/specs measuring
+    * Cleared at run start and written on completion OR pair exhaustion
+    * (a run that THROWS leaves it empty — never a stale prior trace);
+    * one shared slot, so concurrent trainers clobber each other's
+    * trace. For probes/specs measuring
     * per-round cost — NOT part of the trainer contract. */
   @volatile private[graft] var lastTrainRounds: Vector[(Int, Double)] =
     Vector.empty
@@ -523,12 +535,6 @@ object Bpe {
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
   }
 
-  /** A small trained vocabulary for the correctness gates — produced
-    * by [[train]] over the synthetic corpus (offline, pasted so the
-    * DuckDB oracle can replay the identical chain as literals), which
-    * is what "trained" means for a gate whose oracle must be static.
-    * Real deployments train their own table and publish it with
-    * [[saveMerges]]. */
   /** Byte-level sibling of [[demoMerges]]: produced by
     * `train(byteLevel = true)` over the synthetic corpus with vowels
     * swapped to accented forms (the gate's derived non-ASCII corpus —
@@ -548,6 +554,12 @@ object Bpe {
     ("62c3a17463", "68</w>"), ("63", "c3a1"), ("63c3a1", "6e</w>"),
     ("73", "63c3a16e</w>"), ("68", "c3a1"))
 
+  /** A small trained vocabulary for the correctness gates — produced
+    * by [[train]] over the synthetic corpus (offline, pasted so the
+    * DuckDB oracle can replay the identical chain as literals), which
+    * is what "trained" means for a gate whose oracle must be static.
+    * Real deployments train their own table and publish it with
+    * [[saveMerges]]. */
   val demoMerges: Seq[(String, String)] = Seq(
     ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
     ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),

@@ -261,18 +261,41 @@ object Dedup {
     * null-safely against the broadcast (anti-join equality is only
     * used to REMOVE rows, so a NULL-keyed row survives unless the
     * NULL group itself exceeds the cap — the window-cap semantics,
-    * with no silent loss). */
+    * with no silent loss).
+    *
+    * The over-cap set is tiny only when the skew is GENUINE — its
+    * ≤ N/cap bound is no bound at corpus scale — so it is snapshot-
+    * collected under a hard driver cap
+    * (`spark.graft.dedup.maxBroadcastKeys`, default 1M keys) and
+    * shipped as a broadcast LOCAL relation; past the cap the guard
+    * degrades to a distributed anti-join (mega-key rows then transit
+    * one key-hash exchange before dropping — the memory-safe streaming
+    * shape — instead of OOMing the driver). The snapshot also pins the
+    * guard's view: the anti-join probes the exact counts the cap saw
+    * even though `df` is scanned twice, so a non-deterministic input
+    * cannot dodge the cap in the common path (the degraded path, like
+    * any two-scan plan, expects the deterministic frames every caller
+    * here passes). */
   private[graft] def dropOversizedKeys(df: DataFrame, keyCols: Seq[String],
       cap: Long): DataFrame = {
-    // re-aliased key columns give the broadcast side fresh attribute
-    // ids — both sides derive from `df`, and identical ids would trip
-    // the ambiguous-self-join detector
+    val sess = df.sparkSession
+    val maxKeys = sess.conf
+      .get("spark.graft.dedup.maxBroadcastKeys", "1000000").toInt
+    // re-aliased key columns give the probe side fresh attribute ids —
+    // in the degraded path both sides derive from `df`, and identical
+    // ids would trip the ambiguous-self-join detector
     val over = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") > cap)
       .select(keyCols.map(k => col(k).as(s"_over_$k")): _*)
     val cond = keyCols.map(k => col(k) <=> col(s"_over_$k")).reduce(_ && _)
-    df.join(broadcast(over), cond, "left_anti")
+    val snapshot = over.limit(maxKeys + 1).collect()
+    if (snapshot.isEmpty) df // no skew: the probe join folds away
+    else if (snapshot.length <= maxKeys) {
+      val local = sess.createDataFrame(
+        java.util.Arrays.asList(snapshot: _*), over.schema)
+      df.join(broadcast(local), cond, "left_anti")
+    } else df.join(over, cond, "left_anti")
   }
 
   def lshCandidatePairs(bands: DataFrame, idCol: String,

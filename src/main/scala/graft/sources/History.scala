@@ -1801,17 +1801,18 @@ object History {
           if (st.isDirectory) walk(st.getPath) else Seq(st.getPath)
         }
       val passUri = fs.makeQualified(pass.getPath).toUri
+      var leftBehind = false // spare the second recursive listing walk
       walk(pass.getPath).foreach { f =>
         val rel = passUri.relativize(fs.makeQualified(f).toUri).getPath
         val dest = new org.apache.hadoop.fs.Path(qRoot, rel)
-        if (!fs.exists(dest)) {
+        if (fs.exists(dest)) leftBehind = true
+        else {
           fs.mkdirs(dest.getParent): Unit
-          if (fs.rename(f, dest)) restored += 1
+          if (fs.rename(f, dest)) restored += 1 else leftBehind = true
         }
       }
       // drop the pass dir if everything left it
-      if (walk(pass.getPath).isEmpty)
-        fs.delete(pass.getPath, true): Unit
+      if (!leftBehind) fs.delete(pass.getPath, true): Unit
     }
     restored
   }

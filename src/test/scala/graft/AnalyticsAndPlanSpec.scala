@@ -782,28 +782,51 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
     // rows never reach the pair join's shuffle at all. The trade is a
     // second corpus pass for the count, which ships one row per
     // distinct gram per map partition instead of the gram stream.
-    // asserted on the STATIC plan (AQE off for this planning only):
-    // at gate scale no gram exceeds the cap, so AQE's empty-relation
-    // propagation rightly elides the anti-join from the final
-    // adaptive plan — the shape under test is what ships to a cluster
-    // where the broadcast side is non-empty; sparkPlan won't do
-    // either (EnsureRequirements hasn't inserted the exchanges yet)
-    val plan = {
+    // the over-cap key set is snapshot-collected: when it's EMPTY (no
+    // skew — d04 at gate scale) the guard returns the input untouched
+    // and the probe join doesn't exist AT ALL, the optimal no-skew
+    // plan; d04's plan is asserted join-free and window-free, and the
+    // anti-join SHAPE is asserted on a synthetic corpus that actually
+    // trips the cap
+    val d04Plan = {
       val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try SparkEntry.queries("d04_ngram_jaccard")(spark,
         "/root/testdata/sf0.001").queryExecution.executedPlan
       finally spark.conf.set("spark.sql.adaptive.enabled", prev)
     }
-    val nodes = plan.collect { case n => n }
-    assert(!plan.toString.linesIterator.exists(l =>
+    assert(!d04Plan.toString.linesIterator.exists(l =>
         l.contains("Window") && l.contains("g#")),
       s"d04 gram df must not be a gram-keyed window:\n" +
-        plan.toString.take(1500))
-    // the cap anti-join must be BROADCAST (the over-cap key set is at
-    // most N/cap keys) and must sit BELOW a shuffle exchange — i.e.
-    // some exchange's subtree contains it, so the filter runs before
-    // the pair join's shuffle ships anything
+        d04Plan.toString.take(1500))
+    // synthetic mega-key corpus: the cap anti-join must be BROADCAST
+    // (the collected over-cap snapshot is a local relation) and must
+    // sit BELOW a shuffle exchange — i.e. some exchange's subtree
+    // contains it, so the filter runs before the pair join's shuffle
+    // ships anything
+    val bands = spark.range(400).select(
+      col("id"), lit(0).as("band"),
+      when(col("id") < 200, lit("MEGA"))
+        .otherwise(concat(lit("b"),
+          floor(col("id") / 4).cast("string")))
+        .as("bkey"))
+    // auto-broadcast off: at 400 rows Spark would broadcast the pair
+    // join too and plan the whole query shuffle-free — the shape under
+    // test is the at-scale one where the pair join shuffles; the cap
+    // anti-join keeps its EXPLICIT broadcast hint either way
+    val plan = {
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try graft.ext.Dedup.lshCandidatePairs(bands, "id", maxBucket = 64)
+        .queryExecution.executedPlan
+      finally {
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      }
+    }
+    val nodes = plan.collect { case n => n }
     def isAnti(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
       p match {
         case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
@@ -811,14 +834,22 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
         case _ => false
       }
     assert(nodes.exists(isAnti),
-      s"d04's cap must be a broadcast anti-join:\n" +
+      s"the tripped cap must be a broadcast anti-join:\n" +
         plan.toString.take(1500))
     assert(nodes.exists {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
           e.child.collect { case n if isAnti(n) => n }.nonEmpty
         case _ => false
-      }, s"d04's cap anti-join must sit below the pair-join " +
+      }, s"the cap anti-join must sit below the pair-join " +
         s"exchange (pre-exchange filtering):\n${plan.toString.take(1500)}")
+    // and the guard actually dropped the mega-bucket: its members
+    // (ids 0..199) sit ONLY in the over-cap bucket, so they must
+    // appear in no candidate pair at all
+    val pairs = graft.ext.Dedup.lshCandidatePairs(bands, "id",
+      maxBucket = 64).collect()
+    assert(pairs.nonEmpty)
+    assert(!pairs.exists(r => r.getLong(0) < 200 || r.getLong(1) < 200),
+      "mega-bucket members must not survive the cap")
   }
 
   test("OPT-IN shuffle-bytes probe: pre-exchange guard cap vs " +
