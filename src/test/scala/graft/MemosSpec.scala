@@ -66,7 +66,13 @@ class MemosSpec extends AnyFunSuite {
     }
     // evictAll only tracks dirs published by THIS session — a crashed
     // predecessor JVM's orphans are vacuum-able garbage, not this
-    // test's concern; assert on the delta like the sibling test
+    // test's concern; assert on the delta like the sibling test.
+    // Evict first: an earlier suite in the shared session may already
+    // have published these artifacts, and the artifact root is a
+    // deterministic path — without the evict the rebuild lands inside a
+    // "preexisting" dir and the publish delta is invisibly empty
+    // (order-dependent flake seen in the full-suite run).
+    Memos.evictAll(spark)
     val preexisting = allArtifactDirs.toSet
     assert(ExtQueries.queries("s09_pq_codes")(spark, sf).count() > 0)
     def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
