@@ -179,12 +179,31 @@ object LexicalIndex {
     val qTerms = History.readPinnedKeyed(spark, pdir, "doc_id", queryIds)
       .select(col("doc_id").as("query_id"), col("word"))
       .join(dfTab, "word")
-    // the probed bucket set is bounded by the query docs' terms —
-    // collecting it is what makes the partition-pruned postings read
-    // possible (the broadcast(qTerms) below re-derives the same small
-    // frame lazily; a cache would only serve this one collect)
-    val qBuckets = qTerms.select(bucket(col("word")).as("wb"))
-      .distinct().collect().map(_.getLong(0)).toSet
+    // The probed bucket set is bounded by the query docs' terms, so the
+    // frame must be collected anyway (its buckets drive the partition-
+    // pruned postings read). Snapshot the ROWS once and broadcast them
+    // as a local relation: a lazy broadcast(qTerms) re-derives the whole
+    // bloom-pruned scan + df join inside the broadcast build — measured
+    // as the single most expensive job of gate s15 (2.3 s of 6.0 at
+    // sf0.1, r20-opt JobTrace) — and costs a second leaf-file listing.
+    // The broadcast memory shape is unchanged (these exact rows shipped
+    // to every executor before too); the DRIVER bound is new, so past
+    // `spark.graft.lex.maxQueryTerms` (default 1M) degrade to the lazy
+    // two-derivation path instead of growing the driver heap.
+    val qAug = qTerms.select(col("query_id"), col("word"), col("df"),
+      bucket(col("word")).as("wb"))
+    val maxQTerms = spark.conf
+      .get("spark.graft.lex.maxQueryTerms", "1000000").toInt
+    val snap = qAug.limit(maxQTerms + 1).collect()
+    val (qSide, qBuckets) =
+      if (snap.length <= maxQTerms) {
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(snap: _*), qAug.schema)
+          .select(col("query_id"), col("word"), col("df"))
+        (local, snap.map(_.getLong(3)).toSet)
+      } else
+        (qTerms, qTerms.select(bucket(col("word")).as("wb"))
+          .distinct().collect().map(_.getLong(0)).toSet)
     if (qBuckets.isEmpty) return emptyResult
     val lists = History.readPinnedPartitions(spark, pdir,
       dir => dir.startsWith("wb=") &&
@@ -192,13 +211,28 @@ object LexicalIndex {
     val avgdl = totalDl.toDouble / nDocs.toDouble
     val idf = log((lit(nDocs.toDouble) - col("df") + 0.5) /
       (col("df").cast("double") + 0.5) + 1.0)
-    val perTerm = lists.join(broadcast(qTerms), "word")
+    // Per-side factoring (guide §1.2 "per-task work"): the joined stream
+    // is |q∩b|-dense (measured ~9M rows at sf0.1 on a ~150k-row postings
+    // scan — the synthetic vocabulary is near-dense; real corpora are
+    // sparser but the join output is still the gate's largest stream),
+    // so hoist everything that depends on ONE side out of the joined
+    // projection: idf is a function of df alone (broadcast side, ≤ query
+    // terms rows), the tf/dl numerator/denominator of the lists side
+    // (postings rows). Association order is preserved —
+    // (idf·num)/den exactly as before — so scores are bit-identical;
+    // the per-joined-row work drops to one mul, one div, and the
+    // result-defining round+decimal bridge.
+    val qScored = qSide.select(col("query_id"), col("word"),
+      idf.as("idf"))
+    val listsScored = lists.select(col("doc_id"), col("word"),
+      (col("tf").cast("double") * 2.2).as("num"),
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double")
+          / lit(avgdl))).as("den"))
+    val perTerm = listsScored.join(broadcast(qScored), "word")
       .filter(col("query_id") =!= col("doc_id"))
       .select(col("query_id"), col("doc_id").as("b_id"),
-        round(idf * (col("tf").cast("double") * 2.2) /
-          (col("tf").cast("double") +
-            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double")
-              / lit(avgdl))), 6)
+        round(col("idf") * col("num") / col("den"), 6)
           .cast("decimal(18,6)").as("ts"))
     val scored = perTerm.groupBy(col("query_id"), col("b_id"))
       .agg(sum(col("ts")).as("score"))
