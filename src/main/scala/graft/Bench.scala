@@ -24,6 +24,14 @@ object Bench {
       .config("spark.shuffle.spill.compress", "false")
       .config("spark.locality.wait", "0")
       .config("spark.ui.enabled", "false")
+      // A/B hook for optimization rounds: extra session confs as
+      // "k=v;k=v" — default EMPTY, so the driver's runs are untouched;
+      // used to measure config candidates on identical methodology
+      // before promoting them to explicit defaults above.
+      .config(sys.env.get("SPARK_GRAFT_EXTRA_CONF")
+        .map(_.split(";").filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2); k -> v
+        }.toMap).getOrElse(Map.empty[String, String]))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm JVM/codegen/Hadoop-FS class loading once so the first measured

@@ -419,57 +419,117 @@ object Dedup {
     // plan would materialize the upstream twice. Partitioning follows the
     // input (AQE coalesces small shuffles); a fixed partition count here
     // would serialize 10⁹-edge graphs onto a handful of tasks.
+    //
+    // The ITERATION runs at the RDD level with an EXPLICIT co-partitioning
+    // (r20 optimization; labels identical, DedupStarSpec-locked): the
+    // SQL loop's checkpointed frames lose their partitioning metadata
+    // (LogicalRDD has unknown distribution), so every round re-exchanged
+    // the FULL symmetric edge set AND the labels — at 10⁹ edges that is
+    // diameter-many shuffles of the graph itself. Here the edge set is
+    // hash-partitioned by dst ONCE (one shuffle, checkpointed in
+    // serialized form), labels live on the SAME partitioner keyed by
+    // node id, and each hop is:
+    //   - a zipPartitions hash-lookup (streams the edges partition,
+    //     buffers only the labels partition — one long pair per node in
+    //     the partition, the shuffled-hash-join build shape; a mega-node's
+    //     edge list is never buffered, unlike an RDD cogroup-join),
+    //   - reduceByKey(min) back onto the same partitioner — the ONLY
+    //     shuffle of a round, map-side combined to ≤ one row per
+    //     (map partition, node),
+    //   - a narrow zipPartitions left-apply onto the labels.
+    // Per materialized round that is ONE Spark job with a single shuffled
+    // stage boundary per hop, versus ~8 AQE exchange-materialization jobs
+    // (measured on gate d06: 33 jobs → ~15; the edge re-shuffles are gone
+    // at any scale).
+    //
     // Labels only ever decrease, so an unchanged sum(cluster) is an
     // exact fixpoint witness. The sum is computed IN the pass that
-    // materializes the round's checkpoint (cluster is column 1 of the
-    // label rows) — one job per round, not checkpoint-then-aggregate.
-    def ckptWithSum(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_], Long) = {
-      val rdd = ckptRdd(df, reliable)
-      val s = rdd.mapPartitions { it =>
+    // materializes the round's checkpoint — one job per round, not
+    // checkpoint-then-aggregate. Ids are cast to long at the pair
+    // checkpoint — the same contract [[resolveClustersStar]] (the
+    // non-convergence failover, so already load-bearing here) imposes.
+    def release(r: org.apache.spark.rdd.RDD[_]): Unit = releaseRdd(r)
+    def ckptTuples(rdd: org.apache.spark.rdd.RDD[(Long, Long)])
+        : org.apache.spark.rdd.RDD[(Long, Long)] = {
+      if (reliable) {
+        rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rdd.checkpoint()
+      } else {
+        // serialized storage: boxed Tuple2 rounds cached object-form
+        // would cost several× the UnsafeRow bytes the SQL loop cached
+        rdd.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        rdd.localCheckpoint()
+      }
+      rdd
+    }
+    def ckptWithSum(rdd: org.apache.spark.rdd.RDD[(Long, Long)])
+        : (org.apache.spark.rdd.RDD[(Long, Long)], Long) = {
+      val r = ckptTuples(rdd)
+      val s = r.mapPartitions { it =>
         var acc = 0L
-        while (it.hasNext) acc += it.next().getLong(1)
+        while (it.hasNext) acc += it.next()._2
         Iterator.single(acc)
       }.fold(0L)(_ + _) // materializing action: triggers the checkpoint
-      (org.apache.spark.sql.graftbridge.DatasetBridge
-        .internalDf(spark, rdd, df.schema), rdd, s)
+      (r, s)
     }
-    def release(r: org.apache.spark.rdd.RDD[_]): Unit = releaseRdd(r)
     val (p, pRdd) = ckptEager(
-      pairs.select(col("a_id"), col("b_id")), reliable)
-    val edges = p.union(p.select(col("b_id").as("a_id"),
-      col("a_id").as("b_id")))
-    var (labels, labelsRdd, prevSum) = ckptWithSum(
-      edges.select(col("a_id").as("id"))
-        .distinct().withColumn("cluster", col("id")))
+      pairs.select(col("a_id").cast("long"), col("b_id").cast("long")),
+      reliable)
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1, pRdd.getNumPartitions))
+    val edges = ckptTuples(pRdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        Iterator((b, a), (a, b))
+      }
+    }.partitionBy(part))
+    // node universe = dst keys of the symmetric edges, deduplicated
+    // per partition (keys are co-located, so no shuffle)
+    val init = edges.mapPartitions({ it =>
+      val seen = new java.util.HashSet[java.lang.Long]()
+      it.flatMap { case (b, _) =>
+        if (seen.add(b)) Iterator((b, b)) else Iterator.empty
+      }
+    }, preservesPartitioning = true)
+    var (labels, prevSum) = ckptWithSum(init)
     var converged = false
     var round = 0
     // one propagation HOP: label(v) := min(label(v), min of neighbors')
-    def hop(ls: DataFrame): DataFrame = {
-      val propagated = edges
-        .join(ls, edges("b_id") === ls("id"))
-        .groupBy(col("a_id").as("nid"))
-        .agg(min(col("cluster")).as("ncluster"))
-      ls.join(propagated, ls("id") === col("nid"), "left")
-        .select(ls("id"),
-          least(col("cluster"), coalesce(col("ncluster"), col("cluster")))
-            .as("cluster"))
+    def hop(ls: org.apache.spark.rdd.RDD[(Long, Long)])
+        : org.apache.spark.rdd.RDD[(Long, Long)] = {
+      val propagated = edges.zipPartitions(ls) { (eit, lit) =>
+        val m = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        while (lit.hasNext) { val kv = lit.next(); m.put(kv._1, kv._2): Unit }
+        eit.flatMap { case (b, a) =>
+          val c = m.get(b)
+          if (c == null) Iterator.empty else Iterator((a, c.longValue))
+        }
+      }.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      ls.zipPartitions(propagated, preservesPartitioning = true) {
+        (lit, pit) =>
+          val m = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+          while (pit.hasNext) { val kv = pit.next(); m.put(kv._1, kv._2): Unit }
+          lit.map { case (id, c) =>
+            val n = m.get(id)
+            (id, if (n == null || n.longValue >= c) c else n.longValue)
+          }
+      }
     }
     while (!converged && round < maxRounds) {
       // TWO hops per materialization: the per-round fixed cost (driver
       // sync + checkpoint job) dominates at both ends of the scale —
       // locally it IS the round cost, on a cluster it is a full-stage
-      // barrier — while the second hop rides the same job (its plan
-      // nests the first hop's joins; exchanges are reused within the
-      // one action). Convergence detection at 2-hop granularity costs
+      // barrier — while the second hop rides the same job.
+      // Convergence detection at 2-hop granularity costs
       // at most one surplus hop past the fixpoint, which is a no-op on
       // already-minimal labels. `maxRounds`/`onRounds` keep counting
       // HOPS, so budget and diagnostics semantics are unchanged.
       val hops = math.min(2, maxRounds - round)
       val stepped = (1 to hops).foldLeft(labels)((ls, _) => hop(ls))
-      val (next, nextRdd, newSum) = ckptWithSum(stepped)
-      release(labelsRdd) // superseded round: free its executor storage
+      val (next, newSum) = ckptWithSum(stepped)
+      release(labels) // superseded round: free its executor storage
       labels = next
-      labelsRdd = nextRdd
       converged = newSum == prevSum
       prevSum = newSum
       round += hops
@@ -485,11 +545,41 @@ object Dedup {
       // fails (p is re-checkpointed inside star before it iterates).
       try return resolveClustersStar(p, reliable = reliable,
         onRounds = sr => onRounds(round + sr))
-      finally { release(labelsRdd); release(pRdd) }
+      finally { release(labels); release(edges); release(pRdd) }
     }
-    release(pRdd) // the result depends only on the final labels checkpoint
+    // the returned frame must be rooted on a releasable InternalRow
+    // checkpoint (the releaseBacking contract walks LogicalRDD leaves),
+    // so convert the converged labels once and checkpoint THAT; only
+    // then free the loop's tuple checkpoints and the pair/edge storage
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val finalRdd = labels.mapPartitions { it =>
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(Array[org.apache.spark.sql.types.DataType](
+          org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.LongType))
+      val row = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(2)
+      it.map { case (id, c) =>
+        row.setLong(0, id); row.setLong(1, c)
+        proj.apply(row).copy()
+          .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      }
+    }
+    if (reliable) {
+      finalRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      finalRdd.checkpoint()
+    } else finalRdd.localCheckpoint()
+    finalRdd.count(): Unit
+    release(labels)
+    release(edges)
+    release(pRdd)
     onRounds(round)
-    labels
+    org.apache.spark.sql.graftbridge.DatasetBridge
+      .internalDf(spark, finalRdd, schema)
   }
 
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
