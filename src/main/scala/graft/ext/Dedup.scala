@@ -270,32 +270,45 @@ object Dedup {
     * shipped as a broadcast LOCAL relation; past the cap the guard
     * degrades to a distributed anti-join (mega-key rows then transit
     * one key-hash exchange before dropping — the memory-safe streaming
-    * shape — instead of OOMing the driver). The snapshot also pins the
-    * guard's view: the anti-join probes the exact counts the cap saw
-    * even though `df` is scanned twice, so a non-deterministic input
-    * cannot dodge the cap in the common path (the degraded path, like
-    * any two-scan plan, expects the deterministic frames every caller
-    * here passes). */
+    * shape — instead of OOMing the driver).
+    *
+    * `materialize` (r20 optimization, opt-in): the count pass and the
+    * probe pass are separate ACTIONS, so a lazy `df` pays its whole
+    * upstream pipeline TWICE. Whether that is worth a checkpoint is the
+    * input's per-row cost: for [[semanticPairs]]' centroid assignment
+    * (k·dim multiply-adds per vector at any scale) materializing wins —
+    * measured d08 1.7 → 1.4 s at sf0.1 and the margin grows with k —
+    * so it opts in; for the cheap band/gram derivations
+    * (d02/d04/d06/d07/d10) the checkpoint write+read measured ~0.4 s
+    * SLOWER than recomputing at bench scale (three confirming runs), so
+    * they stay lazy — at very large scale with a wide corpus scan the
+    * trade can flip, and this knob is where a deployment flips it. The
+    * checkpoint is RDD-level (disk-spillable; blocks are
+    * ContextCleaner-reclaimed when the result frame is dropped, and
+    * memoized callers release them through the evict path's backingRdds
+    * walk) and BOTH passes read the materialized rows — which also pins
+    * the guard's view absolutely, in the degraded path too. */
   private[graft] def dropOversizedKeys(df: DataFrame, keyCols: Seq[String],
-      cap: Long): DataFrame = {
+      cap: Long, materialize: Boolean = false): DataFrame = {
     val sess = df.sparkSession
     val maxKeys = sess.conf
       .get("spark.graft.dedup.maxBroadcastKeys", "1000000").toInt
+    val base = if (materialize) ckptEager(df, reliable = false)._1 else df
     // re-aliased key columns give the probe side fresh attribute ids —
-    // in the degraded path both sides derive from `df`, and identical
+    // in the degraded path both sides derive from `base`, and identical
     // ids would trip the ambiguous-self-join detector
-    val over = df.groupBy(keyCols.map(col): _*)
+    val over = base.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") > cap)
       .select(keyCols.map(k => col(k).as(s"_over_$k")): _*)
     val cond = keyCols.map(k => col(k) <=> col(s"_over_$k")).reduce(_ && _)
     val snapshot = over.limit(maxKeys + 1).collect()
-    if (snapshot.isEmpty) df // no skew: the probe join folds away
+    if (snapshot.isEmpty) base // no skew: the probe join folds away
     else if (snapshot.length <= maxKeys) {
       val local = sess.createDataFrame(
         java.util.Arrays.asList(snapshot: _*), over.schema)
-      df.join(broadcast(local), cond, "left_anti")
-    } else df.join(over, cond, "left_anti")
+      base.join(broadcast(local), cond, "left_anti")
+    } else base.join(over, cond, "left_anti")
   }
 
   def lshCandidatePairs(bands: DataFrame, idCol: String,
@@ -952,7 +965,11 @@ object Dedup {
     // them — and not a count-join cap either, which would still ship
     // the whole cell through the pair join's exchange first
     val assigned = Similarity.assignCells(vecs, idCol, embCol, centroids)
-    val bounded = dropOversizedKeys(assigned, Seq("cell"), maxCell)
+    // materialize: the assignment's per-vector k·dim dot products are
+    // the guard input's dominant cost — pay them once, not once per
+    // guard pass (see dropOversizedKeys' materialize note)
+    val bounded = dropOversizedKeys(assigned, Seq("cell"), maxCell,
+      materialize = true)
     val withN = Similarity.withNorm(bounded, idCol, embCol)
     val a = withN.select(col(idCol).as("a_id"), col(embCol).as("a_emb"),
       col("nrm").as("a_nrm"), col("cell"))

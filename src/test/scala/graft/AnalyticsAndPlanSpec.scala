@@ -283,14 +283,23 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, d)
     val cents = emb.filter(col("vec_id") % 97 === 1)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    // cell assignment scores against BROADCAST centroids — since the
+    // r20 materialize-once guard, the assignment subtree executes into
+    // the guard's checkpoint, so assert its plan directly
+    val assigned = graft.ext.Similarity.assignCells(emb,
+      "vec_id", "embedding", cents)
+    val aplan = assigned.queryExecution.executedPlan.toString
+    assert(aplan.contains("BroadcastNestedLoopJoin") ||
+      aplan.contains("BroadcastHashJoin"), aplan.take(800))
     val pairs = graft.ext.Dedup.semanticPairs(emb, cents,
       "vec_id", "embedding", minCos = 0.2)
     val plan = pairs.queryExecution.executedPlan.toString
-    // cell assignment scores against BROADCAST centroids; the pair stage
-    // is an equi-join on the cell key — a cartesian/BNLJ pair stage would
-    // be the quadratic shape the cells exist to prevent
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastHashJoin"), plan.take(800))
+    // the pair stage reads the ONE materialized assignment (the guard's
+    // checkpoint — assignment dot products run once, not once per
+    // guard pass) and is an equi-join on the cell key — a
+    // cartesian/BNLJ pair stage would be the quadratic shape the cells
+    // exist to prevent
+    assert(plan.contains("Scan ExistingRDD"), plan.take(800))
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 
