@@ -508,8 +508,12 @@ object Dedup {
     var (labels, prevSum) = ckptWithSum(init)
     var converged = false
     var round = 0
-    // one propagation HOP: label(v) := min(label(v), min of neighbors')
-    def hop(ls: org.apache.spark.rdd.RDD[(Long, Long)])
+    // one propagation HOP: label(v) := min(label(v), min of neighbors').
+    // `changed` counts labels the hop lowered — accumulators only ever
+    // ADD under retries, so `== 0` is retry-safe: a hop that changed
+    // nothing adds zero from every attempt.
+    def hop(ls: org.apache.spark.rdd.RDD[(Long, Long)],
+            changed: org.apache.spark.util.LongAccumulator)
         : org.apache.spark.rdd.RDD[(Long, Long)] = {
       val propagated = edges.zipPartitions(ls) { (eit, lit) =>
         val m = new java.util.HashMap[java.lang.Long, java.lang.Long]()
@@ -525,7 +529,8 @@ object Dedup {
           while (pit.hasNext) { val kv = pit.next(); m.put(kv._1, kv._2): Unit }
           lit.map { case (id, c) =>
             val n = m.get(id)
-            (id, if (n == null || n.longValue >= c) c else n.longValue)
+            if (n == null || n.longValue >= c) (id, c)
+            else { changed.add(1L); (id, n.longValue) }
           }
       }
     }
@@ -534,16 +539,23 @@ object Dedup {
       // sync + checkpoint job) dominates at both ends of the scale —
       // locally it IS the round cost, on a cluster it is a full-stage
       // barrier — while the second hop rides the same job.
-      // Convergence detection at 2-hop granularity costs
-      // at most one surplus hop past the fixpoint, which is a no-op on
-      // already-minimal labels. `maxRounds`/`onRounds` keep counting
+      // Convergence is detected TWO ways after the one materializing
+      // action: the round-over-round sum witness (labels are monotone,
+      // unchanged sum = fixpoint), and — new in r20 — a per-hop change
+      // accumulator: the hop map F is deterministic, so a LAST hop that
+      // lowered zero labels proves F(x) = x and the fixpoint is
+      // confirmed WITHIN the round — for the typical tiny-diameter
+      // near-dup graph that saves the entire extra confirmation
+      // materialization (one barrier round on a cluster, one
+      // job+checkpoint locally). `maxRounds`/`onRounds` keep counting
       // HOPS, so budget and diagnostics semantics are unchanged.
       val hops = math.min(2, maxRounds - round)
-      val stepped = (1 to hops).foldLeft(labels)((ls, _) => hop(ls))
+      val accs = Vector.fill(hops)(spark.sparkContext.longAccumulator)
+      val stepped = accs.foldLeft(labels)((ls, acc) => hop(ls, acc))
       val (next, newSum) = ckptWithSum(stepped)
       release(labels) // superseded round: free its executor storage
       labels = next
-      converged = newSum == prevSum
+      converged = newSum == prevSum || accs.last.value == 0L
       prevSum = newSum
       round += hops
     }

@@ -73,6 +73,18 @@ class MemosSpec extends AnyFunSuite {
     // "preexisting" dir and the publish delta is invisibly empty
     // (order-dependent flake seen in the full-suite run).
     Memos.evictAll(spark)
+    // ...and artifacts published through a SIBLING session
+    // (spark.newSession() in other suites) share the same warehouse
+    // root but are tracked under that session's key, so evictAll(spark)
+    // cannot see them either — clear leftovers at the filesystem level
+    // (suites run sequentially in the one forked test JVM, and any
+    // stale sibling-keyed memo entries are orphaned: newSession() keys
+    // are never reused).
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(): Unit
+    }
+    allArtifactDirs.foreach(rmTree)
     val preexisting = allArtifactDirs.toSet
     assert(ExtQueries.queries("s09_pq_codes")(spark, sf).count() > 0)
     def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
