@@ -62,6 +62,26 @@ object KMV {
       .select(col(groupCol), posexplode(col("hs")).as(Seq("p", "h")))
       .select(col(groupCol), col("h"), (col("p") + 1).cast("int").as("rn"))
 
+  /** [[sketch]] over a TOKENIZED corpus, one input row per DOCUMENT
+    * (r21 optimization, guide §4 per-row work / §2 volume): the value
+    * column is an ARRAY of strings (e.g. `split(text, ' ')`) hashed
+    * in-place with a higher-order `transform`, and [[
+    * graft.functions.BottomKAgg]] folds each element into its bounded
+    * buffer directly — the hot path's row count is the DOC count, not
+    * the token count; no Generate/explode ever materializes a
+    * token-per-row stream. Output and semantics are identical to
+    * `sketch(explode(tokens))`: a null array (null text) contributes
+    * nothing, exactly as `explode(null)` emits no rows, and the buffer
+    * dedups on insert either way. */
+  def sketchTokens(df: DataFrame, groupCol: String, tokensCol: Column,
+                   k: Int): DataFrame =
+    df.select(col(groupCol).cast("string").as(groupCol),
+      transform(tokensCol, w => hash48(w)).as("hsa"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.BottomK.bottom_k(col("hsa"), k).as("hs"))
+      .select(col(groupCol), posexplode(col("hs")).as(Seq("p", "h")))
+      .select(col(groupCol), col("h"), (col("p") + 1).cast("int").as("rn"))
+
   /** Distinct-count estimate per group: (k−1)·2⁴⁸/θ_k where θ_k is the
     * k-th smallest hash; a group holding fewer than k distinct values
     * reports its exact count (the sketch IS the set). */

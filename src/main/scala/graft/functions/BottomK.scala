@@ -37,29 +37,50 @@ case class BottomKAgg(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   // analysis-time contract (SQL surface): reject non-integral children
   // with a clear error instead of a per-row ClassCastException mid-job;
-  // narrower integrals widen in update
+  // narrower integrals widen in update. An ARRAY<LONG> child folds each
+  // element into the buffer (r21: lets a tokenized corpus feed the
+  // sketch as one row per DOC — no Generate/explode materializing every
+  // token as a row before the aggregate; null elements are skipped like
+  // null scalars).
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case LongType | IntegerType | ShortType | ByteType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"bottom_k needs an integral column, got ${other.catalogString}")
+          s"bottom_k needs an integral or array<bigint> column, " +
+            s"got ${other.catalogString}")
     }
+
+  // lazy: child.dataType is unresolvable at construction time on the
+  // SQL-registry path (analysis resolves it before any eval)
+  private lazy val isArrayInput = child.dataType.isInstanceOf[ArrayType]
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
+
+  // skip values already ≥ the current k-th smallest (strict <: a
+  // duplicate of the boundary value must not occupy a second slot)
+  private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit =
+    if (buf.size < k) { buf.add(h): Unit }
+    else if (h < buf.last()) { if (buf.add(h)) { buf.pollLast(): Unit } }
 
   override def update(buf: java.util.TreeSet[java.lang.Long],
                       input: InternalRow): java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = v.asInstanceOf[Number].longValue()
-      // skip values already ≥ the current k-th smallest (strict <: a
-      // duplicate of the boundary value must not occupy a second slot)
-      if (buf.size < k) buf.add(h)
-      else if (h < buf.last()) { if (buf.add(h)) buf.pollLast() }
+      if (isArrayInput) {
+        val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val n = arr.numElements()
+        var i = 0
+        while (i < n) {
+          if (!arr.isNullAt(i)) insert(buf, arr.getLong(i))
+          i += 1
+        }
+      } else insert(buf, v.asInstanceOf[Number].longValue())
     }
     buf
   }

@@ -628,35 +628,39 @@ object RelationalQueries {
     // order date; count each late line whose supplier was the ONLY late
     // supplier on a multi-supplier finalized order. The oracle states it
     // as correlated EXISTS / NOT EXISTS; the Spark plan decorrelates
-    // with WINDOW aggregates over the join output — the double-exists
-    // collapses to per-l_orderkey MIN/MAX: "another supplier exists" ⟺
+    // with ONE per-l_orderkey AGGREGATE — the double-exists collapses
+    // to per-order MIN/MAX: "another supplier exists" ⟺
     // min(suppkey)≠max(suppkey), "no OTHER late supplier" ⟺ min(late
-    // suppkey)=max(late suppkey) given the current row is late. So
-    // lineitem is scanned ONCE, all four aggregates run in a single
-    // window pass (plain min/max — constant state per order, no set
-    // buffering), and the only full-width exchange is the narrow
-    // (orderkey, suppkey, late) projection (the previous
-    // two-aggregation + self-join shape scanned and shuffled
-    // lineitem⋈orders twice). Holds at any scale.
+    // suppkey)=max(late suppkey) (null when the order has no late line,
+    // and null === null filters out), and since every qualifying late
+    // line then belongs to the ONE late supplier late_min, the per-line
+    // count rides the same aggregate as sum(late). vs the r20 WINDOW
+    // form: the window forced a full SORT of the joined fact stream
+    // after its exchange (Exchange→Sort→Window), while this aggregate
+    // partial-combines map-side — the exchange carries ≤ one row per
+    // (map partition, orderkey) and nothing sorts. At 100 TB the sort
+    // of lineitem⋈orders was the gate's scale-killer. Lineitem is
+    // still scanned once; no join-back (the aggregate row itself
+    // carries the supplier key and the late-line count).
     "q44_waiting_suppliers" -> ((s, d) => {
-      val w = Window.partitionBy(col("l_orderkey"))
       val lateSk = when(col("late"), col("l_suppkey"))
       lineitem(s, d)
         .join(orders(s, d).filter(col("o_orderstatus") === "F"),
           col("l_orderkey") === col("o_orderkey"))
         .withColumn("late",
           col("l_shipdate") > date_add(col("o_orderdate"), 60))
-        .select(col("l_suppkey"), col("late"),
-          min(col("l_suppkey")).over(w).as("sk_min"),
-          max(col("l_suppkey")).over(w).as("sk_max"),
-          min(lateSk).over(w).as("late_min"),
-          max(lateSk).over(w).as("late_max"))
-        .filter(col("late") && col("sk_min") =!= col("sk_max") &&
+        .groupBy(col("l_orderkey"))
+        .agg(min(col("l_suppkey")).as("sk_min"),
+          max(col("l_suppkey")).as("sk_max"),
+          min(lateSk).as("late_min"),
+          max(lateSk).as("late_max"),
+          sum(col("late").cast("long")).as("n_late"))
+        .filter(col("sk_min") =!= col("sk_max") &&
           col("late_min") === col("late_max"))
         .join(broadcast(supplier(s, d)),
-          col("l_suppkey") === col("s_suppkey"))
+          col("late_min") === col("s_suppkey"))
         .groupBy(col("s_name"))
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum(col("n_late")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name").asc)
         .limit(10)
     }),

@@ -44,6 +44,37 @@ class KmvSpec extends AnyFunSuite {
     assert(j(("B", "C")) === 0.0)
   }
 
+  test("sketchTokens over doc arrays equals sketch over the explode") {
+    import spark.implicits._
+    // docs with repeated words, an empty-string word (split artifact),
+    // a null text, and a group whose only doc is null text
+    val docs = Seq(
+      ("A", "alpha beta gamma alpha"),
+      ("A", "beta  delta"), // double space → empty-string token
+      ("A", null),
+      ("B", "alpha zeta"),
+      ("C", null)
+    ).toDF("src", "text")
+    val k = 8
+    val viaExplode = KMV.sketch(
+      docs.select(col("src"), explode(split(col("text"), " ")).as("w")),
+      "src", "w", k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sortBy(identity)
+    val viaArrays = KMV.sketchTokens(
+      docs.select(col("src"), split(col("text"), " ").as("ws")),
+      "src", col("ws"), k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sortBy(identity)
+    assert(viaArrays.toSeq === viaExplode.toSeq)
+    // null-text-only group contributes no sketch rows on either path
+    assert(!viaArrays.exists(_._1 == "C"))
+    // bounded: a long doc still yields ≤ k rows, folded row-free
+    val big = Seq(("G", (0 until 500).map(i => s"w$i").mkString(" ")))
+      .toDF("src", "text")
+    val sk = KMV.sketchTokens(big.select(col("src"),
+      split(col("text"), " ").as("ws")), "src", col("ws"), k).collect()
+    assert(sk.length === k)
+  }
+
   test("sketch is deterministic and bounded at k rows per group") {
     import spark.implicits._
     val df = (0 until 2000).map(i => ("g", s"v$i")).toDF("src", "value")
