@@ -47,15 +47,24 @@ object HybridRetrieval {
   def docQueryBm25TopK(docs: DataFrame, isQuery: Column, k: Int,
                        docIdCol: String = "doc_id", textCol: String = "text",
                        dfCapInv: Int = 4): DataFrame = {
-    // ONE explode feeds one (doc, word) aggregate; dl, df, and the
-    // query-term set all REAGGREGATE tf, so every branch reads the tf
-    // exchange (reused stage) instead of re-exploding the corpus —
-    // at 100 TB the explode+first-shuffle is the dominant cost and it
-    // runs exactly once.
+    // ONE explode feeds one (doc, word) aggregate, and the aggregate is
+    // LOCALLY CHECKPOINTED (r21): dl, df/vocab, the query-term set and
+    // the posting probe all derive from tf, but the branches differ by
+    // more than inferred filters, so Catalyst's exchange reuse never
+    // fires across them (measured r20: 18 scans / 17 exchanges at the
+    // initial-plan level — the corpus was re-exploded and re-aggregated
+    // once per branch, most of them inside broadcast-build jobs). With
+    // the checkpoint the explode+first-shuffle runs exactly once per
+    // invocation and every branch reads the persisted (doc, word, tf)
+    // blocks — at 100 TB that derivation IS the dominant cost. The
+    // checkpoint is registered for deterministic release with the memo
+    // eviction pass (CkptRegistry), so each bench iteration still pays
+    // the full pipeline.
     val words = docs.filter(col(textCol).isNotNull)
       .select(col(docIdCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("word"))
-    val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val tf = CkptRegistry.checkpointed(
+      words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf")))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))

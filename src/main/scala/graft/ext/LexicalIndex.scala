@@ -188,12 +188,17 @@ object LexicalIndex {
     // sf0.1, r20-opt JobTrace) — and costs a second leaf-file listing.
     // The broadcast memory shape is unchanged (these exact rows shipped
     // to every executor before too); the DRIVER bound is new, so past
-    // `spark.graft.lex.maxQueryTerms` (default 1M) degrade to the lazy
-    // two-derivation path instead of growing the driver heap.
+    // `spark.graft.lex.maxQueryTerms` degrade to the lazy
+    // two-derivation path instead of growing the driver heap. Default
+    // 100k rows (ADVICE r20): each collected Row of (long, word,
+    // long, long) costs ~200-400 B of driver heap with Row/object
+    // overhead, so 100k ≈ tens of MB on a default heap — a term set
+    // past that is no longer "bounded" and belongs on the degrade
+    // path; raise the conf only alongside the driver's -Xmx.
     val qAug = qTerms.select(col("query_id"), col("word"), col("df"),
       bucket(col("word")).as("wb"))
     val maxQTerms = spark.conf
-      .get("spark.graft.lex.maxQueryTerms", "1000000").toInt
+      .get("spark.graft.lex.maxQueryTerms", "100000").toInt
     val snap = qAug.limit(maxQTerms + 1).collect()
     val (qSide, qBuckets) =
       if (snap.length <= maxQTerms) {

@@ -399,6 +399,10 @@ object ExtQueries {
     * they are at-rest artifacts with [[evictArtifacts]] lifecycle, so a
     * bench iteration measures the serve path, not re-training. */
   private[queries] def evict(s: SparkSession): Unit = {
+    // non-memoized intermediates (the d08 guard's materialize
+    // checkpoint) registered for deterministic release — same cadence
+    // as the memos: between bench iterations and at teardown
+    graft.ext.CkptRegistry.release(s)
     val prefix = s"${graft.SessionKey(s)}|"
     Seq(pairsCache, clustersCache, sigsCache).foreach { cache =>
       val it = cache.entrySet().iterator()
@@ -907,20 +911,25 @@ object ExtQueries {
     // committing to a full cross-source dedup). Fully deterministic
     // (48-bit md5 order), so the estimates are hash-gated EXACTLY, not
     // within a tolerance.
+    // r21: the corpus feeds the sketch one row per DOC (split array
+    // folded inside the bounded aggregate) — the explode that
+    // materialized every token as a row before the aggregate is gone;
+    // at corpus scale the sketch pass's row count drops by ~avg doc
+    // length (guide §4/§2).
     "a04_kmv_jaccard" -> ((s, d) => {
       val toks = documents(s, d).select(col("source"),
-        explode(split(col("text"), " ")).as("word"))
-      KMV.pairwiseJaccard(KMV.sketch(toks, "source", "word", 64),
-        "source", 64)
+        split(col("text"), " ").as("words"))
+      KMV.pairwiseJaccard(
+        KMV.sketchTokens(toks, "source", col("words"), 64), "source", 64)
     }),
 
     // KMV distinct-count estimates per source from the same sketch shape
     // ((k−1)·2^48/θ_k; exact count when the group holds < k values).
     "a05_kmv_distinct" -> ((s, d) => {
       val toks = documents(s, d).select(col("source"),
-        explode(split(col("text"), " ")).as("word"))
-      KMV.estimateDistinct(KMV.sketch(toks, "source", "word", 64),
-        "source", 64)
+        split(col("text"), " ").as("words"))
+      KMV.estimateDistinct(
+        KMV.sketchTokens(toks, "source", col("words"), 64), "source", 64)
     }),
 
     // Heavy hitters (Misra-Gries candidates → exact verify): all words

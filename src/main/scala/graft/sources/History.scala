@@ -1319,6 +1319,50 @@ object History {
     *        commit (its schema stamp) instead of the lake's present
     *        declaration — the time-travel path; stamp-less manifests
     *        fall back to the present declaration either way. */
+  /** Force every field (and nested struct/array/map element) nullable —
+    * what Spark's own inference yields for file sources, so a footer-
+    * resolved read schema is indistinguishable from an inferred one. */
+  private def forceNullable(
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: org.apache.spark.sql.types.StructType =>
+      org.apache.spark.sql.types.StructType(s.fields.map(f =>
+        f.copy(dataType = forceNullable(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = forceNullable(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = forceNullable(m.keyType),
+        valueType = forceNullable(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  /** The Spark-serialized schema from one data file's parquet footer,
+    * read on the DRIVER (no Spark job — ~1 ms against the local FS /
+    * one footer fetch on an object store). Spark writes the exact
+    * StructType into every footer under `spark.sql.parquet.row.metadata`
+    * and its own inference prefers that key, so for engine-written
+    * lakes this IS what `spark.read.parquet` would infer — minus the
+    * 1-task inference job per plan. None for absent files or foreign
+    * parquet without the key (callers fall back to inference). */
+  private def footerDataSchema(spark: SparkSession,
+      file: Option[org.apache.hadoop.fs.Path])
+      : Option[org.apache.spark.sql.types.StructType] =
+    file.flatMap { p =>
+      scala.util.Try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(p, spark.sparkContext.hadoopConfiguration)
+        val footer = org.apache.spark.sql.execution.datasources.parquet
+          .ParquetFooterReader.readFooter(in,
+            org.apache.parquet.format.converter.ParquetMetadataConverter
+              .SKIP_ROW_GROUPS)
+        Option(footer.getFileMetaData.getKeyValueMetaData
+            .get("org.apache.spark.sql.parquet.row.metadata"))
+          .map(json => forceNullable(
+            org.apache.spark.sql.types.DataType.fromJson(json))
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+      }.toOption.flatten
+    }
+
   private def planManifest(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
       m: FileManifest.Manifest, asOf: Boolean = false): DataFrame = {
@@ -1336,10 +1380,26 @@ object History {
     if (m.cur.nonEmpty) {
       // renamed columns scan under the PHYSICAL read schema (declared
       // + retired names) and fold back to the declared shape after the
-      // DV filter — metadata-only renames, one scan for every era
+      // DV filter — metadata-only renames, one scan for every era.
+      // UNDECLARED lakes (no SchemaLog) resolve their data schema from
+      // ONE footer on the DRIVER (r21 optimization): every lake file is
+      // Spark-written, so its footer carries the exact serialized
+      // StructType — reading it here costs ~1 ms of driver time and
+      // removes the 1-task schema-inference Spark JOB spark.read would
+      // otherwise launch on EVERY plan of every undeclared lake (the
+      // h-family paid 2 such jobs per gate). `.asNullable` matches what
+      // inference produces (file-source relations force nullable), and
+      // partition-directory columns stay INFERRED exactly as before —
+      // a user-specified data schema never suppresses basePath
+      // partition discovery. Footerless/foreign files fall back to the
+      // old inference path unchanged.
       val base = declared match {
         case Some(s) => spark.read.schema(SchemaLog.physicalReadSchema(s))
-        case None => spark.read
+        case None =>
+          footerDataSchema(spark, m.cur.sorted.headOption.map(rel =>
+              new org.apache.hadoop.fs.Path(qRoot, rel)))
+            .map(spark.read.schema(_))
+            .getOrElse(spark.read)
       }
       val scan = base.option("basePath", qRoot.toString)
         .parquet(m.cur.sorted.map(rel =>
