@@ -90,10 +90,12 @@ object FrequentItems {
     * can never be a candidate, and a non-string column gets string
     * equality semantics everywhere, not an implicit-coercion join).
     * Requires φ > 1/k (else an eviction could lose a true heavy hitter
-    * and the exact contract breaks — enforced here). Plan shape: one
-    * scan building the ≤ k candidate summary and the exact total (two
-    * jobs over the same scan, both with bounded map-side state), then
-    * one scan counting ONLY rows matching a broadcast candidate set. */
+    * and the exact contract breaks — enforced here). Plan shape (r21):
+    * ONE scan builds the ≤ k candidate summary AND the exact total —
+    * they were two separate corpus scans, but both are bounded
+    * aggregates over the same normalized stream, so they share one
+    * pass — then one scan counts ONLY rows matching the broadcast
+    * candidate set. Two corpus passes total, the algorithm's floor. */
   def heavyHitters(items: DataFrame, k: Int, phi: Double): DataFrame = {
     require(phi > 1.0 / k,
       s"phi=$phi must exceed 1/k=${1.0 / k}: the Misra-Gries summary only " +
@@ -101,17 +103,20 @@ object FrequentItems {
     val colName = items.columns.head
     val norm = items.select(col(colName).cast("string").as(colName))
       .filter(col(colName).isNotNull)
-    // candidates: one row holding ≤ k survivors; exploded to a frame the
-    // optimizer broadcasts (k is a constant, never data-sized)
+    // candidates: one row holding ≤ k survivors + the exact total;
+    // exploded to a frame the optimizer broadcasts (k is a constant,
+    // never data-sized), n_total riding every candidate row so the
+    // verify pass needs no second broadcast
     val candidates = norm
       .agg(graft.functions.MisraGriesFn.misra_gries(col(colName), k)
-        .as("cands"))
-      .select(explode(col("cands")).as(colName))
-    val total = norm.agg(count(lit(1)).as("n_total"))
-    norm.join(broadcast(candidates), Seq(colName), "left_semi")
+          .as("cands"),
+        count(lit(1)).as("n_total"))
+      .select(explode(col("cands")).as(colName), col("n_total"))
+    // inner join ≡ the former left_semi (candidates are distinct keys,
+    // so no row multiplies) while carrying n_total through
+    norm.join(broadcast(candidates), Seq(colName))
       .groupBy(col(colName))
-      .agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total)) // single row by construction
+      .agg(count(lit(1)).as("cnt"), max(col("n_total")).as("n_total"))
       .filter(col("cnt") >= lit(phi) * col("n_total"))
       .select(col(colName), col("cnt"))
   }
@@ -119,13 +124,14 @@ object FrequentItems {
   /** Per-GROUP heavy hitters: items whose exact count within their
     * group is ≥ `phi` · (group size), with exact counts — the
     * per-language / per-domain vocabulary-profile shape. Same
-    * two-phase contract as [[heavyHitters]], per group: one scan
-    * builds a ≤ k Misra-Gries summary PER GROUP (bounded map-side
-    * state per group, merged under the group-keyed exchange) plus the
-    * exact group sizes, then one scan counts only (group, candidate)
-    * survivors. The candidate table is ≤ k · |groups| rows — broadcast
-    * by construction for any real k; the full per-(group, item) count
-    * table is never shuffled. */
+    * two-phase contract as [[heavyHitters]], per group: ONE scan (r21 —
+    * formerly two) builds a ≤ k Misra-Gries summary per group (bounded
+    * map-side state per group, merged under the group-keyed exchange)
+    * TOGETHER with the exact group sizes, then one scan counts only
+    * (group, candidate) survivors. The candidate table is
+    * ≤ k · |groups| rows — broadcast by construction for any real k,
+    * each row carrying its group's total; the full per-(group, item)
+    * count table is never shuffled. */
   def groupedHeavyHitters(items: DataFrame, groupCol: String,
                           itemCol: String, k: Int,
                           phi: Double): DataFrame = {
@@ -141,14 +147,15 @@ object FrequentItems {
       .filter(col(itemCol).isNotNull && col(groupCol).isNotNull)
     val candidates = norm.groupBy(col(groupCol))
       .agg(graft.functions.MisraGriesFn.misra_gries(col(itemCol), k)
-        .as("cands"))
-      .select(col(groupCol), explode(col("cands")).as(itemCol))
-    val totals = norm.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_total"))
-    norm.join(broadcast(candidates), Seq(groupCol, itemCol), "left_semi")
+          .as("cands"),
+        count(lit(1)).as("n_total"))
+      .select(col(groupCol), explode(col("cands")).as(itemCol),
+        col("n_total"))
+    // inner join ≡ the former left_semi + totals join ((group, item)
+    // is unique on the candidate side, so no row multiplies)
+    norm.join(broadcast(candidates), Seq(groupCol, itemCol))
       .groupBy(col(groupCol), col(itemCol))
-      .agg(count(lit(1)).as("cnt"))
-      .join(broadcast(totals), Seq(groupCol))
+      .agg(count(lit(1)).as("cnt"), max(col("n_total")).as("n_total"))
       .filter(col("cnt") >= lit(phi) * col("n_total"))
       .select(col(groupCol), col(itemCol), col("cnt"))
   }
