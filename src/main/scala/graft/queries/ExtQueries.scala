@@ -1169,7 +1169,15 @@ object ExtQueries {
       val words = docs.filter(col("text").isNotNull)
         .select(col("doc_id"),
           explode(TextAnalysis.wsTokens(col("text"))).as("word"))
-      val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      // dl = tokens per doc = size of the token ARRAY (r21): the former
+      // explode + groupBy(doc_id) materialized every token as a row and
+      // shuffled the count back together — one full corpus explode +
+      // exchange for a number the un-exploded row already carries.
+      // count(1)-over-explode ≡ size(array) exactly (explode drops
+      // nothing, split of a non-null string is never empty).
+      val dl = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).cast("long").as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"),
         sum(col("dl")).as("total_dl"))
       val tf = words.filter(col("word").isin(terms: _*))
