@@ -47,24 +47,37 @@ object HybridRetrieval {
   def docQueryBm25TopK(docs: DataFrame, isQuery: Column, k: Int,
                        docIdCol: String = "doc_id", textCol: String = "text",
                        dfCapInv: Int = 4): DataFrame = {
-    // ONE explode feeds one (doc, word) aggregate, and the aggregate is
-    // LOCALLY CHECKPOINTED (r21): dl, df/vocab, the query-term set and
-    // the posting probe all derive from tf, but the branches differ by
-    // more than inferred filters, so Catalyst's exchange reuse never
-    // fires across them (measured r20: 18 scans / 17 exchanges at the
-    // initial-plan level — the corpus was re-exploded and re-aggregated
-    // once per branch, most of them inside broadcast-build jobs). With
-    // the checkpoint the explode+first-shuffle runs exactly once per
-    // invocation and every branch reads the persisted (doc, word, tf)
-    // blocks — at 100 TB that derivation IS the dominant cost. The
-    // checkpoint is registered for deterministic release with the memo
-    // eviction pass (CkptRegistry), so each bench iteration still pays
-    // the full pipeline.
+    // ONE explode feeds one (doc, word) aggregate, and past a corpus
+    // size threshold the aggregate is LOCALLY CHECKPOINTED (r21): dl,
+    // df/vocab, the query-term set and the posting probe all derive
+    // from tf, but the branches differ by more than inferred filters,
+    // so Catalyst's exchange reuse never fires across them (measured
+    // r20: 18 scans / 17 exchanges at the initial-plan level — the
+    // corpus was re-exploded and re-aggregated once per branch, most
+    // of them inside broadcast-build jobs; the checkpoint cuts that to
+    // 6 scans). SIZE-GATED, not unconditional (the r20 d02/d08
+    // materialize lesson, measured again here): at bench scale the
+    // checkpoint's row-copy write + read costs MORE than re-deriving a
+    // few-MB corpus (matched pairs: s12 +0.15-0.2 s at sf0.1), while
+    // at 100 TB the explode+first-shuffle is the arm's dominant cost
+    // and must run once, not once per branch. The optimizer's size
+    // estimate of the doc input decides (scale-adaptive, guide §2 —
+    // never a constant tuned for one deployment); the threshold is a
+    // conf. The checkpoint registers for deterministic release with
+    // the memo eviction pass (CkptRegistry), so each bench iteration
+    // still pays the full pipeline.
     val words = docs.filter(col(textCol).isNotNull)
       .select(col(docIdCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("word"))
-    val tf = CkptRegistry.checkpointed(
-      words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf")))
+    val tfPlan =
+      words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val ckptMinBytes = docs.sparkSession.conf
+      .get("spark.graft.bm25.ckptTfMinBytes", (256L << 20).toString).toLong
+    val docBytes = scala.util.Try(
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes).toOption
+      .getOrElse(BigInt(0))
+    val tf = if (docBytes >= ckptMinBytes) CkptRegistry.checkpointed(tfPlan)
+      else tfPlan
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))

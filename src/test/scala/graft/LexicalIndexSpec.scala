@@ -181,6 +181,23 @@ class LexicalIndexSpec extends AnyFunSuite {
       "a re-bootstrap must reset df/stats rollups, not serve stale ones")
   }
 
+  test("size-gated tf checkpoint: same results, lineage-truncated plan") {
+    val (corpus, _) = mkLakes()
+    val want = rows(oneShot(corpus, 5)) // default: below threshold, lazy
+    spark.conf.set("spark.graft.bm25.ckptTfMinBytes", "0")
+    try {
+      val ck = oneShot(corpus, 5)
+      // above-threshold shape: the tf aggregate is a local checkpoint,
+      // so the plan roots on a LogicalRDD scan instead of re-deriving
+      // the corpus explode per branch
+      assert(ck.queryExecution.optimizedPlan.collectLeaves()
+          .exists(_.getClass.getSimpleName.contains("LogicalRDD")),
+        "expected a checkpoint-rooted leaf when the size gate fires")
+      assert(rows(ck) === want)
+      graft.ext.CkptRegistry.release(spark)
+    } finally spark.conf.unset("spark.graft.bm25.ckptTfMinBytes")
+  }
+
   test("search reads only the query terms' bucket partitions") {
     val (corpus, index) = mkLakes()
     LexicalIndex.bootstrap(spark, corpus, index): Unit
