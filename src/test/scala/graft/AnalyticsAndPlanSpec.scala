@@ -318,14 +318,21 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
     val df = SparkEntry.queries("a06_heavy_hitters")(spark,
       "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
-    // the exact recount must probe a BROADCAST candidate/total set —
-    // a shuffled semi-join here would re-shuffle the full token stream
-    // on the item key, the exact thing the sketch pass exists to avoid
-    assert(plan.contains("BroadcastHashJoin") &&
-      plan.contains("LeftSemi"), plan.take(1200))
-    // the single total row joins in via broadcast NLJ specifically (the
-    // semi-join's BroadcastHashJoin must not satisfy this assertion)
-    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    // the exact recount must probe a BROADCAST candidate set — a
+    // shuffled join here would re-shuffle the full token stream on the
+    // item key, the exact thing the sketch pass exists to avoid. r21:
+    // the candidate rows carry n_total, so ONE inner BroadcastHashJoin
+    // replaces the former left_semi + broadcast-NLJ totals crossjoin
+    // (candidate keys are distinct — no row multiplies) and no NLJ
+    // remains in the gate at all.
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    // the token stream must reach that join unshuffled: exactly ONE
+    // word-keyed exchange exists — the post-join aggregate's, which
+    // carries only candidate-matching partials (a second one would be
+    // a pre-join shuffle of the full token stream)
+    assert("Exchange hashpartitioning\\(word".r
+      .findAllIn(plan).size == 1, plan.take(1500))
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 
