@@ -530,7 +530,8 @@ object Bpe {
     val cur = try new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8).trim
     finally in.close()
-    spark.read.parquet(new org.apache.hadoop.fs.Path(root, cur).toString)
+    graft.sources.History.readParquetFooterSchema(spark,
+        new org.apache.hadoop.fs.Path(root, cur).toString)
       .orderBy(col("rank"))
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
   }

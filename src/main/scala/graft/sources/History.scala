@@ -1363,6 +1363,47 @@ object History {
       }.toOption.flatten
     }
 
+  /** First data file under `p` (descending into partition dirs),
+    * skipping hidden/marker entries — the footer donor for
+    * [[readParquetFooterSchema]]. Driver-side listing only. */
+  private def firstDataFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, depth: Int = 0)
+      : Option[org.apache.hadoop.fs.Path] =
+    scala.util.Try {
+      val st = fs.getFileStatus(p)
+      if (st.isFile) {
+        if (p.getName.endsWith(".parquet") || p.getName.startsWith("part-"))
+          Some(p)
+        else None
+      } else if (depth > 8) None
+      else fs.listStatus(p).sortBy(_.getPath.getName)
+        .iterator
+        .filterNot { s =>
+          val n = s.getPath.getName
+          n.startsWith("_") || n.startsWith(".")
+        }
+        .flatMap(s => firstDataFile(fs, s.getPath, depth + 1))
+        .nextOption()
+    }.toOption.flatten
+
+  /** `spark.read.parquet(path)` with the DATA schema resolved from one
+    * footer on the DRIVER (r21, same mechanism as [[planManifest]]'s
+    * undeclared-lake path): engine-written files carry the exact
+    * serialized StructType, so this skips the 1-task schema-inference
+    * Spark job every otherwise-uncached plan of the path would launch.
+    * Partition-directory columns stay inferred exactly as before (the
+    * footer schema holds data columns only). Falls back to plain
+    * inference for foreign/footerless files. For ENGINE artifact and
+    * fixture reads on hot query paths — manifest lakes go through
+    * [[readPinned]], base tables through the Tables memo. */
+  def readParquetFooterSchema(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    footerDataSchema(spark, firstDataFile(fs, p))
+      .map(s => spark.read.schema(s).parquet(path))
+      .getOrElse(spark.read.parquet(path))
+  }
+
   private def planManifest(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
       m: FileManifest.Manifest, asOf: Boolean = false): DataFrame = {

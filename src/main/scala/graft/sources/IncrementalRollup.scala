@@ -306,6 +306,6 @@ object IncrementalRollup {
     val v = currentVersion(spark, rollupDir).getOrElse(
       throw new IllegalStateException(
         s"rollup at $rollupDir has no state — run bootstrap first"))
-    spark.read.parquet(statePath(rollupDir, v).toString)
+    History.readParquetFooterSchema(spark, statePath(rollupDir, v).toString)
   }
 }

@@ -108,7 +108,7 @@ object TypedHistory {
     * → dt partition filter. Both prune directories, not rows. */
   def monitorFrom(spark: SparkSession, path: String, docType: String,
                   fromDate: String): DataFrame =
-    spark.read.parquet(s"$path/monitor")
+    graft.sources.History.readParquetFooterSchema(spark, s"$path/monitor")
       .filter(col("doc_type") === docType && col("dt") >= fromDate)
       .select("doc_type", "id", "date", "reg", "value")
 
@@ -117,7 +117,7 @@ object TypedHistory {
     * dt partition filters. */
   def monitorWithin(spark: SparkSession, path: String, docType: String,
                     fromDate: String, toDate: String): DataFrame =
-    spark.read.parquet(s"$path/monitor")
+    graft.sources.History.readParquetFooterSchema(spark, s"$path/monitor")
       .filter(col("doc_type") === docType &&
         col("dt") >= fromDate && col("dt") <= toDate)
       .select("doc_type", "id", "date", "reg", "value")
@@ -140,7 +140,7 @@ object TypedHistory {
     * status predicate served by parquet row-group stats (open incidents
     * are not date-bounded, so no partition filter applies). */
   def openTirf(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/tirf")
+    graft.sources.History.readParquetFooterSchema(spark, s"$path/tirf")
       .filter(col("status") === "OPEN")
       .select("tirfId", "status", "siteId", "openedDate", "closedDate")
 
@@ -149,7 +149,7 @@ object TypedHistory {
     * partitions at-or-after the bound. */
   def closedTirfFrom(spark: SparkSession, path: String,
                      fromDate: String): DataFrame =
-    spark.read.parquet(s"$path/tirf")
+    graft.sources.History.readParquetFooterSchema(spark, s"$path/tirf")
       .filter(col("status") === "CLOSED" && col("dt") >= fromDate)
       .select("tirfId", "status", "siteId", "openedDate", "closedDate")
 
@@ -159,7 +159,7 @@ object TypedHistory {
     * deduped to the latest update per sign with `max_by` — one
     * partial-aggregated shuffle on vmsId. */
   def allVms(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/vms")
+    graft.sources.History.readParquetFooterSchema(spark, s"$path/vms")
       .groupBy(col("vmsId"))
       .agg(
         max_by(col("location"), col("updatedDate")).as("location"),
@@ -173,7 +173,7 @@ object TypedHistory {
     * pruned on dt. Consumers replay ops in date order per site. */
   def topologyChangesFrom(spark: SparkSession, path: String,
                           fromDate: String): DataFrame =
-    spark.read.parquet(s"$path/topology_changes")
+    graft.sources.History.readParquetFooterSchema(spark, s"$path/topology_changes")
       .filter(col("dt") >= fromDate)
       .select("sId", "op", "date")
 }
