@@ -419,6 +419,20 @@ object Dedup {
       .internalDf(df.sparkSession, rdd, df.schema), rdd)
   }
 
+  /** [[ckptEager]] without the materializing count (r21): the FIRST
+    * action over the returned frame (or any descendant) computes every
+    * partition — Spark's job-end doCheckpoint cascade materializes any
+    * the action skipped — so when a consumer action is guaranteed to
+    * run promptly, the eager count is one whole redundant Spark job.
+    * Blocks persist at that first action; later consumers read them. */
+  private def ckptLazy(df: DataFrame, reliable: Boolean)
+      : (DataFrame, org.apache.spark.rdd.RDD[
+          org.apache.spark.sql.catalyst.InternalRow]) = {
+    val rdd = ckptRdd(df, reliable)
+    (org.apache.spark.sql.graftbridge.DatasetBridge
+      .internalDf(df.sparkSession, rdd, df.schema), rdd)
+  }
+
   /** Near-dup cluster resolution: connected components over the candidate
     * pair graph by iterative min-label propagation (the standard
     * large-graph CC shape on DataFrames: each round is one shuffle join;
@@ -513,10 +527,8 @@ object Dedup {
     // call, paying for nothing. The pair plan still executes exactly
     // once: the symmetric fan-out reads the checkpointed rows, and the
     // star failover re-checkpoints the already-materialized frame.
-    val pDf = pairs.select(idOrRaise("a_id"), idOrRaise("b_id"))
-    val pRdd = ckptRdd(pDf, reliable)
-    val p = org.apache.spark.sql.graftbridge.DatasetBridge
-      .internalDf(spark, pRdd, pDf.schema)
+    val (p, pRdd) = ckptLazy(
+      pairs.select(idOrRaise("a_id"), idOrRaise("b_id")), reliable)
     val part = new org.apache.spark.HashPartitioner(
       math.max(1, pRdd.getNumPartitions))
     val edges = ckptTuples(pRdd.mapPartitions { it =>
@@ -836,18 +848,22 @@ object Dedup {
                       excludeSelf: Boolean = false): DataFrame = {
     val hit = admissionHits(incomingBands, corpusBands, idCol, excludeSelf)
     val survivingPlan = incomingBands.join(hit, Seq(idCol), "left_anti")
-    // Materialize the surviving band table ONCE (RDD-level checkpoint,
+    // Checkpoint the surviving band table ONCE (RDD-level,
     // resolveClusters-style): it is consumed by two separate actions —
     // the CC's own pair checkpoint and the caller's final keep-list —
     // each of which would otherwise re-derive BOTH sides' full
     // shingle→minhash→band pipelines from text (measured ~2× the whole
-    // gate). The table is batch-sized (bands of the admitted batch), so
-    // the checkpoint is small by construction; its handle (and the CC's
-    // final label checkpoint) root the returned frame's plan, so
-    // reliable-mode callers release BOTH via releaseBacking(result) —
-    // without it, reliable checkpoint FILES live for the JVM's life
-    // (local-mode blocks are also GC-reclaimed by the ContextCleaner).
-    val (surviving, _) = ckptEager(survivingPlan, reliable)
+    // gate). LAZY (r21): the guard's count pass inside
+    // lshCandidatePairs is the first action over it and materializes
+    // the checkpoint in that same job — the former eager count() was
+    // one extra job per admission. The table is batch-sized (bands of
+    // the admitted batch), so the checkpoint is small by construction;
+    // its handle (and the CC's final label checkpoint) root the
+    // returned frame's plan, so reliable-mode callers release BOTH via
+    // releaseBacking(result) — without it, reliable checkpoint FILES
+    // live for the JVM's life (local-mode blocks are also GC-reclaimed
+    // by the ContextCleaner).
+    val (surviving, _) = ckptLazy(survivingPlan, reliable)
     val drop = resolveClusters(lshCandidatePairs(surviving, idCol),
       reliable = reliable)
       .filter(col("cluster") =!= col("id"))
