@@ -121,6 +121,54 @@ object FrequentItems {
       .select(col(colName), col("cnt"))
   }
 
+  /** [[heavyHitters]] with the item stream pre-grouped as one token
+    * ARRAY per row (r21, mirroring the KMV/BottomK array path): the
+    * sketch+total pass consumes the arrays DIRECTLY — no
+    * Generate/explode materializes every token as a row under the
+    * bounded aggregate, so the candidate pass's row count drops by
+    * ~avg tokens/row at corpus scale — while the exact verify pass
+    * (which genuinely needs token rows to count them) explodes as
+    * before. Output is identical to `heavyHitters` over the exploded
+    * arrays: the summary's update sequence is the same token order,
+    * n_total = Σ size(array) = the exploded row count, and the verify
+    * recount is exact either way. Null ARRAYS are excluded like null
+    * items; null ELEMENTS (possible only when the array type admits
+    * them) are stripped once up front so the sketch, the total and the
+    * verify explode all see the same null-free stream — the exploded
+    * path's isNotNull filter, applied pre-explode. */
+  def heavyHittersTokens(tokenArrays: DataFrame, itemCol: String,
+                         k: Int, phi: Double): DataFrame = {
+    require(phi > 1.0 / k,
+      s"phi=$phi must exceed 1/k=${1.0 / k}: the Misra-Gries summary only " +
+        "guarantees items above N/k survive")
+    val arrCol = tokenArrays.columns.head
+    val at = tokenArrays.schema.head.dataType match {
+      case a: org.apache.spark.sql.types.ArrayType
+          if a.elementType == org.apache.spark.sql.types.StringType => a
+      case other => throw new IllegalArgumentException(
+        "heavyHittersTokens needs an array<string> column, got " +
+          other.catalogString)
+    }
+    val cleaned =
+      if (at.containsNull) filter(col(arrCol), x => x.isNotNull)
+      else col(arrCol)
+    val arrs = tokenArrays.filter(col(arrCol).isNotNull)
+      .select(cleaned.as(arrCol))
+    val candidates = arrs
+      .agg(graft.functions.MisraGriesFn.misra_gries(col(arrCol), k)
+          .as("cands"),
+        sum(size(col(arrCol))).as("n_total"))
+      .select(explode(col("cands")).as(itemCol), col("n_total"))
+    // inner join ≡ left_semi + totals (candidate keys distinct), as in
+    // [[heavyHitters]]
+    arrs.select(explode(col(arrCol)).as(itemCol))
+      .join(broadcast(candidates), Seq(itemCol))
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("cnt"), max(col("n_total")).as("n_total"))
+      .filter(col("cnt") >= lit(phi) * col("n_total"))
+      .select(col(itemCol), col("cnt"))
+  }
+
   /** Per-GROUP heavy hitters: items whose exact count within their
     * group is ≥ `phi` · (group size), with exact counts — the
     * per-language / per-domain vocabulary-profile shape. Same
@@ -154,6 +202,46 @@ object FrequentItems {
     // inner join ≡ the former left_semi + totals join ((group, item)
     // is unique on the candidate side, so no row multiplies)
     norm.join(broadcast(candidates), Seq(groupCol, itemCol))
+      .groupBy(col(groupCol), col(itemCol))
+      .agg(count(lit(1)).as("cnt"), max(col("n_total")).as("n_total"))
+      .filter(col("cnt") >= lit(phi) * col("n_total"))
+      .select(col(groupCol), col(itemCol), col("cnt"))
+  }
+
+  /** [[groupedHeavyHitters]] over pre-tokenized arrays — the
+    * [[heavyHittersTokens]] shape per group: the per-group summary and
+    * exact group size aggregate the arrays directly (one row per doc
+    * reaches the group-keyed exchange's map side), only the verify
+    * pass explodes. Null groups and null arrays are excluded up front
+    * (the [[groupedHeavyHitters]] contract); null elements are
+    * stripped once so every consumer sees the same stream. */
+  def groupedHeavyHittersTokens(tokenArrays: DataFrame, groupCol: String,
+                                arrCol: String, itemCol: String, k: Int,
+                                phi: Double): DataFrame = {
+    require(phi > 1.0 / k,
+      s"phi=$phi must exceed 1/k=${1.0 / k}: the Misra-Gries summary only " +
+        "guarantees items above N/k survive")
+    val at = tokenArrays.schema(arrCol).dataType match {
+      case a: org.apache.spark.sql.types.ArrayType
+          if a.elementType == org.apache.spark.sql.types.StringType => a
+      case other => throw new IllegalArgumentException(
+        "groupedHeavyHittersTokens needs an array<string> column, got " +
+          other.catalogString)
+    }
+    val cleaned =
+      if (at.containsNull) filter(col(arrCol), x => x.isNotNull)
+      else col(arrCol)
+    val arrs = tokenArrays
+      .filter(col(arrCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol), cleaned.as(arrCol))
+    val candidates = arrs.groupBy(col(groupCol))
+      .agg(graft.functions.MisraGriesFn.misra_gries(col(arrCol), k)
+          .as("cands"),
+        sum(size(col(arrCol))).as("n_total"))
+      .select(col(groupCol), explode(col("cands")).as(itemCol),
+        col("n_total"))
+    arrs.select(col(groupCol), explode(col(arrCol)).as(itemCol))
+      .join(broadcast(candidates), Seq(groupCol, itemCol))
       .groupBy(col(groupCol), col(itemCol))
       .agg(count(lit(1)).as("cnt"), max(col("n_total")).as("n_total"))
       .filter(col("cnt") >= lit(phi) * col("n_total"))

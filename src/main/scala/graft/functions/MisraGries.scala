@@ -49,41 +49,65 @@ case class MisraGriesAgg(
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
 
+  // An ARRAY<STRING> child folds each element into the summary (r21,
+  // the BottomK/KMV array lesson): a tokenized corpus feeds the sketch
+  // as one row per DOC — no Generate/explode materializing every token
+  // as a row before the bounded aggregate; null elements are skipped
+  // like null scalars, and element order within the array matches the
+  // exploded row order, so the per-partition summary is identical.
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case StringType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"misra_gries needs a string column (cast first), got " +
-            other.catalogString)
+          s"misra_gries needs a string or array<string> column " +
+            s"(cast first), got " + other.catalogString)
     }
+
+  // lazy: child.dataType is unresolvable at construction time on the
+  // SQL-registry path (analysis resolves it before any eval)
+  private lazy val isArrayInput = child.dataType.isInstanceOf[ArrayType]
 
   override def createAggregationBuffer()
       : java.util.HashMap[UTF8String, Cell] =
     new java.util.HashMap[UTF8String, Cell]()
+
+  private def updateOne(buf: java.util.HashMap[UTF8String, Cell],
+                        item: UTF8String): Unit = {
+    val cell = buf.get(item)
+    if (cell != null) cell.n += 1
+    // clone: the UTF8String may point into a reused row/array buffer
+    else if (buf.size < k) buf.put(item.clone(), new Cell(1L))
+    else {
+      // full and item absent: decrement every counter, drop zeros
+      // (the new item's implicit +1 and −1 cancel)
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        e.getValue.n -= 1
+        if (e.getValue.n == 0) it.remove()
+      }
+    }
+  }
 
   override def update(buf: java.util.HashMap[UTF8String, Cell],
                       input: InternalRow)
       : java.util.HashMap[UTF8String, Cell] = {
     val v = child.eval(input)
     if (v != null) {
-      val item = v.asInstanceOf[UTF8String]
-      val cell = buf.get(item)
-      if (cell != null) cell.n += 1
-      // clone: the UTF8String may point into a reused row buffer
-      else if (buf.size < k) buf.put(item.clone(), new Cell(1L))
-      else {
-        // full and item absent: decrement every counter, drop zeros
-        // (the new item's implicit +1 and −1 cancel)
-        val it = buf.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          e.getValue.n -= 1
-          if (e.getValue.n == 0) it.remove()
+      if (isArrayInput) {
+        val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val n = arr.numElements()
+        var i = 0
+        while (i < n) {
+          if (!arr.isNullAt(i)) updateOne(buf, arr.getUTF8String(i))
+          i += 1
         }
-      }
+      } else updateOne(buf, v.asInstanceOf[UTF8String])
     }
     buf
   }

@@ -939,11 +939,19 @@ object ExtQueries {
     // shuffle. Hash-gated EXACTLY against a plain GROUP BY oracle (the
     // two-pass contract: sketch error never reaches the answer).
     "a06_heavy_hitters" -> ((s, d) => {
+      // tokens stay an ARRAY into the sketch pass (r21, the a04/a05
+      // lesson): the bounded Misra-Gries aggregate folds each doc's
+      // token array directly, so no Generate/explode materializes
+      // every token as a row under it — only the exact verify pass
+      // (which counts token rows) explodes. Same population:
+      // array_remove(split, "") ≡ the exploded stream's length>0 (only
+      // the empty string has length 0), and unlike the filter() HOF it
+      // stays whole-stage-codegen (HigherOrderFunction is
+      // CodegenFallback — guide §4: built-ins on the hot path)
       val words = documents(s, d)
         .filter(col("text").isNotNull)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(length(col("word")) > 0)
-      FrequentItems.heavyHitters(words, k = 256, phi = 0.02)
+        .select(array_remove(split(col("text"), " "), "").as("words"))
+      FrequentItems.heavyHittersTokens(words, "word", k = 256, phi = 0.02)
     }),
 
     // Per-GROUP heavy hitters (a06 per language): Misra-Gries summary
@@ -952,12 +960,14 @@ object ExtQueries {
     // per-domain vocabulary profile, never shuffling the full
     // per-(group, item) count table.
     "a10_heavy_hitters_grouped" -> ((s, d) => {
+      // array-input sketch pass per group (the a06 shape): one row per
+      // doc reaches the lang-keyed exchange's map side
       val words = documents(s, d)
         .filter(col("text").isNotNull && col("lang").isNotNull)
-        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
-        .filter(length(col("word")) > 0)
-      FrequentItems.groupedHeavyHitters(words, "lang", "word",
-        k = 256, phi = 0.025)
+        .select(col("lang"),
+          array_remove(split(col("text"), " "), "").as("words"))
+      FrequentItems.groupedHeavyHittersTokens(words, "lang", "words",
+        "word", k = 256, phi = 0.025)
     }),
 
     // Quantile sketch (the second sketch-family op beside a01's HLL):

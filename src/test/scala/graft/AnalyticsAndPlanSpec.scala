@@ -334,6 +334,12 @@ class AnalyticsAndPlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(word".r
       .findAllIn(plan).size == 1, plan.take(1500))
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    // r21: the sketch pass aggregates the token ARRAYS directly — no
+    // Generate/explode materializes the corpus tokens as rows under the
+    // bounded summary; the only explodes left are the verify pass's
+    // token rows (which the exact recount genuinely needs) and the
+    // ≤ k candidate array
+    assert("Generate explode".r.findAllIn(plan).size == 2, plan.take(2000))
   }
 
   test("plan quality: e10 grid generation never shuffles event rows twice") {

@@ -105,6 +105,98 @@ class FrequentItemsSpec extends AnyFunSuite {
     assert(cands.contains("item0")) // ~75/~550 rows ≫ N/k
   }
 
+  test("array-input sketch == exploded sketch: heavyHittersTokens exact") {
+    // the r21 no-explode sketch pass: docs feed the summary as token
+    // ARRAYS (one row per doc) and the result must equal both the
+    // exploded-path heavyHitters AND the plain exact GROUP BY — with a
+    // tiny k forcing eviction inside the array update loop
+    import spark.implicits._
+    val stream = zipfStream(200, 200)
+    // pack the shuffled stream into "docs" of 1-7 tokens (seeded sizes)
+    val rnd = new scala.util.Random(11)
+    val docs = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    var rest = stream
+    while (rest.nonEmpty) {
+      val n = 1 + rnd.nextInt(7)
+      docs += rest.take(n); rest = rest.drop(n)
+    }
+    val arrDf = docs.toSeq.toDF("words").repartition(7)
+    val gotArr = FrequentItems.heavyHittersTokens(arrDf, "word",
+        k = 24, phi = 0.05)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotExploded = FrequentItems.heavyHitters(
+        arrDf.select(explode(col("words")).as("word")), k = 24, phi = 0.05)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotArr === gotExploded, s"array $gotArr exploded $gotExploded")
+    val n = stream.size
+    val exact = stream.groupBy(identity)
+      .map { case (w, xs) => w -> xs.size.toLong }
+      .filter { case (_, c) => c >= 0.05 * n }
+    assert(gotArr === exact, s"got $gotArr expected $exact")
+    assert(gotArr.nonEmpty)
+    // plan witness: the sketch branch aggregates arrays directly — the
+    // only Generates are the verify explode and the candidate explode
+    val plan = FrequentItems.heavyHittersTokens(arrDf, "word",
+      k = 24, phi = 0.05).queryExecution.executedPlan.toString
+    assert("Generate explode".r.findAllIn(plan).size == 2, plan.take(2000))
+    assert(plan.contains("partial_misragriesagg"), plan.take(1500))
+  }
+
+  test("array-input sketch: null arrays and null elements are excluded") {
+    // null array rows and null elements must count toward neither the
+    // total nor the candidates — the exploded path's isNotNull contract
+    import spark.implicits._
+    val arrDf = Seq(
+      Some(Seq(Some("a"), Some("a"), None)),
+      Some(Seq(Some("b"), None)),
+      None
+    ).toDF("words")
+    // non-null population N=3; "a" clears phi=0.5 (2 >= 1.5); if nulls
+    // inflated N to 6 the threshold would be 3 and nothing would emit
+    val got = FrequentItems.heavyHittersTokens(arrDf, "word",
+        k = 4, phi = 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 2L), got)
+  }
+
+  test("grouped array-input sketch == grouped exploded sketch") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val langs = Seq("en", "de", "fr")
+    val docs = (0 until 300).map { i =>
+      val lang = langs(rnd.nextInt(3))
+      // per-lang skew: one hot word per lang + cold tail
+      val toks = (0 until 1 + rnd.nextInt(6)).map { _ =>
+        if (rnd.nextInt(3) == 0) s"hot_$lang" else s"cold${rnd.nextInt(50)}"
+      }
+      (lang, toks)
+    }
+    val arrDf = docs.toDF("lang", "words").repartition(5)
+    val gotArr = FrequentItems.groupedHeavyHittersTokens(arrDf, "lang",
+        "words", "word", k = 16, phi = 0.2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val gotExploded = FrequentItems.groupedHeavyHitters(
+        arrDf.select(col("lang"), explode(col("words")).as("word")),
+        "lang", "word", k = 16, phi = 0.2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(gotArr === gotExploded, s"array $gotArr exploded $gotExploded")
+    assert(gotArr.nonEmpty)
+  }
+
+  test("misra_gries over array<string> is SQL-callable") {
+    import spark.implicits._
+    Views.registerSqlFunctions(spark)
+    zipfStream(100, 150).grouped(5).toSeq.toDF("words")
+      .createOrReplaceTempView("mg_docs")
+    val cands = spark.sql(
+      "SELECT explode(misra_gries(words, 12)) AS w FROM mg_docs")
+      .collect().map(_.getString(0)).toSet
+    assert(cands.size <= 12)
+    assert(cands.contains("item0")) // ~75/~550 rows ≫ N/k
+  }
+
   test("MisraGries summary never exceeds k counters and keeps true HHs") {
     val mg = new FrequentItems.MisraGries(8)
     // one item at 40%, the rest spread across 100 cold items
